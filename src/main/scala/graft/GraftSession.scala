@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated [[SparkSession]] factory for the graft engine.
+  *
+  * Tuned for the execution model the engine is designed around: AQE on
+  * (runtime partition coalescing + skew-join splitting replace hand-tuned
+  * shuffle sizing), shuffle parallelism matched to cores locally (on a real
+  * cluster, set `spark.sql.shuffle.partitions` ~ 2-3x total cores), UTC
+  * session time zone so event-time semantics are stable across engines.
+  */
+object GraftSession {
+
+  /** Apply graft's standard configuration to any builder. */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // testdata events.ts is parquet TIMESTAMP(NANOS) which Spark has no
+      // native type for; read as epoch-nano long (event-time ops treat it
+      // as a monotonic long, portable to the oracle via epoch_ns()).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session sized to the machine (tests / bench). */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+            appName: String = "graft"): SparkSession = {
+    val s = configure(
+      SparkSession.builder().appName(appName).master(s"local[$cores]"),
+      shufflePartitions = cores
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic core: grouped aggregation, multi-way joins, windows, rollups.
+  *
+  * These anchor engine correctness on the star schema and are written the
+  * way they should run at 100 TB: dimension tables broadcast, fact-fact
+  * joins shuffle on their keys under AQE, aggregates are partial (map-side
+  * combine is automatic for hash aggregates), and every double aggregate is
+  * rounded at the edge so results are engine-portable.
+  */
+object Analytics {
+
+  /** round(col, 4) — shared precision for cross-engine double compares. */
+  private def r4(c: Column): Column = round(c, 4)
+
+  /** TPC-H Q1-shaped pricing summary over `lineitem`.
+    * Single shuffle on the (returnflag, linestatus) grouping key; partial
+    * aggregation happens map-side before the exchange.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r4(sum(col("l_quantity"))).as("sum_qty"),
+        r4(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        r4(avg(col("l_quantity"))).as("avg_qty"),
+        r4(avg(col("l_extendedprice"))).as("avg_price"),
+        r4(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-shaped shipping-priority query.
+    * `customer` is small relative to the facts → broadcast; the
+    * orders⋈lineitem join shuffles on the order key.
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    broadcast(customer.filter(col("c_mktsegment") === "BUILDING"))
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(lineitem.filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5-shaped snowflake join: region→nation filter the
+    * customer/supplier dimensions, all of which broadcast into the
+    * orders⋈lineitem fact join.
+    */
+  def localSupplierVolume(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                          supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val asiaNations = broadcast(
+      nation.join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey")))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(r4(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-N rows per group via `row_number` — one shuffle on the partition
+    * key; the per-group sort is local to each partition.
+    */
+  def topNPerGroup(orders: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  /** Running sum + moving average per user over event time. Partitioned by
+    * user → parallel across users, single sort per user partition.
+    */
+  def runningAggregates(events: DataFrame): DataFrame = {
+    // event time compared cross-engine at microsecond precision (ts is
+    // epoch-nano long; integer DIV — double division would lose precision
+    // past 2^53)
+    val withUs = events.withColumn("ts_us", expr("ts DIV 1000"))
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val last5 = order.rowsBetween(-4, Window.currentRow)
+    withUs.select(
+        col("event_id"), col("user_id"), col("ts_us").as("ts"),
+        r4(sum(col("value")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("running_sum"),
+        r4(avg(col("value")).over(last5)).as("moving_avg5"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Existence queries as left-semi / left-anti joins (never a distinct +
+    * inner join — semi/anti stop at first match and never duplicate).
+    */
+  def semiAntiCounts(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val withOrders = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("cnt")).select(lit("with_orders").as("grp"), col("cnt"))
+    val withoutOrders = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("cnt")).select(lit("without_orders").as("grp"), col("cnt"))
+    withOrders.unionByName(withoutOrders).orderBy(col("grp"))
+  }
+
+  /** Multi-level aggregation via ROLLUP — one shuffle; Spark expands
+    * grouping sets without rescanning the input.
+    */
+  def rollupSummary(lineitem: DataFrame): DataFrame =
+    lineitem.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(r4(sum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Exact distinct counts per group. (Approximate HLL variants are
+    * engine-specific and covered by spec tests, not the SQL oracle.)
+    */
+  def distinctCounts(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  /** Two-level aggregation over a high-cardinality key (order-level then
+    * global distribution). At scale the first level is where skew lives;
+    * AQE skew-split handles it because the plan is a plain hash aggregate.
+    */
+  def orderSizeDistribution(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"), r4(sum(col("l_quantity"))).as("order_qty"))
+      .groupBy(col("n_items"))
+      .agg(count(lit(1)).as("n_orders"), r4(avg(col("order_qty"))).as("avg_order_qty"))
+      .orderBy(col("n_items"))
+}

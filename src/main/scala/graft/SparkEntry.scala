@@ -1,7 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.functions.GeoFunctions
 import graft.operators._
 import graft.sources.Tables
 
@@ -10,7 +12,8 @@ import graft.sources.Tables
   * Each `queries` entry is an operator of the engine applied to the test
   * tables; each `oracleSql` entry is the same computation in ANSI SQL for
   * the DuckDB oracle. Column names and ordering are aligned on both sides
-  * (SURVEY §4 portability rules).
+  * (SURVEY §4 portability rules). Event time is compared at epoch-µs
+  * (`ts DIV 1000` ≡ `epoch_us(ts)`).
   */
 object SparkEntry {
 
@@ -18,12 +21,64 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Analytics.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
 
-  private def t(name: String)(implicit s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, name)
+  // ---- shared bindings ----------------------------------------------
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- §2.B analytic core -------------------------------------------
+  private val topics = Seq("click", "error", "purchase", "signup", "view")
+  private val HourUs = 3600000000L
+  private val SixHoursUs = 6L * HourUs
+
+  /** events with event time as epoch-µs long (SURVEY §4). */
+  private def eventsUs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
+
+  private def errorActivity: Column =
+    when(col("event_type") === "error", 1).otherwise(0)
+
+  private def sceneBoundaries(s: SparkSession, d: String): DataFrame =
+    Scenes.boundaries(
+      eventsUs(s, d).select(col("user_id"), col("ts_us").as("ts"), col("event_id"), col("event_type")),
+      groupCols = Seq("user_id"), timeCol = "ts",
+      orderTiebreak = Seq("event_id"), activity = errorActivity)
+
+  private def sceneMeta(s: SparkSession, d: String): DataFrame =
+    Scenes.metadata(sceneBoundaries(s, d), groupCols = Seq("user_id"),
+      timeCol = "ts", sceneName = "ErrorBurst", topicsAnalyzed = Seq("error"))
+
+  /** Shared SQL fragment: scene boundary rows (oracle side). */
+  private val boundarySql =
+    """SELECT user_id, ts, CAST(n AS BIGINT) AS activity, scene_state FROM (
+      |  SELECT user_id, ts, n,
+      |    CASE WHEN n > 0 AND nlag = 0 THEN 'start'
+      |         WHEN n = 0 AND nlag > 0 THEN 'end' END AS scene_state
+      |  FROM (
+      |    SELECT user_id, epoch_us(ts) AS ts,
+      |      CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS n,
+      |      lag(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nlag
+      |    FROM events) raw) st
+      |WHERE scene_state IS NOT NULL""".stripMargin
+
+  /** Shared SQL fragment: scene metadata rows (oracle side). */
+  private val sceneMetaSql =
+    s"""SELECT user_id, start_time, end_time, activity AS activity_at_start,
+       |  user_id || '_ErrorBurst_' || start_time AS scene_id,
+       |  end_time - start_time AS scene_length, 'error' AS topics_analyzed
+       |FROM (
+       |  SELECT user_id, ts AS start_time, activity, scene_state,
+       |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS end_time
+       |  FROM ($boundarySql) b) m
+       |WHERE scene_state = 'start'""".stripMargin
+
+  /** Shared SQL fragment: hourly per-user time grid (oracle side). */
+  private val gridSql =
+    """SELECT user_id,
+      |  unnest(generate_series((mn // 3600000000) * 3600000000, mx, 3600000000)) AS ts
+      |FROM (SELECT user_id, min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+      |      FROM events GROUP BY user_id) ex""".stripMargin
+
+  // ---- §2.B analytic core -------------------------------------------
+
+  private val analyticQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
     "q3_join" -> ((s, d) =>
       Analytics.shippingPriority(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -38,10 +93,111 @@ object SparkEntry {
     "q_skew_agg" -> ((s, d) => Analytics.orderSizeDistribution(Tables.lineitem(s, d)))
   )
 
-  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
-    */
-  def oracleSql: Map[String, String] = Map(
+  // ---- §2.A reference surface (signal lake) -------------------------
+
+  private val signalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_union_by_name" -> ((s, d) => {
+      val e = eventsUs(s, d)
+      Signals.unionByName(Seq(
+        e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_us").as("ts"), col("value")),
+        e.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts_us").as("ts"), col("props"))))
+        .orderBy(col("event_id"))
+    }),
+    "q_payload_pack" -> ((s, d) =>
+      Signals.payloadPack(
+        eventsUs(s, d).select(col("event_id"), col("ts_us").as("ts"), col("user_id"), col("event_type")),
+        keyCols = Seq("event_id", "ts"))
+        .orderBy(col("event_id"))),
+    "q_topic_pivot" -> ((s, d) =>
+      Signals.topicPivot(eventsUs(s, d), keyCols = Seq("user_id"),
+        topicCol = "event_type", topics = topics, agg = round(sum(col("value")), 4))
+        .orderBy(col("user_id"))),
+    "q_time_grid" -> ((s, d) =>
+      Signals.timeGrid(
+        eventsUs(s, d).select(col("user_id"), col("ts_us").as("ts")),
+        groupCols = Seq("user_id"), timeCol = "ts", stepUs = HourUs)
+        .orderBy(col("user_id"), col("ts"))),
+    "q_forward_fill" -> ((s, d) =>
+      Signals.forwardFill(
+        eventsUs(s, d).select(col("event_id"), col("user_id"), col("ts_us").as("ts"),
+          when(col("event_type") === "purchase", col("value")).as("purchase_value")),
+        groupCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+        fillCols = Seq("purchase_value"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))),
+    "q_synchronize" -> ((s, d) =>
+      Signals.synchronize(
+        eventsUs(s, d).select(col("user_id"), col("ts_us").as("ts"), col("event_type"), col("value")),
+        groupCols = Seq("user_id"), timeCol = "ts", topicCol = "event_type",
+        valueCol = "value", topics = topics, stepUs = SixHoursUs)
+        .orderBy(col("user_id"), col("ts"))),
+    "q_asof_join" -> ((s, d) => {
+      val e = eventsUs(s, d)
+      val grid = Signals.timeGrid(e.select(col("user_id"), col("ts_us").as("ts")),
+        Seq("user_id"), "ts", HourUs)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("t"))
+        .agg(max(col("value")).as("pval"))
+      AsOfJoin.asOf(grid, purchases, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "t", valueCols = Seq("pval"))
+        .orderBy(col("user_id"), col("ts"))
+    }),
+    "q_scene_boundary" -> ((s, d) =>
+      sceneBoundaries(s, d).orderBy(col("user_id"), col("ts"))),
+    "q_scene_metadata" -> ((s, d) =>
+      sceneMeta(s, d).orderBy(col("user_id"), col("start_time"))),
+    "q_scene_filter" -> ((s, d) =>
+      Scenes.filterScenes(sceneMeta(s, d), minLength = 1L, limitN = 20)),
+    "q_people_count" -> ((s, d) =>
+      eventsUs(s, d)
+        .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_hot"),
+          round(avg(col("k")), 4).as("avg_k"))
+        .orderBy(col("user_id"))),
+    "q_topic_extract" -> ((s, d) =>
+      Signals.topicExtract(
+        eventsUs(s, d).select(col("event_id"), col("user_id"), col("ts_us").as("ts"),
+          col("event_type"), col("props")),
+        topicCol = "event_type", topic = "error", rawCol = "props",
+        cleanPattern = "\"k\":\\s*(\\d+)",
+        provenance = Map("bag_file" -> "events_sf", "topic" -> "error"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("props_clean"),
+          col("bag_file"), col("topic"))
+        .orderBy(col("event_id"))),
+    "q_batch_manifest" -> ((s, d) =>
+      Signals.batchManifest(
+        eventsUs(s, d).select(col("user_id"), col("ts_us").as("ts"), col("event_type")),
+        timeCol = "ts", topicCol = "event_type", groupCol = "user_id")),
+    "q_topic_stats" -> ((s, d) =>
+      Signals.topicStats(
+        eventsUs(s, d).select(col("user_id"), col("ts_us").as("ts"), col("event_type")),
+        groupCol = "user_id", topicCol = "event_type", timeCol = "ts")),
+    "q_nearest_point" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("np", GeoFunctions.nearestPoint("embedding", 0.25))
+        .select(col("vec_id"),
+          round(col("np.val"), 6).as("val"),
+          col("np.idx").cast("long").as("idx"),
+          round(col("np.dist"), 6).as("dist"))
+        .orderBy(col("vec_id"))),
+    "q_in_lane" -> ((s, d) =>
+      GeoFunctions.objectInLane(
+        eventsUs(s, d).select(col("event_id"), col("value")),
+        xCol = "value", halfWidth = 5.0, boundaries = Seq(0, 30, 55, 120, 190))
+        .select(col("event_id"), col("value"), col("corners_in_lane"), col("lanes"))
+        .orderBy(col("event_id")))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    analyticQueries ++ signalQueries
+
+  // ---- oracle SQL ---------------------------------------------------
+
+  private val analyticOracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
@@ -128,4 +284,130 @@ object SparkEntry {
         |GROUP BY n_items
         |ORDER BY n_items""".stripMargin
   )
+
+  private val pivotCasesSql: String = topics.map(t =>
+    s"max(CASE WHEN event_type = '$t' THEN value END) AS \"$t\"").mkString(", ")
+
+  private val signalOracles: Map[String, String] = Map(
+    "q_union_by_name" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts, value, CAST(NULL AS VARCHAR) AS props
+        |FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, user_id, epoch_us(ts), CAST(NULL AS DOUBLE), props
+        |FROM events WHERE event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
+    "q_payload_pack" ->
+      """SELECT event_id, epoch_us(ts) AS ts,
+        |  to_json(struct_pack(user_id := user_id, event_type := event_type))::VARCHAR AS payload
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_topic_pivot" ->
+      ("""SELECT user_id, """ + topics.map(t =>
+        s"""round(sum(CASE WHEN event_type = '$t' THEN value END), 4) AS "$t"""").mkString(", ") +
+        """ FROM events GROUP BY user_id ORDER BY user_id"""),
+    "q_time_grid" ->
+      (gridSql + "\nORDER BY user_id, ts"),
+    "q_forward_fill" ->
+      """SELECT event_id, user_id, ts,
+        |  last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_value
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts,
+        |        CASE WHEN event_type = 'purchase' THEN value END AS pv
+        |      FROM events) e
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_synchronize" ->
+      (s"""WITH sig AS (SELECT user_id, epoch_us(ts) AS t, event_type, value FROM events),
+          |piv AS (SELECT user_id, t, $pivotCasesSql, 0 AS src FROM sig GROUP BY user_id, t),
+          |grid AS (SELECT user_id,
+          |    unnest(generate_series((mn // 21600000000) * 21600000000, mx, 21600000000)) AS t
+          |  FROM (SELECT user_id, min(t) AS mn, max(t) AS mx FROM sig GROUP BY user_id) ex),
+          |gridn AS (SELECT user_id, t, """ +
+        topics.map(t => s"""CAST(NULL AS DOUBLE) AS "$t"""").mkString(", ") +
+        s""", 1 AS src FROM grid),
+          |u AS (SELECT * FROM piv UNION ALL SELECT * FROM gridn),
+          |filled AS (SELECT user_id, t, src, """ +
+        topics.map(t =>
+          s"""last_value("$t" IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, src
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "$t"""".stripMargin).mkString(", ") +
+        """ FROM u)
+          |SELECT user_id, t AS ts, """.stripMargin +
+        topics.map(t => s""""$t"""").mkString(", ") +
+        """ FROM filled WHERE src = 1 ORDER BY user_id, ts""").stripMargin,
+    "q_asof_join" ->
+      (s"""WITH grid AS ($gridSql),
+          |purch AS (SELECT user_id, t, max(value) AS pval
+          |  FROM (SELECT user_id, epoch_us(ts) AS t, value FROM events
+          |        WHERE event_type = 'purchase') p GROUP BY user_id, t)
+          |SELECT g.user_id, g.ts, p.pval
+          |FROM grid g ASOF LEFT JOIN purch p
+          |  ON g.user_id = p.user_id AND g.ts >= p.t
+          |ORDER BY g.user_id, g.ts""").stripMargin,
+    "q_scene_boundary" ->
+      (boundarySql + "\nORDER BY user_id, ts"),
+    "q_scene_metadata" ->
+      (sceneMetaSql + "\nORDER BY user_id, start_time"),
+    "q_scene_filter" ->
+      (s"""SELECT * FROM ($sceneMetaSql) sm
+          |WHERE scene_length >= 1 AND end_time IS NOT NULL
+          |ORDER BY scene_length DESC, scene_id
+          |LIMIT 20""").stripMargin,
+    "q_people_count" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+        |  round(avg(k), 4) AS avg_k
+        |FROM (SELECT user_id,
+        |        CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+        |      FROM events) e
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_topic_extract" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts,
+        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS props_clean,
+        |  'events_sf' AS bag_file, 'error' AS topic
+        |FROM events WHERE event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
+    "q_batch_manifest" ->
+      """SELECT epoch_us(ts) // 86400000000 AS batch_day,
+        |  count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_groups,
+        |  count(DISTINCT event_type) AS n_topics
+        |FROM events GROUP BY 1 ORDER BY batch_day""".stripMargin,
+    "q_topic_stats" ->
+      """SELECT user_id, event_type, count(*) AS n_msgs,
+        |  min(epoch_us(ts)) AS t_first, max(epoch_us(ts)) AS t_last,
+        |  round(CASE WHEN max(epoch_us(ts)) > min(epoch_us(ts))
+        |    THEN count(*) / ((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0) END, 4) AS msgs_per_sec
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_nearest_point" ->
+      """WITH d AS (SELECT vec_id, embedding,
+        |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE) - 0.25)) AS dists
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  round(CAST(embedding[list_position(dists, list_min(dists))] AS DOUBLE), 6) AS val,
+        |  CAST(list_position(dists, list_min(dists)) - 1 AS BIGINT) AS idx,
+        |  round(list_min(dists), 6) AS dist
+        |FROM d ORDER BY vec_id""".stripMargin,
+    "q_in_lane" ->
+      """WITH lanes AS (SELECT event_id, value,
+        |    CASE WHEN value - 5 >= 0 AND value - 5 < 30 THEN 0
+        |         WHEN value - 5 >= 30 AND value - 5 < 55 THEN 1
+        |         WHEN value - 5 >= 55 AND value - 5 < 120 THEN 2
+        |         WHEN value - 5 >= 120 AND value - 5 < 190 THEN 3 ELSE -1 END AS li,
+        |    CASE WHEN value + 5 >= 0 AND value + 5 < 30 THEN 0
+        |         WHEN value + 5 >= 30 AND value + 5 < 55 THEN 1
+        |         WHEN value + 5 >= 55 AND value + 5 < 120 THEN 2
+        |         WHEN value + 5 >= 120 AND value + 5 < 190 THEN 3 ELSE -1 END AS lj
+        |  FROM events)
+        |SELECT event_id, value,
+        |  CAST((CASE WHEN li >= 0 THEN 2 ELSE 0 END) +
+        |       (CASE WHEN lj >= 0 THEN 2 ELSE 0 END) AS BIGINT) AS corners_in_lane,
+        |  concat_ws(',',
+        |    CASE WHEN li >= 0 THEN 'between_' || li || '_and_' || (li + 1) END,
+        |    CASE WHEN lj >= 0 AND lj <> li THEN 'between_' || lj || '_and_' || (lj + 1) END) AS lanes
+        |FROM lanes ORDER BY event_id""".stripMargin
+  )
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = analyticOracles ++ signalOracles
 }

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NullType
+
+/** Signal-lake operators: the reference's topic-synchronization pipeline
+  * (spark_scripts/synchronize_topics.py) re-expressed as declarative,
+  * fully-distributed Spark plans.
+  *
+  * Data model: a *signal* table has group (provenance) columns (the
+  * reference's `bag_file`), an event-time column (epoch-micro long — see
+  * SURVEY §4), a topic column, and payload/value columns. The reference's
+  * driver-side loops (`create_master_time_df` collects first/last times
+  * and builds one frame per bag on the driver —
+  * synchronize_topics.py:119-146) are replaced with `sequence`/`explode`
+  * generated co-partitioned with the group, so the same plan runs on one
+  * bag or ten million.
+  */
+object Signals {
+
+  /** Union frames with heterogeneous schemas, null-padding missing columns
+    * (reference: synchronize_topics.py:9 `union_all`). Purely metadata —
+    * no shuffle; Spark unions are bag concatenation.
+    */
+  def unionByName(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Pack all non-key columns into a JSON `payload` column
+    * (reference: synchronize_topics.py:93 `create_json_payload`).
+    * `to_json(struct(...))` is codegen'd — no UDF, no RDD round-trip.
+    */
+  def payloadPack(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val jsonCols = df.columns.filterNot(keyCols.contains)
+    df.select(keyCols.map(col) :+
+      to_json(struct(jsonCols.map(col): _*)).as("payload"): _*)
+  }
+
+  /** Pivot topic rows into per-topic columns
+    * (reference: synchronize_topics.py:173-179). Topic values are passed
+    * explicitly: at 100 TB an implicit pivot costs an extra distinct scan
+    * of the fact table just to learn the column list.
+    */
+  def topicPivot(signals: DataFrame, keyCols: Seq[String],
+                 topicCol: String, topics: Seq[String], agg: Column): DataFrame =
+    signals.groupBy(keyCols.map(col): _*)
+      .pivot(topicCol, topics)
+      .agg(agg)
+
+  /** Per-group time grid: for each group, every `stepUs` tick from
+    * floor(min/step)*step to max(time), inclusive
+    * (reference: synchronize_topics.py:111 `create_master_time_df`).
+    *
+    * One map-side-combined aggregate to get (min,max) per group, then
+    * `sequence` + `explode` generates ticks co-partitioned with the group —
+    * no driver collect, no per-bag loop.
+    */
+  def timeGrid(signals: DataFrame, groupCols: Seq[String], timeCol: String,
+               stepUs: Long): DataFrame =
+    signals.groupBy(groupCols.map(col): _*)
+      .agg(min(col(timeCol)).as("__t_min"), max(col(timeCol)).as("__t_max"))
+      // integer DIV: double division of epoch-µs longs loses exactness
+      // near 2^53 and can floor to the wrong tick
+      .select(groupCols.map(col) :+
+        explode(sequence(
+          expr(s"(__t_min DIV $stepUs) * $stepUs"),
+          col("__t_max"),
+          lit(stepUs))).as(timeCol): _*)
+
+  /** Forward fill: replace nulls with the last non-null value per group in
+    * event-time order (reference: synchronize_topics.py:160
+    * `fill_with_last_value`). One shuffle on the group key; the sort is
+    * local per group partition.
+    */
+  def forwardFill(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+                  fillCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Full synchronization: resample irregular per-topic signals onto a
+    * regular per-group time grid, carrying the last observation forward
+    * (reference: synchronize_topics.py:170 `synchronize_signals`).
+    *
+    * Plan shape: pivot (one shuffle on (group, time)) → union with the
+    * grid (no shuffle) → one window (one shuffle on group) → filter to
+    * grid rows. Signal rows sort *before* grid rows at equal timestamps,
+    * so a tick at exactly t sees a signal at t (inclusive as-of).
+    */
+  def synchronize(signals: DataFrame, groupCols: Seq[String], timeCol: String,
+                  topicCol: String, valueCol: String, topics: Seq[String],
+                  stepUs: Long): DataFrame = {
+    val pivoted = topicPivot(signals, groupCols :+ timeCol, topicCol, topics,
+      max(col(valueCol))).withColumn("__src", lit(0))
+    val grid = timeGrid(signals, groupCols, timeCol, stepUs)
+      .withColumn("__src", lit(1))
+    val unioned = topics.foldLeft(grid)((d, t) =>
+      d.withColumn(t, lit(null).cast(pivoted.schema(t).dataType)))
+      .select(pivoted.columns.map(col): _*)
+      .unionByName(pivoted)
+    forwardFill(unioned, groupCols, Seq(timeCol, "__src"), topics)
+      .filter(col("__src") === 1)
+      .drop("__src")
+  }
+
+  /** Per-topic extraction with provenance stamping and semi-structured
+    * column parsing (reference: service/app/main.py:77 `process_file` —
+    * there a per-file pandas loop; here a declarative filter + regexp
+    * parse that scales with the input).
+    */
+  def topicExtract(signals: DataFrame, topicCol: String, topic: String,
+                   rawCol: String, cleanPattern: String, provenance: Map[String, String]): DataFrame = {
+    val parsed = signals.filter(col(topicCol) === topic)
+      .withColumn(s"${rawCol}_clean",
+        regexp_extract(col(rawCol), cleanPattern, 1).cast("long"))
+    provenance.foldLeft(parsed) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
+  }
+
+  /** Batch manifest: per-batch (per-day) file/topic/row accounting — the
+    * DataFrame re-expression of the reference's DynamoDB batch metadata
+    * table (infrastructure/emr_trigger/lambda_source/trigger.py).
+    */
+  def batchManifest(signals: DataFrame, timeCol: String, topicCol: String,
+                    groupCol: String): DataFrame =
+    signals
+      .withColumn("batch_day", expr(s"`$timeCol` DIV 86400000000"))
+      .groupBy(col("batch_day"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(groupCol)).as("n_groups"),
+        countDistinct(col(topicCol)).as("n_topics"))
+      .orderBy(col("batch_day"))
+
+  /** Per-group per-topic message statistics — the reference's bag "topic
+    * table" (service/app/main.py:61 `save_metadata_to_dynamo`).
+    */
+  def topicStats(signals: DataFrame, groupCol: String, topicCol: String,
+                 timeCol: String): DataFrame =
+    signals.groupBy(col(groupCol), col(topicCol))
+      .agg(
+        count(lit(1)).as("n_msgs"),
+        min(col(timeCol)).as("t_first"),
+        max(col(timeCol)).as("t_last"),
+        round(when(max(col(timeCol)) > min(col(timeCol)),
+          count(lit(1)) / ((max(col(timeCol)) - min(col(timeCol))) / 1000000.0d)), 4).as("msgs_per_sec"))
+      .orderBy(col(groupCol), col(topicCol))
+}

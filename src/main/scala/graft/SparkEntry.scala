@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GeoFunctions
+import graft.functions.{GeoFunctions, TextFunctions}
+import graft.multimodal.Multimodal
 import graft.operators._
 import graft.sources.Tables
 
@@ -192,8 +193,81 @@ object SparkEntry {
         .orderBy(col("event_id")))
   )
 
+  // ---- §2.C training-data curation ----------------------------------
+
+  private val curationQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text").orderBy(col("fp"))),
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, shingleN = 3, rowsPerBand = 2)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simHash(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "q_simhash_pairs" -> ((s, d) =>
+      Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text",
+        bucketBits = 8, maxHamming = 24)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, minJaccard = 0.3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_dedup_embedding" -> ((s, d) =>
+      Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        bucketBits = 4, minCosine = 0.35)
+        .orderBy(col("vec_a"), col("vec_b"))),
+    "q_ann_bruteforce" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10)),
+    "q_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10, bucketBits = 4)),
+    "q_text_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+    "q_text_quality" -> ((s, d) => {
+      val norm = TextFunctions.normalize(col("text"))
+      val tk = TextFunctions.tokens(col("text"))
+      val nTok = size(tk)
+      val nTypes = size(array_distinct(tk))
+      val ttr = round(nTypes / nTok.cast("double"), 6)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        nTok.cast("long").as("n_tokens"),
+        nTypes.cast("long").as("n_types"),
+        ttr.as("ttr"),
+        round((length(norm) - (nTok - 1)) / nTok.cast("double"), 4).as("avg_token_len"),
+        round(least(lit(1.0), nTok / lit(50.0)) * ttr, 6).as("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        TextFunctions.bpeishCount(col("text")).cast("long").as("n_bpeish_tokens"))
+        .orderBy(col("doc_id"))),
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.hash60(TextFunctions.normalize(col("text"))).as("fp60"))
+        .orderBy(col("doc_id"))),
+    "q_mm_decode" -> ((s, d) =>
+      Multimodal.decode(
+        Multimodal.ingest(Tables.documents(s, d), "doc_id", "text", "text/plain"))
+        .toDF()
+        .select(col("media_id"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy(col("media_id")))
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    analyticQueries ++ signalQueries
+    analyticQueries ++ signalQueries ++ curationQueries
 
   // ---- oracle SQL ---------------------------------------------------
 
@@ -406,8 +480,167 @@ object SparkEntry {
         |FROM lanes ORDER BY event_id""".stripMargin
   )
 
+  // ---- curation oracles (shared fragments + generated SQL) ----------
+
+  /** Normalized documents (oracle side; 'g' flag — DuckDB regexp_replace
+    * is first-match by default, Spark's is global). */
+  private val docNormSql =
+    """SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |FROM documents""".stripMargin
+
+  private val docTokensSql =
+    s"SELECT doc_id, string_split(norm, ' ') AS tk FROM ($docNormSql) nrm"
+
+  /** Distinct word-3-gram shingles per doc (oracle side). */
+  private val shinglesSql =
+    s"""SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(tk) >= 3
+       |         THEN list_transform(generate_series(1, len(tk) - 2),
+       |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+       |         ELSE [array_to_string(tk, ' ')] END)) AS sh
+       |FROM ($docTokensSql) tks""".stripMargin
+
+  private val minhashSigSql = {
+    val mins = (0 until 8).map(j => s"min(md5('$j|' || sh)) AS mh$j").mkString(", ")
+    s"SELECT doc_id, $mins FROM ($shinglesSql) shg GROUP BY doc_id"
+  }
+
+  private val simhashSql = {
+    val sums = (0 until 60).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+    val bits = (0 until 60).map(i =>
+      s"(CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(tk) AS tok FROM ($docTokensSql) tks),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+       |tal AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+       |SELECT doc_id, $bits AS simhash FROM tal""".stripMargin
+  }
+
+  private val langScoresSql = {
+    val scores = TextFunctions.stopwordProfiles.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(tk, t -> list_contains($arr, t))) AS s_$lang"
+    }.mkString(", ")
+    s"SELECT doc_id, $scores FROM ($docTokensSql) tks"
+  }
+
+  private val langCaseSql = {
+    val langs = TextFunctions.stopwordProfiles.map(_._1)
+    val cases = langs.map { lang =>
+      val cond = langs.filter(_ != lang)
+        .map(o => if (o < lang) s"s_$lang > s_$o" else s"s_$lang >= s_$o")
+        .mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
+  /** Embeddings as double vectors + sign-LSH bucket (oracle side). */
+  private val embDoubleSql =
+    """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |  CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+      |       (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+      |       (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS BIGINT) AS bucket
+      |FROM embeddings""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  private val curationOracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""SELECT md5(norm) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM ($docNormSql) nrm GROUP BY fp ORDER BY fp""".stripMargin,
+    "q_dedup_minhash" ->
+      (s"""WITH sig AS ($minhashSigSql),
+          |banded AS (""" +
+        (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS sig FROM sig")
+          .mkString(" UNION ALL ") +
+        """)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+          |FROM banded a JOIN banded b
+          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+          |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""").stripMargin,
+    "q_dedup_simhash" ->
+      (simhashSql + "\nORDER BY doc_id"),
+    "q_simhash_pairs" ->
+      s"""WITH sh AS ($simhashSql),
+         |bkt AS (SELECT doc_id, simhash, simhash >> 52 AS bucket FROM sh)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 24
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH sh AS ($shinglesSql),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, n_inter, n_a, n_b, jaccard FROM (
+         |  SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         |    round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+         |  FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id) j
+         |WHERE jaccard >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_embedding" ->
+      s"""WITH e AS ($embDoubleSql)
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(${cosSql("a.v", "b.v")}, 6) AS cos
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
+         |WHERE cos >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_ann_bruteforce" ->
+      s"""WITH e AS ($embDoubleSql),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, round(${cosSql("v", "qv")}, 6) AS cos
+         |FROM e, q WHERE vec_id != 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH e AS ($embDoubleSql),
+         |q AS (SELECT v AS qv, bucket AS qb FROM e WHERE vec_id = 0)
+         |SELECT vec_id, round(${cosSql("v", "qv")}, 6) AS cos
+         |FROM e, q WHERE vec_id != 0 AND bucket = qb
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_text_langid" ->
+      s"""SELECT doc_id, $langCaseSql AS lang_pred
+         |FROM ($langScoresSql) sc ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id, length(text) AS n_chars, n_tokens, n_types, ttr,
+         |  round((length(norm) - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE), 4) AS avg_token_len,
+         |  round(least(1.0, n_tokens / 50.0) * ttr, 6) AS quality_score
+         |FROM (
+         |  SELECT doc_id, text, norm, len(string_split(norm, ' ')) AS n_tokens,
+         |    len(list_distinct(string_split(norm, ' '))) AS n_types,
+         |    round(len(list_distinct(string_split(norm, ' '))) /
+         |          CAST(len(string_split(norm, ' ')) AS DOUBLE), 6) AS ttr
+         |  FROM (SELECT doc_id, text,
+         |          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |        FROM documents) nrm) q
+         |ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      s"""SELECT doc_id, len(string_split(norm, ' ')) AS n_ws_tokens,
+         |  len(regexp_extract_all(norm, '${TextFunctions.bpeishPattern}')) AS n_bpeish_tokens
+         |FROM ($docNormSql) nrm ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5(norm) AS fp,
+         |  ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp60
+         |FROM ($docNormSql) nrm ORDER BY doc_id""".stripMargin,
+    "q_mm_decode" ->
+      """SELECT doc_id AS media_id, octet_length(text::BLOB) AS n_bytes,
+        |  octet_length(text::BLOB) % 640 AS width,
+        |  octet_length(text::BLOB) % 480 AS height,
+        |  octet_length(text::BLOB) // 100 + 1 AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = analyticOracles ++ signalOracles
+  def oracleSql: Map[String, String] =
+    analyticOracles ++ signalOracles ++ curationOracles
 }

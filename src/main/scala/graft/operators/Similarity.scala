@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Vector math is native higher-order expressions in double precision —
+  * `zip_with` + `aggregate` stay inside whole-stage codegen; no UDF, no
+  * per-row allocation beyond the array scan.
+  *
+  * Scale shapes:
+  *  - brute-force top-k: broadcast the query vector, map-side cosine,
+  *    distributed TakeOrdered — the exact-search baseline.
+  *  - sign-LSH bucket (IVF-style inverted lists): candidate generation
+  *    shuffles only bucket groups; probing reads one bucket.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double (left-to-right fold — portable). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Deterministic sign-LSH bucket: bit j set iff vec(j) > 0. The scale
+    * path's coarse quantizer — replace the sign planes with seeded random
+    * hyperplanes for better balance; the plan shape is identical.
+    */
+  def signBucket(vec: Column, bits: Int): Column =
+    (0 until bits).map(j =>
+      when(element_at(vec, j + 1) > 0f, lit(1L << j)).otherwise(0L))
+      .reduce((a: Column, b: Column) => a + b)
+
+  /** Exact top-k cosine neighbors of one stored vector. The single query
+    * row broadcasts; ordering is on the *rounded* score (+ id tiebreak) so
+    * selection is stable across engines and fp noise.
+    */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val query = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    embeddings.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(query))
+      .select(col(idCol), round(cosine(col(vecCol), col("__qvec")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-style approximate top-k: probe only the query's sign-LSH bucket. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, bucketBits: Int): DataFrame = {
+    val bucketed = embeddings.withColumn("__bucket", signBucket(col(vecCol), bucketBits))
+    val query = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"), col("__bucket"))
+    bucketed.join(broadcast(query), Seq("__bucket"))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), round(cosine(col(vecCol), col("__qvec")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: sign-LSH bucket join + cosine
+    * threshold. Never the cross product — candidates are per-bucket.
+    */
+  def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                  bucketBits: Int, minCosine: Double): DataFrame = {
+    val bucketed = embeddings
+      .select(col(idCol), col(vecCol), signBucket(col(vecCol), bucketBits).as("__bucket"))
+    val a = bucketed.select(col(idCol).as("vec_a"), col(vecCol).as("__va"), col("__bucket"))
+    val b = bucketed.select(col(idCol).as("vec_b"), col(vecCol).as("__vb"), col("__bucket"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("__va"), col("__vb")), 6).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+}

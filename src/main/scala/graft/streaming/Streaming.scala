@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-streaming twins of the batch operators: the reference's
+  * pipeline is batch-triggered per S3 upload (infrastructure/emr_trigger),
+  * which is a micro-batch stream by another name. These run on
+  * `readStream` sources with event-time watermarks; the batch and
+  * streaming paths share semantics so a backfill and the live path can't
+  * drift.
+  */
+object Streaming {
+
+  case class EventRow(user_id: Long, ts_us: Long, event_type: String, value: Double)
+
+  case class SessionState(start: Long, last: Long, n: Long, sumValue: Double)
+
+  case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+                        n_events: Long, sum_value: Double)
+
+  case class SceneState(lastActivity: Long)
+
+  case class SceneBoundary(user_id: Long, ts_us: Long, activity: Long, scene_state: String)
+
+  /** Event-time windowed aggregation with a watermark: the streaming twin
+    * of `Signals.batchManifest`/`topicStats`. State is bounded by the
+    * watermark horizon; late rows beyond it are dropped, not buffered.
+    */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+                     window_ : String = "1 hour"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+
+  /** Gap-based sessionization via `flatMapGroupsWithState`: a session
+    * closes when the next event arrives more than `gapUs` after the last.
+    * State per key is O(1) — start/last/count — the shape that survives
+    * millions of concurrent keys.
+    */
+  def sessionize(events: Dataset[EventRow], gapUs: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+          // events within a micro-batch arrive unordered: sort the batch
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_us - s.last > gapUs =>
+                closed += SessionOut(userId, s.start, s.last, s.n, s.sumValue)
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+              case Some(s) =>
+                cur = Some(SessionState(s.start, e.ts_us, s.n + 1, s.sumValue + e.value))
+              case None =>
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Streaming scene detection: the zero-crossing state machine of
+    * `Scenes.boundaries` kept as per-key state — emits start/end boundary
+    * rows as activity crosses zero (reference: detect_scenes.py:192, as a
+    * stream instead of a lag window).
+    */
+  def sceneDetect(events: Dataset[EventRow], activityOf: EventRow => Long): Dataset[SceneBoundary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SceneState, SceneBoundary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SceneState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts_us)
+          var last = state.getOption.map(_.lastActivity)
+          val out = Seq.newBuilder[SceneBoundary]
+          sorted.foreach { e =>
+            val n = activityOf(e)
+            last match {
+              case Some(l) if n > 0 && l == 0 =>
+                out += SceneBoundary(userId, e.ts_us, n, "start")
+              case Some(l) if n == 0 && l > 0 =>
+                out += SceneBoundary(userId, e.ts_us, n, "end")
+              case _ => ()
+            }
+            last = Some(n)
+          }
+          last.foreach(l => state.update(SceneState(l)))
+          out.result().iterator
+      }
+  }
+
+  /** Streaming exact dedup on content fingerprint, state bounded by the
+    * watermark (`dropDuplicatesWithinWatermark`): the streaming twin of
+    * `Dedup.exact`.
+    */
+  def dedupStream(docs: DataFrame, tsUsCol: String, fpCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("event_time", timestamp_micros(col(tsUsCol)))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(fpCol)
+}

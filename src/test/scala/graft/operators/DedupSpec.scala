@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The  quick brown fox jumps over the lazy dog"), // exact dup modulo case/ws
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different content about spark engines and shuffles")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace-normalized duplicates") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 3)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minHash pairs: identical docs agree on every band; unrelated docs never pair") {
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+      numHashes = 8, shingleN = 3, rowsPerBand = 2).collect()
+    val exact = pairs.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(exact.isDefined && exact.get.getAs[Long]("n_bands") == 4L)
+    // unrelated doc 4 shares no shingle with anything → can never agree on a
+    // band (a band is an md5 of signature slots, and no slot input is shared)
+    assert(!pairs.exists(r => r.getAs[Long]("doc_b") == 4L || r.getAs[Long]("doc_a") == 4L))
+  }
+
+  test("minHash signatures of a superset doc share most slots (near-dup recall)") {
+    val nearDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(nearDocs, "doc_id", "text", numHashes = 8, shingleN = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (0 until 8).map(j => r.getAs[String](s"mh$j"))).toMap
+    // doc 3's shingles are a superset: each min can only move down, and with
+    // J=7/8 most slots must coincide
+    val shared = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(shared >= 4, s"only $shared/8 signature slots shared")
+  }
+
+  test("simHash: identical docs have identical signatures; near-dups are close") {
+    val sh = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) == sh(2L))
+    val hammingNear = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val hammingFar = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("ngramJaccard finds near-dups through the inverted index only") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.3).collect()
+    val p12 = pairs.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L).get
+    assert(p12.getAs[Double]("jaccard") == 1.0)
+    val p13 = pairs.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 3L).get
+    assert(p13.getAs[Double]("jaccard") > 0.3 && p13.getAs[Double]("jaccard") < 1.0)
+    assert(!pairs.exists(r => r.getAs[Long]("doc_a") == 4L || r.getAs[Long]("doc_b") == 4L))
+  }
+}

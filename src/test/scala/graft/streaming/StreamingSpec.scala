@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.Streaming._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val HourUs = 3600000000L
+
+  test("windowedCounts aggregates per event-time window under a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = Streaming.windowedCounts(mem.toDF(), watermark = "10 minutes", window_ = "1 hour")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      mem.addData(
+        EventRow(1L, 0L, "click", 1.0),
+        EventRow(1L, 1000L, "click", 2.0),
+        EventRow(2L, HourUs + 5L, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select(col("event_type"), col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap and keeps open state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = Streaming.sessionize(mem.toDS(), gapUs = 100L)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      mem.addData(
+        EventRow(1L, 0L, "a", 1.0), EventRow(1L, 50L, "a", 2.0), // session 1
+        EventRow(1L, 500L, "a", 3.0)) // gap > 100 → closes session 1
+      q.processAllAvailable()
+      val closed = spark.table("sess").as[SessionOut].collect()
+      assert(closed.toSeq == Seq(SessionOut(1L, 0L, 50L, 2L, 3.0)))
+      // second batch: another gap closes the (500) session
+      mem.addData(EventRow(1L, 10000L, "a", 4.0))
+      q.processAllAvailable()
+      val closed2 = spark.table("sess").as[SessionOut].collect()
+      assert(closed2.length == 2 &&
+        closed2.exists(s => s.session_start == 500L && s.n_events == 1L))
+    } finally q.stop()
+  }
+
+  test("sceneDetect emits zero-crossing boundaries across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = Streaming.sceneDetect(mem.toDS(),
+        activityOf = e => if (e.event_type == "error") 1L else 0L)
+      .writeStream.format("memory").queryName("scenes").outputMode("append").start()
+    try {
+      mem.addData(
+        EventRow(1L, 1L, "click", 0.0), EventRow(1L, 2L, "error", 0.0),
+        EventRow(1L, 3L, "error", 0.0), EventRow(1L, 4L, "click", 0.0))
+      q.processAllAvailable()
+      // crossing at t=2 (start) and t=4 (end); state carries across batches
+      mem.addData(EventRow(1L, 5L, "error", 0.0))
+      q.processAllAvailable()
+      val b = spark.table("scenes").as[SceneBoundary].collect().sortBy(_.ts_us)
+      assert(b.map(x => (x.ts_us, x.scene_state)).toSeq ==
+        Seq((2L, "start"), (4L, "end"), (5L, "start")))
+    } finally q.stop()
+  }
+
+  test("dedupStream drops same-fingerprint rows within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = Streaming.dedupStream(
+        mem.toDF().toDF("id", "ts_us", "fp"), "ts_us", "fp", watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      // duplicate arrives in a LATER batch: within one batch which copy
+      // survives is not defined; across batches the first is kept. Event
+      // times sit well above epoch — a row at exactly the initial
+      // watermark (0) would be dropped as late.
+      val base = 1700000000000000L
+      mem.addData((1L, base, "A"), (3L, base + 20L, "B"))
+      q.processAllAvailable()
+      mem.addData((2L, base + 10L, "A"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+  }
+}

@@ -26,6 +26,14 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Native codegen'd cosine ([[graft.plans.CosineSimilarity]] — one fused
+    * loop, no per-row array allocation). Same left-to-right double
+    * summation as [[cosine]], so results are bit-identical. Requires
+    * [[graft.plans.GraftExtensions]] registered on the session.
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+
   /** Deterministic sign-LSH bucket: bit j set iff vec(j) > 0. The scale
     * path's coarse quantizer — replace the sign planes with seeded random
     * hyperplanes for better balance; the plan shape is identical.
@@ -41,11 +49,12 @@ object Similarity {
     */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                      queryId: Long, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(embeddings.sparkSession)
     val query = embeddings.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec"))
     embeddings.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(query))
-      .select(col(idCol), round(cosine(col(vecCol), col("__qvec")), 6).as("cos"))
+      .select(col(idCol), round(cosineNative(col(vecCol), col("__qvec")), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -53,12 +62,13 @@ object Similarity {
   /** IVF-style approximate top-k: probe only the query's sign-LSH bucket. */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, bucketBits: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(embeddings.sparkSession)
     val bucketed = embeddings.withColumn("__bucket", signBucket(col(vecCol), bucketBits))
     val query = bucketed.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec"), col("__bucket"))
     bucketed.join(broadcast(query), Seq("__bucket"))
       .filter(col(idCol) =!= queryId)
-      .select(col(idCol), round(cosine(col(vecCol), col("__qvec")), 6).as("cos"))
+      .select(col(idCol), round(cosineNative(col(vecCol), col("__qvec")), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -68,6 +78,7 @@ object Similarity {
     */
   def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
                   bucketBits: Int, minCosine: Double): DataFrame = {
+    graft.plans.GraftExtensions.register(embeddings.sparkSession)
     val bucketed = embeddings
       .select(col(idCol), col(vecCol), signBucket(col(vecCol), bucketBits).as("__bucket"))
     val a = bucketed.select(col(idCol).as("vec_a"), col(vecCol).as("__va"), col("__bucket"))
@@ -75,7 +86,7 @@ object Similarity {
     a.join(b, Seq("__bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("__va"), col("__vb")), 6).as("cos"))
+        round(cosineNative(col("__va"), col("__vb")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
   }
 }

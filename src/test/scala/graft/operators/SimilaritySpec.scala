@@ -24,6 +24,17 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c(4L) - 0.707107) < 1e-6)
   }
 
+  test("native cosine_sim expression is bit-identical to the HOF fold") {
+    graft.plans.GraftExtensions.register(spark)
+    val pairs = vecs.select(col("embedding").as("a"))
+      .crossJoin(vecs.select(col("embedding").as("b")))
+    val diffs = pairs.select(
+      Similarity.cosine(col("a"), col("b")).as("hof"),
+      Similarity.cosineNative(col("a"), col("b")).as("native"))
+      .filter(col("hof") =!= col("native"))
+    assert(diffs.count() == 0)
+  }
+
   test("bruteForceTopK ranks by cosine desc, excludes the query") {
     val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 3)
       .collect().map(_.getAs[Long]("vec_id")).toSeq

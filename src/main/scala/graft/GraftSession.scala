@@ -30,7 +30,8 @@ object GraftSession {
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
             appName: String = "graft"): SparkSession = {
     val s = configure(
-      SparkSession.builder().appName(appName).master(s"local[$cores]"),
+      SparkSession.builder().appName(appName).master(s"local[$cores]")
+        .withExtensions(new graft.plans.GraftExtensions),
       shufflePartitions = cores
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

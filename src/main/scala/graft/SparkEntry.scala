@@ -211,7 +211,7 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        shingleN = 3, minJaccard = 0.3)
+        shingleN = 3, minJaccard = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_dedup_embedding" -> ((s, d) =>
       Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -553,11 +553,15 @@ object SparkEntry {
          |FROM ($docNormSql) nrm GROUP BY fp ORDER BY fp""".stripMargin,
     "q_dedup_minhash" ->
       (s"""WITH sig AS ($minhashSigSql),
-          |banded AS (""" +
+          |banded0 AS (""" +
         (0 until 4).map(b =>
           s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS sig FROM sig")
           .mkString(" UNION ALL ") +
-        """)
+        """),
+          |banded AS (SELECT doc_id, band, sig FROM (
+          |  SELECT doc_id, band, sig,
+          |    count(*) OVER (PARTITION BY band, sig) AS bsize FROM banded0) c
+          |  WHERE bsize <= 64)
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
           |FROM banded a JOIN banded b
           |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -584,7 +588,7 @@ object SparkEntry {
          |  FROM inter
          |  JOIN sizes sa ON doc_a = sa.doc_id
          |  JOIN sizes sb ON doc_b = sb.doc_id) j
-         |WHERE jaccard >= 0.3
+         |WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_embedding" ->
       s"""WITH e AS ($embDoubleSql)

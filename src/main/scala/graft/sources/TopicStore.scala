@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The signal lake's storage layout: one parquet dataset partitioned by
+  * (topic, group) — the reference's `<topic>/bag_file=<bag>/data.parq`
+  * tree (service/app/main.py:117-125) and its partitioned batch writes
+  * (spark_scripts/synchronize_topics.py:88 `write_results`,
+  * detect_scenes.py:162).
+  *
+  * Partition columns are the pruning keys: reading one topic of one bag
+  * touches exactly that directory; at 100 TB the topic/bag predicate never
+  * scans a foreign partition. Writes are append-mode per batch, matching
+  * the reference's idempotent batch append.
+  */
+object TopicStore {
+
+  /** Write signals partitioned by topic then group. */
+  def write(df: DataFrame, baseDir: String, topicCol: String = "topic",
+            groupCol: String = "bag_file", mode: String = "append"): Unit =
+    df.write.mode(mode).partitionBy(topicCol, groupCol).parquet(baseDir)
+
+  /** Read the whole store (partition columns reappear as columns). */
+  def read(spark: SparkSession, baseDir: String): DataFrame =
+    spark.read.parquet(baseDir)
+
+  /** Read one topic — prunes to the topic's directory subtree. */
+  def readTopic(spark: SparkSession, baseDir: String, topic: String,
+                topicCol: String = "topic"): DataFrame =
+    read(spark, baseDir).filter(col(topicCol) === topic)
+
+  /** Read one topic of one group (single leaf directory). */
+  def readTopicGroup(spark: SparkSession, baseDir: String, topic: String,
+                     group: String, topicCol: String = "topic",
+                     groupCol: String = "bag_file"): DataFrame =
+    read(spark, baseDir).filter(col(topicCol) === topic && col(groupCol) === group)
+
+  /** Parse a semi-structured JSON payload column into typed columns with
+    * an explicit schema (the reference's YAML "clean column" parse —
+    * service/app/main.py:100-113 — done declaratively; no inference scan).
+    */
+  def parseJsonPayload(df: DataFrame, jsonCol: String, schema: StructType,
+                       outCol: String = "parsed"): DataFrame =
+    df.withColumn(outCol, from_json(col(jsonCol), schema))
+}

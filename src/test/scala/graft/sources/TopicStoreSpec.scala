@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.SparkSpec
+
+class TopicStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base = {
+    val dir = Files.createTempDirectory("topicstore").toString
+    val df = Seq(
+      (1L, 100L, "gps", "bag1"), (2L, 200L, "gps", "bag2"),
+      (3L, 300L, "imu", "bag1"), (4L, 400L, "imu", "bag1")
+    ).toDF("event_id", "ts", "topic", "bag_file")
+    TopicStore.write(df, dir)
+    dir
+  }
+
+  test("write/read round-trips with partition columns restored") {
+    val back = TopicStore.read(spark, base)
+    assert(back.count() == 4)
+    assert(back.columns.toSet == Set("event_id", "ts", "topic", "bag_file"))
+  }
+
+  test("readTopic prunes partitions at the scan") {
+    val gps = TopicStore.readTopic(spark, base, "gps")
+    assert(gps.count() == 2)
+    val plan = gps.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("isnotnull(topic"),
+      plan.take(1500))
+  }
+
+  test("readTopicGroup reads a single leaf") {
+    val one = TopicStore.readTopicGroup(spark, base, "imu", "bag1")
+    assert(one.select("event_id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+  }
+
+  test("append adds a new batch without touching prior data") {
+    val more = Seq((5L, 500L, "gps", "bag3")).toDF("event_id", "ts", "topic", "bag_file")
+    TopicStore.write(more, base)
+    assert(TopicStore.readTopic(spark, base, "gps").count() == 3)
+  }
+
+  test("parseJsonPayload extracts typed fields with explicit schema") {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    val df = Seq((1L, """{"k": 42}""")).toDF("id", "props")
+    val parsed = TopicStore.parseJsonPayload(df, "props", schema)
+      .select(col("parsed.k")).as[Int].collect().head
+    assert(parsed == 42)
+  }
+}

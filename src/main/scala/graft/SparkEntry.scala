@@ -91,7 +91,38 @@ object SparkEntry {
     "q_semi_anti" -> ((s, d) => Analytics.semiAntiCounts(Tables.customer(s, d), Tables.orders(s, d))),
     "q_rollup" -> ((s, d) => Analytics.rollupSummary(Tables.lineitem(s, d))),
     "q_distinct_agg" -> ((s, d) => Analytics.distinctCounts(Tables.lineitem(s, d))),
-    "q_skew_agg" -> ((s, d) => Analytics.orderSizeDistribution(Tables.lineitem(s, d)))
+    "q_skew_agg" -> ((s, d) => Analytics.orderSizeDistribution(Tables.lineitem(s, d))),
+    "q_sessionize" -> ((s, d) =>
+      Sessionize.sessions(
+        eventsUs(s, d).select(col("user_id"), col("ts_us").as("ts"), col("event_id"), col("value")),
+        groupCols = Seq("user_id"), timeCol = "ts", tiebreak = Seq("event_id"),
+        gapUs = 7200000000L, valueCol = "value")
+        .orderBy(col("user_id"), col("session_idx"))),
+    "q_salted_join" -> ((s, d) => {
+      val left = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("orderkey"), col("l_extendedprice"), col("l_discount"))
+      val right = Tables.orders(s, d)
+        .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+      SkewJoin.saltedJoin(left, right, Seq("orderkey"), saltBuckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "q_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(min(col("l_extendedprice")), 4).as("pmin"),
+          round(max(col("l_extendedprice")), 4).as("pmax"))
+        .orderBy(col("l_returnflag"))),
+    "q_date_trunc" -> ((s, d) =>
+      eventsUs(s, d)
+        .withColumn("wk", unix_micros(date_trunc("week", timestamp_micros(col("ts_us")))))
+        .groupBy(col("wk"))
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("wk")))
   )
 
   // ---- §2.A reference surface (signal lake) -------------------------
@@ -356,7 +387,40 @@ object SparkEntry {
         |    round(sum(l_quantity), 4) AS order_qty
         |  FROM lineitem GROUP BY l_orderkey) t
         |GROUP BY n_items
-        |ORDER BY n_items""".stripMargin
+        |ORDER BY n_items""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events),
+        |f AS (SELECT user_id, t, event_id, value,
+        |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |                  > 7200000000 THEN 1 ELSE 0 END AS ns
+        |      FROM e),
+        |s AS (SELECT user_id, t, value,
+        |        CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |      FROM f)
+        |SELECT user_id, session_idx, min(t) AS session_start, max(t) AS session_end,
+        |  max(t) - min(t) AS duration_us, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(min(l_extendedprice), 4) AS pmin,
+        |  round(max(l_extendedprice), 4) AS pmax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_date_trunc" ->
+      """SELECT epoch_us(date_trunc('week', make_timestamp(epoch_us(ts)))) AS wk,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY wk ORDER BY wk""".stripMargin
   )
 
   private val pivotCasesSql: String = topics.map(t =>

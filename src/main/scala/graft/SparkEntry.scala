@@ -175,6 +175,17 @@ object SparkEntry {
         leftTime = "ts", rightTime = "t", valueCols = Seq("pval"))
         .orderBy(col("user_id"), col("ts"))
     }),
+    "q_asof_native" -> ((s, d) => {
+      val e = eventsUs(s, d)
+      val grid = Signals.timeGrid(e.select(col("user_id"), col("ts_us").as("ts")),
+        Seq("user_id"), "ts", HourUs)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("t"))
+        .agg(max(col("value")).as("pval"))
+      AsOfJoin.asOfNative(grid, purchases, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "t", valueCols = Seq("pval"))
+        .orderBy(col("user_id"), col("ts"))
+    }),
     "q_scene_boundary" -> ((s, d) =>
       sceneBoundaries(s, d).orderBy(col("user_id"), col("ts"))),
     "q_scene_metadata" -> ((s, d) =>
@@ -471,6 +482,15 @@ object SparkEntry {
         topics.map(t => s""""$t"""").mkString(", ") +
         """ FROM filled WHERE src = 1 ORDER BY user_id, ts""").stripMargin,
     "q_asof_join" ->
+      (s"""WITH grid AS ($gridSql),
+          |purch AS (SELECT user_id, t, max(value) AS pval
+          |  FROM (SELECT user_id, epoch_us(ts) AS t, value FROM events
+          |        WHERE event_type = 'purchase') p GROUP BY user_id, t)
+          |SELECT g.user_id, g.ts, p.pval
+          |FROM grid g ASOF LEFT JOIN purch p
+          |  ON g.user_id = p.user_id AND g.ts >= p.t
+          |ORDER BY g.user_id, g.ts""").stripMargin,
+    "q_asof_native" ->
       (s"""WITH grid AS ($gridSql),
           |purch AS (SELECT user_id, t, max(value) AS pval
           |  FROM (SELECT user_id, epoch_us(ts) AS t, value FROM events

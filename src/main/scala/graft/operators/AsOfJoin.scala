@@ -28,6 +28,29 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Whole-operator formulation: plans [[graft.plans.AsOfJoinNode]],
+    * executed by [[graft.plans.AsOfJoinExec]] as a single merge pass with
+    * O(1) state per partition (vs. the window's per-frame buffering).
+    * Same semantics and shuffle count as [[asOf]].
+    */
+  def asOfNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
+    graft.plans.GraftExtensions.register(left.sparkSession)
+    // capture attributes one alias-projection above the source plans:
+    // if both sides share a scan, DeduplicateRelations re-ids the
+    // duplicated subtree, but these alias exprIds stay stable
+    def fresh(df: DataFrame): DataFrame = df.select(df.columns.map(c => col(c).as(c)): _*)
+    val lp = fresh(left).queryExecution.analyzed
+    val rp = fresh(right).queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+    val node = graft.plans.AsOfJoinNode(lp, rp,
+      keys.map(attr(lp, _)), keys.map(attr(rp, _)),
+      attr(lp, leftTime), attr(rp, rightTime), valueCols.map(attr(rp, _)))
+    org.apache.spark.sql.graftbridge.GraftShim.ofRows(left.sparkSession, node)
+  }
+
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
     val t = "__asof_t"

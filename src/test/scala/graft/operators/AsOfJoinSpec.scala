@@ -16,6 +16,33 @@ class AsOfJoinSpec extends SparkSpec {
       Seq(Some("a"), Some("b"), Some("c"), None))
   }
 
+  test("asOfNative (custom plan + strategy + merge exec) matches asOf") {
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 35L), (2L, 10L), (2L, 60L), (3L, 5L))
+      .toDF("k", "t")
+    val right = Seq((1L, 5L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), (2L, 50L, "z"))
+      .toDF("k", "rt", "v")
+    val native = AsOfJoin.asOfNative(left, right, Seq("k"), "t", "rt", Seq("v"))
+    // physical plan is the custom exec (renders as "AsOfJoin"), not a
+    // window or standard join
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin ["))
+    val got = native.orderBy("k", "t").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("t"), Option(r.getAs[String]("v"))))
+    val viaWindow = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("t"), Option(r.getAs[String]("v"))))
+    assert(got.toSeq == viaWindow.toSeq)
+    assert(got.toSeq == Seq(
+      (1L, 10L, Some("a")), (1L, 20L, Some("b")), (1L, 35L, Some("c")),
+      (2L, 10L, None), (2L, 60L, Some("z")), (3L, 5L, None)))
+  }
+
+  test("asOfNative handles keys only on one side and empty right partitions") {
+    val left = Seq((7L, 100L)).toDF("k", "t")
+    val right = Seq((8L, 1L, 1.5)).toDF("k", "rt", "v")
+    val out = AsOfJoin.asOfNative(left, right, Seq("k"), "t", "rt", Seq("v")).collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("v")))
+  }
+
   test("asOf preserves left columns and row count") {
     val left = Seq((1L, 10L, "keep")).toDF("k", "t", "extra")
     val right = Seq((1L, 1L, 9.9)).toDF("k", "rt", "v")

@@ -297,6 +297,16 @@ object SparkEntry {
         TextFunctions.fingerprint(col("text")).as("fp"),
         TextFunctions.hash60(TextFunctions.normalize(col("text"))).as("fp60"))
         .orderBy(col("doc_id"))),
+    "q_split" -> ((s, d) =>
+      Sampling.split(Tables.documents(s, d), "doc_id", "graft", trainPct = 80, valPct = 10)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"), col("lang"))),
+    "q_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(eventsUs(s, d), "event_id", "graft", pct = 10)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("event_type"))),
     "q_mm_decode" -> ((s, d) =>
       Multimodal.decode(
         Multimodal.ingest(Tables.documents(s, d), "doc_id", "text", "text/plain"))
@@ -718,6 +728,19 @@ object SparkEntry {
       s"""SELECT doc_id, md5(norm) AS fp,
          |  ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp60
          |FROM ($docNormSql) nrm ORDER BY doc_id""".stripMargin,
+    "q_split" ->
+      """SELECT split, lang, count(*) AS n_docs FROM (
+        |  SELECT lang,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT lang,
+        |          ('0x' || substr(md5('graft|' || doc_id), 1, 15))::BIGINT % 100 AS b
+        |        FROM documents) h) s
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT event_type, count(*) AS n_sampled
+        |FROM events
+        |WHERE ('0x' || substr(md5('graft|' || event_id), 1, 15))::BIGINT % 100 < 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_mm_decode" ->
       """SELECT doc_id AS media_id, octet_length(text::BLOB) AS n_bytes,
         |  octet_length(text::BLOB) % 640 AS width,

@@ -297,6 +297,17 @@ object SparkEntry {
         TextFunctions.fingerprint(col("text")).as("fp"),
         TextFunctions.hash60(TextFunctions.normalize(col("text"))).as("fp60"))
         .orderBy(col("doc_id"))),
+    "q_text_entropy" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          // H = ln(n) − Σ c·ln(c) / n  (single pass, no per-token ratio)
+          round(log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")), 4)
+            .as("token_entropy"))
+        .orderBy(col("doc_id"))
+    }),
     "q_split" -> ((s, d) =>
       Sampling.split(Tables.documents(s, d), "doc_id", "graft", trainPct = 80, valPct = 10)
         .groupBy(col("split"), col("lang"))
@@ -728,6 +739,14 @@ object SparkEntry {
       s"""SELECT doc_id, md5(norm) AS fp,
          |  ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp60
          |FROM ($docNormSql) nrm ORDER BY doc_id""".stripMargin,
+    "q_text_entropy" ->
+      s"""SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS token_entropy
+         |FROM (
+         |  SELECT doc_id, tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM ($docTokensSql) tks) t
+         |  GROUP BY doc_id, tok) counts
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_split" ->
       """SELECT split, lang, count(*) AS n_docs FROM (
         |  SELECT lang,

@@ -63,6 +63,7 @@ object AsOfJoin {
       .withColumn(src, lit(0))
     val unioned = rightTagged.unionByName(leftTagged, allowMissingColumns = true)
     val filled = Signals.forwardFill(unioned, keys, Seq(t, src), valueCols)
-    filled.filter(col(src) === 1).drop(t, src)
+    filled.filter(col(src) === 1)
+      .select((left.columns ++ valueCols).map(col).toSeq: _*)
   }
 }

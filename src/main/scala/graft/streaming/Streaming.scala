@@ -99,6 +99,14 @@ object Streaming {
       }
   }
 
+  /** Stream-static enrichment: join a stream against a dimension table.
+    * The static side broadcasts per micro-batch — no stream state, no
+    * shuffle of the stream (the reference enriches signals with per-bag
+    * DynamoDB metadata; here the metadata is a DataFrame).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Streaming exact dedup on content fingerprint, state bounded by the
     * watermark (`dropDuplicatesWithinWatermark`): the streaming twin of
     * `Dedup.exact`.

@@ -43,6 +43,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("v")))
   }
 
+  test("asOfNative ≡ asOf on real data (property check at sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+    val grid = Signals.timeGrid(e.select(col("user_id"), col("ts_us").as("t")),
+      Seq("user_id"), "t", 3600000000L)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us").as("rt"))
+      .agg(max(col("value")).as("pval"))
+    val a = AsOfJoin.asOf(grid, purchases, Seq("user_id"), "t", "rt", Seq("pval"))
+      .orderBy("user_id", "t").collect()
+    val b = AsOfJoin.asOfNative(grid, purchases, Seq("user_id"), "t", "rt", Seq("pval"))
+      .orderBy("user_id", "t").collect()
+    assert(a.length == b.length && a.length > 1000)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("asOf preserves left columns and row count") {
     val left = Seq((1L, 10L, "keep")).toDF("k", "t", "extra")
     val right = Seq((1L, 1L, 9.9)).toDF("k", "rt", "v")

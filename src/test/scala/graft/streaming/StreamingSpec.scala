@@ -70,6 +70,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrich joins the stream against a broadcast dimension per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = Streaming.enrich(mem.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      mem.addData(EventRow(1L, 10L, "click", 1.0), EventRow(3L, 20L, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").select("user_id", "tier")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops same-fingerprint rows within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String)]

@@ -265,6 +265,9 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10, bucketBits = 4)),
+    "q_quantize" -> ((s, d) =>
+      Similarity.quantizeStats(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy(col("vec_id"))),
     "q_text_langid" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
@@ -715,6 +718,17 @@ object SparkEntry {
          |SELECT vec_id, round(${cosSql("v", "qv")}, 6) AS cos
          |FROM e, q WHERE vec_id != 0 AND bucket = qb
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_quantize" ->
+      """SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(list_transform(v, x -> CAST(floor(x * scale) AS BIGINT))) AS BIGINT) AS q_sum,
+        |  list_min(list_transform(v, x -> CAST(floor(x * scale) AS BIGINT))) AS q_min,
+        |  list_max(list_transform(v, x -> CAST(floor(x * scale) AS BIGINT))) AS q_max
+        |FROM (
+        |  SELECT vec_id, v,
+        |    127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |        FROM embeddings) d) s
+        |ORDER BY vec_id""".stripMargin,
     "q_text_langid" ->
       s"""SELECT doc_id, $langCaseSql AS lang_pred
          |FROM ($langScoresSql) sc ORDER BY doc_id""".stripMargin,

@@ -73,6 +73,25 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8-style vector quantization stats: per-vector scale
+    * (127 / max|x|) and quantized-value summary. The quantized value is
+    * floor(x · scale) — floor, not round, for engine-portable semantics.
+    * At 100 TB quantization is the storage lever: 4× smaller embedding
+    * columns with bounded recall loss.
+    */
+  def quantizeStats(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val x = col(vecCol)
+    val absMax = array_max(transform(x, v => abs(v.cast("double"))))
+    val scale = lit(127.0) / absMax
+    val q = transform(x, v => floor(v.cast("double") * scale).cast("long"))
+    embeddings.select(
+      col(idCol),
+      round(scale, 6).as("scale"),
+      aggregate(q, lit(0L), (acc, v) => acc + v).as("q_sum"),
+      array_min(q).as("q_min"),
+      array_max(q).as("q_max"))
+  }
+
   /** Embedding near-duplicate pairs: sign-LSH bucket join + cosine
     * threshold. Never the cross product — candidates are per-bucket.
     */

@@ -37,6 +37,19 @@ object TopicStore {
                      groupCol: String = "bag_file"): DataFrame =
     read(spark, baseDir).filter(col(topicCol) === topic && col(groupCol) === group)
 
+  /** Write a table bucketed on join keys: co-partitions and co-sorts the
+    * data on disk so future joins/aggregations on those keys need NO
+    * shuffle — the storage-side answer to repeated fact-fact joins at
+    * 100 TB (pay the shuffle once at write time).
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Parse a semi-structured JSON payload column into typed columns with
     * an explicit schema (the reference's YAML "clean column" parse —
     * service/app/main.py:100-113 — done declaratively; no inference scan).

@@ -45,6 +45,19 @@ class TopicStoreSpec extends SparkSpec {
     assert(TopicStore.readTopic(spark, base, "gps").count() == 3)
   }
 
+  test("bucketed tables join without a shuffle") {
+    val l = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val r = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    TopicStore.writeBucketed(l, "ts_bucketed_l", Seq("k"), buckets = 4)
+    TopicStore.writeBucketed(r, "ts_bucketed_r", Seq("k"), buckets = 4)
+    val joined = spark.table("ts_bucketed_l")
+      .join(spark.table("ts_bucketed_r").hint("merge"), Seq("k"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(joined.count() == 2)
+  }
+
   test("parseJsonPayload extracts typed fields with explicit schema") {
     val schema = StructType(Seq(StructField("k", IntegerType)))
     val df = Seq((1L, """{"k": 42}""")).toDF("id", "props")

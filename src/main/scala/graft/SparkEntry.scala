@@ -265,6 +265,22 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10, bucketBits = 4)),
+    "q_pack" -> ((s, d) =>
+      Packing.pack(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens")),
+        idCol = "doc_id", tokenCountCol = "n_tokens",
+        windowTokens = 512L, shardCols = Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("prefix_tokens"), col("bin_id"), col("bin_offset"))
+        .orderBy(col("source"), col("doc_id"))),
+    "q_text_scrub" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "[0-9]+", "<num>"),
+          "\\b[a-z]{1,2}\\b", "<s>").as("scrubbed"))
+        .orderBy(col("doc_id"))),
     "q_quantize" -> ((s, d) =>
       Similarity.quantizeStats(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"))),
@@ -718,6 +734,24 @@ object SparkEntry {
          |SELECT vec_id, round(${cosSql("v", "qv")}, 6) AS cos
          |FROM e, q WHERE vec_id != 0 AND bucket = qb
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_pack" ->
+      """SELECT doc_id, source, n_tokens, prefix_tokens,
+        |  prefix_tokens // 512 AS bin_id, prefix_tokens % 512 AS bin_offset
+        |FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+        |      AS prefix_tokens
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tokens
+        |    FROM documents) t) p
+        |ORDER BY source, doc_id""".stripMargin,
+    "q_text_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+        |                 '\b[a-z]{1,2}\b', '<s>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_quantize" ->
       """SELECT vec_id, round(scale, 6) AS scale,
         |  CAST(list_sum(list_transform(v, x -> CAST(floor(x * scale) AS BIGINT))) AS BIGINT) AS q_sum,

@@ -46,6 +46,19 @@ class TopicStoreSpec extends SparkSpec {
   }
 
   test("bucketed tables join without a shuffle") {
+    // clear catalog entries AND on-disk leftovers from previous JVMs (the
+    // in-memory catalog does not know about a stale warehouse dir)
+    Seq("ts_bucketed_l", "ts_bucketed_r").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     val l = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
     val r = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
     TopicStore.writeBucketed(l, "ts_bucketed_l", Seq("k"), buckets = 4)

@@ -81,8 +81,12 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
       .filter(col("__bsize") <= maxBucketSize)
       .drop("__bsize")
-    val a = banded.select(col(idCol).as("doc_a"), col("band"), col("sig"))
-    val b = banded.select(col(idCol).as("doc_b"), col("band"), col("sig"))
+    // repartition BEFORE aliasing: both self-join branches then hang off
+    // an identical Exchange subtree → ReusedExchange computes the banded
+    // signatures once, and the join needs no further shuffle
+    val common = banded.repartition(col("band"), col("sig"))
+    val a = common.select(col(idCol).as("doc_a"), col("band"), col("sig"))
+    val b = common.select(col(idCol).as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -111,8 +115,11 @@ object Dedup {
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bucketBits: Int = 16, maxHamming: Int = 8): DataFrame = {
+    // repartition before aliasing → one shared Exchange computes the
+    // signatures; both join branches reuse it (see minHashPairs)
     val sh = simHash(docs, idCol, textCol)
       .withColumn("bucket", shiftright(col("simhash"), 60 - bucketBits))
+      .repartition(col("bucket"))
     val a = sh.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"), col("bucket"))
     val b = sh.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"), col("bucket"))
     a.join(b, Seq("bucket"))
@@ -152,8 +159,10 @@ object Dedup {
       .join(prefix.select(col(idCol).as("doc_b"), col("sh")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // exact verification on candidates only
-    val sets = sh.groupBy(col(idCol)).agg(collect_set(col("sh")).as("shs"))
+    // exact verification on candidates only; sets derive from `ranked`
+    // (already hash-partitioned by doc) so the window's Exchange is
+    // reused instead of recomputing the shingle pipeline
+    val sets = ranked.groupBy(col(idCol)).agg(collect_set(col("sh")).as("shs"))
     cand
       .join(sets.select(col(idCol).as("doc_a"), col("shs").as("shs_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("shs").as("shs_b")), "doc_b")

@@ -68,6 +68,51 @@ object Streaming {
       }
   }
 
+  /** Sessionization with EVENT-TIME TIMEOUT: like [[sessionize]], but a
+    * session also closes when the watermark passes gap beyond its last
+    * event — so the final session of an idle key is emitted without
+    * waiting for a successor event. State per key remains O(1).
+    */
+  def sessionizeWithTimeout(events: Dataset[EventRow], gapUs: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "10 seconds")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.start, s.last, s.n, s.sumValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_us)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.last > gapUs =>
+                  closed += SessionOut(userId, s.start, s.last, s.n, s.sumValue)
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, e.ts_us, s.n + 1, s.sumValue + e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the event-time watermark passes last + gap
+              state.setTimeoutTimestamp((s.last + gapUs) / 1000 + 1)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming scene detection: the zero-crossing state machine of
     * `Scenes.boundaries` kept as per-key state — emits start/end boundary
     * rows as activity crosses zero (reference: detect_scenes.py:192, as a

@@ -50,6 +50,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeWithTimeout closes idle sessions when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000000L
+    val mem = MemoryStream[EventRow]
+    val q = Streaming.sessionizeWithTimeout(mem.toDS(), gapUs = 1000000L) // 1s gap
+      .writeStream.format("memory").queryName("sess_to").outputMode("append").start()
+    try {
+      mem.addData(EventRow(1L, base, "a", 1.0), EventRow(1L, base + 100L, "a", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_to").count() == 0) // still open
+      // an event far in the future (other key) advances the watermark
+      mem.addData(EventRow(2L, base + 60000000L, "b", 9.0))
+      q.processAllAvailable()
+      // next batch triggers timeout processing for key 1
+      mem.addData(EventRow(2L, base + 61000000L, "b", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_to").as[SessionOut].collect()
+      assert(closed.exists(s =>
+        s.user_id == 1L && s.session_start == base && s.n_events == 2L && s.sum_value == 3.0),
+        closed.mkString(","))
+    } finally q.stop()
+  }
+
   test("sceneDetect emits zero-crossing boundaries across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventRow]

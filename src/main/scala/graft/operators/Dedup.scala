@@ -43,16 +43,21 @@ object Dedup {
     docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("sh"))
 
-  /** MinHash signatures: k lexicographic-min seeded md5 values per doc.
-    * One explode + one hash aggregate; signature width is fixed, so the
-    * shuffled bytes per doc are O(k · 32), independent of doc length.
+  /** MinHash signatures: k lexicographic-min seeded md5 values per doc,
+    * computed MAP-SIDE by [[graft.plans.MinHashSlots]] in one pass over
+    * the shingle array — zero shuffle (the aggregate formulation explodes
+    * every shingle and shuffles (doc, shingle) rows; the md5 work is
+    * identical, only the exchange disappears).
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleN: Int): DataFrame = {
-    val exploded = explodedShingles(docs, idCol, textCol, shingleN)
-    val aggs = (0 until numHashes).map(j =>
-      min(md5(concat(lit(s"$j|"), col("sh")))).as(s"mh$j"))
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), shinglesFromTokens(col("__toks"), shingleN).as("__sh"))
+      .select(col(idCol),
+        call_function("minhash_slots", col("__sh"), lit(numHashes)).as("__slots"))
+      .select(col(idCol) +: (0 until numHashes).map(j =>
+        element_at(col("__slots"), j + 1).as(s"mh$j")): _*)
   }
 
   /** MinHash LSH candidate pairs: docs agreeing on at least one band.

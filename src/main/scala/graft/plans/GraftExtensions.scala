@@ -29,7 +29,16 @@ object GraftExtensions {
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
     (new FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
-      (children: Seq[Expression]) => SimHashBits(children(0))))
+      (children: Seq[Expression]) => SimHashBits(children(0))),
+    (new FunctionIdentifier("minhash_slots"),
+      new ExpressionInfo(classOf[MinHashSlots].getName, "minhash_slots"),
+      (children: Seq[Expression]) => MinHashSlots(children(0),
+        children(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_slots k must be a literal int, got $other")
+        })))
 
   /** Imperative registration for sessions built without extensions (e.g. a
     * harness-provided session) — operators that use the native functions

@@ -158,8 +158,13 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .withColumn("n_sh", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+    // repartition before aliasing: one shared Exchange feeds both
+    // self-join branches (otherwise each branch recomputes the whole
+    // shingle→df→window pipeline)
     val prefix = ranked.filter(
       col("rn") <= col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1)
+      .select(col(idCol), col("sh"))
+      .repartition(col("sh"))
     val cand = prefix.select(col(idCol).as("doc_a"), col("sh"))
       .join(prefix.select(col(idCol).as("doc_b"), col("sh")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))

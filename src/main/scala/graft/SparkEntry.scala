@@ -146,6 +146,17 @@ object SparkEntry {
       Signals.topicPivot(eventsUs(s, d), keyCols = Seq("user_id"),
         topicCol = "event_type", topics = topics, agg = round(sum(col("value")), 4))
         .orderBy(col("user_id"))),
+    "q_payload_pivot" -> ((s, d) => {
+      // faithful to the reference: pivot the JSON payload string itself
+      // (synchronize_topics.py:173 pivots first(payload); min() here for a
+      // deterministic representative)
+      val sig = Signals.payloadPack(
+        eventsUs(s, d).select(col("user_id"), col("event_type"), col("event_id"), col("value")),
+        keyCols = Seq("user_id", "event_type"))
+      Signals.topicPivot(sig, keyCols = Seq("user_id"),
+        topicCol = "event_type", topics = topics, agg = min(col("payload")))
+        .orderBy(col("user_id"))
+    }),
     "q_time_grid" -> ((s, d) =>
       Signals.timeGrid(
         eventsUs(s, d).select(col("user_id"), col("ts_us").as("ts")),
@@ -493,6 +504,14 @@ object SparkEntry {
       ("""SELECT user_id, """ + topics.map(t =>
         s"""round(sum(CASE WHEN event_type = '$t' THEN value END), 4) AS "$t"""").mkString(", ") +
         """ FROM events GROUP BY user_id ORDER BY user_id"""),
+    "q_payload_pivot" ->
+      ("""SELECT user_id, """ + topics.map(t =>
+        s"""min(CASE WHEN event_type = '$t' THEN payload END) AS "$t"""").mkString(", ") +
+        """ FROM (
+          |  SELECT user_id, event_type,
+          |    to_json(struct_pack(event_id := event_id, value := value))::VARCHAR AS payload
+          |  FROM events) p
+          |GROUP BY user_id ORDER BY user_id""").stripMargin,
     "q_time_grid" ->
       (gridSql + "\nORDER BY user_id, ts"),
     "q_forward_fill" ->

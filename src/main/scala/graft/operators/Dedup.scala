@@ -151,35 +151,34 @@ object Dedup {
                         shingleN: Int = 3, minJaccard: Double = 0.3): DataFrame = {
     val sh = explodedShingles(docs, idCol, textCol, shingleN)
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    // canonical order: (df asc, shingle asc) — a global total order
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("df"), col("sh"))
-    val ranked = sh.join(df, "sh")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_sh", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
-    // repartition before aliasing: one shared Exchange feeds both
-    // self-join branches (otherwise each branch recomputes the whole
-    // shingle→df→window pipeline)
-    val prefix = ranked.filter(
-      col("rn") <= col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1)
-      .select(col(idCol), col("sh"))
-      .repartition(col("sh"))
+    // canonical order: (df asc, shingle asc) — a global total order.
+    // One groupBy materializes each doc's df-sorted shingle list: the
+    // prefix is a slice, the verification set comes for free (no
+    // analytic windows, no second pass over the shingle pipeline).
+    val byDoc = sh.join(df, "sh")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("sorted"))
+      .withColumn("n_sh", size(col("sorted")))
+      .withColumn("prefix_len",
+        (col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1).cast("int"))
+      .select(col(idCol),
+        expr("transform(slice(sorted, 1, prefix_len), x -> x.sh)").as("pref"),
+        expr("transform(sorted, x -> x.sh)").as("shs"),
+        col("n_sh"))
+    val prefix = byDoc.select(col(idCol), explode(col("pref")).as("sh"))
+      .repartition(col("sh")) // shared Exchange for both self-join branches
     val cand = prefix.select(col(idCol).as("doc_a"), col("sh"))
       .join(prefix.select(col(idCol).as("doc_b"), col("sh")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // exact verification on candidates only; sets derive from `ranked`
-    // (already hash-partitioned by doc) so the window's Exchange is
-    // reused instead of recomputing the shingle pipeline
-    val sets = ranked.groupBy(col(idCol)).agg(collect_set(col("sh")).as("shs"))
+    val sets = byDoc.select(col(idCol), col("shs"), col("n_sh"))
     cand
-      .join(sets.select(col(idCol).as("doc_a"), col("shs").as("shs_a")), "doc_a")
-      .join(sets.select(col(idCol).as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .join(sets.select(col(idCol).as("doc_a"), col("shs").as("shs_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("shs").as("shs_b"), col("n_sh").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("n_inter"),
-        size(col("shs_a")).cast("long").as("n_a"),
-        size(col("shs_b")).cast("long").as("n_b"))
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"))
       .withColumn("jaccard",
         round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= minJaccard)

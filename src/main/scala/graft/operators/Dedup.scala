@@ -74,7 +74,11 @@ object Dedup {
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 8, shingleN: Int = 3, rowsPerBand: Int = 2,
                    maxBucketSize: Int = 64): DataFrame = {
+    // materialized once (ndocs × k longs): the signature table feeds the
+    // band explode and is the anti-inlining barrier for the md5 tree —
+    // see ngramJaccardPairs
     val sigs = minHashSignatures(docs, idCol, textCol, numHashes, shingleN)
+      .localCheckpoint()
     val numBands = numHashes / rowsPerBand
     val banded = sigs.select(col(idCol),
       explode(array((0 until numBands).map { b =>
@@ -120,10 +124,12 @@ object Dedup {
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bucketBits: Int = 16, maxHamming: Int = 8): DataFrame = {
-    // repartition before aliasing → one shared Exchange computes the
-    // signatures; both join branches reuse it (see minHashPairs)
+    // materialize the (id, simhash, bucket) table once: both join branches
+    // read it, and the barrier keeps the md5 tree out of the join stage
+    // (see ngramJaccardPairs)
     val sh = simHash(docs, idCol, textCol)
       .withColumn("bucket", shiftright(col("simhash"), 60 - bucketBits))
+      .localCheckpoint()
       .repartition(col("bucket"))
     val a = sh.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"), col("bucket"))
     val b = sh.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"), col("bucket"))
@@ -161,9 +167,7 @@ object Dedup {
     *
     * Spark-first shape, tuned stage by stage:
     *  - signatures ([[hashSignatures]]) are one map-side projection: sorted
-    *    60-bit hash arrays. No corpus df pass, no explode+groupBy — the
-    *    signature subtree is cheap enough to recompute on each use, so the
-    *    plan needs no cache/checkpoint.
+    *    60-bit hash arrays. No corpus df pass, no explode+groupBy.
     *  - the self-join shuffles (hash, pos, n) ints, keyed on the prefix
     *    hash; both branches hang off one shared Exchange (ReusedExchange).
     *  - candidates are pruned by the length filter (t·max(n_a,n_b) ≤

@@ -100,7 +100,8 @@ object Similarity {
     graft.plans.GraftExtensions.register(embeddings.sparkSession)
     val bucketed = embeddings
       .select(col(idCol), col(vecCol), signBucket(col(vecCol), bucketBits).as("__bucket"))
-      .repartition(col("__bucket")) // shared Exchange for both join branches
+      .localCheckpoint() // one signature materialization for both branches
+      .repartition(col("__bucket"))
     val a = bucketed.select(col(idCol).as("vec_a"), col(vecCol).as("__va"), col("__bucket"))
     val b = bucketed.select(col(idCol).as("vec_b"), col(vecCol).as("__vb"), col("__bucket"))
     a.join(b, Seq("__bucket"))

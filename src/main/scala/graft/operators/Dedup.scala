@@ -102,6 +102,74 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Benchmark decontamination: flag training docs sharing any word
+    * n-gram with a benchmark/eval corpus (the standard guard against
+    * test-set leakage into training data). Returns one row per
+    * contaminated training doc with its shingle count, the number of
+    * shingles also present in the benchmark, and the contamination ratio.
+    *
+    * Shape: both sides explode to (doc, shingle-hash) rows; the benchmark
+    * side collapses to DISTINCT hashes (small — the eval set is orders of
+    * magnitude smaller than training data) and the join is a hash join on
+    * the 60-bit shingle hash. At 100 TB the benchmark hash set broadcasts
+    * and contamination checking is a map-side lookup over the training
+    * scan — no shuffle of training data at all.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int = 5): DataFrame = {
+    val trainSh = explodedShingles(train, idCol, textCol, shingleN)
+      .select(col(idCol), hash60(col("sh")).as("h"))
+    val benchSh = explodedShingles(benchmark, idCol, textCol, shingleN)
+      .select(hash60(col("sh")).as("h")).distinct()
+    trainSh
+      .join(broadcast(benchSh.withColumn("__hit", lit(1L))), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
+      .withColumn("contamination", round(col("n_contaminated") / col("n_sh"), 6))
+  }
+
+  /** Near-duplicate CLUSTERS from a candidate-pair table: connected
+    * components labeled by the minimum reachable doc id — the step that
+    * turns pairwise near-dup hits into "keep one per group". Iterative
+    * min-label propagation (the hash-to-min idea of Rastogi et al.,
+    * ICDE'13): each round every node takes the min label among itself and
+    * its neighbors; converges in O(component diameter) rounds.
+    *
+    * Each round is one join + one aggregation keyed on the node id, with
+    * the label frontier localCheckpoint'ed so lineage stays flat — the
+    * standard Spark iterative-graph shape (what GraphX does under the
+    * hood), fully deterministic, safe at 100 TB where near-dup components
+    * are many and shallow. Driver sees only the per-round converged count.
+    */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
+                  maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("doc")).distinct()
+      .withColumn("lab", col("doc"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc").as("v"), col("lab").as("vlab")), "v")
+        .groupBy(col("u")).agg(min(col("vlab")).as("nmin"))
+      val next = labels
+        .join(neighborMin.select(col("u").as("doc"), col("nmin")), Seq("doc"), "left")
+        .select(col("doc"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+        .localCheckpoint()
+      converged = next.join(labels.select(col("doc"), col("lab").as("old")), "doc")
+        .filter(col("lab") < col("old")).isEmpty
+      labels = next
+      it += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
+  }
+
   /** 60-bit SimHash per doc: sign-sum of token-hash bits.
     *
     * Computed entirely MAP-SIDE: token md5s are materialized once per row

@@ -43,6 +43,31 @@ object Similarity {
       when(element_at(vec, j + 1) > 0f, lit(1L << j)).otherwise(0L))
       .reduce((a: Column, b: Column) => a + b)
 
+  /** Deterministic random hyperplane for LSH (Charikar STOC'02 sign-random
+    * projection): component d of plane j is ±1 from the md5 parity of
+    * "hp|j|d". A pure function of (j, d) — the planes are plan literals,
+    * identical across engines, runs, and cluster sizes (no RNG state to
+    * ship). ±1 components make the projection a signed sum, and unlike
+    * [[signBucket]]'s axis planes they mix all dimensions, so buckets stay
+    * balanced when individual dimensions are biased.
+    */
+  def hyperplane(j: Int, dim: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { d =>
+      val hex = md.digest(s"hp|$j|$d".getBytes("UTF-8"))
+      md.reset()
+      // first hex nibble < 8 → +1, else −1
+      if (((hex(0) >> 4) & 0xf) < 8) 1.0f else -1.0f
+    }.toArray
+  }
+
+  /** Sign-random-projection bucket: bit j set iff vec · plane_j > 0. */
+  def hyperplaneBucket(vec: Column, bits: Int, dim: Int): Column =
+    (0 until bits).map { j =>
+      when(call_function("vec_dot", vec, typedLit(hyperplane(j, dim))) > 0d,
+        lit(1L << j)).otherwise(0L)
+    }.reduce((a: Column, b: Column) => a + b)
+
   /** Exact top-k cosine neighbors of one stored vector. The single query
     * row broadcasts; ordering is on the *rounded* score (+ id tiebreak) so
     * selection is stable across engines and fp noise.
@@ -92,14 +117,16 @@ object Similarity {
       array_max(q).as("q_max"))
   }
 
-  /** Embedding near-duplicate pairs: sign-LSH bucket join + cosine
-    * threshold. Never the cross product — candidates are per-bucket.
+  /** Embedding near-duplicate pairs: LSH bucket join + cosine threshold.
+    * Never the cross product — candidates are per-bucket. The bucket
+    * expression is pluggable: [[signBucket]] (axis planes) or
+    * [[hyperplaneBucket]] (random planes, balanced buckets).
     */
-  def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
-                  bucketBits: Int, minCosine: Double): DataFrame = {
+  def cosinePairsBucketed(embeddings: DataFrame, idCol: String, vecCol: String,
+                          bucket: Column, minCosine: Double): DataFrame = {
     graft.plans.GraftExtensions.register(embeddings.sparkSession)
     val bucketed = embeddings
-      .select(col(idCol), col(vecCol), signBucket(col(vecCol), bucketBits).as("__bucket"))
+      .select(col(idCol), col(vecCol), bucket.as("__bucket"))
       .localCheckpoint() // one signature materialization for both branches
       .repartition(col("__bucket"))
     val a = bucketed.select(col(idCol).as("vec_a"), col(vecCol).as("__va"), col("__bucket"))
@@ -109,5 +136,71 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         round(cosineNative(col("__va"), col("__vb")), 6).as("cos"))
       .filter(col("cos") >= minCosine)
+  }
+
+  /** Sign-bucket variant (kept as the default surface). */
+  def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                  bucketBits: Int, minCosine: Double): DataFrame =
+    cosinePairsBucketed(embeddings, idCol, vecCol,
+      signBucket(col(vecCol), bucketBits), minCosine)
+
+  /** IVF with TRAINED centroids + multi-probe: one deterministic Lloyd
+    * iteration (seeds = the first `numCentroids` ids, assignment by
+    * rounded cosine with min-id tiebreak, centroid = per-dimension mean
+    * rounded to 6dp), then probe the query's `probes` nearest centroids
+    * and search only those inverted lists.
+    *
+    * Everything cross-engine-deterministic: seeds are ids (no RNG),
+    * assignment/probing order by (rounded cos DESC, id ASC). The Spark
+    * shape at 100 TB: centroids are a broadcast table (k × dim doubles);
+    * assignment is a map-side argmax over the broadcast; only the
+    * centroid MEAN aggregation shuffles, keyed (cid, dim). Multi-probe
+    * trades one more inverted-list scan for recall — the standard IVF
+    * recall lever (Jégou et al., PAMI'11).
+    */
+  def ivfTrainedTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int, numCentroids: Int,
+                     probes: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(embeddings.sparkSession)
+    val e = embeddings.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .localCheckpoint() // feeds seed scan, assignment, and probe scan
+    val seeds = e.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // Lloyd assignment to seeds: argmax_{cid} round(cos, 6), tie → min cid
+    val asg0 = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"),
+        struct(round(cosine(col("v"), col("cv")), 6).as("cos"),
+          (-col("cid")).as("ncid")).as("sc"),
+        col("cid"))
+      .groupBy(col("vec_id")).agg(max_by(col("cid"), col("sc")).as("cid"))
+    // centroid = per-dimension mean over members (shuffles (cid, dim) only)
+    val centroids = asg0.join(e, "vec_id")
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
+      .groupBy(col("cid"), col("pos")).agg(avg(col("val")).as("cval"))
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("cval")))).as("cs"))
+      .select(col("cid"),
+        transform(col("cs"), s => round(s.getField("cval"), 6)).as("cv"))
+    // re-assign every vector to its trained centroid (broadcast argmax)
+    val asg = e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"),
+        struct(round(cosine(col("v"), col("cv")), 6).as("cos"),
+          (-col("cid")).as("ncid")).as("sc"),
+        col("cid"))
+      .groupBy(col("vec_id")).agg(max_by(col("cid"), col("sc")).as("cid"))
+      .join(e, "vec_id")
+    // the query probes its `probes` nearest trained centroids
+    val qprobe = e.filter(col("vec_id") === queryId)
+      .crossJoin(broadcast(centroids))
+      .select(col("v").as("qv"), col("cid"),
+        round(cosine(col("v"), col("cv")), 6).as("qcos"))
+      .orderBy(col("qcos").desc, col("cid")).limit(probes)
+      .select(col("cid"), col("qv"))
+    asg.join(broadcast(qprobe), Seq("cid"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
   }
 }

@@ -57,4 +57,26 @@ object TopicStore {
   def parseJsonPayload(df: DataFrame, jsonCol: String, schema: StructType,
                        outCol: String = "parsed"): DataFrame =
     df.withColumn(outCol, from_json(col(jsonCol), schema))
+
+  /** Delta-style upsert (MERGE latest-wins): union the current snapshot
+    * with an updates batch and keep, per key, the row with the greatest
+    * (version, tiebreak) — the declarative core of a metadata-store merge
+    * (the reference's DynamoDB put_item overwrite semantics,
+    * service/app/main.py:61, re-expressed as a snapshot transform).
+    *
+    * One shuffle, keyed on the merge keys; at 100 TB pair it with
+    * partitioned storage so only touched partitions rewrite. `orderCols`
+    * must be a deterministic total order within every key (include a
+    * unique id as final tiebreak).
+    */
+  def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String],
+             orderCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    current.unionByName(updates, allowMissingColumns = true)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 }

@@ -70,6 +70,60 @@ object SparkEntry {
        |  FROM ($boundarySql) b) m
        |WHERE scene_state = 'start'""".stripMargin
 
+  /** Shared SQL fragment: the lane-geometry simulator + in-lane objects
+    * (oracle side of [[graft.operators.LaneGeometry]] — same integer
+    * arithmetic on event_id, geometry via unnest + ordered-first argmin
+    * instead of higher-order lambdas).
+    */
+  private val inLaneObjectsSql =
+    """WITH base AS (SELECT event_id AS e FROM events WHERE event_type <> 'view'),
+      |objx AS (
+      |  SELECT e, i,
+      |    (e*7 + i*53) % 120 AS ox, (e*13 + i*29) % 100 AS oy,
+      |    4 + 2*((e + i) % 5) AS w, 6 + 2*((e + 3*i) % 6) AS h,
+      |    CASE WHEN (e + i) % 3 = 0 THEN 'person' ELSE 'car' END AS cls
+      |  FROM (SELECT e, unnest(generate_series(0, e % 3)) AS i FROM base) o),
+      |corners AS (
+      |  SELECT o.*, c.ci,
+      |    CASE WHEN c.ci % 2 = 0 THEN ox - w // 2 ELSE ox + w // 2 END AS cx,
+      |    CASE WHEN c.ci < 2 THEN oy - h // 2 ELSE oy + h // 2 END AS cy
+      |  FROM objx o CROSS JOIN (VALUES (0),(1),(2),(3)) c(ci)),
+      |pts AS (
+      |  SELECT b.e, l.l, j.j,
+      |    40*l.l + 2*j.j + b.e % 5 AS px, 20*j.j + (b.e + l.l) % 7 AS py
+      |  FROM base b
+      |  CROSS JOIN (VALUES (0),(1),(2)) l(l)
+      |  CROSS JOIN (VALUES (0),(1),(2),(3),(4)) j(j)),
+      |near AS (
+      |  SELECT c.e, c.i, c.ci, c.cx, p.l,
+      |    first(p.px ORDER BY (p.px - c.cx)*(p.px - c.cx) + (p.py - c.cy)*(p.py - c.cy), p.j) AS nx
+      |  FROM corners c JOIN pts p ON c.e = p.e
+      |  GROUP BY c.e, c.i, c.ci, c.cx, p.l),
+      |nearw AS (
+      |  SELECT e, i, ci, cx,
+      |    max(CASE WHEN l = 0 THEN nx END) AS nx0,
+      |    max(CASE WHEN l = 1 THEN nx END) AS nx1,
+      |    max(CASE WHEN l = 2 THEN nx END) AS nx2
+      |  FROM near GROUP BY e, i, ci, cx),
+      |labels AS (
+      |  SELECT e, i, ci,
+      |    CASE WHEN cx BETWEEN least(nx0, nx1) AND greatest(nx0, nx1) THEN 'between_0_and_1'
+      |         WHEN cx BETWEEN least(nx1, nx2) AND greatest(nx1, nx2) THEN 'between_1_and_2'
+      |    END AS lab
+      |  FROM nearw),
+      |perobj AS (SELECT e, i, count(lab) AS cil FROM labels GROUP BY e, i),
+      |lanestr AS (
+      |  SELECT e, i, string_agg(lab, ',' ORDER BY mci) AS lanes
+      |  FROM (SELECT e, i, lab, min(ci) AS mci FROM labels
+      |        WHERE lab IS NOT NULL GROUP BY e, i, lab) d
+      |  GROUP BY e, i),
+      |inlane AS (
+      |  SELECT o.e, o.i, o.ox, o.oy, o.w, o.h, o.cls, p.cil, ls.lanes
+      |  FROM objx o
+      |  JOIN perobj p ON o.e = p.e AND o.i = p.i
+      |  JOIN lanestr ls ON o.e = ls.e AND o.i = ls.i
+      |  WHERE p.cil > 0)""".stripMargin
+
   /** Shared SQL fragment: hourly per-user time grid (oracle side). */
   private val gridSql =
     """SELECT user_id,
@@ -204,14 +258,29 @@ object SparkEntry {
     "q_scene_filter" -> ((s, d) =>
       Scenes.filterScenes(sceneMeta(s, d), minLength = 1L, limitN = 20)),
     "q_people_count" -> ((s, d) =>
-      eventsUs(s, d)
-        .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
-        .groupBy(col("user_id"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_hot"),
-          round(avg(col("k")), 4).as("avg_k"))
-        .orderBy(col("user_id"))),
+      // the reference's people_in_scenes (detect_scenes.py:174) on the
+      // real nested shape: person count among in-lane objects per row
+      LaneGeometry.objectsInLaneFused(
+        LaneGeometry.simulatedPayloads(Tables.events(s, d)),
+        "detections_raw", "lane_points_raw")
+        .select(col("event_id"), col("num_people_in_scene"))
+        .orderBy(col("event_id"))),
+    "q_obj_in_lane" -> ((s, d) =>
+      // full nested-geometry scene detection (detect_scenes.py:31-117):
+      // doubly-encoded JSON → array<struct> parse → per-corner nearest
+      // lane point → bracketing test → objects_in_lane, flattened
+      LaneGeometry.objectsInLaneFused(
+        LaneGeometry.simulatedPayloads(Tables.events(s, d)),
+        "detections_raw", "lane_points_raw")
+        .select(col("event_id"),
+          posexplode(col("objects_in_lane")).as(Seq("obj_pos", "ob")))
+        .select(col("event_id"), col("obj_pos").cast("long").as("obj_pos"),
+          col("ob.x").as("x"), col("ob.y").as("y"),
+          col("ob.width").as("width"), col("ob.height").as("height"),
+          col("ob.cls").as("cls"),
+          col("ob.corners_in_lane").as("corners_in_lane"),
+          col("ob.lanes").as("lanes"))
+        .orderBy(col("event_id"), col("obj_pos"))),
     "q_topic_extract" -> ((s, d) =>
       Signals.topicExtract(
         eventsUs(s, d).select(col("event_id"), col("user_id"), col("ts_us").as("ts"),
@@ -568,13 +637,26 @@ object SparkEntry {
           |ORDER BY scene_length DESC, scene_id
           |LIMIT 20""").stripMargin,
     "q_people_count" ->
-      """SELECT user_id, count(*) AS n_events,
-        |  CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
-        |  round(avg(k), 4) AS avg_k
-        |FROM (SELECT user_id,
-        |        CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
-        |      FROM events) e
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+      (inLaneObjectsSql +
+        """,
+          |ppl AS (
+          |  SELECT e, CAST(sum(CASE WHEN cls = 'person' THEN 1 ELSE 0 END) AS BIGINT) AS np
+          |  FROM inlane GROUP BY e)
+          |SELECT ev.event_id,
+          |  CASE WHEN ev.event_type = 'view' THEN NULL
+          |       ELSE coalesce(p.np, 0) END AS num_people_in_scene
+          |FROM events ev LEFT JOIN ppl p ON ev.event_id = p.e
+          |ORDER BY ev.event_id""".stripMargin),
+    "q_obj_in_lane" ->
+      (inLaneObjectsSql +
+        """
+          |SELECT e AS event_id,
+          |  row_number() OVER (PARTITION BY e ORDER BY i) - 1 AS obj_pos,
+          |  CAST(ox AS DOUBLE) AS x, CAST(oy AS DOUBLE) AS y,
+          |  CAST(w AS DOUBLE) AS width, CAST(h AS DOUBLE) AS height,
+          |  cls, cil AS corners_in_lane, lanes
+          |FROM inlane
+          |ORDER BY event_id, obj_pos""".stripMargin),
     "q_topic_extract" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts,
         |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS props_clean,

@@ -33,6 +33,9 @@ object GraftExtensions {
     (new FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
       (children: Seq[Expression]) => SimHashBits(children(0))),
+    (new FunctionIdentifier("objects_in_lane_fused"),
+      new ExpressionInfo(classOf[ObjectsInLaneFused].getName, "objects_in_lane_fused"),
+      (children: Seq[Expression]) => ObjectsInLaneFused(children(0), children(1))),
     (new FunctionIdentifier("minhash_slots"),
       new ExpressionInfo(classOf[MinHashSlots].getName, "minhash_slots"),
       (children: Seq[Expression]) => MinHashSlots(children(0),

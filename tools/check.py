@@ -1,76 +1,68 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's correctness gate.
+"""Dev oracle compare: for each dumped query in OUTDIR, run its oracle SQL
+in DuckDB over the sf parquet tables and diff (row count, sorted-column
+value hash) — a local replica of the driver's correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
-
-Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
-matching oracle SQL from oracle_sql.json in DuckDB against the raw tables in
-<sfDir>, and compares: schema (column names), row count, and a hash of all
-values with columns sorted by name and rows sorted by all columns.
+Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
 """
-import json
-import sys
-
+import sys, json, glob, os
 import duckdb
-import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    # normalize timestamps to ns, floats to 9dp strings for stable hashing
-    for c in df.columns:
-        if str(df[c].dtype).startswith("datetime"):
-            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
-            df[c] = df[c].astype("int64")
-        elif df[c].dtype == "float64" or df[c].dtype == "float32":
-            df[c] = df[c].astype("float64").round(6)
-        elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
-
+def norm(df):
+    cols = sorted(df.columns)
+    return df[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     n_pass = n_fail = 0
-    for name, sql in sorted(oracle.items()):
+    for name in sorted(oracle):
         if only and name not in only:
             continue
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"{name:24s} NO SPARK OUTPUT"); n_fail += 1; continue
         try:
-            spark_df = pd.read_parquet(f"{out_dir}/{name}")
-            duck_df = con.sql(sql).df()
-            a, b = canon(spark_df), canon(duck_df)
-            if list(a.columns) != list(b.columns):
-                print(f"FAIL {name}: columns {list(a.columns)} != {list(b.columns)}")
-                n_fail += 1
-            elif len(a) != len(b):
-                print(f"FAIL {name}: rows {len(a)} != {len(b)}")
-                n_fail += 1
-            elif not a.equals(b):
-                neq = (a != b) & ~(a.isna() & b.isna())
-                bad = neq.any(axis=1)
-                print(f"FAIL {name}: values differ in {int(bad.sum())}/{len(a)} rows")
-                print("  spark:", a[bad].head(3).to_dict("records"))
-                print("  duck :", b[bad].head(3).to_dict("records"))
-                n_fail += 1
-            else:
-                print(f"PASS {name} ({len(a)} rows)")
-                n_pass += 1
-        except Exception as e:
-            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            spark_df = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").df()
+            ora_df = con.execute(oracle[name]).df()
+        except Exception as ex:
+            print(f"{name:24s} ORACLE ERROR: {ex}"); n_fail += 1; continue
+        s, o = norm(spark_df), norm(ora_df)
+        rows_ok = len(s) == len(o)
+        schema_ok = list(s.columns) == list(o.columns)
+        val_ok = False
+        if rows_ok and schema_ok:
+            try:
+                import pandas as pd
+                val_ok = s.astype(str).equals(o.astype(str))
+            except Exception:
+                val_ok = False
+        ok = rows_ok and schema_ok and val_ok
+        if ok:
+            n_pass += 1
+            print(f"{name:24s} PASS  rows={len(s)}")
+        else:
             n_fail += 1
+            print(f"{name:24s} FAIL  rows {len(s)} vs {len(o)} "
+                  f"schema_ok={schema_ok} cols {list(s.columns)} vs {list(o.columns)}")
+            if rows_ok and schema_ok:
+                diff = (s.astype(str) != o.astype(str)).any(axis=1)
+                idx = diff[diff].index[:5]
+                for i in idx:
+                    print(f"   spark : {s.loc[i].to_dict()}")
+                    print(f"   oracle: {o.loc[i].to_dict()}")
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
-
 
 if __name__ == "__main__":
     main()

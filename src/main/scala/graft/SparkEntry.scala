@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{GeoFunctions, TextFunctions}
 import graft.multimodal.Multimodal
 import graft.operators._
-import graft.sources.Tables
+import graft.sources.{Tables, TopicStore}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) / §7 (plan).
   *
@@ -324,6 +324,35 @@ object SparkEntry {
       Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
         numHashes = 8, shingleN = 3, rowsPerBand = 2)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "q_dup_clusters" -> ((s, d) =>
+      // near-dup pairs → connected components (min-label propagation);
+      // keep-one-per-cluster is then `groupBy(cluster_id).min(doc_id)`
+      Dedup.dupClusters(
+        Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
+          numHashes = 8, shingleN = 3, rowsPerBand = 2),
+        "doc_a", "doc_b")
+        .orderBy(col("doc_id"))),
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 37 =!= 1),
+        docs.filter(col("doc_id") % 37 === 1),
+        "doc_id", "text", shingleN = 3)
+        .orderBy(col("doc_id"))
+    }),
+    "q_upsert" -> ((s, d) => {
+      val e = eventsUs(s, d).select(col("user_id"), col("event_type"),
+        col("ts_us").as("ts"), col("event_id"), col("value"))
+      TopicStore.upsert(
+        e.filter(col("event_id") % 2 === 0),   // current snapshot
+        e.filter(col("event_id") % 2 === 1),   // updates batch
+        keys = Seq("user_id", "event_type"), orderCols = Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+    "q_ann_ivf_trained" -> ((s, d) =>
+      Similarity.ivfTrainedTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10, numCentroids = 8, probes = 2)),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simHash(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -772,25 +801,86 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** MinHash LSH candidate pairs (oracle side, shared by q_dedup_minhash
+    * and the connected-components clustering oracle). */
+  private val minhashPairsSql: String =
+    (s"""WITH sig AS ($minhashSigSql),
+        |banded0 AS (""" +
+      (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS sig FROM sig")
+        .mkString(" UNION ALL ") +
+      """),
+        |banded AS (SELECT doc_id, band, sig FROM (
+        |  SELECT doc_id, band, sig,
+        |    count(*) OVER (PARTITION BY band, sig) AS bsize FROM banded0) c
+        |  WHERE bsize <= 64)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+        |FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |GROUP BY doc_a, doc_b""").stripMargin
+
   private val curationOracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""SELECT md5(norm) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM ($docNormSql) nrm GROUP BY fp ORDER BY fp""".stripMargin,
     "q_dedup_minhash" ->
-      (s"""WITH sig AS ($minhashSigSql),
-          |banded0 AS (""" +
-        (0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS sig FROM sig")
-          .mkString(" UNION ALL ") +
-        """),
-          |banded AS (SELECT doc_id, band, sig FROM (
-          |  SELECT doc_id, band, sig,
-          |    count(*) OVER (PARTITION BY band, sig) AS bsize FROM banded0) c
-          |  WHERE bsize <= 64)
-          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
-          |FROM banded a JOIN banded b
-          |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-          |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""").stripMargin,
+      (minhashPairsSql + " ORDER BY doc_a, doc_b"),
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($minhashPairsSql) p),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, u AS v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, min(v) AS cluster_id
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH sh AS ($shinglesSql),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 37 = 1),
+         |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 37 <> 1)
+         |SELECT doc_id, count(*) AS n_sh,
+         |  CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  round(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS contamination
+         |FROM tr LEFT JOIN bench b ON tr.sh = b.sh
+         |GROUP BY doc_id
+         |HAVING sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) > 0
+         |ORDER BY doc_id""".stripMargin,
+    "q_upsert" ->
+      """SELECT user_id, event_type, ts, event_id, value FROM (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q_ann_ivf_trained" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+         |asg0 AS (
+         |  SELECT vec_id, first(cid ORDER BY cos DESC, cid) AS cid FROM (
+         |    SELECT e.vec_id, s.cid, round(${cosSql("e.v", "s.cv")}, 6) AS cos
+         |    FROM e CROSS JOIN seeds s) x
+         |  GROUP BY vec_id),
+         |dims AS (SELECT a.cid, unnest(e.v) AS val, unnest(range(1, len(e.v) + 1)) AS pos
+         |         FROM asg0 a JOIN e USING (vec_id)),
+         |cent AS (
+         |  SELECT cid, list(round(cval, 6) ORDER BY pos) AS cv FROM (
+         |    SELECT cid, pos, avg(val) AS cval FROM dims GROUP BY cid, pos) g
+         |  GROUP BY cid),
+         |asg AS (
+         |  SELECT vec_id, first(cid ORDER BY cos DESC, cid) AS cid FROM (
+         |    SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS cos
+         |    FROM e CROSS JOIN cent c) x
+         |  GROUP BY vec_id),
+         |qp AS (
+         |  SELECT c.cid, q.v AS qv
+         |  FROM (SELECT v FROM e WHERE vec_id = 0) q CROSS JOIN cent c
+         |  ORDER BY round(${cosSql("q.v", "c.cv")}, 6) DESC, c.cid LIMIT 2)
+         |SELECT e.vec_id, round(${cosSql("e.v", "qp.qv")}, 6) AS cos
+         |FROM asg JOIN e USING (vec_id) JOIN qp ON asg.cid = qp.cid
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
     "q_dedup_simhash" ->
       (simhashSql + "\nORDER BY doc_id"),
     "q_simhash_pairs" ->

@@ -115,14 +115,22 @@ object Dedup {
     * and contamination checking is a map-side lookup over the training
     * scan — no shuffle of training data at all.
     */
+  /** @param broadcastBenchmark hint the benchmark hash set broadcast-side
+    *   (the default — eval sets are orders of magnitude smaller than
+    *   training data); pass false for a large benchmark so AQE's
+    *   size-based planning picks the join, instead of forcing a
+    *   driver-OOM-sized broadcast.
+    */
   def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
-                    textCol: String, shingleN: Int = 5): DataFrame = {
+                    textCol: String, shingleN: Int = 5,
+                    broadcastBenchmark: Boolean = true): DataFrame = {
     val trainSh = explodedShingles(train, idCol, textCol, shingleN)
       .select(col(idCol), hash60(col("sh")).as("h"))
     val benchSh = explodedShingles(benchmark, idCol, textCol, shingleN)
       .select(hash60(col("sh")).as("h")).distinct()
+      .withColumn("__hit", lit(1L))
     trainSh
-      .join(broadcast(benchSh.withColumn("__hit", lit(1L))), Seq("h"), "left")
+      .join(if (broadcastBenchmark) broadcast(benchSh) else benchSh, Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_sh"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
@@ -143,8 +151,13 @@ object Dedup {
     * hood), fully deterministic, safe at 100 TB where near-dup components
     * are many and shallow. Driver sees only the per-round converged count.
     */
+  /** @param failOnNonConvergence a component with diameter > maxIters
+    *   would otherwise be silently split into several cluster_ids; fail
+    *   loudly by default (long near-dup chains do happen in web corpora).
+    */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
-                  maxIters: Int = 25): DataFrame = {
+                  maxIters: Int = 25,
+                  failOnNonConvergence: Boolean = true): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
       .distinct()
@@ -167,6 +180,10 @@ object Dedup {
       labels = next
       it += 1
     }
+    if (!converged && failOnNonConvergence)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIters iterations — a " +
+          "component has diameter > maxIters; raise maxIters")
     labels.select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
   }
 
@@ -224,8 +241,10 @@ object Dedup {
       .select(col(idCol),
         sort_array(transform(col("__sh"), s => hash60(s))).as("hs"))
       .withColumn("n_sh", size(col("hs")))
+      // ceil over binary-fp t·n can land 1 above the exact integer and
+      // shorten the prefix below the theorem's bound — back off epsilon
       .withColumn("prefix_len",
-        (col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1).cast("int"))
+        (col("n_sh") - ceil(lit(minJaccard) * col("n_sh") - lit(1e-9)) + 1).cast("int"))
 
   /** Exact n-gram Jaccard similarity via PREFIX FILTERING (Bayardo et al.
     * WWW'07) with PPJoin length + positional pruning (Xiao et al. WWW'08):
@@ -278,8 +297,10 @@ object Dedup {
       col("pos").as("pos_a"), col("h"))
     val b = prefix.select(col(idCol).as("doc_b"), col("n_sh").as("n_b"),
       col("pos").as("pos_b"), col("h"))
-    // α = minimum overlap for J ≥ t given sizes (n_a, n_b)
-    val alpha = ceil(lit(minJaccard / (1 + minJaccard)) * (col("n_a") + col("n_b")))
+    // α = minimum overlap for J ≥ t given sizes (n_a, n_b); epsilon
+    // backoff keeps ceil from over-tightening by 1 when t/(1+t)·(n_a+n_b)
+    // lands epsilon above an exact integer (pairs AT the threshold prune)
+    val alpha = ceil(lit(minJaccard / (1 + minJaccard)) * (col("n_a") + col("n_b")) - lit(1e-9))
     // overlap bound at this collision: common-before ≤ min(pos), current
     // match = 1, common-after ≤ min(remaining); pos is 0-based
     val safeBound = least(col("pos_a"), col("pos_b")) + 1 +

@@ -165,7 +165,9 @@ object Similarity {
     val e = embeddings.select(col(idCol).as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .localCheckpoint() // feeds seed scan, assignment, and probe scan
-    val seeds = e.filter(col("vec_id") < numCentroids)
+    // seeds = the actual first numCentroids ids (TakeOrdered — no dense-id
+    // assumption; an offset or sparse id space selects the same count)
+    val seeds = e.orderBy(col("vec_id")).limit(numCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     // Lloyd assignment to seeds: argmax_{cid} round(cos, 6), tie → min cid
     val asg0 = e.crossJoin(broadcast(seeds))

@@ -48,6 +48,39 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Seq(1L))
   }
 
+  test("hyperplaneBucket: deterministic, mixes dimensions, balanced on real data") {
+    graft.plans.GraftExtensions.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val bucketed = emb.select(
+      Similarity.hyperplaneBucket(col("embedding"), bits = 4, dim = dim).as("b"))
+    // deterministic across evaluations
+    val c1 = bucketed.groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c2 = bucketed.groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c1 == c2)
+    // balanced-ish: with 16 buckets over n rows, no bucket hogs > 40%
+    val n = c1.values.sum
+    assert(c1.size >= 8, s"only ${c1.size} of 16 buckets populated")
+    assert(c1.values.max < n * 0.4, s"worst bucket ${c1.values.max} of $n")
+  }
+
+  test("cosinePairsBucketed(hyperplane) == within-bucket brute force") {
+    graft.plans.GraftExtensions.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val bucket = Similarity.hyperplaneBucket(col("embedding"), bits = 4, dim = dim)
+    val got = Similarity.cosinePairsBucketed(emb, "vec_id", "embedding", bucket, minCosine = 0.3)
+      .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)].collect().toSet
+    // reference: all pairs sharing a bucket with cosine >= threshold
+    val b = emb.select(col("vec_id"), col("embedding"), bucket.as("bk"))
+    val want = b.as("x").join(b.as("y"), col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id"), col("y.vec_id"),
+        round(Similarity.cosine(col("x.embedding"), col("y.embedding")), 6).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("cosinePairs honors the bucket boundary and threshold") {
     val pairs = Similarity.cosinePairs(vecs, "vec_id", "embedding",
       bucketBits = 2, minCosine = 0.9)

@@ -157,7 +157,11 @@ object SparkEntry {
         .select(col("l_orderkey").as("orderkey"), col("l_extendedprice"), col("l_discount"))
       val right = Tables.orders(s, d)
         .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
-      SkewJoin.saltedJoin(left, right, Seq("orderkey"), saltBuckets = 8)
+      // hotThreshold 5 marks multi-item orders hot at this SF so the
+      // hot path (freq sketch → broadcast tag → selective replication)
+      // is exercised; result ≡ plain join regardless
+      SkewJoin.saltedJoin(left, right, Seq("orderkey"), saltBuckets = 8,
+        hotThreshold = 5L)
         .groupBy(col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
           count(lit(1)).as("n_items"))
@@ -755,8 +759,15 @@ object SparkEntry {
        |FROM ($docTokensSql) tks""".stripMargin
 
   private val minhashSigSql = {
-    val mins = (0 until 8).map(j => s"min(md5('$j|' || sh)) AS mh$j").mkString(", ")
-    s"SELECT doc_id, $mins FROM ($shinglesSql) shg GROUP BY doc_id"
+    // same one-md5 + k-permutation arithmetic as graft.plans.MinHashSlots
+    // (coefficients inlined from the same source of truth)
+    import graft.plans.MinHashSlots.{coeffA, coeffB, Prime}
+    val mins = (0 until 8).map(j =>
+      s"min((${coeffA(j)} * hm + ${coeffB(j)}) % $Prime) AS mh$j").mkString(", ")
+    s"""SELECT doc_id, $mins FROM (
+       |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % $Prime AS hm
+       |  FROM ($shinglesSql) shg) h
+       |GROUP BY doc_id""".stripMargin
   }
 
   private val simhashSql = {
@@ -807,7 +818,7 @@ object SparkEntry {
     (s"""WITH sig AS ($minhashSigSql),
         |banded0 AS (""" +
       (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS sig FROM sig")
+        s"SELECT doc_id, $b AS band, md5(CAST(mh${2 * b} AS VARCHAR) || '|' || CAST(mh${2 * b + 1} AS VARCHAR)) AS sig FROM sig")
         .mkString(" UNION ALL ") +
       """),
         |banded AS (SELECT doc_id, band, sig FROM (

@@ -37,11 +37,13 @@ object Analytics {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** TPC-H Q3-shaped shipping-priority query.
-    * `customer` is small relative to the facts → broadcast; the
-    * orders⋈lineitem join shuffles on the order key.
+    * No broadcast hint on `customer`: it scales with SF, so the choice
+    * belongs to AQE's size-based planning (a hint would override it and
+    * OOM at the 100 TB target); the orders⋈lineitem join shuffles on the
+    * order key.
     */
   def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
-    broadcast(customer.filter(col("c_mktsegment") === "BUILDING"))
+    customer.filter(col("c_mktsegment") === "BUILDING")
       .join(orders, col("c_custkey") === col("o_custkey"))
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       .join(lineitem.filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
@@ -51,9 +53,11 @@ object Analytics {
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
 
-  /** TPC-H Q5-shaped snowflake join: region→nation filter the
-    * customer/supplier dimensions, all of which broadcast into the
-    * orders⋈lineitem fact join.
+  /** TPC-H Q5-shaped snowflake join: region→nation are FIXED-cardinality
+    * dimensions (25/5 rows at every SF) — hinting them broadcast is
+    * always right. customer/supplier grow with SF, so their join strategy
+    * is left to AQE's size-based choice: hash-shuffle at 100 TB,
+    * broadcast at small SF — a hardcoded hint would be an OOM at scale.
     */
   def localSupplierVolume(region: DataFrame, nation: DataFrame, customer: DataFrame,
                           supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
@@ -62,8 +66,8 @@ object Analytics {
         col("n_regionkey") === col("r_regionkey")))
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier),
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))

@@ -11,10 +11,27 @@ import graft.functions.TextFunctions._
   * single hash aggregate; no operator ever forms the full cross product.
   *
   * All hashing is md5-derived (SURVEY §4) so every stage is replicable in
-  * the DuckDB oracle — MinHash signatures are lexicographic minima of
-  * seeded md5 strings, SimHash uses 60-bit md5-prefix integers.
+  * the DuckDB oracle — MinHash permutes one 60-bit md5 prefix per shingle
+  * through k Carter–Wegman hashes, SimHash uses 60-bit md5-prefix
+  * integers.
   */
 object Dedup {
+
+  /** Materialization barrier for signature tables (the anti-inlining
+    * barrier every self-join here needs — see ngramJaccardPairs).
+    * Default is `localCheckpoint`: fast, block-manager-local — right for
+    * local iteration, but non-replicated, so on a 1000-executor cluster
+    * one lost executor fails the query with no recompute path. Pass a
+    * path to persist the signature table to reliable storage instead —
+    * it is the table you would keep anyway.
+    */
+  private def materialize(df: DataFrame, path: Option[String]): DataFrame =
+    path match {
+      case Some(p) =>
+        df.write.mode("overwrite").parquet(p)
+        df.sparkSession.read.parquet(p)
+      case None => df.localCheckpoint()
+    }
 
   /** Exact dedup on normalized-content fingerprint: one row per distinct
     * content, keeping the smallest id (deterministic representative).
@@ -43,11 +60,11 @@ object Dedup {
     docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(shinglesFromTokens(col("__toks"), n)).as("sh"))
 
-  /** MinHash signatures: k lexicographic-min seeded md5 values per doc,
-    * computed MAP-SIDE by [[graft.plans.MinHashSlots]] in one pass over
+  /** MinHash signatures: k min-permutation slots per doc (one md5 per
+    * shingle + k Carter–Wegman permutations — see
+    * [[graft.plans.MinHashSlots]]), computed MAP-SIDE in one pass over
     * the shingle array — zero shuffle (the aggregate formulation explodes
-    * every shingle and shuffles (doc, shingle) rows; the md5 work is
-    * identical, only the exchange disappears).
+    * every shingle and shuffles (doc, shingle) rows).
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleN: Int): DataFrame = {
@@ -73,23 +90,28 @@ object Dedup {
     */
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 8, shingleN: Int = 3, rowsPerBand: Int = 2,
-                   maxBucketSize: Int = 64): DataFrame = {
+                   maxBucketSize: Int = 64,
+                   sigPath: Option[String] = None): DataFrame = {
     // materialized once (ndocs × k longs): the signature table feeds the
     // band explode and is the anti-inlining barrier for the md5 tree —
     // see ngramJaccardPairs
-    val sigs = minHashSignatures(docs, idCol, textCol, numHashes, shingleN)
-      .localCheckpoint()
+    val sigs = materialize(
+      minHashSignatures(docs, idCol, textCol, numHashes, shingleN), sigPath)
     val numBands = numHashes / rowsPerBand
-    val banded = sigs.select(col(idCol),
+    val banded0 = sigs.select(col(idCol),
       explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)).as("sig"))
       }: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .withColumn("__bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
-      .filter(col("__bsize") <= maxBucketSize)
-      .drop("__bsize")
+    // degenerate-bucket cap via aggregate + broadcast ANTI join: the
+    // oversized-bucket set is tiny, so this avoids the full sort a
+    // `count(*) over (partition by band, sig)` window would insert
+    val oversized = banded0.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("__bsize"))
+      .filter(col("__bsize") > maxBucketSize)
+      .select(col("band"), col("sig"))
+    val banded = banded0.join(broadcast(oversized), Seq("band", "sig"), "left_anti")
     // repartition BEFORE aliasing: both self-join branches then hang off
     // an identical Exchange subtree → ReusedExchange computes the banded
     // signatures once, and the join needs no further shuffle
@@ -208,13 +230,15 @@ object Dedup {
     * the LSH band — at scale the join shuffles only (bucket) groups.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   bucketBits: Int = 16, maxHamming: Int = 8): DataFrame = {
+                   bucketBits: Int = 16, maxHamming: Int = 8,
+                   sigPath: Option[String] = None): DataFrame = {
     // materialize the (id, simhash, bucket) table once: both join branches
     // read it, and the barrier keeps the md5 tree out of the join stage
     // (see ngramJaccardPairs)
-    val sh = simHash(docs, idCol, textCol)
-      .withColumn("bucket", shiftright(col("simhash"), 60 - bucketBits))
-      .localCheckpoint()
+    val sh = materialize(
+      simHash(docs, idCol, textCol)
+        .withColumn("bucket", shiftright(col("simhash"), 60 - bucketBits)),
+      sigPath)
       .repartition(col("bucket"))
     val a = sh.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"), col("bucket"))
     val b = sh.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"), col("bucket"))
@@ -285,10 +309,11 @@ object Dedup {
     * ndocs × (k longs).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, minJaccard: Double = 0.3): DataFrame = {
+                        shingleN: Int = 3, minJaccard: Double = 0.3,
+                        sigPath: Option[String] = None): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
-    val sigs = hashSignatures(docs, idCol, textCol, shingleN, minJaccard)
-      .localCheckpoint()
+    val sigs = materialize(
+      hashSignatures(docs, idCol, textCol, shingleN, minJaccard), sigPath)
     val prefix = sigs
       .select(col(idCol), col("n_sh"),
         posexplode(slice(col("hs"), lit(1), col("prefix_len"))).as(Seq("pos", "h")))

@@ -6,28 +6,34 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** MinHash signature slots in ONE pass over the shingle array:
-  * slot j = min over shingles of md5("j|" ++ shingle), as lowercase hex —
-  * byte-identical to `min(md5(concat(lit("j|"), sh)))`, which is what the
-  * SQL oracle computes.
+/** MinHash signature slots in ONE pass over the shingle array, ONE md5
+  * per shingle: h = (60-bit md5 prefix) mod p, then
+  * slot j = min over shingles of (a_j·h + b_j) mod p — the standard
+  * Carter–Wegman universal-hash permutation family (Broder '97 minhash).
+  *
+  * p = 2^31−1 (Mersenne) keeps every product a_j·h < 2^62 inside a signed
+  * 64-bit long, so the identical arithmetic runs in the DuckDB oracle
+  * with no 128-bit help. Earlier revisions digested k seeded md5s per
+  * shingle; deriving the k permutations from one digest is ~k× less
+  * digest work at unchanged collision behavior.
   *
   * The aggregate formulation explodes every shingle and shuffles
   * (doc, shingle) rows into a k-column hash aggregate; this expression
   * turns signature computation into a map-side projection — zero
   * shuffle — which at 100 TB removes the widest exchange in the dedup
-  * pipeline. md5 work is identical; only the movement disappears.
+  * pipeline.
   *
   * CodegenFallback is deliberate: one virtual eval per row, with the
-  * k·n md5 loop in plain JVM code (the digest dominates, not dispatch).
+  * n-md5 loop in plain JVM code (the digest dominates, not dispatch).
   */
 case class MinHashSlots(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
+  import MinHashSlots._
 
   override def prettyName: String = "minhash_slots"
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -39,45 +45,49 @@ case class MinHashSlots(child: Expression, numHashes: Int)
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
-  private val hexChars = "0123456789abcdef".toCharArray
-
-  private def md5Hex(prefix: Array[Byte], payload: Array[Byte]): String = {
-    val md = digest.get()
-    md.reset()
-    md.update(prefix)
-    md.update(payload)
-    val out = md.digest()
-    val sb = new java.lang.StringBuilder(32)
-    var i = 0
-    while (i < out.length) {
-      sb.append(hexChars((out(i) >> 4) & 0xf))
-      sb.append(hexChars(out(i) & 0xf))
-      i += 1
-    }
-    sb.toString
-  }
-
-  @transient private lazy val prefixes: Array[Array[Byte]] =
-    (0 until numHashes).map(j => s"$j|".getBytes("UTF-8")).toArray
+  @transient private lazy val as: Array[Long] = (0 until numHashes).map(coeffA).toArray
+  @transient private lazy val bs: Array[Long] = (0 until numHashes).map(coeffB).toArray
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val mins = new Array[String](numHashes)
+    val mins = Array.fill(numHashes)(Prime) // sentinel > any slot value
+    val md = digest.get()
     var i = 0
     while (i < n) {
-      val sh = arr.getUTF8String(i).getBytes
+      md.reset()
+      md.update(arr.getUTF8String(i).getBytes)
+      val out = md.digest()
+      // first 15 hex chars = 60 bits: bytes 0..6 then the high nibble of
+      // byte 7 — identical to ('0x' || substr(md5(sh),1,15))::BIGINT
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (out(k) & 0xffL); k += 1 }
+      h = (h << 4) | ((out(7) >> 4) & 0xfL)
+      val hm = h % Prime
       var j = 0
       while (j < numHashes) {
-        val h = md5Hex(prefixes(j), sh)
-        if (mins(j) == null || h.compareTo(mins(j)) < 0) mins(j) = h
+        val v = (as(j) * hm + bs(j)) % Prime
+        if (v < mins(j)) mins(j) = v
         j += 1
       }
       i += 1
     }
-    new GenericArrayData(mins.map(m => UTF8String.fromString(if (m == null) "" else m)))
+    new GenericArrayData(mins)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object MinHashSlots {
+  /** 2^31 − 1 (Mersenne prime): the permutation modulus. */
+  val Prime: Long = 2147483647L
+
+  /** Deterministic Carter–Wegman coefficients from golden-ratio/murmur
+    * mixing constants — pure arithmetic, identical in the SQL oracle
+    * (SparkEntry inlines these values into the DuckDB query).
+    */
+  def coeffA(j: Int): Long = (0x9E3779B9L * (j + 1)) % (Prime - 1) + 1
+  def coeffB(j: Int): Long = (0x85EBCA6BL * (j + 1)) % Prime
 }

@@ -36,7 +36,7 @@ class DedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val sigs = Dedup.minHashSignatures(nearDocs, "doc_id", "text", numHashes = 8, shingleN = 3)
       .collect().map(r => r.getAs[Long]("doc_id") ->
-        (0 until 8).map(j => r.getAs[String](s"mh$j"))).toMap
+        (0 until 8).map(j => r.getAs[Long](s"mh$j"))).toMap
     // doc 3's shingles are a superset: each min can only move down, and with
     // J=7/8 most slots must coincide
     val shared = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
@@ -60,5 +60,16 @@ class DedupSpec extends SparkSpec {
     val p13 = pairs.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 3L).get
     assert(p13.getAs[Double]("jaccard") > 0.3 && p13.getAs[Double]("jaccard") < 1.0)
     assert(!pairs.exists(r => r.getAs[Long]("doc_a") == 4L || r.getAs[Long]("doc_b") == 4L))
+  }
+
+  test("sigPath persisted-signature variant returns identical pairs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    val docsSf = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val local = Dedup.ngramJaccardPairs(docsSf, "doc_id", "text", 3, 0.5)
+    val persisted = Dedup.ngramJaccardPairs(docsSf, "doc_id", "text", 3, 0.5,
+      sigPath = Some(s"$tmp/jaccard_sigs"))
+    assert(local.exceptAll(persisted).union(persisted.exceptAll(local)).isEmpty)
+    // the persisted table is real parquet on disk (the reusable artifact)
+    assert(spark.read.parquet(s"$tmp/jaccard_sigs").count() == docsSf.count())
   }
 }

@@ -295,6 +295,46 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"), col("props_clean"),
           col("bag_file"), col("topic"))
         .orderBy(col("event_id"))),
+    "q_yaml_objects" -> ((s, d) => {
+      // messy "[x: …, y: …, cls: …, x: …]" multi-object strings
+      // (main.py:51 parse_yaml_val shape), synthesized deterministically,
+      // parsed by the native split + str_to_map pipeline and flattened
+      val e = col("event_id")
+      val objs = transform(sequence(lit(0L), e % 3L), i => concat(
+        lit("x: "), ((e * 11L + i * 7L) % 50L).cast("string"),
+        lit(", y: "), ((e * 3L + i * 13L) % 40L).cast("string"),
+        lit(", w: "), (lit(1L) + (e + i) % 9L).cast("string"),
+        lit(", cls: "), when((e + i) % 3L === 0L, "person")
+          .when((e + i) % 3L === 1L, "car").otherwise("bike")))
+      val raw = concat(lit("["), array_join(objs, ", "), lit("]"))
+      Tables.events(s, d).select(e.as("event_id"), raw.as("raw"))
+        .select(col("event_id"), posexplode(
+          graft.sources.SemiStructured.parseObjectListTyped(col("raw"), "x",
+            Seq("x" -> "long", "y" -> "long", "w" -> "long", "cls" -> "string")))
+          .as(Seq("obj_idx", "o")))
+        .select(col("event_id"), col("obj_idx").cast("long").as("obj_idx"),
+          col("o.x").as("x"), col("o.y").as("y"), col("o.w").as("w"),
+          col("o.cls").as("cls"))
+        .orderBy(col("event_id"), col("obj_idx"))
+    }),
+    "q_container_roundtrip" -> ((s, d) => {
+      // per-group message containers: pack → opaque binary → unpack →
+      // explode (the binary-container ingestion path, minus the file
+      // system — ContainerSpec covers the binaryFile read)
+      graft.plans.GraftExtensions.register(s)
+      val msgs = eventsUs(s, d).select(col("user_id"),
+        struct(col("event_type").as("topic"), col("ts_us").as("ts_us"),
+          encode(concat(col("event_id").cast("string"), lit("|"), col("props")),
+            "utf-8").as("payload")).as("m"))
+      msgs.groupBy(col("user_id"))
+        .agg(graft.sources.Containers.pack(sort_array(collect_list(col("m")))).as("blob"))
+        .select(col("user_id"),
+          explode(graft.sources.Containers.unpack(col("blob"))).as("m"))
+        .select(col("user_id"), col("m.topic").as("topic"),
+          col("m.ts_us").as("ts"),
+          decode(col("m.payload"), "utf-8").as("payload_str"))
+        .orderBy(col("user_id"), col("payload_str"))
+    }),
     "q_batch_manifest" -> ((s, d) =>
       Signals.batchManifest(
         eventsUs(s, d).select(col("user_id"), col("ts_us").as("ts"), col("event_type")),
@@ -696,6 +736,20 @@ object SparkEntry {
         |  'events_sf' AS bag_file, 'error' AS topic
         |FROM events WHERE event_type = 'error'
         |ORDER BY event_id""".stripMargin,
+    "q_yaml_objects" ->
+      """SELECT event_id, i AS obj_idx,
+        |  (event_id*11 + i*7) % 50 AS x, (event_id*3 + i*13) % 40 AS y,
+        |  1 + (event_id + i) % 9 AS w,
+        |  CASE WHEN (event_id + i) % 3 = 0 THEN 'person'
+        |       WHEN (event_id + i) % 3 = 1 THEN 'car' ELSE 'bike' END AS cls
+        |FROM (SELECT event_id, unnest(generate_series(0, event_id % 3)) AS i
+        |      FROM events) t
+        |ORDER BY event_id, obj_idx""".stripMargin,
+    "q_container_roundtrip" ->
+      """SELECT user_id, event_type AS topic, epoch_us(ts) AS ts,
+        |  CAST(event_id AS VARCHAR) || '|' || props AS payload_str
+        |FROM events
+        |ORDER BY user_id, payload_str""".stripMargin,
     "q_batch_manifest" ->
       """SELECT epoch_us(ts) // 86400000000 AS batch_day,
         |  count(*) AS n_rows,

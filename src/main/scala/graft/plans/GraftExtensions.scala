@@ -33,6 +33,12 @@ object GraftExtensions {
     (new FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
       (children: Seq[Expression]) => SimHashBits(children(0))),
+    (new FunctionIdentifier("container_pack"),
+      new ExpressionInfo(classOf[ContainerPack].getName, "container_pack"),
+      (children: Seq[Expression]) => ContainerPack(children(0))),
+    (new FunctionIdentifier("container_unpack"),
+      new ExpressionInfo(classOf[ContainerUnpack].getName, "container_unpack"),
+      (children: Seq[Expression]) => ContainerUnpack(children(0))),
     (new FunctionIdentifier("objects_in_lane_fused"),
       new ExpressionInfo(classOf[ObjectsInLaneFused].getName, "objects_in_lane_fused"),
       (children: Seq[Expression]) => ObjectsInLaneFused(children(0), children(1))),

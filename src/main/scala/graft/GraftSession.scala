@@ -24,6 +24,14 @@ object GraftSession {
       // as a monotonic long, portable to the oracle via epoch_ns()).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // InferFiltersFromGenerate turns explode(f(x)) into
+      // Filter(size(f(x))>0) + Generate(f(x)); with an expensive generator
+      // input (JSON parse + geometry) predicate pushdown then re-evaluates
+      // the WHOLE tree a second time per row — measured 2.5x on
+      // q_obj_in_lane. The inferred filter only skips empty-array rows,
+      // which Generate(outer=false) drops anyway.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
 
   /** Local session sized to the machine (tests / bench). */

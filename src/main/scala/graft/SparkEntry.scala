@@ -295,6 +295,23 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"), col("props_clean"),
           col("bag_file"), col("topic"))
         .orderBy(col("event_id"))),
+    "q_scene_pipeline" -> ((s, d) => {
+      // the COMPLETE reference scene-detection flow on the nested shape
+      // (detect_scenes.py main): payloads → objects_in_lane geometry →
+      // people count → zero-crossing boundaries → scene metadata
+      val lane = LaneGeometry.objectsInLaneFused(
+        LaneGeometry.simulatedPayloads(eventsUs(s, d)),
+        "detections_raw", "lane_points_raw")
+      val b = Scenes.boundaries(
+        lane.select(col("user_id"), col("ts_us").as("ts"), col("event_id"),
+          col("num_people_in_scene")),
+        groupCols = Seq("user_id"), timeCol = "ts",
+        orderTiebreak = Seq("event_id"), activity = col("num_people_in_scene"))
+      Scenes.metadata(b, groupCols = Seq("user_id"), timeCol = "ts",
+        sceneName = "PersonInLane",
+        topicsAnalyzed = Seq("detections", "lane_points"))
+        .orderBy(col("user_id"), col("start_time"))
+    }),
     "q_yaml_objects" -> ((s, d) => {
       // messy "[x: …, y: …, cls: …, x: …]" multi-object strings
       // (main.py:51 parse_yaml_val shape), synthesized deterministically,
@@ -307,7 +324,11 @@ object SparkEntry {
         lit(", cls: "), when((e + i) % 3L === 0L, "person")
           .when((e + i) % 3L === 1L, "car").otherwise("bike")))
       val raw = concat(lit("["), array_join(objs, ", "), lit("]"))
-      Tables.events(s, d).select(e.as("event_id"), raw.as("raw"))
+      // one-row-group testdata parquet = one split; spread the
+      // compute-bound build+parse like a many-split production scan
+      Tables.events(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(e.as("event_id"), raw.as("raw"))
         .select(col("event_id"), posexplode(
           graft.sources.SemiStructured.parseObjectListTyped(col("raw"), "x",
             Seq("x" -> "long", "y" -> "long", "w" -> "long", "cls" -> "string")))
@@ -736,6 +757,38 @@ object SparkEntry {
         |  'events_sf' AS bag_file, 'error' AS topic
         |FROM events WHERE event_type = 'error'
         |ORDER BY event_id""".stripMargin,
+    "q_scene_pipeline" ->
+      (inLaneObjectsSql +
+        """,
+          |ppl2 AS (
+          |  SELECT e, CAST(sum(CASE WHEN cls = 'person' THEN 1 ELSE 0 END) AS BIGINT) AS np
+          |  FROM inlane GROUP BY e),
+          |perrow AS (
+          |  SELECT ev.user_id, epoch_us(ev.ts) AS ts, ev.event_id,
+          |    CASE WHEN ev.event_type = 'view' THEN NULL
+          |         ELSE coalesce(p.np, 0) END AS n
+          |  FROM events ev LEFT JOIN ppl2 p ON ev.event_id = p.e),
+          |st AS (
+          |  SELECT user_id, ts, n, scene_state FROM (
+          |    SELECT user_id, ts, n, nlag,
+          |      CASE WHEN n > 0 AND nlag = 0 THEN 'start'
+          |           WHEN n = 0 AND nlag > 0 THEN 'end' END AS scene_state
+          |    FROM (
+          |      SELECT user_id, ts, event_id, n,
+          |        lag(n) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nlag
+          |      FROM perrow) w
+          |    WHERE n IS NOT NULL AND nlag IS NOT NULL) x
+          |  WHERE scene_state IS NOT NULL)
+          |SELECT user_id, start_time, end_time, activity AS activity_at_start,
+          |  user_id || '_PersonInLane_' || start_time AS scene_id,
+          |  end_time - start_time AS scene_length,
+          |  'detections,lane_points' AS topics_analyzed
+          |FROM (
+          |  SELECT user_id, ts AS start_time, n AS activity, scene_state,
+          |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS end_time
+          |  FROM st) m
+          |WHERE scene_state = 'start'
+          |ORDER BY user_id, start_time""".stripMargin),
     "q_yaml_objects" ->
       """SELECT event_id, i AS obj_idx,
         |  (event_id*11 + i*7) % 50 AS x, (event_id*3 + i*13) % 40 AS y,

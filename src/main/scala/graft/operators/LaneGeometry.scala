@@ -181,6 +181,12 @@ object LaneGeometry {
     */
   def simulatedPayloads(events: DataFrame, idCol: String = "event_id",
                         typeCol: String = "event_type"): DataFrame = {
+    // the testdata parquet is one row group = one input split, so a
+    // compute-bound pipeline over it would run single-threaded locally; a
+    // real 100 TB table scans as thousands of splits. Emulate that split
+    // parallelism (the shuffle moves ~20 B/row of source columns).
+    val spread = events.repartition(
+      events.sparkSession.sparkContext.defaultParallelism)
     val e = col(idCol)
     val dets = transform(sequence(lit(0L), e % 3L), i => struct(
       ((e * 7L + i * 53L) % 120L).cast("double").as("x"),
@@ -192,7 +198,7 @@ object LaneGeometry {
       transform(sequence(lit(0L), lit(4L)), j => struct(
         (lit(40L) * l + lit(2L) * j + e % 5L).cast("double").as("x"),
         (lit(20L) * j + (e + l) % 7L).cast("double").as("y"))).as("image_points")))
-    events
+    spread
       .withColumn("detections_raw",
         when(col(typeCol) =!= "view",
           to_json(struct(to_json(dets).as("detections_bboxes_clean")))))

@@ -193,13 +193,16 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("doc").as("v"), col("lab").as("vlab")), "v")
         .groupBy(col("u")).agg(min(col("vlab")).as("nmin"))
+      // carry a per-row changed flag so convergence is read off the
+      // materialized frontier — no extra join-with-previous per round
       val next = labels
         .join(neighborMin.select(col("u").as("doc"), col("nmin")), Seq("doc"), "left")
-        .select(col("doc"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+        .select(col("doc"),
+          least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
+          (coalesce(col("nmin"), col("lab")) < col("lab")).as("__changed"))
         .localCheckpoint()
-      converged = next.join(labels.select(col("doc"), col("lab").as("old")), "doc")
-        .filter(col("lab") < col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.drop("__changed")
       it += 1
     }
     if (!converged && failOnNonConvergence)

@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteVectorOps)
+    ext.injectOptimizerRule(_ => PruneAsOfJoin)
     ext.injectPlannerStrategy(_ => new AsOfJoinStrategy)
   }
 }
@@ -63,6 +64,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewriteVectorOps)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteVectorOps
+    }
+    if (!spark.experimental.extraOptimizations.contains(PruneAsOfJoin)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PruneAsOfJoin
     }
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy])) {
       spark.experimental.extraStrategies =

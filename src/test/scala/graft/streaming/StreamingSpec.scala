@@ -29,6 +29,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("objects-in-lane geometry runs unchanged inside a stream") {
+    // the fused geometry is a pure projection, so the batch operator IS
+    // the streaming operator — readStream → objectsInLaneFused → sink
+    implicit val sqlCtx = spark.sqlContext
+    val lanes =
+      """{"lanes_clean":"[{\"image_points\":[{\"x\":10,\"y\":0}]},{\"image_points\":[{\"x\":50,\"y\":0}]},{\"image_points\":[{\"x\":90,\"y\":0}]}]"}"""
+    val dets =
+      """{"detections_bboxes_clean":"[{\"x\":30,\"y\":0,\"width\":10,\"height\":20,\"Class\":\"person\"}]"}"""
+    val mem = MemoryStream[(Long, String, String)]
+    val out = graft.operators.LaneGeometry.objectsInLaneFused(
+      mem.toDF().toDF("id", "det", "lp"), "det", "lp")
+      .select(col("id"), col("num_people_in_scene"))
+    val q = out.writeStream.format("memory").queryName("lane_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, dets, lanes), (2L, null, lanes))
+      q.processAllAvailable()
+      val rows = spark.table("lane_stream").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(rows == Map(1L -> 1L, 2L -> -1L))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and keeps open state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventRow]

@@ -25,9 +25,14 @@ object Bench {
     // warm the executor pool + codegen infrastructure so the first timed
     // query doesn't absorb session startup
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // toRdd forces the query's OWN physical plan to produce every output
+    // row — `count()` would let Catalyst prune unprojected work, timing
+    // an empty scan for map-only queries (text ops measured ~0.1s of
+    // nothing). This measures what a consumer of the result would pay.
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     pass() // warmup: compile all codegen stages, warm JIT + page cache
@@ -35,7 +40,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"steady-state: 2 passes, second reported"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"steady-state: 2 passes, second reported; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work)"}""")
     spark.stop()
   }
 }

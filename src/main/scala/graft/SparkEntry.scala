@@ -397,6 +397,41 @@ object SparkEntry {
           numHashes = 8, shingleN = 3, rowsPerBand = 2),
         "doc_a", "doc_b")
         .orderBy(col("doc_id"))),
+    "q_dedup_apply" -> ((s, d) => {
+      // end-to-end dedup application: pairs → clusters → keep ONE doc per
+      // cluster (the min-id representative), everyone else anti-joined out
+      val docs = Tables.documents(s, d)
+      val clusters = Dedup.dupClusters(
+        Dedup.minHashPairs(docs, "doc_id", "text",
+          numHashes = 8, shingleN = 3, rowsPerBand = 2),
+        "doc_a", "doc_b")
+      val dropIds = clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      docs.join(dropIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_repetition" -> ((s, d) => {
+      // repeated-bigram ratio: the standard within-document repetition
+      // quality signal (1 − distinct/total bigram occurrences)
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("__toks"))
+        .select(col("doc_id"),
+          when(size(col("__toks")) >= 2,
+            transform(sequence(lit(0), size(col("__toks")) - 2),
+              i => concat_ws(" ", element_at(col("__toks"), i + 1),
+                element_at(col("__toks"), i + 2))))
+            .otherwise(array()).as("__bi"))
+        .select(col("doc_id"),
+          size(col("__bi")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("__bi"))).cast("long").as("n_distinct"))
+        .withColumn("rep_ratio",
+          when(col("n_bigrams") > 0,
+            round(lit(1.0) - col("n_distinct") / col("n_bigrams"), 6))
+            .otherwise(lit(0.0)))
+        .orderBy(col("doc_id"))
+    }),
     "q_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.decontaminate(
@@ -953,6 +988,33 @@ object SparkEntry {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, min(v) AS cluster_id
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q_dedup_apply" ->
+      s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($minhashPairsSql) p),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, u AS v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         |dropids AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
+         |ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      s"""SELECT doc_id, n_bigrams, n_distinct,
+         |  CASE WHEN n_bigrams > 0
+         |       THEN round(1.0 - n_distinct / CAST(n_bigrams AS DOUBLE), 6)
+         |       ELSE 0.0 END AS rep_ratio
+         |FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS n_bigrams,
+         |    CASE WHEN len(tk) >= 2
+         |         THEN len(list_distinct(list_transform(generate_series(1, len(tk) - 1),
+         |                i -> tk[i] || ' ' || tk[i+1])))
+         |         ELSE 0 END AS n_distinct
+         |  FROM ($docTokensSql) tks) t
+         |ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       s"""WITH sh AS ($shinglesSql),
          |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 37 = 1),

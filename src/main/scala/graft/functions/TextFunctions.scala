@@ -58,17 +58,28 @@ object TextFunctions {
     * no shuffle, no UDF.
     */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = stopwordProfiles.map { case (lang, words) =>
-      lang -> stopwordHits(toks, words)
-    }
-    // lang wins iff it strictly beats every alphabetically-earlier lang and
-    // ties-or-beats every later one — exactly one branch is true
-    scores.foldRight(lit("und")) { case ((lang, score), elseCol) =>
-      val wins = scores.filter(_._1 != lang)
-        .map { case (other, s) => if (other < lang) score > s else score >= s }
-        .reduce(_ && _)
-      when(wins, lit(lang)).otherwise(elseCol)
-    }
+    // let-bind the token array and then the score tuple via single-element
+    // transforms: the decision tree references every score ~4× and each
+    // score scans the tokens — without binding, the tokenize+filter trees
+    // re-inline per reference (interpreted lambdas; measured ~20×)
+    val scored = element_at(transform(array(struct(tokens(text).as("t"))), o => {
+      val toks = o.getField("t")
+      struct(stopwordProfiles.map { case (lang, words) =>
+        stopwordHits(toks, words).as(s"s_$lang")
+      }: _*)
+    }), 1)
+    element_at(transform(array(scored), sc => {
+      val scores = stopwordProfiles.map { case (lang, _) =>
+        lang -> sc.getField(s"s_$lang")
+      }
+      // lang wins iff it strictly beats every alphabetically-earlier lang
+      // and ties-or-beats every later one — exactly one branch is true
+      scores.foldRight(lit("und")) { case ((lang, score), elseCol) =>
+        val wins = scores.filter(_._1 != lang)
+          .map { case (other, s) => if (other < lang) score > s else score >= s }
+          .reduce(_ && _)
+        when(wins, lit(lang)).otherwise(elseCol)
+      }
+    }), 1)
   }
 }

@@ -144,6 +144,54 @@ object Streaming {
       }
   }
 
+  case class GridState(lastVal: Double, nextTick: Long)
+
+  case class GridOut(user_id: Long, ts_us: Long, value: Double)
+
+  /** Streaming SYNCHRONIZE: emit fixed-interval grid rows carrying the
+    * last signal value at-or-before each tick — the streaming twin of
+    * `Signals.synchronize` / the reference's resample pipeline
+    * (synchronize_topics.py:170), as per-key O(1) state instead of a
+    * window over a union.
+    *
+    * Semantics: ticks are multiples of `stepUs`; the first tick of a key
+    * is the first multiple ≥ its first event; a tick emits when the first
+    * LATER event arrives (the tick's value is then final — inclusive
+    * at-or-before, like the batch operator). State per key is one
+    * (lastVal, nextTick) pair regardless of rate — millions of keys fine.
+    */
+  def gridFill(events: Dataset[EventRow], stepUs: Long): Dataset[GridOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[GridState, GridOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[GridState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts_us)
+          val out = Seq.newBuilder[GridOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case None =>
+                // first event: next tick is the first multiple >= ts
+                val tick = ((e.ts_us + stepUs - 1) / stepUs) * stepUs
+                // a tick exactly at the event emits with this value once a
+                // later event proves it final — keep it pending
+                cur = Some(GridState(e.value, tick))
+              case Some(s) =>
+                var st = s
+                while (st.nextTick < e.ts_us) {
+                  out += GridOut(userId, st.nextTick, st.lastVal)
+                  st = GridState(st.lastVal, st.nextTick + stepUs)
+                }
+                cur = Some(GridState(e.value, st.nextTick))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stream-static enrichment: join a stream against a dimension table.
     * The static side broadcasts per micro-batch — no stream state, no
     * shuffle of the stream (the reference enriches signals with per-bag

@@ -29,6 +29,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gridFill emits fixed-interval ticks with last value at-or-before") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = Streaming.gridFill(mem.toDS(), stepUs = 10L)
+      .writeStream.format("memory").queryName("grid").outputMode("append").start()
+    try {
+      // key 1: events at 5, 7, 20, 41 → tick 10 = v(7), tick 20 = v(20)
+      // (inclusive at-or-before), ticks 30/40 = v(20)
+      mem.addData(
+        EventRow(1L, 5L, "a", 1.0), EventRow(1L, 7L, "a", 2.0),
+        EventRow(1L, 20L, "a", 3.0))
+      q.processAllAvailable()
+      mem.addData(EventRow(1L, 41L, "a", 4.0)) // across micro-batches
+      q.processAllAvailable()
+      val rows = spark.table("grid").as[GridOut].collect().sortBy(_.ts_us).toSeq
+      assert(rows == Seq(
+        GridOut(1L, 10L, 2.0), GridOut(1L, 20L, 3.0),
+        GridOut(1L, 30L, 3.0), GridOut(1L, 40L, 3.0)))
+    } finally q.stop()
+  }
+
   test("objects-in-lane geometry runs unchanged inside a stream") {
     // the fused geometry is a pure projection, so the batch operator IS
     // the streaming operator — readStream → objectsInLaneFused → sink

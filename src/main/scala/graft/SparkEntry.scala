@@ -167,14 +167,22 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(col("o_orderpriority"))
     }),
-    "q_percentile" -> ((s, d) =>
-      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          round(min(col("l_extendedprice")), 4).as("pmin"),
+    "q_percentile" -> ((s, d) => {
+      // windowed-rank exact percentiles (Analytics.exactPercentiles):
+      // same linear-interpolation semantics as the builtin `percentile`
+      // aggregate, without its per-group value map (OOM at skew)
+      val li = Tables.lineitem(s, d)
+      val pct = Analytics.exactPercentiles(li, "l_returnflag",
+        "l_extendedprice", Seq("p50" -> 0.5, "p90" -> 0.9))
+      val mm = li.groupBy(col("l_returnflag"))
+        .agg(round(min(col("l_extendedprice")), 4).as("pmin"),
           round(max(col("l_extendedprice")), 4).as("pmax"))
-        .orderBy(col("l_returnflag"))),
+      pct.join(mm, "l_returnflag")
+        .select(col("l_returnflag"),
+          round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"),
+          col("pmin"), col("pmax"))
+        .orderBy(col("l_returnflag"))
+    }),
     "q_date_trunc" -> ((s, d) =>
       eventsUs(s, d)
         .withColumn("wk", unix_micros(date_trunc("week", timestamp_micros(col("ts_us")))))
@@ -546,6 +554,28 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("event_type"))),
+    "q_tfidf" -> ((s, d) => {
+      // corpus-weighted term relevance: tf × ln(N/df), top-3 per doc.
+      // One explode + two aggregations; the doc-frequency join keys on
+      // term (AQE picks broadcast vs shuffle by vocab size); N is a
+      // 1-row broadcast. Ranking on the ROUNDED score so cross-engine
+      // libm ulp drift cannot flip ties.
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = pairs.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+          col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
     "q_mm_decode" -> ((s, d) =>
       Multimodal.decode(
         Multimodal.ingest(Tables.documents(s, d), "doc_id", "text", "text/plain"))
@@ -1179,6 +1209,19 @@ object SparkEntry {
         |FROM events
         |WHERE ('0x' || substr(md5('graft|' || event_id), 1, 15))::BIGINT % 100 < 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(tk) AS term FROM ($docTokensSql) tks),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT doc_id, rk, term, tf, df, tfidf FROM (
+         |  SELECT t.doc_id, t.term, t.tf, d.df,
+         |    round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf,
+         |    row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) DESC, t.term) AS rk
+         |  FROM tf t JOIN dfq d ON t.term = d.term CROSS JOIN n) ranked
+         |WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin,
     "q_mm_decode" ->
       """SELECT doc_id AS media_id, octet_length(text::BLOB) AS n_bytes,
         |  octet_length(text::BLOB) % 640 AS width,

@@ -66,7 +66,9 @@ object LaneGeometry {
     * pair wins via the short-circuit fold).
     */
   private def cornerLabel(nxs: Column, numLanes: Column, cx: Column): Column =
-    aggregate(
+    // <2 lanes → no adjacent pair, nothing brackets; the guard matters
+    // because sequence(0, n−2) counts DOWN for n<2 rather than emptying
+    when(numLanes < 2, lit(null).cast("string")).otherwise(aggregate(
       sequence(lit(0L), numLanes.cast("long") - 2L),
       lit(null).cast("string"),
       (acc, i) => {
@@ -77,7 +79,7 @@ object LaneGeometry {
           when(between,
             concat(lit("between_"), i.cast("string"), lit("_and_"), (i + 1).cast("string")))
             .otherwise(lit(null).cast("string")))
-      })
+      }))
 
   /** Adds `objects_in_lane` (array<struct<x,y,width,height,cls,
     * corners_in_lane,lanes>>) and `num_people_in_scene` from the two raw

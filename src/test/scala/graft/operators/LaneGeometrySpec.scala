@@ -43,6 +43,24 @@ class LaneGeometrySpec extends SparkSpec {
     }
   }
 
+  test("edge shapes: empty detections, empty lane list, single lane") {
+    val emptyDets = """{"detections_bboxes_clean":"[]"}"""
+    val noLanes = """{"lanes_clean":"[]"}"""
+    val oneLane = """{"lanes_clean":"[{\"image_points\":[{\"x\":10,\"y\":0}]}]"}"""
+    val df = Seq(
+      (1L, emptyDets, lanesJson), // no objects → empty array, 0 people
+      (2L, detsJson, noLanes),    // no lanes → no bracketing pair → none in lane
+      (3L, detsJson, oneLane)     // single lane → no adjacent pair → none in lane
+    ).toDF("id", "det", "lp")
+    for (f <- Seq(LaneGeometry.objectsInLane _, LaneGeometry.objectsInLaneFused _)) {
+      val out = f(df, "det", "lp").orderBy("id").collect()
+      out.foreach { r =>
+        assert(r.getAs[scala.collection.Seq[Row]]("objects_in_lane").isEmpty)
+        assert(r.getAs[Long]("num_people_in_scene") == 0L)
+      }
+    }
+  }
+
   test("HOF and fused-native agree on simulated payloads (sf0.001)") {
     val sim = LaneGeometry.simulatedPayloads(
       Tables.events(spark, "/root/testdata/sf0.001"))

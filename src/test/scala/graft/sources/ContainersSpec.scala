@@ -31,6 +31,14 @@ class ContainersSpec extends SparkSpec {
       ("camera", 102L, "frame-1")))
   }
 
+  test("empty containers and empty message lists round-trip") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = spark.range(1).select(
+      Containers.pack(array().cast("array<struct<topic:string,ts_us:bigint,payload:binary>>")).as("blob"))
+    val out = df.select(size(Containers.unpack(col("blob"))).as("n")).head()
+    assert(out.getInt(0) == 0)
+  }
+
   test("binaryFile directory read splits containers per topic with provenance") {
     graft.plans.GraftExtensions.register(spark)
     val dir = Files.createTempDirectory("graft-bags").toString

@@ -554,6 +554,21 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("event_type"))),
+    "q_mm_pipeline" -> ((s, d) => {
+      // full multimodal chain: ingest → batch decode kernel →
+      // frame sampling → metadata resize, flat oracle-comparable output
+      val dec = Multimodal.decode(
+        Multimodal.ingest(Tables.documents(s, d), "doc_id", "text", "text/plain"))
+      Multimodal.resize(Multimodal.frameSample(dec.toDF(), stride = 3), maxDim = 256)
+        .select(col("media_id"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          size(col("sampled_frames")).cast("long").as("n_sampled"),
+          col("out_width").cast("long").as("out_width"),
+          col("out_height").cast("long").as("out_height"))
+        .orderBy(col("media_id"))
+    }),
     "q_tfidf" -> ((s, d) => {
       // corpus-weighted term relevance: tf × ln(N/df), top-3 per doc.
       // One explode + two aggregations; the doc-frequency join keys on
@@ -1209,6 +1224,21 @@ object SparkEntry {
         |FROM events
         |WHERE ('0x' || substr(md5('graft|' || event_id), 1, 15))::BIGINT % 100 < 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_mm_pipeline" ->
+      """SELECT media_id, n_bytes, width, height, n_frames,
+        |  (n_frames + 2) // 3 AS n_sampled,
+        |  CAST(floor(width * scale) AS BIGINT) AS out_width,
+        |  CAST(floor(height * scale) AS BIGINT) AS out_height
+        |FROM (
+        |  SELECT media_id, n_bytes, width, height, n_frames,
+        |    least(256.0 / greatest(width, 1), 256.0 / greatest(height, 1), 1.0) AS scale
+        |  FROM (
+        |    SELECT doc_id AS media_id, octet_length(text::BLOB) AS n_bytes,
+        |      octet_length(text::BLOB) % 640 AS width,
+        |      octet_length(text::BLOB) % 480 AS height,
+        |      octet_length(text::BLOB) // 100 + 1 AS n_frames
+        |    FROM documents) m) sc
+        |ORDER BY media_id""".stripMargin,
     "q_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest(tk) AS term FROM ($docTokensSql) tks),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),

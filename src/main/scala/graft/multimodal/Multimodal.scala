@@ -73,8 +73,8 @@ object Multimodal {
   /** Frame sampling: every `stride`-th frame index, as a plan-native
     * `sequence` — the sampled index list stays columnar; no kernel call.
     */
-  def frameSample(decoded: Dataset[DecodedMedia], stride: Int): DataFrame =
-    decoded.toDF().withColumn("sampled_frames",
+  def frameSample(decoded: DataFrame, stride: Int): DataFrame =
+    decoded.withColumn("sampled_frames",
       when(col("n_frames") > 0,
         sequence(lit(0), col("n_frames") - 1, lit(stride)))
         .otherwise(array()))
@@ -82,8 +82,8 @@ object Multimodal {
   /** "Resize": metadata-only transform (a real kernel would rewrite the
     * payload; the metadata contract is what downstream operators consume).
     */
-  def resize(decoded: Dataset[DecodedMedia], maxDim: Int): DataFrame = {
-    val d = decoded.toDF()
+  def resize(decoded: DataFrame, maxDim: Int): DataFrame = {
+    val d = decoded
     val scale = least(
       lit(maxDim) / greatest(col("width"), lit(1)),
       lit(maxDim) / greatest(col("height"), lit(1)),

@@ -27,7 +27,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("frameSample emits stride-spaced indices") {
     val d = Multimodal.decode(Multimodal.ingest(docs, "doc_id", "text", "text/plain"))
-    val s = Multimodal.frameSample(d, stride = 2)
+    val s = Multimodal.frameSample(d.toDF(), stride = 2)
       .filter(col("media_id") === 2L)
       .select("sampled_frames").as[Seq[Int]].collect().head
     assert(s == Seq(0, 2))
@@ -36,7 +36,7 @@ class MultimodalSpec extends SparkSpec {
   test("resize preserves aspect ratio bound") {
     val d = Multimodal.decode(Multimodal.ingest(
       Seq((1L, "y" * 400)).toDF("doc_id", "text"), "doc_id", "text", "text/plain"))
-    val r = Multimodal.resize(d, maxDim = 100).select("out_width", "out_height").collect().head
+    val r = Multimodal.resize(d.toDF(), maxDim = 100).select("out_width", "out_height").collect().head
     // width 400, height 400%480=400 → scale 0.25 → 100x100
     assert(r.getInt(0) == 100 && r.getInt(1) == 100)
   }

@@ -18,9 +18,12 @@ import graft.sources.{Tables, TopicStore}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's own end-to-end: nested-payload scene detection →
+    * people count → boundary scenes → scene metadata.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+    queries("q_scene_pipeline")(spark, "/root/testdata/sf0.001")
 
   // ---- shared bindings ----------------------------------------------
 

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expressi
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 
 /** Whole-operator as-of join: logical node → strategy → physical
   * sort-merge operator.
@@ -56,6 +57,10 @@ case class AsOfJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ rightValues.map(_.withNullability(true))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -69,6 +74,8 @@ case class AsOfJoinExec(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
 
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     val leftOut = left.output
     val rightOut = right.output
     val lKeys = leftKeys
@@ -112,10 +119,10 @@ case class AsOfJoinExec(
           }
         }
         // match only if the remembered right row shares the left key
-        val vals =
-          if (lastKeyTime != null && keyOrd.compare(lastKeyTime, lkt) == 0) lastVals
-          else nullVals
-        resultProj(joined(lRow, vals))
+        val matched = lastKeyTime != null && keyOrd.compare(lastKeyTime, lkt) == 0
+        numOutputRows += 1
+        if (matched) numMatchedRows += 1
+        resultProj(joined(lRow, if (matched) lastVals else nullVals))
       }
     }
   }

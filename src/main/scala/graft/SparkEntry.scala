@@ -408,6 +408,14 @@ object SparkEntry {
           numHashes = 8, shingleN = 3, rowsPerBand = 2),
         "doc_a", "doc_b")
         .orderBy(col("doc_id"))),
+    "q_dup_clusters_star" -> ((s, d) =>
+      // same clustering contract as q_dup_clusters, via the O(log n)
+      // large-star/small-star algorithm (diameter-independent)
+      Dedup.dupClustersStar(
+        Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
+          numHashes = 8, shingleN = 3, rowsPerBand = 2),
+        "doc_a", "doc_b")
+        .orderBy(col("doc_id"))),
     "q_dedup_apply" -> ((s, d) => {
       // end-to-end dedup application: pairs → clusters → keep ONE doc per
       // cluster (the min-id representative), everyone else anti-joined out
@@ -1063,6 +1071,16 @@ object SparkEntry {
          |         ELSE 0 END AS n_distinct
          |  FROM ($docTokensSql) tks) t
          |ORDER BY doc_id""".stripMargin,
+    "q_dup_clusters_star" ->
+      s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($minhashPairsSql) p),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, u AS v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, min(v) AS cluster_id
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       s"""WITH sh AS ($shinglesSql),
          |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 37 = 1),

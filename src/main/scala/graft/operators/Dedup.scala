@@ -212,6 +212,63 @@ object Dedup {
     labels.select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): converges in O(log n) rounds regardless of component
+    * DIAMETER, where min-label propagation ([[dupClusters]]) needs one
+    * round per hop — a 10k-link near-dup chain (common in scraped
+    * boilerplate) finishes in ~14 rounds instead of 10k.
+    *
+    * Each round is two groupBy-min + join passes over the edge set,
+    * which only shrinks toward the star form (node → component min).
+    * Returns the same (doc_id, cluster_id) contract as [[dupClusters]].
+    */
+  def dupClustersStar(pairs: DataFrame, aCol: String, bCol: String,
+                      maxIters: Int = 20): DataFrame = {
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var it = 0
+    var converged = edges.isEmpty
+    while (!converged && it < maxIters) {
+      // LARGE-STAR: every node links its larger neighbors to its min
+      val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = bidir.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      // SMALL-STAR: every node links its smaller neighbors (and itself)
+      // to the min of those neighbors
+      val dir = large.select(greatest(col("a"), col("b")).as("p"),
+        least(col("a"), col("b")).as("q"))
+      val minq = dir.groupBy(col("p")).agg(min(col("q")).as("m"))
+      val small = dir.join(minq, "p")
+        .select(col("q").as("x"), col("m").as("y"))
+        .union(minq.select(col("p").as("x"), col("m").as("y")))
+        .filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+        .distinct()
+        .localCheckpoint()
+      converged = small.count() == edges.count() &&
+        small.exceptAll(edges).isEmpty
+      edges = small
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClustersStar did not converge in $maxIters rounds")
+    // converged star form: every edge is (root=component min, node)
+    edges.select(col("v").as("doc_id"), col("u").as("cluster_id"))
+      .union(edges.select(col("u")).distinct()
+        .select(col("u").as("doc_id"), col("u").as("cluster_id")))
+  }
+
   /** 60-bit SimHash per doc: sign-sum of token-hash bits.
     *
     * Computed entirely MAP-SIDE: token md5s are materialized once per row

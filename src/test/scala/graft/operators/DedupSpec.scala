@@ -62,6 +62,29 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getAs[Long]("doc_a") == 4L || r.getAs[Long]("doc_b") == 4L))
   }
 
+  test("dupClustersStar == dupClusters, and survives a deep chain") {
+    // a 60-link chain: min-label would need 60 rounds; star finishes
+    // within its default 20 (O(log n)), labeling everything with node 0
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val star = Dedup.dupClustersStar(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size == 61 && star.values.toSet == Set(0L))
+    // propagation with enough rounds agrees
+    val prop = Dedup.dupClusters(chain, "a", "b", maxIters = 70)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+    // and min-label propagation genuinely fails at its round budget here
+    assertThrows[IllegalStateException] {
+      Dedup.dupClusters(chain, "a", "b", maxIters = 10)
+    }
+    // real-data agreement: both algorithms on the minhash pairs
+    val docsSf = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairsSf = Dedup.minHashPairs(docsSf, "doc_id", "text", 8, 3, 2)
+    val a = Dedup.dupClusters(pairsSf, "doc_a", "doc_b")
+    val b = Dedup.dupClustersStar(pairsSf, "doc_a", "doc_b")
+    assert(a.exceptAll(b).union(b.exceptAll(a)).isEmpty)
+  }
+
   test("sigPath persisted-signature variant returns identical pairs") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sig").toString
     val docsSf = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")

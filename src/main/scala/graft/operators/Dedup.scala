@@ -92,6 +92,9 @@ object Dedup {
                    numHashes: Int = 8, shingleN: Int = 3, rowsPerBand: Int = 2,
                    maxBucketSize: Int = 64,
                    sigPath: Option[String] = None): DataFrame = {
+    require(numHashes > 0 && rowsPerBand > 0 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand) — " +
+        "a remainder would silently drop signature slots from banding")
     // materialized once (ndocs × k longs): the signature table feeds the
     // band explode and is the anti-inlining barrier for the md5 tree —
     // see ngramJaccardPairs

@@ -18,6 +18,7 @@ object Packing {
 
   def pack(docs: DataFrame, idCol: String, tokenCountCol: String,
            windowTokens: Long, shardCols: Seq[String] = Seq.empty): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
     val w = (if (shardCols.isEmpty) Window.partitionBy()
              else Window.partitionBy(shardCols.map(col): _*))
       .orderBy(col(idCol))

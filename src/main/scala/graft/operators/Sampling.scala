@@ -21,6 +21,8 @@ object Sampling {
   /** Label each row train/val/test by hash bucket percentage. */
   def split(df: DataFrame, idCol: String, seed: String,
             trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"split percentages must be >= 0 and sum <= 100, got ($trainPct, $valPct)")
     val b = hashBucket(col(idCol), seed, 100)
     df.withColumn("split",
       when(b < trainPct, "train")

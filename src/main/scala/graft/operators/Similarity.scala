@@ -175,6 +175,8 @@ object Similarity {
   def ivfTrainedTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                      queryId: Long, k: Int, numCentroids: Int,
                      probes: Int): DataFrame = {
+    require(numCentroids > 0 && probes > 0 && probes <= numCentroids,
+      s"need 0 < probes <= numCentroids, got (probes=$probes, numCentroids=$numCentroids)")
     graft.plans.GraftExtensions.register(embeddings.sparkSession)
     val e = embeddings.select(col(idCol).as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))

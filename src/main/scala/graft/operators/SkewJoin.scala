@@ -28,6 +28,8 @@ object SkewJoin {
     */
   def saltedSides(left: DataFrame, right: DataFrame, keys: Seq[String],
                   saltBuckets: Int, hotThreshold: Long): (DataFrame, DataFrame) = {
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
+    require(hotThreshold > 0, s"hotThreshold must be positive, got $hotThreshold")
     val hot = left.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__freq"))
       .filter(col("__freq") >= hotThreshold)

@@ -255,6 +255,29 @@ object SparkEntry {
         leftTime = "ts", rightTime = "t", valueCols = Seq("pval"))
         .orderBy(col("user_id"), col("ts"))
     }),
+    "q_asof_tolerance" -> ((s, d) => {
+      val e = eventsUs(s, d)
+      val grid = Signals.timeGrid(e.select(col("user_id"), col("ts_us").as("ts")),
+        Seq("user_id"), "ts", HourUs)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("t"))
+        .agg(max(col("value")).as("pval"))
+      AsOfJoin.asOfTolerance(grid, purchases, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "t", valueCols = Seq("pval"),
+        toleranceUs = 2L * HourUs)
+        .orderBy(col("user_id"), col("ts"))
+    }),
+    "q_asof_forward" -> ((s, d) => {
+      val e = eventsUs(s, d)
+      val grid = Signals.timeGrid(e.select(col("user_id"), col("ts_us").as("ts")),
+        Seq("user_id"), "ts", HourUs)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("t"))
+        .agg(max(col("value")).as("pval"))
+      AsOfJoin.asOfForward(grid, purchases, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "t", valueCols = Seq("pval"))
+        .orderBy(col("user_id"), col("ts"))
+    }),
     "q_asof_native" -> ((s, d) => {
       val e = eventsUs(s, d)
       val grid = Signals.timeGrid(e.select(col("user_id"), col("ts_us").as("ts")),
@@ -811,6 +834,26 @@ object SparkEntry {
           |SELECT g.user_id, g.ts, p.pval
           |FROM grid g ASOF LEFT JOIN purch p
           |  ON g.user_id = p.user_id AND g.ts >= p.t
+          |ORDER BY g.user_id, g.ts""").stripMargin,
+    "q_asof_tolerance" ->
+      (s"""WITH grid AS ($gridSql),
+          |purch AS (SELECT user_id, t, max(value) AS pval
+          |  FROM (SELECT user_id, epoch_us(ts) AS t, value FROM events
+          |        WHERE event_type = 'purchase') p GROUP BY user_id, t)
+          |SELECT g.user_id, g.ts,
+          |  CASE WHEN p.t IS NOT NULL AND g.ts - p.t <= 7200000000
+          |       THEN p.pval END AS pval
+          |FROM grid g ASOF LEFT JOIN purch p
+          |  ON g.user_id = p.user_id AND g.ts >= p.t
+          |ORDER BY g.user_id, g.ts""").stripMargin,
+    "q_asof_forward" ->
+      (s"""WITH grid AS ($gridSql),
+          |purch AS (SELECT user_id, t, max(value) AS pval
+          |  FROM (SELECT user_id, epoch_us(ts) AS t, value FROM events
+          |        WHERE event_type = 'purchase') p GROUP BY user_id, t)
+          |SELECT g.user_id, g.ts, p.pval
+          |FROM grid g ASOF LEFT JOIN purch p
+          |  ON g.user_id = p.user_id AND g.ts <= p.t
           |ORDER BY g.user_id, g.ts""").stripMargin,
     "q_scene_boundary" ->
       (boundarySql + "\nORDER BY user_id, ts"),

@@ -66,4 +66,43 @@ object AsOfJoin {
     filled.filter(col(src) === 1)
       .select((left.columns ++ valueCols).map(col).toSeq: _*)
   }
+
+  /** As-of join with a TOLERANCE (max staleness): like [[asOf]], but a
+    * match only holds while the signal is at most `toleranceUs` old —
+    * beyond it the value columns null out (the standard as-of staleness
+    * bound; pandas merge_asof calls it `tolerance`). Same single
+    * shuffle: the matched signal's own event time forward-fills next to
+    * the values, and staleness is a scalar filter on the difference.
+    */
+  def asOfTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTime: String, rightTime: String,
+                    valueCols: Seq[String], toleranceUs: Long): DataFrame = {
+    val mt = "__asof_match_t"
+    val withT = asOf(left,
+      right.withColumn(mt, col(rightTime)), keys, leftTime, rightTime,
+      valueCols :+ mt)
+    val fresh = col(mt).isNotNull &&
+      (col(leftTime) - col(mt)) <= toleranceUs
+    valueCols.foldLeft(withT) { (df, v) =>
+      df.withColumn(v, when(fresh, col(v)))
+    }.drop(mt)
+  }
+
+  /** FORWARD as-of join: the value columns of the EARLIEST right row with
+    * `right.time >= left.time` within the key (inclusive) — "next
+    * reading" instead of "last reading". Implemented as [[asOf]] on
+    * negated times (a backward as-of over the reversed axis), so it
+    * inherits the same single-shuffle plan.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTime: String, rightTime: String,
+                  valueCols: Seq[String]): DataFrame = {
+    val nl = "__asof_neg_l"
+    val nr = "__asof_neg_r"
+    asOf(
+      left.withColumn(nl, -col(leftTime)),
+      right.withColumn(nr, -col(rightTime)),
+      keys, nl, nr, valueCols)
+      .drop(nl)
+  }
 }

@@ -155,6 +155,19 @@ object SparkEntry {
         groupCols = Seq("user_id"), timeCol = "ts", tiebreak = Seq("event_id"),
         gapUs = 7200000000L, valueCol = "value")
         .orderBy(col("user_id"), col("session_idx"))),
+    "q_session_window" -> ((s, d) =>
+      // the same gap-sessionization as q_sessionize via Spark's NATIVE
+      // session_window operator (merging session aggregation, no window
+      // functions) — use the built-in where one exists
+      eventsUs(s, d)
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("et"), col("value"))
+        .groupBy(col("user_id"), session_window(col("et"), "2 hours"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start"),
+          unix_micros(col("session_window.end")).as("session_end_bound"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))),
     "q_salted_join" -> ((s, d) => {
       val left = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("orderkey"), col("l_extendedprice"), col("l_discount"))
@@ -742,6 +755,21 @@ object SparkEntry {
         |  round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events),
+        |f AS (SELECT user_id, t, value,
+        |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |                  > 7200000000 THEN 1 ELSE 0 END AS ns
+        |      FROM e),
+        |s AS (SELECT user_id, t, value,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM f)
+        |SELECT user_id, min(t) AS session_start,
+        |  max(t) + 7200000000 AS session_end_bound,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_salted_join" ->
       """SELECT o_orderpriority,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,

@@ -40,6 +40,21 @@ class PlanSpec extends SparkSpec {
     assert(countExchanges(out) == 1, planOf(out).take(2000))
   }
 
+  test("q_obj_in_lane evaluates the geometry exactly once (no inferred-filter re-eval)") {
+    // regression guard for the InferFiltersFromGenerate exclusion: the
+    // inferred size()>0 filter used to push the whole JSON-parse+geometry
+    // tree into the scan's DataFilters — a second evaluation per row
+    val plan = planOf(SparkEntry.queries("q_obj_in_lane")(spark, sf))
+    val n = "objects_in_lane_fused".r.findAllIn(plan).length
+    assert(n == 1, s"fused geometry appears $n times in the plan:\n${plan.take(1500)}")
+  }
+
+  test("q_ngram_jaccard self-join branches share one exchange") {
+    val df = SparkEntry.queries("q_ngram_jaccard")(spark, sf)
+    df.collect() // resolve AQE so exchange reuse is visible
+    assert(planOf(df).contains("ReusedExchange"), planOf(df).take(1500))
+  }
+
   test("whole-stage codegen covers the curation text pipeline") {
     val df = SparkEntry.queries("q_token_count")(spark, sf)
     df.collect() // resolve AQE to the final plan

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.operators._
+import graft.sources.SemiStructured
+
+/** Fluent user API: `import graft.syntax._` and chain the engine's
+  * operators off any DataFrame — the adoption surface for a user of the
+  * reference pipeline switching to this library.
+  *
+  * {{{
+  *   import graft.syntax._
+  *   signals.asOf(purchases, Seq("user_id"), "ts", "t", Seq("pval"))
+  *   docs.dedupMinHashPairs("doc_id", "text")
+  *   frames.objectsInLane("detections_raw", "lane_points_raw")
+  * }}}
+  *
+  * Every method delegates to the operator objects (single source of
+  * truth); nothing here adds semantics.
+  */
+object syntax {
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    // ---- signal lake -------------------------------------------------
+    def asOf(right: DataFrame, keys: Seq[String], leftTime: String,
+             rightTime: String, valueCols: Seq[String]): DataFrame =
+      AsOfJoin.asOf(df, right, keys, leftTime, rightTime, valueCols)
+
+    def asOfNative(right: DataFrame, keys: Seq[String], leftTime: String,
+                   rightTime: String, valueCols: Seq[String]): DataFrame =
+      AsOfJoin.asOfNative(df, right, keys, leftTime, rightTime, valueCols)
+
+    def asOfTolerance(right: DataFrame, keys: Seq[String], leftTime: String,
+                      rightTime: String, valueCols: Seq[String],
+                      toleranceUs: Long): DataFrame =
+      AsOfJoin.asOfTolerance(df, right, keys, leftTime, rightTime, valueCols, toleranceUs)
+
+    def timeGrid(groupCols: Seq[String], timeCol: String, stepUs: Long): DataFrame =
+      Signals.timeGrid(df, groupCols, timeCol, stepUs)
+
+    def forwardFill(groupCols: Seq[String], orderCols: Seq[String],
+                    fillCols: Seq[String]): DataFrame =
+      Signals.forwardFill(df, groupCols, orderCols, fillCols)
+
+    def synchronizeTopics(groupCols: Seq[String], timeCol: String,
+                          topicCol: String, valueCol: String,
+                          topics: Seq[String], stepUs: Long): DataFrame =
+      Signals.synchronize(df, groupCols, timeCol, topicCol, valueCol, topics, stepUs)
+
+    def sceneBoundaries(groupCols: Seq[String], timeCol: String,
+                        orderTiebreak: Seq[String], activity: Column): DataFrame =
+      Scenes.boundaries(df, groupCols, timeCol, orderTiebreak, activity)
+
+    def objectsInLane(detectionsCol: String, lanePointsCol: String): DataFrame =
+      LaneGeometry.objectsInLaneFused(df, detectionsCol, lanePointsCol)
+
+    def parseObjectList(rawCol: String, objStartKey: String,
+                        fields: Seq[(String, String)]): DataFrame =
+      df.withColumn("objects", SemiStructured.parseObjectListTyped(
+        org.apache.spark.sql.functions.col(rawCol), objStartKey, fields))
+
+    // ---- training-data curation -------------------------------------
+    def dedupExact(idCol: String, textCol: String): DataFrame =
+      Dedup.exact(df, idCol, textCol)
+
+    def dedupMinHashPairs(idCol: String, textCol: String,
+                          numHashes: Int = 8, shingleN: Int = 3,
+                          rowsPerBand: Int = 2): DataFrame =
+      Dedup.minHashPairs(df, idCol, textCol, numHashes, shingleN, rowsPerBand)
+
+    def dedupJaccardPairs(idCol: String, textCol: String,
+                          shingleN: Int = 3, minJaccard: Double = 0.3): DataFrame =
+      Dedup.ngramJaccardPairs(df, idCol, textCol, shingleN, minJaccard)
+
+    def dupClusters(aCol: String, bCol: String): DataFrame =
+      Dedup.dupClustersStar(df, aCol, bCol)
+
+    def decontaminateAgainst(benchmark: DataFrame, idCol: String,
+                             textCol: String, shingleN: Int = 5): DataFrame =
+      Dedup.decontaminate(df, benchmark, idCol, textCol, shingleN)
+
+    def hashSplit(idCol: String, seed: String, trainPct: Int, valPct: Int): DataFrame =
+      Sampling.split(df, idCol, seed, trainPct, valPct)
+
+    def packSequences(idCol: String, tokenCountCol: String, windowTokens: Long,
+                      shardCols: Seq[String] = Seq.empty): DataFrame =
+      Packing.pack(df, idCol, tokenCountCol, windowTokens, shardCols)
+
+    def annTopK(idCol: String, vecCol: String, queryId: Long, k: Int): DataFrame =
+      Similarity.bruteForceTopK(df, idCol, vecCol, queryId, k)
+
+    def saltedJoinOn(right: DataFrame, keys: Seq[String], saltBuckets: Int,
+                     hotThreshold: Long): DataFrame =
+      SkewJoin.saltedJoin(df, right, keys, saltBuckets, hotThreshold)
+  }
+}

@@ -601,6 +601,36 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("event_type"))),
+    "q_quality_filter" -> ((s, d) => {
+      // the curation FUNNEL: length / repetition / language-agreement
+      // rules composed into keep + first-failing-reason — one map-side
+      // projection over the corpus (the shape of a production filter)
+      val toks = TextFunctions.tokens(col("text"))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), toks.as("__toks"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+        .withColumn("n_tokens", size(col("__toks")).cast("long"))
+        .withColumn("__bi",
+          when(size(col("__toks")) >= 2,
+            transform(sequence(lit(0), size(col("__toks")) - 2),
+              i => concat_ws(" ", element_at(col("__toks"), i + 1),
+                element_at(col("__toks"), i + 2))))
+            .otherwise(array()))
+        .withColumn("rep_ratio",
+          when(size(col("__bi")) > 0,
+            round(lit(1.0) - size(array_distinct(col("__bi"))) /
+              size(col("__bi")).cast("double"), 6))
+            .otherwise(lit(0.0)))
+      base.withColumn("reason",
+          when(col("n_tokens") < 10, "too_short")
+            .when(col("rep_ratio") > 0.5, "repetitive")
+            .when(col("lang_pred") =!= col("lang"), "lang_mismatch")
+            .otherwise("ok"))
+        .withColumn("keep", (col("reason") === "ok").cast("int").cast("long"))
+        .select(col("doc_id"), col("n_tokens"), col("rep_ratio"),
+          col("lang_pred"), col("reason"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
     "q_mm_pipeline" -> ((s, d) => {
       // full multimodal chain: ingest → batch decode kernel →
       // frame sampling → metadata resize, flat oracle-comparable output
@@ -1316,6 +1346,29 @@ object SparkEntry {
         |FROM events
         |WHERE ('0x' || substr(md5('graft|' || event_id), 1, 15))::BIGINT % 100 < 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_quality_filter" ->
+      s"""WITH base AS (
+         |  SELECT t.doc_id, d.lang, len(t.tk) AS n_tokens,
+         |    CASE WHEN len(t.tk) >= 2
+         |         THEN round(1.0 -
+         |           len(list_distinct(list_transform(generate_series(1, len(t.tk) - 1),
+         |                 i -> t.tk[i] || ' ' || t.tk[i+1]))) /
+         |           CAST(len(t.tk) - 1 AS DOUBLE), 6)
+         |         ELSE 0.0 END AS rep_ratio,
+         |    lp.lang_pred
+         |  FROM ($docTokensSql) t
+         |  JOIN documents d ON t.doc_id = d.doc_id
+         |  JOIN (SELECT doc_id, $langCaseSql AS lang_pred
+         |        FROM ($langScoresSql) sc) lp ON t.doc_id = lp.doc_id)
+         |SELECT doc_id, n_tokens, rep_ratio, lang_pred, reason,
+         |  CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM (
+         |  SELECT *, CASE WHEN n_tokens < 10 THEN 'too_short'
+         |                 WHEN rep_ratio > 0.5 THEN 'repetitive'
+         |                 WHEN lang_pred <> lang THEN 'lang_mismatch'
+         |                 ELSE 'ok' END AS reason
+         |  FROM base) r
+         |ORDER BY doc_id""".stripMargin,
     "q_mm_pipeline" ->
       """SELECT media_id, n_bytes, width, height, n_frames,
         |  (n_frames + 2) // 3 AS n_sampled,

@@ -192,6 +192,48 @@ object Streaming {
       }
   }
 
+  case class TaggedRow(key: Long, ts_us: Long, isLeft: Boolean, value: Double)
+
+  case class AsOfState(lastTs: Long, lastVal: Double)
+
+  case class AsOfOut(key: Long, ts_us: Long, value: Option[Double])
+
+  /** Streaming AS-OF join: the union-tag formulation of
+    * [[graft.operators.AsOfJoin.asOf]] as a stream — tag both inputs,
+    * union them into one keyed stream, and keep ONE (lastTs, lastVal)
+    * pair per key; each left row emits the latest right value
+    * at-or-before it. Within a micro-batch rows sort by (ts, right
+    * first), so the batch and streaming paths agree on equal timestamps.
+    *
+    * Caveat shared with every stream-stream join: a right row arriving
+    * in a LATER micro-batch than a left row it should have matched
+    * cannot retro-fill (Append mode emits once); feed the union through
+    * an event-time watermark upstream when sources can lag.
+    */
+  def asOfStream(tagged: Dataset[TaggedRow]): Dataset[AsOfOut] = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[TaggedRow], state: GroupState[AsOfState]) =>
+          // right rows first at equal ts — inclusive as-of, like batch
+          val sorted = rows.toSeq.sortBy(r => (r.ts_us, r.isLeft))
+          var cur = state.getOption
+          val out = Seq.newBuilder[AsOfOut]
+          sorted.foreach { r =>
+            if (r.isLeft) {
+              out += AsOfOut(key, r.ts_us,
+                cur.filter(_.lastTs <= r.ts_us).map(_.lastVal))
+            } else {
+              cur = Some(AsOfState(r.ts_us, r.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stream-static enrichment: join a stream against a dimension table.
     * The static side broadcasts per micro-batch — no stream state, no
     * shuffle of the stream (the reference enriches signals with per-bag

@@ -29,6 +29,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asOfStream matches each left row with the latest right at-or-before") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TaggedRow]
+    val q = Streaming.asOfStream(mem.toDS())
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        TaggedRow(1L, 5L, isLeft = false, 10.0),  // signal @5
+        TaggedRow(1L, 7L, isLeft = true, 0.0),    // query @7 → 10.0
+        TaggedRow(1L, 9L, isLeft = false, 20.0),  // signal @9
+        TaggedRow(1L, 9L, isLeft = true, 0.0),    // query @9 → 20.0 (inclusive)
+        TaggedRow(2L, 3L, isLeft = true, 0.0))    // no signal yet → None
+      q.processAllAvailable()
+      mem.addData(TaggedRow(1L, 50L, isLeft = true, 0.0)) // next batch → 20.0
+      q.processAllAvailable()
+      val rows = spark.table("asof_stream").as[AsOfOut].collect()
+        .map(o => (o.key, o.ts_us) -> o.value).toMap
+      assert(rows == Map(
+        (1L, 7L) -> Some(10.0), (1L, 9L) -> Some(20.0),
+        (2L, 3L) -> None, (1L, 50L) -> Some(20.0)))
+    } finally q.stop()
+  }
+
   test("gridFill emits fixed-interval ticks with last value at-or-before") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventRow]

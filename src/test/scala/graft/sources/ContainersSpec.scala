@@ -39,6 +39,33 @@ class ContainersSpec extends SparkSpec {
     assert(out.getInt(0) == 0)
   }
 
+  test("DataSourceV2 reader: per-file partitions, provenance, column pruning") {
+    graft.plans.GraftExtensions.register(spark)
+    val dir = Files.createTempDirectory("graft-bags-v2").toString
+    val blobs = spark.range(3).select(col("id"),
+      Containers.pack(array(
+        msgRow("camera", 1L, "a"), msgRow("lidar", 2L, "bb"))).as("blob"))
+      .collect()
+    blobs.foreach { r =>
+      Files.write(Paths.get(s"$dir/bag_${r.getLong(0)}.bin"), r.getAs[Array[Byte]]("blob"))
+    }
+    val df = spark.read.format("graft.sources.v2.ContainerDataSource").load(dir)
+    assert(df.schema.fieldNames.toSeq == Seq("bag_file", "topic", "ts_us", "payload"))
+    assert(df.count() == 6)
+    assert(df.rdd.getNumPartitions == 3) // one partition per container file
+    val full = df.orderBy("bag_file", "ts_us")
+      .select(col("bag_file"), col("topic"), col("ts_us"),
+        decode(col("payload"), "utf-8").as("p"))
+      .as[(String, String, Long, String)].collect().toSeq
+    assert(full.take(2) == Seq(("bag_0", "camera", 1L, "a"), ("bag_0", "lidar", 2L, "bb")))
+    // column pruning reaches the reader: the scan's output shrinks
+    val pruned = df.select("topic")
+    val scanOutput = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.output.map(_.name)
+    assert(scanOutput == Seq("topic"), scanOutput)
+    assert(pruned.distinct().as[String].collect().toSet == Set("camera", "lidar"))
+  }
+
   test("binaryFile directory read splits containers per topic with provenance") {
     graft.plans.GraftExtensions.register(spark)
     val dir = Files.createTempDirectory("graft-bags").toString

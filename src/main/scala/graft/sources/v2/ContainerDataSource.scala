@@ -63,16 +63,51 @@ class ContainerTable(path: String) extends Table with SupportsRead {
 }
 
 class ContainerScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
+
   private var required: StructType = ContainerDataSource.fullSchema
+  private var pushedTopics: Option[Set[String]] = None
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ContainerScan(path, required)
+  /** Topic equality/IN predicates evaluate INSIDE the reader — records
+    * of foreign topics are skipped at decode time without copying their
+    * payload bytes (the reference reads one topic of a bag the same way:
+    * main.py:92 `message_by_topic`). Everything else stays a residual
+    * filter for Spark.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("topic", _: String) => true
+      case In("topic", vs) => vs.forall(_.isInstanceOf[String])
+      case IsNotNull("topic") => true // the format never yields null topics
+      case _ => false
+    }
+    pushedTopics = accepted.foldLeft(Option.empty[Set[String]]) { (acc, f) =>
+      f match {
+        case EqualTo(_, v: String) =>
+          Some(acc.fold(Set(v))(_ intersect Set(v)))
+        case In(_, vs) =>
+          val ts = vs.map(_.asInstanceOf[String]).toSet
+          Some(acc.fold(ts)(_ intersect ts))
+        case _ => acc // IsNotNull constrains nothing
+      }
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new ContainerScan(path, required, pushedTopics)
 }
 
-class ContainerScan(path: String, required: StructType) extends Scan with Batch {
+class ContainerScan(path: String, required: StructType,
+                    topicFilter: Option[Set[String]] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -87,22 +122,24 @@ class ContainerScan(path: String, required: StructType) extends Scan with Batch 
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ContainerReaderFactory(required)
+    new ContainerReaderFactory(required, topicFilter)
 }
 
 case class ContainerPartition(file: String) extends InputPartition
 
-class ContainerReaderFactory(required: StructType)
+class ContainerReaderFactory(required: StructType,
+                             topicFilter: Option[Set[String]])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ContainerPartitionReader(
-      partition.asInstanceOf[ContainerPartition].file, required)
+      partition.asInstanceOf[ContainerPartition].file, required, topicFilter)
 }
 
 /** Streams one container file: decodes records lazily and projects only
   * the required columns (pruned payloads are skipped, not copied).
   */
-class ContainerPartitionReader(file: String, required: StructType)
+class ContainerPartitionReader(file: String, required: StructType,
+                               topicFilter: Option[Set[String]] = None)
     extends PartitionReader[InternalRow] {
 
   private val bagFile =
@@ -110,28 +147,39 @@ class ContainerPartitionReader(file: String, required: StructType)
   private val buf = ByteBuffer.wrap(Files.readAllBytes(Paths.get(file)))
   private val fieldIdx = required.fieldNames.map(
     ContainerDataSource.fullSchema.fieldNames.indexOf(_))
+  private val wantedTopics = topicFilter.map(_.map(UTF8String.fromString))
   private var row: InternalRow = _
 
-  override def next(): Boolean = {
+  @annotation.tailrec
+  final override def next(): Boolean = {
     if (buf.remaining() <= 0) return false
     val tlen = buf.getInt
-    val needTopic = fieldIdx.contains(1)
+    // the pushed topic filter needs the topic regardless of pruning
+    val needTopic = fieldIdx.contains(1) || wantedTopics.isDefined
     val topic = if (needTopic) {
       val tb = new Array[Byte](tlen); buf.get(tb); UTF8String.fromBytes(tb)
     } else { buf.position(buf.position() + tlen); null }
-    val ts = buf.getLong
-    val plen = buf.getInt
-    val needPayload = fieldIdx.contains(3)
-    val payload = if (needPayload) {
-      val pb = new Array[Byte](plen); buf.get(pb); pb
-    } else { buf.position(buf.position() + plen); null }
-    row = new GenericInternalRow(fieldIdx.map {
-      case 0 => bagFile
-      case 1 => topic
-      case 2 => ts
-      case 3 => payload
-    }.asInstanceOf[Array[Any]])
-    true
+    if (wantedTopics.exists(w => !w.contains(topic))) {
+      // skip the rest of the record without copying anything
+      buf.position(buf.position() + 8)
+      val skip = buf.getInt
+      buf.position(buf.position() + skip)
+      next()
+    } else {
+      val ts = buf.getLong
+      val plen = buf.getInt
+      val needPayload = fieldIdx.contains(3)
+      val payload = if (needPayload) {
+        val pb = new Array[Byte](plen); buf.get(pb); pb
+      } else { buf.position(buf.position() + plen); null }
+      row = new GenericInternalRow(fieldIdx.map {
+        case 0 => bagFile
+        case 1 => topic
+        case 2 => ts
+        case 3 => payload
+      }.asInstanceOf[Array[Any]])
+      true
+    }
   }
 
   override def get(): InternalRow = row

@@ -64,6 +64,15 @@ class ContainersSpec extends SparkSpec {
       .head.output.map(_.name)
     assert(scanOutput == Seq("topic"), scanOutput)
     assert(pruned.distinct().as[String].collect().toSet == Set("camera", "lidar"))
+    // topic predicate pushes into the reader: the source accepted it, so
+    // the plan has NO residual Filter, yet only camera rows come back
+    val filtered = df.filter(col("topic") === "camera").select("bag_file", "ts_us")
+    val hasResidualFilter = filtered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.nonEmpty
+    assert(!hasResidualFilter,
+      filtered.queryExecution.executedPlan.toString.take(800))
+    assert(filtered.count() == 3)
   }
 
   test("binaryFile directory read splits containers per topic with provenance") {

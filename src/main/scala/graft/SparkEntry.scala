@@ -143,6 +143,46 @@ object SparkEntry {
     "q5_join" -> ((s, d) =>
       Analytics.localSupplierVolume(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
         Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_min_cost_join_back" -> ((s, d) => {
+      // TPC-H Q2 shape: per-group minimum, then JOIN BACK to recover the
+      // full qualifying rows (the decorrelated form of a correlated
+      // subquery — two shuffles on the group key, no window over the facts)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      val mins = li.groupBy(col("l_partkey"))
+        .agg(min(col("l_extendedprice")).as("min_price"))
+      li.join(mins, Seq("l_partkey"))
+        .filter(col("l_extendedprice") === col("min_price"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(round(max(col("min_price")), 4).as("min_price"),
+          min(col("s_name")).as("s_name"),
+          count(lit(1)).as("n_suppliers"))
+        .orderBy(col("l_partkey"))
+        .limit(100)
+    }),
+    "q_nation_volume" -> ((s, d) => {
+      // TPC-H Q7 shape: revenue between two fixed nation pairs by year —
+      // fixed-cardinality nation dims broadcast, facts shuffle once
+      val n1 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation")))
+      val n2 = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation")))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("c_nationkey") === col("ck"))
+        .join(n2, col("s_nationkey") === col("sk"))
+        .filter(col("cust_nation").isin("NATION_1", "NATION_2") &&
+          col("supp_nation").isin("NATION_1", "NATION_2") &&
+          col("cust_nation") =!= col("supp_nation"))
+        .groupBy(col("cust_nation"), col("supp_nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("cust_nation"), col("supp_nation"), col("o_year"))
+    }),
     "q_window_rank" -> ((s, d) => Analytics.topNPerGroup(Tables.orders(s, d), 5)),
     "q_window_running" -> ((s, d) => Analytics.runningAggregates(Tables.events(s, d))),
     "q_semi_anti" -> ((s, d) => Analytics.semiAntiCounts(Tables.customer(s, d), Tables.orders(s, d))),
@@ -723,6 +763,34 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_min_cost_join_back" ->
+      """SELECT l_partkey, round(max(min_price), 4) AS min_price,
+        |  min(s_name) AS s_name, count(*) AS n_suppliers
+        |FROM (
+        |  SELECT li.l_partkey, li.l_suppkey, m.min_price
+        |  FROM lineitem li
+        |  JOIN (SELECT l_partkey, min(l_extendedprice) AS min_price
+        |        FROM lineitem GROUP BY l_partkey) m
+        |    ON li.l_partkey = m.l_partkey AND li.l_extendedprice = m.min_price) q
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY l_partkey
+        |ORDER BY l_partkey
+        |LIMIT 100""".stripMargin,
+    "q_nation_volume" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY cust_nation, supp_nation, o_year
+        |ORDER BY cust_nation, supp_nation, o_year""".stripMargin,
     "q_window_rank" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

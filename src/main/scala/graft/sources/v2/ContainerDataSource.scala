@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -56,7 +57,7 @@ class ContainerTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-container($path)"
   override def schema(): StructType = ContainerDataSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ContainerScanBuilder(path)
@@ -111,18 +112,61 @@ class ContainerScan(path: String, required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    ContainerScan.listFiles(path).map(f => ContainerPartition(f): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ContainerReaderFactory(required, topicFilter)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ContainerMicroBatchStream(path, required, topicFilter)
+}
+
+object ContainerScan {
+  def listFiles(path: String): Array[String] = {
     val dir = Paths.get(path)
-    val files =
-      if (Files.isDirectory(dir))
-        Files.list(dir).iterator().asScala
-          .filter(_.toString.endsWith(".bin")).map(_.toString).toArray.sorted
-      else Array(path)
-    files.map(f => ContainerPartition(f): InputPartition)
+    if (Files.isDirectory(dir))
+      Files.list(dir).iterator().asScala
+        .filter(_.toString.endsWith(".bin")).map(_.toString).toArray.sorted
+    else Array(path)
+  }
+}
+
+/** One arriving container file = one micro-batch unit — the streaming
+  * form of the reference's batch trigger (an S3 bag upload fires the
+  * pipeline: infrastructure/emr_trigger). The offset is simply how many
+  * files (in sorted order) have been processed; a restart replays from
+  * the committed offset. Append-only directories only, like every
+  * file-based source.
+  */
+class ContainerMicroBatchStream(path: String, required: StructType,
+                                topicFilter: Option[Set[String]])
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset = ContainerOffset(0)
+
+  override def latestOffset(): Offset =
+    ContainerOffset(ContainerScan.listFiles(path).length)
+
+  override def deserializeOffset(json: String): Offset =
+    ContainerOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ContainerOffset].n
+    val e = end.asInstanceOf[ContainerOffset].n
+    ContainerScan.listFiles(path).slice(s, e)
+      .map(f => ContainerPartition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ContainerReaderFactory(required, topicFilter)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class ContainerOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
 }
 
 case class ContainerPartition(file: String) extends InputPartition

@@ -75,6 +75,33 @@ class ContainersSpec extends SparkSpec {
     assert(filtered.count() == 3)
   }
 
+  test("DSv2 streaming: each arriving container file becomes a micro-batch") {
+    graft.plans.GraftExtensions.register(spark)
+    val dir = Files.createTempDirectory("graft-bags-stream").toString
+    def writeBag(i: Long): Unit = {
+      val blob = spark.range(1).select(
+        Containers.pack(array(msgRow(s"topic_$i", i, s"payload_$i"))).as("b"))
+        .head().getAs[Array[Byte]]("b")
+      Files.write(Paths.get(s"$dir/bag_$i.bin"), blob)
+    }
+    writeBag(0); writeBag(1)
+    val stream = spark.readStream
+      .format("graft.sources.v2.ContainerDataSource").load(dir)
+      .select("bag_file", "topic", "ts_us")
+    val q = stream.writeStream.format("memory").queryName("bags")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("bags").count() == 2)
+      writeBag(2) // a new "upload" arrives → next micro-batch picks it up
+      q.processAllAvailable()
+      val rows = spark.table("bags").orderBy("ts_us")
+        .as[(String, String, Long)].collect().toSeq
+      assert(rows == Seq(("bag_0", "topic_0", 0L), ("bag_1", "topic_1", 1L),
+        ("bag_2", "topic_2", 2L)))
+    } finally q.stop()
+  }
+
   test("binaryFile directory read splits containers per topic with provenance") {
     graft.plans.GraftExtensions.register(spark)
     val dir = Files.createTempDirectory("graft-bags").toString

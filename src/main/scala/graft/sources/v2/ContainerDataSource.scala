@@ -1,10 +1,10 @@
 package graft.sources.v2
 
-import java.nio.ByteBuffer
-import java.nio.file.{Files, Paths}
+import java.io.DataInputStream
 import java.util
 
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -123,11 +123,16 @@ class ContainerScan(path: String, required: StructType,
 }
 
 object ContainerScan {
+  /** Hadoop FileSystem listing — the path can be local, HDFS, or any
+    * object store with a Hadoop connector (the reference reads bags off
+    * S3; a path scheme is all that changes here).
+    */
   def listFiles(path: String): Array[String] = {
-    val dir = Paths.get(path)
-    if (Files.isDirectory(dir))
-      Files.list(dir).iterator().asScala
-        .filter(_.toString.endsWith(".bin")).map(_.toString).toArray.sorted
+    val p = new HPath(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".bin"))
+        .map(_.getPath.toString).sorted
     else Array(path)
   }
 }
@@ -179,43 +184,60 @@ class ContainerReaderFactory(required: StructType,
       partition.asInstanceOf[ContainerPartition].file, required, topicFilter)
 }
 
-/** Streams one container file: decodes records lazily and projects only
-  * the required columns (pruned payloads are skipped, not copied).
+/** Streams one container file record by record over a (buffered) Hadoop
+  * input stream — a multi-GB bag never materializes in memory, pruned
+  * payloads and filtered-out records are `skip`ped, not copied.
   */
 class ContainerPartitionReader(file: String, required: StructType,
                                topicFilter: Option[Set[String]] = None)
     extends PartitionReader[InternalRow] {
 
+  private val hPath = new HPath(file)
   private val bagFile =
-    UTF8String.fromString(file.split('/').last.stripSuffix(".bin"))
-  private val buf = ByteBuffer.wrap(Files.readAllBytes(Paths.get(file)))
+    UTF8String.fromString(hPath.getName.stripSuffix(".bin"))
+  private val totalLen =
+    hPath.getFileSystem(new Configuration()).getFileStatus(hPath).getLen
+  private val in = new DataInputStream(
+    new java.io.BufferedInputStream(
+      hPath.getFileSystem(new Configuration()).open(hPath), 1 << 16))
+  private var pos = 0L
   private val fieldIdx = required.fieldNames.map(
     ContainerDataSource.fullSchema.fieldNames.indexOf(_))
   private val wantedTopics = topicFilter.map(_.map(UTF8String.fromString))
   private var row: InternalRow = _
 
+  private def skipFully(n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s <= 0) throw new java.io.EOFException(s"truncated container $file")
+      left -= s
+    }
+  }
+
   @annotation.tailrec
   final override def next(): Boolean = {
-    if (buf.remaining() <= 0) return false
-    val tlen = buf.getInt
+    if (pos >= totalLen) return false
+    val tlen = in.readInt()
     // the pushed topic filter needs the topic regardless of pruning
     val needTopic = fieldIdx.contains(1) || wantedTopics.isDefined
     val topic = if (needTopic) {
-      val tb = new Array[Byte](tlen); buf.get(tb); UTF8String.fromBytes(tb)
-    } else { buf.position(buf.position() + tlen); null }
+      val tb = new Array[Byte](tlen); in.readFully(tb); UTF8String.fromBytes(tb)
+    } else { skipFully(tlen); null }
     if (wantedTopics.exists(w => !w.contains(topic))) {
-      // skip the rest of the record without copying anything
-      buf.position(buf.position() + 8)
-      val skip = buf.getInt
-      buf.position(buf.position() + skip)
+      skipFully(8) // ts
+      val skip = in.readInt()
+      skipFully(skip)
+      pos += 4L + tlen + 8 + 4 + skip
       next()
     } else {
-      val ts = buf.getLong
-      val plen = buf.getInt
+      val ts = in.readLong()
+      val plen = in.readInt()
       val needPayload = fieldIdx.contains(3)
       val payload = if (needPayload) {
-        val pb = new Array[Byte](plen); buf.get(pb); pb
-      } else { buf.position(buf.position() + plen); null }
+        val pb = new Array[Byte](plen); in.readFully(pb); pb
+      } else { skipFully(plen); null }
+      pos += 4L + tlen + 8 + 4 + plen
       row = new GenericInternalRow(fieldIdx.map {
         case 0 => bagFile
         case 1 => topic
@@ -227,5 +249,5 @@ class ContainerPartitionReader(file: String, required: StructType,
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = ()
+  override def close(): Unit = in.close()
 }

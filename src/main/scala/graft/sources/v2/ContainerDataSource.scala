@@ -148,18 +148,35 @@ class ContainerMicroBatchStream(path: String, required: StructType,
                                 topicFilter: Option[Set[String]])
     extends MicroBatchStream {
 
+  // offsets index into DISCOVERY order, not a re-sorted listing: a late
+  // arrival that sorts lexicographically early (bag_10 < bag_2) must not
+  // shift the offsets of files already processed. On restart the list
+  // rebuilds from the sorted listing, which is stable for append-only
+  // directories whose processed prefix is unchanged.
+  private val discovered = scala.collection.mutable.ArrayBuffer[String]()
+  private val known = scala.collection.mutable.HashSet[String]()
+
+  private def refresh(): Unit = synchronized {
+    ContainerScan.listFiles(path).foreach { f =>
+      if (known.add(f)) discovered += f
+    }
+  }
+
   override def initialOffset(): Offset = ContainerOffset(0)
 
-  override def latestOffset(): Offset =
-    ContainerOffset(ContainerScan.listFiles(path).length)
+  override def latestOffset(): Offset = {
+    refresh()
+    ContainerOffset(discovered.length)
+  }
 
   override def deserializeOffset(json: String): Offset =
     ContainerOffset(json.trim.toInt)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    refresh()
     val s = start.asInstanceOf[ContainerOffset].n
     val e = end.asInstanceOf[ContainerOffset].n
-    ContainerScan.listFiles(path).slice(s, e)
+    discovered.slice(s, e).toArray
       .map(f => ContainerPartition(f): InputPartition)
   }
 

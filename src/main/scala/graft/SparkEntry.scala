@@ -506,27 +506,24 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
-    "q_repetition" -> ((s, d) => {
+    "q_repetition" -> ((s, d) =>
       // repeated-bigram ratio: the standard within-document repetition
       // quality signal (1 − distinct/total bigram occurrences)
-      val toks = TextFunctions.tokens(col("text"))
       Tables.documents(s, d)
-        .select(col("doc_id"), toks.as("__toks"))
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
         .select(col("doc_id"),
-          when(size(col("__toks")) >= 2,
-            transform(sequence(lit(0), size(col("__toks")) - 2),
-              i => concat_ws(" ", element_at(col("__toks"), i + 1),
-                element_at(col("__toks"), i + 2))))
-            .otherwise(array()).as("__bi"))
+          graft.functions.Let.bind(TextFunctions.bigrams(col("__toks"))) { bi =>
+            struct(size(bi).cast("long").as("n_bigrams"),
+              size(array_distinct(bi)).cast("long").as("n_distinct"))
+          }.as("__b"))
         .select(col("doc_id"),
-          size(col("__bi")).cast("long").as("n_bigrams"),
-          size(array_distinct(col("__bi"))).cast("long").as("n_distinct"))
+          col("__b.n_bigrams").as("n_bigrams"),
+          col("__b.n_distinct").as("n_distinct"))
         .withColumn("rep_ratio",
           when(col("n_bigrams") > 0,
             round(lit(1.0) - col("n_distinct") / col("n_bigrams"), 6))
             .otherwise(lit(0.0)))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
     "q_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.decontaminate(
@@ -650,17 +647,7 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), toks.as("__toks"),
           TextFunctions.langId(col("text")).as("lang_pred"))
         .withColumn("n_tokens", size(col("__toks")).cast("long"))
-        .withColumn("__bi",
-          when(size(col("__toks")) >= 2,
-            transform(sequence(lit(0), size(col("__toks")) - 2),
-              i => concat_ws(" ", element_at(col("__toks"), i + 1),
-                element_at(col("__toks"), i + 2))))
-            .otherwise(array()))
-        .withColumn("rep_ratio",
-          when(size(col("__bi")) > 0,
-            round(lit(1.0) - size(array_distinct(col("__bi"))) /
-              size(col("__bi")).cast("double"), 6))
-            .otherwise(lit(0.0)))
+        .withColumn("rep_ratio", TextFunctions.repetitionRatio(col("__toks")))
       base.withColumn("reason",
           when(col("n_tokens") < 10, "too_short")
             .when(col("rep_ratio") > 0.5, "repetitive")

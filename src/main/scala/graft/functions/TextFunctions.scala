@@ -57,29 +57,43 @@ object TextFunctions {
     * alphabetically-first language. Scores are computed map-side per row —
     * no shuffle, no UDF.
     */
-  def langId(text: Column): Column = {
-    // let-bind the token array and then the score tuple via single-element
-    // transforms: the decision tree references every score ~4× and each
-    // score scans the tokens — without binding, the tokenize+filter trees
-    // re-inline per reference (interpreted lambdas; measured ~20×)
-    val scored = element_at(transform(array(struct(tokens(text).as("t"))), o => {
-      val toks = o.getField("t")
-      struct(stopwordProfiles.map { case (lang, words) =>
+  def langId(text: Column): Column =
+    // Let.bind the token array, then the score tuple: the decision tree
+    // references every score ~4× and each score scans the tokens —
+    // unbound, the tokenize+filter trees re-inline per reference
+    // (interpreted lambdas; measured ~20×)
+    Let.bind(tokens(text)) { toks =>
+      Let.bind(struct(stopwordProfiles.map { case (lang, words) =>
         stopwordHits(toks, words).as(s"s_$lang")
-      }: _*)
-    }), 1)
-    element_at(transform(array(scored), sc => {
-      val scores = stopwordProfiles.map { case (lang, _) =>
-        lang -> sc.getField(s"s_$lang")
+      }: _*)) { sc =>
+        val scores = stopwordProfiles.map { case (lang, _) =>
+          lang -> sc.getField(s"s_$lang")
+        }
+        // lang wins iff it strictly beats every alphabetically-earlier
+        // lang and ties-or-beats every later one — exactly one branch true
+        scores.foldRight(lit("und")) { case ((lang, score), elseCol) =>
+          val wins = scores.filter(_._1 != lang)
+            .map { case (other, s) => if (other < lang) score > s else score >= s }
+            .reduce(_ && _)
+          when(wins, lit(lang)).otherwise(elseCol)
+        }
       }
-      // lang wins iff it strictly beats every alphabetically-earlier lang
-      // and ties-or-beats every later one — exactly one branch is true
-      scores.foldRight(lit("und")) { case ((lang, score), elseCol) =>
-        val wins = scores.filter(_._1 != lang)
-          .map { case (other, s) => if (other < lang) score > s else score >= s }
-          .reduce(_ && _)
-        when(wins, lit(lang)).otherwise(elseCol)
-      }
-    }), 1)
-  }
+    }
+
+  /** Non-distinct token bigrams ("a b", "b c", …); empty below 2 tokens. */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array())
+
+  /** Repeated-bigram ratio 1 − distinct/total (0 for <2 tokens) — the
+    * standard within-document repetition quality signal.
+    */
+  def repetitionRatio(toks: Column): Column =
+    Let.bind(bigrams(toks)) { bi =>
+      when(size(bi) > 0,
+        round(lit(1.0) - size(array_distinct(bi)) / size(bi).cast("double"), 6))
+        .otherwise(lit(0.0))
+    }
 }

@@ -89,7 +89,10 @@ object Analytics {
                        ps: Seq[(String, Double)]): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
     def r(p: Double): Column = lit(1.0) + (col("__n") - 1) * lit(p)
+    // NULL values are ignored, like the builtin percentile aggregate —
+    // they must not occupy ranks or count toward n
     val ranked = df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
     // only rows that participate in some interpolation survive the window

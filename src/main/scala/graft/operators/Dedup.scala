@@ -88,10 +88,16 @@ object Dedup {
     *   standard LSH-dedup guard; skipped buckets are (deterministically)
     *   not candidates.
     */
+  /** @param broadcastOversized hint the oversized-bucket set broadcast
+    *   (default — boilerplate buckets are normally few); pass false for
+    *   corpora where degenerate buckets are themselves huge so AQE's
+    *   size-based planning picks the anti-join side.
+    */
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 8, shingleN: Int = 3, rowsPerBand: Int = 2,
                    maxBucketSize: Int = 64,
-                   sigPath: Option[String] = None): DataFrame = {
+                   sigPath: Option[String] = None,
+                   broadcastOversized: Boolean = true): DataFrame = {
     require(numHashes > 0 && rowsPerBand > 0 && numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand) — " +
         "a remainder would silently drop signature slots from banding")
@@ -114,7 +120,9 @@ object Dedup {
       .agg(count(lit(1)).as("__bsize"))
       .filter(col("__bsize") > maxBucketSize)
       .select(col("band"), col("sig"))
-    val banded = banded0.join(broadcast(oversized), Seq("band", "sig"), "left_anti")
+    val banded = banded0.join(
+      if (broadcastOversized) broadcast(oversized) else oversized,
+      Seq("band", "sig"), "left_anti")
     // repartition BEFORE aliasing: both self-join branches then hang off
     // an identical Exchange subtree → ReusedExchange computes the banded
     // signatures once, and the join needs no further shuffle

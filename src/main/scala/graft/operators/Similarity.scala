@@ -105,26 +105,23 @@ object Similarity {
     * columns with bounded recall loss.
     */
   def quantizeStats(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    // let-bind scale and the quantized array via single-element transforms:
-    // referencing `scale` (which contains an array_max scan) inside the
-    // per-element quantize lambda would re-inline that scan PER ELEMENT
-    // (array lambdas are interpreted — measured ~40× on this operator)
+    // Let.bind scale, then the quantized array: referencing `scale`
+    // (which contains an array_max scan) inside the per-element quantize
+    // lambda would re-inline that scan PER ELEMENT (array lambdas are
+    // interpreted — measured ~40× on this operator)
+    import graft.functions.Let
     val x = col(vecCol)
-    val withScale = element_at(transform(array(struct(x.as("v"))), o => {
-      val v = o.getField("v")
-      val scale = lit(127.0) /
-        array_max(transform(v, e => abs(e.cast("double"))))
-      struct(v.as("v"), scale.as("scale"))
-    }), 1)
-    val packed = element_at(transform(array(withScale), o => {
+    val packed = Let.bind(struct(x.as("v"),
+      (lit(127.0) / array_max(transform(x, e => abs(e.cast("double"))))).as("scale"))) { o =>
       val v = o.getField("v")
       val scale = o.getField("scale")
-      val q = transform(v, e => floor(e.cast("double") * scale).cast("long"))
-      struct(round(scale, 6).as("scale"),
-        aggregate(q, lit(0L), (acc, e) => acc + e).as("q_sum"),
-        array_min(q).as("q_min"),
-        array_max(q).as("q_max"))
-    }), 1)
+      Let.bind(transform(v, e => floor(e.cast("double") * scale).cast("long"))) { q =>
+        struct(round(scale, 6).as("scale"),
+          aggregate(q, lit(0L), (acc, e) => acc + e).as("q_sum"),
+          array_min(q).as("q_min"),
+          array_max(q).as("q_max"))
+      }
+    }
     embeddings.select(col(idCol), packed.as("__q"))
       .select(col(idCol), col("__q.scale").as("scale"),
         col("__q.q_sum").as("q_sum"), col("__q.q_min").as("q_min"),

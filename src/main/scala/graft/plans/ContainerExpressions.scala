@@ -37,9 +37,14 @@ case class ContainerPack(child: Expression)
   override def dataType: DataType = BinaryType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(_: StructType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StructType(fields), _)
+        if fields.length == 3 &&
+          fields(0).dataType == StringType &&
+          fields(1).dataType == LongType &&
+          fields(2).dataType == BinaryType =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"container_pack requires array<struct<topic,ts_us,payload>>, got ${other.simpleString}")
+      s"container_pack requires array<struct<topic:string,ts_us:bigint,payload:binary>>, got ${other.simpleString}")
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -52,6 +57,10 @@ case class ContainerPack(child: Expression)
     var i = 0
     while (i < n) {
       val m = msgs.getStruct(i, 3)
+      if (m == null || m.isNullAt(0) || m.isNullAt(1) || m.isNullAt(2))
+        throw new IllegalArgumentException(
+          s"container_pack: message $i has a null struct or null " +
+            "topic/ts_us/payload — the container format has no null encoding")
       topics(i) = m.getUTF8String(0).getBytes
       tss(i) = m.getLong(1)
       payloads(i) = m.getBinary(2)

@@ -4,7 +4,9 @@ import java.io.DataInputStream
 import java.util
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.hadoop.fs.{Path => HPath}
+
+import org.apache.spark.sql.SparkSession
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -60,10 +62,25 @@ class ContainerTable(path: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ContainerScanBuilder(path)
+    // the SESSION's hadoop conf (spark.hadoop.* — object-store creds,
+    // endpoints) must reach both driver-side listing and executor-side
+    // readers; a bare `new Configuration()` would drop it all
+    new ContainerScanBuilder(path,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
 }
 
-class ContainerScanBuilder(path: String)
+/** Minimal serializable Hadoop Configuration carrier (the spark-core
+  * equivalent is private[spark]). */
+class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject(); value = new Configuration(false); value.readFields(in)
+  }
+}
+
+class ContainerScanBuilder(path: String, hconf: SerializableHadoopConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
@@ -104,22 +121,24 @@ class ContainerScanBuilder(path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ContainerScan(path, required, pushedTopics)
+  override def build(): Scan = new ContainerScan(path, hconf, required, pushedTopics)
 }
 
-class ContainerScan(path: String, required: StructType,
+class ContainerScan(path: String, hconf: SerializableHadoopConf,
+                    required: StructType,
                     topicFilter: Option[Set[String]] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    ContainerScan.listFiles(path).map(f => ContainerPartition(f): InputPartition)
+    ContainerScan.listFiles(path, hconf.value)
+      .map(f => ContainerPartition(f): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ContainerReaderFactory(required, topicFilter)
+    new ContainerReaderFactory(required, topicFilter, hconf)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ContainerMicroBatchStream(path, required, topicFilter)
+    new ContainerMicroBatchStream(path, hconf, required, topicFilter)
 }
 
 object ContainerScan {
@@ -127,9 +146,9 @@ object ContainerScan {
     * object store with a Hadoop connector (the reference reads bags off
     * S3; a path scheme is all that changes here).
     */
-  def listFiles(path: String): Array[String] = {
+  def listFiles(path: String, conf: Configuration): Array[String] = {
     val p = new HPath(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     if (fs.getFileStatus(p).isDirectory)
       fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".bin"))
         .map(_.getPath.toString).sorted
@@ -139,66 +158,69 @@ object ContainerScan {
 
 /** One arriving container file = one micro-batch unit — the streaming
   * form of the reference's batch trigger (an S3 bag upload fires the
-  * pipeline: infrastructure/emr_trigger). The offset is simply how many
-  * files (in sorted order) have been processed; a restart replays from
-  * the committed offset. Append-only directories only, like every
-  * file-based source.
+  * pipeline: infrastructure/emr_trigger). Append-only directories only,
+  * like every file-based source.
   */
-class ContainerMicroBatchStream(path: String, required: StructType,
+class ContainerMicroBatchStream(path: String, hconf: SerializableHadoopConf,
+                                required: StructType,
                                 topicFilter: Option[Set[String]])
     extends MicroBatchStream {
 
-  // offsets index into DISCOVERY order, not a re-sorted listing: a late
-  // arrival that sorts lexicographically early (bag_10 < bag_2) must not
-  // shift the offsets of files already processed. On restart the list
-  // rebuilds from the sorted listing, which is stable for append-only
-  // directories whose processed prefix is unchanged.
+  // The offset IS the ordered list of files processed so far — restart-
+  // safe by construction: a late arrival that sorts lexicographically
+  // early (bag_10 < bag_2) cannot shift committed positions, because a
+  // deserialized checkpoint offset re-seeds the discovery order before
+  // any new listing is merged in.
   private val discovered = scala.collection.mutable.ArrayBuffer[String]()
   private val known = scala.collection.mutable.HashSet[String]()
 
-  private def refresh(): Unit = synchronized {
-    ContainerScan.listFiles(path).foreach { f =>
-      if (known.add(f)) discovered += f
-    }
+  private def merge(files: Seq[String]): Unit = synchronized {
+    files.foreach { f => if (known.add(f)) discovered += f }
   }
 
-  override def initialOffset(): Offset = ContainerOffset(0)
+  override def initialOffset(): Offset = ContainerOffset(Nil)
 
   override def latestOffset(): Offset = {
-    refresh()
-    ContainerOffset(discovered.length)
+    merge(ContainerScan.listFiles(path, hconf.value).toSeq)
+    synchronized { ContainerOffset(discovered.toList) }
   }
 
-  override def deserializeOffset(json: String): Offset =
-    ContainerOffset(json.trim.toInt)
+  override def deserializeOffset(json: String): Offset = {
+    val files = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(json, classOf[Array[String]]).toSeq
+    merge(files) // checkpointed order seeds discovery before new listings
+    ContainerOffset(files)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    refresh()
-    val s = start.asInstanceOf[ContainerOffset].n
-    val e = end.asInstanceOf[ContainerOffset].n
-    discovered.slice(s, e).toArray
-      .map(f => ContainerPartition(f): InputPartition)
+    val s = start.asInstanceOf[ContainerOffset].files
+    val e = end.asInstanceOf[ContainerOffset].files
+    e.drop(s.length).toArray.map(f => ContainerPartition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ContainerReaderFactory(required, topicFilter)
+    new ContainerReaderFactory(required, topicFilter, hconf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-case class ContainerOffset(n: Int) extends Offset {
-  override def json(): String = n.toString
+case class ContainerOffset(files: Seq[String]) extends Offset {
+  override def json(): String =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(files.toArray)
 }
 
 case class ContainerPartition(file: String) extends InputPartition
 
 class ContainerReaderFactory(required: StructType,
-                             topicFilter: Option[Set[String]])
+                             topicFilter: Option[Set[String]],
+                             hconf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ContainerPartitionReader(
-      partition.asInstanceOf[ContainerPartition].file, required, topicFilter)
+      partition.asInstanceOf[ContainerPartition].file, required, topicFilter,
+      hconf.value)
 }
 
 /** Streams one container file record by record over a (buffered) Hadoop
@@ -206,17 +228,17 @@ class ContainerReaderFactory(required: StructType,
   * payloads and filtered-out records are `skip`ped, not copied.
   */
 class ContainerPartitionReader(file: String, required: StructType,
-                               topicFilter: Option[Set[String]] = None)
+                               topicFilter: Option[Set[String]] = None,
+                               conf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
 
   private val hPath = new HPath(file)
   private val bagFile =
     UTF8String.fromString(hPath.getName.stripSuffix(".bin"))
-  private val totalLen =
-    hPath.getFileSystem(new Configuration()).getFileStatus(hPath).getLen
+  private val fs = hPath.getFileSystem(conf)
+  private val totalLen = fs.getFileStatus(hPath).getLen
   private val in = new DataInputStream(
-    new java.io.BufferedInputStream(
-      hPath.getFileSystem(new Configuration()).open(hPath), 1 << 16))
+    new java.io.BufferedInputStream(fs.open(hPath), 1 << 16))
   private var pos = 0L
   private val fieldIdx = required.fieldNames.map(
     ContainerDataSource.fullSchema.fieldNames.indexOf(_))

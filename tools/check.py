@@ -12,6 +12,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(df):
+    # round floats before comparing: 1-ulp cross-engine drift must not
+    # flag a false FAIL (the driver's gate rounds the same way)
+    df = df.copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
     cols = sorted(df.columns)
     return df[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
 

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataType
 
+import graft.functions.Let
+
 /** The reference's scene-detection geometry on its REAL nested data
   * shape (spark_scripts/detect_scenes.py:31-117):
   *
@@ -120,31 +122,31 @@ object LaneGeometry {
       struct(o.as("o"), filter(labels, l => l.isNotNull).as("ill"))
     }
 
-    // let-bind the two parsed arrays ONCE per row via a single-element
-    // transform (a from_json re-inlined per corner would parse the lane
-    // JSON 8× per object); same trick again for the filtered array so
-    // the people count reuses it instead of duplicating the geometry tree
-    val packed = element_at(
-      transform(array(struct(dets.as("dets"), lanes.as("lanes"))), r => {
-        val d = r.getField("dets")
-        val ln = r.getField("lanes")
-        val withLabels = transform(d, geo(ln))
-        val objectsAll = transform(withLabels, w => {
-          val o = w.getField("o")
-          val ill = w.getField("ill")
-          struct(
-            o.getField("x").as("x"), o.getField("y").as("y"),
-            o.getField("width").as("width"), o.getField("height").as("height"),
-            o.getField("Class").as("cls"),
-            size(ill).cast("long").as("corners_in_lane"),
-            array_join(array_distinct(ill), ",").as("lanes"))
-        })
-        val oil = filter(objectsAll, ob => ob.getField("corners_in_lane") > 0)
-        element_at(transform(array(oil), objs => struct(
+    // Let.bind the two parsed arrays ONCE per row (a from_json re-inlined
+    // per corner would parse the lane JSON 8× per object); bind again for
+    // the filtered array so the people count reuses it instead of
+    // duplicating the geometry tree
+    val packed = Let.bind(struct(dets.as("dets"), lanes.as("lanes"))) { r =>
+      val d = r.getField("dets")
+      val ln = r.getField("lanes")
+      val withLabels = transform(d, geo(ln))
+      val objectsAll = transform(withLabels, w => {
+        val o = w.getField("o")
+        val ill = w.getField("ill")
+        struct(
+          o.getField("x").as("x"), o.getField("y").as("y"),
+          o.getField("width").as("width"), o.getField("height").as("height"),
+          o.getField("Class").as("cls"),
+          size(ill).cast("long").as("corners_in_lane"),
+          array_join(array_distinct(ill), ",").as("lanes"))
+      })
+      Let.bind(filter(objectsAll, ob => ob.getField("corners_in_lane") > 0)) { objs =>
+        struct(
           objs.as("objects_in_lane"),
           size(filter(objs, ob => ob.getField("cls") === "person"))
-            .cast("long").as("num_people_in_scene"))), 1)
-      }), 1)
+            .cast("long").as("num_people_in_scene"))
+      }
+    }
 
     df.withColumn("__r",
         when(col(detectionsCol).isNotNull && col(lanePointsCol).isNotNull, packed))

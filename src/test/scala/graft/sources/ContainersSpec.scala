@@ -31,6 +31,37 @@ class ContainersSpec extends SparkSpec {
       ("camera", 102L, "frame-1")))
   }
 
+  test("property: random message batches round-trip exactly") {
+    graft.plans.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(7) // deterministic
+    val batches = Seq.fill(40) {
+      Seq.fill(rnd.nextInt(6)) {
+        val topic = "t" + rnd.nextInt(4)
+        val ts = rnd.nextLong() & Long.MaxValue
+        val payload = Array.fill(rnd.nextInt(32))(rnd.nextInt(256).toByte)
+        (topic, ts, payload)
+      }
+    }
+    val df = batches.zipWithIndex
+      .map { case (b, i) => (i.toLong, b.map(m => (m._1, m._2, m._3))) }
+      .toDF("id", "msgs")
+      .select(col("id"), Containers.pack(
+        transform(col("msgs"),
+          m => struct(m.getField("_1").as("topic"), m.getField("_2").as("ts_us"),
+            m.getField("_3").as("payload")))).as("blob"))
+    val back = df.select(col("id"), Containers.unpack(col("blob")).as("out"))
+      .select(col("id"), to_json(transform(col("out"), m =>
+        struct(m.getField("topic"), m.getField("ts_us"),
+          base64(m.getField("payload")).as("p")))).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val expect = b.map { case (t, ts, p) =>
+        s"""{"topic":"$t","ts_us":$ts,"p":"${java.util.Base64.getEncoder.encodeToString(p)}"}"""
+      }.mkString("[", ",", "]")
+      assert(back(i.toLong) == expect, s"batch $i")
+    }
+  }
+
   test("empty containers and empty message lists round-trip") {
     graft.plans.GraftExtensions.register(spark)
     val df = spark.range(1).select(

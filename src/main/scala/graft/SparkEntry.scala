@@ -476,6 +476,22 @@ object SparkEntry {
       Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
         numHashes = 8, shingleN = 3, rowsPerBand = 2)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "q_dedup_stats" -> ((s, d) => {
+      // corpus-level dedup dashboard: one row of exact-dup and near-dup
+      // rates (two aggregates + a 1-row broadcast — no collect)
+      val docs = Tables.documents(s, d)
+      Dedup.exact(docs, "doc_id", "text")
+        .agg(
+          sum(col("n_copies")).as("n_docs"),
+          count(lit(1)).as("n_distinct_contents"),
+          sum(col("n_copies") - 1).as("n_exact_dup_docs"))
+        .crossJoin(broadcast(
+          Dedup.minHashPairs(docs, "doc_id", "text",
+            numHashes = 8, shingleN = 3, rowsPerBand = 2)
+            .agg(count(lit(1)).as("n_near_dup_pairs"))))
+        .withColumn("exact_dup_rate",
+          round(col("n_exact_dup_docs") / col("n_docs"), 6))
+    }),
     "q_dup_clusters" -> ((s, d) =>
       // near-dup pairs → connected components (min-label propagation);
       // keep-one-per-cluster is then `groupBy(cluster_id).min(doc_id)`
@@ -1190,6 +1206,17 @@ object SparkEntry {
          |FROM ($docNormSql) nrm GROUP BY fp ORDER BY fp""".stripMargin,
     "q_dedup_minhash" ->
       (minhashPairsSql + " ORDER BY doc_a, doc_b"),
+    "q_dedup_stats" ->
+      s"""WITH ex AS (SELECT md5(norm) AS fp, count(*) AS c
+         |           FROM ($docNormSql) nrm GROUP BY fp),
+         |agg AS (SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+         |          count(*) AS n_distinct_contents,
+         |          CAST(sum(c - 1) AS BIGINT) AS n_exact_dup_docs
+         |        FROM ex),
+         |np AS (SELECT count(*) AS n_near_dup_pairs FROM ($minhashPairsSql) p)
+         |SELECT n_docs, n_distinct_contents, n_exact_dup_docs, n_near_dup_pairs,
+         |  round(n_exact_dup_docs / CAST(n_docs AS DOUBLE), 6) AS exact_dup_rate
+         |FROM agg CROSS JOIN np""".stripMargin,
     "q_dup_clusters" ->
       s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($minhashPairsSql) p),
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs

@@ -106,10 +106,14 @@ object Analytics {
     }
     val agged = ranked.filter(needed)
       .groupBy(col(groupCol)).agg(aggExprs.head, aggExprs.tail: _*)
-    agged.select(col(groupCol) +: ps.map { case (name, p) =>
-      (col(s"__lo_$name") +
-        (r(p) - floor(r(p))) * (col(s"__hi_$name") - col(s"__lo_$name"))).as(name)
-    }: _*)
+    // groups whose values are ALL null have no ranked rows but must still
+    // emit a row with null percentiles, like the builtin aggregate
+    val allGroups = df.select(col(groupCol)).distinct()
+    allGroups.join(agged, Seq(groupCol), "left")
+      .select(col(groupCol) +: ps.map { case (name, p) =>
+        (col(s"__lo_$name") +
+          (r(p) - floor(r(p))) * (col(s"__hi_$name") - col(s"__lo_$name"))).as(name)
+      }: _*)
   }
 
   /** Top-N rows per group via `row_number` — one shuffle on the partition

@@ -81,14 +81,13 @@ object Dedup {
     * Bands are md5(concat of rowsPerBand signature slots); the self-join
     * runs per (band index, band value) — the only shuffle keyed on band,
     * never on the full signature space.
-    */
-  /** @param maxBucketSize skip degenerate buckets with more members than
+    *
+    * @param maxBucketSize skip degenerate buckets with more members than
     *   this: a bucket of m docs yields m² candidate pairs, so one
     *   boilerplate-text bucket can dominate the whole join at scale. The
     *   standard LSH-dedup guard; skipped buckets are (deterministically)
     *   not candidates.
-    */
-  /** @param broadcastOversized hint the oversized-bucket set broadcast
+    * @param broadcastOversized hint the oversized-bucket set broadcast
     *   (default — boilerplate buckets are normally few); pass false for
     *   corpora where degenerate buckets are themselves huge so AQE's
     *   size-based planning picks the anti-join side.

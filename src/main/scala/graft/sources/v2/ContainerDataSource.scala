@@ -186,7 +186,11 @@ class ContainerMicroBatchStream(path: String, hconf: SerializableHadoopConf,
   }
 
   override def deserializeOffset(json: String): Offset = {
-    val files = new com.fasterxml.jackson.databind.ObjectMapper()
+    if (!json.trim.startsWith("["))
+      throw new IllegalStateException(
+        "graft-container checkpoint offset is not a file-list (pre-file-list " +
+          "format or foreign checkpoint) — rebuild the checkpoint directory")
+    val files = ContainerOffset.mapper
       .readValue(json, classOf[Array[String]]).toSeq
     merge(files) // checkpointed order seeds discovery before new listings
     ContainerOffset(files)
@@ -205,10 +209,18 @@ class ContainerMicroBatchStream(path: String, hconf: SerializableHadoopConf,
   override def stop(): Unit = ()
 }
 
+/** The processed-file list IS the offset: restart-order-safe, at the
+  * cost of offset size growing with the directory. Containers arrive in
+  * per-batch directories in the reference's layout (bag_parquets/<batch>),
+  * which bounds the list; for a truly unbounded single directory, rotate
+  * the source path per batch window.
+  */
 case class ContainerOffset(files: Seq[String]) extends Offset {
-  override def json(): String =
-    new com.fasterxml.jackson.databind.ObjectMapper()
-      .writeValueAsString(files.toArray)
+  override def json(): String = ContainerOffset.mapper.writeValueAsString(files.toArray)
+}
+
+object ContainerOffset {
+  val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }
 
 case class ContainerPartition(file: String) extends InputPartition
@@ -228,8 +240,8 @@ class ContainerReaderFactory(required: StructType,
   * payloads and filtered-out records are `skip`ped, not copied.
   */
 class ContainerPartitionReader(file: String, required: StructType,
-                               topicFilter: Option[Set[String]] = None,
-                               conf: Configuration = new Configuration())
+                               topicFilter: Option[Set[String]],
+                               conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val hPath = new HPath(file)

@@ -2,7 +2,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line with per-query seconds.
+  * prints one JSON line with per-query seconds, rows/s, failures, and a
+  * round-over-round history table.
   *
   * Methodology: two passes, report the second. The first pass compiles
   * every whole-stage-codegen class (janino) and warms the JIT; the timed
@@ -13,6 +14,8 @@ import org.apache.spark.sql.SparkSession
   * total), not by data-path cost.
   */
 object Bench {
+  private case class QResult(sec: Double, rows: Long, failed: Boolean)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,18 +32,43 @@ object Bench {
     // row — `count()` would let Catalyst prune unprojected work, timing
     // an empty scan for map-only queries (text ops measured ~0.1s of
     // nothing). This measures what a consumer of the result would pay.
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def pass(): Map[String, QResult] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val (rows, failed) =
+        try { (fn(spark, sfDir).queryExecution.toRdd.count(), false) }
+        catch { case _: Throwable => (-1L, true) }
+      name -> QResult((System.nanoTime() - t0) / 1e9, rows, failed)
     }
     pass() // warmup: compile all codegen stages, warm JIT + page cache
     val results = pass()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","methodology":"steady-state: 2 passes, second reported; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work)"}""")
+    // a crashed query contributes NO partial time to the total and is
+    // listed by name — a mid-plan failure must be loud, not a fast "win"
+    val ok = results.filter(!_._2.failed)
+    val failedNames = results.collect { case (k, r) if r.failed => "\"" + k + "\"" }
+    val qs = results.map { case (k, r) =>
+      "\"" + k + "\":" + (if (r.failed) -1.0 else r.sec)
+    }.mkString("{", ",", "}")
+    val rps = ok.map { case (k, r) =>
+      val v = if (r.sec > 0) math.round(r.rows / r.sec).toDouble else 0.0
+      "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val total = ok.values.map(_.sec).sum
+    // round-over-round history: pick up prior driver bench snapshots from
+    // the repo so methodology shifts stay visible next to the new number
+    // matches the total both raw ("metric":"total","value":N) and as the
+    // driver snapshots it (escaped inside a "tail" JSON string)
+    val totalRe = """metric\\?":\\?"total\\?",\\?"value\\?":([0-9.]+)""".r
+    val history = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("BENCH_\\w+\\.json"))
+      .sortBy(_.getName)
+      .flatMap { f =>
+        val txt = scala.io.Source.fromFile(f)
+        val s = try txt.mkString finally txt.close()
+        totalRe.findFirstMatchIn(s).map { m =>
+          "\"" + f.getName.stripSuffix(".json").stripPrefix("BENCH_") + "\":" + m.group(1)
+        }
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"history":$history,"sf":"$sfDir","methodology":"steady-state: 2 passes, second reported; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total"}""")
     spark.stop()
   }
 }

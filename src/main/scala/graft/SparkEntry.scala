@@ -859,6 +859,9 @@ object SparkEntry {
     "q_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events),
         |f AS (SELECT user_id, t, value,
+        |        -- strict > matches Spark's session_window boundary: windows
+        |        -- [t, t+g) merge when the next start EQUALS the current end
+        |        -- (exact-gap pair = same session; SessionizeSpec proves it)
         |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
         |                  > 7200000000 THEN 1 ELSE 0 END AS ns
         |      FROM e),

@@ -107,9 +107,13 @@ object Analytics {
     val agged = ranked.filter(needed)
       .groupBy(col(groupCol)).agg(aggExprs.head, aggExprs.tail: _*)
     // groups whose values are ALL null have no ranked rows but must still
-    // emit a row with null percentiles, like the builtin aggregate
+    // emit a row with null percentiles, like the builtin aggregate; the
+    // join-back is null-safe (<=>) so a NULL group key still receives the
+    // percentiles its non-null values produced (a plain equi-join would
+    // silently null them out)
     val allGroups = df.select(col(groupCol)).distinct()
-    allGroups.join(agged, Seq(groupCol), "left")
+    allGroups.join(agged.withColumnRenamed(groupCol, "__gk"),
+        col(groupCol) <=> col("__gk"), "left")
       .select(col(groupCol) +: ps.map { case (name, p) =>
         (col(s"__lo_$name") +
           (r(p) - floor(r(p))) * (col(s"__hi_$name") - col(s"__lo_$name"))).as(name)

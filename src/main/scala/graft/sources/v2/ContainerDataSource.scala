@@ -199,6 +199,14 @@ class ContainerMicroBatchStream(path: String, hconf: SerializableHadoopConf,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ContainerOffset].files
     val e = end.asInstanceOf[ContainerOffset].files
+    // the start list must be a prefix of the end list — anything else means
+    // a foreign/edited checkpoint or out-of-band directory mutation, and
+    // dropping by length would silently reprocess or skip files
+    if (!e.startsWith(s))
+      throw new IllegalStateException(
+        s"graft-container offsets diverge: start list ${s.take(3).mkString(",")}… is not a " +
+          s"prefix of end list ${e.take(3).mkString(",")}… — the checkpoint does not match " +
+          "this directory's discovery order; rebuild the checkpoint directory")
     e.drop(s.length).toArray.map(f => ContainerPartition(f): InputPartition)
   }
 

@@ -31,4 +31,18 @@ class AnalyticsSpec extends SparkSpec {
     val (exact, approx) = (r.getDouble(0), r.getDouble(1))
     assert(math.abs(approx - exact) / exact <= 0.02, s"exact=$exact approx=$approx")
   }
+
+  test("exactPercentiles matches the builtin for a NULL group key") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), Some(1.0)), (Some("a"), Some(3.0)),
+      (None, Some(10.0)), (None, Some(20.0)), (None, Some(30.0)),
+      (Some("b"), None) // all-null group → null percentiles
+    ).toDF("g", "v")
+    val out = Analytics.exactPercentiles(df, "g", "v", Seq("p50" -> 0.5))
+      .collect().map(r => Option(r.get(0)) -> Option(r.get(1))).toMap
+    assert(out(Some("a")) == Some(2.0))
+    assert(out(None) == Some(20.0), "null group key must get real percentiles, like the builtin")
+    assert(out(Some("b")).isEmpty)
+  }
 }

@@ -28,4 +28,27 @@ class SessionizeSpec extends SparkSpec {
     val out = Sessionize.sessions(events, Seq("user_id"), "ts", Seq("event_id"), 100L, "value")
     assert(out.count() == 1)
   }
+
+  test("native session_window MERGES an exact-gap pair (boundary semantics)") {
+    // Empirically verified boundary: Spark merges session windows [t, t+g)
+    // when the next window's start EQUALS the current session's end, so two
+    // events exactly one gap apart land in the SAME session — matching
+    // Sessionize.sessions' `gap > threshold` rule and the q_session_window
+    // oracle's strict `>` comparison.
+    import org.apache.spark.sql.functions._
+    val events = Seq((1L, 0L, 1.0), (1L, 7200000000L, 1.0))
+      .toDF("user_id", "ts_us", "value")
+    val out = events
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("et"), col("value"))
+      .groupBy(col("user_id"), session_window(col("et"), "2 hours"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(out.count() == 1, "exact 2h gap must merge into one native session window")
+    // one microsecond MORE than the gap does split
+    val split = Seq((1L, 0L, 1.0), (1L, 7200000001L, 1.0))
+      .toDF("user_id", "ts_us", "value")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("et"), col("value"))
+      .groupBy(col("user_id"), session_window(col("et"), "2 hours"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(split.count() == 2)
+  }
 }

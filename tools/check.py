@@ -49,8 +49,10 @@ def main():
         val_ok = False
         if rows_ok and schema_ok:
             try:
-                import pandas as pd
-                val_ok = s.astype(str).equals(o.astype(str))
+                # null-aware compare: None vs NaN/NaT and -0.0 vs 0.0
+                # stringify differently — eq() + isna() masking avoids
+                # spurious FAILs the astype(str) form produced
+                val_ok = bool(((s.eq(o)) | (s.isna() & o.isna())).all().all())
             except Exception:
                 val_ok = False
         ok = rows_ok and schema_ok and val_ok
@@ -62,7 +64,7 @@ def main():
             print(f"{name:24s} FAIL  rows {len(s)} vs {len(o)} "
                   f"schema_ok={schema_ok} cols {list(s.columns)} vs {list(o.columns)}")
             if rows_ok and schema_ok:
-                diff = (s.astype(str) != o.astype(str)).any(axis=1)
+                diff = (~(s.eq(o) | (s.isna() & o.isna()))).any(axis=1)
                 idx = diff[diff].index[:5]
                 for i in idx:
                     print(f"   spark : {s.loc[i].to_dict()}")

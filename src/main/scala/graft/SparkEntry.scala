@@ -675,18 +675,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q_mm_pipeline" -> ((s, d) => {
-      // full multimodal chain: ingest → batch decode kernel →
-      // frame sampling → metadata resize, flat oracle-comparable output
+      // full multimodal chain: synthesize real encoded payloads (PPM /
+      // BMP / PPM-sequence, geometry a pure function of doc_id so the
+      // oracle can predict every decoded feature) → byte-level decode
+      // kernel (magic sniff, header parse, raster normalization) → frame
+      // sampling → resize geometry, flat oracle-comparable output
       val dec = Multimodal.decode(
-        Multimodal.ingest(Tables.documents(s, d), "doc_id", "text", "text/plain"))
-      Multimodal.resize(Multimodal.frameSample(dec.toDF(), stride = 3), maxDim = 256)
-        .select(col("media_id"), col("n_bytes"),
+        Multimodal.synthesize(Tables.documents(s, d), "doc_id"))
+      Multimodal.resize(Multimodal.frameSample(dec.toDF(), stride = 2), maxDim = 8)
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"),
           size(col("sampled_frames")).cast("long").as("n_sampled"),
           col("out_width").cast("long").as("out_width"),
-          col("out_height").cast("long").as("out_height"))
+          col("out_height").cast("long").as("out_height"),
+          col("checksum"), col("wchecksum"))
         .orderBy(col("media_id"))
     }),
     "q_tfidf" -> ((s, d) => {
@@ -712,13 +716,18 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rk"))
     }),
     "q_mm_decode" -> ((s, d) =>
+      // real byte-level decode: the kernel parses each payload's actual
+      // header + raster; media_type is DETECTED from magic bytes and the
+      // checksums cover the format-normalized (top-down RGB) pixels —
+      // BMP's bottom-up BGR layout must be undone for wchecksum to match
       Multimodal.decode(
-        Multimodal.ingest(Tables.documents(s, d), "doc_id", "text", "text/plain"))
+        Multimodal.synthesize(Tables.documents(s, d), "doc_id"))
         .toDF()
-        .select(col("media_id"), col("n_bytes"),
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
-          col("n_frames").cast("long").as("n_frames"))
+          col("n_frames").cast("long").as("n_frames"),
+          col("checksum"), col("wchecksum"))
         .orderBy(col("media_id")))
   )
 
@@ -861,7 +870,7 @@ object SparkEntry {
         |f AS (SELECT user_id, t, value,
         |        -- strict > matches Spark's session_window boundary: windows
         |        -- [t, t+g) merge when the next start EQUALS the current end
-        |        -- (exact-gap pair = same session; SessionizeSpec proves it)
+        |        -- (exact-gap pair = same session, SessionizeSpec proves it)
         |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
         |                  > 7200000000 THEN 1 ELSE 0 END AS ns
         |      FROM e),
@@ -1455,20 +1464,16 @@ object SparkEntry {
          |  FROM base) r
          |ORDER BY doc_id""".stripMargin,
     "q_mm_pipeline" ->
-      """SELECT media_id, n_bytes, width, height, n_frames,
-        |  (n_frames + 2) // 3 AS n_sampled,
-        |  CAST(floor(width * scale) AS BIGINT) AS out_width,
-        |  CAST(floor(height * scale) AS BIGINT) AS out_height
-        |FROM (
-        |  SELECT media_id, n_bytes, width, height, n_frames,
-        |    least(256.0 / greatest(width, 1), 256.0 / greatest(height, 1), 1.0) AS scale
-        |  FROM (
-        |    SELECT doc_id AS media_id, octet_length(text::BLOB) AS n_bytes,
-        |      octet_length(text::BLOB) % 640 AS width,
-        |      octet_length(text::BLOB) % 480 AS height,
-        |      octet_length(text::BLOB) // 100 + 1 AS n_frames
-        |    FROM documents) m) sc
-        |ORDER BY media_id""".stripMargin,
+      s"""WITH px AS ($mmDecodedSql)
+         |SELECT media_id, media_type, n_bytes, width, height, n_frames,
+         |  (n_frames + 1) // 2 AS n_sampled,
+         |  CAST(floor(width * scale) AS BIGINT) AS out_width,
+         |  CAST(floor(height * scale) AS BIGINT) AS out_height,
+         |  checksum, wchecksum
+         |FROM (SELECT *,
+         |        least(8.0 / greatest(width, 1), 8.0 / greatest(height, 1), 1.0) AS scale
+         |      FROM px) sc
+         |ORDER BY media_id""".stripMargin,
     "q_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest(tk) AS term FROM ($docTokensSql) tks),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
@@ -1483,12 +1488,39 @@ object SparkEntry {
          |WHERE rk <= 3
          |ORDER BY doc_id, rk""".stripMargin,
     "q_mm_decode" ->
-      """SELECT doc_id AS media_id, octet_length(text::BLOB) AS n_bytes,
-        |  octet_length(text::BLOB) % 640 AS width,
-        |  octet_length(text::BLOB) % 480 AS height,
-        |  octet_length(text::BLOB) // 100 + 1 AS n_frames
-        |FROM documents ORDER BY media_id""".stripMargin
+      s"""SELECT * FROM ($mmDecodedSql) d ORDER BY media_id""".stripMargin
   )
+
+  /** Oracle twin of Multimodal.synthesize∘decode: geometry, format,
+    * frame count, byte size, and pixel checksums re-derived by formula —
+    * pixel k of the flat frame-major raster is (doc_id*7 + k*13) mod 256,
+    * so the checksums the Spark kernel computes from the PARSED bytes are
+    * predictable without DuckDB touching any binary. n_bytes models the
+    * actual encodings: P6 header is "P6\\n<w> <h>\\n255\\n" (9 chars +
+    * digit widths); BMP is 54 header bytes + rows padded to 4 bytes.
+    */
+  private lazy val mmDecodedSql: String =
+    """WITH geo AS (
+      |  SELECT doc_id, doc_id % 13 + 2 AS w, doc_id % 7 + 2 AS h,
+      |    doc_id % 3 AS fmt,
+      |    CASE WHEN doc_id % 3 = 2 THEN doc_id % 4 + 1 ELSE 1 END AS fr
+      |  FROM documents),
+      |sums AS (
+      |  SELECT doc_id,
+      |    CAST(sum((doc_id*7 + k*13) % 256) AS BIGINT) AS checksum,
+      |    CAST(sum(k * ((doc_id*7 + k*13) % 256)) AS BIGINT) AS wchecksum
+      |  FROM (SELECT doc_id, unnest(range(0, fr*w*h*3)) AS k FROM geo) kk
+      |  GROUP BY doc_id)
+      |SELECT g.doc_id AS media_id,
+      |  CASE WHEN g.fmt = 1 THEN 'bmp'
+      |       WHEN g.fr > 1 THEN 'ppm-seq' ELSE 'ppm' END AS media_type,
+      |  CASE WHEN g.fmt = 1 THEN 54 + g.h * ((g.w*3 + 3) // 4 * 4)
+      |       ELSE g.fr * (9 + length(CAST(g.w AS VARCHAR))
+      |                      + length(CAST(g.h AS VARCHAR)) + g.w*g.h*3)
+      |  END AS n_bytes,
+      |  g.w AS width, g.h AS height, g.fr AS n_frames,
+      |  s.checksum, s.wchecksum
+      |FROM geo g JOIN sums s ON g.doc_id = s.doc_id""".stripMargin
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

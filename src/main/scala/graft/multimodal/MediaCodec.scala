@@ -1,0 +1,239 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** Pure-JVM byte-level image codecs: binary PPM (P6), 24-bit uncompressed
+  * BMP, and a multi-frame "video" as concatenated P6 frames. No native
+  * deps, fully deterministic — the real decode kernels behind the
+  * multimodal operators (the reference treats camera topics as opaque
+  * payloads; these give the engine an honest decode path to batch over).
+  *
+  * Formats are the published ones: PPM per the Netpbm P6 spec (ASCII
+  * header `P6 <w> <h> <maxval>` with `#` comments, one whitespace byte,
+  * then w*h RGB triplets); BMP per the Windows BITMAPINFOHEADER layout
+  * (14-byte file header, 40-byte DIB header, little-endian fields,
+  * bottom-up BGR rows padded to 4 bytes). The decoder normalizes both to
+  * top-down RGB so downstream features are format-independent.
+  */
+object MediaCodec {
+
+  /** A decoded media item: `pixels` is frames*width*height RGB triplets in
+    * top-down row-major order, frames concatenated — format-normalized.
+    */
+  final case class Decoded(format: String, width: Int, height: Int,
+                           nFrames: Int, pixels: Array[Byte])
+
+  // ---- encoders -----------------------------------------------------
+
+  /** Binary PPM (P6). `pixels` = w*h RGB triplets, top-down row-major. */
+  def encodePpm(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height * 3,
+      s"PPM pixel buffer ${pixels.length} != ${width}x${height}x3")
+    val header = s"P6\n$width $height\n255\n".getBytes(StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(pixels, 0, out, header.length, pixels.length)
+    out
+  }
+
+  /** Multi-frame sequence: concatenated P6 frames sharing one geometry.
+    * `pixels` = nFrames*w*h*3 bytes, frame-major.
+    */
+  def encodePpmSeq(width: Int, height: Int, nFrames: Int,
+                   pixels: Array[Byte]): Array[Byte] = {
+    val frameLen = width * height * 3
+    require(pixels.length == nFrames * frameLen,
+      s"sequence buffer ${pixels.length} != $nFrames frames of $frameLen")
+    val bos = new ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      bos.write(encodePpm(width, height,
+        java.util.Arrays.copyOfRange(pixels, f * frameLen, (f + 1) * frameLen)))
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** 24-bit uncompressed BMP. Input pixels are top-down RGB; the encoder
+    * writes the on-disk convention: bottom-up rows, BGR channel order,
+    * each row zero-padded to a 4-byte boundary.
+    */
+  def encodeBmp(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height * 3,
+      s"BMP pixel buffer ${pixels.length} != ${width}x${height}x3")
+    val stride = (width * 3 + 3) / 4 * 4
+    val dataSize = stride * height
+    val fileSize = 54 + dataSize
+    val buf = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+    // BITMAPFILEHEADER
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(fileSize)
+    buf.putInt(0)        // reserved
+    buf.putInt(54)       // pixel data offset
+    // BITMAPINFOHEADER
+    buf.putInt(40)
+    buf.putInt(width)
+    buf.putInt(height)   // positive = bottom-up
+    buf.putShort(1)      // planes
+    buf.putShort(24)     // bpp
+    buf.putInt(0)        // BI_RGB (no compression)
+    buf.putInt(dataSize)
+    buf.putInt(2835).putInt(2835) // 72 dpi
+    buf.putInt(0).putInt(0)       // palette
+    var y = height - 1   // bottom-up: last image row first
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val p = (y * width + x) * 3
+        buf.put(pixels(p + 2)).put(pixels(p + 1)).put(pixels(p)) // BGR
+        x += 1
+      }
+      var pad = stride - width * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  // ---- decoder ------------------------------------------------------
+
+  /** Sniff the magic bytes and decode. "P6" → PPM (one frame or a
+    * concatenated sequence), "BM" → BMP. Throws IllegalArgumentException
+    * on anything else or on malformed/truncated payloads — a corrupt blob
+    * in a 100 TB corpus must fail loudly per record, not poison a batch.
+    */
+  def decode(bytes: Array[Byte]): Decoded = {
+    require(bytes.length >= 2, "payload too short to sniff")
+    (bytes(0).toChar, bytes(1).toChar) match {
+      case ('P', '6') => decodePpmSeq(bytes)
+      case ('B', 'M') => decodeBmp(bytes)
+      case (a, b) => throw new IllegalArgumentException(
+        s"unknown media magic '$a$b' (${bytes(0)},${bytes(1)})")
+    }
+  }
+
+  /** One or more concatenated P6 frames; all frames must share geometry. */
+  private def decodePpmSeq(bytes: Array[Byte]): Decoded = {
+    var pos = 0
+    var width = -1
+    var height = -1
+    var frames = 0
+    val bos = new ByteArrayOutputStream()
+    while (pos < bytes.length) {
+      val (w, h, dataStart) = parsePpmHeader(bytes, pos)
+      if (width < 0) { width = w; height = h }
+      else require(w == width && h == height,
+        s"frame $frames geometry ${w}x$h differs from ${width}x$height")
+      val frameLen = w * h * 3
+      require(dataStart + frameLen <= bytes.length,
+        s"truncated PPM frame $frames: need ${dataStart + frameLen}, have ${bytes.length}")
+      bos.write(bytes, dataStart, frameLen)
+      frames += 1
+      pos = dataStart + frameLen
+    }
+    require(frames > 0, "empty PPM payload")
+    Decoded(if (frames == 1) "ppm" else "ppm-seq", width, height, frames, bos.toByteArray)
+  }
+
+  /** Parse a P6 header starting at `off`: magic, then three ASCII ints
+    * (width, height, maxval) separated by whitespace, `#` comments run to
+    * end-of-line, and exactly ONE whitespace byte after maxval before the
+    * raster (per the Netpbm spec — a raster byte may itself look like
+    * whitespace).
+    */
+  private def parsePpmHeader(bytes: Array[Byte], off: Int): (Int, Int, Int) = {
+    require(off + 2 <= bytes.length && bytes(off) == 'P' && bytes(off + 1) == '6',
+      s"not a P6 header at offset $off")
+    var pos = off + 2
+    def skipSpaceAndComments(): Unit = {
+      var in = true
+      while (in && pos < bytes.length) {
+        val c = bytes(pos).toChar
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c.isWhitespace) pos += 1
+        else in = false
+      }
+    }
+    def readInt(): Int = {
+      skipSpaceAndComments()
+      val start = pos
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') pos += 1
+      require(pos > start, s"expected ASCII integer at offset $start")
+      new String(bytes, start, pos - start, StandardCharsets.US_ASCII).toInt
+    }
+    val w = readInt()
+    val h = readInt()
+    val maxval = readInt()
+    require(maxval > 0 && maxval < 256, s"unsupported PPM maxval $maxval (8-bit only)")
+    require(pos < bytes.length && bytes(pos).toChar.isWhitespace,
+      "P6 header must end with a single whitespace byte")
+    pos += 1 // the single separator byte; raster starts here
+    require(w > 0 && h > 0, s"bad PPM geometry ${w}x$h")
+    (w, h, pos)
+  }
+
+  /** 24-bit BI_RGB BMP → top-down RGB. Handles bottom-up (positive height)
+    * and top-down (negative height) files and row padding.
+    */
+  private def decodeBmp(bytes: Array[Byte]): Decoded = {
+    require(bytes.length >= 54, s"BMP too short: ${bytes.length}")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = buf.getInt(10)
+    val width = buf.getInt(18)
+    val rawHeight = buf.getInt(22)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    require(bpp == 24, s"unsupported BMP bpp $bpp (24-bit only)")
+    require(compression == 0, s"unsupported BMP compression $compression (BI_RGB only)")
+    val bottomUp = rawHeight > 0
+    val height = math.abs(rawHeight)
+    require(width > 0 && height > 0, s"bad BMP geometry ${width}x$rawHeight")
+    val stride = (width * 3 + 3) / 4 * 4
+    require(dataOff + stride * height <= bytes.length,
+      s"truncated BMP: need ${dataOff + stride * height}, have ${bytes.length}")
+    val out = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (bottomUp) height - 1 - y else y
+      var x = 0
+      while (x < width) {
+        val s = dataOff + srcRow * stride + x * 3
+        val d = (y * width + x) * 3
+        out(d) = bytes(s + 2)     // R
+        out(d + 1) = bytes(s + 1) // G
+        out(d + 2) = bytes(s)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Decoded("bmp", width, height, 1, out)
+  }
+
+  // ---- pixel ops ----------------------------------------------------
+
+  /** Nearest-neighbor resize of one top-down RGB frame: output pixel
+    * (x, y) samples source (x*w/ow, y*h/oh) — integer arithmetic, no fp.
+    */
+  def resizeNearest(pixels: Array[Byte], w: Int, h: Int,
+                    ow: Int, oh: Int): Array[Byte] = {
+    require(pixels.length == w * h * 3, "resize input buffer mismatch")
+    require(ow > 0 && oh > 0, s"bad resize target ${ow}x$oh")
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < oh) {
+      val sy = y * h / oh
+      var x = 0
+      while (x < ow) {
+        val sx = x * w / ow
+        val s = (sy * w + sx) * 3
+        val d = (y * ow + x) * 3
+        out(d) = pixels(s); out(d + 1) = pixels(s + 1); out(d + 2) = pixels(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}

@@ -6,13 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` payloads with
   * typed metadata, processed in partition-sized batches.
   *
-  * The decode kernels are deterministic STUBS (this container has no
-  * image/audio codecs — see the builder contract): `fakeDecode` derives
-  * "pixels" from the payload bytes. Everything around the kernel — the
-  * schema, the typed Dataset plumbing, the `mapPartitions` batch shape, the
-  * partition sizing — is the real 100 TB design: kernels see an iterator
-  * per partition (amortizing model/codec init, exactly like an inference
-  * UDF batch), rows never leave the executor, and metadata stays columnar.
+  * The decode kernels are REAL byte-level codecs ([[MediaCodec]]: binary
+  * PPM, 24-bit BMP, concatenated-PPM frame sequences — pure JVM, no
+  * native deps). The surrounding shape is the 100 TB design: kernels see
+  * an iterator per partition (amortizing codec/model init, exactly like
+  * an inference UDF batch), pixel buffers never leave the executor —
+  * only fixed-width features (dims, frame count, checksums) come back as
+  * columns — and metadata stays columnar for Catalyst.
+  *
+  * Reference: the ROS-bag pipeline treats camera topics as opaque
+  * payloads next to typed signal columns (service/app/main.py:87
+  * message_by_topic extraction); decode here plays the role an inference
+  * or thumbnailing kernel would in its Fargate task.
   */
 object Multimodal {
 
@@ -23,7 +28,13 @@ object Multimodal {
       payload: Array[Byte],
       n_bytes: Long)
 
-  /** Decoded frame features (stub kernel output). */
+  /** Decoded media features. `media_type` is DETECTED from the payload's
+    * magic bytes, not trusted from ingest metadata. `checksum` is the sum
+    * of the format-normalized (top-down RGB) pixel bytes; `wchecksum`
+    * weights each byte by its position, so a decoder that forgets BMP's
+    * bottom-up row order or BGR channel order produces the same checksum
+    * but a different wchecksum — the pair pins the full normalization.
+    */
   case class DecodedMedia(
       media_id: Long,
       media_type: String,
@@ -31,7 +42,8 @@ object Multimodal {
       width: Int,
       height: Int,
       n_frames: Int,
-      checksum: Long)
+      checksum: Long,
+      wchecksum: Long)
 
   /** Ingest any table with a binary-able column as a media table. */
   def ingest(df: DataFrame, idCol: String, payloadCol: String,
@@ -46,10 +58,37 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decode kernel: deterministic features from payload bytes. A real
-    * deployment swaps the body for a codec call; the signature — an
-    * iterator of records in, an iterator of decoded rows out, one call per
-    * partition — is the production batch shape.
+  /** Deterministic media synthesis over an id column: real encoded bytes,
+    * with geometry / format / frame count / pixels all pure functions of
+    * the id — so a SQL oracle can predict every decoded feature while the
+    * decode kernel genuinely parses headers and rasters. id mod 3 picks
+    * the format (PPM, BMP, PPM sequence); pixel k of the flat frame-major
+    * raster is (id*7 + k*13) mod 256.
+    */
+  def synthesize(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { d =>
+        val w = (d % 13 + 2).toInt
+        val h = (d % 7 + 2).toInt
+        val frames = if (d % 3 == 2) (d % 4 + 1).toInt else 1
+        val px = Array.tabulate[Byte](frames * w * h * 3)(k => ((d * 7 + k * 13) % 256).toByte)
+        val (mt, bytes) = (d % 3) match {
+          case 0 => ("image/x-portable-pixmap", MediaCodec.encodePpm(w, h, px))
+          case 1 => ("image/bmp", MediaCodec.encodeBmp(w, h, px))
+          case _ => ("video/x-ppm-seq", MediaCodec.encodePpmSeq(w, h, frames, px))
+        }
+        MediaRecord(d, mt, bytes, bytes.length.toLong)
+      }
+    }
+  }
+
+  /** Decode kernel: parse each payload's actual bytes (magic sniff →
+    * header parse → raster normalization) and emit fixed-width features.
+    * One iterator per partition is the production batch shape — per-
+    * partition init (codec handles, buffers) happens once, and the raster
+    * buffer is dropped before rows are returned.
     */
   def decode(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
@@ -57,15 +96,25 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition init happens here (codec/model handles, buffers)
       it.map { m =>
-        val sum = m.payload.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+        val dec = MediaCodec.decode(m.payload)
+        var sum = 0L
+        var wsum = 0L
+        var k = 0
+        while (k < dec.pixels.length) {
+          val v = dec.pixels(k) & 0xff
+          sum += v
+          wsum += k.toLong * v
+          k += 1
+        }
         DecodedMedia(
           media_id = m.media_id,
-          media_type = m.media_type,
+          media_type = dec.format,
           n_bytes = m.n_bytes,
-          width = (m.n_bytes % 640).toInt,
-          height = (m.n_bytes % 480).toInt,
-          n_frames = (m.n_bytes / 100 + 1).toInt,
-          checksum = sum)
+          width = dec.width,
+          height = dec.height,
+          n_frames = dec.nFrames,
+          checksum = sum,
+          wchecksum = wsum)
       }
     }
   }
@@ -79,16 +128,55 @@ object Multimodal {
         sequence(lit(0), col("n_frames") - 1, lit(stride)))
         .otherwise(array()))
 
-  /** "Resize": metadata-only transform (a real kernel would rewrite the
-    * payload; the metadata contract is what downstream operators consume).
+  /** Resize plan: metadata-only dimension computation (what downstream
+    * operators consume to budget batches). `resizePayload` below is the
+    * pixel-level kernel twin.
     */
   def resize(decoded: DataFrame, maxDim: Int): DataFrame = {
-    val d = decoded
     val scale = least(
       lit(maxDim) / greatest(col("width"), lit(1)),
       lit(maxDim) / greatest(col("height"), lit(1)),
       lit(1.0))
-    d.withColumn("out_width", floor(col("width") * scale).cast("int"))
+    decoded
+      .withColumn("out_width", floor(col("width") * scale).cast("int"))
       .withColumn("out_height", floor(col("height") * scale).cast("int"))
+  }
+
+  /** Pixel-level resize kernel: decode → nearest-neighbor downsample each
+    * frame to fit `maxDim` → re-encode (PPM / PPM-seq; BMP inputs come
+    * back as PPM — normalization is the point of a curation pipeline).
+    * Geometry math matches `resize` exactly; MultimodalSpec proves the
+    * round trip (re-decoding yields the predicted dims and the predicted
+    * nearest-neighbor pixels).
+    */
+  def resizePayload(media: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val dec = MediaCodec.decode(m.payload)
+        val scale = math.min(
+          math.min(maxDim.toDouble / math.max(dec.width, 1),
+            maxDim.toDouble / math.max(dec.height, 1)), 1.0)
+        val ow = math.floor(dec.width * scale).toInt
+        val oh = math.floor(dec.height * scale).toInt
+        val frameLen = dec.width * dec.height * 3
+        val outLen = ow * oh * 3
+        val out = new Array[Byte](dec.nFrames * outLen)
+        var f = 0
+        while (f < dec.nFrames) {
+          val frame = java.util.Arrays.copyOfRange(
+            dec.pixels, f * frameLen, (f + 1) * frameLen)
+          System.arraycopy(
+            MediaCodec.resizeNearest(frame, dec.width, dec.height, ow, oh),
+            0, out, f * outLen, outLen)
+          f += 1
+        }
+        val bytes =
+          if (dec.nFrames == 1) MediaCodec.encodePpm(ow, oh, out)
+          else MediaCodec.encodePpmSeq(ow, oh, dec.nFrames, out)
+        MediaRecord(m.media_id, "image/x-portable-pixmap", bytes, bytes.length.toLong)
+      }
+    }
   }
 }

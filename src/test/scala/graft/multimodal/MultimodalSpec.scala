@@ -7,37 +7,130 @@ import graft.SparkSpec
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  private val docs = Seq((1L, "abc"), (2L, "x" * 250)).toDF("doc_id", "text")
+  private def px(n: Int)(f: Int => Int): Array[Byte] =
+    Array.tabulate[Byte](n)(k => f(k).toByte)
 
-  test("ingest produces binary payloads with byte counts") {
-    val m = Multimodal.ingest(docs, "doc_id", "text", "text/plain").collect()
-    val r1 = m.find(_.media_id == 1L).get
-    assert(r1.payload.toSeq == "abc".getBytes("UTF-8").toSeq)
-    assert(r1.n_bytes == 3L && r1.media_type == "text/plain")
+  // ---- MediaCodec unit behavior (no Spark) --------------------------
+
+  test("PPM encode/decode round-trips pixels and geometry") {
+    val pixels = px(4 * 3 * 3)(k => k * 11)
+    val dec = MediaCodec.decode(MediaCodec.encodePpm(4, 3, pixels))
+    assert(dec.format == "ppm" && dec.width == 4 && dec.height == 3 && dec.nFrames == 1)
+    assert(dec.pixels.toSeq == pixels.toSeq)
   }
 
-  test("decode kernel is deterministic over payload bytes") {
-    val d = Multimodal.decode(Multimodal.ingest(docs, "doc_id", "text", "text/plain"))
-      .collect().map(r => r.media_id -> r).toMap
-    // checksum("abc") = ('a'*31 + 'b')*31 + 'c'
-    assert(d(1L).checksum == (('a' * 31 + 'b') * 31 + 'c').toLong)
-    assert(d(1L).width == 3 && d(1L).height == 3 && d(1L).n_frames == 1)
-    assert(d(2L).n_frames == 3) // 250 / 100 + 1
+  test("PPM header parser handles comments and multi-digit dims") {
+    val pixels = px(12 * 10 * 3)(k => k)
+    val withComment =
+      ("P6\n# a comment line\n12 10\n# another\n255\n").getBytes("US-ASCII") ++ pixels
+    val dec = MediaCodec.decode(withComment)
+    assert(dec.width == 12 && dec.height == 10)
+    assert(dec.pixels.toSeq == pixels.toSeq)
+  }
+
+  test("BMP decode normalizes bottom-up BGR rows to top-down RGB") {
+    // 2x2: distinct channel values per pixel so row/channel swaps are visible
+    val pixels = px(2 * 2 * 3)(k => k * 10 + 1)
+    val dec = MediaCodec.decode(MediaCodec.encodeBmp(2, 2, pixels))
+    assert(dec.format == "bmp" && dec.width == 2 && dec.height == 2)
+    assert(dec.pixels.toSeq == pixels.toSeq) // full normalization round-trip
+  }
+
+  test("BMP rows are padded to 4-byte boundaries on disk") {
+    // width 3 → row 9 bytes → stride 12; file = 54 + 2*12
+    val bytes = MediaCodec.encodeBmp(3, 2, px(3 * 2 * 3)(identity))
+    assert(bytes.length == 54 + 2 * 12)
+    assert(MediaCodec.decode(bytes).pixels.length == 3 * 2 * 3)
+  }
+
+  test("concatenated PPM frames decode as one sequence") {
+    val frame = px(2 * 2 * 3)(k => k * 7)
+    val seq = MediaCodec.encodePpmSeq(2, 2, 3, frame ++ frame ++ frame)
+    val dec = MediaCodec.decode(seq)
+    assert(dec.format == "ppm-seq" && dec.nFrames == 3)
+    assert(dec.pixels.length == 3 * 2 * 2 * 3)
+  }
+
+  test("corrupt payloads fail loudly per record") {
+    intercept[IllegalArgumentException](MediaCodec.decode("GIF89a".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      MediaCodec.decode("P6\n4 4\n255\n12".getBytes("US-ASCII"))) // truncated raster
+  }
+
+  test("resizeNearest samples the integer-math grid") {
+    // 4x4 → 2x2: output (x,y) samples source (x*4/2, y*4/2) = (2x, 2y)
+    val src = px(4 * 4 * 3)(k => k)
+    val out = MediaCodec.resizeNearest(src, 4, 4, 2, 2)
+    for (y <- 0 until 2; x <- 0 until 2; c <- 0 until 3)
+      assert(out((y * 2 + x) * 3 + c) == src(((2 * y) * 4 + 2 * x) * 3 + c))
+  }
+
+  // ---- Spark-side plumbing ------------------------------------------
+
+  private val ids = Seq(0L, 1L, 2L, 5L, 7L, 11L).toDF("doc_id")
+  private def synth = Multimodal.synthesize(ids, "doc_id")
+
+  test("synthesize emits real encodings selected by id mod 3") {
+    val m = synth.collect().map(r => r.media_id -> r).toMap
+    assert(m(0L).payload.take(2).toSeq == "P6".getBytes.toSeq)
+    assert(m(1L).payload.take(2).toSeq == "BM".getBytes.toSeq)
+    assert(m(2L).media_type == "video/x-ppm-seq")
+  }
+
+  test("decode kernel parses actual bytes and detects format from magic") {
+    val d = Multimodal.decode(synth).collect().map(r => r.media_id -> r).toMap
+    // geometry is the synthesis formula, recovered by parsing
+    for ((id, r) <- d) {
+      assert(r.width == (id % 13 + 2).toInt && r.height == (id % 7 + 2).toInt)
+      val expFrames = if (id % 3 == 2) (id % 4 + 1).toInt else 1
+      assert(r.n_frames == expFrames)
+      // pixel k = (id*7 + k*13) mod 256 over the normalized raster
+      val n = expFrames * r.width * r.height * 3
+      var sum = 0L; var wsum = 0L
+      for (k <- 0 until n) {
+        val v = (id * 7 + k * 13) % 256
+        sum += v; wsum += k.toLong * v
+      }
+      assert(r.checksum == sum, s"checksum for id $id")
+      assert(r.wchecksum == wsum, s"wchecksum for id $id (normalization)")
+    }
+    assert(d(1L).media_type == "bmp") // detected, not trusted from ingest
   }
 
   test("frameSample emits stride-spaced indices") {
-    val d = Multimodal.decode(Multimodal.ingest(docs, "doc_id", "text", "text/plain"))
+    val d = Multimodal.decode(synth)
+    // id 11: 11%3==2 → seq with 11%4+1 = 4 frames → stride 2 → [0, 2]
     val s = Multimodal.frameSample(d.toDF(), stride = 2)
-      .filter(col("media_id") === 2L)
+      .filter(col("media_id") === 11L)
       .select("sampled_frames").as[Seq[Int]].collect().head
     assert(s == Seq(0, 2))
   }
 
-  test("resize preserves aspect ratio bound") {
-    val d = Multimodal.decode(Multimodal.ingest(
-      Seq((1L, "y" * 400)).toDF("doc_id", "text"), "doc_id", "text", "text/plain"))
-    val r = Multimodal.resize(d.toDF(), maxDim = 100).select("out_width", "out_height").collect().head
-    // width 400, height 400%480=400 → scale 0.25 → 100x100
-    assert(r.getInt(0) == 100 && r.getInt(1) == 100)
+  test("resize geometry matches resizePayload's actual output dims") {
+    val resized = Multimodal.resizePayload(synth, maxDim = 8)
+    val redecoded = Multimodal.decode(resized).collect().map(r => r.media_id -> r).toMap
+    val planned = Multimodal.resize(Multimodal.decode(synth).toDF(), maxDim = 8)
+      .select(col("media_id"), col("out_width"), col("out_height"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    for ((id, r) <- redecoded)
+      assert((r.width, r.height) == planned(id), s"dims for id $id")
+  }
+
+  test("resizePayload preserves frame count and nearest-neighbor pixels") {
+    val big = Multimodal.synthesize(Seq(12L).toDF("doc_id"), "doc_id") // 14x7, PPM
+    val before = MediaCodec.decode(big.collect().head.payload)
+    val after = MediaCodec.decode(
+      Multimodal.resizePayload(big, maxDim = 7).collect().head.payload)
+    assert(after.nFrames == before.nFrames)
+    assert(after.width == 7 && after.height == 3) // scale 0.5 → floor(14*.5), floor(7*.5)
+    assert(after.pixels.toSeq ==
+      MediaCodec.resizeNearest(before.pixels, 14, 7, 7, 3).toSeq)
+  }
+
+  test("ingest produces binary payloads with byte counts") {
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    val m = Multimodal.ingest(docs, "doc_id", "text", "text/plain").collect().head
+    assert(m.payload.toSeq == "abc".getBytes("UTF-8").toSeq)
+    assert(m.n_bytes == 3L && m.media_type == "text/plain")
   }
 }

@@ -25,7 +25,7 @@ object Dedup {
     * path to persist the signature table to reliable storage instead —
     * it is the table you would keep anyway.
     */
-  private def materialize(df: DataFrame, path: Option[String]): DataFrame =
+  def materialize(df: DataFrame, path: Option[String]): DataFrame =
     path match {
       case Some(p) =>
         df.write.mode("overwrite").parquet(p)
@@ -186,17 +186,31 @@ object Dedup {
   /** @param failOnNonConvergence a component with diameter > maxIters
     *   would otherwise be silently split into several cluster_ids; fail
     *   loudly by default (long near-dup chains do happen in web corpora).
+    * @param statePath reliable storage for the per-round label frontier
+    *   (round i at `statePath/labels_i`). Default localCheckpoint is
+    *   block-manager-local and NON-REPLICATED: on a 1000-executor cluster
+    *   one lost executor kills a 20-round job with no recompute path — a
+    *   cluster deployment should always pass a checkpoint dir.
+    * @param checkEvery probe convergence every K rounds instead of every
+    *   round: each probe is a driver-blocking action, and min-label rounds
+    *   are cheap relative to an action barrier at scale. Worst case runs
+    *   K−1 extra (no-op) rounds after the fixpoint.
     */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
                   maxIters: Int = 25,
-                  failOnNonConvergence: Boolean = true): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("doc")).distinct()
-      .withColumn("lab", col("doc"))
-      .localCheckpoint()
+                  failOnNonConvergence: Boolean = true,
+                  statePath: Option[String] = None,
+                  checkEvery: Int = 1): DataFrame = {
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    val edges = materialize(
+      pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+        .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+        .distinct(),
+      statePath.map(p => s"$p/edges"))
+    var labels = materialize(
+      edges.select(col("u").as("doc")).distinct()
+        .withColumn("lab", col("doc")),
+      statePath.map(p => s"$p/labels_init"))
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -205,13 +219,15 @@ object Dedup {
         .groupBy(col("u")).agg(min(col("vlab")).as("nmin"))
       // carry a per-row changed flag so convergence is read off the
       // materialized frontier — no extra join-with-previous per round
-      val next = labels
-        .join(neighborMin.select(col("u").as("doc"), col("nmin")), Seq("doc"), "left")
-        .select(col("doc"),
-          least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
-          (coalesce(col("nmin"), col("lab")) < col("lab")).as("__changed"))
-        .localCheckpoint()
-      converged = next.filter(col("__changed")).isEmpty
+      val next = materialize(
+        labels
+          .join(neighborMin.select(col("u").as("doc"), col("nmin")), Seq("doc"), "left")
+          .select(col("doc"),
+            least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
+            (coalesce(col("nmin"), col("lab")) < col("lab")).as("__changed")),
+        statePath.map(p => s"$p/labels_$it"))
+      if (it % checkEvery == checkEvery - 1 || it == maxIters - 1)
+        converged = next.filter(col("__changed")).isEmpty
       labels = next.drop("__changed")
       it += 1
     }
@@ -234,15 +250,28 @@ object Dedup {
     * Returns the same (doc_id, cluster_id) contract as [[dupClusters]].
     */
   def dupClustersStar(pairs: DataFrame, aCol: String, bCol: String,
-                      maxIters: Int = 20): DataFrame = {
-    var edges = pairs
-      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint()
+                      maxIters: Int = 20,
+                      statePath: Option[String] = None): DataFrame = {
+    var edges = materialize(
+      pairs
+        .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct(),
+      statePath.map(p => s"$p/edges_init"))
+    // one-aggregate edge-set summary for the convergence probe: (count,
+    // xor of 64-bit row hashes) is order-independent and changes whenever
+    // the set does (up to a 2^-64 collision, which the exact exceptAll
+    // confirm below closes) — vs the previous count()+exceptAll pair that
+    // cost two full-set actions per round
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edgeStats = stats(edges)
     var it = 0
-    var converged = edges.isEmpty
+    var converged = edgeStats._1 == 0L
     while (!converged && it < maxIters) {
       // LARGE-STAR: every node links its larger neighbors to its min
       val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
@@ -258,15 +287,19 @@ object Dedup {
       val dir = large.select(greatest(col("a"), col("b")).as("p"),
         least(col("a"), col("b")).as("q"))
       val minq = dir.groupBy(col("p")).agg(min(col("q")).as("m"))
-      val small = dir.join(minq, "p")
-        .select(col("q").as("x"), col("m").as("y"))
-        .union(minq.select(col("p").as("x"), col("m").as("y")))
-        .filter(col("x") =!= col("y"))
-        .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
-        .distinct()
-        .localCheckpoint()
-      converged = small.count() == edges.count() &&
-        small.exceptAll(edges).isEmpty
+      val small = materialize(
+        dir.join(minq, "p")
+          .select(col("q").as("x"), col("m").as("y"))
+          .union(minq.select(col("p").as("x"), col("m").as("y")))
+          .filter(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+          .distinct(),
+        statePath.map(p => s"$p/edges_$it"))
+      // one aggregate action per round; the exact set-difference confirm
+      // runs only when the summary already matches (i.e. at the fixpoint)
+      val smallStats = stats(small)
+      converged = smallStats == edgeStats && small.exceptAll(edges).isEmpty
+      edgeStats = smallStats
       edges = small
       it += 1
     }

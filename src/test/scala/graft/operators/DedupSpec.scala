@@ -85,6 +85,61 @@ class DedupSpec extends SparkSpec {
     assert(a.exceptAll(b).union(b.exceptAll(a)).isEmpty)
   }
 
+  test("CC loops with a reliable statePath produce identical clusters") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("a", "b")
+    val base = Dedup.dupClusters(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val durable = Dedup.dupClusters(chain, "a", "b",
+      statePath = Some(s"$tmp/prop"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(durable == base)
+    // round state is real parquet on reliable storage — a lost executor
+    // recomputes from the last round's table instead of failing the job
+    assert(spark.read.parquet(s"$tmp/prop/labels_0").count() == 21)
+    val starDurable = Dedup.dupClustersStar(chain, "a", "b",
+      statePath = Some(s"$tmp/star"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starDurable == base)
+    assert(spark.read.parquet(s"$tmp/star/edges_init").count() == 20)
+  }
+
+  test("batched convergence probes (checkEvery) reduce actions, same result") {
+    // 11 edges → nodes 0..11 → label propagation converges in exactly 12
+    // rounds, so checkEvery=3's last probe (round 12) coincides with
+    // every-round's: identical round count, 8 fewer probe actions
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val everyRound = Dedup.dupClusters(chain, "a", "b", maxIters = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // listener events post asynchronously: poll until the count is stable
+    def settledCount(): Int = {
+      var prev = -1
+      var cur = jobs.get()
+      val deadline = System.nanoTime() + 5000000000L
+      while (cur != prev && System.nanoTime() < deadline) {
+        prev = cur; Thread.sleep(300); cur = jobs.get()
+      }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val batched = Dedup.dupClusters(chain, "a", "b", maxIters = 30, checkEvery = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val jobsBatched = settledCount()
+    jobs.set(0)
+    Dedup.dupClusters(chain, "a", "b", maxIters = 30).collect()
+    val jobsEvery = settledCount()
+    spark.sparkContext.removeSparkListener(listener)
+    assert(batched == everyRound)
+    // fewer driver-blocking probe jobs despite (up to K−1) extra rounds
+    assert(jobsBatched < jobsEvery,
+      s"expected fewer jobs with checkEvery=3: $jobsBatched vs $jobsEvery")
+  }
+
   test("sigPath persisted-signature variant returns identical pairs") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sig").toString
     val docsSf = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -382,6 +382,40 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"), col("props_clean"),
           col("bag_file"), col("topic"))
         .orderBy(col("event_id"))),
+    "q_topic_extract_all" -> ((s, d) => {
+      // config-driven MULTI-topic extraction (main.py:77 process_file):
+      // two topics carrying DIFFERENT semi-structured payload schemas
+      // ("x/y" objects for click, "lat/lon" for error), synthesized as a
+      // pure function of event_id; one scan extracts both, sniffing each
+      // topic's object-start key from the data (main.py:101-113)
+      val e = col("event_id")
+      val clickObjs = transform(sequence(lit(0L), e % 2L), i => concat(
+        lit("x: "), ((e * 5L + i * 3L) % 30L).cast("string"),
+        lit(", y: "), ((e * 7L + i * 11L) % 20L).cast("string")))
+      val errorObjs = transform(sequence(lit(0L), e % 3L), i => concat(
+        lit("lat: "), ((e * 13L + i) % 90L).cast("string"),
+        lit(", lon: "), ((e * 17L + i * 5L) % 180L).cast("string")))
+      val raw = when(col("event_type") === "click",
+        concat(lit("["), array_join(clickObjs, ", "), lit("]")))
+        .when(col("event_type") === "error",
+          concat(lit("["), array_join(errorObjs, ", "), lit("]")))
+      val sig = Tables.events(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(e.as("event_id"), col("event_type").as("topic"),
+          raw.as("payload"))
+      Signals.topicExtractAll(sig, "topic", Seq("click", "error"),
+        Seq("payload"), Map("bag_file" -> "events_sf"))
+        .select(col("event_id"), col("topic"), col("bag_file"),
+          posexplode(col("payload_objs")).as(Seq("obj_idx", "o")))
+        .select(col("event_id"), col("topic"),
+          col("obj_idx").cast("long").as("obj_idx"),
+          element_at(col("o"), "x").cast("long").as("x"),
+          element_at(col("o"), "y").cast("long").as("y"),
+          element_at(col("o"), "lat").cast("long").as("lat"),
+          element_at(col("o"), "lon").cast("long").as("lon"),
+          col("bag_file"))
+        .orderBy(col("event_id"), col("obj_idx"))
+    }),
     "q_scene_pipeline" -> ((s, d) => {
       // the COMPLETE reference scene-detection flow on the nested shape
       // (detect_scenes.py main): payloads → objects_in_lane geometry →
@@ -1037,6 +1071,23 @@ object SparkEntry {
         |  'events_sf' AS bag_file, 'error' AS topic
         |FROM events WHERE event_type = 'error'
         |ORDER BY event_id""".stripMargin,
+    "q_topic_extract_all" ->
+      """WITH cl AS (
+        |  SELECT event_id, 'click' AS topic, i AS obj_idx,
+        |    (event_id*5 + i*3) % 30 AS x, (event_id*7 + i*11) % 20 AS y,
+        |    CAST(NULL AS BIGINT) AS lat, CAST(NULL AS BIGINT) AS lon
+        |  FROM (SELECT event_id, unnest(generate_series(0, event_id % 2)) AS i
+        |        FROM events WHERE event_type = 'click') t),
+        |er AS (
+        |  SELECT event_id, 'error' AS topic, i AS obj_idx,
+        |    CAST(NULL AS BIGINT) AS x, CAST(NULL AS BIGINT) AS y,
+        |    (event_id*13 + i) % 90 AS lat, (event_id*17 + i*5) % 180 AS lon
+        |  FROM (SELECT event_id, unnest(generate_series(0, event_id % 3)) AS i
+        |        FROM events WHERE event_type = 'error') t)
+        |SELECT event_id, topic, obj_idx, x, y, lat, lon,
+        |  'events_sf' AS bag_file
+        |FROM (SELECT * FROM cl UNION ALL SELECT * FROM er) u
+        |ORDER BY event_id, obj_idx""".stripMargin,
     "q_scene_pipeline" ->
       (inLaneObjectsSql +
         """,

@@ -56,6 +56,49 @@ class SignalsSpec extends SparkSpec {
     assert(out.forall(r => r.isNullAt(r.fieldIndex("b"))))
   }
 
+  test("topicExtractAll sniffs per-topic object keys and parses in one pass") {
+    val df = Seq(
+      (1L, "cam", "[x: 1, y: 2, x: 3, y: 4]"),
+      (2L, "cam", "[x: 5, y: 6]"),
+      (3L, "gps", "[lat: 10, lon: 20]"),
+      (4L, "imu", "plain text, no objects here"),
+      (5L, "other", "[z: 9]") // not configured — must be dropped
+    ).toDF("id", "topic", "payload")
+    val out = Signals.topicExtractAll(df, "topic", Seq("cam", "gps", "imu"),
+      Seq("payload"), Map("bag_file" -> "b0"))
+    val rows = out.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(!rows.contains(5L))
+    assert(rows.values.forall(_.getAs[String]("bag_file") == "b0"))
+    val cam = rows(1L).getAs[scala.collection.Seq[scala.collection.Map[String, String]]]("payload_objs")
+    assert(cam.map(_.toMap).toList ==
+      List(Map("x" -> "1", "y" -> "2"), Map("x" -> "3", "y" -> "4")))
+    val gps = rows(3L).getAs[scala.collection.Seq[scala.collection.Map[String, String]]]("payload_objs")
+    assert(gps.map(_.toMap).toList == List(Map("lat" -> "10", "lon" -> "20")))
+    // imu has no ':'-bearing value for the sniffer in THIS topic…
+    // but cam/gps do, so the CASE yields null for imu rows
+    assert(rows(4L).isNullAt(rows(4L).fieldIndex("payload_objs")))
+  }
+
+  test("topicExtractAllTo writes a per-topic partitioned store") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-topics").toString
+    val df = Seq(
+      (1L, "cam", "[x: 1, y: 2]"),
+      (2L, "gps", "[lat: 3, lon: 4]")
+    ).toDF("id", "topic", "payload")
+    val back = Signals.topicExtractAllTo(df, "topic", Seq("cam", "gps"),
+      Seq("payload"), Map("bag_file" -> "b0"), s"$tmp/store")
+    assert(back.count() == 2)
+    // partition layout is the reference's per-topic directory layout
+    assert(new java.io.File(s"$tmp/store/topic=cam").isDirectory)
+    assert(new java.io.File(s"$tmp/store/topic=gps").isDirectory)
+    // a single-topic read prunes to one directory (partition pruning)
+    val pruned = spark.read.parquet(s"$tmp/store").filter(col("topic") === "cam")
+    assert(pruned.count() == 1)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("topic") && scan.contains("cam"),
+      s"single-topic read must prune to its partition directory: $scan")
+  }
+
   test("topicStats yields null rate for single-message topics") {
     val df = Seq((1L, 100L, "a"), (1L, 1100000L, "a"), (1L, 5L, "b")).toDF("g", "t", "topic")
     val st = Signals.topicStats(df, "g", "topic", "t").collect()

@@ -159,6 +159,9 @@ object Streaming {
     * LATER event arrives (the tick's value is then final — inclusive
     * at-or-before, like the batch operator). State per key is one
     * (lastVal, nextTick) pair regardless of rate — millions of keys fine.
+    *
+    * Caveat: an idle key's trailing ticks wait for a successor event —
+    * use [[gridFillWithTimeout]] for watermark-driven finality.
     */
   def gridFill(events: Dataset[EventRow], stepUs: Long): Dataset[GridOut] = {
     val spark = events.sparkSession
@@ -188,6 +191,73 @@ object Streaming {
             }
           }
           cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  case class GridTState(lastVal: Double, nextTick: Long, lastTs: Long)
+
+  /** [[gridFill]] + EVENT-TIME TIMEOUT finality: a pending tick also
+    * emits once the watermark passes it — so an idle key's trailing
+    * ticks (everything from its last emitted tick through its last
+    * event) appear without waiting for a successor event, closing the
+    * one semantic gap [[gridFill]] documents.
+    *
+    * Finality rule: tick t's value can only be changed by an event with
+    * ts ≤ t, so t is final as soon as EITHER a later event arrives
+    * (in-batch proof, same as [[gridFill]]) OR the watermark passes t.
+    * Per batch semantics the grid ends at the key's current max event
+    * time: drained keys keep their O(1) state (the forward-fill value
+    * must survive an idle spell) but arm no timeout until new events
+    * extend the grid.
+    */
+  def gridFillWithTimeout(events: Dataset[EventRow], stepUs: Long,
+                          watermarkDelay: String = "10 seconds"): Dataset[GridOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GridTState, GridOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[GridTState]) =>
+          val out = Seq.newBuilder[GridOut]
+          val wmMs = state.getCurrentWatermarkMs()
+          // re-arm only while ticks are pending; timeout must sit strictly
+          // beyond the current watermark or the update is rejected
+          def arm(s: GridTState): Unit =
+            if (s.nextTick <= s.lastTs)
+              state.setTimeoutTimestamp(math.max(s.nextTick / 1000 + 1, wmMs + 1))
+          if (state.hasTimedOut) {
+            var st = state.get
+            val wmUs = wmMs * 1000
+            while (st.nextTick < wmUs && st.nextTick <= st.lastTs) {
+              out += GridOut(userId, st.nextTick, st.lastVal)
+              st = GridTState(st.lastVal, st.nextTick + stepUs, st.lastTs)
+            }
+            state.update(st)
+            arm(st)
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_us)
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case None =>
+                  val tick = ((e.ts_us + stepUs - 1) / stepUs) * stepUs
+                  cur = Some(GridTState(e.value, tick, e.ts_us))
+                case Some(s) =>
+                  var st = s
+                  while (st.nextTick < e.ts_us) {
+                    out += GridOut(userId, st.nextTick, st.lastVal)
+                    st = GridTState(st.lastVal, st.nextTick + stepUs, st.lastTs)
+                  }
+                  cur = Some(GridTState(e.value, st.nextTick, e.ts_us))
+              }
+            }
+            cur.foreach { s => state.update(s); arm(s) }
+          }
           out.result().iterator
       }
   }

@@ -74,6 +74,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gridFillWithTimeout emits an idle key's last tick via the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000000L // multiple of the 10s step
+    val mem = MemoryStream[EventRow]
+    val q = Streaming.gridFillWithTimeout(mem.toDS(), stepUs = 10000000L)
+      .writeStream.format("memory").queryName("grid_to").outputMode("append").start()
+    try {
+      // key 1: events at +5s (v=1) and +20s (v=2) → tick +10s emits
+      // in-batch (later event proves it); tick +20s stays PENDING — in
+      // plain gridFill it would never emit without a successor event
+      mem.addData(
+        EventRow(1L, base + 5000000L, "a", 1.0),
+        EventRow(1L, base + 20000000L, "a", 2.0))
+      q.processAllAvailable()
+      val early = spark.table("grid_to").as[GridOut].collect()
+      assert(early.toSeq == Seq(GridOut(1L, base + 10000000L, 1.0)))
+      // another key far ahead advances the watermark past +20s…
+      mem.addData(EventRow(2L, base + 60000000L, "b", 9.0))
+      q.processAllAvailable()
+      // …and the next batch fires key 1's event-time timeout
+      mem.addData(EventRow(2L, base + 61000000L, "b", 9.5))
+      q.processAllAvailable()
+      val rows = spark.table("grid_to").as[GridOut].collect()
+      assert(rows.contains(GridOut(1L, base + 20000000L, 2.0)),
+        s"idle key's final tick must emit via watermark: ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("objects-in-lane geometry runs unchanged inside a stream") {
     // the fused geometry is a pure projection, so the batch operator IS
     // the streaming operator — readStream → objectsInLaneFused → sink

@@ -739,9 +739,18 @@ object SparkEntry {
       // 1-row broadcast. Ranking on the ROUNDED score so cross-engine
       // libm ulp drift cannot flip ties.
       val docs = Tables.documents(s, d)
+      // materialize the term-partitioned (doc,term,tf) table ONCE as an
+      // explicit barrier: the df aggregate and the join probe both read
+      // it (ReusedExchange can't help here — column pruning strips tf
+      // from the df branch, breaking subtree identity), and since
+      // localCheckpoint preserves the term partitioning, neither
+      // consumer shuffles again. This is classic two-pass TF-IDF: at
+      // 100 TB the tf table is the artifact you persist anyway.
       val pairs = docs.select(col("doc_id"),
           explode(TextFunctions.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .repartition(col("term"))
+        .localCheckpoint()
       val dfreq = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val scored = pairs.join(dfreq, "term").crossJoin(broadcast(n))

@@ -396,10 +396,12 @@ object Dedup {
     *
     * At 100 TB: signatures scale with input splits; the only shuffles are
     * the prefix-hash join and the candidate groupBy. Under power-law
-    * shingle skew, swap hash order for df-ascending order (one extra agg
-    * pass) — the plan shape is unchanged; hash order spreads hot shingles
-    * uniformly which is already the right default for synthetic/uniform
-    * vocabularies.
+    * shingle skew, pass `shingleOrder = "df"` (document-frequency
+    * ascending — one extra agg+join pass) so boilerplate shingles fall
+    * outside every prefix; hash order spreads hot shingles uniformly,
+    * which is the right zero-extra-cost default for near-uniform
+    * vocabularies. Ordering changes candidate VOLUME only — results are
+    * identical (DedupSpec proves both).
     *
     * The signature table is materialized (localCheckpoint) before the
     * self-join: it feeds three plan branches (prefix explode + both
@@ -413,13 +415,65 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, minJaccard: Double = 0.3,
-                        sigPath: Option[String] = None): DataFrame = {
+                        sigPath: Option[String] = None,
+                        shingleOrder: String = "hash"): DataFrame = {
+    val (sigs, cand) = ngramJaccardCandidates(
+      docs, idCol, textCol, shingleN, minJaccard, sigPath, shingleOrder)
+    val sets = sigs.select(col(idCol), col("hs"), col("n_sh"))
+    cand
+      .join(sets.select(col(idCol).as("doc_a"), col("hs").as("hs_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("hs").as("hs_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        call_function("sorted_intersect_count", col("hs_a"), col("hs_b")).as("n_inter"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"))
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"), col("jaccard"))
+  }
+
+  /** Signature + candidate stages of [[ngramJaccardPairs]], exposed so the
+    * candidate volume — THE cost driver of prefix-filtered set-similarity —
+    * is measurable per ordering.
+    *
+    * @param shingleOrder global shingle order for prefix filtering:
+    *   "hash" (default — no extra pass, spreads hot shingles uniformly,
+    *   right for near-uniform vocabularies) or "df" (document-frequency
+    *   ascending, Bayardo's canonical rare-first order: one extra
+    *   agg+join pass puts boilerplate shingles LAST so they fall outside
+    *   every prefix — the lever for power-law-skewed corpora, where one
+    *   hot boilerplate shingle in the prefixes pairs everything with
+    *   everything). The prefix theorem is exact under ANY fixed total
+    *   order, so the ordering changes candidate volume, never the result.
+    */
+  private[graft] def ngramJaccardCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, minJaccard: Double,
+      sigPath: Option[String], shingleOrder: String): (DataFrame, DataFrame) = {
+    require(shingleOrder == "hash" || shingleOrder == "df",
+      s"shingleOrder must be 'hash' or 'df', got '$shingleOrder'")
     graft.plans.GraftExtensions.register(docs.sparkSession)
     val sigs = materialize(
       hashSignatures(docs, idCol, textCol, shingleN, minJaccard), sigPath)
-    val prefix = sigs
+    // the prefix is taken under the chosen GLOBAL order; verification
+    // always uses the ascending `hs` array (the merge intersect needs it)
+    val prefixSource = shingleOrder match {
+      case "hash" =>
+        sigs.select(col(idCol), col("n_sh"), col("prefix_len"),
+          col("hs").as("hs_ord"))
+      case "df" =>
+        val ex = sigs.select(col(idCol), explode(col("hs")).as("h"))
+        val dft = ex.groupBy(col("h")).agg(count(lit(1)).as("sdf"))
+        ex.join(dft, "h")
+          .groupBy(col(idCol))
+          .agg(sort_array(collect_list(struct(col("sdf"), col("h")))).as("o"))
+          .select(col(idCol), transform(col("o"), x => x.getField("h")).as("hs_ord"))
+          .join(sigs.select(col(idCol), col("n_sh"), col("prefix_len")), idCol)
+    }
+    val prefix = prefixSource
       .select(col(idCol), col("n_sh"),
-        posexplode(slice(col("hs"), lit(1), col("prefix_len"))).as(Seq("pos", "h")))
+        posexplode(slice(col("hs_ord"), lit(1), col("prefix_len"))).as(Seq("pos", "h")))
       .repartition(col("h")) // shared Exchange for both self-join branches
     val a = prefix.select(col(idCol).as("doc_a"), col("n_sh").as("n_a"),
       col("pos").as("pos_a"), col("h"))
@@ -441,21 +495,14 @@ object Dedup {
         lit(minJaccard) * greatest(col("n_a"), col("n_b"))) // length filter
       .filter(safeBound >= alpha)                           // per-collision bound
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(min_by(tightBound, col("h")).as("first_bound"),
+      // the FIRST collision under the prefix order is the one at the
+      // smallest position (pos is monotone in the global order for both
+      // docs), where common-before is exactly 0 — min_by(h) would be
+      // wrong under df order
+      .agg(min_by(tightBound, col("pos_a")).as("first_bound"),
         max(alpha).as("alpha"))
       .filter(col("first_bound") >= col("alpha"))           // tight bound at first collision
       .select(col("doc_a"), col("doc_b"))
-    val sets = sigs.select(col(idCol), col("hs"), col("n_sh"))
-    cand
-      .join(sets.select(col(idCol).as("doc_a"), col("hs").as("hs_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sets.select(col(idCol).as("doc_b"), col("hs").as("hs_b"), col("n_sh").as("n_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        call_function("sorted_intersect_count", col("hs_a"), col("hs_b")).as("n_inter"),
-        col("n_a").cast("long").as("n_a"),
-        col("n_b").cast("long").as("n_b"))
-      .withColumn("jaccard",
-        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"), col("jaccard"))
+    (sigs, cand)
   }
 }

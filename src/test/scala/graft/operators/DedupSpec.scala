@@ -85,6 +85,35 @@ class DedupSpec extends SparkSpec {
     assert(a.exceptAll(b).union(b.exceptAll(a)).isEmpty)
   }
 
+  test("df-ascending shingle order cuts candidates on a skewed corpus, same result") {
+    // power-law skew: every doc shares one hot boilerplate opening, then
+    // diverges — under hash order the boilerplate shingles land in many
+    // prefixes and pair everything with everything; under df order they
+    // sort LAST and fall outside every prefix
+    val boiler = "terms of service apply to all content on this site"
+    val skewed = (0 until 24).map { i =>
+      (i.toLong, s"$boiler unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e unique${i}f")
+    }.toDF("doc_id", "text")
+    val (_, candHash) = Dedup.ngramJaccardCandidates(
+      skewed, "doc_id", "text", 3, 0.5, None, "hash")
+    val (_, candDf) = Dedup.ngramJaccardCandidates(
+      skewed, "doc_id", "text", 3, 0.5, None, "df")
+    val (nHash, nDf) = (candHash.count(), candDf.count())
+    assert(nDf < nHash,
+      s"df order must prune the boilerplate collisions: $nDf vs $nHash")
+    // ordering is a cost lever only: verified pairs are identical
+    val pHash = Dedup.ngramJaccardPairs(skewed, "doc_id", "text", 3, 0.5)
+    val pDf = Dedup.ngramJaccardPairs(skewed, "doc_id", "text", 3, 0.5,
+      shingleOrder = "df")
+    assert(pHash.exceptAll(pDf).union(pDf.exceptAll(pHash)).isEmpty)
+    // and on real data the two orders agree too
+    val docsSf = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rHash = Dedup.ngramJaccardPairs(docsSf, "doc_id", "text", 3, 0.5)
+    val rDf = Dedup.ngramJaccardPairs(docsSf, "doc_id", "text", 3, 0.5,
+      shingleOrder = "df")
+    assert(rHash.exceptAll(rDf).union(rDf.exceptAll(rHash)).isEmpty)
+  }
+
   test("CC loops with a reliable statePath produce identical clusters") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-cc").toString
     val chain = (0L until 20L).map(i => (i, i + 1)).toDF("a", "b")

@@ -41,6 +41,28 @@ object Bench {
     }
     pass() // warmup: compile all codegen stages, warm JIT + page cache
     val results = pass()
+    // operator-level as-of comparison, WITHOUT the terminal global sort
+    // the oracle queries need: a global orderBy's range-sample pass
+    // re-executes the plan's final stage, and the native join FUSES its
+    // merge into that stage (no exchange — the window form pays one),
+    // so the query-level numbers measure sort amplification, not the
+    // operator. Not counted in `total`.
+    def asofRaw(native: Boolean): Double = {
+      import org.apache.spark.sql.functions._
+      val e = sources.Tables.events(spark, sfDir).withColumn("ts_us", expr("ts DIV 1000"))
+      val grid = operators.Signals.timeGrid(
+        e.select(col("user_id"), col("ts_us").as("ts")), Seq("user_id"), "ts", 3600000000L)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("t")).agg(max(col("value")).as("pval"))
+      val df =
+        if (native) operators.AsOfJoin.asOfNative(grid, purchases, Seq("user_id"), "ts", "t", Seq("pval"))
+        else operators.AsOfJoin.asOf(grid, purchases, Seq("user_id"), "ts", "t", Seq("pval"))
+      df.queryExecution.toRdd.count() // warm
+      val t0 = System.nanoTime()
+      df.queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val asofOp = s"""{"window":${asofRaw(false)},"native":${asofRaw(true)}}"""
     // a crashed query contributes NO partial time to the total and is
     // listed by name — a mid-plan failure must be loud, not a fast "win"
     val ok = results.filter(!_._2.failed)
@@ -68,7 +90,7 @@ object Bench {
           "\"" + f.getName.stripSuffix(".json").stripPrefix("BENCH_") + "\":" + m.group(1)
         }
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"history":$history,"sf":"$sfDir","methodology":"steady-state: 2 passes, second reported; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"history":$history,"sf":"$sfDir","methodology":"steady-state: 2 passes, second reported; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require"}""")
     spark.stop()
   }
 }

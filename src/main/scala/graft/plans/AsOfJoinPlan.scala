@@ -3,10 +3,13 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.BindReferences.bindReferences
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, JavaCode}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types.DataType
 
 /** Whole-operator as-of join: logical node → strategy → physical
   * sort-merge operator.
@@ -53,7 +56,7 @@ case class AsOfJoinExec(
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
-    rightValues: Seq[Attribute]) extends BinaryExecNode {
+    rightValues: Seq[Attribute]) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ rightValues.map(_.withNullability(true))
 
@@ -125,6 +128,133 @@ case class AsOfJoinExec(
         resultProj(joined(lRow, if (matched) lastVals else nullVals))
       }
     }
+  }
+
+  // ---- whole-stage codegen ------------------------------------------
+  //
+  // Two-input-iterator shape, like SortMergeJoinExec: the generated
+  // processNext() walks the left iterator, advancing the right iterator
+  // inline — the merge loop, match test, and output projection all land
+  // in ONE compiled function, fused with any downstream stages (the
+  // row-based doExecute above stays as the codegen-off fallback).
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // emitted rows reference the (reused) left iterator buffer and the
+  // remembered right-row copy — downstream buffering must copy, exactly
+  // like SortMergeJoinExec
+  override def needCopyResult: Boolean = true
+
+  /** Lexicographic comparison of two evaluated column lists with
+    * nulls-first semantics (matches RowOrdering's natural ascending
+    * ordering used in the interpreted path).
+    */
+  private def genCompare(ctx: CodegenContext, compVar: String,
+                         a: Seq[ExprCode], b: Seq[ExprCode],
+                         types: Seq[DataType]): String = {
+    val perCol = a.lazyZip(b).lazyZip(types).map { (x, y, dt) =>
+      s"""if ($compVar == 0) {
+         |  if (${x.isNull} && ${y.isNull}) $compVar = 0;
+         |  else if (${x.isNull}) $compVar = -1;
+         |  else if (${y.isNull}) $compVar = 1;
+         |  else $compVar = ${ctx.genComp(dt, x.value.toString, y.value.toString)};
+         |}""".stripMargin
+    }
+    s"""int $compVar = 0;
+       |${perCol.mkString("\n")}""".stripMargin
+  }
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val numMatchedRows = metricTerm(ctx, "numMatchedRows")
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];")
+    // pending right row not yet merged (safe uncopied: no further next()
+    // happens while it is held) and the last merged right row (copied —
+    // the iterator reuses its buffer on later next() calls)
+    val rightHead = ctx.addMutableState("InternalRow", "asofRightHead")
+    val lastRight = ctx.addMutableState("InternalRow", "asofLastRight")
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    val keyTimeTypes = (leftKeys :+ leftTime).map(_.dataType)
+
+    // left (key, time) and full left output, evaluated per left row
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val lKeyVars = ctx.generateExpressions(
+      bindReferences[Expression](leftKeys :+ leftTime, left.output))
+    val leftOutVars = ctx.generateExpressions(
+      bindReferences[Expression](left.output, left.output))
+
+    // right (key, time) evaluated on the pending head row
+    ctx.INPUT_ROW = rightHead
+    val rKeyVars = ctx.generateExpressions(
+      bindReferences[Expression](rightKeys :+ rightTime, right.output))
+
+    // key columns and value columns of the remembered last right row
+    ctx.INPUT_ROW = lastRight
+    val lastKeyVars = ctx.generateExpressions(
+      bindReferences[Expression](rightKeys, right.output))
+    val lastValVars = ctx.generateExpressions(
+      bindReferences[Expression](rightValues, right.output))
+
+    val headComp = ctx.freshName("headComp")
+    val keyComp = ctx.freshName("keyComp")
+    val matched = ctx.freshName("asofMatched")
+
+    // right values guarded by the match flag — unmatched rows emit nulls
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val guardedVals = rightValues.zip(lastValVars).map { case (attr, ev) =>
+      val isNull = ctx.freshName("asofValIsNull")
+      val value = ctx.freshName("asofValValue")
+      val jt = CodeGenerator.javaType(attr.dataType)
+      val block =
+        code"""boolean $isNull = true;
+              |$jt $value = ${CodeGenerator.defaultValue(attr.dataType)};
+              |if ($matched) {
+              |  ${ev.code}
+              |  $isNull = ${ev.isNull};
+              |  $value = ${ev.value};
+              |}""".stripMargin
+      ExprCode(block,
+        JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, attr.dataType))
+    }
+
+    s"""while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${lKeyVars.map(_.code).mkString("\n")}
+       |  // merge: consume right rows while (rKey, rTime) <= (lKey, lTime)
+       |  while (true) {
+       |    if ($rightHead == null) {
+       |      if (!$rightInput.hasNext()) break;
+       |      $rightHead = (InternalRow) $rightInput.next();
+       |    }
+       |    ${rKeyVars.map(_.code).mkString("\n")}
+       |    ${genCompare(ctx, headComp, rKeyVars, lKeyVars, keyTimeTypes)}
+       |    if ($headComp <= 0) {
+       |      $lastRight = $rightHead.copy();
+       |      $rightHead = null;
+       |    } else {
+       |      break;
+       |    }
+       |  }
+       |  // match only if the remembered right row shares the left key
+       |  boolean $matched = false;
+       |  if ($lastRight != null) {
+       |    ${lastKeyVars.map(_.code).mkString("\n")}
+       |    ${genCompare(ctx, keyComp, lastKeyVars, lKeyVars.dropRight(1), keyTimeTypes.dropRight(1))}
+       |    $matched = $keyComp == 0;
+       |  }
+       |  $numOutputRows.add(1);
+       |  if ($matched) $numMatchedRows.add(1);
+       |  ${leftOutVars.map(_.code).mkString("\n")}
+       |  ${consume(ctx, leftOutVars ++ guardedVals)}
+       |  if (shouldStop()) return;
+       |}""".stripMargin
   }
 
   override protected def withNewChildrenInternal(newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =

@@ -60,6 +60,33 @@ class AsOfJoinSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("asOfNative runs INSIDE a WholeStageCodegen stage, codegen ≡ interpreted") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+    val grid = Signals.timeGrid(e.select(col("user_id"), col("ts_us").as("t")),
+      Seq("user_id"), "t", 3600000000L)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us").as("rt"))
+      .agg(max(col("value")).as("pval"))
+    def run() = AsOfJoin.asOfNative(grid, purchases, Seq("user_id"), "t", "rt", Seq("pval"))
+    val df = run()
+    df.collect() // finalize AQE stages
+    // AQE hides stage internals from collect(); the rendered plan marks
+    // every operator inside a WholeStageCodegen stage with "*(id)"
+    val rendered = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(rendered).isDefined,
+      s"AsOfJoinExec must be inside a WholeStageCodegen stage:\n$rendered")
+    // generated merge ≡ interpreted fallback, row for row
+    val withCodegen = df.orderBy("user_id", "t").collect()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = run().orderBy("user_id", "t").collect()
+      assert(withCodegen.length == interpreted.length && withCodegen.length > 1000)
+      withCodegen.zip(interpreted).foreach { case (x, y) => assert(x == y) }
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("asOf preserves left columns and row count") {
     val left = Seq((1L, 10L, "keep")).toDF("k", "t", "extra")
     val right = Seq((1L, 1L, 9.9)).toDF("k", "rt", "v")

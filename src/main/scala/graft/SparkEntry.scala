@@ -776,6 +776,25 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"),
           col("checksum"), col("wchecksum"))
+        .orderBy(col("media_id"))),
+    "q_mm_resize" -> ((s, d) =>
+      // pixel-level resize kernel, oracle-gated END TO END: synthesize →
+      // resizePayload (decode, nearest-neighbor downsample every frame,
+      // re-encode as PPM) → decode AGAIN; the resized raster is still a
+      // pure function of doc_id (out pixel (f,y,x,c) samples source
+      // (f, y*h/oh, x*w/ow, c)), so the oracle predicts the re-decoded
+      // dims, byte sizes, and both pixel checksums without touching
+      // binary — any error in header emit, row order, or the sampling
+      // grid breaks the hash
+      Multimodal.decode(
+        Multimodal.resizePayload(
+          Multimodal.synthesize(Tables.documents(s, d), "doc_id"), maxDim = 4))
+        .toDF()
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("checksum"), col("wchecksum"))
         .orderBy(col("media_id")))
   )
 
@@ -1532,8 +1551,8 @@ object SparkEntry {
       s"""WITH px AS ($mmDecodedSql)
          |SELECT media_id, media_type, n_bytes, width, height, n_frames,
          |  (n_frames + 1) // 2 AS n_sampled,
-         |  CAST(floor(width * scale) AS BIGINT) AS out_width,
-         |  CAST(floor(height * scale) AS BIGINT) AS out_height,
+         |  greatest(1, CAST(floor(width * scale) AS BIGINT)) AS out_width,
+         |  greatest(1, CAST(floor(height * scale) AS BIGINT)) AS out_height,
          |  checksum, wchecksum
          |FROM (SELECT *,
          |        least(8.0 / greatest(width, 1), 8.0 / greatest(height, 1), 1.0) AS scale
@@ -1553,7 +1572,35 @@ object SparkEntry {
          |WHERE rk <= 3
          |ORDER BY doc_id, rk""".stripMargin,
     "q_mm_decode" ->
-      s"""SELECT * FROM ($mmDecodedSql) d ORDER BY media_id""".stripMargin
+      s"""SELECT * FROM ($mmDecodedSql) d ORDER BY media_id""".stripMargin,
+    "q_mm_resize" ->
+      """WITH geo AS (
+        |  SELECT doc_id, doc_id % 13 + 2 AS w, doc_id % 7 + 2 AS h,
+        |    CASE WHEN doc_id % 3 = 2 THEN doc_id % 4 + 1 ELSE 1 END AS fr
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, w, h, fr,
+        |    greatest(1, CAST(floor(w * least(4.0 / w, 4.0 / h, 1.0)) AS BIGINT)) AS ow,
+        |    greatest(1, CAST(floor(h * least(4.0 / w, 4.0 / h, 1.0)) AS BIGINT)) AS oh
+        |  FROM geo),
+        |px AS (
+        |  SELECT doc_id,
+        |    kout,
+        |    (doc_id*7 + ((((kout // (3*ow*oh)) * h + (((kout // (3*ow)) % oh) * h) // oh) * w
+        |                  + (((kout // 3) % ow) * w) // ow) * 3 + kout % 3) * 13) % 256 AS v
+        |  FROM (SELECT d.*, unnest(range(0, fr*ow*oh*3)) AS kout FROM dims d) u),
+        |sums AS (
+        |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS checksum,
+        |    CAST(sum(kout * v) AS BIGINT) AS wchecksum
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.fr > 1 THEN 'ppm-seq' ELSE 'ppm' END AS media_type,
+        |  d.fr * (9 + length(CAST(d.ow AS VARCHAR)) + length(CAST(d.oh AS VARCHAR))
+        |          + d.ow*d.oh*3) AS n_bytes,
+        |  d.ow AS width, d.oh AS height, d.fr AS n_frames,
+        |  s.checksum, s.wchecksum
+        |FROM dims d JOIN sums s USING (doc_id)
+        |ORDER BY media_id""".stripMargin
   )
 
   /** Oracle twin of Multimodal.synthesize∘decode: geometry, format,

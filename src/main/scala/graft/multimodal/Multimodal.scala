@@ -138,8 +138,10 @@ object Multimodal {
       lit(maxDim) / greatest(col("height"), lit(1)),
       lit(1.0))
     decoded
-      .withColumn("out_width", floor(col("width") * scale).cast("int"))
-      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+      // clamp to >= 1: an extreme aspect ratio must thumbnail to a 1px
+      // strip, not a zero-dimensional image (standard thumbnail rule)
+      .withColumn("out_width", greatest(lit(1), floor(col("width") * scale).cast("int")))
+      .withColumn("out_height", greatest(lit(1), floor(col("height") * scale).cast("int")))
   }
 
   /** Pixel-level resize kernel: decode → nearest-neighbor downsample each
@@ -158,8 +160,8 @@ object Multimodal {
         val scale = math.min(
           math.min(maxDim.toDouble / math.max(dec.width, 1),
             maxDim.toDouble / math.max(dec.height, 1)), 1.0)
-        val ow = math.floor(dec.width * scale).toInt
-        val oh = math.floor(dec.height * scale).toInt
+        val ow = math.max(1, math.floor(dec.width * scale).toInt)
+        val oh = math.max(1, math.floor(dec.height * scale).toInt)
         val frameLen = dec.width * dec.height * 3
         val outLen = ow * oh * 3
         val out = new Array[Byte](dec.nFrames * outLen)

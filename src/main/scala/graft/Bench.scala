@@ -32,12 +32,17 @@ object Bench {
     // row — `count()` would let Catalyst prune unprojected work, timing
     // an empty scan for map-only queries (text ops measured ~0.1s of
     // nothing). This measures what a consumer of the result would pay.
-    def pass(): Map[String, QResult] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val (rows, failed) =
-        try { (fn(spark, sfDir).queryExecution.toRdd.count(), false) }
-        catch { case _: Throwable => (-1L, true) }
-      name -> QResult((System.nanoTime() - t0) / 1e9, rows, failed)
+    def pass(): Map[String, QResult] = {
+      // each pass pays the shared dedup pair/cluster tables ONCE (the
+      // persist-once-read-everywhere semantics), not zero times
+      SparkEntry.clearSharedTables()
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val (rows, failed) =
+          try { (fn(spark, sfDir).queryExecution.toRdd.count(), false) }
+          catch { case _: Throwable => (-1L, true) }
+        name -> QResult((System.nanoTime() - t0) / 1e9, rows, failed)
+      }
     }
     pass() // warmup: compile all codegen stages, warm JIT + page cache
     val results = pass()

@@ -519,6 +519,27 @@ object SparkEntry {
       Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
         numHashes = 8, shingleN = 3, rowsPerBand = 2).localCheckpoint())
 
+  /** Shared near-dup CLUSTER table (min-label CC over the shared pair
+    * table): `q_dup_clusters` lists it and `q_dedup_apply` consumes it —
+    * like the pair table, on a cluster this is persisted once, and the
+    * iterative CC job must not run once per consumer.
+    */
+  private val clusterTableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def dupClusterTable(s: SparkSession, d: String): DataFrame =
+    clusterTableCache.getOrElseUpdate((s, d),
+      Dedup.dupClusters(minHashPairTable(s, d), "doc_a", "doc_b").localCheckpoint())
+
+  /** Drop the shared pair/cluster tables so a bench pass pays their
+    * build cost exactly once — without this, Bench's warmup pass would
+    * pre-populate them and the timed pass would never include the
+    * shingle or CC computation at all.
+    */
+  def clearSharedTables(): Unit = {
+    pairTableCache.clear()
+    clusterTableCache.clear()
+  }
+
   private val curationQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text").orderBy(col("fp"))),
@@ -543,7 +564,7 @@ object SparkEntry {
     "q_dup_clusters" -> ((s, d) =>
       // near-dup pairs → connected components (min-label propagation);
       // keep-one-per-cluster is then `groupBy(cluster_id).min(doc_id)`
-      Dedup.dupClusters(minHashPairTable(s, d), "doc_a", "doc_b")
+      dupClusterTable(s, d)
         .orderBy(col("doc_id"))),
     "q_dup_clusters_star" -> ((s, d) =>
       // same clustering contract as q_dup_clusters, via the O(log n)
@@ -554,8 +575,8 @@ object SparkEntry {
       // end-to-end dedup application: pairs → clusters → keep ONE doc per
       // cluster (the min-id representative), everyone else anti-joined out
       val docs = Tables.documents(s, d)
-      val clusters = Dedup.dupClusters(minHashPairTable(s, d), "doc_a", "doc_b")
-      val dropIds = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      val dropIds = dupClusterTable(s, d)
+        .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
       docs.join(dropIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"))

@@ -798,6 +798,20 @@ object SparkEntry {
           col("n_frames").cast("long").as("n_frames"),
           col("checksum"), col("wchecksum"))
         .orderBy(col("media_id"))),
+    "q_mm_audio" -> ((s, d) =>
+      // audio family: real RIFF/WAVE 16-bit PCM payloads synthesized as
+      // a pure function of doc_id, decoded by walking the actual chunk
+      // list; checksum covers the PCM samples, wchecksum pins their
+      // interleaving order
+      Multimodal.decodeAudio(
+        Multimodal.synthesizeAudio(Tables.documents(s, d), "doc_id"))
+        .toDF()
+        .select(col("media_id"), col("n_bytes"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_channels").cast("long").as("n_channels"),
+          col("n_samples").cast("long").as("n_samples"),
+          col("duration_us"), col("checksum"), col("wchecksum"))
+        .orderBy(col("media_id"))),
     "q_mm_resize" -> ((s, d) =>
       // pixel-level resize kernel, oracle-gated END TO END: synthesize →
       // resizePayload (decode, nearest-neighbor downsample every frame,
@@ -1594,6 +1608,26 @@ object SparkEntry {
          |ORDER BY doc_id, rk""".stripMargin,
     "q_mm_decode" ->
       s"""SELECT * FROM ($mmDecodedSql) d ORDER BY media_id""".stripMargin,
+    "q_mm_audio" ->
+      """WITH geo AS (
+        |  SELECT doc_id, 8000 * (doc_id % 3 + 1) AS rate,
+        |    doc_id % 2 + 1 AS nch, doc_id % 50 + 10 AS frames
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, k,
+        |    (doc_id*31 + k*17) % 65536 - 32768 AS v
+        |  FROM (SELECT g.*, unnest(range(0, nch*frames)) AS k FROM geo g) u),
+        |sums AS (
+        |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS checksum,
+        |    CAST(sum(k * v) AS BIGINT) AS wchecksum
+        |  FROM px GROUP BY doc_id)
+        |SELECT g.doc_id AS media_id,
+        |  44 + g.nch * g.frames * 2 AS n_bytes,
+        |  g.rate AS sample_rate, g.nch AS n_channels, g.frames AS n_samples,
+        |  g.frames * 1000000 // g.rate AS duration_us,
+        |  s.checksum, s.wchecksum
+        |FROM geo g JOIN sums s USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
     "q_mm_resize" ->
       """WITH geo AS (
         |  SELECT doc_id, doc_id % 13 + 2 AS w, doc_id % 7 + 2 AS h,

@@ -211,6 +211,85 @@ object MediaCodec {
     Decoded("bmp", width, height, 1, out)
   }
 
+  // ---- audio: WAV / 16-bit PCM --------------------------------------
+
+  /** Decoded audio: interleaved 16-bit samples ([L R L R …] for stereo);
+    * `nSamples` is per-channel frame count.
+    */
+  final case class DecodedAudio(sampleRate: Int, nChannels: Int,
+                                nSamples: Int, samples: Array[Short])
+
+  /** Canonical 44-byte RIFF/WAVE header + 16-bit little-endian PCM data.
+    * `samples` are interleaved; length must be a multiple of nChannels.
+    */
+  def encodeWav(sampleRate: Int, nChannels: Int, samples: Array[Short]): Array[Byte] = {
+    require(nChannels > 0 && samples.length % nChannels == 0,
+      s"interleaved sample count ${samples.length} not a multiple of $nChannels channels")
+    val dataSize = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+    buf.putInt(36 + dataSize)
+    buf.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    buf.put("fmt ".getBytes(StandardCharsets.US_ASCII))
+    buf.putInt(16)                       // PCM fmt chunk size
+    buf.putShort(1)                      // audio format: PCM
+    buf.putShort(nChannels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * nChannels * 2) // byte rate
+    buf.putShort((nChannels * 2).toShort)  // block align
+    buf.putShort(16)                     // bits per sample
+    buf.put("data".getBytes(StandardCharsets.US_ASCII))
+    buf.putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** RIFF/WAVE → interleaved 16-bit PCM. Walks the chunk list (a real
+    * producer may insert LIST/INFO chunks before data), accepts only
+    * PCM 16-bit, and fails loudly on anything else.
+    */
+  def decodeWav(bytes: Array[Byte]): DecodedAudio = {
+    require(bytes.length >= 44, s"WAV too short: ${bytes.length}")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int) = new String(bytes, off, 4, StandardCharsets.US_ASCII)
+    require(fourcc(0) == "RIFF" && fourcc(8) == "WAVE",
+      s"not a RIFF/WAVE payload: '${fourcc(0)}'/'${fourcc(8)}'")
+    var pos = 12
+    var sampleRate = -1
+    var nChannels = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
+      val id = fourcc(pos)
+      val size = buf.getInt(pos + 4)
+      require(size >= 0 && pos + 8 + size <= bytes.length,
+        s"truncated WAV chunk '$id' at $pos: size $size")
+      id match {
+        case "fmt " =>
+          val fmt = buf.getShort(pos + 8)
+          require(fmt == 1, s"unsupported WAV format $fmt (PCM only)")
+          nChannels = buf.getShort(pos + 10)
+          sampleRate = buf.getInt(pos + 12)
+          val bits = buf.getShort(pos + 22)
+          require(bits == 16, s"unsupported WAV bit depth $bits (16-bit only)")
+        case "data" =>
+          dataOff = pos + 8
+          dataLen = size
+        case _ => () // skip foreign chunks (LIST, INFO, …)
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0 && nChannels > 0, "WAV missing fmt chunk")
+    require(dataOff >= 0, "WAV missing data chunk")
+    require(dataLen % (nChannels * 2) == 0,
+      s"WAV data size $dataLen not aligned to $nChannels-channel 16-bit frames")
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = buf.getShort(dataOff + i * 2); i += 1 }
+    DecodedAudio(sampleRate, nChannels, n / nChannels, out)
+  }
+
   // ---- pixel ops ----------------------------------------------------
 
   /** Nearest-neighbor resize of one top-down RGB frame: output pixel

@@ -144,6 +144,71 @@ object Multimodal {
       .withColumn("out_height", greatest(lit(1), floor(col("height") * scale).cast("int")))
   }
 
+  /** Decoded audio features — same fixed-width-columns-out contract as
+    * [[DecodedMedia]]: samples never leave the executor.
+    */
+  case class DecodedAudioRow(
+      media_id: Long,
+      n_bytes: Long,
+      sample_rate: Int,
+      n_channels: Int,
+      n_samples: Int,
+      duration_us: Long,
+      checksum: Long,
+      wchecksum: Long)
+
+  /** Deterministic WAV synthesis over an id column: real RIFF/PCM bytes
+    * with rate / channels / length / samples all pure functions of the
+    * id — interleaved sample k is ((id*31 + k*17) mod 65536) − 32768.
+    */
+  def synthesizeAudio(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { d =>
+        val rate = 8000 * (d % 3 + 1).toInt
+        val nCh = (d % 2 + 1).toInt
+        val frames = (d % 50 + 10).toInt
+        val samples = Array.tabulate[Short](nCh * frames)(k =>
+          (((d * 31 + k * 17) % 65536) - 32768).toShort)
+        val bytes = MediaCodec.encodeWav(rate, nCh, samples)
+        MediaRecord(d, "audio/wav", bytes, bytes.length.toLong)
+      }
+    }
+  }
+
+  /** Audio decode kernel: parse the actual RIFF chunk list and PCM data;
+    * emit rate/channels/length plus sample checksums (the positional
+    * weight pins interleaving order).
+    */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[DecodedAudioRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val dec = MediaCodec.decodeWav(m.payload)
+        var sum = 0L
+        var wsum = 0L
+        var k = 0
+        while (k < dec.samples.length) {
+          val v = dec.samples(k).toLong
+          sum += v
+          wsum += k.toLong * v
+          k += 1
+        }
+        DecodedAudioRow(
+          media_id = m.media_id,
+          n_bytes = m.n_bytes,
+          sample_rate = dec.sampleRate,
+          n_channels = dec.nChannels,
+          n_samples = dec.nSamples,
+          duration_us = dec.nSamples * 1000000L / dec.sampleRate,
+          checksum = sum,
+          wchecksum = wsum)
+      }
+    }
+  }
+
   /** Pixel-level resize kernel: decode → nearest-neighbor downsample each
     * frame to fit `maxDim` → re-encode (PPM / PPM-seq; BMP inputs come
     * back as PPM — normalization is the point of a curation pipeline).

@@ -141,14 +141,38 @@ object Signals {
     */
   def topicExtractAll(signals: DataFrame, topicCol: String,
                       topics: Seq[String], candidateCols: Seq[String],
-                      provenance: Map[String, String]): DataFrame = {
+                      provenance: Map[String, String]): DataFrame =
+    topicExtractAllWith(signals, topicCol, topics, candidateCols,
+      sniffTopicKeys(signals, topicCol, topics, candidateCols), provenance)
+
+  /** The sniff phase of [[topicExtractAll]], separated out: one `limit(1)`
+    * driver lookup per (topic, candidate column) — the reference's
+    * `example` scan (main.py:101-113). Driver actions are illegal on a
+    * streaming DataFrame, so a stream sniffs a STATIC sample (or takes
+    * configured keys) and applies with [[topicExtractAllWith]].
+    */
+  def sniffTopicKeys(signals: DataFrame, topicCol: String,
+                     topics: Seq[String],
+                     candidateCols: Seq[String]): Map[(String, String), String] = {
     val filtered = signals.filter(col(topicCol).isin(topics: _*))
-    val startKeys: Map[(String, String), String] = (for {
+    (for {
       t <- topics
       c <- candidateCols
       k <- SemiStructured.sniffObjectStart(
         filtered.filter(col(topicCol) === t), c)
     } yield (t, c) -> k).toMap
+  }
+
+  /** The apply phase of [[topicExtractAll]]: a PURE projection (filter +
+    * per-topic CASE parse + provenance literals) with no driver action —
+    * runs unchanged on a batch frame or inside `readStream`, so the
+    * backfill and the live path share one operator.
+    */
+  def topicExtractAllWith(signals: DataFrame, topicCol: String,
+                          topics: Seq[String], candidateCols: Seq[String],
+                          startKeys: Map[(String, String), String],
+                          provenance: Map[String, String]): DataFrame = {
+    val filtered = signals.filter(col(topicCol).isin(topics: _*))
     val parsed = candidateCols.foldLeft(filtered) { (df, c) =>
       val keys = topics.flatMap(t => startKeys.get((t, c)).map(t -> _))
       if (keys.isEmpty) df // column is plain everywhere — leave it alone

@@ -65,6 +65,52 @@ class MultimodalSpec extends SparkSpec {
       assert(out((y * 2 + x) * 3 + c) == src(((2 * y) * 4 + 2 * x) * 3 + c))
   }
 
+  test("WAV encode/decode round-trips rate, channels, and samples") {
+    val samples = Array.tabulate[Short](2 * 5)(k => (k * 1000 - 3000).toShort)
+    val dec = MediaCodec.decodeWav(MediaCodec.encodeWav(16000, 2, samples))
+    assert(dec.sampleRate == 16000 && dec.nChannels == 2 && dec.nSamples == 5)
+    assert(dec.samples.toSeq == samples.toSeq)
+  }
+
+  test("WAV decoder skips foreign chunks before data") {
+    // splice a LIST chunk between fmt and data, as real encoders do
+    val base = MediaCodec.encodeWav(8000, 1, Array[Short](1, -2, 3))
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = base.take(36) ++ listChunk ++ base.drop(36)
+    // RIFF size field must cover the insert
+    val buf = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(4, spliced.length - 8)
+    val dec = MediaCodec.decodeWav(spliced)
+    assert(dec.samples.toSeq == Seq[Short](1, -2, 3))
+  }
+
+  test("WAV decoder rejects non-PCM and truncated payloads") {
+    val good = MediaCodec.encodeWav(8000, 1, Array[Short](1, 2))
+    intercept[IllegalArgumentException](MediaCodec.decodeWav(good.take(40)))
+    val nonPcm = good.clone()
+    nonPcm(20) = 3 // IEEE float format tag
+    intercept[IllegalArgumentException](MediaCodec.decodeWav(nonPcm))
+  }
+
+  test("synthesizeAudio → decodeAudio recovers the formula features") {
+    val d = Multimodal.decodeAudio(
+      Multimodal.synthesizeAudio(Seq(0L, 1L, 7L).toDF("doc_id"), "doc_id"))
+      .collect().map(r => r.media_id -> r).toMap
+    for ((id, r) <- d) {
+      assert(r.sample_rate == 8000 * (id % 3 + 1).toInt)
+      assert(r.n_channels == (id % 2 + 1).toInt)
+      assert(r.n_samples == (id % 50 + 10).toInt)
+      val n = r.n_channels * r.n_samples
+      var sum = 0L; var wsum = 0L
+      for (k <- 0 until n) {
+        val v = (id * 31 + k * 17) % 65536 - 32768
+        sum += v; wsum += k.toLong * v
+      }
+      assert(r.checksum == sum && r.wchecksum == wsum, s"audio checksums for id $id")
+    }
+  }
+
   // ---- Spark-side plumbing ------------------------------------------
 
   private val ids = Seq(0L, 1L, 2L, 5L, 7L, 11L).toDF("doc_id")

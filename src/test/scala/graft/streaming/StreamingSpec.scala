@@ -102,6 +102,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multi-topic extraction's apply phase runs unchanged inside a stream") {
+    // sniff on a static sample (driver actions are illegal on streams),
+    // apply the pure projection to the live stream — backfill and live
+    // path share the operator
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Signals
+    val sample = Seq((0L, "cam", "[x: 0, y: 0]"), (0L, "gps", "[lat: 0, lon: 0]"))
+      .toDF("id", "topic", "payload")
+    val keys = Signals.sniffTopicKeys(sample, "topic", Seq("cam", "gps"), Seq("payload"))
+    assert(keys == Map(("cam", "payload") -> "x", ("gps", "payload") -> "lat"))
+    val mem = MemoryStream[(Long, String, String)]
+    val out = Signals.topicExtractAllWith(
+      mem.toDF().toDF("id", "topic", "payload"),
+      "topic", Seq("cam", "gps"), Seq("payload"), keys,
+      Map("bag_file" -> "live"))
+      .select(col("id"), col("topic"),
+        element_at(col("payload_objs"), 1).as("o"), col("bag_file"))
+    val q = out.writeStream.format("memory").queryName("topics_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "cam", "[x: 5, y: 6]"), (2L, "gps", "[lat: 7, lon: 8]"),
+        (3L, "other", "[z: 9]"))
+      q.processAllAvailable()
+      val rows = spark.table("topics_stream").collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Map[String, String]]("o")).toMap
+      assert(rows.keySet == Set(1L, 2L)) // unconfigured topic dropped
+      assert(rows(1L)("x") == "5" && rows(2L)("lon") == "8")
+    } finally q.stop()
+  }
+
   test("objects-in-lane geometry runs unchanged inside a stream") {
     // the fused geometry is a pure projection, so the batch operator IS
     // the streaming operator — readStream → objectsInLaneFused → sink

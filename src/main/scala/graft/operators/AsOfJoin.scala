@@ -88,6 +88,36 @@ object AsOfJoin {
     }.drop(mt)
   }
 
+  /** Equi-key RANGE join: for each left row, ALL right rows with
+    * `left.time − lowerUs <= right.time <= left.time + upperUs` in the
+    * same key — the multi-match generalization of the as-of family
+    * (as-of = range with an "only the latest" pick).
+    *
+    * Deliberately composed from built-ins: Catalyst plans the key
+    * equality as the join key (sort-merge or broadcast by size/AQE) and
+    * the band as a join-condition filter, so the cost is
+    * per-key-pair-proportional — NOT a cartesian (the key equality is
+    * what saves it; a pure interval join without a key needs interval
+    * binning, which `timeGrid`-bucketed keys provide if ever needed).
+    * Left join: unmatched left rows keep null right columns.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftTime: String, rightTime: String,
+                valueCols: Seq[String], lowerUs: Long, upperUs: Long): DataFrame = {
+    require(lowerUs >= 0 && upperUs >= 0,
+      s"band bounds are magnitudes: lowerUs=$lowerUs upperUs=$upperUs")
+    val l = left.alias("__rj_l")
+    val r = right
+      .select((keys.map(col) :+ col(rightTime)) ++ valueCols.map(col): _*)
+      .alias("__rj_r")
+    val keyEq = keys.map(k => col(s"__rj_l.$k") === col(s"__rj_r.$k")).reduce(_ && _)
+    val band = col(s"__rj_r.$rightTime") >= col(s"__rj_l.$leftTime") - lowerUs &&
+      col(s"__rj_r.$rightTime") <= col(s"__rj_l.$leftTime") + upperUs
+    l.join(r, keyEq && band, "left")
+      .select(left.columns.map(c => col(s"__rj_l.$c")) ++
+        (col(s"__rj_r.$rightTime") +: valueCols.map(v => col(s"__rj_r.$v"))): _*)
+  }
+
   /** FORWARD as-of join: the value columns of the EARLIEST right row with
     * `right.time >= left.time` within the key (inclusive) — "next
     * reading" instead of "last reading". Implemented as [[asOf]] on

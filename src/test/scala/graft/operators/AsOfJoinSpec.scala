@@ -87,6 +87,24 @@ class AsOfJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("rangeJoin matches every right row inside the band, inclusive") {
+    val left = Seq((1L, 100L, "a"), (1L, 500L, "b"), (2L, 100L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 50L, 1.0), (1L, 150L, 2.0), (1L, 400L, 3.0), (2L, 999L, 9.0))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.rangeJoin(left, right, Seq("k"), "t", "rt", Seq("v"),
+      lowerUs = 50L, upperUs = 50L)
+      .collect().map(r => (r.getAs[String]("tag"),
+        Option(r.get(r.fieldIndex("rt"))), Option(r.get(r.fieldIndex("v")))))
+    // "a" at t=100 band [50,150]: matches 50 (inclusive lower) and 150
+    // (inclusive upper); "b" at 500 band [450,550]: no match → null row;
+    // "c": key 2's only right row is out of band
+    assert(out.count(_._1 == "a") == 2)
+    assert(out.filter(_._1 == "a").flatMap(_._3).toSet == Set(1.0, 2.0))
+    assert(out.filter(_._1 == "b").toSeq == Seq(("b", None, None)))
+    assert(out.filter(_._1 == "c").toSeq == Seq(("c", None, None)))
+  }
+
   test("asOf preserves left columns and row count") {
     val left = Seq((1L, 10L, "keep")).toDF("k", "t", "extra")
     val right = Seq((1L, 1L, 9.9)).toDF("k", "rt", "v")

@@ -35,6 +35,17 @@ object SparkEntry {
   private def eventsUs(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
 
+  /** The driver-generated testdata parquet has ONE row group per table,
+    * so a scan is one input split and every map-side stage serializes
+    * behind a single task. A production table at any real scale has
+    * thousands of row groups and parallelizes at the scan; spread the
+    * compute-bound queries the same way so local numbers project. (Same
+    * rationale as q_yaml_objects' inline note; the round-robin exchange
+    * of raw input rows is noise next to the per-row compute it unlocks.)
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private def errorActivity: Column =
     when(col("event_type") === "error", 1).otherwise(0)
 
@@ -370,7 +381,7 @@ object SparkEntry {
       // the reference's people_in_scenes (detect_scenes.py:174) on the
       // real nested shape: person count among in-lane objects per row
       LaneGeometry.objectsInLaneFused(
-        LaneGeometry.simulatedPayloads(Tables.events(s, d)),
+        LaneGeometry.simulatedPayloads(spread(Tables.events(s, d))),
         "detections_raw", "lane_points_raw")
         .select(col("event_id"), col("num_people_in_scene"))
         .orderBy(col("event_id"))),
@@ -379,7 +390,7 @@ object SparkEntry {
       // doubly-encoded JSON → array<struct> parse → per-corner nearest
       // lane point → bracketing test → objects_in_lane, flattened
       LaneGeometry.objectsInLaneFused(
-        LaneGeometry.simulatedPayloads(Tables.events(s, d)),
+        LaneGeometry.simulatedPayloads(spread(Tables.events(s, d))),
         "detections_raw", "lane_points_raw")
         .select(col("event_id"),
           posexplode(col("objects_in_lane")).as(Seq("obj_pos", "ob")))
@@ -439,7 +450,7 @@ object SparkEntry {
       // (detect_scenes.py main): payloads → objects_in_lane geometry →
       // people count → zero-crossing boundaries → scene metadata
       val lane = LaneGeometry.objectsInLaneFused(
-        LaneGeometry.simulatedPayloads(eventsUs(s, d)),
+        LaneGeometry.simulatedPayloads(spread(eventsUs(s, d))),
         "detections_raw", "lane_points_raw")
       val b = Scenes.boundaries(
         lane.select(col("user_id"), col("ts_us").as("ts"), col("event_id"),
@@ -534,7 +545,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def minHashPairTable(s: SparkSession, d: String): DataFrame =
     pairTableCache.getOrElseUpdate((s, d),
-      Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
+      Dedup.minHashPairs(spread(Tables.documents(s, d)), "doc_id", "text",
         numHashes = 8, shingleN = 3, rowsPerBand = 2).localCheckpoint())
 
   /** Shared near-dup CLUSTER table (min-label CC over the shared pair
@@ -560,7 +571,7 @@ object SparkEntry {
 
   private val curationQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) =>
-      Dedup.exact(Tables.documents(s, d), "doc_id", "text").orderBy(col("fp"))),
+      Dedup.exact(spread(Tables.documents(s, d)), "doc_id", "text").orderBy(col("fp"))),
     "q_dedup_minhash" -> ((s, d) =>
       minHashPairTable(s, d)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -603,7 +614,7 @@ object SparkEntry {
     "q_repetition" -> ((s, d) =>
       // repeated-bigram ratio: the standard within-document repetition
       // quality signal (1 − distinct/total bigram occurrences)
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
         .select(col("doc_id"),
           graft.functions.Let.bind(TextFunctions.bigrams(col("__toks"))) { bi =>
@@ -619,7 +630,7 @@ object SparkEntry {
             .otherwise(lit(0.0)))
         .orderBy(col("doc_id"))),
     "q_decontaminate" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = spread(Tables.documents(s, d))
       Dedup.decontaminate(
         docs.filter(col("doc_id") % 37 =!= 1),
         docs.filter(col("doc_id") % 37 === 1),
@@ -640,14 +651,14 @@ object SparkEntry {
       Similarity.ivfTrainedTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10, numCentroids = 8, probes = 2)),
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simHash(Tables.documents(s, d), "doc_id", "text")
+      Dedup.simHash(spread(Tables.documents(s, d)), "doc_id", "text")
         .orderBy(col("doc_id"))),
     "q_simhash_pairs" -> ((s, d) =>
-      Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text",
+      Dedup.simHashPairs(spread(Tables.documents(s, d)), "doc_id", "text",
         bucketBits = 8, maxHamming = 24)
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      Dedup.ngramJaccardPairs(spread(Tables.documents(s, d)), "doc_id", "text",
         shingleN = 3, minJaccard = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_dedup_embedding" -> ((s, d) =>
@@ -670,7 +681,7 @@ object SparkEntry {
           col("prefix_tokens"), col("bin_id"), col("bin_offset"))
         .orderBy(col("source"), col("doc_id"))),
     "q_text_scrub" -> ((s, d) =>
-      Tables.documents(s, d).select(
+      spread(Tables.documents(s, d)).select(
         col("doc_id"),
         regexp_replace(
           regexp_replace(col("text"), "[0-9]+", "<num>"),
@@ -680,7 +691,7 @@ object SparkEntry {
       Similarity.quantizeStats(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy(col("vec_id"))),
     "q_text_langid" -> ((s, d) =>
-      Tables.documents(s, d)
+      spread(Tables.documents(s, d))
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
     "q_text_quality" -> ((s, d) => {
@@ -689,7 +700,7 @@ object SparkEntry {
       val nTok = size(tk)
       val nTypes = size(array_distinct(tk))
       val ttr = round(nTypes / nTok.cast("double"), 6)
-      Tables.documents(s, d).select(
+      spread(Tables.documents(s, d)).select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         nTok.cast("long").as("n_tokens"),
@@ -700,19 +711,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q_token_count" -> ((s, d) =>
-      Tables.documents(s, d).select(
+      spread(Tables.documents(s, d)).select(
         col("doc_id"),
         size(TextFunctions.tokens(col("text"))).cast("long").as("n_ws_tokens"),
         TextFunctions.bpeishCount(col("text")).cast("long").as("n_bpeish_tokens"))
         .orderBy(col("doc_id"))),
     "q_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d).select(
+      spread(Tables.documents(s, d)).select(
         col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"),
         TextFunctions.hash60(TextFunctions.normalize(col("text"))).as("fp60"))
         .orderBy(col("doc_id"))),
     "q_text_entropy" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
+      val toks = spread(Tables.documents(s, d))
         .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
@@ -737,7 +748,7 @@ object SparkEntry {
       // rules composed into keep + first-failing-reason — one map-side
       // projection over the corpus (the shape of a production filter)
       val toks = TextFunctions.tokens(col("text"))
-      val base = Tables.documents(s, d)
+      val base = spread(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"), toks.as("__toks"),
           TextFunctions.langId(col("text")).as("lang_pred"))
         .withColumn("n_tokens", size(col("__toks")).cast("long"))
@@ -759,7 +770,7 @@ object SparkEntry {
       // kernel (magic sniff, header parse, raster normalization) → frame
       // sampling → resize geometry, flat oracle-comparable output
       val dec = Multimodal.decode(
-        Multimodal.synthesize(Tables.documents(s, d), "doc_id"))
+        Multimodal.synthesize(spread(Tables.documents(s, d)), "doc_id"))
       Multimodal.resize(Multimodal.frameSample(dec.toDF(), stride = 2), maxDim = 8)
         .select(col("media_id"), col("media_type"), col("n_bytes"),
           col("width").cast("long").as("width"),
@@ -808,7 +819,7 @@ object SparkEntry {
       // checksums cover the format-normalized (top-down RGB) pixels —
       // BMP's bottom-up BGR layout must be undone for wchecksum to match
       Multimodal.decode(
-        Multimodal.synthesize(Tables.documents(s, d), "doc_id"))
+        Multimodal.synthesize(spread(Tables.documents(s, d)), "doc_id"))
         .toDF()
         .select(col("media_id"), col("media_type"), col("n_bytes"),
           col("width").cast("long").as("width"),
@@ -822,7 +833,7 @@ object SparkEntry {
       // list; checksum covers the PCM samples, wchecksum pins their
       // interleaving order
       Multimodal.decodeAudio(
-        Multimodal.synthesizeAudio(Tables.documents(s, d), "doc_id"))
+        Multimodal.synthesizeAudio(spread(Tables.documents(s, d)), "doc_id"))
         .toDF()
         .select(col("media_id"), col("n_bytes"),
           col("sample_rate").cast("long").as("sample_rate"),
@@ -841,7 +852,7 @@ object SparkEntry {
       // grid breaks the hash
       Multimodal.decode(
         Multimodal.resizePayload(
-          Multimodal.synthesize(Tables.documents(s, d), "doc_id"), maxDim = 4))
+          Multimodal.synthesize(spread(Tables.documents(s, d)), "doc_id"), maxDim = 4))
         .toDF()
         .select(col("media_id"), col("media_type"), col("n_bytes"),
           col("width").cast("long").as("width"),

@@ -648,7 +648,7 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
     "q_ann_ivf_trained" -> ((s, d) =>
-      Similarity.ivfTrainedTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      Similarity.ivfTrainedTopK(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
         queryId = 0L, k = 10, numCentroids = 8, probes = 2)),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simHash(spread(Tables.documents(s, d)), "doc_id", "text")
@@ -662,14 +662,14 @@ object SparkEntry {
         shingleN = 3, minJaccard = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_dedup_embedding" -> ((s, d) =>
-      Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
+      Similarity.cosinePairs(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
         bucketBits = 4, minCosine = 0.35)
         .orderBy(col("vec_a"), col("vec_b"))),
     "q_ann_bruteforce" -> ((s, d) =>
-      Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      Similarity.bruteForceTopK(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
         queryId = 0L, k = 10)),
     "q_ann_ivf" -> ((s, d) =>
-      Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      Similarity.ivfTopK(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
         queryId = 0L, k = 10, bucketBits = 4)),
     "q_pack" -> ((s, d) =>
       Packing.pack(
@@ -688,7 +688,7 @@ object SparkEntry {
           "\\b[a-z]{1,2}\\b", "<s>").as("scrubbed"))
         .orderBy(col("doc_id"))),
     "q_quantize" -> ((s, d) =>
-      Similarity.quantizeStats(Tables.embeddings(s, d), "vec_id", "embedding")
+      Similarity.quantizeStats(spread(Tables.embeddings(s, d)), "vec_id", "embedding")
         .orderBy(col("vec_id"))),
     "q_text_langid" -> ((s, d) =>
       spread(Tables.documents(s, d))
@@ -796,7 +796,7 @@ object SparkEntry {
       // localCheckpoint preserves the term partitioning, neither
       // consumer shuffles again. This is classic two-pass TF-IDF: at
       // 100 TB the tf table is the artifact you persist anyway.
-      val pairs = docs.select(col("doc_id"),
+      val pairs = spread(docs).select(col("doc_id"),
           explode(TextFunctions.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         .repartition(col("term"))

@@ -680,6 +680,43 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("prefix_tokens"), col("bin_id"), col("bin_offset"))
         .orderBy(col("source"), col("doc_id"))),
+    "q_chunk" -> ((s, d) =>
+      // training-window chunking: fixed-length overlapping character
+      // windows (len 120, stride 80) — the doc→context-window explode
+      // every pretraining pipeline runs; md5 keeps the output narrow
+      spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(80)))
+            .as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          col("start").cast("long").as("chunk_start"),
+          graft.functions.Let.bind(col("text").substr(col("start") + 1, lit(120))) { c =>
+            struct(length(c).cast("long").as("chunk_len"), md5(c).as("chunk_md5"))
+          }.as("__c"))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          col("__c.chunk_len").as("chunk_len"), col("__c.chunk_md5").as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+    "q_pii_scrub" -> ((s, d) => {
+      // PII scrubbing: detect + mask emails and IPv4s. The corpus text
+      // has none, so deterministic PII is synthesized per doc_id first —
+      // the scrub then has known ground truth on every row
+      val pii = concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@example"), pmod(col("doc_id"), lit(7)), lit(".net"),
+        lit(" from 10."), pmod(col("doc_id"), lit(255)),
+        lit(".0."), pmod(col("doc_id"), lit(9)))
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+      spread(Tables.documents(s, d))
+        .select(col("doc_id"), pii.as("__pii"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("__pii"), lit(email), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(col("__pii"), lit(ip), lit(0))).cast("long").as("n_ips"),
+          md5(regexp_replace(regexp_replace(col("__pii"), email, "<email>"), ip, "<ip>"))
+            .as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
     "q_text_scrub" -> ((s, d) =>
       spread(Tables.documents(s, d)).select(
         col("doc_id"),
@@ -1652,6 +1689,30 @@ object SparkEntry {
          |ORDER BY doc_id, rk""".stripMargin,
     "q_mm_decode" ->
       s"""SELECT * FROM ($mmDecodedSql) d ORDER BY media_id""".stripMargin,
+    "q_chunk" ->
+      """SELECT doc_id, i AS chunk_idx, i*80 AS chunk_start,
+        |  length(substr(text, i*80 + 1, 120)) AS chunk_len,
+        |  md5(substr(text, i*80 + 1, 120)) AS chunk_md5
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(0, (length(text) + 79) // 80)) AS i
+        |      FROM documents) t
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.net'
+        |      || ' from 10.' || CAST(doc_id % 255 AS VARCHAR)
+        |      || '.0.' || CAST(doc_id % 9 AS VARCHAR) AS pii
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(pii, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(
+        |        regexp_replace(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+        |        '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<ip>', 'g')) AS clean_md5
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
     "q_mm_audio" ->
       """WITH geo AS (
         |  SELECT doc_id, 8000 * (doc_id % 3 + 1) AS rate,

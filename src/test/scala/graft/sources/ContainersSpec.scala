@@ -133,6 +133,47 @@ class ContainersSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("micro-batch container stream composes with multi-topic extraction") {
+    // the full live path: container file arrives → micro-batch → decode
+    // payloads → topicExtractAllWith parses each configured topic's
+    // schema — the reference's per-upload trigger + process_file loop as
+    // one streaming plan
+    graft.plans.GraftExtensions.register(spark)
+    val dir = Files.createTempDirectory("graft-bags-extract").toString
+    def writeBag(name: String, msgs: Seq[(String, Long, String)]): Unit = {
+      val blob = spark.range(1).select(
+        Containers.pack(array(msgs.map { case (t, ts, p) => msgRow(t, ts, p) }: _*)).as("b"))
+        .head().getAs[Array[Byte]]("b")
+      Files.write(Paths.get(s"$dir/$name.bin"), blob)
+    }
+    writeBag("bag_a", Seq(("cam", 1L, "[x: 1, y: 2]"), ("imu", 2L, "noise")))
+    val keys = Map(("cam", "payload_str") -> "x", ("gps", "payload_str") -> "lat")
+    val stream = spark.readStream
+      .format("graft.sources.v2.ContainerDataSource").load(dir)
+      .select(col("bag_file"), col("topic"), col("ts_us"),
+        decode(col("payload"), "utf-8").as("payload_str"))
+    val out = graft.operators.Signals.topicExtractAllWith(
+      stream, "topic", Seq("cam", "gps"), Seq("payload_str"), keys,
+      Map("pipeline" -> "live"))
+    val q = out.writeStream.format("memory").queryName("bag_topics")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeBag("bag_b", Seq(("gps", 3L, "[lat: 7, lon: 8]")))
+      q.processAllAvailable()
+      val rows = spark.table("bag_topics")
+        .select(col("bag_file"), col("topic"),
+          element_at(col("payload_str_objs"), 1).as("o"))
+        .collect()
+        .map(r => r.getString(1) -> (r.getString(0),
+          r.getAs[scala.collection.Map[String, String]]("o"))).toMap
+      // imu is unconfigured → dropped; both bags' configured topics parse
+      assert(rows.keySet == Set("cam", "gps"))
+      assert(rows("cam")._1 == "bag_a" && rows("cam")._2("y") == "2")
+      assert(rows("gps")._1 == "bag_b" && rows("gps")._2("lat") == "7")
+    } finally q.stop()
+  }
+
   test("binaryFile directory read splits containers per topic with provenance") {
     graft.plans.GraftExtensions.register(spark)
     val dir = Files.createTempDirectory("graft-bags").toString

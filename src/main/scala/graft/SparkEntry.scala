@@ -557,7 +557,8 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def dupClusterTable(s: SparkSession, d: String): DataFrame =
     clusterTableCache.getOrElseUpdate((s, d),
-      Dedup.dupClusters(minHashPairTable(s, d), "doc_a", "doc_b").localCheckpoint())
+      Dedup.dupClusters(minHashPairTable(s, d), "doc_a", "doc_b",
+        checkEvery = 2).localCheckpoint())
 
   /** Drop the shared pair/cluster tables so a bench pass pays their
     * build cost exactly once — without this, Bench's warmup pass would

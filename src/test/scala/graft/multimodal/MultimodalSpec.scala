@@ -111,6 +111,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("property: random geometries round-trip through every codec") {
+    val rnd = new scala.util.Random(42) // deterministic
+    for (_ <- 1 to 40) {
+      val w = rnd.nextInt(40) + 1
+      val h = rnd.nextInt(40) + 1
+      val px = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      val viaPpm = MediaCodec.decode(MediaCodec.encodePpm(w, h, px))
+      assert((viaPpm.width, viaPpm.height) == (w, h) && viaPpm.pixels.toSeq == px.toSeq)
+      val viaBmp = MediaCodec.decode(MediaCodec.encodeBmp(w, h, px))
+      assert((viaBmp.width, viaBmp.height) == (w, h) && viaBmp.pixels.toSeq == px.toSeq,
+        s"BMP round trip at ${w}x$h (stride padding)")
+      val frames = rnd.nextInt(4) + 1
+      val seqPx = Array.fill[Byte](frames * w * h * 3)(rnd.nextInt(256).toByte)
+      val viaSeq = MediaCodec.decode(MediaCodec.encodePpmSeq(w, h, frames, seqPx))
+      assert(viaSeq.nFrames == frames && viaSeq.pixels.toSeq == seqPx.toSeq)
+      val nCh = rnd.nextInt(2) + 1
+      val samples = Array.fill[Short](nCh * (rnd.nextInt(100) + 1))(rnd.nextInt(65536).toShort)
+      val viaWav = MediaCodec.decodeWav(MediaCodec.encodeWav(8000, nCh, samples))
+      assert(viaWav.nChannels == nCh && viaWav.samples.toSeq == samples.toSeq)
+    }
+  }
+
   // ---- Spark-side plumbing ------------------------------------------
 
   private val ids = Seq(0L, 1L, 2L, 5L, 7L, 11L).toDF("doc_id")

@@ -45,7 +45,15 @@ object Bench {
       }
     }
     pass() // warmup: compile all codegen stages, warm JIT + page cache
-    val results = pass()
+    // SPARK_GRAFT_BENCH_PASSES timed passes (default 1): with >1, each
+    // query reports its MEDIAN — single samples swing ±15% with machine
+    // load at sub-second scale
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "1").toInt.max(1)
+    val passes = (1 to nPasses).map(_ => pass())
+    val results = passes.head.keys.map { name =>
+      val rs = passes.map(_(name)).sortBy(_.sec)
+      name -> rs(rs.size / 2)
+    }.toMap
     // operator-level as-of comparison, WITHOUT the terminal global sort
     // the oracle queries need: a global orderBy's range-sample pass
     // re-executes the plan's final stage, and the native join FUSES its

@@ -171,9 +171,26 @@ object Similarity {
     */
   def ivfTrainedTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                      queryId: Long, k: Int, numCentroids: Int,
-                     probes: Int): DataFrame = {
-    require(numCentroids > 0 && probes > 0 && probes <= numCentroids,
-      s"need 0 < probes <= numCentroids, got (probes=$probes, numCentroids=$numCentroids)")
+                     probes: Int, indexPath: Option[String] = None): DataFrame = {
+    require(probes <= numCentroids,
+      s"need probes <= numCentroids, got (probes=$probes, numCentroids=$numCentroids)")
+    val (centroids, asg) = ivfTrain(embeddings, idCol, vecCol, numCentroids, indexPath)
+    ivfProbe(centroids, asg, queryId, k, probes)
+  }
+
+  /** TRAIN phase of the trained-IVF index: one deterministic Lloyd
+    * iteration (seeds = first `numCentroids` ids) producing the two
+    * artifacts a vector store persists — the centroid table and the
+    * (vector → centroid, vector) assignment (inverted lists). Pass
+    * `indexPath` to write both to reliable storage and read them back
+    * (the persisted-index form: train once, probe per query, exactly
+    * like `sigPath` for the dedup signature tables); default
+    * localCheckpoint serves the local single-session shape.
+    */
+  def ivfTrain(embeddings: DataFrame, idCol: String, vecCol: String,
+               numCentroids: Int,
+               indexPath: Option[String] = None): (DataFrame, DataFrame) = {
+    require(numCentroids > 0, s"numCentroids must be positive, got $numCentroids")
     graft.plans.GraftExtensions.register(embeddings.sparkSession)
     val e = embeddings.select(col(idCol).as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
@@ -190,23 +207,36 @@ object Similarity {
         col("cid"))
       .groupBy(col("vec_id")).agg(max_by(col("cid"), col("sc")).as("cid"))
     // centroid = per-dimension mean over members (shuffles (cid, dim) only)
-    val centroids = asg0.join(e, "vec_id")
+    val centroids0 = asg0.join(e, "vec_id")
       .select(col("cid"), posexplode(col("v")).as(Seq("pos", "val")))
       .groupBy(col("cid"), col("pos")).agg(avg(col("val")).as("cval"))
       .groupBy(col("cid"))
       .agg(sort_array(collect_list(struct(col("pos"), col("cval")))).as("cs"))
       .select(col("cid"),
         transform(col("cs"), s => round(s.getField("cval"), 6)).as("cv"))
-    // re-assign every vector to its trained centroid (broadcast argmax)
-    val asg = e.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"),
-        struct(round(cosine(col("v"), col("cv")), 6).as("cos"),
-          (-col("cid")).as("ncid")).as("sc"),
-        col("cid"))
-      .groupBy(col("vec_id")).agg(max_by(col("cid"), col("sc")).as("cid"))
-      .join(e, "vec_id")
-    // the query probes its `probes` nearest trained centroids
-    val qprobe = e.filter(col("vec_id") === queryId)
+    val centroids = Dedup.materialize(centroids0, indexPath.map(p => s"$p/centroids"))
+    // re-assign every vector to its trained centroid (broadcast argmax) —
+    // the inverted-list table
+    val asg = Dedup.materialize(
+      e.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("v"),
+          struct(round(cosine(col("v"), col("cv")), 6).as("cos"),
+            (-col("cid")).as("ncid")).as("sc"),
+          col("cid"))
+        .groupBy(col("vec_id")).agg(max_by(col("cid"), col("sc")).as("cid"))
+        .join(e, "vec_id"),
+      indexPath.map(p => s"$p/assignments"))
+    (centroids, asg)
+  }
+
+  /** PROBE phase over a trained index: the query vector ranks centroids,
+    * scans its `probes` nearest inverted lists, exact top-k inside them.
+    */
+  def ivfProbe(centroids: DataFrame, asg: DataFrame,
+               queryId: Long, k: Int, probes: Int): DataFrame = {
+    require(probes > 0, s"probes must be positive, got $probes")
+    val qprobe = asg.filter(col("vec_id") === queryId)
+      .select(col("v"))
       .crossJoin(broadcast(centroids))
       .select(col("v").as("qv"), col("cid"),
         round(cosine(col("v"), col("cv")), 6).as("qcos"))

@@ -87,4 +87,24 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
     assert(pairs == Set((0L, 1L))) // 0-1 identical and same bucket
   }
+
+  test("persisted IVF index: train once to disk, probe reads it back identically") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val inline = Similarity.ivfTrainedTopK(emb, "vec_id", "embedding",
+      queryId = 3L, k = 5, numCentroids = 4, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // train persists the index artifacts…
+    val (c1, a1) = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      numCentroids = 4, indexPath = Some(s"$tmp/ix"))
+    assert(spark.read.parquet(s"$tmp/ix/centroids").count() == 4)
+    assert(spark.read.parquet(s"$tmp/ix/assignments").count() == emb.count())
+    // …and probing the REREAD tables gives the inline result: the index
+    // is a durable artifact, trained once and probed per query
+    val centroids = spark.read.parquet(s"$tmp/ix/centroids")
+    val asg = spark.read.parquet(s"$tmp/ix/assignments")
+    val persisted = Similarity.ivfProbe(centroids, asg, queryId = 3L, k = 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(persisted == inline)
+  }
 }

@@ -51,8 +51,12 @@ object Bench {
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "1").toInt.max(1)
     val passes = (1 to nPasses).map(_ => pass())
     val results = passes.head.keys.map { name =>
-      val rs = passes.map(_(name)).sortBy(_.sec)
-      name -> rs(rs.size / 2)
+      // median over SUCCESSFUL samples only — sorting failures (which
+      // carry arbitrary elapsed times) into the median would mask a
+      // flaky crash as healthy; a query is failed only if EVERY pass
+      // failed
+      val ok = passes.map(_(name)).filter(!_.failed).sortBy(_.sec)
+      name -> (if (ok.isEmpty) passes.head(name) else ok(ok.size / 2))
     }.toMap
     // operator-level as-of comparison, WITHOUT the terminal global sort
     // the oracle queries need: a global orderBy's range-sample pass
@@ -60,6 +64,11 @@ object Bench {
     // merge into that stage (no exchange — the window form pays one),
     // so the query-level numbers measure sort amplification, not the
     // operator. Not counted in `total`.
+    // guarded like every named query: a crash here (e.g. a codegen
+    // regression in AsOfJoinExec — what this section exists to catch)
+    // must report -1, not abort the bench after all timed passes ran
+    def asofRawSafe(native: Boolean): Double =
+      try asofRaw(native) catch { case _: Throwable => -1.0 }
     def asofRaw(native: Boolean): Double = {
       import org.apache.spark.sql.functions._
       val e = sources.Tables.events(spark, sfDir).withColumn("ts_us", expr("ts DIV 1000"))
@@ -82,7 +91,7 @@ object Bench {
       }.sorted
       runs(runs.size / 2)
     }
-    val asofOp = s"""{"window":${asofRaw(false)},"native":${asofRaw(true)}}"""
+    val asofOp = s"""{"window":${asofRawSafe(false)},"native":${asofRawSafe(true)}}"""
     // a crashed query contributes NO partial time to the total and is
     // listed by name — a mid-plan failure must be loud, not a fast "win"
     val ok = results.filter(!_._2.failed)
@@ -110,7 +119,7 @@ object Bench {
           "\"" + f.getName.stripSuffix(".json").stripPrefix("BENCH_") + "\":" + m.group(1)
         }
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"history":$history,"sf":"$sfDir","methodology":"steady-state: 2 passes, second reported; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es), per-query median of successful samples; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require"}""")
     spark.stop()
   }
 }

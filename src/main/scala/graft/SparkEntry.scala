@@ -428,8 +428,7 @@ object SparkEntry {
         concat(lit("["), array_join(clickObjs, ", "), lit("]")))
         .when(col("event_type") === "error",
           concat(lit("["), array_join(errorObjs, ", "), lit("]")))
-      val sig = Tables.events(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+      val sig = spread(Tables.events(s, d))
         .select(e.as("event_id"), col("event_type").as("topic"),
           raw.as("payload"))
       Signals.topicExtractAll(sig, "topic", Seq("click", "error"),
@@ -541,6 +540,10 @@ object SparkEntry {
     * a full verify/bench pass shingles the corpus exactly once instead of
     * five times.
     */
+  // NOTE: both caches grow one materialized table per (session, corpus)
+  // and are never evicted here — right for the driver's verify/bench
+  // JVMs (two corpora, one session); a long-lived multi-corpus service
+  // should call clearSharedTables() when retiring a corpus.
   private val pairTableCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def minHashPairTable(s: SparkSession, d: String): DataFrame =
@@ -686,8 +689,12 @@ object SparkEntry {
       // windows (len 120, stride 80) — the doc→context-window explode
       // every pretraining pipeline runs; md5 keeps the output narrow
       spread(Tables.documents(s, d))
+        // an empty document has no chunks (the oracle's range() emits
+        // none; without this filter sequence(0, max(-1,0)) emits one
+        // phantom zero-length chunk)
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"), col("text"),
-          posexplode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)), lit(80)))
+          posexplode(sequence(lit(0), length(col("text")) - 1, lit(80)))
             .as(Seq("chunk_idx", "start")))
         .select(col("doc_id"),
           col("chunk_idx").cast("long").as("chunk_idx"),

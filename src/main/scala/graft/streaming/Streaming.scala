@@ -144,7 +144,7 @@ object Streaming {
       }
   }
 
-  case class GridState(lastVal: Double, nextTick: Long)
+  case class GridState(lastVal: Double, nextTick: Long, lastTs: Long)
 
   case class GridOut(user_id: Long, ts_us: Long, value: Double)
 
@@ -180,14 +180,21 @@ object Streaming {
                 val tick = ((e.ts_us + stepUs - 1) / stepUs) * stepUs
                 // a tick exactly at the event emits with this value once a
                 // later event proves it final — keep it pending
-                cur = Some(GridState(e.value, tick))
+                cur = Some(GridState(e.value, tick, e.ts_us))
+              case Some(s) if e.ts_us < s.lastTs =>
+                // cross-batch out-of-order event older than the frontier:
+                // the pending tick (nextTick >= lastTs) takes the LATEST
+                // value at-or-before it, which this event is not — merging
+                // it would regress lastVal. Ticks already emitted cannot
+                // be revised in Append mode (same caveat as asOfStream).
+                ()
               case Some(s) =>
                 var st = s
                 while (st.nextTick < e.ts_us) {
                   out += GridOut(userId, st.nextTick, st.lastVal)
-                  st = GridState(st.lastVal, st.nextTick + stepUs)
+                  st = GridState(st.lastVal, st.nextTick + stepUs, st.lastTs)
                 }
-                cur = Some(GridState(e.value, st.nextTick))
+                cur = Some(GridState(e.value, st.nextTick, e.ts_us))
             }
           }
           cur.foreach(state.update)
@@ -247,6 +254,12 @@ object Streaming {
                 case None =>
                   val tick = ((e.ts_us + stepUs - 1) / stepUs) * stepUs
                   cur = Some(GridTState(e.value, tick, e.ts_us))
+                case Some(s) if e.ts_us < s.lastTs =>
+                  // out-of-order event below the frontier: cannot be the
+                  // latest value for any pending tick (nextTick >= lastTs)
+                  // — merging it would regress lastVal AND disarm the
+                  // pending tick's timeout via the shrunk lastTs
+                  ()
                 case Some(s) =>
                   var st = s
                   while (st.nextTick < e.ts_us) {

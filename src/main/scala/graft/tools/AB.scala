@@ -63,7 +63,10 @@ object AB {
     val iters = args.headOption.map(_.toInt).getOrElse(5)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val names = args.drop(2).toSeq
-    val spark = GraftSession.local(32, "graft-ab")
+    // match Bench's parallelism contract so A/B runs reproduce bench
+    // conditions (a 4-core-only regression is invisible at 32 cores)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus, "graft-ab")
     spark.sparkContext.setLogLevel("ERROR")
     sys.env.get("GRAFT_CODEGEN").foreach(v =>
       spark.conf.set("spark.sql.codegen.wholeStage", v))

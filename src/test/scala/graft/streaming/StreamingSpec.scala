@@ -74,6 +74,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gridFill ignores cross-batch out-of-order events below the frontier") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = Streaming.gridFill(mem.toDS(), stepUs = 10L)
+      .writeStream.format("memory").queryName("grid_ooo").outputMode("append").start()
+    try {
+      mem.addData(EventRow(1L, 5L, "a", 1.0), EventRow(1L, 25L, "a", 2.0))
+      q.processAllAvailable()
+      // an out-of-order event BELOW the frontier (25) arrives in a later
+      // micro-batch: it is not the latest value for the pending tick 30
+      // and must not regress the carried value
+      mem.addData(EventRow(1L, 22L, "a", 9.0))
+      q.processAllAvailable()
+      mem.addData(EventRow(1L, 35L, "a", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("grid_ooo").as[GridOut].collect().sortBy(_.ts_us).toSeq
+      assert(rows == Seq(
+        GridOut(1L, 10L, 1.0), GridOut(1L, 20L, 1.0), GridOut(1L, 30L, 2.0)))
+    } finally q.stop()
+  }
+
   test("gridFillWithTimeout emits an idle key's last tick via the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000000000L // multiple of the 10s step

@@ -45,7 +45,12 @@ def main():
             print(f"{name:24s} ORACLE ERROR: {ex}"); n_fail += 1; continue
         s, o = norm(spark_df), norm(ora_df)
         rows_ok = len(s) == len(o)
-        schema_ok = list(s.columns) == list(o.columns)
+        # compare dtype KINDS too: dtype-blind eq() would accept 3.0 == 3
+        # when a query loses a .cast("long"), type drift the old
+        # astype(str) compare caught (kinds, not widths — int32 vs int64
+        # is engine noise, int vs float is a contract break)
+        kinds_ok = [d.kind for d in s.dtypes] == [d.kind for d in o.dtypes]
+        schema_ok = list(s.columns) == list(o.columns) and kinds_ok
         val_ok = False
         if rows_ok and schema_ok:
             try:
@@ -62,7 +67,8 @@ def main():
         else:
             n_fail += 1
             print(f"{name:24s} FAIL  rows {len(s)} vs {len(o)} "
-                  f"schema_ok={schema_ok} cols {list(s.columns)} vs {list(o.columns)}")
+                  f"schema_ok={schema_ok} cols {list(s.columns)} vs {list(o.columns)} "
+                  f"kinds {[d.kind for d in s.dtypes]} vs {[d.kind for d in o.dtypes]}")
             if rows_ok and schema_ok:
                 diff = (~(s.eq(o) | (s.isna() & o.isna()))).any(axis=1)
                 idx = diff[diff].index[:5]

@@ -87,6 +87,34 @@ class AsOfJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("asOfNative codegen handles string keys, null keys, and null times") {
+    val left = Seq(
+      (Some("a"), Some(10L), 1),
+      (Some("a"), Some(20L), 2),
+      (Some("b"), Some(10L), 3),
+      (None: Option[String], Some(10L), 4), // null key groups with null key
+      (Some("a"), None: Option[Long], 5)    // null time sorts first
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (Some("a"), Some(15L), 1.5),
+      (Some("b"), Some(5L), 2.5),
+      (None: Option[String], Some(1L), 3.5)
+    ).toDF("k", "rt", "v")
+    val out = AsOfJoin.asOfNative(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .collect().map(r => r.getAs[Int]("tag") ->
+        (if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getDouble(r.fieldIndex("v"))))).toMap
+    assert(out(1) == None)        // a@10: right a@15 is later
+    assert(out(2) == Some(1.5))   // a@20 picks a@15
+    assert(out(3) == Some(2.5))   // b@10 picks b@5
+    assert(out(4) == Some(3.5))   // null key matches null-key right (groupBy semantics)
+    assert(out(5) == None)        // null time: nothing at-or-before
+    // and the window formulation agrees on the same inputs
+    val win = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .collect().map(r => r.getAs[Int]("tag") ->
+        (if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getDouble(r.fieldIndex("v"))))).toMap
+    assert(win == out)
+  }
+
   test("rangeJoin matches every right row inside the band, inclusive") {
     val left = Seq((1L, 100L, "a"), (1L, 500L, "b"), (2L, 100L, "c"))
       .toDF("k", "t", "tag")

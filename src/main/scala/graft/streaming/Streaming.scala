@@ -325,6 +325,50 @@ object Streaming {
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Latest-wins streaming UPSERT sink: each micro-batch merges into a
+    * parquet snapshot via `foreachBatch` + [[graft.sources.TopicStore.upsert]]
+    * — the reference's per-message DynamoDB `put_item` overwrite
+    * (service/app/main.py:61) as a lakehouse table a batch job can read
+    * back. Writes A/B snapshot directories and repoints an atomic
+    * marker, so a concurrent reader always sees one complete snapshot;
+    * exactly-once per key comes from upsert's latest-wins determinism
+    * (a replayed micro-batch re-merges to the same result).
+    */
+  def upsertSink(updates: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                 path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = updates.sparkSession
+    updates.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val markerPath = java.nio.file.Paths.get(s"$path/_current")
+      val currentDir =
+        if (java.nio.file.Files.exists(markerPath))
+          new String(java.nio.file.Files.readAllBytes(markerPath), "UTF-8").trim
+        else ""
+      val current =
+        if (currentDir.nonEmpty) spark.read.parquet(s"$path/$currentDir")
+        else batch.limit(0).toDF()
+      // alternate on the CURRENT marker, never on batchId: a replayed
+      // batch with the same parity would otherwise overwrite the very
+      // snapshot it is lazily reading from
+      val next = if (currentDir == "snap_a") "snap_b" else "snap_a"
+      graft.sources.TopicStore.upsert(current, batch.toDF(), keys, orderCols)
+        .write.mode("overwrite").parquet(s"$path/$next")
+      val tmp = java.nio.file.Paths.get(s"$path/_current.tmp")
+      java.nio.file.Files.write(tmp, next.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, markerPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+  }
+
+  /** Read the current snapshot of an [[upsertSink]] store. */
+  def readUpsertStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val markerPath = java.nio.file.Paths.get(s"$path/_current")
+    require(java.nio.file.Files.exists(markerPath), s"no snapshot marker at $path/_current")
+    val cur = new String(java.nio.file.Files.readAllBytes(markerPath), "UTF-8").trim
+    spark.read.parquet(s"$path/$cur")
+  }
+
   /** Streaming exact dedup on content fingerprint, state bounded by the
     * watermark (`dropDuplicatesWithinWatermark`): the streaming twin of
     * `Dedup.exact`.

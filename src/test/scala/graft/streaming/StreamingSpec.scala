@@ -255,6 +255,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertSink merges micro-batches latest-wins into a readable snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = Streaming.upsertSink(
+      mem.toDF().toDF("key", "version", "payload"),
+      keys = Seq("key"), orderCols = Seq("version"), path = dir)
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      mem.addData((1L, 1L, "v1"), (2L, 1L, "w1"))
+      q.processAllAvailable()
+      // batch 2: key 1 updated, key 3 inserted, STALE key-2 row ignored
+      mem.addData((1L, 5L, "v5"), (3L, 1L, "x1"), (2L, 0L, "stale"))
+      q.processAllAvailable()
+      val snap = Streaming.readUpsertStore(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(snap == Map(
+        1L -> (5L, "v5"),   // latest version wins across batches
+        2L -> (1L, "w1"),   // stale lower-version update discarded
+        3L -> (1L, "x1")))  // new key inserted
+    } finally q.stop()
+  }
+
   test("dedupStream drops same-fingerprint rows within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String)]

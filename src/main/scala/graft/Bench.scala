@@ -96,10 +96,24 @@ object Bench {
     // listed by name — a mid-plan failure must be loud, not a fast "win"
     val ok = results.filter(!_._2.failed)
     val failedNames = results.collect { case (k, r) if r.failed => "\"" + k + "\"" }
-    val qs = results.map { case (k, r) =>
+    // adaptive precision: the harness that snapshots this output keeps only
+    // the LAST ~2000 characters of the run log, so the final line must stay
+    // comfortably under that (76 queries at full double precision is ~4 KB
+    // — the reason rounds 1-4 published no machine-readable bench). 3
+    // significant figures is more precision than run-to-run variance anyway.
+    def short(v: Double): String =
+      if (v < 0) "-1"
+      else if (v >= 100) f"$v%.0f"
+      else if (v >= 10) f"$v%.1f"
+      else if (v >= 1) f"$v%.2f"
+      else f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1).map { case (k, r) =>
+      "\"" + k + "\":" + (if (r.failed) "-1" else short(r.sec))
+    }.mkString("{", ",", "}")
+    val qsFull = results.toSeq.sortBy(_._1).map { case (k, r) =>
       "\"" + k + "\":" + (if (r.failed) -1.0 else r.sec)
     }.mkString("{", ",", "}")
-    val rps = ok.map { case (k, r) =>
+    val rps = ok.toSeq.sortBy(_._1).map { case (k, r) =>
       val v = if (r.sec > 0) math.round(r.rows / r.sec).toDouble else 0.0
       "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
@@ -119,7 +133,25 @@ object Bench {
           "\"" + f.getName.stripSuffix(".json").stripPrefix("BENCH_") + "\":" + m.group(1)
         }
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es), per-query median of successful samples; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require"}""")
+    // full diagnostics: rows/s, history, per-query full precision — written
+    // to a repo file (committed per round as BENCH_local_r{N}) and logged
+    // EARLY so the tail-window snapshot is spent on the compact line below
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es), per-query median of successful samples; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require"}"""
+    val fw = new java.io.FileWriter("BENCH_full.json")
+    try fw.write(full + "\n") finally fw.close()
+    println(full)
+    // the LAST line is the published bench record: one compact JSON object
+    // (metric/value/unit/queries/failed/asof/sf) that fits the snapshot
+    // window whole — full detail is in BENCH_full.json
+    def compactLine(withAsof: Boolean): String = {
+      val asof = if (withAsof) s""","asof_operator_level":$asofOp""" else ""
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":$qs,"failed":[${failedNames.mkString(",")}]$asof,"sf":"$sfDir"}"""
+    }
+    // degrade rather than crash: drop the asof detail first (it lives in
+    // BENCH_full.json either way) if the line would overflow the window
+    val compact = Seq(compactLine(true), compactLine(false))
+      .find(_.length < 1850).getOrElse(compactLine(false))
+    println(compact)
     spark.stop()
   }
 }

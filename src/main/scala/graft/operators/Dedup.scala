@@ -207,9 +207,14 @@ object Dedup {
         .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
         .distinct(),
       statePath.map(p => s"$p/edges"))
+    // fold the first propagation round into initialization: the round-1
+    // frontier is exactly min(self, neighbors), one aggregate over the
+    // bidirectional edge set — vs a distinct node scan PLUS a full
+    // join+agg round (one fewer materialized frontier and one fewer join)
     var labels = materialize(
-      edges.select(col("u").as("doc")).distinct()
-        .withColumn("lab", col("doc")),
+      edges.groupBy(col("u"))
+        .agg(min(col("v")).as("__nmin"))
+        .select(col("u").as("doc"), least(col("u"), col("__nmin")).as("lab")),
       statePath.map(p => s"$p/labels_init"))
     var it = 0
     var converged = false
@@ -277,6 +282,11 @@ object Dedup {
       val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = bidir.groupBy(col("u"))
         .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // the distinct LOOKS redundant (the small-star min aggregate is
+      // duplicate-insensitive and the round output ends in a distinct)
+      // but measurably pays for itself: high-degree nodes emit one
+      // (v, m) row per incident edge, and collapsing them here shrinks
+      // every downstream pass of the round (A/B-measured at sf0.1)
       val large = bidir.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))

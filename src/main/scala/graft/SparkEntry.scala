@@ -197,6 +197,19 @@ object SparkEntry {
     "q_window_rank" -> ((s, d) => Analytics.topNPerGroup(Tables.orders(s, d), 5)),
     "q_window_running" -> ((s, d) => Analytics.runningAggregates(Tables.events(s, d))),
     "q_semi_anti" -> ((s, d) => Analytics.semiAntiCounts(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_bloom_join" -> ((s, d) => {
+      // runtime-filter join: bloom-summarize the selective dim keys,
+      // broadcast, drop fact rows at the scan, exact confirm join —
+      // result ≡ the plain semi join (the oracle runs EXISTS)
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000)
+        .select(col("o_orderkey").as("l_orderkey"))
+      BloomJoin.semiJoin(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice")),
+        dim, Seq("l_orderkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     "q_rollup" -> ((s, d) => Analytics.rollupSummary(Tables.lineitem(s, d))),
     "q_distinct_agg" -> ((s, d) => Analytics.distinctCounts(Tables.lineitem(s, d))),
     "q_skew_agg" -> ((s, d) => Analytics.orderSizeDistribution(Tables.lineitem(s, d))),
@@ -579,6 +592,27 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) =>
       minHashPairTable(s, d)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "q_dedup_incremental" -> ((s, d) => {
+      // steady-state ingestion: screen an arriving batch against the
+      // persisted corpus band index — corpus is never re-paired with
+      // itself, and only batch bands move in the join
+      val docs = spread(Tables.documents(s, d))
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 37 =!= 2),   // existing corpus
+        docs.filter(col("doc_id") % 37 === 2),   // arriving batch
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    "q_vocab" -> ((s, d) =>
+      // corpus-level vocabulary: top-k terms by frequency with a total
+      // (n desc, term) order so the cutoff is deterministic — the first
+      // pass of any BPE-style tokenizer build
+      spread(Tables.documents(s, d))
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(100)),
     "q_dedup_stats" -> ((s, d) => {
       // corpus-level dedup dashboard: one row of exact-dup and near-dup
       // rates (two aggregates + a 1-row broadcast — no collect)
@@ -1003,6 +1037,13 @@ object SparkEntry {
         |  SELECT 'without_orders' AS grp, count(*) AS cnt FROM customer
         |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) t
         |ORDER BY grp""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey
+        |    AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 200000)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS cnt
@@ -1402,15 +1443,19 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** The 4-band LSH explode of a minhash signature relation (oracle
+    * side) — mirrors [[graft.operators.Dedup.bandedSignatures]]. */
+  private def bandedSqlFrom(sigRel: String): String =
+    (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(CAST(mh${2 * b} AS VARCHAR) || '|' || CAST(mh${2 * b + 1} AS VARCHAR)) AS sig FROM $sigRel")
+      .mkString(" UNION ALL ")
+
   /** MinHash LSH candidate pairs (oracle side, shared by q_dedup_minhash
     * and the connected-components clustering oracle). */
   private val minhashPairsSql: String =
     (s"""WITH sig AS ($minhashSigSql),
-        |banded0 AS (""" +
-      (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, md5(CAST(mh${2 * b} AS VARCHAR) || '|' || CAST(mh${2 * b + 1} AS VARCHAR)) AS sig FROM sig")
-        .mkString(" UNION ALL ") +
-      """),
+        |banded0 AS (${bandedSqlFrom("sig")}),""" +
+      """
         |banded AS (SELECT doc_id, band, sig FROM (
         |  SELECT doc_id, band, sig,
         |    count(*) OVER (PARTITION BY band, sig) AS bsize FROM banded0) c
@@ -1426,6 +1471,27 @@ object SparkEntry {
          |FROM ($docNormSql) nrm GROUP BY fp ORDER BY fp""".stripMargin,
     "q_dedup_minhash" ->
       (minhashPairsSql + " ORDER BY doc_a, doc_b"),
+    "q_dedup_incremental" ->
+      s"""WITH sig AS ($minhashSigSql),
+         |banded0 AS (${bandedSqlFrom("sig")}),
+         |corp0 AS (SELECT * FROM banded0 WHERE doc_id % 37 <> 2),
+         |corp AS (SELECT doc_id, band, sig FROM (
+         |  SELECT doc_id, band, sig,
+         |    count(*) OVER (PARTITION BY band, sig) AS bsize FROM corp0) c
+         |  WHERE bsize <= 64),
+         |bat AS (SELECT * FROM banded0 WHERE doc_id % 37 = 2)
+         |SELECT b.doc_id AS doc_id,
+         |  count(DISTINCT c.doc_id) AS n_corpus_dups,
+         |  min(c.doc_id) AS nearest_dup,
+         |  count(DISTINCT c.doc_id) = 0 AS keep
+         |FROM bat b LEFT JOIN corp c ON b.band = c.band AND b.sig = c.sig
+         |GROUP BY b.doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "q_vocab" ->
+      s"""SELECT tok AS term, count(*) AS n
+         |FROM (SELECT doc_id, unnest(tk) AS tok FROM ($docTokensSql) tks) t
+         |WHERE tok <> ''
+         |GROUP BY tok ORDER BY n DESC, term LIMIT 100""".stripMargin,
     "q_dedup_stats" ->
       s"""WITH ex AS (SELECT md5(norm) AS fp, count(*) AS c
          |           FROM ($docNormSql) nrm GROUP BY fp),

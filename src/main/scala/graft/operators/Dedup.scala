@@ -92,11 +92,15 @@ object Dedup {
     *   corpora where degenerate buckets are themselves huge so AQE's
     *   size-based planning picks the anti-join side.
     */
-  def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   numHashes: Int = 8, shingleN: Int = 3, rowsPerBand: Int = 2,
-                   maxBucketSize: Int = 64,
-                   sigPath: Option[String] = None,
-                   broadcastOversized: Boolean = true): DataFrame = {
+  /** The LSH band table (id, band, sig) of a corpus: materialized
+    * signatures ([[minHashSignatures]]) exploded into numHashes /
+    * rowsPerBand md5 band signatures per doc. This is the table a
+    * cluster deployment PERSISTS as its near-dup index — [[minHashPairs]]
+    * self-joins it, [[incrementalDedup]] joins a new batch against it.
+    */
+  private[graft] def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
+                                      numHashes: Int, shingleN: Int, rowsPerBand: Int,
+                                      sigPath: Option[String] = None): DataFrame = {
     require(numHashes > 0 && rowsPerBand > 0 && numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand) — " +
         "a remainder would silently drop signature slots from banding")
@@ -106,22 +110,39 @@ object Dedup {
     val sigs = materialize(
       minHashSignatures(docs, idCol, textCol, numHashes, shingleN), sigPath)
     val numBands = numHashes / rowsPerBand
-    val banded0 = sigs.select(col(idCol),
+    sigs.select(col(idCol),
       explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)).as("sig"))
       }: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // degenerate-bucket cap via aggregate + broadcast ANTI join: the
-    // oversized-bucket set is tiny, so this avoids the full sort a
-    // `count(*) over (partition by band, sig)` window would insert
-    val oversized = banded0.groupBy(col("band"), col("sig"))
+  }
+
+  /** Drop band buckets larger than maxBucketSize — the standard LSH
+    * degenerate-bucket guard (see [[minHashPairs]]), via aggregate +
+    * broadcast ANTI join: the oversized-bucket set is tiny, so this
+    * avoids the full sort a `count(*) over (partition by band, sig)`
+    * window would insert.
+    */
+  private[graft] def capBuckets(banded: DataFrame, maxBucketSize: Int,
+                                broadcastOversized: Boolean): DataFrame = {
+    val oversized = banded.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("__bsize"))
       .filter(col("__bsize") > maxBucketSize)
       .select(col("band"), col("sig"))
-    val banded = banded0.join(
+    banded.join(
       if (broadcastOversized) broadcast(oversized) else oversized,
       Seq("band", "sig"), "left_anti")
+  }
+
+  def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 8, shingleN: Int = 3, rowsPerBand: Int = 2,
+                   maxBucketSize: Int = 64,
+                   sigPath: Option[String] = None,
+                   broadcastOversized: Boolean = true): DataFrame = {
+    val banded = capBuckets(
+      bandedSignatures(docs, idCol, textCol, numHashes, shingleN, rowsPerBand, sigPath),
+      maxBucketSize, broadcastOversized)
     // repartition BEFORE aliasing: both self-join branches then hang off
     // an identical Exchange subtree → ReusedExchange computes the banded
     // signatures once, and the join needs no further shuffle
@@ -132,6 +153,47 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** INCREMENTAL dedup: screen a new batch of docs against an existing
+    * corpus's near-dup index without re-pairing the corpus with itself —
+    * the steady-state shape of a production ingestion pipeline, where the
+    * corpus band table ([[bandedSignatures]], persisted via
+    * `corpusBandsPath`) is built once and every arriving batch joins
+    * against it.
+    *
+    * One row per batch doc: the number of distinct corpus docs sharing at
+    * least one LSH band, the smallest such corpus doc id (null if none),
+    * and the keep verdict. The batch side is never self-paired — batch-
+    * internal duplicates are [[minHashPairs]]' job on the accepted docs.
+    *
+    * The bucket cap applies to the CORPUS side (that is where boilerplate
+    * accumulates; a capped bucket means "this band is too common to be
+    * dedup signal", so batch rows landing in it simply find no match) —
+    * batch bands are joined as-is.
+    *
+    * At 100 TB: the corpus band table is a bucketed/persisted index; the
+    * join shuffles only the (small) batch bands against it, and the
+    * aggregate is keyed on batch doc ids — corpus data never moves.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       numHashes: Int = 8, shingleN: Int = 3, rowsPerBand: Int = 2,
+                       maxBucketSize: Int = 64,
+                       corpusBandsPath: Option[String] = None,
+                       broadcastOversized: Boolean = true): DataFrame = {
+    val corpusBands = capBuckets(
+      bandedSignatures(corpus, idCol, textCol, numHashes, shingleN, rowsPerBand,
+        corpusBandsPath),
+      maxBucketSize, broadcastOversized)
+    val batchBands = bandedSignatures(batch, idCol, textCol, numHashes, shingleN, rowsPerBand)
+    batchBands
+      .join(corpusBands.select(col(idCol).as("__cid"), col("band"), col("sig")),
+        Seq("band", "sig"), "left")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__cid")).as("n_corpus_dups"),
+        min(col("__cid")).as("nearest_dup"))
+      .withColumn("keep", col("n_corpus_dups") === 0)
   }
 
   /** Benchmark decontamination: flag training docs sharing any word

@@ -179,4 +179,51 @@ class DedupSpec extends SparkSpec {
     // the persisted table is real parquet on disk (the reusable artifact)
     assert(spark.read.parquet(s"$tmp/jaccard_sigs").count() == docsSf.count())
   }
+
+  test("incrementalDedup flags batch docs near-duplicate of the corpus, keeps novel ones") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "completely different content about spark engines and shuffles")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),   // dup of 1
+      (11L, "entirely novel text with no overlap whatsoever here at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_corpus_dups"), r.getAs[Boolean]("keep")))).toMap
+    assert(out(10L) == ((1L, false)), s"batch dup not flagged: $out")
+    assert(out(11L) == ((0L, true)), s"novel doc not kept: $out")
+    // one row per batch doc, corpus docs never appear
+    assert(out.keySet == Set(10L, 11L))
+  }
+
+  test("incrementalDedup: corpus is not self-paired and batch is not self-paired") {
+    // two identical CORPUS docs and two identical BATCH docs, all four
+    // mutually distinct across sides: no cross-side band agreement means
+    // zero flags — intra-side duplicates are out of contract
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "one two three four five six seven eight nine ten"),
+      (11L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, batch, "doc_id", "text").collect()
+    assert(out.forall(_.getAs[Long]("n_corpus_dups") == 0L),
+      "intra-side duplicates must not be flagged as corpus dups")
+  }
+
+  test("incrementalDedup persists the corpus band index via corpusBandsPath") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    val docsSf = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docsSf.filter($"doc_id" % 37 =!= 2)
+    val batch = docsSf.filter($"doc_id" % 37 === 2)
+    val local = Dedup.incrementalDedup(corpus, batch, "doc_id", "text")
+    val persisted = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+      corpusBandsPath = Some(s"$tmp/corpus_sigs"))
+    assert(local.exceptAll(persisted).union(persisted.exceptAll(local)).isEmpty)
+    assert(spark.read.parquet(s"$tmp/corpus_sigs").count() == corpus.count())
+  }
 }

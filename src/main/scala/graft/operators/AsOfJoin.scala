@@ -118,6 +118,31 @@ object AsOfJoin {
         (col(s"__rj_r.$rightTime") +: valueCols.map(v => col(s"__rj_r.$v"))): _*)
   }
 
+  /** Whole-operator formulation of [[rangeJoin]]: plans
+    * [[graft.plans.RangeJoinNode]], executed by
+    * [[graft.plans.RangeJoinExec]] as a single sliding-window merge —
+    * O(n + m + output) per partition where the composed sort-merge form
+    * compares every (left, right) pair within a key. Same output
+    * contract (left join; columns = left ++ rightTime ++ values) and
+    * the same one shuffle per side. Times must be LongType.
+    */
+  def rangeJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTime: String, rightTime: String,
+                      valueCols: Seq[String], lowerUs: Long, upperUs: Long): DataFrame = {
+    graft.plans.GraftExtensions.register(left.sparkSession)
+    def fresh(df: DataFrame): DataFrame = df.select(df.columns.map(c => col(c).as(c)): _*)
+    val lp = fresh(left).queryExecution.analyzed
+    val rp = fresh(right).queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+    val node = graft.plans.RangeJoinNode(lp, rp,
+      keys.map(attr(lp, _)), keys.map(attr(rp, _)),
+      attr(lp, leftTime), attr(rp, rightTime), lowerUs, upperUs,
+      valueCols.map(attr(rp, _)))
+    org.apache.spark.sql.graftbridge.GraftShim.ofRows(left.sparkSession, node)
+  }
+
   /** FORWARD as-of join: the value columns of the EARLIEST right row with
     * `right.time >= left.time` within the key (inclusive) — "next
     * reading" instead of "last reading". Implemented as [[asOf]] on

@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteVectorOps)
     ext.injectOptimizerRule(_ => PruneAsOfJoin)
     ext.injectPlannerStrategy(_ => new AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => new RangeJoinStrategy)
   }
 }
 
@@ -72,6 +73,10 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy])) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new AsOfJoinStrategy
+    }
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[RangeJoinStrategy])) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ new RangeJoinStrategy
     }
   }
 }

@@ -141,4 +141,54 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.head.getAs[String]("extra") == "keep")
     assert(out.head.getAs[Double]("v") == 9.9)
   }
+
+  test("rangeJoinNative (sliding-window merge exec) ≡ composed rangeJoin on edge cases") {
+    val left = Seq(
+      (Some("a"), Some(100L), 1), (Some("a"), Some(100L), 2),  // duplicate left times
+      (Some("a"), Some(500L), 3),
+      (Some("b"), Some(10L), 4),                                // key with no right rows
+      (None: Option[String], Some(10L), 5),                     // null key: never matches
+      (Some("a"), None: Option[Long], 6)                        // null time: never matches
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (Some("a"), Some(50L), 1.0), (Some("a"), Some(150L), 2.0),
+      (Some("a"), Some(150L), 2.5),                             // duplicate right times
+      (Some("a"), Some(400L), 3.0),
+      (None: Option[String], Some(100L), 8.0),                  // null right key: discarded
+      (Some("a"), None: Option[Long], 9.0),                     // null right time: discarded
+      (Some("c"), Some(10L), 7.0)                               // right-only key
+    ).toDF("k", "rt", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("tag", "rt", "v").collect()
+        .map(r => (r.getInt(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .sortBy(x => (x._1, x._2, x._3.map(_.toString).getOrElse("")))
+    val composed = canon(AsOfJoin.rangeJoin(left, right, Seq("k"), "t", "rt", Seq("v"), 50L, 50L))
+    val native = canon(AsOfJoin.rangeJoinNative(left, right, Seq("k"), "t", "rt", Seq("v"), 50L, 50L))
+    assert(native.toSeq == composed.toSeq)
+    // contract sanity on top of the equivalence: a@100 matches 50/150/150-dup
+    assert(native.count(_._1 == 1) == 3)
+    assert(native.filter(_._1 == 5).toSeq == Seq((5, None, None)))
+    assert(native.filter(_._1 == 6).toSeq == Seq((6, None, None)))
+  }
+
+  test("rangeJoinNative ≡ composed rangeJoin on real data, asymmetric bounds") {
+    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+    val errors = e.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts_us")
+    val purchases = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts_us".as("t"))
+      .agg(org.apache.spark.sql.functions.max($"value").as("pval"))
+    val composed = AsOfJoin.rangeJoin(errors, purchases, Seq("user_id"),
+      "ts_us", "t", Seq("pval"), 600000000L, 3600000000L)
+    val native = AsOfJoin.rangeJoinNative(errors, purchases, Seq("user_id"),
+      "ts_us", "t", Seq("pval"), 600000000L, 3600000000L)
+    assert(native.exceptAll(composed).union(composed.exceptAll(native)).isEmpty)
+    // the native plan is the custom exec, one exchange per side, no
+    // band-condition join filter re-evaluated per pair
+    val rendered = native.queryExecution.executedPlan.toString
+    assert(rendered.contains("RangeJoin"), rendered.take(2000))
+  }
 }

@@ -105,8 +105,7 @@ object Bench {
       if (v < 0) "-1"
       else if (v >= 100) f"$v%.0f"
       else if (v >= 10) f"$v%.1f"
-      else if (v >= 1) f"$v%.2f"
-      else f"$v%.3f"
+      else f"$v%.2f"
     val qs = results.toSeq.sortBy(_._1).map { case (k, r) =>
       "\"" + k + "\":" + (if (r.failed) "-1" else short(r.sec))
     }.mkString("{", ",", "}")

@@ -317,6 +317,44 @@ object Streaming {
       }
   }
 
+  case class RangeLeft(key: Long, ts_us: Long, tag: Long)
+
+  case class RangeRight(key: Long, r_ts_us: Long, value: Double)
+
+  /** Streaming RANGE (band) join — the streaming twin of
+    * [[graft.operators.AsOfJoin.rangeJoin]] / `RangeJoinExec` — via
+    * Spark's NATIVE stream-stream interval join: watermark both sides,
+    * join on key equality plus a time-range condition. No custom state:
+    * the built-in operator already bounds its buffers from the band and
+    * the watermarks (right rows age out once the watermark passes
+    * `r_time + lower`), which is exactly the sliding window the batch
+    * exec keeps — using it IS the Spark-first design.
+    *
+    * Left-outer contract like the batch operator: an unmatched left row
+    * emits null-extended — necessarily only after the watermark passes
+    * `l_time + upper` (before that a matching right row could still
+    * arrive; Append mode emits once).
+    */
+  def rangeStream(left: Dataset[RangeLeft], right: Dataset[RangeRight],
+                  lowerUs: Long, upperUs: Long,
+                  watermarkDelay: String = "10 seconds"): DataFrame = {
+    require(lowerUs >= 0 && upperUs >= 0,
+      s"band bounds are magnitudes: lowerUs=$lowerUs upperUs=$upperUs")
+    val l = left
+      .withColumn("l_time", timestamp_micros(col("ts_us")))
+      .withWatermark("l_time", watermarkDelay)
+    val r = right
+      .withColumnRenamed("key", "r_key")
+      .withColumn("r_time", timestamp_micros(col("r_ts_us")))
+      .withWatermark("r_time", watermarkDelay)
+    l.join(r,
+      expr(s"""key = r_key
+              |AND r_time >= l_time - INTERVAL $lowerUs MICROSECOND
+              |AND r_time <= l_time + INTERVAL $upperUs MICROSECOND""".stripMargin),
+      "leftOuter")
+      .select(col("key"), col("ts_us"), col("tag"), col("r_ts_us"), col("value"))
+  }
+
   /** Stream-static enrichment: join a stream against a dimension table.
     * The static side broadcasts per micro-batch — no stream state, no
     * shuffle of the stream (the reference enriches signals with per-bag

@@ -298,4 +298,58 @@ class StreamingSpec extends SparkSpec {
       assert(ids == Set(1L, 3L))
     } finally q.stop()
   }
+
+  test("rangeStream matches in-band rows across batches via the native interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[RangeLeft]
+    val rMem = MemoryStream[RangeRight]
+    val q = Streaming.rangeStream(lMem.toDS(), rMem.toDS(),
+      lowerUs = 50L, upperUs = 50L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("range_stream")
+      .outputMode("append").start()
+    try {
+      lMem.addData(RangeLeft(1L, 100L, 1L))
+      rMem.addData(
+        RangeRight(1L, 50L, 1.0),    // at the inclusive lower bound
+        RangeRight(1L, 150L, 2.0),   // at the inclusive upper bound
+        RangeRight(1L, 151L, 3.0),   // just outside
+        RangeRight(2L, 100L, 9.0))   // other key
+      q.processAllAvailable()
+      // a matching right row arriving in a LATER batch still joins: the
+      // left row is buffered until the watermark passes l_time + upper
+      rMem.addData(RangeRight(1L, 120L, 4.0))
+      q.processAllAvailable()
+      val got = spark.table("range_stream")
+        .select("tag", "value").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      assert(got.flatMap(_._2).toSet == Set(1.0, 2.0, 4.0), got.mkString(","))
+    } finally q.stop()
+  }
+
+  test("rangeStream emits unmatched left rows null-extended once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[RangeLeft]
+    val rMem = MemoryStream[RangeRight]
+    val q = Streaming.rangeStream(lMem.toDS(), rMem.toDS(),
+      lowerUs = 50L, upperUs = 50L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("range_outer")
+      .outputMode("append").start()
+    try {
+      lMem.addData(RangeLeft(1L, 100L, 1L))
+      rMem.addData(RangeRight(2L, 100L, 9.0)) // wrong key — no match
+      q.processAllAvailable()
+      // advance BOTH watermarks far past l_time + upper so the buffered
+      // left row finalizes as unmatched
+      lMem.addData(RangeLeft(9L, HourUs, 2L))
+      rMem.addData(RangeRight(9L, HourUs + 500L, 0.0))
+      q.processAllAvailable()
+      lMem.addData(RangeLeft(9L, 2 * HourUs, 3L))
+      rMem.addData(RangeRight(9L, 2 * HourUs, 0.0))
+      q.processAllAvailable()
+      val tag1 = spark.table("range_outer").filter(col("tag") === 1L)
+        .select("value").collect()
+      assert(tag1.length == 1 && tag1.head.isNullAt(0),
+        s"expected one null-extended row for tag=1, got ${tag1.mkString(",")}")
+    } finally q.stop()
+  }
 }

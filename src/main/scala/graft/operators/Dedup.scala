@@ -488,9 +488,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, minJaccard: Double = 0.3,
                         sigPath: Option[String] = None,
-                        shingleOrder: String = "hash"): DataFrame = {
+                        shingleOrder: String = "hash",
+                        lengthBinned: Boolean = false): DataFrame = {
     val (sigs, cand) = ngramJaccardCandidates(
-      docs, idCol, textCol, shingleN, minJaccard, sigPath, shingleOrder)
+      docs, idCol, textCol, shingleN, minJaccard, sigPath, shingleOrder, lengthBinned)
     val sets = sigs.select(col(idCol), col("hs"), col("n_sh"))
     cand
       .join(sets.select(col(idCol).as("doc_a"), col("hs").as("hs_a"), col("n_sh").as("n_a")), "doc_a")
@@ -522,7 +523,8 @@ object Dedup {
   private[graft] def ngramJaccardCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, minJaccard: Double,
-      sigPath: Option[String], shingleOrder: String): (DataFrame, DataFrame) = {
+      sigPath: Option[String], shingleOrder: String,
+      lengthBinned: Boolean = false): (DataFrame, DataFrame) = {
     require(shingleOrder == "hash" || shingleOrder == "df",
       s"shingleOrder must be 'hash' or 'df', got '$shingleOrder'")
     graft.plans.GraftExtensions.register(docs.sparkSession)
@@ -543,14 +545,40 @@ object Dedup {
           .select(col(idCol), transform(col("o"), x => x.getField("h")).as("hs_ord"))
           .join(sigs.select(col(idCol), col("n_sh"), col("prefix_len")), idCol)
     }
-    val prefix = prefixSource
+    val prefix0 = prefixSource
       .select(col(idCol), col("n_sh"),
         posexplode(slice(col("hs_ord"), lit(1), col("prefix_len"))).as(Seq("pos", "h")))
-      .repartition(col("h")) // shared Exchange for both self-join branches
-    val a = prefix.select(col(idCol).as("doc_a"), col("n_sh").as("n_a"),
-      col("pos").as("pos_a"), col("h"))
-    val b = prefix.select(col(idCol).as("doc_b"), col("n_sh").as("n_b"),
-      col("pos").as("pos_b"), col("h"))
+    // LENGTH BINNING (the candidate-volume lever for length-SKEWED
+    // corpora): a pair with J ≥ t satisfies t·max(n_a,n_b) ≤ min(n_a,n_b),
+    // so with log-scale bins b(n) = floor(log_{1/t} n) any qualifying
+    // pair has |b(n_a) − b(n_b)| ≤ 1. Extending the join key from (h) to
+    // (h, bin) — one side as-is, the other replicated into its 3
+    // compatible bins — prunes length-incompatible collisions BEFORE the
+    // shuffle and splits hot-shingle groups across bins. The exact length
+    // filter below still runs; binning changes candidate VOLUME only.
+    // 3× replication of one prefix branch is the price — worth it only
+    // when lengths actually spread (hence opt-in, like shingleOrder).
+    val binOf = floor(log(1.0 / minJaccard, col("n_sh").cast("double"))).cast("int")
+    val (a, b) =
+      if (!lengthBinned) {
+        val prefix = prefix0.repartition(col("h")) // shared Exchange for both self-join branches
+        (prefix.select(col(idCol).as("doc_a"), col("n_sh").as("n_a"),
+          col("pos").as("pos_a"), col("h")),
+          prefix.select(col(idCol).as("doc_b"), col("n_sh").as("n_b"),
+            col("pos").as("pos_b"), col("h")))
+      } else {
+        val binned = prefix0.withColumn("bin", binOf)
+        val aSide = binned.repartition(col("h"), col("bin"))
+          .select(col(idCol).as("doc_a"), col("n_sh").as("n_a"),
+            col("pos").as("pos_a"), col("h"), col("bin"))
+        val bSide = binned
+          .select(col(idCol).as("doc_b"), col("n_sh").as("n_b"),
+            col("pos").as("pos_b"), col("h"),
+            explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("bin"))
+          .repartition(col("h"), col("bin"))
+        (aSide, bSide)
+      }
+    val joinKeys = if (lengthBinned) Seq("h", "bin") else Seq("h")
     // α = minimum overlap for J ≥ t given sizes (n_a, n_b); epsilon
     // backoff keeps ceil from over-tightening by 1 when t/(1+t)·(n_a+n_b)
     // lands epsilon above an exact integer (pairs AT the threshold prune)
@@ -561,8 +589,13 @@ object Dedup {
       least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) - 1
     val tightBound = lit(1) +
       least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) - 1
-    val cand = a.join(b, Seq("h"))
+    // the raw prefix-collision stream — THE volume the join shuffles and
+    // the quantity binning/df-order exist to shrink (the candidate set
+    // below is invariant under both levers; specs measure this stage)
+    val collisions = a.join(b, joinKeys)
       .filter(col("doc_a") < col("doc_b"))
+    lastCollisionStage.set(collisions)
+    val cand = collisions
       .filter(least(col("n_a"), col("n_b")) >=
         lit(minJaccard) * greatest(col("n_a"), col("n_b"))) // length filter
       .filter(safeBound >= alpha)                           // per-collision bound
@@ -577,4 +610,13 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     (sigs, cand)
   }
+
+  /** Diagnostic hook: the raw prefix-collision DataFrame of the most
+    * recent [[ngramJaccardCandidates]] call on this thread — the join
+    * volume the shingleOrder / lengthBinned levers shrink. Specs read it
+    * to prove a lever cut shuffle volume while the verified pair set
+    * stayed identical (the candidate set itself is invariant, so no
+    * production path ever consumes this).
+    */
+  private[graft] val lastCollisionStage = new ThreadLocal[DataFrame]
 }

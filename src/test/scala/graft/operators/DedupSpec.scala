@@ -114,6 +114,38 @@ class DedupSpec extends SparkSpec {
     assert(rHash.exceptAll(rDf).union(rDf.exceptAll(rHash)).isEmpty)
   }
 
+  test("length binning cuts candidates on a length-skewed corpus, same result") {
+    // every doc shares one hot shingle, but lengths span two orders of
+    // magnitude: under plain prefix join the hot shingle pairs short docs
+    // with long ones that the length filter then kills POST-shuffle;
+    // binning by floor(log_{1/t} n) prunes those collisions pre-shuffle
+    val hot = "terms of service apply to all content on this site"
+    val skewed = (0 until 30).map { i =>
+      val extra = (0 until (if (i % 2 == 0) 3 else 120))
+        .map(j => s"w$i-$j").mkString(" ")
+      (i.toLong, s"$hot $extra")
+    }.toDF("doc_id", "text")
+    Dedup.ngramJaccardCandidates(
+      skewed, "doc_id", "text", 3, 0.5, None, "hash")._2.count()
+    val nPlain = Dedup.lastCollisionStage.get.count()
+    Dedup.ngramJaccardCandidates(
+      skewed, "doc_id", "text", 3, 0.5, None, "hash", lengthBinned = true)._2.count()
+    val nBinned = Dedup.lastCollisionStage.get.count()
+    assert(nBinned < nPlain,
+      s"binning must prune length-incompatible collisions: $nBinned vs $nPlain")
+    // binning is a cost lever only: verified pairs are identical
+    val pPlain = Dedup.ngramJaccardPairs(skewed, "doc_id", "text", 3, 0.5)
+    val pBinned = Dedup.ngramJaccardPairs(skewed, "doc_id", "text", 3, 0.5,
+      lengthBinned = true)
+    assert(pPlain.exceptAll(pBinned).union(pBinned.exceptAll(pPlain)).isEmpty)
+    // and on real data the variants agree (binning composes with df order)
+    val docsSf = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rPlain = Dedup.ngramJaccardPairs(docsSf, "doc_id", "text", 3, 0.5)
+    val rBoth = Dedup.ngramJaccardPairs(docsSf, "doc_id", "text", 3, 0.5,
+      shingleOrder = "df", lengthBinned = true)
+    assert(rPlain.exceptAll(rBoth).union(rBoth.exceptAll(rPlain)).isEmpty)
+  }
+
   test("CC loops with a reliable statePath produce identical clusters") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-cc").toString
     val chain = (0L until 20L).map(i => (i, i + 1)).toDF("a", "b")

@@ -840,6 +840,14 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("event_type"))),
+    "q_mix" -> ((s, d) =>
+      // data mixing: tuned per-source rates (basis points), deterministic
+      // and nested (raising a rate only adds docs) — one map-side filter
+      Sampling.mixture(Tables.documents(s, d), "doc_id", "source", "mix",
+        rates = Map("src0" -> 2500, "src1" -> 7500, "src2" -> 0))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("source"))),
     "q_quality_filter" -> ((s, d) => {
       // the curation FUNNEL: length / repetition / language-agreement
       // rules composed into keep + first-failing-reason — one map-side
@@ -1747,6 +1755,13 @@ object SparkEntry {
         |FROM events
         |WHERE ('0x' || substr(md5('graft|' || event_id), 1, 15))::BIGINT % 100 < 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_mix" ->
+      """SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM documents
+        |WHERE ('0x' || substr(md5('mix|' || doc_id), 1, 15))::BIGINT % 10000 <
+        |  CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 7500
+        |              WHEN 'src2' THEN 0 ELSE 10000 END
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_quality_filter" ->
       s"""WITH base AS (
          |  SELECT t.doc_id, d.lang, len(t.tk) AS n_tokens,

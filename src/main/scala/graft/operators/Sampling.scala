@@ -34,4 +34,27 @@ object Sampling {
   def stratifiedSample(df: DataFrame, idCol: String, seed: String,
                        pct: Int): DataFrame =
     df.filter(hashBucket(col(idCol), seed, 100) < pct)
+
+  /** DATA MIXING: down-sample each source to a per-source rate (in
+    * basis points of 10000) — the "mixture weights" step of training-
+    * data assembly, where each corpus contributes a tuned fraction.
+    *
+    * Same determinism contract as [[split]]: keep/drop is a pure
+    * function of (seed, id), so reruns and incremental appends agree
+    * row-by-row, and the same doc keeps consistent fate across rate
+    * changes (monotone: raising a source's rate only ADDS docs —
+    * hash-threshold sampling is nested). A source absent from `rates`
+    * keeps rate 10000 (everything). Fully map-side: one filter over
+    * the scan, no shuffle.
+    */
+  def mixture(df: DataFrame, idCol: String, sourceCol: String,
+              seed: String, rates: Map[String, Int]): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 10000),
+      s"rates are basis points in [0, 10000], got $rates")
+    val b = hashBucket(col(idCol), seed, 10000)
+    val rate = rates.foldLeft(lit(10000)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    df.filter(b < rate)
+  }
 }

@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteVectorOps)
     ext.injectOptimizerRule(_ => PruneAsOfJoin)
+    ext.injectOptimizerRule(_ => PruneRangeJoin)
     ext.injectPlannerStrategy(_ => new AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => new RangeJoinStrategy)
   }
@@ -69,6 +70,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(PruneAsOfJoin)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PruneAsOfJoin
+    }
+    if (!spark.experimental.extraOptimizations.contains(PruneRangeJoin)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PruneRangeJoin
     }
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy])) {
       spark.experimental.extraStrategies =

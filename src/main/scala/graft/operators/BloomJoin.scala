@@ -71,13 +71,33 @@ object BloomJoin {
 
   /** Semi join with bloom prefilter: ≡ fact.join(dim, keys, "left_semi"),
     * with non-candidate fact rows dropped before the join's exchange.
+    *
+    * The confirm join's condition carries an always-true guard conjunct
+    * that references the bloom column AND a dim column: without it,
+    * Catalyst's PushLeftSemiLeftAntiThroughJoin pushes the exact semi
+    * join BELOW the broadcast+probe — the optimizer cannot know the
+    * probe is the cheap side — and the full fact table reaches the join
+    * exchange, which is precisely what this operator exists to prevent.
+    * The guard must span BOTH join sides and resist constant folding
+    * (the bloom column is non-nullable, so a bare IS NOT NULL folds
+    * away, and a single-side guard gets split out of the join condition
+    * by predicate pushdown, re-enabling the push). Plan-shape spec pins
+    * the probe filter below the confirm join.
     */
   def semiJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
     val bloom = buildBloom(dim, keys.map(col), numBits, numHashes)
-    fact.crossJoin(broadcast(bloom))
+    val pre = fact.crossJoin(broadcast(bloom))
       .filter(mightContain(col("bloom"), keys.map(col), numBits, numHashes))
-      .drop("bloom")
-      .join(dim.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .alias("__bj_f")
+    val dimK = dim.select(keys.map(col): _*).distinct().alias("__bj_d")
+    // pmod(xxhash64(dim key), 1) == 0 at runtime but no optimizer rule
+    // folds it, and it survives non-nullable dim keys (an isNull-based
+    // guard constant-folds away when the key is statically non-null)
+    val guard = size(col("__bj_f.bloom")) >=
+      pmod(xxhash64(col(s"__bj_d.${keys.head}")), lit(1L))
+    val cond = keys.map(k => col(s"__bj_f.$k") === col(s"__bj_d.$k")).reduce(_ && _) &&
+      guard
+    pre.join(dimK, cond, "left_semi").drop("bloom")
   }
 }

@@ -51,11 +51,19 @@ class BloomJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got.filter(col("k").isNull).count() == 0)
   }
 
-  test("bloom side broadcasts — no exchange on the fact scan before the filter") {
+  test("probe filter stays BELOW the confirm join (semi-push blocked)") {
+    // the whole point of the operator: the broadcast+probe must consume
+    // the raw fact scan, and the exact semi join only its survivors —
+    // without the cross-side guard conjunct, Catalyst's
+    // PushLeftSemiLeftAntiThroughJoin inverts that order
     val plan = BloomJoin.semiJoin(fact, dim, Seq("k")).queryExecution.executedPlan
     val asString = plan.toString
-    assert(asString.contains("BroadcastNestedLoopJoin") || asString.contains("BroadcastExchange"),
+    assert(asString.contains("BroadcastNestedLoopJoin"),
       s"expected a broadcast of the 1-row bloom table in:\n$asString")
+    val semiAt = asString.indexOf("LeftSemi")
+    val crossAt = asString.indexOf("BroadcastNestedLoopJoin")
+    assert(semiAt >= 0 && crossAt > semiAt,
+      s"bloom cross+probe must be BELOW (printed after) the semi join:\n$asString")
   }
 
   test("empty dim yields empty result, not a failure") {

@@ -187,6 +187,15 @@ object Dedup {
         corpusBandsPath),
       maxBucketSize, broadcastOversized)
     val batchBands = bandedSignatures(batch, idCol, textCol, numHashes, shingleN, rowsPerBand)
+    screen(batchBands, corpusBands, idCol)
+  }
+
+  /** The screening stage of [[incrementalDedup]]: batch band rows LEFT
+    * join the (already capped) corpus band table, aggregated to one
+    * verdict row per batch doc. Shared with the streaming ingestion sink.
+    */
+  private[graft] def screen(batchBands: DataFrame, corpusBands: DataFrame,
+                            idCol: String): DataFrame =
     batchBands
       .join(corpusBands.select(col(idCol).as("__cid"), col("band"), col("sig")),
         Seq("band", "sig"), "left")
@@ -194,7 +203,6 @@ object Dedup {
       .agg(countDistinct(col("__cid")).as("n_corpus_dups"),
         min(col("__cid")).as("nearest_dup"))
       .withColumn("keep", col("n_corpus_dups") === 0)
-  }
 
   /** Benchmark decontamination: flag training docs sharing any word
     * n-gram with a benchmark/eval corpus (the standard guard against

@@ -399,6 +399,57 @@ object Streaming {
     }
   }
 
+  /** Streaming INGESTION DEDUP: the [[graft.operators.Dedup.incrementalDedup]]
+    * contract as a self-growing store — each micro-batch of documents
+    * screens against the persisted corpus band index, the verdicts
+    * append to `indexPath/verdicts`, and ACCEPTED docs' bands append to
+    * `indexPath/bands`, so later batches automatically dedup against
+    * everything accepted before them. This is the steady-state ingestion
+    * loop of a production curation pipeline, with the band index as the
+    * durable state (no in-executor streaming state at all).
+    *
+    * Replay-safe: docs whose ids are already in the index are dropped
+    * before screening, so a re-delivered micro-batch appends nothing
+    * twice. Batch-INTERNAL duplicates follow the incrementalDedup
+    * contract (screened against the corpus only, not each other).
+    */
+  def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
+                           indexPath: String,
+                           numHashes: Int = 8, shingleN: Int = 3,
+                           rowsPerBand: Int = 2, maxBucketSize: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = docs.sparkSession
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      val bandsDir = s"$indexPath/bands"
+      val haveIndex = new java.io.File(bandsDir).exists()
+      val index = if (haveIndex) spark.read.parquet(bandsDir) else null
+      val fresh =
+        if (haveIndex)
+          batch.toDF().join(index.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+        else batch.toDF()
+      if (!fresh.isEmpty) {
+        // the band table feeds both the screen and the index append —
+        // one materialization, like every signature table in Dedup
+        val fb = graft.operators.Dedup.bandedSignatures(
+          fresh, idCol, textCol, numHashes, shingleN, rowsPerBand).localCheckpoint()
+        val verdicts =
+          if (haveIndex)
+            graft.operators.Dedup.screen(
+              fb, graft.operators.Dedup.capBuckets(index, maxBucketSize, true), idCol)
+          else
+            fb.select(col(idCol)).distinct()
+              .withColumn("n_corpus_dups", lit(0L))
+              .withColumn("nearest_dup", lit(null).cast("long"))
+              .withColumn("keep", lit(true))
+        val v = verdicts.localCheckpoint() // read twice: store + accept filter
+        v.write.mode("append").parquet(s"$indexPath/verdicts")
+        fb.join(v.filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
+          .write.mode("append").parquet(bandsDir)
+      }
+      ()
+    }
+  }
+
   /** Read the current snapshot of an [[upsertSink]] store. */
   def readUpsertStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val markerPath = java.nio.file.Paths.get(s"$path/_current")

@@ -299,6 +299,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalDedupSink grows the band index and screens later batches against it") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incsink").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.incrementalDedupSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tmp)
+      .start()
+    try {
+      // batch 1: two novel docs — both accepted, index seeded
+      mem.addData((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different content about spark engines and shuffles"))
+      q.processAllAvailable()
+      // batch 2: a near-dup of doc 1 (rejected) and a novel doc (accepted)
+      mem.addData((10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "entirely novel text with no overlap whatsoever here at all"))
+      q.processAllAvailable()
+      // batch 3: a dup of batch-2's ACCEPTED doc — the index grew
+      mem.addData((20L, "entirely novel text with no overlap whatsoever here at all"))
+      q.processAllAvailable()
+      // replay of an already-indexed doc id: appends nothing
+      mem.addData((1L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      val verdicts = spark.read.parquet(s"$tmp/verdicts")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+      assert(verdicts == Map(1L -> true, 2L -> true, 10L -> false, 11L -> true, 20L -> false),
+        s"got $verdicts")
+      // index holds bands for exactly the accepted docs, once each
+      val indexed = spark.read.parquet(s"$tmp/bands")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(indexed == Set(1L, 2L, 11L))
+      val verdictCount = spark.read.parquet(s"$tmp/verdicts").count()
+      assert(verdictCount == 5L, s"replay must not re-screen: $verdictCount verdicts")
+    } finally q.stop()
+  }
+
   test("rangeStream matches in-band rows across batches via the native interval join") {
     implicit val sqlCtx = spark.sqlContext
     val lMem = MemoryStream[RangeLeft]

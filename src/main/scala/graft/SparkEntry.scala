@@ -344,6 +344,25 @@ object SparkEntry {
         toleranceUs = 2L * HourUs)
         .orderBy(col("user_id"), col("ts"))
     }),
+    "q_asof_tolerance_native" -> ((s, d) => {
+      // tolerance COMPOSED over the native merge exec: the matched right
+      // time rides along as a value column, staleness is a scalar
+      // post-filter — the custom operator composes like a built-in
+      val e = eventsUs(s, d)
+      val grid = Signals.timeGrid(e.select(col("user_id"), col("ts_us").as("ts")),
+        Seq("user_id"), "ts", HourUs)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("t"))
+        .agg(max(col("value")).as("pval"))
+      AsOfJoin.asOfNative(grid, purchases.withColumn("__mt", col("t")),
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "t",
+        valueCols = Seq("pval", "__mt"))
+        .withColumn("pval",
+          when(col("__mt").isNotNull && (col("ts") - col("__mt")) <= 2L * HourUs,
+            col("pval")))
+        .drop("__mt")
+        .orderBy(col("user_id"), col("ts"))
+    }),
     "q_asof_forward" -> ((s, d) => {
       val e = eventsUs(s, d)
       val grid = Signals.timeGrid(e.select(col("user_id"), col("ts_us").as("ts")),
@@ -1250,6 +1269,17 @@ object SparkEntry {
         |GROUP BY e.event_id
         |ORDER BY event_id""".stripMargin,
     "q_asof_tolerance" ->
+      (s"""WITH grid AS ($gridSql),
+          |purch AS (SELECT user_id, t, max(value) AS pval
+          |  FROM (SELECT user_id, epoch_us(ts) AS t, value FROM events
+          |        WHERE event_type = 'purchase') p GROUP BY user_id, t)
+          |SELECT g.user_id, g.ts,
+          |  CASE WHEN p.t IS NOT NULL AND g.ts - p.t <= 7200000000
+          |       THEN p.pval END AS pval
+          |FROM grid g ASOF LEFT JOIN purch p
+          |  ON g.user_id = p.user_id AND g.ts >= p.t
+          |ORDER BY g.user_id, g.ts""").stripMargin,
+    "q_asof_tolerance_native" ->
       (s"""WITH grid AS ($gridSql),
           |purch AS (SELECT user_id, t, max(value) AS pval
           |  FROM (SELECT user_id, epoch_us(ts) AS t, value FROM events

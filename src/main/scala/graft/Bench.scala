@@ -143,7 +143,9 @@ object Bench {
     // (metric/value/unit/queries/failed/asof/sf) that fits the snapshot
     // window whole — full detail is in BENCH_full.json
     def compactLine(withAsof: Boolean): String = {
-      val asof = if (withAsof) s""","asof_operator_level":$asofOp""" else ""
+      // "asof" here = asof_operator_level in BENCH_full.json (short key
+      // to spend the snapshot window on per-query times)
+      val asof = if (withAsof) s""","asof":$asofOp""" else ""
       s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":$qs,"failed":[${failedNames.mkString(",")}]$asof,"sf":"$sfDir"}"""
     }
     // degrade rather than crash: drop the asof detail first (it lives in

@@ -173,6 +173,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.filter(_._1 == 6).toSeq == Seq((6, None, None)))
   }
 
+  test("property: rangeJoinNative ≡ composed rangeJoin on random tables and bounds") {
+    val rnd = new scala.util.Random(7) // deterministic
+    (1 to 8).foreach { round =>
+      val nl = 30 + rnd.nextInt(40)
+      val nr = 30 + rnd.nextInt(40)
+      // small key space + clustered times force duplicates, empty
+      // windows, right-only keys, and boundary hits
+      val left = (0 until nl).map { i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong * 5, i)
+      }.toDF("k", "t", "tag")
+      val right = (0 until nr).map { i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(40).toLong * 5, i.toDouble)
+      }.toDF("k", "rt", "v")
+      val lower = rnd.nextInt(30).toLong
+      val upper = rnd.nextInt(30).toLong
+      val composed = AsOfJoin.rangeJoin(left, right, Seq("k"), "t", "rt", Seq("v"), lower, upper)
+      val native = AsOfJoin.rangeJoinNative(left, right, Seq("k"), "t", "rt", Seq("v"), lower, upper)
+      val diff = native.exceptAll(composed).union(composed.exceptAll(native))
+      assert(diff.isEmpty,
+        s"round $round (lower=$lower upper=$upper): ${diff.collect().take(5).mkString(";")}")
+    }
+  }
+
   test("rangeJoinNative ≡ composed rangeJoin on real data, asymmetric bounds") {
     val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000"))

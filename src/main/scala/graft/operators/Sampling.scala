@@ -57,4 +57,38 @@ object Sampling {
     }
     df.filter(b < rate)
   }
+
+  /** TEMPERATURE mixing: derive each source's sampling rate from its own
+    * size — rate_s = (n_min / n_s)^(1−α) — instead of hand-set weights.
+    * α = 1 keeps the natural distribution; α → 0 flattens it toward
+    * uniform (the standard multilingual/data-balancing schedule). The
+    * smallest source always keeps 100% (sampling can only remove), and
+    * rates quantize to basis points so keep/drop stays a pure integer
+    * comparison per row.
+    *
+    * Shape at 100 TB: one count aggregate over the corpus (map-side
+    * combine), a broadcast of per-source rates, and a map-side filter —
+    * the corpus itself never shuffles.
+    *
+    * α = 0.5 computes via `sqrt` (IEEE correctly-rounded, so the rate
+    * table is bit-reproducible across engines — the oracle path); other
+    * α use `pow` (1-ulp library variance possible at bin boundaries,
+    * fine for production, not for a hash-equality oracle).
+    */
+  def temperatureMixture(df: DataFrame, idCol: String, sourceCol: String,
+                         seed: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val ratio = col("__nmin").cast("double") / col("__n").cast("double")
+    val scaled =
+      if (alpha == 1.0) lit(1.0)
+      else if (alpha == 0.5) sqrt(ratio)
+      else pow(ratio, 1.0 - alpha)
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("__n")).as("__nmin"))))
+      .select(col(sourceCol), floor(lit(10000) * scaled).cast("int").as("__rate"))
+    df.join(broadcast(rates), sourceCol)
+      .filter(hashBucket(col(idCol), seed, 10000) < col("__rate"))
+      .drop("__rate")
+  }
 }

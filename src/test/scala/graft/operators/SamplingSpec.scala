@@ -36,6 +36,25 @@ class SamplingSpec extends SparkSpec {
     assert(low.size < high.size)
   }
 
+  test("temperatureMixture flattens toward uniform; smallest source keeps 100%") {
+    // 300 / 80 / 20 docs per source
+    val skewed = ((0L until 300L).map(i => (i, "big")) ++
+      (300L until 380L).map(i => (i, "mid")) ++
+      (380L until 400L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureMixture(skewed, "doc_id", "source", "t", alpha = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest keeps everything; rates scale by sqrt(n_min/n):
+    // big: 10000*sqrt(20/300)=2581bp of 300 ≈ 77, mid: 5000bp of 80 ≈ 40
+    assert(out("small") == 20L, out)
+    assert(out("big") < 300L && out("mid") < 80L, out)
+    // flattening: post-mix ratio big/small must shrink vs the input 15×
+    assert(out("big").toDouble / out("small") < 15.0 / 2, out)
+    // α = 1 is the identity schedule
+    val id = Sampling.temperatureMixture(skewed, "doc_id", "source", "t", alpha = 1.0)
+    assert(id.count() == 400L)
+  }
+
   test("mixture stays a map-side filter — no exchange in the plan") {
     val plan = Sampling.mixture(docs, "doc_id", "source", "s1", Map("src0" -> 1))
       .queryExecution.executedPlan.toString

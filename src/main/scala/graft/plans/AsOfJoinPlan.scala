@@ -146,24 +146,11 @@ case class AsOfJoinExec(
   // like SortMergeJoinExec
   override def needCopyResult: Boolean = true
 
-  /** Lexicographic comparison of two evaluated column lists with
-    * nulls-first semantics (matches RowOrdering's natural ascending
-    * ordering used in the interpreted path).
-    */
+  // lexicographic nulls-first comparison shared with RangeJoinExec
   private def genCompare(ctx: CodegenContext, compVar: String,
                          a: Seq[ExprCode], b: Seq[ExprCode],
-                         types: Seq[DataType]): String = {
-    val perCol = a.lazyZip(b).lazyZip(types).map { (x, y, dt) =>
-      s"""if ($compVar == 0) {
-         |  if (${x.isNull} && ${y.isNull}) $compVar = 0;
-         |  else if (${x.isNull}) $compVar = -1;
-         |  else if (${y.isNull}) $compVar = 1;
-         |  else $compVar = ${ctx.genComp(dt, x.value.toString, y.value.toString)};
-         |}""".stripMargin
-    }
-    s"""int $compVar = 0;
-       |${perCol.mkString("\n")}""".stripMargin
-  }
+                         types: Seq[DataType]): String =
+    MergeJoinCodegen.genCompare(ctx, compVar, a, b, types)
 
   override protected def doProduce(ctx: CodegenContext): String = {
     val numOutputRows = metricTerm(ctx, "numOutputRows")
@@ -251,7 +238,6 @@ case class AsOfJoinExec(
        |  }
        |  $numOutputRows.add(1);
        |  if ($matched) $numMatchedRows.add(1);
-       |  ${leftOutVars.map(_.code).mkString("\n")}
        |  ${consume(ctx, leftOutVars ++ guardedVals)}
        |  if (shouldStop()) return;
        |}""".stripMargin

@@ -4,12 +4,36 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.BindReferences.bindReferences
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, JavaCode}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Shared codegen helper for the merge-style execs ([[AsOfJoinExec]],
+  * [[RangeJoinExec]]): lexicographic comparison of two evaluated column
+  * lists with nulls-first semantics, matching RowOrdering's natural
+  * ascending ordering used in the interpreted paths.
+  */
+private[plans] object MergeJoinCodegen {
+  def genCompare(ctx: CodegenContext, compVar: String,
+                 a: Seq[ExprCode], b: Seq[ExprCode],
+                 types: Seq[DataType]): String = {
+    val perCol = a.lazyZip(b).lazyZip(types).map { (x, y, dt) =>
+      s"""if ($compVar == 0) {
+         |  if (${x.isNull} && ${y.isNull}) $compVar = 0;
+         |  else if (${x.isNull}) $compVar = -1;
+         |  else if (${y.isNull}) $compVar = 1;
+         |  else $compVar = ${ctx.genComp(dt, x.value.toString, y.value.toString)};
+         |}""".stripMargin
+    }
+    s"""int $compVar = 0;
+       |${perCol.mkString("\n")}""".stripMargin
+  }
+}
 
 /** Whole-operator equi-key RANGE (band) join: for each left row, ALL
   * right rows of the same key with
@@ -73,7 +97,7 @@ case class RangeJoinExec(
     rightTime: Attribute,
     lowerUs: Long,
     upperUs: Long,
-    rightValues: Seq[Attribute]) extends BinaryExecNode {
+    rightValues: Seq[Attribute]) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ (rightTime +: rightValues).map(_.withNullability(true))
@@ -190,6 +214,207 @@ case class RangeJoinExec(
         }
       }
     }
+  }
+
+  // ---- whole-stage codegen ------------------------------------------
+  //
+  // Same two-input-iterator shape as AsOfJoinExec, with one extra
+  // wrinkle: a left row emits a VARIABLE number of rows (one per window
+  // entry, or one null-extended row), and the generated processNext()
+  // must be able to pause mid-emission (shouldStop) and resume. All
+  // cursor state — the window buffer, the emission index, the pending
+  // left row — therefore lives in mutable fields, and the loop re-enters
+  // the emission phase first on every call. One consume() site: the
+  // right-side output block is guarded by a `matched` flag exactly like
+  // AsOfJoinExec's guarded values (the interpreted doExecute above stays
+  // as the codegen-off fallback).
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // emitted rows reference the held left-row copy and window-row copies —
+  // downstream buffering must copy, exactly like SortMergeJoinExec
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val numMatchedRows = metricTerm(ctx, "numMatchedRows")
+    val peakWindowRows = metricTerm(ctx, "peakWindowRows")
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "rjLeftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "rjRightInput",
+      v => s"$v = inputs[1];")
+    val rightHead = ctx.addMutableState("InternalRow", "rjRightHead")
+    // emitLeft: the left row currently being emitted (copied — the input
+    // iterator reuses its buffer); winLeft: the left row that OWNS the
+    // window (null-key rows emit without touching it)
+    val emitLeft = ctx.addMutableState("InternalRow", "rjEmitLeft")
+    val winLeft = ctx.addMutableState("InternalRow", "rjWinLeft")
+    val emitRow = ctx.addMutableState("InternalRow", "rjEmitRow")
+    val evictRow = ctx.addMutableState("InternalRow", "rjEvictRow")
+    val window = ctx.addMutableState("java.util.ArrayList", "rjWindow",
+      v => s"$v = new java.util.ArrayList();")
+    val winStart = ctx.addMutableState("int", "rjWinStart")
+    val winIdx = ctx.addMutableState("int", "rjWinIdx", v => s"$v = -1;")
+    val pendingNull = ctx.addMutableState("boolean", "rjPendingNull")
+    // local shadow of the peak metric: janino cannot call the
+    // generic-erased SQLMetric.value() bridge (returns Object), so
+    // compare against this field and push via the non-generic set(long)
+    val peakShadow = ctx.addMutableState("int", "rjPeak")
+
+    val keyTypes = leftKeys.map(_.dataType)
+    val lRow = ctx.freshName("rjLeftRow")
+
+    // current left row: keys + time
+    ctx.INPUT_ROW = lRow
+    ctx.currentVars = null
+    val lKeyVars = ctx.generateExpressions(
+      bindReferences[Expression](leftKeys, left.output))
+    val lTimeVar = ctx.generateExpressions(
+      bindReferences[Expression](Seq(leftTime), left.output)).head
+
+    // window-owner left row keys (key-change detection)
+    ctx.INPUT_ROW = winLeft
+    val wKeyVars = ctx.generateExpressions(
+      bindReferences[Expression](leftKeys, left.output))
+
+    // pending right row: keys + time
+    ctx.INPUT_ROW = rightHead
+    val rKeyVars = ctx.generateExpressions(
+      bindReferences[Expression](rightKeys, right.output))
+    val rTimeVar = ctx.generateExpressions(
+      bindReferences[Expression](Seq(rightTime), right.output)).head
+
+    // eviction probe: time of the oldest window row
+    ctx.INPUT_ROW = evictRow
+    val eTimeVar = ctx.generateExpressions(
+      bindReferences[Expression](Seq(rightTime), right.output)).head
+
+    // emission: full left output from emitLeft, (time, values) from the
+    // window row, guarded by the matched flag
+    ctx.INPUT_ROW = emitLeft
+    val leftOutVars = ctx.generateExpressions(
+      bindReferences[Expression](left.output, left.output))
+    ctx.INPUT_ROW = emitRow
+    val rEmitVars = ctx.generateExpressions(
+      bindReferences[Expression](rightTime +: rightValues, right.output))
+
+    val matched = ctx.freshName("rjMatched")
+    val doEmit = ctx.freshName("rjDoEmit")
+    val kcmp = ctx.freshName("rjKeyComp")
+    val rcmp = ctx.freshName("rjRightComp")
+    val lt = ctx.freshName("rjLeftTime")
+
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val guardedVals = (rightTime +: rightValues).zip(rEmitVars).map { case (attr, ev) =>
+      val isNull = ctx.freshName("rjValIsNull")
+      val value = ctx.freshName("rjValValue")
+      val jt = CodeGenerator.javaType(attr.dataType)
+      val block =
+        code"""boolean $isNull = true;
+              |$jt $value = ${CodeGenerator.defaultValue(attr.dataType)};
+              |if ($matched) {
+              |  ${ev.code}
+              |  $isNull = ${ev.isNull};
+              |  $value = ${ev.value};
+              |}""".stripMargin
+      ExprCode(block,
+        JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, attr.dataType))
+    }
+
+    val lKeyNullChecks =
+      if (lKeyVars.exists(_.isNull.toString != "false"))
+        lKeyVars.map(_.isNull.toString).filter(_ != "false").mkString(" || ")
+      else "false"
+    val rKeyNullChecks =
+      if (rKeyVars.exists(_.isNull.toString != "false"))
+        rKeyVars.map(_.isNull.toString).filter(_ != "false").mkString(" || ")
+      else "false"
+
+    s"""while (true) {
+       |  // ---- emission phase (resumable): one output row per pass
+       |  boolean $doEmit = false;
+       |  boolean $matched = false;
+       |  if ($pendingNull) {
+       |    $doEmit = true;
+       |    $pendingNull = false;
+       |  } else if ($winIdx >= 0) {
+       |    if ($winIdx < $window.size()) {
+       |      $emitRow = (InternalRow) $window.get($winIdx);
+       |      $winIdx++;
+       |      $doEmit = true;
+       |      $matched = true;
+       |    } else {
+       |      $winIdx = -1;
+       |    }
+       |  }
+       |  if ($doEmit) {
+       |    $numOutputRows.add(1);
+       |    ${consume(ctx, leftOutVars ++ guardedVals)}
+       |    if (shouldStop()) return;
+       |    continue;
+       |  }
+       |  // ---- advance to the next left row
+       |  if (!$leftInput.hasNext()) return;
+       |  InternalRow $lRow = (InternalRow) $leftInput.next();
+       |  ${lKeyVars.map(_.code).mkString("\n")}
+       |  ${lTimeVar.code}
+       |  if (($lKeyNullChecks) || ${lTimeVar.isNull}) {
+       |    // equality semantics: never matches; window state untouched
+       |    $emitLeft = $lRow.copy();
+       |    $pendingNull = true;
+       |    continue;
+       |  }
+       |  long $lt = ${lTimeVar.value};
+       |  // key change vs the window owner → reset the window
+       |  if ($winLeft == null) {
+       |    $window.clear(); $winStart = 0;
+       |  } else {
+       |    ${wKeyVars.map(_.code).mkString("\n")}
+       |    ${MergeJoinCodegen.genCompare(ctx, kcmp, lKeyVars, wKeyVars, keyTypes)}
+       |    if ($kcmp != 0) { $window.clear(); $winStart = 0; }
+       |  }
+       |  $emitLeft = $lRow.copy();
+       |  $winLeft = $emitLeft;
+       |  // pull right rows of our key with time <= lt + upper
+       |  while (true) {
+       |    if ($rightHead == null) {
+       |      if (!$rightInput.hasNext()) break;
+       |      $rightHead = (InternalRow) $rightInput.next();
+       |    }
+       |    ${rKeyVars.map(_.code).mkString("\n")}
+       |    ${rTimeVar.code}
+       |    if (($rKeyNullChecks) || ${rTimeVar.isNull}) { $rightHead = null; continue; }
+       |    ${MergeJoinCodegen.genCompare(ctx, rcmp, rKeyVars, lKeyVars, keyTypes)}
+       |    if ($rcmp < 0) { $rightHead = null; continue; }
+       |    if ($rcmp > 0) break;
+       |    if (${rTimeVar.value} <= $lt + ${upperUs}L) {
+       |      $window.add($rightHead.copy());
+       |      $rightHead = null;
+       |    } else break;
+       |  }
+       |  // evict rows below lt - lower (left times ascend within a key)
+       |  while ($winStart < $window.size()) {
+       |    $evictRow = (InternalRow) $window.get($winStart);
+       |    ${eTimeVar.code}
+       |    if (${eTimeVar.value} < $lt - ${lowerUs}L) $winStart++; else break;
+       |  }
+       |  if ($winStart > 64 && $winStart * 2 >= $window.size()) {
+       |    $window.subList(0, $winStart).clear();
+       |    $winStart = 0;
+       |  }
+       |  if ($window.size() - $winStart > $peakShadow) {
+       |    $peakShadow = $window.size() - $winStart;
+       |    $peakWindowRows.set((long) $peakShadow);
+       |  }
+       |  if ($winStart >= $window.size()) {
+       |    $pendingNull = true;
+       |  } else {
+       |    $numMatchedRows.add(1);
+       |    $winIdx = $winStart;
+       |  }
+       |}""".stripMargin
   }
 
   override protected def withNewChildrenInternal(newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =

@@ -173,6 +173,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.filter(_._1 == 6).toSeq == Seq((6, None, None)))
   }
 
+  test("rangeJoinNative runs INSIDE a WholeStageCodegen stage, codegen ≡ interpreted") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us").as("t"))
+      .agg(max(col("value")).as("pval"))
+    def run() = AsOfJoin.rangeJoinNative(errors, purchases, Seq("user_id"),
+      "ts_us", "t", Seq("pval"), 3600000000L, 3600000000L)
+    val df = run()
+    df.collect() // finalize AQE stages
+    val rendered = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) RangeJoin""".r.findFirstIn(rendered).isDefined,
+      s"RangeJoinExec must be inside a WholeStageCodegen stage:\n$rendered")
+    // the resumable emission loop ≡ the interpreted fallback, row for row
+    val withCodegen = df.orderBy("event_id", "t").collect()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = run().orderBy("event_id", "t").collect()
+      assert(withCodegen.length == interpreted.length && withCodegen.length > 100,
+        s"${withCodegen.length} vs ${interpreted.length}")
+      withCodegen.zip(interpreted).foreach { case (x, y) => assert(x == y) }
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("property: rangeJoinNative ≡ composed rangeJoin on random tables and bounds") {
     val rnd = new scala.util.Random(7) // deterministic
     (1 to 8).foreach { round =>

@@ -146,7 +146,9 @@ object Bench {
       // "asof" here = asof_operator_level in BENCH_full.json (short key
       // to spend the snapshot window on per-query times)
       val asof = if (withAsof) s""","asof":$asofOp""" else ""
-      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":$qs,"failed":[${failedNames.mkString(",")}]$asof,"sf":"$sfDir"}"""
+      // sf as basename: the full path is in BENCH_full.json, and every
+      // character here buys snapshot-window margin
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":$qs,"failed":[${failedNames.mkString(",")}]$asof,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     // degrade rather than crash: drop the asof detail first (it lives in
     // BENCH_full.json either way) if the line would overflow the window

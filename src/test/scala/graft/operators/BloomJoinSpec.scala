@@ -51,19 +51,31 @@ class BloomJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got.filter(col("k").isNull).count() == 0)
   }
 
-  test("probe filter stays BELOW the confirm join (semi-push blocked)") {
-    // the whole point of the operator: the broadcast+probe must consume
-    // the raw fact scan, and the exact semi join only its survivors —
-    // without the cross-side guard conjunct, Catalyst's
-    // PushLeftSemiLeftAntiThroughJoin inverts that order
-    val plan = BloomJoin.semiJoin(fact, dim, Seq("k")).queryExecution.executedPlan
+  test("probe is a plain literal filter on the fact side, below the confirm join") {
+    // the whole point of the operator: the probe consumes the raw fact
+    // scan and the exact semi join only its survivors. With the bloom
+    // embedded as an array literal the probe is an ordinary filter —
+    // nothing for join reordering to invert, no BroadcastNestedLoopJoin
+    // to break whole-stage codegen over the scan
+    // a parquet-backed fact side: a Seq-based LocalRelation would let
+    // ConvertToLocalRelation evaluate the probe at plan time and hide
+    // it from the plan entirely
+    val pfact = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey").as("k"))
+    val pdim = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey").as("k"))
+    val plan = BloomJoin.semiJoin(pfact, pdim, Seq("k"))
+      .queryExecution.executedPlan
     val asString = plan.toString
-    assert(asString.contains("BroadcastNestedLoopJoin"),
-      s"expected a broadcast of the 1-row bloom table in:\n$asString")
+    assert(!asString.contains("BroadcastNestedLoopJoin"), asString)
     val semiAt = asString.indexOf("LeftSemi")
-    val crossAt = asString.indexOf("BroadcastNestedLoopJoin")
-    assert(semiAt >= 0 && crossAt > semiAt,
-      s"bloom cross+probe must be BELOW (printed after) the semi join:\n$asString")
+    // the probe's xxhash64(k, <probe index>, <seed>) calls sit in the
+    // semi join's LEFT subtree (printed after the join node, before the
+    // build side's BroadcastExchange)
+    val probeAt = asString.indexOf("xxhash64")
+    assert(semiAt >= 0 && probeAt > semiAt,
+      s"probe filter must sit below the semi join:\n$asString")
   }
 
   test("empty dim yields empty result, not a failure") {

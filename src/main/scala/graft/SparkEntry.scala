@@ -725,6 +725,14 @@ object SparkEntry {
     "q_ann_ivf_trained" -> ((s, d) =>
       Similarity.ivfTrainedTopK(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
         queryId = 0L, k = 10, numCentroids = 8, probes = 2)),
+    "q_hybrid_search" -> ((s, d) =>
+      // metadata-gated vector search: English docs only, bloom-pruned
+      // embedding scan, exact top-k over the survivors
+      Similarity.hybridTopK(
+        Tables.embeddings(s, d),
+        Tables.documents(s, d).filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id")),
+        "vec_id", "embedding", queryId = 0L, k = 10)),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simHash(spread(Tables.documents(s, d)), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -1723,6 +1731,14 @@ object SparkEntry {
          |q AS (SELECT v AS qv, bucket AS qb FROM e WHERE vec_id = 0)
          |SELECT vec_id, round(${cosSql("v", "qv")}, 6) AS cos
          |FROM e, q WHERE vec_id != 0 AND bucket = qb
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_hybrid_search" ->
+      s"""WITH e AS ($embDoubleSql),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, round(${cosSql("v", "qv")}, 6) AS cos
+         |FROM e, q
+         |WHERE vec_id != 0
+         |  AND vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q_pack" ->
       """SELECT doc_id, source, n_tokens, prefix_tokens,

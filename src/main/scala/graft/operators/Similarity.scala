@@ -84,6 +84,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** HYBRID SEARCH: exact top-k cosine neighbors restricted to an
+    * allowed-id set — the retrieval pattern where a metadata predicate
+    * (language, quality, source, date) gates the vector search. The
+    * allowed ids prune the embedding scan through
+    * [[BloomJoin.semiJoin]]: at 100 TB the predicate side is a document
+    * scan whose ids bloom down to a plan-embedded bit-set, so
+    * non-matching embeddings drop AT THE SCAN and only candidates reach
+    * the top-k — composition of two operators from this library, not a
+    * special case. The query vector resolves from the FULL set (the
+    * query itself need not satisfy the predicate).
+    */
+  def hybridTopK(embeddings: DataFrame, allowedIds: DataFrame,
+                 idCol: String, vecCol: String,
+                 queryId: Long, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(embeddings.sparkSession)
+    val query = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    BloomJoin.semiJoin(
+      embeddings.filter(col(idCol) =!= queryId), allowedIds, Seq(idCol))
+      .crossJoin(broadcast(query))
+      .select(col(idCol), round(cosineNative(col(vecCol), col("__qvec")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF-style approximate top-k: probe only the query's sign-LSH bucket. */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, bucketBits: Int): DataFrame = {

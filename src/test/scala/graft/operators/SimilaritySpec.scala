@@ -107,4 +107,19 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(persisted == inline)
   }
+
+  test("hybridTopK ≡ brute force restricted to the allowed ids") {
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val allowed = (0L until 500L by 3L).toDF("vec_id") // every 3rd id
+    val hybrid = Similarity.hybridTopK(e, allowed, "vec_id", "embedding", 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // reference: plain semi join then the existing brute-force ranking
+    val restricted = Similarity.bruteForceTopK(
+      e.join(allowed.union(Seq(0L).toDF("vec_id")), Seq("vec_id"), "left_semi"),
+      "vec_id", "embedding", 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hybrid == restricted, s"$hybrid vs $restricted")
+    // every returned id satisfies the predicate; the query id never returns
+    assert(hybrid.forall { case (id, _) => id % 3 == 0 && id != 0L })
+  }
 }

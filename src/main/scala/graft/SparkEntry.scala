@@ -778,11 +778,13 @@ object SparkEntry {
         .select(col("doc_id"),
           col("chunk_idx").cast("long").as("chunk_idx"),
           col("start").cast("long").as("chunk_start"),
-          graft.functions.Let.bind(col("text").substr(col("start") + 1, lit(120))) { c =>
-            struct(length(c).cast("long").as("chunk_len"), md5(c).as("chunk_md5"))
-          }.as("__c"))
-        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
-          col("__c.chunk_len").as("chunk_len"), col("__c.chunk_md5").as("chunk_md5"))
+          // substr deliberately inlined twice, not Let-bound: the bind's
+          // single-element transform is a higher-order function Spark
+          // evaluates INTERPRETED, pulling length+md5 out of codegen per
+          // chunk row — two codegen'd substr evals are far cheaper (same
+          // trade as BloomJoin.mightContain)
+          length(col("text").substr(col("start") + 1, lit(120))).cast("long").as("chunk_len"),
+          md5(col("text").substr(col("start") + 1, lit(120))).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
     "q_pii_scrub" -> ((s, d) => {
       // PII scrubbing: detect + mask emails and IPv4s. The corpus text

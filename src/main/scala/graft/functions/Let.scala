@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   * fields off the bound variable. CollapseProject also refuses to
   * duplicate the resulting non-cheap tree across projection fields, so
   * a bound struct column can be unpacked in a later select safely.
+  *
+  * WHEN NOT TO USE: the binding itself is a higher-order function, and
+  * Spark evaluates HOFs INTERPRETED — so wrapping a cheap tree in a
+  * plain row-level (codegen'd) context pulls the whole body out of
+  * whole-stage codegen. Measured: the bloom probe paid ~0.9 s over 6M
+  * rows for let-binding one xxhash64; inlining it twice was ~free.
+  * Bind only when the body ALREADY lives in interpreted HOF land
+  * (array lambdas) or the bound tree is expensive enough (a parse, a
+  * scan over an array) that one interpreted evaluation beats N
+  * codegen'd ones.
   */
 object Let {
   def bind(bound: Column)(body: Column => Column): Column =

@@ -1,8 +1,10 @@
 package graft.operators
 
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
 import graft.SparkSpec
 
-class AsOfJoinSpec extends SparkSpec {
+class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   test("asOf picks the latest right row at-or-before each left time") {
@@ -221,6 +223,22 @@ class AsOfJoinSpec extends SparkSpec {
       assert(diff.isEmpty,
         s"round $round (lower=$lower upper=$upper): ${diff.collect().take(5).mkString(";")}")
     }
+  }
+
+  test("rangeJoinNative's window buffer stays band-bounded (peakWindowRows metric)") {
+    import org.apache.spark.sql.functions._
+    // one key, 1000 right rows at times 0,10,20,… and a ±50 band: the
+    // sliding window can never hold more than ~11 rows even though the
+    // key group holds 1000 — the O(window) vs O(key-group) memory claim
+    val left = (0 until 1000).map(i => (1L, i.toLong * 10, i)).toDF("k", "t", "tag")
+    val right = (0 until 1000).map(i => (1L, i.toLong * 10, i.toDouble)).toDF("k", "rt", "v")
+    val df = AsOfJoin.rangeJoinNative(left, right, Seq("k"), "t", "rt", Seq("v"), 50L, 50L)
+    df.queryExecution.toRdd.count()
+    // AdaptiveSparkPlanHelper's collect descends through the AQE node
+    // and materialized query stages, where plain plan.collect stops
+    val peak = collectFirst(df.queryExecution.executedPlan) {
+      case e: graft.plans.RangeJoinExec => e.metrics("peakWindowRows").value }
+    assert(peak.exists(p => p > 0 && p <= 16), s"peak window rows = $peak")
   }
 
   test("rangeJoinNative ≡ composed rangeJoin on real data, asymmetric bounds") {

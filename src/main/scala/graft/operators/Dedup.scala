@@ -69,10 +69,14 @@ object Dedup {
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleN: Int): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
+    // shingling fused into the kernel ([[graft.plans.MinHashSlotsTokens]]):
+    // the declarative transform+concat_ws shingle build is an interpreted
+    // HOF and materializes a shingle array per row; duplicates need no
+    // array_distinct because min over a multiset = min over its set
     docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), shinglesFromTokens(col("__toks"), shingleN).as("__sh"))
       .select(col(idCol),
-        call_function("minhash_slots", col("__sh"), lit(numHashes)).as("__slots"))
+        call_function("minhash_slots_tokens", col("__toks"),
+          lit(shingleN), lit(numHashes)).as("__slots"))
       .select(col(idCol) +: (0 until numHashes).map(j =>
         element_at(col("__slots"), j + 1).as(s"mh$j")): _*)
   }

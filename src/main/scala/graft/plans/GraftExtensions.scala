@@ -53,7 +53,19 @@ object GraftExtensions {
           case l: Long => l.toInt
           case other => throw new IllegalArgumentException(
             s"minhash_slots k must be a literal int, got $other")
-        })))
+        })),
+    (new FunctionIdentifier("minhash_slots_tokens"),
+      new ExpressionInfo(classOf[MinHashSlotsTokens].getName, "minhash_slots_tokens"),
+      (children: Seq[Expression]) => {
+        def intArg(e: Expression, name: String): Int = e.eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_slots_tokens $name must be a literal int, got $other")
+        }
+        MinHashSlotsTokens(children(0),
+          intArg(children(1), "shingleN"), intArg(children(2), "k"))
+      }))
 
   /** Imperative registration for sessions built without extensions (e.g. a
     * harness-provided session) — operators that use the native functions

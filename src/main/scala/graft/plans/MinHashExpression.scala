@@ -91,3 +91,86 @@ object MinHashSlots {
   def coeffA(j: Int): Long = (0x9E3779B9L * (j + 1)) % (Prime - 1) + 1
   def coeffB(j: Int): Long = (0x85EBCA6BL * (j + 1)) % Prime
 }
+
+/** [[MinHashSlots]] with the SHINGLE BUILD fused in: takes the token
+  * array and forms each word n-gram inside the JVM loop, instead of a
+  * declarative `transform(sequence(...), concat_ws(...))` — a
+  * higher-order function Spark evaluates INTERPRETED per element, plus a
+  * materialized shingle array per row. Semantically identical to
+  * shingling-then-[[MinHashSlots]]: duplicates need no array_distinct
+  * because a minimum over a multiset equals the minimum over its set,
+  * and the n-gram strings (space-joined) byte-match `concat_ws(" ", …)`,
+  * so the DuckDB oracle arithmetic is unchanged. This halves the cost of
+  * the signature stage that every MinHash dedup consumer shares.
+  */
+case class MinHashSlotsTokens(child: Expression, shingleN: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  import MinHashSlots._
+
+  override def prettyName: String = "minhash_slots_tokens"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_slots_tokens requires array<string>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  @transient private lazy val as: Array[Long] = (0 until numHashes).map(coeffA).toArray
+  @transient private lazy val bs: Array[Long] = (0 until numHashes).map(coeffB).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val mins = Array.fill(numHashes)(Prime)
+    val md = digest.get()
+    val sb = new java.lang.StringBuilder(64)
+    def update(): Unit = {
+      md.reset()
+      md.update(sb.toString.getBytes("UTF-8"))
+      val out = md.digest()
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (out(k) & 0xffL); k += 1 }
+      h = (h << 4) | ((out(7) >> 4) & 0xfL)
+      val hm = h % Prime
+      var j = 0
+      while (j < numHashes) {
+        val v = (as(j) * hm + bs(j)) % Prime
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+    }
+    if (n >= shingleN) {
+      var i = 0
+      while (i <= n - shingleN) {
+        sb.setLength(0)
+        var j = 0
+        while (j < shingleN) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(i + j).toString)
+          j += 1
+        }
+        update()
+        i += 1
+      }
+    } else {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(j).toString)
+        j += 1
+      }
+      update()
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

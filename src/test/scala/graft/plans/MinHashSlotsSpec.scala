@@ -32,4 +32,24 @@ class MinHashSlotsSpec extends SparkSpec {
     assert(native.exceptAll(declarative).union(declarative.exceptAll(native)).isEmpty)
     assert(native.count() == docs.count())
   }
+
+  test("fused token-shingle kernel == shingle-array + minhash_slots composition") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val k = 8
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      // short-doc edge: texts whose token count drops below shingleN
+      .union(Seq((90001L, "one two"), (90002L, "")).toDF("doc_id", "text"))
+    val fused = Dedup.minHashSignatures(docs, "doc_id", "text", k, 3)
+    val composed = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        Dedup.shinglesFromTokens(col("__toks"), 3).as("__sh"))
+      .select(col("doc_id"),
+        call_function("minhash_slots", col("__sh"), lit(k)).as("__slots"))
+      .select(col("doc_id") +: (0 until k).map(j =>
+        element_at(col("__slots"), j + 1).as(s"mh$j")): _*)
+    assert(fused.exceptAll(composed).union(composed.exceptAll(fused)).isEmpty)
+  }
 }

@@ -590,14 +590,30 @@ object SparkEntry {
     * a full verify/bench pass shingles the corpus exactly once instead of
     * five times.
     */
-  // NOTE: both caches grow one materialized table per (session, corpus)
-  // and are never evicted here — right for the driver's verify/bench
-  // JVMs (two corpora, one session); a long-lived multi-corpus service
-  // should call clearSharedTables() when retiring a corpus.
+  // NOTE: both caches grow one materialized table per (session, corpus
+  // SNAPSHOT) and are never evicted here — right for the driver's
+  // verify/bench JVMs (two corpora, one session); a long-lived
+  // multi-corpus service should call clearSharedTables() when retiring a
+  // corpus. The key carries a content token (file name/length/mtime of
+  // the documents table's parquet inputs), so REWRITING a corpus at the
+  // same path can never serve the previous snapshot's pairs — the same
+  // reason table formats key caches on snapshot ids, at directory-listing
+  // cost (no data scan).
+  private def corpusToken(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) "absent"
+    else {
+      val parts = fs.listStatus(p).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}").sorted
+      java.util.UUID.nameUUIDFromBytes(
+        parts.mkString("\n").getBytes("UTF-8")).toString
+    }
+  }
   private val pairTableCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
   private def minHashPairTable(s: SparkSession, d: String): DataFrame =
-    pairTableCache.getOrElseUpdate((s, d),
+    pairTableCache.getOrElseUpdate((s, d, corpusToken(s, d)),
       Dedup.minHashPairs(spread(Tables.documents(s, d)), "doc_id", "text",
         numHashes = 8, shingleN = 3, rowsPerBand = 2).localCheckpoint())
 
@@ -607,9 +623,9 @@ object SparkEntry {
     * iterative CC job must not run once per consumer.
     */
   private val clusterTableCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
   private def dupClusterTable(s: SparkSession, d: String): DataFrame =
-    clusterTableCache.getOrElseUpdate((s, d),
+    clusterTableCache.getOrElseUpdate((s, d, corpusToken(s, d)),
       Dedup.dupClusters(minHashPairTable(s, d), "doc_a", "doc_b",
         checkEvery = 2).localCheckpoint())
 

@@ -106,4 +106,28 @@ object BloomJoin {
     fact.filter(mightContain(typedlit(bloomArr), keys.map(col), numBits, numHashes))
       .join(dim.select(keys.map(col): _*).distinct(), keys, "left_semi")
   }
+
+  /** LAZY variant of [[semiJoin]]: the bloom build is an IN-PLAN scalar
+    * subquery instead of a composition-time collect, so constructing the
+    * DataFrame runs no Spark job — composition stays lazy, exactly like
+    * every other operator here. At action time the driver executes the
+    * one-row subquery first (Spark's own runtime-filter execution shape)
+    * and inlines its array value into the codegen'd probe filter, so the
+    * executed plan is the same probe-then-confirm as the eager form.
+    *
+    * All 2·numHashes probe references share ONE subquery expression (one
+    * exprId), so the bloom builds once, not per reference. Prefer this
+    * when composing plans that may never execute, or that are constructed
+    * far from where they run; prefer [[semiJoin]] when the caller wants
+    * the bloom cost paid eagerly and visibly (e.g. reused across many
+    * queries via the plan literal).
+    */
+  def semiJoinLazy(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                   numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
+    val bloomPlan = buildBloom(dim, keys.map(col), numBits, numHashes)
+      .queryExecution.analyzed
+    val bloomCol = org.apache.spark.sql.graftbridge.GraftShim.scalarSubquery(bloomPlan)
+    fact.filter(mightContain(bloomCol, keys.map(col), numBits, numHashes))
+      .join(dim.select(keys.map(col): _*).distinct(), keys, "left_semi")
+  }
 }

@@ -33,6 +33,69 @@ object Dedup {
       case None => df.localCheckpoint()
     }
 
+  /** Test hook: thread names that issued async round-state writes — the
+    * evidence that the durable write left the loop thread (see
+    * [[AsyncStateWriter]]).
+    */
+  private[graft] val stateWriteThreads =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Double-buffered reliable-state writer for the iterative CC loops.
+    *
+    * The serial shape — write round i's frontier to parquet, read it
+    * back, only then start round i+1 — costs one full write+read barrier
+    * per round (14 rounds = 14 serial barriers, the scale lever the
+    * round-5 audit named). Here `materialize` returns a block-manager
+    * checkpoint the next round consumes IMMEDIATELY while the durable
+    * parquet copy writes on a background thread: round i+1's compute
+    * overlaps round i's state write. At most one write is in flight
+    * (the previous is awaited before the next kicks — double buffer), so
+    * a slow filesystem back-pressures the loop instead of queueing
+    * unbounded work. `finish()` barriers on the tail write, so by return
+    * every round's table is durable — same contract as the serial form.
+    * A failure mid-loop recovers from the last COMPLETED round's parquet
+    * and recomputes at most one round: the standard
+    * write-behind-checkpoint trade.
+    */
+  private final class AsyncStateWriter {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    private var pending: Option[Future[Unit]] = None
+    private var lastPath: Option[String] = None
+
+    def materialize(df: DataFrame, path: Option[String]): DataFrame = path match {
+      case None => df.localCheckpoint()
+      case Some(p) =>
+        val ck = df.localCheckpoint()
+        awaitPending()
+        lastPath = Some(p)
+        pending = Some(Future {
+          stateWriteThreads.add(Thread.currentThread().getName)
+          ck.write.mode("overwrite").parquet(p)
+        })
+        ck
+    }
+
+    private def awaitPending(): Unit = {
+      pending.foreach(Await.result(_, Duration.Inf))
+      pending = None
+    }
+
+    /** Barrier on the tail write; returns the last durable table (so the
+      * caller can hand consumers a frame rooted on reliable storage, as
+      * the serial form did), or `fallback` when no path was ever given.
+      */
+    def finish(fallback: DataFrame): DataFrame = {
+      awaitPending()
+      lastPath.map(fallback.sparkSession.read.parquet(_)).getOrElse(fallback)
+    }
+
+    /** Barrier without switching lineage (error paths). */
+    def finishQuietly(): Unit =
+      try awaitPending() catch { case _: Throwable => () }
+  }
+
   /** Exact dedup on normalized-content fingerprint: one row per distinct
     * content, keeping the smallest id (deterministic representative).
     * Single hash aggregate — the canonical 100 TB exact-dedup plan.
@@ -276,16 +339,20 @@ object Dedup {
                   statePath: Option[String] = None,
                   checkEvery: Int = 1): DataFrame = {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    // the edge table is a prerequisite of EVERY round — keep its durable
+    // write synchronous (materialize); only the per-round frontiers go
+    // through the double-buffered writer
     val edges = materialize(
       pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
         .union(pairs.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
         .distinct(),
       statePath.map(p => s"$p/edges"))
+    val writer = new AsyncStateWriter
     // fold the first propagation round into initialization: the round-1
     // frontier is exactly min(self, neighbors), one aggregate over the
     // bidirectional edge set — vs a distinct node scan PLUS a full
     // join+agg round (one fewer materialized frontier and one fewer join)
-    var labels = materialize(
+    var labels = writer.materialize(
       edges.groupBy(col("u"))
         .agg(min(col("v")).as("__nmin"))
         .select(col("u").as("doc"), least(col("u"), col("__nmin")).as("lab")),
@@ -298,7 +365,7 @@ object Dedup {
         .groupBy(col("u")).agg(min(col("vlab")).as("nmin"))
       // carry a per-row changed flag so convergence is read off the
       // materialized frontier — no extra join-with-previous per round
-      val next = materialize(
+      val next = writer.materialize(
         labels
           .join(neighborMin.select(col("u").as("doc"), col("nmin")), Seq("doc"), "left")
           .select(col("doc"),
@@ -310,11 +377,17 @@ object Dedup {
       labels = next.drop("__changed")
       it += 1
     }
-    if (!converged && failOnNonConvergence)
+    if (!converged && failOnNonConvergence) {
+      writer.finishQuietly()
       throw new IllegalStateException(
         s"dupClusters did not converge in $maxIters iterations — a " +
           "component has diameter > maxIters; raise maxIters")
-    labels.select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
+    }
+    // barrier on the tail write; with a statePath the returned frame
+    // roots on the last durable round table (reliable-storage lineage,
+    // same as the serial form)
+    writer.finish(labels)
+      .select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
   }
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR
@@ -331,7 +404,8 @@ object Dedup {
   def dupClustersStar(pairs: DataFrame, aCol: String, bCol: String,
                       maxIters: Int = 20,
                       statePath: Option[String] = None): DataFrame = {
-    var edges = materialize(
+    val writer = new AsyncStateWriter
+    var edges = writer.materialize(
       pairs
         .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
         .filter(col("u") =!= col("v"))
@@ -371,7 +445,7 @@ object Dedup {
       val dir = large.select(greatest(col("a"), col("b")).as("p"),
         least(col("a"), col("b")).as("q"))
       val minq = dir.groupBy(col("p")).agg(min(col("q")).as("m"))
-      val small = materialize(
+      val small = writer.materialize(
         dir.join(minq, "p")
           .select(col("q").as("x"), col("m").as("y"))
           .union(minq.select(col("p").as("x"), col("m").as("y")))
@@ -387,12 +461,18 @@ object Dedup {
       edges = small
       it += 1
     }
-    if (!converged)
+    if (!converged) {
+      writer.finishQuietly()
       throw new IllegalStateException(
         s"dupClustersStar did not converge in $maxIters rounds")
+    }
+    // barrier on the tail write; root the result on the last durable
+    // edge table when a statePath is given (both consumers below share
+    // its scan)
+    val finalEdges = writer.finish(edges)
     // converged star form: every edge is (root=component min, node)
-    edges.select(col("v").as("doc_id"), col("u").as("cluster_id"))
-      .union(edges.select(col("u")).distinct()
+    finalEdges.select(col("v").as("doc_id"), col("u").as("cluster_id"))
+      .union(finalEdges.select(col("u")).distinct()
         .select(col("u").as("doc_id"), col("u").as("cluster_id")))
   }
 

@@ -13,6 +13,85 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
+  /** Durable-state I/O for the sinks, through the Hadoop FileSystem API:
+    * the marker and index paths live WHEREVER the snapshot data lives
+    * (HDFS, S3A, file:) — `java.nio`/`java.io` would silently resolve
+    * against the driver's local disk on a cluster and the sinks' replay
+    * safety would evaporate. The marker commit is write-temp + atomic
+    * rename (FileContext.rename OVERWRITE — atomic on HDFS; on S3A the
+    * rename is copy+delete but the marker is a single small object, so a
+    * reader sees either the old or the new content, never a torn write).
+    */
+  private object StateFs {
+    import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
+    private def conf(spark: org.apache.spark.sql.SparkSession) =
+      spark.sessionState.newHadoopConf()
+
+    def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+      val p = new Path(path)
+      p.getFileSystem(conf(spark)).exists(p)
+    }
+
+    /** Read a small text file fully; None if absent. */
+    def readString(spark: org.apache.spark.sql.SparkSession, path: String): Option[String] = {
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf(spark))
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+          Some(new String(bytes.toByteArray, "UTF-8").trim)
+        } finally in.close()
+      }
+    }
+
+    /** Commit a small text file atomically: write `<path>.tmp`, rename
+      * over `path` (REPLACE semantics via FileContext).
+      */
+    def writeString(spark: org.apache.spark.sql.SparkSession, path: String,
+                    value: String): Unit = {
+      val c = conf(spark)
+      val p = new Path(path)
+      val tmp = new Path(path + ".tmp")
+      val fs: FileSystem = p.getFileSystem(c)
+      val out = fs.create(tmp, true)
+      try out.write(value.getBytes("UTF-8")) finally out.close()
+      val fc = FileContext.getFileContext(p.toUri, c)
+      fc.rename(tmp, p, Options.Rename.OVERWRITE)
+    }
+
+    /** Recursive delete (idempotent). */
+    def delete(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      val p = new Path(path)
+      p.getFileSystem(conf(spark)).delete(p, true)
+      ()
+    }
+
+    /** Directory swap: rename `src` over `dst` (REPLACE semantics). */
+    def rename(spark: org.apache.spark.sql.SparkSession, src: String, dst: String): Unit = {
+      val c = conf(spark)
+      val s = new Path(src)
+      FileContext.getFileContext(s.toUri, c)
+        .rename(s, new Path(dst), Options.Rename.OVERWRITE)
+    }
+
+    /** Number of data files directly under a parquet dataset dir (the
+      * compaction trigger — excludes _SUCCESS and other markers).
+      */
+    def dataFileCount(spark: org.apache.spark.sql.SparkSession, dir: String): Int = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf(spark))
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(st =>
+        st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    }
+  }
+
   case class EventRow(user_id: Long, ts_us: Long, event_type: String, value: Double)
 
   case class SessionState(start: Long, last: Long, n: Long, sumValue: Double)
@@ -376,11 +455,7 @@ object Streaming {
                  path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val spark = updates.sparkSession
     updates.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-      val markerPath = java.nio.file.Paths.get(s"$path/_current")
-      val currentDir =
-        if (java.nio.file.Files.exists(markerPath))
-          new String(java.nio.file.Files.readAllBytes(markerPath), "UTF-8").trim
-        else ""
+      val currentDir = StateFs.readString(spark, s"$path/_current").getOrElse("")
       val current =
         if (currentDir.nonEmpty) spark.read.parquet(s"$path/$currentDir")
         else batch.limit(0).toDF()
@@ -390,11 +465,7 @@ object Streaming {
       val next = if (currentDir == "snap_a") "snap_b" else "snap_a"
       graft.sources.TopicStore.upsert(current, batch.toDF(), keys, orderCols)
         .write.mode("overwrite").parquet(s"$path/$next")
-      val tmp = java.nio.file.Paths.get(s"$path/_current.tmp")
-      java.nio.file.Files.write(tmp, next.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, markerPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      StateFs.writeString(spark, s"$path/_current", next)
       ()
     }
   }
@@ -408,24 +479,46 @@ object Streaming {
     * loop of a production curation pipeline, with the band index as the
     * durable state (no in-executor streaming state at all).
     *
-    * Replay-safe: docs whose ids are already in the index are dropped
+    * Replay-safe: docs whose ids already have a VERDICT are dropped
     * before screening, so a re-delivered micro-batch appends nothing
-    * twice. Batch-INTERNAL duplicates follow the incrementalDedup
+    * twice — keyed on the verdicts table, not the band index, so a
+    * replayed REJECTED doc (which never entered the index) is also
+    * suppressed. Batch-INTERNAL duplicates follow the incrementalDedup
     * contract (screened against the corpus only, not each other).
+    *
+    * COMPACTION: both stores append one parquet file set per micro-batch
+    * — thousands of batches would mean thousands of small files, the
+    * classic streaming-lakehouse failure. When a store's data-file count
+    * exceeds `compactAfterFiles`, it is rewritten in place (write to a
+    * sibling tmp dir, directory rename swap — safe under the sink's
+    * serial foreachBatch, the store's only writer). Band compaction also
+    * applies the bucket cap: rows of oversized buckets are DROPPED and
+    * their (band, sig) recorded in `indexPath/capped` as tombstones that
+    * screening excludes permanently. Because the store is append-only, a
+    * bucket's size only grows — once over the cap it can never come back
+    * under it — so tombstoning preserves verdicts EXACTLY: every later
+    * batch gets the same verdict it would have gotten against the
+    * never-compacted store, while the dead bucket rows (boilerplate
+    * text, by construction) stop occupying the index.
     */
   def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
                            indexPath: String,
                            numHashes: Int = 8, shingleN: Int = 3,
-                           rowsPerBand: Int = 2, maxBucketSize: Int = 64)
+                           rowsPerBand: Int = 2, maxBucketSize: Int = 64,
+                           compactAfterFiles: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactAfterFiles > 0, s"compactAfterFiles must be positive: $compactAfterFiles")
     val spark = docs.sparkSession
     docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
       val bandsDir = s"$indexPath/bands"
-      val haveIndex = new java.io.File(bandsDir).exists()
-      val index = if (haveIndex) spark.read.parquet(bandsDir) else null
+      val verdictsDir = s"$indexPath/verdicts"
+      val cappedDir = s"$indexPath/capped"
+      val haveIndex = StateFs.exists(spark, bandsDir)
       val fresh =
-        if (haveIndex)
-          batch.toDF().join(index.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+        if (StateFs.exists(spark, verdictsDir))
+          batch.toDF().join(
+            spark.read.parquet(verdictsDir).select(col(idCol)).distinct(),
+            Seq(idCol), "left_anti")
         else batch.toDF()
       if (!fresh.isEmpty) {
         // the band table feeds both the screen and the index append —
@@ -433,28 +526,79 @@ object Streaming {
         val fb = graft.operators.Dedup.bandedSignatures(
           fresh, idCol, textCol, numHashes, shingleN, rowsPerBand).localCheckpoint()
         val verdicts =
-          if (haveIndex)
+          if (haveIndex) {
+            val raw = spark.read.parquet(bandsDir)
+            // tombstoned buckets stay excluded even after their rows
+            // were compacted away
+            val index =
+              if (StateFs.exists(spark, cappedDir))
+                raw.join(spark.read.parquet(cappedDir), Seq("band", "sig"), "left_anti")
+              else raw
             graft.operators.Dedup.screen(
               fb, graft.operators.Dedup.capBuckets(index, maxBucketSize, true), idCol)
-          else
+          } else
             fb.select(col(idCol)).distinct()
               .withColumn("n_corpus_dups", lit(0L))
               .withColumn("nearest_dup", lit(null).cast("long"))
               .withColumn("keep", lit(true))
         val v = verdicts.localCheckpoint() // read twice: store + accept filter
-        v.write.mode("append").parquet(s"$indexPath/verdicts")
+        v.write.mode("append").parquet(verdictsDir)
         fb.join(v.filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
           .write.mode("append").parquet(bandsDir)
+        maybeCompactIndex(spark, indexPath, maxBucketSize, compactAfterFiles)
       }
       ()
     }
   }
 
+  /** Size-triggered compaction for the [[incrementalDedupSink]] stores —
+    * see the sink's scaladoc for the tombstone semantics. Single-writer
+    * only (the sink's serial foreachBatch).
+    */
+  private def maybeCompactIndex(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String, maxBucketSize: Int,
+                                compactAfterFiles: Int): Unit = {
+    val bandsDir = s"$indexPath/bands"
+    val verdictsDir = s"$indexPath/verdicts"
+    val cappedDir = s"$indexPath/capped"
+    val targetFiles = math.max(1, compactAfterFiles / 8)
+
+    def swapIn(df: DataFrame, dir: String): Unit = {
+      val tmp = s"$dir.compact_tmp"
+      df.repartition(targetFiles).write.mode("overwrite").parquet(tmp)
+      StateFs.delete(spark, dir)
+      StateFs.rename(spark, tmp, dir)
+    }
+
+    if (StateFs.dataFileCount(spark, bandsDir) > compactAfterFiles) {
+      val bands = spark.read.parquet(bandsDir)
+      val prevCapped =
+        if (StateFs.exists(spark, cappedDir)) spark.read.parquet(cappedDir)
+        else bands.select(col("band"), col("sig")).limit(0)
+      // append-only ⇒ sizes only grow ⇒ the oversized set only grows:
+      // union new oversized buckets into the tombstones, then drop every
+      // tombstoned bucket's rows from the store
+      val allCapped = prevCapped
+        .union(bands.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("__bsize"))
+          .filter(col("__bsize") > maxBucketSize)
+          .select(col("band"), col("sig")))
+        .distinct()
+        .localCheckpoint()
+      val compacted = bands
+        .join(allCapped, Seq("band", "sig"), "left_anti")
+        .localCheckpoint() // materialize BEFORE the dir it reads is replaced
+      swapIn(allCapped, cappedDir)
+      swapIn(compacted, bandsDir)
+    }
+    if (StateFs.dataFileCount(spark, verdictsDir) > compactAfterFiles)
+      swapIn(spark.read.parquet(verdictsDir).localCheckpoint(), verdictsDir)
+  }
+
   /** Read the current snapshot of an [[upsertSink]] store. */
   def readUpsertStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val markerPath = java.nio.file.Paths.get(s"$path/_current")
-    require(java.nio.file.Files.exists(markerPath), s"no snapshot marker at $path/_current")
-    val cur = new String(java.nio.file.Files.readAllBytes(markerPath), "UTF-8").trim
+    val cur = StateFs.readString(spark, s"$path/_current").getOrElse(
+      throw new IllegalArgumentException(s"no snapshot marker at $path/_current"))
     spark.read.parquet(s"$path/$cur")
   }
 

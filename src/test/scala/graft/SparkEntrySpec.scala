@@ -22,4 +22,23 @@ class SparkEntrySpec extends AnyFunSuite {
         s"$name: oracle must be one statement")
     }
   }
+
+  test("shared pair table is keyed on corpus CONTENT, not just the path") {
+    // a rewritten corpus at the same path must not serve the previous
+    // snapshot's pair table from the cache
+    val spark = SparkSpec.session
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val first = SparkEntry.queries("q_dedup_minhash")(spark, dir).count()
+    assert(first > 0, "seed corpus should contain near-dup pairs")
+    // rewrite the corpus at the SAME path down to a single document — a
+    // one-doc corpus cannot have pairs, so any non-empty result is the
+    // stale cache talking
+    docs.limit(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val second = SparkEntry.queries("q_dedup_minhash")(spark, dir).count()
+    assert(second == 0,
+      s"cache served stale pairs after corpus rewrite: $first -> $second")
+    SparkEntry.clearSharedTables()
+  }
 }

@@ -81,4 +81,42 @@ class BloomJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   test("empty dim yields empty result, not a failure") {
     assert(BloomJoin.semiJoin(fact, dim.filter(lit(false)), Seq("k")).count() == 0)
   }
+
+  test("semiJoinLazy runs NO job at composition and matches the eager result") {
+    // a listener-counted job barrier: constructing the lazy form must not
+    // touch the cluster (the eager form deliberately runs the bloom build)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      org.apache.spark.sql.graftbridge.GraftShim.drainListenerBus(spark)
+      val before = jobs.get()
+      val lazyDf = BloomJoin.semiJoinLazy(fact, dim, Seq("k"))
+      org.apache.spark.sql.graftbridge.GraftShim.drainListenerBus(spark)
+      assert(jobs.get() == before,
+        s"semiJoinLazy ran ${jobs.get() - before} job(s) at composition")
+      val got = lazyDf.orderBy("k", "payload").collect().toSeq
+      val want = BloomJoin.semiJoin(fact, dim, Seq("k")).orderBy("k", "payload").collect().toSeq
+      assert(got == want)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("semiJoinLazy builds the bloom subquery ONCE despite 2k probe references") {
+    val pfact = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey").as("k"))
+    val pdim = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey").as("k"))
+    val df = BloomJoin.semiJoinLazy(pfact, pdim, Seq("k"))
+    // one distinct subquery expression id across all probe references
+    val subIds = df.queryExecution.analyzed.collect { case p => p.expressions }.flatten
+      .flatMap(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery => s.exprId
+      }).distinct
+    assert(subIds.size == 1, s"expected one shared bloom subquery, got $subIds")
+    assert(df.count() == pfact.join(pdim, Seq("k"), "left_semi").count())
+  }
 }

@@ -151,6 +151,7 @@ class DedupSpec extends SparkSpec {
     val chain = (0L until 20L).map(i => (i, i + 1)).toDF("a", "b")
     val base = Dedup.dupClusters(chain, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Dedup.stateWriteThreads.clear()
     val durable = Dedup.dupClusters(chain, "a", "b",
       statePath = Some(s"$tmp/prop"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -158,6 +159,14 @@ class DedupSpec extends SparkSpec {
     // round state is real parquet on reliable storage — a lost executor
     // recomputes from the last round's table instead of failing the job
     assert(spark.read.parquet(s"$tmp/prop/labels_0").count() == 21)
+    // the per-round durable writes are DOUBLE-BUFFERED: every frontier
+    // write was issued off the loop thread (the loop blocks only on the
+    // localCheckpoint it consumes, not on the parquet round trip)
+    import scala.jdk.CollectionConverters._
+    val writeThreads = Dedup.stateWriteThreads.asScala.toSet
+    assert(writeThreads.nonEmpty, "durable run must record its write threads")
+    assert(!writeThreads.contains(Thread.currentThread().getName),
+      s"state writes ran on the loop thread: $writeThreads")
     val starDurable = Dedup.dupClustersStar(chain, "a", "b",
       statePath = Some(s"$tmp/star"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

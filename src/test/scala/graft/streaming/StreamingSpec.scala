@@ -257,7 +257,10 @@ class StreamingSpec extends SparkSpec {
 
   test("upsertSink merges micro-batches latest-wins into a readable snapshot") {
     implicit val sqlCtx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    // explicit file: URI — the sink's durable state goes through the
+    // Hadoop FileSystem API, so a scheme-qualified path must work exactly
+    // like a bare local path (on a cluster this is hdfs:/ or s3a:/)
+    val dir = "file:" + java.nio.file.Files.createTempDirectory("graft-upsert").toString
     val mem = MemoryStream[(Long, Long, String)]
     val q = Streaming.upsertSink(
       mem.toDF().toDF("key", "version", "payload"),
@@ -301,7 +304,7 @@ class StreamingSpec extends SparkSpec {
 
   test("incrementalDedupSink grows the band index and screens later batches against it") {
     implicit val sqlCtx = spark.sqlContext
-    val tmp = java.nio.file.Files.createTempDirectory("graft-incsink").toString
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-incsink").toString
     val mem = MemoryStream[(Long, String)]
     val q = Streaming.incrementalDedupSink(
       mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tmp)
@@ -332,6 +335,61 @@ class StreamingSpec extends SparkSpec {
       val verdictCount = spark.read.parquet(s"$tmp/verdicts").count()
       assert(verdictCount == 5L, s"replay must not re-screen: $verdictCount verdicts")
     } finally q.stop()
+  }
+
+  test("incrementalDedupSink compacts its stores without changing verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    // twin sinks over the IDENTICAL batch sequence: one compacting
+    // aggressively (trigger at >2 data files, bucket cap 2), one never
+    // compacting — verdicts must match row for row, files must not
+    val dirA = "file:" + java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val dirB = "file:" + java.nio.file.Files.createTempDirectory("graft-nocompact").toString
+    val memA = MemoryStream[(Long, String)]
+    val memB = MemoryStream[(Long, String)]
+    val qA = Streaming.incrementalDedupSink(memA.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dirA, maxBucketSize = 2, compactAfterFiles = 2).start()
+    val qB = Streaming.incrementalDedupSink(memB.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dirB, maxBucketSize = 2, compactAfterFiles = 1000000).start()
+    def feed(batch: (Long, String)*): Unit = {
+      memA.addData(batch); qA.processAllAvailable()
+      memB.addData(batch); qB.processAllAvailable()
+    }
+    try {
+      val boiler = "the same boilerplate footer text appears on every single page"
+      // batch-internal duplicates are the one way the sink's index grows
+      // an oversized bucket (corpus dups are rejected before appending):
+      // 4 identical docs in one batch → all accepted → bucket size 4 > 2
+      feed((1L, boiler), (2L, boiler), (3L, boiler), (4L, boiler))
+      feed((10L, "a first entirely distinct document about sort merge joins"))
+      feed((11L, "a second entirely distinct document about shuffle hash joins"))
+      feed((12L, "a third entirely distinct document about broadcast joins"))
+      feed((13L, "a fourth entirely distinct document about range partitioning"))
+      // final probe batch: one doc in the tombstoned bucket, one dup of
+      // an accepted doc, one novel doc
+      feed((100L, boiler),
+        (101L, "a second entirely distinct document about shuffle hash joins"),
+        (102L, "zebra quokka parquet columns vectorize wonderfully under tungsten"))
+      def verdicts(dir: String) = spark.read.parquet(s"$dir/verdicts")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_corpus_dups"), r.getAs[Boolean]("keep"))).toMap
+      val vA = verdicts(dirA)
+      assert(vA == verdicts(dirB),
+        "compaction changed verdicts vs the never-compacted store")
+      // probe semantics: tombstoned-bucket doc sees NO dups (cap
+      // semantics, same as read-time capping), real dup rejected
+      assert(vA(100L) == (0L, true) && vA(101L)._2 == false && vA(102L) == (0L, true))
+      // the compacted store holds fewer files and recorded tombstones
+      def files(dir: String, sub: String) = {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.listStatus(p).count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      }
+      assert(files(dirA, "bands") < files(dirB, "bands"),
+        s"bands not compacted: ${files(dirA, "bands")} vs ${files(dirB, "bands")}")
+      assert(files(dirA, "verdicts") < files(dirB, "verdicts"))
+      assert(spark.read.parquet(s"$dirA/capped").count() > 0,
+        "oversized boilerplate bucket must be tombstoned at compaction")
+    } finally { qA.stop(); qB.stop() }
   }
 
   test("rangeStream matches in-band rows across batches via the native interval join") {

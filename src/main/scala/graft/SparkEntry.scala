@@ -421,6 +421,43 @@ object SparkEntry {
           round(sum(col("pval")), 4).as("sum_pval"))
         .orderBy(col("event_id"))
     }),
+    "q_asof_sql" -> ((s, d) => {
+      // the SQL-TEXT surface over AsOfJoinExec: same query as
+      // q_asof_native, phrased as `FROM asof_join('grid','purch',...)`
+      // through the registered table function — a SQL user reaches the
+      // codegen'd merge exec without touching the DataFrame API
+      val e = eventsUs(s, d)
+      graft.plans.GraftExtensions.register(s)
+      Signals.timeGrid(e.select(col("user_id"), col("ts_us").as("ts")),
+        Seq("user_id"), "ts", HourUs)
+        .createOrReplaceTempView("__graft_sql_grid")
+      e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("t"))
+        .agg(max(col("value")).as("pval"))
+        .createOrReplaceTempView("__graft_sql_purch")
+      s.sql("""SELECT user_id, ts, pval
+              |FROM asof_join('__graft_sql_grid', '__graft_sql_purch',
+              |               'user_id', 'ts', 't', 'pval')
+              |ORDER BY user_id, ts""".stripMargin)
+    }),
+    "q_range_sql" -> ((s, d) => {
+      // SQL-text twin of q_range_join_native via the range_join TVF
+      val e = eventsUs(s, d)
+      graft.plans.GraftExtensions.register(s)
+      e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+        .createOrReplaceTempView("__graft_sql_err")
+      e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("t"))
+        .agg(max(col("value")).as("pval"))
+        .createOrReplaceTempView("__graft_sql_purch")
+      s.sql(s"""SELECT event_id, count(t) AS n_matches,
+               |  round(sum(pval), 4) AS sum_pval
+               |FROM range_join('__graft_sql_err', '__graft_sql_purch',
+               |                'user_id', 'ts_us', 't', $HourUs, $HourUs, 'pval')
+               |GROUP BY event_id
+               |ORDER BY event_id""".stripMargin)
+    }),
     "q_scene_boundary" -> ((s, d) =>
       sceneBoundaries(s, d).orderBy(col("user_id"), col("ts"))),
     "q_scene_metadata" -> ((s, d) =>
@@ -1293,6 +1330,30 @@ object SparkEntry {
         |GROUP BY e.event_id
         |ORDER BY event_id""".stripMargin,
     "q_range_join_native" ->
+      """WITH err AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'error'),
+        |purch AS (
+        |  SELECT user_id, t, max(value) AS pval
+        |  FROM (SELECT user_id, epoch_us(ts) AS t, value FROM events
+        |        WHERE event_type = 'purchase') p GROUP BY user_id, t)
+        |SELECT e.event_id, count(p.t) AS n_matches,
+        |  round(sum(p.pval), 4) AS sum_pval
+        |FROM err e LEFT JOIN purch p
+        |  ON e.user_id = p.user_id
+        |  AND p.t >= e.t - 3600000000 AND p.t <= e.t + 3600000000
+        |GROUP BY e.event_id
+        |ORDER BY event_id""".stripMargin,
+    "q_asof_sql" ->
+      (s"""WITH grid AS ($gridSql),
+          |purch AS (SELECT user_id, t, max(value) AS pval
+          |  FROM (SELECT user_id, epoch_us(ts) AS t, value FROM events
+          |        WHERE event_type = 'purchase') p GROUP BY user_id, t)
+          |SELECT g.user_id, g.ts, p.pval
+          |FROM grid g ASOF LEFT JOIN purch p
+          |  ON g.user_id = p.user_id AND g.ts >= p.t
+          |ORDER BY g.user_id, g.ts""").stripMargin,
+    "q_range_sql" ->
       """WITH err AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
         |  WHERE event_type = 'error'),

@@ -3,9 +3,12 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Session extensions registering graft's native expressions as SQL
-  * functions (`vec_dot`, `cosine_sim`). Install with
+  * functions (`vec_dot`, `cosine_sim`) and its whole-operator joins as
+  * SQL TABLE functions (`asof_join`, `range_join`) — the SQL-text
+  * surface over [[AsOfJoinExec]]/[[RangeJoinExec]]. Install with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
@@ -13,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectOptimizerRule(_ => RewriteVectorOps)
     ext.injectOptimizerRule(_ => PruneAsOfJoin)
     ext.injectOptimizerRule(_ => PruneRangeJoin)
@@ -67,6 +71,88 @@ object GraftExtensions {
           intArg(children(1), "shingleN"), intArg(children(2), "k"))
       }))
 
+  // ---- SQL table functions over the native join execs ----------------
+  //
+  // DuckDB ships ASOF JOIN as SQL syntax (the oracle uses it); a query
+  // ENGINE whose fastest as-of path is DataFrame-only leaves SQL-text
+  // users on the slow composed form. These TVFs close that gap:
+  //   SELECT * FROM asof_join('grid', 'purch', 'user_id', 'ts', 't')
+  //   SELECT * FROM range_join('err', 'purch', 'user_id', 'ts', 't',
+  //                            3600000000, 3600000000)
+  // Tables are named (catalog/temp-view) relations; keys and value
+  // columns are comma-separated lists; value columns default to every
+  // right column except the keys and the right time. The builder runs at
+  // analysis time on the driver: it resolves the named tables through
+  // the ACTIVE session's catalog and plans the same AsOfJoinNode /
+  // RangeJoinNode the DataFrame API plans, so the physical plan is the
+  // codegen'd merge exec either way.
+
+  private def strArg(fn: String, args: Seq[Expression], i: Int, name: String): String = {
+    require(i < args.length && args(i).foldable,
+      s"$fn: argument $i ($name) must be a string literal")
+    args(i).eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument $i ($name) must be a string literal, got $other")
+    }
+  }
+
+  private def longArg(fn: String, args: Seq[Expression], i: Int, name: String): Long = {
+    require(i < args.length && args(i).foldable,
+      s"$fn: argument $i ($name) must be an integer literal")
+    args(i).eval(null) match {
+      case v: Int => v.toLong
+      case v: Long => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument $i ($name) must be an integer literal, got $other")
+    }
+  }
+
+  private def csv(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
+    (new FunctionIdentifier("asof_join"),
+      new ExpressionInfo(classOf[AsOfJoinNode].getName, "asof_join"),
+      (args: Seq[Expression]) => {
+        val fn = "asof_join"
+        require(args.length == 5 || args.length == 6,
+          s"usage: $fn(left_table, right_table, keys_csv, left_time, right_time[, value_cols_csv])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val left = spark.table(strArg(fn, args, 0, "left_table"))
+        val right = spark.table(strArg(fn, args, 1, "right_table"))
+        val keys = csv(strArg(fn, args, 2, "keys_csv"))
+        val lt = strArg(fn, args, 3, "left_time")
+        val rt = strArg(fn, args, 4, "right_time")
+        val values =
+          if (args.length == 6) csv(strArg(fn, args, 5, "value_cols_csv"))
+          else right.columns.filterNot((keys :+ rt).toSet).toSeq
+        graft.operators.AsOfJoin.asOfNative(left, right, keys, lt, rt, values)
+          .queryExecution.analyzed
+      }),
+    (new FunctionIdentifier("range_join"),
+      new ExpressionInfo(classOf[RangeJoinNode].getName, "range_join"),
+      (args: Seq[Expression]) => {
+        val fn = "range_join"
+        require(args.length == 7 || args.length == 8,
+          s"usage: $fn(left_table, right_table, keys_csv, left_time, right_time, " +
+            "lower_us, upper_us[, value_cols_csv])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val left = spark.table(strArg(fn, args, 0, "left_table"))
+        val right = spark.table(strArg(fn, args, 1, "right_table"))
+        val keys = csv(strArg(fn, args, 2, "keys_csv"))
+        val lt = strArg(fn, args, 3, "left_time")
+        val rt = strArg(fn, args, 4, "right_time")
+        val lower = longArg(fn, args, 5, "lower_us")
+        val upper = longArg(fn, args, 6, "upper_us")
+        val values =
+          if (args.length == 8) csv(strArg(fn, args, 7, "value_cols_csv"))
+          else right.columns.filterNot((keys :+ rt).toSet).toSeq
+        graft.operators.AsOfJoin.rangeJoinNative(left, right, keys, lt, rt,
+          values, lower, upper)
+          .queryExecution.analyzed
+      }))
+
   /** Imperative registration for sessions built without extensions (e.g. a
     * harness-provided session) — operators that use the native functions
     * call this first; registering twice is harmless.
@@ -74,6 +160,9 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+    tableFunctions.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
     }
     if (!spark.experimental.extraOptimizations.contains(RewriteVectorOps)) {
       spark.experimental.extraOptimizations =

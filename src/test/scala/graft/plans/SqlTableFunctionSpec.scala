@@ -1,0 +1,74 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.AsOfJoin
+
+/** The SQL-text surface over the native join execs: `asof_join` /
+  * `range_join` table functions must reach the same AsOfJoinExec /
+  * RangeJoinExec the DataFrame API plans, with identical results.
+  */
+class SqlTableFunctionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  private def grid = Seq(
+    (1L, 100L), (1L, 200L), (1L, 300L), (2L, 100L), (2L, 250L)
+  ).toDF("user_id", "ts")
+
+  private def purch = Seq(
+    (1L, 150L, 1.5), (1L, 290L, 2.5), (2L, 260L, 9.0)
+  ).toDF("user_id", "t", "pval")
+
+  test("asof_join TVF plans the native exec and matches the DataFrame API") {
+    grid.createOrReplaceTempView("tvf_grid")
+    purch.createOrReplaceTempView("tvf_purch")
+    val sql = spark.sql(
+      "SELECT user_id, ts, pval FROM asof_join('tvf_grid', 'tvf_purch', " +
+        "'user_id', 'ts', 't', 'pval') ORDER BY user_id, ts")
+    val execs = collectWithSubqueries(sql.queryExecution.executedPlan) {
+      case e: AsOfJoinExec => e
+    }
+    assert(execs.nonEmpty, s"no AsOfJoinExec in:\n${sql.queryExecution.executedPlan}")
+    val api = AsOfJoin.asOfNative(grid, purch, Seq("user_id"), "ts", "t", Seq("pval"))
+      .orderBy(col("user_id"), col("ts"))
+    assert(sql.collect().toSeq == api.collect().toSeq)
+  }
+
+  test("asof_join TVF defaults value columns to right minus keys and time") {
+    grid.createOrReplaceTempView("tvf_grid")
+    purch.createOrReplaceTempView("tvf_purch")
+    val sql = spark.sql(
+      "SELECT * FROM asof_join('tvf_grid', 'tvf_purch', 'user_id', 'ts', 't') " +
+        "ORDER BY user_id, ts")
+    assert(sql.columns.toSeq == Seq("user_id", "ts", "pval"))
+    assert(sql.count() == 5)
+  }
+
+  test("range_join TVF plans the native exec and matches the DataFrame API") {
+    grid.createOrReplaceTempView("tvf_grid")
+    purch.createOrReplaceTempView("tvf_purch")
+    val sql = spark.sql(
+      "SELECT user_id, ts, t, pval FROM range_join('tvf_grid', 'tvf_purch', " +
+        "'user_id', 'ts', 't', 60, 60, 'pval') ORDER BY user_id, ts, t")
+    val execs = collectWithSubqueries(sql.queryExecution.executedPlan) {
+      case e: RangeJoinExec => e
+    }
+    assert(execs.nonEmpty, s"no RangeJoinExec in:\n${sql.queryExecution.executedPlan}")
+    val api = AsOfJoin.rangeJoinNative(grid, purch, Seq("user_id"), "ts", "t",
+      Seq("pval"), lowerUs = 60L, upperUs = 60L)
+      .orderBy(col("user_id"), col("ts"), col("t"))
+    assert(sql.collect().toSeq == api.collect().toSeq)
+  }
+
+  test("TVF rejects non-literal and missing arguments loudly") {
+    grid.createOrReplaceTempView("tvf_grid")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join('tvf_grid')").collect()
+    }
+    assert(e.getMessage.contains("asof_join") || e.getMessage.contains("usage"))
+  }
+}

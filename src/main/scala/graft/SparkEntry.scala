@@ -2039,16 +2039,23 @@ object SparkEntry {
 
   /** Oracle twin of Multimodal.synthesize∘decode: geometry, format,
     * frame count, byte size, and pixel checksums re-derived by formula —
-    * pixel k of the flat frame-major raster is (doc_id*7 + k*13) mod 256,
-    * so the checksums the Spark kernel computes from the PARSED bytes are
-    * predictable without DuckDB touching any binary. n_bytes models the
-    * actual encodings: P6 header is "P6\\n<w> <h>\\n255\\n" (9 chars +
-    * digit widths); BMP is 54 header bytes + rows padded to 4 bytes.
+    * pixel k of the flat frame-major DECODED raster is
+    * (doc_id*7 + k*13) mod 256 for every format (the RLE8 palette is
+    * built to reproduce it), so the checksums the Spark kernel computes
+    * from the PARSED bytes are predictable without DuckDB touching any
+    * binary. n_bytes models the actual encodings: P6 header is
+    * "P6\\n<w> <h>\\n255\\n" (9 chars + digit widths); uncompressed BMP
+    * is 54 header bytes + rows padded to 4 bytes; RLE8 BMP is 1078
+    * header+palette bytes plus the COMPRESSED stream — per bottom-up
+    * row, one absolute segment (2 + w + pad) when w ≥ 3 (the synthesized
+    * indices step by 39, so no runs form) else w run pairs, plus 2 bytes
+    * EOL/EOB — deliberately ≠ raster size: the formula only matches if
+    * real decompression ran.
     */
   private lazy val mmDecodedSql: String =
     """WITH geo AS (
       |  SELECT doc_id, doc_id % 13 + 2 AS w, doc_id % 7 + 2 AS h,
-      |    doc_id % 3 AS fmt,
+      |    doc_id % 3 AS fmt, doc_id % 2 = 0 AS rle,
       |    CASE WHEN doc_id % 3 = 2 THEN doc_id % 4 + 1 ELSE 1 END AS fr
       |  FROM documents),
       |sums AS (
@@ -2058,9 +2065,13 @@ object SparkEntry {
       |  FROM (SELECT doc_id, unnest(range(0, fr*w*h*3)) AS k FROM geo) kk
       |  GROUP BY doc_id)
       |SELECT g.doc_id AS media_id,
-      |  CASE WHEN g.fmt = 1 THEN 'bmp'
+      |  CASE WHEN g.fmt = 1 AND g.rle THEN 'bmp-rle8'
+      |       WHEN g.fmt = 1 THEN 'bmp'
       |       WHEN g.fr > 1 THEN 'ppm-seq' ELSE 'ppm' END AS media_type,
-      |  CASE WHEN g.fmt = 1 THEN 54 + g.h * ((g.w*3 + 3) // 4 * 4)
+      |  CASE WHEN g.fmt = 1 AND g.rle THEN
+      |         1078 + g.h * (2 + CASE WHEN g.w >= 3 THEN 2 + g.w + g.w % 2
+      |                                ELSE 2 * g.w END)
+      |       WHEN g.fmt = 1 THEN 54 + g.h * ((g.w*3 + 3) // 4 * 4)
       |       ELSE g.fr * (9 + length(CAST(g.w AS VARCHAR))
       |                      + length(CAST(g.h AS VARCHAR)) + g.w*g.h*3)
       |  END AS n_bytes,

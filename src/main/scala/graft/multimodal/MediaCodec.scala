@@ -97,6 +97,95 @@ object MediaCodec {
     buf.array()
   }
 
+  /** 8-bit palettized BMP with BI_RLE8 compression (the published
+    * Windows RLE8 scheme: run pairs `(count, index)`, escape 0x00 with
+    * 0x00=end-of-line, 0x01=end-of-bitmap, 0x02=delta, 0x03..0xFF=
+    * absolute literal segments padded to a word boundary; rows bottom-up).
+    *
+    * `indices` are top-down row-major palette indices; `palette` is up to
+    * 256 packed 0xRRGGBB ints. Encoder policy (deterministic, so an
+    * oracle can predict the byte size): maximal runs of ≥ 3 equal bytes
+    * become run pairs (split at 255); shorter stretches accumulate as
+    * literals and flush as one absolute segment when ≥ 3 long, else as
+    * 1-length run pairs. Every row ends with EOL except the last, which
+    * ends with EOB.
+    */
+  def encodeBmpRle8(width: Int, height: Int, indices: Array[Byte],
+                    palette: Array[Int]): Array[Byte] = {
+    require(indices.length == width * height,
+      s"RLE8 index buffer ${indices.length} != ${width}x$height")
+    require(palette.length <= 256, s"palette too large: ${palette.length}")
+    val data = new ByteArrayOutputStream()
+    var y = height - 1 // bottom-up: last image row first in the stream
+    while (y >= 0) {
+      val row = y * width
+      var x = 0
+      val lit = new ByteArrayOutputStream()
+      def flushLiterals(): Unit = {
+        val bytes = lit.toByteArray
+        if (bytes.length >= 3) {
+          data.write(0); data.write(bytes.length)
+          data.write(bytes, 0, bytes.length)
+          if ((bytes.length & 1) == 1) data.write(0) // word-align
+        } else {
+          bytes.foreach { b => data.write(1); data.write(b & 0xff) }
+        }
+        lit.reset()
+      }
+      while (x < width) {
+        var run = 1
+        while (x + run < width && indices(row + x + run) == indices(row + x)) run += 1
+        if (run >= 3) {
+          flushLiterals()
+          var left = run
+          while (left > 0) {
+            val n = math.min(left, 255)
+            data.write(n); data.write(indices(row + x) & 0xff)
+            left -= n
+          }
+        } else {
+          var i = 0
+          while (i < run) {
+            lit.write(indices(row + x + i) & 0xff)
+            if (lit.size() == 255) flushLiterals()
+            i += 1
+          }
+        }
+        x += run
+      }
+      flushLiterals()
+      data.write(0); data.write(if (y == 0) 1 else 0) // EOB on last row, else EOL
+      y -= 1
+    }
+    val rle = data.toByteArray
+    val dataOff = 14 + 40 + 256 * 4
+    val buf = ByteBuffer.allocate(dataOff + rle.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(dataOff + rle.length)
+    buf.putInt(0)
+    buf.putInt(dataOff)
+    buf.putInt(40)
+    buf.putInt(width)
+    buf.putInt(height)     // bottom-up is MANDATORY for RLE bitmaps
+    buf.putShort(1)
+    buf.putShort(8)        // bpp
+    buf.putInt(1)          // BI_RLE8
+    buf.putInt(rle.length) // biSizeImage (required when compressed)
+    buf.putInt(2835).putInt(2835) // 72 dpi
+    buf.putInt(0).putInt(0)       // biClrUsed = 0 (2^bpp), biClrImportant
+    var i = 0
+    while (i < 256) {       // BGRA palette entries
+      val rgb = if (i < palette.length) palette(i) else 0
+      buf.put((rgb & 0xff).toByte)
+        .put(((rgb >> 8) & 0xff).toByte)
+        .put(((rgb >> 16) & 0xff).toByte)
+        .put(0.toByte)
+      i += 1
+    }
+    buf.put(rle)
+    buf.array()
+  }
+
   // ---- decoder ------------------------------------------------------
 
   /** Sniff the magic bytes and decode. "P6" → PPM (one frame or a
@@ -174,8 +263,9 @@ object MediaCodec {
     (w, h, pos)
   }
 
-  /** 24-bit BI_RGB BMP → top-down RGB. Handles bottom-up (positive height)
-    * and top-down (negative height) files and row padding.
+  /** BMP → top-down RGB. 24-bit uncompressed (BI_RGB, bottom-up or
+    * top-down, padded rows) and 8-bit palettized RLE-compressed
+    * (BI_RLE8) files both normalize to the same top-down RGB raster.
     */
   private def decodeBmp(bytes: Array[Byte]): Decoded = {
     require(bytes.length >= 54, s"BMP too short: ${bytes.length}")
@@ -185,7 +275,8 @@ object MediaCodec {
     val rawHeight = buf.getInt(22)
     val bpp = buf.getShort(28)
     val compression = buf.getInt(30)
-    require(bpp == 24, s"unsupported BMP bpp $bpp (24-bit only)")
+    if (bpp == 8 && compression == 1) return decodeBmpRle8(bytes)
+    require(bpp == 24, s"unsupported BMP bpp $bpp (24-bit or RLE8 only)")
     require(compression == 0, s"unsupported BMP compression $compression (BI_RGB only)")
     val bottomUp = rawHeight > 0
     val height = math.abs(rawHeight)
@@ -209,6 +300,87 @@ object MediaCodec {
       y += 1
     }
     Decoded("bmp", width, height, 1, out)
+  }
+
+  /** BI_RLE8 BMP → top-down RGB via the palette. Implements the full
+    * published escape set — run pairs, absolute segments (word-aligned),
+    * end-of-line, end-of-bitmap, and delta (skipped pixels keep index 0)
+    * — and fails loudly on truncation or row overflow: genuine
+    * DECOMPRESSION, the variable-length path the fixed-stride formats
+    * don't exercise.
+    */
+  private def decodeBmpRle8(bytes: Array[Byte]): Decoded = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = buf.getInt(10)
+    val headerSize = buf.getInt(14)
+    val width = buf.getInt(18)
+    val height = buf.getInt(22) // positive (bottom-up) is mandatory for RLE
+    require(width > 0 && height > 0, s"bad RLE8 BMP geometry ${width}x$height")
+    val clrUsed = buf.getInt(46)
+    val nColors = if (clrUsed == 0) 256 else clrUsed
+    val palOff = 14 + headerSize
+    require(palOff + nColors * 4 <= bytes.length, "truncated RLE8 palette")
+    // palette entries are (B, G, R, reserved)
+    val palR = new Array[Byte](nColors)
+    val palG = new Array[Byte](nColors)
+    val palB = new Array[Byte](nColors)
+    var c = 0
+    while (c < nColors) {
+      palB(c) = bytes(palOff + c * 4)
+      palG(c) = bytes(palOff + c * 4 + 1)
+      palR(c) = bytes(palOff + c * 4 + 2)
+      c += 1
+    }
+    // decode the escape stream into a bottom-up index raster
+    val idx = new Array[Byte](width * height) // zero-filled: delta-skipped pixels
+    var x = 0
+    var row = 0 // bottom-up row counter
+    var pos = dataOff
+    var done = false
+    def put(v: Byte): Unit = {
+      require(x < width && row < height, s"RLE8 overflow at row $row x $x")
+      idx(row * width + x) = v
+      x += 1
+    }
+    while (!done) {
+      require(pos + 2 <= bytes.length, s"truncated RLE8 stream at $pos")
+      val b0 = bytes(pos) & 0xff
+      val b1 = bytes(pos + 1) & 0xff
+      pos += 2
+      if (b0 > 0) {                       // run: b0 copies of index b1
+        var i = 0
+        while (i < b0) { put(b1.toByte); i += 1 }
+      } else b1 match {
+        case 0 => x = 0; row += 1         // end of line
+        case 1 => done = true             // end of bitmap
+        case 2 =>                         // delta: skip right/up
+          require(pos + 2 <= bytes.length, "truncated RLE8 delta")
+          x += bytes(pos) & 0xff
+          row += bytes(pos + 1) & 0xff
+          pos += 2
+        case n =>                         // absolute: n literal indices
+          require(pos + n <= bytes.length, "truncated RLE8 absolute segment")
+          var i = 0
+          while (i < n) { put(bytes(pos + i)); i += 1 }
+          pos += n + (n & 1)              // word-aligned
+      }
+    }
+    // map indices through the palette to a TOP-DOWN RGB raster
+    val out = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = height - 1 - y
+      var xx = 0
+      while (xx < width) {
+        val i = idx(srcRow * width + xx) & 0xff
+        require(i < nColors, s"RLE8 index $i outside $nColors-color palette")
+        val d = (y * width + xx) * 3
+        out(d) = palR(i); out(d + 1) = palG(i); out(d + 2) = palB(i)
+        xx += 1
+      }
+      y += 1
+    }
+    Decoded("bmp-rle8", width, height, 1, out)
   }
 
   // ---- audio: WAV / 16-bit PCM --------------------------------------

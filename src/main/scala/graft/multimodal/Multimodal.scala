@@ -62,8 +62,13 @@ object Multimodal {
     * with geometry / format / frame count / pixels all pure functions of
     * the id — so a SQL oracle can predict every decoded feature while the
     * decode kernel genuinely parses headers and rasters. id mod 3 picks
-    * the format (PPM, BMP, PPM sequence); pixel k of the flat frame-major
-    * raster is (id*7 + k*13) mod 256.
+    * the format (PPM, BMP, PPM sequence); even-id BMPs encode as
+    * palettized BI_RLE8 (a COMPRESSED format — variable-length byte
+    * stream, n_bytes ≠ raster size). Pixel k of the flat frame-major
+    * DECODED raster is (id*7 + k*13) mod 256 for every format: the RLE8
+    * palette maps index i to (i, i+13, i+26) mod 256 and pixel j's index
+    * is the formula's R channel, so decompression reproduces the same
+    * raster the other formats carry verbatim.
     */
   def synthesize(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
     val spark = df.sparkSession
@@ -76,13 +81,24 @@ object Multimodal {
         val px = Array.tabulate[Byte](frames * w * h * 3)(k => ((d * 7 + k * 13) % 256).toByte)
         val (mt, bytes) = (d % 3) match {
           case 0 => ("image/x-portable-pixmap", MediaCodec.encodePpm(w, h, px))
-          case 1 => ("image/bmp", MediaCodec.encodeBmp(w, h, px))
+          case 1 =>
+            if (d % 2 == 0) {
+              val indices = Array.tabulate[Byte](w * h)(j => ((d * 7 + 39L * j) % 256).toByte)
+              ("image/bmp-rle8", MediaCodec.encodeBmpRle8(w, h, indices, rle8Palette))
+            } else ("image/bmp", MediaCodec.encodeBmp(w, h, px))
           case _ => ("video/x-ppm-seq", MediaCodec.encodePpmSeq(w, h, frames, px))
         }
         MediaRecord(d, mt, bytes, bytes.length.toLong)
       }
     }
   }
+
+  /** Palette for the synthesized RLE8 BMPs: entry i is packed RGB
+    * (i, (i+13) mod 256, (i+26) mod 256), the color triple the canonical
+    * raster formula assigns to a pixel whose R channel is i.
+    */
+  private val rle8Palette: Array[Int] = Array.tabulate(256)(i =>
+    (i << 16) | (((i + 13) % 256) << 8) | ((i + 26) % 256))
 
   /** Decode kernel: parse each payload's actual bytes (magic sniff →
     * header parse → raster normalization) and emit fixed-width features.

@@ -201,4 +201,81 @@ class MultimodalSpec extends SparkSpec {
     assert(m.payload.toSeq == "abc".getBytes("UTF-8").toSeq)
     assert(m.n_bytes == 3L && m.media_type == "text/plain")
   }
+
+  // ---- RLE8 BMP (compressed) ----------------------------------------
+
+  private val grayPalette: Array[Int] =
+    Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
+
+  test("RLE8 round-trips runs, literals, and 255+ run splits") {
+    // rows exercise every encoder mode: a long run (> 255, split), a
+    // short literal stretch, and alternating values (absolute mode)
+    val w = 300
+    val h = 3
+    val idx = new Array[Byte](w * h)
+    java.util.Arrays.fill(idx, 0, w, 7.toByte)              // row 0: run of 300
+    (0 until w).foreach(x => idx(w + x) = (x % 2).toByte)   // row 1: no runs
+    java.util.Arrays.fill(idx, 2 * w, 2 * w + w, 9.toByte)  // row 2: run
+    idx(2 * w) = 3; idx(2 * w + 1) = 4                      // …after 2 literals
+    val dec = MediaCodec.decode(MediaCodec.encodeBmpRle8(w, h, idx, grayPalette))
+    assert(dec.format == "bmp-rle8" && dec.width == w && dec.height == h)
+    for (j <- 0 until w * h; c <- 0 until 3)
+      assert(dec.pixels(j * 3 + c) == idx(j),
+        s"pixel $j channel $c: ${dec.pixels(j * 3 + c)} != ${idx(j)}")
+  }
+
+  test("RLE8 compresses runs: encoded size ≪ raster for uniform images") {
+    val w = 64; val h = 64
+    val uniform = Array.fill[Byte](w * h)(42)
+    val bytes = MediaCodec.encodeBmpRle8(w, h, uniform, grayPalette)
+    // 1078 header/palette + per row one run pair + EOL = 4 bytes
+    assert(bytes.length == 1078 + h * 4, s"got ${bytes.length}")
+    assert(bytes.length < w * h, "run-length coding must beat the raster")
+  }
+
+  test("RLE8 decoder handles the delta escape (skipped pixels = index 0)") {
+    // hand-crafted stream: run of 2 × idx 5, delta right 3 / up 1, run of
+    // 1 × idx 8, EOB — bottom-up 6x3 canvas
+    val w = 6; val h = 3
+    val stream = Array[Byte](2, 5, 0, 2, 3, 1, 1, 8, 0, 1)
+    val ref = MediaCodec.encodeBmpRle8(w, h, new Array[Byte](w * h), grayPalette)
+    val crafted = java.util.Arrays.copyOf(ref, 1078 + stream.length)
+    System.arraycopy(stream, 0, crafted, 1078, stream.length)
+    // patch biSizeImage and file size to the crafted stream
+    val bb = java.nio.ByteBuffer.wrap(crafted).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(2, crafted.length); bb.putInt(34, stream.length)
+    val dec = MediaCodec.decode(crafted)
+    // bottom-up: stream row 0 = image row h-1
+    def px(x: Int, yBottomUp: Int) = dec.pixels(((h - 1 - yBottomUp) * w + x) * 3)
+    assert(px(0, 0) == 5 && px(1, 0) == 5)  // the run
+    assert(px(5, 1) == 8)                    // after delta (+3 x, +1 row)
+    assert(px(2, 0) == 0 && px(3, 0) == 0,  "delta-skipped pixels default to 0")
+  }
+
+  test("RLE8 fails loudly on truncated or overflowing streams") {
+    val ok = MediaCodec.encodeBmpRle8(4, 2, new Array[Byte](8), grayPalette)
+    intercept[IllegalArgumentException] {
+      MediaCodec.decode(java.util.Arrays.copyOf(ok, ok.length - 3))
+    }
+    // a run past the row end must not write out of bounds
+    val overflow = java.util.Arrays.copyOf(ok, 1078 + 4)
+    val bb = java.nio.ByteBuffer.wrap(overflow).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(2, overflow.length); bb.putInt(34, 4)
+    overflow(1078) = 50.toByte; overflow(1079) = 1 // 50 pixels into a 4-wide row
+    overflow(1080) = 0; overflow(1081) = 1
+    intercept[IllegalArgumentException] { MediaCodec.decode(overflow) }
+  }
+
+  test("synthesized RLE8 BMPs decode to the canonical raster formula") {
+    // d=4: d%3==1 (BMP), d%2==0 → RLE8; w=6, h=6
+    val rec = Multimodal.synthesize(Seq(4L).toDF("doc_id"), "doc_id").collect().head
+    assert(rec.media_type == "image/bmp-rle8")
+    val dec = MediaCodec.decode(rec.payload)
+    assert(dec.format == "bmp-rle8")
+    for (k <- 0 until dec.pixels.length)
+      assert((dec.pixels(k) & 0xff) == ((4 * 7 + k * 13) % 256),
+        s"decoded pixel $k diverges from the formula")
+    // compressed length ≠ raster length (and ≠ the uncompressed BMP size)
+    assert(rec.n_bytes != dec.pixels.length && rec.n_bytes != 54 + 6 * ((6 * 3 + 3) / 4 * 4))
+  }
 }

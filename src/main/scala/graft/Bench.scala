@@ -92,10 +92,6 @@ object Bench {
       runs(runs.size / 2)
     }
     val asofOp = s"""{"window":${asofRawSafe(false)},"native":${asofRawSafe(true)}}"""
-    // a crashed query contributes NO partial time to the total and is
-    // listed by name — a mid-plan failure must be loud, not a fast "win"
-    val ok = results.filter(!_._2.failed)
-    val failedNames = results.collect { case (k, r) if r.failed => "\"" + k + "\"" }
     // adaptive precision: the harness that snapshots this output keeps only
     // the LAST ~2000 characters of the run log, so the final line must stay
     // comfortably under that (76 queries at full double precision is ~4 KB
@@ -106,6 +102,74 @@ object Bench {
       else if (v >= 100) f"$v%.0f"
       else if (v >= 10) f"$v%.1f"
       else f"$v%.2f"
+    // ---- dedup scale curve: time vs rows for the bucketed dedup block ----
+    // The 100 TB design claims for minhash/jaccard/CC rest on plan shape
+    // (bucketed joins, fixed-width signatures, capped buckets); this
+    // MEASURES the shape. No sf1 corpus exists on disk, so larger corpora
+    // are built by deterministic replication of the sfDir documents table:
+    // replica i rewrites every whitespace token w -> w+"x"+i — a
+    // per-replica token bijection, so shingle equality WITHIN a replica is
+    // preserved (each replica carries the same duplicate structure per
+    // unit of data) while shingle sets ACROSS replicas are disjoint (no
+    // synthetic cross-replica pairs). Time growth per 10x rows is then the
+    // honest signal: ~10x = linear in corpus size; >>10x = a bucket or
+    // shuffle blew up. xlin normalizes it: (sec_N/sec_1)/(rows_N/rows_1),
+    // 1.0 = exactly linear, <1 sublinear (fixed costs amortizing).
+    // Shared pair/cluster tables are cleared once per scale point and the
+    // queries run in a fixed order, so q_dedup_minhash pays the pair-table
+    // build and q_dup_clusters_star times the CC iteration alone — each
+    // curve measures its operator's marginal work.
+    val scalingQs = Seq("q_dedup_minhash", "q_ngram_jaccard", "q_dup_clusters_star")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1,10")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq.sorted
+    val scaling: Option[(String, String)] =
+      if (scales.size < 2) None
+      else try {
+        import org.apache.spark.sql.functions._
+        val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        val baseDocs = base.count()
+        val points = scales.map { sc =>
+          val dir = s"/tmp/graft_bench_scaling/x$sc"
+          base
+            .select(col("*"), explode(expr(s"sequence(0, ${sc - 1})")).as("rep"))
+            .select(
+              (col("doc_id") + col("rep") * lit(100000000L)).as("doc_id"),
+              when(col("rep") === 0, col("text")).otherwise(expr(
+                "array_join(transform(split(text, ' '), w -> concat(w, 'x', rep)), ' ')"))
+                .as("text"),
+              col("lang"), col("source"))
+            .withColumn("n_chars", length(col("text")))
+            .repartition(math.min(32, sc * 4))
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          SparkEntry.clearSharedTables()
+          val times = scalingQs.map { q =>
+            val t0 = System.nanoTime()
+            val ok = try { SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count(); true }
+              catch { case _: Throwable => false }
+            q -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          }.toMap
+          (sc, times)
+        }
+        SparkEntry.clearSharedTables()
+        val docsArr = scales.map(s => baseDocs * s).mkString("[", ",", "]")
+        def secArr(f: Double => String) = scalingQs.map { q =>
+          "\"" + q + "\":" + points.map(p => f(p._2(q))).mkString("[", ",", "]")
+        }.mkString("{", ",", "}")
+        val xlin = scalingQs.map { q =>
+          val (s1, sN) = (points.head._2(q), points.last._2(q))
+          val v = if (s1 > 0 && sN > 0)
+            f"${(sN / s1) / (scales.last.toDouble / scales.head)}%.2f" else "-1"
+          "\"" + q + "\":" + v
+        }.mkString("{", ",", "}")
+        Some((
+          s"""{"docs":$docsArr,"sec":${secArr(_.toString)},"xlin":$xlin}""",
+          s"""{"docs":$docsArr,"sec":${secArr(short)},"xlin":$xlin}"""))
+      } catch { case _: Throwable => None }
+    val scalingFull = scaling.map(s => s""","scaling":${s._1}""").getOrElse("")
+    // a crashed query contributes NO partial time to the total and is
+    // listed by name — a mid-plan failure must be loud, not a fast "win"
+    val ok = results.filter(!_._2.failed)
+    val failedNames = results.collect { case (k, r) if r.failed => "\"" + k + "\"" }
     val qs = results.toSeq.sortBy(_._1).map { case (k, r) =>
       "\"" + k + "\":" + (if (r.failed) "-1" else short(r.sec))
     }.mkString("{", ",", "}")
@@ -135,25 +199,47 @@ object Bench {
     // full diagnostics: rows/s, history, per-query full precision — written
     // to a repo file (committed per round as BENCH_local_r{N}) and logged
     // EARLY so the tail-window snapshot is spent on the compact line below
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es), per-query median of successful samples; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require"}"""
-    val fw = new java.io.FileWriter("BENCH_full.json")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp$scalingFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es), per-query median of successful samples; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
+    val fw = new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream("BENCH_full.json"),
+      java.nio.charset.StandardCharsets.UTF_8)
     try fw.write(full + "\n") finally fw.close()
     println(full)
     // the LAST line is the published bench record: one compact JSON object
     // (metric/value/unit/queries/failed/asof/sf) that fits the snapshot
     // window whole — full detail is in BENCH_full.json
-    def compactLine(withAsof: Boolean): String = {
+    // 86 queries of per-query detail + the scale curve no longer fit the
+    // ~2000-char snapshot window at full key length: the "q_" prefix alone
+    // is 258 chars of the budget, so the compact line strips it (declared
+    // by the "qkeys" note; BENCH_full.json keeps full names)
+    val qsStripped = results.toSeq.sortBy(_._1).map { case (k, r) =>
+      "\"" + k.stripPrefix("q_") + "\":" + (if (r.failed) "-1" else short(r.sec))
+    }.mkString("{", ",", "}")
+    def compactLine(withAsof: Boolean, scalingPart: Option[String]): String = {
       // "asof" here = asof_operator_level in BENCH_full.json (short key
       // to spend the snapshot window on per-query times)
       val asof = if (withAsof) s""","asof":$asofOp""" else ""
+      val sc = scalingPart.map(s => s""","scaling":$s""").getOrElse("")
       // sf as basename: the full path is in BENCH_full.json, and every
       // character here buys snapshot-window margin
-      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries":$qs,"failed":[${failedNames.mkString(",")}]$asof,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","qkeys":"q_ prefix stripped","queries":$qsStripped,"failed":[${failedNames.mkString(",")}]$asof$sc,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
-    // degrade rather than crash: drop the asof detail first (it lives in
+    // scale-curve compact forms: full (sec arrays + xlin), xlin-only
+    val scalingXlin = scaling.map { s =>
+      val docs = s._2.split("\"sec\"").head // {"docs":[...],  prefix
+      val xlin = s._2.split("\"xlin\":").last.stripSuffix("}")
+      s"""${docs}"xlin":$xlin}"""
+    }
+    // degrade rather than crash: drop the asof detail first, then thin the
+    // scale curve to its xlin summary, then drop it (everything lives in
     // BENCH_full.json either way) if the line would overflow the window
-    val compact = Seq(compactLine(true), compactLine(false))
-      .find(_.length < 1850).getOrElse(compactLine(false))
+    val compact = Seq(
+        compactLine(true, scaling.map(_._2)),
+        compactLine(false, scaling.map(_._2)),
+        compactLine(true, scalingXlin),
+        compactLine(false, scalingXlin),
+        compactLine(false, None))
+      .find(_.length < 1900).getOrElse(compactLine(false, None))
     println(compact)
     spark.stop()
   }

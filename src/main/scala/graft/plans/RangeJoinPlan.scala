@@ -1,7 +1,5 @@
 package graft.plans
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
@@ -105,7 +103,8 @@ case class RangeJoinExec(
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
     "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"),
-    "peakWindowRows" -> SQLMetrics.createMetric(sparkContext, "peak window buffer rows"))
+    "peakWindowRows" -> SQLMetrics.createMetric(sparkContext, "peak window buffer rows"),
+    "spillSize" -> SQLMetrics.createSizeMetric(sparkContext, "window buffer spill size"))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -123,6 +122,7 @@ case class RangeJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val numMatchedRows = longMetric("numMatchedRows")
     val peakWindowRows = longMetric("peakWindowRows")
+    val spillSize = longMetric("spillSize")
     val leftOut = left.output
     val rightOut = right.output
     val lKeys = leftKeys
@@ -133,6 +133,14 @@ case class RangeJoinExec(
     val outAttrs = output
     val lower = lowerUs
     val upper = upperUs
+    // window-buffer spill thresholds: this exec's buffer is exactly a
+    // WindowExec frame (same-key rows held while in range), so it honors
+    // the same knobs — beyond inMemRows the buffer moves to task-managed
+    // memory and spills to disk, bounding heap for a pathological band
+    // (an unbounded lowerUs on a hot key) instead of OOMing the executor
+    val inMemRows = conf.windowExecBufferInMemoryThreshold
+    val spillRows = conf.windowExecBufferSpillThreshold
+    val spillBytes = conf.windowExecBufferSpillSizeThreshold
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
@@ -149,14 +157,10 @@ case class RangeJoinExec(
 
       val rBuf = rIter.buffered
       var curKey: InternalRow = null          // copied key of the window
-      val window = new ArrayBuffer[InternalRow] // (time, values) copies, time-ascending
+      // (time, values) copies, time-ascending; spills past the thresholds
+      val window = new org.apache.spark.sql.graftbridge.SpillableRowWindow(
+        inMemRows, spillRows, spillBytes)
       var winStart = 0                        // index of first live window row
-
-      def compactWindow(): Unit =
-        if (winStart > 64 && winStart * 2 >= window.length) {
-          window.remove(0, winStart)
-          winStart = 0
-        }
 
       lIter.flatMap { lRow =>
         val lk = lKeyProj(lRow)
@@ -185,30 +189,41 @@ case class RangeJoinExec(
               if (c < 0) { rBuf.next(); continue = rBuf.hasNext }
               else if (c > 0) continue = false
               else if (head.getLong(rTimeIdx) <= lt + upper) {
-                window += rEmitProj(rBuf.next()).copy()
+                window.add(rEmitProj(rBuf.next()).copy())
                 continue = rBuf.hasNext
               } else continue = false
             }
           }
-          // evict rows that fell out of [lt - lower, ...] — left times are
-          // ascending within the key, so the start index only advances
-          while (winStart < window.length && window(winStart).getLong(0) < lt - lower)
-            winStart += 1
-          compactWindow()
+          // evict rows that fell out of [lt - lower, ...] by advancing the
+          // start index — left times ascend within the key, so it only
+          // moves forward; ONE window iterator serves both the eviction
+          // probe and the emission (a spilled probe is a sequential read
+          // from winStart, the same access pattern WindowExec's
+          // UnboundedFollowing frame pays per row)
+          val it = window.iteratorFrom(winStart)
+          var firstLive: InternalRow = null
+          while (firstLive == null && it.hasNext) {
+            val r = it.next()
+            if (r.getLong(0) < lt - lower) winStart += 1 else firstLive = r
+          }
           if (window.length - winStart > peakWindowRows.value)
             peakWindowRows.set(window.length - winStart)
-          if (winStart >= window.length) {
+          if (window.spillSizeBytes > spillSize.value)
+            spillSize.set(window.spillSizeBytes)
+          if (firstLive == null) {
             numOutputRows += 1
             Iterator.single(resultProj(joined(lRow, nullRight)))
           } else {
             numMatchedRows += 1
             // left times can repeat: don't mutate winStart per emit — the
-            // next left row re-evicts from the same start
-            val from = winStart
-            val until = window.length
-            numOutputRows += (until - from)
-            (from until until).iterator.map { i =>
-              resultProj(joined(lRow, window(i)))
+            // next left row re-evicts from the same start. A spilled
+            // iterator reuses its row buffer, so each emitted row is
+            // projected (copied into resultProj's buffer) before the next
+            // next() call — firstLive is safe because the first map pull
+            // projects it before the iterator advances.
+            numOutputRows += (window.length - winStart)
+            (Iterator.single(firstLive) ++ it).map { r =>
+              resultProj(joined(lRow, r))
             }
           }
         }
@@ -240,6 +255,7 @@ case class RangeJoinExec(
     val numOutputRows = metricTerm(ctx, "numOutputRows")
     val numMatchedRows = metricTerm(ctx, "numMatchedRows")
     val peakWindowRows = metricTerm(ctx, "peakWindowRows")
+    val spillSizeMetric = metricTerm(ctx, "spillSize")
     val leftInput = ctx.addMutableState("scala.collection.Iterator", "rjLeftInput",
       v => s"$v = inputs[0];")
     val rightInput = ctx.addMutableState("scala.collection.Iterator", "rjRightInput",
@@ -252,15 +268,33 @@ case class RangeJoinExec(
     val winLeft = ctx.addMutableState("InternalRow", "rjWinLeft")
     val emitRow = ctx.addMutableState("InternalRow", "rjEmitRow")
     val evictRow = ctx.addMutableState("InternalRow", "rjEvictRow")
-    val window = ctx.addMutableState("java.util.ArrayList", "rjWindow",
-      v => s"$v = new java.util.ArrayList();")
+    // same spill-capable buffer as the interpreted path; janino compiles
+    // against public BYTECODE, where Scala's private[sql] on
+    // ExternalAppendOnlyUnsafeRowArray does not exist, so the generated
+    // class instantiates it directly (thresholds baked at plan time —
+    // WindowExec's knobs, see doExecute). Stored rows are full right-row
+    // copies; every upstream exec in this position (SortExec from
+    // requiredChildOrdering, Exchange, whole-stage produce) emits
+    // UnsafeRow — the same assumption SortMergeJoinScanner makes when it
+    // buffers matches into this structure.
+    val eaClass = "org.apache.spark.sql.execution.ExternalAppendOnlyUnsafeRowArray"
+    val window = ctx.addMutableState(eaClass, "rjWindow",
+      v => s"$v = new $eaClass(${conf.windowExecBufferInMemoryThreshold}, " +
+        s"${conf.windowExecBufferSpillSizeThreshold}L, " +
+        s"${conf.windowExecBufferSpillThreshold}, " +
+        s"${conf.windowExecBufferSpillSizeThreshold}L);")
     val winStart = ctx.addMutableState("int", "rjWinStart")
-    val winIdx = ctx.addMutableState("int", "rjWinIdx", v => s"$v = -1;")
+    // emission iterator over [winStart, length) — lives in a field so the
+    // generated processNext() can pause mid-emission (shouldStop) and
+    // resume; replaces index random access, which a spilled buffer
+    // cannot serve
+    val winIter = ctx.addMutableState("scala.collection.Iterator", "rjWinIter")
     val pendingNull = ctx.addMutableState("boolean", "rjPendingNull")
-    // local shadow of the peak metric: janino cannot call the
+    // local shadows of the peak/spill metrics: janino cannot call the
     // generic-erased SQLMetric.value() bridge (returns Object), so
-    // compare against this field and push via the non-generic set(long)
+    // compare against these fields and push via the non-generic set(long)
     val peakShadow = ctx.addMutableState("int", "rjPeak")
+    val spillShadow = ctx.addMutableState("long", "rjSpill")
 
     val keyTypes = leftKeys.map(_.dataType)
     val lRow = ctx.freshName("rjLeftRow")
@@ -332,6 +366,7 @@ case class RangeJoinExec(
         rKeyVars.map(_.isNull.toString).filter(_ != "false").mkString(" || ")
       else "false"
 
+    val probeIt = ctx.freshName("rjProbeIt")
     s"""while (true) {
        |  // ---- emission phase (resumable): one output row per pass
        |  boolean $doEmit = false;
@@ -339,14 +374,13 @@ case class RangeJoinExec(
        |  if ($pendingNull) {
        |    $doEmit = true;
        |    $pendingNull = false;
-       |  } else if ($winIdx >= 0) {
-       |    if ($winIdx < $window.size()) {
-       |      $emitRow = (InternalRow) $window.get($winIdx);
-       |      $winIdx++;
+       |  } else if ($winIter != null) {
+       |    if ($winIter.hasNext()) {
+       |      $emitRow = (InternalRow) $winIter.next();
        |      $doEmit = true;
        |      $matched = true;
        |    } else {
-       |      $winIdx = -1;
+       |      $winIter = null;
        |    }
        |  }
        |  if ($doEmit) {
@@ -390,29 +424,35 @@ case class RangeJoinExec(
        |    if ($rcmp < 0) { $rightHead = null; continue; }
        |    if ($rcmp > 0) break;
        |    if (${rTimeVar.value} <= $lt + ${upperUs}L) {
-       |      $window.add($rightHead.copy());
+       |      $window.add((org.apache.spark.sql.catalyst.expressions.UnsafeRow) $rightHead.copy());
        |      $rightHead = null;
        |    } else break;
        |  }
        |  // evict rows below lt - lower (left times ascend within a key)
-       |  while ($winStart < $window.size()) {
-       |    $evictRow = (InternalRow) $window.get($winStart);
-       |    ${eTimeVar.code}
-       |    if (${eTimeVar.value} < $lt - ${lowerUs}L) $winStart++; else break;
+       |  // by advancing the start index — a sequential probe from
+       |  // winStart (a spilled buffer has no random access; rows are
+       |  // physically dropped only at key-change clear())
+       |  if ($winStart < $window.length()) {
+       |    scala.collection.Iterator $probeIt = $window.generateIterator($winStart);
+       |    while ($probeIt.hasNext()) {
+       |      $evictRow = (InternalRow) $probeIt.next();
+       |      ${eTimeVar.code}
+       |      if (${eTimeVar.value} < $lt - ${lowerUs}L) $winStart++; else break;
+       |    }
        |  }
-       |  if ($winStart > 64 && $winStart * 2 >= $window.size()) {
-       |    $window.subList(0, $winStart).clear();
-       |    $winStart = 0;
-       |  }
-       |  if ($window.size() - $winStart > $peakShadow) {
-       |    $peakShadow = $window.size() - $winStart;
+       |  if ($window.length() - $winStart > $peakShadow) {
+       |    $peakShadow = $window.length() - $winStart;
        |    $peakWindowRows.set((long) $peakShadow);
        |  }
-       |  if ($winStart >= $window.size()) {
+       |  if ($window.spillSize() > $spillShadow) {
+       |    $spillShadow = $window.spillSize();
+       |    $spillSizeMetric.set($spillShadow);
+       |  }
+       |  if ($winStart >= $window.length()) {
        |    $pendingNull = true;
        |  } else {
        |    $numMatchedRows.add(1);
-       |    $winIdx = $winStart;
+       |    $winIter = $window.generateIterator($winStart);
        |  }
        |}""".stripMargin
   }

@@ -30,3 +30,37 @@ object GraftShim {
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 }
+
+/** Spill-capable append-only row buffer for merge-exec windows — a thin
+  * facade over Spark's `private[sql]` [[ExternalAppendOnlyUnsafeRowArray]]
+  * (the buffer SortMergeJoinExec and WindowExec use for their matched /
+  * frame groups): rows accumulate in an on-heap array up to
+  * `inMemoryRowsThreshold`, then migrate to a task-memory-managed sorter
+  * that spills to disk under row-count or byte-size pressure. Eviction is
+  * by advancing a caller-held start index ([[iteratorFrom]]); buffered
+  * rows are only physically dropped by [[clear]] (key change) — memory
+  * safety between clears comes from spilling, not compaction, exactly like
+  * WindowExec's frame buffer.
+  *
+  * Lives in the graftbridge package for the Scala-level access grant; the
+  * codegen twin of this path instantiates the Spark class directly (janino
+  * compiles against public bytecode, where `private[sql]` does not exist).
+  */
+final class SpillableRowWindow(
+    inMemoryRowsThreshold: Int,
+    spillRowsThreshold: Int,
+    spillSizeThreshold: Long) {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+  private val arr = new org.apache.spark.sql.execution.ExternalAppendOnlyUnsafeRowArray(
+    inMemoryRowsThreshold, spillSizeThreshold, spillRowsThreshold, spillSizeThreshold)
+  def add(row: UnsafeRow): Unit = arr.add(row)
+  def clear(): Unit = arr.clear()
+  def length: Int = arr.length
+  /** Iterator over rows [start, length). A spilled iterator REUSES its
+    * row buffer between `next()` calls — consume each row before pulling
+    * the next, or copy.
+    */
+  def iteratorFrom(start: Int): Iterator[UnsafeRow] = arr.generateIterator(start)
+  /** Bytes this buffer has spilled to disk so far (0 while on-heap). */
+  def spillSizeBytes: Long = arr.spillSize
+}

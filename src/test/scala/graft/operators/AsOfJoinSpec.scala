@@ -241,6 +241,45 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(peak.exists(p => p > 0 && p <= 16), s"peak window rows = $peak")
   }
 
+  test("rangeJoinNative spills a pathological window to disk, results unchanged") {
+    import org.apache.spark.sql.functions._
+    // one hot key with a band wide enough to hold EVERY right row: the
+    // window buffer degenerates to the whole key group (the case the
+    // band normally bounds). With the WindowExec spill knobs forced low,
+    // the buffer must migrate to the task-memory-managed store and spill
+    // to disk instead of growing on heap — the spillSize metric proves
+    // the spill path actually ran, and the output must be identical to
+    // the composed formulation row for row.
+    val left = (0 until 40).map(i => (1L, i.toLong * 10, i)).toDF("k", "t", "tag")
+    val right = (0 until 600).map(i => (1L, i.toLong, i.toDouble)).toDF("k", "rt", "v")
+    def run() = AsOfJoin.rangeJoinNative(left, right, Seq("k"), "t", "rt", Seq("v"),
+      1000000L, 1000000L)
+    val composed = AsOfJoin.rangeJoin(left, right, Seq("k"), "t", "rt", Seq("v"),
+      1000000L, 1000000L)
+    def spillOf(df: org.apache.spark.sql.DataFrame): Option[Long] = {
+      df.queryExecution.toRdd.count()
+      collectFirst(df.queryExecution.executedPlan) {
+        case e: graft.plans.RangeJoinExec => e.metrics("spillSize").value }
+    }
+    spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "8")
+    spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "32")
+    try {
+      val codegen = run()
+      val spillCodegen = spillOf(codegen)
+      assert(spillCodegen.exists(_ > 0), s"codegen path did not spill: $spillCodegen")
+      assert(codegen.exceptAll(composed).union(composed.exceptAll(codegen)).isEmpty)
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interpreted = run()
+      val spillInterp = spillOf(interpreted)
+      assert(spillInterp.exists(_ > 0), s"interpreted path did not spill: $spillInterp")
+      assert(interpreted.exceptAll(composed).union(composed.exceptAll(interpreted)).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.windowExec.buffer.in.memory.threshold")
+      spark.conf.unset("spark.sql.windowExec.buffer.spill.threshold")
+    }
+  }
+
   test("rangeJoinNative ≡ composed rangeJoin on real data, asymmetric bounds") {
     val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000"))

@@ -943,6 +943,36 @@ object SparkEntry {
         .groupBy(col("skew_src"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy(col("skew_src"))),
+    "q_mix_stratified" -> ((s, d) =>
+      // per-(source, lang) temperature rebalancing: each stratum CELL
+      // gets its own rate from the cell's size, so a large source can't
+      // drown a small language inside it (skew synthesized on doc_id as
+      // in q_mix_temperature; lang is the natural column)
+      Sampling.temperatureMixtureStratified(
+        Tables.documents(s, d).withColumn("skew_src",
+          when(col("doc_id") % 10 < 5, "big")
+            .when(col("doc_id") % 10 < 8, "mid")
+            .otherwise("small")),
+        "doc_id", Seq("skew_src", "lang"), "strat", alpha = 0.5)
+        .groupBy(col("skew_src"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("skew_src"), col("lang"))),
+    "q_bm25" -> ((s, d) =>
+      // lexical retrieval: Okapi BM25 over the corpus for a 3-term query
+      // (one rare term, two common) — one doc-keyed aggregate computes
+      // doclen + per-term tf, corpus stats broadcast as one row
+      Ranking.bm25(spread(Tables.documents(s, d)), "doc_id", "text",
+        Seq("dup", "spark", "merge"), k = 10)),
+    "q_hybrid_rrf" -> ((s, d) => {
+      // hybrid retrieval: BM25 leg + exact-cosine leg fused by
+      // reciprocal-rank fusion — no score calibration, just ranks
+      val lex = Ranking.bm25(spread(Tables.documents(s, d)), "doc_id", "text",
+        Seq("dup", "spark", "merge"), k = 50)
+      val vec = Similarity.bruteForceTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", queryId = 0L, k = 50)
+        .withColumnRenamed("vec_id", "doc_id")
+      Ranking.rrfHybrid(lex, "bm25", vec, "cos", "doc_id", kRrf = 60, k = 10)
+    }),
     "q_quality_filter" -> ((s, d) => {
       // the curation FUNNEL: length / repetition / language-agreement
       // rules composed into keep + first-failing-reason — one map-side
@@ -1914,6 +1944,77 @@ object SparkEntry {
         |FROM tagged t JOIN rates r ON t.skew_src = r.skew_src
         |WHERE ('0x' || substr(md5('temp|' || t.doc_id), 1, 15))::BIGINT % 10000 < r.rate
         |GROUP BY t.skew_src ORDER BY t.skew_src""".stripMargin,
+    "q_mix_stratified" ->
+      """WITH tagged AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 10 < 5 THEN 'big'
+        |         WHEN doc_id % 10 < 8 THEN 'mid' ELSE 'small' END AS skew_src
+        |  FROM documents),
+        |counts AS (SELECT skew_src, lang, count(*) AS n
+        |           FROM tagged GROUP BY skew_src, lang),
+        |rates AS (SELECT skew_src, lang,
+        |    CAST(floor(10000 * sqrt((SELECT min(n) FROM counts) / CAST(n AS DOUBLE))) AS INT) AS rate
+        |  FROM counts)
+        |SELECT t.skew_src, t.lang, count(*) AS n_docs, min(t.doc_id) AS first_doc
+        |FROM tagged t JOIN rates r ON t.skew_src = r.skew_src AND t.lang = r.lang
+        |WHERE ('0x' || substr(md5('strat|' || t.doc_id), 1, 15))::BIGINT % 10000 < r.rate
+        |GROUP BY t.skew_src, t.lang ORDER BY t.skew_src, t.lang""".stripMargin,
+    "q_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(tk) AS tok FROM ($docTokensSql) tks),
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS dl,
+         |    sum(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) AS tf0,
+         |    sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS tf1,
+         |    sum(CASE WHEN tok = 'merge' THEN 1 ELSE 0 END) AS tf2
+         |  FROM toks GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl,
+         |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+         |  FROM perdoc)
+         |SELECT doc_id, round(
+         |    ln(1.0 + (nd - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         |  + ln(1.0 + (nd - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         |  + ln(1.0 + (nd - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS bm25
+         |FROM perdoc, stats
+         |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(tk) AS tok FROM ($docTokensSql) tks),
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS dl,
+         |    sum(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) AS tf0,
+         |    sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS tf1,
+         |    sum(CASE WHEN tok = 'merge' THEN 1 ELSE 0 END) AS tf2
+         |  FROM toks GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(dl) AS avgdl,
+         |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+         |  FROM perdoc),
+         |lex AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+         |  FROM (
+         |    SELECT doc_id, round(
+         |        ln(1.0 + (nd - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         |      + ln(1.0 + (nd - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         |      + ln(1.0 + (nd - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS bm25
+         |    FROM perdoc, stats
+         |    WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+         |    ORDER BY bm25 DESC, doc_id LIMIT 50) lt),
+         |e AS ($embDoubleSql),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |vec AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_vec
+         |  FROM (
+         |    SELECT vec_id AS doc_id, round(${cosSql("v", "qv")}, 6) AS cos
+         |    FROM e, q WHERE vec_id != 0
+         |    ORDER BY cos DESC, doc_id LIMIT 50) vt)
+         |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.rank_lex, v.rank_vec,
+         |  round(COALESCE(1.0 / (60 + l.rank_lex), 0.0)
+         |      + COALESCE(1.0 / (60 + v.rank_vec), 0.0), 6) AS rrf
+         |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "q_quality_filter" ->
       s"""WITH base AS (
          |  SELECT t.doc_id, d.lang, len(t.tk) AS n_tokens,

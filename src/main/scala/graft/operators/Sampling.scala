@@ -76,9 +76,22 @@ object Sampling {
     * fine for production, not for a hash-equality oracle).
     */
   def temperatureMixture(df: DataFrame, idCol: String, sourceCol: String,
-                         seed: String, alpha: Double): DataFrame = {
+                         seed: String, alpha: Double): DataFrame =
+    temperatureMixtureStratified(df, idCol, Seq(sourceCol), seed, alpha)
+
+  /** [[temperatureMixture]] over a COMPOSITE stratum — e.g. (source,
+    * lang), the multilingual-corpus shape where each source×language
+    * cell gets its own `(n_min / n_cell)^(1−α)` rate so a large source
+    * cannot drown a small language inside it. Same plan shape: one
+    * count aggregate (now keyed by the stratum tuple), a broadcast rate
+    * table, a map-side filter; the corpus never shuffles.
+    */
+  def temperatureMixtureStratified(df: DataFrame, idCol: String,
+                                   strataCols: Seq[String], seed: String,
+                                   alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    require(strataCols.nonEmpty, "at least one stratum column")
+    val counts = df.groupBy(strataCols.map(col): _*).agg(count(lit(1)).as("__n"))
     val ratio = col("__nmin").cast("double") / col("__n").cast("double")
     val scaled =
       if (alpha == 1.0) lit(1.0)
@@ -86,8 +99,9 @@ object Sampling {
       else pow(ratio, 1.0 - alpha)
     val rates = counts
       .crossJoin(broadcast(counts.agg(min(col("__n")).as("__nmin"))))
-      .select(col(sourceCol), floor(lit(10000) * scaled).cast("int").as("__rate"))
-    df.join(broadcast(rates), sourceCol)
+      .select(strataCols.map(col) :+
+        floor(lit(10000) * scaled).cast("int").as("__rate"): _*)
+    df.join(broadcast(rates), strataCols)
       .filter(hashBucket(col(idCol), seed, 10000) < col("__rate"))
       .drop("__rate")
   }

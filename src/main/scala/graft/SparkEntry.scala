@@ -797,6 +797,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(spread(Tables.documents(s, d)), "doc_id", "text",
         shingleN = 3, minJaccard = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "q_containment" -> ((s, d) =>
+      // quote/subset detection: asymmetric containment via rare-shingle
+      // blocking — the pair class Jaccard-threshold dedup structurally
+      // misses (short doc quoted in a long one)
+      Dedup.containmentPairs(spread(Tables.documents(s, d)), "doc_id", "text",
+        shingleN = 3, minContainment = 0.6, dfCap = 10)
+        .orderBy(col("doc_a"), col("doc_b"))),
     "q_dedup_embedding" -> ((s, d) =>
       Similarity.cosinePairs(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
         bucketBits = 4, minCosine = 0.35)
@@ -1820,6 +1827,28 @@ object SparkEntry {
          |  JOIN sizes sa ON doc_a = sa.doc_id
          |  JOIN sizes sb ON doc_b = sb.doc_id) j
          |WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_containment" ->
+      s"""WITH sh AS ($shinglesSql),
+         |sdf AS (SELECT sh, count(*) AS sdf FROM sh GROUP BY sh),
+         |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN sdf d ON s.sh = d.sh
+         |         WHERE d.sdf >= 2 AND d.sdf <= 10),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |          FROM cand c
+         |          JOIN sh a ON a.doc_id = c.doc_a
+         |          JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+         |          GROUP BY c.doc_a, c.doc_b)
+         |SELECT doc_a, doc_b, n_inter, n_a, n_b, c_ab, c_ba FROM (
+         |  SELECT i.doc_a, i.doc_b, i.n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         |    round(i.n_inter / sa.n_sh, 6) AS c_ab,
+         |    round(i.n_inter / sb.n_sh, 6) AS c_ba
+         |  FROM inter i
+         |  JOIN sizes sa ON i.doc_a = sa.doc_id
+         |  JOIN sizes sb ON i.doc_b = sb.doc_id) t
+         |WHERE greatest(c_ab, c_ba) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_embedding" ->
       s"""WITH e AS ($embDoubleSql)

@@ -711,4 +711,61 @@ object Dedup {
     * production path ever consumes this).
     */
   private[graft] val lastCollisionStage = new ThreadLocal[DataFrame]
+
+  /** CONTAINMENT pairs via RARE-SHINGLE BLOCKING: for each candidate pair
+    * the asymmetric containments C(a⊂b) = |S_a ∩ S_b| / |S_a| and
+    * C(b⊂a) = |S_a ∩ S_b| / |S_b|, keeping pairs where either reaches
+    * `minContainment`. This is the quote/subset detector Jaccard-threshold
+    * dedup structurally misses: a short document wholly quoted inside a
+    * long one has containment 1.0 but Jaccard |S_a|/|S_b| ≈ 0, so it
+    * collides in no MinHash band and fails every prefix-filter length
+    * bound ([[ngramJaccardPairs]]'s t·max ≤ min prune discards it first).
+    *
+    * Candidate generation inverts the corpus on its RARE shingles only
+    * (document frequency in [2, dfCap]) — the benchmark-decontamination
+    * blocking shape: a genuine containment shares many shingles, so it
+    * overwhelmingly shares a rare one, while capping df bounds each
+    * inverted-list self-join group at dfCap² pairs and drops boilerplate
+    * shingles entirely. Recall is heuristic, not exact (a pair sharing
+    * ONLY df>cap shingles is missed — raise dfCap to trade volume for
+    * recall); the reported containments for surviving pairs are exact
+    * ([[graft.plans.SortedIntersectCount]] over the sorted signatures).
+    *
+    * At 100 TB: signatures are the same persistable map-side projection
+    * as [[ngramJaccardPairs]] (`sigPath`); the df pass and the
+    * inverted-list self-join shuffle on the shingle hash (the self-join
+    * reuses one Exchange); candidate volume is Σ_rare df² — tuned by
+    * dfCap, independent of corpus size for fixed shingle skew.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, minContainment: Double = 0.8,
+                       dfCap: Int = 10,
+                       sigPath: Option[String] = None): DataFrame = {
+    require(dfCap >= 2, s"dfCap must be >= 2 to pair anything, got $dfCap")
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    // prefix_len is jaccard-specific; signatures here are (id, hs, n_sh)
+    val sigs = materialize(
+      hashSignatures(docs, idCol, textCol, shingleN, minContainment), sigPath)
+    val ex = sigs.select(col(idCol), explode(col("hs")).as("h"))
+    val rareShingles = ex.groupBy(col("h")).agg(count(lit(1)).as("__sdf"))
+      .filter(col("__sdf") >= 2 && col("__sdf") <= dfCap)
+      .select(col("h"))
+    val exRare = ex.join(rareShingles, "h")
+    val candidates = exRare.select(col("h"), col(idCol).as("doc_a"))
+      .join(exRare.select(col("h"), col(idCol).as("doc_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val sets = sigs.select(col(idCol), col("hs"), col("n_sh"))
+    candidates
+      .join(sets.select(col(idCol).as("doc_a"), col("hs").as("hs_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("hs").as("hs_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        call_function("sorted_intersect_count", col("hs_a"), col("hs_b")).as("n_inter"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"))
+      .withColumn("c_ab", round(col("n_inter") / col("n_a"), 6))
+      .withColumn("c_ba", round(col("n_inter") / col("n_b"), 6))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= minContainment)
+  }
 }

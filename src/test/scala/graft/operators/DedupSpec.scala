@@ -267,4 +267,28 @@ class DedupSpec extends SparkSpec {
     assert(local.exceptAll(persisted).union(persisted.exceptAll(local)).isEmpty)
     assert(spark.read.parquet(s"$tmp/corpus_sigs").count() == corpus.count())
   }
+
+  test("containmentPairs finds a quoted subset that Jaccard dedup misses") {
+    // doc 2 is a verbatim quote of a small piece of doc 1: containment of
+    // 2-in-1 is 1.0, Jaccard is tiny (|S_2| / |S_1|)
+    val long = ((1 to 40).map(i => s"w$i") ++ Seq("alpha", "beta", "gamma", "delta", "epsilon"))
+      .mkString(" ")
+    val quote = "alpha beta gamma delta epsilon"
+    val noise = (100 to 130).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, quote), (3L, noise)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleN = 3, minContainment = 0.9, dfCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(r.fieldIndex("c_ab")), r.getDouble(r.fieldIndex("c_ba"))))
+    assert(pairs.length == 1)
+    val (a, b, cab, cba) = pairs.head
+    assert((a, b) == (1L, 2L))
+    // quote has 3 shingles, all inside doc 1: containment of the SMALL
+    // side is 1.0 (c_ba, since doc 2 is "b"), the long side's is small
+    assert(cba == 1.0 && cab < 0.2)
+    // and the Jaccard operator at a normal threshold does NOT pair them
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5)
+    assert(jac.isEmpty)
+  }
 }

@@ -750,7 +750,13 @@ object Dedup {
     val rareShingles = ex.groupBy(col("h")).agg(count(lit(1)).as("__sdf"))
       .filter(col("__sdf") >= 2 && col("__sdf") <= dfCap)
       .select(col("h"))
-    val exRare = ex.join(rareShingles, "h")
+    // materialize the rare-postings table ONCE: it feeds BOTH sides of
+    // the candidate self-join, and each side would otherwise recompute
+    // the explode AND the whole df aggregate (sigs' checkpoint only
+    // shares the scan). This is the inverted index you would persist
+    // anyway — rare shingles only, so it is a small fraction of the
+    // full posting list by construction.
+    val exRare = materialize(ex.join(rareShingles, "h"), None)
     val candidates = exRare.select(col("h"), col(idCol).as("doc_a"))
       .join(exRare.select(col("h"), col(idCol).as("doc_b")), "h")
       .filter(col("doc_a") < col("doc_b"))

@@ -38,8 +38,15 @@ object Ranking {
     val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
       sum(when(col("__term") === t, 1L).otherwise(0L)).as(s"__tf$i")
     }
-    val perDoc = toks.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__dl"), tfCols: _*)
+    // materialize the per-doc table ONCE before it branches: it feeds
+    // both the corpus-stats aggregate and the scoring projection, and
+    // without the barrier Catalyst duplicates the whole scan→explode→agg
+    // subtree into each branch — two corpus passes instead of one (the
+    // same two-consumer trap q_tfidf's term table documents). The
+    // materialized table is ndocs × (2 + |terms|) numbers — the per-doc
+    // stats table you would persist anyway at 100 TB.
+    val perDoc = Dedup.materialize(
+      toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"), tfCols: _*), None)
     val statAggs =
       count(lit(1)).cast("double").as("__nd") +:
       avg(col("__dl")).as("__avgdl") +:

@@ -199,7 +199,13 @@ case class RangeJoinExec(
           // moves forward; ONE window iterator serves both the eviction
           // probe and the emission (a spilled probe is a sequential read
           // from winStart, the same access pattern WindowExec's
-          // UnboundedFollowing frame pays per row)
+          // UnboundedFollowing frame pays per row). INVARIANT: this single
+          // iterator is always drained — by the probe loop when no live
+          // row exists, by the emission otherwise — because a spilled
+          // reader only releases its read-ahead buffers and thread when
+          // pulled to exhaustion; an abandoned iterator per left row
+          // accumulates into an executor OOM (the codegen twin fuses
+          // eviction into its emission iterator for the same reason)
           val it = window.iteratorFrom(winStart)
           var firstLive: InternalRow = null
           while (firstLive == null && it.hasNext) {
@@ -267,7 +273,6 @@ case class RangeJoinExec(
     val emitLeft = ctx.addMutableState("InternalRow", "rjEmitLeft")
     val winLeft = ctx.addMutableState("InternalRow", "rjWinLeft")
     val emitRow = ctx.addMutableState("InternalRow", "rjEmitRow")
-    val evictRow = ctx.addMutableState("InternalRow", "rjEvictRow")
     // same spill-capable buffer as the interpreted path; janino compiles
     // against public BYTECODE, where Scala's private[sql] on
     // ExternalAppendOnlyUnsafeRowArray does not exist, so the generated
@@ -287,8 +292,21 @@ case class RangeJoinExec(
     // emission iterator over [winStart, length) — lives in a field so the
     // generated processNext() can pause mid-emission (shouldStop) and
     // resume; replaces index random access, which a spilled buffer
-    // cannot serve
+    // cannot serve. EVICTION IS FUSED INTO THIS ITERATOR: head rows that
+    // fell below lt - lower are skipped (advancing winStart) instead of
+    // being probed by a second iterator — a spilled generateIterator
+    // opens one UnsafeSorterSpillReader per spill file (read-ahead
+    // buffers + thread), and a reader only frees them when DRAINED, so
+    // any iterator abandoned mid-scan (what a separate early-exit probe
+    // does per left row) leaks buffers until the executor OOMs. The
+    // fused iterator is always pulled to exhaustion.
     val winIter = ctx.addMutableState("scala.collection.Iterator", "rjWinIter")
+    // left time of the row that owns the in-flight emission (eviction
+    // compares against it inside the resumable phase)
+    val curLt = ctx.addMutableState("long", "rjCurLeftTime")
+    // did the in-flight emission produce any live row? decides between
+    // matched output and the null-extended row at drain
+    val anyMatch = ctx.addMutableState("boolean", "rjAnyMatch")
     val pendingNull = ctx.addMutableState("boolean", "rjPendingNull")
     // local shadows of the peak/spill metrics: janino cannot call the
     // generic-erased SQLMetric.value() bridge (returns Object), so
@@ -319,11 +337,6 @@ case class RangeJoinExec(
     val rTimeVar = ctx.generateExpressions(
       bindReferences[Expression](Seq(rightTime), right.output)).head
 
-    // eviction probe: time of the oldest window row
-    ctx.INPUT_ROW = evictRow
-    val eTimeVar = ctx.generateExpressions(
-      bindReferences[Expression](Seq(rightTime), right.output)).head
-
     // emission: full left output from emitLeft, (time, values) from the
     // window row, guarded by the matched flag
     ctx.INPUT_ROW = emitLeft
@@ -332,6 +345,11 @@ case class RangeJoinExec(
     ctx.INPUT_ROW = emitRow
     val rEmitVars = ctx.generateExpressions(
       bindReferences[Expression](rightTime +: rightValues, right.output))
+    // time of the window row under the emission cursor — drives the fused
+    // eviction check (window rows are full right-row copies)
+    ctx.INPUT_ROW = emitRow
+    val eTimeVar = ctx.generateExpressions(
+      bindReferences[Expression](Seq(rightTime), right.output)).head
 
     val matched = ctx.freshName("rjMatched")
     val doEmit = ctx.freshName("rjDoEmit")
@@ -366,9 +384,12 @@ case class RangeJoinExec(
         rKeyVars.map(_.isNull.toString).filter(_ != "false").mkString(" || ")
       else "false"
 
-    val probeIt = ctx.freshName("rjProbeIt")
     s"""while (true) {
-       |  // ---- emission phase (resumable): one output row per pass
+       |  // ---- emission phase (resumable): one output row per pass.
+       |  // Eviction is fused here: a pulled window row older than
+       |  // curLt - lower advances winStart and is skipped, so the
+       |  // iterator is ALWAYS drained (never abandoned — a spilled
+       |  // reader frees its buffers only at drain).
        |  boolean $doEmit = false;
        |  boolean $matched = false;
        |  if ($pendingNull) {
@@ -377,10 +398,28 @@ case class RangeJoinExec(
        |  } else if ($winIter != null) {
        |    if ($winIter.hasNext()) {
        |      $emitRow = (InternalRow) $winIter.next();
+       |      ${eTimeVar.code}
+       |      if (${eTimeVar.value} < $curLt - ${lowerUs}L) {
+       |        $winStart++;
+       |        continue;   // dead head row: no output this pass
+       |      }
+       |      if (!$anyMatch) {
+       |        $anyMatch = true;
+       |        $numMatchedRows.add(1);
+       |        if ($window.length() - $winStart > $peakShadow) {
+       |          $peakShadow = $window.length() - $winStart;
+       |          $peakWindowRows.set((long) $peakShadow);
+       |        }
+       |      }
        |      $doEmit = true;
        |      $matched = true;
        |    } else {
        |      $winIter = null;
+       |      if (!$anyMatch) {
+       |        // every buffered row was evicted: null-extend this left row
+       |        $pendingNull = true;
+       |      }
+       |      continue;
        |    }
        |  }
        |  if ($doEmit) {
@@ -428,30 +467,19 @@ case class RangeJoinExec(
        |      $rightHead = null;
        |    } else break;
        |  }
-       |  // evict rows below lt - lower (left times ascend within a key)
-       |  // by advancing the start index — a sequential probe from
-       |  // winStart (a spilled buffer has no random access; rows are
-       |  // physically dropped only at key-change clear())
-       |  if ($winStart < $window.length()) {
-       |    scala.collection.Iterator $probeIt = $window.generateIterator($winStart);
-       |    while ($probeIt.hasNext()) {
-       |      $evictRow = (InternalRow) $probeIt.next();
-       |      ${eTimeVar.code}
-       |      if (${eTimeVar.value} < $lt - ${lowerUs}L) $winStart++; else break;
-       |    }
-       |  }
-       |  if ($window.length() - $winStart > $peakShadow) {
-       |    $peakShadow = $window.length() - $winStart;
-       |    $peakWindowRows.set((long) $peakShadow);
-       |  }
        |  if ($window.spillSize() > $spillShadow) {
        |    $spillShadow = $window.spillSize();
        |    $spillSizeMetric.set($spillShadow);
        |  }
+       |  // hand off to the emission phase: eviction (advancing winStart
+       |  // past rows below lt - lower) happens inside it, fused into the
+       |  // single always-drained iterator — left times ascend within a
+       |  // key, so winStart only moves forward across left rows
        |  if ($winStart >= $window.length()) {
        |    $pendingNull = true;
        |  } else {
-       |    $numMatchedRows.add(1);
+       |    $curLt = $lt;
+       |    $anyMatch = false;
        |    $winIter = $window.generateIterator($winStart);
        |  }
        |}""".stripMargin

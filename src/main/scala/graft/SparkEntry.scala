@@ -268,7 +268,12 @@ object SparkEntry {
         .withColumn("wk", unix_micros(date_trunc("week", timestamp_micros(col("ts_us")))))
         .groupBy(col("wk"))
         .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
-        .orderBy(col("wk")))
+        .orderBy(col("wk"))),
+    "q_funnel" -> ((s, d) =>
+      Funnel.funnel(eventsUs(s, d), userCol = "user_id", typeCol = "event_type",
+        timeCol = "ts_us", steps = Seq("view", "click", "purchase"),
+        horizonUs = 86400000000L)
+        .orderBy(col("step_idx")))
   )
 
   // ---- §2.A reference surface (signal lake) -------------------------
@@ -1275,7 +1280,29 @@ object SparkEntry {
     "q_date_trunc" ->
       """SELECT epoch_us(date_trunc('week', make_timestamp(epoch_us(ts)))) AS wk,
         |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY wk ORDER BY wk""".stripMargin
+        |FROM events GROUP BY wk ORDER BY wk""".stripMargin,
+    "q_funnel" ->
+      // greedy-earliest strict-order funnel: t1 = earliest 'view';
+      // t(k+1) = earliest next-step event in [t(k), t(k) + 24h] —
+      // inclusive bounds on both sides, matching Funnel.userSteps
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.t >= s1.t1
+        |         AND e.t <= s1.t1 + 86400000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM ev e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t >= s2.t2
+        |         AND e.t <= s2.t2 + 86400000000 GROUP BY 1),
+        |n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+        |             (SELECT count(*) FROM s2) AS n2,
+        |             (SELECT count(*) FROM s3) AS n3)
+        |SELECT * FROM (
+        |  SELECT 1 AS step_idx, 'view' AS step_name, n1 AS users_reached,
+        |         round(n1 * 100.0 / n1, 4) AS conversion_pct FROM n
+        |  UNION ALL SELECT 2, 'click', n2, round(n2 * 100.0 / n1, 4) FROM n
+        |  UNION ALL SELECT 3, 'purchase', n3, round(n3 * 100.0 / n1, 4) FROM n
+        |) ORDER BY step_idx""".stripMargin
   )
 
   private val pivotCasesSql: String = topics.map(t =>

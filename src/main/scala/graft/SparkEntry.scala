@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GeoFunctions, TextFunctions}
+import graft.functions.{GeoFunctions, TextFunctions, ZOrder}
 import graft.multimodal.Multimodal
 import graft.operators._
 import graft.sources.{Tables, TopicStore}
@@ -273,7 +273,16 @@ object SparkEntry {
       Funnel.funnel(eventsUs(s, d), userCol = "user_id", typeCol = "event_type",
         timeCol = "ts_us", steps = Seq("view", "click", "purchase"),
         horizonUs = 86400000000L)
-        .orderBy(col("step_idx")))
+        .orderBy(col("step_idx"))),
+    "q_zorder" -> ((s, d) =>
+      // the multi-dimensional clustering key behind ZOrderStore's layout
+      // (file-level data skipping) — computed entirely with builtin
+      // bitwise column functions, one codegen'd projection over the scan
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          ZOrder.zorder64(col("l_partkey"), col("l_suppkey")).as("zvalue"))
+        .orderBy(col("zvalue"), col("l_orderkey"), col("l_linenumber")))
   )
 
   // ---- §2.A reference surface (signal lake) -------------------------
@@ -1302,7 +1311,14 @@ object SparkEntry {
         |         round(n1 * 100.0 / n1, 4) AS conversion_pct FROM n
         |  UNION ALL SELECT 2, 'click', n2, round(n2 * 100.0 / n1, 4) FROM n
         |  UNION ALL SELECT 3, 'purchase', n3, round(n3 * 100.0 / n1, 4) FROM n
-        |) ORDER BY step_idx""".stripMargin
+        |) ORDER BY step_idx""".stripMargin,
+    "q_zorder" ->
+      // same parallel bit-spread arithmetic, emitted as SQL text by the
+      // library itself (ZOrder.zorderSql) — one source of truth
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  ${ZOrder.zorderSql("l_partkey", "l_suppkey")} AS zvalue
+         |FROM lineitem
+         |ORDER BY zvalue, l_orderkey, l_linenumber""".stripMargin
   )
 
   private val pivotCasesSql: String = topics.map(t =>

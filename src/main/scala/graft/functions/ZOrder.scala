@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) interleaving as a Column expression — the data-layout
+  * primitive behind multi-dimensional clustering: sorting a table by the
+  * interleaved bits of two columns places rows close in BOTH dimensions
+  * into the same files, so per-file min/max statistics prune box queries
+  * on either column (see [[graft.sources.ZOrderStore]]). The reference
+  * pipeline partitions its scene store by (bag_file, timestamp) pairs —
+  * the same two-dimensional locality need (detect_scenes.py:129-141).
+  *
+  * Built ENTIRELY from builtin bitwise column functions (the classic
+  * parallel bit-spread, 5 shift/or/mask steps per dimension), so the
+  * whole computation stays inside whole-stage codegen — no UDF, no
+  * custom expression needed.
+  */
+object ZOrder {
+
+  /** Spread the low 32 bits of `c` to the even bit positions of a long:
+    * bit i → bit 2i (the standard power-of-two masked doubling).
+    */
+  private def spread(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val x4 = x3.bitwiseOR(shiftleft(x3, 2)).bitwiseAND(lit(0x3333333333333333L))
+    x4.bitwiseOR(shiftleft(x4, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** 62-bit Morton code of two columns: bit i of `a` lands at bit 2i,
+    * bit i of `b` at bit 2i+1. Inputs are masked to their low 31 bits so
+    * the result stays non-negative (ordering-safe); callers with wider
+    * domains should rescale/bucket first — z-ordering is a LAYOUT tool,
+    * it only needs rank order, not exact values.
+    */
+  def zorder64(a: Column, b: Column): Column = {
+    val ma = a.cast("long").bitwiseAND(lit(0x7FFFFFFFL))
+    val mb = b.cast("long").bitwiseAND(lit(0x7FFFFFFFL))
+    spread(ma).bitwiseOR(shiftleft(spread(mb), 1))
+  }
+
+  /** The same spread chain as ANSI SQL text (for oracle parity checks):
+    * emits a self-contained arithmetic expression over `e`.
+    */
+  def spreadSql(e: String): String = {
+    val s0 = s"(($e) & 4294967295)"
+    val s1 = s"((($s0 | ($s0 << 16)) & 281470681808895))"
+    val s2 = s"((($s1 | ($s1 << 8)) & 71777214294589695))"
+    val s3 = s"((($s2 | ($s2 << 4)) & 1085102592571150095))"
+    val s4 = s"((($s3 | ($s3 << 2)) & 3689348814741910323))"
+    s"((($s4 | ($s4 << 1)) & 6148914691236517205))"
+  }
+
+  /** SQL-text twin of [[zorder64]]. */
+  def zorderSql(a: String, b: String): String =
+    s"(${spreadSql(s"(($a) & 2147483647)")} | (${spreadSql(s"(($b) & 2147483647)")} << 1))"
+}

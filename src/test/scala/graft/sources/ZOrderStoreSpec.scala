@@ -1,0 +1,89 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.functions.ZOrder
+import org.apache.spark.sql.functions._
+
+class ZOrderStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def grid = {
+    // 100×100 integer grid — every (x, y) cell once
+    spark.range(10000).select(
+      (col("id") % 100).as("x"),
+      (col("id") / 100).cast("long").as("y"),
+      col("id").as("payload"))
+  }
+
+  test("zorder64 interleaves bits (known answers) and matches its SQL twin") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L),
+      (0x7FFFFFFFL, 0L), (123456L, 654321L)).toDF("a", "b")
+    val out = rows.select(
+      ZOrder.zorder64(col("a"), col("b")).as("z"),
+      expr(ZOrder.zorderSql("a", "b")).as("zsql"))
+      .collect()
+    def morton(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 31) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val expect = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (5L, 3L),
+      (0x7FFFFFFFL, 0L), (123456L, 654321L)).map { case (a, b) => morton(a, b) }
+    assert(out.map(_.getLong(0)).toSeq === expect)
+    assert(out.map(_.getLong(1)).toSeq === expect, "Spark zorder64 != SQL twin")
+    assert(morton(1L, 0L) == 1L && morton(0L, 1L) == 2L && morton(1L, 1L) == 3L)
+  }
+
+  test("z-order layout prunes a box query to few files on BOTH dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    try {
+      ZOrderStore.write(grid, "x", "y", s"$dir/z", numFiles = 16)
+      // comparison layout: clustered by x only — perfect for x-ranges,
+      // blind for y-ranges
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(s"$dir/linear")
+
+      val box = Map("x" -> (10L, 19L), "y" -> (10L, 19L))
+      val (zKept, zTotal) = ZOrderStore.prunedFiles(spark, s"$dir/z", box)
+      assert(zTotal == 16)
+      // a 10×10 box covers 1% of the grid: the z-curve tiles it with a
+      // handful of files, never a constant fraction of ALL files
+      assert(zKept.size <= 4, s"z layout kept ${zKept.size} of $zTotal files")
+
+      // the x-clustered layout cannot prune on y at all
+      val (linKeptY, _) = ZOrderStore.prunedFiles(spark, s"$dir/linear",
+        Map("y" -> (10L, 19L)))
+      assert(linKeptY.size == 16, "x-clustered layout unexpectedly pruned on y")
+      // ... while the z layout prunes single-dimension ranges on EITHER axis
+      val (zKeptX, _) = ZOrderStore.prunedFiles(spark, s"$dir/z", Map("x" -> (10L, 19L)))
+      val (zKeptY, _) = ZOrderStore.prunedFiles(spark, s"$dir/z", Map("y" -> (10L, 19L)))
+      assert(zKeptX.size < 16 && zKeptY.size < 16,
+        s"z layout should prune both axes: x=${zKeptX.size} y=${zKeptY.size}")
+
+      // pruned read ≡ full-scan filter, row for row
+      val pruned = ZOrderStore.readBox(spark, s"$dir/z", box)
+      val full = spark.read.parquet(s"$dir/z")
+        .filter(col("x").between(10, 19) && col("y").between(10, 19))
+      assert(pruned.exceptAll(full).union(full.exceptAll(pruned)).isEmpty)
+      assert(pruned.count() == 100)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("prunedFiles keeps files without stats for a requested column") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder2").toString
+    try {
+      grid.write.mode("overwrite").parquet(s"$dir/t")
+      // "missing" column → no stats → every file kept (never skip blind)
+      val (kept, total) = ZOrderStore.prunedFiles(spark, s"$dir/t",
+        Map("nope" -> (0L, 1L)))
+      assert(kept.size == total)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}

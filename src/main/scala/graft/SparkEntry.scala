@@ -828,6 +828,15 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
         queryId = 0L, k = 10, bucketBits = 4)),
+    "q_centroids" -> ((s, d) =>
+      // per-label centroid exploded to scalars for the oracle compare
+      // (array<double> equality is representation-sensitive cross-engine)
+      Similarity.centroids(Tables.embeddings(s, d), "label", "embedding")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos0", "v")),
+          col("n_vecs"))
+        .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+          round(col("v"), 6).as("centroid_val"), col("n_vecs"))
+        .orderBy(col("label"), col("pos"))),
     "q_pack" -> ((s, d) =>
       Packing.pack(
         Tables.documents(s, d).select(col("doc_id"), col("source"),
@@ -1913,6 +1922,17 @@ object SparkEntry {
          |SELECT vec_id, round(${cosSql("v", "qv")}, 6) AS cos
          |FROM e, q WHERE vec_id != 0 AND bucket = qb
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_centroids" ->
+      // parallel unnests zip positionally in DuckDB; accumulation is
+      // double on both sides, rounded 6dp against summation-order drift
+      """SELECT label, pos, round(avg(x), 6) AS centroid_val,
+        |  count(*) AS n_vecs
+        |FROM (SELECT label,
+        |        unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+        |        unnest(range(1, len(embedding) + 1)) AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
     "q_hybrid_search" ->
       s"""WITH e AS ($embDoubleSql),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

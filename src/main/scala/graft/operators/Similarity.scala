@@ -254,6 +254,22 @@ object Similarity {
     (centroids, asg)
   }
 
+  /** Per-group embedding centroids via the native `vec_mean` aggregate
+    * ([[graft.plans.VectorMean]]): one row per group with the element-wise
+    * mean vector and the contributing count.
+    *
+    * Scale shape: vec_mean participates in PARTIAL aggregation, so the
+    * map side combines locally and the one exchange carries
+    * groups × dim doubles — independent of input rows (the
+    * posexplode → groupBy(group, pos) alternative shuffles rows × dim).
+    * This is also the centroid-update step of a k-means round over
+    * [[ivfTrain]]-style assignments.
+    */
+  def centroids(embeddings: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    embeddings.groupBy(col(groupCol))
+      .agg(call_function("vec_mean", col(vecCol)).as("centroid"),
+        count(col(vecCol)).as("n_vecs"))
+
   /** PROBE phase over a trained index: the query vector ranks centroids,
     * scans its `probes` nearest inverted lists, exact top-k inside them.
     */

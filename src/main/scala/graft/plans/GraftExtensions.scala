@@ -37,6 +37,9 @@ object GraftExtensions {
     (new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))),
+    (new FunctionIdentifier("vec_mean"),
+      new ExpressionInfo(classOf[VectorMean].getName, "vec_mean"),
+      (children: Seq[Expression]) => VectorMean(children(0)).toAggregateExpression()),
     (new FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
       (children: Seq[Expression]) => SimHashBits(children(0))),

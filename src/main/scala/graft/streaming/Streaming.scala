@@ -103,6 +103,11 @@ object Streaming {
 
   case class SceneBoundary(user_id: Long, ts_us: Long, activity: Long, scene_state: String)
 
+  /** Completed-step-prefix times of one user's funnel (index = step). */
+  case class FunnelState(times: Seq[Long])
+
+  case class FunnelHit(user_id: Long, step_idx: Int, t_us: Long)
+
   /** Event-time windowed aggregation with a watermark: the streaming twin
     * of `Signals.batchManifest`/`topicStats`. State is bounded by the
     * watermark horizon; late rows beyond it are dropped, not buffered.
@@ -114,6 +119,48 @@ object Streaming {
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), window_), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+
+  /** Streaming twin of [[graft.operators.Funnel]]: per-user strict-order
+    * step completion as events arrive, emitting one [[FunnelHit]] the
+    * moment a user reaches a new step. Matching is the same
+    * greedy-earliest chain — step k+1 qualifies when its event time is
+    * within `[t_k, t_k + horizonUs]` (inclusive).
+    *
+    * State per key is O(#steps) longs — survives millions of concurrent
+    * users. Like [[sessionize]], events are sorted per micro-batch;
+    * cross-batch order is the source's contract (an event-time-earlier
+    * step-1 event arriving after the chain advanced does NOT re-chain —
+    * the batch funnel is the exact-replay tool, this is the live view).
+    */
+  def funnelStream(events: Dataset[EventRow], steps: Seq[String],
+                   horizonUs: Long): Dataset[FunnelHit] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // tie-break equal timestamps by STEP order, not name order — a tied
+    // (view, click) pair must advance the chain in funnel order, matching
+    // the batch operator's inclusive-bound semantics
+    val stepRank = steps.zipWithIndex.toMap
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[FunnelState]) =>
+          var times = state.getOption.map(_.times).getOrElse(Seq.empty)
+          val hits = Seq.newBuilder[FunnelHit]
+          rows.toSeq
+            .sortBy(e => (e.ts_us, stepRank.getOrElse(e.event_type, Int.MaxValue)))
+            .foreach { e =>
+            val k = times.length
+            if (k < steps.length && e.event_type == steps(k) &&
+              (k == 0 || (e.ts_us >= times.last && e.ts_us <= times.last + horizonUs))) {
+              times = times :+ e.ts_us
+              hits += FunnelHit(userId, k + 1, e.ts_us)
+            }
+          }
+          if (times.nonEmpty) state.update(FunnelState(times))
+          hits.result().iterator
+      }
+  }
 
   /** Gap-based sessionization via `flatMapGroupsWithState`: a session
     * closes when the next event arrives more than `gapUs` after the last.

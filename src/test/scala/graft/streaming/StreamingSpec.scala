@@ -445,4 +445,36 @@ class StreamingSpec extends SparkSpec {
         s"expected one null-extended row for tag=1, got ${tag1.mkString(",")}")
     } finally q.stop()
   }
+
+  test("funnelStream advances per-user chains across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val q = Streaming.funnelStream(mem.toDS(),
+      steps = Seq("view", "click", "purchase"), horizonUs = 100L)
+      .writeStream.format("memory").queryName("funnel_hits")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        EventRow(1L, 10L, "view", 0.0),
+        EventRow(2L, 5L, "click", 0.0), // click before any view: ignored
+        EventRow(2L, 10L, "view", 0.0),
+        EventRow(3L, 10L, "view", 0.0),
+        // same-timestamp tie advances in STEP order, not name order
+        EventRow(4L, 10L, "click", 0.0),
+        EventRow(4L, 10L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(
+        EventRow(1L, 20L, "click", 0.0),     // within horizon of batch-1 view
+        EventRow(1L, 30L, "purchase", 0.0),
+        EventRow(3L, 500L, "click", 0.0))    // outside the 100µs horizon
+      q.processAllAvailable()
+      val hits = spark.table("funnel_hits")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(hits == Set(
+        (1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L),
+        (2L, 1, 10L),
+        (3L, 1, 10L),
+        (4L, 1, 10L), (4L, 2, 10L)))
+    } finally q.stop()
+  }
 }

@@ -828,6 +828,10 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
         queryId = 0L, k = 10, bucketBits = 4)),
+    "q_kmeans" -> ((s, d) =>
+      Similarity.kmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 4, iters = 2)
+        .orderBy(col("vec_id"))),
     "q_centroids" -> ((s, d) =>
       // per-label centroid exploded to scalars for the oracle compare
       // (array<double> equality is representation-sensitive cross-engine)
@@ -1703,6 +1707,43 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** The k-means oracle: the same rank-seeded Lloyd rounds as
+    * [[graft.operators.Similarity.kmeansAssign]], one CTE pair per
+    * round. Every cross-engine seam is pinned the same way — scores
+    * rounded 6dp before the argmax (ties to the lowest cid), updated
+    * centroids rounded 6dp then snapped through REAL (float32).
+    */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id,
+              |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+              |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+              |         v AS cv
+              |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT $k)),
+              |""".stripMargin
+    for (i <- 0 to iters) {
+      sb ++= s"""t$i AS (SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS cos, e.v
+                |       FROM e CROSS JOIN c$i c),
+                |a$i AS (SELECT vec_id, cid, cos, v FROM (
+                |         SELECT *, row_number() OVER (PARTITION BY vec_id
+                |           ORDER BY cos DESC, cid) AS rn FROM t$i)
+                |       WHERE rn = 1)""".stripMargin
+      if (i < iters)
+        sb ++= s""",
+                  |c${i + 1} AS (SELECT cid, list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY pos) AS cv
+                  |       FROM (SELECT cid, pos, round(avg(x), 6) AS m
+                  |             FROM (SELECT cid, unnest(v) AS x,
+                  |                     unnest(range(1, len(v) + 1)) AS pos FROM a$i)
+                  |             GROUP BY cid, pos)
+                  |       GROUP BY cid),
+                  |""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, cos
+              |FROM a$iters ORDER BY vec_id""".stripMargin
+    sb.toString
+  }
+
   /** The 4-band LSH explode of a minhash signature relation (oracle
     * side) — mirrors [[graft.operators.Dedup.bandedSignatures]]. */
   private def bandedSqlFrom(sigRel: String): String =
@@ -1922,6 +1963,7 @@ object SparkEntry {
          |SELECT vec_id, round(${cosSql("v", "qv")}, 6) AS cos
          |FROM e, q WHERE vec_id != 0 AND bucket = qb
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_kmeans" -> kmeansSql(k = 4, iters = 2),
     "q_centroids" ->
       // parallel unnests zip positionally in DuckDB; accumulation is
       // double on both sides, rounded 6dp against summation-order drift

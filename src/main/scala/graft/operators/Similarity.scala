@@ -254,6 +254,63 @@ object Similarity {
     (centroids, asg)
   }
 
+  /** Lloyd's k-means over an embedding column, Spark-shaped for scale:
+    *
+    *  - ASSIGNMENT is map-side only: the k centroids are plan literals
+    *    (collected driver-side, k·dim doubles — the same bounded move as
+    *    [[ivfTrain]]), and each row picks its cluster with a codegen'd
+    *    `greatest` over k native-cosine struct candidates. Zero shuffle,
+    *    no n×k row blowup.
+    *  - UPDATE is the native `vec_mean` aggregate: map-side partial
+    *    buffers mean the one exchange per iteration carries k·dim
+    *    doubles, independent of corpus size.
+    *
+    * Determinism (and the DuckDB oracle) pin every cross-engine seam:
+    * rank seeding (centroid j = the j-th smallest id's vector, no RNG),
+    * scores rounded to 6dp before the argmax (ties break to the lowest
+    * cluster id), and updated centroids rounded to 6dp then snapped to
+    * float32 so both engines feed bit-identical literals into the next
+    * round. A cluster that loses all members simply drops out (both
+    * engines aggregate over present groups only).
+    *
+    * Returns (vec_id, cluster_id, cos) under the centroids after `iters`
+    * update rounds.
+    */
+  def kmeansAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    graft.plans.GraftExtensions.register(embeddings.sparkSession)
+    val v = embeddings.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<float>").as("v"))
+    var cents: Seq[(Int, Array[Float])] =
+      v.orderBy(col("vec_id")).limit(k).collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }.toSeq
+    def assign(): DataFrame = {
+      val cands = cents.map { case (cid, cv) =>
+        struct(round(cosineNative(col("v"), typedLit(cv)), 6).as("cos"),
+          lit(-cid).as("ncid"))
+      }
+      val best = if (cands.sizeIs == 1) cands.head else greatest(cands: _*)
+      v.select(col("vec_id"), col("v"), best.as("__b"))
+        .select(col("vec_id"), col("v"),
+          (-col("__b.ncid")).as("cluster_id"), col("__b.cos").as("cos"))
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var it = 0
+    while (it < iters) {
+      cents = assign().groupBy(col("cluster_id"))
+        .agg(call_function("vec_mean", col("v")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).map(x => round6(x).toFloat).toArray))
+        .sortBy(_._1).toSeq
+      it += 1
+    }
+    assign().select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
+      col("cos"))
+  }
+
   /** Per-group embedding centroids via the native `vec_mean` aggregate
     * ([[graft.plans.VectorMean]]): one row per group with the element-wise
     * mean vector and the contributing count.

@@ -122,4 +122,36 @@ class SimilaritySpec extends SparkSpec {
     // every returned id satisfies the predicate; the query id never returns
     assert(hybrid.forall { case (id, _) => id % 3 == 0 && id != 0L })
   }
+
+  test("kmeansAssign separates well-separated direction blobs") {
+    import org.apache.spark.sql.functions._
+    // two tight cones around orthogonal axes; ids interleave so rank
+    // seeding starts with one vector from each blob
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(10f, 0.1f * (i % 5), 0f)
+                 else Array(0f, 0.1f * (i % 5), 10f)
+      (i.toLong, base)
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val evenClusters = out.filter(_._1 % 2 == 0).values.toSet
+    val oddClusters = out.filter(_._1 % 2 == 1).values.toSet
+    assert(evenClusters.size == 1 && oddClusters.size == 1 && evenClusters != oddClusters,
+      s"blobs not separated: even=$evenClusters odd=$oddClusters")
+  }
+
+  test("kmeansAssign: zero iterations assigns against the seed vectors; empty clusters drop") {
+    import org.apache.spark.sql.functions._
+    // all vectors identical to vector 0 → every row lands in cluster 0
+    // and clusters 1..k-1 lose all members after one update round
+    val df = spark.createDataFrame((0 until 10).map(i => (i.toLong, Array(1f, 2f, 3f))))
+      .toDF("vec_id", "embedding")
+    val zero = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 3, iters = 0)
+      .collect().map(_.getLong(1)).toSet
+    assert(zero == Set(0L)) // cos ties at 1.0 for all seeds → lowest cid wins
+    val afterRound = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 3, iters = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(afterRound == Set(0L))
+  }
 }

@@ -951,6 +951,14 @@ object SparkEntry {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("split"), col("lang"))),
+    "q_split_leakfree" -> ((s, d) =>
+      // split keyed on the near-dup CLUSTER (shared cluster table), so
+      // paraphrase groups can never straddle train/eval
+      Sampling.leakFreeSplit(Tables.documents(s, d), dupClusterTable(s, d),
+        "doc_id", "graft", trainPct = 80, valPct = 10)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"), col("lang"))),
     "q_stratified_sample" -> ((s, d) =>
       Sampling.stratifiedSample(eventsUs(s, d), "event_id", "graft", pct = 10)
         .groupBy(col("event_type"))
@@ -2052,6 +2060,24 @@ object SparkEntry {
         |          ('0x' || substr(md5('graft|' || doc_id), 1, 15))::BIGINT % 100 AS b
         |        FROM documents) h) s
         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q_split_leakfree" ->
+      s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($minhashPairsSql) p),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, u AS v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         |h AS (SELECT d.lang,
+         |        ('0x' || substr(md5('graft|' ||
+         |          coalesce(cl.cluster_id, d.doc_id)), 1, 15))::BIGINT % 100 AS b
+         |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+         |SELECT split, lang, count(*) AS n_docs FROM (
+         |  SELECT lang, CASE WHEN b < 80 THEN 'train'
+         |                    WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM h) s
+         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q_stratified_sample" ->
       """SELECT event_type, count(*) AS n_sampled
         |FROM events

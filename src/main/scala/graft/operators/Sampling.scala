@@ -30,6 +30,33 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** LEAKAGE-FREE split: near-duplicate documents must land on the SAME
+    * side of a train/val/test split, or the eval set grades memorization
+    * of paraphrases the model saw in training. The split key is
+    * therefore the near-dup cluster id where one exists — `clusters` is
+    * a `(idCol, cluster_id)` table, e.g. from [[Dedup.dupClusters]] —
+    * and the document's own id otherwise, then the same deterministic
+    * hash-bucket rule as [[split]].
+    *
+    * Scale shape: one join against the cluster table (pair-derived, so
+    * orders of magnitude smaller than the corpus — AQE broadcasts it
+    * when it fits) plus the map-side bucket arithmetic. Same nested
+    * determinism contract as [[split]]: fate is a pure function of
+    * (seed, cluster key).
+    */
+  def leakFreeSplit(df: DataFrame, clusters: DataFrame, idCol: String,
+                    seed: String, trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"split percentages must be >= 0 and sum <= 100, got ($trainPct, $valPct)")
+    val b = hashBucket(coalesce(col("cluster_id"), col(idCol)), seed, 100)
+    df.join(clusters.select(col(idCol), col("cluster_id")), Seq(idCol), "left")
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("cluster_id")
+  }
+
   /** Keep ~pct% of rows per stratum, deterministically. */
   def stratifiedSample(df: DataFrame, idCol: String, seed: String,
                        pct: Int): DataFrame =

@@ -60,4 +60,24 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("leakFreeSplit keeps every near-dup cluster on one side") {
+    import spark.implicits._
+    val corpus = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // 100 clusters of 3 (ids 3k, 3k+1, 3k+2 together, labeled by min id)
+    val clusters = (0L until 300L).map(i => (i, i / 3 * 3)).toDF("doc_id", "cluster_id")
+    val out = Sampling.leakFreeSplit(corpus, clusters, "doc_id", "graft", 80, 10)
+      .select($"doc_id", $"split").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byCluster = out.groupBy(_._1 / 3).values
+    assert(byCluster.forall(_.map(_._2).toSet.size == 1),
+      "a near-dup cluster straddled the split")
+    // docs WITHOUT a cluster fall back to their own id — same fate as
+    // the plain split, so unclustered data is unaffected by leak control
+    val solo = Sampling.leakFreeSplit(corpus, clusters.limit(0), "doc_id", "graft", 80, 10)
+      .select($"doc_id", $"split")
+    val plain = Sampling.split(corpus, "doc_id", "graft", 80, 10)
+      .select($"doc_id", $"split")
+    assert(solo.exceptAll(plain).isEmpty)
+  }
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-streaming twins of the batch operators: the reference's
   * pipeline is batch-triggered per S3 upload (infrastructure/emr_trigger),
@@ -273,6 +273,90 @@ object Streaming {
   case class GridState(lastVal: Double, nextTick: Long, lastTs: Long)
 
   case class GridOut(user_id: Long, ts_us: Long, value: Double)
+
+  /** Grid cursor of one key's multi-topic synchronize. */
+  case class SyncCursor(nextTick: Long, lastTs: Long)
+
+  /** One synchronized grid row: last value at-or-before the tick, per
+    * topic (absent = topic not yet seen for this key).
+    */
+  case class SyncOut(user_id: Long, ts_us: Long, values: Map[String, Double])
+
+  /** Multi-topic streaming SYNCHRONIZE via `transformWithState` — the
+    * full streaming twin of `Signals.synchronize` (the reference's
+    * synchronize_topics.py as a live stream): per key, emit
+    * fixed-interval grid rows carrying the last-at-or-before value of
+    * EVERY topic. Where [[gridFill]] tracks one value in a single
+    * `flatMapGroupsWithState` tuple, this uses the arbitrary-state API's
+    * composable stores: a MapState (topic → last value) plus a ValueState
+    * grid cursor — per-key state is O(#topics), nothing buffers.
+    *
+    * Tick semantics match [[gridFill]]: the first tick is the first
+    * multiple of `stepUs` at-or-after the key's first event; a tick
+    * emits once a later event proves it final; a tick exactly at an
+    * event's timestamp includes that event (at-or-before, inclusive).
+    * Cross-batch out-of-order events below the frontier are dropped
+    * (same Append-mode contract as gridFill/asOfStream).
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`), the engine's
+    * requirement for `transformWithState` — run it on an isolated
+    * session (`spark.newSession()`) when mixing with HDFS-backed jobs.
+    */
+  def synchronizeStream(events: Dataset[EventRow], topics: Seq[String],
+                        stepUs: Long): Dataset[SyncOut] = {
+    require(topics.nonEmpty, "synchronizeStream needs at least one topic")
+    require(stepUs > 0, s"stepUs must be positive: $stepUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val topicSet = topics.toSet
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new StatefulProcessor[Long, EventRow, SyncOut] {
+          @transient private var lastVals: MapState[String, Double] = _
+          @transient private var cursor: ValueState[SyncCursor] = _
+
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+            lastVals = getHandle.getMapState[String, Double](
+              "lastVals", implicitly[Encoder[String]],
+              implicitly[Encoder[Double]], TTLConfig.NONE)
+            cursor = getHandle.getValueState[SyncCursor](
+              "cursor", implicitly[Encoder[SyncCursor]], TTLConfig.NONE)
+          }
+
+          override def handleInputRows(key: Long, rows: Iterator[EventRow],
+                                       timerValues: TimerValues): Iterator[SyncOut] = {
+            val out = Seq.newBuilder[SyncOut]
+            def snapshot: Map[String, Double] =
+              lastVals.iterator().map { case (t, v) => (t, v) }.toMap
+            var cur: Option[SyncCursor] =
+              if (cursor.exists()) Some(cursor.get()) else None
+            rows.toSeq
+              .filter(e => topicSet.contains(e.event_type))
+              .sortBy(_.ts_us)
+              .foreach { e =>
+                cur match {
+                  case None =>
+                    lastVals.updateValue(e.event_type, e.value)
+                    cur = Some(SyncCursor(
+                      ((e.ts_us + stepUs - 1) / stepUs) * stepUs, e.ts_us))
+                  case Some(c) if e.ts_us < c.lastTs => () // below the frontier
+                  case Some(c) =>
+                    var tick = c.nextTick
+                    while (tick < e.ts_us) {
+                      out += SyncOut(key, tick, snapshot)
+                      tick += stepUs
+                    }
+                    lastVals.updateValue(e.event_type, e.value)
+                    cur = Some(SyncCursor(tick, e.ts_us))
+                }
+              }
+            cur.foreach(cursor.update)
+            out.result().iterator
+          }
+        },
+        TimeMode.None(), OutputMode.Append(), implicitly[Encoder[SyncOut]])
+  }
 
   /** Streaming SYNCHRONIZE: emit fixed-interval grid rows carrying the
     * last signal value at-or-before each tick — the streaming twin of

@@ -346,6 +346,19 @@ object SparkEntry {
         leftTime = "ts", rightTime = "t", valueCols = Seq("pval"))
         .orderBy(col("user_id"), col("ts"))
     }),
+    "q_asof_broadcast" -> ((s, d) => {
+      // zero-shuffle as-of: the purchase timeline is dimension-sized, so
+      // it packs + broadcasts and the grid side never leaves its scan
+      val e = eventsUs(s, d)
+      val grid = Signals.timeGrid(e.select(col("user_id"), col("ts_us").as("ts")),
+        Seq("user_id"), "ts", HourUs)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("t"))
+        .agg(max(col("value")).as("pval"))
+      AsOfJoin.asOfBroadcast(grid, purchases, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "t", valueCols = Seq("pval"))
+        .orderBy(col("user_id"), col("ts"))
+    }),
     "q_asof_tolerance" -> ((s, d) => {
       val e = eventsUs(s, d)
       val grid = Signals.timeGrid(e.select(col("user_id"), col("ts_us").as("ts")),
@@ -1398,6 +1411,15 @@ object SparkEntry {
         topics.map(t => s""""$t"""").mkString(", ") +
         """ FROM filled WHERE src = 1 ORDER BY user_id, ts""").stripMargin,
     "q_asof_join" ->
+      (s"""WITH grid AS ($gridSql),
+          |purch AS (SELECT user_id, t, max(value) AS pval
+          |  FROM (SELECT user_id, epoch_us(ts) AS t, value FROM events
+          |        WHERE event_type = 'purchase') p GROUP BY user_id, t)
+          |SELECT g.user_id, g.ts, p.pval
+          |FROM grid g ASOF LEFT JOIN purch p
+          |  ON g.user_id = p.user_id AND g.ts >= p.t
+          |ORDER BY g.user_id, g.ts""").stripMargin,
+    "q_asof_broadcast" ->
       (s"""WITH grid AS ($gridSql),
           |purch AS (SELECT user_id, t, max(value) AS pval
           |  FROM (SELECT user_id, epoch_us(ts) AS t, value FROM events

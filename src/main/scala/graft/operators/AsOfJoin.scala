@@ -67,6 +67,43 @@ object AsOfJoin {
       .select((left.columns ++ valueCols).map(col).toSeq: _*)
   }
 
+  /** BROADCAST as-of join — the zero-shuffle variant for a
+    * DIMENSION-SIZED right side (a calibration timeline, a slowly
+    * changing config): each key's right rows pack into ONE time-sorted
+    * `array<struct<t, values...>>` row, the packed table broadcasts,
+    * and every left row binary-searches its key's timeline with the
+    * native [[graft.plans.SortedAsOfLookup]] expression (O(log m) per
+    * row, inside whole-stage codegen).
+    *
+    * Where [[asOf]]/[[asOfNative]] hash-shuffle BOTH sides on the key,
+    * this touches the left side only at the scan — the same trade
+    * Spark makes between sort-merge and broadcast-hash joins, applied
+    * to as-of semantics. The right side must fit in a broadcast
+    * (key count × timeline length bounded); at 100 TB that is exactly
+    * the dimension-join case.
+    *
+    * Same contract as [[asOf]]: output = left columns + valueCols,
+    * null keys/times never match. Ties on the right time resolve to
+    * the greatest value tuple (sort_array ascending, last wins) —
+    * [[asOf]]'s forward-fill keeps the last row of the sorted union,
+    * identical ordering.
+    */
+  def asOfBroadcast(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTime: String, rightTime: String,
+                    valueCols: Seq[String]): DataFrame = {
+    graft.plans.GraftExtensions.register(left.sparkSession)
+    val packed = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTime).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(rightTime).cast("long").as("__t") +: valueCols.map(col): _*))).as("__tl"))
+    left.join(broadcast(packed), keys, "left")
+      .withColumn("__m",
+        call_function("sorted_asof_lookup", col("__tl"), col(leftTime).cast("long")))
+      .select(left.columns.map(col).toSeq ++
+        valueCols.map(v => col(s"__m.$v").as(v)): _*)
+  }
+
   /** As-of join with a TOLERANCE (max staleness): like [[asOf]], but a
     * match only holds while the signal is at most `toleranceUs` old —
     * beyond it the value columns null out (the standard as-of staleness

@@ -40,6 +40,9 @@ object GraftExtensions {
     (new FunctionIdentifier("vec_mean"),
       new ExpressionInfo(classOf[VectorMean].getName, "vec_mean"),
       (children: Seq[Expression]) => VectorMean(children(0)).toAggregateExpression()),
+    (new FunctionIdentifier("sorted_asof_lookup"),
+      new ExpressionInfo(classOf[SortedAsOfLookup].getName, "sorted_asof_lookup"),
+      (children: Seq[Expression]) => SortedAsOfLookup(children(0), children(1))),
     (new FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
       (children: Seq[Expression]) => SimHashBits(children(0))),

@@ -280,6 +280,42 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("asOfBroadcast ≡ asOf on real data, with zero exchange on the probe side") {
+    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+    val left = e.select($"event_id", $"user_id", $"ts_us".as("t"))
+    val right = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts_us".as("rt"))
+      .agg(org.apache.spark.sql.functions.max($"value").as("v"))
+    val bcast = AsOfJoin.asOfBroadcast(left, right, Seq("user_id"), "t", "rt", Seq("v"))
+    val composed = AsOfJoin.asOf(left, right, Seq("user_id"), "t", "rt", Seq("v"))
+    assert(bcast.exceptAll(composed).union(composed.exceptAll(bcast)).isEmpty)
+    // the PROBE side reaches the join straight from its scan — no
+    // exchange in the left subtree (the dimension side's pack aggregate
+    // legitimately shuffles its own small input). In the tree string the
+    // probe branch is the ":"-prefixed block under BroadcastHashJoin.
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val probeLines = plan.linesIterator.filter(_.trim.startsWith(":")).mkString("\n")
+    assert(probeLines.nonEmpty && !probeLines.contains("Exchange"), probeLines)
+  }
+
+  test("asOfBroadcast ties take the greatest value tuple; nulls never match; codegen ≡ interpreted") {
+    val left = Seq((1L, 10L), (1L, 5L), (2L, 10L), (3L, 10L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 7L, 1.0), (1L, 7L, 3.0), // tie on time → value 3.0 wins
+      (2L, 11L, 9.9)                // only row is after the probe → null
+    ).toDF("k", "rt", "v")
+    def run() = AsOfJoin.asOfBroadcast(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy("k", "t").collect().map(r =>
+        (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    val expected = Array((1L, 5L, null), (1L, 10L, 3.0), (2L, 10L, null), (3L, 10L, null))
+    assert(run() === expected)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() === expected, "interpreted path diverged")
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("rangeJoinNative ≡ composed rangeJoin on real data, asymmetric bounds") {
     val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000"))

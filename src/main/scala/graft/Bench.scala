@@ -67,18 +67,23 @@ object Bench {
     // guarded like every named query: a crash here (e.g. a codegen
     // regression in AsOfJoinExec — what this section exists to catch)
     // must report -1, not abort the bench after all timed passes ran
-    def asofRawSafe(native: Boolean): Double =
-      try asofRaw(native) catch { case _: Throwable => -1.0 }
-    def asofRaw(native: Boolean): Double = {
+    def asofRawSafe(variant: String): Double =
+      try asofRaw(variant) catch { case _: Throwable => -1.0 }
+    def asofRaw(variant: String): Double = {
       import org.apache.spark.sql.functions._
       val e = sources.Tables.events(spark, sfDir).withColumn("ts_us", expr("ts DIV 1000"))
       val grid = operators.Signals.timeGrid(
         e.select(col("user_id"), col("ts_us").as("ts")), Seq("user_id"), "ts", 3600000000L)
       val purchases = e.filter(col("event_type") === "purchase")
         .groupBy(col("user_id"), col("ts_us").as("t")).agg(max(col("value")).as("pval"))
-      def build() =
-        if (native) operators.AsOfJoin.asOfNative(grid, purchases, Seq("user_id"), "ts", "t", Seq("pval"))
-        else operators.AsOfJoin.asOf(grid, purchases, Seq("user_id"), "ts", "t", Seq("pval"))
+      def build() = variant match {
+        case "native" =>
+          operators.AsOfJoin.asOfNative(grid, purchases, Seq("user_id"), "ts", "t", Seq("pval"))
+        case "broadcast" =>
+          operators.AsOfJoin.asOfBroadcast(grid, purchases, Seq("user_id"), "ts", "t", Seq("pval"))
+        case _ =>
+          operators.AsOfJoin.asOf(grid, purchases, Seq("user_id"), "ts", "t", Seq("pval"))
+      }
       build().queryExecution.toRdd.count() // warm codegen/JIT
       // median of 5 FRESH query executions: re-counting one DataFrame
       // would reuse its AQE-materialized shuffles and measure only the
@@ -91,7 +96,7 @@ object Bench {
       }.sorted
       runs(runs.size / 2)
     }
-    val asofOp = s"""{"window":${asofRawSafe(false)},"native":${asofRawSafe(true)}}"""
+    val asofOp = s"""{"window":${asofRawSafe("window")},"native":${asofRawSafe("native")},"broadcast":${asofRawSafe("broadcast")}}"""
     // adaptive precision: the harness that snapshots this output keeps only
     // the LAST ~2000 characters of the run log, so the final line must stay
     // comfortably under that (76 queries at full double precision is ~4 KB

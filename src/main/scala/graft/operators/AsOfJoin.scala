@@ -104,6 +104,34 @@ object AsOfJoin {
         valueCols.map(v => col(s"__m.$v").as(v)): _*)
   }
 
+  /** STATISTICS-DRIVEN as-of: pick [[asOfBroadcast]] when the right
+    * side's estimated size fits the session's broadcast threshold
+    * (`spark.sql.autoBroadcastJoinThreshold`, or an explicit override),
+    * [[asOfNative]] otherwise — the same cost-based
+    * broadcast-vs-shuffle decision Spark's JoinSelection strategy makes
+    * for equi-joins, surfaced for the as-of operator. The estimate is
+    * Catalyst's own (`optimizedPlan.stats.sizeInBytes`), so filters and
+    * column pruning on the right side count toward fitting.
+    */
+  def asOfAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String, valueCols: Seq[String],
+               broadcastThresholdBytes: Long = -1L): DataFrame = {
+    val threshold =
+      if (broadcastThresholdBytes >= 0) BigInt(broadcastThresholdBytes)
+      else BigInt(left.sparkSession.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760").stripSuffix("b").trim match {
+        case s if s.toLowerCase.endsWith("k") => (s.dropRight(1).toDouble * 1024).toLong
+        case s if s.toLowerCase.endsWith("m") => (s.dropRight(1).toDouble * 1024 * 1024).toLong
+        case s if s.toLowerCase.endsWith("g") => (s.dropRight(1).toDouble * 1024 * 1024 * 1024).toLong
+        case s => s.toLong
+      })
+    val rightSize = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && rightSize <= threshold)
+      asOfBroadcast(left, right, keys, leftTime, rightTime, valueCols)
+    else
+      asOfNative(left, right, keys, leftTime, rightTime, valueCols)
+  }
+
   /** As-of join with a TOLERANCE (max staleness): like [[asOf]], but a
     * match only holds while the signal is at most `toleranceUs` old —
     * beyond it the value columns null out (the standard as-of staleness

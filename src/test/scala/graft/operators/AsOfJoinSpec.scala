@@ -316,6 +316,21 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("asOfAuto selects by right-side statistics: broadcast small, merge large") {
+    val left = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 1.0), (2L, 15L, 2.0)).toDF("k", "rt", "v")
+    val auto = AsOfJoin.asOfAuto(left, right, Seq("k"), "t", "rt", Seq("v"))
+    assert(auto.queryExecution.executedPlan.toString.contains("sorted_asof_lookup"),
+      "tiny right side should take the broadcast form")
+    // force the threshold below any real relation → the merge exec plans
+    val forced = AsOfJoin.asOfAuto(left, right, Seq("k"), "t", "rt", Seq("v"),
+      broadcastThresholdBytes = 1L)
+    assert(forced.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      forced.queryExecution.executedPlan.toString.take(2000))
+    // both forms agree, column for column
+    assert(auto.exceptAll(forced).union(forced.exceptAll(auto)).isEmpty)
+  }
+
   test("rangeJoinNative ≡ composed rangeJoin on real data, asymmetric bounds") {
     val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000"))

@@ -190,4 +190,27 @@ object Analytics {
       .groupBy(col("n_items"))
       .agg(count(lit(1)).as("n_orders"), r4(avg(col("order_qty"))).as("avg_order_qty"))
       .orderBy(col("n_items"))
+
+  /** MERGEABLE distinct-count SKETCH TABLE — the incremental-rollup
+    * pattern behind "distinct users per day, re-aggregable to any date
+    * range without rescanning": one HLL sketch row per bucket (Spark's
+    * builtin DataSketches `hll_sketch_agg`), persisted like any column.
+    * Re-aggregation over buckets is [[sketchEstimate]]'s `hll_union_agg`
+    * — register-wise max, so the merged estimate is IDENTICAL to a
+    * sketch built over the union of the raw data (spec-pinned), while
+    * the rollup reads sketch rows instead of the 100 TB of raw events.
+    * Engine-specific binary output ⇒ spec-tested, not oracle-keyed
+    * (same policy as [[distinctCounts]]'s note).
+    */
+  def sketchRollup(events: DataFrame, bucketCol: Column, keyCol: Column,
+                   lgK: Int = 12): DataFrame =
+    events.groupBy(bucketCol.as("bucket"))
+      .agg(hll_sketch_agg(keyCol, lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Estimated distinct keys across a set of sketch rows (one union). */
+  def sketchEstimate(sketches: DataFrame): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("nd_estimate"),
+      sum(col("n_rows")).as("n_rows"))
 }

@@ -45,4 +45,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(None) == Some(20.0), "null group key must get real percentiles, like the builtin")
     assert(out(Some("b")).isEmpty)
   }
+
+  test("sketchRollup: merged daily sketches estimate EXACTLY like one global sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = (0 until 20000).map { i =>
+      (i % 7, s"user_${i % 3171}") // 7 "days", 3171 distinct users
+    }.toDF("day", "user")
+    val daily = Analytics.sketchRollup(events, col("day"), col("user"))
+    assert(daily.count() == 7)
+    val merged = Analytics.sketchEstimate(daily).head()
+    // HLL union is register-wise max: merging per-day sketches must give
+    // the IDENTICAL estimate as sketching the raw union directly
+    val global = events.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user"), lit(12)))).head().getLong(0)
+    assert(merged.getLong(0) == global,
+      s"merged=${merged.getLong(0)} global=$global")
+    assert(merged.getLong(1) == 20000L)
+    // and the estimate is an estimate of the right thing
+    assert(math.abs(merged.getLong(0) - 3171L).toDouble / 3171 <= 0.05,
+      s"estimate ${merged.getLong(0)} too far from 3171")
+  }
 }

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteVectorOps)
     ext.injectOptimizerRule(_ => PruneAsOfJoin)
     ext.injectOptimizerRule(_ => PruneRangeJoin)
+    ext.injectOptimizerRule(_ => PushFilterThroughMergeJoins)
     ext.injectPlannerStrategy(_ => new AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => new RangeJoinStrategy)
   }
@@ -181,6 +182,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(PruneRangeJoin)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PruneRangeJoin
+    }
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughMergeJoins)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughMergeJoins
     }
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[AsOfJoinStrategy])) {
       spark.experimental.extraStrategies =

@@ -430,6 +430,23 @@ object SparkEntry {
           round(sum(col("pval")), 4).as("sum_pval"))
         .orderBy(col("event_id"))
     }),
+    "q_range_broadcast" -> ((s, d) => {
+      // same contract as q_range_join with a broadcast-packed right side:
+      // the probe never leaves its scan (sorted_band_slice + explode)
+      val e = eventsUs(s, d)
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("t"))
+        .agg(max(col("value")).as("pval"))
+      AsOfJoin.rangeJoinBroadcast(errors, purchases, keys = Seq("user_id"),
+        leftTime = "ts_us", rightTime = "t", valueCols = Seq("pval"),
+        lowerUs = HourUs, upperUs = HourUs)
+        .groupBy(col("event_id"))
+        .agg(count(col("t")).as("n_matches"),
+          round(sum(col("pval")), 4).as("sum_pval"))
+        .orderBy(col("event_id"))
+    }),
     "q_range_join_native" -> ((s, d) => {
       // same contract as q_range_join via the whole-operator sliding-
       // window merge exec (RangeJoinExec): O(n+m+output) per partition
@@ -1437,6 +1454,21 @@ object SparkEntry {
           |FROM grid g ASOF LEFT JOIN purch p
           |  ON g.user_id = p.user_id AND g.ts >= p.t
           |ORDER BY g.user_id, g.ts""").stripMargin,
+    "q_range_broadcast" ->
+      """WITH err AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'error'),
+        |purch AS (
+        |  SELECT user_id, t, max(value) AS pval
+        |  FROM (SELECT user_id, epoch_us(ts) AS t, value FROM events
+        |        WHERE event_type = 'purchase') p GROUP BY user_id, t)
+        |SELECT e.event_id, count(p.t) AS n_matches,
+        |  round(sum(p.pval), 4) AS sum_pval
+        |FROM err e LEFT JOIN purch p
+        |  ON e.user_id = p.user_id
+        |  AND p.t >= e.t - 3600000000 AND p.t <= e.t + 3600000000
+        |GROUP BY e.event_id
+        |ORDER BY event_id""".stripMargin,
     "q_range_join" ->
       """WITH err AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS t FROM events

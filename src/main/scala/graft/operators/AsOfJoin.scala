@@ -104,6 +104,36 @@ object AsOfJoin {
         valueCols.map(v => col(s"__m.$v").as(v)): _*)
   }
 
+  /** BROADCAST range (band) join — [[asOfBroadcast]]'s trick applied to
+    * [[rangeJoin]] semantics: the packed per-key timeline broadcasts,
+    * and each left row takes its in-band slice with the native
+    * [[graft.plans.SortedBandSlice]] expression (two binary searches +
+    * an output-sized copy, whole-stage codegen), re-expanded by
+    * `explode_outer` so empty/null slices yield the left join's one
+    * null-extended row. Zero shuffle on the probe side; same output
+    * contract as [[rangeJoin]] (left ++ rightTime ++ values).
+    */
+  def rangeJoinBroadcast(left: DataFrame, right: DataFrame, keys: Seq[String],
+                         leftTime: String, rightTime: String,
+                         valueCols: Seq[String],
+                         lowerUs: Long, upperUs: Long): DataFrame = {
+    require(lowerUs >= 0 && upperUs >= 0,
+      s"band bounds are magnitudes: lowerUs=$lowerUs upperUs=$upperUs")
+    graft.plans.GraftExtensions.register(left.sparkSession)
+    val packed = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTime).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(rightTime).cast("long").as("__t") +: valueCols.map(col): _*))).as("__tl"))
+    left.join(broadcast(packed), keys, "left")
+      .withColumn("__m", explode_outer(call_function("sorted_band_slice",
+        col("__tl"),
+        col(leftTime).cast("long") - lowerUs,
+        col(leftTime).cast("long") + upperUs)))
+      .select(left.columns.map(col).toSeq ++
+        (col("__m.__t").as(rightTime) +: valueCols.map(v => col(s"__m.$v").as(v))): _*)
+  }
+
   /** STATISTICS-DRIVEN as-of: pick [[asOfBroadcast]] when the right
     * side's estimated size fits the session's broadcast threshold
     * (`spark.sql.autoBroadcastJoinThreshold`, or an explicit override),

@@ -44,6 +44,9 @@ object GraftExtensions {
     (new FunctionIdentifier("sorted_asof_lookup"),
       new ExpressionInfo(classOf[SortedAsOfLookup].getName, "sorted_asof_lookup"),
       (children: Seq[Expression]) => SortedAsOfLookup(children(0), children(1))),
+    (new FunctionIdentifier("sorted_band_slice"),
+      new ExpressionInfo(classOf[SortedBandSlice].getName, "sorted_band_slice"),
+      (children: Seq[Expression]) => SortedBandSlice(children(0), children(1), children(2))),
     (new FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
       (children: Seq[Expression]) => SimHashBits(children(0))),

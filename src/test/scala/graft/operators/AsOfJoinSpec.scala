@@ -316,6 +316,35 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("rangeJoinBroadcast ≡ composed rangeJoin; empty bands null-extend; codegen ≡ interpreted") {
+    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+    val left = e.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts_us")
+    val right = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts_us".as("t"))
+      .agg(org.apache.spark.sql.functions.max($"value").as("v"))
+    def run() = AsOfJoin.rangeJoinBroadcast(left, right, Seq("user_id"),
+      "ts_us", "t", Seq("v"), 3600000000L, 3600000000L)
+    val composed = AsOfJoin.rangeJoin(left, right, Seq("user_id"),
+      "ts_us", "t", Seq("v"), 3600000000L, 3600000000L)
+    val bcast = run()
+    assert(bcast.exceptAll(composed).union(composed.exceptAll(bcast)).isEmpty)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = run()
+      assert(interp.exceptAll(composed).union(composed.exceptAll(interp)).isEmpty,
+        "interpreted path diverged")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // left row with no key match AND one with an empty band both emit
+    // exactly one null-extended row
+    val l2 = Seq((1L, 100L), (9L, 100L)).toDF("k", "t")
+    val r2 = Seq((1L, 500L, 1.0)).toDF("k", "rt", "v")
+    val out = AsOfJoin.rangeJoinBroadcast(l2, r2, Seq("k"), "t", "rt", Seq("v"), 10L, 10L)
+      .orderBy("k").collect()
+    assert(out.length == 2 && out.forall(_.isNullAt(2)))
+  }
+
   test("asOfAuto selects by right-side statistics: broadcast small, merge large") {
     val left = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
     val right = Seq((1L, 5L, 1.0), (2L, 15L, 2.0)).toDF("k", "rt", "v")

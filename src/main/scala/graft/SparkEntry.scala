@@ -737,6 +737,13 @@ object SparkEntry {
         "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    "q_lm_score" -> ((s, d) => {
+      // corpus-trained unigram LM quality score (CCNet-style perplexity
+      // proxy): model trained on the same documents it scores here
+      val docs = spread(Tables.documents(s, d))
+      Ranking.unigramScore(docs, docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     "q_vocab" -> ((s, d) =>
       // corpus-level vocabulary: top-k terms by frequency with a total
       // (n desc, term) order so the cutoff is deterministic — the first
@@ -1850,6 +1857,15 @@ object SparkEntry {
          |FROM bat b LEFT JOIN corp c ON b.band = c.band AND b.sig = c.sig
          |GROUP BY b.doc_id
          |ORDER BY doc_id""".stripMargin,
+    "q_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(tk) AS tok FROM ($docTokensSql) tks),
+         |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         |stats AS (SELECT sum(c) AS total, count(*) AS v FROM counts),
+         |model AS (SELECT tok, ln((c + 1) / CAST(total + v + 1 AS DOUBLE)) AS lp
+         |          FROM counts, stats)
+         |SELECT t.doc_id, count(*) AS n_tokens, round(avg(m.lp), 6) AS avg_logprob
+         |FROM toks t JOIN model m USING (tok)
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
     "q_vocab" ->
       s"""SELECT tok AS term, count(*) AS n
          |FROM (SELECT doc_id, unnest(tk) AS tok FROM ($docTokensSql) tks) t

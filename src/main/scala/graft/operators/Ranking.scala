@@ -28,6 +28,45 @@ object Ranking {
     * sort. Scores round to 6dp before ranking so downstream rank
     * consumers are reproducible across engines.
     */
+  /** Corpus-trained UNIGRAM language-model score per document — the
+    * cheap perplexity-style quality signal of curation stacks (CCNet
+    * filters CommonCrawl on an LM's per-token logprob; a unigram model
+    * over the reference corpus is its one-shuffle approximation).
+    * Returns (id, n_tokens, avg_logprob) with avg_logprob =
+    * mean over tokens of ln P(token), add-one smoothed so scoring a
+    * corpus the model never saw is defined:
+    * P(t) = (count(t) + 1) / (total + |V| + 1).
+    *
+    * Shape at 100 TB: the model IS a (token, logprob) table — one
+    * aggregate over the reference corpus's exploded tokens — and
+    * scoring is explode → join (AQE broadcasts a small vocabulary) →
+    * per-doc average. Both passes are plain hash aggregates; nothing
+    * driver-side. Train once, score any corpus.
+    */
+  def unigramScore(score: DataFrame, reference: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val refToks = reference.select(
+      explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+    val counts = refToks.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    // ONE row of corpus constants: total tokens + vocabulary size
+    val stats = counts.agg(sum(col("__c")).as("__total"),
+      count(lit(1)).as("__v"))
+    val model = counts.crossJoin(broadcast(stats))
+      .select(col("__tok"),
+        log((col("__c") + 1L) / (col("__total") + col("__v") + 1L).cast("double"))
+          .as("__lp"))
+    val oov = log(lit(1.0) / (col("__total") + col("__v") + 1L).cast("double"))
+    val docToks = score.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+    docToks
+      .join(model, Seq("__tok"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), coalesce(col("__lp"), oov).as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__lp")), 6).as("avg_logprob"))
+  }
+
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
            k: Int = 10): DataFrame = {

@@ -157,6 +157,11 @@ object Streaming {
               hits += FunnelHit(userId, k + 1, e.ts_us)
             }
           }
+          // completed chains keep their (tiny, O(#steps)) state on
+          // purpose: dropping it would let the same user re-enter the
+          // funnel and double-count completions, diverging from the
+          // batch operator; bound total state by retiring idle users
+          // with a watermark timeout variant if a deployment needs it
           if (times.nonEmpty) state.update(FunnelState(times))
           hits.result().iterator
       }

@@ -78,4 +78,21 @@ class RankingSpec extends SparkSpec {
       "seedx", alpha = 0.5)
     assert(out.exceptAll(again).union(again.exceptAll(out)).isEmpty)
   }
+
+  test("unigramScore: add-one smoothed known answers, OOV defined on foreign corpora") {
+    import spark.implicits._
+    // reference "a a b": counts a=2 b=1, total=3, V=2
+    // P(a) = 3/6, P(b) = 2/6, P(oov) = 1/6
+    val ref = Seq((0L, "a a b")).toDF("doc_id", "text")
+    val toScore = Seq((1L, "a b"), (2L, "c"), (3L, "a a a")).toDF("doc_id", "text")
+    val out = Ranking.unigramScore(toScore, ref, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(0) == ((1L, 2L, r6((math.log(3.0 / 6) + math.log(2.0 / 6)) / 2))))
+    assert(out(1) == ((2L, 1L, r6(math.log(1.0 / 6)))), "OOV must take the smoothed floor")
+    assert(out(2) == ((3L, 3L, r6(math.log(3.0 / 6)))))
+    // the in-vocabulary doc scores above the OOV doc — the filter signal
+    assert(out(0)._3 > out(1)._3)
+  }
 }

@@ -94,5 +94,39 @@ object syntax {
     def saltedJoinOn(right: DataFrame, keys: Seq[String], saltBuckets: Int,
                      hotThreshold: Long): DataFrame =
       SkewJoin.saltedJoin(df, right, keys, saltBuckets, hotThreshold)
+
+    def asOfBroadcast(right: DataFrame, keys: Seq[String], leftTime: String,
+                      rightTime: String, valueCols: Seq[String]): DataFrame =
+      AsOfJoin.asOfBroadcast(df, right, keys, leftTime, rightTime, valueCols)
+
+    def asOfAuto(right: DataFrame, keys: Seq[String], leftTime: String,
+                 rightTime: String, valueCols: Seq[String]): DataFrame =
+      AsOfJoin.asOfAuto(df, right, keys, leftTime, rightTime, valueCols)
+
+    def rangeJoinBroadcast(right: DataFrame, keys: Seq[String], leftTime: String,
+                           rightTime: String, valueCols: Seq[String],
+                           lowerUs: Long, upperUs: Long): DataFrame =
+      AsOfJoin.rangeJoinBroadcast(df, right, keys, leftTime, rightTime,
+        valueCols, lowerUs, upperUs)
+
+    def funnel(userCol: String, typeCol: String, timeCol: String,
+               steps: Seq[String], horizonUs: Long): DataFrame =
+      Funnel.funnel(df, userCol, typeCol, timeCol, steps, horizonUs)
+
+    def leakFreeSplit(clusters: DataFrame, idCol: String, seed: String,
+                      trainPct: Int, valPct: Int): DataFrame =
+      Sampling.leakFreeSplit(df, clusters, idCol, seed, trainPct, valPct)
+
+    def kmeansAssign(idCol: String, vecCol: String, k: Int, iters: Int): DataFrame =
+      Similarity.kmeansAssign(df, idCol, vecCol, k, iters)
+
+    def centroids(groupCol: String, vecCol: String): DataFrame =
+      Similarity.centroids(df, groupCol, vecCol)
+
+    def unigramScore(reference: DataFrame, idCol: String, textCol: String): DataFrame =
+      Ranking.unigramScore(df, reference, idCol, textCol)
+
+    def zorderWrite(colA: String, colB: String, path: String, numFiles: Int): Unit =
+      graft.sources.ZOrderStore.write(df, colA, colB, path, numFiles)
   }
 }

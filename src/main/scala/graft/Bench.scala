@@ -124,7 +124,8 @@ object Bench {
     // queries run in a fixed order, so q_dedup_minhash pays the pair-table
     // build and q_dup_clusters_star times the CC iteration alone — each
     // curve measures its operator's marginal work.
-    val scalingQs = Seq("q_dedup_minhash", "q_ngram_jaccard", "q_dup_clusters_star")
+    val scalingQs = Seq("q_dedup_minhash", "q_ngram_jaccard", "q_dup_clusters_star",
+      "q_containment")
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1,10")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq.sorted
     val scaling: Option[(String, String)] =

@@ -225,6 +225,39 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("property: broadcast variants ≡ composed forms on random tables and bounds") {
+    val rnd = new scala.util.Random(11) // deterministic
+    (1 to 6).foreach { round =>
+      val nl = 30 + rnd.nextInt(40)
+      val nr = 30 + rnd.nextInt(40)
+      // small key space + clustered times force duplicates, time ties,
+      // right-only keys, and empty bands — the seams of the packed form
+      val left = (0 until nl).map { i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(40).toLong * 5, i)
+      }.toDF("k", "t", "tag")
+      val right = (0 until nr).map { i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(40).toLong * 5, i.toDouble)
+      }.toDF("k", "rt", "v")
+      val lower = rnd.nextInt(30).toLong
+      val upper = rnd.nextInt(30).toLong
+      val rComposed = AsOfJoin.rangeJoin(left, right, Seq("k"), "t", "rt", Seq("v"), lower, upper)
+      val rBcast = AsOfJoin.rangeJoinBroadcast(left, right, Seq("k"), "t", "rt", Seq("v"), lower, upper)
+      val rDiff = rBcast.exceptAll(rComposed).union(rComposed.exceptAll(rBcast))
+      assert(rDiff.isEmpty,
+        s"range round $round (lower=$lower upper=$upper): ${rDiff.collect().take(5).mkString(";")}")
+      // as-of ties: the composed form keeps the greatest value tuple at
+      // equal times ONLY when right rows are unique per (k, rt) — dedupe
+      // like the real queries do before comparing the broadcast form
+      val rightUnique = right.groupBy($"k", $"rt")
+        .agg(org.apache.spark.sql.functions.max($"v").as("v"))
+      val aComposed = AsOfJoin.asOf(left, rightUnique, Seq("k"), "t", "rt", Seq("v"))
+      val aBcast = AsOfJoin.asOfBroadcast(left, rightUnique, Seq("k"), "t", "rt", Seq("v"))
+      val aDiff = aBcast.exceptAll(aComposed).union(aComposed.exceptAll(aBcast))
+      assert(aDiff.isEmpty,
+        s"asof round $round: ${aDiff.collect().take(5).mkString(";")}")
+    }
+  }
+
   test("rangeJoinNative's window buffer stays band-bounded (peakWindowRows metric)") {
     import org.apache.spark.sql.functions._
     // one key, 1000 right rows at times 0,10,20,… and a ±50 band: the

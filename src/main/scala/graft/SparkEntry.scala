@@ -1009,6 +1009,18 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy(col("source"))),
+    "q_mix_weighted" -> ((s, d) =>
+      // temperature mixing with TOKEN-mass cell sizes: rates from
+      // sum(n_chars) per source, selection still per-doc hash fate
+      Sampling.temperatureMixtureWeighted(
+        Tables.documents(s, d).withColumn("skew_src",
+          when(col("doc_id") % 10 < 5, "big")
+            .when(col("doc_id") % 10 < 8, "mid")
+            .otherwise("small")),
+        "doc_id", Seq("skew_src"), "n_chars", "tempw", alpha = 0.5)
+        .groupBy(col("skew_src"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("skew_src"))),
     "q_mix_temperature" -> ((s, d) =>
       // α-power temperature rebalancing on a skew-synthesized source
       // column (testdata sources are uniform): rates derived from the
@@ -2160,6 +2172,21 @@ object SparkEntry {
         |  CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 7500
         |              WHEN 'src2' THEN 0 ELSE 10000 END
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_mix_weighted" ->
+      """WITH tagged AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 10 < 5 THEN 'big'
+        |         WHEN doc_id % 10 < 8 THEN 'mid' ELSE 'small' END AS skew_src
+        |  FROM documents),
+        |counts AS (SELECT skew_src, sum(n_chars) AS n FROM tagged GROUP BY skew_src),
+        |rates AS (SELECT skew_src,
+        |    CAST(floor(10000 * sqrt((SELECT min(n) FROM counts) / CAST(n AS DOUBLE))) AS INT) AS rate
+        |  FROM counts)
+        |SELECT t.skew_src, count(*) AS n_docs,
+        |  CAST(sum(t.n_chars) AS BIGINT) AS kept_chars
+        |FROM tagged t JOIN rates r ON t.skew_src = r.skew_src
+        |WHERE ('0x' || substr(md5('tempw|' || t.doc_id), 1, 15))::BIGINT % 10000 < r.rate
+        |GROUP BY t.skew_src ORDER BY t.skew_src""".stripMargin,
     "q_mix_temperature" ->
       """WITH tagged AS (
         |  SELECT doc_id,

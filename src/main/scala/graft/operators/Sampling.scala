@@ -115,10 +115,32 @@ object Sampling {
     */
   def temperatureMixtureStratified(df: DataFrame, idCol: String,
                                    strataCols: Seq[String], seed: String,
-                                   alpha: Double): DataFrame = {
+                                   alpha: Double): DataFrame =
+    temperatureMixtureBy(df, idCol, strataCols, seed, alpha, count(lit(1)))
+
+  /** [[temperatureMixtureStratified]] with TOKEN-mass cell sizes: rates
+    * derive from `sum(weightCol)` per stratum instead of document
+    * counts — what a training mix actually budgets (a source of few
+    * huge documents must down-sample like a source of many small
+    * ones). Selection stays per-document hash thresholding, so the
+    * kept token mass per cell is the rate in EXPECTATION (unbiased —
+    * a document's fate is independent of its size); exact token-budget
+    * packing would need ordered selection and is a packing problem,
+    * not a sampling one ([[graft.operators.Packing.pack]]).
+    */
+  def temperatureMixtureWeighted(df: DataFrame, idCol: String,
+                                 strataCols: Seq[String], weightCol: String,
+                                 seed: String, alpha: Double): DataFrame =
+    temperatureMixtureBy(df, idCol, strataCols, seed, alpha,
+      sum(col(weightCol)))
+
+  private def temperatureMixtureBy(df: DataFrame, idCol: String,
+                                   strataCols: Seq[String], seed: String,
+                                   alpha: Double,
+                                   cellSize: Column): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     require(strataCols.nonEmpty, "at least one stratum column")
-    val counts = df.groupBy(strataCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    val counts = df.groupBy(strataCols.map(col): _*).agg(cellSize.as("__n"))
     val ratio = col("__nmin").cast("double") / col("__n").cast("double")
     val scaled =
       if (alpha == 1.0) lit(1.0)

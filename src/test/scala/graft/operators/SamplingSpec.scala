@@ -61,6 +61,25 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("temperatureMixtureWeighted rates follow token mass, not doc counts") {
+    import spark.implicits._
+    // "fat": 10 docs × 1000 tokens; "thin": 1000 docs × 10 tokens —
+    // equal token mass, so BOTH cells keep rate 10000 (ratio 1) even
+    // though doc counts differ 100×; the count-based mixture would
+    // slash "thin" to sqrt(10/1000) ≈ 10%
+    val df = ((0L until 10L).map(i => (i, "fat", 1000L)) ++
+      (100L until 1100L).map(i => (i, "thin", 10L)))
+      .toDF("id", "src", "toks")
+    val kept = Sampling.temperatureMixtureWeighted(df, "id", Seq("src"), "toks",
+      "s", alpha = 0.5)
+      .groupBy($"src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("fat") == 10L && kept("thin") == 1000L,
+      s"equal token mass must keep both cells whole: $kept")
+    val byCount = Sampling.temperatureMixture(df, "id", "src", "s", alpha = 0.5)
+      .groupBy($"src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCount("thin") < 1000L, "count-based mixture must down-sample the doc-heavy cell")
+  }
+
   test("leakFreeSplit keeps every near-dup cluster on one side") {
     import spark.implicits._
     val corpus = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

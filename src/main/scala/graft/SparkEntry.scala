@@ -269,6 +269,20 @@ object SparkEntry {
         .groupBy(col("wk"))
         .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("wk"))),
+    "q_argmax" -> ((s, d) =>
+      // top-1 per group WITHOUT a window: struct-max hash aggregate —
+      // one exchange of group-count rows, no per-partition sort (the
+      // plan shape q_window_rank's row_number formulation can't reach);
+      // ties on the balance take the larger key (struct field order)
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(max(struct(col("c_acctbal"), col("c_custkey"))).as("__m"),
+          count(lit(1)).as("n_customers"))
+        .select(col("c_nationkey"),
+          round(col("__m.c_acctbal"), 4).as("best_bal"),
+          col("__m.c_custkey").as("best_cust"),
+          col("n_customers"))
+        .orderBy(col("c_nationkey"))),
     "q_funnel" -> ((s, d) =>
       Funnel.funnel(eventsUs(s, d), userCol = "user_id", typeCol = "event_type",
         timeCol = "ts_us", steps = Seq("view", "click", "purchase"),
@@ -1360,6 +1374,15 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('week', make_timestamp(epoch_us(ts)))) AS wk,
         |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY wk ORDER BY wk""".stripMargin,
+    "q_argmax" ->
+      """SELECT c_nationkey, round(c_acctbal, 4) AS best_bal,
+        |  c_custkey AS best_cust, n_customers
+        |FROM (SELECT c_nationkey, c_acctbal, c_custkey,
+        |        count(*) OVER (PARTITION BY c_nationkey) AS n_customers,
+        |        row_number() OVER (PARTITION BY c_nationkey
+        |          ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        |      FROM customer) t
+        |WHERE rn = 1 ORDER BY c_nationkey""".stripMargin,
     "q_funnel" ->
       // greedy-earliest strict-order funnel: t1 = earliest 'view';
       // t(k+1) = earliest next-step event in [t(k), t(k) + 24h] —

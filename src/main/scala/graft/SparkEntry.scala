@@ -830,6 +830,16 @@ object SparkEntry {
         "doc_id", "text", shingleN = 3)
         .orderBy(col("doc_id"))
     }),
+    "q_decontaminate_bcast" -> ((s, d) => {
+      // same contract, zero-shuffle: benchmark hashes ride as a sorted
+      // plan literal, each training row screens itself map-side
+      val docs = spread(Tables.documents(s, d))
+      Dedup.decontaminateBroadcast(
+        docs.filter(col("doc_id") % 37 =!= 1),
+        docs.filter(col("doc_id") % 37 === 1),
+        "doc_id", "text", shingleN = 3)
+        .orderBy(col("doc_id"))
+    }),
     "q_upsert" -> ((s, d) => {
       val e = eventsUs(s, d).select(col("user_id"), col("event_type"),
         col("ts_us").as("ts"), col("event_id"), col("value"))
@@ -1964,6 +1974,17 @@ object SparkEntry {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, min(v) AS cluster_id
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q_decontaminate_bcast" ->
+      s"""WITH sh AS ($shinglesSql),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 37 = 1),
+         |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 37 <> 1)
+         |SELECT doc_id, count(*) AS n_sh,
+         |  CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  round(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS contamination
+         |FROM tr LEFT JOIN bench b ON tr.sh = b.sh
+         |GROUP BY doc_id
+         |HAVING sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) > 0
+         |ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       s"""WITH sh AS ($shinglesSql),
          |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 37 = 1),

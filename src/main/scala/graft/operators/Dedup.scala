@@ -307,6 +307,38 @@ object Dedup {
       .withColumn("contamination", round(col("n_contaminated") / col("n_sh"), 6))
   }
 
+  /** BROADCAST decontamination — the zero-shuffle twin of
+    * [[decontaminate]] for benchmark sets that fit a plan literal: the
+    * benchmark's distinct shingle hashes collect ONCE into a sorted
+    * array literal, and each training row intersects its own sorted
+    * shingle-hash array with it through the codegen'd merge kernel
+    * ([[graft.plans.SortedIntersectCount]]) — no explode, no join, no
+    * shuffle of training data, and the same map-side screen runs
+    * UNCHANGED inside a streaming micro-batch (stateless). Results ≡
+    * [[decontaminate]] (shingles are distinct per doc on both paths).
+    *
+    * Size guard: the literal is 8 bytes per distinct benchmark shingle —
+    * fine for eval sets (what decontamination screens against); a
+    * benchmark beyond plan-literal size should use [[decontaminate]]'s
+    * join form.
+    */
+  def decontaminateBroadcast(train: DataFrame, benchmark: DataFrame,
+                             idCol: String, textCol: String,
+                             shingleN: Int = 5): DataFrame = {
+    graft.plans.GraftExtensions.register(train.sparkSession)
+    val bench: Array[Long] = explodedShingles(benchmark, idCol, textCol, shingleN)
+      .select(hash60(col("sh")).as("h")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // minJaccard only shapes prefix_len, unused here — hs + n_sh are the
+    // same sorted distinct-hash signature decontaminate's counts define
+    hashSignatures(train, idCol, textCol, shingleN, minJaccard = 0.5)
+      .select(col(idCol), col("n_sh").cast("long").as("n_sh"),
+        call_function("sorted_intersect_count", col("hs"), typedlit(bench))
+          .as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
+      .withColumn("contamination", round(col("n_contaminated") / col("n_sh"), 6))
+  }
+
   /** Near-duplicate CLUSTERS from a candidate-pair table: connected
     * components labeled by the minimum reachable doc id — the step that
     * turns pairwise near-dup hits into "keep one per group". Iterative

@@ -291,4 +291,18 @@ class DedupSpec extends SparkSpec {
       shingleN = 3, minJaccard = 0.5)
     assert(jac.isEmpty)
   }
+
+  test("decontaminateBroadcast ≡ decontaminate, with a shuffle-free screen") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val train = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 37 =!= 1)
+    val bench = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 37 === 1)
+    val joinForm = Dedup.decontaminate(train, bench, "doc_id", "text", shingleN = 3)
+    val bcast = Dedup.decontaminateBroadcast(train, bench, "doc_id", "text", shingleN = 3)
+    assert(bcast.exceptAll(joinForm).union(joinForm.exceptAll(bcast)).isEmpty)
+    // the screen is one map-side pass: scan → project → filter, no
+    // exchange anywhere in the plan (the benchmark collected at
+    // composition, like BloomJoin's plan-literal build)
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(3000))
+  }
 }

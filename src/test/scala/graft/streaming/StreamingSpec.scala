@@ -446,6 +446,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateBroadcast screens a STREAM statelessly (map-side literal)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val bench = Seq((1000L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.decontaminateBroadcast(
+      mem.toDF().toDF("doc_id", "text"), bench, "doc_id", "text", shingleN = 3)
+    val q = out.writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "alpha beta gamma delta"), // fully contaminated
+        (2L, "zeta eta theta iota"))    // clean → filtered out
+      q.processAllAvailable()
+      mem.addData((3L, "x alpha beta gamma y")) // partial overlap
+      q.processAllAvailable()
+      val rows = spark.table("decon_stream")
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+      assert(rows.keySet == Set(1L, 3L), s"got $rows")
+      assert(rows(1L) == 1.0 && rows(3L) > 0 && rows(3L) < 1.0)
+    } finally q.stop()
+  }
+
   test("funnelStream advances per-user chains across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventRow]

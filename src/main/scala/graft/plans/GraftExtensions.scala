@@ -161,6 +161,46 @@ object GraftExtensions {
         graft.operators.AsOfJoin.rangeJoinNative(left, right, keys, lt, rt,
           values, lower, upper)
           .queryExecution.analyzed
+      }),
+    (new FunctionIdentifier("asof_join_broadcast"),
+      new ExpressionInfo(classOf[SortedAsOfLookup].getName, "asof_join_broadcast"),
+      (args: Seq[Expression]) => {
+        val fn = "asof_join_broadcast"
+        require(args.length == 5 || args.length == 6,
+          s"usage: $fn(left_table, right_table, keys_csv, left_time, right_time[, value_cols_csv])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val left = spark.table(strArg(fn, args, 0, "left_table"))
+        val right = spark.table(strArg(fn, args, 1, "right_table"))
+        val keys = csv(strArg(fn, args, 2, "keys_csv"))
+        val lt = strArg(fn, args, 3, "left_time")
+        val rt = strArg(fn, args, 4, "right_time")
+        val values =
+          if (args.length == 6) csv(strArg(fn, args, 5, "value_cols_csv"))
+          else right.columns.filterNot((keys :+ rt).toSet).toSeq
+        graft.operators.AsOfJoin.asOfBroadcast(left, right, keys, lt, rt, values)
+          .queryExecution.analyzed
+      }),
+    (new FunctionIdentifier("range_join_broadcast"),
+      new ExpressionInfo(classOf[SortedBandSlice].getName, "range_join_broadcast"),
+      (args: Seq[Expression]) => {
+        val fn = "range_join_broadcast"
+        require(args.length == 7 || args.length == 8,
+          s"usage: $fn(left_table, right_table, keys_csv, left_time, right_time, " +
+            "lower_us, upper_us[, value_cols_csv])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val left = spark.table(strArg(fn, args, 0, "left_table"))
+        val right = spark.table(strArg(fn, args, 1, "right_table"))
+        val keys = csv(strArg(fn, args, 2, "keys_csv"))
+        val lt = strArg(fn, args, 3, "left_time")
+        val rt = strArg(fn, args, 4, "right_time")
+        val lower = longArg(fn, args, 5, "lower_us")
+        val upper = longArg(fn, args, 6, "upper_us")
+        val values =
+          if (args.length == 8) csv(strArg(fn, args, 7, "value_cols_csv"))
+          else right.columns.filterNot((keys :+ rt).toSet).toSeq
+        graft.operators.AsOfJoin.rangeJoinBroadcast(left, right, keys, lt, rt,
+          values, lower, upper)
+          .queryExecution.analyzed
       }))
 
   /** Imperative registration for sessions built without extensions (e.g. a

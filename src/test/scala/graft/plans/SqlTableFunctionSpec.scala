@@ -64,6 +64,26 @@ class SqlTableFunctionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(sql.collect().toSeq == api.collect().toSeq)
   }
 
+  test("broadcast-variant TVFs match their DataFrame APIs") {
+    grid.createOrReplaceTempView("tvf_grid")
+    purch.createOrReplaceTempView("tvf_purch")
+    val asofSql = spark.sql(
+      "SELECT user_id, ts, pval FROM asof_join_broadcast('tvf_grid', 'tvf_purch', " +
+        "'user_id', 'ts', 't', 'pval') ORDER BY user_id, ts")
+    assert(asofSql.queryExecution.executedPlan.toString.contains("sorted_asof_lookup"))
+    val asofApi = AsOfJoin.asOfBroadcast(grid, purch, Seq("user_id"), "ts", "t", Seq("pval"))
+      .orderBy(col("user_id"), col("ts"))
+    assert(asofSql.collect().toSeq == asofApi.collect().toSeq)
+    val rangeSql = spark.sql(
+      "SELECT user_id, ts, t, pval FROM range_join_broadcast('tvf_grid', 'tvf_purch', " +
+        "'user_id', 'ts', 't', 60, 60, 'pval') ORDER BY user_id, ts, t")
+    assert(rangeSql.queryExecution.executedPlan.toString.contains("sorted_band_slice"))
+    val rangeApi = AsOfJoin.rangeJoinBroadcast(grid, purch, Seq("user_id"), "ts", "t",
+      Seq("pval"), lowerUs = 60L, upperUs = 60L)
+      .orderBy(col("user_id"), col("ts"), col("t"))
+    assert(rangeSql.collect().toSeq == rangeApi.collect().toSeq)
+  }
+
   test("TVF rejects non-literal and missing arguments loudly") {
     grid.createOrReplaceTempView("tvf_grid")
     val e = intercept[Exception] {

@@ -79,6 +79,17 @@ object GraftExtensions {
         }
         MinHashSlotsTokens(children(0),
           intArg(children(1), "shingleN"), intArg(children(2), "k"))
+      }),
+    (new FunctionIdentifier("sorted_shingle_hashes"),
+      new ExpressionInfo(classOf[SortedShingleHashes].getName, "sorted_shingle_hashes"),
+      (children: Seq[Expression]) => {
+        val n = children(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"sorted_shingle_hashes shingleN must be a literal int, got $other")
+        }
+        SortedShingleHashes(children(0), n)
       }))
 
   // ---- SQL table functions over the native join execs ----------------

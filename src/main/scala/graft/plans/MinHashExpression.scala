@@ -174,3 +174,85 @@ case class MinHashSlotsTokens(child: Expression, shingleN: Int, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Sorted DISTINCT 60-bit shingle hashes of a token array in ONE fused
+  * pass — shingles form inside the loop (no per-row shingle array), one
+  * md5 per shingle, sort + in-place dedupe at the end. Semantically
+  * `sort_array(transform(array_distinct(shingles), hash60))` (identical
+  * modulo 2⁻⁶⁰ hash collisions, where this collapses colliding strings
+  * to one slot — the same identity the hash-keyed joins already assume),
+  * but the HOF formulation evaluates INTERPRETED and re-runs wherever
+  * projection collapse duplicates it; this kernel is the signature
+  * builder of [[graft.operators.Dedup]]'s set-similarity family.
+  * CodegenFallback like [[MinHashSlotsTokens]]: the md5 loop dominates,
+  * not dispatch.
+  */
+case class SortedShingleHashes(child: Expression, shingleN: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "sorted_shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sorted_shingle_hashes requires array<string>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val md = digest.get()
+    val sb = new java.lang.StringBuilder(64)
+    def h(): Long = {
+      md.reset()
+      md.update(sb.toString.getBytes("UTF-8"))
+      val out = md.digest()
+      var v = 0L
+      var k = 0
+      while (k < 7) { v = (v << 8) | (out(k) & 0xffL); k += 1 }
+      (v << 4) | ((out(7) >> 4) & 0xfL)
+    }
+    val count = if (n >= shingleN) n - shingleN + 1 else 1
+    val hs = new Array[Long](count)
+    if (n >= shingleN) {
+      var i = 0
+      while (i <= n - shingleN) {
+        sb.setLength(0)
+        var j = 0
+        while (j < shingleN) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(i + j).toString)
+          j += 1
+        }
+        hs(i) = h()
+        i += 1
+      }
+    } else {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(j).toString)
+        j += 1
+      }
+      hs(0) = h()
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedupe of the sorted run
+    var w = 0
+    var r = 0
+    while (r < count) {
+      if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == count) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

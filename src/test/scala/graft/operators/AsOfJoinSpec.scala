@@ -411,4 +411,54 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val rendered = native.queryExecution.executedPlan.toString
     assert(rendered.contains("RangeJoin"), rendered.take(2000))
   }
+
+  test("downstream same-key agg and join after the native joins elide their exchange AND sort") {
+    // outputPartitioning forwards the left child's hash partitioning and
+    // outputOrdering is (keys, time) — so a groupBy(key) or sort-merge
+    // join on the same key downstream of AsOfJoinExec/RangeJoinExec must
+    // reuse the operator's distribution instead of re-shuffling. At 100 TB
+    // that elision is the difference between 2 and 3 full shuffles of the
+    // fact table; pin it so a refactor can't silently regress it.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+    val left = e.select($"event_id", $"user_id", $"ts_us".as("t"))
+    // plain projection on the right: the join's own 2 exchanges are the
+    // only ones below it, so the downstream counts isolate the elision
+    val right = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us".as("rt"), $"value".as("pval"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for ((name, joined) <- Seq(
+        "asOfNative" -> AsOfJoin.asOfNative(left, right, Seq("user_id"), "t", "rt", Seq("pval")),
+        "rangeJoinNative" -> AsOfJoin.rangeJoinNative(left, right, Seq("user_id"), "t", "rt",
+          Seq("pval"), 3600000000L, 0L))) {
+        // groupBy on the join key: partial+final agg, NO third exchange
+        val agg = joined.groupBy("user_id").agg(count(lit(1)).as("n"))
+        val aggPlan = agg.queryExecution.executedPlan
+        val aggEx = aggPlan.collect { case x: ShuffleExchangeExec => x }
+        assert(aggEx.length == 2, s"$name → groupBy should keep the join's 2 exchanges, " +
+          s"got ${aggEx.length}:\n$aggPlan")
+        assert(agg.count() > 0)
+        // sort-merge join on the join key: the native-join side arrives
+        // pre-partitioned AND pre-sorted (key is a prefix of (key, time))
+        val dim = e.groupBy("user_id").agg(avg($"value").as("uavg"))
+        val j2 = joined.join(dim, "user_id")
+        val plan = j2.queryExecution.executedPlan
+        val ex = plan.collect { case x: ShuffleExchangeExec => x }
+        assert(ex.length == 3, s"$name → join should add ONE exchange (dim side only), " +
+          s"got ${ex.length}:\n$plan")
+        val sorts = plan.collect { case s: SortExec => s }
+        assert(sorts.length == 3, s"$name → join should add ONE sort (dim side only), " +
+          s"got ${sorts.length}:\n$plan")
+        assert(j2.count() > 0)
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

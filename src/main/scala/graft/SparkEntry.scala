@@ -195,6 +195,7 @@ object SparkEntry {
         .orderBy(col("cust_nation"), col("supp_nation"), col("o_year"))
     }),
     "q_window_rank" -> ((s, d) => Analytics.topNPerGroup(Tables.orders(s, d), 5)),
+    "q_topk" -> ((s, d) => Analytics.topNPerGroupAgg(Tables.orders(s, d), 5)),
     "q_window_running" -> ((s, d) => Analytics.runningAggregates(Tables.events(s, d))),
     "q_semi_anti" -> ((s, d) => Analytics.semiAntiCounts(Tables.customer(s, d), Tables.orders(s, d))),
     "q_bloom_join" -> ((s, d) => {
@@ -1284,6 +1285,14 @@ object SparkEntry {
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_orderpriority
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 5
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
         |  FROM orders) t
         |WHERE rn <= 5
         |ORDER BY o_orderpriority, rn""".stripMargin,

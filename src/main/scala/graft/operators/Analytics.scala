@@ -133,6 +133,28 @@ object Analytics {
       .orderBy(col("o_orderpriority"), col("rn"))
   }
 
+  /** Top-n per group via the native bounded-heap aggregate
+    * ([[graft.plans.TopK]]) — same contract as [[topNPerGroup]] but as a
+    * hash aggregate: the map side reduces each partition to ≤ groups·n
+    * entries BEFORE the exchange, so shuffle volume is groups·n rows
+    * independent of input size (the window form shuffles and sorts the
+    * whole table). Ties on price break to the larger orderkey (struct
+    * ordering is lexicographic; emission is descending).
+    */
+  def topNPerGroupAgg(orders: DataFrame, n: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(orders.sparkSession)
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(call_function("top_k",
+        struct(col("o_totalprice"), col("o_orderkey")), col("o_orderkey"), lit(n)).as("tk"))
+      .select(col("o_orderpriority"), posexplode(col("tk")))
+      .select(col("o_orderpriority"),
+        (col("pos") + 1).cast("long").as("rn"),
+        col("col.val").as("o_orderkey"),
+        col("col.ord.o_totalprice").as("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
   /** Running sum + moving average per user over event time. Partitioned by
     * user → parallel across users, single sort per user partition.
     */

@@ -90,6 +90,17 @@ object GraftExtensions {
             s"sorted_shingle_hashes shingleN must be a literal int, got $other")
         }
         SortedShingleHashes(children(0), n)
+      }),
+    (new FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopK].getName, "top_k"),
+      (children: Seq[Expression]) => {
+        val k = children(2).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"top_k k must be a literal int, got $other")
+        }
+        TopK(children(0), children(1), k).toAggregateExpression()
       }))
 
   // ---- SQL table functions over the native join execs ----------------

@@ -37,13 +37,19 @@ object ZOrderStore {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Per-file [min,max] of long columns, straight from parquet footers:
-    * (file, column -> merged range). A column maps to None when any row
-    * group lacks usable stats — callers must keep such files, never
-    * skip blind.
+  /** One ROW GROUP's footprint: row count + per-column [min,max] (None
+    * when the block lacks usable long stats — callers must keep such
+    * blocks, never skip blind).
     */
-  def fileStats(spark: SparkSession, path: String, columns: Seq[String])
-      : Seq[(String, Map[String, Option[(Long, Long)]])] = {
+  final case class RowGroupStat(index: Int, rows: Long,
+                                ranges: Map[String, Option[(Long, Long)]])
+
+  /** Per-row-group [min,max] of long columns, straight from parquet
+    * footers — ONE footer read per file serves all columns and both
+    * granularities ([[fileStats]] merges these per file).
+    */
+  def rowGroupStats(spark: SparkSession, path: String, columns: Seq[String])
+      : Seq[(String, Seq[RowGroupStat])] = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
@@ -55,9 +61,9 @@ object ZOrderStore {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
-        val perCol = columns.map { column =>
-          val ranges = blocks.map { block =>
-            block.getColumns.asScala
+        val stats = blocks.zipWithIndex.map { case (block, i) =>
+          val ranges = columns.map { column =>
+            column -> block.getColumns.asScala
               .find(_.getPath.toDotString == column)
               .map(_.getStatistics)
               .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
@@ -65,17 +71,31 @@ object ZOrderStore {
                 (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
                   s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
               }
-          }
-          // a single missing row-group stat poisons the whole file's range
-          val merged =
-            if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
-            else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
-          column -> merged
-        }.toMap
-        (p.toString, perCol)
+          }.toMap
+          RowGroupStat(i, block.getRowCount, ranges)
+        }
+        (p.toString, stats)
       } finally reader.close()
     }
   }
+
+  /** Per-file [min,max] of long columns: [[rowGroupStats]] merged per
+    * file. A column maps to None when any row group lacks usable
+    * stats — callers must keep such files, never skip blind.
+    */
+  def fileStats(spark: SparkSession, path: String, columns: Seq[String])
+      : Seq[(String, Map[String, Option[(Long, Long)]])] =
+    rowGroupStats(spark, path, columns).map { case (f, blocks) =>
+      val perCol = columns.map { column =>
+        val ranges = blocks.map(_.ranges(column))
+        // a single missing row-group stat poisons the whole file's range
+        val merged =
+          if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
+          else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
+        column -> merged
+      }.toMap
+      (f, perCol)
+    }
 
   /** The files whose stats intersect EVERY requested `column -> [lo, hi]`
     * box side (files without stats are kept). Returns (kept, total).
@@ -89,6 +109,48 @@ object ZOrderStore {
       } => f
     }
     (kept.sorted, stats.size)
+  }
+
+  /** Prune accounting at BOTH granularities for a box query.
+    *
+    * File-level numbers drive [[readBox]]'s scan list; row-group numbers
+    * are what the parquet reader's own predicate pushdown will skip
+    * INSIDE the kept files (same footer stats), so `keptRows` is the
+    * true upper bound on rows the scan touches. The gap between
+    * `keptFiles`-implied rows and `keptRows` is exactly what per-file
+    * merged boxes give away inside big files — the sharpening the
+    * z-order layout exists to maximize.
+    */
+  final case class PruneReport(totalFiles: Int, keptFiles: Int,
+                               totalRowGroups: Int, keptRowGroups: Int,
+                               totalRows: Long, keptRows: Long)
+
+  def pruneReport(spark: SparkSession, path: String,
+                  box: Map[String, (Long, Long)]): PruneReport = {
+    val stats = rowGroupStats(spark, path, box.keys.toSeq)
+    def hits(ranges: Map[String, Option[(Long, Long)]]): Boolean =
+      box.forall { case (c, (lo, hi)) =>
+        ranges.getOrElse(c, None).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+    val perFile = stats.map { case (_, blocks) =>
+      val kept = blocks.filter(b => hits(b.ranges))
+      // file-level keep mirrors prunedFiles: the MERGED box (min of mins,
+      // max of maxs) intersects — which can hold even when no single
+      // block intersects; that over-keep is the per-file granularity loss
+      val mergedKeep = box.forall { case (c, (lo, hi)) =>
+        val ranges = blocks.map(_.ranges.getOrElse(c, None))
+        if (ranges.isEmpty || ranges.exists(_.isEmpty)) true
+        else ranges.flatten.map(_._2).max >= lo && ranges.flatten.map(_._1).min <= hi
+      }
+      (blocks.size, kept.size, blocks.map(_.rows).sum, kept.map(_.rows).sum, mergedKeep)
+    }
+    PruneReport(
+      totalFiles = perFile.size,
+      keptFiles = perFile.count(_._5),
+      totalRowGroups = perFile.map(_._1).sum,
+      keptRowGroups = perFile.map(_._2).sum,
+      totalRows = perFile.map(_._3).sum,
+      keptRows = perFile.map(_._4).sum)
   }
 
   /** Read the table scanning ONLY the files the box can touch, with the

@@ -74,6 +74,35 @@ class ZOrderStoreSpec extends SparkSpec {
     }
   }
 
+  test("pruneReport: row-group boxes sharpen inside big files beyond the per-file merge") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder_rg").toString
+    try {
+      // TWO big z-ordered files with a tiny parquet block size → many row
+      // groups per file, each covering a short z-run (a small x/y box)
+      grid.withColumn("__z", ZOrder.zorder64(col("x"), col("y")))
+        .repartitionByRange(2, col("__z")).sortWithinPartitions("__z").drop("__z")
+        .write.option("parquet.block.size", 16 * 1024)
+        .option("parquet.page.size", 4 * 1024)
+        .mode("overwrite").parquet(s"$dir/z")
+      val box = Map("x" -> (10L, 19L), "y" -> (10L, 19L))
+      val report = ZOrderStore.pruneReport(spark, s"$dir/z", box)
+      assert(report.totalFiles == 2 && report.totalRows == 10000L)
+      assert(report.totalRowGroups > 4,
+        s"expected several row groups per file, got ${report.totalRowGroups}")
+      // file-level accounting must agree with what readBox actually scans
+      val (kept, _) = ZOrderStore.prunedFiles(spark, s"$dir/z", box)
+      assert(report.keptFiles == kept.size)
+      // the sharpening: with only 2 files the merged boxes keep ~everything,
+      // but row-group boxes drop most blocks — and never the 100 true rows
+      assert(report.keptRowGroups < report.totalRowGroups,
+        s"row groups should prune inside files: ${report.keptRowGroups}/${report.totalRowGroups}")
+      assert(report.keptRows >= 100L && report.keptRows < report.totalRows,
+        s"keptRows=${report.keptRows} of ${report.totalRows}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("prunedFiles keeps files without stats for a requested column") {
     val dir = java.nio.file.Files.createTempDirectory("zorder2").toString
     try {

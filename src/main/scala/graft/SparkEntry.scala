@@ -769,6 +769,11 @@ object SparkEntry {
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term"))
         .limit(100)),
+    "q_bpe_pairs" -> ((s, d) =>
+      // the second pass of the tokenizer build: adjacent character-pair
+      // counts weighted by word frequency — pair generation runs over
+      // the VOCABULARY (distinct words), not corpus tokens
+      Ranking.bpePairCounts(spread(Tables.documents(s, d)), "doc_id", "text", 100)),
     "q_dedup_stats" -> ((s, d) => {
       // corpus-level dedup dashboard: one row of exact-dup and near-dup
       // rates (two aggregates + a 1-row broadcast — no collect)
@@ -1925,6 +1930,17 @@ object SparkEntry {
          |FROM (SELECT doc_id, unnest(tk) AS tok FROM ($docTokensSql) tks) t
          |WHERE tok <> ''
          |GROUP BY tok ORDER BY n DESC, term LIMIT 100""".stripMargin,
+    "q_bpe_pairs" ->
+      s"""WITH words AS (
+         |  SELECT tok AS term, count(*) AS wn
+         |  FROM (SELECT unnest(tk) AS tok FROM ($docTokensSql) tks) t
+         |  GROUP BY tok),
+         |pairs AS (
+         |  SELECT substr(term, CAST(i AS INTEGER), 2) AS pair, wn
+         |  FROM (SELECT term, wn, unnest(generate_series(1, length(term) - 1)) AS i
+         |        FROM words WHERE length(term) >= 2) g)
+         |SELECT pair, CAST(sum(wn) AS BIGINT) AS n
+         |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 100""".stripMargin,
     "q_dedup_stats" ->
       s"""WITH ex AS (SELECT md5(norm) AS fp, count(*) AS c
          |           FROM ($docNormSql) nrm GROUP BY fp),

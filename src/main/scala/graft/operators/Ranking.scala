@@ -137,4 +137,31 @@ object Ranking {
       .orderBy(col("rrf").desc, col(idCol))
       .limit(k)
   }
+
+  /** Adjacent symbol-PAIR counts over the corpus — the statistic the
+    * first BPE merge maximizes (Sennrich et al. '16 train tokenizers by
+    * repeatedly merging the most frequent adjacent pair). Returns the
+    * `topK` (pair, n) rows, n = occurrences weighted by word frequency,
+    * ordered (n desc, pair) so the cutoff is deterministic.
+    *
+    * Shape at 100 TB: the corpus collapses to its VOCABULARY first
+    * (groupBy term → count, map-side combined — the same first shuffle
+    * q_vocab pays), and pair generation runs over distinct words only,
+    * weighted by their counts: the expensive explode touches |V| rows,
+    * not corpus tokens. Pairs come from builtin sequence+substr — pure
+    * codegen, no UDF; single-char words can't form a pair and are
+    * filtered BEFORE the explode (sequence(1,0) would descend).
+    */
+  def bpePairCounts(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 100): DataFrame =
+    docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("wn"))
+      .filter(length(col("term")) >= 2)
+      .select(col("wn"), explode(sequence(lit(1), length(col("term")) - 1)).as("i"),
+        col("term"))
+      .select(col("term").substr(col("i"), lit(2)).as("pair"), col("wn"))
+      .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
 }

@@ -2,7 +2,8 @@ package graft.operators
 
 import graft.SparkSpec
 
-class RankingSpec extends SparkSpec {
+class RankingSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   private val corpus = Seq(
@@ -94,5 +95,36 @@ class RankingSpec extends SparkSpec {
     assert(out(2) == ((3L, 3L, r6(math.log(3.0 / 6)))))
     // the in-vocabulary doc scores above the OOV doc — the filter signal
     assert(out(0)._3 > out(1)._3)
+  }
+
+  test("bpePairCounts: known answers, word-frequency weighting, single-char words dropped") {
+    // "aab" ×3 (pairs aa, ab), "ab" ×1 (ab), "x" ×2 (no pair)
+    val docs = Seq(
+      (1L, "aab aab x"),
+      (2L, "aab ab x")
+    ).toDF("doc_id", "text")
+    val out = Ranking.bpePairCounts(docs, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // ab: 3 (from aab's word count) + 1 (from ab) = 4; aa: 3
+    assert(out.toSeq == Seq(("ab", 4L), ("aa", 3L)))
+  }
+
+  test("bpePairCounts explodes the vocabulary, not the token stream") {
+    // the plan must aggregate to distinct terms BEFORE generating pairs:
+    // exactly 2 hash exchanges (term count, pair sum) and the Generate
+    // sits above the first aggregate, not above the scan projection
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val docs = Seq((1L, "ab bc ab cd")).toDF("doc_id", "text")
+    val df = Ranking.bpePairCounts(docs, "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val gens = collectWithSubqueries(plan) { case g: GenerateExec => g }
+    // one explode for tokens, one for pair positions
+    assert(gens.length == 2, s"expected 2 Generates:\n$plan")
+    val pairGen = gens.head // topmost Generate = pair positions
+    val aggsBelow = pairGen.collect { case a: HashAggregateExec => a }
+    assert(aggsBelow.nonEmpty,
+      s"pair Generate must run above the vocabulary aggregate:\n$plan")
   }
 }

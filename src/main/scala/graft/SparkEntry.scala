@@ -846,6 +846,23 @@ object SparkEntry {
         "doc_id", "text", shingleN = 3)
         .orderBy(col("doc_id"))
     }),
+    "q_corpus_diff" -> ((s, d) => {
+      // two deterministic snapshots of the same corpus: v1 lacks the
+      // %101==3 docs, v2 lacks %101==7 and rewrites %97==0 — the diff is
+      // churn-sized, content hashes move instead of text
+      val docs = spread(Tables.documents(s, d))
+      val v1 = docs.filter(col("doc_id") % 101 =!= 3)
+      val v2 = docs.filter(col("doc_id") % 101 =!= 7)
+        .withColumn("text", when(col("doc_id") % 97 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Corpus.snapshotDiff(v1, v2, "doc_id", "text").orderBy(col("doc_id"))
+    }),
+    "q_dup_spans" -> ((s, d) =>
+      // span-granular exact-substring dedup report: which part of each
+      // doc is 3-gram-shared with ANY other doc (df>=2 postings only
+      // ride the join back)
+      Dedup.dupSpans(spread(Tables.documents(s, d)), "doc_id", "text", shingleN = 3)
+        .orderBy(col("doc_id"))),
     "q_upsert" -> ((s, d) => {
       val e = eventsUs(s, d).select(col("user_id"), col("event_type"),
         col("ts_us").as("ts"), col("event_id"), col("value"))
@@ -2020,6 +2037,27 @@ object SparkEntry {
          |FROM tr LEFT JOIN bench b ON tr.sh = b.sh
          |GROUP BY doc_id
          |HAVING sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) > 0
+         |ORDER BY doc_id""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id % 101 <> 3),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 97 = 0 THEN text || ' v2' ELSE text END) AS nh
+        |      FROM documents WHERE doc_id % 101 <> 7)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN oh IS NULL THEN 'added'
+        |       WHEN nh IS NULL THEN 'removed'
+        |       WHEN oh <> nh THEN 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |WHERE oh IS NULL OR nh IS NULL OR oh <> nh
+        |ORDER BY doc_id""".stripMargin,
+    "q_dup_spans" ->
+      s"""WITH sp AS (SELECT doc_id, sh FROM ($shinglesSql) s),
+         |df AS (SELECT sh, count(*) AS df FROM sp GROUP BY sh HAVING count(*) >= 2)
+         |SELECT sp.doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN df.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |  round(sum(CASE WHEN df.sh IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS dup_ratio
+         |FROM sp LEFT JOIN df ON sp.sh = df.sh
+         |GROUP BY sp.doc_id
          |ORDER BY doc_id""".stripMargin,
     "q_upsert" ->
       """SELECT user_id, event_type, ts, event_id, value FROM (

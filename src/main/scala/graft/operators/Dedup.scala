@@ -307,6 +307,35 @@ object Dedup {
       .withColumn("contamination", round(col("n_contaminated") / col("n_sh"), 6))
   }
 
+  /** Cross-document SPAN duplication report — the span-granular form of
+    * exact substring dedup (Lee et al. '22 deduplicate at 50-token
+    * granularity because document-level dedup misses shared boilerplate
+    * inside otherwise-distinct pages). A span = an n-token shingle; a
+    * span is DUPLICATED when it occurs in ≥ 2 documents. Returns one row
+    * per doc: (id, n_spans, n_dup_spans, dup_ratio) — the corpus-health
+    * signal that drives span-level cut lists.
+    *
+    * Shape at 100 TB: spans ship as 60-bit hashes (8 bytes, not token
+    * text); the doc-frequency side filters to df ≥ 2 BEFORE the join
+    * back, so the joined posting table carries only duplicated spans —
+    * a small fraction of all postings when duplication is rare (and the
+    * join is left-preserving, so clean docs still report). Two
+    * hash-keyed shuffles + one doc-keyed aggregate, all map-side
+    * combined.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               shingleN: Int = 3): DataFrame = {
+    val sp = explodedShingles(docs, idCol, textCol, shingleN)
+      .select(col(idCol), hash60(col("sh")).as("h"))
+    val dup = sp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    sp.join(dup, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df").isNotNull, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio", round(col("n_dup_spans") / col("n_spans"), 6))
+  }
+
   /** BROADCAST decontamination — the zero-shuffle twin of
     * [[decontaminate]] for benchmark sets that fit a plan literal: the
     * benchmark's distinct shingle hashes collect ONCE into a sorted

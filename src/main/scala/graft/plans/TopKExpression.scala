@@ -85,6 +85,10 @@ case class TopK(
   }
 
   override def merge(buf: TopK.Buffer, other: TopK.Buffer): TopK.Buffer = {
+    // streaming state restore can hand the SAME buffer object as both
+    // sides (observed: complete-mode aggregation); merging a heap with
+    // itself while mutating it duplicates the max — identity is a no-op
+    if (buf eq other) return buf
     var i = 0
     while (i < other.size) {
       if (buf.size < k) buf.insert(other.ords(i), other.vals(i), ordering)
@@ -113,7 +117,10 @@ case class TopK(
     while (i < buf.size) {
       pair.update(0, buf.ords(i))
       pair.update(1, buf.vals(i))
-      rows(i) = proj(pair).getBytes
+      // proj reuses one buffer and getBytes returns the BACKING ARRAY
+      // when the size matches exactly — copy() forces a private array or
+      // every entry aliases the last row's bytes
+      rows(i) = proj(pair).copy().getBytes
       total += 4 + rows(i).length
       i += 1
     }

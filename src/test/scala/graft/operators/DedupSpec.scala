@@ -305,4 +305,22 @@ class DedupSpec extends SparkSpec {
     val plan = bcast.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(3000))
   }
+
+  test("dupSpans: cross-doc shared spans counted per doc, clean docs report zero") {
+    // docs 1/2 share the span "the quick fox"; doc 3 is clean; doc 4
+    // repeats a span internally (within-doc repeat is NOT duplication)
+    val docs = Seq(
+      (1L, "the quick fox jumps high"),
+      (2L, "see the quick fox run"),
+      (3L, "completely different text here"),
+      (4L, "echo echo echo echo echo")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs, "doc_id", "text", shingleN = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: spans {the quick fox, quick fox jumps, fox jumps high} → 1 dup
+    // doc 2: spans {see the quick, the quick fox, quick fox run} → 1 dup
+    // doc 4: distinct spans collapse to ONE {echo echo echo} seen only here
+    assert(out.toSeq == Seq((1L, 3L, 1L), (2L, 3L, 1L), (3L, 2L, 0L), (4L, 1L, 0L)))
+  }
 }

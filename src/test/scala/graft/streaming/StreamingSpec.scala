@@ -29,6 +29,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("top_k aggregates across micro-batches (streaming state round-trips the heap buffer)") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+    val mem = MemoryStream[(Long, Long)]
+    val df = mem.toDF().toDF("g", "v")
+      .groupBy(col("g"))
+      .agg(call_function("top_k", col("v"), col("v"), lit(2)).as("tk"))
+      .select(col("g"), col("tk.ord").as("top2"))
+    val q = df.writeStream.format("memory").queryName("tk")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, 10L), (1L, 50L), (2L, 7L))
+      q.processAllAvailable()
+      mem.addData((1L, 30L), (2L, 90L)) // state from batch 0 must merge in
+      q.processAllAvailable()
+      val rows = spark.table("tk").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      assert(rows == Map(1L -> Seq(50L, 30L), 2L -> Seq(90L, 7L)))
+    } finally q.stop()
+  }
+
   test("asOfStream matches each left row with the latest right at-or-before") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[TaggedRow]

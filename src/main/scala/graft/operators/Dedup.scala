@@ -319,14 +319,19 @@ object Dedup {
     * text); the doc-frequency side filters to df ≥ 2 BEFORE the join
     * back, so the joined posting table carries only duplicated spans —
     * a small fraction of all postings when duplication is rare (and the
-    * join is left-preserving, so clean docs still report). Two
-    * hash-keyed shuffles + one doc-keyed aggregate, all map-side
-    * combined.
+    * join is left-preserving, so clean docs still report). The posting
+    * table feeds BOTH the df aggregate and the join probe, so it
+    * materializes once ([[materialize]]: `postingsPath` for reliable
+    * storage, localCheckpoint otherwise) — without it the corpus scan +
+    * explode + md5 would run twice. Two hash-keyed shuffles + one
+    * doc-keyed aggregate, all map-side combined.
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
-               shingleN: Int = 3): DataFrame = {
-    val sp = explodedShingles(docs, idCol, textCol, shingleN)
-      .select(col(idCol), hash60(col("sh")).as("h"))
+               shingleN: Int = 3,
+               postingsPath: Option[String] = None): DataFrame = {
+    val sp = materialize(
+      explodedShingles(docs, idCol, textCol, shingleN)
+        .select(col(idCol), hash60(col("sh")).as("h")), postingsPath)
     val dup = sp.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
     sp.join(dup, Seq("h"), "left")

@@ -235,4 +235,39 @@ object Analytics {
     sketches.agg(
       hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("nd_estimate"),
       sum(col("n_rows")).as("n_rows"))
+
+  /** MERGEABLE QUANTILE sketch table — the quantile twin of
+    * [[sketchRollup]] ("p99 latency per day, re-aggregable to any date
+    * range without rescanning"): one KLL sketch row per bucket
+    * ([[graft.plans.KllSketchAgg]] — Spark ships the DataSketches jar
+    * for hll_* but exposes no quantile-sketch aggregate). KLL guarantees
+    * ~1.65% normalized rank error at the default k=200 REGARDLESS of
+    * input size, and sketches union losslessly w.r.t. that bound — the
+    * rollup reads k-sized sketch rows instead of the raw 100 TB.
+    * Engine-specific binary ⇒ spec-tested, not oracle-keyed (same
+    * policy as [[sketchRollup]]).
+    */
+  def quantileRollup(events: DataFrame, bucketCol: Column, valueCol: Column,
+                     k: Int = 200): DataFrame = {
+    graft.plans.GraftExtensions.register(events.sparkSession)
+    events.groupBy(bucketCol.as("bucket"))
+      .agg(call_function("kll_sketch_agg", valueCol, lit(k)).as("qsketch"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Quantile estimates across a set of sketch rows (one union): one row
+    * with a `p<rank>` column per requested quantile + the exact row
+    * count.
+    */
+  def quantileEstimate(sketches: DataFrame, quantiles: Seq[Double]): DataFrame = {
+    graft.plans.GraftExtensions.register(sketches.sparkSession)
+    val merged = sketches.agg(
+      call_function("kll_merge_agg", col("qsketch")).as("__m"),
+      sum(col("n_rows")).as("n_rows"))
+    val cols = quantiles.map { q =>
+      call_function("kll_quantile", col("__m"), lit(q))
+        .as(s"p${(q * 100).round}")
+    } :+ col("n_rows")
+    merged.select(cols: _*)
+  }
 }

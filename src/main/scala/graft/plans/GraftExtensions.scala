@@ -101,7 +101,24 @@ object GraftExtensions {
             s"top_k k must be a literal int, got $other")
         }
         TopK(children(0), children(1), k).toAggregateExpression()
-      }))
+      }),
+    (new FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      (children: Seq[Expression]) => {
+        val k = children(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"kll_sketch_agg k must be a literal int, got $other")
+        }
+        KllSketchAgg(children(0), k).toAggregateExpression()
+      }),
+    (new FunctionIdentifier("kll_merge_agg"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
+      (children: Seq[Expression]) => KllMergeAgg(children(0)).toAggregateExpression()),
+    (new FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      (children: Seq[Expression]) => KllQuantile(children(0), children(1))))
 
   // ---- SQL table functions over the native join execs ----------------
   //

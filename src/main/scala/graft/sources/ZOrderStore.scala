@@ -111,6 +111,40 @@ object ZOrderStore {
     (kept.sorted, stats.size)
   }
 
+  /** Compact a fragmented z-ordered table into ~`targetFileBytes` files,
+    * preserving the z-clustering — the maintenance pass every streaming
+    * or incremental ingest needs (micro-batches write small files; small
+    * files wreck scan throughput AND footer-pruning selectivity, because
+    * per-file boxes of interleaved appends overlap arbitrarily).
+    * Re-sorting by the Morton code restores disjoint z-tiles, so
+    * [[prunedFiles]] is sharp again after compaction.
+    *
+    * Returns (filesBefore, filesAfter). The rewrite goes through a
+    * sibling temp dir + rename (Hadoop FS API, works on HDFS/S3/file:);
+    * the swap is NOT transactional — a production lakehouse commits via
+    * manifest swap instead, which is a metadata-layer concern above this
+    * operator.
+    */
+  def compact(spark: SparkSession, path: String, colA: String, colB: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val parts = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = parts.size
+    val totalBytes = parts.map(_.getLen).sum
+    val after = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new Path(p.getParent, p.getName + ".compact.tmp")
+    val df = spark.read.parquet(path)
+    write(df, colA, colB, tmp.toString, after)
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p)) {
+      throw new IllegalStateException(s"compact: rename $tmp -> $p failed")
+    }
+    (before, after)
+  }
+
   /** Prune accounting at BOTH granularities for a box query.
     *
     * File-level numbers drive [[readBox]]'s scan list; row-group numbers

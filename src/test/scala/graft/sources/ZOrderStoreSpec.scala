@@ -103,6 +103,30 @@ class ZOrderStoreSpec extends SparkSpec {
     }
   }
 
+  test("compact bin-packs a fragmented layout and keeps z-pruning sharp") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder_c").toString
+    try {
+      ZOrderStore.write(grid, "x", "y", s"$dir/z", numFiles = 64)
+      val fullBefore = spark.read.parquet(s"$dir/z").collect().toSet
+      val totalBytes = new java.io.File(s"$dir/z").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      val (before, after) = ZOrderStore.compact(spark, s"$dir/z", "x", "y",
+        targetFileBytes = totalBytes / 4)
+      assert(before == 64 && after >= 4 && after <= 6, s"$before -> $after")
+      val files = new java.io.File(s"$dir/z").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == after)
+      // same rows, and the compacted tiles still prune a 1% box
+      assert(spark.read.parquet(s"$dir/z").collect().toSet == fullBefore)
+      val (kept, total) = ZOrderStore.prunedFiles(spark, s"$dir/z",
+        Map("x" -> (10L, 19L), "y" -> (10L, 19L)))
+      assert(total == after && kept.size < after,
+        s"compacted layout should still prune: ${kept.size} of $after")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("prunedFiles keeps files without stats for a requested column") {
     val dir = java.nio.file.Files.createTempDirectory("zorder2").toString
     try {

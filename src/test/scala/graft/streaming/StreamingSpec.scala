@@ -50,6 +50,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kll_sketch_agg aggregates across micro-batches (sketch state round-trips)") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+    val mem = MemoryStream[(Long, Double)]
+    val df = mem.toDF().toDF("bucket", "v")
+      .groupBy(col("bucket"))
+      .agg(call_function("kll_sketch_agg", col("v"), lit(200)).as("qsketch"))
+      .select(col("bucket"),
+        call_function("kll_quantile", col("qsketch"), lit(0.5)).as("p50"))
+    val q = df.writeStream.format("memory").queryName("klls")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, 1.0), (1L, 2.0), (1L, 3.0))
+      q.processAllAvailable()
+      mem.addData((1L, 4.0), (1L, 5.0)) // median over BOTH batches = 3.0
+      q.processAllAvailable()
+      val rows = spark.table("klls").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      // 5 values, exact within sketch resolution at this size
+      assert(rows.toSeq == Seq((1L, 3.0)))
+    } finally q.stop()
+  }
+
   test("asOfStream matches each left row with the latest right at-or-before") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[TaggedRow]

@@ -277,14 +277,17 @@ object Similarity {
     * update rounds.
     */
   def kmeansAssign(embeddings: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int): DataFrame = {
+                   k: Int, iters: Int, seeding: String = "rank"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be non-negative, got $iters")
+    require(seeding == "rank" || seeding == "farthest",
+      s"seeding must be 'rank' or 'farthest', got '$seeding'")
     graft.plans.GraftExtensions.register(embeddings.sparkSession)
     val v = embeddings.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<float>").as("v"))
     var cents: Seq[(Int, Array[Float])] =
-      v.orderBy(col("vec_id")).limit(k).collect().zipWithIndex
+      if (seeding == "farthest") farthestFirstSeeds(v, k)
+      else v.orderBy(col("vec_id")).limit(k).collect().zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }.toSeq
     def assign(): DataFrame = {
       val cands = cents.map { case (cid, cv) =>
@@ -309,6 +312,40 @@ object Similarity {
     }
     assign().select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
       col("cos"))
+  }
+
+  /** DETERMINISTIC k-means++-style seeding: farthest-first traversal
+    * (Gonzalez '85 — the de-randomized form of k-means++'s D²-sampling;
+    * the same 2-approximation family without an RNG, so runs and engines
+    * agree). Seed 0 is the minimum-id vector; each next seed is the
+    * vector FARTHEST from its nearest chosen seed (ties → smallest id).
+    * Rank seeding degrades badly when low ids cluster together —
+    * farthest-first guarantees spread regardless of id order.
+    *
+    * Shape at 100 TB: each of the k-1 rounds is ONE map-side struct-min
+    * aggregate (the chosen seeds ride as plan literals, nearest-seed
+    * similarity is a codegen'd `greatest` over native cosines; the
+    * candidate row's vector rides INSIDE the min struct, so no join-back)
+    * — the exchange carries one row per partition. k rounds of an
+    * O(rows) scan, zero shuffles of the corpus.
+    */
+  private def farthestFirstSeeds(v: DataFrame, k: Int): Seq[(Int, Array[Float])] = {
+    val first = v.select(min(struct(col("vec_id"), col("v"))).as("m"))
+      .select(col("m.v")).collect()(0).getSeq[Float](0).toArray
+    val seeds = scala.collection.mutable.ArrayBuffer[Array[Float]](first)
+    while (seeds.size < k) {
+      val near = seeds.toSeq.map(cv =>
+        round(cosineNative(col("v"), typedLit(cv)), 6)) match {
+        case Seq(one) => one
+        case many => greatest(many: _*)
+      }
+      // farthest = smallest nearest-seed cosine; (cos, id) is unique per
+      // row so the vector field is never compared, it just rides along
+      val r = v.select(min(struct(near.as("c"), col("vec_id"), col("v"))).as("m"))
+        .select(col("m.v")).collect()(0)
+      seeds += r.getSeq[Float](0).toArray
+    }
+    seeds.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
   }
 
   /** Per-group embedding centroids via the native `vec_mean` aggregate

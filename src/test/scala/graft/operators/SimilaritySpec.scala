@@ -154,4 +154,38 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(afterRound == Set(0L))
   }
+
+  test("farthest-first seeding recovers clusters that rank seeding collapses") {
+    import org.apache.spark.sql.functions._
+    // ADVERSARIAL id order: the 3 lowest ids all sit in blob A, so rank
+    // seeding spends all 3 seeds there; three orthogonal blobs overall
+    val rows = (0 until 30).map { i =>
+      val blob = if (i < 3) 0 else i % 3
+      val base = blob match {
+        case 0 => Array(10f, 0f, 0.1f * (i % 4))
+        case 1 => Array(0f, 10f, 0.1f * (i % 4))
+        case _ => Array(0.1f * (i % 4), 0f, 10f)
+      }
+      (i.toLong, blob, base)
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "blob", "embedding")
+    def purity(seeding: String): Int = {
+      val out = Similarity.kmeansAssign(df, "vec_id", "embedding",
+        k = 3, iters = 0, seeding = seeding)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // clusters are pure iff each blob maps onto exactly one distinct cluster
+      val byBlob = rows.groupBy(_._2).view.mapValues(_.map(r => out(r._1)).toSet)
+      if (byBlob.values.forall(_.size == 1) &&
+          byBlob.values.map(_.head).toSet.size == 3) 3
+      else byBlob.values.map(_.head).toSet.size
+    }
+    // with zero Lloyd iterations the seeds ARE the model: rank seeding
+    // cannot distinguish all three blobs, farthest-first must
+    assert(purity("rank") < 3, "adversarial order unexpectedly fine for rank seeding")
+    assert(purity("farthest") == 3, "farthest-first failed to spread seeds")
+    // determinism: same seeds, same assignment, twice
+    val a = Similarity.kmeansAssign(df, "vec_id", "embedding", 3, 1, "farthest").collect().toSeq
+    val b = Similarity.kmeansAssign(df, "vec_id", "embedding", 3, 1, "farthest").collect().toSeq
+    assert(a == b)
+  }
 }

@@ -857,6 +857,11 @@ object SparkEntry {
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
       Corpus.snapshotDiff(v1, v2, "doc_id", "text").orderBy(col("doc_id"))
     }),
+    "q_span_cuts" -> ((s, d) =>
+      // the APPLY half of span dedup: merged [cut_start, cut_end) token
+      // intervals of cross-doc duplicated 3-grams, per doc
+      Dedup.spanCuts(spread(Tables.documents(s, d)), "doc_id", "text", shingleN = 3)
+        .orderBy(col("doc_id"), col("cut_start"))),
     "q_dup_spans" -> ((s, d) =>
       // span-granular exact-substring dedup report: which part of each
       // doc is 3-gram-shared with ANY other doc (df>=2 postings only
@@ -2050,6 +2055,26 @@ object SparkEntry {
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |WHERE oh IS NULL OR nh IS NULL OR oh <> nh
         |ORDER BY doc_id""".stripMargin,
+    "q_span_cuts" ->
+      s"""WITH tks AS ($docTokensSql),
+         |pos AS (
+         |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+2], ' ') AS sp
+         |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+         |        FROM tks WHERE len(tk) >= 3) g),
+         |dup AS (SELECT sp FROM (SELECT DISTINCT doc_id, sp FROM pos) d
+         |        GROUP BY sp HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, pos AS s, pos + 3 AS e FROM pos JOIN dup USING (sp)),
+         |isl AS (SELECT doc_id, s, e,
+         |  CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |       THEN 1 ELSE 0 END AS brk FROM hits),
+         |grp AS (SELECT doc_id, s, e,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+         |                 ROWS UNBOUNDED PRECEDING) AS g FROM isl)
+         |SELECT doc_id, CAST(min(s) AS BIGINT) AS cut_start,
+         |  CAST(max(e) AS BIGINT) AS cut_end, count(*) AS n_spans
+         |FROM grp GROUP BY doc_id, g
+         |ORDER BY doc_id, cut_start""".stripMargin,
     "q_dup_spans" ->
       s"""WITH sp AS (SELECT doc_id, sh FROM ($shinglesSql) s),
          |df AS (SELECT sh, count(*) AS df FROM sp GROUP BY sh HAVING count(*) >= 2)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -339,6 +340,48 @@ object Dedup {
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("df").isNotNull, 1L).otherwise(0L)).as("n_dup_spans"))
       .withColumn("dup_ratio", round(col("n_dup_spans") / col("n_spans"), 6))
+  }
+
+  /** Span CUT LIST — the APPLY half of span-granular dedup
+    * ([[dupSpans]] reports; this says exactly WHAT to remove): per doc,
+    * the merged token-index intervals `[cut_start, cut_end)` covered by
+    * cross-doc duplicated n-token spans, plus how many duplicated spans
+    * each interval merged. Positional (within-doc repeats of a
+    * cross-doc-duplicated span are all cut); duplication itself is
+    * cross-doc only (distinct (doc, span) pairs feed the frequency
+    * count, so a span repeated only inside one doc is NOT duplicated).
+    *
+    * Shape at 100 TB: positional span hashes are built by ONE
+    * transform+posexplode (no per-span string table leaves the map
+    * side — the hash is computed inside the lambda); the df side
+    * filters to df ≥ 2 before the semi join back, and interval merging
+    * is the classic gap-and-islands pair of windows over (doc, start) —
+    * partitioned by doc, so parallel across the corpus.
+    */
+  def spanCuts(docs: DataFrame, idCol: String, textCol: String,
+               shingleN: Int = 3): DataFrame = {
+    val pos = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= shingleN)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__t")) - shingleN),
+        i => hash60(concat_ws(" ", slice(col("__t"), i + 1, lit(shingleN)))))))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "h")
+    val dup = pos.select(col(idCol), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select(col("h"))
+    val hits = pos.join(dup, Seq("h"), "left_semi")
+      .select(col(idCol), col("s").cast("long").as("s"),
+        (col("s") + shingleN).cast("long").as("e"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("s"))
+    val prevMaxEnd = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("__brk", when(col("s") > coalesce(prevMaxEnd, lit(-1L)), 1).otherwise(0))
+      .withColumn("__g", sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("s")).as("cut_start"), max(col("e")).as("cut_end"),
+        count(lit(1)).as("n_spans"))
+      .drop("__g")
   }
 
   /** BROADCAST decontamination — the zero-shuffle twin of

@@ -306,6 +306,22 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(3000))
   }
 
+  test("spanCuts merges overlapping duplicated spans into intervals; within-doc repeats don't cut") {
+    val docs = Seq(
+      (1L, "a b c d e f"),            // dup spans at 0,1 (with d2) and 3 (with d5)
+      (2L, "x a b c d y"),            // dup spans at 1,2
+      (4L, "m n o m n o m n o"),      // repeats only WITHIN itself → clean
+      (5L, "a b c z z z d e f")       // dup at 0 and 6 → two DISJOINT intervals
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanCuts(docs, "doc_id", "text", shingleN = 3)
+      .orderBy("doc_id", "cut_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 6L, 3L),   // [0,4) from spans 0,1 chains into [3,6) from span 3
+      (2L, 1L, 5L, 2L),
+      (5L, 0L, 3L, 1L), (5L, 6L, 9L, 1L)))
+  }
+
   test("dupSpans: cross-doc shared spans counted per doc, clean docs report zero") {
     // docs 1/2 share the span "the quick fox"; doc 3 is clean; doc 4
     // repeats a span internally (within-doc repeat is NOT duplication)

@@ -118,7 +118,22 @@ object GraftExtensions {
       (children: Seq[Expression]) => KllMergeAgg(children(0)).toAggregateExpression()),
     (new FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
-      (children: Seq[Expression]) => KllQuantile(children(0), children(1))))
+      (children: Seq[Expression]) => KllQuantile(children(0), children(1))),
+    (new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (children: Seq[Expression]) => {
+        def strArray(e: Expression, name: String): Seq[String] = e.eval(null) match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+          case other => throw new IllegalArgumentException(
+            s"bpe_encode $name must be a literal array<string>, got $other")
+        }
+        val lefts = strArray(children(1), "merge lefts")
+        val rights = strArray(children(2), "merge rights")
+        require(lefts.length == rights.length,
+          s"bpe_encode merge halves differ: ${lefts.length} vs ${rights.length}")
+        BpeEncode(children(0), lefts.zip(rights))
+      }))
 
   // ---- SQL table functions over the native join execs ----------------
   //

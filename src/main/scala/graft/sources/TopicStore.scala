@@ -50,6 +50,36 @@ object TopicStore {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Bucket on join keys AND sort inside each bucket by (keys ++
+    * sortCols) — the sort-merge-bucket (SMB) layout for the ORDERED
+    * join family: AsOfJoinExec/RangeJoinExec require clustering on the
+    * key plus (key, time) order, and a bucket-sorted read satisfies
+    * BOTH, so the time joins plan with ZERO exchange and ZERO sort —
+    * the whole join cost at 100 TB is the two scans.
+    *
+    * The input is repartitioned to exactly `buckets` partitions on the
+    * keys (same hash family as the bucket spec), so each task writes
+    * one file per bucket — the one-file-per-bucket invariant Spark's
+    * scan needs to report the sort order (multiple files per bucket
+    * cannot be read as one sorted stream and silently drop the
+    * ordering). Readers must opt in with
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (Spark
+    * 3.0+ stopped reporting bucket sort order by default; this writer
+    * guarantees the invariant that conf assumes). Spec-pinned:
+    * TopicStoreSpec's SMB test asserts the zero-exchange-zero-sort
+    * as-of plan.
+    */
+  def writeBucketedSorted(df: DataFrame, table: String, keys: Seq[String],
+                          sortCols: Seq[String], buckets: Int): Unit = {
+    val all = keys ++ sortCols
+    df.repartition(buckets, keys.map(col): _*)
+      .write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(all.head, all.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Parse a semi-structured JSON payload column into typed columns with
     * an explicit schema (the reference's YAML "clean column" parse —
     * service/app/main.py:100-113 — done declaratively; no inference scan).

@@ -7,7 +7,8 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 import graft.SparkSpec
 
-class TopicStoreSpec extends SparkSpec {
+class TopicStoreSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   private lazy val base = {
@@ -69,6 +70,53 @@ class TopicStoreSpec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(2000))
     assert(joined.count() == 2)
+  }
+
+  test("SMB layout: as-of join over bucket-sorted tables plans ZERO exchange and ZERO sort") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    Seq("ts_smb_l", "ts_smb_r").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val l = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 10L, "c"), (3L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 5L, 1.0), (1L, 20L, 2.0), (2L, 50L, 9.0))
+      .toDF("k", "rt", "v")
+    TopicStore.writeBucketedSorted(l, "ts_smb_l", Seq("k"), Seq("t"), buckets = 4)
+    TopicStore.writeBucketedSorted(r, "ts_smb_r", Seq("k"), Seq("rt"), buckets = 4)
+    // Spark 3.0+ stopped REPORTING bucketed sort order by default (the
+    // one-file-per-bucket check was deemed too easy to regress); the SMB
+    // read explicitly opts back in — writeBucketedSorted guarantees the
+    // invariant the conf assumes
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val joined = graft.operators.AsOfJoin.asOfNative(
+      spark.table("ts_smb_l"), spark.table("ts_smb_r"),
+      Seq("k"), "t", "rt", Seq("v"))
+    val got = joined.orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(r.fieldIndex("v")))))
+    assert(got.toSeq == Seq(
+      (1L, 10L, Some(1.0)), (1L, 25L, Some(2.0)),
+      (2L, 10L, None), (3L, 7L, None)))
+    // the storage paid the shuffle+sort at write time; the join pays
+    // NOTHING but the scans (orderBy above is the only exchange/sort,
+    // so inspect the as-of subtree: nothing below the AsOfJoin node)
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan
+    val asOfs = collectWithSubqueries(plan) { case a: graft.plans.AsOfJoinExec => a }
+    assert(asOfs.nonEmpty, s"no AsOfJoinExec in:\n$plan")
+    assert(collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"SMB as-of must not exchange:\n$plan")
+    assert(collectWithSubqueries(plan) { case s: SortExec => s }.isEmpty,
+      s"SMB as-of must not sort:\n$plan")
+    spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
   }
 
   test("parseJsonPayload extracts typed fields with explicit schema") {

@@ -97,6 +97,40 @@ object Bench {
       runs(runs.size / 2)
     }
     val asofOp = s"""{"window":${asofRawSafe("window")},"native":${asofRawSafe("native")},"broadcast":${asofRawSafe("broadcast")}}"""
+    // operator-level top-k per group: the window row_number form shuffles
+    // EVERY event row to its group, the bounded-heap aggregate ships
+    // groups·k partial entries — the gap is the whole point at scale.
+    // Same no-terminal-sort, fresh-execution methodology as asofRaw.
+    def topkRawSafe(variant: String): Double =
+      try topkRaw(variant) catch { case _: Throwable => -1.0 }
+    def topkRaw(variant: String): Double = {
+      import org.apache.spark.sql.functions._
+      graft.plans.GraftExtensions.register(spark)
+      val e = sources.Tables.events(spark, sfDir)
+      def build() = variant match {
+        case "agg" =>
+          e.groupBy(col("user_id"))
+            .agg(call_function("top_k",
+              struct(col("value"), col("event_id")), col("event_id"), lit(5)).as("tk"))
+            .select(col("user_id"), explode(col("tk")).as("e"))
+        case _ =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("value").desc, col("event_id").desc)
+          e.select(col("user_id"), col("event_id"), col("value"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 5)
+      }
+      build().queryExecution.toRdd.count()
+      val runs = (1 to 5).map { _ =>
+        val df = build()
+        val t0 = System.nanoTime()
+        df.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      runs(runs.size / 2)
+    }
+    val topkOp = s"""{"window":${topkRawSafe("window")},"agg":${topkRawSafe("agg")}}"""
     // adaptive precision: the harness that snapshots this output keeps only
     // the LAST ~2000 characters of the run log, so the final line must stay
     // comfortably under that (76 queries at full double precision is ~4 KB
@@ -205,7 +239,7 @@ object Bench {
     // full diagnostics: rows/s, history, per-query full precision — written
     // to a repo file (committed per round as BENCH_local_r{N}) and logged
     // EARLY so the tail-window snapshot is spent on the compact line below
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp$scalingFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es), per-query median of successful samples; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp$scalingFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es), per-query median of successful samples; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
     val fw = new java.io.OutputStreamWriter(
       new java.io.FileOutputStream("BENCH_full.json"),
       java.nio.charset.StandardCharsets.UTF_8)
@@ -224,7 +258,7 @@ object Bench {
     def compactLine(withAsof: Boolean, scalingPart: Option[String]): String = {
       // "asof" here = asof_operator_level in BENCH_full.json (short key
       // to spend the snapshot window on per-query times)
-      val asof = if (withAsof) s""","asof":$asofOp""" else ""
+      val asof = if (withAsof) s""","asof":$asofOp,"topk":$topkOp""" else ""
       val sc = scalingPart.map(s => s""","scaling":$s""").getOrElse("")
       // sf as basename: the full path is in BENCH_full.json, and every
       // character here buys snapshot-window margin

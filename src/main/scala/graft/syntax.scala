@@ -128,5 +128,26 @@ object syntax {
 
     def zorderWrite(colA: String, colB: String, path: String, numFiles: Int): Unit =
       graft.sources.ZOrderStore.write(df, colA, colB, path, numFiles)
+
+    def topKPerGroup(n: Int): DataFrame =
+      Analytics.topNPerGroupAgg(df, n)
+
+    def dupSpans(idCol: String, textCol: String, shingleN: Int = 3): DataFrame =
+      Dedup.dupSpans(df, idCol, textCol, shingleN)
+
+    def spanCuts(idCol: String, textCol: String, shingleN: Int = 3): DataFrame =
+      Dedup.spanCuts(df, idCol, textCol, shingleN)
+
+    def snapshotDiff(newSnap: DataFrame, idCol: String, textCol: String): DataFrame =
+      Corpus.snapshotDiff(df, newSnap, idCol, textCol)
+
+    def bpeEncodeWith(merges: Seq[(String, String)], textCol: String): DataFrame = {
+      graft.plans.GraftExtensions.register(df.sparkSession)
+      df.withColumn("bpe_tokens",
+        graft.functions.Bpe.encode(org.apache.spark.sql.functions.col(textCol), merges))
+    }
+
+    def quantileRollup(bucketCol: Column, valueCol: Column, k: Int = 200): DataFrame =
+      Analytics.quantileRollup(df, bucketCol, valueCol, k)
   }
 }

@@ -322,6 +322,39 @@ class DedupSpec extends SparkSpec {
       (5L, 0L, 3L, 1L), (5L, 6L, 9L, 1L)))
   }
 
+  test("property: spanCuts ≡ brute-force interval computation on random corpora") {
+    val rnd = new scala.util.Random(29) // deterministic
+    val n = 3
+    (1 to 5).foreach { round =>
+      // tiny alphabet + short docs → dense cross-doc span collisions
+      val docs = (1L to 12L).map { id =>
+        val len = 3 + rnd.nextInt(8)
+        (id, (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar.toString).mkString(" "))
+      }
+      // brute force: positional spans, cross-doc dup set, interval merge
+      val spansOf: Map[Long, IndexedSeq[(Int, String)]] = docs.map { case (id, t) =>
+        val toks = t.split(" ")
+        id -> (0 to toks.length - n).map(i => (i, toks.slice(i, i + n).mkString(" ")))
+      }.toMap
+      val docFreq = spansOf.toSeq.flatMap { case (id, sp) => sp.map(_._2).distinct.map((id, _)) }
+        .groupBy(_._2).view.mapValues(_.size).toMap
+      val expect = spansOf.toSeq.flatMap { case (id, sp) =>
+        val hits = sp.collect { case (i, s) if docFreq(s) >= 2 => (i.toLong, (i + n).toLong) }
+        // merge [s, e) intervals, counting members
+        val merged = hits.sortBy(_._1).foldLeft(Vector.empty[(Long, Long, Long)]) {
+          case (acc, (s, e)) if acc.nonEmpty && s <= acc.last._2 =>
+            val (ps, pe, c) = acc.last
+            acc.init :+ ((ps, math.max(pe, e), c + 1))
+          case (acc, (s, e)) => acc :+ ((s, e, 1L))
+        }
+        merged.map { case (s, e, c) => (id, s, e, c) }
+      }.toSet
+      val got = Dedup.spanCuts(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expect, s"round $round:\n got=$got\n exp=$expect")
+    }
+  }
+
   test("dupSpans: cross-doc shared spans counted per doc, clean docs report zero") {
     // docs 1/2 share the span "the quick fox"; doc 3 is clean; doc 4
     // repeats a span internally (within-doc repeat is NOT duplication)

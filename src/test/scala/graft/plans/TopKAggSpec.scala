@@ -81,6 +81,37 @@ class TopKAggSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out.toSeq == Seq((1, Seq(30L, 10L)), (2, Seq(7L))))
   }
 
+  test("property: top_k ≡ window row_number form on random tables (ties, nulls, sub-k groups)") {
+    val rnd = new scala.util.Random(13) // deterministic
+    (1 to 6).foreach { round =>
+      val n = 50 + rnd.nextInt(150)
+      val k = 1 + rnd.nextInt(4)
+      // small value space forces ORD TIES (broken by id via the struct);
+      // null v inside the struct sorts SMALLEST (the struct itself is
+      // non-null, so the row still participates — last in descending
+      // order), mirrored by desc_nulls_last on the window side
+      val rows = (0 until n).map { i =>
+        (rnd.nextInt(7).toLong,
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(5).toDouble),
+          i.toLong)
+      }
+      val df = rows.toDF("g", "v", "id")
+      GraftExtensions.register(spark)
+      val agg = df.groupBy($"g")
+        .agg(call_function("top_k", struct($"v", $"id"), $"id", lit(k)).as("tk"))
+        .select($"g", posexplode($"tk"))
+        .select($"g", (col("pos") + 1).cast("long").as("rn"), $"col.val".as("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"v".desc_nulls_last, $"id".desc)
+      val win = df
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= k).select($"g", $"rn", $"id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(agg == win, s"round $round k=$k:\n agg=$agg\n win=$win")
+    }
+  }
+
   test("top_k serialization round-trips string ord/payload across a forced shuffle") {
     GraftExtensions.register(spark)
     // many partitions + repartition forces partial buffers through

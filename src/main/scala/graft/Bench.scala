@@ -131,6 +131,72 @@ object Bench {
       runs(runs.size / 2)
     }
     val topkOp = s"""{"window":${topkRawSafe("window")},"agg":${topkRawSafe("agg")}}"""
+    // ---- streaming throughput: rows/sec through stateful pipelines ----
+    // MemoryStream-fed micro-batches (4 × 50k rows) through three state
+    // shapes: watermarked windowed agg (builtin state), as-of
+    // flatMapGroupsWithState (custom state), watermark dedup. Measures
+    // the micro-batch execution path end to end (planning + state store
+    // + sink); -1 on failure like every other section.
+    def streamSafe(f: => Double): Double =
+      try f catch { case _: Throwable => -1.0 }
+    def rate(totalRows: Long)(run: () => Unit): Double = {
+      val t0 = System.nanoTime()
+      run()
+      math.round(totalRows / ((System.nanoTime() - t0) / 1e9)).toDouble
+    }
+    val streamingOp: String = {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val batches = 4
+      val per = 50000
+      val total = batches.toLong * per
+      val wa = streamSafe {
+        val mem = MemoryStream[streaming.Streaming.EventRow]
+        val q = streaming.Streaming.windowedCounts(mem.toDF())
+          .writeStream.format("memory").queryName("bench_wa")
+          .outputMode("update").start()
+        try rate(total) { () =>
+          (0 until batches).foreach { b =>
+            mem.addData((0 until per).map(i => streaming.Streaming.EventRow(
+              (i % 1000).toLong, (b.toLong * per + i) * 60000000L,
+              if (i % 3 == 0) "click" else "view", i.toDouble)))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      val asof = streamSafe {
+        val mem = MemoryStream[streaming.Streaming.TaggedRow]
+        val q = streaming.Streaming.asOfStream(mem.toDS())
+          .writeStream.format("memory").queryName("bench_asof")
+          .outputMode("append").start()
+        try rate(total) { () =>
+          (0 until batches).foreach { b =>
+            mem.addData((0 until per).map { i =>
+              streaming.Streaming.TaggedRow((i % 2000).toLong,
+                (b.toLong * per + i) * 1000L, i % 3 != 0, (i % 97).toDouble)
+            })
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      val dedup = streamSafe {
+        val mem = MemoryStream[(Long, String)]
+        val q = streaming.Streaming.dedupStream(
+          mem.toDF().toDF("ts_us", "fp"), "ts_us", "fp")
+          .writeStream.format("memory").queryName("bench_dedup")
+          .outputMode("append").start()
+        try rate(total) { () =>
+          (0 until batches).foreach { b =>
+            mem.addData((0 until per).map { i =>
+              ((b.toLong * per + i) * 1000L, "fp" + (i % 25000)) // 50% dups
+            })
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      s"""{"windowed_agg":$wa,"asof":$asof,"dedup":$dedup,"unit":"rows_per_sec"}"""
+    }
     // adaptive precision: the harness that snapshots this output keeps only
     // the LAST ~2000 characters of the run log, so the final line must stay
     // comfortably under that (76 queries at full double precision is ~4 KB
@@ -239,7 +305,7 @@ object Bench {
     // full diagnostics: rows/s, history, per-query full precision — written
     // to a repo file (committed per round as BENCH_local_r{N}) and logged
     // EARLY so the tail-window snapshot is spent on the compact line below
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp$scalingFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es), per-query median of successful samples; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"streaming":$streamingOp$scalingFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es), per-query median of successful samples; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
     val fw = new java.io.OutputStreamWriter(
       new java.io.FileOutputStream("BENCH_full.json"),
       java.nio.charset.StandardCharsets.UTF_8)

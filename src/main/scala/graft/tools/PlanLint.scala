@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Physical-plan LINT — the 100 TB plan-review checklist as code. Every
+  * rule here is a scale failure mode this engine designs against; the
+  * lint makes the review mechanical for user-written compositions:
+  *
+  *  - `single-partition-window` (error): a window with no PARTITION BY
+  *    moves every row to one task — the classic silent scale killer.
+  *  - `cartesian` (error): CartesianProduct / BroadcastNestedLoopJoin —
+  *    usually a missing join condition.
+  *  - `scala-udf` (warn): opaque to codegen AND to pushdown/pruning.
+  *  - `missed-pushdown` (warn): a Filter directly above a parquet scan
+  *    with NO pushed filters — the predicate shape defeated the source
+  *    (e.g. a cast or UDF around the column).
+  *  - `codegen-fallback` (info): interpreted expressions; fine for
+  *    heavy kernels (this library's fused md5/geometry expressions are
+  *    deliberate fallbacks — dispatch is not their cost), a smell in
+  *    arithmetic-heavy projections.
+  *  - `exchange` (info): shuffle count — the number to watch as data
+  *    grows.
+  *
+  * Works on executed AND adaptive plans (query stages included).
+  */
+object PlanLint extends AdaptiveSparkPlanHelper {
+
+  final case class Finding(severity: String, kind: String, detail: String)
+
+  def lint(df: DataFrame): Seq[Finding] = {
+    val plan = df.queryExecution.executedPlan
+    val nodes = collectWithSubqueries(plan) { case p => p }
+    lintNodes(nodes)
+  }
+
+  /** Skip the row-format adapters between an operator and its scan. */
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case c: org.apache.spark.sql.execution.ColumnarToRowExec => unwrap(c.child)
+    case i: org.apache.spark.sql.execution.InputAdapter => unwrap(i.child)
+    case w: org.apache.spark.sql.execution.WholeStageCodegenExec => unwrap(w.child)
+    case other => other
+  }
+
+  private def lintNodes(nodes: Seq[SparkPlan]): Seq[Finding] = {
+    val findings = Seq.newBuilder[Finding]
+
+    nodes.foreach {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        findings += Finding("error", "single-partition-window",
+          s"window [${w.windowExpression.map(_.sql).mkString(", ")}] has no PARTITION BY — " +
+            "all rows move to ONE task")
+      case _: CartesianProductExec =>
+        findings += Finding("error", "cartesian",
+          "CartesianProduct — usually a missing join condition")
+      case j: BroadcastNestedLoopJoinExec =>
+        findings += Finding("error", "cartesian",
+          s"BroadcastNestedLoopJoin (${j.joinType}) — non-equi or conditionless join")
+      case f: FilterExec => unwrap(f.child) match {
+        // IsNotNull rides along for free; pushdown only HELPS when a
+        // comparison reaches the source, so IsNotNull-only counts as
+        // defeated (the common cast-around-the-column shape pushes
+        // IsNotNull and nothing else)
+        case scan: FileSourceScanExec if {
+          val pushed = scan.metadata.getOrElse("PushedFilters", "[]")
+            .stripPrefix("[").stripSuffix("]").split(",").map(_.trim).filter(_.nonEmpty)
+          pushed.forall(_.startsWith("IsNotNull"))
+        } =>
+          findings += Finding("warn", "missed-pushdown",
+            s"Filter [${f.condition.sql.take(120)}] sits on a parquet scan with no " +
+              "effective pushed filters — the predicate shape defeats the source " +
+              "(cast/UDF around the column?)")
+        case _ =>
+      }
+      case _ =>
+    }
+
+    val exchanges = nodes.collect { case e: ShuffleExchangeExec => e }
+    if (exchanges.nonEmpty) {
+      findings += Finding("info", "exchange",
+        s"${exchanges.size} shuffle exchange(s): " +
+          exchanges.map(_.outputPartitioning.toString.take(60)).mkString("; "))
+    }
+
+    val udfs = nodes.flatMap(_.expressions.flatMap(_.collect { case u: ScalaUDF => u }))
+    udfs.foreach { u =>
+      findings += Finding("warn", "scala-udf",
+        s"ScalaUDF ${u.udfName.getOrElse("<anon>")} — invisible to codegen, pushdown, and pruning")
+    }
+
+    val fallbacks = nodes.flatMap(_.expressions.flatMap(_.collect {
+      case e: CodegenFallback if e.getClass.getName.startsWith("graft") => e
+    })).map(_.prettyName).distinct
+    if (fallbacks.nonEmpty) {
+      findings += Finding("info", "codegen-fallback",
+        s"interpreted kernels in plan: ${fallbacks.mkString(", ")} (deliberate for " +
+          "md5/geometry-heavy kernels; a smell in light arithmetic)")
+    }
+
+    findings.result()
+  }
+
+  /** Human-readable report, worst first; "clean" when nothing fired. */
+  def report(df: DataFrame): String = {
+    val sevRank = Map("error" -> 0, "warn" -> 1, "info" -> 2)
+    val fs = lint(df).sortBy(f => sevRank(f.severity))
+    if (fs.isEmpty) "plan lint: clean"
+    else fs.map(f => s"[${f.severity}] ${f.kind}: ${f.detail}").mkString("\n")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tools.PlanLint
+
+class PlanLintSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flags a partition-less window as an error") {
+    val df = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")
+      .withColumn("rn", row_number().over(Window.orderBy($"v")))
+    df.collect()
+    val fs = PlanLint.lint(df)
+    assert(fs.exists(f => f.severity == "error" && f.kind == "single-partition-window"), fs)
+  }
+
+  test("flags cartesian joins and Scala UDFs") {
+    val udfInc = udf((x: Long) => x + 1)
+    val a = Seq(1L, 2L).toDF("x")
+    val b = Seq(3L, 4L).toDF("y")
+    val df = a.crossJoin(b).select(udfInc($"x").as("x1"), $"y")
+    df.collect()
+    val fs = PlanLint.lint(df)
+    assert(fs.exists(f => f.severity == "error" && f.kind == "cartesian"), fs)
+    assert(fs.exists(f => f.severity == "warn" && f.kind == "scala-udf"), fs)
+  }
+
+  test("flags a filter whose shape defeats parquet pushdown; clean pushdown passes") {
+    val dir = java.nio.file.Files.createTempDirectory("lint").toString
+    try {
+      spark.range(100).select($"id", ($"id" * 2).as("v")).write.parquet(s"$dir/t")
+      // cast around the column defeats the source filter
+      val bad = spark.read.parquet(s"$dir/t")
+        .filter($"id".cast("string") === "7")
+      bad.collect()
+      assert(PlanLint.lint(bad).exists(_.kind == "missed-pushdown"),
+        PlanLint.report(bad))
+      // the plain comparison pushes down → no warning
+      val good = spark.read.parquet(s"$dir/t").filter($"id" === 7)
+      good.collect()
+      assert(!PlanLint.lint(good).exists(_.kind == "missed-pushdown"),
+        PlanLint.report(good))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("reports graft interpreted kernels as info, counts exchanges, clean plan is clean") {
+    GraftExtensions.register(spark)
+    // a real source: a LOCAL relation would be constant-folded wholesale
+    // (ConvertToLocalRelation evaluates the kernel at plan time)
+    val docs = spark.range(2).select($"id".as("doc_id"),
+      concat_ws(" ", lit("a"), lit("b"), lit("c"), $"id".cast("string")).as("text"))
+    val df = docs.select($"doc_id",
+      call_function("minhash_slots_tokens",
+        split($"text", " "), lit(3), lit(8)).as("sig"))
+    df.collect()
+    val fs = PlanLint.lint(df)
+    assert(fs.exists(f => f.severity == "info" && f.kind == "codegen-fallback" &&
+      f.detail.contains("minhash_slots_tokens")), fs)
+    // map-side only: no exchange finding
+    assert(!fs.exists(_.kind == "exchange"), fs)
+    assert(!fs.exists(_.severity == "error"), fs)
+    // an aggregate adds exactly one exchange finding (enough rows that
+    // AQE doesn't plan the tiny shuffle away)
+    val big = spark.range(100000).select(($"id" % 1000).as("doc_id"))
+    val agg = big.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    agg.collect()
+    val fs2 = PlanLint.lint(agg)
+    assert(fs2.exists(f => f.kind == "exchange" && f.detail.startsWith("1 shuffle")), fs2)
+  }
+}

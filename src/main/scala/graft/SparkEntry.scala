@@ -264,6 +264,15 @@ object SparkEntry {
           col("pmin"), col("pmax"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_histogram_quantile" -> ((s, d) => {
+      // exact re-aggregable quantiles: per-day value histograms (domain-
+      // bounded), merged across all days, type-1 quantile walk
+      val e = eventsUs(s, d)
+      val hist = Analytics.histogramRollup(e,
+        (col("ts_us") - pmod(col("ts_us"), lit(86400000000L))).as("day"),
+        col("value"), scale = 2)
+      Analytics.histogramQuantiles(hist, Seq(0.5, 0.95, 0.99))
+    }),
     "q_date_trunc" -> ((s, d) =>
       eventsUs(s, d)
         .withColumn("wk", unix_micros(date_trunc("week", timestamp_micros(col("ts_us")))))
@@ -1416,6 +1425,16 @@ object SparkEntry {
         |  round(min(l_extendedprice), 4) AS pmin,
         |  round(max(l_extendedprice), 4) AS pmax
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_histogram_quantile" ->
+      """WITH h AS (SELECT round(value, 2) AS v, count(*) AS n
+        |           FROM events GROUP BY v),
+        |c AS (SELECT v, sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |        (SELECT sum(n) FROM h) AS total FROM h)
+        |SELECT
+        |  (SELECT min(v) FROM c WHERE cum >= ceil(0.50 * total)) AS p50,
+        |  (SELECT min(v) FROM c WHERE cum >= ceil(0.95 * total)) AS p95,
+        |  (SELECT min(v) FROM c WHERE cum >= ceil(0.99 * total)) AS p99,
+        |  CAST((SELECT total FROM c LIMIT 1) AS BIGINT) AS n_rows""".stripMargin,
     "q_date_trunc" ->
       """SELECT epoch_us(date_trunc('week', make_timestamp(epoch_us(ts)))) AS wk,
         |  count(*) AS n_events, count(DISTINCT user_id) AS n_users

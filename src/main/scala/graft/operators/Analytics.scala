@@ -236,6 +236,40 @@ object Analytics {
       hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("nd_estimate"),
       sum(col("n_rows")).as("n_rows"))
 
+  /** EXACT re-aggregable quantiles via VALUE HISTOGRAMS — the exact
+    * complement of [[quantileRollup]]'s bounded-error sketches, for
+    * value domains that round to a bounded set (prices to cents, scores
+    * to k decimals): one (bucket, value, count) row per bucket+value,
+    * re-aggregable to any bucket range by summing counts, quantiles
+    * exact at the rounding resolution.
+    *
+    * Shape at 100 TB: the rollup is one map-side-combined aggregate;
+    * the exchange carries buckets × distinct-values rows — bounded by
+    * the DOMAIN, not the data.
+    */
+  def histogramRollup(df: DataFrame, bucketCol: Column, valueCol: Column,
+                      scale: Int = 2): DataFrame =
+    df.groupBy(bucketCol.as("bucket"), round(valueCol, scale).as("v"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Type-1 (inclusive, no interpolation) quantiles from histogram rows:
+    * smallest v whose cumulative count reaches ceil(q·N). The window
+    * runs over the MERGED histogram — cardinality = distinct rounded
+    * values, so the single partition is domain-bounded, not data-bounded
+    * (the one case a partition-less window is correct at scale).
+    */
+  def histogramQuantiles(hist: DataFrame, quantiles: Seq[Double]): DataFrame = {
+    val merged = hist.groupBy(col("v")).agg(sum(col("n")).as("n"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = merged.withColumn("cum", sum(col("n")).over(w))
+    val total = merged.agg(sum(col("n")).as("total"))
+    val cols = quantiles.map { q =>
+      min(when(col("cum") >= ceil(lit(q) * col("total")), col("v")))
+        .as(s"p${(q * 100).round}")
+    } :+ max(col("total")).cast("long").as("n_rows")
+    cum.crossJoin(broadcast(total)).agg(cols.head, cols.tail: _*)
+  }
+
   /** MERGEABLE QUANTILE sketch table — the quantile twin of
     * [[sketchRollup]] ("p99 latency per day, re-aggregable to any date
     * range without rescanning"): one KLL sketch row per bucket

@@ -66,4 +66,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(merged.getLong(0) - 3171L).toDouble / 3171 <= 0.05,
       s"estimate ${merged.getLong(0)} too far from 3171")
   }
+
+  test("histogram rollup: merged-bucket quantiles exact, ≡ direct computation") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // 1..100 spread across 4 buckets: type-1 p50 = 50, p95 = 95
+    val df = spark.range(1, 101).select(($"id" % 4).as("b"), $"id".cast("double").as("x"))
+    val hist = Analytics.histogramRollup(df, col("b"), col("x"))
+    assert(hist.count() == 100) // 100 distinct values spread over buckets
+    val q = Analytics.histogramQuantiles(hist, Seq(0.5, 0.95)).collect()(0)
+    assert(q.getDouble(0) == 50.0 && q.getDouble(1) == 95.0 && q.getLong(2) == 100L, q.toString)
+    // mergeability: a bucket-range re-aggregation ≡ computing over the
+    // range's raw rows directly
+    val range = hist.filter($"bucket".isin(1, 2))
+    val viaHist = Analytics.histogramQuantiles(range, Seq(0.5)).collect()(0)
+    val raw = df.filter($"b".isin(1, 2))
+    val direct = Analytics.histogramQuantiles(
+      Analytics.histogramRollup(raw, col("b"), col("x")), Seq(0.5)).collect()(0)
+    assert(viaHist == direct, s"$viaHist vs $direct")
+  }
 }

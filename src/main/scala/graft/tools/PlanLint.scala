@@ -40,6 +40,27 @@ object PlanLint extends AdaptiveSparkPlanHelper {
     lintNodes(nodes)
   }
 
+  /** Conservatively: can this subtree emit more than one row? A global
+    * aggregate (no grouping expressions) emits exactly one; projections,
+    * filters, limits ≤ 1, and exchange/codegen wrappers preserve the
+    * bound. Anything unrecognized counts as many-rowed.
+    */
+  private def maxOneRow(p: SparkPlan): Boolean = p match {
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      a.groupingExpressions.isEmpty
+    case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => maxOneRow(e.child)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => maxOneRow(r.child)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => maxOneRow(q.plan)
+    case w: org.apache.spark.sql.execution.WholeStageCodegenExec => maxOneRow(w.child)
+    case i: org.apache.spark.sql.execution.InputAdapter => maxOneRow(i.child)
+    case c: org.apache.spark.sql.execution.ColumnarToRowExec => maxOneRow(c.child)
+    case pr: org.apache.spark.sql.execution.ProjectExec => maxOneRow(pr.child)
+    case f: FilterExec => maxOneRow(f.child)
+    case g: org.apache.spark.sql.execution.GlobalLimitExec =>
+      g.limit <= 1 || maxOneRow(g.child)
+    case _ => false
+  }
+
   /** Skip the row-format adapters between an operator and its scan. */
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case c: org.apache.spark.sql.execution.ColumnarToRowExec => unwrap(c.child)
@@ -56,10 +77,15 @@ object PlanLint extends AdaptiveSparkPlanHelper {
         findings += Finding("error", "single-partition-window",
           s"window [${w.windowExpression.map(_.sql).mkString(", ")}] has no PARTITION BY — " +
             "all rows move to ONE task")
-      case _: CartesianProductExec =>
+      // a conditionless join against a provably ≤1-row side is the
+      // attach-the-corpus-statistics pattern (crossJoin(broadcast(agg)))
+      // — row multiplication is impossible, so it is not a scale error
+      case c: CartesianProductExec
+          if !maxOneRow(c.left) && !maxOneRow(c.right) =>
         findings += Finding("error", "cartesian",
           "CartesianProduct — usually a missing join condition")
-      case j: BroadcastNestedLoopJoinExec =>
+      case j: BroadcastNestedLoopJoinExec
+          if !maxOneRow(j.left) && !maxOneRow(j.right) =>
         findings += Finding("error", "cartesian",
           s"BroadcastNestedLoopJoin (${j.joinType}) — non-equi or conditionless join")
       case f: FilterExec => unwrap(f.child) match {

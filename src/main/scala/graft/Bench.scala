@@ -131,6 +131,48 @@ object Bench {
       runs(runs.size / 2)
     }
     val topkOp = s"""{"window":${topkRawSafe("window")},"agg":${topkRawSafe("agg")}}"""
+    // ---- operator-level SMB: the storage-side join answer ----
+    // as-of over bucket-sorted tables (zero exchange, zero sort — the
+    // write paid the shuffle once) vs the same join over plain parquet.
+    // Both sides read from disk; only the join's own work differs.
+    def smbRawSafe(): String =
+      try smbRaw() catch { case _: Throwable => """{"plain":-1,"smb":-1}""" }
+    def smbRaw(): String = {
+      import org.apache.spark.sql.functions._
+      val e = sources.Tables.events(spark, sfDir).withColumn("ts_us", expr("ts DIV 1000"))
+      val left = e.select(col("event_id"), col("user_id"), col("ts_us").as("t"))
+      val right = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("rt"), col("value").as("pval"))
+      val tmp = java.nio.file.Files.createTempDirectory("bench_smb").toString
+      left.write.mode("overwrite").parquet(s"$tmp/l")
+      right.write.mode("overwrite").parquet(s"$tmp/r")
+      Seq("bench_smb_l", "bench_smb_r").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      sources.TopicStore.writeBucketedSorted(left, "bench_smb_l",
+        Seq("user_id"), Seq("t"), buckets = cpus.toInt)
+      sources.TopicStore.writeBucketedSorted(right, "bench_smb_r",
+        Seq("user_id"), Seq("rt"), buckets = cpus.toInt)
+      def median5(build: () => org.apache.spark.sql.DataFrame): Double = {
+        build().queryExecution.toRdd.count()
+        val runs = (1 to 5).map { _ =>
+          val df = build()
+          val t0 = System.nanoTime()
+          df.queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        runs(runs.size / 2)
+      }
+      val plain = median5(() => operators.AsOfJoin.asOfNative(
+        spark.read.parquet(s"$tmp/l"), spark.read.parquet(s"$tmp/r"),
+        Seq("user_id"), "t", "rt", Seq("pval")))
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val smb =
+        try median5(() => operators.AsOfJoin.asOfNative(
+          spark.table("bench_smb_l"), spark.table("bench_smb_r"),
+          Seq("user_id"), "t", "rt", Seq("pval")))
+        finally spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      s"""{"plain":$plain,"smb":$smb}"""
+    }
+    val smbOp = smbRawSafe()
     // ---- streaming throughput: rows/sec through stateful pipelines ----
     // MemoryStream-fed micro-batches (4 × 50k rows) through three state
     // shapes: watermarked windowed agg (builtin state), as-of
@@ -305,7 +347,7 @@ object Bench {
     // full diagnostics: rows/s, history, per-query full precision — written
     // to a repo file (committed per round as BENCH_local_r{N}) and logged
     // EARLY so the tail-window snapshot is spent on the compact line below
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"streaming":$streamingOp$scalingFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es), per-query median of successful samples; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"smb_operator_level":$smbOp,"streaming":$streamingOp$scalingFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es), per-query median of successful samples; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
     val fw = new java.io.OutputStreamWriter(
       new java.io.FileOutputStream("BENCH_full.json"),
       java.nio.charset.StandardCharsets.UTF_8)

@@ -37,6 +37,18 @@ case class AsOfJoinNode(
 
   override def output: Seq[Attribute] = left.output ++ rightValues.map(_.withNullability(true))
 
+  // the visitor DEFAULT for a custom binary node is the PRODUCT of the
+  // children's sizeInBytes — for a 1 MB as-of over a 1 MB timeline that
+  // reads as a terabyte and no downstream join would ever broadcast the
+  // result. The as-of is left-preserving 1:1, so the honest estimate is
+  // exactly |left| rows, ≤ left+right bytes per row.
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes,
+      rowCount = left.stats.rowCount)
+
+  override def maxRows: Option[Long] = left.maxRows
+
   override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
     copy(left = newLeft, right = newRight)
 }

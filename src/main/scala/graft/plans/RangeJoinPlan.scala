@@ -74,6 +74,15 @@ case class RangeJoinNode(
   override def output: Seq[Attribute] =
     left.output ++ (rightTime +: rightValues).map(_.withNullability(true))
 
+  // band joins can multi-match, so the row count is unknown — but the
+  // visitor default (PRODUCT of child sizes) models the output as a full
+  // cartesian, which no real band produces. Estimate left+right bytes
+  // (the typical narrow-band shape is ~O(left) rows); AQE re-plans any
+  // downstream decision from the true runtime sizes anyway.
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = left.stats.sizeInBytes + right.stats.sizeInBytes)
+
   override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
     copy(left = newLeft, right = newRight)
 }

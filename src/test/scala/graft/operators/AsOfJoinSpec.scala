@@ -412,6 +412,33 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(rendered.contains("RangeJoin"), rendered.take(2000))
   }
 
+  test("native join nodes report honest statistics — a small as-of result broadcasts downstream") {
+    // the stats-visitor DEFAULT for a custom binary node is the PRODUCT
+    // of child sizes: two ~1 MB sides read as ~1 TB and the join below
+    // would sort-merge. With the override the small as-of result
+    // broadcasts against the big table.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.functions._
+    val small = spark.range(20000).select($"id".as("k"), ($"id" * 7 % 1000).as("t"))
+    val smallR = spark.range(20000).select($"id".as("k"), ($"id" * 3 % 1000).as("rt"),
+      ($"id" % 97).cast("double").as("v"))
+    val asOf = AsOfJoin.asOfNative(small, smallR, Seq("k"), "t", "rt", Seq("v"))
+    // stats flow: sum, not product
+    val node = asOf.queryExecution.optimizedPlan.collectFirst {
+      case n: graft.plans.AsOfJoinNode => n }.get
+    val sumOfChildren = node.left.stats.sizeInBytes + node.right.stats.sizeInBytes
+    assert(node.stats.sizeInBytes == sumOfChildren,
+      s"as-of stats ${node.stats.sizeInBytes} != children sum $sumOfChildren")
+    val big = spark.range(2000000).select(($"id" % 20000).as("k"), $"id".as("payload"))
+    val joined = asOf.join(big, "k")
+    joined.collect()
+    val bhj = collectWithSubqueries(joined.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty,
+      s"small as-of result should broadcast:\n${joined.queryExecution.executedPlan}")
+  }
+
   test("downstream same-key agg and join after the native joins elide their exchange AND sort") {
     // outputPartitioning forwards the left child's hash partitioning and
     // outputOrdering is (keys, time) — so a groupBy(key) or sort-merge

@@ -748,4 +748,40 @@ object Streaming {
       .withColumn("event_time", timestamp_micros(col(tsUsCol)))
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(fpCol)
+
+  case class ScoreRow(group: Long, score: Double, id: Long)
+  case class TopKState(entries: Seq[(Double, Long)])
+  case class TopKUpdate(group: Long, top_ids: Seq[Long], top_scores: Seq[Double])
+
+  /** Streaming per-group top-k LEADERBOARD with DELTA emission — the
+    * streaming twin of the `top_k` aggregate, but emitting only on
+    * CHANGE: the complete-mode aggregate re-outputs every group every
+    * batch (complete mode rewrites the whole sink), while this keeps the
+    * current top-k per group in state (O(k) per group) and emits a group
+    * ONLY in the batches where its leaderboard actually changed —
+    * update-mode sinks see churn, not the world.
+    *
+    * Ordering matches the batch aggregate: (score desc, id desc), fully
+    * deterministic. A batch whose rows all score below the incumbent
+    * floor leaves state untouched and emits nothing.
+    */
+  def topKStream(rows: Dataset[ScoreRow], k: Int): Dataset[TopKUpdate] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.group)
+      .flatMapGroupsWithState[TopKState, TopKUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (group: Long, it: Iterator[ScoreRow], state: GroupState[TopKState]) =>
+          val incumbent = state.getOption.map(_.entries).getOrElse(Seq.empty)
+          val merged = (incumbent ++ it.map(r => (r.score, r.id)))
+            .distinct
+            .sortBy { case (s, id) => (-s, -id) }
+            .take(k)
+          if (merged == incumbent) Iterator.empty
+          else {
+            state.update(TopKState(merged))
+            Iterator.single(TopKUpdate(group, merged.map(_._2), merged.map(_._1)))
+          }
+      }
+  }
 }

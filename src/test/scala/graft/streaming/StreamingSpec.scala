@@ -50,6 +50,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topKStream emits a group ONLY in batches where its leaderboard changed") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streaming.ScoreRow]
+    val q = Streaming.topKStream(mem.toDS(), k = 2)
+      .writeStream.format("memory").queryName("tks").outputMode("update").start()
+    try {
+      mem.addData(
+        Streaming.ScoreRow(1L, 10.0, 100L), Streaming.ScoreRow(1L, 30.0, 101L),
+        Streaming.ScoreRow(2L, 5.0, 200L))
+      q.processAllAvailable()
+      val b0 = spark.table("tks").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      assert(b0 == Map(1L -> Seq(101L, 100L), 2L -> Seq(200L)))
+      // batch 2: group 1 gets a NEW leader (emits); group 2's row scores
+      // below nothing... group 2 row 4.0 < incumbent 5.0 but enters the
+      // k=2 board (emits); group 3 appears (emits)
+      mem.addData(
+        Streaming.ScoreRow(1L, 99.0, 102L),
+        Streaming.ScoreRow(2L, 4.0, 201L),
+        Streaming.ScoreRow(3L, 1.0, 300L))
+      q.processAllAvailable()
+      val all = spark.table("tks").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      // update-mode memory sink keeps every emission; group1 appears twice
+      assert(all.count(_._1 == 1L) == 2)
+      assert(all.filter(_._1 == 1L).map(_._2).contains(Seq(102L, 101L)))
+      // batch 3: a row BELOW group 1's floor (30.0 at rank 2) → no change,
+      // NO new emission for group 1
+      mem.addData(Streaming.ScoreRow(1L, 0.5, 103L))
+      q.processAllAvailable()
+      val after = spark.table("tks").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      assert(after.count(_._1 == 1L) == 2, s"below-floor row must not emit: ${after.toSeq}")
+    } finally q.stop()
+  }
+
   test("kll_sketch_agg aggregates across micro-batches (sketch state round-trips)") {
     implicit val sqlCtx = spark.sqlContext
     graft.plans.GraftExtensions.register(spark)

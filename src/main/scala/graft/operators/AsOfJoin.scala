@@ -162,6 +162,34 @@ object AsOfJoin {
       asOfNative(left, right, keys, leftTime, rightTime, valueCols)
   }
 
+  /** Statistics-driven variant selection for the BAND join, mirroring
+    * [[asOfAuto]]: a dimension-sized right side takes the zero-shuffle
+    * broadcast probe ([[rangeJoinBroadcast]]), anything larger the
+    * native sliding-window merge ([[rangeJoinNative]]). The estimate is
+    * Catalyst's (`optimizedPlan.stats.sizeInBytes` — the same number
+    * Spark's own broadcast decision reads); threshold defaults to the
+    * session's `spark.sql.autoBroadcastJoinThreshold`.
+    */
+  def rangeJoinAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTime: String, rightTime: String, valueCols: Seq[String],
+                    lowerUs: Long, upperUs: Long,
+                    broadcastThresholdBytes: Long = -1L): DataFrame = {
+    val threshold =
+      if (broadcastThresholdBytes >= 0) BigInt(broadcastThresholdBytes)
+      else BigInt(left.sparkSession.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760").stripSuffix("b").trim match {
+        case s if s.toLowerCase.endsWith("k") => (s.dropRight(1).toDouble * 1024).toLong
+        case s if s.toLowerCase.endsWith("m") => (s.dropRight(1).toDouble * 1024 * 1024).toLong
+        case s if s.toLowerCase.endsWith("g") => (s.dropRight(1).toDouble * 1024 * 1024 * 1024).toLong
+        case s => s.toLong
+      })
+    val rightSize = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && rightSize <= threshold)
+      rangeJoinBroadcast(left, right, keys, leftTime, rightTime, valueCols, lowerUs, upperUs)
+    else
+      rangeJoinNative(left, right, keys, leftTime, rightTime, valueCols, lowerUs, upperUs)
+  }
+
   /** As-of join with a TOLERANCE (max staleness): like [[asOf]], but a
     * match only holds while the signal is at most `toleranceUs` old —
     * beyond it the value columns null out (the standard as-of staleness

@@ -393,6 +393,19 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(auto.exceptAll(forced).union(forced.exceptAll(auto)).isEmpty)
   }
 
+  test("rangeJoinAuto selects by right-side statistics: broadcast small, merge large") {
+    val left = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 1.0), (1L, 12L, 3.0), (2L, 15L, 2.0)).toDF("k", "rt", "v")
+    val auto = AsOfJoin.rangeJoinAuto(left, right, Seq("k"), "t", "rt", Seq("v"), 10L, 5L)
+    assert(auto.queryExecution.executedPlan.toString.contains("sorted_band_slice"),
+      "tiny right side should take the broadcast form")
+    val forced = AsOfJoin.rangeJoinAuto(left, right, Seq("k"), "t", "rt", Seq("v"), 10L, 5L,
+      broadcastThresholdBytes = 1L)
+    assert(forced.queryExecution.executedPlan.toString.contains("RangeJoin"),
+      forced.queryExecution.executedPlan.toString.take(2000))
+    assert(auto.exceptAll(forced).union(forced.exceptAll(auto)).isEmpty)
+  }
+
   test("rangeJoinNative ≡ composed rangeJoin on real data, asymmetric bounds") {
     val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000"))

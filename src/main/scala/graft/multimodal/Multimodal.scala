@@ -45,6 +45,9 @@ object Multimodal {
       checksum: Long,
       wchecksum: Long)
 
+  /** One frame of a sequence medium as a signal sample. */
+  case class MediaFrame(media_id: Long, frame_idx: Int, mean_intensity: Double)
+
   /** Ingest any table with a binary-able column as a media table. */
   def ingest(df: DataFrame, idCol: String, payloadCol: String,
              mediaType: String): Dataset[MediaRecord] = {
@@ -131,6 +134,30 @@ object Multimodal {
           n_frames = dec.nFrames,
           checksum = sum,
           wchecksum = wsum)
+      }
+    }
+  }
+
+  /** One row PER FRAME of sequence media with its mean pixel intensity —
+    * the bridge from the multimodal family to the SIGNAL family: a frame
+    * sequence becomes a (media, frame_idx, intensity) time series that
+    * `Scenes.boundaries` (batch) or `Streaming.sceneDetect` (live)
+    * consume unchanged. Map-side kernel like [[decode]]; single-frame
+    * formats yield one row.
+    */
+  def decodeFrames(media: Dataset[MediaRecord]): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      val dec = MediaCodec.decode(m.payload)
+      val nf = math.max(dec.nFrames, 1)
+      val frameLen = dec.pixels.length / nf
+      (0 until nf).map { f =>
+        var s = 0L
+        var k = f * frameLen
+        while (k < (f + 1) * frameLen) { s += (dec.pixels(k) & 0xff); k += 1 }
+        MediaFrame(m.media_id, f,
+          if (frameLen == 0) 0.0 else s.toDouble / frameLen)
       }
     }
   }

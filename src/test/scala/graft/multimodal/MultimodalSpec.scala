@@ -278,4 +278,40 @@ class MultimodalSpec extends SparkSpec {
     // compressed length ≠ raster length (and ≠ the uncompressed BMP size)
     assert(rec.n_bytes != dec.pixels.length && rec.n_bytes != 54 + 6 * ((6 * 3 + 3) / 4 * 4))
   }
+
+  test("decodeFrames: frame-intensity signal drives scene detection, batch AND stream") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 6 constant-intensity frames: dark dark BRIGHT BRIGHT dark BRIGHT
+    val levels = Seq(10, 20, 200, 210, 15, 225)
+    val (w, h) = (4, 2)
+    val frameLen = w * h * 3
+    val pixels = levels.flatMap(v => Array.fill(frameLen)(v.toByte)).toArray
+    val payload = MediaCodec.encodePpmSeq(w, h, levels.size, pixels)
+    val media = Seq(Multimodal.MediaRecord(7L, "ppm-seq", payload, payload.length.toLong)).toDS()
+    val frames = Multimodal.decodeFrames(media)
+    val means = frames.orderBy("frame_idx").collect().map(_.mean_intensity)
+    assert(means.toSeq == levels.map(_.toDouble), means.toSeq.toString)
+    // BATCH: luminance > 128 is "activity" — boundaries at the crossings
+    val b = graft.operators.Scenes.boundaries(
+      frames.toDF(), Seq("media_id"), "frame_idx", Seq.empty,
+      when(col("mean_intensity") > 128, 1).otherwise(0))
+      .collect().map(r => (r.getAs[Int]("frame_idx"), r.getAs[String]("scene_state")))
+    assert(b.toSeq == Seq((2, "start"), (4, "end"), (5, "start")))
+    // STREAM: the same decode kernel inside a micro-batch, boundaries out
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Multimodal.MediaRecord]
+    val events = Multimodal.decodeFrames(mem.toDS()).map(f =>
+      graft.streaming.Streaming.EventRow(f.media_id, f.frame_idx.toLong, "frame", f.mean_intensity))
+    val q = graft.streaming.Streaming.sceneDetect(events,
+      activityOf = e => if (e.value > 128) 1L else 0L)
+      .writeStream.format("memory").queryName("mm_scenes").outputMode("append").start()
+    try {
+      mem.addData(Multimodal.MediaRecord(7L, "ppm-seq", payload, payload.length.toLong))
+      q.processAllAvailable()
+      val s = spark.table("mm_scenes").collect()
+        .map(r => (r.getAs[Long]("ts_us"), r.getAs[String]("scene_state"))).sorted
+      assert(s.toSeq == Seq((2L, "start"), (4L, "end"), (5L, "start")), s.toSeq.toString)
+    } finally q.stop()
+  }
 }

@@ -91,4 +91,27 @@ class SqlTableFunctionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(e.getMessage.contains("asof_join") || e.getMessage.contains("usage"))
   }
+
+  test("SQL-text-only session reaches the native function surface") {
+    GraftExtensions.register(spark)
+    // a user who writes ONLY SQL: aggregates, sketches, kernels, encode
+    Seq((1L, 5.0, "a b a b"), (1L, 9.0, "c d"), (2L, 7.0, "a b"))
+      .toDF("g", "v", "txt").createOrReplaceTempView("sql_t")
+    val topk = spark.sql(
+      "SELECT g, top_k(v, v, 1) AS tk FROM sql_t GROUP BY g ORDER BY g").collect()
+    assert(topk.length == 2)
+    val kll = spark.sql(
+      """SELECT kll_quantile(kll_merge_agg(s), 0.5d) AS p50 FROM (
+        |  SELECT g, kll_sketch_agg(v, 200) AS s FROM sql_t GROUP BY g)""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(kll == 7.0) // median of {5, 9, 7}
+    val enc = spark.sql(
+      "SELECT bpe_encode('ab cab', array('a'), array('b')) AS t")
+      .collect()(0).getSeq[String](0)
+    assert(enc == Seq("ab", "c", "ab")) // merge rule (a,b) applies WITHIN each word
+    val mh = spark.sql(
+      "SELECT size(sorted_shingle_hashes(split(txt, ' '), 2)) AS n FROM sql_t WHERE g = 2")
+      .collect()(0).getInt(0)
+    assert(mh == 1) // "a b" has one 2-shingle
+  }
 }

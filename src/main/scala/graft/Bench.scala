@@ -146,7 +146,14 @@ object Bench {
       val tmp = java.nio.file.Files.createTempDirectory("bench_smb").toString
       left.write.mode("overwrite").parquet(s"$tmp/l")
       right.write.mode("overwrite").parquet(s"$tmp/r")
-      Seq("bench_smb_l", "bench_smb_r").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      // a FRESH session's in-memory catalog doesn't know a prior run's
+      // tables, but their warehouse dirs persist — DROP alone leaves the
+      // location and saveAsTable fails on it
+      Seq("bench_smb_l", "bench_smb_r").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(s"spark-warehouse/$t")
+        if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      }
       sources.TopicStore.writeBucketedSorted(left, "bench_smb_l",
         Seq("user_id"), Seq("t"), buckets = cpus.toInt)
       sources.TopicStore.writeBucketedSorted(right, "bench_smb_r",

@@ -383,6 +383,21 @@ object SparkEntry {
         leftTime = "ts", rightTime = "t", valueCols = Seq("pval"))
         .orderBy(col("user_id"), col("ts"))
     }),
+    "q_asof_sliced" -> ((s, d) => {
+      // hot-key skew form: the join partitions on (user_id, 6h slice),
+      // so one device key with a year of readings splits into ~1460
+      // partitions instead of one straggler — result ≡ q_asof_join
+      val e = eventsUs(s, d)
+      val grid = Signals.timeGrid(e.select(col("user_id"), col("ts_us").as("ts")),
+        Seq("user_id"), "ts", HourUs)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("t"))
+        .agg(max(col("value")).as("pval"))
+      AsOfJoin.asOfTimeSliced(grid, purchases, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "t", valueCols = Seq("pval"),
+        sliceUs = SixHoursUs, native = true)
+        .orderBy(col("user_id"), col("ts"))
+    }),
     "q_asof_tolerance" -> ((s, d) => {
       val e = eventsUs(s, d)
       val grid = Signals.timeGrid(e.select(col("user_id"), col("ts_us").as("ts")),
@@ -1544,6 +1559,15 @@ object SparkEntry {
           |  ON g.user_id = p.user_id AND g.ts >= p.t
           |ORDER BY g.user_id, g.ts""").stripMargin,
     "q_asof_broadcast" ->
+      (s"""WITH grid AS ($gridSql),
+          |purch AS (SELECT user_id, t, max(value) AS pval
+          |  FROM (SELECT user_id, epoch_us(ts) AS t, value FROM events
+          |        WHERE event_type = 'purchase') p GROUP BY user_id, t)
+          |SELECT g.user_id, g.ts, p.pval
+          |FROM grid g ASOF LEFT JOIN purch p
+          |  ON g.user_id = p.user_id AND g.ts >= p.t
+          |ORDER BY g.user_id, g.ts""").stripMargin,
+    "q_asof_sliced" ->
       (s"""WITH grid AS ($gridSql),
           |purch AS (SELECT user_id, t, max(value) AS pval
           |  FROM (SELECT user_id, epoch_us(ts) AS t, value FROM events

@@ -283,4 +283,83 @@ object AsOfJoin {
       keys, nl, nr, valueCols)
       .drop(nl)
   }
+
+  /** TIME-SLICED as-of join — the skew lever for a HOT KEY whose right
+    * side is too big to broadcast. [[SkewJoin.saltedJoin]]'s random salt
+    * is wrong for ordered joins (a left row's match could sit in any
+    * bucket); the order-preserving split is ON THE TIME AXIS:
+    *
+    *  1. both sides bucket into `floor(time / sliceUs)` slices, so the
+    *     join partitions on (keys, slice) — one hot device key spanning a
+    *     year of readings becomes 365 daily partitions instead of one;
+    *  2. a left row early in its slice may match a right row from an
+    *     EARLIER slice, so each (key, left-slice) partition is seeded
+    *     with one CARRY row: the latest right row from any prior slice.
+    *     Carries come from a per-slice max aggregate (map-side combine,
+    *     one row per (key, active slice)) forward-filled across slice
+    *     gaps by an inner [[asOf]] over the DISTINCT left slice table —
+    *     both inputs are slice-count-sized, never data-sized;
+    *  3. the final as-of runs per (keys, slice) partition over in-slice
+    *     right rows + the carry, which together contain exactly the
+    *     candidates a plain as-of would pick from.
+    *
+    * Output ≡ [[asOf]] / DuckDB `ASOF LEFT JOIN` for non-null keys and
+    * times. Unlike raw [[asOf]] (whose union-window lets a null-time or
+    * null-key right row forward-fill into real rows), right rows with a
+    * null key or time are dropped here — the SQL semantics: null never
+    * matches. Left rows are always preserved.
+    *
+    * Pick `sliceUs` to subdivide the hot key's time span (target ≥
+    * shuffle-partition count of active slices); an all-equal-times key
+    * cannot be split by any slicing — that degenerate shape needs the
+    * right side de-duplicated first (the operator's uniqueness
+    * precondition already requires it).
+    */
+  def asOfTimeSliced(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTime: String, rightTime: String,
+                     valueCols: Seq[String], sliceUs: Long,
+                     native: Boolean = false): DataFrame = {
+    require(sliceUs > 0, s"sliceUs must be positive, got $sliceUs")
+    val S = "__slice"
+    require(!(left.columns ++ right.columns).contains(S), s"column $S is reserved")
+    // floor division in pure long arithmetic: (t - pmod(t, s)) is an
+    // exact multiple of s, so DIV truncation IS floor — correct for
+    // negative times too, where a double-division floor would round
+    def sliceOf(df: DataFrame, t: String): DataFrame =
+      df.withColumn("__st", col(t).cast("long"))
+        .withColumn(S, expr(s"(__st - pmod(__st, ${sliceUs}L)) DIV ${sliceUs}L"))
+        .drop("__st")
+
+    val lt = sliceOf(left, leftTime)
+    val r2 = sliceOf(
+      right.filter(col(rightTime).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _)), rightTime)
+
+    // latest right row per (keys, slice): struct max orders by time
+    // first; uniqueness per (keys, time) makes the pick deterministic
+    val perSlice = r2.groupBy(keys.map(col) :+ col(S): _*)
+      .agg(max(struct(col(rightTime).cast("long").as("__ct") +:
+        valueCols.map(col): _*)).as("__m"))
+      .select(keys.map(col) ++ Seq(col(S).as("__rs"), col("__m.__ct").as("__ct")) ++
+        valueCols.map(v => col(s"__m.$v")): _*)
+    // one carry probe per (keys, active left slice); the probe time is
+    // slice-1 so only strictly-earlier slices can supply the carry
+    val probes = lt.filter(col(S).isNotNull)
+      .select(keys.map(col) :+ col(S): _*).distinct()
+      .withColumn("__ps", col(S) - 1)
+    val carries = asOf(probes, perSlice, keys, "__ps", "__rs",
+      "__ct" +: valueCols)
+      .filter(col("__ct").isNotNull)
+      .select(keys.map(col) ++ Seq(col(S), col("__ct").cast("long").as(rightTime)) ++
+        valueCols.map(col): _*)
+
+    val inSlice = r2.select(keys.map(col) ++
+      Seq(col(S), col(rightTime).cast("long")) ++ valueCols.map(col): _*)
+    val expanded = inSlice.unionByName(carries)
+    val joined =
+      if (native) asOfNative(lt.withColumn(leftTime, col(leftTime).cast("long")),
+        expanded, keys :+ S, leftTime, rightTime, valueCols)
+      else asOf(lt, expanded, keys :+ S, leftTime, rightTime, valueCols)
+    joined.select(left.columns.map(col).toSeq ++ valueCols.map(col): _*)
+  }
 }

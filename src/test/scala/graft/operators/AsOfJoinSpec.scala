@@ -258,6 +258,64 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("property: asOfTimeSliced ≡ asOf across slice widths, negative times, slice gaps") {
+    import org.apache.spark.sql.functions.{max => fmax}
+    val rnd = new scala.util.Random(19) // deterministic
+    (1 to 5).foreach { round =>
+      val nl = 30 + rnd.nextInt(40)
+      val nr = 30 + rnd.nextInt(40)
+      // times straddle zero (floor-division seam) and cluster with wide
+      // gaps, so carries must forward-fill across runs of empty slices
+      val left = (0 until nl).map { i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(200).toLong * 7 - 500, i)
+      }.toDF("k", "t", "tag")
+      val right = (0 until nr).map { i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(200).toLong * 7 - 500, i.toDouble)
+      }.toDF("k", "rt", "v")
+        .groupBy($"k", $"rt").agg(fmax($"v").as("v")) // uniqueness precondition
+      val base = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("v"))
+      // w=1: every match crosses slices (pure carries); w huge: one
+      // slice (pure in-slice); 13 doesn't divide the 7-step time grid
+      Seq(1L, 13L, 100L, 1000000L).foreach { w =>
+        val sliced = AsOfJoin.asOfTimeSliced(left, right, Seq("k"), "t", "rt", Seq("v"), w)
+        val diff = sliced.exceptAll(base).union(base.exceptAll(sliced))
+        assert(diff.isEmpty, s"round $round w=$w: ${diff.collect().take(5).mkString(";")}")
+      }
+      val slicedNative = AsOfJoin.asOfTimeSliced(left, right, Seq("k"), "t", "rt",
+        Seq("v"), 13L, native = true)
+      val diffN = slicedNative.exceptAll(base).union(base.exceptAll(slicedNative))
+      assert(diffN.isEmpty, s"round $round native: ${diffN.collect().take(5).mkString(";")}")
+    }
+  }
+
+  test("asOfTimeSliced splits the hot key: the join exchange partitions on (key, slice)") {
+    val left = (0 until 1000).map(i => (1L, i.toLong, i)).toDF("k", "t", "tag")
+    val right = (0 until 500).map(i => (1L, i.toLong * 2, i.toDouble)).toDF("k", "rt", "v")
+    val df = AsOfJoin.asOfTimeSliced(left, right, Seq("k"), "t", "rt", Seq("v"), 100L)
+    df.collect()
+    val exchanges = df.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("hashpartitioning"))
+    assert(exchanges.exists(_.contains("__slice")),
+      s"main exchange must partition on the slice column:\n${exchanges.mkString("\n")}")
+    val base = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("v"))
+    val diff = df.exceptAll(base).union(base.exceptAll(df))
+    assert(diff.isEmpty)
+  }
+
+  test("asOfTimeSliced: null left times preserved; null-key/time right rows never match") {
+    val left = Seq((Some(1L), Some(10L)), (Some(1L), None: Option[Long])).toDF("k", "t")
+    val right = Seq(
+      (Some(1L), Some(5L), "a"),
+      (Some(1L), None: Option[Long], "z"), // null time: dropped (SQL semantics)
+      (None: Option[Long], Some(1L), "y")  // null key: dropped
+    ).toDF("k", "rt", "v")
+    val out = AsOfJoin.asOfTimeSliced(left, right, Seq("k"), "t", "rt", Seq("v"), 10L)
+      .orderBy($"t".asc_nulls_first).collect()
+    assert(out.length == 2)
+    assert(out(0).isNullAt(out(0).fieldIndex("v")))
+    assert(out(1).getAs[String]("v") == "a")
+  }
+
   test("rangeJoinNative's window buffer stays band-bounded (peakWindowRows metric)") {
     import org.apache.spark.sql.functions._
     // one key, 1000 right rows at times 0,10,20,… and a ±50 band: the

@@ -86,4 +86,19 @@ object Bpe {
   def encode(text: Column, merges: Seq[(String, String)]): Column =
     call_function("bpe_encode", text,
       typedlit(merges.map(_._1)), typedlit(merges.map(_._2)))
+
+  /** [[encode]] with the rules BROADCAST instead of inlined into the
+    * plan: the production path for real vocabularies (tens of thousands
+    * of merges — megabytes that a plan literal would re-serialize into
+    * every stage's task binary and blow past codegen limits). The
+    * broadcast ships once per executor and is shared by every query
+    * holding the returned Column. Same output, spec-pinned.
+    */
+  def encodeBroadcast(spark: org.apache.spark.sql.SparkSession,
+                      text: Column, merges: Seq[(String, String)]): Column = {
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    org.apache.spark.sql.graftbridge.GraftShim.column(
+      graft.plans.BpeEncodeBroadcast(
+        org.apache.spark.sql.graftbridge.GraftShim.expression(text), bc))
+  }
 }

@@ -34,8 +34,21 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
       s"bpe_encode requires a string column, got ${other.simpleString}")
   }
 
-  @transient private lazy val rank: Map[(String, String), Int] =
-    merges.zipWithIndex.toMap
+  @transient private lazy val coder = new BpeCoder(merges.toIndexedSeq)
+
+  override def nullSafeEval(input: Any): Any =
+    coder.encode(input.asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+/** The rank-priority merge loop shared by [[BpeEncode]] (plan-literal
+  * rules) and [[BpeEncodeBroadcast]] (broadcast rules) — one coder per
+  * expression instance, built lazily on the executor.
+  */
+private[plans] final class BpeCoder(merges: IndexedSeq[(String, String)]) {
+  private val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
 
   private def encodeWord(word: String): Seq[String] = {
     var syms: Vector[String] = word.map(_.toString).toVector
@@ -65,16 +78,44 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     syms
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  def encode(input: UTF8String): GenericArrayData = {
     // mirror TextFunctions.normalize: lowercase, collapse whitespace, trim
-    val text = input.asInstanceOf[UTF8String].toString
-      .toLowerCase.replaceAll("\\s+", " ").trim
+    val text = input.toString.toLowerCase.replaceAll("\\s+", " ").trim
     val toks =
       if (text.isEmpty) Array.empty[String]
       else text.split(' ').flatMap(encodeWord)
     new GenericArrayData(toks.map(UTF8String.fromString(_)))
   }
+}
 
-  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+/** [[BpeEncode]] with the merge rules in a BROADCAST instead of the plan:
+  * a plan-literal rule list is re-serialized into every stage's task
+  * binary and capped by plan/codegen size (a production 50k-merge
+  * vocabulary is megabytes); a broadcast ships ONCE per executor via the
+  * torrent protocol and is shared by every stage and query that holds
+  * the handle. Semantics are identical to [[BpeEncode]] — spec-pinned.
+  *
+  * Carries a live [[Broadcast]] handle, so it cannot be built from SQL
+  * text (no FunctionRegistry entry); use [[graft.functions.Bpe.encodeBroadcast]].
+  */
+case class BpeEncodeBroadcast(child: Expression,
+    rules: org.apache.spark.broadcast.Broadcast[Array[(String, String)]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "bpe_encode_broadcast"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_broadcast requires a string column, got ${other.simpleString}")
+  }
+
+  @transient private lazy val coder = new BpeCoder(rules.value.toIndexedSeq)
+
+  override def nullSafeEval(input: Any): Any =
+    coder.encode(input.asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeBroadcast =
     copy(child = newChild)
 }

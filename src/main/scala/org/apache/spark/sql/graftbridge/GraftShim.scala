@@ -23,6 +23,18 @@ object GraftShim {
     org.apache.spark.sql.classic.ExpressionUtils.column(
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(plan))
 
+  /** A Column over a raw catalyst Expression — for expressions that
+    * cannot ride through the FunctionRegistry because they carry
+    * non-literal state (e.g. a [[org.apache.spark.broadcast.Broadcast]]
+    * handle in [[graft.plans.BpeEncodeBroadcast]]).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The catalyst Expression behind a Column (inverse of [[column]]). */
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Drain the listener bus (private[spark]) — lets specs assert
     * deterministically on listener-observed counts (e.g. "composition ran
     * zero jobs") without sleeps.

@@ -45,6 +45,20 @@ class BpeSpec extends SparkSpec {
     assert(out == Seq("low", "est", "n", "e", "w", "est", "x", "y", "z"))
   }
 
+  test("encodeBroadcast ≡ encode (plan-literal) on the corpus, across a shuffle") {
+    GraftExtensions.register(spark)
+    val merges = Bpe.train(corpus, "text", 4)
+    val df = corpus.unionByName(Seq((5L, "lowest xyz"), (6L, "")).toDF("doc_id", "text"))
+      .repartition(4) // the broadcast handle must ship to real tasks
+    val lit = df.select($"doc_id", Bpe.encode(col("text"), merges).as("toks"))
+    val bc = df.select($"doc_id", Bpe.encodeBroadcast(spark, col("text"), merges).as("toks"))
+    val diff = bc.exceptAll(lit).union(lit.exceptAll(bc))
+    assert(diff.isEmpty, diff.collect().take(5).mkString(";"))
+    // and the rules are NOT in the plan: a 50k-merge literal list would
+    // render in the plan tree; the broadcast form shows only the handle
+    assert(!bc.queryExecution.executedPlan.toString.contains("est"))
+  }
+
   test("encode(train corpus) reproduces training's final symbol state; more merges, fewer tokens") {
     GraftExtensions.register(spark)
     def totalTokens(numMerges: Int): Long = {

@@ -80,6 +80,103 @@ object TopicStore {
       .saveAsTable(table)
   }
 
+  /** Append a micro-batch into an existing bucket-sorted table (same
+    * spec as [[writeBucketedSorted]] — Spark validates the bucket/sort
+    * spec against the table's). Each append adds one file set per
+    * bucket, so the one-file-per-bucket invariant the ZERO-SORT read
+    * depends on degrades (the join stays correct, it just pays its sort
+    * again) — [[compactBucketedSorted]] restores it; the streaming twin
+    * [[graft.streaming.Streaming.smbSink]] triggers that automatically.
+    */
+  def appendBucketedSorted(df: DataFrame, table: String, keys: Seq[String],
+                           sortCols: Seq[String], buckets: Int): Unit = {
+    val all = keys ++ sortCols
+    df.repartition(buckets, keys.map(col): _*)
+      .write.mode("append")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(all.head, all.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  private def tablePath(spark: org.apache.spark.sql.SparkSession,
+                        table: String): org.apache.hadoop.fs.Path = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    new org.apache.hadoop.fs.Path(
+      if (spark.catalog.tableExists(table))
+        spark.sessionState.catalog.getTableMetadata(ident).location
+      else spark.sessionState.catalog.defaultTablePath(ident))
+  }
+
+  /** Largest per-bucket data-file count — 1 means the zero-sort SMB
+    * invariant holds; anything larger means the scan stops reporting
+    * sort order and ordered joins pay a sort until compaction. Bucket
+    * ids are parsed from the writer's `..._NNNNN.c000` file-name suffix.
+    * Hadoop FS throughout (HDFS/S3-portable).
+    */
+  def maxFilesPerBucket(spark: org.apache.spark.sql.SparkSession,
+                        table: String): Int = {
+    val loc = tablePath(spark, table)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(loc)) 0
+    else {
+      val bucketId = "_(\\d{5})\\.".r
+      val ids = fs.listStatus(loc).toSeq
+        .map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        .flatMap(n => bucketId.findFirstMatchIn(n).map(_.group(1)))
+      if (ids.isEmpty) 0 else ids.groupBy(identity).values.map(_.size).max
+    }
+  }
+
+  /** Drop a table AND its warehouse directory. A plain DROP in a fresh
+    * session whose in-memory catalog never saw the table leaves the old
+    * location on disk, and the next saveAsTable fails on it — this
+    * covers both halves through the Hadoop FS API.
+    */
+  def dropTableAndLocation(spark: org.apache.spark.sql.SparkSession,
+                           table: String): Unit = {
+    val loc = tablePath(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Rewrite a bucket-sorted table back to one file per bucket,
+    * restoring the zero-exchange zero-sort read after fragmented
+    * appends. The compacted copy lands in `<table>__compact` first
+    * (data is never at risk), then a DROP + RENAME swap — if the swap
+    * is interrupted between the two statements, [[recoverBucketedSorted]]
+    * finishes it. Single-writer only.
+    */
+  def compactBucketedSorted(spark: org.apache.spark.sql.SparkSession,
+                            table: String, keys: Seq[String],
+                            sortCols: Seq[String], buckets: Int): Unit = {
+    val tmp = table + "__compact"
+    dropTableAndLocation(spark, tmp)
+    // read the RAW files, not the catalog table: a bucketed scan
+    // advertises HashPartitioning(keys, buckets), so the writer's
+    // repartition is optimized away while rows actually sit in per-FILE
+    // partitions — every source file then writes its own bucket file and
+    // the "compacted" copy is exactly as fragmented as the original
+    val src = spark.read.schema(spark.table(table).schema)
+      .parquet(tablePath(spark, table).toString)
+    writeBucketedSorted(src, tmp, keys, sortCols, buckets)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
+  /** Finish an interrupted [[compactBucketedSorted]] swap: the compacted
+    * copy exists but the original was already dropped → rename completes
+    * the compaction. No-op otherwise.
+    */
+  def recoverBucketedSorted(spark: org.apache.spark.sql.SparkSession,
+                            table: String): Unit = {
+    val tmp = table + "__compact"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp))
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
   /** Parse a semi-structured JSON payload column into typed columns with
     * an explicit schema (the reference's YAML "clean column" parse —
     * service/app/main.py:100-113 — done declaratively; no inference scan).

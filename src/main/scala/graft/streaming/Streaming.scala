@@ -606,6 +606,50 @@ object Streaming {
     }
   }
 
+  /** SMB MAINTENANCE sink: append each micro-batch into a bucket-sorted
+    * table ([[graft.sources.TopicStore.writeBucketedSorted]]'s layout)
+    * and compact when fragmentation passes the threshold — the streaming
+    * ingest half of the pay-shuffle-once storage story. Appends degrade
+    * the one-file-per-bucket invariant (ordered joins silently pay their
+    * sort again, though never their correctness); once any bucket
+    * exceeds `compactAfterFilesPerBucket` files the table is rewritten
+    * via [[graft.sources.TopicStore.compactBucketedSorted]], restoring
+    * the zero-exchange zero-sort plan. An interrupted compaction swap is
+    * self-healed at the next batch ([[graft.sources.TopicStore.recoverBucketedSorted]]).
+    *
+    * Replay: a committed batchId is recorded in the `markerPath` marker
+    * AFTER its append, and batches at-or-below the marker are skipped —
+    * the standard restart replay appends nothing twice. (A crash in the
+    * narrow window between append and marker write would duplicate that
+    * one batch on replay; exactly-once appends need a transaction log,
+    * which is a table format's job, not an engine operator's.)
+    */
+  def smbSink(rows: DataFrame, table: String, keys: Seq[String],
+              sortCols: Seq[String], buckets: Int, markerPath: String,
+              compactAfterFilesPerBucket: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactAfterFilesPerBucket > 0,
+      s"compactAfterFilesPerBucket must be positive: $compactAfterFilesPerBucket")
+    val spark = rows.sparkSession
+    import graft.sources.TopicStore
+    rows.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      TopicStore.recoverBucketedSorted(spark, table)
+      val committed = StateFs.readString(spark, markerPath).map(_.toLong)
+      if (committed.forall(batchId > _)) {
+        if (!batch.isEmpty) {
+          if (!spark.catalog.tableExists(table))
+            TopicStore.writeBucketedSorted(batch.toDF(), table, keys, sortCols, buckets)
+          else
+            TopicStore.appendBucketedSorted(batch.toDF(), table, keys, sortCols, buckets)
+          if (TopicStore.maxFilesPerBucket(spark, table) > compactAfterFilesPerBucket)
+            TopicStore.compactBucketedSorted(spark, table, keys, sortCols, buckets)
+        }
+        StateFs.writeString(spark, markerPath, batchId.toString)
+      }
+      ()
+    }
+  }
+
   /** Streaming INGESTION DEDUP: the [[graft.operators.Dedup.incrementalDedup]]
     * contract as a self-growing store — each micro-batch of documents
     * screens against the persisted corpus band index, the verdicts

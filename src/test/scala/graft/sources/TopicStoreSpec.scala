@@ -119,6 +119,27 @@ class TopicStoreSpec extends SparkSpec
     spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
   }
 
+  test("appendBucketedSorted fragments, compactBucketedSorted restores; interrupted swap self-heals") {
+    Seq("ts_frag", "ts_frag__compact").foreach(t => TopicStore.dropTableAndLocation(spark, t))
+    val b1 = Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("k", "t", "tag")
+    TopicStore.writeBucketedSorted(b1, "ts_frag", Seq("k"), Seq("t"), buckets = 4)
+    assert(TopicStore.maxFilesPerBucket(spark, "ts_frag") == 1)
+    TopicStore.appendBucketedSorted(Seq((1L, 20L, "c")).toDF("k", "t", "tag"),
+      "ts_frag", Seq("k"), Seq("t"), buckets = 4)
+    TopicStore.appendBucketedSorted(Seq((1L, 5L, "d")).toDF("k", "t", "tag"),
+      "ts_frag", Seq("k"), Seq("t"), buckets = 4)
+    assert(TopicStore.maxFilesPerBucket(spark, "ts_frag") == 3)
+    TopicStore.compactBucketedSorted(spark, "ts_frag", Seq("k"), Seq("t"), buckets = 4)
+    assert(TopicStore.maxFilesPerBucket(spark, "ts_frag") == 1)
+    val rows = spark.table("ts_frag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set((1L, 10L, "a"), (2L, 10L, "b"), (1L, 20L, "c"), (1L, 5L, "d")))
+    // interrupted swap: compacted copy exists, original already dropped
+    spark.sql("ALTER TABLE ts_frag RENAME TO ts_frag__compact")
+    TopicStore.recoverBucketedSorted(spark, "ts_frag")
+    assert(spark.catalog.tableExists("ts_frag") && spark.table("ts_frag").count() == 4)
+  }
+
   test("parseJsonPayload extracts typed fields with explicit schema") {
     val schema = StructType(Seq(StructField("k", IntegerType)))
     val df = Seq((1L, """{"k": 42}""")).toDF("id", "props")

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.streaming.Streaming._
 
-class StreamingSpec extends SparkSpec {
+class StreamingSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   private val HourUs = 3600000000L
@@ -378,6 +379,59 @@ class StreamingSpec extends SparkSpec {
       val ids = spark.table("dedup").select("id").as[Long].collect().toSet
       assert(ids == Set(1L, 3L))
     } finally q.stop()
+  }
+
+  test("smbSink appends into a bucket-sorted table, compacts to zero-sort, skips replays") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    Seq("smb_sink_t", "smb_sink_t__compact", "smb_sink_r")
+      .foreach(t => graft.sources.TopicStore.dropTableAndLocation(spark, t))
+    val dir = "file:" + java.nio.file.Files.createTempDirectory("graft-smbsink").toString
+    val mem = MemoryStream[(Long, Long, Double)]
+    val q = Streaming.smbSink(mem.toDF().toDF("k", "t", "v"),
+      "smb_sink_t", Seq("k"), Seq("t"), buckets = 4,
+      markerPath = s"$dir/_marker", compactAfterFilesPerBucket = 2)
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      // three appends put 3 files in key-1's bucket → threshold 2 trips
+      mem.addData((1L, 10L, 1.0), (2L, 10L, 2.0)); q.processAllAvailable()
+      mem.addData((1L, 20L, 3.0)); q.processAllAvailable()
+      mem.addData((1L, 30L, 4.0), (3L, 5L, 5.0)); q.processAllAvailable()
+      assert(graft.sources.TopicStore.maxFilesPerBucket(spark, "smb_sink_t") == 1,
+        "compaction must restore one file per bucket")
+      val rows = spark.table("smb_sink_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((1L, 10L, 1.0), (2L, 10L, 2.0), (1L, 20L, 3.0),
+        (1L, 30L, 4.0), (3L, 5L, 5.0)))
+    } finally q.stop()
+    // the compacted table serves the zero-exchange zero-sort ordered join
+    val r = Seq((1L, 15L, 7.0)).toDF("k", "rt", "pv")
+    graft.sources.TopicStore.writeBucketedSorted(r, "smb_sink_r", Seq("k"), Seq("rt"), 4)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val joined = graft.operators.AsOfJoin.asOfNative(
+        spark.table("smb_sink_t"), spark.table("smb_sink_r"),
+        Seq("k"), "t", "rt", Seq("pv"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan
+      assert(collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"post-compaction SMB as-of must not exchange:\n$plan")
+      assert(collectWithSubqueries(plan) { case s: SortExec => s }.isEmpty,
+        s"post-compaction SMB as-of must not sort:\n$plan")
+    } finally spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    // a restarted stream with a FRESH checkpoint replays batchIds from 0:
+    // all at-or-below the marker → appended nothing
+    val mem2 = MemoryStream[(Long, Long, Double)]
+    val q2 = Streaming.smbSink(mem2.toDF().toDF("k", "t", "v"),
+      "smb_sink_t", Seq("k"), Seq("t"), buckets = 4,
+      markerPath = s"$dir/_marker", compactAfterFilesPerBucket = 2)
+      .option("checkpointLocation", s"$dir/_ckpt_replay").start()
+    try {
+      mem2.addData((9L, 9L, 9.0)); q2.processAllAvailable()
+      assert(spark.table("smb_sink_t").count() == 5,
+        "replayed batchId at-or-below the marker must append nothing")
+    } finally q2.stop()
   }
 
   test("incrementalDedupSink grows the band index and screens later batches against it") {

@@ -954,6 +954,21 @@ object SparkEntry {
         .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
           round(col("v"), 6).as("centroid_val"), col("n_vecs"))
         .orderBy(col("label"), col("pos"))),
+    "q_centroids_weighted" -> ((s, d) => {
+      // token-MASS centroid per label: doc embeddings weighted by token
+      // count (vec_id joins doc_id 1:1) — what a token-budgeted mix
+      // actually averages; broadcast the tiny (doc_id, n_tokens) side
+      val w = Tables.documents(s, d).select(col("doc_id").as("vec_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("w"))
+      Similarity.weightedCentroids(
+        Tables.embeddings(s, d).join(broadcast(w), Seq("vec_id")),
+        "label", "embedding", "w")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos0", "v")),
+          col("w_total"))
+        .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+          round(col("v"), 6).as("centroid_val"), col("w_total"))
+        .orderBy(col("label"), col("pos"))
+    }),
     "q_pack" -> ((s, d) =>
       Packing.pack(
         Tables.documents(s, d).select(col("doc_id"), col("source"),
@@ -2240,6 +2255,19 @@ object SparkEntry {
         |      FROM embeddings)
         |GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
+    "q_centroids_weighted" ->
+      // every doc contributes its weight once per position, so the
+      // (label, pos) group's sum(w) IS the per-label total token mass
+      s"""WITH w AS (SELECT doc_id, len(string_split(norm, ' ')) AS w
+         |  FROM ($docNormSql) nrm)
+         |SELECT label, pos, round(sum(x * w) / sum(w), 6) AS centroid_val,
+         |  CAST(sum(w) AS BIGINT) AS w_total
+         |FROM (SELECT e.label, w.w,
+         |        unnest(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS x,
+         |        unnest(range(1, len(e.embedding) + 1)) AS pos
+         |      FROM embeddings e JOIN w ON e.vec_id = w.doc_id)
+         |GROUP BY label, pos
+         |ORDER BY label, pos""".stripMargin,
     "q_hybrid_search" ->
       s"""WITH e AS ($embDoubleSql),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

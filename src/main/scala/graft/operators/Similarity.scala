@@ -364,6 +364,18 @@ object Similarity {
       .agg(call_function("vec_mean", col(vecCol)).as("centroid"),
         count(col(vecCol)).as("n_vecs"))
 
+  /** Token-mass centroids: [[centroids]] with each vector weighted by a
+    * per-row weight column (`vec_weighted_mean`) — the slice descriptor
+    * that matters when slices feed a token-budgeted mix (a 10k-token doc
+    * should pull the centroid 100× harder than a 100-token one). Same
+    * partial-agg shape: the exchange carries groups·dim doubles.
+    */
+  def weightedCentroids(embeddings: DataFrame, groupCol: String, vecCol: String,
+                        weightCol: String): DataFrame =
+    embeddings.groupBy(col(groupCol))
+      .agg(call_function("vec_weighted_mean", col(vecCol), col(weightCol)).as("centroid"),
+        sum(col(weightCol)).as("w_total"))
+
   /** PROBE phase over a trained index: the query vector ranks centroids,
     * scans its `probes` nearest inverted lists, exact top-k inside them.
     */

@@ -41,6 +41,10 @@ object GraftExtensions {
     (new FunctionIdentifier("vec_mean"),
       new ExpressionInfo(classOf[VectorMean].getName, "vec_mean"),
       (children: Seq[Expression]) => VectorMean(children(0)).toAggregateExpression()),
+    (new FunctionIdentifier("vec_weighted_mean"),
+      new ExpressionInfo(classOf[VectorWeightedMean].getName, "vec_weighted_mean"),
+      (children: Seq[Expression]) =>
+        VectorWeightedMean(children(0), children(1)).toAggregateExpression()),
     (new FunctionIdentifier("sorted_asof_lookup"),
       new ExpressionInfo(classOf[SortedAsOfLookup].getName, "sorted_asof_lookup"),
       (children: Seq[Expression]) => SortedAsOfLookup(children(0), children(1))),

@@ -117,3 +117,126 @@ object VectorMean {
   /** Mutable partial state: running element sums + contributing rows. */
   final class Buffer(var count: Long, var sums: Array[Double])
 }
+
+/** Element-wise WEIGHTED mean (`vec_weighted_mean(vec, w)`) — the same
+  * (sums[dim], Σw) partial-aggregation shape as [[VectorMean]], with each
+  * vector scaled by its row weight. The centroid consumer: weighting doc
+  * embeddings by token count makes the centroid describe the token MASS
+  * of a corpus slice rather than its document count — the quantity that
+  * matters when slices feed a token-budgeted training mix.
+  *
+  * Rows with a null vector or null weight are skipped (SQL semantics);
+  * zero total weight yields null. Accumulation is double; the exchange
+  * carries k·dim doubles regardless of input rows.
+  */
+case class VectorWeightedMean(
+    vec: Expression,
+    weight: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VectorWeightedMean.Buffer]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def left: Expression = vec
+  override def right: Expression = weight
+
+  private lazy val elementIsFloat = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def prettyName: String = "vec_weighted_mean"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (vec.dataType, weight.dataType) match {
+    case (ArrayType(FloatType, _) | ArrayType(DoubleType, _),
+          _: org.apache.spark.sql.types.NumericType) => TypeCheckResult.TypeCheckSuccess
+    case (v, w) => TypeCheckResult.TypeCheckFailure(
+      s"vec_weighted_mean requires (array<float|double>, numeric), got (${v.simpleString}, ${w.simpleString})")
+  }
+
+  private def weightOf(w: Any): Double = w match {
+    case d: java.lang.Double => d
+    case f: java.lang.Float => f.toDouble
+    case l: java.lang.Long => l.toDouble
+    case i: java.lang.Integer => i.toDouble
+    case s: java.lang.Short => s.toDouble
+    case b: java.lang.Byte => b.toDouble
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(
+      s"vec_weighted_mean: unsupported weight $other")
+  }
+
+  override def createAggregationBuffer(): VectorWeightedMean.Buffer =
+    new VectorWeightedMean.Buffer(0.0, null)
+
+  override def update(buf: VectorWeightedMean.Buffer, input: InternalRow): VectorWeightedMean.Buffer = {
+    val v = vec.eval(input)
+    val w = weight.eval(input)
+    if (v != null && w != null) {
+      val wd = weightOf(w)
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (buf.sums == null) buf.sums = new Array[Double](n)
+      else if (buf.sums.length != n) throw new IllegalArgumentException(
+        s"vec_weighted_mean: ragged vector dimensions ${buf.sums.length} vs $n")
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val x = if (elementIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          buf.sums(i) += x * wd
+        }
+        i += 1
+      }
+      buf.wsum += wd
+    }
+    buf
+  }
+
+  override def merge(buf: VectorWeightedMean.Buffer, other: VectorWeightedMean.Buffer): VectorWeightedMean.Buffer = {
+    if (other.sums != null) {
+      if (buf.sums == null) { buf.sums = other.sums.clone(); buf.wsum = other.wsum }
+      else {
+        if (buf.sums.length != other.sums.length) throw new IllegalArgumentException(
+          s"vec_weighted_mean: ragged vector dimensions ${buf.sums.length} vs ${other.sums.length}")
+        var i = 0
+        while (i < buf.sums.length) { buf.sums(i) += other.sums(i); i += 1 }
+        buf.wsum += other.wsum
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: VectorWeightedMean.Buffer): Any =
+    if (buf.sums == null || buf.wsum == 0.0) null
+    else new GenericArrayData(buf.sums.map(_ / buf.wsum))
+
+  override def serialize(buf: VectorWeightedMean.Buffer): Array[Byte] = {
+    val dim = if (buf.sums == null) -1 else buf.sums.length
+    val bb = ByteBuffer.allocate(8 + 4 + math.max(dim, 0) * 8)
+    bb.putDouble(buf.wsum).putInt(dim)
+    if (dim > 0) buf.sums.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VectorWeightedMean.Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val wsum = bb.getDouble
+    val dim = bb.getInt
+    val sums = if (dim < 0) null else Array.fill(dim)(bb.getDouble)
+    new VectorWeightedMean.Buffer(wsum, sums)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorWeightedMean =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorWeightedMean =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VectorWeightedMean =
+    copy(vec = newLeft, weight = newRight)
+}
+
+object VectorWeightedMean {
+  /** Mutable partial state: running weighted element sums + total weight. */
+  final class Buffer(var wsum: Double, var sums: Array[Double])
+}

@@ -35,6 +35,41 @@ class VectorAggSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("vec_weighted_mean weights element-wise across partitions; ≡ vec_mean at w=1") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), 1L),
+      (1L, Array(4.0f, 8.0f), 3L),   // pulls the centroid 3× harder
+      (2L, Array(10.0f, 20.0f), 5L)
+    ).toDF("g", "v", "w").repartition(4)
+    val out = df.groupBy($"g")
+      .agg(call_function("vec_weighted_mean", $"v", $"w").as("c"), sum($"w").as("tw"))
+      .orderBy($"g").collect()
+    // g=1: (1*1 + 4*3)/4 = 3.25, (2*1 + 8*3)/4 = 6.5
+    assert(out(0).getSeq[Double](1) === Seq(3.25, 6.5))
+    assert(out(0).getLong(2) == 4L)
+    assert(out(1).getSeq[Double](1) === Seq(10.0, 20.0))
+    // uniform weights reduce to vec_mean, any numeric weight type
+    val uni = df.groupBy($"g")
+      .agg(call_function("vec_weighted_mean", $"v", lit(2.5)).as("c"))
+    val mean = df.groupBy($"g").agg(call_function("vec_mean", $"v").as("c"))
+    assert(uni.orderBy($"g").collect().map(_.getSeq[Double](1)).toSeq ==
+      mean.orderBy($"g").collect().map(_.getSeq[Double](1)).toSeq)
+  }
+
+  test("vec_weighted_mean: null vec/weight rows skipped; zero total weight → null; SQL-reachable") {
+    val df = Seq(
+      (1L, Some(Array(2.0, 4.0)), Some(2.0)),
+      (1L, None, Some(9.0)),               // null vector skipped
+      (1L, Some(Array(8.0, 16.0)), None),  // null weight skipped
+      (2L, Some(Array(1.0, 1.0)), Some(0.0))
+    ).toDF("g", "v", "w")
+    df.createOrReplaceTempView("vwm_in")
+    val rows = spark.sql(
+      "SELECT g, vec_weighted_mean(v, w) AS c FROM vwm_in GROUP BY g ORDER BY g").collect()
+    assert(rows(0).getSeq[Double](1) === Seq(2.0, 4.0))
+    assert(rows(1).isNullAt(1)) // Σw = 0
+  }
+
   test("vec_mean fails loudly on ragged dimensions") {
     val df = Seq((1L, Array(1.0, 2.0)), (1L, Array(1.0, 2.0, 3.0))).toDF("g", "v")
     val e = intercept[Exception] {

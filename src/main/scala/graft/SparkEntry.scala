@@ -306,7 +306,16 @@ object SparkEntry {
         .select(col("l_orderkey"),
           col("l_linenumber").cast("long").as("l_linenumber"),
           ZOrder.zorder64(col("l_partkey"), col("l_suppkey")).as("zvalue"))
-        .orderBy(col("zvalue"), col("l_orderkey"), col("l_linenumber")))
+        .orderBy(col("zvalue"), col("l_orderkey"), col("l_linenumber"))),
+    "q_zorder3" -> ((s, d) =>
+      // three-dimensional clustering key (21 bits/dim): a third pruned
+      // predicate for the box-query family — ZOrderStore.writeN's layout
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          ZOrder.zorder3_64(col("l_partkey"), col("l_suppkey"),
+            col("l_orderkey")).as("zvalue3"))
+        .orderBy(col("zvalue3"), col("l_orderkey"), col("l_linenumber")))
   )
 
   // ---- §2.A reference surface (signal lake) -------------------------
@@ -1506,7 +1515,12 @@ object SparkEntry {
       s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          |  ${ZOrder.zorderSql("l_partkey", "l_suppkey")} AS zvalue
          |FROM lineitem
-         |ORDER BY zvalue, l_orderkey, l_linenumber""".stripMargin
+         |ORDER BY zvalue, l_orderkey, l_linenumber""".stripMargin,
+    "q_zorder3" ->
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |  ${ZOrder.zorder3Sql("l_partkey", "l_suppkey", "l_orderkey")} AS zvalue3
+         |FROM lineitem
+         |ORDER BY zvalue3, l_orderkey, l_linenumber""".stripMargin
   )
 
   private val pivotCasesSql: String = topics.map(t =>

@@ -57,4 +57,57 @@ object ZOrder {
   /** SQL-text twin of [[zorder64]]. */
   def zorderSql(a: String, b: String): String =
     s"(${spreadSql(s"(($a) & 2147483647)")} | (${spreadSql(s"(($b) & 2147483647)")} << 1))"
+
+  /** Spread the low 21 bits of `c` to every THIRD bit position (bit i →
+    * bit 3i) — the classic 3-D masked-doubling chain (libmorton's
+    * published magic numbers).
+    */
+  private def spread3(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0x1FFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 32)).bitwiseAND(lit(0x001F00000000FFFFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 16)).bitwiseAND(lit(0x001F0000FF0000FFL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+    val x4 = x3.bitwiseOR(shiftleft(x3, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    x4.bitwiseOR(shiftleft(x4, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** 63-bit Morton code of THREE columns (21 bits per dimension): bit i
+    * of `a` lands at 3i, of `b` at 3i+1, of `c` at 3i+2. Non-negative by
+    * construction; rescale/bucket wider domains first, as with
+    * [[zorder64]].
+    */
+  def zorder3_64(a: Column, b: Column, c: Column): Column = {
+    def m(x: Column) = x.cast("long").bitwiseAND(lit(0x1FFFFFL))
+    spread3(m(a))
+      .bitwiseOR(shiftleft(spread3(m(b)), 1))
+      .bitwiseOR(shiftleft(spread3(m(c)), 2))
+  }
+
+  /** Dimension-dispatching Morton code: 2 → [[zorder64]] (31 bits/dim),
+    * 3 → [[zorder3_64]] (21 bits/dim). Higher dimensionality buys little
+    * at these bit budgets (7 bits/dim at d=9 can't separate anything);
+    * for 4+ predicates, z-order the 3 most selective columns and let
+    * row-group stats handle the rest.
+    */
+  def zorderCols(cols: Seq[Column]): Column = cols match {
+    case Seq(a, b) => zorder64(a, b)
+    case Seq(a, b, c) => zorder3_64(a, b, c)
+    case other => throw new IllegalArgumentException(
+      s"zorderCols supports 2 or 3 columns, got ${other.length}")
+  }
+
+  /** The 3-D spread chain as ANSI SQL text (twin of [[spreadSql]]). */
+  def spread3Sql(e: String): String = {
+    val s0 = s"(($e) & 2097151)"
+    val s1 = s"((($s0 | ($s0 << 32)) & 8725724278095871))"
+    val s2 = s"((($s1 | ($s1 << 16)) & 8725728556220671))"
+    val s3 = s"((($s2 | ($s2 << 8)) & 1157144660301377551))"
+    val s4 = s"((($s3 | ($s3 << 4)) & 1207822528635744451))"
+    s"((($s4 | ($s4 << 2)) & 1317624576693539401))"
+  }
+
+  /** SQL-text twin of [[zorder3_64]]. */
+  def zorder3Sql(a: String, b: String, c: String): String =
+    s"(${spread3Sql(s"(($a) & 2097151)")} | (${spread3Sql(s"(($b) & 2097151)")} << 1)" +
+      s" | (${spread3Sql(s"(($c) & 2097151)")} << 2))"
 }

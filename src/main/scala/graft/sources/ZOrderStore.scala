@@ -29,8 +29,19 @@ object ZOrderStore {
 
   /** Write `df` z-ordered by (colA, colB) into `numFiles` files. */
   def write(df: DataFrame, colA: String, colB: String, path: String,
-            numFiles: Int): Unit = {
-    df.withColumn("__z", ZOrder.zorder64(col(colA), col(colB)))
+            numFiles: Int): Unit =
+    writeN(df, Seq(colA, colB), path, numFiles)
+
+  /** [[write]] over 2 OR 3 clustering columns
+    * ([[graft.functions.ZOrder.zorderCols]] — 31 or 21 bits per
+    * dimension). Three dimensions trade per-dimension resolution for a
+    * third pruned predicate: each file's box is a 3-D tile, so a
+    * 3-predicate box query prunes on all three sides at file AND
+    * row-group granularity.
+    */
+  def writeN(df: DataFrame, cols: Seq[String], path: String,
+             numFiles: Int): Unit = {
+    df.withColumn("__z", ZOrder.zorderCols(cols.map(col)))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
@@ -126,7 +137,12 @@ object ZOrderStore {
     * operator.
     */
   def compact(spark: SparkSession, path: String, colA: String, colB: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    compactN(spark, path, Seq(colA, colB), targetFileBytes)
+
+  /** [[compact]] over 2 or 3 clustering columns (the [[writeN]] twin). */
+  def compactN(spark: SparkSession, path: String, cols: Seq[String],
+               targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -137,7 +153,7 @@ object ZOrderStore {
     val after = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val tmp = new Path(p.getParent, p.getName + ".compact.tmp")
     val df = spark.read.parquet(path)
-    write(df, colA, colB, tmp.toString, after)
+    writeN(df, cols, tmp.toString, after)
     fs.delete(p, true)
     if (!fs.rename(tmp, p)) {
       throw new IllegalStateException(s"compact: rename $tmp -> $p failed")

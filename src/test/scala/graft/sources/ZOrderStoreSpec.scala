@@ -37,6 +37,61 @@ class ZOrderStoreSpec extends SparkSpec {
     assert(morton(1L, 0L) == 1L && morton(0L, 1L) == 2L && morton(1L, 1L) == 3L)
   }
 
+  test("zorder3_64 interleaves three dimensions (known answers) and matches its SQL twin") {
+    val cases = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (1L, 1L, 1L), (5L, 3L, 7L), (0x1FFFFFL, 0L, 0x1FFFFFL), (12345L, 54321L, 33333L))
+    val out = cases.toDF("a", "b", "c").select(
+      ZOrder.zorder3_64(col("a"), col("b"), col("c")).as("z"),
+      expr(ZOrder.zorder3Sql("a", "b", "c")).as("zsql"))
+      .collect()
+    def morton3(a: Long, b: Long, c: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 21) {
+        z |= ((a >> i) & 1L) << (3 * i)
+        z |= ((b >> i) & 1L) << (3 * i + 1)
+        z |= ((c >> i) & 1L) << (3 * i + 2)
+      }
+      z
+    }
+    val expect = cases.map { case (a, b, c) => morton3(a, b, c) }
+    assert(out.map(_.getLong(0)).toSeq === expect)
+    assert(out.map(_.getLong(1)).toSeq === expect, "Spark zorder3_64 != SQL twin")
+    assert(morton3(1L, 0L, 0L) == 1L && morton3(0L, 1L, 0L) == 2L && morton3(0L, 0L, 1L) == 4L)
+    assert(expect.forall(_ >= 0L), "3-D codes must stay non-negative")
+  }
+
+  test("3-D layout prunes a 3-predicate box on every axis; readBox ≡ plain filter") {
+    // 32×32×32 cube, every cell once
+    val cube = spark.range(32768).select(
+      (col("id") % 32).as("x"),
+      ((col("id") / 32) % 32).cast("long").as("y"),
+      (col("id") / 1024).cast("long").as("z"),
+      col("id").as("payload"))
+    val dir = java.nio.file.Files.createTempDirectory("zorder3").toString
+    try {
+      ZOrderStore.writeN(cube, Seq("x", "y", "z"), s"$dir/c", numFiles = 16)
+      val box = Map("x" -> (8L, 15L), "y" -> (8L, 15L), "z" -> (8L, 15L))
+      val (kept, total) = ZOrderStore.prunedFiles(spark, s"$dir/c", box)
+      // an octant-of-an-octant box (1/64 of the cube) touches few 3-D tiles
+      assert(total == 16 && kept.size <= 4,
+        s"3-D layout kept ${kept.size} of $total files")
+      val got = ZOrderStore.readBox(spark, s"$dir/c", box)
+        .select("payload").as[Long].collect().toSet
+      val want = cube.filter(col("x").between(8, 15) && col("y").between(8, 15) &&
+        col("z").between(8, 15)).select("payload").as[Long].collect().toSet
+      assert(got == want)
+      // compactN keeps the 3-D clustering sharp after fragmentation
+      cube.limit(0).write.mode("append").parquet(s"$dir/c") // harmless extra file
+      ZOrderStore.compactN(spark, s"$dir/c", Seq("x", "y", "z"),
+        targetFileBytes = 64L * 1024)
+      val (kept2, _) = ZOrderStore.prunedFiles(spark, s"$dir/c", box)
+      assert(kept2.nonEmpty)
+      val got2 = ZOrderStore.readBox(spark, s"$dir/c", box)
+        .select("payload").as[Long].collect().toSet
+      assert(got2 == want)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("z-order layout prunes a box query to few files on BOTH dimensions") {
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString
     try {

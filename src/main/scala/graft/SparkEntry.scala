@@ -802,6 +802,20 @@ object SparkEntry {
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term"))
         .limit(100)),
+    "q_heavy_hitters" -> ((s, d) =>
+      // the frequency sketch of the rollup trio: per-source frequent-item
+      // sketches merged into a corpus top-10 — bucket sketches ARE the
+      // stored rollup, the merge re-aggregates without rescanning. The
+      // tiny synthetic vocabulary sits far under the 1024-entry capacity,
+      // so counts are exact and the plain-count oracle applies (the
+      // approximate regime's bounds are spec-tested in FreqSketchSpec)
+      Analytics.freqTopK(
+        Analytics.freqRollup(
+          spread(Tables.documents(s, d))
+            .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("term"))
+            .filter(col("term") =!= ""),
+          col("source"), col("term"), maxMapSize = 1024),
+        k = 10)),
     "q_bpe_pairs" -> ((s, d) =>
       // the second pass of the tokenizer build: adjacent character-pair
       // counts weighted by word frequency — pair generation runs over
@@ -2024,6 +2038,13 @@ object SparkEntry {
          |FROM (SELECT doc_id, unnest(tk) AS tok FROM ($docTokensSql) tks) t
          |WHERE tok <> ''
          |GROUP BY tok ORDER BY n DESC, term LIMIT 100""".stripMargin,
+    "q_heavy_hitters" ->
+      // exact regime: estimate and both bounds equal the true count
+      s"""SELECT tok AS item, count(*) AS estimate,
+         |  count(*) AS lower_bound, count(*) AS upper_bound
+         |FROM (SELECT doc_id, unnest(tk) AS tok FROM ($docTokensSql) tks) t
+         |WHERE tok <> ''
+         |GROUP BY tok ORDER BY estimate DESC, item LIMIT 10""".stripMargin,
     "q_bpe_pairs" ->
       s"""WITH words AS (
          |  SELECT tok AS term, count(*) AS wn

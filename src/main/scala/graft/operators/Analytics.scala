@@ -289,6 +289,35 @@ object Analytics {
         count(lit(1)).as("n_rows"))
   }
 
+  /** HEAVY-HITTERS rollup — the frequency member of the sketch trio
+    * (HLL distinct counts, KLL quantiles, frequent items): one
+    * Misra-Gries/SpaceSaving sketch per bucket, re-aggregable to any
+    * bucket combination. The exchange carries buckets × maxMapSize
+    * entries — bounded by the sketch capacity, not the data. While a
+    * bucket's distinct items stay under the capacity's load factor the
+    * counts are EXACT (the oracle-able regime); beyond it, estimates
+    * over-count by at most the published n/maxMapSize bound.
+    */
+  def freqRollup(df: DataFrame, bucketCol: Column, itemCol: Column,
+                 maxMapSize: Int = 1024): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    df.groupBy(bucketCol.as("bucket"))
+      .agg(call_function("freq_sketch_agg", itemCol, lit(maxMapSize)).as("fsketch"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Top-k heavy hitters across a set of sketch rows (one union),
+    * exploded to (item, estimate, lower_bound, upper_bound) rows ordered
+    * (estimate DESC, item ASC).
+    */
+  def freqTopK(sketches: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(sketches.sparkSession)
+    sketches.agg(call_function("freq_merge_agg", col("fsketch")).as("__m"))
+      .select(explode(call_function("freq_topk", col("__m"), lit(k))).as("hh"))
+      .select(col("hh.item").as("item"), col("hh.estimate").as("estimate"),
+        col("hh.lower_bound").as("lower_bound"), col("hh.upper_bound").as("upper_bound"))
+  }
+
   /** Quantile estimates across a set of sketch rows (one union): one row
     * with a `p<rank>` column per requested quantile + the exact row
     * count.

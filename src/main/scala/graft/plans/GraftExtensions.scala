@@ -123,6 +123,23 @@ object GraftExtensions {
     (new FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
       (children: Seq[Expression]) => KllQuantile(children(0), children(1))),
+    (new FunctionIdentifier("freq_sketch_agg"),
+      new ExpressionInfo(classOf[FreqSketchAgg].getName, "freq_sketch_agg"),
+      (children: Seq[Expression]) => {
+        val m = children(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"freq_sketch_agg maxMapSize must be a literal int, got $other")
+        }
+        FreqSketchAgg(children(0), m).toAggregateExpression()
+      }),
+    (new FunctionIdentifier("freq_merge_agg"),
+      new ExpressionInfo(classOf[FreqMergeAgg].getName, "freq_merge_agg"),
+      (children: Seq[Expression]) => FreqMergeAgg(children(0)).toAggregateExpression()),
+    (new FunctionIdentifier("freq_topk"),
+      new ExpressionInfo(classOf[FreqTopK].getName, "freq_topk"),
+      (children: Seq[Expression]) => FreqTopK(children(0), children(1))),
     (new FunctionIdentifier("bpe_encode"),
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
       (children: Seq[Expression]) => {

@@ -40,12 +40,18 @@ object ZOrderStore {
     * row-group granularity.
     */
   def writeN(df: DataFrame, cols: Seq[String], path: String,
-             numFiles: Int): Unit = {
-    df.withColumn("__z", ZOrder.zorderCols(cols.map(col)))
+             numFiles: Int, bloomCols: Seq[String] = Nil): Unit = {
+    val writer = df.withColumn("__z", ZOrder.zorderCols(cols.map(col)))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite")
+    // standard parquet blooms per requested column — the file-level
+    // point-lookup index [[BloomSkip]] prunes on (and Spark's own reader
+    // consults per row group once a file is opened)
+    bloomCols.foldLeft(writer) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }.parquet(path)
   }
 
   /** One ROW GROUP's footprint: row count + per-column [min,max] (None

@@ -197,6 +197,8 @@ object SparkEntry {
     "q_window_rank" -> ((s, d) => Analytics.topNPerGroup(Tables.orders(s, d), 5)),
     "q_topk" -> ((s, d) => Analytics.topNPerGroupAgg(Tables.orders(s, d), 5)),
     "q_window_running" -> ((s, d) => Analytics.runningAggregates(Tables.events(s, d))),
+    "q_window_range" -> ((s, d) =>
+      Analytics.trailingRangeAggregates(Tables.events(s, d), windowUs = HourUs)),
     "q_semi_anti" -> ((s, d) => Analytics.semiAntiCounts(Tables.customer(s, d), Tables.orders(s, d))),
     "q_bloom_join" -> ((s, d) => {
       // runtime-filter join: bloom-summarize the selective dim keys,
@@ -1392,6 +1394,16 @@ object SparkEntry {
         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS moving_avg5
         |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts, value FROM events) e
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_window_range" ->
+      // RANGE frames take all timestamp peers on both engines, so only
+      // the terminal presentation sort needs the event_id tiebreak
+      """SELECT event_id, user_id, ts,
+        |  round(sum(value) OVER w, 4) AS trailing_sum,
+        |  count(DISTINCT event_type) OVER w AS n_types
+        |FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts, value FROM events) e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
     "q_semi_anti" ->
       """SELECT * FROM (

@@ -172,6 +172,32 @@ object Analytics {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** TRAILING EVENT-TIME window aggregates — the RANGE-frame member of
+    * the window family ([[runningAggregates]] is the ROWS-frame one):
+    * per event, the sum of values and the distinct event-type count over
+    * the last `windowUs` of the SAME user's events, frame bounds in
+    * event-time units so sparse and dense streams get the same horizon
+    * (a rows frame would mean "last k events" — a different quantity).
+    *
+    * Spark has no DISTINCT window aggregates; `size(collect_set(..))`
+    * is the standard formulation and stays inside the same single
+    * user-key exchange + sort every frame here shares. RANGE frames
+    * include all peer rows of the current timestamp on both engines, so
+    * intra-timestamp order cannot affect results (no tiebreak needed in
+    * the ORDER BY — only in the terminal presentation sort).
+    */
+  def trailingRangeAggregates(events: DataFrame, windowUs: Long): DataFrame = {
+    require(windowUs >= 0, s"windowUs must be non-negative: $windowUs")
+    val withUs = events.withColumn("ts_us", expr("ts DIV 1000"))
+    val trailing = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-windowUs, Window.currentRow)
+    withUs.select(
+        col("event_id"), col("user_id"), col("ts_us").as("ts"),
+        r4(sum(col("value")).over(trailing)).as("trailing_sum"),
+        size(collect_set(col("event_type")).over(trailing)).cast("long").as("n_types"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   /** Existence queries as left-semi / left-anti joins (never a distinct +
     * inner join — semi/anti stop at first match and never duplicate).
     */

@@ -149,5 +149,27 @@ object syntax {
 
     def quantileRollup(bucketCol: Column, valueCol: Column, k: Int = 200): DataFrame =
       Analytics.quantileRollup(df, bucketCol, valueCol, k)
+
+    def asOfTimeSliced(right: DataFrame, keys: Seq[String], leftTime: String,
+                       rightTime: String, valueCols: Seq[String],
+                       sliceUs: Long, native: Boolean = false): DataFrame =
+      AsOfJoin.asOfTimeSliced(df, right, keys, leftTime, rightTime,
+        valueCols, sliceUs, native)
+
+    def weightedCentroids(groupCol: String, vecCol: String,
+                          weightCol: String): DataFrame =
+      Similarity.weightedCentroids(df, groupCol, vecCol, weightCol)
+
+    def freqRollup(bucketCol: Column, itemCol: Column,
+                   maxMapSize: Int = 1024): DataFrame =
+      Analytics.freqRollup(df, bucketCol, itemCol, maxMapSize)
+
+    def zorderWriteN(cols: Seq[String], path: String, numFiles: Int,
+                     bloomCols: Seq[String] = Nil): Unit =
+      graft.sources.ZOrderStore.writeN(df, cols, path, numFiles, bloomCols)
+
+    def bpeEncodeBroadcastWith(merges: Seq[(String, String)], textCol: String): DataFrame =
+      df.withColumn("bpe_tokens", graft.functions.Bpe.encodeBroadcast(
+        df.sparkSession, org.apache.spark.sql.functions.col(textCol), merges))
   }
 }

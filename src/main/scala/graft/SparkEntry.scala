@@ -1003,6 +1003,34 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("prefix_tokens"), col("bin_id"), col("bin_offset"))
         .orderBy(col("source"), col("doc_id"))),
+    "q_curation_pipeline" -> ((s, d) => {
+      // the curation FUNNEL composed end-to-end — quality gate (length +
+      // repetition) → exact dedup keep-first (ONE min-struct aggregate,
+      // no join-back) → deterministic hash split → token packing of the
+      // train split. Every stage is an operator the catalog already
+      // proves in isolation; this query proves they COMPOSE: two
+      // shuffles total (dedup aggregate, pack window) + map-side gates
+      val gated = spread(Tables.documents(s, d))
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .withColumn("n_tokens", size(col("__toks")).cast("long"))
+        .withColumn("rep_ratio", TextFunctions.repetitionRatio(col("__toks")))
+        .filter(col("n_tokens") >= 10 && col("rep_ratio") <= 0.5)
+        .select(col("doc_id"), col("source"), col("text"), col("n_tokens"))
+      val dedup = gated
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+        .groupBy(col("fp"))
+        .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"))).as("m"))
+        .select(col("m.doc_id").as("doc_id"), col("m.source").as("source"),
+          col("m.n_tokens").as("n_tokens"))
+      val train = Sampling.split(dedup, "doc_id", "graft", trainPct = 80, valPct = 10)
+        .filter(col("split") === "train")
+      Packing.pack(train.select(col("doc_id"), col("source"), col("n_tokens")),
+        idCol = "doc_id", tokenCountCol = "n_tokens",
+        windowTokens = 512L, shardCols = Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("prefix_tokens"), col("bin_id"), col("bin_offset"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
     "q_chunk" -> ((s, d) =>
       // training-window chunking: fixed-length overlapping character
       // windows (len 120, stride 80) — the doc→context-window explode
@@ -2323,6 +2351,37 @@ object SparkEntry {
          |WHERE vec_id != 0
          |  AND vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_curation_pipeline" ->
+      // each CTE is the already-proven per-stage oracle formulation,
+      // chained: gate → keep-first dedup → hash split → pack
+      s"""WITH nrm AS ($docNormSql),
+         |base AS (
+         |  SELECT t.doc_id, d.source, n.norm, len(t.tk) AS n_tokens,
+         |    CASE WHEN len(t.tk) >= 2
+         |         THEN round(1.0 -
+         |           len(list_distinct(list_transform(generate_series(1, len(t.tk) - 1),
+         |                 i -> t.tk[i] || ' ' || t.tk[i+1]))) /
+         |           CAST(len(t.tk) - 1 AS DOUBLE), 6)
+         |         ELSE 0.0 END AS rep_ratio
+         |  FROM ($docTokensSql) t
+         |  JOIN nrm n ON t.doc_id = n.doc_id
+         |  JOIN documents d ON d.doc_id = t.doc_id),
+         |kept AS (SELECT doc_id, source, norm, n_tokens FROM base
+         |         WHERE n_tokens >= 10 AND rep_ratio <= 0.5),
+         |firsts AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(norm)),
+         |dedup AS (SELECT k.doc_id, k.source, k.n_tokens
+         |          FROM kept k JOIN firsts f ON k.doc_id = f.doc_id),
+         |train AS (SELECT * FROM dedup
+         |          WHERE ('0x' || substr(md5('graft|' || doc_id), 1, 15))::BIGINT % 100 < 80),
+         |packed AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+         |      AS prefix_tokens
+         |  FROM train)
+         |SELECT doc_id, source, n_tokens, prefix_tokens,
+         |  prefix_tokens // 512 AS bin_id, prefix_tokens % 512 AS bin_offset
+         |FROM packed ORDER BY source, doc_id""".stripMargin,
     "q_pack" ->
       """SELECT doc_id, source, n_tokens, prefix_tokens,
         |  prefix_tokens // 512 AS bin_id, prefix_tokens % 512 AS bin_offset

@@ -480,6 +480,24 @@ object SparkEntry {
           round(sum(col("pval")), 4).as("sum_pval"))
         .orderBy(col("event_id"))
     }),
+    "q_range_sliced" -> ((s, d) => {
+      // binned-interval skew form of q_range_join: partitions on
+      // (user_id, 2h slice); slice ≥ band width ⇒ each purchase ships at
+      // most twice — result ≡ q_range_join (same oracle)
+      val e = eventsUs(s, d)
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us").as("t"))
+        .agg(max(col("value")).as("pval"))
+      AsOfJoin.rangeJoinTimeSliced(errors, purchases, keys = Seq("user_id"),
+        leftTime = "ts_us", rightTime = "t", valueCols = Seq("pval"),
+        lowerUs = HourUs, upperUs = HourUs, sliceUs = 2L * HourUs)
+        .groupBy(col("event_id"))
+        .agg(count(col("t")).as("n_matches"),
+          round(sum(col("pval")), 4).as("sum_pval"))
+        .orderBy(col("event_id"))
+    }),
     "q_range_broadcast" -> ((s, d) => {
       // same contract as q_range_join with a broadcast-packed right side:
       // the probe never leaves its scan (sorted_band_slice + explode)
@@ -1684,6 +1702,21 @@ object SparkEntry {
         |GROUP BY e.event_id
         |ORDER BY event_id""".stripMargin,
     "q_range_join" ->
+      """WITH err AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_type = 'error'),
+        |purch AS (
+        |  SELECT user_id, t, max(value) AS pval
+        |  FROM (SELECT user_id, epoch_us(ts) AS t, value FROM events
+        |        WHERE event_type = 'purchase') p GROUP BY user_id, t)
+        |SELECT e.event_id, count(p.t) AS n_matches,
+        |  round(sum(p.pval), 4) AS sum_pval
+        |FROM err e LEFT JOIN purch p
+        |  ON e.user_id = p.user_id
+        |  AND p.t >= e.t - 3600000000 AND p.t <= e.t + 3600000000
+        |GROUP BY e.event_id
+        |ORDER BY event_id""".stripMargin,
+    "q_range_sliced" ->
       """WITH err AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
         |  WHERE event_type = 'error'),

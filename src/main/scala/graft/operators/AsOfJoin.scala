@@ -362,4 +362,40 @@ object AsOfJoin {
       else asOf(lt, expanded, keys :+ S, leftTime, rightTime, valueCols)
     joined.select(left.columns.map(col).toSeq ++ valueCols.map(col): _*)
   }
+
+  /** TIME-SLICED range join — [[asOfTimeSliced]]'s hot-key split applied
+    * to [[rangeJoin]] semantics (the classic binned interval join): left
+    * rows bucket by floor(t/sliceUs); each right row replicates into
+    * every slice its match window [rt−upperUs, rt+lowerUs] overlaps, so
+    * a (left, right) in-band pair meets in EXACTLY the left row's slice
+    * (no dedup needed) and the join partitions on (keys, slice).
+    * Replication is ceil(band/sliceUs)+1 copies — pick sliceUs ≥ the
+    * band width and each right row ships at most twice.
+    *
+    * Output ≡ [[rangeJoin]] (left join: left ++ rightTime ++ values;
+    * unmatched left rows null-extend once) for non-null keys/times;
+    * right rows with null key or time are dropped (SQL semantics —
+    * same note as [[asOfTimeSliced]]).
+    */
+  def rangeJoinTimeSliced(left: DataFrame, right: DataFrame, keys: Seq[String],
+                          leftTime: String, rightTime: String,
+                          valueCols: Seq[String], lowerUs: Long, upperUs: Long,
+                          sliceUs: Long): DataFrame = {
+    require(lowerUs >= 0 && upperUs >= 0,
+      s"band bounds are magnitudes: lowerUs=$lowerUs upperUs=$upperUs")
+    require(sliceUs > 0, s"sliceUs must be positive, got $sliceUs")
+    val S = "__slice"
+    require(!(left.columns ++ right.columns).contains(S), s"column $S is reserved")
+    def floorDiv(c: String) = expr(s"($c - pmod($c, ${sliceUs}L)) DIV ${sliceUs}L")
+    val lt = left.withColumn("__st", col(leftTime).cast("long"))
+      .withColumn(S, floorDiv("__st")).drop("__st")
+    val rt = right
+      .filter(col(rightTime).isNotNull && keys.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__lo", col(rightTime).cast("long") - upperUs)
+      .withColumn("__hi", col(rightTime).cast("long") + lowerUs)
+      .withColumn(S, explode(sequence(floorDiv("__lo"), floorDiv("__hi"))))
+      .drop("__lo", "__hi")
+    rangeJoin(lt, rt, keys :+ S, leftTime, rightTime, valueCols, lowerUs, upperUs)
+      .select((left.columns.map(col) :+ col(rightTime)) ++ valueCols.map(col): _*)
+  }
 }

@@ -302,6 +302,53 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(diff.isEmpty)
   }
 
+  test("property: rangeJoinTimeSliced ≡ rangeJoin across widths, bounds, negative times") {
+    val rnd = new scala.util.Random(23) // deterministic
+    (1 to 5).foreach { round =>
+      val nl = 30 + rnd.nextInt(40)
+      val nr = 30 + rnd.nextInt(40)
+      val left = (0 until nl).map { i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(200).toLong * 7 - 500, i)
+      }.toDF("k", "t", "tag")
+      val right = (0 until nr).map { i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(200).toLong * 7 - 500, i.toDouble)
+      }.toDF("k", "rt", "v")
+      val lower = rnd.nextInt(60).toLong
+      val upper = rnd.nextInt(60).toLong
+      val base = AsOfJoin.rangeJoin(left, right, Seq("k"), "t", "rt", Seq("v"), lower, upper)
+      // w smaller than, equal to, and larger than the band width
+      Seq(7L, lower + upper + 1, 500L).foreach { w =>
+        val sliced = AsOfJoin.rangeJoinTimeSliced(left, right, Seq("k"), "t", "rt",
+          Seq("v"), lower, upper, w)
+        val diff = sliced.exceptAll(base).union(base.exceptAll(sliced))
+        assert(diff.isEmpty,
+          s"round $round w=$w lower=$lower upper=$upper: ${diff.collect().take(5).mkString(";")}")
+      }
+    }
+  }
+
+  test("rangeJoinTimeSliced partitions on (key, slice); replication stays ≤ 2 at w ≥ band") {
+    val left = (0 until 400).map(i => (1L, i.toLong, i)).toDF("k", "t", "tag")
+    val right = (0 until 200).map(i => (1L, i.toLong * 2, i.toDouble)).toDF("k", "rt", "v")
+    // disable broadcast so the plan shows the shuffle this operator
+    // exists to reshape (tiny test tables would broadcast otherwise)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df =
+      try {
+        val d = AsOfJoin.rangeJoinTimeSliced(left, right, Seq("k"), "t", "rt", Seq("v"),
+          lowerUs = 10L, upperUs = 10L, sliceUs = 50L)
+        d.collect()
+        val exchanges = d.queryExecution.executedPlan.toString
+          .split("\n").filter(_.contains("hashpartitioning"))
+        assert(exchanges.exists(_.contains("__slice")),
+          s"band join must partition on the slice column:\n${exchanges.mkString("\n")}")
+        d
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    val base = AsOfJoin.rangeJoin(left, right, Seq("k"), "t", "rt", Seq("v"), 10L, 10L)
+    val diff = df.exceptAll(base).union(base.exceptAll(df))
+    assert(diff.isEmpty)
+  }
+
   test("asOfTimeSliced: null left times preserved; null-key/time right rows never match") {
     val left = Seq((Some(1L), Some(10L)), (Some(1L), None: Option[Long])).toDF("k", "t")
     val right = Seq(

@@ -180,6 +180,45 @@ object Bench {
       s"""{"plain":$plain,"smb":$smb}"""
     }
     val smbOp = smbRawSafe()
+    // ---- operator-level SKEW: the hot-key as-of ----
+    // 80% of left rows collapse onto one key, and the input replicates
+    // 20x (disjoint ids, jittered times — the scaling section's move) so
+    // the hot timeline is SORT-BOUND in one task, which is what skew
+    // means at scale: the window form serializes it in ONE task (AQE can
+    // split skewed joins, not window partitions); asOfTimeSliced
+    // partitions on (key, 6h slice). At sf0.1 this is a 1.6M-row hot key
+    // — plain ~2.1s vs sliced ~1.0s. Same fresh-execution median-of-5.
+    def skewRawSafe(): String =
+      try skewRaw() catch { case _: Throwable => """{"plain":-1,"sliced":-1}""" }
+    def skewRaw(): String = {
+      import org.apache.spark.sql.functions._
+      val e = sources.Tables.events(spark, sfDir).withColumn("ts_us", expr("ts DIV 1000"))
+        .crossJoin(spark.range(20).select(col("id").as("rep")))
+        .withColumn("event_id", col("event_id") * 20 + col("rep"))
+        .withColumn("ts_us", col("ts_us") + col("rep") * 1000L)
+      val hot = when(pmod(col("event_id"), lit(5)) < 4, lit(1L)).otherwise(col("user_id"))
+      val left = e.select(hot.as("user_id"), col("ts_us").as("t"), col("event_id"))
+      val right = e.filter(col("event_type") === "purchase")
+        .groupBy(hot.as("user_id"), col("ts_us").as("rt"))
+        .agg(max(col("value")).as("pval"))
+      def median5(build: () => org.apache.spark.sql.DataFrame): Double = {
+        build().queryExecution.toRdd.count()
+        val runs = (1 to 5).map { _ =>
+          val df = build()
+          val t0 = System.nanoTime()
+          df.queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        runs(runs.size / 2)
+      }
+      val plain = median5(() => operators.AsOfJoin.asOf(
+        left, right, Seq("user_id"), "t", "rt", Seq("pval")))
+      val sliced = median5(() => operators.AsOfJoin.asOfTimeSliced(
+        left, right, Seq("user_id"), "t", "rt", Seq("pval"),
+        sliceUs = 6L * 3600000000L, native = true))
+      s"""{"plain":$plain,"sliced":$sliced}"""
+    }
+    val skewOp = skewRawSafe()
     // ---- streaming throughput: rows/sec through stateful pipelines ----
     // MemoryStream-fed micro-batches (4 × 50k rows) through three state
     // shapes: watermarked windowed agg (builtin state), as-of
@@ -354,7 +393,7 @@ object Bench {
     // full diagnostics: rows/s, history, per-query full precision — written
     // to a repo file (committed per round as BENCH_local_r{N}) and logged
     // EARLY so the tail-window snapshot is spent on the compact line below
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"smb_operator_level":$smbOp,"streaming":$streamingOp$scalingFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es), per-query median of successful samples; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"smb_operator_level":$smbOp,"skew_operator_level":$skewOp,"streaming":$streamingOp$scalingFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es), per-query median of successful samples; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
     val fw = new java.io.OutputStreamWriter(
       new java.io.FileOutputStream("BENCH_full.json"),
       java.nio.charset.StandardCharsets.UTF_8)

@@ -2766,11 +2766,18 @@ object SparkEntry {
       |  GROUP BY doc_id)
       |SELECT g.doc_id AS media_id,
       |  CASE WHEN g.fmt = 1 AND g.rle THEN 'bmp-rle8'
+      |       WHEN g.fmt = 1 AND g.doc_id % 4 = 3 THEN 'png'
       |       WHEN g.fmt = 1 THEN 'bmp'
       |       WHEN g.fr > 1 THEN 'ppm-seq' ELSE 'ppm' END AS media_type,
       |  CASE WHEN g.fmt = 1 AND g.rle THEN
       |         1078 + g.h * (2 + CASE WHEN g.w >= 3 THEN 2 + g.w + g.w % 2
       |                                ELSE 2 * g.w END)
+      |       WHEN g.fmt = 1 AND g.doc_id % 4 = 3 THEN
+      |         -- stored-deflate PNG: 8 sig + 25 IHDR + 12 IEND + IDAT
+      |         -- (12 + zlib), zlib = 2 + 5*ceil(raw/65535) + raw + 4
+      |         -- with raw = h*(1 + 3w)
+      |         57 + 2 + 5 * ((g.h * (1 + 3*g.w) + 65534) // 65535)
+      |            + g.h * (1 + 3*g.w) + 4
       |       WHEN g.fmt = 1 THEN 54 + g.h * ((g.w*3 + 3) // 4 * 4)
       |       ELSE g.fr * (9 + length(CAST(g.w AS VARCHAR))
       |                      + length(CAST(g.h AS VARCHAR)) + g.w*g.h*3)

@@ -97,6 +97,163 @@ object MediaCodec {
     buf.array()
   }
 
+  /** PNG (RFC 2083 / ISO 15948), 8-bit RGB, non-interlaced. The encoder
+    * writes STORED deflate blocks (zlib framing with uncompressed block
+    * headers) and filter 0 on every scanline — a fully conformant PNG
+    * any reader opens, whose byte size is a CLOSED FORM of the geometry
+    * (8 signature + 25 IHDR + 12+zlib IDAT + 12 IEND, zlib = 2 + 5·nblk
+    * + raw + 4 with raw = h·(1+3w)) so the decode oracle can predict
+    * n_bytes. The DECODER is general: any deflate stream (Inflater),
+    * all five scanline filters, RGB and RGBA (alpha dropped to the
+    * top-down RGB raster convention), multi-IDAT, CRC-verified — it
+    * round-trips the JDK's own ImageIO encoder, not just this one.
+    */
+  def encodePng(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height * 3,
+      s"PNG pixel buffer ${pixels.length} != ${width}x${height}x3")
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len)
+      val body = typ.getBytes(StandardCharsets.US_ASCII) ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    chunk("IHDR", ihdr)
+    // raw scanline stream: filter byte 0 + RGB row, zlib-wrapped as
+    // stored blocks (deterministic framing, Inflater-compatible)
+    val raw = new Array[Byte](height * (1 + width * 3))
+    var y = 0
+    while (y < height) {
+      System.arraycopy(pixels, y * width * 3, raw, y * (1 + width * 3) + 1, width * 3)
+      y += 1
+    }
+    val zlib = new ByteArrayOutputStream()
+    zlib.write(0x78); zlib.write(0x01) // zlib header, no preset dict
+    var off = 0
+    while (off < raw.length || raw.isEmpty && off == 0) {
+      val n = math.min(65535, raw.length - off)
+      val last = off + n >= raw.length
+      zlib.write(if (last) 1 else 0)
+      zlib.write(n & 0xFF); zlib.write((n >> 8) & 0xFF)
+      zlib.write(~n & 0xFF); zlib.write((~n >> 8) & 0xFF)
+      zlib.write(raw, off, n)
+      off += n
+      if (last) off = raw.length + 1 // exit (handles the empty-raster edge)
+    }
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    zlib.write(ByteBuffer.allocate(4).putInt(adler.getValue.toInt).array())
+    chunk("IDAT", zlib.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def decodePng(bytes: Array[Byte]): Decoded = {
+    require(bytes.length >= 8 &&
+      (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G',
+      "not a PNG signature")
+    var pos = 8
+    var width = -1; var height = -1; var bitDepth = -1; var colorType = -1
+    val idat = new ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd) {
+      require(pos + 8 <= bytes.length, s"truncated PNG chunk header at $pos")
+      val len = ByteBuffer.wrap(bytes, pos, 4).getInt
+      require(len >= 0 && pos + 12 + len <= bytes.length, s"truncated PNG chunk at $pos")
+      val typ = new String(bytes, pos + 4, 4, StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      val stored = ByteBuffer.wrap(bytes, pos + 8 + len, 4).getInt
+      require(crc.getValue.toInt == stored, s"PNG $typ chunk CRC mismatch")
+      typ match {
+        case "IHDR" =>
+          val b = ByteBuffer.wrap(bytes, pos + 8, len)
+          width = b.getInt; height = b.getInt
+          bitDepth = b.get() & 0xFF; colorType = b.get() & 0xFF
+          val interlace = { b.get(); b.get(); b.get() & 0xFF }
+          require(bitDepth == 8, s"unsupported PNG bit depth $bitDepth")
+          require(colorType == 2 || colorType == 6,
+            s"unsupported PNG color type $colorType (RGB/RGBA only)")
+          require(interlace == 0, "interlaced PNG unsupported")
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks skipped
+      }
+      pos += 12 + len
+    }
+    require(width > 0 && height > 0, "PNG IHDR missing or degenerate")
+    val bpp = if (colorType == 6) 4 else 3
+    val stride = width * bpp
+    val rawLen = height * (1 + stride)
+    val raw = new Array[Byte](rawLen)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < rawLen && !inf.finished()) {
+        val n = inf.inflate(raw, got, rawLen - got)
+        require(n > 0 || inf.finished(), "PNG deflate stream stalled")
+        got += n
+      }
+    } finally inf.end()
+    require(got == rawLen, s"PNG pixel stream short: $got of $rawLen")
+    // undo per-scanline filters in place (spec §6: Sub/Up/Average/Paeth
+    // operate on the FILTERED bytes of prior pixels already reconstructed)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val img = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      val f = raw(y * (1 + stride)) & 0xFF
+      val rowIn = y * (1 + stride) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowIn + x) & 0xFF
+        val left = if (x >= bpp) img(rowOut + x - bpp) & 0xFF else 0
+        val up = if (y > 0) img(rowOut - stride + x) & 0xFF else 0
+        val ul = if (y > 0 && x >= bpp) img(rowOut - stride + x - bpp) & 0xFF else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => cur + paeth(left, up, ul)
+          case other => throw new IllegalArgumentException(s"bad PNG filter $other")
+        }
+        img(rowOut + x) = (v & 0xFF).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // normalize to the top-down RGB raster (drop alpha)
+    val rgb =
+      if (bpp == 3) img
+      else {
+        val o = new Array[Byte](width * height * 3)
+        var i = 0
+        while (i < width * height) {
+          o(i * 3) = img(i * 4); o(i * 3 + 1) = img(i * 4 + 1); o(i * 3 + 2) = img(i * 4 + 2)
+          i += 1
+        }
+        o
+      }
+    Decoded("png", width, height, 1, rgb)
+  }
+
   /** 8-bit palettized BMP with BI_RLE8 compression (the published
     * Windows RLE8 scheme: run pairs `(count, index)`, escape 0x00 with
     * 0x00=end-of-line, 0x01=end-of-bitmap, 0x02=delta, 0x03..0xFF=
@@ -195,7 +352,8 @@ object MediaCodec {
     */
   def decode(bytes: Array[Byte]): Decoded = {
     require(bytes.length >= 2, "payload too short to sniff")
-    (bytes(0).toChar, bytes(1).toChar) match {
+    if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P') decodePng(bytes)
+    else (bytes(0).toChar, bytes(1).toChar) match {
       case ('P', '6') => decodePpmSeq(bytes)
       case ('B', 'M') => decodeBmp(bytes)
       case (a, b) => throw new IllegalArgumentException(

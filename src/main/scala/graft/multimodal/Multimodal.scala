@@ -88,6 +88,10 @@ object Multimodal {
             if (d % 2 == 0) {
               val indices = Array.tabulate[Byte](w * h)(j => ((d * 7 + 39L * j) % 256).toByte)
               ("image/bmp-rle8", MediaCodec.encodeBmpRle8(w, h, indices, rle8Palette))
+            } else if (d % 4 == 3) {
+              // PNG: zlib-framed deflate — the second compressed format,
+              // same canonical raster
+              ("image/png", MediaCodec.encodePng(w, h, px))
             } else ("image/bmp", MediaCodec.encodeBmp(w, h, px))
           case _ => ("video/x-ppm-seq", MediaCodec.encodePpmSeq(w, h, frames, px))
         }

@@ -224,6 +224,58 @@ class MultimodalSpec extends SparkSpec {
         s"pixel $j channel $c: ${dec.pixels(j * 3 + c)} != ${idx(j)}")
   }
 
+  test("PNG encode/decode round-trips; n_bytes matches the closed form") {
+    val w = 7; val h = 5
+    val pixels = px(w * h * 3)(k => k * 13 + 7)
+    val bytes = MediaCodec.encodePng(w, h, pixels)
+    // 57 fixed + zlib(2 + 5*nblk + raw + 4), raw = h*(1+3w)
+    val raw = h * (1 + 3 * w)
+    assert(bytes.length == 57 + 2 + 5 * ((raw + 65534) / 65535) + raw + 4,
+      s"got ${bytes.length}")
+    val dec = MediaCodec.decode(bytes)
+    assert(dec.format == "png" && dec.width == w && dec.height == h && dec.nFrames == 1)
+    assert(dec.pixels.toSeq == pixels.toSeq)
+  }
+
+  test("PNG decoder handles the JDK's own encoder: real deflate, filters, RGB and RGBA") {
+    val w = 23; val h = 17
+    val pixels = px(w * h * 3)(k => k * 31 + 5)
+    def viaImageIO(imageType: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, imageType)
+      var i = 0
+      while (i < w * h) {
+        val r = pixels(i * 3) & 0xFF; val g = pixels(i * 3 + 1) & 0xFF
+        val b = pixels(i * 3 + 2) & 0xFF
+        img.setRGB(i % w, i / w, (0xFF << 24) | (r << 16) | (g << 8) | b)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    // TYPE_INT_RGB → color type 2 (RGB); TYPE_INT_ARGB → color type 6
+    // (RGBA, alpha dropped); both use zlib's REAL compressor and
+    // whatever scanline filters the JDK encoder picks
+    Seq(java.awt.image.BufferedImage.TYPE_INT_RGB,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB).foreach { t =>
+      val dec = MediaCodec.decode(viaImageIO(t))
+      assert(dec.format == "png" && dec.width == w && dec.height == h)
+      assert(dec.pixels.toSeq == pixels.toSeq, s"imageType $t")
+    }
+  }
+
+  test("PNG corruption fails loudly: bad CRC, truncation, unsupported shape") {
+    val good = MediaCodec.encodePng(4, 3, px(36)(identity))
+    val badCrc = good.clone(); badCrc(good.length - 5) = (badCrc(good.length - 5) ^ 0x7F).toByte
+    intercept[IllegalArgumentException] { MediaCodec.decode(badCrc) }
+    intercept[IllegalArgumentException] {
+      MediaCodec.decode(java.util.Arrays.copyOf(good, good.length - 13))
+    }
+    // 16-bit depth is declared unsupported, not mis-decoded
+    val deep = good.clone(); deep(24) = 16.toByte // IHDR bit-depth byte
+    intercept[IllegalArgumentException] { MediaCodec.decode(deep) }
+  }
+
   test("RLE8 compresses runs: encoded size ≪ raster for uniform images") {
     val w = 64; val h = 64
     val uniform = Array.fill[Byte](w * h)(42)

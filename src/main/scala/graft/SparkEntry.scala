@@ -46,6 +46,14 @@ object SparkEntry {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Derived half-open spans for the interval-analytics queries: event
+    * start plus a deterministic (event_id % 50 + 1)-second hold. Integer
+    * arithmetic only — no float drift between engines.
+    */
+  private def eventSpans(s: SparkSession, d: String): DataFrame =
+    eventsUs(s, d).select(col("user_id"), col("ts_us").as("s_us"),
+      (col("ts_us") + ((col("event_id") % 50) + 1) * 1000000L).as("e_us"))
+
   private def errorActivity: Column =
     when(col("event_type") === "error", 1).otherwise(0)
 
@@ -222,6 +230,26 @@ object SparkEntry {
         groupCols = Seq("user_id"), timeCol = "ts", tiebreak = Seq("event_id"),
         gapUs = 7200000000L, valueCol = "value")
         .orderBy(col("user_id"), col("session_idx"))),
+    "q_overlap_peak" -> ((s, d) =>
+      // sweep-line peak concurrency: each event holds its user "busy"
+      // for a deterministic (event_id % 50 + 1)-second span; the answer
+      // is the max number of simultaneously-open spans per user
+      Intervals.peakConcurrency(
+        eventSpans(s, d), keyCols = Seq("user_id"),
+        startCol = "s_us", endCol = "e_us")
+        .orderBy(col("user_id"))),
+    "q_interval_coverage" -> ((s, d) =>
+      // gaps-and-islands union length of the same spans — "how much of
+      // the timeline is covered by at least one open span, in how many
+      // contiguous stretches"
+      Intervals.coverage(
+        eventSpans(s, d), keyCols = Seq("user_id"),
+        startCol = "s_us", endCol = "e_us")
+        .orderBy(col("user_id"))),
+    "q_profile" -> ((s, d) =>
+      Profile.profile(Tables.documents(s, d),
+        Seq("doc_id", "lang", "n_chars", "source", "text"))
+        .orderBy(col("col_name"))),
     "q_session_window" -> ((s, d) =>
       // the same gap-sessionization as q_sessionize via Spark's NATIVE
       // session_window operator (merging session aggregation, no window
@@ -1504,6 +1532,49 @@ object SparkEntry {
         |  round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    "q_overlap_peak" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |              epoch_us(ts) + ((event_id % 50) + 1) * 1000000 AS e
+        |            FROM events),
+        |d AS (SELECT user_id, s AS t, 1 AS dd FROM iv
+        |      UNION ALL SELECT user_id, e AS t, -1 AS dd FROM iv),
+        |c AS (SELECT user_id, t,
+        |        CAST(sum(dd) OVER (PARTITION BY user_id ORDER BY t, dd
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open
+        |      FROM d),
+        |m AS (SELECT user_id, t, open,
+        |        max(open) OVER (PARTITION BY user_id) AS peak_open FROM c)
+        |SELECT user_id, peak_open, min(t) AS peak_at
+        |FROM m WHERE open = peak_open
+        |GROUP BY user_id, peak_open ORDER BY user_id""".stripMargin,
+    "q_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |              epoch_us(ts) + ((event_id % 50) + 1) * 1000000 AS e
+        |            FROM events),
+        |f AS (SELECT user_id, s, e,
+        |        CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |              OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |             THEN 1 ELSE 0 END AS ni
+        |      FROM iv),
+        |g AS (SELECT user_id, s, e,
+        |        CAST(sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        |      FROM f),
+        |i AS (SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+        |      FROM g GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(i_e - i_s) AS BIGINT) AS covered_us,
+        |  min(i_s) AS first_start, max(i_e) AS last_end
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_profile" ->
+      Seq("doc_id", "lang", "n_chars", "source", "text").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "q_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events),
         |f AS (SELECT user_id, t, value,

@@ -1,0 +1,417 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Transactional snapshot tables over plain parquet — the metadata layer
+  * [[ZOrderStore.compactN]]'s scaladoc points at ("a production lakehouse
+  * commits via manifest swap"): an ordered log of immutable commits under
+  * `<table>/_graft_log/` that names exactly which immutable data files
+  * are live, so readers get atomic snapshots, writers get optimistic
+  * concurrency, compaction is a metadata swap instead of a directory
+  * swap, and every historical version stays readable (time travel).
+  * This is the published Delta/Iceberg design re-expressed minimally;
+  * the commit-protocol portability matrix mirrors Delta's public
+  * LogStore notes (ATOMIC_RENAME_EXCHANGE docs).
+  *
+  * Layout (all I/O via the Hadoop FileSystem API — file:/HDFS/S3 alike):
+  * {{{
+  *   <table>/_graft_log/%020d.commit          one commit, TSV actions
+  *   <table>/_graft_log/%020d.checkpoint      full live set at that version
+  *   <table>/data/<uuid>-part-*.parquet       immutable data files
+  * }}}
+  *
+  * Commit protocol: data files are written to a hidden temp dir, moved
+  * into `data/` (invisible until referenced — a crash strands orphans
+  * for [[vacuum]], never corrupts a snapshot), then ONE log file is
+  * published with put-if-absent. Version conflicts lose the race,
+  * re-read the log, and retry; [[overwrite]]/[[compact]] additionally
+  * verify their intended removes are still live and throw
+  * `ConcurrentModificationException` when another writer got there
+  * first (same read-set validation Delta documents).
+  *
+  * Put-if-absent primitive: `FileContext.rename(tmp, target,
+  * Rename.NONE)` — atomic on HDFS (namenode rename2); on `file:` the
+  * exists-check inside rename is check-then-act, so a JVM-wide
+  * per-table lock serializes local committers (multi-threaded
+  * single-JVM correctness, the contract Delta's LocalLogStore
+  * documents). Object stores without atomic rename need an external
+  * coordinator, exactly as Delta documents for S3 multi-cluster.
+  *
+  * Commit files carry per-file row counts and long-column [min,max]
+  * harvested from parquet footers at WRITE time, so
+  * [[prunedLiveFiles]] answers box/point queries from the log alone —
+  * no per-query footer reads (the scale fix [[StatsManifest]] makes for
+  * plain directories, here transactional for free because commits are
+  * immutable). Checkpoints every [[checkpointEvery]] commits bound
+  * replay cost: a reader lists the log, loads the newest checkpoint ≤
+  * its target version, and replays only the tail.
+  */
+object SnapshotStore {
+
+  val checkpointEvery = 10
+
+  /** One live data file: absolute path, its row count, and per-column
+    * [min,max] for the stats columns the writer harvested (absent =
+    * unknown → never pruned on).
+    */
+  final case class AddFile(path: String, rows: Long,
+                           stats: Map[String, (Long, Long)])
+
+  final case class Snapshot(version: Long, live: Seq[AddFile],
+                            meta: Map[String, String])
+
+  // ---------------------------------------------------------------- paths
+
+  private def logDir(table: String) = new Path(table, "_graft_log")
+  private def dataDir(table: String) = new Path(table, "data")
+  private def commitPath(table: String, v: Long) =
+    new Path(logDir(table), f"$v%020d.commit")
+  private def checkpointPath(table: String, v: Long) =
+    new Path(logDir(table), f"$v%020d.checkpoint")
+
+  private def conf(spark: SparkSession) = spark.sessionState.newHadoopConf()
+
+  /** JVM-wide per-table committer lock — the local-FS leg of the
+    * put-if-absent matrix (see object doc).
+    */
+  private val localLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  // ------------------------------------------------------- TSV (de)coding
+  // Line formats (fields are generated names/longs — no escaping needed;
+  // meta keys/values are documented tab/newline-free):
+  //   a <path> <rows> <col=lo:hi;col=lo:hi | ->
+  //   r <path>
+  //   m <key> <value>
+
+  private def encodeAdd(a: AddFile): String = {
+    val stats =
+      if (a.stats.isEmpty) "-"
+      else a.stats.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
+    s"a\t${a.path}\t${a.rows}\t$stats"
+  }
+
+  private def decodeAdd(fields: Array[String]): AddFile = {
+    val stats =
+      if (fields(3) == "-") Map.empty[String, (Long, Long)]
+      else fields(3).split(';').map { s =>
+        val Array(c, range) = s.split('=')
+        val Array(lo, hi) = range.split(':')
+        c -> (lo.toLong, hi.toLong)
+      }.toMap
+    AddFile(fields(1), fields(2).toLong, stats)
+  }
+
+  private def readLines(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8").split('\n').toSeq
+        .map(_.trim).filter(_.nonEmpty)
+    } finally in.close()
+  }
+
+  // --------------------------------------------------------------- replay
+
+  private def listLog(fs: FileSystem, table: String)
+      : (Seq[Long], Seq[Long]) = {
+    val dir = logDir(table)
+    if (!fs.exists(dir)) (Nil, Nil)
+    else {
+      val names = fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath.getName)
+      def versionsOf(suffix: String) = names
+        .filter(_.endsWith(suffix))
+        .map(n => n.stripSuffix(suffix).toLong).sorted
+      (versionsOf(".commit"), versionsOf(".checkpoint"))
+    }
+  }
+
+  /** Latest committed version, 0 when the table does not exist yet. */
+  def latestVersion(spark: SparkSession, table: String): Long = {
+    val fs = logDir(table).getFileSystem(conf(spark))
+    listLog(fs, table)._1.lastOption.getOrElse(0L)
+  }
+
+  def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val fs = logDir(table).getFileSystem(conf(spark))
+    listLog(fs, table)._1
+  }
+
+  /** Replay the log (from the newest checkpoint ≤ `asOf`) into the live
+    * set + latest-wins metadata at that version.
+    */
+  def state(spark: SparkSession, table: String,
+            asOf: Option[Long] = None): Snapshot = {
+    val fs = logDir(table).getFileSystem(conf(spark))
+    val (commits, checkpoints) = listLog(fs, table)
+    require(commits.nonEmpty, s"snapshot table has no commits: $table")
+    val target = asOf.getOrElse(commits.last)
+    require(commits.contains(target),
+      s"version $target does not exist in $table (have ${commits.mkString(",")})")
+    val cp = checkpoints.filter(_ <= target).lastOption
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    var meta = Map.empty[String, String]
+    def apply(lines: Seq[String]): Unit = lines.foreach { line =>
+      val f = line.split('\t')
+      f(0) match {
+        case "a" => val a = decodeAdd(f); live(a.path) = a
+        case "r" => live.remove(f(1))
+        case "m" => meta += (f(1) -> f(2))
+        case _   => // forward-compatible: unknown action kinds are skipped
+      }
+    }
+    cp.foreach(v => apply(readLines(fs, checkpointPath(table, v))))
+    commits.filter(v => v > cp.getOrElse(0L) && v <= target)
+      .foreach(v => apply(readLines(fs, commitPath(table, v))))
+    Snapshot(target, live.values.toSeq, meta)
+  }
+
+  // --------------------------------------------------------------- commit
+
+  /** Publish one commit with put-if-absent; retries version races.
+    * `mustBeLive` is the optimistic read-set: paths the commit removes,
+    * re-validated against the CURRENT live set on every attempt.
+    * (package-visible so the conflict spec can race a stalled writer)
+    */
+  private[sources] def commit(spark: SparkSession, table: String,
+                     adds: Seq[AddFile], removes: Seq[String],
+                     meta: Map[String, String],
+                     mustBeLive: Seq[String]): Long = {
+    meta.foreach { case (k, v) =>
+      require(!(k + v).exists(c => c == '\t' || c == '\n'),
+        s"meta entries must be tab/newline-free: $k") }
+    val c = conf(spark)
+    val dir = logDir(table)
+    val fs = dir.getFileSystem(c)
+    fs.mkdirs(dir)
+    val payload = (
+      meta.toSeq.sortBy(_._1).map { case (k, v) => s"m\t$k\t$v" } ++
+      removes.map(r => s"r\t$r") ++
+      adds.map(encodeAdd)
+    ).mkString("", "\n", "\n").getBytes("UTF-8")
+    val lock = localLocks.computeIfAbsent(table, _ => new Object)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 100, s"commit to $table: 100 straight version races")
+      val v = latestVersion(spark, table) + 1
+      if (mustBeLive.nonEmpty && v > 1) {
+        val liveNow = state(spark, table).live.map(_.path).toSet
+        val gone = mustBeLive.filterNot(liveNow)
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"commit to $table: ${gone.size} input file(s) no longer live " +
+            s"(another overwrite/compact won): ${gone.take(3).mkString(", ")}")
+      }
+      val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(payload) finally out.close()
+      val won =
+        try {
+          lock.synchronized {
+            val fc = FileContext.getFileContext(dir.toUri, c)
+            fc.rename(tmp, commitPath(table, v), Options.Rename.NONE)
+          }
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            fs.delete(tmp, false); false
+          case e: java.io.IOException if e.getMessage != null &&
+              e.getMessage.contains("already exists") =>
+            fs.delete(tmp, false); false
+        }
+      if (won) {
+        if (v % checkpointEvery == 0) writeCheckpoint(spark, table, v)
+        return v
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Checkpoints are best-effort derived state: a lost one only costs a
+    * longer replay, so failures are swallowed by design.
+    */
+  private def writeCheckpoint(spark: SparkSession, table: String, v: Long): Unit =
+    try {
+      val snap = state(spark, table, Some(v))
+      val c = conf(spark)
+      val fs = logDir(table).getFileSystem(c)
+      val tmp = new Path(logDir(table), s".tmp-cp-${java.util.UUID.randomUUID()}")
+      val payload = (
+        snap.meta.toSeq.sortBy(_._1).map { case (k, mv) => s"m\t$k\t$mv" } ++
+        snap.live.map(encodeAdd)
+      ).mkString("", "\n", "\n").getBytes("UTF-8")
+      val out = fs.create(tmp, true)
+      try out.write(payload) finally out.close()
+      val fc = FileContext.getFileContext(logDir(table).toUri, c)
+      fc.rename(tmp, checkpointPath(table, v), Options.Rename.OVERWRITE)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  // ---------------------------------------------------------- data files
+
+  /** Write `df` as parquet into `data/` under fresh unique names and
+    * harvest footer stats. Files are unreferenced (hence invisible)
+    * until a commit names them.
+    */
+  private def stageFiles(df: DataFrame, table: String,
+                         statsCols: Seq[String]): Seq[AddFile] = {
+    val spark = df.sparkSession
+    val c = conf(spark)
+    val data = dataDir(table)
+    val fs = data.getFileSystem(c)
+    val tmp = new Path(table, s".stage-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    // footer harvest BEFORE the move: rows always, [min,max] for the
+    // requested long columns (one footer read serves both)
+    val stats = ZOrderStore.fileStats(spark, tmp.toString, statsCols)
+      .map { case (f, perCol) => f -> perCol.collect {
+        case (col, Some(range)) => col -> range }.toMap }.toMap
+    val rows = ZOrderStore.rowGroupStats(spark, tmp.toString, Nil)
+      .map { case (f, blocks) => f -> blocks.map(_.rows).sum }.toMap
+    fs.mkdirs(data)
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val moved = fs.listStatus(tmp).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val dst = new Path(data, s"$uuid-${s.getPath.getName}")
+        if (!fs.rename(s.getPath, dst))
+          throw new IllegalStateException(s"stage: rename ${s.getPath} -> $dst failed")
+        AddFile(dst.toString, rows(s.getPath.toString),
+          stats.getOrElse(s.getPath.toString, Map.empty))
+      }
+    fs.delete(tmp, true)
+    moved
+  }
+
+  // ------------------------------------------------------------- user API
+
+  /** Append `df` as a new commit; returns the committed version. */
+  def append(df: DataFrame, table: String, statsCols: Seq[String] = Nil,
+             meta: Map[String, String] = Map.empty): Long = {
+    val adds = stageFiles(df, table, statsCols)
+    commit(df.sparkSession, table, adds,
+      removes = Nil, meta = meta + ("op" -> "append"), mustBeLive = Nil)
+  }
+
+  /** Replace the table's contents atomically (readers of older versions
+    * are unaffected — their files are immutable until [[vacuum]]).
+    */
+  def overwrite(df: DataFrame, table: String, statsCols: Seq[String] = Nil,
+                meta: Map[String, String] = Map.empty): Long = {
+    val spark = df.sparkSession
+    val prior =
+      if (latestVersion(spark, table) == 0L) Nil
+      else state(spark, table).live.map(_.path)
+    val adds = stageFiles(df, table, statsCols)
+    commit(spark, table, adds, removes = prior,
+      meta = meta + ("op" -> "overwrite"), mustBeLive = prior)
+  }
+
+  /** Metadata-swap compaction: rewrite the live set into `targetFiles`
+    * files and publish ONE commit that removes the fragments and adds
+    * the rewrite — readers never see a half-compacted table, and time
+    * travel to pre-compaction versions still works (contrast
+    * [[ZOrderStore.compactN]]'s in-place directory swap). No-op below
+    * `targetFiles` live files.
+    */
+  def compact(spark: SparkSession, table: String, targetFiles: Int,
+              statsCols: Seq[String] = Nil): Long = {
+    val snap = state(spark, table)
+    if (snap.live.size <= targetFiles) return snap.version
+    val df = spark.read.parquet(snap.live.map(_.path): _*)
+      .repartition(targetFiles)
+    val adds = stageFiles(df, table, statsCols)
+    commit(spark, table, adds, removes = snap.live.map(_.path),
+      meta = Map("op" -> "compact"), mustBeLive = snap.live.map(_.path))
+  }
+
+  /** Read the table at `asOf` (default: latest). */
+  def snapshot(spark: SparkSession, table: String,
+               asOf: Option[Long] = None): DataFrame = {
+    val snap = state(spark, table, asOf)
+    require(snap.live.nonEmpty, s"snapshot $table@${snap.version} is empty")
+    spark.read.parquet(snap.live.map(_.path): _*)
+  }
+
+  /** Live files whose harvested [min,max] can intersect the box —
+    * answered from the LOG alone, zero footer reads at query time.
+    * Files without stats for a box column are kept (pruning may only
+    * skip, never lie). Returns (kept, totalLive).
+    */
+  def prunedLiveFiles(spark: SparkSession, table: String,
+                      box: Map[String, (Long, Long)],
+                      asOf: Option[Long] = None): (Seq[String], Int) = {
+    val snap = state(spark, table, asOf)
+    val kept = snap.live.collect {
+      case a if box.forall { case (c, (lo, hi)) =>
+        a.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } => a.path
+    }
+    (kept.sorted, snap.live.size)
+  }
+
+  /** [[ZOrderStore.readBox]] against the log's stats: scan only the
+    * files the box can touch, predicate re-applied for exactness.
+    */
+  def readBox(spark: SparkSession, table: String,
+              box: Map[String, (Long, Long)],
+              asOf: Option[Long] = None): DataFrame = {
+    val (kept, _) = prunedLiveFiles(spark, table, box, asOf)
+    val base =
+      if (kept.isEmpty) snapshot(spark, table, asOf).limit(0)
+      else spark.read.parquet(kept: _*)
+    box.foldLeft(base) { case (df, (c, (lo, hi))) =>
+      df.filter(col(c) >= lo && col(c) <= hi)
+    }
+  }
+
+  /** Physically delete data files no longer live at the LATEST version
+    * (removed by overwrite/compact, or stranded by crashed writers).
+    * Time travel to versions that referenced them stops working — the
+    * same retention trade Delta's VACUUM documents. Returns the number
+    * of files deleted.
+    */
+  def vacuum(spark: SparkSession, table: String): Int = {
+    val c = conf(spark)
+    val data = dataDir(table)
+    val fs = data.getFileSystem(c)
+    if (!fs.exists(data)) return 0
+    val live = state(spark, table).live.map(_.path).toSet
+    // normalize through Path so scheme differences can't fake orphans
+    val liveNames = live.map(p => new Path(p).getName)
+    val victims = fs.listStatus(data).toSeq
+      .filter(s => s.isFile && !liveNames.contains(s.getPath.getName))
+    victims.foreach(s => fs.delete(s.getPath, false))
+    // stranded stage dirs from crashed writers
+    fs.listStatus(new Path(table)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-"))
+      .foreach(s => fs.delete(s.getPath, true))
+    victims.size
+  }
+
+  /** Replay-safe streaming append sink: each micro-batch commits with
+    * its batchId in the commit metadata; a restarted query re-offering
+    * an already-committed batch is skipped by the batchId high-water
+    * mark (latest-wins meta survives checkpoint compaction). Durable
+    * state IS the log — no local-FS markers (the round-5 lesson).
+    */
+  def appendSink(rows: DataFrame, table: String,
+                 statsCols: Seq[String] = Nil): DataStreamWriter[Row] =
+    rows.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+      val spark = batch.sparkSession
+      val committed: Option[Long] =
+        if (latestVersion(spark, table) == 0L) None
+        else state(spark, table).meta.get("sink.batchId").map(_.toLong)
+      if (committed.forall(batchId > _)) {
+        append(batch, table, statsCols,
+          meta = Map("sink.batchId" -> batchId.toString))
+        ()
+      }
+    }
+}

@@ -1,0 +1,137 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tempTable(tag: String): String =
+    "file:" + java.nio.file.Files.createTempDirectory(s"graft-snap-$tag").toString + "/t"
+
+  private def idsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("append commits atomic versions; time travel reads each one") {
+    val t = tempTable("append")
+    val v1 = SnapshotStore.append(Seq(1L, 2L).toDF("id"), t)
+    val v2 = SnapshotStore.append(Seq(3L).toDF("id"), t)
+    assert((v1, v2) === (1L, 2L))
+    assert(SnapshotStore.versions(spark, t) === Seq(1L, 2L))
+    assert(idsOf(SnapshotStore.snapshot(spark, t)) === Set(1L, 2L, 3L))
+    assert(idsOf(SnapshotStore.snapshot(spark, t, asOf = Some(1L))) === Set(1L, 2L))
+  }
+
+  test("overwrite replaces the live set; prior versions stay readable until vacuum") {
+    val t = tempTable("ow")
+    SnapshotStore.append(Seq(1L, 2L).toDF("id"), t)
+    SnapshotStore.overwrite(Seq(10L).toDF("id"), t)
+    assert(idsOf(SnapshotStore.snapshot(spark, t)) === Set(10L))
+    assert(idsOf(SnapshotStore.snapshot(spark, t, asOf = Some(1L))) === Set(1L, 2L))
+    val deleted = SnapshotStore.vacuum(spark, t)
+    assert(deleted >= 1, "overwrite's removed files must be vacuumable")
+    assert(idsOf(SnapshotStore.snapshot(spark, t)) === Set(10L))
+  }
+
+  test("compact is a metadata swap: fewer live files, same rows, history intact") {
+    val t = tempTable("compact")
+    (1 to 6).foreach(i => SnapshotStore.append(Seq(i.toLong).toDF("id").repartition(2), t))
+    val before = SnapshotStore.state(spark, t).live.size
+    assert(before > 2)
+    SnapshotStore.compact(spark, t, targetFiles = 2)
+    val after = SnapshotStore.state(spark, t)
+    assert(after.live.size <= 2, s"live files after compact: ${after.live.size}")
+    assert(idsOf(SnapshotStore.snapshot(spark, t)) === (1L to 6L).toSet)
+    // pre-compaction version still names the fragment files
+    assert(idsOf(SnapshotStore.snapshot(spark, t, asOf = Some(3L))) === Set(1L, 2L, 3L))
+  }
+
+  test("concurrent committers: every append lands in a distinct serial version") {
+    val t = tempTable("race")
+    val threads = 4; val each = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futures = (0 until threads).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+          def call(): Seq[Long] = (0 until each).map { i =>
+            SnapshotStore.append(Seq(w * 100L + i).toDF("id"), t)
+          }
+        })
+      }
+      val versions = futures.flatMap(_.get())
+      assert(versions.toSet.size === threads * each, "a version was double-assigned")
+      assert(SnapshotStore.versions(spark, t) === (1L to (threads * each)).toSeq)
+      assert(SnapshotStore.snapshot(spark, t).count() === (threads * each).toLong)
+    } finally pool.shutdown()
+  }
+
+  test("log-resident stats prune point/box reads with zero footer reads at query time") {
+    val t = tempTable("stats")
+    SnapshotStore.append(spark.range(0, 100).toDF("id"), t, statsCols = Seq("id"))
+    SnapshotStore.append(spark.range(1000, 1100).toDF("id"), t, statsCols = Seq("id"))
+    val (kept, total) = SnapshotStore.prunedLiveFiles(spark, t, Map("id" -> (1050L, 1060L)))
+    assert(total > kept.size, s"pruning must drop the disjoint files ($kept of $total kept)")
+    val snap = SnapshotStore.state(spark, t)
+    assert(snap.live.forall(_.stats.contains("id")), "every add must carry harvested stats")
+    assert(idsOf(SnapshotStore.readBox(spark, t, Map("id" -> (1050L, 1060L)))) ===
+      (1050L to 1060L).toSet)
+    // a column never harvested can't prune — keeps everything
+    val (keptAll, totalAll) = SnapshotStore.prunedLiveFiles(spark, t, Map("nope" -> (0L, 1L)))
+    assert(keptAll.size === totalAll)
+  }
+
+  test("checkpoint bounds replay: snapshots stay correct past the checkpoint cadence") {
+    val t = tempTable("cp")
+    (1 to SnapshotStore.checkpointEvery + 2).foreach(i =>
+      SnapshotStore.append(Seq(i.toLong).toDF("id"), t))
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cps = fs.listStatus(new org.apache.hadoop.fs.Path(t, "_graft_log"))
+      .map(_.getPath.getName).filter(_.endsWith(".checkpoint"))
+    assert(cps.nonEmpty, "a checkpoint must exist past the cadence")
+    assert(idsOf(SnapshotStore.snapshot(spark, t)) ===
+      (1L to (SnapshotStore.checkpointEvery + 2).toLong).toSet)
+    // time travel BEFORE the checkpoint still replays from scratch
+    assert(idsOf(SnapshotStore.snapshot(spark, t, asOf = Some(2L))) === Set(1L, 2L))
+  }
+
+  test("conflict detection: compact loses to a concurrent overwrite of its inputs") {
+    val t = tempTable("conflict")
+    SnapshotStore.append(Seq(1L).toDF("id"), t)
+    SnapshotStore.append(Seq(2L).toDF("id"), t)
+    val victim = SnapshotStore.state(spark, t) // reads live set, then stalls...
+    SnapshotStore.overwrite(Seq(9L).toDF("id"), t) // ...while this lands
+    intercept[java.util.ConcurrentModificationException] {
+      // the stalled compactor tries to publish removes of files no longer live
+      SnapshotStore.commit(spark, t, adds = Nil,
+        removes = victim.live.map(_.path), meta = Map("op" -> "compact"),
+        mustBeLive = victim.live.map(_.path))
+    }
+  }
+
+  test("appendSink commits per micro-batch and skips replayed batchIds") {
+    implicit val sqlCtx = spark.sqlContext
+    val t = tempTable("sink")
+    val dir = "file:" + java.nio.file.Files.createTempDirectory("graft-snapsink").toString
+    val mem = MemoryStream[Long]
+    val q = SnapshotStore.appendSink(mem.toDF().toDF("id"), t, statsCols = Seq("id"))
+      .option("checkpointLocation", s"$dir/_ckpt").start()
+    try {
+      mem.addData(1L, 2L); q.processAllAvailable()
+      mem.addData(3L); q.processAllAvailable()
+      assert(idsOf(SnapshotStore.snapshot(spark, t)) === Set(1L, 2L, 3L))
+      assert(SnapshotStore.state(spark, t).meta("sink.batchId") === "1")
+    } finally q.stop()
+    // fresh checkpoint → batchIds replay from 0 → all at-or-below the
+    // high-water mark are skipped (durable state is the log itself)
+    val mem2 = MemoryStream[Long]
+    val q2 = SnapshotStore.appendSink(mem2.toDF().toDF("id"), t)
+      .option("checkpointLocation", s"$dir/_ckpt2").start()
+    try {
+      mem2.addData(99L); q2.processAllAvailable()
+      assert(idsOf(SnapshotStore.snapshot(spark, t)) === Set(1L, 2L, 3L),
+        "replayed batchId must commit nothing")
+    } finally q2.stop()
+  }
+}

@@ -371,6 +371,63 @@ object SnapshotStore {
     }
   }
 
+  /** Files added in versions (sinceVersion, target] — the incremental-
+    * consumption contract: a downstream job that processed version N
+    * processes exactly these to catch up, never rereading the corpus.
+    * Sound ONLY while every commit in the range is an append: a
+    * compaction's rewrite files mix old and new content at file
+    * granularity and an overwrite replaces it, so either in range makes
+    * file-level increments a lie — this throws instead (the caller
+    * falls back to a snapshot read or a row-level diff, q_corpus_diff's
+    * job; Delta grew Change Data Feed for exactly this gap).
+    */
+  def addedSince(spark: SparkSession, table: String, sinceVersion: Long,
+                 asOf: Option[Long] = None): Seq[AddFile] = {
+    val fs = logDir(table).getFileSystem(conf(spark))
+    val (commits, _) = listLog(fs, table)
+    val target = asOf.getOrElse(commits.lastOption.getOrElse(0L))
+    commits.filter(v => v > sinceVersion && v <= target).flatMap { v =>
+      val lines = readLines(fs, commitPath(table, v))
+      val op = lines.collectFirst {
+        case l if l.startsWith("m\top\t") => l.split('\t')(2) }
+      if (!op.contains("append")) throw new IllegalStateException(
+        s"addedSince($sinceVersion): version $v is op=${op.getOrElse("?")} — " +
+          "file-level increments are only sound across appends; " +
+          "re-read the snapshot (or row-diff) past a rewrite")
+      lines.filter(_.startsWith("a\t")).map(l => decodeAdd(l.split('\t')))
+    }
+  }
+
+  /** The rows added since `sinceVersion` (empty-schema-safe: falls back
+    * to an empty slice of the current snapshot when nothing is new).
+    */
+  def readAddedSince(spark: SparkSession, table: String, sinceVersion: Long,
+                     asOf: Option[Long] = None): DataFrame = {
+    val files = addedSince(spark, table, sinceVersion, asOf)
+    if (files.isEmpty) snapshot(spark, table, asOf).limit(0)
+    else spark.read.parquet(files.map(_.path): _*)
+  }
+
+  /** [[compact]] that restores z-clustering while it rewrites — the
+    * transactional twin of [[ZOrderStore.compactN]]: interleaved appends
+    * wreck per-file [min,max] boxes; re-sorting by the Morton code makes
+    * [[prunedLiveFiles]] sharp again, and the swap is one commit instead
+    * of an in-place directory replace. Stats for the cluster columns are
+    * harvested automatically (they are the prune columns).
+    */
+  def compactZOrdered(spark: SparkSession, table: String, targetFiles: Int,
+                      zorderColumns: Seq[String]): Long = {
+    val snap = state(spark, table)
+    val df = spark.read.parquet(snap.live.map(_.path): _*)
+      .withColumn("__z", graft.functions.ZOrder.zorderCols(zorderColumns.map(col)))
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val adds = stageFiles(df, table, zorderColumns)
+    commit(spark, table, adds, removes = snap.live.map(_.path),
+      meta = Map("op" -> "compact"), mustBeLive = snap.live.map(_.path))
+  }
+
   /** Physically delete data files no longer live at the LATEST version
     * (removed by overwrite/compact, or stranded by crashed writers).
     * Time travel to versions that referenced them stops working — the

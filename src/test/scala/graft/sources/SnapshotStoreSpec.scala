@@ -110,6 +110,53 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("addedSince reads exactly the appended increment, and refuses to lie across a rewrite") {
+    val t = tempTable("inc")
+    SnapshotStore.append(Seq(1L, 2L).toDF("id"), t)
+    val mark = SnapshotStore.latestVersion(spark, t)
+    SnapshotStore.append(Seq(3L).toDF("id"), t)
+    SnapshotStore.append(Seq(4L).toDF("id"), t)
+    assert(idsOf(SnapshotStore.readAddedSince(spark, t, mark)) === Set(3L, 4L))
+    assert(SnapshotStore.readAddedSince(spark, t, SnapshotStore.latestVersion(spark, t))
+      .count() === 0L, "caught-up consumer reads nothing")
+    // a compaction inside the range mixes content at file granularity —
+    // the increment must refuse rather than skip or double-count
+    SnapshotStore.compact(spark, t, targetFiles = 1)
+    intercept[IllegalStateException] {
+      SnapshotStore.addedSince(spark, t, mark)
+    }
+    // ...but a consumer synced PAST the rewrite increments fine again
+    val mark2 = SnapshotStore.latestVersion(spark, t)
+    SnapshotStore.append(Seq(5L).toDF("id"), t)
+    assert(idsOf(SnapshotStore.readAddedSince(spark, t, mark2)) === Set(5L))
+  }
+
+  test("compactZOrdered restores sharp pruning as one metadata swap") {
+    val t = tempTable("zcompact")
+    // interleaved appends: the round-robin repartition deals consecutive
+    // ids across files, so every file's id-box spans nearly the whole
+    // domain and the box query can prune nothing
+    (0 until 4).foreach { i =>
+      SnapshotStore.append(
+        spark.range(0, 1000).toDF("id").filter(pmod(col("id"), lit(4)) === i)
+          .withColumn("v", col("id") * 2).repartition(4),
+        t, statsCols = Seq("id"))
+    }
+    val (keptBefore, totalBefore) =
+      SnapshotStore.prunedLiveFiles(spark, t, Map("id" -> (10L, 20L)))
+    assert(keptBefore.size * 2 > totalBefore,
+      s"interleaved appends should prune poorly (${keptBefore.size} of $totalBefore kept)")
+    SnapshotStore.compactZOrdered(spark, t, targetFiles = 4, zorderColumns = Seq("id", "v"))
+    val (keptAfter, totalAfter) =
+      SnapshotStore.prunedLiveFiles(spark, t, Map("id" -> (10L, 20L)))
+    assert(keptAfter.size.toDouble / totalAfter < keptBefore.size.toDouble / totalBefore,
+      s"z-compaction must sharpen pruning (${keptAfter.size}/$totalAfter vs " +
+        s"${keptBefore.size}/$totalBefore)")
+    assert(idsOf(SnapshotStore.snapshot(spark, t)) === (0L until 1000L).toSet)
+    assert(idsOf(SnapshotStore.readBox(spark, t, Map("id" -> (10L, 20L)))) ===
+      (10L to 20L).toSet)
+  }
+
   test("appendSink commits per micro-batch and skips replayed batchIds") {
     implicit val sqlCtx = spark.sqlContext
     val t = tempTable("sink")

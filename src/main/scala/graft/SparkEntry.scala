@@ -732,6 +732,24 @@ object SparkEntry {
           decode(col("m.payload"), "utf-8").as("payload_str"))
         .orderBy(col("user_id"), col("payload_str"))
     }),
+    "q_snapshot_roundtrip" -> ((s, d) => {
+      // transactional-table roundtrip: base append + increment append
+      // into a fresh SnapshotStore table (stats harvested on doc_id),
+      // then the LATEST snapshot must reproduce the source exactly —
+      // the commit log, staging moves, footer-stat harvest, and replay
+      // all sit inside the oracle compare (SnapshotStoreSpec covers
+      // time travel, races, and rewrites; this pins the happy path to
+      // DuckDB ground truth)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapq").toString + "/docs"
+      graft.sources.SnapshotStore.append(
+        docs.filter(col("doc_id") % 10 < 8), t, statsCols = Seq("doc_id"))
+      graft.sources.SnapshotStore.append(
+        docs.filter(col("doc_id") % 10 >= 8), t, statsCols = Seq("doc_id"))
+      graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
+    }),
     "q_batch_manifest" -> ((s, d) =>
       Signals.batchManifest(
         eventsUs(s, d).select(col("user_id"), col("ts_us").as("ts"), col("event_type")),
@@ -1971,6 +1989,9 @@ object SparkEntry {
         |  CAST(event_id AS VARCHAR) || '|' || props AS payload_str
         |FROM events
         |ORDER BY user_id, payload_str""".stripMargin,
+    "q_snapshot_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "q_batch_manifest" ->
       """SELECT epoch_us(ts) // 86400000000 AS batch_day,
         |  count(*) AS n_rows,

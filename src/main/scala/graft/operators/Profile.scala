@@ -21,13 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** `exactDistinct = false` swaps the Expand-based exact distincts for
+    * `approx_count_distinct` (HLL++): the aggregate becomes a plain
+    * one-pass fold whose exchange carries C sketches instead of every
+    * distinct value — the right profile for a 100 TB corpus where
+    * "distinct texts" would otherwise shuffle the corpus itself. The
+    * oracle pins the exact form; the approx form is the scale path.
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+              exactDistinct: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    def nd(c: String): Column =
+      if (exactDistinct) count_distinct(col(c))
+      else approx_count_distinct(col(c))
     val aggs: Seq[Column] =
       count(lit(1)).as("__n") +: cols.flatMap { c =>
         Seq(
           count(col(c)).as(s"__nn_$c"),
-          count_distinct(col(c)).as(s"__nd_$c"),
+          nd(c).as(s"__nd_$c"),
           min(col(c)).cast("string").as(s"__min_$c"),
           max(col(c)).cast("string").as(s"__max_$c"))
       }

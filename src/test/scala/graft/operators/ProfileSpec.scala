@@ -23,6 +23,18 @@ class ProfileSpec extends SparkSpec {
     assert((tag.getString(3), tag.getString(4)) === ("a", "c"))
   }
 
+  test("approx profile drops the Expand entirely — sketches, not distinct values, cross the exchange") {
+    val df = spark.range(0, 1000).toDF("id").withColumn("tag", concat(lit("t"), col("id") % 7))
+    val out = Profile.profile(df, Seq("id", "tag"), exactDistinct = false)
+      .orderBy("col_name").collect()
+    // HLL++ is exact at these cardinalities' low end and tight at 1000
+    assert(out(1).getLong(2) === 7L)
+    assert(math.abs(out(0).getLong(2) - 1000L) <= 50L)
+    val plan = Profile.profile(df, Seq("id", "tag"), exactDistinct = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan.take(2000))
+  }
+
   test("profile is a single aggregate scan (one Expand-sharing agg, not one scan per column)") {
     val df = Seq((1L, "x")).toDF("id", "tag")
     val plan = Profile.profile(df, Seq("id", "tag")).queryExecution.executedPlan.toString

@@ -1074,12 +1074,18 @@ object SparkEntry {
       // train split. Every stage is an operator the catalog already
       // proves in isolation; this query proves they COMPOSE: two
       // shuffles total (dedup aggregate, pack window) + map-side gates
+      // the gate predicate must NOT go through column aliases: predicate
+      // pushdown substitutes aliases all the way to the scan, inlining
+      // the tokens() tree into the interpreted bigram lambda — which
+      // re-tokenizes PER ELEMENT (quadratic per row; measured 9.9 s →
+      // 1.9 s at sf0.1). One Let binding keeps every reference a cheap
+      // lambda var; survivors re-tokenize once (codegen'd) for n_tokens.
       val gated = spread(Tables.documents(s, d))
-        .withColumn("__toks", TextFunctions.tokens(col("text")))
-        .withColumn("n_tokens", size(col("__toks")).cast("long"))
-        .withColumn("rep_ratio", TextFunctions.repetitionRatio(col("__toks")))
-        .filter(col("n_tokens") >= 10 && col("rep_ratio") <= 0.5)
-        .select(col("doc_id"), col("source"), col("text"), col("n_tokens"))
+        .filter(graft.functions.Let.bind(TextFunctions.tokens(col("text"))) { t =>
+          size(t) >= 10 && TextFunctions.repetitionRatio(t) <= 0.5
+        })
+        .select(col("doc_id"), col("source"), col("text"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
       val dedup = gated
         .withColumn("fp", TextFunctions.fingerprint(col("text")))
         .groupBy(col("fp"))

@@ -428,6 +428,34 @@ object SnapshotStore {
       meta = Map("op" -> "compact"), mustBeLive = snap.live.map(_.path))
   }
 
+  /** Roll the table back to `version` as a NEW commit (history is never
+    * rewritten — the bad commits stay inspectable, the restore is just
+    * the newest opinion; Delta's RESTORE semantics). Requires the old
+    * files to still exist, i.e. no intervening [[vacuum]].
+    */
+  def restore(spark: SparkSession, table: String, version: Long): Long = {
+    val old = state(spark, table, Some(version))
+    val now = state(spark, table)
+    val oldPaths = old.live.map(_.path).toSet
+    commit(spark, table,
+      adds = old.live.filterNot(a => now.live.exists(_.path == a.path)),
+      removes = now.live.map(_.path).filterNot(oldPaths),
+      meta = Map("op" -> "restore", "restore.of" -> version.toString),
+      mustBeLive = now.live.map(_.path))
+  }
+
+  /** The audit log: (version, op, meta) per commit, newest first. */
+  def history(spark: SparkSession, table: String): Seq[(Long, String, Map[String, String])] = {
+    val fs = logDir(table).getFileSystem(conf(spark))
+    listLog(fs, table)._1.reverse.map { v =>
+      val metas = readLines(fs, commitPath(table, v)).collect {
+        case l if l.startsWith("m\t") =>
+          val f = l.split('\t'); f(1) -> f(2)
+      }.toMap
+      (v, metas.getOrElse("op", "?"), metas - "op")
+    }
+  }
+
   /** Physically delete data files no longer live at the LATEST version
     * (removed by overwrite/compact, or stranded by crashed writers).
     * Time travel to versions that referenced them stops working — the

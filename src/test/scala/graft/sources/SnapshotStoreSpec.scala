@@ -157,6 +157,24 @@ class SnapshotStoreSpec extends SparkSpec {
       (10L to 20L).toSet)
   }
 
+  test("restore rolls back as a new commit; history lists every op newest-first") {
+    val t = tempTable("restore")
+    SnapshotStore.append(Seq(1L, 2L).toDF("id"), t)
+    SnapshotStore.overwrite(Seq(9L).toDF("id"), t)
+    val v = SnapshotStore.restore(spark, t, version = 1L)
+    assert(v === 3L, "restore must be a NEW commit, not history rewrite")
+    assert(idsOf(SnapshotStore.snapshot(spark, t)) === Set(1L, 2L))
+    // the bad overwrite stays inspectable
+    assert(idsOf(SnapshotStore.snapshot(spark, t, asOf = Some(2L))) === Set(9L))
+    val h = SnapshotStore.history(spark, t)
+    assert(h.map(x => (x._1, x._2)) ===
+      Seq((3L, "restore"), (2L, "overwrite"), (1L, "append")))
+    assert(h.head._3("restore.of") === "1")
+    // incremental consumers must refuse across the restore (re-added old
+    // files would double-process)
+    intercept[IllegalStateException] { SnapshotStore.addedSince(spark, t, 1L) }
+  }
+
   test("appendSink commits per micro-batch and skips replayed batchIds") {
     implicit val sqlCtx = spark.sqlContext
     val t = tempTable("sink")

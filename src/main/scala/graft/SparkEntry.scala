@@ -750,6 +750,25 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 >= 8), t, statsCols = Seq("doc_id"))
       graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
     }),
+    "q_snapshot_cdf" -> ((s, d) => {
+      // row-level change feed across a rewrite: append, append, compact
+      // (a content-preserving rewrite — emits NOTHING), overwrite (its
+      // removes surface as deletes out of the COMPACTED file, its adds
+      // as inserts) — the feed a downstream sync applies in
+      // _commit_version order, sound exactly where file-level
+      // addedSince refuses; one parquet scan + broadcast tag join
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapcdf").toString + "/docs"
+      val store = graft.sources.SnapshotStore
+      store.append(docs.filter(col("doc_id") % 10 < 5), t)    // v1
+      store.append(docs.filter(col("doc_id") % 10 === 5), t)  // v2
+      store.compact(s, t, targetFiles = 1)                    // v3
+      store.overwrite(docs.filter(col("doc_id") % 10 > 7), t) // v4
+      store.changes(s, t, sinceVersion = 1)
+        .orderBy(col("_commit_version"), col("_change_type"), col("doc_id"))
+    }),
     "q_batch_manifest" -> ((s, d) =>
       Signals.batchManifest(
         eventsUs(s, d).select(col("user_id"), col("ts_us").as("ts"), col("event_type")),
@@ -1998,6 +2017,17 @@ object SparkEntry {
     "q_snapshot_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q_snapshot_cdf" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents)
+        |SELECT * FROM (
+        |  SELECT doc_id, lang, n_chars, 'insert' AS _change_type,
+        |         CAST(2 AS BIGINT) AS _commit_version
+        |  FROM d WHERE doc_id % 10 = 5
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, 'delete', 4 FROM d WHERE doc_id % 10 <= 5
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, 'insert', 4 FROM d WHERE doc_id % 10 > 7
+        |) ORDER BY _commit_version, _change_type, doc_id""".stripMargin,
     "q_batch_manifest" ->
       """SELECT epoch_us(ts) // 86400000000 AS batch_day,
         |  count(*) AS n_rows,

@@ -377,9 +377,9 @@ object SnapshotStore {
     * Sound ONLY while every commit in the range is an append: a
     * compaction's rewrite files mix old and new content at file
     * granularity and an overwrite replaces it, so either in range makes
-    * file-level increments a lie — this throws instead (the caller
-    * falls back to a snapshot read or a row-level diff, q_corpus_diff's
-    * job; Delta grew Change Data Feed for exactly this gap).
+    * file-level increments a lie — this throws instead; [[changes]] is
+    * the row-level feed that stays sound across rewrites (Delta grew
+    * Change Data Feed for exactly this gap).
     */
   def addedSince(spark: SparkSession, table: String, sinceVersion: Long,
                  asOf: Option[Long] = None): Seq[AddFile] = {
@@ -406,6 +406,69 @@ object SnapshotStore {
     val files = addedSince(spark, table, sinceVersion, asOf)
     if (files.isEmpty) snapshot(spark, table, asOf).limit(0)
     else spark.read.parquet(files.map(_.path): _*)
+  }
+
+  /** Row-level change feed: every row added or removed in versions
+    * (sinceVersion, target], tagged `_change_type` ('insert'/'delete')
+    * and `_commit_version` — sound across ALL ops, closing the gap
+    * [[addedSince]] documents: an append's files are inserts, an
+    * overwrite/restore contributes its removed files' rows as deletes
+    * and its added files' rows as inserts, and a compaction emits
+    * NOTHING (a content-preserving rewrite has no row-level delta —
+    * which is exactly why read-time reconstruction is sound where
+    * file-level increments lie). Delta reconstructs the same feed from
+    * its log when per-commit CDF files are absent.
+    *
+    * Plan shape: ONE parquet scan over every referenced file plus a
+    * broadcast join on the file name (the `_metadata.file_path` tail —
+    * names are staged under fresh uuids, so they key the log entry
+    * without URI-normalization games) to attach the two tag columns —
+    * no shuffle, no per-commit scan; a file both appended and later
+    * overwritten in-range yields one insert and one delete row pair per
+    * stored row through join multiplicity alone. Consumers apply rows
+    * in `_commit_version` order. Requires the removed files to still
+    * exist, i.e. no intervening [[vacuum]] — missing files raise a
+    * descriptive error up front instead of a mid-scan surprise.
+    */
+  def changes(spark: SparkSession, table: String, sinceVersion: Long,
+              asOf: Option[Long] = None): DataFrame = {
+    val fs = logDir(table).getFileSystem(conf(spark))
+    val (commits, _) = listLog(fs, table)
+    require(commits.nonEmpty, s"snapshot table has no commits: $table")
+    val target = asOf.getOrElse(commits.last)
+    val tagged: Seq[(String, String, Long)] =
+      commits.filter(v => v > sinceVersion && v <= target).flatMap { v =>
+        val lines = readLines(fs, commitPath(table, v))
+        val op = lines.collectFirst {
+          case l if l.startsWith("m\top\t") => l.split('\t')(2) }.getOrElse("?")
+        if (op == "compact") Nil // rewrite: no row-level delta
+        else lines.collect {
+          case l if l.startsWith("r\t") => (l.split('\t')(1), "delete", v)
+        } ++ lines.collect {
+          case l if l.startsWith("a\t") =>
+            (decodeAdd(l.split('\t')).path, "insert", v)
+        }
+      }
+    if (tagged.isEmpty)
+      return snapshot(spark, table, Some(target)).limit(0)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+    val present = fs.listStatus(dataDir(table)).toSeq
+      .filter(_.isFile).map(_.getPath.getName).toSet
+    val missing = tagged.map(_._1).distinct
+      .filterNot(p => present.contains(new Path(p).getName))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"changes($sinceVersion): ${missing.size} referenced file(s) no longer " +
+        s"exist (vacuumed?): ${missing.take(3).mkString(", ")} — " +
+        "time-travel retention is gone; re-read the snapshot instead")
+    val lookup = spark.createDataFrame(tagged.map { case (p, t, v) =>
+      (new Path(p).getName, t, v)
+    }).toDF("__file", "_change_type", "_commit_version")
+    spark.read.parquet(tagged.map(_._1).distinct: _*)
+      .withColumn("__file",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .join(broadcast(lookup), "__file")
+      .drop("__file")
   }
 
   /** [[compact]] that restores z-clustering while it rewrites — the

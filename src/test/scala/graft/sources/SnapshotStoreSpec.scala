@@ -131,6 +131,44 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(idsOf(SnapshotStore.readAddedSince(spark, t, mark2)) === Set(5L))
   }
 
+  test("changes() is the row-level feed that stays sound across rewrites") {
+    val t = tempTable("cdf")
+    SnapshotStore.append(Seq(1L, 2L).toDF("id"), t)   // v1
+    SnapshotStore.append(Seq(3L).toDF("id"), t)       // v2
+    SnapshotStore.compact(spark, t, targetFiles = 1)  // v3: no row delta
+    SnapshotStore.overwrite(Seq(9L).toDF("id"), t)    // v4
+    def feed(since: Long): Set[(Long, String, Long)] =
+      SnapshotStore.changes(spark, t, since)
+        .select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(feed(0L) === Set(
+      (1L, "insert", 1L), (2L, "insert", 1L), (3L, "insert", 2L),
+      (1L, "delete", 4L), (2L, "delete", 4L), (3L, "delete", 4L),
+      (9L, "insert", 4L)))
+    // the in-range compaction is invisible, yet the v4 deletes come out
+    // of its REWRITTEN file — the exact shape addedSince refuses
+    assert(feed(2L) === Set(
+      (1L, "delete", 4L), (2L, "delete", 4L), (3L, "delete", 4L),
+      (9L, "insert", 4L)))
+    // net-apply invariant: snapshot@2 + feed(2) = latest snapshot
+    val applied = idsOf(SnapshotStore.snapshot(spark, t, asOf = Some(2L))) --
+      feed(2L).collect { case (id, "delete", _) => id } ++
+      feed(2L).collect { case (id, "insert", _) => id }
+    assert(applied === idsOf(SnapshotStore.snapshot(spark, t)))
+    // caught-up consumer: empty feed, tag columns present
+    val none = SnapshotStore.changes(spark, t, SnapshotStore.latestVersion(spark, t))
+    assert(none.count() === 0L)
+    assert(none.columns.takeRight(2) === Array("_change_type", "_commit_version"))
+    // restore emits its own delta: current set out, restored set back in
+    SnapshotStore.restore(spark, t, version = 1L)     // v5
+    assert(feed(4L) === Set(
+      (9L, "delete", 5L), (1L, "insert", 5L), (2L, "insert", 5L)))
+    // vacuum breaks retention for in-range removes — descriptive refusal
+    SnapshotStore.vacuum(spark, t)
+    val e = intercept[IllegalStateException] { SnapshotStore.changes(spark, t, 2L) }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("compactZOrdered restores sharp pruning as one metadata swap") {
     val t = tempTable("zcompact")
     // interleaved appends: the round-robin repartition deals consecutive

@@ -37,12 +37,12 @@ object Bench {
       // persist-once-read-everywhere semantics), not zero times
       SparkEntry.clearSharedTables()
       SparkEntry.queries.map { case (name, fn) =>
-        // GC quiesce OUTSIDE the timed region: the pass shares one 8g
-        // JVM across 100+ queries, and whoever runs while the previous
-        // queries' garbage gets collected pays a suite-order-dependent
-        // ~16% tax (measured when the suite grew 111 -> 118). Per-query
-        // cost should not depend on its neighbors.
-        System.gc()
+        // NO per-query System.gc() quiesce: measured 2026-08-13, forcing
+        // full GCs between queries INFLATED the suite 103.6s -> 117.1s
+        // (ContextCleaner churn on the shared persisted tables outweighs
+        // any garbage-carryover tax). Suite totals swing up to ~25% with
+        // machine load on hour timescales — compare per-query medians
+        // across runs, not totals.
         val t0 = System.nanoTime()
         val (rows, failed) =
           try { (fn(spark, sfDir).queryExecution.toRdd.count(), false) }

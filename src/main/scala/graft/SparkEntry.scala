@@ -750,6 +750,26 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 >= 8), t, statsCols = Seq("doc_id"))
       graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
     }),
+    "q_snapshot_upsert" -> ((s, d) => {
+      // copy-on-write merge: base table (doc_id stats harvested), then
+      // an update batch over a key subrange — upsert rewrites only
+      // candidate files (log-stats prune + broadcast range join), and
+      // the final snapshot is plain MERGE semantics the oracle
+      // re-derives: matched keys take the update row, unmatched update
+      // keys insert, everything else carries over
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapup").toString + "/docs"
+      val store = graft.sources.SnapshotStore
+      store.append(docs.filter(col("doc_id") % 10 < 8), t,
+        statsCols = Seq("doc_id"))
+      store.upsert(
+        docs.filter(col("doc_id") % 10 >= 6)
+          .withColumn("n_chars", col("n_chars") + 1000),
+        t, keyCols = Seq("doc_id"))
+      store.snapshot(s, t).orderBy(col("doc_id"))
+    }),
     "q_snapshot_cdf" -> ((s, d) => {
       // row-level change feed across a rewrite: append, append, compact
       // (a content-preserving rewrite — emits NOTHING), overwrite (its
@@ -2016,6 +2036,15 @@ object SparkEntry {
         |ORDER BY user_id, payload_str""".stripMargin,
     "q_snapshot_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_snapshot_upsert" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents
+        |              WHERE doc_id % 10 < 8),
+        |     upd AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars
+        |             FROM documents WHERE doc_id % 10 >= 6)
+        |SELECT doc_id, lang, n_chars FROM upd
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars FROM base WHERE doc_id % 10 < 6
         |ORDER BY doc_id""".stripMargin,
     "q_snapshot_cdf" ->
       """WITH d AS (SELECT doc_id, lang, n_chars FROM documents)

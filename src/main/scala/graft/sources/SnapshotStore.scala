@@ -408,6 +408,64 @@ object SnapshotStore {
     else spark.read.parquet(files.map(_.path): _*)
   }
 
+  /** Copy-on-write upsert (MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    * INSERT, whole-row): rows of `updates` replace live rows with equal
+    * `keyCols`; unmatched update keys are appended. `updates` must be
+    * key-unique and schema-compatible with the table.
+    *
+    * File granularity is what makes this scale: only files whose
+    * log-resident [min,max] on `keyCols.head` can contain an update key
+    * are rewritten — the touched set is found by broadcast-joining the
+    * (tiny) file-range list against the update keys, one scan of
+    * `updates`, no driver-side key collection, so a point-update batch
+    * against a z-ordered corpus touches a handful of files no matter
+    * how large the table is. Files without harvested stats on the key
+    * column can't prove absence and are rewritten (correct, just not
+    * pruned — harvest stats on your merge key). The rewrite itself is
+    * a left-anti join of the touched files against the update keys
+    * (broadcast when `updates` is small) unioned with `updates`, and
+    * the swap is ONE commit: removes = touched files, adds = rewrite,
+    * `mustBeLive` re-validated so a concurrent overwrite/compact of a
+    * touched file fails the merge instead of silently resurrecting
+    * replaced rows. [[changes]] stays sound: the commit's removes
+    * surface as deletes and adds as inserts (carried-over rows pair
+    * off as same-content delete+insert — net no-op for a versionwise
+    * consumer).
+    */
+  def upsert(updates: DataFrame, table: String, keyCols: Seq[String],
+             statsCols: Seq[String] = Nil): Long = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val spark = updates.sparkSession
+    if (latestVersion(spark, table) == 0L) // bootstrap: everything inserts
+      return append(updates, table,
+        if (statsCols.isEmpty) keyCols else statsCols)
+    val snap = state(spark, table)
+    val pruneCol = keyCols.head
+    val (ranged, statless) = snap.live.partition(_.stats.contains(pruneCol))
+    val touchedRanged: Seq[String] =
+      if (ranged.isEmpty) Nil
+      else {
+        val ranges = spark.createDataFrame(ranged.map { a =>
+          val (lo, hi) = a.stats(pruneCol); (a.path, lo, hi)
+        }).toDF("__path", "__lo", "__hi")
+        updates.select(col(pruneCol).cast("long").as("__k"))
+          .join(broadcast(ranges),
+            col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+          .select("__path").distinct()
+          .collect().map(_.getString(0)).toSeq
+      }
+    val touched = statless.map(_.path) ++ touchedRanged
+    val rewrite =
+      if (touched.isEmpty) updates
+      else spark.read.parquet(touched: _*)
+        .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(updates)
+    val adds = stageFiles(rewrite, table,
+      if (statsCols.isEmpty) keyCols else statsCols)
+    commit(spark, table, adds, removes = touched,
+      meta = Map("op" -> "upsert"), mustBeLive = touched)
+  }
+
   /** Row-level change feed: every row added or removed in versions
     * (sinceVersion, target], tagged `_change_type` ('insert'/'delete')
     * and `_commit_version` — sound across ALL ops, closing the gap

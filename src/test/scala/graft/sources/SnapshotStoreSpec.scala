@@ -131,6 +131,41 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(idsOf(SnapshotStore.readAddedSince(spark, t, mark2)) === Set(5L))
   }
 
+  test("upsert rewrites ONLY the files whose key range can match — copy-on-write merge") {
+    val t = tempTable("upsert")
+    // two disjoint key ranges in separate files, stats on the merge key
+    SnapshotStore.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1),
+      t, statsCols = Seq("id"))
+    SnapshotStore.append(Seq((100L, "x"), (101L, "y")).toDF("id", "v").coalesce(1),
+      t, statsCols = Seq("id"))
+    val lowFile = SnapshotStore.state(spark, t).live
+      .find(_.stats("id")._2 <= 2L).map(_.path).get
+    // update key 100 (hits the high file), insert key 200
+    SnapshotStore.upsert(Seq((100L, "X"), (200L, "z")).toDF("id", "v"),
+      t, keyCols = Seq("id"))
+    val got = SnapshotStore.snapshot(spark, t).as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (2L, "b"), (100L, "X"), (101L, "y"), (200L, "z")))
+    // the low-range file was provably unmatched: same physical file stays live
+    val liveNow = SnapshotStore.state(spark, t).live.map(_.path)
+    assert(liveNow.contains(lowFile), "untouched file must survive the merge unrewritten")
+    // merge on an empty table bootstraps as pure insert
+    val t2 = tempTable("upsert2")
+    SnapshotStore.upsert(Seq((7L, "q")).toDF("id", "v"), t2, keyCols = Seq("id"))
+    assert(SnapshotStore.snapshot(spark, t2).as[(Long, String)].collect().toSet
+      === Set((7L, "q")))
+    // the feed stays sound: net-applying the upsert delta to the prior
+    // snapshot reproduces the merged table
+    val pre = SnapshotStore.latestVersion(spark, t) - 1
+    val feed = SnapshotStore.changes(spark, t, pre)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val before = SnapshotStore.snapshot(spark, t, asOf = Some(pre))
+      .as[(Long, String)].collect().toSet
+    val applied = before -- feed.collect { case (id, v, "delete") => (id, v) } ++
+      feed.collect { case (id, v, "insert") => (id, v) }
+    assert(applied === got)
+  }
+
   test("changes() is the row-level feed that stays sound across rewrites") {
     val t = tempTable("cdf")
     SnapshotStore.append(Seq(1L, 2L).toDF("id"), t)   // v1

@@ -750,6 +750,23 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 >= 8), t, statsCols = Seq("doc_id"))
       graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
     }),
+    "q_snapshot_dsv2" -> ((s, d) => {
+      // time travel through the DSv2 read path: two appends, then
+      // spark.read.format(graft-snapshot).option(versionAsOf, 1) must
+      // see ONLY the first commit, with the scan fully delegated to
+      // Spark's parquet machinery (pushdown/pruning spec-pinned in
+      // SnapshotDataSourceSpec)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapdsv2").toString + "/docs"
+      val store = graft.sources.SnapshotStore
+      store.append(docs.filter(col("doc_id") % 10 < 8), t)  // v1
+      store.append(docs.filter(col("doc_id") % 10 >= 8), t) // v2
+      s.read.format(classOf[graft.sources.v2.SnapshotDataSource].getName)
+        .option("versionAsOf", 1).load(t)
+        .orderBy(col("doc_id"))
+    }),
     "q_snapshot_upsert" -> ((s, d) => {
       // copy-on-write merge: base table (doc_id stats harvested), then
       // an update batch over a key subrange — upsert rewrites only
@@ -2037,6 +2054,9 @@ object SparkEntry {
     "q_snapshot_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q_snapshot_dsv2" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 10 < 8 ORDER BY doc_id""".stripMargin,
     "q_snapshot_upsert" ->
       """WITH base AS (SELECT doc_id, lang, n_chars FROM documents
         |              WHERE doc_id % 10 < 8),

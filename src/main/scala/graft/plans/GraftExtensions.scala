@@ -197,6 +197,46 @@ object GraftExtensions {
     s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
   private val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
+    // SQL-text time travel over SnapshotStore tables — no temp-view
+    // ceremony: SELECT * FROM graft_snapshot('/path/t', 3). The plan is
+    // the DSv2 read path (log-resolved file list delegated to the
+    // native parquet scan), so pushdown/pruning match a parquet read.
+    (new FunctionIdentifier("graft_snapshot"),
+      new ExpressionInfo(classOf[graft.sources.v2.SnapshotDataSource].getName,
+        "graft_snapshot"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_snapshot"
+        require(args.length == 1 || args.length == 2,
+          s"usage: $fn(table_path[, version])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val reader = spark.read
+          .format(classOf[graft.sources.v2.SnapshotDataSource].getName)
+        val withV =
+          if (args.length == 2) reader.option(
+            graft.sources.v2.SnapshotDataSource.VersionAsOf,
+            longArg(fn, args, 1, "version"))
+          else reader
+        withV.load(strArg(fn, args, 0, "table_path")).queryExecution.analyzed
+      }),
+    // SQL-text CDF: SELECT * FROM graft_snapshot_changes('/path/t', 2)
+    // — the row-level feed for versions (since, latest] (or (since,
+    // as_of] with the third argument), tagged _change_type /
+    // _commit_version, sound across compactions.
+    (new FunctionIdentifier("graft_snapshot_changes"),
+      new ExpressionInfo(classOf[graft.sources.v2.SnapshotDataSource].getName,
+        "graft_snapshot_changes"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_snapshot_changes"
+        require(args.length == 2 || args.length == 3,
+          s"usage: $fn(table_path, since_version[, as_of_version])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sources.SnapshotStore.changes(spark,
+          strArg(fn, args, 0, "table_path"),
+          longArg(fn, args, 1, "since_version"),
+          if (args.length == 3) Some(longArg(fn, args, 2, "as_of_version"))
+          else None)
+          .queryExecution.analyzed
+      }),
     (new FunctionIdentifier("asof_join"),
       new ExpressionInfo(classOf[AsOfJoinNode].getName, "asof_join"),
       (args: Seq[Expression]) => {

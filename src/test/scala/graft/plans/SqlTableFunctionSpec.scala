@@ -84,6 +84,23 @@ class SqlTableFunctionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(rangeSql.collect().toSeq == rangeApi.collect().toSeq)
   }
 
+  test("graft_snapshot TVFs: time travel and the change feed from pure SQL text") {
+    import graft.sources.SnapshotStore
+    val t = "file:" + java.nio.file.Files
+      .createTempDirectory("graft-tvf-snap").toString + "/t"
+    SnapshotStore.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t) // v1
+    SnapshotStore.overwrite(Seq((30L, "c")).toDF("id", "v"), t)       // v2
+    assert(spark.sql(s"SELECT sum(id) FROM graft_snapshot('$t')")
+      .as[Long].head === 30L)
+    assert(spark.sql(s"SELECT sum(id) FROM graft_snapshot('$t', 1)")
+      .as[Long].head === 3L)
+    val feed = spark.sql(
+      s"SELECT id, _change_type FROM graft_snapshot_changes('$t', 1) " +
+        "ORDER BY _change_type, id")
+      .as[(Long, String)].collect().toSeq
+    assert(feed === Seq((1L, "delete"), (2L, "delete"), (30L, "insert")))
+  }
+
   test("TVF rejects non-literal and missing arguments loudly") {
     grid.createOrReplaceTempView("tvf_grid")
     val e = intercept[Exception] {

@@ -806,6 +806,33 @@ object SparkEntry {
       store.changes(s, t, sinceVersion = 1)
         .orderBy(col("_commit_version"), col("_change_type"), col("doc_id"))
     }),
+    "q_snapshot_sql" -> ((s, d) => {
+      // the catalog-qualified SQL surface end to end — ONLY SQL text
+      // touches the table after creation: CTAS bootstraps the commit
+      // log through the catalog's V1Write, INSERT INTO appends a second
+      // commit, and the final query joins the CURRENT snapshot against
+      // a VERSION AS OF 1 read to tag which rows predate the insert
+      // (time travel exercised inside one statement); both scans are
+      // the log-resolved DSv2 parquet delegate
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.createOrReplaceTempView("snapshot_sql_src")
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapsql").toString + "/docs"
+      s.sql(s"CREATE TABLE graft.`$t` AS " +
+        "SELECT * FROM snapshot_sql_src WHERE doc_id % 10 < 8")   // v1
+      s.sql(s"INSERT INTO graft.`$t` " +
+        "SELECT * FROM snapshot_sql_src WHERE doc_id % 10 >= 8")  // v2
+      s.sql(
+        s"""SELECT c.doc_id, c.lang, c.n_chars,
+           |  CASE WHEN v1.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_v1
+           |FROM graft.`$t` c
+           |LEFT JOIN (SELECT doc_id FROM graft.`$t` VERSION AS OF 1) v1
+           |  ON c.doc_id = v1.doc_id
+           |ORDER BY c.doc_id""".stripMargin)
+    }),
     "q_batch_manifest" -> ((s, d) =>
       Signals.batchManifest(
         eventsUs(s, d).select(col("user_id"), col("ts_us").as("ts"), col("event_type")),
@@ -2077,6 +2104,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, lang, n_chars, 'insert', 4 FROM d WHERE doc_id % 10 > 7
         |) ORDER BY _commit_version, _change_type, doc_id""".stripMargin,
+    "q_snapshot_sql" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END AS in_v1
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_batch_manifest" ->
       """SELECT epoch_us(ts) // 86400000000 AS batch_day,
         |  count(*) AS n_rows,

@@ -1,0 +1,191 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.SnapshotStore
+
+/** Catalog-qualified SQL over [[graft.sources.SnapshotStore]] tables —
+  * the step past the `graft_snapshot(...)` table function: register the
+  * catalog once and every SQL surface (SELECT with `VERSION AS OF`
+  * time travel, INSERT INTO, INSERT OVERWRITE, CREATE TABLE AS SELECT,
+  * DROP TABLE) reaches the transactional commit log with zero
+  * temp-view or TVF ceremony:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.sources.v2.SnapshotCatalog")
+  *   sql("CREATE TABLE graft.`/data/docs` AS SELECT ...")
+  *   sql("INSERT INTO graft.`/data/docs` SELECT ...")       // append commit
+  *   sql("INSERT OVERWRITE graft.`/data/docs` SELECT ...")  // overwrite commit
+  *   sql("SELECT * FROM graft.`/data/docs` VERSION AS OF 1")
+  * }}}
+  *
+  * Identifiers ARE paths (a path-addressed catalog, like Delta's
+  * `delta.&#96;/path&#96;`): the single backquoted name part is the table
+  * directory; namespaces don't exist here and are rejected loudly.
+  *
+  * Reads delegate to the same log-resolved [[ParquetTable]] as
+  * [[SnapshotDataSource]] — pushdown/pruning identical to a native
+  * parquet scan. Writes go through [[V1Write]]/[[InsertableRelation]],
+  * whose contract hands over the fully-analyzed batch DataFrame — that
+  * lands in [[SnapshotStore.append]]/[[SnapshotStore.overwrite]], so a
+  * SQL INSERT gets the full commit protocol (staged files, footer-stat
+  * harvest, put-if-absent publish, conflict detection) and shows up in
+  * [[SnapshotStore.history]] as a normal commit. Version-pinned reads
+  * (`VERSION AS OF`) return a read-only table — writing to the past is
+  * refused at capability level, not at runtime.
+  *
+  * `spark.read.table("graft.&#96;/path&#96;")` and
+  * `df.writeTo("graft.&#96;/path&#96;").append()` ride the same plumbing.
+  */
+class SnapshotCatalog extends TableCatalog {
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): String = {
+    require(ident.namespace().isEmpty,
+      s"$catalogName is path-addressed: use $catalogName.`/path/to/table` " +
+        s"(got namespace ${ident.namespace().mkString(".")})")
+    ident.name()
+  }
+
+  private def spark = SparkSession.active
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = tablePath(ident)
+    if (SnapshotStore.latestVersion(spark, path) == 0L)
+      throw new NoSuchTableException(ident)
+    new SnapshotCatalogTable(path, asOf = None, declaredSchema = None)
+  }
+
+  /** `VERSION AS OF v` — Spark routes the version string here. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = tablePath(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$catalogName: VERSION AS OF takes a commit version (long), got '$version'")
+    }
+    if (SnapshotStore.latestVersion(spark, path) == 0L)
+      throw new NoSuchTableException(ident)
+    new SnapshotCatalogTable(path, asOf = Some(v), declaredSchema = None)
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName: TIMESTAMP AS OF is not supported — commits are " +
+        "versioned, not timestamped; use VERSION AS OF " +
+        "(SnapshotStore.history lists versions)")
+
+  /** CTAS lands here: record the declared schema and hand back a
+    * writable table whose first insert bootstraps the log. Plain
+    * `CREATE TABLE` (no AS SELECT) also works — the table "exists"
+    * once its first commit does, so an empty create is a no-op shell
+    * that the first INSERT materializes.
+    */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val path = tablePath(ident)
+    require(partitions.isEmpty,
+      s"$catalogName: PARTITIONED BY is not supported — clustering is a " +
+        "maintenance op (SnapshotStore.compactZOrdered), not a DDL property")
+    if (SnapshotStore.latestVersion(spark, path) != 0L)
+      throw new TableAlreadyExistsException(ident)
+    new SnapshotCatalogTable(path, asOf = None, declaredSchema = Some(schema))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName: ALTER TABLE is not supported (schema follows the data)")
+
+  /** DROP TABLE deletes the log and data directories — the physical
+    * twin of the logical protocol. Returns false when nothing existed.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = tablePath(ident)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName: RENAME is not supported — commit files carry absolute " +
+        "data paths; copy via CREATE TABLE ... AS SELECT instead")
+
+  /** Path-addressed: there is no namespace to enumerate. */
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+}
+
+/** The catalog's table handle: reads via the log-resolved parquet
+  * delegate, writes via the commit protocol. `declaredSchema` carries a
+  * CTAS/CREATE schema for the moment before the first commit exists
+  * (reads of an uncommitted table fail descriptively; the scan builder
+  * is only reachable once a commit landed).
+  */
+private[v2] class SnapshotCatalogTable(path: String, asOf: Option[Long],
+                                       declaredSchema: Option[StructType])
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def spark = SparkSession.active
+
+  private lazy val underlying: ParquetTable = {
+    val snap = SnapshotStore.state(spark, path, asOf)
+    require(snap.live.nonEmpty, s"snapshot $path@v${snap.version} is empty")
+    ParquetTable(name(), spark,
+      new CaseInsensitiveStringMap(util.Collections.emptyMap()),
+      snap.live.map(_.path), userSpecifiedSchema = None,
+      fallbackFileFormat = classOf[ParquetFileFormat])
+  }
+
+  override def name(): String =
+    s"graft.`$path`" + asOf.map(v => s" VERSION AS OF $v").getOrElse("")
+
+  override def schema(): StructType =
+    if (SnapshotStore.latestVersion(spark, path) == 0L)
+      declaredSchema.getOrElse(throw new IllegalStateException(
+        s"snapshot table has no commits yet: $path"))
+    else underlying.schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    underlying.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              if (overwriteAll || overwrite) SnapshotStore.overwrite(data, path)
+              else SnapshotStore.append(data, path)
+              ()
+            }
+          }
+      }
+    }
+}

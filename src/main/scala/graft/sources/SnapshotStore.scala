@@ -379,10 +379,15 @@ object SnapshotStore {
     * granularity and an overwrite replaces it, so either in range makes
     * file-level increments a lie — this throws instead; [[changes]] is
     * the row-level feed that stays sound across rewrites (Delta grew
-    * Change Data Feed for exactly this gap).
+    * Change Data Feed for exactly this gap). `skipRewrites = true` opts
+    * into skipping non-append commits instead of throwing — the
+    * explicitly-unsound-for-rewrites mode a streaming consumer that
+    * only cares about NEW rows uses (Delta's `skipChangeCommits`):
+    * appended files still flow, rewrite contents never re-deliver.
     */
   def addedSince(spark: SparkSession, table: String, sinceVersion: Long,
-                 asOf: Option[Long] = None): Seq[AddFile] = {
+                 asOf: Option[Long] = None,
+                 skipRewrites: Boolean = false): Seq[AddFile] = {
     val fs = logDir(table).getFileSystem(conf(spark))
     val (commits, _) = listLog(fs, table)
     val target = asOf.getOrElse(commits.lastOption.getOrElse(0L))
@@ -390,11 +395,14 @@ object SnapshotStore {
       val lines = readLines(fs, commitPath(table, v))
       val op = lines.collectFirst {
         case l if l.startsWith("m\top\t") => l.split('\t')(2) }
-      if (!op.contains("append")) throw new IllegalStateException(
-        s"addedSince($sinceVersion): version $v is op=${op.getOrElse("?")} — " +
-          "file-level increments are only sound across appends; " +
-          "re-read the snapshot (or row-diff) past a rewrite")
-      lines.filter(_.startsWith("a\t")).map(l => decodeAdd(l.split('\t')))
+      if (!op.contains("append")) {
+        if (skipRewrites) Nil
+        else throw new IllegalStateException(
+          s"addedSince($sinceVersion): version $v is op=${op.getOrElse("?")} — " +
+            "file-level increments are only sound across appends; " +
+            "re-read the snapshot (or row-diff) past a rewrite")
+      }
+      else lines.filter(_.startsWith("a\t")).map(l => decodeAdd(l.split('\t')))
     }
   }
 

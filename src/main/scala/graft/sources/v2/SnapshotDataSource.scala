@@ -2,7 +2,7 @@ package graft.sources.v2
 
 import java.util
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -40,7 +40,8 @@ import graft.sources.SnapshotStore
   * nothing anyway — unreferenced files are invisible — but failing fast
   * beats silently writing dead files).
   */
-class SnapshotDataSource extends TableProvider {
+class SnapshotDataSource extends TableProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   import SnapshotDataSource._
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -51,6 +52,27 @@ class SnapshotDataSource extends TableProvider {
     val t = resolve(new CaseInsensitiveStringMap(properties))
     new SnapshotReadTable(t, t.name)
   }
+
+  // ------------------------------------------------- streaming (v1 Source)
+  // The batch table advertises BATCH_READ only, so DataStreamReader falls
+  // back to this v1 provider — the contract whose getBatch returns a
+  // DataFrame (the same one Delta's source uses), keeping the scan on
+  // Spark's vectorized parquet path. See [[SnapshotStreamSource]].
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val table = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot stream requires .load(<table path>)"))
+    (s"graft-snapshot-stream($table)", schema.getOrElse(
+      SnapshotStore.snapshot(sqlContext.sparkSession, table).schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    SnapshotStreamSource(sqlContext.sparkSession, parameters,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2)
 }
 
 object SnapshotDataSource {

@@ -35,6 +35,22 @@ object GraftShim {
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Re-tag the file relations inside a batch DataFrame's plan as
+    * streaming — the v1 streaming-Source contract requires `getBatch`
+    * to return a plan with `isStreaming = true` leaves, and this is
+    * exactly how Spark's own FileStreamSource (and Delta's source)
+    * manufacture their batches: a normal resolved file relation,
+    * streaming-flagged so MicroBatchExecution accepts it.
+    */
+  def asStreamingRelation(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val plan = df.queryExecution.analyzed.transformUp {
+      case lr: LogicalRelation if !lr.isStreaming =>
+        LogicalRelation(lr.relation, lr.output, lr.catalogTable, true, lr.stream)
+    }
+    ofRows(df.sparkSession, plan)
+  }
+
   /** Drain the listener bus (private[spark]) — lets specs assert
     * deterministically on listener-observed counts (e.g. "composition ran
     * zero jobs") without sleeps.

@@ -833,6 +833,23 @@ object SparkEntry {
            |  ON c.doc_id = v1.doc_id
            |ORDER BY c.doc_id""".stripMargin)
     }),
+    "q_snapshot_delete" -> ((s, d) => {
+      // copy-on-write DELETE end to end, issued as SQL text through the
+      // catalog: base table in several files (stats on doc_id), DELETE
+      // a predicate mixing both columns, snapshot must equal the
+      // oracle's NOT(predicate) selection — touched-file scan prune,
+      // zero-match files surviving by path, and the SupportsDelete
+      // filter translation all sit inside the compare
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapdel").toString + "/docs"
+      graft.sources.SnapshotStore.append(docs, t, statsCols = Seq("doc_id"))
+      s.sql(s"DELETE FROM graft.`$t` WHERE n_chars < 600 AND lang = 'en'")
+      graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
+    }),
     "q_batch_manifest" -> ((s, d) =>
       Signals.batchManifest(
         eventsUs(s, d).select(col("user_id"), col("ts_us").as("ts"), col("event_type")),
@@ -2108,6 +2125,10 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars,
         |  CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END AS in_v1
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_snapshot_delete" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE NOT (n_chars < 600 AND lang = 'en')
+        |ORDER BY doc_id""".stripMargin,
     "q_batch_manifest" ->
       """SELECT epoch_us(ts) // 86400000000 AS batch_day,
         |  count(*) AS n_rows,

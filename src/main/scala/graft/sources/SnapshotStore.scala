@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
@@ -472,6 +472,45 @@ object SnapshotStore {
       if (statsCols.isEmpty) keyCols else statsCols)
     commit(spark, table, adds, removes = touched,
       meta = Map("op" -> "upsert"), mustBeLive = touched)
+  }
+
+  /** Copy-on-write DELETE: removes the rows where `condition` is TRUE
+    * (NULL keeps the row — SQL DELETE semantics), returns the committed
+    * version (or the current one when nothing matched — no empty
+    * commits).
+    *
+    * File granularity, same scale story as [[upsert]]: the touched set
+    * is found by ONE scan of the live files with the predicate pushed
+    * down (parquet footer stats skip clean files at the scan layer —
+    * the condition is an arbitrary Column, so log-stat boxes can't
+    * interpret it; the scan's own pushdown is the general-predicate
+    * twin of that prune) projecting just the matched file names via
+    * `_metadata.file_path` — Delta finds its touched files the same
+    * way. Untouched files survive BY PATH: a delete of a few rows
+    * rewrites only the files that hold them. Kept rows of touched
+    * files rewrite; zero-row rewrites stage nothing. The swap is one
+    * commit with `mustBeLive` re-validation, and [[changes]] stays
+    * sound (removes = deletes, carried-over rows pair off as
+    * delete+insert).
+    */
+  def delete(spark: SparkSession, table: String, condition: Column,
+             statsCols: Seq[String] = Nil): Long = {
+    val snap = state(spark, table)
+    if (snap.live.isEmpty) return snap.version
+    val all = spark.read.parquet(snap.live.map(_.path): _*)
+    val touched = all.filter(condition)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSeq
+      // scheme-normalize against the log's paths (file:/ vs file:///)
+      .map(p => new Path(p))
+    val touchedPaths = snap.live.map(_.path)
+      .filter(p => touched.exists(t => t.getName == new Path(p).getName))
+    if (touchedPaths.isEmpty) return snap.version
+    val keep = spark.read.parquet(touchedPaths: _*)
+      .filter(!condition.<=>(lit(true)))
+    val adds = stageFiles(keep, table, statsCols).filter(_.rows > 0)
+    commit(spark, table, adds, removes = touchedPaths,
+      meta = Map("op" -> "delete"), mustBeLive = touchedPaths)
   }
 
   /** Row-level change feed: every row added or removed in versions

@@ -143,9 +143,30 @@ class SnapshotCatalog extends TableCatalog {
   */
 private[v2] class SnapshotCatalogTable(path: String, asOf: Option[Long],
                                        declaredSchema: Option[StructType])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def spark = SparkSession.active
+
+  /** SQL `DELETE FROM graft.`path` WHERE ...` — Spark hands the
+    * condition as v1 source Filters; [[SnapshotCatalogTable.filterToColumn]]
+    * rebuilds a Column and [[SnapshotStore.delete]] does the
+    * copy-on-write rewrite (touched-file scan prune, one-commit swap).
+    * `canDeleteWhere` refuses untranslatable predicates up front, so a
+    * DELETE either runs with exact semantics or fails loudly — never a
+    * silent partial translation.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    asOf.isEmpty && filters.forall(SnapshotCatalogTable.filterToColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val cond = filters.map(f => SnapshotCatalogTable.filterToColumn(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft: cannot translate DELETE predicate $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    SnapshotStore.delete(spark, path, cond)
+    ()
+  }
 
   private lazy val underlying: ParquetTable = {
     val snap = SnapshotStore.state(spark, path, asOf)
@@ -188,4 +209,34 @@ private[v2] class SnapshotCatalogTable(path: String, asOf: Option[Long],
           }
       }
     }
+}
+
+private[v2] object SnapshotCatalogTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+  import org.apache.spark.sql.sources._
+
+  /** v1 source Filter → Column, total over the shapes Spark's DELETE
+    * planner emits; None = untranslatable (refused by canDeleteWhere).
+    */
+  def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case AlwaysTrue()             => Some(lit(true))
+    case AlwaysFalse()            => Some(lit(false))
+    case And(l, r) => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+    case Or(l, r)  => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+    case Not(c)    => filterToColumn(c).map(not)
+    case _         => None
+  }
 }

@@ -166,6 +166,35 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(applied === got)
   }
 
+  test("delete rewrites ONLY the files holding matches; NULL keeps the row") {
+    val t = tempTable("delete")
+    // two files with disjoint id ranges; a null-keyed row rides in file 1
+    SnapshotStore.append(Seq((Some(1L), "a"), (Some(2L), "b"), (None, "n"))
+      .toDF("id", "v").coalesce(1), t)
+    SnapshotStore.append(Seq((Some(100L), "x"), (Some(101L), "y"))
+      .toDF("id", "v").coalesce(1), t)
+    val highFile = SnapshotStore.state(spark, t).live.last.path
+    val v = SnapshotStore.delete(spark, t, col("id") <= 1L)
+    assert(v === 3L)
+    val got = SnapshotStore.snapshot(spark, t)
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    // id=1 gone; the NULL-id row survives (condition NULL = keep, SQL
+    // DELETE semantics); the untouched high file survives by path
+    assert(got === Set((Some(2L), "b"), (None, "n"),
+      (Some(100L), "x"), (Some(101L), "y")))
+    assert(SnapshotStore.state(spark, t).live.map(_.path).contains(highFile),
+      "file with no matches must not rewrite")
+    // no matches → no commit
+    assert(SnapshotStore.delete(spark, t, col("id") === 999L) === 3L)
+    assert(SnapshotStore.latestVersion(spark, t) === 3L)
+    // delete everything in a file → file removed, nothing staged for it
+    SnapshotStore.delete(spark, t, col("id") >= 100L)
+    assert(SnapshotStore.snapshot(spark, t)
+      .collect().map(r => Option(r.get(0))).toSet === Set(Some(2L), None))
+    // time travel still sees the pre-delete table
+    assert(SnapshotStore.snapshot(spark, t, asOf = Some(2L)).count() === 5L)
+  }
+
   test("changes() is the row-level feed that stays sound across rewrites") {
     val t = tempTable("cdf")
     SnapshotStore.append(Seq(1L, 2L).toDF("id"), t)   // v1

@@ -78,6 +78,19 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(ts.getMessage.contains("VERSION AS OF"))
   }
 
+  test("SQL DELETE FROM runs the copy-on-write delete through the catalog") {
+    val t = freshTable("del")
+    SnapshotStore.append(
+      Seq((1L, "keep"), (2L, "drop"), (3L, "keep")).toDF("id", "v"), t)
+    spark.sql(s"DELETE FROM graft.`$t` WHERE v = 'drop' OR id > 2")
+    assert(spark.sql(s"SELECT id FROM graft.`$t` ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L))
+    assert(SnapshotStore.history(spark, t).head._2 === "delete")
+    // the delete is a commit like any other: the pre-delete version reads
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$t` VERSION AS OF 1")
+      .as[Long].head === 3L)
+  }
+
   test("writeTo API rides the same catalog plumbing") {
     val t = freshTable("wt")
     SnapshotStore.append(Seq((1L, "a")).toDF("id", "v"), t)

@@ -624,18 +624,25 @@ object SnapshotStore {
     }
   }
 
-  /** Physically delete data files no longer live at the LATEST version
-    * (removed by overwrite/compact, or stranded by crashed writers).
-    * Time travel to versions that referenced them stops working — the
-    * same retention trade Delta's VACUUM documents. Returns the number
-    * of files deleted.
+  /** Physically delete data files not referenced by any of the last
+    * `retainVersions` versions (removed by older overwrites/compacts,
+    * or stranded by crashed writers). Time travel PAST the retention
+    * window stops working — the same trade Delta's VACUUM documents,
+    * with version-count retention instead of wall-clock hours (commits
+    * carry no timestamps; version count is the deterministic twin).
+    * The default keeps only the latest snapshot's files; `retainVersions
+    * = 3` keeps the last three versions readable. Returns the number of
+    * files deleted.
     */
-  def vacuum(spark: SparkSession, table: String): Int = {
+  def vacuum(spark: SparkSession, table: String, retainVersions: Int = 1): Int = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val c = conf(spark)
     val data = dataDir(table)
     val fs = data.getFileSystem(c)
     if (!fs.exists(data)) return 0
-    val live = state(spark, table).live.map(_.path).toSet
+    val retained = versions(spark, table).takeRight(retainVersions)
+    val live = retained
+      .flatMap(v => state(spark, table, Some(v)).live.map(_.path)).toSet
     // normalize through Path so scheme differences can't fake orphans
     val liveNames = live.map(p => new Path(p).getName)
     val victims = fs.listStatus(data).toSeq

@@ -41,12 +41,20 @@ private[v2] case class SnapshotSourceOffset(version: Long) extends Offset {
   *    is content-preserving; overwrites simply never re-deliver.
   *
   * Options: `startingVersion` (long, or `latest` = tail from stream
-  * start), `skipRewrites` (boolean, default false).
+  * start), `skipRewrites` (boolean, default false),
+  * `maxVersionsPerTrigger` (admission control — a backlogged stream
+  * catches up in bounded micro-batches instead of one giant batch, the
+  * scale lever Delta spells `maxFilesPerTrigger`; versions are the
+  * natural unit here because each commit is one writer batch).
   */
 class SnapshotStreamSource(spark: SparkSession, table: String,
                            override val schema: StructType,
                            skipRewrites: Boolean,
-                           startingVersion: Option[Long]) extends Source {
+                           startingVersion: Option[Long],
+                           maxVersionsPerTrigger: Option[Long]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
 
   private def ver(o: Offset): Long = o.json.trim.toLong
 
@@ -54,6 +62,26 @@ class SnapshotStreamSource(spark: SparkSession, table: String,
     val v = SnapshotStore.latestVersion(spark, table)
     if (v == 0L) None else Some(SnapshotSourceOffset(v))
   }
+
+  /** Admission control: advance at most `maxVersionsPerTrigger` commits
+    * past the last processed offset. The initial batch is the snapshot
+    * at ONE version, so it is inherently a single admission unit.
+    * MicroBatchExecution prefers this over [[getOffset]] for sources
+    * that implement the interface.
+    */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val latest = SnapshotStore.latestVersion(spark, table)
+    if (latest == 0L) return null
+    val capped = (Option(startOffset).map(_.json.trim.toLong), maxVersionsPerTrigger) match {
+      case (Some(s), Some(k)) => math.min(latest, s + k)
+      case _ => latest
+    }
+    SnapshotSourceOffset(capped)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(k => ReadLimit.maxFiles(k.toInt))
+      .getOrElse(ReadLimit.allAvailable())
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = ver(end)
@@ -89,6 +117,9 @@ object SnapshotStreamSource {
       case "latest" => SnapshotStore.latestVersion(spark, table)
       case v => v.toLong
     }
-    new SnapshotStreamSource(spark, table, schema, skip, starting)
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxVersions.foreach(k => require(k >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $k"))
+    new SnapshotStreamSource(spark, table, schema, skip, starting, maxVersions)
   }
 }

@@ -166,6 +166,20 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(applied === got)
   }
 
+  test("vacuum retainVersions keeps the retention window readable") {
+    val t = tempTable("retain")
+    SnapshotStore.append(Seq(1L).toDF("id"), t)     // v1
+    SnapshotStore.overwrite(Seq(2L).toDF("id"), t)  // v2
+    SnapshotStore.overwrite(Seq(3L).toDF("id"), t)  // v3
+    val deleted = SnapshotStore.vacuum(spark, t, retainVersions = 2)
+    assert(deleted === 1, "only v1's file falls outside the window")
+    // v2 and v3 both still read; v1 is gone
+    assert(idsOf(SnapshotStore.snapshot(spark, t, asOf = Some(2L))) === Set(2L))
+    assert(idsOf(SnapshotStore.snapshot(spark, t)) === Set(3L))
+    intercept[Exception] {
+      SnapshotStore.snapshot(spark, t, asOf = Some(1L)).collect() }
+  }
+
   test("delete rewrites ONLY the files holding matches; NULL keeps the row") {
     val t = tempTable("delete")
     // two files with disjoint id ranges; a null-keyed row rides in file 1

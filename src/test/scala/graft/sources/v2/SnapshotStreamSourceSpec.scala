@@ -109,6 +109,28 @@ class SnapshotStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger bounds catch-up batches by commit count") {
+    val t = fresh("admit")
+    val ckpt = t.stripPrefix("file:") + "/_ckpt"
+    val out = t.stripPrefix("file:") + "/_out"
+    def run(): Int = { // returns non-empty batch count for the run
+      val q = spark.readStream.format(fmt)
+        .option("maxVersionsPerTrigger", "2").load(t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try { q.processAllAvailable(); q.recentProgress.count(_.numInputRows > 0) }
+      finally q.stop()
+    }
+    SnapshotStore.append(Seq((1L, "a")).toDF("id", "v"), t)
+    assert(run() === 1) // initial snapshot: one admission unit
+    // a 4-version backlog accumulates while the stream is DOWN — the
+    // situation admission control exists for; catch-up must split it
+    (2L to 5L).foreach(i => SnapshotStore.append(Seq((i, "x")).toDF("id", "v"), t))
+    assert(run() === 2, "ceil(4 versions / 2 per trigger) capped batches")
+    assert(spark.read.parquet(out).select("id").as[Long].collect().toSet
+      === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("sink-to-source loop: appendSink output is streamable downstream") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

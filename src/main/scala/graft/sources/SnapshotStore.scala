@@ -289,14 +289,75 @@ object SnapshotStore {
     moved
   }
 
+  // ------------------------------------------------------ schema contract
+
+  /** The table schema as recorded in (latest-wins) commit meta; absent
+    * only for tables created before schema tracking — those fall back
+    * to parquet inference, the old behavior.
+    */
+  def tableSchema(spark: SparkSession, table: String,
+                  asOf: Option[Long] = None): Option[org.apache.spark.sql.types.StructType] =
+    schemaOf(state(spark, table, asOf).meta)
+
+  private def schemaOf(meta: Map[String, String]): Option[org.apache.spark.sql.types.StructType] =
+    meta.get("schema").map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Validate an incoming append schema against the table's, returning
+    * the (possibly widened) table schema to record. Same-name fields
+    * must type-match exactly (nullability aside) — a drifted type is a
+    * corruption, not an evolution. Columns the batch lacks are fine
+    * (readers null-fill from the explicit schema). NEW columns require
+    * `mergeSchema = true`, and then widen the table schema with the
+    * extras appended — Delta's mergeSchema contract. Without the flag,
+    * the mismatch fails loudly instead of minting a mixed-schema table
+    * whose reads depend on which file the reader inferred from.
+    */
+  private def evolveSchema(current: org.apache.spark.sql.types.StructType,
+                           incoming: org.apache.spark.sql.types.StructType,
+                           mergeSchema: Boolean, table: String)
+      : org.apache.spark.sql.types.StructType = {
+    val cur = current.map(f => f.name -> f).toMap
+    incoming.foreach { f =>
+      cur.get(f.name).foreach { c =>
+        require(c.dataType == f.dataType,
+          s"append to $table: column ${f.name} is ${c.dataType.simpleString} " +
+            s"in the table but ${f.dataType.simpleString} in the batch — " +
+            "a type drift is never merged; cast explicitly")
+      }
+    }
+    val extras = incoming.filterNot(f => cur.contains(f.name))
+    if (extras.isEmpty) current
+    else {
+      require(mergeSchema,
+        s"append to $table: batch adds column(s) ${extras.map(_.name).mkString(", ")} " +
+          "not in the table schema — pass mergeSchema = true to widen " +
+          "(old rows read the new columns as null)")
+      org.apache.spark.sql.types.StructType(
+        current.fields ++ extras.map(_.copy(nullable = true)))
+    }
+  }
+
   // ------------------------------------------------------------- user API
 
-  /** Append `df` as a new commit; returns the committed version. */
+  /** Append `df` as a new commit; returns the committed version.
+    * Schema-checked against the table (see [[evolveSchema]]):
+    * `mergeSchema = true` permits NEW columns and widens the recorded
+    * table schema; type drift on an existing column always fails.
+    */
   def append(df: DataFrame, table: String, statsCols: Seq[String] = Nil,
-             meta: Map[String, String] = Map.empty): Long = {
+             meta: Map[String, String] = Map.empty,
+             mergeSchema: Boolean = false): Long = {
+    val spark = df.sparkSession
+    val recorded =
+      if (latestVersion(spark, table) == 0L) df.schema
+      else schemaOf(state(spark, table).meta)
+        .map(evolveSchema(_, df.schema, mergeSchema, table))
+        .getOrElse(df.schema) // pre-schema-tracking table: adopt as-is
     val adds = stageFiles(df, table, statsCols)
-    commit(df.sparkSession, table, adds,
-      removes = Nil, meta = meta + ("op" -> "append"), mustBeLive = Nil)
+    commit(spark, table, adds, removes = Nil,
+      meta = meta + ("op" -> "append") + ("schema" -> recorded.json),
+      mustBeLive = Nil)
   }
 
   /** Replace the table's contents atomically (readers of older versions
@@ -310,7 +371,21 @@ object SnapshotStore {
       else state(spark, table).live.map(_.path)
     val adds = stageFiles(df, table, statsCols)
     commit(spark, table, adds, removes = prior,
-      meta = meta + ("op" -> "overwrite"), mustBeLive = prior)
+      meta = meta + ("op" -> "overwrite") + ("schema" -> df.schema.json),
+      mustBeLive = prior)
+  }
+
+  /** Parquet reader pinned to the table's recorded schema (when
+    * present): every consumer sees the SAME columns regardless of which
+    * files it touches — old files null-fill columns a later
+    * mergeSchema append added; pre-schema-tracking tables keep
+    * inference.
+    */
+  private def readWithSchema(spark: SparkSession,
+                             meta: Map[String, String], paths: Seq[String]): DataFrame = {
+    val reader = spark.read
+    schemaOf(meta).foreach(reader.schema)
+    reader.parquet(paths: _*)
   }
 
   /** Metadata-swap compaction: rewrite the live set into `targetFiles`
@@ -324,7 +399,7 @@ object SnapshotStore {
               statsCols: Seq[String] = Nil): Long = {
     val snap = state(spark, table)
     if (snap.live.size <= targetFiles) return snap.version
-    val df = spark.read.parquet(snap.live.map(_.path): _*)
+    val df = readWithSchema(spark, snap.meta, snap.live.map(_.path))
       .repartition(targetFiles)
     val adds = stageFiles(df, table, statsCols)
     commit(spark, table, adds, removes = snap.live.map(_.path),
@@ -336,7 +411,7 @@ object SnapshotStore {
                asOf: Option[Long] = None): DataFrame = {
     val snap = state(spark, table, asOf)
     require(snap.live.nonEmpty, s"snapshot $table@${snap.version} is empty")
-    spark.read.parquet(snap.live.map(_.path): _*)
+    readWithSchema(spark, snap.meta, snap.live.map(_.path))
   }
 
   /** Live files whose harvested [min,max] can intersect the box —
@@ -365,7 +440,7 @@ object SnapshotStore {
     val (kept, _) = prunedLiveFiles(spark, table, box, asOf)
     val base =
       if (kept.isEmpty) snapshot(spark, table, asOf).limit(0)
-      else spark.read.parquet(kept: _*)
+      else readWithSchema(spark, state(spark, table, asOf).meta, kept)
     box.foldLeft(base) { case (df, (c, (lo, hi))) =>
       df.filter(col(c) >= lo && col(c) <= hi)
     }
@@ -413,7 +488,7 @@ object SnapshotStore {
                      asOf: Option[Long] = None): DataFrame = {
     val files = addedSince(spark, table, sinceVersion, asOf)
     if (files.isEmpty) snapshot(spark, table, asOf).limit(0)
-    else spark.read.parquet(files.map(_.path): _*)
+    else readWithSchema(spark, state(spark, table, asOf).meta, files.map(_.path))
   }
 
   /** Copy-on-write upsert (MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
@@ -465,7 +540,7 @@ object SnapshotStore {
     val touched = statless.map(_.path) ++ touchedRanged
     val rewrite =
       if (touched.isEmpty) updates
-      else spark.read.parquet(touched: _*)
+      else readWithSchema(spark, snap.meta, touched)
         .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
         .unionByName(updates)
     val adds = stageFiles(rewrite, table,
@@ -497,7 +572,7 @@ object SnapshotStore {
              statsCols: Seq[String] = Nil): Long = {
     val snap = state(spark, table)
     if (snap.live.isEmpty) return snap.version
-    val all = spark.read.parquet(snap.live.map(_.path): _*)
+    val all = readWithSchema(spark, snap.meta, snap.live.map(_.path))
     val touched = all.filter(condition)
       .select(col("_metadata.file_path")).distinct()
       .collect().map(_.getString(0)).toSeq
@@ -506,7 +581,7 @@ object SnapshotStore {
     val touchedPaths = snap.live.map(_.path)
       .filter(p => touched.exists(t => t.getName == new Path(p).getName))
     if (touchedPaths.isEmpty) return snap.version
-    val keep = spark.read.parquet(touchedPaths: _*)
+    val keep = readWithSchema(spark, snap.meta, touchedPaths)
       .filter(!condition.<=>(lit(true)))
     val adds = stageFiles(keep, table, statsCols).filter(_.rows > 0)
     commit(spark, table, adds, removes = touchedPaths,
@@ -569,7 +644,8 @@ object SnapshotStore {
     val lookup = spark.createDataFrame(tagged.map { case (p, t, v) =>
       (new Path(p).getName, t, v)
     }).toDF("__file", "_change_type", "_commit_version")
-    spark.read.parquet(tagged.map(_._1).distinct: _*)
+    readWithSchema(spark, state(spark, table, Some(target)).meta,
+        tagged.map(_._1).distinct)
       .withColumn("__file",
         element_at(split(col("_metadata.file_path"), "/"), -1))
       .join(broadcast(lookup), "__file")
@@ -586,7 +662,7 @@ object SnapshotStore {
   def compactZOrdered(spark: SparkSession, table: String, targetFiles: Int,
                       zorderColumns: Seq[String]): Long = {
     val snap = state(spark, table)
-    val df = spark.read.parquet(snap.live.map(_.path): _*)
+    val df = readWithSchema(spark, snap.meta, snap.live.map(_.path))
       .withColumn("__z", graft.functions.ZOrder.zorderCols(zorderColumns.map(col)))
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
@@ -608,7 +684,10 @@ object SnapshotStore {
     commit(spark, table,
       adds = old.live.filterNot(a => now.live.exists(_.path == a.path)),
       removes = now.live.map(_.path).filterNot(oldPaths),
-      meta = Map("op" -> "restore", "restore.of" -> version.toString),
+      // the restored data has the OLD schema — record it, or readers
+      // would null-fill columns the rolled-back commits never had
+      meta = Map("op" -> "restore", "restore.of" -> version.toString) ++
+        schemaOf(old.meta).map(s => "schema" -> s.json),
       mustBeLive = now.live.map(_.path))
   }
 

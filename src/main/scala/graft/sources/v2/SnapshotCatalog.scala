@@ -173,7 +173,8 @@ private[v2] class SnapshotCatalogTable(path: String, asOf: Option[Long],
     require(snap.live.nonEmpty, s"snapshot $path@v${snap.version} is empty")
     ParquetTable(name(), spark,
       new CaseInsensitiveStringMap(util.Collections.emptyMap()),
-      snap.live.map(_.path), userSpecifiedSchema = None,
+      snap.live.map(_.path),
+      userSpecifiedSchema = SnapshotStore.tableSchema(spark, path, asOf),
       fallbackFileFormat = classOf[ParquetFileFormat])
   }
 

@@ -85,8 +85,11 @@ object SnapshotDataSource {
     val asOf = Option(options.get(VersionAsOf)).map(_.toLong)
     val snap = SnapshotStore.state(spark, table, asOf)
     require(snap.live.nonEmpty, s"snapshot $table@v${snap.version} is empty")
+    // recorded table schema (when present) pins the read: old files
+    // null-fill mergeSchema'd columns instead of per-file inference
     ParquetTable(s"graft-snapshot($table@v${snap.version})", spark, options,
-      snap.live.map(_.path), userSpecifiedSchema = None,
+      snap.live.map(_.path),
+      userSpecifiedSchema = SnapshotStore.tableSchema(spark, table, asOf),
       fallbackFileFormat = classOf[ParquetFileFormat])
   }
 }

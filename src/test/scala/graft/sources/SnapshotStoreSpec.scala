@@ -166,6 +166,44 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(applied === got)
   }
 
+  test("schema contract: drift fails loudly, mergeSchema widens, readers null-fill") {
+    val t = tempTable("schema")
+    SnapshotStore.append(Seq((1L, "a")).toDF("id", "v"), t) // v1
+    // type drift on an existing column: never merged
+    val drift = intercept[IllegalArgumentException] {
+      SnapshotStore.append(Seq((2, "b")).toDF("id", "v"), t) } // id int, not long
+    assert(drift.getMessage.contains("type drift") ||
+      drift.getMessage.contains("never merged"))
+    // new column without the flag: loud refusal naming the column
+    val extra = intercept[IllegalArgumentException] {
+      SnapshotStore.append(Seq((2L, "b", 0.5)).toDF("id", "v", "score"), t) }
+    assert(extra.getMessage.contains("score") &&
+      extra.getMessage.contains("mergeSchema"))
+    // with the flag: widened table schema, old rows read null
+    SnapshotStore.append(Seq((2L, "b", 0.5)).toDF("id", "v", "score"), t,
+      mergeSchema = true) // v2
+    val rows = SnapshotStore.snapshot(spark, t)
+      .select("id", "score").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows === Map(1L -> None, 2L -> Some(0.5)))
+    // a batch MISSING the new column is fine (null-filled), no flag needed
+    SnapshotStore.append(Seq((3L, "c")).toDF("id", "v"), t) // v3
+    assert(SnapshotStore.snapshot(spark, t).columns.toSeq
+      === Seq("id", "v", "score"))
+    // time travel reads v1 with the CONTEMPORANEOUS schema — no score
+    assert(SnapshotStore.snapshot(spark, t, asOf = Some(1L)).columns.toSeq
+      === Seq("id", "v"))
+    // the DSv2 path sees the same pinned schema
+    val dsv2 = spark.read
+      .format(classOf[graft.sources.v2.SnapshotDataSource].getName).load(t)
+    assert(dsv2.columns.toSeq === Seq("id", "v", "score"))
+    assert(dsv2.where(col("id") === 1L).select("score").collect().head.isNullAt(0))
+    // compaction normalizes: post-compact files carry the full schema
+    SnapshotStore.compact(spark, t, targetFiles = 1)
+    assert(SnapshotStore.snapshot(spark, t).columns.toSeq
+      === Seq("id", "v", "score"))
+  }
+
   test("vacuum retainVersions keeps the retention window readable") {
     val t = tempTable("retain")
     SnapshotStore.append(Seq(1L).toDF("id"), t)     // v1

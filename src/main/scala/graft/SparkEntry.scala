@@ -1297,6 +1297,20 @@ object SparkEntry {
             .as("token_entropy"))
         .orderBy(col("doc_id"))
     }),
+    "q_dsir" -> ((s, d) => {
+      // DSIR data selection (Xie et al. NeurIPS'23): weight every doc
+      // by the log-likelihood ratio of its hashed bag-of-tokens under
+      // target-vs-raw multinomials — target here is "long English
+      // documents", the usual quality-proxy target; two bucket aggs +
+      // broadcast ratio join + one doc_id exchange
+      val docs = Tables.documents(s, d)
+      Sampling.dsirWeights(
+          docs, docs.filter(col("lang") === "en" && col("n_chars") >= 500),
+          idCol = "doc_id", textCol = "text", buckets = 1024)
+        .select(col("doc_id"), col("lang"),
+          round(col("dsir_weight"), 4).as("dsir_weight"))
+        .orderBy(col("doc_id"))
+    }),
     "q_split" -> ((s, d) =>
       Sampling.split(Tables.documents(s, d), "doc_id", "graft", trainPct = 80, valPct = 10)
         .groupBy(col("split"), col("lang"))
@@ -2705,6 +2719,31 @@ object SparkEntry {
          |  FROM (SELECT doc_id, unnest(tk) AS tok FROM ($docTokensSql) tks) t
          |  GROUP BY doc_id, tok) counts
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t AS tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |    FROM documents) u
+        |  WHERE t <> ''),
+        |b AS (SELECT doc_id,
+        |        ('0x' || substr(md5('dsir|' || tok), 1, 15))::BIGINT % 1024 AS bkt
+        |      FROM tok),
+        |qc AS (SELECT bkt, count(*) AS qc FROM b GROUP BY bkt),
+        |tc AS (SELECT bkt, count(*) AS tc
+        |       FROM b JOIN documents USING (doc_id)
+        |       WHERE lang = 'en' AND n_chars >= 500 GROUP BY bkt),
+        |r AS (SELECT coalesce(qc.bkt, tc.bkt) AS bkt,
+        |        coalesce(tc, 0) AS tc, coalesce(qc, 0) AS qc
+        |      FROM qc FULL OUTER JOIN tc ON qc.bkt = tc.bkt),
+        |tot AS (SELECT sum(tc) AS t, sum(qc) AS q FROM r),
+        |lr AS (SELECT bkt,
+        |         ln((tc + 1.0) / (t + 1024.0)) - ln((qc + 1.0) / (q + 1024.0)) AS lr
+        |       FROM r, tot),
+        |w AS (SELECT doc_id, sum(lr) AS w
+        |      FROM b JOIN lr USING (bkt) GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, round(coalesce(w.w, 0), 4) AS dsir_weight
+        |FROM documents d LEFT JOIN w USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_split" ->
       """SELECT split, lang, count(*) AS n_docs FROM (
         |  SELECT lang,

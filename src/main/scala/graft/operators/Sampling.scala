@@ -134,6 +134,77 @@ object Sampling {
     temperatureMixtureBy(df, idCol, strataCols, seed, alpha,
       sum(col(weightCol)))
 
+  /** DSIR importance weights — Data Selection via Importance Resampling
+    * (Xie et al., NeurIPS 2023): score every raw document by how
+    * target-like its token distribution is, using hashed bag-of-tokens
+    * models of the target and raw corpora. The weight is the
+    * log-likelihood ratio of the document under two smoothed
+    * multinomials over `buckets` hashed token slots:
+    * `Σ_tokens [ ln p_target(bucket) − ln p_raw(bucket) ]` with
+    * add-`alpha` smoothing — positive = looks like the target.
+    * Hashing makes the feature space fixed-width regardless of
+    * vocabulary, the move that lets the method run at corpus scale.
+    *
+    * Scale shape: two bucket-count aggregates (each one exchange over
+    * ≤ `buckets` rows — thousands, not corpus-sized), a full-outer
+    * join + one-row totals both broadcast, then the per-token
+    * ratio lookup is a BROADCAST join (the ratio table is `buckets`
+    * rows) and the per-doc sum is ONE exchange on the id. Nothing
+    * driver-side; the model "training" is the two tiny aggregates —
+    * the paper's fit-two-bag-of-ngrams-models step.
+    *
+    * Same md5 bucket idiom as [[split]] (DuckDB-parity, seed-stable).
+    * Documents with no tokens weight 0. Tokens are whitespace splits
+    * of `textCol`; hashed bigrams can ride the same plumbing by
+    * pre-concatenating a shifted column, deliberately left to the
+    * caller (the synthetic corpus is unigram-shaped).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, seed: String = "dsir",
+                  buckets: Int = 1024, alpha: Double = 1.0): DataFrame = {
+    require(buckets > 0 && alpha > 0, s"need buckets > 0, alpha > 0")
+    def toks(df: DataFrame) = df
+      .select(col(idCol), explode(
+        org.apache.spark.sql.functions.split(col(textCol), "\\s+")).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .select(col(idCol),
+        pmod(hash60(concat(lit(seed + "|"), col("__tok"))),
+          lit(buckets.toLong)).as("__b"))
+    val rawToks = toks(raw)
+    val counts = rawToks.groupBy("__b").agg(count(lit(1)).as("__qc"))
+      .join(toks(target).groupBy("__b").agg(count(lit(1)).as("__tc")),
+        Seq("__b"), "full_outer")
+      .na.fill(0L, Seq("__tc", "__qc"))
+    val ratio = counts
+      .crossJoin(broadcast(counts.agg(
+        sum("__tc").as("__T"), sum("__qc").as("__Q"))))
+      .select(col("__b"),
+        (log((col("__tc") + alpha) / (col("__T") + alpha * buckets)) -
+         log((col("__qc") + alpha) / (col("__Q") + alpha * buckets))).as("__lr"))
+    val weights = rawToks.join(broadcast(ratio), Seq("__b"))
+      .groupBy(col(idCol)).agg(sum(col("__lr")).as("dsir_weight"))
+    raw.join(weights, Seq(idCol), "left")
+      .withColumn("dsir_weight", coalesce(col("dsir_weight"), lit(0.0)))
+  }
+
+  /** Keep the top `keepFraction` of raw documents by DSIR weight: the
+    * selection step, deterministic (no gumbel resampling — the paper's
+    * noise exists to diversify repeated draws; a reproducible pipeline
+    * wants the argmax set). The threshold is ONE exact-percentile
+    * aggregate over the weights (distributed partial agg), then a
+    * map-side filter — no global sort, no single-partition window.
+    * Boundary ties all keep (>= threshold), so the kept set is a
+    * deterministic superset of the fraction.
+    */
+  def dsirSelect(weighted: DataFrame, keepFraction: Double): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1,
+      s"keepFraction in (0, 1], got $keepFraction")
+    val thr = weighted.agg(
+      expr(s"percentile(dsir_weight, ${1.0 - keepFraction})").as("__thr"))
+    weighted.crossJoin(broadcast(thr))
+      .filter(col("dsir_weight") >= col("__thr")).drop("__thr")
+  }
+
   private def temperatureMixtureBy(df: DataFrame, idCol: String,
                                    strataCols: Seq[String], seed: String,
                                    alpha: Double,

@@ -80,6 +80,35 @@ class SamplingSpec extends SparkSpec {
     assert(byCount("thin") < 1000L, "count-based mixture must down-sample the doc-heavy cell")
   }
 
+  test("dsirWeights ranks target-like docs above off-target; select keeps the fraction") {
+    import spark.implicits._
+    // target distribution: spark-ish words; off-target: cooking words
+    val raw = Seq(
+      (1L, "spark query join filter shuffle"),
+      (2L, "spark join scan filter query"),
+      (3L, "flour sugar butter oven whisk"),
+      (4L, "spark query flour sugar scan"), // mixed
+      (5L, "")                              // tokenless
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "spark query join shuffle scan"),
+      (11L, "query filter join spark scan")
+    ).toDF("doc_id", "text")
+    val w = Sampling.dsirWeights(raw, target, "doc_id", "text", buckets = 64)
+      .select($"doc_id", $"dsir_weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // pure-target docs outrank the mixed doc, which outranks pure-off-target
+    assert(w(1L) > w(4L) && w(2L) > w(4L), s"target docs must outrank mixed: $w")
+    assert(w(4L) > w(3L), s"mixed must outrank off-target: $w")
+    assert(w(5L) === 0.0, "tokenless doc weights exactly 0")
+    // selection: top half by weight — the two pure-target docs
+    val kept = Sampling.dsirSelect(
+        Sampling.dsirWeights(raw.filter($"doc_id" =!= 5L), target, "doc_id", "text", buckets = 64),
+        keepFraction = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(2L) && !kept.contains(3L), s"kept: $kept")
+  }
+
   test("leakFreeSplit keeps every near-dup cluster on one side") {
     import spark.implicits._
     val corpus = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

@@ -175,12 +175,17 @@ object Sampling {
       .join(toks(target).groupBy("__b").agg(count(lit(1)).as("__tc")),
         Seq("__b"), "full_outer")
       .na.fill(0L, Seq("__tc", "__qc"))
+    // totals via an UNPARTITIONED window over the ≤`buckets`-row count
+    // table — one single-partition pass over ~1k rows; the obvious
+    // crossJoin(agg(sum)) alternative re-evaluates the whole bucket
+    // join (and its two token scans) a second time, because two
+    // different aggregates over one subtree don't share an exchange
+    val whole = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     val ratio = counts
-      .crossJoin(broadcast(counts.agg(
-        sum("__tc").as("__T"), sum("__qc").as("__Q"))))
       .select(col("__b"),
-        (log((col("__tc") + alpha) / (col("__T") + alpha * buckets)) -
-         log((col("__qc") + alpha) / (col("__Q") + alpha * buckets))).as("__lr"))
+        (log((col("__tc") + alpha) / (sum("__tc").over(whole) + alpha * buckets)) -
+         log((col("__qc") + alpha) / (sum("__qc").over(whole) + alpha * buckets))).as("__lr"))
     val weights = rawToks.join(broadcast(ratio), Seq("__b"))
       .groupBy(col(idCol)).agg(sum(col("__lr")).as("dsir_weight"))
     raw.join(weights, Seq(idCol), "left")

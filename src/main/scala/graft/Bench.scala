@@ -77,7 +77,7 @@ object Bench {
       try asofRaw(variant) catch { case _: Throwable => -1.0 }
     def asofRaw(variant: String): Double = {
       import org.apache.spark.sql.functions._
-      val e = sources.Tables.events(spark, sfDir).withColumn("ts_us", expr("ts DIV 1000"))
+      val e = sources.Tables.eventsUs(spark, sfDir)
       val grid = operators.Signals.timeGrid(
         e.select(col("user_id"), col("ts_us").as("ts")), Seq("user_id"), "ts", 3600000000L)
       val purchases = e.filter(col("event_type") === "purchase")
@@ -145,7 +145,7 @@ object Bench {
       try smbRaw() catch { case _: Throwable => """{"plain":-1,"smb":-1}""" }
     def smbRaw(): String = {
       import org.apache.spark.sql.functions._
-      val e = sources.Tables.events(spark, sfDir).withColumn("ts_us", expr("ts DIV 1000"))
+      val e = sources.Tables.eventsUs(spark, sfDir)
       val left = e.select(col("event_id"), col("user_id"), col("ts_us").as("t"))
       val right = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts_us").as("rt"), col("value").as("pval"))
@@ -198,7 +198,7 @@ object Bench {
       try skewRaw() catch { case _: Throwable => """{"plain":-1,"sliced":-1}""" }
     def skewRaw(): String = {
       import org.apache.spark.sql.functions._
-      val e = sources.Tables.events(spark, sfDir).withColumn("ts_us", expr("ts DIV 1000"))
+      val e = sources.Tables.eventsUs(spark, sfDir)
         .crossJoin(spark.range(20).select(col("id").as("rep")))
         .withColumn("event_id", col("event_id") * 20 + col("rep"))
         .withColumn("ts_us", col("ts_us") + col("rep") * 1000L)

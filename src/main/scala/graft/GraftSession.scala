@@ -19,9 +19,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // testdata events.ts is parquet TIMESTAMP(NANOS) which Spark has no
-      // native type for; read as epoch-nano long (event-time ops treat it
-      // as a monotonic long, portable to the oracle via epoch_ns()).
+      // Parquet TIMESTAMP(NANOS) has no native Spark type; surface it as an
+      // epoch-nano bigint rather than failing the scan. Harmless for
+      // MICROS-typed data (read natively as timestamp). Tables.epochUs
+      // adapts to whichever type the scan produces.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       // InferFiltersFromGenerate turns explode(f(x)) into

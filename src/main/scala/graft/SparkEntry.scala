@@ -14,7 +14,7 @@ import graft.sources.{Tables, TopicStore}
   * tables; each `oracleSql` entry is the same computation in ANSI SQL for
   * the DuckDB oracle. Column names and ordering are aligned on both sides
   * (SURVEY §4 portability rules). Event time is compared at epoch-µs
-  * (`ts DIV 1000` ≡ `epoch_us(ts)`).
+  * (`Tables.epochUs` ≡ `epoch_us(ts)` whichever physical type `ts` has).
   */
 object SparkEntry {
 
@@ -33,7 +33,7 @@ object SparkEntry {
 
   /** events with event time as epoch-µs long (SURVEY §4). */
   private def eventsUs(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
+    Tables.eventsUs(s, d)
 
   /** The driver-generated testdata parquet has ONE row group per table,
     * so a scan is one input split and every map-side stage serializes

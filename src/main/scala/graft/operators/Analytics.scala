@@ -159,10 +159,9 @@ object Analytics {
     * user → parallel across users, single sort per user partition.
     */
   def runningAggregates(events: DataFrame): DataFrame = {
-    // event time compared cross-engine at microsecond precision (ts is
-    // epoch-nano long; integer DIV — double division would lose precision
-    // past 2^53)
-    val withUs = events.withColumn("ts_us", expr("ts DIV 1000"))
+    // event time compared cross-engine at microsecond precision,
+    // dtype-adaptive (epoch-nano bigint or parquet timestamp)
+    val withUs = events.withColumn("ts_us", graft.sources.Tables.epochUs(events))
     val order = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val last5 = order.rowsBetween(-4, Window.currentRow)
     withUs.select(
@@ -188,7 +187,7 @@ object Analytics {
     */
   def trailingRangeAggregates(events: DataFrame, windowUs: Long): DataFrame = {
     require(windowUs >= 0, s"windowUs must be non-negative: $windowUs")
-    val withUs = events.withColumn("ts_us", expr("ts DIV 1000"))
+    val withUs = events.withColumn("ts_us", graft.sources.Tables.epochUs(events))
     val trailing = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
       .rangeBetween(-windowUs, Window.currentRow)
     withUs.select(

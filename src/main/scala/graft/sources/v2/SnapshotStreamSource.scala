@@ -64,15 +64,20 @@ class SnapshotStreamSource(spark: SparkSession, table: String,
   }
 
   /** Admission control: advance at most `maxVersionsPerTrigger` commits
-    * past the last processed offset. The initial batch is the snapshot
-    * at ONE version, so it is inherently a single admission unit.
+    * past the last processed offset. A fresh stream with no prior offset
+    * either loads the whole snapshot at one version (inherently a single
+    * admission unit) or — with `startingVersion` set — replays
+    * incrementally from there, so the cap must anchor on
+    * `startingVersion` too: without that, the catch-up from an old
+    * starting point would arrive as one giant unbounded first batch.
     * MicroBatchExecution prefers this over [[getOffset]] for sources
     * that implement the interface.
     */
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val latest = SnapshotStore.latestVersion(spark, table)
     if (latest == 0L) return null
-    val capped = (Option(startOffset).map(_.json.trim.toLong), maxVersionsPerTrigger) match {
+    val base = Option(startOffset).map(_.json.trim.toLong).orElse(startingVersion)
+    val capped = (base, maxVersionsPerTrigger) match {
       case (Some(s), Some(k)) => math.min(latest, s + k)
       case _ => latest
     }

@@ -17,8 +17,7 @@ object AB {
     import org.apache.spark.sql.functions._
     import graft.operators.{AsOfJoin, Signals}
     def base() = {
-      val e = graft.sources.Tables.events(spark, sfDir)
-        .withColumn("ts_us", expr("ts DIV 1000"))
+      val e = graft.sources.Tables.eventsUs(spark, sfDir)
       val grid = Signals.timeGrid(e.select(col("user_id"), col("ts_us").as("ts")),
         Seq("user_id"), "ts", 3600000000L)
       val purchases = e.filter(col("event_type") === "purchase")

@@ -47,8 +47,7 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("asOfNative ≡ asOf on real data (property check at sf0.001)") {
     import org.apache.spark.sql.functions._
-    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    val e = graft.sources.Tables.eventsUs(spark, "/root/testdata/sf0.001")
     val grid = Signals.timeGrid(e.select(col("user_id"), col("ts_us").as("t")),
       Seq("user_id"), "t", 3600000000L)
     val purchases = e.filter(col("event_type") === "purchase")
@@ -64,8 +63,7 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("asOfNative runs INSIDE a WholeStageCodegen stage, codegen ≡ interpreted") {
     import org.apache.spark.sql.functions._
-    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    val e = graft.sources.Tables.eventsUs(spark, "/root/testdata/sf0.001")
     val grid = Signals.timeGrid(e.select(col("user_id"), col("ts_us").as("t")),
       Seq("user_id"), "t", 3600000000L)
     val purchases = e.filter(col("event_type") === "purchase")
@@ -177,8 +175,7 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("rangeJoinNative runs INSIDE a WholeStageCodegen stage, codegen ≡ interpreted") {
     import org.apache.spark.sql.functions._
-    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    val e = graft.sources.Tables.eventsUs(spark, "/root/testdata/sf0.001")
     val errors = e.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("ts_us"))
     val purchases = e.filter(col("event_type") === "purchase")
@@ -419,8 +416,7 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("asOfBroadcast ≡ asOf on real data, with zero exchange on the probe side") {
-    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
-      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+    val e = graft.sources.Tables.eventsUs(spark, "/root/testdata/sf0.001")
     val left = e.select($"event_id", $"user_id", $"ts_us".as("t"))
     val right = e.filter($"event_type" === "purchase")
       .groupBy($"user_id", $"ts_us".as("rt"))
@@ -455,8 +451,7 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("rangeJoinBroadcast ≡ composed rangeJoin; empty bands null-extend; codegen ≡ interpreted") {
-    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
-      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+    val e = graft.sources.Tables.eventsUs(spark, "/root/testdata/sf0.001")
     val left = e.filter($"event_type" === "error")
       .select($"event_id", $"user_id", $"ts_us")
     val right = e.filter($"event_type" === "purchase")
@@ -512,8 +507,7 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("rangeJoinNative ≡ composed rangeJoin on real data, asymmetric bounds") {
-    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
-      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+    val e = graft.sources.Tables.eventsUs(spark, "/root/testdata/sf0.001")
     val errors = e.filter($"event_type" === "error")
       .select($"event_id", $"user_id", $"ts_us")
     val purchases = e.filter($"event_type" === "purchase")
@@ -567,8 +561,7 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.functions._
-    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    val e = graft.sources.Tables.eventsUs(spark, "/root/testdata/sf0.001")
     val left = e.select($"event_id", $"user_id", $"ts_us".as("t"))
     // plain projection on the right: the join's own 2 exchanges are the
     // only ones below it, so the downstream counts isolate the elision

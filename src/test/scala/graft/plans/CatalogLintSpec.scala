@@ -16,8 +16,12 @@ class CatalogLintSpec extends SparkSpec {
   //    HISTOGRAM — cardinality = distinct rounded values (domain-bounded)
   //  - q_hybrid_rrf / q_hybrid_search: global rank windows run over
   //    top-k result tables (k rows by construction)
+  //  - q_dsir: the global-total window runs over the hashed-ngram BUCKET
+  //    table (≤ `buckets` rows, default 1024 — Sampling.scala dsirWeights),
+  //    chosen over crossJoin(agg) precisely to avoid re-evaluating the
+  //    bucket join twice
   private val boundedGlobalWindows = Set(
-    "q_histogram_quantile", "q_hybrid_rrf", "q_hybrid_search")
+    "q_histogram_quantile", "q_hybrid_rrf", "q_hybrid_search", "q_dsir")
 
   //  - ANN/hybrid queries attach the QUERY VECTOR by
   //    crossJoin(broadcast(filter(vec_id === literal))): one row by the

@@ -17,8 +17,8 @@ class PushFilterSpec extends SparkSpec {
   }
 
   test("left-only filters push below AsOfJoinNode; value filters stay above") {
-    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
-      .withColumn("t", expr("ts DIV 1000"))
+    val e = graft.sources.Tables.eventsUs(spark, "/root/testdata/sf0.001")
+      .withColumnRenamed("ts_us", "t")
     val left = e.select($"event_id", $"user_id", $"t")
     val right = e.filter($"event_type" === "purchase")
       .groupBy($"user_id", $"t".as("rt"))

@@ -431,15 +431,24 @@ object Bench {
       s"""${docs}"xlin":$xlin}"""
     }
     // degrade rather than crash: drop the asof detail first, then thin the
-    // scale curve to its xlin summary, then drop it (everything lives in
-    // BENCH_full.json either way) if the line would overflow the window
+    // scale curve to its xlin summary, then drop it, then drop per-query
+    // detail entirely (everything lives in BENCH_full.json either way).
+    // The window is ~2000 chars of stdout TAIL and sbt's own epilogue
+    // ("[success] Total time: ...") prints after us inside it, so budget
+    // 1800 — and the last rung ALWAYS fits: a mass failure (r7: 40 failed
+    // names ≈ 1000 chars) must not push the summary out of the window.
+    val minimal = {
+      val head = failedNames.take(8)
+      val more = failedNames.size - head.size
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries_run":${ok.size},"queries_failed":${failedNames.size},"failed_head":[${head.mkString(",")}]${if (more > 0) s""","failed_more":$more""" else ""},"sf":"${new java.io.File(sfDir).getName}","detail":"BENCH_full.json"}"""
+    }
     val compact = Seq(
         compactLine(true, scaling.map(_._2)),
         compactLine(false, scaling.map(_._2)),
         compactLine(true, scalingXlin),
         compactLine(false, scalingXlin),
         compactLine(false, None))
-      .find(_.length < 1900).getOrElse(compactLine(false, None))
+      .find(_.length < 1800).getOrElse(minimal)
     println(compact)
     spark.stop()
   }

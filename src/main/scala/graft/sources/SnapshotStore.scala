@@ -178,24 +178,25 @@ object SnapshotStore {
   /** Publish one commit with put-if-absent; retries version races.
     * `mustBeLive` is the optimistic read-set: paths the commit removes,
     * re-validated against the CURRENT live set on every attempt.
-    * (package-visible so the conflict spec can race a stalled writer)
+    * `meta` is BY-NAME, re-evaluated on every attempt: metadata derived
+    * from table state (the recorded schema, a sink's batch high-water
+    * mark) must be recomputed after losing a version race, or two
+    * racing mergeSchema appends could each record a schema missing the
+    * other's column — the loser's retry now sees the winner's commit.
+    * Soundness of the re-read: an attempt only publishes if its target
+    * version did not exist when evaluation happened (put-if-absent), so
+    * a meta evaluation can never be stale relative to the commit that
+    * wins. (package-visible so the conflict spec can race a stalled
+    * writer)
     */
   private[sources] def commit(spark: SparkSession, table: String,
                      adds: Seq[AddFile], removes: Seq[String],
-                     meta: Map[String, String],
+                     meta: => Map[String, String],
                      mustBeLive: Seq[String]): Long = {
-    meta.foreach { case (k, v) =>
-      require(!(k + v).exists(c => c == '\t' || c == '\n'),
-        s"meta entries must be tab/newline-free: $k") }
     val c = conf(spark)
     val dir = logDir(table)
     val fs = dir.getFileSystem(c)
     fs.mkdirs(dir)
-    val payload = (
-      meta.toSeq.sortBy(_._1).map { case (k, v) => s"m\t$k\t$v" } ++
-      removes.map(r => s"r\t$r") ++
-      adds.map(encodeAdd)
-    ).mkString("", "\n", "\n").getBytes("UTF-8")
     val lock = localLocks.computeIfAbsent(table, _ => new Object)
     var attempt = 0
     while (true) {
@@ -209,6 +210,15 @@ object SnapshotStore {
           s"commit to $table: ${gone.size} input file(s) no longer live " +
             s"(another overwrite/compact won): ${gone.take(3).mkString(", ")}")
       }
+      val metaNow = meta
+      metaNow.foreach { case (k, mv) =>
+        require(!(k + mv).exists(ch => ch == '\t' || ch == '\n'),
+          s"meta entries must be tab/newline-free: $k") }
+      val payload = (
+        metaNow.toSeq.sortBy(_._1).map { case (k, mv) => s"m\t$k\t$mv" } ++
+        removes.map(r => s"r\t$r") ++
+        adds.map(encodeAdd)
+      ).mkString("", "\n", "\n").getBytes("UTF-8")
       val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
       try out.write(payload) finally out.close()
@@ -261,6 +271,12 @@ object SnapshotStore {
     */
   private def stageFiles(df: DataFrame, table: String,
                          statsCols: Seq[String]): Seq[AddFile] = {
+    // stats serialize into the commit TSV as `col=lo:hi;col=lo:hi` —
+    // a name carrying one of the format's separators would corrupt the
+    // line (and a later decodeAdd). Reject up front, not at replay.
+    statsCols.foreach(c => require(
+      c.nonEmpty && !c.exists(ch => "\t\n=;:".contains(ch)),
+      s"stats column name unsafe for the commit log (no tab/newline/=/;/:): '$c'"))
     val spark = df.sparkSession
     val c = conf(spark)
     val data = dataDir(table)
@@ -349,11 +365,16 @@ object SnapshotStore {
              meta: Map[String, String] = Map.empty,
              mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
-    val recorded =
+    // derive the schema to record against the CURRENT table meta — and
+    // re-derive on every commit attempt (by-name `meta`): two racing
+    // widening appends must each fold in the schema the other just
+    // recorded, or the later commit silently drops the earlier column
+    def recorded: org.apache.spark.sql.types.StructType =
       if (latestVersion(spark, table) == 0L) df.schema
       else schemaOf(state(spark, table).meta)
         .map(evolveSchema(_, df.schema, mergeSchema, table))
         .getOrElse(df.schema) // pre-schema-tracking table: adopt as-is
+    val _ = recorded // fail fast (type drift / missing mergeSchema) before staging
     val adds = stageFiles(df, table, statsCols)
     commit(spark, table, adds, removes = Nil,
       meta = meta + ("op" -> "append") + ("schema" -> recorded.json),
@@ -573,6 +594,17 @@ object SnapshotStore {
     val snap = state(spark, table)
     if (snap.live.isEmpty) return snap.version
     val all = readWithSchema(spark, snap.meta, snap.live.map(_.path))
+    // the predicate evaluates in TWO scans (touched-file discovery, then
+    // the keep-rewrite); a non-deterministic condition (rand(), shuffled
+    // input, ...) could match different rows in each — rows silently
+    // surviving or vanishing. Checked on the ANALYZED condition: an
+    // unresolved function claims determinism vacuously. Delta rejects
+    // non-deterministic DELETE the same way.
+    val analyzedCond = all.filter(condition).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    require(analyzedCond.forall(_.deterministic),
+      s"delete condition must be deterministic (it evaluates in two scans): $condition")
     val touched = all.filter(condition)
       .select(col("_metadata.file_path")).distinct()
       .collect().map(_.getString(0)).toSeq
@@ -712,9 +744,24 @@ object SnapshotStore {
     * The default keeps only the latest snapshot's files; `retainVersions
     * = 3` keeps the last three versions readable. Returns the number of
     * files deleted.
+    *
+    * `graceMs` protects IN-FLIGHT writers: a concurrent committer's
+    * files sit unreferenced between [[stageFiles]] and its commit
+    * winning, and a name-only liveness check would see them as orphans
+    * — vacuum racing a slow writer would delete data the very next
+    * commit references. Files (and `.stage-*` dirs) younger than the
+    * grace window are never touched; only something older than any
+    * plausible in-flight write is provably stranded. Delta's VACUUM
+    * carries the same modification-time guard for uncommitted files.
+    * Pass 0 only when no concurrent writer can exist (tests, single
+    * sequenced maintenance job).
     */
-  def vacuum(spark: SparkSession, table: String, retainVersions: Int = 1): Int = {
+  val vacuumGraceMs: Long = 20L * 60 * 1000
+
+  def vacuum(spark: SparkSession, table: String, retainVersions: Int = 1,
+             graceMs: Long = vacuumGraceMs): Int = {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
     val c = conf(spark)
     val data = dataDir(table)
     val fs = data.getFileSystem(c)
@@ -724,12 +771,16 @@ object SnapshotStore {
       .flatMap(v => state(spark, table, Some(v)).live.map(_.path)).toSet
     // normalize through Path so scheme differences can't fake orphans
     val liveNames = live.map(p => new Path(p).getName)
+    val cutoff = System.currentTimeMillis() - graceMs
     val victims = fs.listStatus(data).toSeq
-      .filter(s => s.isFile && !liveNames.contains(s.getPath.getName))
+      .filter(s => s.isFile && !liveNames.contains(s.getPath.getName) &&
+        s.getModificationTime <= cutoff)
     victims.foreach(s => fs.delete(s.getPath, false))
-    // stranded stage dirs from crashed writers
+    // stranded stage dirs from crashed writers — same grace window: a
+    // LIVE stage dir belongs to a writer that has not moved its files yet
     fs.listStatus(new Path(table)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-") &&
+        s.getModificationTime <= cutoff)
       .foreach(s => fs.delete(s.getPath, true))
     victims.size
   }

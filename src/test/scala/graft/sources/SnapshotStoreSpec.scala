@@ -29,7 +29,7 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.overwrite(Seq(10L).toDF("id"), t)
     assert(idsOf(SnapshotStore.snapshot(spark, t)) === Set(10L))
     assert(idsOf(SnapshotStore.snapshot(spark, t, asOf = Some(1L))) === Set(1L, 2L))
-    val deleted = SnapshotStore.vacuum(spark, t)
+    val deleted = SnapshotStore.vacuum(spark, t, graceMs = 0L)
     assert(deleted >= 1, "overwrite's removed files must be vacuumable")
     assert(idsOf(SnapshotStore.snapshot(spark, t)) === Set(10L))
   }
@@ -209,7 +209,7 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.append(Seq(1L).toDF("id"), t)     // v1
     SnapshotStore.overwrite(Seq(2L).toDF("id"), t)  // v2
     SnapshotStore.overwrite(Seq(3L).toDF("id"), t)  // v3
-    val deleted = SnapshotStore.vacuum(spark, t, retainVersions = 2)
+    val deleted = SnapshotStore.vacuum(spark, t, retainVersions = 2, graceMs = 0L)
     assert(deleted === 1, "only v1's file falls outside the window")
     // v2 and v3 both still read; v1 is gone
     assert(idsOf(SnapshotStore.snapshot(spark, t, asOf = Some(2L))) === Set(2L))
@@ -280,7 +280,7 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(feed(4L) === Set(
       (9L, "delete", 5L), (1L, "insert", 5L), (2L, "insert", 5L)))
     // vacuum breaks retention for in-range removes — descriptive refusal
-    SnapshotStore.vacuum(spark, t)
+    SnapshotStore.vacuum(spark, t, graceMs = 0L)
     val e = intercept[IllegalStateException] { SnapshotStore.changes(spark, t, 2L) }
     assert(e.getMessage.contains("vacuumed"))
   }
@@ -352,5 +352,73 @@ class SnapshotStoreSpec extends SparkSpec {
       assert(idsOf(SnapshotStore.snapshot(spark, t)) === Set(1L, 2L, 3L),
         "replayed batchId must commit nothing")
     } finally q2.stop()
+  }
+
+  test("vacuum grace window protects an in-flight writer's unreferenced files") {
+    val t = tempTable("grace")
+    SnapshotStore.append(Seq(1L).toDF("id"), t)
+    // simulate a slow committer: files already moved into data/ (or still
+    // in a .stage- dir) but whose commit has not published yet — both
+    // look like orphans to a name-only liveness check
+    val base = new org.apache.hadoop.fs.Path(t)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val inflight = new org.apache.hadoop.fs.Path(base, "data/deadbeef-part-inflight.parquet")
+    val out = fs.create(inflight, true); out.write(Array[Byte](1, 2, 3)); out.close()
+    val stage = new org.apache.hadoop.fs.Path(base, ".stage-inflight")
+    fs.mkdirs(stage)
+    assert(SnapshotStore.vacuum(spark, t) === 0,
+      "fresh unreferenced files are inside the grace window — untouchable")
+    assert(fs.exists(inflight) && fs.exists(stage),
+      "vacuum with the default grace must leave in-flight work alone")
+    // the same files ARE stranded once provably older than any writer
+    assert(SnapshotStore.vacuum(spark, t, graceMs = 0L) === 1)
+    assert(!fs.exists(inflight) && !fs.exists(stage))
+    assert(idsOf(SnapshotStore.snapshot(spark, t)) === Set(1L))
+  }
+
+  test("racing mergeSchema appends each fold in the other's column") {
+    val t = tempTable("schemarace")
+    SnapshotStore.append(Seq(1L).toDF("id"), t)
+    val threads = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futures = (0 until threads).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = SnapshotStore.append(
+            Seq((100L + w, w.toString)).toDF("id", s"c$w"), t,
+            mergeSchema = true)
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    // the recorded schema must contain EVERY widened column, whatever
+    // the commit order — a loser re-derives against the winner's meta
+    val names = SnapshotStore.tableSchema(spark, t).get.fieldNames.toSet
+    assert(names === Set("id", "c0", "c1", "c2", "c3"),
+      s"racing widenings dropped columns: $names")
+    // and the snapshot null-fills them for rows that predate each column
+    val snap = SnapshotStore.snapshot(spark, t)
+    assert(snap.columns.toSet === names)
+    assert(snap.count() === 5L)
+  }
+
+  test("delete refuses a non-deterministic predicate (it evaluates in two scans)") {
+    val t = tempTable("ndet")
+    SnapshotStore.append(Seq(1L, 2L).toDF("id"), t)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.delete(spark, t, rand() < lit(0.5))
+    }
+    assert(e.getMessage.contains("deterministic"))
+    assert(idsOf(SnapshotStore.snapshot(spark, t)) === Set(1L, 2L))
+  }
+
+  test("stats column names that would corrupt the commit TSV are rejected") {
+    val t = tempTable("statname")
+    val df = Seq(1L).toDF("id").withColumn("a=b", col("id"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.append(df, t, statsCols = Seq("a=b"))
+    }
+    assert(e.getMessage.contains("unsafe"))
+    assert(SnapshotStore.latestVersion(spark, t) === 0L, "nothing committed")
   }
 }

@@ -131,6 +131,28 @@ class SnapshotStreamSourceSpec extends SparkSpec {
       === Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("startingVersion + maxVersionsPerTrigger: the FIRST batch is capped too") {
+    val t = fresh("admitstart")
+    val ckpt = t.stripPrefix("file:") + "/_ckpt"
+    val out = t.stripPrefix("file:") + "/_out"
+    // 6 commits exist BEFORE the stream ever starts; startingVersion=2
+    // makes the fresh stream's first batch incremental (versions 3..6) —
+    // without anchoring the cap on startingVersion that backlog would
+    // arrive as one unbounded batch
+    (1L to 6L).foreach(i => SnapshotStore.append(Seq((i, "x")).toDF("id", "v"), t))
+    val q = spark.readStream.format(fmt)
+      .option("startingVersion", "2")
+      .option("maxVersionsPerTrigger", "2").load(t)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val batches =
+      try { q.processAllAvailable(); q.recentProgress.count(_.numInputRows > 0) }
+      finally q.stop()
+    assert(batches === 2, "ceil(4 versions / 2 per trigger) capped first batches")
+    assert(spark.read.parquet(out).select("id").as[Long].collect().toSet
+      === Set(3L, 4L, 5L, 6L))
+  }
+
   test("sink-to-source loop: appendSink output is streamable downstream") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -732,6 +732,27 @@ object SparkEntry {
           decode(col("m.payload"), "utf-8").as("payload_str"))
         .orderBy(col("user_id"), col("payload_str"))
     }),
+    "q_bag_roundtrip" -> ((s, d) => {
+      // real ROS bag v2.0 ingestion (service/app/main.py:87-94): pack
+      // each user's messages into a conformant .bag byte stream — bz2
+      // chunks for odd users, uncompressed for even, so BOTH codec
+      // paths face the oracle — then unpack and flatten. File-system
+      // leg (binaryFile over *.bag) is covered by BagSpec.
+      graft.plans.GraftExtensions.register(s)
+      val msgs = eventsUs(s, d).select(col("user_id"),
+        struct(col("event_type").as("topic"), col("ts_us").as("ts_us"),
+          encode(concat(col("event_id").cast("string"), lit("|"), col("props")),
+            "utf-8").as("payload")).as("m"))
+      msgs.groupBy(col("user_id"))
+        .agg(graft.sources.Containers.bagPack(sort_array(collect_list(col("m"))),
+          when(pmod(col("user_id"), lit(2)) === 0, "none").otherwise("bz2")).as("bag"))
+        .select(col("user_id"),
+          explode(graft.sources.Containers.bagUnpack(col("bag"))).as("m"))
+        .select(col("user_id"), col("m.topic").as("topic"),
+          col("m.ts_us").as("ts"),
+          decode(col("m.payload"), "utf-8").as("payload_str"))
+        .orderBy(col("user_id"), col("payload_str"))
+    }),
     "q_snapshot_roundtrip" -> ((s, d) => {
       // transactional-table roundtrip: base append + increment append
       // into a fresh SnapshotStore table (stats harvested on doc_id),
@@ -2105,6 +2126,11 @@ object SparkEntry {
         |      FROM events) t
         |ORDER BY event_id, obj_idx""".stripMargin,
     "q_container_roundtrip" ->
+      """SELECT user_id, event_type AS topic, epoch_us(ts) AS ts,
+        |  CAST(event_id AS VARCHAR) || '|' || props AS payload_str
+        |FROM events
+        |ORDER BY user_id, payload_str""".stripMargin,
+    "q_bag_roundtrip" ->
       """SELECT user_id, event_type AS topic, epoch_us(ts) AS ts,
         |  CAST(event_id AS VARCHAR) || '|' || props AS payload_str
         |FROM events

@@ -1,0 +1,351 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.commons.compress.compressors.bzip2.{BZip2CompressorInputStream, BZip2CompressorOutputStream}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ROS bag v2.0 codec — reader + conformant writer for the PUBLIC bag
+  * format (wiki.ros.org/Bags/Format/2.0), closing the reference's real
+  * ingestion gap: service/app/main.py:87 `bagreader(local_file)` /
+  * main.py:94 `bag.message_by_topic(topic)` operate on actual `.bag`
+  * files, where [[ContainerCodec]] is the sandbox stand-in format.
+  *
+  * Format (all integers little-endian):
+  * {{{
+  *   #ROSBAG V2.0\n                                 version line
+  *   <u32 header_len><header><u32 data_len><data>   record, repeated
+  *   header := (<u32 field_len><name>=<value>)*
+  * }}}
+  * Record kinds by the `op` header field: 0x03 bag header (padded to
+  * 4096 bytes), 0x05 chunk (compression `none`/`bz2`; data = embedded
+  * connection + message records), 0x07 connection (data = a second
+  * header block with topic/type/md5sum/message_definition), 0x02
+  * message data (conn + time; data = serialized message), 0x04 index
+  * data and 0x06 chunk info (read-skipped; written for conformance).
+  *
+  * The reader walks top-level records, learns conn→topic from
+  * connection records (top-level or in-chunk), inflates chunks per
+  * their `compression` field, and emits message rows in encounter
+  * order. Index records are advisory — a partially-written bag still
+  * reads (rosbag's own reindex contract). The writer emits the standard
+  * layout: bag header, one chunk holding every connection + message,
+  * per-connection index data, duplicated connection records at
+  * `index_pos`, one chunk info record.
+  *
+  * Scale shape: one bag = one `binaryFile` row = one task; parse is
+  * map-side with no shuffle (see [[graft.sources.Containers.readBagFiles]]).
+  * ROS `time` is (u32 secs, u32 nsecs); `ts_us` maps exactly —
+  * secs = ts/1e6, nsecs = (ts%1e6)*1000 — so pack∘unpack is lossless
+  * at the engine's µs event-time grain.
+  */
+object BagCodec {
+  private val Magic = "#ROSBAG V2.0\n".getBytes(UTF_8)
+
+  private val OpMessageData = 0x02.toByte
+  private val OpBagHeader = 0x03.toByte
+  private val OpIndexData = 0x04.toByte
+  private val OpChunk = 0x05.toByte
+  private val OpChunkInfo = 0x06.toByte
+  private val OpConnection = 0x07.toByte
+
+  /** Fixed message type for packed bags: payloads are opaque bytes (the
+    * engine's decode stage is downstream — same contract as the
+    * container codec). Public md5/def strings, deterministic output.
+    */
+  private val MsgType = "graft_msgs/Blob"
+  private val MsgDef = "uint8[] data\n"
+  private val MsgMd5 = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(MsgDef.getBytes(UTF_8))
+    d.map("%02x".format(_)).mkString
+  }
+
+  // ------------------------------------------------------------ encoding
+
+  private def le32(v: Int): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+  private def le64(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+  private def timeBytes(tsUs: Long): Array[Byte] = {
+    val secs = (tsUs / 1000000L).toInt
+    val nsecs = ((tsUs % 1000000L) * 1000L).toInt
+    le32(secs) ++ le32(nsecs)
+  }
+
+  private def field(name: String, value: Array[Byte]): Array[Byte] = {
+    val nb = name.getBytes(UTF_8)
+    le32(nb.length + 1 + value.length) ++ nb ++ Array('='.toByte) ++ value
+  }
+
+  private def header(fields: (String, Array[Byte])*): Array[Byte] =
+    fields.toArray.flatMap { case (n, v) => field(n, v) }
+
+  private def record(out: ByteArrayOutputStream, h: Array[Byte],
+                     data: Array[Byte]): Unit = {
+    out.write(le32(h.length)); out.write(h)
+    out.write(le32(data.length)); out.write(data)
+  }
+
+  private def connectionRecord(conn: Int, topic: String): (Array[Byte], Array[Byte]) = {
+    val h = header("op" -> Array(OpConnection), "conn" -> le32(conn),
+      "topic" -> topic.getBytes(UTF_8))
+    val data = header("topic" -> topic.getBytes(UTF_8),
+      "type" -> MsgType.getBytes(UTF_8),
+      "md5sum" -> MsgMd5.getBytes(UTF_8),
+      "message_definition" -> MsgDef.getBytes(UTF_8))
+    (h, data)
+  }
+
+  /** Serialize messages (already in the caller's intended order) into a
+    * conformant v2.0 bag. `compression` ∈ {none, bz2} applies to the
+    * single chunk's data.
+    */
+  def pack(msgs: Seq[(String, Long, Array[Byte])], compression: String): Array[Byte] = {
+    require(compression == "none" || compression == "bz2",
+      s"bag compression must be none|bz2, got '$compression'")
+    val out = new ByteArrayOutputStream()
+    out.write(Magic)
+
+    val topics = msgs.map(_._1).distinct
+    val connOf = topics.zipWithIndex.toMap
+
+    // chunk payload: connection records then message records, with each
+    // message's offset inside the UNCOMPRESSED stream (for index data)
+    val inner = new ByteArrayOutputStream()
+    topics.foreach { t =>
+      val (h, d) = connectionRecord(connOf(t), t); record(inner, h, d)
+    }
+    val offsets = msgs.map { case (topic, tsUs, payload) =>
+      require(tsUs >= 0, s"bag time is unsigned, got ts_us=$tsUs")
+      val off = inner.size()
+      record(inner,
+        header("op" -> Array(OpMessageData), "conn" -> le32(connOf(topic)),
+          "time" -> timeBytes(tsUs)),
+        payload)
+      off
+    }
+    val innerBytes = inner.toByteArray
+    val chunkData =
+      if (compression == "none") innerBytes
+      else {
+        val bz = new ByteArrayOutputStream()
+        val z = new BZip2CompressorOutputStream(bz)
+        z.write(innerBytes); z.close()
+        bz.toByteArray
+      }
+
+    // bag header — the record is padded to 4096 bytes with 0x20 in data
+    val chunkHeader = header("op" -> Array(OpChunk),
+      "compression" -> compression.getBytes(UTF_8),
+      "size" -> le32(innerBytes.length))
+    val bagHeaderFields = (indexPos: Long) => header("op" -> Array(OpBagHeader),
+      "index_pos" -> le64(indexPos), "conn_count" -> le32(topics.size),
+      "chunk_count" -> le32(if (msgs.isEmpty && topics.isEmpty) 0 else 1))
+    val bhLen = bagHeaderFields(0L).length
+    val padLen = 4096 - 8 - bhLen
+    require(padLen >= 0, "bag header overflow")
+
+    val chunkPos = Magic.length.toLong + 4096
+    // chunk section = chunk record + index data records; index_pos is
+    // the offset of the first record PAST it (the connection section)
+    val chunkRecordLen =
+      if (topics.isEmpty) 0L
+      else 8L + chunkHeader.length + chunkData.length
+    val indexRecords = new ByteArrayOutputStream()
+    topics.foreach { t =>
+      val conn = connOf(t)
+      val mine = msgs.zip(offsets).filter(_._1._1 == t)
+      val data = new ByteArrayOutputStream()
+      mine.foreach { case ((_, tsUs, _), off) =>
+        data.write(timeBytes(tsUs)); data.write(le32(off))
+      }
+      record(indexRecords,
+        header("op" -> Array(OpIndexData), "ver" -> le32(1),
+          "conn" -> le32(conn), "count" -> le32(mine.size)),
+        data.toByteArray)
+    }
+    val indexPos = chunkPos + chunkRecordLen + indexRecords.size()
+
+    // assemble: bag header (padded) | chunk | index data | connections |
+    // chunk info
+    record(out, bagHeaderFields(indexPos), Array.fill(padLen)(' '.toByte))
+    if (topics.nonEmpty) {
+      record(out, chunkHeader, chunkData)
+      out.write(indexRecords.toByteArray)
+      topics.foreach { t =>
+        val (h, d) = connectionRecord(connOf(t), t); record(out, h, d)
+      }
+      val ts = msgs.map(_._2)
+      val ciData = new ByteArrayOutputStream()
+      topics.foreach { t =>
+        ciData.write(le32(connOf(t)))
+        ciData.write(le32(msgs.count(_._1 == t)))
+      }
+      record(out,
+        header("op" -> Array(OpChunkInfo), "ver" -> le32(1),
+          "chunk_pos" -> le64(chunkPos),
+          "start_time" -> timeBytes(if (ts.isEmpty) 0L else ts.min),
+          "end_time" -> timeBytes(if (ts.isEmpty) 0L else ts.max),
+          "count" -> le32(topics.size)),
+        ciData.toByteArray)
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------ decoding
+
+  private final class Cursor(val bytes: Array[Byte], var pos: Int) {
+    def remaining: Int = bytes.length - pos
+    def u32(): Int = {
+      val v = ByteBuffer.wrap(bytes, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      pos += 4; v
+    }
+    def take(n: Int): Array[Byte] = {
+      require(n >= 0 && n <= remaining, s"bag truncated at $pos (need $n)")
+      val a = java.util.Arrays.copyOfRange(bytes, pos, pos + n); pos += n; a
+    }
+  }
+
+  private def parseHeader(h: Array[Byte]): Map[String, Array[Byte]] = {
+    val c = new Cursor(h, 0)
+    val m = Map.newBuilder[String, Array[Byte]]
+    while (c.remaining > 0) {
+      val len = c.u32()
+      val fb = c.take(len)
+      val eq = fb.indexOf('='.toByte)
+      require(eq > 0, "bag header field without '='")
+      m += new String(fb, 0, eq, UTF_8) ->
+        java.util.Arrays.copyOfRange(fb, eq + 1, fb.length)
+    }
+    m.result()
+  }
+
+  private def leInt(b: Array[Byte]): Int =
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
+  private def timeUs(b: Array[Byte]): Long = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val secs = bb.getInt.toLong & 0xFFFFFFFFL
+    val nsecs = bb.getInt.toLong & 0xFFFFFFFFL
+    secs * 1000000L + nsecs / 1000L
+  }
+
+  /** Decode every message of a v2.0 bag: (topic, ts_us, payload) in
+    * encounter order. Handles `none` and `bz2` chunks plus unchunked
+    * top-level message records; index/chunk-info records are skipped.
+    */
+  def unpack(bytes: Array[Byte]): Seq[(String, Long, Array[Byte])] = {
+    require(bytes.length >= Magic.length &&
+        java.util.Arrays.equals(java.util.Arrays.copyOf(bytes, Magic.length), Magic),
+      "not a ROS bag v2.0 (bad magic)")
+    val conns = scala.collection.mutable.Map.empty[Int, String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Array[Byte])]
+    def walk(c: Cursor): Unit = while (c.remaining > 0) {
+      val h = parseHeader(c.take(c.u32()))
+      val data = c.take(c.u32())
+      h("op")(0) match {
+        case OpConnection =>
+          val inner = parseHeader(data)
+          val topic = inner.get("topic").orElse(h.get("topic"))
+            .map(new String(_, UTF_8))
+            .getOrElse(throw new IllegalArgumentException("connection without topic"))
+          conns(leInt(h("conn"))) = topic
+        case OpMessageData =>
+          val conn = leInt(h("conn"))
+          val topic = conns.getOrElse(conn,
+            throw new IllegalArgumentException(s"message for unknown conn $conn"))
+          out += ((topic, timeUs(h("time")), data))
+        case OpChunk =>
+          val compression = new String(h("compression"), UTF_8)
+          val inner = compression match {
+            case "none" => data
+            case "bz2" =>
+              val z = new BZip2CompressorInputStream(new ByteArrayInputStream(data))
+              try {
+                val buf = new ByteArrayOutputStream(leInt(h("size")).max(64))
+                val tmp = new Array[Byte](65536)
+                var n = z.read(tmp)
+                while (n >= 0) { buf.write(tmp, 0, n); n = z.read(tmp) }
+                buf.toByteArray
+              } finally z.close()
+            case other => throw new IllegalArgumentException(
+              s"unsupported bag chunk compression: $other (none|bz2)")
+          }
+          walk(new Cursor(inner, 0))
+        case OpBagHeader | OpIndexData | OpChunkInfo => // advisory — skip
+        case _ => // forward-compatible: unknown op kinds are skipped
+      }
+    }
+    walk(new Cursor(bytes, Magic.length))
+    out.toSeq
+  }
+}
+
+/** array<struct<topic,ts_us,payload>> (+ optional compression literal,
+  * none|bz2) → one ROS bag v2.0 binary.
+  */
+case class BagPack(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "bag_pack"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StructType(fields), _), StringType)
+        if fields.length == 3 &&
+          fields(0).dataType == StringType &&
+          fields(1).dataType == LongType &&
+          fields(2).dataType == BinaryType =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"bag_pack requires (array<struct<topic:string,ts_us:bigint,payload:binary>>, string), got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  override def nullSafeEval(input: Any, comp: Any): Any = {
+    val msgs = input.asInstanceOf[ArrayData]
+    val n = msgs.numElements()
+    val seq = (0 until n).map { i =>
+      val m = msgs.getStruct(i, 3)
+      if (m == null || m.isNullAt(0) || m.isNullAt(1) || m.isNullAt(2))
+        throw new IllegalArgumentException(
+          s"bag_pack: message $i has a null struct or null topic/ts_us/payload")
+      (m.getUTF8String(0).toString, m.getLong(1), m.getBinary(2))
+    }
+    BagCodec.pack(seq, comp.asInstanceOf[UTF8String].toString)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ROS bag v2.0 binary → array<struct<topic,ts_us,payload>> (inverse of
+  * [[BagPack]]; reads any conformant v2.0 bag with none/bz2 chunks).
+  */
+case class BagUnpack(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "bag_unpack"
+  override def dataType: DataType = ArrayType(ContainerCodec.MessageType)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bag_unpack requires binary, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val rows = BagCodec.unpack(input.asInstanceOf[Array[Byte]]).map {
+      case (topic, tsUs, payload) =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString(topic), tsUs, payload))
+    }
+    new GenericArrayData(rows.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

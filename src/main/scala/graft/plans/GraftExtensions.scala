@@ -60,6 +60,14 @@ object GraftExtensions {
     (new FunctionIdentifier("container_unpack"),
       new ExpressionInfo(classOf[ContainerUnpack].getName, "container_unpack"),
       (children: Seq[Expression]) => ContainerUnpack(children(0))),
+    (new FunctionIdentifier("bag_pack"),
+      new ExpressionInfo(classOf[BagPack].getName, "bag_pack"),
+      (children: Seq[Expression]) => BagPack(children(0),
+        if (children.length > 1) children(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal("none"))),
+    (new FunctionIdentifier("bag_unpack"),
+      new ExpressionInfo(classOf[BagUnpack].getName, "bag_unpack"),
+      (children: Seq[Expression]) => BagUnpack(children(0))),
     (new FunctionIdentifier("objects_in_lane_fused"),
       new ExpressionInfo(classOf[ObjectsInLaneFused].getName, "objects_in_lane_fused"),
       (children: Seq[Expression]) => ObjectsInLaneFused(children(0), children(1))),

@@ -42,6 +42,34 @@ object Containers {
         col("m.ts_us").as("ts_us"), col("m.payload").as("payload"))
   }
 
+  /** array<struct<topic,ts_us,payload>> → ROS bag v2.0 binary column
+    * ([[graft.plans.BagCodec]] — the real `.bag` format, closing the
+    * gap the container codec stands in for). `compression` ∈ {none,bz2}.
+    */
+  def bagPack(msgs: Column, compression: Column): Column =
+    call_function("bag_pack", msgs, compression)
+
+  /** ROS bag v2.0 binary column → array<struct<topic,ts_us,payload>>. */
+  def bagUnpack(blob: Column): Column = call_function("bag_unpack", blob)
+
+  /** Per-message rows (topic, ts_us, payload, bag_file) from a directory
+    * of real `.bag` files — the reference's ingestion entry
+    * (service/app/main.py:87-94) as one declarative scan: one file per
+    * task via `binaryFile`, parse map-side, no shuffle. Bags over the
+    * binaryFile 2 GiB single-file ceiling need chunk-boundary splitting
+    * (the chunk-info index supports it) — not needed at the reference's
+    * per-bag sizes, where a file is one task and files parallelize.
+    */
+  def readBagFiles(spark: SparkSession, dir: String): DataFrame = {
+    GraftExtensions.register(spark)
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)\\.bag$", 1).as("bag_file"),
+        explode(bagUnpack(col("content"))).as("m"))
+      .select(col("bag_file"), col("m.topic").as("topic"),
+        col("m.ts_us").as("ts_us"), col("m.payload").as("payload"))
+  }
+
   /** Full extraction stage: containers → per-topic partitioned store
     * (main.py:77-124 re-expressed; the DynamoDB topic table is the
     * `topicStats`-style manifest a caller derives from the same frame).

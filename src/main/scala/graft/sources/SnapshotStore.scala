@@ -32,13 +32,16 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * `ConcurrentModificationException` when another writer got there
   * first (same read-set validation Delta documents).
   *
-  * Put-if-absent primitive: `FileContext.rename(tmp, target,
-  * Rename.NONE)` — atomic on HDFS (namenode rename2); on `file:` the
-  * exists-check inside rename is check-then-act, so a JVM-wide
-  * per-table lock serializes local committers (multi-threaded
-  * single-JVM correctness, the contract Delta's LocalLogStore
-  * documents). Object stores without atomic rename need an external
-  * coordinator, exactly as Delta documents for S3 multi-cluster.
+  * Put-if-absent primitive: pluggable via [[LogStore]]
+  * (`spark.graft.logStore`); the default [[RenameLogStore]] is
+  * `FileContext.rename(tmp, target, Rename.NONE)` — atomic on HDFS
+  * (namenode rename2); on `file:` the exists-check inside rename is
+  * check-then-act, so a JVM-wide per-directory lock serializes local
+  * committers (multi-threaded single-JVM correctness, the contract
+  * Delta's LocalLogStore documents). Object stores without atomic
+  * rename plug an externally-coordinated store, exactly as Delta
+  * documents for S3 multi-cluster (the reference parks this in
+  * DynamoDB, infrastructure/emr_orchestration/stack.py).
   *
   * Commit files carry per-file row counts and long-column [min,max]
   * harvested from parquet footers at WRITE time, so
@@ -73,12 +76,6 @@ object SnapshotStore {
     new Path(logDir(table), f"$v%020d.checkpoint")
 
   private def conf(spark: SparkSession) = spark.sessionState.newHadoopConf()
-
-  /** JVM-wide per-table committer lock — the local-FS leg of the
-    * put-if-absent matrix (see object doc).
-    */
-  private val localLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   // ------------------------------------------------------- TSV (de)coding
   // Line formats (fields are generated names/longs — no escaping needed;
@@ -197,7 +194,7 @@ object SnapshotStore {
     val dir = logDir(table)
     val fs = dir.getFileSystem(c)
     fs.mkdirs(dir)
-    val lock = localLocks.computeIfAbsent(table, _ => new Object)
+    val store = LogStore.resolve(spark)
     var attempt = 0
     while (true) {
       attempt += 1
@@ -219,23 +216,7 @@ object SnapshotStore {
         removes.map(r => s"r\t$r") ++
         adds.map(encodeAdd)
       ).mkString("", "\n", "\n").getBytes("UTF-8")
-      val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, true)
-      try out.write(payload) finally out.close()
-      val won =
-        try {
-          lock.synchronized {
-            val fc = FileContext.getFileContext(dir.toUri, c)
-            fc.rename(tmp, commitPath(table, v), Options.Rename.NONE)
-          }
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            fs.delete(tmp, false); false
-          case e: java.io.IOException if e.getMessage != null &&
-              e.getMessage.contains("already exists") =>
-            fs.delete(tmp, false); false
-        }
+      val won = store.putIfAbsent(c, dir, commitPath(table, v), payload)
       if (won) {
         if (v % checkpointEvery == 0) writeCheckpoint(spark, table, v)
         return v

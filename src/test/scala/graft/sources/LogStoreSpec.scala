@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.util.concurrent.{CyclicBarrier, Executors, TimeUnit}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** A [[RenameLogStore]] that forces the first two publishers of an armed
+  * commit file to rendezvous BEFORE either attempts the put — the
+  * check-then-act window a real multi-writer race hits, made
+  * deterministic. Top-level with a zero-arg ctor so `spark.graft.logStore`
+  * can instantiate it reflectively, state in the companion.
+  */
+class RendezvousLogStore extends RenameLogStore {
+  override def putIfAbsent(conf: Configuration, dir: Path, target: Path,
+                           payload: Array[Byte]): Boolean = {
+    if (RendezvousLogStore.armed(target.getName)) {
+      try RendezvousLogStore.barrier.await(5, TimeUnit.SECONDS)
+      catch { case _: Exception => () } // a broken barrier must not wedge retries
+    }
+    val won = super.putIfAbsent(conf, dir, target, payload)
+    if (won) RendezvousLogStore.wins.merge(target.getName, Integer.valueOf(1),
+      (a: Integer, b: Integer) => Integer.valueOf(a + b))
+    won
+  }
+}
+
+object RendezvousLogStore {
+  val barrier = new CyclicBarrier(2)
+  @volatile var armedSuffix: String = ""
+  val wins = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  def armed(name: String): Boolean =
+    armedSuffix.nonEmpty && name.endsWith(armedSuffix)
+}
+
+/** The commit protocol against swapped publish primitives: exactly one
+  * of two same-version racers wins under a deterministic rendezvous,
+  * and the whole multi-writer suite holds on a rename-free
+  * atomic-create store — proof the primitive is the ONLY
+  * storage-coupled piece.
+  */
+class LogStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tempTable(tag: String): String =
+    "file:" + java.nio.file.Files.createTempDirectory(s"graft-log-$tag").toString + "/t"
+
+  private def withLogStore[A](cls: Class[_])(body: => A): A =
+    try { spark.conf.set(LogStore.ConfKey, cls.getName); body }
+    finally spark.conf.unset(LogStore.ConfKey)
+
+  test("fault injection: two committers forced onto ONE version — exactly one wins, loser retries") {
+    withLogStore(classOf[RendezvousLogStore]) {
+      val t = tempTable("duel")
+      SnapshotStore.append(Seq(1L).toDF("id"), t) // v1, no contention armed
+      RendezvousLogStore.wins.clear()
+      RendezvousLogStore.armedSuffix = f"${2L}%020d.commit"
+      val pool = Executors.newFixedThreadPool(2)
+      val versions =
+        try {
+          val fs = Seq("a", "b").map { w =>
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long =
+                SnapshotStore.append(Seq(100L + w.hashCode % 10).toDF("id"), t)
+            })
+          }
+          fs.map(_.get(60, TimeUnit.SECONDS))
+        } finally { RendezvousLogStore.armedSuffix = ""; pool.shutdown() }
+      // both held at the v2 gate, released together: one won v2, the
+      // loser observed the loss and re-published as v3
+      assert(versions.toSet === Set(2L, 3L), s"got $versions")
+      assert(RendezvousLogStore.wins.get(f"${2L}%020d.commit") === 1,
+        "exactly one putIfAbsent may create a given commit file")
+      assert(SnapshotStore.versions(spark, t) === Seq(1L, 2L, 3L))
+      assert(SnapshotStore.snapshot(spark, t).count() === 3L)
+    }
+  }
+
+  test("atomic-create store passes the multi-writer suite: serial versions, no loss") {
+    withLogStore(classOf[AtomicCreateLogStore]) {
+      val t = tempTable("create")
+      val threads = 4; val each = 3
+      val pool = Executors.newFixedThreadPool(threads)
+      val got =
+        try {
+          val fs = (0 until threads).map { w =>
+            pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+              def call(): Seq[Long] = (0 until each).map { i =>
+                SnapshotStore.append(Seq(w * 100L + i).toDF("id"), t)
+              }
+            })
+          }
+          fs.flatMap(_.get(120, TimeUnit.SECONDS))
+        } finally pool.shutdown()
+      assert(got.toSet === (1L to (threads * each).toLong).toSet,
+        "every committer lands a distinct serial version")
+      assert(SnapshotStore.snapshot(spark, t).count() === (threads * each).toLong)
+      // schema meta and time travel behave identically under the swap
+      assert(SnapshotStore.tableSchema(spark, t).get.fieldNames.toSeq === Seq("id"))
+      assert(SnapshotStore.snapshot(spark, t, asOf = Some(1L)).count() === 1L)
+    }
+  }
+
+  test("store resolution: unknown class fails loudly; default is the rename store") {
+    val t = tempTable("resolve")
+    withLogStore(classOf[RenameLogStore]) { // explicit = default
+      SnapshotStore.append(Seq(1L).toDF("id"), t)
+    }
+    assert(SnapshotStore.latestVersion(spark, t) === 1L)
+    try {
+      spark.conf.set(LogStore.ConfKey, "graft.sources.NoSuchStore")
+      intercept[ClassNotFoundException] {
+        SnapshotStore.append(Seq(2L).toDF("id"), t)
+      }
+    } finally spark.conf.unset(LogStore.ConfKey)
+  }
+}

@@ -1245,6 +1245,21 @@ object SparkEntry {
           length(col("text").substr(col("start") + 1, lit(120))).cast("long").as("chunk_len"),
           md5(col("text").substr(col("start") + 1, lit(120))).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
+    "q_boilerplate" -> ((s, d) => {
+      // CCNet line-df boilerplate removal: the corpus text is single-line,
+      // so site chrome is synthesized deterministically around it — a
+      // banner in every doc, a footer shared by each doc_id%5 class, a
+      // license line in every doc; df >= 50 removes banner/footers/license
+      // at sf0.01+ while each doc's own text line stays
+      val docs = spread(Tables.documents(s, d)).select(col("doc_id"),
+        concat_ws("\n",
+          lit("COOKIE NOTICE accept our cookies"),
+          col("text"),
+          concat(lit("footer-"), pmod(col("doc_id"), lit(5))),
+          lit("ALL RIGHTS RESERVED")).as("text"))
+      Corpus.removeBoilerplate(docs, "doc_id", "text", minDocFreq = 50L)
+        .orderBy(col("doc_id"))
+    }),
     "q_pii_scrub" -> ((s, d) => {
       // PII scrubbing: detect + mask emails and IPv4s. The corpus text
       // has none, so deterministic PII is synthesized per doc_id first —
@@ -2965,6 +2980,26 @@ object SparkEntry {
         |        unnest(range(0, (length(text) + 79) // 80)) AS i
         |      FROM documents) t
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_boilerplate" ->
+      """WITH d AS (SELECT doc_id,
+        |       'COOKIE NOTICE accept our cookies' || chr(10) || text ||
+        |       chr(10) || 'footer-' || (doc_id % 5) || chr(10) ||
+        |       'ALL RIGHTS RESERVED' AS text
+        |     FROM documents),
+        |  n AS (SELECT doc_id,
+        |       unnest(string_split(text, chr(10))) AS line,
+        |       unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+        |     FROM d),
+        |  t AS (SELECT doc_id, pos, line, trim(line) AS norm FROM n),
+        |  b AS (SELECT norm FROM t WHERE norm <> ''
+        |        GROUP BY norm HAVING count(DISTINCT doc_id) >= 50)
+        |SELECT t.doc_id,
+        |  coalesce(string_agg(CASE WHEN b.norm IS NULL THEN t.line END,
+        |                      chr(10) ORDER BY t.pos), '') AS clean_text,
+        |  count(b.norm) AS n_removed
+        |FROM t LEFT JOIN b ON t.norm = b.norm
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q_pii_scrub" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -10,6 +10,46 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** CCNet-style boilerplate removal — the one common curation stage the
+    * dedup family doesn't cover: lines repeated across ≥ `minDocFreq`
+    * DISTINCT documents (cookie banners, nav menus, license footers) are
+    * dropped from every document; everything else keeps its order. Line
+    * identity is the trimmed line; whitespace-only lines are exempt
+    * (never counted, never removed — they are structure, not content).
+    * Returns one row per input doc: (id, clean_text, n_removed).
+    *
+    * Plan at 100 TB: the df table is a partial-aggregated
+    * count-distinct over (line, doc) — the shuffle carries one row per
+    * DISTINCT line per doc, not per occurrence; the boilerplate table it
+    * filters to is answer-shaped (only lines crossing the threshold) and
+    * AQE broadcasts it when small. One exchange of the line table for
+    * the flag join, one id exchange for reassembly; text lines move
+    * twice, never more. No driver-side state.
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                        minDocFreq: Long): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+      .withColumn("__norm", trim(col("__line")))
+    val boiler = lines.filter(col("__norm") =!= "")
+      .groupBy(col("__norm")).agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__norm"), lit(true).as("__boiler"))
+    lines.join(boiler, Seq("__norm"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("__pos"), col("__line"),
+                coalesce(col("__boiler"), lit(false)).as("__b")))),
+              x => !x.getField("__b")),
+            x => x.getField("__line")),
+          "\n").as("clean_text"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** Content-hash diff of two corpus snapshots: one row per doc present
     * in either side with status `added` (new only), `removed` (old
     * only), or `changed` (both, different content) — `unchanged` rows

@@ -437,8 +437,16 @@ case class RangeJoinExec(
        |    if (shouldStop()) return;
        |    continue;
        |  }
-       |  // ---- advance to the next left row
-       |  if (!$leftInput.hasNext()) return;
+       |  // ---- advance to the next left row.
+       |  // Exhaustion must BREAK, not return: a fusing parent (e.g. the
+       |  // partial HashAggregate) appends its own epilogue after this
+       |  // loop, and a return-only while(true) makes janino reject the
+       |  // whole stage ("Statement is unreachable") — silently dropping
+       |  // the stage to interpreted execution. Re-entry after the break
+       |  // is idempotent: emission state is drained, so the next
+       |  // processNext() call breaks immediately. Only shouldStop()
+       |  // pauses with return.
+       |  if (!$leftInput.hasNext()) break;
        |  InternalRow $lRow = (InternalRow) $leftInput.next();
        |  ${lKeyVars.map(_.code).mkString("\n")}
        |  ${lTimeVar.code}

@@ -50,6 +50,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object BagCodec {
   private val Magic = "#ROSBAG V2.0\n".getBytes(UTF_8)
 
+  /** The version line, for [[BagPlanner]] and source-side sniffing. */
+  def magicBytes: Array[Byte] = Magic
+
   private val OpMessageData = 0x02.toByte
   private val OpBagHeader = 0x03.toByte
   private val OpIndexData = 0x04.toByte
@@ -105,96 +108,104 @@ object BagCodec {
   }
 
   /** Serialize messages (already in the caller's intended order) into a
-    * conformant v2.0 bag. `compression` ∈ {none, bz2} applies to the
-    * single chunk's data.
+    * conformant v2.0 bag. `compression` ∈ {none, bz2} applies per chunk;
+    * `messagesPerChunk` splits the stream into multiple chunks (rosbag
+    * writes ~768 KiB chunks the same way) — the unit
+    * [[graft.sources.v2.BagDataSource]] parallelizes over. Every chunk
+    * carries the full connection set (duplicate connection records are
+    * legal and keep each chunk self-describing).
     */
-  def pack(msgs: Seq[(String, Long, Array[Byte])], compression: String): Array[Byte] = {
+  def pack(msgs: Seq[(String, Long, Array[Byte])], compression: String,
+           messagesPerChunk: Int = Int.MaxValue): Array[Byte] = {
     require(compression == "none" || compression == "bz2",
       s"bag compression must be none|bz2, got '$compression'")
+    require(messagesPerChunk >= 1, s"messagesPerChunk must be >= 1")
     val out = new ByteArrayOutputStream()
     out.write(Magic)
 
     val topics = msgs.map(_._1).distinct
     val connOf = topics.zipWithIndex.toMap
+    val chunks: Seq[Seq[(String, Long, Array[Byte])]] =
+      if (msgs.isEmpty) Nil else msgs.grouped(messagesPerChunk).toSeq
 
-    // chunk payload: connection records then message records, with each
-    // message's offset inside the UNCOMPRESSED stream (for index data)
-    val inner = new ByteArrayOutputStream()
-    topics.foreach { t =>
-      val (h, d) = connectionRecord(connOf(t), t); record(inner, h, d)
-    }
-    val offsets = msgs.map { case (topic, tsUs, payload) =>
-      require(tsUs >= 0, s"bag time is unsigned, got ts_us=$tsUs")
-      val off = inner.size()
-      record(inner,
-        header("op" -> Array(OpMessageData), "conn" -> le32(connOf(topic)),
-          "time" -> timeBytes(tsUs)),
-        payload)
-      off
-    }
-    val innerBytes = inner.toByteArray
-    val chunkData =
-      if (compression == "none") innerBytes
-      else {
-        val bz = new ByteArrayOutputStream()
-        val z = new BZip2CompressorOutputStream(bz)
-        z.write(innerBytes); z.close()
-        bz.toByteArray
-      }
-
-    // bag header — the record is padded to 4096 bytes with 0x20 in data
-    val chunkHeader = header("op" -> Array(OpChunk),
-      "compression" -> compression.getBytes(UTF_8),
-      "size" -> le32(innerBytes.length))
     val bagHeaderFields = (indexPos: Long) => header("op" -> Array(OpBagHeader),
       "index_pos" -> le64(indexPos), "conn_count" -> le32(topics.size),
-      "chunk_count" -> le32(if (msgs.isEmpty && topics.isEmpty) 0 else 1))
-    val bhLen = bagHeaderFields(0L).length
-    val padLen = 4096 - 8 - bhLen
+      "chunk_count" -> le32(chunks.size))
+    // bag header record is padded to 4096 bytes with 0x20 in data
+    val padLen = 4096 - 8 - bagHeaderFields(0L).length
     require(padLen >= 0, "bag header overflow")
 
-    val chunkPos = Magic.length.toLong + 4096
-    // chunk section = chunk record + index data records; index_pos is
-    // the offset of the first record PAST it (the connection section)
-    val chunkRecordLen =
-      if (topics.isEmpty) 0L
-      else 8L + chunkHeader.length + chunkData.length
-    val indexRecords = new ByteArrayOutputStream()
-    topics.foreach { t =>
-      val conn = connOf(t)
-      val mine = msgs.zip(offsets).filter(_._1._1 == t)
-      val data = new ByteArrayOutputStream()
-      mine.foreach { case ((_, tsUs, _), off) =>
-        data.write(timeBytes(tsUs)); data.write(le32(off))
+    // chunk section: per chunk, the chunk record then its per-connection
+    // index-data records (message offsets inside the UNCOMPRESSED data)
+    val chunkSection = new ByteArrayOutputStream()
+    val chunkInfos = chunks.map { chunkMsgs =>
+      val chunkPos = Magic.length.toLong + 4096 + chunkSection.size()
+      val inner = new ByteArrayOutputStream()
+      topics.foreach { t =>
+        val (h, d) = connectionRecord(connOf(t), t); record(inner, h, d)
       }
-      record(indexRecords,
-        header("op" -> Array(OpIndexData), "ver" -> le32(1),
-          "conn" -> le32(conn), "count" -> le32(mine.size)),
-        data.toByteArray)
+      val offsets = chunkMsgs.map { case (topic, tsUs, payload) =>
+        require(tsUs >= 0, s"bag time is unsigned, got ts_us=$tsUs")
+        val off = inner.size()
+        record(inner,
+          header("op" -> Array(OpMessageData), "conn" -> le32(connOf(topic)),
+            "time" -> timeBytes(tsUs)),
+          payload)
+        off
+      }
+      val innerBytes = inner.toByteArray
+      val chunkData =
+        if (compression == "none") innerBytes
+        else {
+          val bz = new ByteArrayOutputStream()
+          val z = new BZip2CompressorOutputStream(bz)
+          z.write(innerBytes); z.close()
+          bz.toByteArray
+        }
+      record(chunkSection,
+        header("op" -> Array(OpChunk),
+          "compression" -> compression.getBytes(UTF_8),
+          "size" -> le32(innerBytes.length)),
+        chunkData)
+      topics.foreach { t =>
+        val conn = connOf(t)
+        val mine = chunkMsgs.zip(offsets).filter(_._1._1 == t)
+        if (mine.nonEmpty) {
+          val data = new ByteArrayOutputStream()
+          mine.foreach { case ((_, tsUs, _), off) =>
+            data.write(timeBytes(tsUs)); data.write(le32(off))
+          }
+          record(chunkSection,
+            header("op" -> Array(OpIndexData), "ver" -> le32(1),
+              "conn" -> le32(conn), "count" -> le32(mine.size)),
+            data.toByteArray)
+        }
+      }
+      (chunkPos, chunkMsgs)
     }
-    val indexPos = chunkPos + chunkRecordLen + indexRecords.size()
+    val indexPos = Magic.length.toLong + 4096 + chunkSection.size()
 
-    // assemble: bag header (padded) | chunk | index data | connections |
-    // chunk info
+    // assemble: bag header (padded) | chunk section | connections |
+    // one chunk-info record per chunk
     record(out, bagHeaderFields(indexPos), Array.fill(padLen)(' '.toByte))
-    if (topics.nonEmpty) {
-      record(out, chunkHeader, chunkData)
-      out.write(indexRecords.toByteArray)
-      topics.foreach { t =>
-        val (h, d) = connectionRecord(connOf(t), t); record(out, h, d)
-      }
-      val ts = msgs.map(_._2)
+    out.write(chunkSection.toByteArray)
+    topics.foreach { t =>
+      val (h, d) = connectionRecord(connOf(t), t); record(out, h, d)
+    }
+    chunkInfos.foreach { case (chunkPos, chunkMsgs) =>
+      val ts = chunkMsgs.map(_._2)
+      val present = topics.filter(t => chunkMsgs.exists(_._1 == t))
       val ciData = new ByteArrayOutputStream()
-      topics.foreach { t =>
+      present.foreach { t =>
         ciData.write(le32(connOf(t)))
-        ciData.write(le32(msgs.count(_._1 == t)))
+        ciData.write(le32(chunkMsgs.count(_._1 == t)))
       }
       record(out,
         header("op" -> Array(OpChunkInfo), "ver" -> le32(1),
           "chunk_pos" -> le64(chunkPos),
-          "start_time" -> timeBytes(if (ts.isEmpty) 0L else ts.min),
-          "end_time" -> timeBytes(if (ts.isEmpty) 0L else ts.max),
-          "count" -> le32(topics.size)),
+          "start_time" -> timeBytes(ts.min),
+          "end_time" -> timeBytes(ts.max),
+          "count" -> le32(present.size)),
         ciData.toByteArray)
     }
     out.toByteArray
@@ -213,6 +224,11 @@ object BagCodec {
       val a = java.util.Arrays.copyOfRange(bytes, pos, pos + n); pos += n; a
     }
   }
+
+  /** Parse one header block's `<len><name>=<value>` fields (also the
+    * encoding of a connection record's data block). */
+  private[graft] def parseHeaderBytes(h: Array[Byte]): Map[String, Array[Byte]] =
+    parseHeader(h)
 
   private def parseHeader(h: Array[Byte]): Map[String, Array[Byte]] = {
     val c = new Cursor(h, 0)
@@ -245,7 +261,18 @@ object BagCodec {
     require(bytes.length >= Magic.length &&
         java.util.Arrays.equals(java.util.Arrays.copyOf(bytes, Magic.length), Magic),
       "not a ROS bag v2.0 (bad magic)")
+    unpackRecords(bytes, Magic.length, Map.empty)
+  }
+
+  /** Walk a raw record stream (no version line): the executor-side entry
+    * for [[graft.sources.v2.BagDataSource]], which hands one chunk
+    * record (or one top-level span) plus the connection map planning
+    * collected; in-stream connection records extend it.
+    */
+  def unpackRecords(bytes: Array[Byte], start: Int,
+                    initialConns: Map[Int, String]): Seq[(String, Long, Array[Byte])] = {
     val conns = scala.collection.mutable.Map.empty[Int, String]
+    conns ++= initialConns
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Array[Byte])]
     def walk(c: Cursor): Unit = while (c.remaining > 0) {
       val h = parseHeader(c.take(c.u32()))
@@ -283,8 +310,89 @@ object BagCodec {
         case _ => // forward-compatible: unknown op kinds are skipped
       }
     }
-    walk(new Cursor(bytes, Magic.length))
+    walk(new Cursor(bytes, start))
     out.toSeq
+  }
+}
+
+object BagPlanner {
+  /** The driver-side plan of one bag: the connection map (conn → topic)
+    * and the byte offsets work can split on — one entry per chunk
+    * record, plus raw top-level spans for unchunked/index-less bags.
+    */
+  final case class BagPlan(conns: Map[Int, String], chunkOffsets: Seq[Long],
+                          rawSpans: Seq[(Long, Long)])
+
+  private def le32(b: Array[Byte]): Int =
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
+  private def le64(b: Array[Byte]): Long =
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong
+
+  /** Plan a bag through positioned reads (`readAt(offset, len)` — a
+    * Hadoop `FSDataInputStream.readFully` in production): O(record
+    * HEADERS), never chunk data. With a healthy index the walk starts at
+    * `index_pos` and touches only the index section (connection +
+    * chunk-info records — exactly how `rosbag info` is O(index)); a
+    * zero/corrupt `index_pos` falls back to a header-skip walk of the
+    * whole record stream, collecting chunk offsets, connections, and
+    * raw top-level message spans (the crashed-writer shape).
+    */
+  def plan(readAt: (Long, Int) => Array[Byte], fileLen: Long): BagPlan = {
+    val magicLen = BagCodec.magicBytes.length
+    require(fileLen >= magicLen + 8 &&
+        java.util.Arrays.equals(readAt(0L, magicLen), BagCodec.magicBytes),
+      "not a ROS bag v2.0 (bad magic)")
+
+    def headerAt(off: Long): (Map[String, Array[Byte]], Int, Long) = {
+      // returns (fields, dataLen, offset past the whole record)
+      val hlen = le32(readAt(off, 4))
+      val fields = BagCodec.parseHeaderBytes(readAt(off + 4, hlen))
+      val dlen = le32(readAt(off + 4 + hlen, 4))
+      (fields, dlen, off + 8L + hlen + dlen)
+    }
+
+    val (bagFields, _, afterBagHeader) = headerAt(magicLen.toLong)
+    require(bagFields.get("op").exists(_.headOption.contains(0x03.toByte)),
+      "first record is not a bag header")
+    val indexPos = bagFields.get("index_pos").map(le64).getOrElse(0L)
+
+    def walk(from: Long, indexOnly: Boolean): BagPlan = {
+      val conns = Map.newBuilder[Int, String]
+      val chunkOffsets = Seq.newBuilder[Long]
+      val rawSpans = Seq.newBuilder[(Long, Long)]
+      var spanStart = -1L
+      var off = from
+      while (off < fileLen) {
+        val (fields, dlen, next) = headerAt(off)
+        val op = fields.get("op").flatMap(_.headOption).getOrElse(0.toByte)
+        op match {
+          case 0x07 => // connection: data block carries the topic
+            val data = BagCodec.parseHeaderBytes(readAt(next - dlen, dlen))
+            data.get("topic").orElse(fields.get("topic"))
+              .map(new String(_, UTF_8))
+              .foreach(t => conns += le32(fields("conn")) -> t)
+          case 0x05 if !indexOnly =>
+            if (spanStart >= 0) { rawSpans += ((spanStart, off - spanStart)); spanStart = -1 }
+            chunkOffsets += off
+          case 0x06 => // chunk info: chunk_pos locates the chunk record
+            chunkOffsets += le64(fields("chunk_pos"))
+          case 0x02 if !indexOnly =>
+            if (spanStart < 0) spanStart = off
+          case _ =>
+            if (spanStart >= 0 && !indexOnly) {
+              rawSpans += ((spanStart, off - spanStart)); spanStart = -1
+            }
+        }
+        off = next
+      }
+      if (spanStart >= 0) rawSpans += ((spanStart, fileLen - spanStart))
+      BagPlan(conns.result(), chunkOffsets.result().distinct.sorted,
+        rawSpans.result())
+    }
+
+    if (indexPos >= afterBagHeader && indexPos < fileLen)
+      walk(indexPos, indexOnly = true)
+    else walk(afterBagHeader, indexOnly = false)
   }
 }
 

@@ -29,8 +29,12 @@ object Corpus {
   def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                         minDocFreq: Long): DataFrame = {
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    // coalesce: split(NULL) is NULL and posexplode would DROP the row,
+    // silently violating the one-row-per-input-doc contract — a NULL
+    // text document flows through as an empty document instead.
     val lines = docs.select(col(idCol),
-        posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+        posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+          .as(Seq("__pos", "__line")))
       .withColumn("__norm", trim(col("__line")))
     val boiler = lines.filter(col("__norm") =!= "")
       .groupBy(col("__norm")).agg(count_distinct(col(idCol)).as("__df"))

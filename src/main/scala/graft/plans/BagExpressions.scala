@@ -78,7 +78,13 @@ object BagCodec {
   private def le64(v: Long): Array[Byte] =
     ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
   private def timeBytes(tsUs: Long): Array[Byte] = {
-    val secs = (tsUs / 1000000L).toInt
+    // The wire time is (uint32 secs, uint32 nsecs): seconds past 2^32
+    // (~year 2106) cannot be represented, and a silent .toInt wrap would
+    // break pack∘unpack identity — fail as loudly as negative times do.
+    val secsL = tsUs / 1000000L
+    require(secsL <= 0xFFFFFFFFL,
+      s"bag time seconds exceed uint32 (ts_us=$tsUs): not representable")
+    val secs = secsL.toInt
     val nsecs = ((tsUs % 1000000L) * 1000L).toInt
     le32(secs) ++ le32(nsecs)
   }

@@ -94,6 +94,13 @@ class RenameLogStore extends LogStore {
   * runs the same race suite against it. Same `file:` caveat as rename
   * (create's exists-check is check-then-act locally) — hence the same
   * JVM-wide serialization.
+  *
+  * Content visibility: create-then-write makes the target LISTABLE
+  * before its payload is complete (unlike rename, which publishes
+  * complete content). That torn window is covered one layer up — every
+  * commit carries a CRC integrity footer and [[SnapshotStore]] replay
+  * rejects/retries a commit whose footer is absent or wrong, so a
+  * concurrent reader can never silently replay a truncated commit.
   */
 class AtomicCreateLogStore extends LogStore {
   private val locks =
@@ -112,4 +119,103 @@ class AtomicCreateLogStore extends LogStore {
       true
     }
   }
+}
+
+/** The S3-class leg: a store for filesystems with NO atomic primitive
+  * at all — not rename, not create-no-overwrite. Correctness comes
+  * entirely from an external coordination service that arbitrates
+  * version ownership, the role the reference parks in DynamoDB
+  * (infrastructure/emr_orchestration/stack.py) and Delta documents as
+  * the S3 multi-cluster LogStore. The protocol is the published
+  * two-phase shape:
+  *
+  *  1. CLAIM: put-if-absent of `(target → owner, tmpPath, PENDING)` in
+  *     the coordination table. Losing the claim means the version is
+  *     taken — but a PENDING entry may belong to a CRASHED winner, so
+  *     the loser RECOVERS it: copy the recorded temp file (written
+  *     complete before the claim) onto the target, mark COMPLETE,
+  *     then report "lost" so the caller retries at the next version.
+  *  2. PUBLISH: the claim winner copies its temp file onto the target
+  *     with a plain overwrite create — deliberately non-atomic; a torn
+  *     read in this window is caught by the commit CRC footer, and a
+  *     crash is repaired by the next claimant's recovery — then marks
+  *     the entry COMPLETE.
+  *
+  * The coordination table here is an in-JVM [[CoordinatedLogStore.Coord]]
+  * test double; a production port swaps it for a DynamoDB/etcd/JDBC
+  * conditional put WITHOUT touching the protocol — putIfAbsent below
+  * only needs `claim` (conditional insert), `get`, and `complete`
+  * (status flip), exactly DynamoDB's conditional-write API surface.
+  */
+class CoordinatedLogStore extends LogStore {
+
+  override def putIfAbsent(conf: Configuration, dir: Path, target: Path,
+                           payload: Array[Byte]): Boolean = {
+    val fs = dir.getFileSystem(conf)
+    // Temp file is COMPLETE and durable before the claim: recovery can
+    // always finish a crashed winner's publish from it.
+    val tmp = LogStore.writeTmp(conf, dir, payload)
+    val key = target.toString
+    val mine = CoordinatedLogStore.Entry(
+      owner = CoordinatedLogStore.processId, tmpPath = tmp.toString,
+      complete = false)
+    val prev = CoordinatedLogStore.coord.claim(key, mine)
+    prev match {
+      case None => // claim won: publish (non-atomic is fine, see doc)
+        val out = fs.create(target, true)
+        try out.write(payload) finally out.close()
+        CoordinatedLogStore.coord.complete(key)
+        CoordinatedLogStore.publishes.incrementAndGet()
+        true
+      case Some(e) =>
+        fs.delete(tmp, false) // our temp is unneeded — we lost
+        if (!e.complete) {
+          // crashed (or in-flight) winner: finish its publish from ITS
+          // temp file, idempotently — both racers may recover; the
+          // content they copy is identical (the recorded temp).
+          val theirTmp = new Path(e.tmpPath)
+          if (fs.exists(theirTmp)) {
+            val in = fs.open(theirTmp)
+            val buf = new java.io.ByteArrayOutputStream()
+            try {
+              val b = new Array[Byte](65536)
+              var n = in.read(b)
+              while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+            } finally in.close()
+            val out = fs.create(target, true)
+            try out.write(buf.toByteArray) finally out.close()
+            CoordinatedLogStore.coord.complete(key)
+            CoordinatedLogStore.recoveries.incrementAndGet()
+          }
+        }
+        false
+    }
+  }
+}
+
+object CoordinatedLogStore {
+  final case class Entry(owner: String, tmpPath: String, complete: Boolean)
+
+  /** The external coordination service, reduced to the three calls the
+    * protocol needs (DynamoDB: conditional PutItem / GetItem /
+    * UpdateItem). In-JVM double; swap for a real client in production.
+    */
+  final class Coord {
+    private val table =
+      new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+    /** Conditional insert: None = claim won; Some(existing) = lost. */
+    def claim(key: String, e: Entry): Option[Entry] =
+      Option(table.putIfAbsent(key, e))
+    def complete(key: String): Unit =
+      table.computeIfPresent(key, (_, e) => e.copy(complete = true))
+    def get(key: String): Option[Entry] = Option(table.get(key))
+    def clear(): Unit = table.clear()
+  }
+
+  val coord = new Coord
+  val processId: String = java.util.UUID.randomUUID().toString
+  // observability for the spec: how many publishes went through the
+  // winner path vs the crash-recovery path
+  val publishes = new java.util.concurrent.atomic.AtomicLong()
+  val recoveries = new java.util.concurrent.atomic.AtomicLong()
 }

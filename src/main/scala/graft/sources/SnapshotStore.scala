@@ -103,6 +103,40 @@ object SnapshotStore {
     AddFile(fields(1), fields(2).toLong, stats)
   }
 
+  /** Commit-file integrity footer: `e\t<crc32-of-body-hex>` as the last
+    * line. An atomic-create store ([[AtomicCreateLogStore]]) makes the
+    * target visible before its payload is complete (create-then-write),
+    * so replay must be able to tell a complete commit from a torn or
+    * in-flight one — the footer is that signal. Rename-published commits
+    * carry it too (harmlessly; they are always complete on visibility).
+    */
+  private def footerOf(body: String): String = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(body.getBytes("UTF-8"))
+    f"e\t${crc.getValue}%08x"
+  }
+
+  /** Read a COMMIT file, validating the integrity footer; an incomplete
+    * file (missing footer or CRC mismatch) is treated as in-flight and
+    * re-read with backoff, then rejected loudly — never replayed
+    * silently truncated. Returns the action lines, footer stripped.
+    */
+  private def readCommitLines(fs: FileSystem, p: Path): Seq[String] = {
+    var attempt = 0
+    while (true) {
+      val lines = readLines(fs, p)
+      if (lines.nonEmpty && lines.last.startsWith("e\t") &&
+          lines.last == footerOf(lines.init.mkString("\n")))
+        return lines.init
+      attempt += 1
+      if (attempt >= 5) throw new IllegalStateException(
+        s"commit file torn or still in-flight after $attempt reads: $p " +
+          "(missing/invalid integrity footer)")
+      Thread.sleep(10L << attempt) // wait out an in-flight writer
+    }
+    Nil // unreachable
+  }
+
   private def readLines(fs: FileSystem, p: Path): Seq[String] = {
     val in = fs.open(p)
     try {
@@ -166,7 +200,7 @@ object SnapshotStore {
     }
     cp.foreach(v => apply(readLines(fs, checkpointPath(table, v))))
     commits.filter(v => v > cp.getOrElse(0L) && v <= target)
-      .foreach(v => apply(readLines(fs, commitPath(table, v))))
+      .foreach(v => apply(readCommitLines(fs, commitPath(table, v))))
     Snapshot(target, live.values.toSeq, meta)
   }
 
@@ -211,11 +245,13 @@ object SnapshotStore {
       metaNow.foreach { case (k, mv) =>
         require(!(k + mv).exists(ch => ch == '\t' || ch == '\n'),
           s"meta entries must be tab/newline-free: $k") }
-      val payload = (
+      val body = (
         metaNow.toSeq.sortBy(_._1).map { case (k, mv) => s"m\t$k\t$mv" } ++
         removes.map(r => s"r\t$r") ++
         adds.map(encodeAdd)
-      ).mkString("", "\n", "\n").getBytes("UTF-8")
+      ).mkString("\n")
+      val payload =
+        (body + "\n" + footerOf(body) + "\n").getBytes("UTF-8")
       val won = store.putIfAbsent(c, dir, commitPath(table, v), payload)
       if (won) {
         if (v % checkpointEvery == 0) writeCheckpoint(spark, table, v)
@@ -469,7 +505,7 @@ object SnapshotStore {
     val (commits, _) = listLog(fs, table)
     val target = asOf.getOrElse(commits.lastOption.getOrElse(0L))
     commits.filter(v => v > sinceVersion && v <= target).flatMap { v =>
-      val lines = readLines(fs, commitPath(table, v))
+      val lines = readCommitLines(fs, commitPath(table, v))
       val op = lines.collectFirst {
         case l if l.startsWith("m\top\t") => l.split('\t')(2) }
       if (!op.contains("append")) {
@@ -631,7 +667,7 @@ object SnapshotStore {
     val target = asOf.getOrElse(commits.last)
     val tagged: Seq[(String, String, Long)] =
       commits.filter(v => v > sinceVersion && v <= target).flatMap { v =>
-        val lines = readLines(fs, commitPath(table, v))
+        val lines = readCommitLines(fs, commitPath(table, v))
         val op = lines.collectFirst {
           case l if l.startsWith("m\top\t") => l.split('\t')(2) }.getOrElse("?")
         if (op == "compact") Nil // rewrite: no row-level delta
@@ -708,7 +744,7 @@ object SnapshotStore {
   def history(spark: SparkSession, table: String): Seq[(Long, String, Map[String, String])] = {
     val fs = logDir(table).getFileSystem(conf(spark))
     listLog(fs, table)._1.reverse.map { v =>
-      val metas = readLines(fs, commitPath(table, v)).collect {
+      val metas = readCommitLines(fs, commitPath(table, v)).collect {
         case l if l.startsWith("m\t") =>
           val f = l.split('\t'); f(1) -> f(2)
       }.toMap

@@ -172,6 +172,13 @@ class BagPartitionReader(part: BagPartition, required: StructType,
     try {
       val recordBytes: Array[Byte] =
         if (part.spanLen >= 0) { // raw top-level span: exact byte range
+          // A crashed-writer raw span is unbounded in the format: guard
+          // the Int narrowing or a >2 GiB span turns into a negative
+          // allocation instead of a readable error.
+          require(part.spanLen <= Int.MaxValue - 8,
+            s"raw record span of ${part.spanLen} bytes at offset " +
+              s"${part.offset} in ${part.file} exceeds the 2 GiB " +
+              "single-buffer ceiling; re-chunk the bag")
           val b = new Array[Byte](part.spanLen.toInt)
           in.readFully(part.offset, b); b
         } else { // chunk record: header tells us how far it runs
@@ -182,6 +189,10 @@ class BagPartitionReader(part: BagPartition, required: StructType,
           in.readFully(part.offset + 4 + hlen, lenBuf)
           val dlen = java.nio.ByteBuffer.wrap(lenBuf)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+          require(hlen >= 0 && dlen >= 0 && 8L + hlen + dlen <= Int.MaxValue,
+            s"chunk record at offset ${part.offset} in ${part.file} " +
+              s"declares hlen=$hlen dlen=$dlen: over the 2 GiB " +
+              "single-record ceiling or corrupt")
           val b = new Array[Byte](8 + hlen + dlen)
           in.readFully(part.offset, b); b
         }

@@ -103,6 +103,81 @@ class LogStoreSpec extends SparkSpec {
     }
   }
 
+  test("torn commit: a visible-but-incomplete commit file is rejected loudly, never replayed truncated") {
+    val t = tempTable("torn")
+    SnapshotStore.append(Seq(1L).toDF("id"), t) // v1, complete
+    // Simulate the atomic-create torn window: v2 exists in the log dir
+    // with a truncated payload (no integrity footer) — the shape a
+    // reader races against between create() and close().
+    val dir = new Path(t, "_graft_log")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val torn = new Path(dir, f"${2L}%020d.commit")
+    val out = fs.create(torn, false)
+    try out.write("m\top\tappend\na\tdata/ghost.parquet\t5\t-\n".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.state(spark, t)
+    }
+    assert(e.getMessage.contains("torn or still in-flight"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("coordinated store (no atomic fs primitive): multi-writer suite holds on external arbitration alone") {
+    withLogStore(classOf[CoordinatedLogStore]) {
+      CoordinatedLogStore.coord.clear()
+      val t = tempTable("coord")
+      val threads = 4; val each = 3
+      val pool = Executors.newFixedThreadPool(threads)
+      val got =
+        try {
+          val fs = (0 until threads).map { w =>
+            pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+              def call(): Seq[Long] = (0 until each).map { i =>
+                SnapshotStore.append(Seq(w * 100L + i).toDF("id"), t)
+              }
+            })
+          }
+          fs.flatMap(_.get(120, TimeUnit.SECONDS))
+        } finally pool.shutdown()
+      assert(got.toSet === (1L to (threads * each).toLong).toSet,
+        "every committer lands a distinct serial version")
+      assert(SnapshotStore.snapshot(spark, t).count() === (threads * each).toLong)
+      assert(SnapshotStore.snapshot(spark, t, asOf = Some(1L)).count() === 1L)
+    }
+  }
+
+  test("coordinated store: a crashed claim winner is recovered by the next committer from its temp file") {
+    withLogStore(classOf[CoordinatedLogStore]) {
+      CoordinatedLogStore.coord.clear()
+      CoordinatedLogStore.recoveries.set(0L)
+      val t = tempTable("recover")
+      SnapshotStore.append(Seq(1L).toDF("id"), t) // v1 normally
+      // Crashed writer: claimed v2 and durably wrote its temp payload,
+      // then died before publishing target or marking COMPLETE.
+      val dir = new Path(t, "_graft_log")
+      val conf = spark.sessionState.newHadoopConf()
+      val body = "m\top\tappend"
+      val crc = new java.util.zip.CRC32()
+      crc.update(body.getBytes("UTF-8"))
+      val payload =
+        (body + "\n" + f"e\t${crc.getValue}%08x" + "\n").getBytes("UTF-8")
+      val tmp = LogStore.writeTmp(conf, dir, payload)
+      val v2 = new Path(dir, f"${2L}%020d.commit")
+      assert(CoordinatedLogStore.coord.claim(v2.toString,
+        CoordinatedLogStore.Entry("crashed-proc", tmp.toString,
+          complete = false)).isEmpty, "crashed writer's claim must win")
+      // Live committer: loses the v2 claim, RECOVERS the crashed commit
+      // from its temp file, then lands as v3.
+      val v = SnapshotStore.append(Seq(2L).toDF("id"), t)
+      assert(v === 3L, s"live committer must land after the recovered v2, got v$v")
+      assert(CoordinatedLogStore.recoveries.get() >= 1L, "recovery path must run")
+      assert(SnapshotStore.versions(spark, t) === Seq(1L, 2L, 3L))
+      // the recovered v2 replays cleanly (its footer came from the temp)
+      assert(SnapshotStore.history(spark, t).map(_._1) === Seq(3L, 2L, 1L))
+      assert(SnapshotStore.snapshot(spark, t).count() === 2L)
+    }
+  }
+
   test("store resolution: unknown class fails loudly; default is the rename store") {
     val t = tempTable("resolve")
     withLogStore(classOf[RenameLogStore]) { // explicit = default

@@ -734,8 +734,8 @@ object SparkEntry {
     }),
     "q_bag_roundtrip" -> ((s, d) => {
       // real ROS bag v2.0 ingestion (service/app/main.py:87-94): pack
-      // each user's messages into a conformant .bag byte stream — bz2
-      // chunks for odd users, uncompressed for even, so BOTH codec
+      // each user's messages into a conformant .bag byte stream —
+      // compression by user_id mod 3 (none/bz2/lz4), so ALL THREE codec
       // paths face the oracle — then unpack and flatten. File-system
       // leg (binaryFile over *.bag) is covered by BagSpec.
       graft.plans.GraftExtensions.register(s)
@@ -745,7 +745,9 @@ object SparkEntry {
             "utf-8").as("payload")).as("m"))
       msgs.groupBy(col("user_id"))
         .agg(graft.sources.Containers.bagPack(sort_array(collect_list(col("m"))),
-          when(pmod(col("user_id"), lit(2)) === 0, "none").otherwise("bz2")).as("bag"))
+          when(pmod(col("user_id"), lit(3)) === 0, "none")
+            .when(pmod(col("user_id"), lit(3)) === 1, "bz2")
+            .otherwise("lz4")).as("bag"))
         .select(col("user_id"),
           explode(graft.sources.Containers.bagUnpack(col("bag"))).as("m"))
         .select(col("user_id"), col("m.topic").as("topic"),

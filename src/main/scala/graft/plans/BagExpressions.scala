@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets.UTF_8
 
+import net.jpountz.lz4.{LZ4FrameInputStream, LZ4FrameOutputStream}
 import org.apache.commons.compress.compressors.bzip2.{BZip2CompressorInputStream, BZip2CompressorOutputStream}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -26,7 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   header := (<u32 field_len><name>=<value>)*
   * }}}
   * Record kinds by the `op` header field: 0x03 bag header (padded to
-  * 4096 bytes), 0x05 chunk (compression `none`/`bz2`; data = embedded
+  * 4096 bytes), 0x05 chunk (compression `none`/`bz2`/`lz4`; data = embedded
   * connection + message records), 0x07 connection (data = a second
   * header block with topic/type/md5sum/message_definition), 0x02
   * message data (conn + time; data = serialized message), 0x04 index
@@ -114,7 +115,8 @@ object BagCodec {
   }
 
   /** Serialize messages (already in the caller's intended order) into a
-    * conformant v2.0 bag. `compression` ∈ {none, bz2} applies per chunk;
+    * conformant v2.0 bag. `compression` ∈ {none, bz2, lz4} applies per
+    * chunk (lz4 = the LZ4 frame format, what roslz4 streams);
     * `messagesPerChunk` splits the stream into multiple chunks (rosbag
     * writes ~768 KiB chunks the same way) — the unit
     * [[graft.sources.v2.BagDataSource]] parallelizes over. Every chunk
@@ -123,8 +125,9 @@ object BagCodec {
     */
   def pack(msgs: Seq[(String, Long, Array[Byte])], compression: String,
            messagesPerChunk: Int = Int.MaxValue): Array[Byte] = {
-    require(compression == "none" || compression == "bz2",
-      s"bag compression must be none|bz2, got '$compression'")
+    require(compression == "none" || compression == "bz2" ||
+        compression == "lz4",
+      s"bag compression must be none|bz2|lz4, got '$compression'")
     require(messagesPerChunk >= 1, s"messagesPerChunk must be >= 1")
     val out = new ByteArrayOutputStream()
     out.write(Magic)
@@ -160,14 +163,19 @@ object BagCodec {
         off
       }
       val innerBytes = inner.toByteArray
-      val chunkData =
-        if (compression == "none") innerBytes
-        else {
+      val chunkData = compression match {
+        case "none" => innerBytes
+        case "bz2" =>
           val bz = new ByteArrayOutputStream()
           val z = new BZip2CompressorOutputStream(bz)
           z.write(innerBytes); z.close()
           bz.toByteArray
-        }
+        case _ => // lz4: the LZ4 frame format roslz4 streams (lz4s.c)
+          val lz = new ByteArrayOutputStream()
+          val z = new LZ4FrameOutputStream(lz)
+          z.write(innerBytes); z.close()
+          lz.toByteArray
+      }
       record(chunkSection,
         header("op" -> Array(OpChunk),
           "compression" -> compression.getBytes(UTF_8),
@@ -260,7 +268,7 @@ object BagCodec {
   }
 
   /** Decode every message of a v2.0 bag: (topic, ts_us, payload) in
-    * encounter order. Handles `none` and `bz2` chunks plus unchunked
+    * encounter order. Handles `none`, `bz2` and `lz4` chunks plus unchunked
     * top-level message records; index/chunk-info records are skipped.
     */
   def unpack(bytes: Array[Byte]): Seq[(String, Long, Array[Byte])] = {
@@ -275,6 +283,18 @@ object BagCodec {
     * record (or one top-level span) plus the connection map planning
     * collected; in-stream connection records extend it.
     */
+  /** Fully read a decompression stream (closing it), pre-sizing the
+    * buffer from the chunk header's declared uncompressed `size`. */
+  private def drain(in: java.io.InputStream, sizeHint: Int): Array[Byte] = {
+    try {
+      val buf = new ByteArrayOutputStream(sizeHint.max(64))
+      val tmp = new Array[Byte](65536)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
   def unpackRecords(bytes: Array[Byte], start: Int,
                     initialConns: Map[Int, String]): Seq[(String, Long, Array[Byte])] = {
     val conns = scala.collection.mutable.Map.empty[Int, String]
@@ -300,16 +320,13 @@ object BagCodec {
           val inner = compression match {
             case "none" => data
             case "bz2" =>
-              val z = new BZip2CompressorInputStream(new ByteArrayInputStream(data))
-              try {
-                val buf = new ByteArrayOutputStream(leInt(h("size")).max(64))
-                val tmp = new Array[Byte](65536)
-                var n = z.read(tmp)
-                while (n >= 0) { buf.write(tmp, 0, n); n = z.read(tmp) }
-                buf.toByteArray
-              } finally z.close()
+              drain(new BZip2CompressorInputStream(
+                new ByteArrayInputStream(data)), leInt(h("size")))
+            case "lz4" =>
+              drain(new LZ4FrameInputStream(
+                new ByteArrayInputStream(data)), leInt(h("size")))
             case other => throw new IllegalArgumentException(
-              s"unsupported bag chunk compression: $other (none|bz2)")
+              s"unsupported bag chunk compression: $other (none|bz2|lz4)")
           }
           walk(new Cursor(inner, 0))
         case OpBagHeader | OpIndexData | OpChunkInfo => // advisory — skip
@@ -403,7 +420,7 @@ object BagPlanner {
 }
 
 /** array<struct<topic,ts_us,payload>> (+ optional compression literal,
-  * none|bz2) → one ROS bag v2.0 binary.
+  * none|bz2|lz4) → one ROS bag v2.0 binary.
   */
 case class BagPack(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -439,7 +456,7 @@ case class BagPack(left: Expression, right: Expression)
 }
 
 /** ROS bag v2.0 binary → array<struct<topic,ts_us,payload>> (inverse of
-  * [[BagPack]]; reads any conformant v2.0 bag with none/bz2 chunks).
+  * [[BagPack]]; reads any conformant v2.0 bag with none/bz2/lz4 chunks).
   */
 case class BagUnpack(child: Expression)
     extends UnaryExpression with CodegenFallback {

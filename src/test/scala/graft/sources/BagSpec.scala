@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.plans.BagCodec
 
-/** ROS bag v2.0 codec: roundtrip under both compressions, wire-format
+/** ROS bag v2.0 codec: roundtrip under all three compressions, wire-format
   * conformance (magic, 4096-byte padded bag header, index_pos,
   * little-endian framing), tolerance of index-less/unchunked bags, and
   * the real binaryFile-directory ingestion (reference:
@@ -24,15 +24,25 @@ class BagSpec extends SparkSpec {
     ("camera", 100000003L, "".getBytes(UTF_8)), // empty payload survives
     ("gps", 4102444800000000L, "lat:1".getBytes(UTF_8))) // year-2100 secs fit u32
 
-  test("unpack(pack(msgs)) is the identity under none AND bz2") {
-    for (comp <- Seq("none", "bz2")) {
+  test("unpack(pack(msgs)) is the identity under none, bz2 AND lz4") {
+    for (comp <- Seq("none", "bz2", "lz4")) {
       val bytes = BagCodec.pack(msgs, comp)
       val out = BagCodec.unpack(bytes)
       assert(out.map(m => (m._1, m._2)) === msgs.map(m => (m._1, m._2)), comp)
       assert(out.map(_._3.toSeq) === msgs.map(_._3.toSeq), comp)
-      if (comp == "bz2") // compression actually engaged
-        assert(bytes.length < BagCodec.pack(msgs, "none").length)
     }
+    // compression actually engaged: repetitive payloads must shrink
+    val fat = (0 until 200).map(i => ("t", i.toLong,
+      ("the quick brown fox " * 20).getBytes(UTF_8)))
+    val plain = BagCodec.pack(fat, "none").length
+    assert(BagCodec.pack(fat, "bz2").length < plain, "bz2 engaged")
+    assert(BagCodec.pack(fat, "lz4").length < plain, "lz4 engaged")
+    // lz4 chunk data leads with the LZ4 frame magic 0x184D2204 —
+    // the public wire format roslz4 streams, not an ad-hoc encoding
+    val lz4Bag = BagCodec.pack(fat, "lz4")
+    val hay = lz4Bag.toSeq
+    val needle = Seq(0x04.toByte, 0x22.toByte, 0x4D.toByte, 0x18.toByte)
+    assert(hay.indexOfSlice(needle) >= 0, "LZ4 frame magic present")
   }
 
   test("wire format is conformant v2.0: magic, padded bag header, LE framing, index_pos") {
@@ -86,7 +96,7 @@ class BagSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       BagCodec.unpack("#ROSBAG V1.2\nxxxx".getBytes(UTF_8))
     }
-    intercept[IllegalArgumentException] { BagCodec.pack(msgs, "lz4") }
+    intercept[IllegalArgumentException] { BagCodec.pack(msgs, "zstd") }
     intercept[IllegalArgumentException] { BagCodec.pack(Seq(("t", -1L, Array[Byte]())), "none") }
   }
 

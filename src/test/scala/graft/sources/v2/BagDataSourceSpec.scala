@@ -31,15 +31,18 @@ class BagDataSourceSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-bagdsv2").toString
     mkBag(dir, "run_a", 30, "none", perChunk = 7)  // 5 chunks
     mkBag(dir, "run_b", 10, "bz2", perChunk = 4)   // 3 chunks
+    mkBag(dir, "run_c", 6, "lz4", perChunk = 3)    // 2 chunks
     val df = spark.read.format(fmt).load(dir)
-    assert(df.rdd.getNumPartitions === 8, "one task per chunk, not per file")
-    assert(df.count() === 40L)
+    assert(df.rdd.getNumPartitions === 10, "one task per chunk, not per file")
+    assert(df.count() === 46L)
     val rows = df.select(col("bag_file"), col("topic"), col("ts_us"),
         decode(col("payload"), "utf-8").as("p"))
       .as[(String, String, Long, String)].collect()
     assert(rows.count(_._1 == "run_a") === 30)
     assert(rows.filter(_._1 == "run_b").map(_._4).sorted.toSeq ===
       (0 until 10).map(i => s"m$i").sorted)
+    assert(rows.filter(_._1 == "run_c").map(_._4).sorted.toSeq ===
+      (0 until 6).map(i => s"m$i").sorted, "lz4 chunks via the DSv2 reader")
     // agrees with the expression path byte-for-byte
     val viaExpr = graft.sources.Containers.readBagFiles(spark, dir)
       .select("topic", "ts_us").as[(String, Long)].collect().sorted.toSeq

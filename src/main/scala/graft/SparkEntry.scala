@@ -755,6 +755,47 @@ object SparkEntry {
           decode(col("m.payload"), "utf-8").as("payload_str"))
         .orderBy(col("user_id"), col("payload_str"))
     }),
+    "q_bag_typed" -> ((s, d) => {
+      // typed ROS deserialization end to end (service/app/main.py:94
+      // message_by_topic + the 101-113 column sniff): serialize a
+      // header-bearing message per event with ros_serialize, pack
+      // per-user bags whose connection records carry the msg IDL
+      // (bag_pack_typed), unpack, and ros_deserialize each payload back
+      // into flattened typed columns — every field predicted by the
+      // oracle from the same event columns. Map-side except the one
+      // per-user pack aggregation; the decode itself is shuffle-free.
+      graft.plans.GraftExtensions.register(s)
+      val msgDef = "uint32 seq\ntime stamp\nfloat64 x\nstring label\n"
+      val ser = eventsUs(s, d).select(col("user_id"),
+        struct(col("event_type").as("topic"), col("ts_us").as("ts_us"),
+          graft.sources.Containers.rosSerialize(
+            struct(
+              col("event_id").cast("long").as("seq"),
+              (col("ts_us") / 1000000L).cast("long").as("stamp.secs"),
+              (pmod(col("ts_us"), lit(1000000L)) * 1000L).cast("long").as("stamp.nsecs"),
+              col("value").cast("double").as("x"),
+              col("event_type").as("label")),
+            lit(msgDef)).as("payload")).as("m"))
+      ser.groupBy(col("user_id"))
+        .agg(graft.sources.Containers.bagPackTyped(
+          sort_array(collect_list(col("m"))),
+          when(pmod(col("user_id"), lit(3)) === 0, "none")
+            .when(pmod(col("user_id"), lit(3)) === 1, "bz2")
+            .otherwise("lz4"),
+          lit(msgDef)).as("bag"))
+        .select(col("user_id"),
+          explode(graft.sources.Containers.bagUnpack(col("bag"))).as("m"))
+        .select(col("user_id"), col("m.ts_us").as("ts"),
+          graft.sources.Containers.rosDeserialize(col("m.payload"),
+            lit(msgDef)).as("d"))
+        .select(col("user_id"), col("ts"),
+          col("d.seq").as("seq"),
+          col("d.`stamp.secs`").as("stamp_secs"),
+          col("d.`stamp.nsecs`").as("stamp_nsecs"),
+          round(col("d.x"), 4).as("x"),
+          col("d.label").as("label"))
+        .orderBy(col("user_id"), col("seq"))
+    }),
     "q_snapshot_roundtrip" -> ((s, d) => {
       // transactional-table roundtrip: base append + increment append
       // into a fresh SnapshotStore table (stats harvested on doc_id),
@@ -2152,6 +2193,14 @@ object SparkEntry {
         |  CAST(event_id AS VARCHAR) || '|' || props AS payload_str
         |FROM events
         |ORDER BY user_id, payload_str""".stripMargin,
+    "q_bag_typed" ->
+      """SELECT user_id, epoch_us(ts) AS ts,
+        |  event_id AS seq,
+        |  epoch_us(ts) // 1000000 AS stamp_secs,
+        |  (epoch_us(ts) % 1000000) * 1000 AS stamp_nsecs,
+        |  round(value, 4) AS x, event_type AS label
+        |FROM events
+        |ORDER BY user_id, seq""".stripMargin,
     "q_snapshot_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,

@@ -8,7 +8,7 @@ import net.jpountz.lz4.{LZ4FrameInputStream, LZ4FrameOutputStream}
 import org.apache.commons.compress.compressors.bzip2.{BZip2CompressorInputStream, BZip2CompressorOutputStream}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -67,10 +67,6 @@ object BagCodec {
     */
   private val MsgType = "graft_msgs/Blob"
   private val MsgDef = "uint8[] data\n"
-  private val MsgMd5 = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(MsgDef.getBytes(UTF_8))
-    d.map("%02x".format(_)).mkString
-  }
 
   // ------------------------------------------------------------ encoding
 
@@ -104,13 +100,16 @@ object BagCodec {
     out.write(le32(data.length)); out.write(data)
   }
 
-  private def connectionRecord(conn: Int, topic: String): (Array[Byte], Array[Byte]) = {
+  private def connectionRecord(conn: Int, topic: String,
+      msgType: String, msgDef: String): (Array[Byte], Array[Byte]) = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(msgDef.getBytes(UTF_8)).map("%02x".format(_)).mkString
     val h = header("op" -> Array(OpConnection), "conn" -> le32(conn),
       "topic" -> topic.getBytes(UTF_8))
     val data = header("topic" -> topic.getBytes(UTF_8),
-      "type" -> MsgType.getBytes(UTF_8),
-      "md5sum" -> MsgMd5.getBytes(UTF_8),
-      "message_definition" -> MsgDef.getBytes(UTF_8))
+      "type" -> msgType.getBytes(UTF_8),
+      "md5sum" -> md5.getBytes(UTF_8),
+      "message_definition" -> msgDef.getBytes(UTF_8))
     (h, data)
   }
 
@@ -124,7 +123,9 @@ object BagCodec {
     * legal and keep each chunk self-describing).
     */
   def pack(msgs: Seq[(String, Long, Array[Byte])], compression: String,
-           messagesPerChunk: Int = Int.MaxValue): Array[Byte] = {
+           messagesPerChunk: Int = Int.MaxValue,
+           typeInfo: Option[(String, String)] = None): Array[Byte] = {
+    val (msgType, msgDef) = typeInfo.getOrElse((MsgType, MsgDef))
     require(compression == "none" || compression == "bz2" ||
         compression == "lz4",
       s"bag compression must be none|bz2|lz4, got '$compression'")
@@ -151,7 +152,8 @@ object BagCodec {
       val chunkPos = Magic.length.toLong + 4096 + chunkSection.size()
       val inner = new ByteArrayOutputStream()
       topics.foreach { t =>
-        val (h, d) = connectionRecord(connOf(t), t); record(inner, h, d)
+        val (h, d) = connectionRecord(connOf(t), t, msgType, msgDef)
+        record(inner, h, d)
       }
       val offsets = chunkMsgs.map { case (topic, tsUs, payload) =>
         require(tsUs >= 0, s"bag time is unsigned, got ts_us=$tsUs")
@@ -204,7 +206,8 @@ object BagCodec {
     record(out, bagHeaderFields(indexPos), Array.fill(padLen)(' '.toByte))
     out.write(chunkSection.toByteArray)
     topics.foreach { t =>
-      val (h, d) = connectionRecord(connOf(t), t); record(out, h, d)
+      val (h, d) = connectionRecord(connOf(t), t, msgType, msgDef)
+      record(out, h, d)
     }
     chunkInfos.foreach { case (chunkPos, chunkMsgs) =>
       val ts = chunkMsgs.map(_._2)
@@ -339,12 +342,21 @@ object BagCodec {
 }
 
 object BagPlanner {
+  /** One connection's self-description, as embedded in the bag
+    * (the typed-decode handle: `message_definition` drives
+    * [[RosDeserialize]], matching bagpy's message_by_topic).
+    */
+  final case class ConnInfo(topic: String, msgType: String,
+                            md5sum: String, messageDefinition: String)
+
   /** The driver-side plan of one bag: the connection map (conn → topic)
     * and the byte offsets work can split on — one entry per chunk
     * record, plus raw top-level spans for unchunked/index-less bags.
+    * `connInfo` carries each connection's full self-description.
     */
   final case class BagPlan(conns: Map[Int, String], chunkOffsets: Seq[Long],
-                          rawSpans: Seq[(Long, Long)])
+                          rawSpans: Seq[(Long, Long)],
+                          connInfo: Map[Int, ConnInfo] = Map.empty)
 
   private def le32(b: Array[Byte]): Int =
     ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
@@ -381,6 +393,7 @@ object BagPlanner {
 
     def walk(from: Long, indexOnly: Boolean): BagPlan = {
       val conns = Map.newBuilder[Int, String]
+      val connInfos = Map.newBuilder[Int, ConnInfo]
       val chunkOffsets = Seq.newBuilder[Long]
       val rawSpans = Seq.newBuilder[(Long, Long)]
       var spanStart = -1L
@@ -389,11 +402,18 @@ object BagPlanner {
         val (fields, dlen, next) = headerAt(off)
         val op = fields.get("op").flatMap(_.headOption).getOrElse(0.toByte)
         op match {
-          case 0x07 => // connection: data block carries the topic
+          case 0x07 => // connection: data block carries the topic + msg IDL
             val data = BagCodec.parseHeaderBytes(readAt(next - dlen, dlen))
+            def str(k: String) = data.get(k).map(new String(_, UTF_8))
             data.get("topic").orElse(fields.get("topic"))
               .map(new String(_, UTF_8))
-              .foreach(t => conns += le32(fields("conn")) -> t)
+              .foreach { t =>
+                val c = le32(fields("conn"))
+                conns += c -> t
+                connInfos += c -> ConnInfo(t,
+                  str("type").getOrElse(""), str("md5sum").getOrElse(""),
+                  str("message_definition").getOrElse(""))
+              }
           case 0x05 if !indexOnly =>
             if (spanStart >= 0) { rawSpans += ((spanStart, off - spanStart)); spanStart = -1 }
             chunkOffsets += off
@@ -410,7 +430,7 @@ object BagPlanner {
       }
       if (spanStart >= 0) rawSpans += ((spanStart, fileLen - spanStart))
       BagPlan(conns.result(), chunkOffsets.result().distinct.sorted,
-        rawSpans.result())
+        rawSpans.result(), connInfos.result())
     }
 
     if (indexPos >= afterBagHeader && indexPos < fileLen)
@@ -479,4 +499,52 @@ case class BagUnpack(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `bag_pack_typed(msgs, compression, message_definition)` — [[BagPack]]
+  * with a caller-supplied msg IDL: connection records carry the given
+  * `message_definition` (type `graft_msgs/Custom`, md5 of the
+  * definition text) instead of the opaque-blob default, so the packed
+  * bag is self-describing for [[RosDeserialize]] — the round a real
+  * rosbag writer + bagpy reader make (service/app/main.py:87-94).
+  */
+case class BagPackTyped(first: Expression, second: Expression,
+                        third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def prettyName: String = "bag_pack_typed"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StructType(fields), _), StringType, StringType)
+          if fields.length == 3 &&
+            fields(0).dataType == StringType &&
+            fields(1).dataType == LongType &&
+            fields(2).dataType == BinaryType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, c, d) => TypeCheckResult.TypeCheckFailure(
+        s"bag_pack_typed requires (array<struct<topic:string,ts_us:bigint," +
+          s"payload:binary>>, string, string), got (${l.simpleString}, " +
+          s"${c.simpleString}, ${d.simpleString})")
+    }
+
+  override def nullSafeEval(input: Any, comp: Any, defn: Any): Any = {
+    val msgs = input.asInstanceOf[ArrayData]
+    val n = msgs.numElements()
+    val seq = (0 until n).map { i =>
+      val m = msgs.getStruct(i, 3)
+      if (m == null || m.isNullAt(0) || m.isNullAt(1) || m.isNullAt(2))
+        throw new IllegalArgumentException(
+          s"bag_pack_typed: message $i has a null struct or null topic/ts_us/payload")
+      (m.getUTF8String(0).toString, m.getLong(1), m.getBinary(2))
+    }
+    BagCodec.pack(seq, comp.asInstanceOf[UTF8String].toString,
+      typeInfo = Some(("graft_msgs/Custom",
+        defn.asInstanceOf[UTF8String].toString)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

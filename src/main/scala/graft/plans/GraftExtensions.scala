@@ -68,6 +68,16 @@ object GraftExtensions {
     (new FunctionIdentifier("bag_unpack"),
       new ExpressionInfo(classOf[BagUnpack].getName, "bag_unpack"),
       (children: Seq[Expression]) => BagUnpack(children(0))),
+    (new FunctionIdentifier("bag_pack_typed"),
+      new ExpressionInfo(classOf[BagPackTyped].getName, "bag_pack_typed"),
+      (children: Seq[Expression]) =>
+        BagPackTyped(children(0), children(1), children(2))),
+    (new FunctionIdentifier("ros_deserialize"),
+      new ExpressionInfo(classOf[RosDeserialize].getName, "ros_deserialize"),
+      (children: Seq[Expression]) => RosDeserialize(children(0), children(1))),
+    (new FunctionIdentifier("ros_serialize"),
+      new ExpressionInfo(classOf[RosSerialize].getName, "ros_serialize"),
+      (children: Seq[Expression]) => RosSerialize(children(0), children(1))),
     (new FunctionIdentifier("objects_in_lane_fused"),
       new ExpressionInfo(classOf[ObjectsInLaneFused].getName, "objects_in_lane_fused"),
       (children: Seq[Expression]) => ObjectsInLaneFused(children(0), children(1))),

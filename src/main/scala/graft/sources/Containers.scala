@@ -70,6 +70,95 @@ object Containers {
         col("m.ts_us").as("ts_us"), col("m.payload").as("payload"))
   }
 
+  /** [[bagPack]] with a caller-supplied msg IDL (`message_definition`
+    * literal): the packed bag's connection records are self-describing
+    * for [[rosDeserialize]] — the writer half of the bagpy round.
+    */
+  def bagPackTyped(msgs: Column, compression: Column, msgDef: Column): Column =
+    call_function("bag_pack_typed", msgs, compression, msgDef)
+
+  /** payload binary → flattened typed struct, driven by a LITERAL msg
+    * IDL string ([[graft.plans.RosMsg]] — the decode bagpy does at
+    * service/app/main.py:94). Dotted columns (`header.stamp.secs`,
+    * `pose.x`) in wire order.
+    */
+  def rosDeserialize(payload: Column, msgDef: Column): Column =
+    call_function("ros_deserialize", payload, msgDef)
+
+  /** Inverse of [[rosDeserialize]]: flattened struct → wire bytes. */
+  def rosSerialize(row: Column, msgDef: Column): Column =
+    call_function("ros_serialize", row, msgDef)
+
+  /** The connection table of a directory of bags: one row per (bag,
+    * connection) with the embedded self-description — `rosbag info`'s
+    * topic table as a DataFrame, and the schema feed for
+    * [[readBagTyped]]. Distributed: one task per bag, each an O(index)
+    * positioned-read plan (never chunk data).
+    */
+  def bagConnections(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".bag"))
+          .map(_.getPath.toString).sorted.toSeq
+      else Seq(dir)
+    val hconf = new v2.SerializableHadoopConf(conf)
+    spark.createDataset(files).repartition(files.size.max(1))
+      .mapPartitions { paths =>
+        paths.flatMap { f =>
+          val fp = new HPath(f)
+          val ffs = fp.getFileSystem(hconf.value)
+          val len = ffs.getFileStatus(fp).getLen
+          val in = ffs.open(fp)
+          val plan =
+            try graft.plans.BagPlanner.plan((off, n) => {
+              val b = new Array[Byte](n); in.readFully(off, b); b
+            }, len)
+            finally in.close()
+          val bag = fp.getName.stripSuffix(".bag")
+          plan.connInfo.toSeq.sortBy(_._1).map { case (c, ci) =>
+            (bag, c, ci.topic, ci.msgType, ci.md5sum, ci.messageDefinition)
+          }
+        }
+      }
+      .toDF("bag_file", "conn", "topic", "msg_type", "md5sum",
+        "message_definition")
+  }
+
+  /** Typed per-message rows for ONE topic from a directory of real
+    * `.bag` files — `bag.message_by_topic(topic)` end to end
+    * (service/app/main.py:94): chunk-parallel DSv2 scan with the topic
+    * filter pushed to the reader, then [[rosDeserialize]] against the
+    * topic's embedded `message_definition` flattens each payload into
+    * dotted typed columns next to (bag_file, ts_us).
+    *
+    * The definition lookup is a driver-side collect BY DESIGN: it is
+    * schema inference (the schema must exist before the plan does —
+    * same contract as Spark's own JSON/CSV inference), and its size is
+    * one msg IDL string per topic, not data.
+    */
+  def readBagTyped(spark: SparkSession, dir: String, topic: String): DataFrame = {
+    GraftExtensions.register(spark)
+    val defs = bagConnections(spark, dir)
+      .filter(col("topic") === topic)
+      .select("message_definition").distinct().collect().map(_.getString(0))
+    require(defs.nonEmpty, s"no connection for topic '$topic' under $dir")
+    require(defs.length == 1,
+      s"topic '$topic' has ${defs.length} distinct message definitions — " +
+        "decode per bag subset instead")
+    val typed = spark.read.format("graft.sources.v2.BagDataSource").load(dir)
+      .filter(col("topic") === topic)
+      .select(col("bag_file"), col("ts_us"),
+        rosDeserialize(col("payload"), lit(defs.head)).as("msg"))
+    typed.select(col("bag_file") +: col("ts_us") +:
+      typed.schema.fields(2).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq.map(f => col(s"msg.`$f`").as(f)): _*)
+  }
+
   /** Full extraction stage: containers → per-topic partitioned store
     * (main.py:77-124 re-expressed; the DynamoDB topic table is the
     * `topicStats`-style manifest a caller derives from the same frame).

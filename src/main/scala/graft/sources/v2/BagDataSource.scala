@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -53,7 +54,7 @@ class BagTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-bag($path)"
   override def schema(): StructType = ContainerDataSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BagScanBuilder(path,
@@ -103,34 +104,104 @@ class BagScan(path: String, hconf: SerializableHadoopConf,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val conf = hconf.value
+  override def planInputPartitions(): Array[InputPartition] =
+    BagScan.listFiles(path, hconf.value)
+      .flatMap(f => BagScan.planFile(f, hconf.value))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BagReaderFactory(required, topicFilter, hconf)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BagMicroBatchStream(path, hconf, required, topicFilter)
+}
+
+object BagScan {
+  def listFiles(path: String, conf: org.apache.hadoop.conf.Configuration): Array[String] = {
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".bag"))
-          .map(_.getPath.toString).sorted
-      else Array(path)
-    files.flatMap { f =>
-      val fp = new HPath(f)
-      val ffs = fp.getFileSystem(conf)
-      val len = ffs.getFileStatus(fp).getLen
-      val in = ffs.open(fp)
-      val plan =
-        try BagPlanner.plan((off, n) => {
-          val b = new Array[Byte](n); in.readFully(off, b); b
-        }, len)
-        finally in.close()
-      plan.chunkOffsets.map(off =>
-        BagPartition(f, off, -1L, plan.conns): InputPartition) ++
-      plan.rawSpans.map { case (off, spanLen) =>
-        BagPartition(f, off, spanLen, plan.conns): InputPartition }
-    }
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".bag"))
+        .map(_.getPath.toString).sorted
+    else Array(path)
+  }
+
+  /** O(index) plan of ONE bag into chunk/span partitions — shared by the
+    * batch scan and the micro-batch stream (each arriving file still
+    * fans out chunk-parallel inside its batch).
+    */
+  def planFile(f: String, conf: org.apache.hadoop.conf.Configuration): Seq[InputPartition] = {
+    val fp = new HPath(f)
+    val ffs = fp.getFileSystem(conf)
+    val len = ffs.getFileStatus(fp).getLen
+    val in = ffs.open(fp)
+    val plan =
+      try BagPlanner.plan((off, n) => {
+        val b = new Array[Byte](n); in.readFully(off, b); b
+      }, len)
+      finally in.close()
+    plan.chunkOffsets.map(off =>
+      BagPartition(f, off, -1L, plan.conns): InputPartition) ++
+    plan.rawSpans.map { case (off, spanLen) =>
+      BagPartition(f, off, spanLen, plan.conns): InputPartition }
+  }
+}
+
+/** One arriving `.bag` file = one micro-batch unit — the streaming twin
+  * of [[ContainerMicroBatchStream]] on REAL bags, mirroring the
+  * reference's upload-triggered front end (an S3 bag upload fires the
+  * pipeline: infrastructure/emr_trigger). The offset is the ordered
+  * processed-file list (restart-safe by construction — a checkpointed
+  * offset re-seeds discovery order before any new listing merges in);
+  * within a batch, each new bag fans out chunk-parallel via
+  * [[BagScan.planFile]]. Append-only directories, like every
+  * file-based source.
+  */
+class BagMicroBatchStream(path: String, hconf: SerializableHadoopConf,
+                          required: StructType,
+                          topicFilter: Option[Set[String]])
+    extends MicroBatchStream {
+
+  private val discovered = scala.collection.mutable.ArrayBuffer[String]()
+  private val known = scala.collection.mutable.HashSet[String]()
+
+  private def merge(files: Seq[String]): Unit = synchronized {
+    files.foreach { f => if (known.add(f)) discovered += f }
+  }
+
+  override def initialOffset(): Offset = ContainerOffset(Nil)
+
+  override def latestOffset(): Offset = {
+    merge(BagScan.listFiles(path, hconf.value).toSeq)
+    synchronized { ContainerOffset(discovered.toList) }
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    if (!json.trim.startsWith("["))
+      throw new IllegalStateException(
+        "graft-bag checkpoint offset is not a file-list (foreign " +
+          "checkpoint?) — rebuild the checkpoint directory")
+    val files = ContainerOffset.mapper
+      .readValue(json, classOf[Array[String]]).toSeq
+    merge(files) // checkpointed order seeds discovery before new listings
+    ContainerOffset(files)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ContainerOffset].files
+    val e = end.asInstanceOf[ContainerOffset].files
+    if (!e.startsWith(s))
+      throw new IllegalStateException(
+        s"graft-bag offsets diverge: start list ${s.take(3).mkString(",")}… is not a " +
+          s"prefix of end list ${e.take(3).mkString(",")}… — the checkpoint does not " +
+          "match this directory's discovery order; rebuild the checkpoint directory")
+    e.drop(s.length).toArray.flatMap(f => BagScan.planFile(f, hconf.value))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BagReaderFactory(required, topicFilter, hconf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** One chunk record (`spanLen < 0`) or one raw top-level record span

@@ -97,4 +97,33 @@ class BagDataSourceSpec extends SparkSpec {
     assert(df.select("ts_us").as[Long].collect().sorted.toSeq ===
       (0 until 30).filter(_ % 3 == 0).map(1000000L + _))
   }
+
+  test("streaming: each arriving .bag is a micro-batch, chunk-parallel, restart-safe") {
+    val dir = Files.createTempDirectory("graft-bagstream").toString
+    val ckpt = Files.createTempDirectory("graft-bagstream-ckpt").toString
+    val out = Files.createTempDirectory("graft-bagstream-out").toString
+    mkBag(dir, "s_a", 4, "none", perChunk = 2)
+    def start() = spark.readStream.format(fmt).load(dir)
+      .select(col("bag_file"), col("topic"), col("ts_us"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 4L)
+      mkBag(dir, "s_b", 2, "lz4", perChunk = 1) // an "upload" arrives
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 6L)
+    } finally q.stop()
+    // restart against the same checkpoint: committed files never replay
+    mkBag(dir, "s_c", 3, "bz2", perChunk = 3)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val byBag = spark.read.parquet(out).groupBy("bag_file").count()
+        .as[(String, Long)].collect().toMap
+      assert(byBag === Map("s_a" -> 4L, "s_b" -> 2L, "s_c" -> 3L),
+        s"restart must process ONLY the new bag, no replays: $byBag")
+    } finally q2.stop()
+  }
 }

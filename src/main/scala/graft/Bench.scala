@@ -5,13 +5,14 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line with per-query seconds, rows/s, failures, and a
   * round-over-round history table.
   *
-  * Methodology: two passes, report the second. The first pass compiles
-  * every whole-stage-codegen class (janino) and warms the JIT; the timed
-  * pass measures steady-state executor throughput — the number that
-  * projects to a long-running cluster, where code compiled once serves
-  * thousands of tasks. Single-pass timings at this scale are dominated by
-  * one-time driver-side compilation noise (±5 s run-to-run on a 35 s
-  * total), not by data-path cost.
+  * Methodology: one warmup pass (compiles every whole-stage-codegen
+  * class, warms JIT + page cache), then SPARK_GRAFT_BENCH_PASSES timed
+  * passes (default 3) reporting each query's MEDIAN, with per-query
+  * sample stddev published alongside — a single sample swings ±15% with
+  * machine load at sub-second scale, and one outlier must never flag a
+  * false regression. Passes after the first re-time only sub-5s queries;
+  * the expensive codec-bound rows are the least noise-prone and
+  * re-running them would triple the wall clock.
   */
 object Bench {
   private case class QResult(sec: Double, rows: Long, failed: Boolean)
@@ -32,11 +33,11 @@ object Bench {
     // row — `count()` would let Catalyst prune unprojected work, timing
     // an empty scan for map-only queries (text ops measured ~0.1s of
     // nothing). This measures what a consumer of the result would pay.
-    def pass(): Map[String, QResult] = {
+    def pass(names: String => Boolean): Map[String, QResult] = {
       // each pass pays the shared dedup pair/cluster tables ONCE (the
       // persist-once-read-everywhere semantics), not zero times
       SparkEntry.clearSharedTables()
-      SparkEntry.queries.map { case (name, fn) =>
+      SparkEntry.queries.filter(kv => names(kv._1)).map { case (name, fn) =>
         // NO per-query System.gc() quiesce: measured 2026-08-13, forcing
         // full GCs between queries INFLATED the suite 103.6s -> 117.1s
         // (ContextCleaner churn on the shared persisted tables outweighs
@@ -50,20 +51,41 @@ object Bench {
         name -> QResult((System.nanoTime() - t0) / 1e9, rows, failed)
       }
     }
-    pass() // warmup: compile all codegen stages, warm JIT + page cache
-    // SPARK_GRAFT_BENCH_PASSES timed passes (default 1): with >1, each
-    // query reports its MEDIAN — single samples swing ±15% with machine
-    // load at sub-second scale
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "1").toInt.max(1)
-    val passes = (1 to nPasses).map(_ => pass())
-    val results = passes.head.keys.map { name =>
+    pass(_ => true) // warmup: compile all codegen stages, warm JIT + page cache
+    // SPARK_GRAFT_BENCH_PASSES timed passes (default 3): each query
+    // reports its MEDIAN — single samples swing ±15% with machine load
+    // at sub-second scale, and one outlier (r8's q_quality_filter 7.5x
+    // phantom) can otherwise flag a false regression. Passes after the
+    // first re-time only queries whose first sample came in under the
+    // re-time ceiling: expensive codec-/build-bound queries (>5s) are
+    // stable in relative terms and re-running them would triple the
+    // suite's wall clock for the least noise-prone rows.
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    val retimeCeiling = 5.0
+    val firstPass = pass(_ => true)
+    val retime: Set[String] = firstPass.collect {
+      case (n, r) if !r.failed && r.sec < retimeCeiling => n }.toSet
+    val laterPasses = (2 to nPasses).map(_ => pass(retime))
+    val samples: Map[String, Seq[QResult]] = firstPass.map { case (n, r) =>
+      n -> (r +: laterPasses.flatMap(_.get(n)))
+    }
+    val results = samples.map { case (name, ss) =>
       // median over SUCCESSFUL samples only — sorting failures (which
       // carry arbitrary elapsed times) into the median would mask a
       // flaky crash as healthy; a query is failed only if EVERY pass
       // failed
-      val ok = passes.map(_(name)).filter(!_.failed).sortBy(_.sec)
-      name -> (if (ok.isEmpty) passes.head(name) else ok(ok.size / 2))
-    }.toMap
+      val ok = ss.filter(!_.failed).sortBy(_.sec)
+      name -> (if (ok.isEmpty) ss.head else ok(ok.size / 2))
+    }
+    // sample stddev per query (successful samples; -1 when n<2): the
+    // noise floor a regression must clear before it means anything
+    val stddev = samples.map { case (name, ss) =>
+      val ok = ss.filter(!_.failed).map(_.sec)
+      name -> (if (ok.size < 2) -1.0 else {
+        val m = ok.sum / ok.size
+        math.sqrt(ok.map(x => (x - m) * (x - m)).sum / (ok.size - 1))
+      })
+    }
     // operator-level as-of comparison, WITHOUT the terminal global sort
     // the oracle queries need: a global orderBy's range-sample pass
     // re-executes the plan's final stage, and the native join FUSES its
@@ -399,7 +421,10 @@ object Bench {
     // full diagnostics: rows/s, history, per-query full precision — written
     // to a repo file (committed per round as BENCH_local_r{N}) and logged
     // EARLY so the tail-window snapshot is spent on the compact line below
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"smb_operator_level":$smbOp,"skew_operator_level":$skewOp,"streaming":$streamingOp$scalingFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es), per-query median of successful samples; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
+    val stddevJson = stddev.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"queries":$qsFull,"stddev_sec":$stddevJson,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"smb_operator_level":$smbOp,"skew_operator_level":$skewOp,"streaming":$streamingOp$scalingFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es) (passes after the first re-time only queries whose first sample was under ${retimeCeiling}s), per-query median of successful samples, sample stddev in stddev_sec; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
     val fw = new java.io.OutputStreamWriter(
       new java.io.FileOutputStream("BENCH_full.json"),
       java.nio.charset.StandardCharsets.UTF_8)
@@ -422,7 +447,7 @@ object Bench {
       val sc = scalingPart.map(s => s""","scaling":$s""").getOrElse("")
       // sf as basename: the full path is in BENCH_full.json, and every
       // character here buys snapshot-window margin
-      s"""{"metric":"total","value":${short(total)},"unit":"sec","qkeys":"q_ prefix stripped","queries":$qsStripped,"failed":[${failedNames.mkString(",")}]$asof$sc,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","n_passes":$nPasses,"qkeys":"q_ prefix stripped","queries":$qsStripped,"failed":[${failedNames.mkString(",")}]$asof$sc,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     // scale-curve compact forms: full (sec arrays + xlin), xlin-only
     val scalingXlin = scaling.map { s =>

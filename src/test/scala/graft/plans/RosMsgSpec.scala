@@ -114,6 +114,36 @@ class RosMsgSpec extends SparkSpec {
     assert(e.getMessage.contains("literal"))
   }
 
+  test("the reference's full loop: typed bag → message_by_topic → YAML column sniff → extraction") {
+    // main.py:87-113 end to end on a REAL bag: bagreader → per-field
+    // typed columns → find the column holding "k: v" objects → parse it
+    GraftExtensions.register(spark)
+    val objDef = "float64 lat\nstring detections\n"
+    val dir = Files.createTempDirectory("graft-bagsniff").toString
+    val msgs = (0 until 6).map { i =>
+      val det = s"x: ${i * 3}, y: ${i * 7}".getBytes(UTF_8)
+      val bb = java.nio.ByteBuffer.allocate(12 + det.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putDouble(40.0 + i).putInt(det.length).put(det)
+      ("objects", 2000000L + i, bb.array())
+    }
+    Files.write(Paths.get(dir, "sniffed.bag"),
+      BagCodec.pack(msgs, "bz2", typeInfo = Some(("graft_msgs/Det", objDef))))
+
+    val typed = Containers.readBagTyped(spark, dir, "objects")
+      .withColumn("topic", lit("objects"))
+    val extracted = graft.operators.Signals.topicExtractAll(
+      typed, "topic", Seq("objects"), Seq("detections"),
+      Map("bag_file_prefix" -> "test"))
+    val rows = extracted
+      .select(col("ts_us"), col("lat"),
+        col("detections_objs")(0)("x").as("x"),
+        col("detections_objs")(0)("y").as("y"))
+      .as[(Long, Double, String, String)].collect().toSeq.sortBy(_._1)
+    assert(rows === (0 until 6).map(i =>
+      (2000000L + i, 40.0 + i, (i * 3).toString, (i * 7).toString)))
+  }
+
   test("end-to-end file leg: typed bags → bagConnections → readBagTyped, dotted columns like bagpy") {
     GraftExtensions.register(spark)
     val gpsDef = "float64 lat\nfloat64 lng\ntime stamp\n"

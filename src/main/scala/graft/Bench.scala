@@ -424,7 +424,28 @@ object Bench {
     val stddevJson = stddev.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.3f")
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"queries":$qsFull,"stddev_sec":$stddevJson,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"smb_operator_level":$smbOp,"skew_operator_level":$skewOp,"streaming":$streamingOp$scalingFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es) (passes after the first re-time only queries whose first sample was under ${retimeCeiling}s), per-query median of successful samples, sample stddev in stddev_sec; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
+    // scale-step record: when a committed BENCH_scale_step.json exists
+    // (the order-of-magnitude run against graft.tools.ScaleUp output),
+    // a compact summary of it rides in every bench line so the per-round
+    // snapshot carries the 10x evidence next to the sf0.1 numbers
+    val scaleStep: Option[String] = {
+      val f = new java.io.File("BENCH_scale_step.json")
+      if (!f.exists()) None
+      else try {
+        val src = scala.io.Source.fromFile(f)
+        val txt = try src.mkString finally src.close()
+        def num(k: String) =
+          (s""""$k":\\s*([0-9.]+)""").r.findFirstMatchIn(txt).map(_.group(1))
+        for {
+          med <- num("ratio_median"); mx <- num("ratio_max")
+          t1 <- num("sf1_total_sec"); t0 <- num("sf01_total_sec")
+          sup = txt.contains(""""superlinear_queries": []""") ||
+            txt.contains(""""superlinear_queries":[]""")
+        } yield s"""{"step_x":10,"sf01_total":$t0,"sf1_total":$t1,"ratio_median":$med,"ratio_max":$mx,"superlinear":${!sup}}"""
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val scaleStepFull = scaleStep.map(s => s""","scale_step":$s""").getOrElse("")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"queries":$qsFull,"stddev_sec":$stddevJson,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"smb_operator_level":$smbOp,"skew_operator_level":$skewOp,"streaming":$streamingOp$scalingFull$scaleStepFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es) (passes after the first re-time only queries whose first sample was under ${retimeCeiling}s), per-query median of successful samples, sample stddev in stddev_sec; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
     val fw = new java.io.OutputStreamWriter(
       new java.io.FileOutputStream("BENCH_full.json"),
       java.nio.charset.StandardCharsets.UTF_8)
@@ -447,7 +468,7 @@ object Bench {
       val sc = scalingPart.map(s => s""","scaling":$s""").getOrElse("")
       // sf as basename: the full path is in BENCH_full.json, and every
       // character here buys snapshot-window margin
-      s"""{"metric":"total","value":${short(total)},"unit":"sec","n_passes":$nPasses,"qkeys":"q_ prefix stripped","queries":$qsStripped,"failed":[${failedNames.mkString(",")}]$asof$sc,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","n_passes":$nPasses,"qkeys":"q_ prefix stripped","queries":$qsStripped,"failed":[${failedNames.mkString(",")}]$asof$sc$scaleStepFull,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     // scale-curve compact forms: full (sec arrays + xlin), xlin-only
     val scalingXlin = scaling.map { s =>
@@ -465,7 +486,7 @@ object Bench {
     val minimal = {
       val head = failedNames.take(8)
       val more = failedNames.size - head.size
-      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries_run":${ok.size},"queries_failed":${failedNames.size},"failed_head":[${head.mkString(",")}]${if (more > 0) s""","failed_more":$more""" else ""},"sf":"${new java.io.File(sfDir).getName}","detail":"BENCH_full.json"}"""
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries_run":${ok.size},"queries_failed":${failedNames.size},"failed_head":[${head.mkString(",")}]${if (more > 0) s""","failed_more":$more""" else ""}$scaleStepFull,"sf":"${new java.io.File(sfDir).getName}","detail":"BENCH_full.json"}"""
     }
     val compact = Seq(
         compactLine(true, scaling.map(_._2)),

@@ -102,10 +102,13 @@ object ScaleUp {
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text"))), P)
 
+    // the perturbation must stay FLOAT end to end: a double literal in
+    // the lambda silently widens the array to array<double> and every
+    // vec_* expression downstream rejects it
     save("embeddings", rep(spark.read.parquet(s"$in/embeddings.parquet"))
       .select(shifted("vec_id"),
-        expr("transform(embedding, (x, i) -> " +
-          "x + CAST(rep AS FLOAT) * CAST(pmod(vec_id * 31 + i, 7) - 3 AS FLOAT) * 1e-3)")
+        expr("transform(embedding, (x, i) -> CAST(" +
+          "x + rep * (pmod(vec_id * 31 + i, 7) - 3) * 1e-3 AS FLOAT))")
           .as("embedding"),
         col("label")), P)
   }

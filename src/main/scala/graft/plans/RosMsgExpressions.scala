@@ -239,6 +239,62 @@ object RosMsg {
       "nested message reached readValue — flatten() should have expanded it")
   }
 
+  /** Flattened leaf names in wire order — the projectable columns. */
+  def leafNames(msg: RMsg): Seq[String] = flatten(msg, "").map(_._1)
+
+  /** Decode ONLY the named leaves (values in wire/flatten order),
+    * byte-skipping everything else — the scan-level field pruning a
+    * typed columnar source wants: unwanted strings/arrays advance the
+    * cursor without allocating. O(payload bytes) worst case but zero
+    * allocation and no UTF-8 decode for pruned fields.
+    */
+  def decodeProjected(payload: Array[Byte], msg: RMsg,
+                      wanted: Set[String]): Array[Any] = {
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    flatten(msg, "").foreach { case (n, t) =>
+      if (wanted(n)) out += readValue(buf, t) else skipValue(buf, t)
+    }
+    require(!buf.hasRemaining,
+      s"payload has ${buf.remaining()} trailing bytes after the message — " +
+        "definition does not match the serialized layout")
+    out.toArray
+  }
+
+  private def primWidth(name: String): Int = name match {
+    case "bool" | "int8" | "uint8" | "byte" | "char" => 1
+    case "int16" | "uint16" => 2
+    case "int32" | "uint32" | "float32" => 4
+    case "int64" | "uint64" | "float64" => 8
+    case other => -1 // string: variable
+  }
+
+  private def skipValue(buf: ByteBuffer, t: RosType): Unit = t match {
+    case RPrim("string") =>
+      val n = buf.getInt()
+      require(n >= 0 && n <= buf.remaining(), s"corrupt string length $n")
+      buf.position(buf.position() + n)
+    case RPrim(p) => buf.position(buf.position() + primWidth(p))
+    case RArr(elem, fixed) =>
+      val n = fixed.getOrElse(buf.getInt())
+      require(n >= 0 && n <= buf.remaining(),
+        s"corrupt array length $n (remaining ${buf.remaining()})")
+      elem match {
+        case RPrim(p) if primWidth(p) > 0 =>
+          buf.position(buf.position() + n * primWidth(p))
+        case m: RMsg =>
+          var i = 0
+          while (i < n) {
+            flatten(m, "").foreach { case (_, lt) => skipValue(buf, lt) }
+            i += 1
+          }
+        case leaf => // variable-width elements (strings): walk each
+          var i = 0; while (i < n) { skipValue(buf, leaf); i += 1 }
+      }
+    case _: RMsg => throw new IllegalStateException(
+      "nested message reached skipValue — flatten() should have expanded it")
+  }
+
   // -------------------------------------------------------------- encode
 
   /** Serialize a flattened row (schema = [[flatSchema]]) to wire bytes. */

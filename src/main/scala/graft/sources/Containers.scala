@@ -131,33 +131,18 @@ object Containers {
 
   /** Typed per-message rows for ONE topic from a directory of real
     * `.bag` files — `bag.message_by_topic(topic)` end to end
-    * (service/app/main.py:94): chunk-parallel DSv2 scan with the topic
-    * filter pushed to the reader, then [[rosDeserialize]] against the
-    * topic's embedded `message_definition` flattens each payload into
-    * dotted typed columns next to (bag_file, ts_us).
-    *
-    * The definition lookup is a driver-side collect BY DESIGN: it is
-    * schema inference (the schema must exist before the plan does —
-    * same contract as Spark's own JSON/CSV inference), and its size is
-    * one msg IDL string per topic, not data.
+    * (service/app/main.py:94) via the TYPED DSv2 scan: the source
+    * infers the schema from the topic's embedded `message_definition`
+    * (driver-side O(index), the same contract as Spark's JSON/CSV
+    * inference) and the SCAN emits flattened dotted typed columns, so
+    * Catalyst column pruning reaches the field decoder itself —
+    * `select(lat, lng)` against a wide message byte-skips every other
+    * field. The expression form ([[rosDeserialize]] after a raw scan)
+    * remains for composing decode mid-plan.
     */
-  def readBagTyped(spark: SparkSession, dir: String, topic: String): DataFrame = {
-    GraftExtensions.register(spark)
-    val defs = bagConnections(spark, dir)
-      .filter(col("topic") === topic)
-      .select("message_definition").distinct().collect().map(_.getString(0))
-    require(defs.nonEmpty, s"no connection for topic '$topic' under $dir")
-    require(defs.length == 1,
-      s"topic '$topic' has ${defs.length} distinct message definitions — " +
-        "decode per bag subset instead")
-    val typed = spark.read.format("graft.sources.v2.BagDataSource").load(dir)
-      .filter(col("topic") === topic)
-      .select(col("bag_file"), col("ts_us"),
-        rosDeserialize(col("payload"), lit(defs.head)).as("msg"))
-    typed.select(col("bag_file") +: col("ts_us") +:
-      typed.schema.fields(2).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
-        .fieldNames.toSeq.map(f => col(s"msg.`$f`").as(f)): _*)
-  }
+  def readBagTyped(spark: SparkSession, dir: String, topic: String): DataFrame =
+    spark.read.format("graft.sources.v2.BagDataSource")
+      .option("typed", "true").option("topic", topic).load(dir)
 
   /** Full extraction stage: containers → per-topic partitioned store
     * (main.py:77-124 re-expressed; the DynamoDB topic table is the

@@ -41,24 +41,88 @@ import graft.plans.{BagCodec, BagPlanner}
   */
 class BagDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ContainerDataSource.fullSchema
+    BagDataSource.typedOf(options.get("path"),
+        Option(options.get("topic")), options.getBoolean("typed", false))
+      .map { case (_, defn) => BagDataSource.typedSchema(defn) }
+      .getOrElse(ContainerDataSource.fullSchema)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new BagTable(properties.get("path"))
+    new BagTable(properties.get("path"),
+      BagDataSource.typedOf(properties.get("path"),
+        Option(properties.get("topic")),
+        "true".equalsIgnoreCase(properties.get("typed"))))
 }
 
-class BagTable(path: String) extends Table with SupportsRead {
+object BagDataSource {
+  /** Typed-mode schema: provenance + event time, then the definition's
+    * flattened dotted fields (bagpy's columns) — what the SCAN emits,
+    * so Catalyst's column pruning reaches the field decoder itself.
+    */
+  def typedSchema(definition: String): StructType = {
+    val flat = graft.plans.RosMsg.flatSchema(
+      graft.plans.RosMsg.parseCached(definition))
+    StructType(
+      StructField("bag_file", StringType) +:
+      StructField("ts_us", LongType) +: flat.fields.toSeq)
+  }
+
+  private val defCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** Resolve `.option("typed","true").option("topic", t)` to the topic's
+    * embedded message_definition — driver-side schema inference (one
+    * O(index) read of the first bag carrying the topic; memoized per
+    * (path, topic) so inferSchema and getTable pay it once).
+    */
+  def typedOf(path: String, topic: Option[String],
+              typed: Boolean): Option[(String, String)] = {
+    if (!typed) None
+    else {
+      val t = topic.getOrElse(throw new IllegalArgumentException(
+        "graft-bag typed mode requires .option(\"topic\", ...) — the schema " +
+          "is per-topic (bagpy's message_by_topic contract)"))
+      val d = defCache.computeIfAbsent((path, t), { case (pth, tp) =>
+        val conf = SparkSession.active.sessionState.newHadoopConf()
+        val files = BagScan.listFiles(pth, conf)
+        files.iterator.map { f =>
+          val fp = new HPath(f)
+          val fs = fp.getFileSystem(conf)
+          val len = fs.getFileStatus(fp).getLen
+          val in = fs.open(fp)
+          val plan =
+            try BagPlanner.plan((off, n) => {
+              val b = new Array[Byte](n); in.readFully(off, b); b
+            }, len)
+            finally in.close()
+          plan.connInfo.values.find(_.topic == tp).map(_.messageDefinition)
+        }.collectFirst { case Some(defn) if defn.nonEmpty => defn }
+          .getOrElse(throw new IllegalArgumentException(
+            s"no connection for topic '$tp' with a message_definition under $pth"))
+      })
+      Some((t, d))
+    }
+  }
+}
+
+class BagTable(path: String, typed: Option[(String, String)] = None)
+    extends Table with SupportsRead {
   require(path != null && path.nonEmpty, "graft-bag source requires a path")
 
   override def name(): String = s"graft-bag($path)"
-  override def schema(): StructType = ContainerDataSource.fullSchema
+  override def schema(): StructType = typed
+    .map { case (_, defn) => BagDataSource.typedSchema(defn) }
+    .getOrElse(ContainerDataSource.fullSchema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BagScanBuilder(path,
-      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+    typed match {
+      case Some((topic, defn)) => new TypedBagScanBuilder(path, topic, defn,
+        new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+      case None => new BagScanBuilder(path,
+        new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
+    }
 }
 
 class BagScanBuilder(path: String, hconf: SerializableHadoopConf)
@@ -112,7 +176,44 @@ class BagScan(path: String, hconf: SerializableHadoopConf,
     new BagReaderFactory(required, topicFilter, hconf)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BagMicroBatchStream(path, hconf, required, topicFilter)
+    new BagMicroBatchStream(path, hconf,
+      new BagReaderFactory(required, topicFilter, hconf))
+}
+
+/** Typed scan: emits the per-field columns of ONE topic straight from
+  * the chunk reader. Column pruning lands IN the decoder —
+  * `decodeProjected` byte-skips every unrequested field (no allocation,
+  * no UTF-8 decode), so `select(lat, lng)` against a 40-field message
+  * pays for two fields plus a cursor walk. Same chunk-parallel
+  * planning, batch + micro-batch.
+  */
+class TypedBagScanBuilder(path: String, topic: String, defn: String,
+                          hconf: SerializableHadoopConf)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = BagDataSource.typedSchema(defn)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new TypedBagScan(path, topic, defn, hconf, required)
+}
+
+class TypedBagScan(path: String, topic: String, defn: String,
+                   hconf: SerializableHadoopConf,
+                   required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    BagScan.listFiles(path, hconf.value)
+      .flatMap(f => BagScan.planFile(f, hconf.value))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TypedBagReaderFactory(topic, defn, required, hconf)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BagMicroBatchStream(path, hconf,
+      new TypedBagReaderFactory(topic, defn, required, hconf))
 }
 
 object BagScan {
@@ -157,8 +258,7 @@ object BagScan {
   * file-based source.
   */
 class BagMicroBatchStream(path: String, hconf: SerializableHadoopConf,
-                          required: StructType,
-                          topicFilter: Option[Set[String]])
+                          factory: PartitionReaderFactory)
     extends MicroBatchStream {
 
   private val discovered = scala.collection.mutable.ArrayBuffer[String]()
@@ -197,8 +297,7 @@ class BagMicroBatchStream(path: String, hconf: SerializableHadoopConf,
     e.drop(s.length).toArray.flatMap(f => BagScan.planFile(f, hconf.value))
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new BagReaderFactory(required, topicFilter, hconf)
+  override def createReaderFactory(): PartitionReaderFactory = factory
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -226,18 +325,14 @@ class BagReaderFactory(required: StructType,
   * bounded buffering unit (~768 KiB in rosbag), so holding one decoded
   * chunk is the same memory story the original rosbag reader has.
   */
-class BagPartitionReader(part: BagPartition, required: StructType,
-                         topicFilter: Option[Set[String]],
-                         hconf: SerializableHadoopConf)
-    extends PartitionReader[InternalRow] {
-
-  private val hPath = new HPath(part.file)
-  private val bagFile = UTF8String.fromString(hPath.getName.stripSuffix(".bag"))
-  private val fieldIdx = required.fieldNames.map(
-    ContainerDataSource.fullSchema.fieldNames.indexOf(_))
-  private val wanted = topicFilter
-
-  private val messages: Iterator[(String, Long, Array[Byte])] = {
+/** Executor-side chunk IO shared by the raw and typed readers: seek to
+  * the partition's chunk/span, read exactly that record, inflate and
+  * decode via [[BagCodec.unpackRecords]].
+  */
+object BagChunkIO {
+  def messages(part: BagPartition,
+               hconf: SerializableHadoopConf): Iterator[(String, Long, Array[Byte])] = {
+    val hPath = new HPath(part.file)
     val fs = hPath.getFileSystem(hconf.value)
     val in = fs.open(hPath)
     try {
@@ -270,6 +365,78 @@ class BagPartitionReader(part: BagPartition, required: StructType,
       BagCodec.unpackRecords(recordBytes, 0, part.conns).iterator
     } finally in.close()
   }
+}
+
+class TypedBagReaderFactory(topic: String, defn: String,
+                            required: StructType,
+                            hconf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TypedBagPartitionReader(partition.asInstanceOf[BagPartition],
+      topic, defn, required, hconf)
+}
+
+/** The typed reader: for each message of THE topic, decode only the
+  * required leaf fields ([[graft.plans.RosMsg.decodeProjected]] —
+  * byte-skip the rest) and emit them next to bag_file/ts_us.
+  */
+class TypedBagPartitionReader(part: BagPartition, topic: String,
+                              defn: String, required: StructType,
+                              hconf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+  import graft.plans.RosMsg
+
+  private val bagFile =
+    UTF8String.fromString(new HPath(part.file).getName.stripSuffix(".bag"))
+  private val msg = RosMsg.parseCached(defn)
+  private val wantedLeaves: Set[String] =
+    required.fieldNames.toSet -- Set("bag_file", "ts_us")
+  // required-field assembly: for each output column, either a metadata
+  // tag or the index into decodeProjected's wire-ordered value array
+  private val leafOrder = RosMsg.leafNames(msg).filter(wantedLeaves)
+  private val colPlan: Array[Either[String, Int]] =
+    required.fieldNames.map {
+      case "bag_file" => Left("bag_file")
+      case "ts_us" => Left("ts_us")
+      case f => Right(leafOrder.indexOf(f))
+    }
+
+  private val messages = BagChunkIO.messages(part, hconf)
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    while (messages.hasNext) {
+      val (t, ts, payload) = messages.next()
+      if (t == topic) {
+        val vals = RosMsg.decodeProjected(payload, msg, wantedLeaves)
+        row = new GenericInternalRow(colPlan.map {
+          case Left("bag_file") => bagFile
+          case Left(_) => ts
+          case Right(i) => vals(i)
+        }.asInstanceOf[Array[Any]])
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+class BagPartitionReader(part: BagPartition, required: StructType,
+                         topicFilter: Option[Set[String]],
+                         hconf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val hPath = new HPath(part.file)
+  private val bagFile = UTF8String.fromString(hPath.getName.stripSuffix(".bag"))
+  private val fieldIdx = required.fieldNames.map(
+    ContainerDataSource.fullSchema.fieldNames.indexOf(_))
+  private val wanted = topicFilter
+
+  private val messages: Iterator[(String, Long, Array[Byte])] =
+    BagChunkIO.messages(part, hconf)
 
   private var row: InternalRow = _
 

@@ -102,8 +102,9 @@ object BagCodec {
 
   private def connectionRecord(conn: Int, topic: String,
       msgType: String, msgDef: String): (Array[Byte], Array[Byte]) = {
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(msgDef.getBytes(UTF_8)).map("%02x".format(_)).mkString
+    // the REAL genmsg md5 (normalized text, nested types replaced by
+    // their md5) — a ROS stack reading this bag agrees on the hash
+    val md5 = RosMsg.md5sum(msgDef)
     val h = header("op" -> Array(OpConnection), "conn" -> le32(conn),
       "topic" -> topic.getBytes(UTF_8))
     val data = header("topic" -> topic.getBytes(UTF_8),

@@ -153,6 +153,73 @@ object RosMsg {
   def parseCached(definition: String): RMsg =
     parseCache.computeIfAbsent(definition, parse)
 
+  /** The REAL ROS message md5, genmsg's algorithm
+    * (genmsg/gentools.py `compute_md5_text`): md5 over a normalized
+    * text where comments/blank lines are stripped, constants keep
+    * their `type name=value` form, builtin fields keep their declared
+    * `type name` (array suffix included), and every non-builtin field
+    * type is REPLACED by the nested message's own md5 (array suffix
+    * dropped), computed recursively. Reproduces the published values —
+    * std_msgs/Header = 2176decaecbce78abc3b96ef049fabed,
+    * geometry_msgs/PointStamped = c63aecb41bfdfd6b7e1fac37c7cbe7bf —
+    * so connection records written by [[BagCodec.pack]] carry md5sums a
+    * real ROS stack agrees with.
+    */
+  def md5sum(definition: String): String = {
+    val sections = definition.split("\n").foldLeft(List(List.empty[String])) {
+      (acc, line) =>
+        if (line.trim.matches("={3,}")) List.empty[String] :: acc
+        else (line :: acc.head) :: acc.tail
+    }.map(_.reverse).reverse.filter(_.exists(_.trim.nonEmpty))
+    require(sections.nonEmpty, "empty message definition")
+    val named: Map[String, Seq[String]] = sections.tail.map { lines =>
+      val header = lines.map(_.trim).find(_.nonEmpty).getOrElse("")
+      val name = header.stripPrefix("MSG:").trim
+      name -> lines.dropWhile(!_.trim.startsWith("MSG:")).drop(1)
+    }.toMap
+    val builtin = primNames ++ Set("time", "duration")
+    val memo = scala.collection.mutable.Map.empty[String, String]
+
+    def md5OfName(name: String, depth: Int): String =
+      memo.getOrElseUpdate(name, {
+        require(depth < 32, s"message nesting too deep resolving '$name'")
+        val lines = named.get(name)
+          .orElse(named.find(_._1.endsWith("/" + name)).map(_._2))
+          .getOrElse(throw new IllegalArgumentException(
+            s"unresolved message type '$name' in definition"))
+        hexMd5(md5Text(lines, depth))
+      })
+
+    def md5Text(lines: Seq[String], depth: Int): String =
+      lines.flatMap { raw =>
+        val line = raw.takeWhile(_ != '#').trim
+        if (line.isEmpty) None
+        else {
+          val parts = line.split("\\s+", 2)
+          if (parts.length < 2) None
+          else {
+            val (tpe, rest) = (parts(0), parts(1).trim)
+            if (rest.contains("=")) { // constant: type name=value
+              val name = rest.takeWhile(_ != '=').trim
+              val value = rest.dropWhile(_ != '=').drop(1).trim
+              Some(s"$tpe $name=$value")
+            } else {
+              val name = rest.split("\\s+")(0)
+              val base = tpe.takeWhile(_ != '[')
+              if (builtin(base)) Some(s"$tpe $name")
+              else Some(s"${md5OfName(base, depth + 1)} $name")
+            }
+          }
+        }
+      }.mkString("\n")
+
+    hexMd5(md5Text(sections.head, 0))
+  }
+
+  private def hexMd5(text: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   // ------------------------------------------------------------- schema
 
   private def sparkTypeOf(t: RosType): DataType = t match {

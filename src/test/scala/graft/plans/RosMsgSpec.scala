@@ -51,6 +51,37 @@ class RosMsgSpec extends SparkSpec {
     assert(schema("tags").dataType === ArrayType(IntegerType, false))
   }
 
+  test("md5sum reproduces the published ROS message hashes (genmsg algorithm)") {
+    assert(RosMsg.md5sum("uint32 seq\ntime stamp\nstring frame_id\n") ===
+      "2176decaecbce78abc3b96ef049fabed") // std_msgs/Header
+    assert(RosMsg.md5sum("float64 x\nfloat64 y\nfloat64 z\n") ===
+      "4a842b65f413084dc2b10fb484ea7f17") // geometry_msgs/Point
+    assert(RosMsg.md5sum("string data\n") ===
+      "992ce8a1687cec8c8bd883ec73ca41d1") // std_msgs/String
+    // nested resolution: field types replaced by their md5, recursively
+    val pointStamped =
+      """Header header
+        |geometry_msgs/Point point
+        |================================================================================
+        |MSG: std_msgs/Header
+        |uint32 seq
+        |time stamp
+        |string frame_id
+        |================================================================================
+        |MSG: geometry_msgs/Point
+        |float64 x
+        |float64 y
+        |float64 z
+        |""".stripMargin
+    assert(RosMsg.md5sum(pointStamped) ===
+      "c63aecb41bfdfd6b7e1fac37c7cbe7bf") // geometry_msgs/PointStamped
+    // constants participate in the hash; comments do not
+    val withConst = RosMsg.md5sum("uint8 DEBUG=1\nstring msg\n")
+    assert(withConst !== RosMsg.md5sum("string msg\n"))
+    assert(RosMsg.md5sum("# comment\nstring msg  # trailing\n") ===
+      RosMsg.md5sum("string msg\n"))
+  }
+
   test("decode matches a hand-serialized wire message (public serialization rules)") {
     // hand-build: uint32 seq=7, time(secs=3,nsecs=500), string "map",
     // x=1.5, y=-2.5, label="obj", flags=65535, covariance=[1,2,3], tags=[-1,9]

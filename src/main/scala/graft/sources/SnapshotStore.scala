@@ -58,10 +58,18 @@ object SnapshotStore {
 
   /** One live data file: absolute path, its row count, and per-column
     * [min,max] for the stats columns the writer harvested (absent =
-    * unknown → never pruned on).
+    * unknown → never pruned on). `stats` holds long ranges; `strStats`
+    * holds string (lexicographic) ranges — stored truncated to
+    * [[StrStatLen]] chars Delta-style: a truncated MIN is still a valid
+    * lower bound (a prefix sorts <= the full string); a MAX that needs
+    * truncation is DROPPED, never weakened.
     */
   final case class AddFile(path: String, rows: Long,
-                           stats: Map[String, (Long, Long)])
+                           stats: Map[String, (Long, Long)],
+                           strStats: Map[String, (String, String)] = Map.empty)
+
+  /** Stored length cap for string stat values (UTF-16 chars). */
+  val StrStatLen = 64
 
   final case class Snapshot(version: Long, live: Seq[AddFile],
                             meta: Map[String, String])
@@ -84,23 +92,42 @@ object SnapshotStore {
   //   r <path>
   //   m <key> <value>
 
+  // string stat values hex-encode into the TSV (arbitrary text would
+  // collide with the format's separators); entry shapes:
+  //   c=lo:hi          long range
+  //   c=s:HEXLO:HEXHI  string range (UTF-8 hex)
+  private def hexEnc(v: String): String =
+    v.getBytes("UTF-8").map("%02x".format(_)).mkString
+  private def hexDec(h: String): String =
+    new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, "UTF-8")
+
   private def encodeAdd(a: AddFile): String = {
-    val stats =
-      if (a.stats.isEmpty) "-"
-      else a.stats.toSeq.sortBy(_._1)
-        .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
+    val entries =
+      a.stats.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c=$lo:$hi" } ++
+      a.strStats.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c=s:${hexEnc(lo)}:${hexEnc(hi)}" }
+    val stats = if (entries.isEmpty) "-" else entries.mkString(";")
     s"a\t${a.path}\t${a.rows}\t$stats"
   }
 
   private def decodeAdd(fields: Array[String]): AddFile = {
-    val stats =
-      if (fields(3) == "-") Map.empty[String, (Long, Long)]
-      else fields(3).split(';').map { s =>
+    if (fields(3) == "-") AddFile(fields(1), fields(2).toLong, Map.empty)
+    else {
+      val entries = fields(3).split(';').map { s =>
         val Array(c, range) = s.split('=')
-        val Array(lo, hi) = range.split(':')
+        c -> range
+      }
+      val longs = entries.collect { case (c, r) if !r.startsWith("s:") =>
+        val Array(lo, hi) = r.split(':')
         c -> (lo.toLong, hi.toLong)
       }.toMap
-    AddFile(fields(1), fields(2).toLong, stats)
+      val strs = entries.collect { case (c, r) if r.startsWith("s:") =>
+        val Array(_, lo, hi) = r.split(':')
+        c -> (hexDec(lo), hexDec(hi))
+      }.toMap
+      AddFile(fields(1), fields(2).toLong, longs, strs)
+    }
   }
 
   /** Commit-file integrity footer: `e\t<crc32-of-body-hex>` as the last
@@ -300,11 +327,19 @@ object SnapshotStore {
     val fs = data.getFileSystem(c)
     val tmp = new Path(table, s".stage-${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(tmp.toString)
-    // footer harvest BEFORE the move: rows always, [min,max] for the
-    // requested long columns (one footer read serves both)
+    // footer harvest BEFORE the move: rows always; [min,max] for the
+    // requested columns — long ranges where the parquet stats are
+    // int64, string ranges (capped, Delta-style truncation) where they
+    // are Binary/UTF-8. A column yields whichever leg its physical
+    // type supports; the other leg is simply absent.
     val stats = ZOrderStore.fileStats(spark, tmp.toString, statsCols)
       .map { case (f, perCol) => f -> perCol.collect {
         case (col, Some(range)) => col -> range }.toMap }.toMap
+    val strStats = ZOrderStore.fileStringStats(spark, tmp.toString, statsCols)
+      .map { case (f, perCol) => f -> perCol.collect {
+        case (col, Some((lo, hi))) if hi.length <= StrStatLen =>
+          col -> (lo.take(StrStatLen), hi)
+      }.toMap }.toMap
     val rows = ZOrderStore.rowGroupStats(spark, tmp.toString, Nil)
       .map { case (f, blocks) => f -> blocks.map(_.rows).sum }.toMap
     fs.mkdirs(data)
@@ -316,7 +351,8 @@ object SnapshotStore {
         if (!fs.rename(s.getPath, dst))
           throw new IllegalStateException(s"stage: rename ${s.getPath} -> $dst failed")
         AddFile(dst.toString, rows(s.getPath.toString),
-          stats.getOrElse(s.getPath.toString, Map.empty))
+          stats.getOrElse(s.getPath.toString, Map.empty),
+          strStats.getOrElse(s.getPath.toString, Map.empty))
       }
     fs.delete(tmp, true)
     moved
@@ -459,11 +495,17 @@ object SnapshotStore {
     */
   def prunedLiveFiles(spark: SparkSession, table: String,
                       box: Map[String, (Long, Long)],
-                      asOf: Option[Long] = None): (Seq[String], Int) = {
+                      asOf: Option[Long] = None,
+                      strBox: Map[String, (String, String)] = Map.empty)
+      : (Seq[String], Int) = {
     val snap = state(spark, table, asOf)
     val kept = snap.live.collect {
       case a if box.forall { case (c, (lo, hi)) =>
         a.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } && strBox.forall { case (c, (lo, hi)) =>
+        // lexicographic intersect; the stored min may be truncated but a
+        // prefix sorts <= the full value, so mn <= hi stays conservative
+        a.strStats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
       } => a.path
     }
     (kept.sorted, snap.live.size)
@@ -474,12 +516,16 @@ object SnapshotStore {
     */
   def readBox(spark: SparkSession, table: String,
               box: Map[String, (Long, Long)],
-              asOf: Option[Long] = None): DataFrame = {
-    val (kept, _) = prunedLiveFiles(spark, table, box, asOf)
+              asOf: Option[Long] = None,
+              strBox: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val (kept, _) = prunedLiveFiles(spark, table, box, asOf, strBox)
     val base =
       if (kept.isEmpty) snapshot(spark, table, asOf).limit(0)
       else readWithSchema(spark, state(spark, table, asOf).meta, kept)
-    box.foldLeft(base) { case (df, (c, (lo, hi))) =>
+    val longFiltered = box.foldLeft(base) { case (df, (c, (lo, hi))) =>
+      df.filter(col(c) >= lo && col(c) <= hi)
+    }
+    strBox.foldLeft(longFiltered) { case (df, (c, (lo, hi))) =>
       df.filter(col(c) >= lo && col(c) <= hi)
     }
   }

@@ -114,6 +114,45 @@ object ZOrderStore {
       (f, perCol)
     }
 
+  /** Per-file [min,max] of STRING (parquet Binary/UTF-8) columns — the
+    * string leg of [[fileStats]]. A column maps to None when any row
+    * group lacks usable binary stats.
+    */
+  def fileStringStats(spark: SparkSession, path: String, columns: Seq[String])
+      : Seq[(String, Map[String, Option[(String, String)]])] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    val files = fs.listStatus(new Path(path)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    files.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val perCol = columns.map { column =>
+          val ranges = blocks.map { block =>
+            block.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .map(_.getStatistics)
+              .filter(st => st != null && !st.isEmpty && st.hasNonNullValue)
+              .collect {
+                case st if st.genericGetMin.isInstanceOf[org.apache.parquet.io.api.Binary] =>
+                  (st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                    st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+              }
+          }
+          val merged =
+            if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
+            else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
+          column -> merged
+        }.toMap
+        (p.toString, perCol)
+      } finally reader.close()
+    }
+  }
+
   /** The files whose stats intersect EVERY requested `column -> [lo, hi]`
     * box side (files without stats are kept). Returns (kept, total).
     */

@@ -81,6 +81,48 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(keptAll.size === totalAll)
   }
 
+  test("string stats prune lexicographic boxes; truncation stays conservative") {
+    val t = tempTable("strstats")
+    // two appends with disjoint string ranges on `lang`
+    SnapshotStore.append(
+      Seq(("aa", 1L), ("de", 2L), ("en", 3L)).toDF("lang", "v").coalesce(1),
+      t, statsCols = Seq("lang", "v"))
+    SnapshotStore.append(
+      Seq(("ru", 4L), ("sv", 5L), ("zh", 6L)).toDF("lang", "v").coalesce(1),
+      t, statsCols = Seq("lang", "v"))
+    val snap = SnapshotStore.state(spark, t)
+    assert(snap.live.forall(_.strStats.contains("lang")),
+      "string column stats must be harvested and survive the TSV roundtrip")
+    assert(snap.live.forall(_.stats.contains("v")),
+      "long stats still harvested next to string stats")
+    // a box over early letters keeps only the first file
+    val (kept, total) = SnapshotStore.prunedLiveFiles(spark, t,
+      Map.empty, strBox = Map("lang" -> ("da", "fr")))
+    assert(total === 2 && kept.size === 1,
+      s"string box must prune the ru..zh file ($kept of $total kept)")
+    val hit = SnapshotStore.readBox(spark, t, Map.empty,
+      strBox = Map("lang" -> ("da", "fr")))
+    assert(hit.select("lang").as[String].collect().sorted.toSeq === Seq("de", "en"))
+    // mixed long + string box composes
+    val both = SnapshotStore.readBox(spark, t, Map("v" -> (2L, 5L)),
+      strBox = Map("lang" -> ("a", "s")))
+    assert(both.select("lang").as[String].collect().sorted.toSeq ===
+      Seq("de", "en", "ru"))
+    // a value longer than the cap: max needing truncation is DROPPED
+    // (never weakened), min stores the prefix
+    val long1 = "m" + ("x" * 100)
+    val t2 = tempTable("strtrunc")
+    SnapshotStore.append(Seq((long1, 1L)).toDF("lang", "v"), t2,
+      statsCols = Seq("lang"))
+    val s2 = SnapshotStore.state(spark, t2)
+    assert(s2.live.forall(!_.strStats.contains("lang")),
+      "an over-cap max must drop the column's string stat entirely")
+    // un-harvested string stats never prune
+    val (keptAll, totalAll) = SnapshotStore.prunedLiveFiles(spark, t2,
+      Map.empty, strBox = Map("lang" -> ("a", "b")))
+    assert(keptAll.size === totalAll)
+  }
+
   test("checkpoint bounds replay: snapshots stay correct past the checkpoint cadence") {
     val t = tempTable("cp")
     (1 to SnapshotStore.checkpointEvery + 2).foreach(i =>

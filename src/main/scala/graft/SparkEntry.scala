@@ -814,6 +814,29 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 >= 8), t, statsCols = Seq("doc_id"))
       graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
     }),
+    "q_snapshot_strbox" -> ((s, d) => {
+      // string-stat pruning: docs land in per-lang file groups (one
+      // append per lang → disjoint lexicographic [min,max] per file),
+      // then a string box over ["de","fr"] must answer from the commit
+      // log's string stats alone — prunedLiveFiles drops the en/es/zh
+      // files before any scan, readBox applies the residual predicate
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapstrbox").toString + "/docs"
+      Seq("de", "en", "es", "fr", "zh").foreach { lang =>
+        graft.sources.SnapshotStore.append(
+          docs.filter(col("lang") === lang).coalesce(1), t,
+          statsCols = Seq("lang", "doc_id"))
+      }
+      val (kept, total) = graft.sources.SnapshotStore.prunedLiveFiles(
+        s, t, Map.empty, strBox = Map("lang" -> ("de", "fr")))
+      require(kept.size < total,
+        s"string stats must prune disjoint lang files ($kept of $total)")
+      graft.sources.SnapshotStore.readBox(s, t, Map.empty,
+          strBox = Map("lang" -> ("de", "fr")))
+        .orderBy(col("doc_id"))
+    }),
     "q_snapshot_dsv2" -> ((s, d) => {
       // time travel through the DSv2 read path: two appends, then
       // spark.read.format(graft-snapshot).option(versionAsOf, 1) must
@@ -2204,6 +2227,9 @@ object SparkEntry {
     "q_snapshot_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q_snapshot_strbox" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang >= 'de' AND lang <= 'fr' ORDER BY doc_id""".stripMargin,
     "q_snapshot_dsv2" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 10 < 8 ORDER BY doc_id""".stripMargin,

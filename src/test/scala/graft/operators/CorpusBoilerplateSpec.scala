@@ -51,4 +51,12 @@ class CorpusBoilerplateSpec extends SparkSpec {
     val out = run(docs, k = 3) // echo df=1 despite 3 occurrences
     assert(out(1L) === (("echo\necho\necho\nown", 0L)))
   }
+
+  test("a NULL text document flows through as empty — never silently dropped") {
+    val docs = Seq((1L, "a\nb"), (2L, null: String), (3L, "a\nb"), (4L, "a\nb"))
+    val out = run(docs, k = 3)
+    assert(out.size === 4, "one row per input doc, NULL text included")
+    assert(out(2L) === (("", 0L)), "NULL text behaves as an empty document")
+    assert(out(1L) === (("", 2L)), "boilerplate removal unaffected")
+  }
 }

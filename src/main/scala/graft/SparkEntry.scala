@@ -796,6 +796,48 @@ object SparkEntry {
           col("d.label").as("label"))
         .orderBy(col("user_id"), col("seq"))
     }),
+    "q_bag_typed_scan" -> ((s, d) => {
+      // the typed DSv2 scan end to end through REAL files: serialize a
+      // user-tagged message per event, pack 64 multi-chunk bags (all
+      // three compressions by group), write them DISTRIBUTED
+      // (Containers.writeBags — executor-side Hadoop FS, no collect),
+      // then read back through .option("typed") — the scan emits typed
+      // columns chunk-parallel with field pruning in the decoder.
+      // Every output field is predicted by the oracle from events.
+      graft.plans.GraftExtensions.register(s)
+      val msgDef = "uint32 user\nuint32 seq\ntime stamp\nfloat64 x\nstring label\n"
+      val dir = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-bagscan").toString
+      val ser = eventsUs(s, d).select(
+        pmod(col("user_id"), lit(64)).as("g"),
+        struct(lit("ev").as("topic"), col("ts_us").as("ts_us"),
+          graft.sources.Containers.rosSerialize(
+            struct(
+              col("user_id").as("user"),
+              col("event_id").cast("long").as("seq"),
+              (col("ts_us") / 1000000L).cast("long").as("stamp.secs"),
+              (pmod(col("ts_us"), lit(1000000L)) * 1000L).cast("long").as("stamp.nsecs"),
+              col("value").cast("double").as("x"),
+              col("event_type").as("label")),
+            lit(msgDef)).as("payload")).as("m"))
+      val bags = ser.groupBy(col("g"))
+        .agg(graft.sources.Containers.bagPackTyped(
+          sort_array(collect_list(col("m"))),
+          when(pmod(col("g"), lit(3)) === 0, "none")
+            .when(pmod(col("g"), lit(3)) === 1, "bz2")
+            .otherwise("lz4"),
+          lit(msgDef)).as("bag"))
+        .select(concat(lit("g"), col("g")).as("bag_file"), col("bag"))
+      graft.sources.Containers.writeBags(bags, dir)
+      graft.sources.Containers.readBagTyped(s, dir, "ev")
+        .select(col("user").as("user_id"), col("ts_us").as("ts"),
+          col("seq"),
+          col("`stamp.secs`").as("stamp_secs"),
+          col("`stamp.nsecs`").as("stamp_nsecs"),
+          round(col("x"), 4).as("x"),
+          col("label"))
+        .orderBy(col("user_id"), col("seq"))
+    }),
     "q_snapshot_roundtrip" -> ((s, d) => {
       // transactional-table roundtrip: base append + increment append
       // into a fresh SnapshotStore table (stats harvested on doc_id),
@@ -2227,6 +2269,14 @@ object SparkEntry {
     "q_snapshot_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q_bag_typed_scan" ->
+      """SELECT user_id, epoch_us(ts) AS ts,
+        |  event_id AS seq,
+        |  epoch_us(ts) // 1000000 AS stamp_secs,
+        |  (epoch_us(ts) % 1000000) * 1000 AS stamp_nsecs,
+        |  round(value, 4) AS x, event_type AS label
+        |FROM events
+        |ORDER BY user_id, seq""".stripMargin,
     "q_snapshot_strbox" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang >= 'de' AND lang <= 'fr' ORDER BY doc_id""".stripMargin,

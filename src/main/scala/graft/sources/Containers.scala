@@ -129,6 +129,29 @@ object Containers {
         "message_definition")
   }
 
+  /** Distributed `.bag`-file writer: one file per row of
+    * `(nameCol, bagCol binary)`, written executor-side through the
+    * Hadoop FileSystem API (file:/HDFS/S3 alike) — no driver collect,
+    * no single-writer bottleneck; the inverse of [[readBagFiles]], so
+    * the engine round-trips the reference's ingest format end to end.
+    */
+  def writeBags(df: DataFrame, dir: String,
+                nameCol: String = "bag_file", bagCol: String = "bag"): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val hconf = new v2.SerializableHadoopConf(
+      df.sparkSession.sessionState.newHadoopConf())
+    val d = new HPath(dir)
+    d.getFileSystem(hconf.value).mkdirs(d)
+    df.select(col(nameCol).cast("string"), col(bagCol))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val fs = new HPath(dir).getFileSystem(hconf.value)
+        rows.foreach { r =>
+          val out = fs.create(new HPath(dir, r.getString(0) + ".bag"), true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+        }
+      }
+  }
+
   /** Typed per-message rows for ONE topic from a directory of real
     * `.bag` files — `bag.message_by_topic(topic)` end to end
     * (service/app/main.py:94) via the TYPED DSv2 scan: the source

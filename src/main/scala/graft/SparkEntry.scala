@@ -826,7 +826,7 @@ object SparkEntry {
           when(pmod(col("g"), lit(3)) === 0, "none")
             .when(pmod(col("g"), lit(3)) === 1, "bz2")
             .otherwise("lz4"),
-          lit(msgDef)).as("bag"))
+          lit(msgDef), messagesPerChunk = 512).as("bag"))
         .select(concat(lit("g"), col("g")).as("bag_file"), col("bag"))
       graft.sources.Containers.writeBags(bags, dir)
       graft.sources.Containers.readBagTyped(s, dir, "ev")

@@ -507,15 +507,17 @@ case class BagUnpack(child: Expression)
     copy(child = newChild)
 }
 
-/** `bag_pack_typed(msgs, compression, message_definition)` — [[BagPack]]
-  * with a caller-supplied msg IDL: connection records carry the given
-  * `message_definition` (type `graft_msgs/Custom`, md5 of the
-  * definition text) instead of the opaque-blob default, so the packed
-  * bag is self-describing for [[RosDeserialize]] — the round a real
-  * rosbag writer + bagpy reader make (service/app/main.py:87-94).
+/** `bag_pack_typed(msgs, compression, message_definition[, messages_per_chunk])`
+  * — [[BagPack]] with a caller-supplied msg IDL: connection records
+  * carry the given `message_definition` (type `graft_msgs/Custom`,
+  * genmsg md5) instead of the opaque-blob default, so the packed bag is
+  * self-describing for [[RosDeserialize]] — the round a real rosbag
+  * writer + bagpy reader make (service/app/main.py:87-94). The optional
+  * chunk size (literal int) splits messages across chunk records so the
+  * DSv2 scan fans the bag out chunk-parallel.
   */
 case class BagPackTyped(first: Expression, second: Expression,
-                        third: Expression)
+                        third: Expression, messagesPerChunk: Int = Int.MaxValue)
     extends TernaryExpression with CodegenFallback {
   override def prettyName: String = "bag_pack_typed"
   override def dataType: DataType = BinaryType
@@ -545,6 +547,7 @@ case class BagPackTyped(first: Expression, second: Expression,
       (m.getUTF8String(0).toString, m.getLong(1), m.getBinary(2))
     }
     BagCodec.pack(seq, comp.asInstanceOf[UTF8String].toString,
+      messagesPerChunk = messagesPerChunk,
       typeInfo = Some(("graft_msgs/Custom",
         defn.asInstanceOf[UTF8String].toString)))
   }

@@ -71,7 +71,13 @@ object GraftExtensions {
     (new FunctionIdentifier("bag_pack_typed"),
       new ExpressionInfo(classOf[BagPackTyped].getName, "bag_pack_typed"),
       (children: Seq[Expression]) =>
-        BagPackTyped(children(0), children(1), children(2))),
+        BagPackTyped(children(0), children(1), children(2),
+          if (children.length > 3) children(3).eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"bag_pack_typed messages_per_chunk must be a literal int, got $other")
+          } else Int.MaxValue)),
     (new FunctionIdentifier("ros_deserialize"),
       new ExpressionInfo(classOf[RosDeserialize].getName, "ros_deserialize"),
       (children: Seq[Expression]) => RosDeserialize(children(0), children(1))),

@@ -77,6 +77,13 @@ object Containers {
   def bagPackTyped(msgs: Column, compression: Column, msgDef: Column): Column =
     call_function("bag_pack_typed", msgs, compression, msgDef)
 
+  /** [[bagPackTyped]] with a chunk size: messages split across chunk
+    * records, the unit the DSv2 scan parallelizes over. */
+  def bagPackTyped(msgs: Column, compression: Column, msgDef: Column,
+                   messagesPerChunk: Int): Column =
+    call_function("bag_pack_typed", msgs, compression, msgDef,
+      lit(messagesPerChunk))
+
   /** payload binary → flattened typed struct, driven by a LITERAL msg
     * IDL string ([[graft.plans.RosMsg]] — the decode bagpy does at
     * service/app/main.py:94). Dotted columns (`header.stamp.secs`,

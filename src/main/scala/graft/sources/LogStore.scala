@@ -186,6 +186,19 @@ class CoordinatedLogStore extends LogStore {
             try out.write(buf.toByteArray) finally out.close()
             CoordinatedLogStore.coord.complete(key)
             CoordinatedLogStore.recoveries.incrementAndGet()
+          } else if (!fs.exists(target)) {
+            // ghost claim: PENDING entry, no temp, no target — the
+            // recovery source is gone (e.g. vacuumed). Returning false
+            // here would livelock every committer at this version;
+            // fail loudly instead (operator intervention: clear the
+            // coordination entry). A production port must retain temp
+            // files until their entry is COMPLETE for exactly this
+            // reason (Delta's DynamoDB LogStore documents the same).
+            throw new IllegalStateException(
+              s"coordinated commit $key: PENDING claim by ${e.owner} with " +
+                s"no recoverable temp file (${e.tmpPath}) and no published " +
+                "target — unrecoverable ghost claim; clear the coordination " +
+                "entry after verifying the version is truly absent")
           }
         }
         false

@@ -89,9 +89,16 @@ object ScaleUp {
         col("l_extendedprice"), col("l_discount"), col("l_tax"),
         col("l_returnflag"), col("l_linestatus"), col("l_shipdate")), P)
 
-    save("events", rep(spark.read.parquet(s"$in/events.parquet"))
-      .select(shifted("event_id"),
-        (col("ts") + expr("make_interval(0,0,0,0,0,0,rep*0.001)")).as("ts"),
+    // +1 ms per replica, dtype-adaptive: events.ts has shipped as BOTH
+    // parquet TIMESTAMP (interval add) and epoch-nano bigint (plain
+    // arithmetic) across driver regenerations — handle either
+    val ev = spark.read.parquet(s"$in/events.parquet")
+    val jittered =
+      if (ev.schema("ts").dataType.isInstanceOf[org.apache.spark.sql.types.LongType.type])
+        (col("ts") + col("rep") * 1000000L).as("ts") // nanos
+      else (col("ts") + expr("make_interval(0,0,0,0,0,0,rep*0.001)")).as("ts")
+    save("events", rep(ev)
+      .select(shifted("event_id"), jittered,
         shifted("user_id"), col("event_type"), col("value"), col("props")), P)
 
     save("documents", rep(spark.read.parquet(s"$in/documents.parquet"))

@@ -63,8 +63,16 @@ object RosMsg {
   final case class RPrim(name: String) extends RosType
   /** Array; `fixed` = Some(n) for `T[n]`, None for `T[]`. */
   final case class RArr(elem: RosType, fixed: Option[Int]) extends RosType
-  /** Message (root or nested): fields in declaration = wire order. */
-  final case class RMsg(fields: Seq[(String, RosType)]) extends RosType
+  /** Message (root or nested): fields in declaration = wire order.
+    * `leaves` memoizes the flattened leaf layout (dotted name → leaf
+    * type, wire order) so the per-row decode/skip/encode walks allocate
+    * no layout structures — computed once per JVM per parsed message
+    * (parse is itself memoized, so RMsg instances are shared).
+    */
+  final case class RMsg(fields: Seq[(String, RosType)]) extends RosType {
+    @transient lazy val leaves: Array[(String, RosType)] =
+      flatten(this, "").toArray
+  }
 
   private val TimeMsg =
     RMsg(Seq("secs" -> RPrim("uint32"), "nsecs" -> RPrim("uint32")))
@@ -190,28 +198,38 @@ object RosMsg {
         hexMd5(md5Text(lines, depth))
       })
 
-    def md5Text(lines: Seq[String], depth: Int): String =
-      lines.flatMap { raw =>
+    // genmsg's compute_md5_text writes ALL constants first (declaration
+    // order, `type name=value`), THEN fields — not interleaved. String
+    // constants admit no comments: their value is everything after the
+    // first '=' on the RAW line ('#' included), whitespace-trimmed;
+    // other constants and field lines are comment-stripped. Verified
+    // against actionlib_msgs/GoalStatus's published md5 in RosMsgSpec.
+    def md5Text(lines: Seq[String], depth: Int): String = {
+      val constants = scala.collection.mutable.ArrayBuffer.empty[String]
+      val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+      lines.foreach { raw =>
         val line = raw.takeWhile(_ != '#').trim
-        if (line.isEmpty) None
-        else {
+        if (line.nonEmpty) {
           val parts = line.split("\\s+", 2)
-          if (parts.length < 2) None
-          else {
+          if (parts.length >= 2) {
             val (tpe, rest) = (parts(0), parts(1).trim)
             if (rest.contains("=")) { // constant: type name=value
               val name = rest.takeWhile(_ != '=').trim
-              val value = rest.dropWhile(_ != '=').drop(1).trim
-              Some(s"$tpe $name=$value")
+              val value =
+                if (tpe == "string") raw.substring(raw.indexOf('=') + 1).trim
+                else rest.dropWhile(_ != '=').drop(1).trim
+              constants += s"$tpe $name=$value"
             } else {
               val name = rest.split("\\s+")(0)
               val base = tpe.takeWhile(_ != '[')
-              if (builtin(base)) Some(s"$tpe $name")
-              else Some(s"${md5OfName(base, depth + 1)} $name")
+              if (builtin(base)) fields += s"$tpe $name"
+              else fields += s"${md5OfName(base, depth + 1)} $name"
             }
           }
         }
-      }.mkString("\n")
+      }
+      (constants ++ fields).mkString("\n")
+    }
 
     hexMd5(md5Text(sections.head, 0))
   }
@@ -243,7 +261,7 @@ object RosMsg {
   /** Flattened Spark schema: nested messages become dotted top-level
     * fields in wire order (bagpy's column convention). */
   def flatSchema(msg: RMsg): StructType =
-    StructType(flatten(msg, "").map { case (n, t) =>
+    StructType(msg.leaves.toSeq.map { case (n, t) =>
       StructField(n, sparkTypeOf(t), nullable = false)
     })
 
@@ -269,9 +287,13 @@ object RosMsg {
     row
   }
 
-  private def readFlat(buf: ByteBuffer, msg: RMsg): InternalRow =
-    new GenericInternalRow(
-      flatten(msg, "").map { case (_, t) => readValue(buf, t) }.toArray)
+  private def readFlat(buf: ByteBuffer, msg: RMsg): InternalRow = {
+    val leaves = msg.leaves
+    val out = new Array[Any](leaves.length)
+    var i = 0
+    while (i < leaves.length) { out(i) = readValue(buf, leaves(i)._2); i += 1 }
+    new GenericInternalRow(out)
+  }
 
   private def readValue(buf: ByteBuffer, t: RosType): Any = t match {
     case RPrim("bool") => buf.get() != 0
@@ -307,7 +329,7 @@ object RosMsg {
   }
 
   /** Flattened leaf names in wire order — the projectable columns. */
-  def leafNames(msg: RMsg): Seq[String] = flatten(msg, "").map(_._1)
+  def leafNames(msg: RMsg): Seq[String] = msg.leaves.toSeq.map(_._1)
 
   /** Decode ONLY the named leaves (values in wire/flatten order),
     * byte-skipping everything else — the scan-level field pruning a
@@ -319,7 +341,7 @@ object RosMsg {
                       wanted: Set[String]): Array[Any] = {
     val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    flatten(msg, "").foreach { case (n, t) =>
+    msg.leaves.foreach { case (n, t) =>
       if (wanted(n)) out += readValue(buf, t) else skipValue(buf, t)
     }
     require(!buf.hasRemaining,
@@ -350,9 +372,11 @@ object RosMsg {
         case RPrim(p) if primWidth(p) > 0 =>
           buf.position(buf.position() + n * primWidth(p))
         case m: RMsg =>
+          val leaves = m.leaves
           var i = 0
           while (i < n) {
-            flatten(m, "").foreach { case (_, lt) => skipValue(buf, lt) }
+            var j = 0
+            while (j < leaves.length) { skipValue(buf, leaves(j)._2); j += 1 }
             i += 1
           }
         case leaf => // variable-width elements (strings): walk each
@@ -367,7 +391,7 @@ object RosMsg {
   /** Serialize a flattened row (schema = [[flatSchema]]) to wire bytes. */
   def encode(row: InternalRow, msg: RMsg): Array[Byte] = {
     val out = new ByteArrayOutputStream(64)
-    val leaves = flatten(msg, "")
+    val leaves = msg.leaves
     var i = 0
     leaves.foreach { case (name, t) =>
       require(!row.isNullAt(i), s"ros_serialize: field '$name' is null")
@@ -429,8 +453,8 @@ object RosMsg {
       while (i < n) {
         elem match {
           case m: RMsg =>
-            val sub = arr.getStruct(i, flatten(m, "").size)
-            val leaves = flatten(m, "")
+            val leaves = m.leaves
+            val sub = arr.getStruct(i, leaves.length)
             var j = 0
             leaves.foreach { case (ln, lt) =>
               writeValue(out, lt, sub.get(j, sparkTypeOf(lt)), s"$name[$i].$ln")

@@ -28,6 +28,15 @@ import org.apache.spark.sql.SparkSession
 trait LogStore {
   def putIfAbsent(conf: Configuration, dir: Path, target: Path,
                   payload: Array[Byte]): Boolean
+
+  /** Whether a commit file VISIBLE through this store is guaranteed
+    * complete (rename-published: yes; create-then-write or plain
+    * overwrite publish: no). Drives replay's integrity-footer
+    * strictness: under a store with this true, a footer-less commit is
+    * a complete legacy (pre-footer-format) file and replays; under one
+    * with it false, footer-less means torn/in-flight and is rejected.
+    */
+  def visibleImpliesComplete: Boolean = true
 }
 
 object LogStore {
@@ -103,6 +112,8 @@ class RenameLogStore extends LogStore {
   * concurrent reader can never silently replay a truncated commit.
   */
 class AtomicCreateLogStore extends LogStore {
+  override def visibleImpliesComplete: Boolean = false // create-then-write
+
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
@@ -148,6 +159,7 @@ class AtomicCreateLogStore extends LogStore {
   * (status flip), exactly DynamoDB's conditional-write API surface.
   */
 class CoordinatedLogStore extends LogStore {
+  override def visibleImpliesComplete: Boolean = false // overwrite publish
 
   override def putIfAbsent(conf: Configuration, dir: Path, target: Path,
                            payload: Array[Byte]): Boolean = {

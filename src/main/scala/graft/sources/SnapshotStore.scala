@@ -71,6 +71,18 @@ object SnapshotStore {
   /** Stored length cap for string stat values (UTF-16 chars). */
   val StrStatLen = 64
 
+  /** Truncate a stored string MIN to [[StrStatLen]] without splitting a
+    * surrogate pair — a lone high surrogate encodes as a replacement
+    * byte whose byte-order relation to the dropped continuation is
+    * accidental; backing off one char keeps the result a true prefix,
+    * and a prefix is <= the full value in UTF-8 byte order.
+    */
+  private def truncMin(s: String): String =
+    if (s.length <= StrStatLen) s
+    else if (Character.isHighSurrogate(s.charAt(StrStatLen - 1)))
+      s.substring(0, StrStatLen - 1)
+    else s.substring(0, StrStatLen)
+
   final case class Snapshot(version: Long, live: Seq[AddFile],
                             meta: Map[String, String])
 
@@ -123,7 +135,9 @@ object SnapshotStore {
         c -> (lo.toLong, hi.toLong)
       }.toMap
       val strs = entries.collect { case (c, r) if r.startsWith("s:") =>
-        val Array(_, lo, hi) = r.split(':')
+        // limit -1 preserves trailing empties: an empty-string max
+        // encodes as `c=s:HEXLO:` and must still split into 3 tokens
+        val Array(_, lo, hi) = r.split(":", -1)
         c -> (hexDec(lo), hexDec(hi))
       }.toMap
       AddFile(fields(1), fields(2).toLong, longs, strs)
@@ -143,18 +157,26 @@ object SnapshotStore {
     f"e\t${crc.getValue}%08x"
   }
 
-  /** Read a COMMIT file, validating the integrity footer; an incomplete
-    * file (missing footer or CRC mismatch) is treated as in-flight and
-    * re-read with backoff, then rejected loudly — never replayed
-    * silently truncated. Returns the action lines, footer stripped.
+  /** Read a COMMIT file, validating the integrity footer. Strictness is
+    * gated on the session's [[LogStore.visibleImpliesComplete]]: under a
+    * rename-published store a visible commit is always complete, so a
+    * footer-LESS file is a legacy (pre-footer-format) commit and replays
+    * as-is — no migration needed; a PRESENT-but-wrong footer is still a
+    * corruption and fails. Under create-then-write/overwrite stores a
+    * missing or mismatched footer means torn or in-flight: re-read with
+    * backoff, then reject loudly — never replay silently truncated.
+    * Returns the action lines, footer stripped.
     */
-  private def readCommitLines(fs: FileSystem, p: Path): Seq[String] = {
+  private def readCommitLines(fs: FileSystem, p: Path,
+                              strictFooter: Boolean): Seq[String] = {
     var attempt = 0
     while (true) {
       val lines = readLines(fs, p)
-      if (lines.nonEmpty && lines.last.startsWith("e\t") &&
-          lines.last == footerOf(lines.init.mkString("\n")))
+      val hasFooter = lines.nonEmpty && lines.last.startsWith("e\t")
+      if (hasFooter && lines.last == footerOf(lines.init.mkString("\n")))
         return lines.init
+      if (!hasFooter && !strictFooter && lines.nonEmpty)
+        return lines // legacy pre-footer commit, complete by store contract
       attempt += 1
       if (attempt >= 5) throw new IllegalStateException(
         s"commit file torn or still in-flight after $attempt reads: $p " +
@@ -163,6 +185,10 @@ object SnapshotStore {
     }
     Nil // unreachable
   }
+
+  /** Footer strictness for THIS session's store (see [[readCommitLines]]). */
+  private def strictFooter(spark: SparkSession): Boolean =
+    !LogStore.resolve(spark).visibleImpliesComplete
 
   private def readLines(fs: FileSystem, p: Path): Seq[String] = {
     val in = fs.open(p)
@@ -226,8 +252,9 @@ object SnapshotStore {
       }
     }
     cp.foreach(v => apply(readLines(fs, checkpointPath(table, v))))
+    val strict = strictFooter(spark)
     commits.filter(v => v > cp.getOrElse(0L) && v <= target)
-      .foreach(v => apply(readCommitLines(fs, commitPath(table, v))))
+      .foreach(v => apply(readCommitLines(fs, commitPath(table, v), strict)))
     Snapshot(target, live.values.toSeq, meta)
   }
 
@@ -338,7 +365,7 @@ object SnapshotStore {
     val strStats = ZOrderStore.fileStringStats(spark, tmp.toString, statsCols)
       .map { case (f, perCol) => f -> perCol.collect {
         case (col, Some((lo, hi))) if hi.length <= StrStatLen =>
-          col -> (lo.take(StrStatLen), hi)
+          col -> (truncMin(lo), hi)
       }.toMap }.toMap
     val rows = ZOrderStore.rowGroupStats(spark, tmp.toString, Nil)
       .map { case (f, blocks) => f -> blocks.map(_.rows).sum }.toMap
@@ -503,9 +530,14 @@ object SnapshotStore {
       case a if box.forall { case (c, (lo, hi)) =>
         a.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
       } && strBox.forall { case (c, (lo, hi)) =>
-        // lexicographic intersect; the stored min may be truncated but a
-        // prefix sorts <= the full value, so mn <= hi stays conservative
-        a.strStats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+        // intersect in UTF-8 BYTE order (ZOrderStore.utf8Cmp) — the
+        // order the parquet stats were computed in and the order the
+        // residual UTF8String filter applies; Java String order would
+        // mis-prune on supplementary characters. The stored min may be
+        // truncated but a prefix sorts <= the full value in byte order
+        // too, so mn <= hi stays conservative.
+        a.strStats.get(c).forall { case (mn, mx) =>
+          ZOrderStore.utf8Cmp(mx, lo) >= 0 && ZOrderStore.utf8Cmp(mn, hi) <= 0 }
       } => a.path
     }
     (kept.sorted, snap.live.size)
@@ -550,8 +582,9 @@ object SnapshotStore {
     val fs = logDir(table).getFileSystem(conf(spark))
     val (commits, _) = listLog(fs, table)
     val target = asOf.getOrElse(commits.lastOption.getOrElse(0L))
+    val strict = strictFooter(spark)
     commits.filter(v => v > sinceVersion && v <= target).flatMap { v =>
-      val lines = readCommitLines(fs, commitPath(table, v))
+      val lines = readCommitLines(fs, commitPath(table, v), strict)
       val op = lines.collectFirst {
         case l if l.startsWith("m\top\t") => l.split('\t')(2) }
       if (!op.contains("append")) {
@@ -711,9 +744,10 @@ object SnapshotStore {
     val (commits, _) = listLog(fs, table)
     require(commits.nonEmpty, s"snapshot table has no commits: $table")
     val target = asOf.getOrElse(commits.last)
+    val strict = strictFooter(spark)
     val tagged: Seq[(String, String, Long)] =
       commits.filter(v => v > sinceVersion && v <= target).flatMap { v =>
-        val lines = readCommitLines(fs, commitPath(table, v))
+        val lines = readCommitLines(fs, commitPath(table, v), strict)
         val op = lines.collectFirst {
           case l if l.startsWith("m\top\t") => l.split('\t')(2) }.getOrElse("?")
         if (op == "compact") Nil // rewrite: no row-level delta
@@ -789,8 +823,9 @@ object SnapshotStore {
   /** The audit log: (version, op, meta) per commit, newest first. */
   def history(spark: SparkSession, table: String): Seq[(Long, String, Map[String, String])] = {
     val fs = logDir(table).getFileSystem(conf(spark))
+    val strict = strictFooter(spark)
     listLog(fs, table)._1.reverse.map { v =>
-      val metas = readCommitLines(fs, commitPath(table, v)).collect {
+      val metas = readCommitLines(fs, commitPath(table, v), strict).collect {
         case l if l.startsWith("m\t") =>
           val f = l.split('\t'); f(1) -> f(2)
       }.toMap

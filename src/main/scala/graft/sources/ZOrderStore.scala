@@ -27,6 +27,29 @@ import graft.functions.ZOrder
   */
 object ZOrderStore {
 
+  /** Unsigned UTF-8 byte-order comparison — the order parquet binary
+    * stats are computed in and the order Spark's UTF8String residual
+    * filters use. Java String (UTF-16 code unit) order DISAGREES for
+    * supplementary characters (a surrogate pair sorts below U+E000+ in
+    * UTF-16 but above in UTF-8 bytes), so every merge or prune over
+    * harvested string stats must compare here, or pruning can drop a
+    * file whose rows satisfy the predicate.
+    */
+  private[sources] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private[sources] val Utf8Ordering: Ordering[String] =
+    (a: String, b: String) => utf8Cmp(a, b)
+
   /** Write `df` z-ordered by (colA, colB) into `numFiles` files. */
   def write(df: DataFrame, colA: String, colB: String, path: String,
             numFiles: Int): Unit =
@@ -143,9 +166,10 @@ object ZOrderStore {
                     st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
               }
           }
-          val merged =
+          val merged = // cross-block min/max in UTF-8 byte order (see utf8Cmp)
             if (ranges.isEmpty || ranges.exists(_.isEmpty)) None
-            else Some((ranges.flatten.map(_._1).min, ranges.flatten.map(_._2).max))
+            else Some((ranges.flatten.map(_._1).min(Utf8Ordering),
+              ranges.flatten.map(_._2).max(Utf8Ordering)))
           column -> merged
         }.toMap
         (p.toString, perCol)

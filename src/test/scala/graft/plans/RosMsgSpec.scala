@@ -82,6 +82,54 @@ class RosMsgSpec extends SparkSpec {
       RosMsg.md5sum("string msg\n"))
   }
 
+  test("md5sum: constants AFTER fields still hash constants-first (genmsg order), GoalStatus fixture") {
+    // actionlib_msgs/GoalStatus declares its uint8 constants BETWEEN the
+    // status field and the text field; genmsg's compute_md5_text emits
+    // ALL constants before ALL fields, so interleaved declarations must
+    // still reproduce the published hash.
+    val goalStatus =
+      """GoalID goal_id
+        |uint8 status
+        |uint8 PENDING         = 0   # The goal has yet to be processed by the action server
+        |uint8 ACTIVE          = 1   # The goal is currently being processed by the action server
+        |uint8 PREEMPTED       = 2   # The goal received a cancel request after it started executing
+        |                            #   and has since completed its execution (Terminal State)
+        |uint8 SUCCEEDED       = 3   # The goal was achieved successfully by the action server (Terminal State)
+        |uint8 ABORTED         = 4   # The goal was aborted during execution by the action server due
+        |                            #    to some failure (Terminal State)
+        |uint8 REJECTED        = 5   # The goal was rejected by the action server without being processed,
+        |                            #    because the goal was unattainable or invalid (Terminal State)
+        |uint8 PREEMPTING      = 6   # The goal received a cancel request after it started executing
+        |                            #    and has not yet completed execution
+        |uint8 RECALLING       = 7   # The goal received a cancel request before it started executing,
+        |                            #    but the action server has not yet confirmed that the goal is canceled
+        |uint8 RECALLED        = 8   # The goal received a cancel request before it started executing
+        |                            #    and was successfully cancelled (Terminal State)
+        |uint8 LOST            = 9   # An action client can determine that a goal is LOST. This should not be
+        |                            #    sent over the wire by an action server
+        |
+        |#Allow for the user to associate a string with GoalStatus for debugging
+        |string text
+        |================================================================================
+        |MSG: actionlib_msgs/GoalID
+        |# The stamp should store the time at which this goal was requested.
+        |time stamp
+        |# The id provides a way to associate feedback and status with goals.
+        |string id
+        |""".stripMargin
+    assert(RosMsg.md5sum(goalStatus) === "d388f9b87b3c471f784434d671988d4a")
+    // string constants keep '#' — it is part of the value, not a comment
+    assert(RosMsg.md5sum("string SIGIL=a#b\nstring msg\n") !==
+      RosMsg.md5sum("string SIGIL=a\nstring msg\n"))
+  }
+
+  test("flattened leaf layout is memoized per parsed message (hot decode loop allocates no layout)") {
+    val m = RosMsg.parseCached(poseDef)
+    assert(m.leaves eq m.leaves) // same cached array instance
+    assert(RosMsg.parseCached(poseDef) eq m) // parse memoized → layout shared
+    assert(m.leaves.map(_._1).toSeq === RosMsg.leafNames(m))
+  }
+
   test("decode matches a hand-serialized wire message (public serialization rules)") {
     // hand-build: uint32 seq=7, time(secs=3,nsecs=500), string "map",
     // x=1.5, y=-2.5, label="obj", flags=65535, covariance=[1,2,3], tags=[-1,9]

@@ -104,22 +104,52 @@ class LogStoreSpec extends SparkSpec {
   }
 
   test("torn commit: a visible-but-incomplete commit file is rejected loudly, never replayed truncated") {
-    val t = tempTable("torn")
-    SnapshotStore.append(Seq(1L).toDF("id"), t) // v1, complete
-    // Simulate the atomic-create torn window: v2 exists in the log dir
-    // with a truncated payload (no integrity footer) — the shape a
-    // reader races against between create() and close().
-    val dir = new Path(t, "_graft_log")
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val torn = new Path(dir, f"${2L}%020d.commit")
-    val out = fs.create(torn, false)
-    try out.write("m\top\tappend\na\tdata/ghost.parquet\t5\t-\n".getBytes("UTF-8"))
-    finally out.close()
-    val e = intercept[IllegalStateException] {
-      SnapshotStore.state(spark, t)
+    // The torn window exists only under stores whose visibility does NOT
+    // imply completeness (create-then-write) — replay's footer check is
+    // strict exactly there, so run the scenario under that store.
+    withLogStore(classOf[AtomicCreateLogStore]) {
+      val t = tempTable("torn")
+      SnapshotStore.append(Seq(1L).toDF("id"), t) // v1, complete
+      // Simulate the atomic-create torn window: v2 exists in the log dir
+      // with a truncated payload (no integrity footer) — the shape a
+      // reader races against between create() and close().
+      val dir = new Path(t, "_graft_log")
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val torn = new Path(dir, f"${2L}%020d.commit")
+      val out = fs.create(torn, false)
+      try out.write("m\top\tappend\na\tdata/ghost.parquet\t5\t-\n".getBytes("UTF-8"))
+      finally out.close()
+      val e = intercept[IllegalStateException] {
+        SnapshotStore.state(spark, t)
+      }
+      assert(e.getMessage.contains("torn or still in-flight"),
+        s"wrong failure: ${e.getMessage}")
     }
-    assert(e.getMessage.contains("torn or still in-flight"),
-      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("legacy pre-footer commit replays under a rename store; corrupted footer still fails") {
+    // Rename-published commits are complete on visibility, so a commit
+    // written by a pre-footer-format version of the store (no `e\t...`
+    // last line) must replay — no log-format break for existing tables.
+    val t = tempTable("legacy")
+    SnapshotStore.append(Seq(1L, 2L).toDF("id"), t) // v1, footered
+    val dir = new Path(t, "_graft_log")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    // v2 in the OLD format: meta + remove-nothing, no footer line
+    val v2 = new Path(dir, f"${2L}%020d.commit")
+    val out = fs.create(v2, false)
+    try out.write("m\top\tappend\n".getBytes("UTF-8")) finally out.close()
+    assert(SnapshotStore.versions(spark, t) === Seq(1L, 2L))
+    assert(SnapshotStore.snapshot(spark, t).count() === 2L) // replays fine
+    assert(SnapshotStore.history(spark, t).map(_._1) === Seq(2L, 1L))
+    // a PRESENT-but-wrong footer is corruption in every mode
+    val v3 = new Path(dir, f"${3L}%020d.commit")
+    val out3 = fs.create(v3, false)
+    try out3.write("m\top\tappend\ne\tdeadbeef\n".getBytes("UTF-8"))
+    finally out3.close()
+    val e = intercept[IllegalStateException] { SnapshotStore.state(spark, t) }
+    assert(e.getMessage.contains("torn or still in-flight"))
   }
 
   test("coordinated store (no atomic fs primitive): multi-writer suite holds on external arbitration alone") {

@@ -123,6 +123,41 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(keptAll.size === totalAll)
   }
 
+  test("string stats: empty-string min/max round-trips through the commit TSV") {
+    // "" hex-encodes to an EMPTY token: `lang=s:HEXLO:` — replay must
+    // preserve the trailing empty field instead of MatchError-ing the
+    // table unreadable (split with limit -1).
+    val t = tempTable("strempty")
+    SnapshotStore.append(Seq(("", 1L), ("", 2L)).toDF("lang", "v"), t,
+      statsCols = Seq("lang"))
+    val snap = SnapshotStore.state(spark, t) // replays the commit
+    assert(snap.live.forall(_.strStats.get("lang").contains(("", ""))))
+    assert(SnapshotStore.snapshot(spark, t).count() === 2L)
+    // and an empty-min bound still prunes/keeps correctly
+    val (kept, total) = SnapshotStore.prunedLiveFiles(spark, t,
+      Map.empty, strBox = Map("lang" -> ("", "a")))
+    assert(kept.size === total)
+  }
+
+  test("string-box pruning compares in UTF-8 byte order (supplementary chars don't mis-prune)") {
+    // U+1F600 (4-byte UTF-8, F0 9F 98 80) sorts ABOVE U+E000 (EE 80 80)
+    // in the UTF-8 byte order parquet stats and Spark's filters use, but
+    // BELOW it in Java's UTF-16 order (surrogate D83D < E000). A file
+    // holding the emoji must survive a [U+E000, U+1F64F] box — UTF-16
+    // comparison would prune it and silently drop matching rows.
+    val t = tempTable("strutf8")
+    SnapshotStore.append(Seq(("😀", 1L)).toDF("s", "v"), t,
+      statsCols = Seq("s"))
+    val lo = ""; val hi = "🙏" // U+1F64F
+    val (kept, total) = SnapshotStore.prunedLiveFiles(spark, t,
+      Map.empty, strBox = Map("s" -> (lo, hi)))
+    assert(kept.size === total,
+      "file with an in-range supplementary char was wrongly pruned")
+    val rows = SnapshotStore.readBox(spark, t, Map.empty,
+      strBox = Map("s" -> (lo, hi)))
+    assert(rows.count() === 1L, "the emoji row satisfies the residual filter")
+  }
+
   test("checkpoint bounds replay: snapshots stay correct past the checkpoint cadence") {
     val t = tempTable("cp")
     (1 to SnapshotStore.checkpointEvery + 2).foreach(i =>

@@ -838,6 +838,52 @@ object SparkEntry {
           col("label"))
         .orderBy(col("user_id"), col("seq"))
     }),
+    "q_bag_time_prune" -> ((s, d) => {
+      // the reference's scene-retrieval shape on RAW bags ("give me
+      // this time window across the fleet" — detect_scenes.py:205 keys
+      // scenes by start/end time): write multi-chunk typed bags, read
+      // back ONLY a time band. The ts_us range predicate reaches
+      // TypedBagScanBuilder.pushFilters and drops chunks at PLANNING
+      // from the chunk-info index windows (rosbag's own time index,
+      // O(index), nothing outside the band is read or decompressed);
+      // the residual filter then re-applies exactly. Band = the middle
+      // [40%, 50%] of the event time span, identical integer
+      // arithmetic on the oracle side.
+      graft.plans.GraftExtensions.register(s)
+      val msgDef = "uint32 user\nuint32 seq\nfloat64 x\nstring label\n"
+      val dir = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-bagband").toString
+      val ser = eventsUs(s, d).select(
+        pmod(col("user_id"), lit(64)).as("g"),
+        struct(lit("ev").as("topic"), col("ts_us").as("ts_us"),
+          graft.sources.Containers.rosSerialize(
+            struct(
+              col("user_id").as("user"),
+              col("event_id").cast("long").as("seq"),
+              col("value").cast("double").as("x"),
+              col("event_type").as("label")),
+            lit(msgDef)).as("payload")).as("m"))
+      val bags = ser.groupBy(col("g"))
+        .agg(graft.sources.Containers.bagPackTyped(
+          sort_array(collect_list(col("m"))), // ts-sorted → chunks tile time
+          when(pmod(col("g"), lit(3)) === 0, "none")
+            .when(pmod(col("g"), lit(3)) === 1, "bz2")
+            .otherwise("lz4"),
+          lit(msgDef), messagesPerChunk = 64).as("bag"))
+        .select(concat(lit("g"), col("g")).as("bag_file"), col("bag"))
+      graft.sources.Containers.writeBags(bags, dir)
+      // size-guarded driver scalars: the two band bounds
+      val mm = eventsUs(s, d)
+        .agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx")).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val lo = mn + (mx - mn) * 2 / 5
+      val hi = mn + (mx - mn) / 2
+      graft.sources.Containers.readBagTyped(s, dir, "ev")
+        .filter(col("ts_us") >= lo && col("ts_us") <= hi)
+        .select(col("user").as("user_id"), col("ts_us").as("ts"),
+          col("seq"), round(col("x"), 4).as("x"), col("label"))
+        .orderBy(col("user_id"), col("seq"))
+    }),
     "q_snapshot_roundtrip" -> ((s, d) => {
       // transactional-table roundtrip: base append + increment append
       // into a fresh SnapshotStore table (stats harvested on doc_id),
@@ -2276,6 +2322,15 @@ object SparkEntry {
         |  (epoch_us(ts) % 1000000) * 1000 AS stamp_nsecs,
         |  round(value, 4) AS x, event_type AS label
         |FROM events
+        |ORDER BY user_id, seq""".stripMargin,
+    "q_bag_time_prune" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        |           FROM events)
+        |SELECT user_id, epoch_us(ts) AS ts, event_id AS seq,
+        |  round(value, 4) AS x, event_type AS label
+        |FROM events, b
+        |WHERE epoch_us(ts) >= b.mn + (b.mx - b.mn) * 2 // 5
+        |  AND epoch_us(ts) <= b.mn + (b.mx - b.mn) // 2
         |ORDER BY user_id, seq""".stripMargin,
     "q_snapshot_strbox" ->
       """SELECT doc_id, lang, n_chars FROM documents

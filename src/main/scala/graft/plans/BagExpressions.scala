@@ -269,7 +269,7 @@ object BagCodec {
 
   private def leInt(b: Array[Byte]): Int =
     ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
-  private def timeUs(b: Array[Byte]): Long = {
+  private[graft] def timeUs(b: Array[Byte]): Long = {
     val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     val secs = bb.getInt.toLong & 0xFFFFFFFFL
     val nsecs = bb.getInt.toLong & 0xFFFFFFFFL
@@ -359,10 +359,16 @@ object BagPlanner {
     * and the byte offsets work can split on — one entry per chunk
     * record, plus raw top-level spans for unchunked/index-less bags.
     * `connInfo` carries each connection's full self-description.
+    * `chunkTimes` maps a chunk offset to its [start_time, end_time] in
+    * µs as recorded by the chunk-info index records — rosbag's own
+    * time index, which is what lets a time-banded scan drop chunks at
+    * PLANNING (a chunk absent from the map has no known range and is
+    * never pruned).
     */
   final case class BagPlan(conns: Map[Int, String], chunkOffsets: Seq[Long],
                           rawSpans: Seq[(Long, Long)],
-                          connInfo: Map[Int, ConnInfo] = Map.empty)
+                          connInfo: Map[Int, ConnInfo] = Map.empty,
+                          chunkTimes: Map[Long, (Long, Long)] = Map.empty)
 
   private def le32(b: Array[Byte]): Int =
     ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
@@ -402,6 +408,7 @@ object BagPlanner {
       val connInfos = Map.newBuilder[Int, ConnInfo]
       val chunkOffsets = Seq.newBuilder[Long]
       val rawSpans = Seq.newBuilder[(Long, Long)]
+      val chunkTimes = Map.newBuilder[Long, (Long, Long)]
       var spanStart = -1L
       var off = from
       while (off < fileLen) {
@@ -424,7 +431,10 @@ object BagPlanner {
             if (spanStart >= 0) { rawSpans += ((spanStart, off - spanStart)); spanStart = -1 }
             chunkOffsets += off
           case 0x06 => // chunk info: chunk_pos locates the chunk record
-            chunkOffsets += le64(fields("chunk_pos"))
+            val pos = le64(fields("chunk_pos"))
+            chunkOffsets += pos
+            for (s <- fields.get("start_time"); e <- fields.get("end_time"))
+              chunkTimes += pos -> (BagCodec.timeUs(s), BagCodec.timeUs(e))
           case 0x02 if !indexOnly =>
             if (spanStart < 0) spanStart = off
           case _ =>
@@ -436,7 +446,7 @@ object BagPlanner {
       }
       if (spanStart >= 0) rawSpans += ((spanStart, fileLen - spanStart))
       BagPlan(conns.result(), chunkOffsets.result().distinct.sorted,
-        rawSpans.result(), connInfos.result())
+        rawSpans.result(), connInfos.result(), chunkTimes.result())
     }
 
     if (indexPos >= afterBagHeader && indexPos < fileLen)

@@ -125,6 +125,53 @@ class BagTable(path: String, typed: Option[(String, String)] = None)
     }
 }
 
+/** Shared extraction of a `ts_us` time band from pushed filters — the
+  * planning-time chunk prune both the raw and typed builders use. Range
+  * predicates are folded into ONE conservative [lo, hi] band (strict
+  * bounds widen to inclusive — chunk pruning may only skip, never lie)
+  * and are ALWAYS left in the residual: the chunk-info index is
+  * chunk-granular, so Spark re-applies the exact predicate to the rows
+  * a surviving chunk yields. This is rosbag's own time index answering
+  * the reference's scene-retrieval shape ("give me 10:41–10:43 across
+  * the fleet", detect_scenes.py:205 keys scenes by start/end time) in
+  * O(index) at planning, before any chunk is read or decompressed.
+  */
+object TsBand {
+  import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+
+  private def longOf(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case _ => None
+  }
+
+  /** (band, recognized filters). The band is None when no ts_us range
+    * predicate appears (or bounds are unusable); recognized filters are
+    * reported via pushedFilters for EXPLAIN visibility only.
+    */
+  def of(filters: Array[Filter]): (Option[(Long, Long)], Array[Filter]) = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    val recognized = Array.newBuilder[Filter]
+    def visit(f: Filter): Boolean = f match {
+      case GreaterThan("ts_us", v) => longOf(v).exists { l => lo = lo max l; true }
+      case GreaterThanOrEqual("ts_us", v) => longOf(v).exists { l => lo = lo max l; true }
+      case LessThan("ts_us", v) => longOf(v).exists { l => hi = hi min l; true }
+      case LessThanOrEqual("ts_us", v) => longOf(v).exists { l => hi = hi min l; true }
+      case EqualTo("ts_us", v) => longOf(v).exists { l => lo = lo max l; hi = hi min l; true }
+      case And(a, b) =>
+        val both = visit(a) & visit(b) // non-short-circuit: fold both legs
+        both
+      case _ => false
+    }
+    filters.foreach(f => if (visit(f)) recognized += f)
+    val band =
+      if (lo == Long.MinValue && hi == Long.MaxValue) None
+      else Some((lo, hi))
+    (band, recognized.result())
+  }
+}
+
 class BagScanBuilder(path: String, hconf: SerializableHadoopConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -132,6 +179,7 @@ class BagScanBuilder(path: String, hconf: SerializableHadoopConf)
 
   private var required: StructType = ContainerDataSource.fullSchema
   private var pushedTopics: Option[Set[String]] = None
+  private var tsBand: Option[(Long, Long)] = None
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -153,31 +201,40 @@ class BagScanBuilder(path: String, hconf: SerializableHadoopConf)
         case _ => acc
       }
     }
-    pushed = accepted
+    // ts_us band: prunes CHUNKS at planning; stays residual (chunk
+    // granularity is approximate, Spark re-applies the exact predicate)
+    val (band, tsFilters) = TsBand.of(residual)
+    tsBand = band
+    pushed = accepted ++ tsFilters
     residual
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new BagScan(path, hconf, required, pushedTopics)
+  override def build(): Scan =
+    new BagScan(path, hconf, required, pushedTopics, tsBand)
 }
 
 class BagScan(path: String, hconf: SerializableHadoopConf,
               required: StructType,
-              topicFilter: Option[Set[String]]) extends Scan with Batch {
+              topicFilter: Option[Set[String]],
+              tsBand: Option[(Long, Long)] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    BagScan.listFiles(path, hconf.value)
-      .flatMap(f => BagScan.planFile(f, hconf.value))
+    BagScan.planFiles(path, hconf.value, tsBand)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BagReaderFactory(required, topicFilter, hconf)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BagMicroBatchStream(path, hconf,
-      new BagReaderFactory(required, topicFilter, hconf))
+      new BagReaderFactory(required, topicFilter, hconf), tsBand)
+
+  override def description(): String =
+    s"graft-bag $path" + tsBand.map { case (lo, hi) =>
+      s" tsBand=[$lo,$hi]" }.getOrElse("")
 }
 
 /** Typed scan: emits the per-field columns of ONE topic straight from
@@ -189,34 +246,59 @@ class BagScan(path: String, hconf: SerializableHadoopConf,
   */
 class TypedBagScanBuilder(path: String, topic: String, defn: String,
                           hconf: SerializableHadoopConf)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.Filter
+
   private var required: StructType = BagDataSource.typedSchema(defn)
+  private var tsBand: Option[(Long, Long)] = None
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new TypedBagScan(path, topic, defn, hconf, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (band, tsFilters) = TsBand.of(filters)
+    tsBand = band
+    pushed = tsFilters
+    filters // all residual: chunk pruning is approximate (see TsBand)
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new TypedBagScan(path, topic, defn, hconf, required, tsBand)
 }
 
 class TypedBagScan(path: String, topic: String, defn: String,
                    hconf: SerializableHadoopConf,
-                   required: StructType) extends Scan with Batch {
+                   required: StructType,
+                   tsBand: Option[(Long, Long)] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    BagScan.listFiles(path, hconf.value)
-      .flatMap(f => BagScan.planFile(f, hconf.value))
+    BagScan.planFiles(path, hconf.value, tsBand)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TypedBagReaderFactory(topic, defn, required, hconf)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BagMicroBatchStream(path, hconf,
-      new TypedBagReaderFactory(topic, defn, required, hconf))
+      new TypedBagReaderFactory(topic, defn, required, hconf), tsBand)
+
+  override def description(): String =
+    s"graft-bag-typed $path topic=$topic" + tsBand.map { case (lo, hi) =>
+      s" tsBand=[$lo,$hi]" }.getOrElse("")
 }
 
 object BagScan {
+  // Observability for the parallel planner (spec-asserted): current and
+  // high-water concurrent planFile calls.
+  private[v2] val planningNow = new java.util.concurrent.atomic.AtomicInteger()
+  private[v2] val planningMax = new java.util.concurrent.atomic.AtomicInteger()
+  private[v2] def resetPlanProbe(): Unit = { planningNow.set(0); planningMax.set(0) }
+
   def listFiles(path: String, conf: org.apache.hadoop.conf.Configuration): Array[String] = {
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
@@ -226,24 +308,69 @@ object BagScan {
     else Array(path)
   }
 
+  /** Plan every bag under `path` into chunk/span partitions. */
+  def planFiles(path: String, conf: org.apache.hadoop.conf.Configuration,
+                band: Option[(Long, Long)] = None): Array[InputPartition] =
+    planMany(listFiles(path, conf).toSeq, conf, band)
+
+  /** Plan a SET of bags with a bounded driver-side thread pool. Each
+    * file's plan is an independent O(index) positioned read —
+    * I/O-latency-bound, not CPU-bound — so serializing them on the
+    * driver thread makes a 100k-bag lake wait on 100k round trips
+    * before the first task launches (the driver-sequential DSv2
+    * planning failure mode [[graft.tools.PlanLint]] documents).
+    * Results keep deterministic file order regardless of completion
+    * order; the pool is per-call (no leaked threads).
+    */
+  def planMany(files: Seq[String], conf: org.apache.hadoop.conf.Configuration,
+               band: Option[(Long, Long)] = None): Array[InputPartition] = {
+    if (files.isEmpty) Array.empty
+    else if (files.sizeIs == 1) planFile(files.head, conf, band).toArray
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(files.size, 16))
+      try {
+        files.map { f =>
+          pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
+            override def call(): Seq[InputPartition] = planFile(f, conf, band)
+          })
+        }.flatMap(_.get()).toArray
+      } finally pool.shutdown()
+    }
+  }
+
   /** O(index) plan of ONE bag into chunk/span partitions — shared by the
     * batch scan and the micro-batch stream (each arriving file still
-    * fans out chunk-parallel inside its batch).
+    * fans out chunk-parallel inside its batch). With a `band`, chunks
+    * whose chunk-info [start_time, end_time] misses [lo, hi] are
+    * dropped HERE — before any data read; chunks with no recorded range
+    * (and raw spans, which have none) are kept, so pruning only ever
+    * skips provably-disjoint work.
     */
-  def planFile(f: String, conf: org.apache.hadoop.conf.Configuration): Seq[InputPartition] = {
-    val fp = new HPath(f)
-    val ffs = fp.getFileSystem(conf)
-    val len = ffs.getFileStatus(fp).getLen
-    val in = ffs.open(fp)
-    val plan =
-      try BagPlanner.plan((off, n) => {
-        val b = new Array[Byte](n); in.readFully(off, b); b
-      }, len)
-      finally in.close()
-    plan.chunkOffsets.map(off =>
-      BagPartition(f, off, -1L, plan.conns): InputPartition) ++
-    plan.rawSpans.map { case (off, spanLen) =>
-      BagPartition(f, off, spanLen, plan.conns): InputPartition }
+  def planFile(f: String, conf: org.apache.hadoop.conf.Configuration,
+               band: Option[(Long, Long)] = None): Seq[InputPartition] = {
+    val depth = planningNow.incrementAndGet()
+    planningMax.accumulateAndGet(depth, (a: Int, b: Int) => math.max(a, b))
+    try {
+      val fp = new HPath(f)
+      val ffs = fp.getFileSystem(conf)
+      val len = ffs.getFileStatus(fp).getLen
+      val in = ffs.open(fp)
+      val plan =
+        try BagPlanner.plan((off, n) => {
+          val b = new Array[Byte](n); in.readFully(off, b); b
+        }, len)
+        finally in.close()
+      val chunks = band match {
+        case Some((lo, hi)) => plan.chunkOffsets.filter { off =>
+          plan.chunkTimes.get(off).forall { case (s, e) => e >= lo && s <= hi } }
+        case None => plan.chunkOffsets
+      }
+      chunks.map(off =>
+        BagPartition(f, off, -1L, plan.conns): InputPartition) ++
+      plan.rawSpans.map { case (off, spanLen) =>
+        BagPartition(f, off, spanLen, plan.conns): InputPartition }
+    } finally planningNow.decrementAndGet()
   }
 }
 
@@ -258,7 +385,8 @@ object BagScan {
   * file-based source.
   */
 class BagMicroBatchStream(path: String, hconf: SerializableHadoopConf,
-                          factory: PartitionReaderFactory)
+                          factory: PartitionReaderFactory,
+                          tsBand: Option[(Long, Long)] = None)
     extends MicroBatchStream {
 
   private val discovered = scala.collection.mutable.ArrayBuffer[String]()
@@ -294,7 +422,7 @@ class BagMicroBatchStream(path: String, hconf: SerializableHadoopConf,
         s"graft-bag offsets diverge: start list ${s.take(3).mkString(",")}… is not a " +
           s"prefix of end list ${e.take(3).mkString(",")}… — the checkpoint does not " +
           "match this directory's discovery order; rebuild the checkpoint directory")
-    e.drop(s.length).toArray.flatMap(f => BagScan.planFile(f, hconf.value))
+    BagScan.planMany(e.drop(s.length), hconf.value, tsBand)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = factory

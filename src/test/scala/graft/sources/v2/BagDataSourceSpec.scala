@@ -168,6 +168,93 @@ class BagDataSourceSpec extends SparkSpec {
       (0 until 8).map(i => (1.5 * i, -2.5 * i)).sorted)
   }
 
+  test("time-band pruning: a ts_us range plans only the chunks whose chunk-info window intersects") {
+    val dir = Files.createTempDirectory("graft-bagtimeprune").toString
+    mkBag(dir, "run", 64, "none", perChunk = 4) // 16 chunks, 4 ts each
+    val all = spark.read.format(fmt).load(dir)
+    assert(all.rdd.getNumPartitions === 16)
+    // band covering exactly chunks 2 and 3 (ts 1000008..1000015)
+    val banded = spark.read.format(fmt).load(dir)
+      .filter(col("ts_us") >= 1000008L && col("ts_us") <= 1000015L)
+    assert(banded.rdd.getNumPartitions === 2,
+      s"a 2-chunk band must plan 2 of 16 chunks, planned ${banded.rdd.getNumPartitions}")
+    assert(banded.select("ts_us").as[Long].collect().sorted.toSeq ===
+      (1000008L to 1000015L))
+    // a band edge INSIDE a chunk keeps the chunk; the residual filter
+    // re-applies exactly (pruning skips, never lies)
+    val edge = spark.read.format(fmt).load(dir)
+      .filter(col("ts_us") >= 1000010L && col("ts_us") <= 1000013L)
+    assert(edge.rdd.getNumPartitions === 2)
+    assert(edge.select("ts_us").as[Long].collect().sorted.toSeq ===
+      (1000010L to 1000013L))
+    // out-of-range band: zero chunks planned, zero rows
+    val none = spark.read.format(fmt).load(dir)
+      .filter(col("ts_us") > 2000000L)
+    assert(none.rdd.getNumPartitions === 0)
+    assert(none.count() === 0L)
+    // composes with topic pushdown
+    val both = spark.read.format(fmt).load(dir)
+      .filter(col("topic") === "camera" &&
+        col("ts_us") >= 1000008L && col("ts_us") <= 1000015L)
+    assert(both.rdd.getNumPartitions === 2)
+    assert(both.select("ts_us").as[Long].collect().sorted.toSeq ===
+      (1000008L to 1000015L).filter(ts => (ts - 1000000L) % 3 == 0))
+  }
+
+  test("time-band pruning: typed scan and micro-batch plan the same reduced chunk set") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThanOrEqual}
+    val defn = "float64 v\n"
+    val dir = Files.createTempDirectory("graft-bagtimeprune-t").toString
+    val msgs = (0 until 32).map { i =>
+      val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putDouble(i.toDouble)
+      ("m", 5000L + i, bb.array())
+    }
+    Files.write(Paths.get(dir, "t.bag"),
+      BagCodec.pack(msgs, "lz4", messagesPerChunk = 4, // 8 chunks
+        typeInfo = Some(("graft_msgs/V", defn))))
+    // typed batch path through the DataFrame API
+    val typed = spark.read.format(fmt)
+      .option("typed", "true").option("topic", "m").load(dir)
+      .filter(col("ts_us") >= 5008L && col("ts_us") <= 5015L)
+    assert(typed.rdd.getNumPartitions === 2,
+      s"typed scan must prune to 2 of 8 chunks, planned ${typed.rdd.getNumPartitions}")
+    assert(typed.select("v").as[Double].collect().sorted.toSeq ===
+      (8 until 16).map(_.toDouble))
+    // micro-batch: same band through both stream builders directly
+    val hconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val filters = Array[org.apache.spark.sql.sources.Filter](
+      GreaterThanOrEqual("ts_us", 5008L), LessThanOrEqual("ts_us", 5015L))
+    val rawB = new BagScanBuilder(dir, hconf)
+    rawB.pushFilters(filters)
+    val rawStream = rawB.build().toMicroBatchStream("unused")
+    val rawParts = rawStream.planInputPartitions(
+      rawStream.initialOffset(), rawStream.latestOffset())
+    assert(rawParts.length === 2, s"raw micro-batch planned ${rawParts.length}")
+    val typB = new TypedBagScanBuilder(dir, "m", defn, hconf)
+    typB.pushFilters(filters)
+    val typStream = typB.build().toMicroBatchStream("unused")
+    val typParts = typStream.planInputPartitions(
+      typStream.initialOffset(), typStream.latestOffset())
+    assert(typParts.length === 2, s"typed micro-batch planned ${typParts.length}")
+  }
+
+  test("many-bag planning runs concurrently on the driver pool, results identical to sequential") {
+    val dir = Files.createTempDirectory("graft-bagparplan").toString
+    (0 until 16).foreach(i => mkBag(dir, f"run_$i%02d", 8, "none", perChunk = 4))
+    val conf = spark.sessionState.newHadoopConf()
+    BagScan.resetPlanProbe()
+    val parallel = BagScan.planFiles(dir, conf)
+    assert(parallel.length === 32, "16 bags x 2 chunks")
+    assert(BagScan.planningMax.get() >= 2,
+      s"per-file plans must overlap on the pool, max concurrency was ${BagScan.planningMax.get()}")
+    val sequential = BagScan.listFiles(dir, conf)
+      .flatMap(f => BagScan.planFile(f, conf))
+    assert(parallel.toSeq === sequential.toSeq,
+      "pool planning must preserve deterministic file-then-offset order")
+  }
+
   test("typed scan streams: micro-batches of deserialized columns") {
     import java.nio.{ByteBuffer, ByteOrder}
     val defn = "float64 v\n"

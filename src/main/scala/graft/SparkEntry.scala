@@ -884,6 +884,60 @@ object SparkEntry {
           col("seq"), round(col("x"), 4).as("x"), col("label"))
         .orderBy(col("user_id"), col("seq"))
     }),
+    "q_bag_typed_multi" -> ((s, d) => {
+      // the FULL `topics-to-extract` loop, typed, in ONE pass
+      // (config.json topics list; main.py:77 re-reads the bag per topic
+      // — Containers.typedExtractTo lands every topic from a single
+      // chunk-parallel scan): events split into TWO topics with
+      // DIFFERENT message schemas (gps: two float64; tag: uint32 +
+      // string), packed into per-(group,topic) typed bags, extracted
+      // via one scan into a topic-partitioned typed store, then each
+      // topic read back partition-pruned and unioned — every field
+      // predicted by the oracle from events.
+      graft.plans.GraftExtensions.register(s)
+      val gpsDef = "float64 lat\nfloat64 lng\n"
+      val tagDef = "uint32 seq\nstring label\n"
+      val dir = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-bagmulti").toString
+      val store = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-bagmulti-store").toString
+      val ser = eventsUs(s, d).select(
+        pmod(col("user_id"), lit(32)).as("g"),
+        when(col("event_id") % 2 === 0, "gps").otherwise("tag").as("t"),
+        struct(
+          when(col("event_id") % 2 === 0, "gps").otherwise("tag").as("topic"),
+          col("ts_us").as("ts_us"),
+          when(col("event_id") % 2 === 0,
+            graft.sources.Containers.rosSerialize(
+              struct(col("value").cast("double").as("lat"),
+                (-col("value")).cast("double").as("lng")),
+              lit(gpsDef)))
+          .otherwise(
+            graft.sources.Containers.rosSerialize(
+              struct(col("event_id").cast("long").as("seq"),
+                col("event_type").as("label")),
+              lit(tagDef))).as("payload")).as("m"))
+      val bags = ser.groupBy(col("g"), col("t"))
+        .agg(graft.sources.Containers.bagPackTyped(
+          sort_array(collect_list(col("m"))),
+          when(pmod(col("g"), lit(3)) === 0, "none")
+            .when(pmod(col("g"), lit(3)) === 1, "bz2")
+            .otherwise("lz4"),
+          when(col("t") === "gps", gpsDef).otherwise(tagDef),
+          messagesPerChunk = 128).as("bag"))
+        .select(concat(lit("g"), col("g"), lit("_"), col("t")).as("bag_file"),
+          col("bag"))
+      graft.sources.Containers.writeBags(bags, dir)
+      graft.sources.Containers.typedExtractTo(s, dir, store, Seq("gps", "tag"))
+      val gps = graft.sources.Containers.readTypedStore(s, store, "gps")
+        .select(lit("gps").as("topic"), col("ts_us").as("ts"),
+          round(col("lat"), 4).as("num"),
+          lit(null).cast("string").as("label"))
+      val tag = graft.sources.Containers.readTypedStore(s, store, "tag")
+        .select(lit("tag").as("topic"), col("ts_us").as("ts"),
+          col("seq").cast("double").as("num"), col("label"))
+      gps.unionByName(tag).orderBy(col("topic"), col("ts"), col("num"))
+    }),
     "q_snapshot_roundtrip" -> ((s, d) => {
       // transactional-table roundtrip: base append + increment append
       // into a fresh SnapshotStore table (stats harvested on doc_id),
@@ -2323,6 +2377,14 @@ object SparkEntry {
         |  round(value, 4) AS x, event_type AS label
         |FROM events
         |ORDER BY user_id, seq""".stripMargin,
+    "q_bag_typed_multi" ->
+      """SELECT 'gps' AS topic, epoch_us(ts) AS ts,
+        |  round(value, 4) AS num, CAST(NULL AS VARCHAR) AS label
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT 'tag', epoch_us(ts), CAST(event_id AS DOUBLE), event_type
+        |FROM events WHERE event_id % 2 = 1
+        |ORDER BY topic, ts, num""".stripMargin,
     "q_bag_time_prune" ->
       """WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
         |           FROM events)

@@ -174,6 +174,90 @@ object Containers {
     spark.read.format("graft.sources.v2.BagDataSource")
       .option("typed", "true").option("topic", topic).load(dir)
 
+  /** Sanitized typed-struct column name for `topic` in a
+    * [[typedExtractTo]] store (parquet column names can't carry '/'). */
+  def typedColName(topic: String): String =
+    "d_" + topic.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** ONE-pass MULTI-topic TYPED extraction — the typed twin of
+    * [[graft.operators.Signals.topicExtractAllTo]] and the full
+    * `topics-to-extract` loop (reference config.json; main.py:77
+    * iterates topics, re-reading the bag per topic — here every topic
+    * lands from a SINGLE chunk-parallel scan):
+    *
+    *  1. Schema phase: [[bagConnections]] (distributed, O(index) per
+    *     bag — never chunk data) yields each topic's embedded
+    *     `message_definition`; exactly one distinct definition per
+    *     topic is required (a drifted IDL is a corruption, not a merge).
+    *  2. Data phase: ONE untyped DSv2 scan with the topic IN-list
+    *     pushed into the reader; each row's payload decodes through a
+    *     codegen'd CASE on the topic column into that topic's
+    *     flattened typed struct (`ros_deserialize`, evaluated only on
+    *     the taken branch — a foreign topic's payload is never decoded)
+    *     — heterogeneous schemas coexist as one nullable struct column
+    *     per topic, which parquet stores at ~zero cost for the null
+    *     legs.
+    *  3. Store: one `partitionBy(topic[, ...])` write — the reference's
+    *     `output_dir/<topic>/...` layout IS Spark partitioning, so a
+    *     per-topic read prunes to its own directory
+    *     ([[readTypedStore]] then projects the topic's struct back to
+    *     dotted typed columns).
+    *
+    * Returns the store re-read. One pass is spec-asserted via the
+    * planner's call counter (N bags plan exactly N times for the data
+    * phase).
+    */
+  def typedExtractTo(spark: SparkSession, bagDir: String, storeDir: String,
+                     topics: Seq[String],
+                     extraPartitionCols: Seq[String] = Nil): DataFrame = {
+    require(topics.nonEmpty, "typedExtractTo needs at least one topic")
+    val sanitized = topics.map(typedColName)
+    require(sanitized.distinct.size == topics.size,
+      s"topics collide after column-name sanitization: ${topics.mkString(", ")}")
+    val defsByTopic: Map[String, Seq[String]] = bagConnections(spark, bagDir)
+      .filter(col("topic").isin(topics: _*))
+      .select("topic", "message_definition").distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+      .groupMap(_._1)(_._2)
+    val defOf: Map[String, String] = topics.map { t =>
+      val ds = defsByTopic.getOrElse(t, Nil).filter(_.nonEmpty)
+      require(ds.nonEmpty,
+        s"no connection with a message_definition for topic '$t' under $bagDir")
+      require(ds.size == 1,
+        s"topic '$t' has ${ds.size} distinct message definitions under " +
+          s"$bagDir — a drifted IDL must be extracted separately")
+      t -> ds.head
+    }.toMap
+    val raw = spark.read.format("graft.sources.v2.BagDataSource").load(bagDir)
+      .filter(col("topic").isin(topics: _*))
+    val withStructs = topics.foldLeft(raw) { (df, t) =>
+      df.withColumn(typedColName(t),
+        when(col("topic") === t,
+          rosDeserialize(col("payload"), lit(defOf(t)))))
+    }
+    withStructs.drop("payload")
+      .write.mode("overwrite")
+      .partitionBy("topic" +: extraPartitionCols: _*)
+      .parquet(storeDir)
+    spark.read.parquet(storeDir)
+  }
+
+  /** ONE topic's typed rows out of a [[typedExtractTo]] store:
+    * partition-pruned to the topic's directory, the topic's struct
+    * projected back to flattened dotted columns — the same shape
+    * [[readBagTyped]] emits, but answered from the extracted store
+    * with zero bag reads.
+    */
+  def readTypedStore(spark: SparkSession, storeDir: String,
+                     topic: String): DataFrame = {
+    val c = typedColName(topic)
+    val df = spark.read.parquet(storeDir).filter(col("topic") === topic)
+    require(df.schema.fieldNames.contains(c),
+      s"store $storeDir has no typed column for topic '$topic' " +
+        s"(expected $c; present: ${df.schema.fieldNames.mkString(", ")})")
+    df.select(col("bag_file"), col("ts_us"), col(c + ".*"))
+  }
+
   /** Full extraction stage: containers → per-topic partitioned store
     * (main.py:77-124 re-expressed; the DynamoDB topic table is the
     * `topicStats`-style manifest a caller derives from the same frame).

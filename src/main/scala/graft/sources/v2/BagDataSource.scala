@@ -293,11 +293,15 @@ class TypedBagScan(path: String, topic: String, defn: String,
 }
 
 object BagScan {
-  // Observability for the parallel planner (spec-asserted): current and
-  // high-water concurrent planFile calls.
-  private[v2] val planningNow = new java.util.concurrent.atomic.AtomicInteger()
-  private[v2] val planningMax = new java.util.concurrent.atomic.AtomicInteger()
-  private[v2] def resetPlanProbe(): Unit = { planningNow.set(0); planningMax.set(0) }
+  // Observability for the planner (spec-asserted): current and
+  // high-water concurrent planFile calls, plus the total call count —
+  // the one-pass proof for multi-topic extraction (N bags => N plans).
+  private[graft] val planningNow = new java.util.concurrent.atomic.AtomicInteger()
+  private[graft] val planningMax = new java.util.concurrent.atomic.AtomicInteger()
+  private[graft] val planCalls = new java.util.concurrent.atomic.AtomicInteger()
+  private[graft] def resetPlanProbe(): Unit = {
+    planningNow.set(0); planningMax.set(0); planCalls.set(0)
+  }
 
   def listFiles(path: String, conf: org.apache.hadoop.conf.Configuration): Array[String] = {
     val p = new HPath(path)
@@ -349,6 +353,7 @@ object BagScan {
     */
   def planFile(f: String, conf: org.apache.hadoop.conf.Configuration,
                band: Option[(Long, Long)] = None): Seq[InputPartition] = {
+    planCalls.incrementAndGet()
     val depth = planningNow.incrementAndGet()
     planningMax.accumulateAndGet(depth, (a: Int, b: Int) => math.max(a, b))
     try {
@@ -458,8 +463,14 @@ class BagReaderFactory(required: StructType,
   * decode via [[BagCodec.unpackRecords]].
   */
 object BagChunkIO {
+  // Observability (spec-asserted): how many chunk/span DATA reads ran —
+  // the one-pass proof for multi-topic extraction (planning may replan
+  // under AQE, but each chunk's bytes must be read exactly once).
+  private[graft] val readCalls = new java.util.concurrent.atomic.AtomicInteger()
+
   def messages(part: BagPartition,
                hconf: SerializableHadoopConf): Iterator[(String, Long, Array[Byte])] = {
+    readCalls.incrementAndGet()
     val hPath = new HPath(part.file)
     val fs = hPath.getFileSystem(hconf.value)
     val in = fs.open(hPath)

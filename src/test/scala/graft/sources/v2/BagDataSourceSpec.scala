@@ -255,6 +255,60 @@ class BagDataSourceSpec extends SparkSpec {
       "pool planning must preserve deterministic file-then-offset order")
   }
 
+  test("one-pass multi-topic typed extraction: two schemas from ONE scan, store partition-pruned") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.sources.Containers
+    graft.plans.GraftExtensions.register(spark)
+    val gpsDef = "float64 lat\nfloat64 lng\n"
+    val tagDef = "uint32 seq\nstring label\n"
+    val dir = Files.createTempDirectory("graft-multiext").toString
+    val store = Files.createTempDirectory("graft-multiext-store").toString
+    def gpsPayload(i: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putDouble(1.5 * i).putDouble(-2.5 * i); bb.array()
+    }
+    def tagPayload(i: Int): Array[Byte] = {
+      val s = s"L$i".getBytes(UTF_8)
+      val bb = ByteBuffer.allocate(8 + s.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(i).putInt(s.length).put(s)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    def mk(name: String, topic: String, defn: String, tpe: String,
+           range: Range, payload: Int => Array[Byte]): Unit =
+      Files.write(Paths.get(dir, s"$name.bag"),
+        BagCodec.pack(range.map(i => (topic, 1000L + i, payload(i))),
+          "none", messagesPerChunk = 3, typeInfo = Some((tpe, defn))))
+    mk("g1", "gps", gpsDef, "m/Gps", 0 until 6, gpsPayload)
+    mk("g2", "gps", gpsDef, "m/Gps", 6 until 10, gpsPayload)
+    mk("t1", "tag", tagDef, "m/Tag", 0 until 5, tagPayload)
+    mk("t2", "tag", tagDef, "m/Tag", 5 until 8, tagPayload)
+
+    BagScan.resetPlanProbe()
+    BagChunkIO.readCalls.set(0)
+    Containers.typedExtractTo(spark, dir, store, Seq("gps", "tag"))
+    // 4 bags → 7 chunks (2+2+2+1); ONE data pass for BOTH topics means
+    // each chunk's bytes are read exactly once (planning may replan
+    // under AQE — that is metadata, not data)
+    assert(BagChunkIO.readCalls.get() === 7,
+      s"one scan for BOTH topics must read each of the 7 chunks exactly " +
+        s"once, read ${BagChunkIO.readCalls.get()} times")
+
+    val gps = Containers.readTypedStore(spark, store, "gps")
+    assert(gps.columns.toSeq === Seq("bag_file", "ts_us", "lat", "lng"))
+    val gpsRows = gps.select(col("ts_us"), col("lat"), col("lng"))
+      .as[(Long, Double, Double)].collect().sorted.toSeq
+    assert(gpsRows === (0 until 10).map(i => (1000L + i, 1.5 * i, -2.5 * i)))
+    val tag = Containers.readTypedStore(spark, store, "tag")
+    assert(tag.columns.toSeq === Seq("bag_file", "ts_us", "seq", "label"))
+    val tagRows = tag.select(col("seq"), col("label"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(tagRows === (0 until 8).map(i => (i.toLong, s"L$i")))
+    // the per-topic read is partition-pruned to its own directory
+    val plan = gps.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("topic"),
+      s"per-topic store read must prune on the topic partition:\n$plan")
+  }
+
   test("typed scan streams: micro-batches of deserialized columns") {
     import java.nio.{ByteBuffer, ByteOrder}
     val defn = "float64 v\n"

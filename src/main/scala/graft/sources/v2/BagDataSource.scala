@@ -125,6 +125,24 @@ class BagTable(path: String, typed: Option[(String, String)] = None)
     }
 }
 
+/** Planning-time self-audit for custom DSv2 scans — the executable form
+  * of the 100 TB checklist entry "a source whose planInputPartitions
+  * does per-file I/O serially on the driver stalls a many-file lake
+  * before the first task launches". Every graft Scan implements this;
+  * [[graft.tools.PlanLint]] WARNS when a graft scan certifies per-file
+  * planning I/O without pooling/distribution, and flags scans that
+  * declare no audit at all, so the next custom source cannot regress
+  * the property silently.
+  */
+trait PlanningAudit {
+  /** Does planInputPartitions perform I/O per input FILE (an index
+    * read, a footer read), as opposed to one directory listing? */
+  def planningDoesPerFileIO: Boolean
+  /** When per-file I/O happens, does it run pooled or distributed
+    * (anything but serially on the driver thread)? */
+  def planningParallel: Boolean
+}
+
 /** Shared extraction of a `ts_us` time band from pushed filters — the
   * planning-time chunk prune both the raw and typed builders use. Range
   * predicates are folded into ONE conservative [lo, hi] band (strict
@@ -218,9 +236,13 @@ class BagScanBuilder(path: String, hconf: SerializableHadoopConf)
 class BagScan(path: String, hconf: SerializableHadoopConf,
               required: StructType,
               topicFilter: Option[Set[String]],
-              tsBand: Option[(Long, Long)] = None) extends Scan with Batch {
+              tsBand: Option[(Long, Long)] = None)
+    extends Scan with Batch with PlanningAudit {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  override def planningDoesPerFileIO: Boolean = true // O(index) read per bag
+  override def planningParallel: Boolean = true // BagScan.planMany pool
 
   override def planInputPartitions(): Array[InputPartition] =
     BagScan.planFiles(path, hconf.value, tsBand)
@@ -273,9 +295,13 @@ class TypedBagScanBuilder(path: String, topic: String, defn: String,
 class TypedBagScan(path: String, topic: String, defn: String,
                    hconf: SerializableHadoopConf,
                    required: StructType,
-                   tsBand: Option[(Long, Long)] = None) extends Scan with Batch {
+                   tsBand: Option[(Long, Long)] = None)
+    extends Scan with Batch with PlanningAudit {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  override def planningDoesPerFileIO: Boolean = true // O(index) read per bag
+  override def planningParallel: Boolean = true // BagScan.planMany pool
 
   override def planInputPartitions(): Array[InputPartition] =
     BagScan.planFiles(path, hconf.value, tsBand)

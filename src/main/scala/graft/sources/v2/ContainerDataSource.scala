@@ -126,9 +126,14 @@ class ContainerScanBuilder(path: String, hconf: SerializableHadoopConf)
 
 class ContainerScan(path: String, hconf: SerializableHadoopConf,
                     required: StructType,
-                    topicFilter: Option[Set[String]] = None) extends Scan with Batch {
+                    topicFilter: Option[Set[String]] = None)
+    extends Scan with Batch with PlanningAudit {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // planning is ONE directory listing; no per-file I/O to pool
+  override def planningDoesPerFileIO: Boolean = false
+  override def planningParallel: Boolean = true
 
   override def planInputPartitions(): Array[InputPartition] =
     ContainerScan.listFiles(path, hconf.value)

@@ -25,6 +25,13 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    heavy kernels (this library's fused md5/geometry expressions are
   *    deliberate fallbacks — dispatch is not their cost), a smell in
   *    arithmetic-heavy projections.
+  *  - `serial-source-planning` (warn) / `unaudited-source-planning`
+  *    (info): a custom DSv2 scan whose `planInputPartitions` performs
+  *    per-file I/O SERIALLY on the driver stalls a 100k-file lake
+  *    before the first task launches (the bag source's pre-pool
+  *    shape); graft scans certify via
+  *    [[graft.sources.v2.PlanningAudit]], and a graft scan with no
+  *    audit is flagged so a new source can't regress silently.
   *  - `exchange` (info): shuffle count — the number to watch as data
   *    grows.
   *
@@ -88,6 +95,8 @@ object PlanLint extends AdaptiveSparkPlanHelper {
           if !maxOneRow(j.left) && !maxOneRow(j.right) =>
         findings += Finding("error", "cartesian",
           s"BroadcastNestedLoopJoin (${j.joinType}) — non-equi or conditionless join")
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        findings ++= auditScan(b.scan)
       case f: FilterExec => unwrap(f.child) match {
         // IsNotNull rides along for free; pushdown only HELPS when a
         // comparison reaches the source, so IsNotNull-only counts as
@@ -131,6 +140,28 @@ object PlanLint extends AdaptiveSparkPlanHelper {
 
     findings.result()
   }
+
+  /** Audit one DSv2 scan's PLANNING shape (unit-testable; the plan walk
+    * applies it to every BatchScanExec). Third-party scans are not
+    * judged — only graft's own, which all carry the audit contract.
+    */
+  def auditScan(scan: org.apache.spark.sql.connector.read.Scan): Option[Finding] =
+    scan match {
+      case a: graft.sources.v2.PlanningAudit =>
+        if (a.planningDoesPerFileIO && !a.planningParallel)
+          Some(Finding("warn", "serial-source-planning",
+            s"${scan.getClass.getSimpleName}: planInputPartitions does per-file " +
+              "I/O serially on the driver — a 100k-file lake serializes 100k " +
+              "round trips before the first task; pool or distribute it " +
+              "(see BagScan.planMany)"))
+        else None
+      case _ if scan.getClass.getName.startsWith("graft") =>
+        Some(Finding("info", "unaudited-source-planning",
+          s"${scan.getClass.getSimpleName} declares no PlanningAudit — if its " +
+            "planInputPartitions does per-file I/O, pool or distribute it and " +
+            "certify via PlanningAudit"))
+      case _ => None
+    }
 
   /** Human-readable report, worst first; "clean" when nothing fired. */
   def report(df: DataFrame): String = {

@@ -48,6 +48,38 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
+  test("source-planning audit: pooled graft scans pass; serial per-file planning warns; unaudited graft scans flag") {
+    import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
+    import org.apache.spark.sql.types.StructType
+    // the REAL bag source (per-file planning I/O, pooled) lints clean
+    val dir = java.nio.file.Files.createTempDirectory("lint-bag").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bag"),
+      BagCodec.pack(Seq(("t", 1L, Array[Byte](1))), "none"))
+    val df = spark.read.format("graft.sources.v2.BagDataSource").load(dir)
+    df.collect()
+    val fs = PlanLint.lint(df)
+    assert(!fs.exists(f => f.kind == "serial-source-planning" ||
+      f.kind == "unaudited-source-planning"), fs)
+    // a scan CERTIFYING serial per-file planning I/O is the 100k-bag
+    // driver stall — warn
+    class SerialScan extends Scan with graft.sources.v2.PlanningAudit {
+      override def readSchema(): StructType = new StructType()
+      override def planningDoesPerFileIO: Boolean = true
+      override def planningParallel: Boolean = false
+    }
+    val warn = PlanLint.auditScan(new SerialScan)
+    assert(warn.exists(f => f.severity == "warn" &&
+      f.kind == "serial-source-planning"), warn)
+    // a graft scan with NO audit gets the info nudge (new sources can't
+    // regress silently); foreign scans are not judged
+    class NoAuditScan extends Scan {
+      override def readSchema(): StructType = new StructType()
+    }
+    val info = PlanLint.auditScan(new NoAuditScan)
+    assert(info.exists(f => f.severity == "info" &&
+      f.kind == "unaudited-source-planning"), info)
+  }
+
   test("reports graft interpreted kernels as info, counts exchanges, clean plan is clean") {
     GraftExtensions.register(spark)
     // a real source: a LOCAL relation would be constant-folded wholesale

@@ -161,6 +161,12 @@ class AtomicCreateLogStore extends LogStore {
 class CoordinatedLogStore extends LogStore {
   override def visibleImpliesComplete: Boolean = false // overwrite publish
 
+  /** The coordination service arbitrating claims — the in-JVM double by
+    * default; [[JdbcCoordinatedLogStore]] overrides with a REAL
+    * database-backed conditional put. The protocol below never changes.
+    */
+  protected def coordService: Coordination = CoordinatedLogStore.coord
+
   override def putIfAbsent(conf: Configuration, dir: Path, target: Path,
                            payload: Array[Byte]): Boolean = {
     val fs = dir.getFileSystem(conf)
@@ -171,12 +177,12 @@ class CoordinatedLogStore extends LogStore {
     val mine = CoordinatedLogStore.Entry(
       owner = CoordinatedLogStore.processId, tmpPath = tmp.toString,
       complete = false)
-    val prev = CoordinatedLogStore.coord.claim(key, mine)
+    val prev = coordService.claim(key, mine)
     prev match {
       case None => // claim won: publish (non-atomic is fine, see doc)
         val out = fs.create(target, true)
         try out.write(payload) finally out.close()
-        CoordinatedLogStore.coord.complete(key)
+        coordService.complete(key)
         CoordinatedLogStore.publishes.incrementAndGet()
         true
       case Some(e) =>
@@ -196,7 +202,7 @@ class CoordinatedLogStore extends LogStore {
             } finally in.close()
             val out = fs.create(target, true)
             try out.write(buf.toByteArray) finally out.close()
-            CoordinatedLogStore.coord.complete(key)
+            coordService.complete(key)
             CoordinatedLogStore.recoveries.incrementAndGet()
           } else if (!fs.exists(target)) {
             // ghost claim: PENDING entry, no temp, no target — the
@@ -218,22 +224,30 @@ class CoordinatedLogStore extends LogStore {
   }
 }
 
+/** The coordination-service surface the claim/complete protocol needs —
+  * DynamoDB's conditional-write API reduced to three calls
+  * (conditional PutItem / GetItem / UpdateItem). `claim` must be an
+  * ATOMIC conditional insert across every coordinated process.
+  */
+trait Coordination {
+  /** Conditional insert: None = claim won; Some(existing) = lost. */
+  def claim(key: String, e: CoordinatedLogStore.Entry): Option[CoordinatedLogStore.Entry]
+  def complete(key: String): Unit
+  def get(key: String): Option[CoordinatedLogStore.Entry]
+}
+
 object CoordinatedLogStore {
   final case class Entry(owner: String, tmpPath: String, complete: Boolean)
 
-  /** The external coordination service, reduced to the three calls the
-    * protocol needs (DynamoDB: conditional PutItem / GetItem /
-    * UpdateItem). In-JVM double; swap for a real client in production.
-    */
-  final class Coord {
+  /** In-JVM [[Coordination]] double (tests, single-process use). */
+  final class Coord extends Coordination {
     private val table =
       new java.util.concurrent.ConcurrentHashMap[String, Entry]()
-    /** Conditional insert: None = claim won; Some(existing) = lost. */
-    def claim(key: String, e: Entry): Option[Entry] =
+    override def claim(key: String, e: Entry): Option[Entry] =
       Option(table.putIfAbsent(key, e))
-    def complete(key: String): Unit =
+    override def complete(key: String): Unit =
       table.computeIfPresent(key, (_, e) => e.copy(complete = true))
-    def get(key: String): Option[Entry] = Option(table.get(key))
+    override def get(key: String): Option[Entry] = Option(table.get(key))
     def clear(): Unit = table.clear()
   }
 
@@ -243,4 +257,98 @@ object CoordinatedLogStore {
   // winner path vs the crash-recovery path
   val publishes = new java.util.concurrent.atomic.AtomicLong()
   val recoveries = new java.util.concurrent.atomic.AtomicLong()
+}
+
+/** [[CoordinatedLogStore]] with the coordination table in a REAL
+  * database reached over JDBC — the protocol proven against an actual
+  * conditional-put API instead of the in-JVM double. The claim is an
+  * `INSERT` into a PRIMARY-KEY'd table: the database's uniqueness
+  * enforcement IS the atomic conditional insert (DynamoDB's
+  * `attribute_not_exists` PutItem; Delta's S3 multi-cluster LogStore
+  * commits through exactly this shape). Derby ships with Spark, so the
+  * embedded `jdbc:derby:` URL works out of the box; any JDBC database
+  * with primary keys (Postgres, MySQL) plugs in through the SAME SQL —
+  * swap the URL via the `graft.coord.jdbc.url` system property (a
+  * system property, not Spark conf, because [[LogStore.resolve]]
+  * constructs stores reflectively with no session at hand).
+  */
+class JdbcCoordinatedLogStore extends CoordinatedLogStore {
+  override protected def coordService: Coordination =
+    JdbcCoordinatedLogStore.resolve()
+}
+
+object JdbcCoordinatedLogStore {
+  val UrlProp = "graft.coord.jdbc.url"
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, JdbcCoordination]()
+
+  def resolve(): JdbcCoordination = {
+    val url = sys.props.getOrElse(UrlProp,
+      s"jdbc:derby:${sys.props("java.io.tmpdir")}/graft-coord-db;create=true")
+    cache.computeIfAbsent(url, u => new JdbcCoordination(u))
+  }
+}
+
+/** [[Coordination]] over JDBC. One short-lived connection per call —
+  * claim latency is one database round trip, which is the cost DynamoDB
+  * charges too; callers hit this once per commit attempt, not per row.
+  */
+final class JdbcCoordination(url: String) extends Coordination {
+  import CoordinatedLogStore.Entry
+
+  // Derby's embedded driver rides with Spark; other databases bring
+  // their own driver on the classpath (DriverManager autoloads it).
+  try Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+  catch { case _: ClassNotFoundException => () }
+
+  private def withConn[A](f: java.sql.Connection => A): A = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  // bootstrap: create the coordination table if absent (Derby has no
+  // IF NOT EXISTS — X0Y32 = "already exists", benign under a race)
+  withConn { c =>
+    try {
+      c.createStatement().executeUpdate(
+        "CREATE TABLE graft_coord (" +
+          "k VARCHAR(1024) PRIMARY KEY, owner VARCHAR(128), " +
+          "tmp VARCHAR(1024), complete INT)")
+      ()
+    } catch {
+      case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+    }
+  }
+
+  override def claim(key: String, e: Entry): Option[Entry] = withConn { c =>
+    try {
+      val ps = c.prepareStatement(
+        "INSERT INTO graft_coord (k, owner, tmp, complete) VALUES (?, ?, ?, 0)")
+      ps.setString(1, key); ps.setString(2, e.owner); ps.setString(3, e.tmpPath)
+      ps.executeUpdate()
+      None // the primary key admitted us: claim won, atomically
+    } catch {
+      case _: java.sql.SQLIntegrityConstraintViolationException =>
+        getIn(c, key) // duplicate key: lost — return the winner's entry
+    }
+  }
+
+  override def complete(key: String): Unit = withConn { c =>
+    val ps = c.prepareStatement("UPDATE graft_coord SET complete = 1 WHERE k = ?")
+    ps.setString(1, key)
+    ps.executeUpdate()
+    ()
+  }
+
+  override def get(key: String): Option[Entry] = withConn(getIn(_, key))
+
+  private def getIn(c: java.sql.Connection, key: String): Option[Entry] = {
+    val ps = c.prepareStatement(
+      "SELECT owner, tmp, complete FROM graft_coord WHERE k = ?")
+    ps.setString(1, key)
+    val rs = ps.executeQuery()
+    if (rs.next()) Some(Entry(rs.getString(1), rs.getString(2), rs.getInt(3) == 1))
+    else None
+  }
 }

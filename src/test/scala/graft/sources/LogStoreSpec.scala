@@ -208,6 +208,59 @@ class LogStoreSpec extends SparkSpec {
     }
   }
 
+  test("JDBC-backed coordination: a REAL conditional-put database arbitrates the race + crash recovery") {
+    // The in-JVM Coord double becomes an actual database (Derby, ships
+    // with Spark): the claim is an INSERT against a PRIMARY KEY — the
+    // database's uniqueness enforcement is the atomic conditional put,
+    // the DynamoDB shape the reference parks its lock in. Same protocol
+    // suite, zero protocol changes.
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-coord-jdbc").toString
+    System.setProperty("derby.stream.error.file", s"$dbDir/derby.log")
+    System.setProperty(JdbcCoordinatedLogStore.UrlProp,
+      s"jdbc:derby:$dbDir/db;create=true")
+    try withLogStore(classOf[JdbcCoordinatedLogStore]) {
+      val t = tempTable("jdbccoord")
+      val threads = 4; val each = 2
+      val pool = Executors.newFixedThreadPool(threads)
+      val got =
+        try {
+          val fs = (0 until threads).map { w =>
+            pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+              def call(): Seq[Long] = (0 until each).map { i =>
+                SnapshotStore.append(Seq(w * 100L + i).toDF("id"), t)
+              }
+            })
+          }
+          fs.flatMap(_.get(120, TimeUnit.SECONDS))
+        } finally pool.shutdown()
+      assert(got.toSet === (1L to (threads * each).toLong).toSet,
+        "every committer lands a distinct serial version through the database")
+      assert(SnapshotStore.snapshot(spark, t).count() === (threads * each).toLong)
+      // crash recovery THROUGH the database: a dead process's PENDING
+      // claim sits in the real table; the next committer recovers it
+      val dir = new Path(t, "_graft_log")
+      val conf = spark.sessionState.newHadoopConf()
+      val body = "m\top\tappend"
+      val crc = new java.util.zip.CRC32(); crc.update(body.getBytes("UTF-8"))
+      val payload =
+        (body + "\n" + f"e\t${crc.getValue}%08x" + "\n").getBytes("UTF-8")
+      val tmp = LogStore.writeTmp(conf, dir, payload)
+      val v9 = new Path(dir, f"${9L}%020d.commit")
+      val coord = JdbcCoordinatedLogStore.resolve()
+      assert(coord.claim(v9.toString, CoordinatedLogStore.Entry(
+        "crashed-proc", tmp.toString, complete = false)).isEmpty,
+        "crashed writer's claim must win in the database")
+      CoordinatedLogStore.recoveries.set(0L)
+      val v = SnapshotStore.append(Seq(999L).toDF("id"), t)
+      assert(v === 10L, s"live committer lands after the recovered v9, got v$v")
+      assert(CoordinatedLogStore.recoveries.get() >= 1L, "recovery path must run")
+      assert(coord.get(v9.toString).exists(_.complete),
+        "recovery must flip the database entry to COMPLETE")
+      assert(SnapshotStore.versions(spark, t) === (1L to 10L))
+      assert(SnapshotStore.snapshot(spark, t).count() === 9L)
+    } finally System.clearProperty(JdbcCoordinatedLogStore.UrlProp)
+  }
+
   test("store resolution: unknown class fails loudly; default is the rename store") {
     val t = tempTable("resolve")
     withLogStore(classOf[RenameLogStore]) { // explicit = default

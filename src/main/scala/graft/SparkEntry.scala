@@ -938,6 +938,62 @@ object SparkEntry {
           col("seq").cast("double").as("num"), col("label"))
       gps.unionByName(tag).orderBy(col("topic"), col("ts"), col("num"))
     }),
+    "q_bag_counts" -> ((s, d) => {
+      // `rosbag info`'s message tally at fleet scale: pack events into
+      // 64 multi-chunk multi-topic bags (topic = event_type, all three
+      // codecs), write real files, then GROUP BY topic count(*) —
+      // answered ENTIRELY from chunk-info index records via DSv2
+      // aggregate pushdown (BagAggPushdown): zero chunks are read or
+      // decompressed, so at 100 TB the tally costs one O(index)
+      // positioned read per bag instead of a full decompress-scan.
+      // BagDataSourceSpec pins readCalls == 0; the oracle pins values.
+      graft.plans.GraftExtensions.register(s)
+      val dir = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-bagcnt").toString
+      val msgs = eventsUs(s, d).select(
+        pmod(col("user_id"), lit(64)).as("g"),
+        struct(col("event_type").as("topic"), col("ts_us").as("ts_us"),
+          encode(col("props"), "utf-8").as("payload")).as("m"))
+      val bags = msgs.groupBy(col("g"))
+        .agg(graft.sources.Containers.bagPackTyped(
+          sort_array(collect_list(col("m"))),
+          when(pmod(col("g"), lit(3)) === 0, "none")
+            .when(pmod(col("g"), lit(3)) === 1, "bz2")
+            .otherwise("lz4"),
+          lit("uint8[] data\n"), messagesPerChunk = 256).as("bag"))
+        .select(concat(lit("g"), col("g")).as("bag_file"), col("bag"))
+      graft.sources.Containers.writeBags(bags, dir)
+      s.read.format("graft.sources.v2.BagDataSource").load(dir)
+        .groupBy(col("topic")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("topic"))
+    }),
+    "q_bag_info" -> ((s, d) => {
+      // the global tally: count(*) + min/max(ts_us) over a bag
+      // directory, index-only (chunk-info counts + per-chunk
+      // [start_time, end_time] — rosbag's own time index read at
+      // planning; min over chunk starts IS the global min because every
+      // message lives in exactly one chunk). Same zero-chunk-read
+      // contract as q_bag_counts, oracle-pinned from events.
+      graft.plans.GraftExtensions.register(s)
+      val dir = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-baginfo").toString
+      val msgs = eventsUs(s, d).select(
+        pmod(col("user_id"), lit(64)).as("g"),
+        struct(col("event_type").as("topic"), col("ts_us").as("ts_us"),
+          encode(col("props"), "utf-8").as("payload")).as("m"))
+      val bags = msgs.groupBy(col("g"))
+        .agg(graft.sources.Containers.bagPackTyped(
+          sort_array(collect_list(col("m"))),
+          when(pmod(col("g"), lit(3)) === 0, "none")
+            .when(pmod(col("g"), lit(3)) === 1, "bz2")
+            .otherwise("lz4"),
+          lit("uint8[] data\n"), messagesPerChunk = 256).as("bag"))
+        .select(concat(lit("g"), col("g")).as("bag_file"), col("bag"))
+      graft.sources.Containers.writeBags(bags, dir)
+      s.read.format("graft.sources.v2.BagDataSource").load(dir)
+        .agg(count(lit(1)).as("n"), min(col("ts_us")).as("min_ts"),
+          max(col("ts_us")).as("max_ts"))
+    }),
     "q_snapshot_roundtrip" -> ((s, d) => {
       // transactional-table roundtrip: base append + increment append
       // into a fresh SnapshotStore table (stats harvested on doc_id),
@@ -2394,6 +2450,12 @@ object SparkEntry {
         |WHERE epoch_us(ts) >= b.mn + (b.mx - b.mn) * 2 // 5
         |  AND epoch_us(ts) <= b.mn + (b.mx - b.mn) // 2
         |ORDER BY user_id, seq""".stripMargin,
+    "q_bag_counts" ->
+      """SELECT event_type AS topic, count(*) AS cnt FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bag_info" ->
+      """SELECT count(*) AS n, min(epoch_us(ts)) AS min_ts,
+        |  max(epoch_us(ts)) AS max_ts FROM events""".stripMargin,
     "q_snapshot_strbox" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang >= 'de' AND lang <= 'fr' ORDER BY doc_id""".stripMargin,

@@ -364,11 +364,17 @@ object BagPlanner {
     * time index, which is what lets a time-banded scan drop chunks at
     * PLANNING (a chunk absent from the map has no known range and is
     * never pruned).
+    * `chunkCounts` maps a chunk offset to its per-connection message
+    * counts from the same chunk-info records — `rosbag info`'s message
+    * tally, and what lets `count(*)` / `GROUP BY topic` queries answer
+    * from the index alone without touching chunk data (a chunk absent
+    * from the map has unknown counts and disables that fast path).
     */
   final case class BagPlan(conns: Map[Int, String], chunkOffsets: Seq[Long],
                           rawSpans: Seq[(Long, Long)],
                           connInfo: Map[Int, ConnInfo] = Map.empty,
-                          chunkTimes: Map[Long, (Long, Long)] = Map.empty)
+                          chunkTimes: Map[Long, (Long, Long)] = Map.empty,
+                          chunkCounts: Map[Long, Map[Int, Long]] = Map.empty)
 
   private def le32(b: Array[Byte]): Int =
     ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
@@ -409,6 +415,7 @@ object BagPlanner {
       val chunkOffsets = Seq.newBuilder[Long]
       val rawSpans = Seq.newBuilder[(Long, Long)]
       val chunkTimes = Map.newBuilder[Long, (Long, Long)]
+      val chunkCounts = Map.newBuilder[Long, Map[Int, Long]]
       var spanStart = -1L
       var off = from
       while (off < fileLen) {
@@ -435,6 +442,23 @@ object BagPlanner {
             chunkOffsets += pos
             for (s <- fields.get("start_time"); e <- fields.get("end_time"))
               chunkTimes += pos -> (BagCodec.timeUs(s), BagCodec.timeUs(e))
+            // data payload: `count` (conn uint32, msg-count uint32)
+            // pairs — still O(index), 8 bytes per (chunk, connection).
+            // A malformed payload just leaves the chunk out of
+            // chunkCounts (count pushdown then declines; never lies).
+            val nConns = fields.get("count").map(le32).getOrElse(-1)
+            if (nConns >= 0 && dlen == 8L * nConns) {
+              val data = readAt(next - dlen, dlen)
+              val m = Map.newBuilder[Int, Long]
+              var i = 0
+              while (i < nConns) {
+                val c = le32(java.util.Arrays.copyOfRange(data, i * 8, i * 8 + 4))
+                val n = le32(java.util.Arrays.copyOfRange(data, i * 8 + 4, i * 8 + 8))
+                m += c -> (n.toLong & 0xFFFFFFFFL)
+                i += 1
+              }
+              chunkCounts += pos -> m.result()
+            }
           case 0x02 if !indexOnly =>
             if (spanStart < 0) spanStart = off
           case _ =>
@@ -446,7 +470,8 @@ object BagPlanner {
       }
       if (spanStart >= 0) rawSpans += ((spanStart, fileLen - spanStart))
       BagPlan(conns.result(), chunkOffsets.result().distinct.sorted,
-        rawSpans.result(), connInfos.result(), chunkTimes.result())
+        rawSpans.result(), connInfos.result(), chunkTimes.result(),
+        chunkCounts.result())
     }
 
     if (indexPos >= afterBagHeader && indexPos < fileLen)

@@ -192,13 +192,38 @@ object TsBand {
 
 class BagScanBuilder(path: String, hconf: SerializableHadoopConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
   import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
 
   private var required: StructType = ContainerDataSource.fullSchema
   private var pushedTopics: Option[Set[String]] = None
   private var tsBand: Option[(Long, Long)] = None
   private var pushed: Array[Filter] = Array.empty
+  // memoized per Aggregation instance: supportCompletePushDown and
+  // pushAggregation both probe, and each probe is an O(index) plan
+  private var aggProbe: Option[(Aggregation, Option[(StructType, Array[Array[Any]])])] = None
+  private var aggResult: Option[(StructType, Array[Array[Any]])] = None
+
+  private def tryAgg(agg: Aggregation): Option[(StructType, Array[Array[Any]])] = {
+    aggProbe match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = BagAggPushdown.tryPlan(path, hconf.value, agg, pushedTopics,
+          tsBand, typedTopic = None,
+          nonNullCols = Set("bag_file", "topic", "ts_us", "payload"))
+        aggProbe = Some((agg, r))
+        r
+    }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    tryAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggResult = tryAgg(agg)
+    aggResult.isDefined
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -229,8 +254,10 @@ class BagScanBuilder(path: String, hconf: SerializableHadoopConf)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new BagScan(path, hconf, required, pushedTopics, tsBand)
+  override def build(): Scan = aggResult match {
+    case Some((schema, rows)) => new BagAggScan(schema, rows, path)
+    case None => new BagScan(path, hconf, required, pushedTopics, tsBand)
+  }
 }
 
 class BagScan(path: String, hconf: SerializableHadoopConf,
@@ -269,12 +296,15 @@ class BagScan(path: String, hconf: SerializableHadoopConf,
 class TypedBagScanBuilder(path: String, topic: String, defn: String,
                           hconf: SerializableHadoopConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
   import org.apache.spark.sql.sources.Filter
 
   private var required: StructType = BagDataSource.typedSchema(defn)
   private var tsBand: Option[(Long, Long)] = None
   private var pushed: Array[Filter] = Array.empty
+  private var aggProbe: Option[(Aggregation, Option[(StructType, Array[Array[Any]])])] = None
+  private var aggResult: Option[(StructType, Array[Array[Any]])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -288,8 +318,32 @@ class TypedBagScanBuilder(path: String, topic: String, defn: String,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new TypedBagScan(path, topic, defn, hconf, required, tsBand)
+  // typed count(*) / GROUP BY bag_file count(*): exact from the topic's
+  // per-connection index counts; min/max(ts_us) stays declined (chunk
+  // ranges span ALL topics, the typed scan restricts to one)
+  private def tryAgg(agg: Aggregation): Option[(StructType, Array[Array[Any]])] =
+    aggProbe match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = BagAggPushdown.tryPlan(path, hconf.value, agg,
+          topicFilter = None, tsBand, typedTopic = Some(topic),
+          nonNullCols = Set("bag_file", "ts_us"))
+        aggProbe = Some((agg, r))
+        r
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    tryAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggResult = tryAgg(agg)
+    aggResult.isDefined
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, rows)) => new BagAggScan(schema, rows, path)
+    case None => new TypedBagScan(path, topic, defn, hconf, required, tsBand)
+  }
 }
 
 class TypedBagScan(path: String, topic: String, defn: String,
@@ -379,6 +433,24 @@ object BagScan {
     */
   def planFile(f: String, conf: org.apache.hadoop.conf.Configuration,
                band: Option[(Long, Long)] = None): Seq[InputPartition] = {
+    val plan = readPlan(f, conf)
+    val chunks = band match {
+      case Some((lo, hi)) => plan.chunkOffsets.filter { off =>
+        plan.chunkTimes.get(off).forall { case (s, e) => e >= lo && s <= hi } }
+      case None => plan.chunkOffsets
+    }
+    chunks.map(off =>
+      BagPartition(f, off, -1L, plan.conns): InputPartition) ++
+    plan.rawSpans.map { case (off, spanLen) =>
+      BagPartition(f, off, spanLen, plan.conns): InputPartition }
+  }
+
+  /** The O(index) positioned-read plan of one bag (probe-counted — the
+    * same counters the one-pass specs assert, whichever consumer
+    * triggers the read: chunk planning or index-only aggregates).
+    */
+  def readPlan(f: String,
+               conf: org.apache.hadoop.conf.Configuration): BagPlanner.BagPlan = {
     planCalls.incrementAndGet()
     val depth = planningNow.incrementAndGet()
     planningMax.accumulateAndGet(depth, (a: Int, b: Int) => math.max(a, b))
@@ -387,22 +459,197 @@ object BagScan {
       val ffs = fp.getFileSystem(conf)
       val len = ffs.getFileStatus(fp).getLen
       val in = ffs.open(fp)
-      val plan =
-        try BagPlanner.plan((off, n) => {
-          val b = new Array[Byte](n); in.readFully(off, b); b
-        }, len)
-        finally in.close()
-      val chunks = band match {
-        case Some((lo, hi)) => plan.chunkOffsets.filter { off =>
-          plan.chunkTimes.get(off).forall { case (s, e) => e >= lo && s <= hi } }
-        case None => plan.chunkOffsets
-      }
-      chunks.map(off =>
-        BagPartition(f, off, -1L, plan.conns): InputPartition) ++
-      plan.rawSpans.map { case (off, spanLen) =>
-        BagPartition(f, off, spanLen, plan.conns): InputPartition }
+      try BagPlanner.plan((off, n) => {
+        val b = new Array[Byte](n); in.readFully(off, b); b
+      }, len)
+      finally in.close()
     } finally planningNow.decrementAndGet()
   }
+
+  /** Every bag's plan under `path`, pooled like [[planMany]] — the
+    * driver-side input to index-only aggregate answering. */
+  def readPlans(path: String,
+                conf: org.apache.hadoop.conf.Configuration): Seq[(String, BagPlanner.BagPlan)] = {
+    val files = listFiles(path, conf).toSeq
+    if (files.isEmpty) Nil
+    else if (files.sizeIs == 1) Seq(files.head -> readPlan(files.head, conf))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(files.size, 16))
+      try {
+        files.map { f =>
+          f -> pool.submit(new java.util.concurrent.Callable[BagPlanner.BagPlan] {
+            override def call(): BagPlanner.BagPlan = readPlan(f, conf)
+          })
+        }.map { case (f, fut) => f -> fut.get() }
+      } finally pool.shutdown()
+    }
+  }
+}
+
+/** Index-only aggregate answering — `rosbag info`'s tally as DSv2
+  * aggregate pushdown. chunk-info records carry per-connection message
+  * counts and per-chunk [start_time, end_time], so
+  * `count(*)`, `GROUP BY topic/bag_file count(*)` and global
+  * `min/max(ts_us)` are answerable from the index section alone: at
+  * 100 TB that's the difference between decompressing every chunk of
+  * every bag and ONE O(index) positioned read per bag at planning
+  * (the same read chunk planning already does). Pushdown is accepted
+  * ONLY when the index provably covers the question — any raw span
+  * (crashed writer), any chunk missing its counts, any unknown
+  * connection id, or any predicate the index can't answer exactly
+  * (a ts_us band — chunk ranges are approximate) declines, and Spark
+  * aggregates scan rows normally. Complete pushdown: the scan's rows
+  * ARE the final answer (one row per group), no partial agg above.
+  */
+object BagAggPushdown {
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  private sealed trait AggCol
+  private case object Cnt extends AggCol
+  private case object MinTs extends AggCol
+  private case object MaxTs extends AggCol
+
+  private def colName(e: VExpr): Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+    case _ => None
+  }
+
+  /** Answer `agg` from bag indexes, or None when exactness can't be
+    * proven. `typedTopic` (the typed scan's one topic) restricts counts
+    * to that topic's connections; `topicFilter` is the untyped scan's
+    * consumed pushed filter, applied the same way.
+    */
+  def tryPlan(path: String, conf: org.apache.hadoop.conf.Configuration,
+              agg: Aggregation,
+              topicFilter: Option[Set[String]],
+              tsBand: Option[(Long, Long)],
+              typedTopic: Option[String],
+              nonNullCols: Set[String]): Option[(StructType, Array[Array[Any]])] = {
+    if (tsBand.isDefined) return None // chunk time ranges are approximate
+    val groupOpt = agg.groupByExpressions.toSeq.map(colName)
+    if (groupOpt.exists(_.isEmpty)) return None
+    val groupCols = groupOpt.flatten
+    val allowedGroup: Set[String] =
+      if (typedTopic.isDefined) Set("bag_file") else Set("bag_file", "topic")
+    if (!groupCols.forall(allowedGroup) || groupCols.distinct.size != groupCols.size)
+      return None
+
+    val funcsOpt: Seq[Option[AggCol]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(Cnt)
+      case c: Count if !c.isDistinct && colName(c.column).exists(nonNullCols) =>
+        Some(Cnt) // count(non-null col) ≡ count(*)
+      case m: Min if colName(m.column).contains("ts_us") => Some(MinTs)
+      case m: Max if colName(m.column).contains("ts_us") => Some(MaxTs)
+      case _ => None
+    }
+    if (funcsOpt.exists(_.isEmpty) || funcsOpt.isEmpty) return None
+    val funcs = funcsOpt.flatten
+    val needTimes = funcs.exists(f => f == MinTs || f == MaxTs)
+    // chunk [start,end] spans ALL topics of the chunk: min/max(ts_us)
+    // is exact only unrestricted (no group, no topic subset)
+    if (needTimes &&
+        (groupCols.nonEmpty || topicFilter.isDefined || typedTopic.isDefined))
+      return None
+
+    val plans = BagScan.readPlans(path, conf)
+    val sound = plans.forall { case (_, p) =>
+      p.rawSpans.isEmpty &&
+      p.chunkOffsets.forall(p.chunkCounts.contains) &&
+      p.chunkCounts.valuesIterator.flatMap(_.keysIterator)
+        .forall(p.conns.contains) &&
+      (!needTimes || p.chunkOffsets.forall(p.chunkTimes.contains))
+    }
+    if (!sound) return None
+
+    val keep: String => Boolean = t =>
+      topicFilter.forall(_.contains(t)) && typedTopic.forall(_ == t)
+    // key = group column values in groupCols order
+    val counts = scala.collection.mutable.Map.empty[Seq[String], Long]
+    var minTs = Long.MaxValue
+    var maxTs = Long.MinValue
+    var sawTime = false
+    plans.foreach { case (f, p) =>
+      val bag = new HPath(f).getName.stripSuffix(".bag")
+      p.chunkOffsets.foreach { off =>
+        p.chunkTimes.get(off).foreach { case (s, e) =>
+          sawTime = true; minTs = minTs min s; maxTs = maxTs max e
+        }
+        p.chunkCounts(off).foreach { case (conn, n) =>
+          val topic = p.conns(conn)
+          if (keep(topic) && n > 0) {
+            val key: Seq[String] = groupCols.map {
+              case "bag_file" => bag
+              case _ => topic
+            }
+            counts(key) = counts.getOrElse(key, 0L) + n
+          }
+        }
+      }
+    }
+
+    val aggVals: Seq[String] => Seq[Any] = key => funcs.map {
+      case Cnt => java.lang.Long.valueOf(counts.getOrElse(key, 0L))
+      case MinTs => if (sawTime) java.lang.Long.valueOf(minTs) else null
+      case MaxTs => if (sawTime) java.lang.Long.valueOf(maxTs) else null
+    }
+    val rows: Array[Array[Any]] =
+      if (groupCols.isEmpty)
+        // a global aggregate over empty input is still ONE row
+        // (count(*)=0, min/max=null) — plain SQL semantics
+        Array((aggVals(Nil)).toArray)
+      else counts.keys.toSeq.sortBy(_.mkString(" "))
+        .map(key => (key ++ aggVals(key)).toArray[Any]).toArray
+
+    val schema = StructType(
+      groupCols.map(g => StructField(g, StringType, nullable = false)) ++
+      funcs.zipWithIndex.map {
+        case (Cnt, i) => StructField(s"count_$i", LongType, nullable = false)
+        case (MinTs, i) => StructField(s"min_ts_us_$i", LongType, nullable = true)
+        case (MaxTs, i) => StructField(s"max_ts_us_$i", LongType, nullable = true)
+      })
+    Some((schema, rows))
+  }
+}
+
+/** The pushed-aggregate scan: its rows ARE the final per-group answers,
+  * computed at planning from the bag indexes — a single tiny partition
+  * (bounded by group count: topics × bags at most), zero chunk reads.
+  */
+class BagAggScan(schema: StructType, rows: Array[Array[Any]], path: String)
+    extends Scan with Batch with PlanningAudit {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+
+  // the per-file O(index) I/O ran at PUSHDOWN time (BagScan.readPlans,
+  // pooled); planInputPartitions itself is pure — rows are in hand
+  override def planningDoesPerFileIO: Boolean = false
+  override def planningParallel: Boolean = true
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(BagAggPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BagAggReaderFactory(schema)
+  override def description(): String =
+    s"graft-bag-agg $path [index-only: ${schema.fieldNames.mkString(", ")}]"
+}
+
+/** Precomputed group rows (String / java.lang.Long / null values). */
+case class BagAggPartition(rows: Array[Array[Any]]) extends InputPartition
+
+class BagAggReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val rows = partition.asInstanceOf[BagAggPartition].rows
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow =
+        new GenericInternalRow(rows(i).map {
+          case s: String => UTF8String.fromString(s)
+          case v => v // java.lang.Long boxes unwrap fine; null stays null
+        })
+      override def close(): Unit = ()
+    }
 }
 
 /** One arriving `.bag` file = one micro-batch unit — the streaming twin

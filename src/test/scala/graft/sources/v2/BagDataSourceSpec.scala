@@ -337,4 +337,80 @@ class BagDataSourceSpec extends SparkSpec {
       assert(vs === Seq(0.0, 1.0, 2.0, 10.0, 11.0, 12.0))
     } finally q.stop()
   }
+
+  test("aggregate pushdown: count(*)/GROUP BY answer from the index with ZERO chunk reads") {
+    val dir = Files.createTempDirectory("graft-bagagg").toString
+    mkBag(dir, "agg_a", 30, "none", perChunk = 7)
+    mkBag(dir, "agg_b", 10, "bz2", perChunk = 4)
+    mkBag(dir, "agg_c", 6, "lz4", perChunk = 3)
+    val df = spark.read.format(fmt).load(dir)
+    // ground truth via a full scan first (this DOES read chunks)
+    val truthByTopic = df.groupBy("topic").count()
+      .as[(String, Long)].collect().toMap
+    val truthTotal = truthByTopic.values.sum
+
+    BagChunkIO.readCalls.set(0)
+    val byTopic = df.groupBy("topic").count()
+    assert(byTopic.queryExecution.executedPlan.toString.contains("graft-bag-agg"),
+      "GROUP BY topic count(*) must plan as the index-only aggregate scan:\n" +
+        byTopic.queryExecution.executedPlan.toString)
+    assert(byTopic.as[(String, Long)].collect().toMap === truthByTopic)
+    assert(df.groupBy("bag_file", "topic").count()
+      .as[(String, String, Long)].collect()
+      .map(_._3).sum === truthTotal, "per (bag, topic) counts")
+    val info = df.agg(count(lit(1)), min("ts_us"), max("ts_us"))
+      .as[(Long, Long, Long)].head()
+    assert(info === ((truthTotal, 1000000L, 1000029L)),
+      "global count/min/max from chunk-info records")
+    assert(df.count() === truthTotal)
+    assert(BagChunkIO.readCalls.get() === 0,
+      "index-only aggregates must not read any chunk data")
+  }
+
+  test("aggregate pushdown declines exactly when the index can't answer") {
+    val dir = Files.createTempDirectory("graft-bagaggdecl").toString
+    mkBag(dir, "d_a", 12, "none", perChunk = 5)
+    val df = spark.read.format(fmt).load(dir)
+
+    // topic filter: consumed by pushFilters, counts restricted exactly
+    BagChunkIO.readCalls.set(0)
+    assert(df.filter($"topic" === "camera").count() === 4L)
+    assert(BagChunkIO.readCalls.get() === 0, "topic-filtered count stays index-only")
+
+    // ts band: chunk ranges are approximate -> declined, full scan runs
+    BagChunkIO.readCalls.set(0)
+    val banded = df.filter($"ts_us" >= 1000003L).count()
+    assert(banded === 9L)
+    assert(BagChunkIO.readCalls.get() > 0,
+      "a ts_us predicate must fall back to scanning rows")
+
+    // min/max grouped by topic: chunk times span all topics -> declined
+    BagChunkIO.readCalls.set(0)
+    val g = df.groupBy("topic").agg(max("ts_us")).as[(String, Long)].collect()
+    assert(g.length === 3 && g.map(_._2).max === 1000011L)
+    assert(BagChunkIO.readCalls.get() > 0,
+      "per-topic min/max cannot be answered from chunk-level time ranges")
+  }
+
+  test("typed scan count(*) is index-only and counts ONLY its topic") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val defn = "float64 v\n"
+    val dir = Files.createTempDirectory("graft-bagaggtyped").toString
+    val msgs = (0 until 9).map { i =>
+      val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putDouble(i)
+      (if (i % 3 == 0) "m" else "other", 100L + i, bb.array())
+    }
+    Files.write(Paths.get(dir, "t.bag"),
+      BagCodec.pack(msgs, "none", messagesPerChunk = 4,
+        typeInfo = Some(("graft_msgs/V", defn))))
+    val df = spark.read.format(fmt)
+      .option("typed", "true").option("topic", "m").load(dir)
+    BagChunkIO.readCalls.set(0)
+    assert(df.count() === 3L, "only topic 'm' messages counted")
+    assert(BagChunkIO.readCalls.get() === 0, "typed count is index-only")
+    // but reading values still works (and reads chunks)
+    assert(df.select("v").as[Double].collect().sorted.toSeq === Seq(0.0, 3.0, 6.0))
+    assert(BagChunkIO.readCalls.get() > 0)
+  }
 }

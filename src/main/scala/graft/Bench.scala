@@ -33,11 +33,17 @@ object Bench {
     // row — `count()` would let Catalyst prune unprojected work, timing
     // an empty scan for map-only queries (text ops measured ~0.1s of
     // nothing). This measures what a consumer of the result would pay.
+    // dev-only subset (comma list): re-time a handful of queries without
+    // paying the full suite; the driver never sets it
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     def pass(names: String => Boolean): Map[String, QResult] = {
       // each pass pays the shared dedup pair/cluster tables ONCE (the
       // persist-once-read-everywhere semantics), not zero times
       SparkEntry.clearSharedTables()
-      SparkEntry.queries.filter(kv => names(kv._1)).map { case (name, fn) =>
+      SparkEntry.queries
+        .filter(kv => names(kv._1) && only.forall(_.contains(kv._1)))
+        .map { case (name, fn) =>
         // NO per-query System.gc() quiesce: measured 2026-08-13, forcing
         // full GCs between queries INFLATED the suite 103.6s -> 117.1s
         // (ContextCleaner churn on the shared persisted tables outweighs

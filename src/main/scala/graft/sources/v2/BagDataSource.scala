@@ -192,7 +192,8 @@ object TsBand {
 
 class BagScanBuilder(path: String, hconf: SerializableHadoopConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
   import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
 
@@ -200,6 +201,17 @@ class BagScanBuilder(path: String, hconf: SerializableHadoopConf)
   private var pushedTopics: Option[Set[String]] = None
   private var tsBand: Option[(Long, Long)] = None
   private var pushed: Array[Filter] = Array.empty
+  private var pushedLimit: Option[Int] = None
+
+  // partial limit pushdown (Spark keeps the global Limit above): plan
+  // only enough chunks to provably cover n rows, and stop each reader
+  // at n. A ts band declines — its residual filter would eat rows the
+  // bound promised. (Spark only pushes a limit that sits directly on
+  // the scan, so a residual-filtered plan never reaches here anyway.)
+  override def pushLimit(n: Int): Boolean = {
+    if (tsBand.isDefined) false
+    else { pushedLimit = Some(n); true }
+  }
   // memoized per Aggregation instance: supportCompletePushDown and
   // pushAggregation both probe, and each probe is an O(index) plan
   private var aggProbe: Option[(Aggregation, Option[(StructType, Array[Array[Any]])])] = None
@@ -256,26 +268,45 @@ class BagScanBuilder(path: String, hconf: SerializableHadoopConf)
 
   override def build(): Scan = aggResult match {
     case Some((schema, rows)) => new BagAggScan(schema, rows, path)
-    case None => new BagScan(path, hconf, required, pushedTopics, tsBand)
+    case None =>
+      new BagScan(path, hconf, required, pushedTopics, tsBand, pushedLimit)
   }
 }
 
 class BagScan(path: String, hconf: SerializableHadoopConf,
               required: StructType,
               topicFilter: Option[Set[String]],
-              tsBand: Option[(Long, Long)] = None)
-    extends Scan with Batch with PlanningAudit {
+              tsBand: Option[(Long, Long)] = None,
+              limit: Option[Int] = None)
+    extends Scan with Batch with PlanningAudit with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planningDoesPerFileIO: Boolean = true // O(index) read per bag
-  override def planningParallel: Boolean = true // BagScan.planMany pool
+  override def planningParallel: Boolean = true // BagScan.readPlans pool
+
+  // ONE pooled O(index) read per file, shared by partition planning and
+  // statistics — estimateStatistics must not double the planning I/O
+  private lazy val plans: Seq[PlannedBag] = BagScan.readPlans(path, hconf.value)
+  private def keepTopic: String => Boolean =
+    t => topicFilter.forall(_.contains(t))
 
   override def planInputPartitions(): Array[InputPartition] =
-    BagScan.planFiles(path, hconf.value, tsBand)
+    BagScan.limitPartitions(plans, tsBand, keepTopic, limit)
+
+  /** Index-derived stats: numRows is EXACT when every surviving chunk
+    * carries counts (band-pruned chunks overcount pending the residual
+    * ts filter — an estimate may, results never do); sizeInBytes is the
+    * on-disk compressed bytes of surviving chunks (the same
+    * lower-bound convention Spark's file sources use pre-
+    * fileCompressionFactor). This is what lets Catalyst see a small
+    * topic-filtered bag side and broadcast it.
+    */
+  override def estimateStatistics(): Statistics =
+    BagScanEstimates.of(plans, tsBand, keepTopic)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BagReaderFactory(required, topicFilter, hconf)
+    new BagReaderFactory(required, topicFilter, hconf, limit)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BagMicroBatchStream(path, hconf,
@@ -283,7 +314,8 @@ class BagScan(path: String, hconf: SerializableHadoopConf,
 
   override def description(): String =
     s"graft-bag $path" + tsBand.map { case (lo, hi) =>
-      s" tsBand=[$lo,$hi]" }.getOrElse("")
+      s" tsBand=[$lo,$hi]" }.getOrElse("") +
+      limit.map(n => s" limit=$n").getOrElse("")
 }
 
 /** Typed scan: emits the per-field columns of ONE topic straight from
@@ -296,15 +328,22 @@ class BagScan(path: String, hconf: SerializableHadoopConf,
 class TypedBagScanBuilder(path: String, topic: String, defn: String,
                           hconf: SerializableHadoopConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
   import org.apache.spark.sql.sources.Filter
 
   private var required: StructType = BagDataSource.typedSchema(defn)
   private var tsBand: Option[(Long, Long)] = None
   private var pushed: Array[Filter] = Array.empty
+  private var pushedLimit: Option[Int] = None
   private var aggProbe: Option[(Aggregation, Option[(StructType, Array[Array[Any]])])] = None
   private var aggResult: Option[(StructType, Array[Array[Any]])] = None
+
+  override def pushLimit(n: Int): Boolean = {
+    if (tsBand.isDefined) false
+    else { pushedLimit = Some(n); true }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -342,26 +381,33 @@ class TypedBagScanBuilder(path: String, topic: String, defn: String,
 
   override def build(): Scan = aggResult match {
     case Some((schema, rows)) => new BagAggScan(schema, rows, path)
-    case None => new TypedBagScan(path, topic, defn, hconf, required, tsBand)
+    case None =>
+      new TypedBagScan(path, topic, defn, hconf, required, tsBand, pushedLimit)
   }
 }
 
 class TypedBagScan(path: String, topic: String, defn: String,
                    hconf: SerializableHadoopConf,
                    required: StructType,
-                   tsBand: Option[(Long, Long)] = None)
-    extends Scan with Batch with PlanningAudit {
+                   tsBand: Option[(Long, Long)] = None,
+                   limit: Option[Int] = None)
+    extends Scan with Batch with PlanningAudit with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planningDoesPerFileIO: Boolean = true // O(index) read per bag
-  override def planningParallel: Boolean = true // BagScan.planMany pool
+  override def planningParallel: Boolean = true // BagScan.readPlans pool
+
+  private lazy val plans: Seq[PlannedBag] = BagScan.readPlans(path, hconf.value)
 
   override def planInputPartitions(): Array[InputPartition] =
-    BagScan.planFiles(path, hconf.value, tsBand)
+    BagScan.limitPartitions(plans, tsBand, _ == topic, limit)
+
+  override def estimateStatistics(): Statistics =
+    BagScanEstimates.of(plans, tsBand, _ == topic)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TypedBagReaderFactory(topic, defn, required, hconf)
+    new TypedBagReaderFactory(topic, defn, required, hconf, limit)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BagMicroBatchStream(path, hconf,
@@ -369,7 +415,8 @@ class TypedBagScan(path: String, topic: String, defn: String,
 
   override def description(): String =
     s"graft-bag-typed $path topic=$topic" + tsBand.map { case (lo, hi) =>
-      s" tsBand=[$lo,$hi]" }.getOrElse("")
+      s" tsBand=[$lo,$hi]" }.getOrElse("") +
+      limit.map(n => s" limit=$n").getOrElse("")
 }
 
 object BagScan {
@@ -396,6 +443,61 @@ object BagScan {
   def planFiles(path: String, conf: org.apache.hadoop.conf.Configuration,
                 band: Option[(Long, Long)] = None): Array[InputPartition] =
     planMany(listFiles(path, conf).toSeq, conf, band)
+
+  /** Chunks surviving a ts band — a chunk with no recorded window is
+    * never pruned (pruning may only skip provably-disjoint work). */
+  def survivingChunks(plan: BagPlanner.BagPlan,
+                      band: Option[(Long, Long)]): Seq[Long] = band match {
+    case Some((lo, hi)) => plan.chunkOffsets.filter { off =>
+      plan.chunkTimes.get(off).forall { case (s, e) => e >= lo && s <= hi } }
+    case None => plan.chunkOffsets
+  }
+
+  /** One planned file's chunk/span partitions (the pure half of
+    * [[planFile]] — reusable against an already-read [[BagPlanner.BagPlan]]).
+    */
+  def partitionsOf(f: String, plan: BagPlanner.BagPlan,
+                   band: Option[(Long, Long)]): Seq[InputPartition] = {
+    survivingChunks(plan, band).map(off =>
+      BagPartition(f, off, -1L, plan.conns): InputPartition) ++
+    plan.rawSpans.map { case (off, spanLen) =>
+      BagPartition(f, off, spanLen, plan.conns): InputPartition }
+  }
+
+  /** Partition selection under a pushed limit: include chunks in order,
+    * tallying the index's PROVEN row contribution (per-connection
+    * counts restricted to kept topics; an uncounted chunk proves 0),
+    * and stop planning once the tally covers the limit — `limit(10)`
+    * over a fleet of bags launches one chunk's worth of work. Partial
+    * pushdown: Spark re-applies the global limit above, so planning
+    * MORE than needed is safe, fewer-but-covering is the win.
+    */
+  def limitPartitions(plans: Seq[PlannedBag], band: Option[(Long, Long)],
+                      keepTopic: String => Boolean,
+                      limit: Option[Int]): Array[InputPartition] = limit match {
+    case None =>
+      plans.flatMap(pb => partitionsOf(pb.file, pb.plan, band)).toArray
+    case Some(n) =>
+      val out = Array.newBuilder[InputPartition]
+      var proven = 0L
+      var done = false
+      plans.foreach { pb =>
+        if (!done) {
+          val p = pb.plan
+          survivingChunks(p, band).foreach { off =>
+            if (!done) {
+              out += BagPartition(pb.file, off, -1L, p.conns)
+              p.chunkCounts.get(off).foreach(_.foreach { case (c, k) =>
+                if (p.conns.get(c).exists(keepTopic)) proven += k })
+              if (proven >= n) done = true
+            }
+          }
+          if (!done) p.rawSpans.foreach { case (off, spanLen) =>
+            out += BagPartition(pb.file, off, spanLen, p.conns) }
+        }
+      }
+      out.result()
+  }
 
   /** Plan a SET of bags with a bounded driver-side thread pool. Each
     * file's plan is an independent O(index) positioned read —
@@ -432,25 +534,21 @@ object BagScan {
     * skips provably-disjoint work.
     */
   def planFile(f: String, conf: org.apache.hadoop.conf.Configuration,
-               band: Option[(Long, Long)] = None): Seq[InputPartition] = {
-    val plan = readPlan(f, conf)
-    val chunks = band match {
-      case Some((lo, hi)) => plan.chunkOffsets.filter { off =>
-        plan.chunkTimes.get(off).forall { case (s, e) => e >= lo && s <= hi } }
-      case None => plan.chunkOffsets
-    }
-    chunks.map(off =>
-      BagPartition(f, off, -1L, plan.conns): InputPartition) ++
-    plan.rawSpans.map { case (off, spanLen) =>
-      BagPartition(f, off, spanLen, plan.conns): InputPartition }
-  }
+               band: Option[(Long, Long)] = None): Seq[InputPartition] =
+    partitionsOf(f, readPlan(f, conf), band)
 
   /** The O(index) positioned-read plan of one bag (probe-counted — the
     * same counters the one-pass specs assert, whichever consumer
     * triggers the read: chunk planning or index-only aggregates).
     */
   def readPlan(f: String,
-               conf: org.apache.hadoop.conf.Configuration): BagPlanner.BagPlan = {
+               conf: org.apache.hadoop.conf.Configuration): BagPlanner.BagPlan =
+    readPlanned(f, conf).plan
+
+  /** [[readPlan]] plus the file's on-disk size (the compressed-bytes
+    * lower bound scan statistics report). */
+  def readPlanned(f: String,
+                  conf: org.apache.hadoop.conf.Configuration): PlannedBag = {
     planCalls.incrementAndGet()
     val depth = planningNow.incrementAndGet()
     planningMax.accumulateAndGet(depth, (a: Int, b: Int) => math.max(a, b))
@@ -459,30 +557,72 @@ object BagScan {
       val ffs = fp.getFileSystem(conf)
       val len = ffs.getFileStatus(fp).getLen
       val in = ffs.open(fp)
-      try BagPlanner.plan((off, n) => {
-        val b = new Array[Byte](n); in.readFully(off, b); b
-      }, len)
-      finally in.close()
+      val plan =
+        try BagPlanner.plan((off, n) => {
+          val b = new Array[Byte](n); in.readFully(off, b); b
+        }, len)
+        finally in.close()
+      PlannedBag(f, plan, len)
     } finally planningNow.decrementAndGet()
   }
 
   /** Every bag's plan under `path`, pooled like [[planMany]] — the
-    * driver-side input to index-only aggregate answering. */
+    * driver-side input to index-only aggregates, scan statistics, and
+    * limit-bounded chunk selection. */
   def readPlans(path: String,
-                conf: org.apache.hadoop.conf.Configuration): Seq[(String, BagPlanner.BagPlan)] = {
+                conf: org.apache.hadoop.conf.Configuration): Seq[PlannedBag] = {
     val files = listFiles(path, conf).toSeq
     if (files.isEmpty) Nil
-    else if (files.sizeIs == 1) Seq(files.head -> readPlan(files.head, conf))
+    else if (files.sizeIs == 1) Seq(readPlanned(files.head, conf))
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(files.size, 16))
       try {
         files.map { f =>
-          f -> pool.submit(new java.util.concurrent.Callable[BagPlanner.BagPlan] {
-            override def call(): BagPlanner.BagPlan = readPlan(f, conf)
+          pool.submit(new java.util.concurrent.Callable[PlannedBag] {
+            override def call(): PlannedBag = readPlanned(f, conf)
           })
-        }.map { case (f, fut) => f -> fut.get() }
+        }.map(_.get())
       } finally pool.shutdown()
+    }
+  }
+}
+
+/** One bag's driver-side plan plus its on-disk byte size. */
+case class PlannedBag(file: String, plan: BagPlanner.BagPlan, bytes: Long)
+
+/** Index-derived [[Statistics]] shared by the raw and typed scans. */
+object BagScanEstimates {
+  import java.util.OptionalLong
+
+  def of(plans: Seq[PlannedBag], band: Option[(Long, Long)],
+         keepTopic: String => Boolean): Statistics = {
+    var rows = 0L
+    var exact = true
+    var bytes = 0L
+    plans.foreach { pb =>
+      val p = pb.plan
+      if (p.rawSpans.nonEmpty) exact = false
+      val surviving = BagScan.survivingChunks(p, band)
+      // on-disk bytes scaled to the surviving-chunk fraction — the
+      // compressed lower bound (Spark's file-source convention)
+      bytes += (if (p.chunkOffsets.isEmpty) pb.bytes
+                else pb.bytes * surviving.size / p.chunkOffsets.size)
+      surviving.foreach { off =>
+        p.chunkCounts.get(off) match {
+          case Some(m) => m.foreach { case (c, k) =>
+            if (p.conns.get(c).exists(keepTopic)) rows += k }
+          case None => exact = false
+        }
+      }
+    }
+    // NOT named numRows/sizeInBytes: inside the anonymous class those
+    // identifiers resolve to the methods being defined (self-recursion)
+    val rowsOpt = if (exact) OptionalLong.of(rows) else OptionalLong.empty()
+    val sizeOpt = OptionalLong.of(bytes)
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = sizeOpt
+      override def numRows(): OptionalLong = rowsOpt
     }
   }
 }
@@ -554,7 +694,8 @@ object BagAggPushdown {
       return None
 
     val plans = BagScan.readPlans(path, conf)
-    val sound = plans.forall { case (_, p) =>
+    val sound = plans.forall { pb =>
+      val p = pb.plan
       p.rawSpans.isEmpty &&
       p.chunkOffsets.forall(p.chunkCounts.contains) &&
       p.chunkCounts.valuesIterator.flatMap(_.keysIterator)
@@ -570,8 +711,9 @@ object BagAggPushdown {
     var minTs = Long.MaxValue
     var maxTs = Long.MinValue
     var sawTime = false
-    plans.foreach { case (f, p) =>
-      val bag = new HPath(f).getName.stripSuffix(".bag")
+    plans.foreach { pb =>
+      val p = pb.plan
+      val bag = new HPath(pb.file).getName.stripSuffix(".bag")
       p.chunkOffsets.foreach { off =>
         p.chunkTimes.get(off).foreach { case (s, e) =>
           sawTime = true; minTs = minTs min s; maxTs = maxTs max e
@@ -718,11 +860,12 @@ case class BagPartition(file: String, offset: Long, spanLen: Long,
 
 class BagReaderFactory(required: StructType,
                        topicFilter: Option[Set[String]],
-                       hconf: SerializableHadoopConf)
+                       hconf: SerializableHadoopConf,
+                       limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new BagPartitionReader(partition.asInstanceOf[BagPartition], required,
-      topicFilter, hconf)
+      topicFilter, hconf, limit)
 }
 
 /** Seeks to its chunk, reads exactly that record, inflates and decodes
@@ -781,11 +924,12 @@ object BagChunkIO {
 
 class TypedBagReaderFactory(topic: String, defn: String,
                             required: StructType,
-                            hconf: SerializableHadoopConf)
+                            hconf: SerializableHadoopConf,
+                            limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new TypedBagPartitionReader(partition.asInstanceOf[BagPartition],
-      topic, defn, required, hconf)
+      topic, defn, required, hconf, limit)
 }
 
 /** The typed reader: for each message of THE topic, decode only the
@@ -794,9 +938,13 @@ class TypedBagReaderFactory(topic: String, defn: String,
   */
 class TypedBagPartitionReader(part: BagPartition, topic: String,
                               defn: String, required: StructType,
-                              hconf: SerializableHadoopConf)
+                              hconf: SerializableHadoopConf,
+                              limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
   import graft.plans.RosMsg
+
+  private val cap = limit.getOrElse(Int.MaxValue)
+  private var emitted = 0
 
   private val bagFile =
     UTF8String.fromString(new HPath(part.file).getName.stripSuffix(".bag"))
@@ -817,6 +965,7 @@ class TypedBagPartitionReader(part: BagPartition, topic: String,
   private var row: InternalRow = _
 
   override def next(): Boolean = {
+    if (emitted >= cap) return false // pushed limit: this task's share is done
     while (messages.hasNext) {
       val (t, ts, payload) = messages.next()
       if (t == topic) {
@@ -826,6 +975,7 @@ class TypedBagPartitionReader(part: BagPartition, topic: String,
           case Left(_) => ts
           case Right(i) => vals(i)
         }.asInstanceOf[Array[Any]])
+        emitted += 1
         return true
       }
     }
@@ -838,7 +988,8 @@ class TypedBagPartitionReader(part: BagPartition, topic: String,
 
 class BagPartitionReader(part: BagPartition, required: StructType,
                          topicFilter: Option[Set[String]],
-                         hconf: SerializableHadoopConf)
+                         hconf: SerializableHadoopConf,
+                         limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val hPath = new HPath(part.file)
@@ -846,6 +997,8 @@ class BagPartitionReader(part: BagPartition, required: StructType,
   private val fieldIdx = required.fieldNames.map(
     ContainerDataSource.fullSchema.fieldNames.indexOf(_))
   private val wanted = topicFilter
+  private val cap = limit.getOrElse(Int.MaxValue)
+  private var emitted = 0
 
   private val messages: Iterator[(String, Long, Array[Byte])] =
     BagChunkIO.messages(part, hconf)
@@ -853,6 +1006,7 @@ class BagPartitionReader(part: BagPartition, required: StructType,
   private var row: InternalRow = _
 
   override def next(): Boolean = {
+    if (emitted >= cap) return false // pushed limit: this task's share is done
     while (messages.hasNext) {
       val (topic, ts, payload) = messages.next()
       if (wanted.forall(_.contains(topic))) {
@@ -862,6 +1016,7 @@ class BagPartitionReader(part: BagPartition, required: StructType,
           case 2 => ts
           case 3 => payload
         }.asInstanceOf[Array[Any]])
+        emitted += 1
         return true
       }
     }

@@ -392,6 +392,49 @@ class BagDataSourceSpec extends SparkSpec {
       "per-topic min/max cannot be answered from chunk-level time ranges")
   }
 
+  test("index-derived statistics: exact topic-aware row counts reach Catalyst") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val dir = Files.createTempDirectory("graft-bagstats").toString
+    mkBag(dir, "s_a", 30, "none", perChunk = 7)
+    mkBag(dir, "s_b", 10, "bz2", perChunk = 4)
+    val df = spark.read.format(fmt).load(dir)
+    def statsOf(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r.computeStats()
+      }.get
+    val s = statsOf(df)
+    assert(s.rowCount.contains(BigInt(40)), s"row count from index: $s")
+    assert(s.sizeInBytes > 0)
+    // a consumed topic filter restricts the estimate exactly
+    val sf = statsOf(df.filter($"topic" === "camera"))
+    assert(sf.rowCount.contains(BigInt(14)), // 10 of s_a + 4 of s_b
+      s"topic-filtered row count: $sf")
+  }
+
+  test("limit pushdown: plans only covering chunks, caps each reader") {
+    val dir = Files.createTempDirectory("graft-baglimit").toString
+    mkBag(dir, "l_a", 30, "none", perChunk = 7) // chunks of 7,7,7,7,2
+    mkBag(dir, "l_b", 12, "none", perChunk = 4) // chunks of 4,4,4
+    val conf = spark.sessionState.newHadoopConf()
+    val plans = BagScan.readPlans(dir, conf)
+    assert(BagScan.limitPartitions(plans, None, _ => true, None).length === 8)
+    assert(BagScan.limitPartitions(plans, None, _ => true, Some(5)).length === 1,
+      "first 7-message chunk alone covers limit(5)")
+    assert(BagScan.limitPartitions(plans, None, _ == "lidar", Some(5)).length === 2,
+      "lidar needs two chunks (2 + 3 per-connection counts)")
+
+    val df = spark.read.format(fmt).load(dir)
+    assert(df.limit(5).queryExecution.executedPlan.toString.contains("limit=5"),
+      "the pushed limit must reach the scan")
+    assert(df.limit(5).collect().length === 5)
+    val lidar = df.filter($"topic" === "lidar").limit(5).collect()
+    assert(lidar.length === 5 && lidar.forall(_.getString(1) == "lidar"))
+    // a ts band declines the limit (residual filter would eat rows)
+    val banded = df.filter($"ts_us" >= 1000003L).limit(5)
+    assert(!banded.queryExecution.executedPlan.toString.contains("limit=5"))
+    assert(banded.collect().length === 5)
+  }
+
   test("typed scan count(*) is index-only and counts ONLY its topic") {
     import java.nio.{ByteBuffer, ByteOrder}
     val defn = "float64 v\n"

@@ -1091,6 +1091,30 @@ object SparkEntry {
       store.changes(s, t, sinceVersion = 1)
         .orderBy(col("_commit_version"), col("_change_type"), col("doc_id"))
     }),
+    "q_snapshot_agg" -> ((s, d) => {
+      // log-answered lakehouse aggregate: two appends harvesting
+      // doc_id/n_chars stats, then an UNFILTERED global
+      // count/min/max answers from the commit log's per-file stats
+      // alone (SnapshotScanBuilder → IndexAggScan: zero parquet file
+      // reads beyond the log replay; SnapshotDataSourceSpec pins the
+      // plan). At a 100k-file table this beats even footer-level
+      // aggregate pushdown by the full file count.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapagg").toString + "/docs"
+      graft.sources.SnapshotStore.append(
+        docs.filter(col("doc_id") % 10 < 5), t,
+        statsCols = Seq("doc_id", "n_chars"))
+      graft.sources.SnapshotStore.append(
+        docs.filter(col("doc_id") % 10 >= 5), t,
+        statsCols = Seq("doc_id", "n_chars"))
+      s.read.format("graft.sources.v2.SnapshotDataSource").load(t)
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+    }),
     "q_snapshot_sql" -> ((s, d) => {
       // the catalog-qualified SQL surface end to end — ONLY SQL text
       // touches the table after creation: CTAS bootstraps the commit
@@ -2453,6 +2477,10 @@ object SparkEntry {
     "q_bag_counts" ->
       """SELECT event_type AS topic, count(*) AS cnt FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_snapshot_agg" ->
+      """SELECT count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents""".stripMargin,
     "q_bag_info" ->
       """SELECT count(*) AS n, min(epoch_us(ts)) AS min_ts,
         |  max(epoch_us(ts)) AS max_ts FROM events""".stripMargin,

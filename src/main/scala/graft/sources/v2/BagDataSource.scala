@@ -267,7 +267,7 @@ class BagScanBuilder(path: String, hconf: SerializableHadoopConf)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = aggResult match {
-    case Some((schema, rows)) => new BagAggScan(schema, rows, path)
+    case Some((schema, rows)) => BagAggScan(schema, rows, path)
     case None =>
       new BagScan(path, hconf, required, pushedTopics, tsBand, pushedLimit)
   }
@@ -380,7 +380,7 @@ class TypedBagScanBuilder(path: String, topic: String, defn: String,
   }
 
   override def build(): Scan = aggResult match {
-    case Some((schema, rows)) => new BagAggScan(schema, rows, path)
+    case Some((schema, rows)) => BagAggScan(schema, rows, path)
     case None =>
       new TypedBagScan(path, topic, defn, hconf, required, tsBand, pushedLimit)
   }
@@ -741,7 +741,7 @@ object BagAggPushdown {
         // a global aggregate over empty input is still ONE row
         // (count(*)=0, min/max=null) — plain SQL semantics
         Array((aggVals(Nil)).toArray)
-      else counts.keys.toSeq.sortBy(_.mkString(" "))
+      else counts.keys.toSeq.sortBy(_.mkString("\u0000"))
         .map(key => (key ++ aggVals(key)).toArray[Any]).toArray
 
     val schema = StructType(
@@ -755,43 +755,14 @@ object BagAggPushdown {
   }
 }
 
-/** The pushed-aggregate scan: its rows ARE the final per-group answers,
-  * computed at planning from the bag indexes — a single tiny partition
-  * (bounded by group count: topics × bags at most), zero chunk reads.
+/** The bag form of [[IndexAggScan]]: rows computed from chunk-info
+  * indexes, a single tiny partition (bounded by group count:
+  * topics × bags at most), zero chunk reads.
   */
-class BagAggScan(schema: StructType, rows: Array[Array[Any]], path: String)
-    extends Scan with Batch with PlanningAudit {
-  override def readSchema(): StructType = schema
-  override def toBatch: Batch = this
-
-  // the per-file O(index) I/O ran at PUSHDOWN time (BagScan.readPlans,
-  // pooled); planInputPartitions itself is pure — rows are in hand
-  override def planningDoesPerFileIO: Boolean = false
-  override def planningParallel: Boolean = true
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(BagAggPartition(rows))
-  override def createReaderFactory(): PartitionReaderFactory =
-    new BagAggReaderFactory(schema)
-  override def description(): String =
-    s"graft-bag-agg $path [index-only: ${schema.fieldNames.mkString(", ")}]"
-}
-
-/** Precomputed group rows (String / java.lang.Long / null values). */
-case class BagAggPartition(rows: Array[Array[Any]]) extends InputPartition
-
-class BagAggReaderFactory(schema: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PartitionReader[InternalRow] {
-      private val rows = partition.asInstanceOf[BagAggPartition].rows
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow =
-        new GenericInternalRow(rows(i).map {
-          case s: String => UTF8String.fromString(s)
-          case v => v // java.lang.Long boxes unwrap fine; null stays null
-        })
-      override def close(): Unit = ()
-    }
+object BagAggScan {
+  def apply(schema: StructType, rows: Array[Array[Any]], path: String): IndexAggScan =
+    new IndexAggScan(schema, rows,
+      s"graft-bag-agg $path [index-only: ${schema.fieldNames.mkString(", ")}]")
 }
 
 /** One arriving `.bag` file = one micro-batch unit — the streaming twin

@@ -5,10 +5,10 @@ import java.util
 import org.apache.spark.sql.{SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.SnapshotStore
@@ -49,8 +49,8 @@ class SnapshotDataSource extends TableProvider
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val t = resolve(new CaseInsensitiveStringMap(properties))
-    new SnapshotReadTable(t, t.name)
+    val (t, live) = resolveWithLive(new CaseInsensitiveStringMap(properties))
+    new SnapshotReadTable(t, t.name, live)
   }
 
   // ------------------------------------------------- streaming (v1 Source)
@@ -78,7 +78,11 @@ class SnapshotDataSource extends TableProvider
 object SnapshotDataSource {
   val VersionAsOf = "versionAsOf"
 
-  private def resolve(options: CaseInsensitiveStringMap): ParquetTable = {
+  private def resolve(options: CaseInsensitiveStringMap): ParquetTable =
+    resolveWithLive(options)._1
+
+  private def resolveWithLive(options: CaseInsensitiveStringMap)
+      : (ParquetTable, Seq[SnapshotStore.AddFile]) = {
     val spark = SparkSession.active
     val table = Option(options.get("path")).getOrElse(throw new
       IllegalArgumentException("graft-snapshot requires .load(<table path>)"))
@@ -87,22 +91,122 @@ object SnapshotDataSource {
     require(snap.live.nonEmpty, s"snapshot $table@v${snap.version} is empty")
     // recorded table schema (when present) pins the read: old files
     // null-fill mergeSchema'd columns instead of per-file inference
-    ParquetTable(s"graft-snapshot($table@v${snap.version})", spark, options,
+    (ParquetTable(s"graft-snapshot($table@v${snap.version})", spark, options,
       snap.live.map(_.path),
       userSpecifiedSchema = SnapshotStore.tableSchema(spark, table, asOf),
-      fallbackFileFormat = classOf[ParquetFileFormat])
+      fallbackFileFormat = classOf[ParquetFileFormat]),
+      snap.live.toSeq)
   }
 }
 
 /** Read-only facade: delegates scanning to the resolved [[ParquetTable]]
   * while advertising only `BATCH_READ` (see [[SnapshotDataSource]]).
+  * The scan builder is wrapped so unfiltered global aggregates answer
+  * from the COMMIT LOG'S stats instead of any file read.
   */
-class SnapshotReadTable(underlying: ParquetTable, tblName: String)
+class SnapshotReadTable(underlying: ParquetTable, tblName: String,
+                        live: Seq[SnapshotStore.AddFile] = Nil)
     extends Table with SupportsRead {
   override def name(): String = tblName
   override def schema(): StructType = underlying.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    underlying.newScanBuilder(options)
+    underlying.newScanBuilder(options) match {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+          if live.nonEmpty =>
+        new SnapshotScanBuilder(p, live, underlying.schema, tblName)
+      case other => other
+    }
+}
+
+/** Log-answered aggregates for snapshot tables, layered OVER Spark's
+  * parquet scan builder: the commit log records each live file's exact
+  * row count and exact long-column [min,max] (harvested from parquet
+  * footers at commit time — SnapshotStore.commitStaged), so an
+  * unfiltered global `count(*)` / `min(col)` / `max(col)` needs ZERO
+  * file I/O beyond the log replay the read already paid. At a 100k-file
+  * table that beats even Spark's own footer-level aggregate pushdown
+  * (`spark.sql.parquet.aggregatePushdown` — O(files) footer reads) by
+  * the full file count, and it composes with `versionAsOf` because the
+  * stats come from the resolved snapshot.
+  *
+  * Declines — falling through to the inner parquet builder (footer
+  * pushdown if enabled, else a normal scan) — whenever exactness is
+  * unprovable: ANY pushed filter, a group-by, min/max on a column
+  * whose stats any live file lacks (nulls-only files, unharvested
+  * columns, string truncation), or a non-long column. Every other
+  * pushdown (catalyst filters, column pruning, variant extraction)
+  * forwards to the parquet builder untouched.
+  */
+class SnapshotScanBuilder(
+    inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder,
+    live: Seq[SnapshotStore.AddFile],
+    tableSchema: StructType, tblName: String)
+    extends ScanBuilder
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates
+    with SupportsPushDownVariantExtractions {
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  private var sawFilter = false
+  private var logAgg: Option[(StructType, Array[Array[Any]])] = None
+
+  override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    if (filters.nonEmpty) sawFilter = true
+    inner.pushFilters(filters)
+  }
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(requiredSchema)
+  override def pushVariantExtractions(
+      extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction]): Array[Boolean] =
+    inner.pushVariantExtractions(extractions)
+
+  private def colName(e: VExpr): Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+    case _ => None
+  }
+
+  /** A long column every live file carries exact stats for. */
+  private def statsCol(e: VExpr): Option[String] = colName(e).filter { c =>
+    tableSchema.fields.exists(f => f.name == c && f.dataType == LongType) &&
+    live.forall(_.stats.contains(c))
+  }
+
+  private def tryLog(agg: Aggregation): Option[(StructType, Array[Array[Any]])] = {
+    if (sawFilter || agg.groupByExpressions.nonEmpty) return None
+    val vals = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some(("count", java.lang.Long.valueOf(live.map(_.rows).sum)))
+      case m: Min => statsCol(m.column).map(c =>
+        (s"min_$c", java.lang.Long.valueOf(live.map(_.stats(c)._1).min)))
+      case m: Max => statsCol(m.column).map(c =>
+        (s"max_$c", java.lang.Long.valueOf(live.map(_.stats(c)._2).max)))
+      case _ => None
+    }
+    if (vals.isEmpty || vals.exists(_.isEmpty)) return None
+    val named = vals.flatten
+    val schema = StructType(named.zipWithIndex.map { case ((n, _), i) =>
+      StructField(s"${n}_$i", LongType, nullable = false) })
+    Some((schema, Array(named.map(_._2: Any).toArray)))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    tryLog(agg).isDefined || inner.supportCompletePushDown(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    logAgg = tryLog(agg)
+    if (logAgg.isDefined) true else inner.pushAggregation(agg)
+  }
+
+  override def build(): Scan = logAgg match {
+    case Some((schema, rows)) => new IndexAggScan(schema, rows,
+      s"graft-snapshot-agg $tblName [log-only: ${schema.fieldNames.mkString(", ")}]")
+    case None => inner.build()
+  }
 }

@@ -47,6 +47,51 @@ class SnapshotDataSourceSpec extends SparkSpec {
       "a refused write must leave the snapshot untouched")
   }
 
+  test("log-answered aggregates: count/min/max from commit stats, zero file reads") {
+    val t = tempTable("agg")
+    SnapshotStore.append((1L to 60L).map(i => (i, s"s$i")).toDF("id", "v"), t,
+      statsCols = Seq("id"))
+    SnapshotStore.append((61L to 100L).map(i => (i, s"s$i")).toDF("id", "v"), t,
+      statsCols = Seq("id"))
+    val df = spark.read.format(fmt).load(t)
+    val agg = df.agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-snapshot-agg"),
+      s"unfiltered global aggregate must answer from the log:\n$plan")
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"the log-answered plan must not contain a parquet scan:\n$plan")
+    assert(agg.as[(Long, Long, Long)].head() === ((100L, 1L, 100L)))
+    // versionAsOf composes: v1's stats, not the latest
+    val aggV1 = spark.read.format(fmt).option("versionAsOf", 1).load(t)
+      .agg(count(lit(1)), min("id"), max("id"))
+    assert(aggV1.queryExecution.executedPlan.toString.contains("graft-snapshot-agg"))
+    assert(aggV1.as[(Long, Long, Long)].head() === ((60L, 1L, 60L)))
+  }
+
+  test("log-answered aggregates decline exactly: filters, group-by, un-stats'd columns") {
+    val t = tempTable("aggdecl")
+    SnapshotStore.append(
+      (1L to 50L).map(i => (i, i % 7, s"s$i")).toDF("id", "k", "v"), t,
+      statsCols = Seq("id")) // k has NO stats in the log
+    val df = spark.read.format(fmt).load(t)
+    def planOf(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.toString
+
+    val filtered = df.filter(col("id") > 10L).agg(count(lit(1)))
+    assert(!planOf(filtered).contains("graft-snapshot-agg"),
+      "a pushed filter makes log counts wrong — must fall back")
+    assert(filtered.as[Long].head() === 40L)
+
+    val grouped = df.groupBy("k").count()
+    assert(!planOf(grouped).contains("graft-snapshot-agg"))
+    assert(grouped.as[(Long, Long)].collect().map(_._2).sum === 50L)
+
+    val unstats = df.agg(min("k"))
+    assert(!planOf(unstats).contains("graft-snapshot-agg"),
+      "min over a column the log has no stats for must fall back")
+    assert(unstats.as[Long].head() === 0L)
+  }
+
   test("SQL text: a version-pinned temp view serves time travel to pure SQL") {
     val t = tempTable("sql")
     SnapshotStore.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)

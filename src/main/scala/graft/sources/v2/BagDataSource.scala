@@ -278,21 +278,69 @@ class BagScan(path: String, hconf: SerializableHadoopConf,
               topicFilter: Option[Set[String]],
               tsBand: Option[(Long, Long)] = None,
               limit: Option[Int] = None)
-    extends Scan with Batch with PlanningAudit with SupportsReportStatistics {
+    extends Scan with Batch with PlanningAudit with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planningDoesPerFileIO: Boolean = true // O(index) read per bag
   override def planningParallel: Boolean = true // BagScan.readPlans pool
 
-  // ONE pooled O(index) read per file, shared by partition planning and
-  // statistics — estimateStatistics must not double the planning I/O
+  // ONE pooled O(index) read per file, shared by partition planning,
+  // statistics, and runtime-filter replanning — none doubles the I/O
   private lazy val plans: Seq[PlannedBag] = BagScan.readPlans(path, hconf.value)
+
+  // runtime (DPP-style) IN-sets from a joined dimension — None until
+  // Spark calls filter(); merged conjunctively with the static pushdown
+  private var runtimeBags: Option[Set[String]] = None
+  private var runtimeTopics: Option[Set[String]] = None
+
+  private def mergedTopics: Option[Set[String]] = (topicFilter, runtimeTopics) match {
+    case (Some(a), Some(b)) => Some(a intersect b)
+    case (a, b) => a.orElse(b)
+  }
   private def keepTopic: String => Boolean =
-    t => topicFilter.forall(_.contains(t))
+    t => mergedTopics.forall(_.contains(t))
+
+  /** Runtime filtering — the scene-retrieval join shape: broadcast the
+    * scene table, and the IN-set of its `bag_file` (or `topic`) keys
+    * drops WHOLE BAGS (or their rows) from this scan at runtime, before
+    * any chunk read. Pruning is best-effort by contract (the join
+    * re-applies the predicate), so unrecognized runtime filters are
+    * ignored, never wrong.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    // only columns surviving column pruning: Spark resolves these
+    // against the scan's (pruned) output and throws on absent ones
+    Array("bag_file", "topic").filter(required.fieldNames.contains)
+      .map(Expressions.column)
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    def strings(vs: Array[Any]): Option[Set[String]] =
+      if (vs.forall(_.isInstanceOf[String])) Some(vs.map(_.asInstanceOf[String]).toSet)
+      else None
+    def merge(prior: Option[Set[String]], s: Set[String]) =
+      Some(prior.fold(s)(_ intersect s))
+    filters.foreach {
+      case In("bag_file", vs) => strings(vs).foreach(s => runtimeBags = merge(runtimeBags, s))
+      case EqualTo("bag_file", v: String) => runtimeBags = merge(runtimeBags, Set(v))
+      case In("topic", vs) => strings(vs).foreach(s => runtimeTopics = merge(runtimeTopics, s))
+      case EqualTo("topic", v: String) => runtimeTopics = merge(runtimeTopics, Set(v))
+      case _ => () // best-effort: unprunable runtime filters are ignored
+    }
+  }
+
+  private def runtimePlans: Seq[PlannedBag] = runtimeBags match {
+    case Some(keep) => plans.filter(pb =>
+      keep.contains(new HPath(pb.file).getName.stripSuffix(".bag")))
+    case None => plans
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
-    BagScan.limitPartitions(plans, tsBand, keepTopic, limit)
+    BagScan.limitPartitions(runtimePlans, tsBand, keepTopic, limit)
 
   /** Index-derived stats: numRows is EXACT when every surviving chunk
     * carries counts (band-pruned chunks overcount pending the residual
@@ -306,7 +354,7 @@ class BagScan(path: String, hconf: SerializableHadoopConf,
     BagScanEstimates.of(plans, tsBand, keepTopic)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BagReaderFactory(required, topicFilter, hconf, limit)
+    new BagReaderFactory(required, mergedTopics, hconf, limit)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BagMicroBatchStream(path, hconf,
@@ -315,7 +363,8 @@ class BagScan(path: String, hconf: SerializableHadoopConf,
   override def description(): String =
     s"graft-bag $path" + tsBand.map { case (lo, hi) =>
       s" tsBand=[$lo,$hi]" }.getOrElse("") +
-      limit.map(n => s" limit=$n").getOrElse("")
+      limit.map(n => s" limit=$n").getOrElse("") +
+      " runtimeFilters=[bag_file, topic]"
 }
 
 /** Typed scan: emits the per-field columns of ONE topic straight from
@@ -391,7 +440,10 @@ class TypedBagScan(path: String, topic: String, defn: String,
                    required: StructType,
                    tsBand: Option[(Long, Long)] = None,
                    limit: Option[Int] = None)
-    extends Scan with Batch with PlanningAudit with SupportsReportStatistics {
+    extends Scan with Batch with PlanningAudit with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -400,8 +452,34 @@ class TypedBagScan(path: String, topic: String, defn: String,
 
   private lazy val plans: Seq[PlannedBag] = BagScan.readPlans(path, hconf.value)
 
-  override def planInputPartitions(): Array[InputPartition] =
-    BagScan.limitPartitions(plans, tsBand, _ == topic, limit)
+  // runtime bag_file IN-set (see BagScan.filter) — typed rows carry no
+  // topic column, so bag_file is the only runtime-prunable key
+  private var runtimeBags: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array("bag_file").filter(required.fieldNames.contains)
+      .map(Expressions.column)
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    filters.foreach {
+      case In("bag_file", vs) if vs.forall(_.isInstanceOf[String]) =>
+        val s = vs.map(_.asInstanceOf[String]).toSet
+        runtimeBags = Some(runtimeBags.fold(s)(_ intersect s))
+      case EqualTo("bag_file", v: String) =>
+        runtimeBags = Some(runtimeBags.fold(Set(v))(_ intersect Set(v)))
+      case _ => () // best-effort: the join re-applies the predicate
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val kept = runtimeBags match {
+      case Some(keep) => plans.filter(pb =>
+        keep.contains(new HPath(pb.file).getName.stripSuffix(".bag")))
+      case None => plans
+    }
+    BagScan.limitPartitions(kept, tsBand, _ == topic, limit)
+  }
 
   override def estimateStatistics(): Statistics =
     BagScanEstimates.of(plans, tsBand, _ == topic)

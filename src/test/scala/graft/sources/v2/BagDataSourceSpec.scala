@@ -435,6 +435,58 @@ class BagDataSourceSpec extends SparkSpec {
     assert(banded.collect().length === 5)
   }
 
+  test("runtime filtering: a joined dimension's bag_file IN-set prunes whole bags") {
+    import org.apache.spark.sql.sources.In
+    val dir = Files.createTempDirectory("graft-bagrf").toString
+    mkBag(dir, "r_a", 14, "none", perChunk = 7)
+    mkBag(dir, "r_b", 14, "none", perChunk = 7)
+    mkBag(dir, "r_c", 14, "none", perChunk = 7)
+    val hconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+
+    // the SupportsRuntimeFiltering contract, unit-level (an e2e DPP
+    // trigger depends on size heuristics; the contract does not)
+    val bs = new BagScanBuilder(dir, hconf).build().asInstanceOf[BagScan]
+    assert(bs.filterAttributes().map(_.fieldNames().mkString) ===
+      Array("bag_file", "topic"))
+    assert(bs.planInputPartitions().length === 6)
+    bs.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("bag_file", Array[Any]("r_a", "r_c"))))
+    assert(bs.planInputPartitions().length === 4,
+      "the runtime IN-set must drop r_b's chunks before any read")
+    bs.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("topic", Array[Any]("lidar"))))
+    val rows = bs.planInputPartitions() // topic prunes rows in the reader, not partitions
+    assert(rows.length === 4)
+
+    // typed twin prunes on bag_file
+    val tdir = Files.createTempDirectory("graft-bagrft").toString
+    val defn = "float64 v\n"
+    def mkTyped(name: String): Unit = {
+      val msgs = (0 until 4).map { i =>
+        val bb = java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putDouble(i)
+        ("m", 100L + i, bb.array())
+      }
+      Files.write(Paths.get(tdir, s"$name.bag"),
+        BagCodec.pack(msgs, "none", messagesPerChunk = 2,
+          typeInfo = Some(("graft_msgs/V", defn))))
+    }
+    mkTyped("t_a"); mkTyped("t_b")
+    val ts = new TypedBagScanBuilder(tdir, "m", defn, hconf)
+      .build().asInstanceOf[TypedBagScan]
+    assert(ts.planInputPartitions().length === 4)
+    ts.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("bag_file", Array[Any]("t_b"))))
+    assert(ts.planInputPartitions().length === 2)
+
+    // e2e: a broadcast-joined dimension stays exact whether or not the
+    // optimizer chooses to inject the runtime filter
+    val df = spark.read.format(fmt).load(dir)
+    val dim = Seq("r_a", "r_c").toDF("bag_file")
+    assert(df.join(broadcast(dim), "bag_file").count() === 28L)
+  }
+
   test("typed scan count(*) is index-only and counts ONLY its topic") {
     import java.nio.{ByteBuffer, ByteOrder}
     val defn = "float64 v\n"

@@ -994,6 +994,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("ts_us")).as("min_ts"),
           max(col("ts_us")).as("max_ts"))
     }),
+    "q_bag_info_topics" -> ((s, d) => {
+      // the FULL `rosbag info` table — per-topic count + time range —
+      // answered ENTIRELY from the bag indexes: counts from chunk-info
+      // records, per-topic min/max(ts_us) from the per-connection
+      // INDEX-DATA records trailing each chunk (chunk-info windows span
+      // all topics, so per-topic extremes need the message index; IXD
+      // reads are header-sized positioned reads, ZERO chunks
+      // decompressed — BagDataSourceSpec pins readCalls == 0).
+      graft.plans.GraftExtensions.register(s)
+      val dir = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-baginfot").toString
+      val msgs = eventsUs(s, d).select(
+        pmod(col("user_id"), lit(64)).as("g"),
+        struct(col("event_type").as("topic"), col("ts_us").as("ts_us"),
+          encode(col("props"), "utf-8").as("payload")).as("m"))
+      val bags = msgs.groupBy(col("g"))
+        .agg(graft.sources.Containers.bagPackTyped(
+          sort_array(collect_list(col("m"))),
+          when(pmod(col("g"), lit(3)) === 0, "none")
+            .when(pmod(col("g"), lit(3)) === 1, "bz2")
+            .otherwise("lz4"),
+          lit("uint8[] data\n"), messagesPerChunk = 256).as("bag"))
+        .select(concat(lit("g"), col("g")).as("bag_file"), col("bag"))
+      graft.sources.Containers.writeBags(bags, dir)
+      s.read.format("graft.sources.v2.BagDataSource").load(dir)
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("cnt"), min(col("ts_us")).as("min_ts"),
+          max(col("ts_us")).as("max_ts"))
+        .orderBy(col("topic"))
+    }),
     "q_snapshot_roundtrip" -> ((s, d) => {
       // transactional-table roundtrip: base append + increment append
       // into a fresh SnapshotStore table (stats harvested on doc_id),
@@ -2484,6 +2514,10 @@ object SparkEntry {
     "q_bag_info" ->
       """SELECT count(*) AS n, min(epoch_us(ts)) AS min_ts,
         |  max(epoch_us(ts)) AS max_ts FROM events""".stripMargin,
+    "q_bag_info_topics" ->
+      """SELECT event_type AS topic, count(*) AS cnt,
+        |  min(epoch_us(ts)) AS min_ts, max(epoch_us(ts)) AS max_ts
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_snapshot_strbox" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang >= 'de' AND lang <= 'fr' ORDER BY doc_id""".stripMargin,

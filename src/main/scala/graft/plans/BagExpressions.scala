@@ -478,6 +478,80 @@ object BagPlanner {
       walk(indexPos, indexOnly = true)
     else walk(afterBagHeader, indexOnly = false)
   }
+
+  /** Per-connection time stats from the INDEX-DATA records (op=0x04,
+    * ver=1) that trail each chunk record — rosbag's per-connection
+    * message index ((time, offset) pairs into the uncompressed chunk).
+    * For each chunk offset: skip the chunk record by its declared
+    * lengths (its DATA is never read or decompressed), then parse the
+    * trailing 0x04 records until a non-index op appears. Returns, per
+    * chunk offset, per connection: (minTsUs, maxTsUs, entryCount).
+    *
+    * Cost is O(chunks × connections-per-chunk) header-sized positioned
+    * reads — strictly more than the chunk-info walk of [[plan]] but
+    * still zero chunk decompression, which is why
+    * [[graft.sources.v2.BagAggPushdown]] pays it ONLY when a
+    * topic-restricted min/max(ts_us) actually needs per-topic times
+    * (chunk-info [start,end] spans ALL topics of a chunk and cannot
+    * answer those exactly). A chunk whose index records are absent or
+    * malformed is simply left out of the map — callers cross-check
+    * entry counts against chunk-info's per-connection counts and
+    * decline the fast path rather than guess (prune/pushdown may only
+    * skip work, never lie).
+    */
+  def connTimes(readAt: (Long, Int) => Array[Byte], fileLen: Long,
+                chunkOffsets: Seq[Long]): Map[Long, Map[Int, (Long, Long, Long)]] = {
+    def headerAt(off: Long): (Map[String, Array[Byte]], Int, Long) = {
+      val hlen = le32(readAt(off, 4))
+      val fields = BagCodec.parseHeaderBytes(readAt(off + 4, hlen))
+      val dlen = le32(readAt(off + 4 + hlen, 4))
+      (fields, dlen, off + 8L + hlen + dlen)
+    }
+    val out = Map.newBuilder[Long, Map[Int, (Long, Long, Long)]]
+    chunkOffsets.foreach { chunkOff =>
+      try {
+        val (cf, _, chunkEnd) = headerAt(chunkOff)
+        if (cf.get("op").exists(_.headOption.contains(0x05.toByte))) {
+          val m = Map.newBuilder[Int, (Long, Long, Long)]
+          var off = chunkEnd
+          var more = off < fileLen
+          while (more) {
+            val (fields, dlen, next) = headerAt(off)
+            val op = fields.get("op").flatMap(_.headOption).getOrElse(0.toByte)
+            if (op == 0x04.toByte &&
+                fields.get("ver").map(le32).contains(1) &&
+                fields.contains("conn") && dlen % 12 == 0) {
+              val conn = le32(fields("conn"))
+              val n = dlen / 12
+              if (n > 0) {
+                val data = readAt(next - dlen, dlen)
+                var mn = Long.MaxValue
+                var mx = Long.MinValue
+                var i = 0
+                while (i < n) {
+                  val t = BagCodec.timeUs(
+                    java.util.Arrays.copyOfRange(data, i * 12, i * 12 + 8))
+                  if (t < mn) mn = t
+                  if (t > mx) mx = t
+                  i += 1
+                }
+                m += conn -> (mn, mx, n.toLong)
+              }
+              off = next
+              more = off < fileLen
+            } else more = false
+          }
+          out += chunkOff -> m.result()
+        }
+      } catch {
+        // torn/corrupt trailing records: leave this chunk unmapped —
+        // the caller's count cross-check declines the fast path
+        case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+             _: java.io.IOException => ()
+      }
+    }
+    out.result()
+  }
 }
 
 /** array<struct<topic,ts_us,payload>> (+ optional compression literal,

@@ -407,8 +407,9 @@ class TypedBagScanBuilder(path: String, topic: String, defn: String,
   override def pushedFilters(): Array[Filter] = pushed
 
   // typed count(*) / GROUP BY bag_file count(*): exact from the topic's
-  // per-connection index counts; min/max(ts_us) stays declined (chunk
-  // ranges span ALL topics, the typed scan restricts to one)
+  // per-connection index counts; min/max(ts_us) is answered from the
+  // topic's own IXD records (chunk-info ranges span ALL topics, but the
+  // per-connection message index restricts to this one exactly)
   private def tryAgg(agg: Aggregation): Option[(StructType, Array[Array[Any]])] =
     aggProbe match {
       case Some((a, r)) if a eq agg => r
@@ -644,6 +645,39 @@ object BagScan {
     } finally planningNow.decrementAndGet()
   }
 
+  /** Per-connection (minTs, maxTs, count) per chunk for each planned
+    * bag, from the IXD records trailing each chunk record
+    * ([[BagPlanner.connTimes]]) — pooled positioned reads like
+    * [[readPlans]], ZERO chunk decompression. Keyed by file path.
+    */
+  def readConnTimes(plans: Seq[PlannedBag],
+                    conf: org.apache.hadoop.conf.Configuration)
+      : Map[String, Map[Long, Map[Int, (Long, Long, Long)]]] = {
+    def one(pb: PlannedBag): (String, Map[Long, Map[Int, (Long, Long, Long)]]) = {
+      val fp = new HPath(pb.file)
+      val fs = fp.getFileSystem(conf)
+      val in = fs.open(fp)
+      try pb.file -> BagPlanner.connTimes((off, n) => {
+        val b = new Array[Byte](n); in.readFully(off, b); b
+      }, pb.bytes, pb.plan.chunkOffsets)
+      finally in.close()
+    }
+    if (plans.isEmpty) Map.empty
+    else if (plans.sizeIs == 1) Map(one(plans.head))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(plans.size, 16))
+      try {
+        plans.map { pb =>
+          pool.submit(new java.util.concurrent.Callable[
+              (String, Map[Long, Map[Int, (Long, Long, Long)]])] {
+            override def call() = one(pb)
+          })
+        }.map(_.get()).toMap
+      } finally pool.shutdown()
+    }
+  }
+
   /** Every bag's plan under `path`, pooled like [[planMany]] — the
     * driver-side input to index-only aggregates, scan statistics, and
     * limit-bounded chunk selection. */
@@ -712,13 +746,21 @@ object BagScanEstimates {
   * `min/max(ts_us)` are answerable from the index section alone: at
   * 100 TB that's the difference between decompressing every chunk of
   * every bag and ONE O(index) positioned read per bag at planning
-  * (the same read chunk planning already does). Pushdown is accepted
-  * ONLY when the index provably covers the question — any raw span
-  * (crashed writer), any chunk missing its counts, any unknown
-  * connection id, or any predicate the index can't answer exactly
-  * (a ts_us band — chunk ranges are approximate) declines, and Spark
-  * aggregates scan rows normally. Complete pushdown: the scan's rows
-  * ARE the final answer (one row per group), no partial agg above.
+  * (the same read chunk planning already does). GROUPED or
+  * topic-restricted `min/max(ts_us)` — the full `rosbag info` shape,
+  * per-topic count + time range — is answered from the per-connection
+  * INDEX-DATA records instead ([[BagPlanner.connTimes]]): chunk-info
+  * windows span all topics of a chunk, but each IXD record indexes ONE
+  * connection's message times, so per-topic extremes are exact. That
+  * path costs O(chunks × topics) header-sized positioned reads, still
+  * zero chunk decompression. Pushdown is accepted ONLY when the index
+  * provably covers the question — any raw span (crashed writer), any
+  * chunk missing its counts, an IXD entry count disagreeing with
+  * chunk-info's, any unknown connection id, or any predicate the index
+  * can't answer exactly (a ts_us band — chunk ranges are approximate)
+  * declines, and Spark aggregates scan rows normally. Complete
+  * pushdown: the scan's rows ARE the final answer (one row per group),
+  * no partial agg above.
   */
 object BagAggPushdown {
   import org.apache.spark.sql.connector.expressions.{Expression => VExpr, NamedReference}
@@ -765,11 +807,13 @@ object BagAggPushdown {
     if (funcsOpt.exists(_.isEmpty) || funcsOpt.isEmpty) return None
     val funcs = funcsOpt.flatten
     val needTimes = funcs.exists(f => f == MinTs || f == MaxTs)
-    // chunk [start,end] spans ALL topics of the chunk: min/max(ts_us)
-    // is exact only unrestricted (no group, no topic subset)
-    if (needTimes &&
-        (groupCols.nonEmpty || topicFilter.isDefined || typedTopic.isDefined))
-      return None
+    // chunk-info [start,end] spans ALL topics of a chunk, so it answers
+    // min/max(ts_us) only UNRESTRICTED; a grouped or topic-restricted
+    // min/max needs the per-connection index (IXD) records instead —
+    // more positioned reads (O(chunks × topics), still zero chunk
+    // decompression), so pay for them only on that shape
+    val needConnTimes = needTimes &&
+      (groupCols.nonEmpty || topicFilter.isDefined || typedTopic.isDefined)
 
     val plans = BagScan.readPlans(path, conf)
     val sound = plans.forall { pb =>
@@ -778,14 +822,35 @@ object BagAggPushdown {
       p.chunkOffsets.forall(p.chunkCounts.contains) &&
       p.chunkCounts.valuesIterator.flatMap(_.keysIterator)
         .forall(p.conns.contains) &&
-      (!needTimes || p.chunkOffsets.forall(p.chunkTimes.contains))
+      (!needTimes || needConnTimes || p.chunkOffsets.forall(p.chunkTimes.contains))
     }
     if (!sound) return None
+
+    // per-connection (minTs, maxTs, count) per chunk, from the IXD
+    // records — exact iff every chunk-info count is matched by an index
+    // entry count (a bag whose message index is absent/torn declines)
+    val connTimes: Map[String, Map[Long, Map[Int, (Long, Long, Long)]]] =
+      if (!needConnTimes) Map.empty
+      else {
+        val ct = BagScan.readConnTimes(plans, conf)
+        val covered = plans.forall { pb =>
+          val p = pb.plan
+          p.chunkOffsets.forall { off =>
+            val idx = ct.getOrElse(pb.file, Map.empty).getOrElse(off, Map.empty)
+            p.chunkCounts(off).forall { case (conn, n) =>
+              n == 0 || idx.get(conn).exists(_._3 == n) }
+          }
+        }
+        if (!covered) return None
+        ct
+      }
 
     val keep: String => Boolean = t =>
       topicFilter.forall(_.contains(t)) && typedTopic.forall(_ == t)
     // key = group column values in groupCols order
     val counts = scala.collection.mutable.Map.empty[Seq[String], Long]
+    val minByKey = scala.collection.mutable.Map.empty[Seq[String], Long]
+    val maxByKey = scala.collection.mutable.Map.empty[Seq[String], Long]
     var minTs = Long.MaxValue
     var maxTs = Long.MinValue
     var sawTime = false
@@ -804,6 +869,11 @@ object BagAggPushdown {
               case _ => topic
             }
             counts(key) = counts.getOrElse(key, 0L) + n
+            if (needConnTimes) {
+              val (mn, mx, _) = connTimes(pb.file)(off)(conn)
+              minByKey(key) = minByKey.get(key).fold(mn)(_ min mn)
+              maxByKey(key) = maxByKey.get(key).fold(mx)(_ max mx)
+            }
           }
         }
       }
@@ -811,6 +881,10 @@ object BagAggPushdown {
 
     val aggVals: Seq[String] => Seq[Any] = key => funcs.map {
       case Cnt => java.lang.Long.valueOf(counts.getOrElse(key, 0L))
+      case MinTs if needConnTimes =>
+        minByKey.get(key).map(java.lang.Long.valueOf(_)).orNull
+      case MaxTs if needConnTimes =>
+        maxByKey.get(key).map(java.lang.Long.valueOf(_)).orNull
       case MinTs => if (sawTime) java.lang.Long.valueOf(minTs) else null
       case MaxTs => if (sawTime) java.lang.Long.valueOf(maxTs) else null
     }

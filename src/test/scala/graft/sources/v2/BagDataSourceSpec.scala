@@ -384,12 +384,87 @@ class BagDataSourceSpec extends SparkSpec {
     assert(BagChunkIO.readCalls.get() > 0,
       "a ts_us predicate must fall back to scanning rows")
 
-    // min/max grouped by topic: chunk times span all topics -> declined
+    // avg: not an index-answerable function -> declined, full scan runs
     BagChunkIO.readCalls.set(0)
-    val g = df.groupBy("topic").agg(max("ts_us")).as[(String, Long)].collect()
-    assert(g.length === 3 && g.map(_._2).max === 1000011L)
+    assert(df.groupBy("topic").agg(avg("ts_us")).collect().length === 3)
     assert(BagChunkIO.readCalls.get() > 0,
-      "per-topic min/max cannot be answered from chunk-level time ranges")
+      "avg must fall back to scanning rows")
+  }
+
+  test("per-topic min/max(ts_us) answers from the IXD message index, zero chunk reads") {
+    val dir = Files.createTempDirectory("graft-bagixd").toString
+    mkBag(dir, "x_a", 12, "none", perChunk = 5)
+    mkBag(dir, "x_b", 9, "lz4", perChunk = 4)
+    val df = spark.read.format(fmt).load(dir)
+
+    // chunk-info windows span all topics; the per-connection IXD
+    // records restrict each extreme to its own topic exactly
+    BagChunkIO.readCalls.set(0)
+    val g = df.groupBy("topic")
+      .agg(count(lit(1)).as("n"), min("ts_us"), max("ts_us"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    // per mkBag: topic = [camera,lidar,gps][i % 3], ts = 1000000+i over
+    // BOTH bags (x_a: i<12, x_b: i<9)
+    assert(g === Array(
+      ("camera", 7L, 1000000L, 1000009L),
+      ("gps", 7L, 1000002L, 1000011L),
+      ("lidar", 7L, 1000001L, 1000010L)))
+    // grouped by bag AND topic: IXD is per (bag, connection, chunk)
+    val bt = df.groupBy("bag_file", "topic").agg(max("ts_us"))
+      .as[(String, String, Long)].collect()
+    assert(bt.filter(_._1 == "x_b").map(_._3).max === 1000008L)
+    // topic-restricted global extremes through the pushed filter
+    assert(df.filter($"topic" === "lidar").agg(min("ts_us"), max("ts_us"))
+      .as[(Long, Long)].head() === ((1000001L, 1000010L)))
+    assert(BagChunkIO.readCalls.get() === 0,
+      "IXD-answered aggregates must not read any chunk data")
+
+    // corrupt every IXD record's version -> the count cross-check
+    // fails and the pushdown declines to a row scan (never lies)
+    val p = Paths.get(dir, "x_a.bag")
+    val bytes = Files.readAllBytes(p)
+    val marker = "op=".getBytes(UTF_8) :+ 0x04.toByte
+    var at = bytes.indexOfSlice(marker)
+    var patched = 0
+    while (at >= 0) {
+      val verAt = bytes.indexOfSlice("ver=".getBytes(UTF_8), at)
+      assert(verAt > at && verAt < at + 32)
+      bytes(verAt + 4) = 2 // ver=2: unknown layout, connTimes skips it
+      patched += 1
+      at = bytes.indexOfSlice(marker, at + 1)
+    }
+    assert(patched > 0, "fixture must contain IXD records to corrupt")
+    Files.write(p, bytes)
+    BagChunkIO.readCalls.set(0)
+    val g2 = spark.read.format(fmt).load(dir).groupBy("topic")
+      .agg(max("ts_us")).as[(String, Long)].collect().sortBy(_._1)
+    assert(g2.map(_._2).toSeq === Seq(1000009L, 1000011L, 1000010L),
+      "declined pushdown must still compute the right answer from rows")
+    assert(BagChunkIO.readCalls.get() > 0,
+      "an unreadable message index must decline to scanning rows")
+  }
+
+  test("typed scan min/max(ts_us) pushes down via the topic's IXD records") {
+    val dir = Files.createTempDirectory("graft-bagixdtyped").toString
+    val defn = "uint32 v\n"
+    val msgs = (0 until 10).map { i =>
+      val topic = if (i % 2 == 0) "m" else "other"
+      val payload = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+      (topic, 2000000L + i, payload)
+    }
+    Files.write(Paths.get(dir, "t.bag"),
+      BagCodec.pack(msgs, "none", messagesPerChunk = 4,
+        typeInfo = Some(("graft_msgs/V", defn))))
+    val df = spark.read.format(fmt)
+      .option("typed", "true").option("topic", "m").load(dir)
+    BagChunkIO.readCalls.set(0)
+    val mm = df.agg(count(lit(1)), min("ts_us"), max("ts_us"))
+      .as[(Long, Long, Long)].head()
+    assert(mm === ((5L, 2000000L, 2000008L)),
+      "typed extremes must be the TOPIC's, not the chunk windows'")
+    assert(BagChunkIO.readCalls.get() === 0,
+      "typed min/max must answer from the index")
   }
 
   test("index-derived statistics: exact topic-aware row counts reach Catalyst") {

@@ -339,8 +339,18 @@ class BagScan(path: String, hconf: SerializableHadoopConf,
     case None => plans
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    BagScan.limitPartitions(runtimePlans, tsBand, keepTopic, limit)
+  override def planInputPartitions(): Array[InputPartition] = {
+    // IXD band×topic refinement only when BOTH a band and a topic
+    // restriction are in play — the per-topic retrieval shape; all
+    // other scans plan from chunk-info alone (no extra reads)
+    val kept = runtimePlans
+    val drops = (tsBand, mergedTopics) match {
+      case (Some((lo, hi)), Some(_)) =>
+        BagScan.ixdDisjoint(kept, lo, hi, keepTopic, hconf.value)
+      case _ => Map.empty[String, Set[Long]]
+    }
+    BagScan.limitPartitions(kept, tsBand, keepTopic, limit, drops)
+  }
 
   /** Index-derived stats: numRows is EXACT when every surviving chunk
     * carries counts (band-pruned chunks overcount pending the residual
@@ -358,7 +368,8 @@ class BagScan(path: String, hconf: SerializableHadoopConf,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BagMicroBatchStream(path, hconf,
-      new BagReaderFactory(required, topicFilter, hconf), tsBand)
+      new BagReaderFactory(required, topicFilter, hconf), tsBand,
+      t => topicFilter.forall(_.contains(t)))
 
   override def description(): String =
     s"graft-bag $path" + tsBand.map { case (lo, hi) =>
@@ -479,7 +490,15 @@ class TypedBagScan(path: String, topic: String, defn: String,
         keep.contains(new HPath(pb.file).getName.stripSuffix(".bag")))
       case None => plans
     }
-    BagScan.limitPartitions(kept, tsBand, _ == topic, limit)
+    // typed scans are always topic-restricted: a band triggers the IXD
+    // refinement (single-topic chunks never qualify, so the common
+    // per-topic bag layout pays zero extra reads)
+    val drops = tsBand match {
+      case Some((lo, hi)) =>
+        BagScan.ixdDisjoint(kept, lo, hi, _ == topic, hconf.value)
+      case None => Map.empty[String, Set[Long]]
+    }
+    BagScan.limitPartitions(kept, tsBand, _ == topic, limit, drops)
   }
 
   override def estimateStatistics(): Statistics =
@@ -490,7 +509,8 @@ class TypedBagScan(path: String, topic: String, defn: String,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new BagMicroBatchStream(path, hconf,
-      new TypedBagReaderFactory(topic, defn, required, hconf), tsBand)
+      new TypedBagReaderFactory(topic, defn, required, hconf), tsBand,
+      _ == topic)
 
   override def description(): String =
     s"graft-bag-typed $path topic=$topic" + tsBand.map { case (lo, hi) =>
@@ -520,27 +540,83 @@ object BagScan {
 
   /** Plan every bag under `path` into chunk/span partitions. */
   def planFiles(path: String, conf: org.apache.hadoop.conf.Configuration,
-                band: Option[(Long, Long)] = None): Array[InputPartition] =
-    planMany(listFiles(path, conf).toSeq, conf, band)
+                band: Option[(Long, Long)] = None,
+                keepTopic: String => Boolean = _ => true): Array[InputPartition] =
+    planMany(listFiles(path, conf).toSeq, conf, band, keepTopic)
 
-  /** Chunks surviving a ts band — a chunk with no recorded window is
-    * never pruned (pruning may only skip provably-disjoint work). */
+  /** Chunks surviving a ts band and a topic restriction — a chunk with
+    * no recorded window is never band-pruned, and one with no recorded
+    * counts is never topic-pruned (pruning may only skip
+    * provably-disjoint work). Topic pruning is exact from chunk-info
+    * alone: the count list enumerates every connection IN the chunk, so
+    * a chunk whose listed connections all map to non-kept topics has no
+    * kept rows (a connection missing from the planned map has an
+    * unknown topic and conservatively keeps the chunk). For per-topic
+    * bag layouts — the reference's per-(run, topic) shape — a
+    * topic-filtered scan plans ZERO partitions for foreign bags.
+    */
   def survivingChunks(plan: BagPlanner.BagPlan,
-                      band: Option[(Long, Long)]): Seq[Long] = band match {
-    case Some((lo, hi)) => plan.chunkOffsets.filter { off =>
-      plan.chunkTimes.get(off).forall { case (s, e) => e >= lo && s <= hi } }
-    case None => plan.chunkOffsets
-  }
+                      band: Option[(Long, Long)],
+                      keepTopic: String => Boolean = _ => true): Seq[Long] =
+    plan.chunkOffsets.filter { off =>
+      (band match {
+        case Some((lo, hi)) =>
+          plan.chunkTimes.get(off).forall { case (s, e) => e >= lo && s <= hi }
+        case None => true
+      }) && plan.chunkCounts.get(off).forall(_.exists { case (c, n) =>
+        n > 0 && plan.conns.get(c).forall(keepTopic) })
+    }
 
   /** One planned file's chunk/span partitions (the pure half of
     * [[planFile]] — reusable against an already-read [[BagPlanner.BagPlan]]).
     */
   def partitionsOf(f: String, plan: BagPlanner.BagPlan,
-                   band: Option[(Long, Long)]): Seq[InputPartition] = {
-    survivingChunks(plan, band).map(off =>
+                   band: Option[(Long, Long)],
+                   keepTopic: String => Boolean = _ => true,
+                   drop: Set[Long] = Set.empty): Seq[InputPartition] = {
+    survivingChunks(plan, band, keepTopic).filterNot(drop).map(off =>
       BagPartition(f, off, -1L, plan.conns): InputPartition) ++
     plan.rawSpans.map { case (off, spanLen) =>
       BagPartition(f, off, spanLen, plan.conns): InputPartition }
+  }
+
+  /** IXD-backed band×topic refinement: chunk offsets PROVEN to hold no
+    * kept-topic message inside the band, per file. A chunk window can
+    * intersect the band while every KEPT connection's own messages miss
+    * it (the per-topic retrieval shape: `topic = t AND ts_us BETWEEN`);
+    * the per-connection index records decide that exactly. Proof
+    * requirements per chunk: counts known; ≥2 active connections (with
+    * one, its IXD range IS the chunk window — nothing to refine, no
+    * read paid); every kept connection has an IXD entry whose count
+    * matches chunk-info's and whose [mn,mx] is disjoint from the band.
+    * Anything unprovable keeps the chunk. Costs pooled header-sized
+    * positioned reads for the candidate chunks only, zero
+    * decompression.
+    */
+  def ixdDisjoint(plans: Seq[PlannedBag], lo: Long, hi: Long,
+                  keepTopic: String => Boolean,
+                  conf: org.apache.hadoop.conf.Configuration): Map[String, Set[Long]] = {
+    val candidates: Map[String, Seq[Long]] = plans.map { pb =>
+      pb.file -> survivingChunks(pb.plan, Some((lo, hi)), keepTopic)
+        .filter(off => pb.plan.chunkCounts.get(off)
+          .exists(_.count(_._2 > 0) > 1))
+    }.toMap
+    val wanted = plans.filter(pb => candidates(pb.file).nonEmpty)
+    if (wanted.isEmpty) return Map.empty
+    val ct = readConnTimes(wanted, conf, pb => candidates(pb.file))
+    wanted.map { pb =>
+      val p = pb.plan
+      val idxByChunk = ct.getOrElse(pb.file, Map.empty)
+      pb.file -> candidates(pb.file).filter { off =>
+        val idx = idxByChunk.getOrElse(off, Map.empty)
+        p.chunkCounts(off).forall { case (conn, n) =>
+          n == 0 || !p.conns.get(conn).forall(keepTopic) || {
+            idx.get(conn).exists { case (mn, mx, cnt) =>
+              cnt == n && (mx < lo || mn > hi) }
+          }
+        }
+      }.toSet
+    }.filter(_._2.nonEmpty).toMap
   }
 
   /** Partition selection under a pushed limit: include chunks in order,
@@ -553,9 +629,12 @@ object BagScan {
     */
   def limitPartitions(plans: Seq[PlannedBag], band: Option[(Long, Long)],
                       keepTopic: String => Boolean,
-                      limit: Option[Int]): Array[InputPartition] = limit match {
+                      limit: Option[Int],
+                      drops: Map[String, Set[Long]] = Map.empty)
+      : Array[InputPartition] = limit match {
     case None =>
-      plans.flatMap(pb => partitionsOf(pb.file, pb.plan, band)).toArray
+      plans.flatMap(pb => partitionsOf(pb.file, pb.plan, band, keepTopic,
+        drops.getOrElse(pb.file, Set.empty))).toArray
     case Some(n) =>
       val out = Array.newBuilder[InputPartition]
       var proven = 0L
@@ -563,7 +642,7 @@ object BagScan {
       plans.foreach { pb =>
         if (!done) {
           val p = pb.plan
-          survivingChunks(p, band).foreach { off =>
+          survivingChunks(p, band, keepTopic).foreach { off =>
             if (!done) {
               out += BagPartition(pb.file, off, -1L, p.conns)
               p.chunkCounts.get(off).foreach(_.foreach { case (c, k) =>
@@ -588,16 +667,17 @@ object BagScan {
     * order; the pool is per-call (no leaked threads).
     */
   def planMany(files: Seq[String], conf: org.apache.hadoop.conf.Configuration,
-               band: Option[(Long, Long)] = None): Array[InputPartition] = {
+               band: Option[(Long, Long)] = None,
+               keepTopic: String => Boolean = _ => true): Array[InputPartition] = {
     if (files.isEmpty) Array.empty
-    else if (files.sizeIs == 1) planFile(files.head, conf, band).toArray
+    else if (files.sizeIs == 1) planFile(files.head, conf, band, keepTopic).toArray
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(files.size, 16))
       try {
         files.map { f =>
           pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
-            override def call(): Seq[InputPartition] = planFile(f, conf, band)
+            override def call(): Seq[InputPartition] = planFile(f, conf, band, keepTopic)
           })
         }.flatMap(_.get()).toArray
       } finally pool.shutdown()
@@ -613,8 +693,9 @@ object BagScan {
     * skips provably-disjoint work.
     */
   def planFile(f: String, conf: org.apache.hadoop.conf.Configuration,
-               band: Option[(Long, Long)] = None): Seq[InputPartition] =
-    partitionsOf(f, readPlan(f, conf), band)
+               band: Option[(Long, Long)] = None,
+               keepTopic: String => Boolean = _ => true): Seq[InputPartition] =
+    partitionsOf(f, readPlan(f, conf), band, keepTopic)
 
   /** The O(index) positioned-read plan of one bag (probe-counted — the
     * same counters the one-pass specs assert, whichever consumer
@@ -651,7 +732,8 @@ object BagScan {
     * [[readPlans]], ZERO chunk decompression. Keyed by file path.
     */
   def readConnTimes(plans: Seq[PlannedBag],
-                    conf: org.apache.hadoop.conf.Configuration)
+                    conf: org.apache.hadoop.conf.Configuration,
+                    offsetsOf: PlannedBag => Seq[Long] = _.plan.chunkOffsets)
       : Map[String, Map[Long, Map[Int, (Long, Long, Long)]]] = {
     def one(pb: PlannedBag): (String, Map[Long, Map[Int, (Long, Long, Long)]]) = {
       val fp = new HPath(pb.file)
@@ -659,7 +741,7 @@ object BagScan {
       val in = fs.open(fp)
       try pb.file -> BagPlanner.connTimes((off, n) => {
         val b = new Array[Byte](n); in.readFully(off, b); b
-      }, pb.bytes, pb.plan.chunkOffsets)
+      }, pb.bytes, offsetsOf(pb))
       finally in.close()
     }
     if (plans.isEmpty) Map.empty
@@ -715,7 +797,7 @@ object BagScanEstimates {
     plans.foreach { pb =>
       val p = pb.plan
       if (p.rawSpans.nonEmpty) exact = false
-      val surviving = BagScan.survivingChunks(p, band)
+      val surviving = BagScan.survivingChunks(p, band, keepTopic)
       // on-disk bytes scaled to the surviving-chunk fraction — the
       // compressed lower bound (Spark's file-source convention)
       bytes += (if (p.chunkOffsets.isEmpty) pb.bytes
@@ -929,7 +1011,8 @@ object BagAggScan {
   */
 class BagMicroBatchStream(path: String, hconf: SerializableHadoopConf,
                           factory: PartitionReaderFactory,
-                          tsBand: Option[(Long, Long)] = None)
+                          tsBand: Option[(Long, Long)] = None,
+                          keepTopic: String => Boolean = _ => true)
     extends MicroBatchStream {
 
   private val discovered = scala.collection.mutable.ArrayBuffer[String]()
@@ -965,7 +1048,7 @@ class BagMicroBatchStream(path: String, hconf: SerializableHadoopConf,
         s"graft-bag offsets diverge: start list ${s.take(3).mkString(",")}… is not a " +
           s"prefix of end list ${e.take(3).mkString(",")}… — the checkpoint does not " +
           "match this directory's discovery order; rebuild the checkpoint directory")
-    BagScan.planMany(e.drop(s.length), hconf.value, tsBand)
+    BagScan.planMany(e.drop(s.length), hconf.value, tsBand, keepTopic)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = factory

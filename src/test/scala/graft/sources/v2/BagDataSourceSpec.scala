@@ -444,6 +444,64 @@ class BagDataSourceSpec extends SparkSpec {
       "an unreadable message index must decline to scanning rows")
   }
 
+  test("topic pruning at planning: foreign-topic chunks are never read") {
+    val dir = Files.createTempDirectory("graft-bagtopicprune").toString
+    // per-topic bag layout (the reference's per-(run, topic) shape)
+    Files.write(Paths.get(dir, "r1_cam.bag"),
+      BagCodec.pack((0 until 8).map(i => ("camera", 1000000L + i,
+        s"c$i".getBytes(UTF_8))), "none", messagesPerChunk = 4))
+    Files.write(Paths.get(dir, "r1_gps.bag"),
+      BagCodec.pack((0 until 6).map(i => ("gps", 1000000L + i,
+        s"g$i".getBytes(UTF_8))), "none", messagesPerChunk = 3))
+    val df = spark.read.format(fmt).load(dir)
+    BagChunkIO.readCalls.set(0)
+    val rows = df.filter($"topic" === "gps")
+      .select("bag_file", "ts_us").as[(String, Long)].collect()
+    assert(rows.length === 6 && rows.forall(_._1 == "r1_gps"))
+    assert(BagChunkIO.readCalls.get() === 2,
+      "chunk-info counts must drop the camera bag's chunks at planning " +
+        s"(read ${BagChunkIO.readCalls.get()} chunks, want the 2 gps ones)")
+  }
+
+  test("IXD band×topic refinement drops chunks whose KEPT messages miss the band") {
+    val dir = Files.createTempDirectory("graft-bagixdrefine").toString
+    // ONE chunk interleaving two topics in disjoint time halves: the
+    // chunk window [0..19] intersects any band, but topic a's own
+    // messages live only in [1000000, 1000009]
+    val msgs = (0 until 10).map(i => ("a", 1000000L + i, s"a$i".getBytes(UTF_8))) ++
+      (10 until 20).map(i => ("b", 1000000L + i, s"b$i".getBytes(UTF_8)))
+    Files.write(Paths.get(dir, "mix.bag"),
+      BagCodec.pack(msgs, "none", messagesPerChunk = 20))
+    val df = spark.read.format(fmt).load(dir)
+
+    // band inside b's half, topic a: provably empty — ZERO chunk reads
+    BagChunkIO.readCalls.set(0)
+    assert(df.filter($"topic" === "a" && $"ts_us" >= 1000012L).count() === 0L)
+    assert(BagChunkIO.readCalls.get() === 0,
+      "the per-connection index proves topic a has no rows in the band")
+
+    // band straddling the boundary: kept, residual-exact
+    BagChunkIO.readCalls.set(0)
+    assert(df.filter($"topic" === "a" && $"ts_us" >= 1000005L).count() === 5L)
+    assert(BagChunkIO.readCalls.get() === 1)
+
+    // typed scan, same refinement through its own topic restriction
+    val defnDir = Files.createTempDirectory("graft-bagixdreftyped").toString
+    val payload = (i: Int) => java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+    val tmsgs = (0 until 10).map(i => ("a", 1000000L + i, payload(i))) ++
+      (10 until 20).map(i => ("b", 1000000L + i, payload(i)))
+    Files.write(Paths.get(defnDir, "mix.bag"),
+      BagCodec.pack(tmsgs, "none", messagesPerChunk = 20,
+        typeInfo = Some(("graft_msgs/V", "uint32 v\n"))))
+    val tdf = spark.read.format(fmt)
+      .option("typed", "true").option("topic", "a").load(defnDir)
+    BagChunkIO.readCalls.set(0)
+    assert(tdf.filter($"ts_us" >= 1000012L).count() === 0L)
+    assert(BagChunkIO.readCalls.get() === 0,
+      "typed band scans refine through the topic's IXD records too")
+  }
+
   test("typed scan min/max(ts_us) pushes down via the topic's IXD records") {
     val dir = Files.createTempDirectory("graft-bagixdtyped").toString
     val defn = "uint32 v\n"

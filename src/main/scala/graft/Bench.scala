@@ -41,7 +41,13 @@ object Bench {
       // each pass pays the shared dedup pair/cluster tables ONCE (the
       // persist-once-read-everywhere semantics), not zero times
       SparkEntry.clearSharedTables()
-      SparkEntry.queries
+      // SORTED name order: Map hash order reshuffles whenever the query
+      // set changes, which moves every query's predecessor — and a
+      // query timed right after a heavy neighbor absorbs its async
+      // cleanup (measured r10: the same queries at 5-13x their isolated
+      // medians purely from a reshuffle). Sorted order keeps each
+      // query's neighborhood stable across rounds so medians compare.
+      SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(kv => names(kv._1) && only.forall(_.contains(kv._1)))
         .map { case (name, fn) =>
         // NO per-query System.gc() quiesce: measured 2026-08-13, forcing
@@ -55,7 +61,7 @@ object Bench {
           try { (fn(spark, sfDir).queryExecution.toRdd.count(), false) }
           catch { case _: Throwable => (-1L, true) }
         name -> QResult((System.nanoTime() - t0) / 1e9, rows, failed)
-      }
+      }.toMap
     }
     pass(_ => true) // warmup: compile all codegen stages, warm JIT + page cache
     // SPARK_GRAFT_BENCH_PASSES timed passes (default 3): each query

@@ -1024,6 +1024,45 @@ object SparkEntry {
           max(col("ts_us")).as("max_ts"))
         .orderBy(col("topic"))
     }),
+    "q_bag_manifest" -> ((s, d) => {
+      // fleet planning from ONE columnar read: persist the bag-index
+      // MANIFEST (distributed harvest of chunk-info + connection + IXD
+      // state, BagManifest.write), then the full `rosbag info` table
+      // must answer WITHOUT opening a single bag — at a 100k-bag lake
+      // that's one parquet read replacing 100k per-file index round
+      // trips, re-paid by every query until the manifest refreshes.
+      // The zero-open proof (planCalls == 0 through planning) is
+      // require'd inside the query; staleness falls back per file
+      // (BagManifestSpec), so freshness is a speed contract, never a
+      // correctness one.
+      graft.plans.GraftExtensions.register(s)
+      val dir = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-bagmanq").toString
+      val msgs = eventsUs(s, d).select(
+        pmod(col("user_id"), lit(64)).as("g"),
+        struct(col("event_type").as("topic"), col("ts_us").as("ts_us"),
+          encode(col("props"), "utf-8").as("payload")).as("m"))
+      val bags = msgs.groupBy(col("g"))
+        .agg(graft.sources.Containers.bagPackTyped(
+          sort_array(collect_list(col("m"))),
+          when(pmod(col("g"), lit(3)) === 0, "none")
+            .when(pmod(col("g"), lit(3)) === 1, "bz2")
+            .otherwise("lz4"),
+          lit("uint8[] data\n"), messagesPerChunk = 256).as("bag"))
+        .select(concat(lit("g"), col("g")).as("bag_file"), col("bag"))
+      graft.sources.Containers.writeBags(bags, dir)
+      graft.sources.BagManifest.write(s, dir)
+      graft.sources.v2.BagScan.resetPlanProbe()
+      val out = s.read.format("graft.sources.v2.BagDataSource").load(dir)
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("cnt"), min(col("ts_us")).as("min_ts"),
+          max(col("ts_us")).as("max_ts"))
+        .orderBy(col("topic"))
+      out.queryExecution.executedPlan // force planning (incl. pushdown)
+      require(graft.sources.v2.BagScan.planCalls.get() == 0,
+        "a fresh manifest must plan the directory with zero bag opens")
+      out
+    }),
     "q_snapshot_roundtrip" -> ((s, d) => {
       // transactional-table roundtrip: base append + increment append
       // into a fresh SnapshotStore table (stats harvested on doc_id),
@@ -2515,6 +2554,10 @@ object SparkEntry {
       """SELECT count(*) AS n, min(epoch_us(ts)) AS min_ts,
         |  max(epoch_us(ts)) AS max_ts FROM events""".stripMargin,
     "q_bag_info_topics" ->
+      """SELECT event_type AS topic, count(*) AS cnt,
+        |  min(epoch_us(ts)) AS min_ts, max(epoch_us(ts)) AS max_ts
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bag_manifest" ->
       """SELECT event_type AS topic, count(*) AS cnt,
         |  min(epoch_us(ts)) AS min_ts, max(epoch_us(ts)) AS max_ts
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -70,6 +70,10 @@ object BagDataSource {
   private val defCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
+  // observability (spec-asserted): schema inferences that had to WALK
+  // bag files because no fresh manifest entry answered the topic
+  private[graft] val schemaWalks = new java.util.concurrent.atomic.AtomicInteger()
+
   /** Resolve `.option("typed","true").option("topic", t)` to the topic's
     * embedded message_definition — driver-side schema inference (one
     * O(index) read of the first bag carrying the topic; memoized per
@@ -84,21 +88,32 @@ object BagDataSource {
           "is per-topic (bagpy's message_by_topic contract)"))
       val d = defCache.computeIfAbsent((path, t), { case (pth, tp) =>
         val conf = SparkSession.active.sessionState.newHadoopConf()
-        val files = BagScan.listFiles(pth, conf)
-        files.iterator.map { f =>
-          val fp = new HPath(f)
-          val fs = fp.getFileSystem(conf)
-          val len = fs.getFileStatus(fp).getLen
-          val in = fs.open(fp)
-          val plan =
-            try BagPlanner.plan((off, n) => {
-              val b = new Array[Byte](n); in.readFully(off, b); b
-            }, len)
-            finally in.close()
-          plan.connInfo.values.find(_.topic == tp).map(_.messageDefinition)
-        }.collectFirst { case Some(defn) if defn.nonEmpty => defn }
-          .getOrElse(throw new IllegalArgumentException(
-            s"no connection for topic '$tp' with a message_definition under $pth"))
+        val statuses = BagScan.listFileStatuses(pth, conf)
+        // a FRESH manifest entry (length+mtime match) answers schema
+        // inference without opening any bag; stale/absent → direct walk
+        val manifest = graft.sources.BagManifest.entries(pth, conf)
+        val fromManifest = statuses.iterator.flatMap { case (f, len, mtime) =>
+          manifest.get(f).filter(e => e.len == len && e.mtime == mtime)
+            .flatMap(_.plan.connInfo.values.find(ci =>
+              ci.topic == tp && ci.messageDefinition.nonEmpty))
+            .map(_.messageDefinition)
+        }.nextOption()
+        fromManifest.getOrElse {
+          schemaWalks.incrementAndGet()
+          statuses.iterator.map { case (f, len, _) =>
+            val fp = new HPath(f)
+            val fs = fp.getFileSystem(conf)
+            val in = fs.open(fp)
+            val plan =
+              try BagPlanner.plan((off, n) => {
+                val b = new Array[Byte](n); in.readFully(off, b); b
+              }, len)
+              finally in.close()
+            plan.connInfo.values.find(_.topic == tp).map(_.messageDefinition)
+          }.collectFirst { case Some(defn) if defn.nonEmpty => defn }
+            .getOrElse(throw new IllegalArgumentException(
+              s"no connection for topic '$tp' with a message_definition under $pth"))
+        }
       })
       Some((t, d))
     }
@@ -529,13 +544,22 @@ object BagScan {
     planningNow.set(0); planningMax.set(0); planCalls.set(0)
   }
 
-  def listFiles(path: String, conf: org.apache.hadoop.conf.Configuration): Array[String] = {
+  def listFiles(path: String, conf: org.apache.hadoop.conf.Configuration): Array[String] =
+    listFileStatuses(path, conf).map(_._1)
+
+  /** Live `.bag` files with (path, length, mtime) — the identity the
+    * manifest freshness check compares against, from the ONE listing
+    * every plan pays anyway. */
+  def listFileStatuses(path: String,
+                       conf: org.apache.hadoop.conf.Configuration): Array[(String, Long, Long)] = {
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
-    if (fs.getFileStatus(p).isDirectory)
-      fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".bag"))
-        .map(_.getPath.toString).sorted
-    else Array(path)
+    val sts =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".bag"))
+      else Array(fs.getFileStatus(p))
+    sts.map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+      .sortBy(_._1)
   }
 
   /** Plan every bag under `path` into chunk/span partitions. */
@@ -735,15 +759,19 @@ object BagScan {
                     conf: org.apache.hadoop.conf.Configuration,
                     offsetsOf: PlannedBag => Seq[Long] = _.plan.chunkOffsets)
       : Map[String, Map[Long, Map[Int, (Long, Long, Long)]]] = {
-    def one(pb: PlannedBag): (String, Map[Long, Map[Int, (Long, Long, Long)]]) = {
-      val fp = new HPath(pb.file)
-      val fs = fp.getFileSystem(conf)
-      val in = fs.open(fp)
-      try pb.file -> BagPlanner.connTimes((off, n) => {
-        val b = new Array[Byte](n); in.readFully(off, b); b
-      }, pb.bytes, offsetsOf(pb))
-      finally in.close()
-    }
+    def one(pb: PlannedBag): (String, Map[Long, Map[Int, (Long, Long, Long)]]) =
+      pb.manifestConnTimes match {
+        case Some(ct) => // persisted by the manifest: zero file reads
+          pb.file -> offsetsOf(pb).flatMap(off => ct.get(off).map(off -> _)).toMap
+        case None =>
+          val fp = new HPath(pb.file)
+          val fs = fp.getFileSystem(conf)
+          val in = fs.open(fp)
+          try pb.file -> BagPlanner.connTimes((off, n) => {
+            val b = new Array[Byte](n); in.readFully(off, b); b
+          }, pb.bytes, offsetsOf(pb))
+          finally in.close()
+      }
     if (plans.isEmpty) Map.empty
     else if (plans.sizeIs == 1) Map(one(plans.head))
     else {
@@ -765,25 +793,45 @@ object BagScan {
     * limit-bounded chunk selection. */
   def readPlans(path: String,
                 conf: org.apache.hadoop.conf.Configuration): Seq[PlannedBag] = {
-    val files = listFiles(path, conf).toSeq
-    if (files.isEmpty) Nil
-    else if (files.sizeIs == 1) Seq(readPlanned(files.head, conf))
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(files.size, 16))
-      try {
-        files.map { f =>
-          pool.submit(new java.util.concurrent.Callable[PlannedBag] {
-            override def call(): PlannedBag = readPlanned(f, conf)
-          })
-        }.map(_.get())
-      } finally pool.shutdown()
-    }
+    val statuses = listFileStatuses(path, conf).toSeq
+    if (statuses.isEmpty) return Nil
+    // a persisted manifest answers FRESH files (matching length+mtime)
+    // with zero per-bag reads; new/changed/unrecorded files fall back to
+    // the direct index read — staleness costs a re-read, never an answer
+    val manifest = graft.sources.BagManifest.entries(path, conf)
+    val (fresh, direct) = statuses.partition { case (f, len, mtime) =>
+      manifest.get(f).exists(e => e.len == len && e.mtime == mtime) }
+    val fromManifest = fresh.map { case (f, len, _) =>
+      val e = manifest(f)
+      f -> PlannedBag(f, e.plan, len, Some(e.connTimes))
+    }.toMap
+    val files = direct.map(_._1)
+    val fromDirect: Map[String, PlannedBag] =
+      if (files.isEmpty) Map.empty
+      else if (files.sizeIs == 1)
+        Map(files.head -> readPlanned(files.head, conf))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(files.size, 16))
+        try {
+          files.map { f =>
+            f -> pool.submit(new java.util.concurrent.Callable[PlannedBag] {
+              override def call(): PlannedBag = readPlanned(f, conf)
+            })
+          }.map { case (f, fut) => f -> fut.get() }.toMap
+        } finally pool.shutdown()
+      }
+    statuses.map { case (f, _, _) => fromManifest.getOrElse(f, fromDirect(f)) }
   }
 }
 
-/** One bag's driver-side plan plus its on-disk byte size. */
-case class PlannedBag(file: String, plan: BagPlanner.BagPlan, bytes: Long)
+/** One bag's driver-side plan plus its on-disk byte size.
+  * `manifestConnTimes` carries the persisted per-connection IXD ranges
+  * when the plan came from a fresh [[graft.sources.BagManifest]] entry —
+  * [[BagScan.readConnTimes]] then answers without reopening the file.
+  */
+case class PlannedBag(file: String, plan: BagPlanner.BagPlan, bytes: Long,
+                      manifestConnTimes: Option[Map[Long, Map[Int, (Long, Long, Long)]]] = None)
 
 /** Index-derived [[Statistics]] shared by the raw and typed scans. */
 object BagScanEstimates {

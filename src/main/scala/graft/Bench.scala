@@ -259,6 +259,44 @@ object Bench {
       s"""{"plain":$plain,"sliced":$sliced}"""
     }
     val skewOp = skewRawSafe()
+    // ---- operator-level MANIFEST: plan a many-bag directory ----
+    // 64 real bags; `direct` = pooled per-bag O(index) reads (what every
+    // query pays without a manifest), `manifest` = the persisted-manifest
+    // path (one parquet read, then signature-cached per manifest
+    // version — the steady state queries actually see). At a 100k-bag
+    // lake the direct path is 100k round trips; this measures the shape
+    // at 64.
+    def manifestRawSafe(): String =
+      try manifestRaw()
+      catch { case _: Throwable => """{"bags":-1,"direct":-1,"manifest":-1}""" }
+    def manifestRaw(): String = {
+      import org.apache.spark.sql.functions._
+      val dir = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-bench-manifest").toString
+      val msgs = sources.Tables.eventsUs(spark, sfDir).select(
+        pmod(col("user_id"), lit(64)).as("g"),
+        struct(col("event_type").as("topic"), col("ts_us").as("ts_us"),
+          encode(col("props"), "utf-8").as("payload")).as("m"))
+      val bags = msgs.groupBy(col("g"))
+        .agg(sources.Containers.bagPackTyped(
+          sort_array(collect_list(col("m"))), lit("none"),
+          lit("uint8[] data\n"), messagesPerChunk = 256).as("bag"))
+        .select(concat(lit("g"), col("g")).as("bag_file"), col("bag"))
+      sources.Containers.writeBags(bags, dir)
+      val conf = spark.sessionState.newHadoopConf()
+      def median5(f: () => Unit): Double = {
+        f()
+        val runs = (1 to 5).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.sorted
+        runs(runs.size / 2)
+      }
+      val direct = median5(() => { sources.v2.BagScan.readPlans(dir, conf); () })
+      sources.BagManifest.write(spark, dir)
+      val viaManifest = median5(() => { sources.v2.BagScan.readPlans(dir, conf); () })
+      s"""{"bags":64,"direct":$direct,"manifest":$viaManifest}"""
+    }
+    val manifestOp = manifestRawSafe()
     // ---- streaming throughput: rows/sec through stateful pipelines ----
     // MemoryStream-fed micro-batches (4 × 50k rows) through three state
     // shapes: watermarked windowed agg (builtin state), as-of
@@ -457,7 +495,7 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
     val scaleStepFull = scaleStep.map(s => s""","scale_step":$s""").getOrElse("")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"queries":$qsFull,"stddev_sec":$stddevJson,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"smb_operator_level":$smbOp,"skew_operator_level":$skewOp,"streaming":$streamingOp$scalingFull$scaleStepFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es) (passes after the first re-time only queries whose first sample was under ${retimeCeiling}s), per-query median of successful samples, sample stddev in stddev_sec; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"queries":$qsFull,"stddev_sec":$stddevJson,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"smb_operator_level":$smbOp,"skew_operator_level":$skewOp,"manifest_operator_level":$manifestOp,"streaming":$streamingOp$scalingFull$scaleStepFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es) (passes after the first re-time only queries whose first sample was under ${retimeCeiling}s), per-query median of successful samples, sample stddev in stddev_sec; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
     val fw = new java.io.OutputStreamWriter(
       new java.io.FileOutputStream("BENCH_full.json"),
       java.nio.charset.StandardCharsets.UTF_8)

@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.{SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -207,6 +207,109 @@ class SnapshotScanBuilder(
   override def build(): Scan = logAgg match {
     case Some((schema, rows)) => new IndexAggScan(schema, rows,
       s"graft-snapshot-agg $tblName [log-only: ${schema.fieldNames.mkString(", ")}]")
-    case None => inner.build()
+    case None => new SnapshotRuntimeScan(inner.build(), live, tblName)
   }
+}
+
+/** Dynamic FILE pruning for snapshot tables — the DSv2 runtime-filter
+  * contract backed by the commit log's per-file stats. When a snapshot
+  * table joins a (broadcast) dimension, Spark hands the dimension's
+  * join-key IN-set to [[filter]]; every live file whose log-resident
+  * [min,max] on that column provably contains NONE of the values is
+  * dropped from the already-planned parquet partitions BEFORE any file
+  * is opened. On a key-clustered layout (z-order, ranged appends) a
+  * selective join touches a handful of files no matter how large the
+  * table — Delta's dynamic file pruning, answered from the log with
+  * zero footer reads. Pruning is best-effort by contract (the join
+  * re-applies the predicate): files without stats on the filtered
+  * column are kept, unrecognized filters are ignored, never wrong.
+  *
+  * Everything else delegates to Spark's own parquet scan — pushdown,
+  * vectorized reading, and statistics are untouched; this wrapper only
+  * edits the planned partition list.
+  */
+class SnapshotRuntimeScan(inner: Scan, live: Seq[graft.sources.SnapshotStore.AddFile],
+                          tblName: String)
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics with PlanningAudit {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.execution.datasources.FilePartition
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot-dfp($tblName) " + inner.description()
+
+  // planning is the parquet listing the inner scan already does — no
+  // additional per-file driver I/O (stats come from the commit log)
+  override def planningDoesPerFileIO: Boolean = false
+  override def planningParallel: Boolean = true
+
+  override def estimateStatistics(): Statistics = inner match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
+
+  // file NAMES surviving the runtime IN-sets (staged files are
+  // uuid-named, so the name keys the log entry without URI games);
+  // None until Spark calls filter()
+  private var keepNames: Option[Set[String]] = None
+
+  private def statCols: Set[String] =
+    live.iterator.flatMap(_.stats.keysIterator).toSet
+
+  override def filterAttributes(): Array[NamedReference] =
+    readSchema().fieldNames.filter(statCols.contains).map(Expressions.column)
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    def longs(vs: Array[Any]): Option[Set[Long]] =
+      if (vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Int]))
+        Some(vs.map {
+          case l: Long => l
+          case i: Int => i.toLong
+        }.toSet)
+      else None
+    val sets = scala.collection.mutable.Map.empty[String, Set[Long]]
+    filters.foreach {
+      case In(c, vs) if statCols.contains(c) =>
+        longs(vs).foreach(s => sets(c) = sets.get(c).fold(s)(_ intersect s))
+      case EqualTo(c, v) if statCols.contains(c) =>
+        longs(Array(v)).foreach(s => sets(c) = sets.get(c).fold(s)(_ intersect s))
+      case _ => () // best-effort: unprunable runtime filters are ignored
+    }
+    if (sets.nonEmpty) {
+      val keep = live.filter { a =>
+        sets.forall { case (c, vs) =>
+          a.stats.get(c) match {
+            case Some((lo, hi)) => vs.exists(v => v >= lo && v <= hi)
+            case None => true // no stats: can't prove absence, keep
+          }
+        }
+      }.map(a => new org.apache.hadoop.fs.Path(a.path).getName).toSet
+      keepNames = Some(keepNames.fold(keep)(_ intersect keep))
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = inner.toBatch.planInputPartitions()
+    keepNames match {
+      case None => parts
+      case Some(keep) => parts.flatMap {
+        case fp: FilePartition =>
+          val kept = fp.files.filter(pf => keep.contains(
+            new org.apache.hadoop.fs.Path(pf.filePath.toString).getName))
+          if (kept.length == fp.files.length) Some(fp)
+          else if (kept.isEmpty) None
+          else Some(FilePartition(fp.index, kept))
+        case other => Some(other) // non-file partitions pass through
+      }
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    inner.toBatch.createReaderFactory()
 }

@@ -92,6 +92,58 @@ class SnapshotDataSourceSpec extends SparkSpec {
     assert(unstats.as[Long].head() === 0L)
   }
 
+  test("runtime FILE pruning: a joined dimension's id IN-set drops files via log stats") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val t = tempTable("dfp")
+    // 4 ranged appends -> 4 files with DISJOINT [min,max] id boxes
+    (0 until 4).foreach { b =>
+      SnapshotStore.append(
+        (b * 100L until b * 100L + 50L).map(i => (i, s"v$i")).toDF("id", "v")
+          .coalesce(1), t, statsCols = Seq("id"))
+    }
+    def scanOf(): SnapshotRuntimeScan = {
+      val props = new java.util.HashMap[String, String](); props.put("path", t)
+      new SnapshotDataSource().getTable(null, Array.empty, props)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(new CaseInsensitiveStringMap(props)).build()
+        .asInstanceOf[SnapshotRuntimeScan]
+    }
+    // the SupportsRuntimeFiltering contract, unit-level (an e2e DPP
+    // trigger depends on size heuristics; the contract does not)
+    val s0 = scanOf()
+    assert(s0.filterAttributes().map(_.fieldNames().mkString) === Array("id"))
+    val all = s0.planInputPartitions().length
+    assert(all >= 1)
+    val s1 = scanOf()
+    s1.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("id", Array[Any](7L, 310L)))) // hits files 0 and 3 only
+    val prunedParts = s1.planInputPartitions()
+    val keptFiles = prunedParts.map(_.toString).mkString
+    assert(prunedParts.length < all || !keptFiles.isEmpty)
+    // count the surviving FILES (partitions may bin-pack)
+    val files = prunedParts.toSeq.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString).toSeq
+      case _ => Seq.empty[String]
+    }
+    assert(files.length === 2,
+      s"IN-set {7, 310} must keep exactly the two covering files, got $files")
+    // equality form + proven-empty set
+    val s2 = scanOf()
+    s2.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("id", 9999L)))
+    assert(s2.planInputPartitions().toSeq.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.toSeq
+      case _ => Seq.empty
+    }.isEmpty, "a value outside every box plans zero files")
+    // end-to-end: a broadcast semi-join over the same IN-set stays exact
+    val dim = Seq(7L, 310L).toDF("id")
+    val joined = spark.read.format(fmt).load(t)
+      .join(broadcast(dim), "id").select("v").as[String].collect().sorted
+    assert(joined.toSeq === Seq("v310", "v7"))
+  }
+
   test("SQL text: a version-pinned temp view serves time travel to pure SQL") {
     val t = tempTable("sql")
     SnapshotStore.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)

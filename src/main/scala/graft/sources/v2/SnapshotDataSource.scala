@@ -260,9 +260,13 @@ class SnapshotRuntimeScan(inner: Scan, live: Seq[graft.sources.SnapshotStore.Add
 
   private def statCols: Set[String] =
     live.iterator.flatMap(_.stats.keysIterator).toSet
+  private def strStatCols: Set[String] =
+    live.iterator.flatMap(_.strStats.keysIterator).toSet
 
   override def filterAttributes(): Array[NamedReference] =
-    readSchema().fieldNames.filter(statCols.contains).map(Expressions.column)
+    readSchema().fieldNames
+      .filter(c => statCols.contains(c) || strStatCols.contains(c))
+      .map(Expressions.column)
 
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.sources.{EqualTo, In}
@@ -273,20 +277,41 @@ class SnapshotRuntimeScan(inner: Scan, live: Seq[graft.sources.SnapshotStore.Add
           case i: Int => i.toLong
         }.toSet)
       else None
+    def strings(vs: Array[Any]): Option[Set[String]] =
+      if (vs.forall(_.isInstanceOf[String]))
+        Some(vs.map(_.asInstanceOf[String]).toSet)
+      else None
     val sets = scala.collection.mutable.Map.empty[String, Set[Long]]
+    val strSets = scala.collection.mutable.Map.empty[String, Set[String]]
     filters.foreach {
-      case In(c, vs) if statCols.contains(c) =>
+      case In(c, vs) if statCols.contains(c) && longs(vs).isDefined =>
         longs(vs).foreach(s => sets(c) = sets.get(c).fold(s)(_ intersect s))
-      case EqualTo(c, v) if statCols.contains(c) =>
+      case EqualTo(c, v) if statCols.contains(c) && longs(Array(v)).isDefined =>
         longs(Array(v)).foreach(s => sets(c) = sets.get(c).fold(s)(_ intersect s))
+      case In(c, vs) if strStatCols.contains(c) && strings(vs).isDefined =>
+        strings(vs).foreach(s => strSets(c) = strSets.get(c).fold(s)(_ intersect s))
+      case EqualTo(c, v: String) if strStatCols.contains(c) =>
+        strSets(c) = strSets.get(c).fold(Set(v))(_ intersect Set(v))
       case _ => () // best-effort: unprunable runtime filters are ignored
     }
-    if (sets.nonEmpty) {
+    if (sets.nonEmpty || strSets.nonEmpty) {
       val keep = live.filter { a =>
         sets.forall { case (c, vs) =>
           a.stats.get(c) match {
             case Some((lo, hi)) => vs.exists(v => v >= lo && v <= hi)
             case None => true // no stats: can't prove absence, keep
+          }
+        } && strSets.forall { case (c, vs) =>
+          a.strStats.get(c) match {
+            // UTF-8 byte order — the order the stats were computed in
+            // (ZOrderStore.utf8Cmp); the stored min may be a truncated
+            // PREFIX of the true min, which only widens the box (a
+            // prefix sorts <= the full value), so containment stays
+            // conservative
+            case Some((lo, hi)) => vs.exists(v =>
+              graft.sources.ZOrderStore.utf8Cmp(v, lo) >= 0 &&
+              graft.sources.ZOrderStore.utf8Cmp(v, hi) <= 0)
+            case None => true
           }
         }
       }.map(a => new org.apache.hadoop.fs.Path(a.path).getName).toSet

@@ -142,6 +142,34 @@ class SnapshotDataSourceSpec extends SparkSpec {
     val joined = spark.read.format(fmt).load(t)
       .join(broadcast(dim), "id").select("v").as[String].collect().sorted
     assert(joined.toSeq === Seq("v310", "v7"))
+
+    // STRING-keyed twin: per-lang files, a lang IN-set prunes via the
+    // log's string boxes (UTF-8 byte order, truncation-conservative)
+    val ts = tempTable("dfpstr")
+    Seq("de", "en", "fr", "zh").foreach { lang =>
+      SnapshotStore.append(
+        (1L to 10L).map(i => (i, lang)).toDF("id", "lang").coalesce(1),
+        ts, statsCols = Seq("lang"))
+    }
+    def strScan(): SnapshotRuntimeScan = {
+      val props = new java.util.HashMap[String, String](); props.put("path", ts)
+      new SnapshotDataSource().getTable(null, Array.empty, props)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(new CaseInsensitiveStringMap(props)).build()
+        .asInstanceOf[SnapshotRuntimeScan]
+    }
+    val ss = strScan()
+    assert(ss.filterAttributes().map(_.fieldNames().mkString).toSet
+      .contains("lang"))
+    ss.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("lang", Array[Any]("de", "zh"))))
+    val strFiles = ss.planInputPartitions().toSeq.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString).toSeq
+      case _ => Seq.empty[String]
+    }
+    assert(strFiles.length === 2,
+      s"lang IN-set {de, zh} must keep exactly two files, got $strFiles")
   }
 
   test("SQL text: a version-pinned temp view serves time travel to pure SQL") {

@@ -168,15 +168,16 @@ private[v2] class SnapshotCatalogTable(path: String, asOf: Option[Long],
     ()
   }
 
-  private lazy val underlying: ParquetTable = {
+  private lazy val resolved: (ParquetTable, Seq[SnapshotStore.AddFile]) = {
     val snap = SnapshotStore.state(spark, path, asOf)
     require(snap.live.nonEmpty, s"snapshot $path@v${snap.version} is empty")
-    ParquetTable(name(), spark,
+    (ParquetTable(name(), spark,
       new CaseInsensitiveStringMap(util.Collections.emptyMap()),
       snap.live.map(_.path),
       userSpecifiedSchema = SnapshotStore.tableSchema(spark, path, asOf),
-      fallbackFileFormat = classOf[ParquetFileFormat])
+      fallbackFileFormat = classOf[ParquetFileFormat]), snap.live.toSeq)
   }
+  private lazy val underlying: ParquetTable = resolved._1
 
   override def name(): String =
     s"graft.`$path`" + asOf.map(v => s" VERSION AS OF $v").getOrElse("")
@@ -192,8 +193,15 @@ private[v2] class SnapshotCatalogTable(path: String, asOf: Option[Long],
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  // same wrapper as SnapshotReadTable: SQL-catalog reads get the
+  // log-answered aggregates and runtime file pruning too
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    underlying.newScanBuilder(options)
+    underlying.newScanBuilder(options) match {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+          if resolved._2.nonEmpty =>
+        new SnapshotScanBuilder(p, resolved._2, underlying.schema, name())
+      case other => other
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

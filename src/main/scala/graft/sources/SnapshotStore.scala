@@ -295,7 +295,11 @@ object SnapshotStore {
           s"commit to $table: ${gone.size} input file(s) no longer live " +
             s"(another overwrite/compact won): ${gone.take(3).mkString(", ")}")
       }
-      val metaNow = meta
+      // every commit carries its wall-clock millis — TIMESTAMP AS OF
+      // resolution ([[versionAt]]) reads these; [[history]] shows them.
+      // Monotonicity across skewed committers is repaired at READ time
+      // (versionAt), not trusted at write time.
+      val metaNow = meta + ("ts" -> System.currentTimeMillis().toString)
       metaNow.foreach { case (k, mv) =>
         require(!(k + mv).exists(ch => ch == '\t' || ch == '\n'),
           s"meta entries must be tab/newline-free: $k") }
@@ -833,12 +837,42 @@ object SnapshotStore {
     }
   }
 
+  /** The latest version whose commit timestamp is <= `tsMillis` —
+    * `TIMESTAMP AS OF` resolution for [[snapshot]] and the SQL catalog.
+    * Timestamps come from the `ts` meta every commit records (falling
+    * back to the commit file's modification time for tables written
+    * before timestamp tracking) and are made MONOTONIC the way Delta
+    * adjusts them: a commit stamped at-or-before its predecessor
+    * resolves as predecessor + 1 ms, so clock skew between committers
+    * can shuffle wall-clock but never make a later version resolve
+    * before an earlier one. Throws when `tsMillis` predates the first
+    * commit — asking for the table before it existed is a user error,
+    * not an empty read.
+    */
+  def versionAt(spark: SparkSession, table: String, tsMillis: Long): Long = {
+    val asc = history(spark, table).reverse
+    require(asc.nonEmpty, s"no commits at $table")
+    val fs = logDir(table).getFileSystem(conf(spark))
+    var prev = Long.MinValue
+    val stamped = asc.map { case (v, _, meta) =>
+      val raw = meta.get("ts").flatMap(_.toLongOption).getOrElse(
+        fs.getFileStatus(commitPath(table, v)).getModificationTime)
+      prev = if (prev == Long.MinValue) raw else math.max(raw, prev + 1)
+      (v, prev)
+    }
+    require(tsMillis >= stamped.head._2,
+      s"TIMESTAMP AS OF $tsMillis predates $table's first commit " +
+        s"(${stamped.head._2}); earliest readable version is ${stamped.head._1}")
+    stamped.takeWhile(_._2 <= tsMillis).last._1
+  }
+
   /** Physically delete data files not referenced by any of the last
     * `retainVersions` versions (removed by older overwrites/compacts,
     * or stranded by crashed writers). Time travel PAST the retention
     * window stops working — the same trade Delta's VACUUM documents,
-    * with version-count retention instead of wall-clock hours (commits
-    * carry no timestamps; version count is the deterministic twin).
+    * with version-count retention instead of wall-clock hours (a
+    * deliberately deterministic policy: the `ts` meta is resolution
+    * input for [[versionAt]], not a retention clock).
     * The default keeps only the latest snapshot's files; `retainVersions
     * = 3` keeps the last three versions readable. Returns the number of
     * files deleted.

@@ -708,6 +708,48 @@ object BagScan {
     }
   }
 
+  /** [[planMany]] with the persisted-manifest fast path: files whose
+    * (length, mtime) matches a fresh [[graft.sources.BagManifest]] entry
+    * plan with ZERO per-bag index reads — the streaming twin of
+    * [[readPlans]]' manifest path, so a micro-batch over a
+    * manifest-covered lake opens no bag until a task reads a chunk. The
+    * manifest probe is signature-cached (one listStatus per batch);
+    * new/changed/unrecorded files fall back to the direct index read —
+    * staleness costs a re-read, never an answer. Output order stays
+    * file-then-offset, identical to [[planMany]].
+    */
+  def planManyManifest(dir: String, files: Seq[String],
+                       conf: org.apache.hadoop.conf.Configuration,
+                       band: Option[(Long, Long)] = None,
+                       keepTopic: String => Boolean = _ => true): Array[InputPartition] = {
+    if (files.isEmpty) return Array.empty
+    val manifest = graft.sources.BagManifest.entries(dir, conf)
+    if (manifest.isEmpty) return planMany(files, conf, band, keepTopic)
+    val status = listFileStatuses(dir, conf)
+      .map { case (f, len, m) => f -> (len, m) }.toMap
+    val (fresh, direct) = files.partition { f =>
+      status.get(f).exists { case (len, m) =>
+        manifest.get(f).exists(e => e.len == len && e.mtime == m) } }
+    val fromFresh: Map[String, Seq[InputPartition]] =
+      fresh.map(f => f -> partitionsOf(f, manifest(f).plan, band, keepTopic)).toMap
+    val fromDirect: Map[String, Seq[InputPartition]] =
+      if (direct.isEmpty) Map.empty
+      else if (direct.sizeIs == 1)
+        Map(direct.head -> planFile(direct.head, conf, band, keepTopic))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(direct.size, 16))
+        try {
+          direct.map { f =>
+            f -> pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
+              override def call(): Seq[InputPartition] = planFile(f, conf, band, keepTopic)
+            })
+          }.map { case (f, fut) => f -> fut.get() }.toMap
+        } finally pool.shutdown()
+      }
+    files.flatMap(f => fromFresh.getOrElse(f, fromDirect(f))).toArray
+  }
+
   /** O(index) plan of ONE bag into chunk/span partitions — shared by the
     * batch scan and the micro-batch stream (each arriving file still
     * fans out chunk-parallel inside its batch). With a `band`, chunks
@@ -1096,7 +1138,7 @@ class BagMicroBatchStream(path: String, hconf: SerializableHadoopConf,
         s"graft-bag offsets diverge: start list ${s.take(3).mkString(",")}… is not a " +
           s"prefix of end list ${e.take(3).mkString(",")}… — the checkpoint does not " +
           "match this directory's discovery order; rebuild the checkpoint directory")
-    BagScan.planMany(e.drop(s.length), hconf.value, tsBand, keepTopic)
+    BagScan.planManyManifest(path, e.drop(s.length), hconf.value, tsBand, keepTopic)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = factory

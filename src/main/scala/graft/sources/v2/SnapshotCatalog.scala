@@ -86,11 +86,19 @@ class SnapshotCatalog extends TableCatalog {
     new SnapshotCatalogTable(path, asOf = Some(v), declaredSchema = None)
   }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName: TIMESTAMP AS OF is not supported — commits are " +
-        "versioned, not timestamped; use VERSION AS OF " +
-        "(SnapshotStore.history lists versions)")
+  /** `TIMESTAMP AS OF t` — Spark hands the timestamp in MICROseconds
+    * since the epoch; [[SnapshotStore.versionAt]] resolves it against
+    * the monotonized per-commit `ts` meta, then the read is an ordinary
+    * version-pinned one.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = tablePath(ident)
+    if (SnapshotStore.latestVersion(spark, path) == 0L)
+      throw new NoSuchTableException(ident)
+    new SnapshotCatalogTable(path,
+      asOf = Some(SnapshotStore.versionAt(spark, path, timestamp / 1000L)),
+      declaredSchema = None)
+  }
 
   /** CTAS lands here: record the declared schema and hand back a
     * writable table whose first insert bootstraps the log. Plain

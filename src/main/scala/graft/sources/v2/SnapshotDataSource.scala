@@ -77,6 +77,24 @@ class SnapshotDataSource extends TableProvider
 
 object SnapshotDataSource {
   val VersionAsOf = "versionAsOf"
+  val TimestampAsOf = "timestampAsOf"
+
+  /** `timestampAsOf` accepts epoch millis, `java.sql.Timestamp` text
+    * (`yyyy-mm-dd hh:mm:ss[.f…]`), or ISO-8601 instants; resolution to
+    * a version is [[SnapshotStore.versionAt]]'s monotonized-`ts` rule.
+    */
+  private[v2] def parseTsMillis(s: String): Long =
+    s.toLongOption.getOrElse {
+      try java.sql.Timestamp.valueOf(s).getTime
+      catch { case _: IllegalArgumentException =>
+        try java.time.Instant.parse(s).toEpochMilli
+        catch { case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"graft-snapshot: cannot parse timestampAsOf '$s' — pass epoch " +
+              "millis, 'yyyy-mm-dd hh:mm:ss', or an ISO-8601 instant")
+        }
+      }
+    }
 
   private def resolve(options: CaseInsensitiveStringMap): ParquetTable =
     resolveWithLive(options)._1
@@ -86,7 +104,11 @@ object SnapshotDataSource {
     val spark = SparkSession.active
     val table = Option(options.get("path")).getOrElse(throw new
       IllegalArgumentException("graft-snapshot requires .load(<table path>)"))
+    require(options.get(VersionAsOf) == null || options.get(TimestampAsOf) == null,
+      "graft-snapshot: versionAsOf and timestampAsOf are mutually exclusive")
     val asOf = Option(options.get(VersionAsOf)).map(_.toLong)
+      .orElse(Option(options.get(TimestampAsOf)).map(s =>
+        SnapshotStore.versionAt(spark, table, parseTsMillis(s))))
     val snap = SnapshotStore.state(spark, table, asOf)
     require(snap.live.nonEmpty, s"snapshot $table@v${snap.version} is empty")
     // recorded table schema (when present) pins the read: old files

@@ -79,6 +79,46 @@ class BagManifestSpec extends SparkSpec {
         s"got ${BagScan.planCalls.get()} plan calls")
   }
 
+  test("refresh re-plans ONLY new/changed bags, keeps fresh rows, drops deleted ones") {
+    val dir = Files.createTempDirectory("graft-bagmanrefresh").toString
+    mkBag(dir, "r_a", 12, "none", perChunk = 5)
+    mkBag(dir, "r_b", 9, "bz2", perChunk = 4)
+    mkBag(dir, "r_c", 6, "lz4", perChunk = 3)
+    BagManifest.resetHarvestProbe()
+    BagManifest.write(spark, dir)
+    assert(BagManifest.harvested.get() === 3)
+
+    // no changes: refresh is a no-op (same manifest files, zero harvest)
+    val sigBefore = new java.io.File(BagManifest.manifestDir(dir))
+      .listFiles().map(f => (f.getName, f.lastModified, f.length)).sorted.toSeq
+    BagManifest.resetHarvestProbe()
+    BagManifest.refresh(spark, dir)
+    assert(BagManifest.harvested.get() === 0, "unchanged lake: nothing re-planned")
+    val sigAfter = new java.io.File(BagManifest.manifestDir(dir))
+      .listFiles().map(f => (f.getName, f.lastModified, f.length)).sorted.toSeq
+    assert(sigAfter === sigBefore, "a no-change refresh must not rewrite the manifest")
+
+    // r_b changes content, r_d arrives, r_c is deleted
+    mkBag(dir, "r_b", 15, "bz2", perChunk = 4)
+    mkBag(dir, "r_d", 5, "none", perChunk = 5)
+    Files.delete(Paths.get(dir, "r_c.bag"))
+    BagManifest.resetHarvestProbe()
+    BagManifest.refresh(spark, dir)
+    assert(BagManifest.harvested.get() === 2,
+      s"only the changed and the new bag re-plan, got ${BagManifest.harvested.get()}")
+    val e = BagManifest.entries(dir, spark.sessionState.newHadoopConf())
+    assert(e.keySet.map(p => p.substring(p.lastIndexOf('/') + 1)) ===
+      Set("r_a.bag", "r_b.bag", "r_d.bag"), "deleted bags leave the manifest")
+
+    // the refreshed manifest answers planning with zero bag opens, exactly
+    BagScan.resetPlanProbe()
+    val rows = spark.read.format(fmt).load(dir)
+      .groupBy("bag_file").count().as[(String, Long)].collect().toMap
+    assert(rows === Map("r_a" -> 12L, "r_b" -> 15L, "r_d" -> 5L))
+    assert(BagScan.planCalls.get() === 0,
+      "every live file must be manifest-answered after refresh")
+  }
+
   test("typed schema inference answers from the manifest without walking bags") {
     val dir = Files.createTempDirectory("graft-bagmantyped").toString
     val defn = "uint32 v\nstring tag\n"

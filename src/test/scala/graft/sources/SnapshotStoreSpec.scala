@@ -23,6 +23,40 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(idsOf(SnapshotStore.snapshot(spark, t, asOf = Some(1L))) === Set(1L, 2L))
   }
 
+  test("TIMESTAMP AS OF: versionAt resolves between commits, refuses pre-creation times") {
+    val t = tempTable("tsasof")
+    val before = System.currentTimeMillis() - 5
+    SnapshotStore.append(Seq(1L, 2L).toDF("id"), t)
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    SnapshotStore.overwrite(Seq(9L).toDF("id"), t)
+    assert(SnapshotStore.versionAt(spark, t, mid) === 1L,
+      "a timestamp between commits resolves to the earlier version")
+    assert(SnapshotStore.versionAt(spark, t, System.currentTimeMillis()) === 2L)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.versionAt(spark, t, before)
+    }
+    // commit timestamps are recorded per version and strictly increase
+    val ts = SnapshotStore.history(spark, t).reverse
+      .map(_._3("ts").toLong)
+    assert(ts.size === 2 && ts(0) < ts(1),
+      s"per-commit ts meta must be present and increasing, got $ts")
+    // the DataFrame option rides the same resolution (millis + SQL text)
+    val viaOpt = spark.read.format("graft.sources.v2.SnapshotDataSource")
+      .option("timestampAsOf", mid.toString).load(t)
+    assert(idsOf(viaOpt) === Set(1L, 2L))
+    val asText = new java.sql.Timestamp(mid).toString
+    val viaText = spark.read.format("graft.sources.v2.SnapshotDataSource")
+      .option("timestampAsOf", asText).load(t)
+    assert(idsOf(viaText) === Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.v2.SnapshotDataSource")
+        .option("versionAsOf", "1").option("timestampAsOf", mid.toString)
+        .load(t).collect()
+    }
+  }
+
   test("overwrite replaces the live set; prior versions stay readable until vacuum") {
     val t = tempTable("ow")
     SnapshotStore.append(Seq(1L, 2L).toDF("id"), t)

@@ -127,6 +127,38 @@ class BagDataSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming planning answers from a fresh manifest: zero per-bag index reads; new bags fall back") {
+    val dir = Files.createTempDirectory("graft-bagstream-man").toString
+    mkBag(dir, "m_a", 8, "none", perChunk = 4) // 2 chunks
+    mkBag(dir, "m_b", 6, "bz2", perChunk = 3)  // 2 chunks
+    graft.sources.BagManifest.write(spark, dir)
+    val hconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val stream = new BagScanBuilder(dir, hconf).build()
+      .toMicroBatchStream("unused")
+    val o0 = stream.initialOffset()
+    val o1 = stream.latestOffset()
+    BagScan.resetPlanProbe()
+    val parts = stream.planInputPartitions(o0, o1)
+    assert(parts.length === 4, s"2+2 chunks, planned ${parts.length}")
+    assert(BagScan.planCalls.get() === 0,
+      "manifest-fresh files must plan with ZERO per-bag index reads")
+    // an unrecorded "upload" arrives: direct index read for IT alone
+    mkBag(dir, "m_c", 2, "lz4", perChunk = 1)  // 2 chunks
+    val o2 = stream.latestOffset()
+    BagScan.resetPlanProbe()
+    val parts2 = stream.planInputPartitions(o1, o2)
+    assert(parts2.length === 2, s"only the new bag's chunks, planned ${parts2.length}")
+    assert(BagScan.planCalls.get() === 1,
+      s"one direct read for the one unrecorded bag, saw ${BagScan.planCalls.get()}")
+    // the manifest path plans the SAME partitions the direct walk would
+    val conf = spark.sessionState.newHadoopConf()
+    val direct = BagScan.planMany(BagScan.listFiles(dir, conf).toSeq, conf)
+    val viaManifest = BagScan.planManyManifest(
+      dir, BagScan.listFiles(dir, conf).toSeq, conf)
+    assert(viaManifest.toSeq === direct.toSeq,
+      "manifest planning must be indistinguishable from direct planning")
+  }
+
   test("typed scan: per-field columns from the reader; pruning reaches the decoder; skip-walk exact") {
     import java.nio.{ByteBuffer, ByteOrder}
     val defn = "uint32 seq\nfloat64 lat\nfloat64 lng\nstring note\nint32[] tags\n"

@@ -32,6 +32,31 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collectFirst(plan) { case b: BatchScanExec => b }.nonEmpty)
   }
 
+  test("TIMESTAMP AS OF resolves through the catalog to the version live at that instant") {
+    val t = freshTable("tsread")
+    SnapshotStore.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t) // v1
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    SnapshotStore.overwrite(Seq((30L, "c")).toDF("id", "v"), t)       // v2
+    // timestamp_millis() sidesteps session-timezone string parsing: the
+    // literal IS the instant versionAt compares commit `ts` meta against
+    assert(spark.sql(
+      s"SELECT sum(id) FROM graft.`$t` TIMESTAMP AS OF timestamp_millis($mid)")
+      .as[Long].head === 3L, "the pre-overwrite snapshot answers")
+    assert(spark.sql(
+      s"SELECT sum(id) FROM graft.`$t` TIMESTAMP AS OF " +
+        s"timestamp_millis(${System.currentTimeMillis()})")
+      .as[Long].head === 30L)
+    val err = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft.`$t` TIMESTAMP AS OF timestamp_millis(${mid - 60000})")
+        .collect()
+    }
+    assert(err.getMessage.contains("predates"),
+      s"pre-creation time travel must fail loudly, got: ${err.getMessage}")
+  }
+
   test("INSERT INTO appends a commit; INSERT OVERWRITE replaces atomically") {
     val t = freshTable("write")
     SnapshotStore.append(Seq((1L, "a")).toDF("id", "v"), t)
@@ -74,8 +99,9 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(ns.getMessage.contains("path-addressed")
       || ns.getMessage.toLowerCase.contains("not found"))
     val ts = intercept[Exception](
-      spark.sql(s"SELECT * FROM graft.`$t` TIMESTAMP AS OF '2026-01-01'").collect())
-    assert(ts.getMessage.contains("VERSION AS OF"))
+      spark.sql(s"SELECT * FROM graft.`$t` TIMESTAMP AS OF '2000-01-01'").collect())
+    assert(ts.getMessage.contains("predates"),
+      s"pre-creation TIMESTAMP AS OF must fail loudly: ${ts.getMessage}")
   }
 
   test("SQL DELETE FROM runs the copy-on-write delete through the catalog") {

@@ -1063,6 +1063,77 @@ object SparkEntry {
         "a fresh manifest must plan the directory with zero bag opens")
       out
     }),
+    "q_bag_manifest_refresh" -> ((s, d) => {
+      // incremental manifest maintenance under ingest: half the fleet
+      // lands and the manifest is written; the second half lands and
+      // BagManifest.refresh re-plans ONLY the new bags (O(new files),
+      // not O(lake) — the harvest probe require's it), keeping the
+      // first wave's persisted rows untouched. The refreshed manifest
+      // must then answer fleet-wide planning with ZERO bag opens and
+      // values identical to the raw events — the nightly-touch-up
+      // contract a growing 100 TB lake runs on.
+      graft.plans.GraftExtensions.register(s)
+      val dir = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-bagmanrefq").toString
+      val msgs = eventsUs(s, d).select(
+        pmod(col("user_id"), lit(64)).as("g"),
+        struct(col("event_type").as("topic"), col("ts_us").as("ts_us"),
+          encode(col("props"), "utf-8").as("payload")).as("m"))
+      def land(wave: org.apache.spark.sql.DataFrame): Unit =
+        graft.sources.Containers.writeBags(
+          wave.groupBy(col("g"))
+            .agg(graft.sources.Containers.bagPackTyped(
+              sort_array(collect_list(col("m"))),
+              when(pmod(col("g"), lit(3)) === 0, "none")
+                .when(pmod(col("g"), lit(3)) === 1, "bz2")
+                .otherwise("lz4"),
+              lit("uint8[] data\n"), messagesPerChunk = 256).as("bag"))
+            .select(concat(lit("g"), col("g")).as("bag_file"), col("bag")),
+          dir)
+      land(msgs.filter(col("g") < 32))
+      graft.sources.BagManifest.write(s, dir)
+      land(msgs.filter(col("g") >= 32))
+      graft.sources.BagManifest.resetHarvestProbe()
+      graft.sources.BagManifest.refresh(s, dir)
+      val replanned = graft.sources.BagManifest.harvested.get()
+      require(replanned > 0 && replanned <= 32,
+        s"refresh must re-plan only the second wave's bags, harvested $replanned")
+      graft.sources.v2.BagScan.resetPlanProbe()
+      val out = s.read.format("graft.sources.v2.BagDataSource").load(dir)
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("cnt"), min(col("ts_us")).as("min_ts"),
+          max(col("ts_us")).as("max_ts"))
+        .orderBy(col("topic"))
+      out.queryExecution.executedPlan // force planning (incl. pushdown)
+      require(graft.sources.v2.BagScan.planCalls.get() == 0,
+        "a refreshed manifest must plan the directory with zero bag opens")
+      out
+    }),
+    "q_snapshot_timetravel" -> ((s, d) => {
+      // TIMESTAMP AS OF end to end: append the base slice, capture an
+      // instant, append the increment, then read the table AT the
+      // captured instant — SnapshotStore.versionAt resolves the
+      // monotonized per-commit `ts` meta to the first version, so the
+      // result must equal the base slice alone (predicted by the
+      // oracle from the raw documents table). The version-pinned read
+      // rides the same DSv2 delegation as q_snapshot_dsv2.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snaptt").toString + "/docs"
+      graft.sources.SnapshotStore.append(
+        docs.filter(col("doc_id") % 10 < 8), t, statsCols = Seq("doc_id"))
+      Thread.sleep(10)
+      val mid = System.currentTimeMillis()
+      Thread.sleep(10)
+      graft.sources.SnapshotStore.append(
+        docs.filter(col("doc_id") % 10 >= 8), t, statsCols = Seq("doc_id"))
+      require(graft.sources.SnapshotStore.versionAt(s, t, mid) == 1L,
+        "the captured instant must resolve to the pre-increment version")
+      s.read.format("graft.sources.v2.SnapshotDataSource")
+        .option("timestampAsOf", mid.toString).load(t)
+        .orderBy(col("doc_id"))
+    }),
     "q_snapshot_roundtrip" -> ((s, d) => {
       // transactional-table roundtrip: base append + increment append
       // into a fresh SnapshotStore table (stats harvested on doc_id),
@@ -2561,6 +2632,13 @@ object SparkEntry {
       """SELECT event_type AS topic, count(*) AS cnt,
         |  min(epoch_us(ts)) AS min_ts, max(epoch_us(ts)) AS max_ts
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bag_manifest_refresh" ->
+      """SELECT event_type AS topic, count(*) AS cnt,
+        |  min(epoch_us(ts)) AS min_ts, max(epoch_us(ts)) AS max_ts
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_snapshot_timetravel" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id % 10 < 8 ORDER BY doc_id""".stripMargin,
     "q_snapshot_strbox" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang >= 'de' AND lang <= 'fr' ORDER BY doc_id""".stripMargin,

@@ -1583,6 +1583,12 @@ object SparkEntry {
       Similarity.kmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 4, iters = 2)
         .orderBy(col("vec_id"))),
+    "q_semdedup" -> ((s, d) =>
+      // SemDeDup: cluster (k-means), then near-dup removal bounded to
+      // within-cluster pairs — Σ|cluster|² candidates, never corpus²
+      Similarity.semDedup(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
+        k = 8, iters = 1, minCosine = 0.35)
+        .orderBy(col("vec_id"))),
     "q_centroids" -> ((s, d) =>
       // per-label centroid exploded to scalars for the oracle compare
       // (array<double> equality is representation-sensitive cross-engine)
@@ -2795,7 +2801,10 @@ object SparkEntry {
     * rounded 6dp before the argmax (ties to the lowest cid), updated
     * centroids rounded 6dp then snapped through REAL (float32).
     */
-  private def kmeansSql(k: Int, iters: Int): String = {
+  /** The WITH-clause of the k-means oracle, through the final
+    * assignment relation `a<iters>` (vec_id, cid, cos, v) — shared by
+    * q_kmeans and the SemDeDup oracle's within-cluster pair stage. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (SELECT vec_id,
               |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -2820,11 +2829,14 @@ object SparkEntry {
                   |       GROUP BY cid),
                   |""".stripMargin
     }
-    sb ++= s"""
-              |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, cos
-              |FROM a$iters ORDER BY vec_id""".stripMargin
     sb.toString
   }
+
+  private def kmeansSql(k: Int, iters: Int): String =
+    kmeansCtes(k, iters) +
+      s"""
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, cos
+         |FROM a$iters ORDER BY vec_id""".stripMargin
 
   /** The 4-band LSH explode of a minhash signature relation (oracle
     * side) — mirrors [[graft.operators.Dedup.bandedSignatures]]. */
@@ -3125,6 +3137,15 @@ object SparkEntry {
          |FROM e, q WHERE vec_id != 0 AND bucket = qb
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q_kmeans" -> kmeansSql(k = 4, iters = 2),
+    "q_semdedup" ->
+      (kmeansCtes(k = 8, iters = 1) +
+        s""",
+           |dup AS (SELECT DISTINCT b.vec_id
+           |        FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |        WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.35)
+           |SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cluster_id,
+           |  m.vec_id NOT IN (SELECT vec_id FROM dup) AS keep
+           |FROM a1 m ORDER BY m.vec_id""".stripMargin),
     "q_centroids" ->
       // parallel unnests zip positionally in DuckDB; accumulation is
       // double on both sides, rounded 6dp against summation-order drift

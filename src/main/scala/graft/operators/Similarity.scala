@@ -254,6 +254,42 @@ object Similarity {
     (centroids, asg)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — semantic dedup at
+    * web scale): embedding-space near-dup removal made tractable by
+    * CLUSTERING FIRST. K-means partitions the corpus; pairwise cosine
+    * then runs ONLY within each cluster, so the candidate bound is
+    * Σ|cluster|² instead of corpus² — the difference between feasible
+    * and not at 100 TB (grow k with the corpus to hold cluster sizes).
+    * The keep rule is deterministic keep-lowest: a vector is a
+    * duplicate iff some LOWER-id member of its cluster matches at
+    * >= `minCosine` (the paper keeps one exemplar per semantic group;
+    * pinning exemplar choice to the minimum id makes runs and engines
+    * agree — same move as exact dedup's keep-first).
+    *
+    * Shape: assignment is [[kmeansAssign]]'s zero-shuffle
+    * literal-centroid map; the join-back and the self-join shuffle on
+    * vec_id / cluster_id only; scored pairs never materialize past the
+    * codegen'd cosine filter. Returns (vec_id, cluster_id, keep) —
+    * curation joins `keep` back to the documents table.
+    */
+  def semDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, minCosine: Double): DataFrame = {
+    val e = embeddings.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<float>").as("v"))
+    val m = kmeansAssign(embeddings, idCol, vecCol, k, iters)
+      .select(col("vec_id"), col("cluster_id"))
+      .join(e, "vec_id")
+    val dup = m.as("a").join(m.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(round(cosineNative(col("a.v"), col("b.v")), 6) >= minCosine)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    m.select(col("vec_id"), col("cluster_id"))
+      .join(dup.withColumn("__dup", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(!col("__dup"), lit(true)).as("keep"))
+  }
+
   /** Lloyd's k-means over an embedding column, Spark-shaped for scale:
     *
     *  - ASSIGNMENT is map-side only: the k centroids are plan literals

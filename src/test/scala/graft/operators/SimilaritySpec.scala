@@ -141,6 +141,33 @@ class SimilaritySpec extends SparkSpec {
       s"blobs not separated: even=$evenClusters odd=$oddClusters")
   }
 
+  test("semDedup: within-cluster near-dups drop keep-lowest; cross-cluster twins both survive") {
+    import org.apache.spark.sql.functions._
+    // two orthogonal direction blobs; ids interleave so rank seeding
+    // (k=2) starts one centroid in each. Blob members are near-parallel
+    // (cos ≈ 1 within a blob, ≈ 0 across), so within each cluster only
+    // the LOWEST id survives — even across blobs' identical geometry.
+    val rows = (0 until 12).map { i =>
+      val base = if (i % 2 == 0) Array(10f, 0.01f * i, 0f)
+                 else Array(0f, 0.01f * i, 10f)
+      (i.toLong, base)
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+        k = 2, iters = 2, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val kept = out.filter(_._3).map(_._1).toSet
+    assert(kept === Set(0L, 1L),
+      s"one exemplar per cluster, the lowest id: kept $kept")
+    // dropped rows still report their cluster (curation joins on it)
+    val clustersOf = out.groupBy(_._1 % 2).map { case (par, xs) =>
+      par -> xs.map(_._2).toSet }
+    assert(clustersOf.values.forall(_.size == 1),
+      s"each blob maps to one cluster: $clustersOf")
+    // a lone vector (no lower-id neighbor above threshold) always keeps
+    assert(out.length === 12 && out.count(_._3) === 2)
+  }
+
   test("kmeansAssign: zero iterations assigns against the seed vectors; empty clusters drop") {
     import org.apache.spark.sql.functions._
     // all vectors identical to vector 0 → every row lands in cluster 0

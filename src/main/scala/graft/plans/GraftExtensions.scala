@@ -231,16 +231,42 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         val fn = "graft_snapshot"
         require(args.length == 1 || args.length == 2,
-          s"usage: $fn(table_path[, version])")
+          s"usage: $fn(table_path[, version_or_timestamp])")
         val spark = org.apache.spark.sql.SparkSession.active
         val reader = spark.read
           .format(classOf[graft.sources.v2.SnapshotDataSource].getName)
+        // an integer second argument pins a VERSION; a string literal is
+        // a TIMESTAMP ('yyyy-mm-dd hh:mm:ss', ISO instant, or epoch ms)
         val withV =
-          if (args.length == 2) reader.option(
+          if (args.length == 2 &&
+              args(1).dataType == org.apache.spark.sql.types.StringType)
+            reader.option(graft.sources.v2.SnapshotDataSource.TimestampAsOf,
+              strArg(fn, args, 1, "timestamp"))
+          else if (args.length == 2) reader.option(
             graft.sources.v2.SnapshotDataSource.VersionAsOf,
             longArg(fn, args, 1, "version"))
           else reader
         withV.load(strArg(fn, args, 0, "table_path")).queryExecution.analyzed
+      }),
+    // The audit log as SQL: SELECT * FROM graft_snapshot_history('/p/t')
+    // → (version, op, ts_millis, meta) newest first — the commit `ts`
+    // meta surfaced for TIMESTAMP AS OF users deciding what instant to
+    // ask for. Driver-built (the log replay is already driver-side);
+    // row count = commit count, never data-sized.
+    (new FunctionIdentifier("graft_snapshot_history"),
+      new ExpressionInfo(classOf[graft.sources.v2.SnapshotDataSource].getName,
+        "graft_snapshot_history"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_snapshot_history"
+        require(args.length == 1, s"usage: $fn(table_path)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        graft.sources.SnapshotStore.history(spark, strArg(fn, args, 0, "table_path"))
+          .map { case (v, op, meta) =>
+            (v, op, meta.get("ts").flatMap(_.toLongOption), meta - "ts")
+          }
+          .toDF("version", "op", "ts_millis", "meta")
+          .queryExecution.analyzed
       }),
     // SQL-text CDF: SELECT * FROM graft_snapshot_changes('/path/t', 2)
     // — the row-level feed for versions (since, latest] (or (since,

@@ -99,6 +99,19 @@ class SqlTableFunctionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         "ORDER BY _change_type, id")
       .as[(Long, String)].collect().toSeq
     assert(feed === Seq((1L, "delete"), (2L, "delete"), (30L, "insert")))
+    // the audit log as SQL, newest first, with the commit instants
+    val hist = spark.sql(
+      s"SELECT version, op, ts_millis FROM graft_snapshot_history('$t')")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(hist.map(x => (x._1, x._2)) ===
+      Seq((2L, "overwrite"), (1L, "append")))
+    assert(hist.forall(_._3.exists(_ > 0L)), s"every commit carries ts: $hist")
+    // a STRING second argument is a timestamp: pin to the instant
+    // between the commits (the recorded ts of v1 works exactly)
+    val midMs = hist.last._3.get
+    assert(spark.sql(s"SELECT sum(id) FROM graft_snapshot('$t', '$midMs')")
+      .as[Long].head === 3L,
+      "timestamp-text second argument must resolve to the version live then")
   }
 
   test("TVF rejects non-literal and missing arguments loudly") {

@@ -869,7 +869,7 @@ object SparkEntry {
           when(pmod(col("g"), lit(3)) === 0, "none")
             .when(pmod(col("g"), lit(3)) === 1, "bz2")
             .otherwise("lz4"),
-          lit(msgDef), messagesPerChunk = 64).as("bag"))
+          lit(msgDef), messagesPerChunk = 256).as("bag"))
         .select(concat(lit("g"), col("g")).as("bag_file"), col("bag"))
       graft.sources.Containers.writeBags(bags, dir)
       // size-guarded driver scalars: the two band bounds
@@ -924,7 +924,7 @@ object SparkEntry {
             .when(pmod(col("g"), lit(3)) === 1, "bz2")
             .otherwise("lz4"),
           when(col("t") === "gps", gpsDef).otherwise(tagDef),
-          messagesPerChunk = 128).as("bag"))
+          messagesPerChunk = 512).as("bag"))
         .select(concat(lit("g"), col("g"), lit("_"), col("t")).as("bag_file"),
           col("bag"))
       graft.sources.Containers.writeBags(bags, dir)

@@ -1152,6 +1152,34 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 >= 8), t, statsCols = Seq("doc_id"))
       graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
     }),
+    "q_snapshot_point" -> ((s, d) => {
+      // needle-in-the-lake point lookup: four INTERLEAVED appends
+      // (doc_id mod 4) give every file a domain-spanning [min,max], so
+      // the box stage is blind by construction — isolating the probes
+      // is the bloom leg's job. readPoints probes parquet blooms /
+      // complete dictionaries on the log-resolved live files
+      // (footer-sized reads) and scans only the hits; the require pins
+      // that the refine actually skipped files.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snappoint").toString + "/docs"
+      (0 until 4).foreach { k =>
+        graft.sources.SnapshotStore.append(
+          docs.filter(col("doc_id") % 4 === k).coalesce(1), t,
+          statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+      }
+      val probes = Seq(5L, 17L, 250L, 333L)
+      val snap = graft.sources.SnapshotStore.state(s, t)
+      val kept = graft.sources.BloomSkip.prunedFrom(
+        s.sessionState.newHadoopConf(),
+        snap.live.map(f => new org.apache.hadoop.fs.Path(f.path)),
+        "doc_id", probes)
+      require(kept.size < snap.live.size,
+        s"bloom refine must skip residue-class files (${kept.size} of ${snap.live.size})")
+      graft.sources.SnapshotStore.readPoints(s, t, "doc_id", probes)
+        .orderBy(col("doc_id"))
+    }),
     "q_snapshot_strbox" -> ((s, d) => {
       // string-stat pruning: docs land in per-lang file groups (one
       // append per lang → disjoint lexicographic [min,max] per file),
@@ -2645,6 +2673,9 @@ object SparkEntry {
     "q_snapshot_timetravel" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id % 10 < 8 ORDER BY doc_id""".stripMargin,
+    "q_snapshot_point" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (5, 17, 250, 333) ORDER BY doc_id""".stripMargin,
     "q_snapshot_strbox" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang >= 'de' AND lang <= 'fr' ORDER BY doc_id""".stripMargin,

@@ -44,14 +44,25 @@ object BloomSkip {
     */
   def prunedFiles(spark: SparkSession, path: String, column: String,
                   values: Seq[Any]): (Seq[String], Int) = {
-    require(values.nonEmpty, "prunedFiles needs at least one probe value")
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
     val files = fs.listStatus(new Path(path)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)
+    (prunedFrom(conf, files, column, values).map(_.toString).sorted, files.size)
+  }
+
+  /** [[prunedFiles]] over an EXPLICIT file list — the form a
+    * log-resolved table ([[SnapshotStore.readPoints]]) probes, where the
+    * commit log already names the live files and a directory listing
+    * would see stranded/stale ones.
+    */
+  def prunedFrom(conf: org.apache.hadoop.conf.Configuration,
+                 files: Seq[Path], column: String,
+                 values: Seq[Any]): Seq[Path] = {
+    require(values.nonEmpty, "bloom probe needs at least one value")
     import scala.jdk.CollectionConverters._
-    val kept = files.filter { p =>
+    files.filter { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try {
         val schema = reader.getFooter.getFileMetaData.getSchema
@@ -86,7 +97,6 @@ object BloomSkip {
         }
       } finally reader.close()
     }
-    (kept.map(_.toString).sorted, files.size)
   }
 
   private def hashFor(bloom: org.apache.parquet.column.values.bloomfilter.BloomFilter,

@@ -345,7 +345,8 @@ object SnapshotStore {
     * until a commit names them.
     */
   private def stageFiles(df: DataFrame, table: String,
-                         statsCols: Seq[String]): Seq[AddFile] = {
+                         statsCols: Seq[String],
+                         bloomCols: Seq[String] = Nil): Seq[AddFile] = {
     // stats serialize into the commit TSV as `col=lo:hi;col=lo:hi` —
     // a name carrying one of the format's separators would corrupt the
     // line (and a later decodeAdd). Reject up front, not at replay.
@@ -357,7 +358,9 @@ object SnapshotStore {
     val data = dataDir(table)
     val fs = data.getFileSystem(c)
     val tmp = new Path(table, s".stage-${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    bloomCols.foldLeft(df.write.mode("overwrite")) { (w, bc) =>
+      w.option(s"parquet.bloom.filter.enabled#$bc", "true")
+    }.parquet(tmp.toString)
     // footer harvest BEFORE the move: rows always; [min,max] for the
     // requested columns — long ranges where the parquet stats are
     // int64, string ranges (capped, Delta-style truncation) where they
@@ -447,7 +450,8 @@ object SnapshotStore {
     */
   def append(df: DataFrame, table: String, statsCols: Seq[String] = Nil,
              meta: Map[String, String] = Map.empty,
-             mergeSchema: Boolean = false): Long = {
+             mergeSchema: Boolean = false,
+             bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     // derive the schema to record against the CURRENT table meta — and
     // re-derive on every commit attempt (by-name `meta`): two racing
@@ -459,7 +463,7 @@ object SnapshotStore {
         .map(evolveSchema(_, df.schema, mergeSchema, table))
         .getOrElse(df.schema) // pre-schema-tracking table: adopt as-is
     val _ = recorded // fail fast (type drift / missing mergeSchema) before staging
-    val adds = stageFiles(df, table, statsCols)
+    val adds = stageFiles(df, table, statsCols, bloomCols)
     commit(spark, table, adds, removes = Nil,
       meta = meta + ("op" -> "append") + ("schema" -> recorded.json),
       mustBeLive = Nil)
@@ -469,12 +473,13 @@ object SnapshotStore {
     * are unaffected — their files are immutable until [[vacuum]]).
     */
   def overwrite(df: DataFrame, table: String, statsCols: Seq[String] = Nil,
-                meta: Map[String, String] = Map.empty): Long = {
+                meta: Map[String, String] = Map.empty,
+                bloomCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val prior =
       if (latestVersion(spark, table) == 0L) Nil
       else state(spark, table).live.map(_.path)
-    val adds = stageFiles(df, table, statsCols)
+    val adds = stageFiles(df, table, statsCols, bloomCols)
     commit(spark, table, adds, removes = prior,
       meta = meta + ("op" -> "overwrite") + ("schema" -> df.schema.json),
       mustBeLive = prior)
@@ -564,6 +569,49 @@ object SnapshotStore {
     strBox.foldLeft(longFiltered) { case (df, (c, (lo, hi))) =>
       df.filter(col(c) >= lo && col(c) <= hi)
     }
+  }
+
+  /** Point-lookup read — equality/IN over one column, file-skipped in
+    * two stages:
+    *
+    *  1. LOG stats: live files whose [min,max] box (long or UTF-8
+    *     string) can contain NO probe value drop with zero reads — the
+    *     range leg, sharp on clustered layouts (z-order, ranged
+    *     appends).
+    *  2. BLOOM refine: survivors are probed through their parquet
+    *     blooms / complete dictionaries ([[BloomSkip.prunedFrom]],
+    *     footer-sized reads for those files only) — the equality leg,
+    *     sharp precisely where boxes are blind: a high-cardinality
+    *     hash-distributed id whose every file box spans the domain.
+    *
+    * Write blooms by passing `bloomCols` to [[append]]/[[overwrite]];
+    * files without them (older commits, rewrites) just stay in the scan
+    * — either stage may only skip, never lie, and the IN predicate
+    * re-applies exactly. Values: Long/Int or String.
+    */
+  def readPoints(spark: SparkSession, table: String, column: String,
+                 values: Seq[Any], asOf: Option[Long] = None): DataFrame = {
+    require(values.nonEmpty, "readPoints needs at least one probe value")
+    val snap = state(spark, table, asOf)
+    val boxKept = snap.live.filter { a =>
+      values.exists {
+        case x: Long =>
+          a.stats.get(column).forall { case (mn, mx) => x >= mn && x <= mx }
+        case x: Int =>
+          a.stats.get(column).forall { case (mn, mx) => x >= mn && x <= mx }
+        case s: String =>
+          a.strStats.get(column).forall { case (mn, mx) =>
+            ZOrderStore.utf8Cmp(s, mn) >= 0 && ZOrderStore.utf8Cmp(s, mx) <= 0 }
+        case _ => true // unprobed type: the box stage cannot skip
+      }
+    }
+    val kept = BloomSkip.prunedFrom(conf(spark),
+      boxKept.map(a => new Path(a.path)), column, values)
+      .map(_.toString)
+    val base =
+      if (kept.isEmpty) snapshot(spark, table, asOf).limit(0)
+      else readWithSchema(spark, snap.meta, kept)
+    base.filter(col(column).isin(values: _*))
   }
 
   /** Files added in versions (sinceVersion, target] — the incremental-

@@ -68,6 +68,36 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(idsOf(SnapshotStore.snapshot(spark, t)) === Set(10L))
   }
 
+  test("readPoints: bloom refine skips the files min/max boxes cannot") {
+    val t = tempTable("points")
+    // ids interleave mod 4 across four single-file appends, so every
+    // file's [min,max] box spans ~the whole domain (the box stage is
+    // BLIND here) — only the bloom/dictionary leg can isolate a point
+    (0 until 4).foreach { k =>
+      SnapshotStore.append(
+        (0 until 25).map(i => 4L * i + k).toDF("id").coalesce(1), t,
+        statsCols = Seq("id"), bloomCols = Seq("id"))
+    }
+    val snap = SnapshotStore.state(spark, t)
+    assert(snap.live.size === 4)
+    // box stage alone keeps all 4 (every box contains 42)
+    val (boxKept, total) = SnapshotStore.prunedLiveFiles(
+      spark, t, Map("id" -> (42L, 42L)))
+    assert(boxKept.size === 4 && total === 4,
+      s"interleaved ids must defeat box pruning, kept ${boxKept.size}")
+    // bloom refine isolates the one file whose residue class holds 42
+    val kept = BloomSkip.prunedFrom(spark.sessionState.newHadoopConf(),
+      snap.live.map(f => new org.apache.hadoop.fs.Path(f.path)), "id", Seq(42L))
+    assert(kept.size === 1,
+      s"the bloom/dictionary leg must isolate one file, kept ${kept.size}")
+    assert(SnapshotStore.readPoints(spark, t, "id", Seq(42L))
+      .as[Long].collect().toSeq === Seq(42L))
+    // multi-value IN probes the union; an absent value returns empty
+    assert(SnapshotStore.readPoints(spark, t, "id", Seq(42L, 43L))
+      .as[Long].collect().sorted.toSeq === Seq(42L, 43L))
+    assert(SnapshotStore.readPoints(spark, t, "id", Seq(1000L)).count() === 0L)
+  }
+
   test("compact is a metadata swap: fewer live files, same rows, history intact") {
     val t = tempTable("compact")
     (1 to 6).foreach(i => SnapshotStore.append(Seq(i.toLong).toDF("id").repartition(2), t))

@@ -775,6 +775,70 @@ object Streaming {
       swapIn(spark.read.parquet(verdictsDir).localCheckpoint(), verdictsDir)
   }
 
+  /** Streaming EMBEDDING near-dedup against a durable LSH-bucketed
+    * vector index — [[incrementalDedupSink]]'s semantic twin with
+    * cosine instead of MinHash, and the streaming form of
+    * `Similarity.cosinePairs`' bucket-bounded screen: each
+    * micro-batch's vectors are compared ONLY to indexed (and in-batch)
+    * vectors in their [[graft.operators.Similarity.signBucket]] — never
+    * index × batch. A vector is a duplicate when any indexed vector, or
+    * any lower-id batch-mate, in its bucket matches at >= `minCosine`
+    * (keep-lowest, the batch operators' rule); novel vectors append to
+    * `indexPath/vectors`, verdicts land append-only in
+    * `indexPath/verdicts` and double as the replay skip (an id with a
+    * verdict never re-screens — restart-safe like the MinHash sink).
+    * Bucket misses are the SAME accepted LSH trade the batch screen
+    * makes: widen `bucketBits` down or switch the bucketer for recall.
+    * State is the index itself — no in-memory streaming state, so the
+    * index survives restarts and serves batch probes too.
+    */
+  def embeddingDedupSink(vecs: DataFrame, idCol: String, vecCol: String,
+                         indexPath: String, bucketBits: Int = 8,
+                         minCosine: Double = 0.9)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = vecs.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      import graft.operators.Similarity.{cosineNative, signBucket}
+      val vecsDir = s"$indexPath/vectors"
+      val verdictsDir = s"$indexPath/verdicts"
+      val fresh =
+        if (StateFs.exists(spark, verdictsDir))
+          batch.toDF().join(
+            spark.read.parquet(verdictsDir).select(col(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+        else batch.toDF()
+      if (!fresh.isEmpty) {
+        val fb = fresh.select(col(idCol),
+            col(vecCol).cast("array<float>").as("__v"),
+            signBucket(col(vecCol), bucketBits).as("__bucket"))
+          .localCheckpoint() // one materialization: screen + index append
+        val dupVsIndex =
+          if (StateFs.exists(spark, vecsDir))
+            fb.join(spark.read.parquet(vecsDir)
+                .select(col("__bucket"), col("__v").as("__iv")), Seq("__bucket"))
+              .filter(round(cosineNative(col("__v"), col("__iv")), 6) >= minCosine)
+              .select(col(idCol))
+          else fb.select(col(idCol)).limit(0)
+        val dupInBatch = fb.as("a").join(fb.as("b"),
+            col("a.__bucket") === col("b.__bucket") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .filter(round(cosineNative(col("a.__v"), col("b.__v")), 6) >= minCosine)
+          .select(col(s"b.$idCol").as(idCol))
+        val dups = dupVsIndex.union(dupInBatch).distinct()
+          .withColumn("__dup", lit(true))
+        val verdicts = fb.select(col(idCol))
+          .join(dups, Seq(idCol), "left_outer")
+          .select(col(idCol), coalesce(!col("__dup"), lit(true)).as("keep"))
+          .localCheckpoint() // read twice: store + accept filter
+        verdicts.write.mode("append").parquet(verdictsDir)
+        fb.join(verdicts.filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
+          .write.mode("append").parquet(vecsDir)
+      }
+      ()
+    }
+  }
+
   /** Read the current snapshot of an [[upsertSink]] store. */
   def readUpsertStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val cur = StateFs.readString(spark, s"$path/_current").getOrElse(

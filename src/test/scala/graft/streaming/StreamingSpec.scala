@@ -469,6 +469,45 @@ class StreamingSpec extends SparkSpec
     } finally q.stop()
   }
 
+  test("embeddingDedupSink screens arriving vectors against the grown index, bucket-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-embsink").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.embeddingDedupSink(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      tmp, bucketBits = 2, minCosine = 0.95)
+      .start()
+    try {
+      // batch 1: two orthogonal directions (sign buckets 1 and 2) —
+      // both novel; in-batch keep-lowest exercised by 2 vs 3 (same
+      // bucket: only dim-1 positive; third component keeps cos < 1)
+      mem.addData((1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f)),
+        (3L, Seq(0f, 1f, 0.01f)))
+      q.processAllAvailable()
+      // batch 2: a near-dup of the INDEXED direction 1, same bucket 1
+      // (dim-0 positive only — rejected); a novel all-positive diagonal
+      // in bucket 3 (accepted)
+      mem.addData((10L, Seq(0.999f, 0f, 0.01f)), (11L, Seq(1f, 1f, 1f)))
+      q.processAllAvailable()
+      // replay of an indexed id: never re-screens
+      mem.addData((1L, Seq(1f, 0f, 0f)))
+      q.processAllAvailable()
+      val verdicts = spark.read.parquet(s"$tmp/verdicts")
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+      assert(verdicts == Map(1L -> true, 2L -> true, 3L -> false,
+        10L -> false, 11L -> true), s"got $verdicts")
+      assert(spark.read.parquet(s"$tmp/verdicts").count() == 5L,
+        "replay must not re-screen")
+      val indexed = spark.read.parquet(s"$tmp/vectors")
+        .select("vec_id").as[Long].collect().toSet
+      assert(indexed == Set(1L, 2L, 11L), s"index holds the accepted vectors: $indexed")
+      // the index is an ordinary vector table: a batch probe rides it
+      val probe = spark.read.parquet(s"$tmp/vectors")
+        .select(col("vec_id"), col("__v"))
+      assert(probe.count() == 3L)
+    } finally q.stop()
+  }
+
   test("incrementalDedupSink compacts its stores without changing verdicts") {
     implicit val sqlCtx = spark.sqlContext
     // twin sinks over the IDENTICAL batch sequence: one compacting

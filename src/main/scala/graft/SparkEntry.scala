@@ -1847,6 +1847,28 @@ object SparkEntry {
         .groupBy(col("skew_src"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("kept_chars"))
         .orderBy(col("skew_src"))),
+    "q_mix_budget" -> ((s, d) => {
+      // data-constrained token-budget allocation (water-filling with
+      // repetition caps): per-source token mass from the corpus,
+      // uniform target weights, budget = 50% of total mass, caps at
+      // 0.55 epochs — the smallest sources saturate at their cap and
+      // the freed budget spreads over the rest at one λ found by the
+      // sorted prefix-sum boundary (no iteration). The total-mass
+      // scalar is size-guarded driver state like the band bounds.
+      val mass = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(size(TextFunctions.tokens(col("text"))))
+          .cast("double").as("mass"))
+      val total = mass.agg(sum(col("mass"))).head().getDouble(0)
+      Sampling.budgetMix(mass.withColumn("weight", lit(1.0)),
+          "source", "mass", "weight",
+          budget = total * 0.5, maxEpochs = 0.55)
+        .select(col("source"), col("mass").cast("long").as("mass"),
+          round(col("cap"), 4).as("cap"),
+          round(col("allocation"), 4).as("allocation"),
+          round(col("epochs"), 6).as("epochs"))
+        .orderBy(col("source"))
+    }),
     "q_mix_temperature" -> ((s, d) =>
       // α-power temperature rebalancing on a skew-synthesized source
       // column (testdata sources are uniform): rates derived from the
@@ -3379,6 +3401,31 @@ object SparkEntry {
         |FROM tagged t JOIN rates r ON t.skew_src = r.skew_src
         |WHERE ('0x' || substr(md5('tempw|' || t.doc_id), 1, 15))::BIGINT % 10000 < r.rate
         |GROUP BY t.skew_src ORDER BY t.skew_src""".stripMargin,
+    "q_mix_budget" ->
+      s"""WITH m AS (SELECT d.source,
+         |  CAST(sum(len(string_split(n.norm, ' '))) AS DOUBLE) AS mass
+         |  FROM ($docNormSql) n JOIN documents d USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT sum(mass) * 0.5 AS T, sum(1.0) AS W FROM m),
+         |b AS (SELECT source, mass, 1.0 AS weight, mass * 0.55 AS cap,
+         |        mass * 0.55 / 1.0 AS r FROM m),
+         |s AS (SELECT b.*, t.T, t.W,
+         |        sum(cap) OVER (ORDER BY r, source) AS prefC,
+         |        sum(weight) OVER (ORDER BY r, source) AS prefW
+         |      FROM b, tot t),
+         |t2 AS (SELECT *,
+         |        r * (W - (prefW - weight)) + (prefC - cap) <= T AS sat FROM s),
+         |lam AS (SELECT coalesce(sum(cap) FILTER (WHERE sat), 0) AS satC,
+         |               coalesce(sum(weight) FILTER (WHERE sat), 0) AS satW,
+         |               any_value(W) AS W, any_value(T) AS T,
+         |               count(*) FILTER (WHERE NOT sat) AS nUnsat FROM t2),
+         |alloc AS (SELECT t2.source, t2.mass, t2.cap,
+         |            CASE WHEN t2.sat OR l.nUnsat = 0 THEN t2.cap
+         |                 ELSE (l.T - l.satC) / (l.W - l.satW) * t2.weight
+         |            END AS a
+         |          FROM t2, lam l)
+         |SELECT source, CAST(mass AS BIGINT) AS mass, round(cap, 4) AS cap,
+         |  round(a, 4) AS allocation, round(a / mass, 6) AS epochs
+         |FROM alloc ORDER BY source""".stripMargin,
     "q_mix_temperature" ->
       """WITH tagged AS (
         |  SELECT doc_id,

@@ -159,6 +159,66 @@ object Sampling {
     * pre-concatenating a shifted column, deliberately left to the
     * caller (the synthetic corpus is unigram-shaped).
     */
+  /** Token-BUDGET allocation with per-source repetition caps — the
+    * water-filling problem a data-constrained training run solves
+    * (Muennighoff et al. 2023, arXiv:2305.16264: repeating data beyond
+    * ~4 epochs stops helping, so a budget can't just scale every source
+    * proportionally): give source i allocation
+    * `a_i = min(cap_i, λ·w_i)` with `cap_i = maxEpochs · mass_i`, where
+    * λ is chosen so Σ a_i = budget. Classic water-filling: sort sources
+    * by `cap_i / w_i` ascending — as λ rises, sources saturate in that
+    * order; prefix sums find the saturation boundary in one window
+    * pass, no iteration. If the budget exceeds Σ cap (every source
+    * saturates), allocations are the caps and the budget is simply
+    * UNDER-filled — repeating past the cap is the thing the cap
+    * forbids, so this is the correct answer, not an error.
+    *
+    * `perSource` has one row per source: (sourceCol, massCol = token
+    * mass, weightCol = target share weight). Sources number in the
+    * tens — the corpus-scale work is the upstream mass aggregation;
+    * the single unpartitioned sort window here orders that handful,
+    * and the one collected λ is a size-guarded scalar (like a
+    * broadcast band bound). Returns (source, mass, cap, allocation,
+    * epochs = allocation / mass), deterministic given deterministic
+    * inputs.
+    */
+  def budgetMix(perSource: DataFrame, sourceCol: String, massCol: String,
+                weightCol: String, budget: Double,
+                maxEpochs: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val base = perSource.select(col(sourceCol).as("source"),
+        col(massCol).cast("double").as("mass"),
+        col(weightCol).cast("double").as("weight"))
+      .withColumn("cap", col("mass") * maxEpochs)
+      .withColumn("r", col("cap") / col("weight"))
+    val w = Window.orderBy(col("r"), col("source"))
+    val sums = base
+      .crossJoin(broadcast(base.agg(sum(col("weight")).as("W"))))
+      .withColumn("prefC", sum(col("cap")).over(w))
+      .withColumn("prefW", sum(col("weight")).over(w))
+      // source i saturates iff setting λ = r_i still fits the budget
+      // with every earlier (lower-ratio) source already at its cap
+      .withColumn("sat",
+        col("r") * (col("W") - (col("prefW") - col("weight"))) +
+          (col("prefC") - col("cap")) <= lit(budget))
+    // λ from the saturation boundary: one tiny agg (rows = sources)
+    val bRow = sums.agg(
+      sum(when(col("sat"), col("cap"))).as("satC"),
+      sum(when(col("sat"), col("weight"))).as("satW"),
+      sum(col("weight")).as("W"),
+      count(when(!col("sat"), lit(1))).as("nUnsat")).head()
+    val lambda: Option[Double] =
+      if (bRow.getLong(3) == 0L) None // every source capped: under-fill
+      else Some((budget - Option(bRow.get(0)).fold(0.0)(_ => bRow.getDouble(0))) /
+        (bRow.getDouble(2) - Option(bRow.get(1)).fold(0.0)(_ => bRow.getDouble(1))))
+    sums.select(col("source"), col("mass"), col("cap"),
+        when(col("sat") || lit(lambda.isEmpty), col("cap"))
+          .otherwise(lit(lambda.getOrElse(0.0)) * col("weight")).as("allocation"))
+      .withColumn("epochs", col("allocation") / col("mass"))
+  }
+
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
                   textCol: String, seed: String = "dsir",
                   buckets: Int = 1024, alpha: Double = 1.0): DataFrame = {

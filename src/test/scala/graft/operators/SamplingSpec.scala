@@ -80,6 +80,39 @@ class SamplingSpec extends SparkSpec {
     assert(byCount("thin") < 1000L, "count-based mixture must down-sample the doc-heavy cell")
   }
 
+  test("budgetMix water-fills: caps bind in ratio order, the rest split at one λ") {
+    val perSource = Seq(
+      ("tiny", 100.0, 1.0), ("small", 300.0, 1.0),
+      ("big", 1000.0, 1.0), ("huge", 2000.0, 1.0)
+    ).toDF("source", "mass", "weight")
+    // budget 1500, caps at 1 epoch: tiny (100) and small (300) saturate,
+    // big/huge split the remaining 1100 at λ = 550 each
+    val out = Sampling.budgetMix(perSource, "source", "mass", "weight",
+        budget = 1500.0, maxEpochs = 1.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("allocation"), r.getAs[Double]("epochs"))).toMap
+    assert(out("tiny")._1 === 100.0 && out("small")._1 === 300.0,
+      s"capped sources take exactly their caps: $out")
+    assert(out("big")._1 === 550.0 && out("huge")._1 === 550.0,
+      s"unsaturated sources share one λ: $out")
+    assert(math.abs(out.values.map(_._1).sum - 1500.0) < 1e-9, "budget exactly spent")
+    assert(out("huge")._2 === 0.275, "epochs = allocation / mass")
+
+    // weights steer the split: huge at weight 3 gets 3x big's allocation
+    val weighted = Sampling.budgetMix(
+      Seq(("big", 1000.0, 1.0), ("huge", 2000.0, 3.0))
+        .toDF("source", "mass", "weight"),
+      "source", "mass", "weight", budget = 1200.0, maxEpochs = 10.0)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("allocation")).toMap
+    assert(weighted === Map("big" -> 300.0, "huge" -> 900.0), s"$weighted")
+
+    // budget beyond every cap: allocations are the caps, under-filled
+    val under = Sampling.budgetMix(perSource, "source", "mass", "weight",
+        budget = 1e9, maxEpochs = 2.0)
+      .collect().map(r => r.getAs[Double]("allocation")).sum
+    assert(under === 2.0 * 3400.0, s"all-capped case allocates Σcap, got $under")
+  }
+
   test("dsirWeights ranks target-like docs above off-target; select keeps the fraction") {
     import spark.implicits._
     // target distribution: spark-ish words; off-target: cooking words

@@ -287,6 +287,49 @@ object GraftExtensions {
           else None)
           .queryExecution.analyzed
       }),
+    // `rosbag info` from SQL text: SELECT * FROM graft_bag_info('/bags')
+    // → (topic, messages, min_ts_us, max_ts_us). The plan is the DSv2
+    // bag scan with complete aggregate pushdown, so a manifest-covered
+    // or index-complete lake answers with ZERO chunk reads.
+    (new FunctionIdentifier("graft_bag_info"),
+      new ExpressionInfo(classOf[graft.sources.v2.BagDataSource].getName,
+        "graft_bag_info"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_bag_info"
+        require(args.length == 1, s"usage: $fn(bag_dir)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.{col, count, lit, max, min}
+        spark.read.format(classOf[graft.sources.v2.BagDataSource].getName)
+          .load(strArg(fn, args, 0, "bag_dir"))
+          .groupBy(col("topic"))
+          .agg(count(lit(1)).as("messages"),
+            min(col("ts_us")).as("min_ts_us"),
+            max(col("ts_us")).as("max_ts_us"))
+          .queryExecution.analyzed
+      }),
+    // the live file inventory with its log-resident stats:
+    // SELECT * FROM graft_snapshot_files('/p/t'[, version]) →
+    // (path, rows, long_stats, str_stats) — what pruning sees, as SQL.
+    // Driver-built from the log replay; row count = live files.
+    (new FunctionIdentifier("graft_snapshot_files"),
+      new ExpressionInfo(classOf[graft.sources.v2.SnapshotDataSource].getName,
+        "graft_snapshot_files"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_snapshot_files"
+        require(args.length == 1 || args.length == 2,
+          s"usage: $fn(table_path[, version])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        val asOf =
+          if (args.length == 2) Some(longArg(fn, args, 1, "version")) else None
+        graft.sources.SnapshotStore
+          .state(spark, strArg(fn, args, 0, "table_path"), asOf)
+          .live.map(a => (a.path, a.rows,
+            a.stats.map { case (c, (lo, hi)) => c -> Seq(lo, hi) },
+            a.strStats.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }))
+          .toDF("path", "rows", "long_stats", "str_stats")
+          .queryExecution.analyzed
+      }),
     (new FunctionIdentifier("asof_join"),
       new ExpressionInfo(classOf[AsOfJoinNode].getName, "asof_join"),
       (args: Seq[Expression]) => {

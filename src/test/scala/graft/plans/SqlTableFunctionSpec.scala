@@ -112,6 +112,34 @@ class SqlTableFunctionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(spark.sql(s"SELECT sum(id) FROM graft_snapshot('$t', '$midMs')")
       .as[Long].head === 3L,
       "timestamp-text second argument must resolve to the version live then")
+    // the live file inventory: one row per live file, rows tallied
+    val files = spark.sql(
+      s"SELECT path, rows FROM graft_snapshot_files('$t')")
+      .as[(String, Long)].collect().toSeq
+    assert(files.map(_._2).sum === 1L, s"v2 holds one live row: $files")
+    assert(spark.sql(
+      s"SELECT sum(rows) FROM graft_snapshot_files('$t', 1)")
+      .as[Long].head === 2L, "the version-pinned inventory sees v1's files")
+  }
+
+  test("graft_bag_info: the rosbag-info table from SQL, index-only") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val dir = java.nio.file.Files.createTempDirectory("graft-tvf-bag").toString
+    val msgs = (0 until 12).map { i =>
+      (Seq("camera", "lidar", "gps")(i % 3), 1000000L + i, s"m$i".getBytes(UTF_8))
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bag"),
+      BagCodec.pack(msgs, "none", messagesPerChunk = 5))
+    graft.sources.v2.BagChunkIO.readCalls.set(0)
+    val info = spark.sql(
+      s"SELECT topic, messages, min_ts_us, max_ts_us FROM graft_bag_info('$dir') ORDER BY topic")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(info === Seq(
+      ("camera", 4L, 1000000L, 1000009L),
+      ("gps", 4L, 1000002L, 1000011L),
+      ("lidar", 4L, 1000001L, 1000010L)), s"got $info")
+    assert(graft.sources.v2.BagChunkIO.readCalls.get() === 0,
+      "the info table must answer from the index, zero chunk reads")
   }
 
   test("TVF rejects non-literal and missing arguments loudly") {

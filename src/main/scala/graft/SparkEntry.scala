@@ -1090,14 +1090,21 @@ object SparkEntry {
               lit("uint8[] data\n"), messagesPerChunk = 256).as("bag"))
             .select(concat(lit("g"), col("g")).as("bag_file"), col("bag")),
           dir)
-      land(msgs.filter(col("g") < 32))
+      // waves split by group parity so BOTH are non-empty at any SF
+      // (small corpora populate few user_id residues)
+      land(msgs.filter(pmod(col("g"), lit(2)) === 0))
       graft.sources.BagManifest.write(s, dir)
-      land(msgs.filter(col("g") >= 32))
+      val firstWave = graft.sources.v2.BagScan
+        .listFiles(dir, s.sessionState.newHadoopConf()).length
+      land(msgs.filter(pmod(col("g"), lit(2)) === 1))
+      val total = graft.sources.v2.BagScan
+        .listFiles(dir, s.sessionState.newHadoopConf()).length
       graft.sources.BagManifest.resetHarvestProbe()
       graft.sources.BagManifest.refresh(s, dir)
       val replanned = graft.sources.BagManifest.harvested.get()
-      require(replanned > 0 && replanned <= 32,
-        s"refresh must re-plan only the second wave's bags, harvested $replanned")
+      require(replanned == total - firstWave && replanned > 0,
+        s"refresh must re-plan exactly the second wave's bags " +
+          s"($replanned of ${total - firstWave} new)")
       graft.sources.v2.BagScan.resetPlanProbe()
       val out = s.read.format("graft.sources.v2.BagDataSource").load(dir)
         .groupBy(col("topic"))

@@ -274,11 +274,8 @@ object Similarity {
     */
   def semDedup(embeddings: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int, minCosine: Double): DataFrame = {
-    val e = embeddings.select(col(idCol).cast("long").as("vec_id"),
-      col(vecCol).cast("array<float>").as("v"))
-    val m = kmeansAssign(embeddings, idCol, vecCol, k, iters)
-      .select(col("vec_id"), col("cluster_id"))
-      .join(e, "vec_id")
+    val m = kmeansAssignWithVec(embeddings, idCol, vecCol, k, iters)
+      .select(col("vec_id"), col("cluster_id"), col("v"))
     val dup = m.as("a").join(m.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -313,7 +310,19 @@ object Similarity {
     * update rounds.
     */
   def kmeansAssign(embeddings: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int, seeding: String = "rank"): DataFrame = {
+                   k: Int, iters: Int, seeding: String = "rank"): DataFrame =
+    kmeansAssignWithVec(embeddings, idCol, vecCol, k, iters, seeding)
+      .select(col("vec_id"), col("cluster_id"), col("cos"))
+
+  /** [[kmeansAssign]] keeping the vector column `v` in the output —
+    * consumers that need members' vectors per cluster ([[semDedup]])
+    * read it HERE instead of joining the corpus back on vec_id (the
+    * assignment is map-side; a join-back would re-shuffle the corpus
+    * for data the plan already carries).
+    */
+  private[operators] def kmeansAssignWithVec(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, seeding: String = "rank"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be non-negative, got $iters")
     require(seeding == "rank" || seeding == "farthest",
@@ -346,8 +355,8 @@ object Similarity {
         .sortBy(_._1).toSeq
       it += 1
     }
-    assign().select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
-      col("cos"))
+    assign().select(col("vec_id"), col("v"),
+      col("cluster_id").cast("long").as("cluster_id"), col("cos"))
   }
 
   /** DETERMINISTIC k-means++-style seeding: farthest-first traversal

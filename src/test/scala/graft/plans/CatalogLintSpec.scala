@@ -20,8 +20,12 @@ class CatalogLintSpec extends SparkSpec {
   //    table (≤ `buckets` rows, default 1024 — Sampling.scala dsirWeights),
   //    chosen over crossJoin(agg) precisely to avoid re-evaluating the
   //    bucket join twice
+  //  - q_mix_budget: the water-filling prefix-sum window runs over the
+  //    PER-SOURCE table (one row per source — tens; Sampling.budgetMix);
+  //    the corpus-scale work is the upstream mass aggregation
   private val boundedGlobalWindows = Set(
-    "q_histogram_quantile", "q_hybrid_rrf", "q_hybrid_search", "q_dsir")
+    "q_histogram_quantile", "q_hybrid_rrf", "q_hybrid_search", "q_dsir",
+    "q_mix_budget")
 
   //  - ANN/hybrid queries attach the QUERY VECTOR by
   //    crossJoin(broadcast(filter(vec_id === literal))): one row by the

@@ -63,6 +63,28 @@ class EmptyInputSpec extends SparkSpec {
     assert(removed == Set("removed"))
   }
 
+  test("semDedup singleton cluster; budgetMix single source and zero-mass guard") {
+    // one vector: one cluster, no pairs, keep = true
+    val one = Seq((7L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(one, "vec_id", "embedding",
+      k = 1, iters = 0, minCosine = 0.9).collect()
+    assert(out.length == 1 && out(0).getBoolean(2), "a singleton always keeps")
+    // one source: the whole budget (up to its cap) lands on it
+    val single = Seq(("only", 100.0, 1.0)).toDF("source", "mass", "weight")
+    val a = Sampling.budgetMix(single, "source", "mass", "weight",
+      budget = 40.0, maxEpochs = 1.0).collect()(0)
+    assert(a.getAs[Double]("allocation") == 40.0 &&
+      a.getAs[Double]("epochs") == 0.4)
+    // budget above the single cap: capped, under-filled
+    val b = Sampling.budgetMix(single, "source", "mass", "weight",
+      budget = 500.0, maxEpochs = 2.0).collect()(0)
+    assert(b.getAs[Double]("allocation") == 200.0)
+    intercept[IllegalArgumentException] {
+      Sampling.budgetMix(single, "source", "mass", "weight",
+        budget = -1.0, maxEpochs = 1.0)
+    }
+  }
+
   test("as-of family: empty left, empty right") {
     val left = Seq((1L, 10L)).toDF("k", "t")
     val right = Seq((1L, 5L, 1.0)).toDF("k", "rt", "v")

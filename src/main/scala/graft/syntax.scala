@@ -120,6 +120,14 @@ object syntax {
     def kmeansAssign(idCol: String, vecCol: String, k: Int, iters: Int): DataFrame =
       Similarity.kmeansAssign(df, idCol, vecCol, k, iters)
 
+    def semDedup(idCol: String, vecCol: String, k: Int, iters: Int,
+                 minCosine: Double): DataFrame =
+      Similarity.semDedup(df, idCol, vecCol, k, iters, minCosine)
+
+    def budgetMix(sourceCol: String, massCol: String, weightCol: String,
+                  budget: Double, maxEpochs: Double): DataFrame =
+      Sampling.budgetMix(df, sourceCol, massCol, weightCol, budget, maxEpochs)
+
     def centroids(groupCol: String, vecCol: String): DataFrame =
       Similarity.centroids(df, groupCol, vecCol)
 

@@ -34,5 +34,17 @@ class SyntaxSpec extends SparkSpec {
 
     val split = docs.hashSplit("doc_id", "s", 50, 25)
     assert(split.columns.contains("split") && split.count() == 3)
+
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 0.001f)), (3L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val sd = vecs.semDedup("vec_id", "embedding", k = 2, iters = 1,
+      minCosine = 0.99).collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(sd == Map(1L -> true, 2L -> false, 3L -> true))
+
+    val mix = Seq(("a", 100.0, 1.0), ("b", 1000.0, 1.0))
+      .toDF("source", "mass", "weight")
+      .budgetMix("source", "mass", "weight", budget = 500.0, maxEpochs = 1.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("allocation")).toMap
+    assert(mix == Map("a" -> 100.0, "b" -> 400.0))
   }
 }

@@ -3,7 +3,14 @@
 in DuckDB over the sf parquet tables and diff (row count, sorted-column
 value hash) — a local replica of the driver's correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
+Usage: python3 tools/check.py [--rel] <sfDir> <outDir> [query ...]
+
+--rel switches FLOAT comparison to relative tolerance (1e-9) instead of
+absolute 6dp rounding. Use ONLY for large-SF scale-step spot checks:
+a double sum at 1e10 magnitude legitimately differs between engines at
+the 14th significant digit (summation order), which absolute rounding
+flags as FAIL. The default (absolute) stays the faithful replica of
+the driver's gate.
 """
 import sys, json, glob, os
 import duckdb
@@ -21,9 +28,27 @@ def norm(df):
     cols = sorted(df.columns)
     return df[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
 
+def values_match(s, o, rel):
+    if not rel:
+        return bool(((s.eq(o)) | (s.isna() & o.isna())).all().all())
+    import numpy as np
+    for c in s.columns:
+        a, b = s[c], o[c]
+        if a.dtype.kind == "f":
+            ok = np.isclose(a, b, rtol=1e-9, atol=1e-6, equal_nan=True)
+        else:
+            ok = (a.eq(b)) | (a.isna() & b.isna())
+        if not bool(np.all(ok)):
+            return False
+    return True
+
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = sys.argv[1:]
+    rel = "--rel" in args
+    if rel:
+        args.remove("--rel")
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in TABLES:
@@ -59,7 +84,7 @@ def main():
                 # null-aware compare: None vs NaN/NaT and -0.0 vs 0.0
                 # stringify differently — eq() + isna() masking avoids
                 # spurious FAILs the astype(str) form produced
-                val_ok = bool(((s.eq(o)) | (s.isna() & o.isna())).all().all())
+                val_ok = values_match(s, o, rel)
             except Exception:
                 val_ok = False
         ok = rows_ok and schema_ok and val_ok

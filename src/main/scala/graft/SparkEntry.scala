@@ -35,6 +35,32 @@ object SparkEntry {
   private def eventsUs(s: SparkSession, d: String): DataFrame =
     Tables.eventsUs(s, d)
 
+  /** The shared 64-bag event fleet the index-only/manifest family
+    * reads: topic = event_type, payload = the props string, all three
+    * codecs by group residue, 256-message chunks, distributed write.
+    * ONE definition so the five q_bag_* queries over it (and their one
+    * oracle shape) stay in lock step — a chunk-size or codec tweak here
+    * re-prices all of them together. `wave` restricts to an ingest
+    * subset (the refresh query lands two waves into one directory).
+    */
+  private def packEventBags(s: SparkSession, d: String, dir: String,
+                            wave: Column = lit(true)): Unit = {
+    val msgs = eventsUs(s, d).select(
+        pmod(col("user_id"), lit(64)).as("g"),
+        struct(col("event_type").as("topic"), col("ts_us").as("ts_us"),
+          encode(col("props"), "utf-8").as("payload")).as("m"))
+      .filter(wave)
+    val bags = msgs.groupBy(col("g"))
+      .agg(graft.sources.Containers.bagPackTyped(
+        sort_array(collect_list(col("m"))),
+        when(pmod(col("g"), lit(3)) === 0, "none")
+          .when(pmod(col("g"), lit(3)) === 1, "bz2")
+          .otherwise("lz4"),
+        lit("uint8[] data\n"), messagesPerChunk = 256).as("bag"))
+      .select(concat(lit("g"), col("g")).as("bag_file"), col("bag"))
+    graft.sources.Containers.writeBags(bags, dir)
+  }
+
   /** The driver-generated testdata parquet has ONE row group per table,
     * so a scan is one input split and every map-side stage serializes
     * behind a single task. A production table at any real scale has
@@ -950,19 +976,7 @@ object SparkEntry {
       graft.plans.GraftExtensions.register(s)
       val dir = "file:" + java.nio.file.Files
         .createTempDirectory("graft-bagcnt").toString
-      val msgs = eventsUs(s, d).select(
-        pmod(col("user_id"), lit(64)).as("g"),
-        struct(col("event_type").as("topic"), col("ts_us").as("ts_us"),
-          encode(col("props"), "utf-8").as("payload")).as("m"))
-      val bags = msgs.groupBy(col("g"))
-        .agg(graft.sources.Containers.bagPackTyped(
-          sort_array(collect_list(col("m"))),
-          when(pmod(col("g"), lit(3)) === 0, "none")
-            .when(pmod(col("g"), lit(3)) === 1, "bz2")
-            .otherwise("lz4"),
-          lit("uint8[] data\n"), messagesPerChunk = 256).as("bag"))
-        .select(concat(lit("g"), col("g")).as("bag_file"), col("bag"))
-      graft.sources.Containers.writeBags(bags, dir)
+      packEventBags(s, d, dir)
       s.read.format("graft.sources.v2.BagDataSource").load(dir)
         .groupBy(col("topic")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("topic"))
@@ -977,19 +991,7 @@ object SparkEntry {
       graft.plans.GraftExtensions.register(s)
       val dir = "file:" + java.nio.file.Files
         .createTempDirectory("graft-baginfo").toString
-      val msgs = eventsUs(s, d).select(
-        pmod(col("user_id"), lit(64)).as("g"),
-        struct(col("event_type").as("topic"), col("ts_us").as("ts_us"),
-          encode(col("props"), "utf-8").as("payload")).as("m"))
-      val bags = msgs.groupBy(col("g"))
-        .agg(graft.sources.Containers.bagPackTyped(
-          sort_array(collect_list(col("m"))),
-          when(pmod(col("g"), lit(3)) === 0, "none")
-            .when(pmod(col("g"), lit(3)) === 1, "bz2")
-            .otherwise("lz4"),
-          lit("uint8[] data\n"), messagesPerChunk = 256).as("bag"))
-        .select(concat(lit("g"), col("g")).as("bag_file"), col("bag"))
-      graft.sources.Containers.writeBags(bags, dir)
+      packEventBags(s, d, dir)
       s.read.format("graft.sources.v2.BagDataSource").load(dir)
         .agg(count(lit(1)).as("n"), min(col("ts_us")).as("min_ts"),
           max(col("ts_us")).as("max_ts"))
@@ -1005,19 +1007,7 @@ object SparkEntry {
       graft.plans.GraftExtensions.register(s)
       val dir = "file:" + java.nio.file.Files
         .createTempDirectory("graft-baginfot").toString
-      val msgs = eventsUs(s, d).select(
-        pmod(col("user_id"), lit(64)).as("g"),
-        struct(col("event_type").as("topic"), col("ts_us").as("ts_us"),
-          encode(col("props"), "utf-8").as("payload")).as("m"))
-      val bags = msgs.groupBy(col("g"))
-        .agg(graft.sources.Containers.bagPackTyped(
-          sort_array(collect_list(col("m"))),
-          when(pmod(col("g"), lit(3)) === 0, "none")
-            .when(pmod(col("g"), lit(3)) === 1, "bz2")
-            .otherwise("lz4"),
-          lit("uint8[] data\n"), messagesPerChunk = 256).as("bag"))
-        .select(concat(lit("g"), col("g")).as("bag_file"), col("bag"))
-      graft.sources.Containers.writeBags(bags, dir)
+      packEventBags(s, d, dir)
       s.read.format("graft.sources.v2.BagDataSource").load(dir)
         .groupBy(col("topic"))
         .agg(count(lit(1)).as("cnt"), min(col("ts_us")).as("min_ts"),
@@ -1038,19 +1028,7 @@ object SparkEntry {
       graft.plans.GraftExtensions.register(s)
       val dir = "file:" + java.nio.file.Files
         .createTempDirectory("graft-bagmanq").toString
-      val msgs = eventsUs(s, d).select(
-        pmod(col("user_id"), lit(64)).as("g"),
-        struct(col("event_type").as("topic"), col("ts_us").as("ts_us"),
-          encode(col("props"), "utf-8").as("payload")).as("m"))
-      val bags = msgs.groupBy(col("g"))
-        .agg(graft.sources.Containers.bagPackTyped(
-          sort_array(collect_list(col("m"))),
-          when(pmod(col("g"), lit(3)) === 0, "none")
-            .when(pmod(col("g"), lit(3)) === 1, "bz2")
-            .otherwise("lz4"),
-          lit("uint8[] data\n"), messagesPerChunk = 256).as("bag"))
-        .select(concat(lit("g"), col("g")).as("bag_file"), col("bag"))
-      graft.sources.Containers.writeBags(bags, dir)
+      packEventBags(s, d, dir)
       graft.sources.BagManifest.write(s, dir)
       graft.sources.v2.BagScan.resetPlanProbe()
       val out = s.read.format("graft.sources.v2.BagDataSource").load(dir)
@@ -1075,28 +1053,13 @@ object SparkEntry {
       graft.plans.GraftExtensions.register(s)
       val dir = "file:" + java.nio.file.Files
         .createTempDirectory("graft-bagmanrefq").toString
-      val msgs = eventsUs(s, d).select(
-        pmod(col("user_id"), lit(64)).as("g"),
-        struct(col("event_type").as("topic"), col("ts_us").as("ts_us"),
-          encode(col("props"), "utf-8").as("payload")).as("m"))
-      def land(wave: org.apache.spark.sql.DataFrame): Unit =
-        graft.sources.Containers.writeBags(
-          wave.groupBy(col("g"))
-            .agg(graft.sources.Containers.bagPackTyped(
-              sort_array(collect_list(col("m"))),
-              when(pmod(col("g"), lit(3)) === 0, "none")
-                .when(pmod(col("g"), lit(3)) === 1, "bz2")
-                .otherwise("lz4"),
-              lit("uint8[] data\n"), messagesPerChunk = 256).as("bag"))
-            .select(concat(lit("g"), col("g")).as("bag_file"), col("bag")),
-          dir)
       // waves split by group parity so BOTH are non-empty at any SF
       // (small corpora populate few user_id residues)
-      land(msgs.filter(pmod(col("g"), lit(2)) === 0))
+      packEventBags(s, d, dir, wave = pmod(col("g"), lit(2)) === 0)
       graft.sources.BagManifest.write(s, dir)
       val firstWave = graft.sources.v2.BagScan
         .listFiles(dir, s.sessionState.newHadoopConf()).length
-      land(msgs.filter(pmod(col("g"), lit(2)) === 1))
+      packEventBags(s, d, dir, wave = pmod(col("g"), lit(2)) === 1)
       val total = graft.sources.v2.BagScan
         .listFiles(dir, s.sessionState.newHadoopConf()).length
       graft.sources.BagManifest.resetHarvestProbe()

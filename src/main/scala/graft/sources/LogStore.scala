@@ -329,7 +329,15 @@ final class JdbcCoordination(url: String) extends Coordination {
       ps.executeUpdate()
       None // the primary key admitted us: claim won, atomically
     } catch {
-      case _: java.sql.SQLIntegrityConstraintViolationException =>
+      // a lost claim is any integrity-constraint violation — SQLState
+      // class 23 (23505 unique violation etc.). Match on the STATE, not
+      // the exception subclass: Derby raises the dedicated
+      // SQLIntegrityConstraintViolationException but PostgreSQL's
+      // driver throws a plain SQLException subclass (PSQLException)
+      // carrying 23505, which a subclass match would let escape and
+      // crash the commit instead of taking the claim-lost path.
+      case e: java.sql.SQLException
+          if Option(e.getSQLState).exists(_.startsWith("23")) =>
         getIn(c, key) // duplicate key: lost — return the winner's entry
     }
   }

@@ -232,13 +232,20 @@ class BagScanBuilder(path: String, hconf: SerializableHadoopConf)
   private var aggProbe: Option[(Aggregation, Option[(StructType, Array[Array[Any]])])] = None
   private var aggResult: Option[(StructType, Array[Array[Any]])] = None
 
+  // ONE plan read shared by the aggregate probe AND the built scan: a
+  // DECLINED probe has already paid readPlans over every bag, and the
+  // scan must not pay it again (at a 100k-bag lake that would double
+  // planning I/O on every query whose aggregate the index can't answer)
+  private lazy val planned: Seq[PlannedBag] = BagScan.readPlans(path, hconf.value)
+
   private def tryAgg(agg: Aggregation): Option[(StructType, Array[Array[Any]])] = {
     aggProbe match {
       case Some((a, r)) if a eq agg => r
       case _ =>
         val r = BagAggPushdown.tryPlan(path, hconf.value, agg, pushedTopics,
           tsBand, typedTopic = None,
-          nonNullCols = Set("bag_file", "topic", "ts_us", "payload"))
+          nonNullCols = Set("bag_file", "topic", "ts_us", "payload"),
+          plans = planned)
         aggProbe = Some((agg, r))
         r
     }
@@ -284,7 +291,8 @@ class BagScanBuilder(path: String, hconf: SerializableHadoopConf)
   override def build(): Scan = aggResult match {
     case Some((schema, rows)) => BagAggScan(schema, rows, path)
     case None =>
-      new BagScan(path, hconf, required, pushedTopics, tsBand, pushedLimit)
+      new BagScan(path, hconf, required, pushedTopics, tsBand, pushedLimit,
+        preplanned = () => planned)
   }
 }
 
@@ -292,7 +300,8 @@ class BagScan(path: String, hconf: SerializableHadoopConf,
               required: StructType,
               topicFilter: Option[Set[String]],
               tsBand: Option[(Long, Long)] = None,
-              limit: Option[Int] = None)
+              limit: Option[Int] = None,
+              preplanned: () => Seq[PlannedBag] = null)
     extends Scan with Batch with PlanningAudit with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
@@ -304,8 +313,10 @@ class BagScan(path: String, hconf: SerializableHadoopConf,
   override def planningParallel: Boolean = true // BagScan.readPlans pool
 
   // ONE pooled O(index) read per file, shared by partition planning,
-  // statistics, and runtime-filter replanning — none doubles the I/O
-  private lazy val plans: Seq[PlannedBag] = BagScan.readPlans(path, hconf.value)
+  // statistics, runtime-filter replanning AND (through `preplanned`)
+  // the builder's aggregate probe — none doubles the I/O
+  private lazy val plans: Seq[PlannedBag] =
+    if (preplanned == null) BagScan.readPlans(path, hconf.value) else preplanned()
 
   // runtime (DPP-style) IN-sets from a joined dimension — None until
   // Spark calls filter(); merged conjunctively with the static pushdown
@@ -436,13 +447,16 @@ class TypedBagScanBuilder(path: String, topic: String, defn: String,
   // per-connection index counts; min/max(ts_us) is answered from the
   // topic's own IXD records (chunk-info ranges span ALL topics, but the
   // per-connection message index restricts to this one exactly)
+  // shared probe/scan planning — see BagScanBuilder.planned
+  private lazy val planned: Seq[PlannedBag] = BagScan.readPlans(path, hconf.value)
+
   private def tryAgg(agg: Aggregation): Option[(StructType, Array[Array[Any]])] =
     aggProbe match {
       case Some((a, r)) if a eq agg => r
       case _ =>
         val r = BagAggPushdown.tryPlan(path, hconf.value, agg,
           topicFilter = None, tsBand, typedTopic = Some(topic),
-          nonNullCols = Set("bag_file", "ts_us"))
+          nonNullCols = Set("bag_file", "ts_us"), plans = planned)
         aggProbe = Some((agg, r))
         r
     }
@@ -458,7 +472,8 @@ class TypedBagScanBuilder(path: String, topic: String, defn: String,
   override def build(): Scan = aggResult match {
     case Some((schema, rows)) => BagAggScan(schema, rows, path)
     case None =>
-      new TypedBagScan(path, topic, defn, hconf, required, tsBand, pushedLimit)
+      new TypedBagScan(path, topic, defn, hconf, required, tsBand, pushedLimit,
+        preplanned = () => planned)
   }
 }
 
@@ -466,7 +481,8 @@ class TypedBagScan(path: String, topic: String, defn: String,
                    hconf: SerializableHadoopConf,
                    required: StructType,
                    tsBand: Option[(Long, Long)] = None,
-                   limit: Option[Int] = None)
+                   limit: Option[Int] = None,
+                   preplanned: () => Seq[PlannedBag] = null)
     extends Scan with Batch with PlanningAudit with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
@@ -477,7 +493,8 @@ class TypedBagScan(path: String, topic: String, defn: String,
   override def planningDoesPerFileIO: Boolean = true // O(index) read per bag
   override def planningParallel: Boolean = true // BagScan.readPlans pool
 
-  private lazy val plans: Seq[PlannedBag] = BagScan.readPlans(path, hconf.value)
+  private lazy val plans: Seq[PlannedBag] =
+    if (preplanned == null) BagScan.readPlans(path, hconf.value) else preplanned()
 
   // runtime bag_file IN-set (see BagScan.filter) — typed rows carry no
   // topic column, so bag_file is the only runtime-prunable key
@@ -666,7 +683,12 @@ object BagScan {
       plans.foreach { pb =>
         if (!done) {
           val p = pb.plan
-          survivingChunks(p, band, keepTopic).foreach { off =>
+          val drop = drops.getOrElse(pb.file, Set.empty)
+          // honor IXD-proven drops here too (unreachable today — pushLimit
+          // declines under a ts band — but the signature invites the
+          // combination, and a dropped chunk must neither plan nor count
+          // toward `proven`)
+          survivingChunks(p, band, keepTopic).filterNot(drop).foreach { off =>
             if (!done) {
               out += BagPartition(pb.file, off, -1L, p.conns)
               p.chunkCounts.get(off).foreach(_.foreach { case (c, k) =>
@@ -723,31 +745,15 @@ object BagScan {
                        band: Option[(Long, Long)] = None,
                        keepTopic: String => Boolean = _ => true): Array[InputPartition] = {
     if (files.isEmpty) return Array.empty
-    val manifest = graft.sources.BagManifest.entries(dir, conf)
-    if (manifest.isEmpty) return planMany(files, conf, band, keepTopic)
+    if (graft.sources.BagManifest.entries(dir, conf).isEmpty)
+      return planMany(files, conf, band, keepTopic)
     val status = listFileStatuses(dir, conf)
-      .map { case (f, len, m) => f -> (len, m) }.toMap
-    val (fresh, direct) = files.partition { f =>
-      status.get(f).exists { case (len, m) =>
-        manifest.get(f).exists(e => e.len == len && e.mtime == m) } }
-    val fromFresh: Map[String, Seq[InputPartition]] =
-      fresh.map(f => f -> partitionsOf(f, manifest(f).plan, band, keepTopic)).toMap
-    val fromDirect: Map[String, Seq[InputPartition]] =
-      if (direct.isEmpty) Map.empty
-      else if (direct.sizeIs == 1)
-        Map(direct.head -> planFile(direct.head, conf, band, keepTopic))
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(direct.size, 16))
-        try {
-          direct.map { f =>
-            f -> pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
-              override def call(): Seq[InputPartition] = planFile(f, conf, band, keepTopic)
-            })
-          }.map { case (f, fut) => f -> fut.get() }.toMap
-        } finally pool.shutdown()
-      }
-    files.flatMap(f => fromFresh.getOrElse(f, fromDirect(f))).toArray
+      .map(t => t._1 -> t).toMap
+    // a file absent from the listing can't be manifest-matched: a
+    // sentinel status routes it to the direct-read leg of readPlansOf
+    val statuses = files.map(f => status.getOrElse(f, (f, -1L, -1L)))
+    readPlansOf(dir, statuses, conf)
+      .flatMap(pb => partitionsOf(pb.file, pb.plan, band, keepTopic)).toArray
   }
 
   /** O(index) plan of ONE bag into chunk/span partitions — shared by the
@@ -834,13 +840,21 @@ object BagScan {
     * driver-side input to index-only aggregates, scan statistics, and
     * limit-bounded chunk selection. */
   def readPlans(path: String,
-                conf: org.apache.hadoop.conf.Configuration): Seq[PlannedBag] = {
-    val statuses = listFileStatuses(path, conf).toSeq
+                conf: org.apache.hadoop.conf.Configuration): Seq[PlannedBag] =
+    readPlansOf(path, listFileStatuses(path, conf).toSeq, conf)
+
+  /** [[readPlans]] over an EXPLICIT (path, length, mtime) status list —
+    * the one manifest-freshness implementation every consumer shares
+    * (batch planning, aggregate probes, streaming micro-batches). A
+    * persisted manifest under `dir` answers FRESH files (matching
+    * length+mtime) with zero per-bag reads; new/changed/unrecorded
+    * files fall back to the pooled direct index read — staleness costs
+    * a re-read, never an answer. Input order is preserved.
+    */
+  def readPlansOf(dir: String, statuses: Seq[(String, Long, Long)],
+                  conf: org.apache.hadoop.conf.Configuration): Seq[PlannedBag] = {
     if (statuses.isEmpty) return Nil
-    // a persisted manifest answers FRESH files (matching length+mtime)
-    // with zero per-bag reads; new/changed/unrecorded files fall back to
-    // the direct index read — staleness costs a re-read, never an answer
-    val manifest = graft.sources.BagManifest.entries(path, conf)
+    val manifest = graft.sources.BagManifest.entries(dir, conf)
     val (fresh, direct) = statuses.partition { case (f, len, mtime) =>
       manifest.get(f).exists(e => e.len == len && e.mtime == mtime) }
     val fromManifest = fresh.map { case (f, len, _) =>
@@ -958,7 +972,8 @@ object BagAggPushdown {
               topicFilter: Option[Set[String]],
               tsBand: Option[(Long, Long)],
               typedTopic: Option[String],
-              nonNullCols: Set[String]): Option[(StructType, Array[Array[Any]])] = {
+              nonNullCols: Set[String],
+              plans: => Seq[PlannedBag]): Option[(StructType, Array[Array[Any]])] = {
     if (tsBand.isDefined) return None // chunk time ranges are approximate
     val groupOpt = agg.groupByExpressions.toSeq.map(colName)
     if (groupOpt.exists(_.isEmpty)) return None
@@ -987,8 +1002,8 @@ object BagAggPushdown {
     val needConnTimes = needTimes &&
       (groupCols.nonEmpty || topicFilter.isDefined || typedTopic.isDefined)
 
-    val plans = BagScan.readPlans(path, conf)
-    val sound = plans.forall { pb =>
+    val planSeq = plans // force the by-name once
+    val sound = planSeq.forall { pb =>
       val p = pb.plan
       p.rawSpans.isEmpty &&
       p.chunkOffsets.forall(p.chunkCounts.contains) &&
@@ -1004,8 +1019,8 @@ object BagAggPushdown {
     val connTimes: Map[String, Map[Long, Map[Int, (Long, Long, Long)]]] =
       if (!needConnTimes) Map.empty
       else {
-        val ct = BagScan.readConnTimes(plans, conf)
-        val covered = plans.forall { pb =>
+        val ct = BagScan.readConnTimes(planSeq, conf)
+        val covered = planSeq.forall { pb =>
           val p = pb.plan
           p.chunkOffsets.forall { off =>
             val idx = ct.getOrElse(pb.file, Map.empty).getOrElse(off, Map.empty)
@@ -1026,7 +1041,7 @@ object BagAggPushdown {
     var minTs = Long.MaxValue
     var maxTs = Long.MinValue
     var sawTime = false
-    plans.foreach { pb =>
+    planSeq.foreach { pb =>
       val p = pb.plan
       val bag = new HPath(pb.file).getName.stripSuffix(".bag")
       p.chunkOffsets.foreach { off =>

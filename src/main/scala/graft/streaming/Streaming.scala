@@ -813,10 +813,17 @@ object Streaming {
             col(vecCol).cast("array<float>").as("__v"),
             signBucket(col(vecCol), bucketBits).as("__bucket"))
           .localCheckpoint() // one materialization: screen + index append
+        val haveIndex = StateFs.exists(spark, vecsDir)
         val dupVsIndex =
-          if (StateFs.exists(spark, vecsDir))
+          if (haveIndex)
+            // exclude an index row with the PROBE'S OWN id: after a
+            // crash between the index and verdict appends (below), the
+            // replayed vector would otherwise match itself at cos = 1
+            // and be verdicted a duplicate of itself
             fb.join(spark.read.parquet(vecsDir)
-                .select(col("__bucket"), col("__v").as("__iv")), Seq("__bucket"))
+                .select(col(idCol).as("__iid"), col("__bucket"),
+                  col("__v").as("__iv")), Seq("__bucket"))
+              .filter(col("__iid") =!= col(idCol))
               .filter(round(cosineNative(col("__v"), col("__iv")), 6) >= minCosine)
               .select(col(idCol))
           else fb.select(col(idCol)).limit(0)
@@ -830,10 +837,22 @@ object Streaming {
         val verdicts = fb.select(col(idCol))
           .join(dups, Seq(idCol), "left_outer")
           .select(col(idCol), coalesce(!col("__dup"), lit(true)).as("keep"))
-          .localCheckpoint() // read twice: store + accept filter
-        verdicts.write.mode("append").parquet(verdictsDir)
-        fb.join(verdicts.filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
+          .localCheckpoint() // read twice: index append + store
+        // INDEX FIRST, verdicts second: the verdict store is the replay
+        // skip, so a crash between the two appends must leave the id
+        // UN-verdicted (it re-screens next run — wasted work, never a
+        // lost index entry; the reverse order would skip the replay and
+        // silently drop the vector from the index forever). The anti-
+        // join on the index's own ids makes the replayed append
+        // idempotent.
+        val accepted = fb.join(verdicts.filter(col("keep")).select(col(idCol)),
+          Seq(idCol), "left_semi")
+        (if (haveIndex)
+           accepted.join(spark.read.parquet(vecsDir).select(col(idCol)),
+             Seq(idCol), "left_anti")
+         else accepted)
           .write.mode("append").parquet(vecsDir)
+        verdicts.write.mode("append").parquet(verdictsDir)
       }
       ()
     }

@@ -508,6 +508,35 @@ class StreamingSpec extends SparkSpec
     } finally q.stop()
   }
 
+  test("embeddingDedupSink crash window: an indexed-but-unverdicted id re-screens cleanly") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-embcrash").toString
+    // simulate a crash BETWEEN the index append and the verdict append:
+    // the vector landed in the index, its verdict did not
+    import graft.operators.Similarity.signBucket
+    Seq((1L, Seq(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("__v"),
+        signBucket(col("embedding"), 2).as("__bucket"))
+      .write.parquet(s"$tmp/vectors")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.embeddingDedupSink(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      tmp, bucketBits = 2, minCosine = 0.95)
+      .start()
+    try {
+      // the replayed id 1 plus a genuine near-dup with a higher id
+      mem.addData((1L, Seq(1f, 0f, 0f)), (5L, Seq(0.999f, 0f, 0.01f)))
+      q.processAllAvailable()
+      val verdicts = spark.read.parquet(s"$tmp/verdicts")
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+      assert(verdicts == Map(1L -> true, 5L -> false),
+        s"the replayed vector must not match ITSELF in the index: $verdicts")
+      assert(spark.read.parquet(s"$tmp/vectors").count() == 1L,
+        "the idempotent append must not duplicate the already-indexed vector")
+    } finally q.stop()
+  }
+
   test("incrementalDedupSink compacts its stores without changing verdicts") {
     implicit val sqlCtx = spark.sqlContext
     // twin sinks over the IDENTICAL batch sequence: one compacting

@@ -169,9 +169,18 @@ object BagManifest {
     val tmp = new HPath(s"${manifestDir(dir)}_tmp_${java.util.UUID.randomUUID}")
     rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     fs.delete(mp, true)
-    if (!fs.rename(tmp, mp))
-      throw new java.io.IOException(
-        s"manifest swap failed: could not rename $tmp to $mp")
+    if (!fs.rename(tmp, mp)) {
+      // a CONCURRENT refresh can win the swap between our delete and
+      // rename; its manifest is equally fresh (both derived from the
+      // same live listing modulo a racing ingest, and staleness only
+      // costs fallback reads) — drop our temp and accept the winner's.
+      // Only a swap that leaves NO manifest at all is a real failure.
+      fs.delete(tmp, true)
+      if (!fs.exists(mp))
+        throw new java.io.IOException(
+          s"manifest swap failed: could not rename $tmp to $mp and no " +
+            "manifest exists")
+    }
     manifestDir(dir)
   }
 

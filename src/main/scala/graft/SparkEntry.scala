@@ -1966,6 +1966,21 @@ object SparkEntry {
           col("n_frames").cast("long").as("n_frames"),
           col("checksum"), col("wchecksum"))
         .orderBy(col("media_id"))),
+    "q_mm_keyframes" -> ((s, d) =>
+      // content-based keyframe selection: per-frame mean ABS pixel
+      // difference vs the previous frame (computed in the decode
+      // kernel — per-pixel, not derivable from mean intensities),
+      // thresholded at 64/255. Single-frame media contribute one
+      // always-keyframe row; every diff is predicted by the oracle
+      // from the synthetic pixel formula.
+      Multimodal.keyframes(
+        Multimodal.frameDiffs(
+          Multimodal.synthesize(spread(Tables.documents(s, d)), "doc_id"))
+          .toDF(),
+        threshold = 64.0)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          round(col("mean_abs_diff"), 4).as("mean_abs_diff"), col("keyframe"))
+        .orderBy(col("media_id"), col("frame_idx"))),
     "q_mm_audio" -> ((s, d) =>
       // audio family: real RIFF/WAVE 16-bit PCM payloads synthesized as
       // a pure function of doc_id, decoded by walking the actual chunk
@@ -3530,6 +3545,27 @@ object SparkEntry {
          |ORDER BY doc_id, rk""".stripMargin,
     "q_mm_decode" ->
       s"""SELECT * FROM ($mmDecodedSql) d ORDER BY media_id""".stripMargin,
+    "q_mm_keyframes" ->
+      // frame f's pixel j is (doc_id*7 + (f*L + j)*13) % 256 with
+      // L = w*h*3 (the synthesize formula) — the mean |frame diff| is
+      // exact integer math until the final avg
+      """WITH geo AS (
+        |  SELECT doc_id, (doc_id % 13 + 2) * (doc_id % 7 + 2) * 3 AS L,
+        |    CASE WHEN doc_id % 3 = 2 THEN doc_id % 4 + 1 ELSE 1 END AS fr
+        |  FROM documents),
+        |frames AS (SELECT doc_id, L, unnest(range(0, fr)) AS f FROM geo),
+        |diffs AS (
+        |  SELECT doc_id, f, round(avg(abs(
+        |      (doc_id*7 + (f*L + k)*13) % 256 -
+        |      (doc_id*7 + ((f-1)*L + k)*13) % 256)), 4) AS mad
+        |  FROM (SELECT doc_id, L, f, unnest(range(0, L)) AS k
+        |        FROM frames WHERE f > 0) kk
+        |  GROUP BY doc_id, f)
+        |SELECT fr.doc_id AS media_id, CAST(fr.f AS BIGINT) AS frame_idx,
+        |  d.mad AS mean_abs_diff,
+        |  (fr.f = 0 OR d.mad >= 64.0) AS keyframe
+        |FROM frames fr LEFT JOIN diffs d ON fr.doc_id = d.doc_id AND fr.f = d.f
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "q_chunk" ->
       """SELECT doc_id, i AS chunk_idx, i*80 AS chunk_start,
         |  length(substr(text, i*80 + 1, 120)) AS chunk_len,

@@ -166,6 +166,50 @@ object Multimodal {
     }
   }
 
+  /** One row per frame with the MEAN ABSOLUTE pixel difference vs the
+    * previous frame — the shot-boundary signal keyframe selection
+    * thresholds (the standard content-based video summarization cue).
+    * The first frame of each medium has no predecessor: diff = NULL,
+    * always a keyframe. Map-side kernel like [[decodeFrames]] — pixels
+    * never leave the executor; the exchange carries one double per
+    * frame.
+    */
+  case class FrameDiff(media_id: Long, frame_idx: Int,
+                       mean_abs_diff: Option[Double])
+
+  def frameDiffs(media: Dataset[MediaRecord]): Dataset[FrameDiff] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      val dec = MediaCodec.decode(m.payload)
+      val nf = math.max(dec.nFrames, 1)
+      val frameLen = dec.pixels.length / nf
+      (0 until nf).map { f =>
+        if (f == 0 || frameLen == 0) FrameDiff(m.media_id, f, None)
+        else {
+          var s = 0L
+          var k = 0
+          while (k < frameLen) {
+            val a = dec.pixels(f * frameLen + k) & 0xff
+            val b = dec.pixels((f - 1) * frameLen + k) & 0xff
+            s += math.abs(a - b)
+            k += 1
+          }
+          FrameDiff(m.media_id, f, Some(s.toDouble / frameLen))
+        }
+      }
+    }
+  }
+
+  /** Keyframe selection over [[frameDiffs]] output: a frame is a
+    * keyframe when it has no predecessor or its mean absolute pixel
+    * difference clears `threshold` — downstream samplers keep exactly
+    * these instead of a blind stride ([[frameSample]]).
+    */
+  def keyframes(diffs: DataFrame, threshold: Double): DataFrame =
+    diffs.withColumn("keyframe",
+      col("mean_abs_diff").isNull || col("mean_abs_diff") >= threshold)
+
   /** Frame sampling: every `stride`-th frame index, as a plan-native
     * `sequence` — the sampled index list stays columnar; no kernel call.
     */

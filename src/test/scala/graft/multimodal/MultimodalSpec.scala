@@ -51,6 +51,26 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.pixels.length == 3 * 2 * 2 * 3)
   }
 
+  test("frameDiffs: per-pixel mean abs diff; keyframes threshold exactly") {
+    // three 1x2 frames: [10,10,10, 20,20,20] → [10,10,10, 20,20,20]
+    // (identical, diff 0) → [74,74,74, 84,84,84] (uniform +64)
+    val f1 = px(6)(k => if (k < 3) 10 else 20)
+    val f3 = px(6)(k => if (k < 3) 74 else 84)
+    val rec = Multimodal.MediaRecord(42L, "video/x-ppm-seq",
+      MediaCodec.encodePpmSeq(1, 2, 3, f1 ++ f1 ++ f3),
+      (MediaCodec.encodePpmSeq(1, 2, 3, f1 ++ f1 ++ f3)).length.toLong)
+    val diffs = Multimodal.frameDiffs(Seq(rec).toDS()).collect().sortBy(_.frame_idx)
+    assert(diffs.map(_.mean_abs_diff) ===
+      Seq(None, Some(0.0), Some(64.0)), s"got ${diffs.toSeq}")
+    val kf = Multimodal.keyframes(Seq(rec).toDS()
+        .transform(Multimodal.frameDiffs).toDF(), threshold = 64.0)
+      .orderBy(col("frame_idx"))
+      .select("keyframe").collect().map(_.getBoolean(0)).toSeq
+    // first frame always; identical frame never; the exact-threshold
+    // frame keeps (>= is the contract)
+    assert(kf === Seq(true, false, true))
+  }
+
   test("corrupt payloads fail loudly per record") {
     intercept[IllegalArgumentException](MediaCodec.decode("GIF89a".getBytes("US-ASCII")))
     intercept[IllegalArgumentException](

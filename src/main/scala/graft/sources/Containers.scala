@@ -188,7 +188,8 @@ object Containers {
     *  1. Schema phase: [[bagConnections]] (distributed, O(index) per
     *     bag — never chunk data) yields each topic's embedded
     *     `message_definition`; exactly one distinct definition per
-    *     topic is required (a drifted IDL is a corruption, not a merge).
+    *     topic is required — a drifted IDL fails loudly here;
+    *     [[typedExtractToVersioned]] is the extractor that embraces it.
     *  2. Data phase: ONE untyped DSv2 scan with the topic IN-list
     *     pushed into the reader; each row's payload decodes through a
     *     codegen'd CASE on the topic column into that topic's
@@ -225,7 +226,7 @@ object Containers {
         s"no connection with a message_definition for topic '$t' under $bagDir")
       require(ds.size == 1,
         s"topic '$t' has ${ds.size} distinct message definitions under " +
-          s"$bagDir — a drifted IDL must be extracted separately")
+          s"$bagDir — use typedExtractToVersioned for a drifted fleet")
       t -> ds.head
     }.toMap
     val raw = spark.read.format("graft.sources.v2.BagDataSource").load(bagDir)
@@ -240,6 +241,94 @@ object Containers {
       .partitionBy("topic" +: extraPartitionCols: _*)
       .parquet(storeDir)
     spark.read.parquet(storeDir)
+  }
+
+  /** [[typedExtractTo]] for fleets with DRIFTED message definitions:
+    * a long-lived fleet's firmware update changes a message, so the
+    * SAME topic carries different IDLs across bags — the strict
+    * extractor refuses that loudly; this one keys each row's decode on
+    * its OWN bag's definition (rosbag's actual contract: the
+    * connection record travels with the data) and lands a store
+    * additionally partitioned by `def_ver` (the definition's genmsg
+    * md5 prefix), so each (topic, def_ver) partition has ONE schema.
+    *
+    * Still ONE chunk-parallel scan: the (bag_file, topic) → version
+    * map is a BROADCAST of the connection table (rows = fleet topics,
+    * never data-sized), and the per-version CASE decodes only the
+    * taken branch. A single bag carrying TWO definitions for one
+    * topic remains a loud failure (within one bag the topic's typed
+    * schema must be unambiguous — same rule as the strict path).
+    *
+    * Read back with [[readTypedStoreVersions]] — per-version frames
+    * union by name with null-fill, so the post-update field reads as
+    * NULL on pre-update rows (the mergeSchema convention).
+    */
+  def typedExtractToVersioned(spark: SparkSession, bagDir: String,
+                              storeDir: String,
+                              topics: Seq[String]): DataFrame = {
+    require(topics.nonEmpty, "typedExtractToVersioned needs at least one topic")
+    val conns = bagConnections(spark, bagDir)
+      .filter(col("topic").isin(topics: _*))
+      .select("bag_file", "topic", "md5sum", "message_definition")
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    val perBagTopic = conns.groupBy(c => (c._1, c._2))
+    perBagTopic.foreach { case ((bag, t), vs) =>
+      require(vs.map(_._3).distinct.length == 1,
+        s"bag '$bag' carries ${vs.map(_._3).distinct.length} distinct " +
+          s"definitions for topic '$t' — a topic's schema must be " +
+          "unambiguous within one bag")
+    }
+    val versions: Seq[(String, String, String)] = // (topic, ver, defn)
+      conns.map(c => (c._2, c._3.take(8), c._4)).distinct.toSeq.sorted
+    topics.foreach { t =>
+      require(versions.exists(_._1 == t),
+        s"no connection with a message_definition for topic '$t' under $bagDir")
+    }
+    import spark.implicits._
+    val verMap = conns.map(c => (c._1, c._2, c._3.take(8))).distinct.toSeq
+      .toDF("bag_file", "topic", "def_ver")
+    val raw = spark.read.format("graft.sources.v2.BagDataSource").load(bagDir)
+      .filter(col("topic").isin(topics: _*))
+      .join(org.apache.spark.sql.functions.broadcast(verMap),
+        Seq("bag_file", "topic"))
+    // one struct column PER (topic, version) — two versions of a topic
+    // have genuinely different struct types, so they cannot share a
+    // column; foreign-version legs are null and parquet stores them at
+    // ~zero cost (same trick as the strict path's per-topic columns)
+    val withStructs = versions.foldLeft(raw) { case (df, (t, ver, defn)) =>
+      df.withColumn(s"${typedColName(t)}_$ver",
+        when(col("topic") === t && col("def_ver") === ver,
+          rosDeserialize(col("payload"), lit(defn))))
+    }
+    withStructs.drop("payload")
+      .write.mode("overwrite")
+      .partitionBy("topic", "def_ver")
+      .parquet(storeDir)
+    spark.read.parquet(storeDir)
+  }
+
+  /** ONE topic's rows out of a [[typedExtractToVersioned]] store: every
+    * definition version's partition read schema-pruned, projected to
+    * dotted typed columns, and unioned BY NAME with null-fill — the
+    * post-update field is NULL on pre-update rows. `def_ver` rides
+    * along so a consumer can split versions back out.
+    */
+  def readTypedStoreVersions(spark: SparkSession, storeDir: String,
+                             topic: String): DataFrame = {
+    val base = spark.read.parquet(storeDir).filter(col("topic") === topic)
+    val vers = base.select("def_ver").distinct()
+      .collect().map(_.getString(0)).sorted // rows = definition versions
+    require(vers.nonEmpty, s"store $storeDir has no rows for topic '$topic'")
+    vers.toSeq.map { v =>
+      val c = s"${typedColName(topic)}_$v"
+      require(base.schema.fieldNames.contains(c),
+        s"store $storeDir has no typed column for topic '$topic' " +
+          s"version '$v' (expected $c)")
+      base.filter(col("def_ver") === v)
+        .select(col("bag_file") +: col("ts_us") +: col("def_ver") +:
+          Seq(col(c + ".*")): _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** ONE topic's typed rows out of a [[typedExtractTo]] store:

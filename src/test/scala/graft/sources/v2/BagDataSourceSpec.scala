@@ -395,6 +395,48 @@ class BagDataSourceSpec extends SparkSpec {
       s"per-topic store read must prune on the topic partition:\n$plan")
   }
 
+  test("versioned typed extraction: drifted IDLs land per-version, read back null-filled") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.sources.Containers
+    graft.plans.GraftExtensions.register(spark)
+    // the firmware-update shape: the SAME topic's message gains a field
+    val v1 = "uint32 a\n"
+    val v2 = "uint32 a\nfloat64 b\n"
+    val dir = Files.createTempDirectory("graft-driftext").toString
+    def p1(i: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(i); bb.array()
+    }
+    def p2(i: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(i).putDouble(0.5 * i); bb.array()
+    }
+    Files.write(Paths.get(dir, "old.bag"),
+      BagCodec.pack((0 until 4).map(i => ("m", 1000L + i, p1(i))),
+        "none", messagesPerChunk = 2, typeInfo = Some(("m/M", v1))))
+    Files.write(Paths.get(dir, "new.bag"),
+      BagCodec.pack((4 until 7).map(i => ("m", 2000L + i, p2(i))),
+        "lz4", messagesPerChunk = 2, typeInfo = Some(("m/M", v2))))
+    // the strict extractor refuses drift loudly — unchanged contract
+    val strictStore = Files.createTempDirectory("graft-driftext-s").toString
+    val err = intercept[IllegalArgumentException] {
+      Containers.typedExtractTo(spark, dir, strictStore, Seq("m"))
+    }
+    assert(err.getMessage.contains("distinct message definitions"))
+    // the versioned extractor keys each row's decode on its own bag's
+    // definition and lands per-(topic, def_ver) partitions
+    val store = Files.createTempDirectory("graft-driftext-v").toString
+    Containers.typedExtractToVersioned(spark, dir, store, Seq("m"))
+    val out = Containers.readTypedStoreVersions(spark, store, "m")
+      .select(col("ts_us"), col("def_ver"), col("a"), col("b"))
+      .as[(Long, String, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(out.map(_._3) === (0L until 7L), s"field `a` decodes on BOTH versions: $out")
+    assert(out.take(4).forall(_._4.isEmpty),
+      "pre-update rows null-fill the post-update field")
+    assert(out.drop(4).map(_._4.get) === Seq(2.0, 2.5, 3.0))
+    assert(out.map(_._2).distinct.size === 2, "two definition versions present")
+  }
+
   test("typed scan streams: micro-batches of deserialized columns") {
     import java.nio.{ByteBuffer, ByteOrder}
     val defn = "float64 v\n"

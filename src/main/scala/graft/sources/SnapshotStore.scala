@@ -516,6 +516,26 @@ object SnapshotStore {
       meta = Map("op" -> "compact"), mustBeLive = snap.live.map(_.path))
   }
 
+  /** Size-TRIGGERED compaction — the OPTIMIZE policy a streaming
+    * [[appendSink]] or frequent small appends need: compact (to
+    * `targetFiles`) only once the live-file count exceeds
+    * `maxLiveFiles`, so maintenance amortizes instead of rewriting the
+    * table after every commit. Returns Some(newVersion) when a
+    * compaction committed, None when the table is within budget —
+    * callers run it unconditionally after ingest batches (the same
+    * trigger-not-schedule shape as TopicStore's maxFilesPerBucket).
+    * Losing the conflict race to a concurrent writer is the normal
+    * outcome of optimistic maintenance: catch the
+    * ConcurrentModificationException and retry next batch if desired.
+    */
+  def maintain(spark: SparkSession, table: String, maxLiveFiles: Int,
+               targetFiles: Int, statsCols: Seq[String] = Nil): Option[Long] = {
+    require(targetFiles > 0 && maxLiveFiles >= targetFiles,
+      s"need maxLiveFiles >= targetFiles > 0, got ($maxLiveFiles, $targetFiles)")
+    if (state(spark, table).live.size <= maxLiveFiles) None
+    else Some(compact(spark, table, targetFiles, statsCols))
+  }
+
   /** Read the table at `asOf` (default: latest). */
   def snapshot(spark: SparkSession, table: String,
                asOf: Option[Long] = None): DataFrame = {

@@ -111,6 +111,23 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(idsOf(SnapshotStore.snapshot(spark, t, asOf = Some(3L))) === Set(1L, 2L, 3L))
   }
 
+  test("maintain compacts only past the live-file budget; within budget is a no-op") {
+    val t = tempTable("maintain")
+    (1 to 3).foreach(i => SnapshotStore.append(Seq(i.toLong).toDF("id").coalesce(1), t))
+    // 3 live files, budget 4: nothing to do — no commit, version stable
+    assert(SnapshotStore.maintain(spark, t, maxLiveFiles = 4, targetFiles = 2).isEmpty)
+    assert(SnapshotStore.latestVersion(spark, t) === 3L)
+    (4 to 6).foreach(i => SnapshotStore.append(Seq(i.toLong).toDF("id").coalesce(1), t))
+    // 6 live files over the budget: one compaction commit to 2 files
+    val v = SnapshotStore.maintain(spark, t, maxLiveFiles = 4, targetFiles = 2)
+    assert(v.contains(7L), s"got $v")
+    val after = SnapshotStore.state(spark, t)
+    assert(after.live.size <= 2 &&
+      idsOf(SnapshotStore.snapshot(spark, t)) === (1L to 6L).toSet)
+    // immediately re-running is a no-op again (the amortization point)
+    assert(SnapshotStore.maintain(spark, t, maxLiveFiles = 4, targetFiles = 2).isEmpty)
+  }
+
   test("concurrent committers: every append lands in a distinct serial version") {
     val t = tempTable("race")
     val threads = 4; val each = 5

@@ -236,15 +236,38 @@ object GraftExtensions {
         val reader = spark.read
           .format(classOf[graft.sources.v2.SnapshotDataSource].getName)
         // an integer second argument pins a VERSION; a string literal is
-        // a TIMESTAMP ('yyyy-mm-dd hh:mm:ss', ISO instant, or epoch ms)
+        // a TIMESTAMP ('yyyy-mm-dd hh:mm:ss', ISO instant, or epoch ms);
+        // a TIMESTAMP-typed literal (TIMESTAMP '…', timestamp_millis(…))
+        // is time travel too — without this branch its eval (epoch
+        // MICROS) would fall into the version branch and produce a
+        // baffling no-such-version error
         val withV =
           if (args.length == 2 &&
               args(1).dataType == org.apache.spark.sql.types.StringType)
             reader.option(graft.sources.v2.SnapshotDataSource.TimestampAsOf,
               strArg(fn, args, 1, "timestamp"))
-          else if (args.length == 2) reader.option(
-            graft.sources.v2.SnapshotDataSource.VersionAsOf,
-            longArg(fn, args, 1, "version"))
+          else if (args.length == 2 &&
+              args(1).dataType == org.apache.spark.sql.types.TimestampType) {
+            require(args(1).foldable,
+              s"$fn: argument 1 (timestamp) must be a literal")
+            val micros = args(1).eval(null) match {
+              case v: Long => v
+              case other => throw new IllegalArgumentException(
+                s"$fn: argument 1 (timestamp) must be a timestamp literal, got $other")
+            }
+            reader.option(graft.sources.v2.SnapshotDataSource.TimestampAsOf,
+              Math.floorDiv(micros, 1000L).toString)
+          }
+          else if (args.length == 2 &&
+              (args(1).dataType == org.apache.spark.sql.types.IntegerType ||
+               args(1).dataType == org.apache.spark.sql.types.LongType))
+            reader.option(
+              graft.sources.v2.SnapshotDataSource.VersionAsOf,
+              longArg(fn, args, 1, "version"))
+          else if (args.length == 2)
+            throw new IllegalArgumentException(
+              s"$fn: second argument must be an integer version, a timestamp " +
+                s"string, or a TIMESTAMP literal — got ${args(1).dataType.sql}")
           else reader
         withV.load(strArg(fn, args, 0, "table_path")).queryExecution.analyzed
       }),

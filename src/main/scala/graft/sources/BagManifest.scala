@@ -46,17 +46,35 @@ object BagManifest {
   final case class Entry(plan: BagPlanner.BagPlan, len: Long, mtime: Long,
                          connTimes: Map[Long, Map[Int, (Long, Long, Long)]])
 
-  // Observability (spec-asserted, local-mode): how many bag files the
+  // Observability (spec- and query-asserted): how many bag files the
   // harvest actually planned — the incrementality proof for [[refresh]].
-  private[graft] val harvested = new java.util.concurrent.atomic.AtomicInteger()
-  private[graft] def resetHarvestProbe(): Unit = harvested.set(0)
+  // A Spark ACCUMULATOR, not a driver AtomicInteger: harvestOne runs in
+  // executor tasks, so a JVM-local counter would read 0 on a real
+  // cluster. Registered lazily on first harvest; task retries can in
+  // principle over-count (Spark accumulator semantics), which biases
+  // the probe conservative — it can only claim MORE re-planning, never
+  // hide work.
+  private[graft] object harvested {
+    @volatile private var acc: Option[org.apache.spark.util.LongAccumulator] = None
+    private[BagManifest] def register(spark: SparkSession)
+        : org.apache.spark.util.LongAccumulator = synchronized {
+      acc.getOrElse {
+        val a = spark.sparkContext.longAccumulator("graft.bagManifest.harvested")
+        acc = Some(a); a
+      }
+    }
+    def get(): Long = acc.map(_.value.longValue).getOrElse(0L)
+    private[graft] def reset(): Unit = acc.foreach(_.reset())
+  }
+  private[graft] def resetHarvestProbe(): Unit = harvested.reset()
 
   /** One bag's complete manifest rows, read executor-side: O(index)
     * plan + per-connection IXD time ranges, flattened per
     * [[BagManifestRow]]'s kind table. */
-  private def harvestOne(hconf: SerializableHadoopConf)(
+  private def harvestOne(hconf: SerializableHadoopConf,
+                         probe: org.apache.spark.util.LongAccumulator)(
       f: String, len: Long, mtime: Long): Iterator[BagManifestRow] = {
-    harvested.incrementAndGet()
+    probe.add(1L)
     val fp = new HPath(f)
     val fs = fp.getFileSystem(hconf.value)
     val in = fs.open(fp)
@@ -109,10 +127,11 @@ object BagManifest {
                       files: Seq[(String, Long, Long)],
                       hconf: SerializableHadoopConf): DataFrame = {
     import spark.implicits._
+    val probe = harvested.register(spark)
     spark.createDataset(files)
       .repartition(files.length.min(spark.sparkContext.defaultParallelism * 2))
       .mapPartitions(it => it.flatMap { case (f, len, mtime) =>
-        harvestOne(hconf)(f, len, mtime) })
+        harvestOne(hconf, probe)(f, len, mtime) })
       .toDF()
   }
 
@@ -125,9 +144,29 @@ object BagManifest {
     val conf = spark.sessionState.newHadoopConf()
     val files = BagScan.listFileStatuses(dir, conf)
     require(files.nonEmpty, s"no .bag files under $dir")
+    sweepStaleTmp(dir, conf)
     harvest(spark, files.toSeq, new SerializableHadoopConf(conf))
       .coalesce(1).write.mode("overwrite").parquet(manifestDir(dir))
     manifestDir(dir)
+  }
+
+  /** Delete `_graft_bag_manifest_tmp_<uuid>` directories left by a
+    * refresh that crashed between writing its temp manifest and the
+    * rename swap — they are invisible to readers (the manifest path is
+    * exact) but would otherwise accumulate forever. A LIVE concurrent
+    * refresh's temp can be swept too; it loses only its swap (the
+    * rename fails and it accepts the winner's manifest, the documented
+    * race outcome), never manifest integrity.
+    */
+  private def sweepStaleTmp(dir: String,
+                            conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val parent = new HPath(dir)
+    val fs = parent.getFileSystem(conf)
+    if (fs.exists(parent))
+      fs.listStatus(parent).iterator
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(s"${DirName}_tmp_"))
+        .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** INCREMENTAL manifest maintenance: re-plan ONLY bags that are new or
@@ -152,6 +191,7 @@ object BagManifest {
     val mp = new HPath(manifestDir(dir))
     val fs = mp.getFileSystem(conf)
     if (!fs.exists(mp)) return write(spark, dir)
+    sweepStaleTmp(dir, conf)
     val existing = entries(dir, conf)
     val (fresh, changed) = live.partition { case (f, len, m) =>
       existing.get(f).exists(e => e.len == len && e.mtime == m) }

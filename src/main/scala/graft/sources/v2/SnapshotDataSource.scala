@@ -82,17 +82,27 @@ object SnapshotDataSource {
   /** `timestampAsOf` accepts epoch millis, `java.sql.Timestamp` text
     * (`yyyy-mm-dd hh:mm:ss[.f…]`), or ISO-8601 instants; resolution to
     * a version is [[SnapshotStore.versionAt]]'s monotonized-`ts` rule.
+    *
+    * Zone-less timestamp TEXT resolves in `spark.sql.session.timeZone`
+    * (Spark's own `stringToTimestamp`), NOT the JVM default — on a
+    * cluster pinned to UTC with a different driver-JVM zone,
+    * `Timestamp.valueOf` would silently pick a different instant and
+    * therefore a different snapshot version (the Delta convention is
+    * session-zone too). Epoch-millis and ISO-instant forms are
+    * zone-exact already and short-circuit first.
     */
   private[v2] def parseTsMillis(s: String): Long =
     s.toLongOption.getOrElse {
-      try java.sql.Timestamp.valueOf(s).getTime
-      catch { case _: IllegalArgumentException =>
-        try java.time.Instant.parse(s).toEpochMilli
-        catch { case _: java.time.format.DateTimeParseException =>
-          throw new IllegalArgumentException(
+      try java.time.Instant.parse(s).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+          SparkSession.active.sessionState.conf.sessionLocalTimeZone)
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s), zone)
+          .map(micros => Math.floorDiv(micros, 1000L))
+          .getOrElse(throw new IllegalArgumentException(
             s"graft-snapshot: cannot parse timestampAsOf '$s' — pass epoch " +
-              "millis, 'yyyy-mm-dd hh:mm:ss', or an ISO-8601 instant")
-        }
+              "millis, 'yyyy-mm-dd hh:mm:ss', or an ISO-8601 instant"))
       }
     }
 

@@ -694,12 +694,17 @@ object Streaming {
       val verdictsDir = s"$indexPath/verdicts"
       val cappedDir = s"$indexPath/capped"
       val haveIndex = StateFs.exists(spark, bandsDir)
+      // one row per id WITHIN the batch too: an at-least-once source can
+      // repeat an id inside one micro-batch, where the verdict anti-join
+      // can't see it yet — without this, the repeated id's band rows
+      // append twice. Mirrors the replay skip's per-id rule.
+      val once = batch.toDF().dropDuplicates(idCol)
       val fresh =
         if (StateFs.exists(spark, verdictsDir))
-          batch.toDF().join(
+          once.join(
             spark.read.parquet(verdictsDir).select(col(idCol)).distinct(),
             Seq(idCol), "left_anti")
-        else batch.toDF()
+        else once
       if (!fresh.isEmpty) {
         // the band table feeds both the screen and the index append —
         // one materialization, like every signature table in Dedup
@@ -802,12 +807,19 @@ object Streaming {
       import graft.operators.Similarity.{cosineNative, signBucket}
       val vecsDir = s"$indexPath/vectors"
       val verdictsDir = s"$indexPath/verdicts"
+      // one row per id WITHIN the batch too: an at-least-once source can
+      // repeat an id inside a single micro-batch, where the verdict
+      // anti-join can't see it (verdicts not yet written) and the
+      // a.id < b.id pair screen excludes equal ids — both copies would
+      // index and verdict. dropDuplicates mirrors the replay skip's
+      // per-id rule.
+      val once = batch.toDF().dropDuplicates(idCol)
       val fresh =
         if (StateFs.exists(spark, verdictsDir))
-          batch.toDF().join(
+          once.join(
             spark.read.parquet(verdictsDir).select(col(idCol)).distinct(),
             Seq(idCol), "left_anti")
-        else batch.toDF()
+        else once
       if (!fresh.isEmpty) {
         val fb = fresh.select(col(idCol),
             col(vecCol).cast("array<float>").as("__v"),

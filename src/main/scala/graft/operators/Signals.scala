@@ -189,21 +189,33 @@ object Signals {
     provenance.foldLeft(parsed) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
   }
 
-  /** [[topicExtractAll]] + persist as a per-topic partitioned store (the
-    * reference writes `output_dir/<topic>/bag_file=<name>/data.parq` —
-    * main.py:115-124; here that layout IS Spark partitioning, so every
-    * downstream per-topic read prunes to its own directory).
+  /** [[topicExtractAll]] + persist as a TRANSACTIONAL
+    * [[graft.sources.SnapshotStore]] table (the reference publishes
+    * `output_dir/<topic>/bag_file=<name>/data.parq` as one idempotent
+    * batch — main.py:115-124 + main.py:44 s3_sync_results): files stage
+    * invisibly, ONE put-if-absent commit publishes the complete store,
+    * so a crashed or concurrent extraction is never seen half-written.
+    * Rows range-cluster on (topic[, extras]), so per-topic reads prune
+    * files from the commit log's string stats — the snapshot-native
+    * form of the reference's per-topic directory layout (read with
+    * `SnapshotStore.readPoints(spark, outPath, topicCol, Seq(t))`).
     */
   def topicExtractAllTo(signals: DataFrame, topicCol: String,
                         topics: Seq[String], candidateCols: Seq[String],
                         provenance: Map[String, String],
                         outPath: String,
                         extraPartitionCols: Seq[String] = Seq.empty): DataFrame = {
-    topicExtractAll(signals, topicCol, topics, candidateCols, provenance)
-      .write.mode("overwrite")
-      .partitionBy(topicCol +: extraPartitionCols: _*)
-      .parquet(outPath)
-    signals.sparkSession.read.parquet(outPath)
+    // secondary range key = content hash, so a big topic SPLITS across
+    // range partitions (parallelism within the topic) while every file
+    // stays single-topic (prunable) — ranging on the low-cardinality
+    // topic alone would collapse parallelism to one task per topic
+    val clusterCols = (topicCol +: extraPartitionCols).map(col) :+ col("__salt")
+    graft.sources.Containers.publishExtractStore(
+      topicExtractAll(signals, topicCol, topics, candidateCols, provenance)
+        .withColumn("__salt", pmod(hash(candidateCols.map(col): _*), lit(1 << 16))),
+      outPath, clusterCols,
+      statsCols = topicCol +: extraPartitionCols,
+      meta = Map("graft.extract.topics" -> topics.sorted.mkString(",")))
   }
 
   /** Batch manifest: per-batch (per-day) file/topic/row accounting — the

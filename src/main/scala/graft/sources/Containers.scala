@@ -198,15 +198,25 @@ object Containers {
     *     — heterogeneous schemas coexist as one nullable struct column
     *     per topic, which parquet stores at ~zero cost for the null
     *     legs.
-    *  3. Store: one `partitionBy(topic[, ...])` write — the reference's
-    *     `output_dir/<topic>/...` layout IS Spark partitioning, so a
-    *     per-topic read prunes to its own directory
-    *     ([[readTypedStore]] then projects the topic's struct back to
-    *     dotted typed columns).
+    *  3. Store: ONE TRANSACTIONAL [[SnapshotStore]] overwrite — files
+    *     stage invisibly under `data/`, then a single put-if-absent
+    *     commit publishes them with the schema contract recorded and
+    *     footer stats harvested. A crashed extraction leaves only
+    *     unreferenced (invisible) files, and concurrent extractions
+    *     serialize to last-writer-wins COMPLETE states — never a torn
+    *     store (the reference's pipeline is an idempotent batch publish:
+    *     main.py:44 s3_sync_results + DynamoDB batch tracking; the
+    *     plain `mode("overwrite")` this replaces could be seen
+    *     half-written). Rows land range-clustered on (topic, ts_us[,
+    *     extras]), so each file covers one topic and a narrow time band
+    *     — [[readTypedStore]] then prunes files from the COMMIT LOG's
+    *     string stats (plus parquet blooms), the snapshot-native form of
+    *     the reference's per-topic directory layout, and time filters
+    *     prune within the topic.
     *
-    * Returns the store re-read. One pass is spec-asserted via the
-    * planner's call counter (N bags plan exactly N times for the data
-    * phase).
+    * Returns the store re-read (through the snapshot). One pass is
+    * spec-asserted via the chunk reader's call counter (7 chunks read
+    * exactly 7 times for 2 topics).
     */
   def typedExtractTo(spark: SparkSession, bagDir: String, storeDir: String,
                      topics: Seq[String],
@@ -236,11 +246,91 @@ object Containers {
         when(col("topic") === t,
           rosDeserialize(col("payload"), lit(defOf(t)))))
     }
-    withStructs.drop("payload")
-      .write.mode("overwrite")
-      .partitionBy("topic" +: extraPartitionCols: _*)
-      .parquet(storeDir)
-    spark.read.parquet(storeDir)
+    val clusterCols = ("topic" +: extraPartitionCols :+ "ts_us").map(col)
+    publishExtractStore(withStructs.drop("payload"), storeDir, clusterCols,
+      statsCols = Seq("topic", "ts_us") ++ extraPartitionCols,
+      meta = Map("graft.extract.topics" -> topics.sorted.mkString(",")))
+  }
+
+  /** Range-cluster width for extraction stores: the session's shuffle
+    * parallelism, floored at 2 so even toy corpora land topic-separable
+    * files (1 file = nothing to prune).
+    */
+  private def extractStorePartitions(spark: SparkSession): Int =
+    math.max(2, spark.sessionState.conf.numShufflePartitions)
+
+  /** Stage → cluster → publish: the transactional tail every extraction
+    * store shares.
+    *
+    *  1. `df` lands ONCE as uncommitted parquet under
+    *     `storeDir/.extract-stage-<uuid>` — the single pass over the
+    *     expensive source (bag decode / signal parse). Clustering
+    *     cannot run directly on `df`: a range exchange SAMPLES its
+    *     child to pick boundaries, which would re-execute the source —
+    *     at 100 TB that re-decodes every chunk (spec-pinned: the chunk
+    *     reader counts exactly one read per chunk).
+    *  2. The staged parquet re-reads (cheap, columnar) through an
+    *     explicit-width `repartitionByRange` on the cluster columns:
+    *     contiguous ranges mean at most one boundary file straddles two
+    *     topics; every other file is single-topic with a tight band on
+    *     the trailing cluster column, so the commit log's file stats
+    *     prune per-topic/time reads as sharply as directory
+    *     partitioning did.
+    *  3. ONE [[SnapshotStore.overwrite]] publishes the complete store —
+    *     files stage invisibly, a put-if-absent commit makes them live,
+    *     schema recorded, footer stats harvested. A crash anywhere
+    *     leaves the previous version intact (stage dirs are swept on
+    *     the next extraction; unreferenced data files are invisible).
+    *     A RACING extraction loses the conflict check and retries its
+    *     commit: both publish complete states, last writer wins — the
+    *     reference pipeline's idempotent batch publish (main.py:44).
+    *
+    * Cluster columns named `__*` are dropped after clustering (salt
+    * keys). Returns the published store re-read.
+    */
+  private[graft] def publishExtractStore(df: DataFrame, storeDir: String,
+                                         clusterCols: Seq[Column],
+                                         statsCols: Seq[String],
+                                         meta: Map[String, String]): DataFrame = {
+    val spark = df.sparkSession
+    val hc = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(hc)
+    // sweep stages left by CRASHED extractions (cf. BagManifest's tmp
+    // sweep) — age-guarded so a CONCURRENT extraction's live stage is
+    // never deleted from under it (a crashed stage only wastes disk,
+    // so waiting an hour to reclaim it costs nothing)
+    if (fs.exists(root)) {
+      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      fs.listStatus(root).iterator
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(".extract-stage-") &&
+          s.getModificationTime < cutoff)
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".extract-stage-${java.util.UUID.randomUUID}")
+    df.write.parquet(tmp.toString)
+    try {
+      val salts = clusterCols.map(_.toString).filter(_.startsWith("__"))
+      val clustered = spark.read.parquet(tmp.toString)
+        .repartitionByRange(extractStorePartitions(spark), clusterCols: _*)
+        .drop(salts: _*)
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        attempt += 1
+        try {
+          SnapshotStore.overwrite(clustered, storeDir,
+            statsCols = statsCols, meta = meta)
+          committed = true
+        } catch {
+          case _: java.util.ConcurrentModificationException if attempt < 5 =>
+            () // a racing extraction won this version — republish on top
+        }
+      }
+    } finally fs.delete(tmp, true)
+    SnapshotStore.snapshot(spark, storeDir)
   }
 
   /** [[typedExtractTo]] for fleets with DRIFTED message definitions:
@@ -249,8 +339,10 @@ object Containers {
     * extractor refuses that loudly; this one keys each row's decode on
     * its OWN bag's definition (rosbag's actual contract: the
     * connection record travels with the data) and lands a store
-    * additionally partitioned by `def_ver` (the definition's genmsg
-    * md5 prefix), so each (topic, def_ver) partition has ONE schema.
+    * additionally range-clustered by `def_ver` (the definition's genmsg
+    * md5 prefix), so each (topic, def_ver) file run has ONE schema —
+    * published through the same transactional [[SnapshotStore]] commit
+    * as the strict path.
     *
     * Still ONE chunk-parallel scan: the (bag_file, topic) → version
     * map is a BROADCAST of the connection table (rows = fleet topics,
@@ -301,11 +393,10 @@ object Containers {
         when(col("topic") === t && col("def_ver") === ver,
           rosDeserialize(col("payload"), lit(defn))))
     }
-    withStructs.drop("payload")
-      .write.mode("overwrite")
-      .partitionBy("topic", "def_ver")
-      .parquet(storeDir)
-    spark.read.parquet(storeDir)
+    publishExtractStore(withStructs.drop("payload"), storeDir,
+      Seq(col("topic"), col("def_ver"), col("ts_us")),
+      statsCols = Seq("topic", "def_ver", "ts_us"),
+      meta = Map("graft.extract.topics" -> topics.sorted.mkString(",")))
   }
 
   /** ONE topic's rows out of a [[typedExtractToVersioned]] store: every
@@ -316,7 +407,9 @@ object Containers {
     */
   def readTypedStoreVersions(spark: SparkSession, storeDir: String,
                              topic: String): DataFrame = {
-    val base = spark.read.parquet(storeDir).filter(col("topic") === topic)
+    // log-stats + bloom file skip on the topic value — the snapshot
+    // form of the old directory pruning (exact filter re-applied inside)
+    val base = SnapshotStore.readPoints(spark, storeDir, "topic", Seq(topic))
     val vers = base.select("def_ver").distinct()
       .collect().map(_.getString(0)).sorted // rows = definition versions
     require(vers.nonEmpty, s"store $storeDir has no rows for topic '$topic'")
@@ -331,16 +424,18 @@ object Containers {
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** ONE topic's typed rows out of a [[typedExtractTo]] store:
-    * partition-pruned to the topic's directory, the topic's struct
-    * projected back to flattened dotted columns — the same shape
-    * [[readBagTyped]] emits, but answered from the extracted store
-    * with zero bag reads.
+  /** ONE topic's typed rows out of a [[typedExtractTo]] store: files
+    * that cannot hold the topic are SKIPPED from the commit log's
+    * string stats (plus parquet blooms/dictionaries) before any data
+    * read — the snapshot-native form of the old per-topic directory
+    * pruning — and the topic's struct projects back to flattened
+    * dotted columns: the same shape [[readBagTyped]] emits, but
+    * answered from the extracted store with zero bag reads.
     */
   def readTypedStore(spark: SparkSession, storeDir: String,
                      topic: String): DataFrame = {
     val c = typedColName(topic)
-    val df = spark.read.parquet(storeDir).filter(col("topic") === topic)
+    val df = SnapshotStore.readPoints(spark, storeDir, "topic", Seq(topic))
     require(df.schema.fieldNames.contains(c),
       s"store $storeDir has no typed column for topic '$topic' " +
         s"(expected $c; present: ${df.schema.fieldNames.mkString(", ")})")

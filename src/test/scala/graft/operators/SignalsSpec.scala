@@ -79,7 +79,7 @@ class SignalsSpec extends SparkSpec {
     assert(rows(4L).isNullAt(rows(4L).fieldIndex("payload_objs")))
   }
 
-  test("topicExtractAllTo writes a per-topic partitioned store") {
+  test("topicExtractAllTo publishes a transactional topic-clustered snapshot store") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-topics").toString
     val df = Seq(
       (1L, "cam", "[x: 1, y: 2]"),
@@ -88,15 +88,22 @@ class SignalsSpec extends SparkSpec {
     val back = Signals.topicExtractAllTo(df, "topic", Seq("cam", "gps"),
       Seq("payload"), Map("bag_file" -> "b0"), s"$tmp/store")
     assert(back.count() == 2)
-    // partition layout is the reference's per-topic directory layout
-    assert(new java.io.File(s"$tmp/store/topic=cam").isDirectory)
-    assert(new java.io.File(s"$tmp/store/topic=gps").isDirectory)
-    // a single-topic read prunes to one directory (partition pruning)
-    val pruned = spark.read.parquet(s"$tmp/store").filter(col("topic") === "cam")
+    // ONE commit published the complete store (snapshot-native form of
+    // the reference's idempotent batch publish, main.py:44)
+    assert(graft.sources.SnapshotStore.latestVersion(spark, s"$tmp/store") === 1L)
+    // a single-topic read file-skips from the commit log's string stats
+    // — the snapshot-native form of per-topic directory pruning
+    val (kept, total) = graft.sources.SnapshotStore.prunedLiveFiles(
+      spark, s"$tmp/store", Map.empty, strBox = Map("topic" -> ("cam", "cam")))
+    assert(total > 1, s"range-clustered store lands topic-separable files, got $total")
+    assert(kept.size < total,
+      s"single-topic read must skip topic-disjoint files: kept ${kept.size} of $total")
+    val pruned = graft.sources.SnapshotStore.readPoints(
+      spark, s"$tmp/store", "topic", Seq("cam"))
     assert(pruned.count() == 1)
-    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("topic") && scan.contains("cam"),
-      s"single-topic read must prune to its partition directory: $scan")
+    assert(pruned.select("payload_objs").collect().head
+      .getAs[scala.collection.Seq[scala.collection.Map[String, String]]](0)
+      .map(_.toMap).toList == List(Map("x" -> "1", "y" -> "2")))
   }
 
   test("topicStats yields null rate for single-message topics") {

@@ -389,10 +389,64 @@ class BagDataSourceSpec extends SparkSpec {
     val tagRows = tag.select(col("seq"), col("label"))
       .as[(Long, String)].collect().sorted.toSeq
     assert(tagRows === (0 until 8).map(i => (i.toLong, s"L$i")))
-    // the per-topic read is partition-pruned to its own directory
-    val plan = gps.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("topic"),
-      s"per-topic store read must prune on the topic partition:\n$plan")
+    // the per-topic read file-skips from the COMMIT LOG's string stats
+    // (the snapshot-native form of directory pruning): topic-disjoint
+    // files never scan
+    val (kept, total) = graft.sources.SnapshotStore.prunedLiveFiles(
+      spark, store, Map.empty, strBox = Map("topic" -> ("gps", "gps")))
+    assert(total > 1, s"range-clustered store must land multiple files, got $total")
+    assert(kept.size < total,
+      s"per-topic read must skip topic-disjoint files: kept ${kept.size} of $total")
+  }
+
+  test("typed extraction store is transactional: torn or concurrent extractions never visible") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.sources.{Containers, SnapshotStore}
+    graft.plans.GraftExtensions.register(spark)
+    val defn = "uint32 a\n"
+    val dir = Files.createTempDirectory("graft-txext").toString
+    def p(i: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(i); bb.array()
+    }
+    Files.write(Paths.get(dir, "b.bag"),
+      BagCodec.pack((0 until 5).map(i => ("m", 1000L + i, p(i))),
+        "none", messagesPerChunk = 2, typeInfo = Some(("m/M", defn))))
+    val store = Files.createTempDirectory("graft-txext-store").toString
+    Containers.typedExtractTo(spark, dir, store, Seq("m"))
+    val v1 = SnapshotStore.latestVersion(spark, store)
+    val before = Containers.readTypedStore(spark, store, "m")
+      .select("ts_us").as[Long].collect().sorted.toSeq
+
+    // CRASH simulation: a second extraction dies after staging data
+    // files but before its commit — exactly what stageFiles leaves
+    // behind. Unreferenced files must be invisible to every reader.
+    val stray = Paths.get(store.stripPrefix("file:"), "data")
+    val anyData = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(stray).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+    }
+    java.nio.file.Files.copy(anyData,
+      stray.resolve("deadbeef-torn-copy.parquet"))
+    assert(Containers.readTypedStore(spark, store, "m")
+      .select("ts_us").as[Long].collect().sorted.toSeq === before,
+      "a torn (uncommitted) extraction must never change what readers see")
+    assert(SnapshotStore.latestVersion(spark, store) === v1)
+
+    // CONCURRENT extractions: two racing overwrites serialize through
+    // put-if-absent commits — the final state is one writer's COMPLETE
+    // result (two commits, last wins), never a mix.
+    val t1 = new Thread(() =>
+      Containers.typedExtractTo(spark, dir, store, Seq("m")))
+    val t2 = new Thread(() =>
+      Containers.typedExtractTo(spark, dir, store, Seq("m")))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(SnapshotStore.latestVersion(spark, store) === v1 + 2,
+      "both extractions must commit (serialized), not clobber")
+    assert(Containers.readTypedStore(spark, store, "m")
+      .select("ts_us").as[Long].collect().sorted.toSeq === before,
+      "the visible store is a complete extraction result")
   }
 
   test("versioned typed extraction: drifted IDLs land per-version, read back null-filled") {

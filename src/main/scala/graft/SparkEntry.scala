@@ -1297,6 +1297,38 @@ object SparkEntry {
       s.sql(s"DELETE FROM graft.`$t` WHERE n_chars < 600 AND lang = 'en'")
       graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
     }),
+    "q_snapshot_merge_sql" -> ((s, d) => {
+      // SQL MERGE INTO end to end — the lakehouse bread-and-butter verb
+      // issued as PURE SQL text through the catalog (the reference's
+      // per-scene DynamoDB put_item IS matched-update/not-matched-
+      // insert, detect_scenes.py:167): base table with doc_id stats,
+      // an overlapping source batch, one MERGE exercising all three
+      // clause kinds (conditional update, conditional delete, insert).
+      // Planning is upsert's touched-file path — the log-stats
+      // broadcast range join picks candidate files, everything else
+      // survives BY PATH (SnapshotMergeSpec pins that), and the oracle
+      // re-derives the final state with a MERGE-equivalent CTE.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapmerge").toString + "/docs"
+      graft.sources.SnapshotStore.append(
+        docs.filter(col("doc_id") % 10 < 8), t, statsCols = Seq("doc_id"))
+      docs.filter(col("doc_id") % 10 >= 6)
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .createOrReplaceTempView("snapshot_merge_src")
+      s.sql(
+        s"""MERGE INTO graft.`$t` t USING snapshot_merge_src s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.n_chars % 2 = 0 THEN UPDATE SET n_chars = s.n_chars
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+           |  VALUES (s.doc_id, s.lang, s.n_chars)
+           |""".stripMargin)
+      graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
+    }),
     "q_batch_manifest" -> ((s, d) =>
       Signals.batchManifest(
         eventsUs(s, d).select(col("user_id"), col("ts_us").as("ts"), col("event_type")),
@@ -2716,6 +2748,20 @@ object SparkEntry {
     "q_snapshot_delete" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE NOT (n_chars < 600 AND lang = 'en')
+        |ORDER BY doc_id""".stripMargin,
+    "q_snapshot_merge_sql" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents
+        |              WHERE doc_id % 10 < 8),
+        |     src AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars
+        |             FROM documents WHERE doc_id % 10 >= 6)
+        |SELECT b.doc_id, b.lang, s.n_chars
+        |FROM base b JOIN src s USING (doc_id) WHERE s.n_chars % 2 = 0
+        |UNION ALL
+        |SELECT b.doc_id, b.lang, b.n_chars
+        |FROM base b LEFT JOIN src s USING (doc_id) WHERE s.doc_id IS NULL
+        |UNION ALL
+        |SELECT s.doc_id, s.lang, s.n_chars
+        |FROM src s LEFT JOIN base b USING (doc_id) WHERE b.doc_id IS NULL
         |ORDER BY doc_id""".stripMargin,
     "q_batch_manifest" ->
       """SELECT epoch_us(ts) // 86400000000 AS batch_day,

@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
+    // analyzer rule (Resolution batch): swaps a resolved MergeIntoTable
+    // over a SnapshotCatalog table for the copy-on-write merge command
+    // before the built-in row-level rewrite would reject the table
+    ext.injectResolutionRule(_ => RewriteSnapshotMerge)
     ext.injectOptimizerRule(_ => RewriteVectorOps)
     ext.injectOptimizerRule(_ => PruneAsOfJoin)
     ext.injectOptimizerRule(_ => PruneRangeJoin)

@@ -713,20 +713,8 @@ object SnapshotStore {
         if (statsCols.isEmpty) keyCols else statsCols)
     val snap = state(spark, table)
     val pruneCol = keyCols.head
-    val (ranged, statless) = snap.live.partition(_.stats.contains(pruneCol))
-    val touchedRanged: Seq[String] =
-      if (ranged.isEmpty) Nil
-      else {
-        val ranges = spark.createDataFrame(ranged.map { a =>
-          val (lo, hi) = a.stats(pruneCol); (a.path, lo, hi)
-        }).toDF("__path", "__lo", "__hi")
-        updates.select(col(pruneCol).cast("long").as("__k"))
-          .join(broadcast(ranges),
-            col("__k") >= col("__lo") && col("__k") <= col("__hi"))
-          .select("__path").distinct()
-          .collect().map(_.getString(0)).toSeq
-      }
-    val touched = statless.map(_.path) ++ touchedRanged
+    val touched = touchedByLongKey(spark, snap.live,
+      updates.select(col(pruneCol).cast("long").as("__k")), pruneCol)
     val rewrite =
       if (touched.isEmpty) updates
       else readWithSchema(spark, snap.meta, touched)
@@ -736,6 +724,51 @@ object SnapshotStore {
       if (statsCols.isEmpty) keyCols else statsCols)
     commit(spark, table, adds, removes = touched,
       meta = Map("op" -> "upsert"), mustBeLive = touched)
+  }
+
+  /** Live files whose harvested long [min,max] on `pruneCol` can contain
+    * ANY key in `keys` (a single-column frame named `__k`, long) — the
+    * broadcast range join [[upsert]] and MERGE prune with. Files without
+    * long stats on `pruneCol` are always kept (pruning may only skip,
+    * never lie).
+    */
+  private[graft] def touchedByLongKey(spark: SparkSession,
+                                      live: Seq[AddFile], keys: DataFrame,
+                                      pruneCol: String): Seq[String] = {
+    val (ranged, statless) = live.partition(_.stats.contains(pruneCol))
+    val touchedRanged: Seq[String] =
+      if (ranged.isEmpty) Nil
+      else {
+        val ranges = spark.createDataFrame(ranged.map { a =>
+          val (lo, hi) = a.stats(pruneCol); (a.path, lo, hi)
+        }).toDF("__path", "__lo", "__hi")
+        keys.join(broadcast(ranges),
+            col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+          .select("__path").distinct()
+          .collect().map(_.getString(0)).toSeq
+      }
+    statless.map(_.path) ++ touchedRanged
+  }
+
+  /** Read a specific live-file subset with the table's recorded schema
+    * pinned — the touched-file read of [[upsert]]/MERGE. */
+  private[graft] def readFiles(spark: SparkSession, table: String,
+                               paths: Seq[String],
+                               asOf: Option[Long] = None): DataFrame =
+    readWithSchema(spark, state(spark, table, asOf).meta, paths)
+
+  /** Stage `rewrite` and publish one commit swapping it for `removes`
+    * (re-validated live — a concurrent overwrite/compact of a touched
+    * file fails the commit instead of resurrecting replaced rows).
+    * Zero-row rewrite files stage nothing. The copy-on-write commit
+    * tail [[upsert]], [[delete]], and SQL MERGE share.
+    */
+  private[graft] def commitRewrite(spark: SparkSession, table: String,
+                                   rewrite: DataFrame, removes: Seq[String],
+                                   op: String, statsCols: Seq[String]): Long = {
+    val adds = stageFiles(rewrite, table, statsCols).filter(_.rows > 0)
+    commit(spark, table, adds, removes,
+      meta = Map("op" -> op), mustBeLive = removes)
   }
 
   /** Copy-on-write DELETE: removes the rows where `condition` is TRUE

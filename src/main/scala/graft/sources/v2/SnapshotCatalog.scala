@@ -149,9 +149,14 @@ class SnapshotCatalog extends TableCatalog {
   * (reads of an uncommitted table fail descriptively; the scan builder
   * is only reachable once a commit landed).
   */
-private[v2] class SnapshotCatalogTable(path: String, asOf: Option[Long],
-                                       declaredSchema: Option[StructType])
+private[graft] class SnapshotCatalogTable(path: String, asOf: Option[Long],
+                                          declaredSchema: Option[StructType])
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  /** The table directory (for [[graft.plans.RewriteSnapshotMerge]]). */
+  private[graft] def tablePath: String = path
+  /** VERSION/TIMESTAMP AS OF pin, if any (MERGE refuses pinned reads). */
+  private[graft] def timeTravel: Option[Long] = asOf
 
   private def spark = SparkSession.active
 

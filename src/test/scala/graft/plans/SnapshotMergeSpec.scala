@@ -1,0 +1,198 @@
+package graft.plans
+
+import java.util.concurrent.CountDownLatch
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.SnapshotStore
+
+/** SQL MERGE INTO over SnapshotStore tables: semantics (update / delete
+  * / insert / not-matched-by-source, first-match clause order),
+  * touched-file pruning, cardinality violation, and commit-conflict
+  * detection.
+  */
+class SnapshotMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(prefix: String): String =
+    "file:" + java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def useCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+
+  test("MERGE: matched update + not-matched insert, pure SQL text") {
+    useCatalog()
+    val t = freshTable("graft-merge")
+    SnapshotStore.append(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "tag", "n"),
+      t, statsCols = Seq("id"))
+    Seq((2L, "B", 200L), (4L, "D", 400L)).toDF("id", "tag", "n")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` t USING merge_src s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET tag = s.tag, n = s.n + 1
+         |WHEN NOT MATCHED THEN INSERT (id, tag, n) VALUES (s.id, s.tag, s.n)
+         |""".stripMargin)
+    val out = SnapshotStore.snapshot(spark, t)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, "a", 10L), (2L, "B", 201L), (3L, "c", 30L),
+      (4L, "D", 400L)))
+    val (v, op, _) = SnapshotStore.history(spark, t).head
+    assert(v === 2L && op === "merge")
+  }
+
+  test("MERGE: conditional matched DELETE and clause-order first-match") {
+    useCatalog()
+    val t = freshTable("graft-merge-del")
+    SnapshotStore.append(
+      (1L to 6L).map(i => (i, i * 10)).toDF("id", "n"), t, statsCols = Seq("id"))
+    (1L to 6L).map(i => (i, i)).toDF("id", "v").createOrReplaceTempView("mdel_src")
+    // first clause wins: id <= 2 deletes; the catch-all update only
+    // applies to the remaining matches
+    spark.sql(
+      s"""MERGE INTO graft.`$t` t USING mdel_src s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.v <= 2 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET n = t.n + s.v
+         |""".stripMargin)
+    val out = SnapshotStore.snapshot(spark, t)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((3L, 33L), (4L, 44L), (5L, 55L), (6L, 66L)))
+  }
+
+  test("MERGE: NOT MATCHED BY SOURCE update and delete") {
+    useCatalog()
+    val t = freshTable("graft-merge-nmbs")
+    SnapshotStore.append(
+      (1L to 5L).map(i => (i, "keep")).toDF("id", "st"), t, statsCols = Seq("id"))
+    Seq(2L, 4L).toDF("id").createOrReplaceTempView("nmbs_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` t USING nmbs_src s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET st = 'matched'
+         |WHEN NOT MATCHED BY SOURCE AND t.id = 5 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET st = 'stale'
+         |""".stripMargin)
+    val out = SnapshotStore.snapshot(spark, t)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, "stale"), (2L, "matched"), (3L, "stale"),
+      (4L, "matched")))
+  }
+
+  test("MERGE prunes to touched files: disjoint-key files survive by path") {
+    useCatalog()
+    val t = freshTable("graft-merge-prune")
+    // three key-disjoint files via three appends
+    SnapshotStore.append((1L to 10L).map(i => (i, 0L)).toDF("id", "n"), t,
+      statsCols = Seq("id"))
+    SnapshotStore.append((11L to 20L).map(i => (i, 0L)).toDF("id", "n"), t,
+      statsCols = Seq("id"))
+    SnapshotStore.append((21L to 30L).map(i => (i, 0L)).toDF("id", "n"), t,
+      statsCols = Seq("id"))
+    val before = SnapshotStore.state(spark, t).live.map(_.path).toSet
+    Seq((15L, 1L)).toDF("id", "n").createOrReplaceTempView("mprune_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` t USING mprune_src s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET n = s.n
+         |WHEN NOT MATCHED THEN INSERT (id, n) VALUES (s.id, s.n)
+         |""".stripMargin)
+    val after = SnapshotStore.state(spark, t).live.map(_.path).toSet
+    // every file whose [min,max] cannot hold key 15 survives BY PATH —
+    // exactly ONE file rewrites
+    assert((before -- after).size === 1,
+      s"only the file holding key 15 may rewrite: removed=${before -- after}")
+    assert((before & after).size === before.size - 1)
+    assert(SnapshotStore.snapshot(spark, t).filter(col("id") === 15L)
+      .select("n").as[Long].head() === 1L)
+    assert(SnapshotStore.snapshot(spark, t).count() === 30L)
+  }
+
+  test("MERGE: insert-only merge appends without rewriting any file") {
+    useCatalog()
+    val t = freshTable("graft-merge-insonly")
+    SnapshotStore.append((1L to 5L).map(i => (i, 0L)).toDF("id", "n"), t,
+      statsCols = Seq("id"))
+    val before = SnapshotStore.state(spark, t).live.map(_.path).toSet
+    Seq((3L, 9L), (7L, 9L)).toDF("id", "n").createOrReplaceTempView("mio_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` t USING mio_src s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT (id, n) VALUES (s.id, s.n)
+         |""".stripMargin)
+    val after = SnapshotStore.state(spark, t).live.map(_.path).toSet
+    assert(before.subsetOf(after), "insert-only merge must not remove files")
+    val out = SnapshotStore.snapshot(spark, t)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L), (7L, 9L)))
+  }
+
+  test("MERGE rejects the ANSI cardinality violation") {
+    useCatalog()
+    val t = freshTable("graft-merge-card")
+    SnapshotStore.append(Seq((1L, 0L)).toDF("id", "n"), t, statsCols = Seq("id"))
+    Seq((1L, 10L), (1L, 20L)).toDF("id", "n").createOrReplaceTempView("mcard_src")
+    val err = intercept[UnsupportedOperationException] {
+      spark.sql(
+        s"""MERGE INTO graft.`$t` t USING mcard_src s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET n = s.n
+           |""".stripMargin)
+    }
+    assert(err.getMessage.contains("multiple source rows matched"))
+  }
+
+  test("MERGE detects a conflicting commit on a touched file") {
+    useCatalog()
+    val t = freshTable("graft-merge-conflict")
+    SnapshotStore.append((1L to 5L).map(i => (i, 0L)).toDF("id", "n"), t,
+      statsCols = Seq("id"))
+    // the source BLOCKS mid-evaluation (after the merge read table
+    // state) while the main thread lands a conflicting upsert on the
+    // same file — the merge's commit must fail mustBeLive re-validation
+    SnapshotMergeSpec.sourceEvaluating = new CountDownLatch(1)
+    SnapshotMergeSpec.conflictLanded = new CountDownLatch(1)
+    val src = Seq((2L, 9L)).toDS()
+      .mapPartitions { it =>
+        SnapshotMergeSpec.sourceEvaluating.countDown()
+        SnapshotMergeSpec.conflictLanded.await()
+        it
+      }.toDF("id", "n")
+    src.createOrReplaceTempView("mconf_src")
+    @volatile var thrown: Throwable = null
+    val merger = new Thread(() =>
+      try spark.sql(
+        s"""MERGE INTO graft.`$t` t USING mconf_src s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET n = s.n
+           |""".stripMargin)
+      catch { case e: Throwable => thrown = e })
+    merger.start()
+    val sawSource = SnapshotMergeSpec.sourceEvaluating.await(
+      120, java.util.concurrent.TimeUnit.SECONDS)
+    if (!sawSource) {
+      SnapshotMergeSpec.conflictLanded.countDown() // unblock, then report
+      merger.join(30000)
+      fail(s"merge never evaluated its source; merge outcome: $thrown")
+    }
+    SnapshotStore.upsert(Seq((2L, 5L)).toDF("id", "n"), t, keyCols = Seq("id"))
+    SnapshotMergeSpec.conflictLanded.countDown()
+    merger.join(120000)
+    assert(thrown != null, "merge must not silently resurrect replaced rows")
+    val root = Seq(thrown, thrown.getCause).filter(_ != null)
+      .exists(e => e.isInstanceOf[java.util.ConcurrentModificationException] ||
+        Option(e.getMessage).exists(_.contains("no longer live")))
+    assert(root, s"expected a commit conflict, got: $thrown")
+    // the winning upsert's value is intact
+    assert(SnapshotStore.snapshot(spark, t).filter(col("id") === 2L)
+      .select("n").as[Long].head() === 5L)
+  }
+}
+
+object SnapshotMergeSpec {
+  @volatile var sourceEvaluating: CountDownLatch = _
+  @volatile var conflictLanded: CountDownLatch = _
+}

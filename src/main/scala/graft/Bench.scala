@@ -7,12 +7,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology: one warmup pass (compiles every whole-stage-codegen
   * class, warms JIT + page cache), then SPARK_GRAFT_BENCH_PASSES timed
-  * passes (default 3) reporting each query's MEDIAN, with per-query
-  * sample stddev published alongside — a single sample swings ±15% with
-  * machine load at sub-second scale, and one outlier must never flag a
-  * false regression. Passes after the first re-time only sub-5s queries;
-  * the expensive codec-bound rows are the least noise-prone and
-  * re-running them would triple the wall clock.
+  * passes (default 3, floor 2) reporting each query's LOWER MEDIAN,
+  * with per-query sample stddev published alongside — a single sample
+  * swings ±15% with machine load at sub-second scale (and 5x on a bad
+  * day: r10's q_containment phantom), and one outlier must never flag a
+  * false regression. EVERY query gets at least two samples (pass 2
+  * re-times everything); passes 3+ re-time only sub-5s queries. The
+  * shared dedup pair/cluster build is timed as its own `shared_build`
+  * line so consumers stay build-free and comparable across rounds.
   */
 object Bench {
   private case class QResult(sec: Double, rows: Long, failed: Boolean)
@@ -39,8 +41,17 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     def pass(names: String => Boolean): Map[String, QResult] = {
       // each pass pays the shared dedup pair/cluster tables ONCE (the
-      // persist-once-read-everywhere semantics), not zero times
+      // persist-once-read-everywhere semantics), timed as its OWN
+      // `shared_build` line so consumer queries are build-free and
+      // compare across rounds without consumer-order attribution
+      // artifacts (r10's q_dedup_apply swing was exactly this)
       SparkEntry.clearSharedTables()
+      val tS = System.nanoTime()
+      val sharedFailed =
+        try { SparkEntry.buildSharedTables(spark, sfDir); false }
+        catch { case _: Throwable => true }
+      val shared = "shared_build" -> QResult(
+        (System.nanoTime() - tS) / 1e9, 0L, sharedFailed)
       // SORTED name order: Map hash order reshuffles whenever the query
       // set changes, which moves every query's predecessor — and a
       // query timed right after a heavy neighbor absorbs its async
@@ -61,7 +72,7 @@ object Bench {
           try { (fn(spark, sfDir).queryExecution.toRdd.count(), false) }
           catch { case _: Throwable => (-1L, true) }
         name -> QResult((System.nanoTime() - t0) / 1e9, rows, failed)
-      }.toMap
+      }.toMap + shared
     }
     pass(_ => true) // warmup: compile all codegen stages, warm JIT + page cache
     // SPARK_GRAFT_BENCH_PASSES timed passes (default 3): each query
@@ -72,12 +83,18 @@ object Bench {
     // re-time ceiling: expensive codec-/build-bound queries (>5s) are
     // stable in relative terms and re-running them would triple the
     // suite's wall clock for the least noise-prone rows.
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(2)
     val retimeCeiling = 5.0
     val firstPass = pass(_ => true)
     val retime: Set[String] = firstPass.collect {
       case (n, r) if !r.failed && r.sec < retimeCeiling => n }.toSet
-    val laterPasses = (2 to nPasses).map(_ => pass(retime))
+    // EVERY query gets >= 2 timed samples (pass 2 re-times everything):
+    // r10's single-sample slow queries produced a 5x phantom outlier
+    // (q_containment) precisely where noise matters most. Passes 3+
+    // re-time only the sub-ceiling queries — cheap rows get n_passes
+    // samples, expensive ones get 2.
+    val laterPasses = (2 to nPasses).map(p =>
+      if (p == 2) pass(_ => true) else pass(retime))
     val samples: Map[String, Seq[QResult]] = firstPass.map { case (n, r) =>
       n -> (r +: laterPasses.flatMap(_.get(n)))
     }
@@ -87,7 +104,11 @@ object Bench {
       // flaky crash as healthy; a query is failed only if EVERY pass
       // failed
       val ok = ss.filter(!_.failed).sortBy(_.sec)
-      name -> (if (ok.isEmpty) ss.head else ok(ok.size / 2))
+      // LOWER median: timing noise on this host is one-sided additive
+      // (ambient load only ever inflates), so with an even sample count
+      // the lower middle is the better estimate — for the n=2 slow
+      // queries that is the faster sample, for n=3 the true median
+      name -> (if (ok.isEmpty) ss.head else ok((ok.size - 1) / 2))
     }
     // sample stddev per query (successful samples; -1 when n<2): the
     // noise floor a regression must clear before it means anything
@@ -413,12 +434,24 @@ object Bench {
             .withColumn("n_chars", length(col("text")))
             .repartition(math.min(32, sc * 4))
             .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-          SparkEntry.clearSharedTables()
+          // THREE rounds per scale point, per-query lower median across
+          // rounds: r10's official artifact carried a 5x phantom on
+          // q_containment from a single ambient-loaded sample. Shared
+          // tables clear before EACH round so attribution inside a
+          // round stays fixed (q_dedup_minhash pays the pair build,
+          // q_dup_clusters_star times the CC iteration alone).
+          val rounds = (1 to 3).map { _ =>
+            SparkEntry.clearSharedTables()
+            scalingQs.map { q =>
+              val t0 = System.nanoTime()
+              val ok = try { SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count(); true }
+                catch { case _: Throwable => false }
+              q -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+            }.toMap
+          }
           val times = scalingQs.map { q =>
-            val t0 = System.nanoTime()
-            val ok = try { SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count(); true }
-              catch { case _: Throwable => false }
-            q -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+            val ok = rounds.map(_(q)).filter(_ >= 0).sorted
+            q -> (if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2))
           }.toMap
           (sc, times)
         }
@@ -495,7 +528,7 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
     val scaleStepFull = scaleStep.map(s => s""","scale_step":$s""").getOrElse("")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"queries":$qsFull,"stddev_sec":$stddevJson,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"smb_operator_level":$smbOp,"skew_operator_level":$skewOp,"manifest_operator_level":$manifestOp,"streaming":$streamingOp$scalingFull$scaleStepFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed pass(es) (passes after the first re-time only queries whose first sample was under ${retimeCeiling}s), per-query median of successful samples, sample stddev in stddev_sec; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"queries":$qsFull,"stddev_sec":$stddevJson,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"smb_operator_level":$smbOp,"skew_operator_level":$skewOp,"manifest_operator_level":$manifestOp,"streaming":$streamingOp$scalingFull$scaleStepFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed passes (pass 2 re-times EVERY query so each has >= 2 samples; passes 3+ re-time only queries whose first sample was under ${retimeCeiling}s), per-query LOWER median of successful samples (ambient-load noise is one-sided additive), sample stddev in stddev_sec; shared_build carries the shared dedup pair+cluster table build so its consumers are build-free; scaling points are the lower median of 3 rounds; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
     val fw = new java.io.OutputStreamWriter(
       new java.io.FileOutputStream("BENCH_full.json"),
       java.nio.charset.StandardCharsets.UTF_8)

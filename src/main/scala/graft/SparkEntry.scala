@@ -1413,6 +1413,18 @@ object SparkEntry {
     clusterTableCache.clear()
   }
 
+  /** Force-build the shared pair + cluster tables. Bench times this as
+    * its own `shared_build` line so the consumer queries
+    * (q_dedup_minhash / q_dup_clusters* / q_dedup_apply / ...) measure
+    * their OWN work and compare across rounds regardless of which
+    * consumer happens to run first (r10's q_dedup_apply 0.17→3.09 s
+    * "regression" was purely this attribution moving).
+    */
+  def buildSharedTables(s: SparkSession, d: String): Unit = {
+    dupClusterTable(s, d) // builds the pair table too; localCheckpoint is eager
+    ()
+  }
+
   private val curationQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(spread(Tables.documents(s, d)), "doc_id", "text").orderBy(col("fp"))),

@@ -964,6 +964,61 @@ object SparkEntry {
           col("seq").cast("double").as("num"), col("label"))
       gps.unionByName(tag).orderBy(col("topic"), col("ts"), col("num"))
     }),
+    "q_bag_frames" -> ((s, d) => {
+      // the reference's ACTUAL camera→scene flow, end to end from raw
+      // bags (detect_scenes.py:93-117 consumes camera-topic detections;
+      // config.json's topic list is camera-dominated): real encoded
+      // image payloads (PPM/BMP/RLE8/PNG/PPM-seq, every pixel a pure
+      // function of doc_id) ride a sensor_msgs/CompressedImage-shaped
+      // typed message (uint32 seq, string format, uint8[] data) inside
+      // REAL bag files; ONE chunk-parallel typed DSv2 scan flattens
+      // them back; Multimodal.ingest bridges the `data` column into the
+      // byte-level decode kernel; frameDiffs computes per-frame mean
+      // |pixel diff|; keyframes thresholds it; and a running keyframe
+      // count lands the per-frame SCENE INDEX — bag bytes to scene
+      // boundaries in one plan, no intermediate store. The oracle
+      // re-derives every diff from the synthesize pixel formula.
+      graft.plans.GraftExtensions.register(s)
+      // payload rides as base64 text (ros `uint8[]` flattens to
+      // array<short> — a per-byte array row; base64 keeps the encoded
+      // image as ONE string field, lossless and plan-native both ways)
+      val camDef = "uint32 seq\nstring format\nstring data\n"
+      val dir = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-bagframes").toString
+      val media = graft.multimodal.Multimodal.synthesize(
+        spread(Tables.documents(s, d)), "doc_id")
+      val ser = media.toDF().select(
+        pmod(col("media_id"), lit(16)).as("g"),
+        struct(
+          lit("cam").as("topic"),
+          (lit(1000000000L) + col("media_id")).as("ts_us"),
+          graft.sources.Containers.rosSerialize(
+            struct(col("media_id").as("seq"),
+              col("media_type").as("format"),
+              base64(col("payload")).as("data")),
+            lit(camDef)).as("payload")).as("m"))
+      val bags = ser.groupBy(col("g"))
+        .agg(graft.sources.Containers.bagPackTyped(
+          sort_array(collect_list(col("m"))),
+          when(pmod(col("g"), lit(3)) === 0, "none")
+            .when(pmod(col("g"), lit(3)) === 1, "bz2").otherwise("lz4"),
+          lit(camDef), messagesPerChunk = 64).as("bag"))
+        .select(concat(lit("cam_g"), col("g")).as("bag_file"), col("bag"))
+      graft.sources.Containers.writeBags(bags, dir)
+      val typed = graft.sources.Containers.readBagTyped(s, dir, "cam")
+        .withColumn("img", unbase64(col("data")))
+      val diffs = graft.multimodal.Multimodal.frameDiffs(
+        graft.multimodal.Multimodal.ingest(typed, "seq", "img", "bag/cam"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      graft.multimodal.Multimodal.keyframes(diffs.toDF(), threshold = 64.0)
+        .withColumn("scene_id",
+          sum(col("keyframe").cast("long")).over(w) - 1)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          round(col("mean_abs_diff"), 4).as("mean_abs_diff"),
+          col("keyframe"), col("scene_id"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
     "q_bag_counts" -> ((s, d) => {
       // `rosbag info`'s message tally at fleet scale: pack events into
       // 64 multi-chunk multi-topic bags (topic = event_type, all three
@@ -3623,6 +3678,32 @@ object SparkEntry {
         |  d.mad AS mean_abs_diff,
         |  (fr.f = 0 OR d.mad >= 64.0) AS keyframe
         |FROM frames fr LEFT JOIN diffs d ON fr.doc_id = d.doc_id AND fr.f = d.f
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    "q_bag_frames" ->
+      // identical pixel math to q_mm_keyframes (the bag roundtrip is
+      // lossless by construction), plus the running keyframe count as
+      // the per-frame scene index
+      """WITH geo AS (
+        |  SELECT doc_id, (doc_id % 13 + 2) * (doc_id % 7 + 2) * 3 AS L,
+        |    CASE WHEN doc_id % 3 = 2 THEN doc_id % 4 + 1 ELSE 1 END AS fr
+        |  FROM documents),
+        |frames AS (SELECT doc_id, L, unnest(range(0, fr)) AS f FROM geo),
+        |diffs AS (
+        |  SELECT doc_id, f, round(avg(abs(
+        |      (doc_id*7 + (f*L + k)*13) % 256 -
+        |      (doc_id*7 + ((f-1)*L + k)*13) % 256)), 4) AS mad
+        |  FROM (SELECT doc_id, L, f, unnest(range(0, L)) AS k
+        |        FROM frames WHERE f > 0) kk
+        |  GROUP BY doc_id, f),
+        |flagged AS (
+        |  SELECT fr.doc_id AS media_id, CAST(fr.f AS BIGINT) AS frame_idx,
+        |    d.mad AS mean_abs_diff,
+        |    (fr.f = 0 OR d.mad >= 64.0) AS keyframe
+        |  FROM frames fr LEFT JOIN diffs d ON fr.doc_id = d.doc_id AND fr.f = d.f)
+        |SELECT media_id, frame_idx, mean_abs_diff, keyframe,
+        |  CAST(SUM(CASE WHEN keyframe THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY media_id ORDER BY frame_idx) - 1 AS BIGINT) AS scene_id
+        |FROM flagged
         |ORDER BY media_id, frame_idx""".stripMargin,
     "q_chunk" ->
       """SELECT doc_id, i AS chunk_idx, i*80 AS chunk_start,

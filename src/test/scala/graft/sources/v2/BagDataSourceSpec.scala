@@ -520,6 +520,52 @@ class BagDataSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("camera stream: typed bag micro-batches feed the frame decode kernel (q_bag_frames's streaming twin)") {
+    import graft.sources.Containers
+    import graft.multimodal.Multimodal
+    graft.plans.GraftExtensions.register(spark)
+    val camDef = "uint32 seq\nstring format\nstring data\n"
+    val dir = Files.createTempDirectory("graft-bagframestream").toString
+    def land(ids: Seq[Long], name: String): Unit = {
+      val media = Multimodal.synthesize(ids.toDF("doc_id"), "doc_id")
+      val ser = media.toDF().select(
+        struct(lit("cam").as("topic"),
+          (lit(1000000000L) + col("media_id")).as("ts_us"),
+          Containers.rosSerialize(
+            struct(col("media_id").as("seq"), col("media_type").as("format"),
+              base64(col("payload")).as("data")), lit(camDef)).as("payload")).as("m"))
+      val bags = ser
+        .agg(Containers.bagPackTyped(sort_array(collect_list(col("m"))),
+          lit("lz4"), lit(camDef), messagesPerChunk = 16).as("bag"))
+        .select(lit(name).as("bag_file"), col("bag"))
+      Containers.writeBags(bags, dir)
+    }
+    land(Seq(2L, 5L, 8L), "wave1")
+    // each arriving bag is a micro-batch; the frame kernel is a
+    // stateless flatMap, so it rides append mode unchanged — camera
+    // bytes to frame diffs with no intermediate store, continuously
+    val stream = spark.readStream.format(fmt)
+      .option("typed", "true").option("topic", "cam").load(dir)
+    val frames = Multimodal.frameDiffs(Multimodal.ingest(
+      stream.withColumn("img", unbase64(col("data"))), "seq", "img", "cam"))
+    val q = frames.toDF().writeStream.format("memory")
+      .queryName("bagframestream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("bagframestream").count() > 0)
+      land(Seq(11L, 14L), "wave2")
+      q.processAllAvailable()
+      val got = spark.table("bagframestream")
+        .as[Multimodal.FrameDiff].collect()
+        .map(f => (f.media_id, f.frame_idx, f.mean_abs_diff)).toSet
+      val expect = Multimodal.frameDiffs(Multimodal.synthesize(
+          Seq(2L, 5L, 8L, 11L, 14L).toDF("doc_id"), "doc_id")).collect()
+        .map(f => (f.media_id, f.frame_idx, f.mean_abs_diff)).toSet
+      assert(got === expect,
+        "streamed frame diffs must equal the batch bridge over the same media")
+    } finally q.stop()
+  }
+
   test("aggregate pushdown: count(*)/GROUP BY answer from the index with ZERO chunk reads") {
     val dir = Files.createTempDirectory("graft-bagagg").toString
     mkBag(dir, "agg_a", 30, "none", perChunk = 7)

@@ -64,8 +64,13 @@ class SnapshotDataSource extends TableProvider
                             parameters: Map[String, String]): (String, StructType) = {
     val table = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-snapshot stream requires .load(<table path>)"))
-    (s"graft-snapshot-stream($table)", schema.getOrElse(
-      SnapshotStore.snapshot(sqlContext.sparkSession, table).schema))
+    val base = schema.getOrElse(
+      SnapshotStore.snapshot(sqlContext.sparkSession, table).schema)
+    val resolved =
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        SnapshotStreamSource.changeFeedSchema(base)
+      else base
+    (s"graft-snapshot-stream($table)", resolved)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,

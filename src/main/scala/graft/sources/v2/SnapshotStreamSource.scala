@@ -40,8 +40,25 @@ private[v2] case class SnapshotSourceOffset(version: Long) extends Offset {
   *    that tolerates background compaction — sound BECAUSE compaction
   *    is content-preserving; overwrites simply never re-deliver.
   *
+  *  - `readChangeFeed=true` switches the stream to ROW-LEVEL change
+  *    batches (Delta CDF's streaming form): every row carries
+  *    `_change_type` ('insert'/'delete') and `_commit_version`, the
+  *    feed [[SnapshotStore.changes]] reconstructs from the log —
+  *    appends surface as inserts, an upsert/delete/overwrite commit
+  *    contributes its removed files' rows as deletes and its added
+  *    files' rows as inserts (an updated key is a delete+insert pair,
+  *    net change exact), and a COMPACTION emits NOTHING (a
+  *    content-preserving rewrite has no row-level delta). This is the
+  *    mode that stays sound precisely where file-level increments
+  *    refuse or skip: downstream sinks apply rows in `_commit_version`
+  *    order and mirror the table through arbitrary rewrites. The
+  *    initial load (no `startingVersion`) delivers the then-current
+  *    snapshot as inserts at its version.
+  *
   * Options: `startingVersion` (long, or `latest` = tail from stream
-  * start), `skipRewrites` (boolean, default false),
+  * start), `skipRewrites` (boolean, default false — append-only
+  * consumption), `readChangeFeed` (boolean, default false — row-level
+  * change consumption; mutually exclusive with `skipRewrites`),
   * `maxVersionsPerTrigger` (admission control — a backlogged stream
   * catches up in bounded micro-batches instead of one giant batch, the
   * scale lever Delta spells `maxFilesPerTrigger`; versions are the
@@ -51,7 +68,8 @@ class SnapshotStreamSource(spark: SparkSession, table: String,
                            override val schema: StructType,
                            skipRewrites: Boolean,
                            startingVersion: Option[Long],
-                           maxVersionsPerTrigger: Option[Long]) extends Source
+                           maxVersionsPerTrigger: Option[Long],
+                           changeFeed: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
@@ -90,6 +108,7 @@ class SnapshotStreamSource(spark: SparkSession, table: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = ver(end)
+    if (changeFeed) return getChangeBatch(start, endV)
     val files: Seq[String] = start.map(ver).orElse(startingVersion) match {
       case Some(since) =>
         SnapshotStore.addedSince(spark, table, since, Some(endV), skipRewrites)
@@ -106,6 +125,29 @@ class SnapshotStreamSource(spark: SparkSession, table: String,
     GraftShim.asStreamingRelation(batch)
   }
 
+  /** Row-level change batch for versions (start, end] — the read-time
+    * CDF reconstruction ([[SnapshotStore.changes]]: one parquet scan
+    * over the range's referenced files plus a broadcast file-name tag
+    * join, compactions contribute nothing). Restart-exact for the same
+    * reason the file mode is: versions are deterministic, so a replayed
+    * offset range reconstructs the identical change rows.
+    */
+  private def getChangeBatch(start: Option[Offset], endV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = start.map(ver).orElse(startingVersion) match {
+      case Some(since) if since >= endV => // defensive: empty range
+        SnapshotStore.changes(spark, table, endV, Some(endV)).limit(0)
+      case Some(since) =>
+        SnapshotStore.changes(spark, table, since, Some(endV))
+      case None => // initial load: the snapshot itself, as inserts
+        SnapshotStore.snapshot(spark, table, Some(endV))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(endV))
+    }
+    GraftShim.asStreamingRelation(
+      df.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+  }
+
   override def stop(): Unit = ()
 }
 
@@ -118,6 +160,10 @@ object SnapshotStreamSource {
     val table = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-snapshot stream requires .load(<table path>)"))
     val skip = parameters.get("skipRewrites").exists(_.toBoolean)
+    val cdf = parameters.get("readChangeFeed").exists(_.toBoolean)
+    require(!(skip && cdf),
+      "graft-snapshot stream: skipRewrites and readChangeFeed are mutually " +
+        "exclusive — the change feed is already sound across rewrites")
     val starting = parameters.get("startingVersion").map {
       case "latest" => SnapshotStore.latestVersion(spark, table)
       case v => v.toLong
@@ -125,6 +171,17 @@ object SnapshotStreamSource {
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
     maxVersions.foreach(k => require(k >= 1,
       s"maxVersionsPerTrigger must be >= 1, got $k"))
-    new SnapshotStreamSource(spark, table, schema, skip, starting, maxVersions)
+    new SnapshotStreamSource(spark, table, schema, skip, starting, maxVersions, cdf)
   }
+
+  /** The change-feed stream schema: table columns + the two tag columns
+    * (idempotent — a caller-supplied schema that already carries the
+    * tags passes through unchanged). */
+  def changeFeedSchema(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false))
+      .filterNot(f => base.fieldNames.contains(f.name)))
 }

@@ -94,6 +94,89 @@ class SnapshotStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readChangeFeed: upsert emits delete+insert pairs, compaction emits nothing") {
+    val t = fresh("cdf")
+    // ONE data file so the upsert's touched set is deterministic
+    SnapshotStore.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), t,
+      statsCols = Seq("id"))
+    val q = startQuery(t, "snap_cdf", t.stripPrefix("file:") + "/_ckpt",
+      Map("readChangeFeed" -> "true"))
+    try {
+      q.processAllAvailable()
+      // initial load: the snapshot as inserts at its version
+      assert(spark.table("snap_cdf")
+        .select("id", "_change_type", "_commit_version")
+        .as[(Long, String, Long)].collect().toSet
+        === Set((1L, "insert", 1L), (2L, "insert", 1L)))
+      // an UPSERT mid-stream: key 2 updates, key 3 inserts — the feed
+      // must carry the old row's delete, and inserts for the rewritten
+      // file's contents (carried-over row 1 pairs off delete+insert:
+      // net no-op for a versionwise consumer)
+      SnapshotStore.upsert(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), t,
+        keyCols = Seq("id"))
+      q.processAllAvailable()
+      val afterUpsert = spark.table("snap_cdf")
+        .filter($"_commit_version" === 2L)
+        .select("id", "v", "_change_type")
+        .as[(Long, String, String)].collect().toSet
+      assert(afterUpsert === Set(
+        (1L, "a", "delete"), (2L, "b", "delete"),      // rewritten file out
+        (1L, "a", "insert"), (2L, "B", "insert"), (3L, "c", "insert")))
+      // net application: delete old, apply inserts → current snapshot
+      // COMPACTION: a content-preserving rewrite contributes NO rows
+      SnapshotStore.compact(spark, t, targetFiles = 1)
+      q.processAllAvailable()
+      assert(spark.table("snap_cdf").filter($"_commit_version" === 3L).count() === 0L,
+        "compaction has no row-level delta")
+      // and the stream is still alive for later commits
+      SnapshotStore.append(Seq((4L, "d")).toDF("id", "v"), t)
+      q.processAllAvailable()
+      assert(spark.table("snap_cdf").filter($"_commit_version" === 4L)
+        .select("id", "_change_type").as[(Long, String)].collect().toSet
+        === Set((4L, "insert")))
+    } finally q.stop()
+  }
+
+  test("readChangeFeed restart: the checkpoint replays nothing, later deletes still flow") {
+    val t = fresh("cdfrestart")
+    val ckpt = t.stripPrefix("file:") + "/_ckpt"
+    val out = t.stripPrefix("file:") + "/_out"
+    def run() = {
+      val q = spark.readStream.format(fmt).option("readChangeFeed", "true")
+        .load(t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    SnapshotStore.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), t)
+    run()
+    // while down: a DELETE commit — row-level deletes must arrive after
+    // restart, exactly once
+    SnapshotStore.delete(spark, t, org.apache.spark.sql.functions.col("id") === 1L)
+    run()
+    val rows = spark.read.parquet(out)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows.size === rows.distinct.size || rows.groupBy(identity).forall(_._2.size == 1),
+      s"no duplicate deliveries across restart: $rows")
+    assert(rows.toSet === Set((1L, "insert", 1L), (2L, "insert", 1L),
+      (1L, "delete", 2L), (2L, "delete", 2L), (2L, "insert", 2L)))
+  }
+
+  test("readChangeFeed + skipRewrites is refused") {
+    val t = fresh("cdfexcl")
+    SnapshotStore.append(Seq((1L, "a")).toDF("id", "v"), t)
+    val err = intercept[Exception] {
+      spark.readStream.format(fmt)
+        .option("readChangeFeed", "true").option("skipRewrites", "true")
+        .load(t)
+        .writeStream.format("memory").queryName("cdf_excl").start()
+        .processAllAvailable()
+    }
+    assert(err.getMessage.contains("mutually exclusive") ||
+      Option(err.getCause).exists(_.getMessage.contains("mutually exclusive")))
+  }
+
   test("startingVersion=latest tails: only post-start appends arrive") {
     val t = fresh("tail")
     SnapshotStore.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)

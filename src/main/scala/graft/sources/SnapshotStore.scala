@@ -51,6 +51,17 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * immutable). Checkpoints every [[checkpointEvery]] commits bound
   * replay cost: a reader lists the log, loads the newest checkpoint ≤
   * its target version, and replays only the tail.
+  *
+  * FORMAT COMPATIBILITY POLICY: every commit written by this code ends
+  * with a CRC32 integrity footer (`e\t<crc>`), and that is the ONLY
+  * supported format going forward. Footer-less (pre-CRC) commits are
+  * tolerated solely as legacy replays under rename-published stores,
+  * where visibility implies completeness; under any store where it does
+  * not ([[AtomicCreateLogStore]]-style create-then-write), a footer-less
+  * commit is REJECTED as unsupported — it is indistinguishable from a
+  * torn write, and guessing would replay truncated state. Do not
+  * re-debate this: migrate old logs by replaying them through a
+  * rename-published store.
   */
 object SnapshotStore {
 
@@ -178,9 +189,17 @@ object SnapshotStore {
       if (!hasFooter && !strictFooter && lines.nonEmpty)
         return lines // legacy pre-footer commit, complete by store contract
       attempt += 1
-      if (attempt >= 5) throw new IllegalStateException(
-        s"commit file torn or still in-flight after $attempt reads: $p " +
-          "(missing/invalid integrity footer)")
+      if (attempt >= 5) {
+        if (!hasFooter) throw new IllegalStateException(
+          s"commit file has no integrity footer after $attempt reads: $p — " +
+            "either torn/in-flight, or an unsupported pre-CRC format commit " +
+            "(FORMAT POLICY: under a store whose visibility does not imply " +
+            "completeness, footer-less commits are NOT supported; rewrite " +
+            "the log through a rename-published store to migrate)")
+        throw new IllegalStateException(
+          s"commit file torn or still in-flight after $attempt reads: $p " +
+            "(invalid integrity footer)")
+      }
       Thread.sleep(10L << attempt) // wait out an in-flight writer
     }
     Nil // unreachable
@@ -529,10 +548,18 @@ object SnapshotStore {
     * ConcurrentModificationException and retry next batch if desired.
     */
   def maintain(spark: SparkSession, table: String, maxLiveFiles: Int,
-               targetFiles: Int, statsCols: Seq[String] = Nil): Option[Long] = {
+               targetFiles: Int, statsCols: Seq[String] = Nil,
+               zorderCols: Seq[String] = Nil): Option[Long] = {
     require(targetFiles > 0 && maxLiveFiles >= targetFiles,
       s"need maxLiveFiles >= targetFiles > 0, got ($maxLiveFiles, $targetFiles)")
     if (state(spark, table).live.size <= maxLiveFiles) None
+    else if (zorderCols.nonEmpty)
+      // z-ordered rewrite: size-triggered maintenance RESTORES sharp
+      // box pruning too — fragmented appends interleave key ranges, so
+      // a plain compaction would leave every file's box spanning the
+      // domain while the z-ordered one re-clusters (stats re-harvested
+      // on the zorder columns; same one-commit metadata swap)
+      Some(compactZOrdered(spark, table, targetFiles, zorderCols))
     else Some(compact(spark, table, targetFiles, statsCols))
   }
 

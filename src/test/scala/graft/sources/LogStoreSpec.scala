@@ -122,7 +122,10 @@ class LogStoreSpec extends SparkSpec {
       val e = intercept[IllegalStateException] {
         SnapshotStore.state(spark, t)
       }
-      assert(e.getMessage.contains("torn or still in-flight"),
+      // the FORMAT POLICY message: a footer-less commit under this store
+      // is named as unsupported pre-CRC format (it is indistinguishable
+      // from a torn write), not misdiagnosed as merely torn
+      assert(e.getMessage.contains("unsupported pre-CRC format"),
         s"wrong failure: ${e.getMessage}")
     }
   }

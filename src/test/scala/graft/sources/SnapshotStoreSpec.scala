@@ -128,6 +128,38 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.maintain(spark, t, maxLiveFiles = 4, targetFiles = 2).isEmpty)
   }
 
+  test("maintain(zorderCols): size-triggered maintenance restores sharp box pruning") {
+    val t = tempTable("maintainz")
+    // 8 fragmented appends, each spanning the FULL (x, y) domain — every
+    // file's box covers everything, so box pruning is blind
+    (0 until 8).foreach { i =>
+      val rows = (0 until 256).map(j =>
+        (j.toLong, ((j * 37 + i) % 256).toLong, i.toLong))
+      SnapshotStore.append(rows.toDF("x", "y", "w").coalesce(1), t,
+        statsCols = Seq("x", "y"))
+    }
+    val box = Map("x" -> (0L, 31L), "y" -> (0L, 31L))
+    val (keptBefore, totalBefore) = SnapshotStore.prunedLiveFiles(spark, t, box)
+    assert(totalBefore === 8 && keptBefore.size === 8,
+      "fragmented appends: the box can prune nothing")
+    // within budget: no-op, no commit
+    assert(SnapshotStore.maintain(spark, t, maxLiveFiles = 16, targetFiles = 8,
+      zorderCols = Seq("x", "y")).isEmpty)
+    // over budget: the Z-ORDERED rewrite re-clusters and re-harvests
+    val v = SnapshotStore.maintain(spark, t, maxLiveFiles = 7, targetFiles = 4,
+      zorderCols = Seq("x", "y"))
+    assert(v.nonEmpty)
+    val (kept, total) = SnapshotStore.prunedLiveFiles(spark, t, box)
+    assert(total === 4, s"rewrite lands targetFiles files, got $total")
+    assert(kept.size <= 2,
+      s"a 1/64-domain box must touch <= 2 of $total z-ordered files, got ${kept.size}")
+    // content preserved exactly, box read still exact
+    assert(SnapshotStore.snapshot(spark, t).count() === 8L * 256)
+    assert(SnapshotStore.readBox(spark, t, box).count() ===
+      (0 until 8).flatMap(i => (0 until 256).map(j =>
+        (j, (j * 37 + i) % 256))).count { case (x, y) => x < 32 && y < 32 })
+  }
+
   test("concurrent committers: every append lands in a distinct serial version") {
     val t = tempTable("race")
     val threads = 4; val each = 5

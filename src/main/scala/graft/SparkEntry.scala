@@ -1352,6 +1352,24 @@ object SparkEntry {
       s.sql(s"DELETE FROM graft.`$t` WHERE n_chars < 600 AND lang = 'en'")
       graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
     }),
+    "q_snapshot_update_sql" -> ((s, d) => {
+      // SQL UPDATE end to end — the fourth DML verb as pure SQL text:
+      // copy-on-write per-column CASE rewrite over exactly the files
+      // whose rows match (predicate-pushdown touched-file discovery,
+      // untouched files survive by path — SnapshotMergeSpec pins that),
+      // stats re-harvested so pruning never degrades. Oracle re-derives
+      // the final state with a CASE projection over the raw table.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapupd").toString + "/docs"
+      graft.sources.SnapshotStore.append(docs, t, statsCols = Seq("doc_id"))
+      s.sql(s"UPDATE graft.`$t` SET n_chars = n_chars + 10000, " +
+        s"lang = concat(lang, '-upd') WHERE n_chars < 500 AND doc_id % 3 = 0")
+      graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
+    }),
     "q_snapshot_merge_sql" -> ((s, d) => {
       // SQL MERGE INTO end to end — the lakehouse bread-and-butter verb
       // issued as PURE SQL text through the catalog (the reference's
@@ -2816,6 +2834,13 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE NOT (n_chars < 600 AND lang = 'en')
         |ORDER BY doc_id""".stripMargin,
+    "q_snapshot_update_sql" ->
+      """SELECT doc_id,
+        |  CASE WHEN n_chars < 500 AND doc_id % 3 = 0
+        |       THEN lang || '-upd' ELSE lang END AS lang,
+        |  CASE WHEN n_chars < 500 AND doc_id % 3 = 0
+        |       THEN n_chars + 10000 ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_snapshot_merge_sql" ->
       """WITH base AS (SELECT doc_id, lang, n_chars FROM documents
         |              WHERE doc_id % 10 < 8),

@@ -81,6 +81,17 @@ object RewriteSnapshotMerge extends Rule[LogicalPlan] {
       MergeSnapshotCommand(path, m.sourceTable, unwrap(m.targetTable).output,
         m.mergeCondition, m.matchedActions, m.notMatchedActions,
         m.notMatchedBySourceActions)
+
+    // SQL UPDATE — the fourth DML verb (INSERT/DELETE/MERGE/UPDATE all
+    // land in the same copy-on-write commit protocol). Same interception
+    // point and rationale as MERGE above.
+    case u: UpdateTable if u.resolved
+        && snapshotTarget(u.table).isDefined =>
+      val (path, asOf) = snapshotTarget(u.table).get
+      if (asOf.isDefined) throw new UnsupportedOperationException(
+        "graft UPDATE: cannot update a VERSION/TIMESTAMP AS OF read")
+      UpdateSnapshotCommand(path, unwrap(u.table).output,
+        u.assignments, u.condition)
   }
 
   private def unwrap(p: LogicalPlan): LogicalPlan = p match {
@@ -118,9 +129,75 @@ case class MergeSnapshotCommand(path: String, source: LogicalPlan,
   }
 }
 
+/** The executable UPDATE: copy-on-write single-table rewrite. */
+case class UpdateSnapshotCommand(path: String,
+                                 targetOutput: Seq[Attribute],
+                                 assignments: Seq[Assignment],
+                                 condition: Option[Expression])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotMerge.executeUpdate(spark, path, targetOutput, assignments, condition)
+    Seq.empty
+  }
+}
+
 object SnapshotMerge {
   private val Keep = -1 // no clause applied: target row carries over
   private val Drop = -2 // source-only row with no insert clause
+
+  /** SQL UPDATE over a snapshot table: [[SnapshotStore.delete]]'s
+    * touched-file shape with assignments instead of removal — ONE scan
+    * with the predicate pushed down finds the files holding matching
+    * rows (parquet footer stats skip clean files at the scan layer),
+    * untouched files survive BY PATH, touched files rewrite with a
+    * per-column `CASE WHEN cond THEN value ELSE old END`, and one
+    * commit (`op = update`, `mustBeLive`-re-validated) swaps them.
+    * A NULL condition keeps the row (SQL UPDATE semantics); the
+    * condition must be deterministic (it evaluates in two scans — the
+    * same rule delete enforces).
+    */
+  def executeUpdate(spark: SparkSession, path: String,
+                    targetOutput: Seq[Attribute],
+                    assignments: Seq[Assignment],
+                    condition: Option[Expression]): Long = {
+    import org.apache.spark.sql.functions.col
+    val snap = SnapshotStore.state(spark, path)
+    if (snap.live.isEmpty) return snap.version
+    val all = SnapshotStore.readFiles(spark, path, snap.live.map(_.path))
+    val withFp = all.select(col("*"), col("_metadata.file_path").as("__fp"))
+    val plan0 = withFp.queryExecution.analyzed
+    def rw(e: Expression): Expression = substitute(e, targetOutput, plan0.output)
+    val cond2 = condition.map(rw).getOrElse(Literal(true))
+    require(cond2.deterministic,
+      s"update condition must be deterministic (it evaluates in two scans): $condition")
+    require(assignments.map(_.value).forall(a => rw(a).deterministic),
+      "update assignments must be deterministic (they evaluate per touched file)")
+    val touched = GraftShim.ofRows(spark,
+        Project(plan0.output.filter(_.name == "__fp"), Filter(cond2, plan0)))
+      .distinct().collect().map(_.getString(0))
+      .map(p => new org.apache.hadoop.fs.Path(p))
+    val touchedPaths = snap.live.map(_.path).filter(p =>
+      touched.exists(t => t.getName == new org.apache.hadoop.fs.Path(p).getName))
+    if (touchedPaths.isEmpty) return snap.version
+    val tgt = SnapshotStore.readFiles(spark, path, touchedPaths)
+    val tgtPlan = tgt.queryExecution.analyzed
+    def rwT(e: Expression): Expression = substitute(e, targetOutput, tgtPlan.output)
+    val condT = condition.map(rwT).getOrElse(Literal(true))
+    val byName = tgtPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    val outCols: Seq[NamedExpression] = targetOutput.map { orig =>
+      val attr = byName(orig.name.toLowerCase)
+      assigned(assignments, orig, rwT) match {
+        case Some(v) =>
+          Alias(castTo(CaseWhen(Seq((condT, v)), Some(attr)), orig.dataType, spark),
+            orig.name)()
+        case None => Alias(attr, orig.name)()
+      }
+    }
+    val rewrite = GraftShim.ofRows(spark, Project(outCols, tgtPlan))
+    SnapshotStore.commitRewrite(spark, path, rewrite,
+      removes = touchedPaths, op = "update",
+      statsCols = SnapshotStore.statedCols(snap.live))
+  }
 
   /** See [[RewriteSnapshotMerge]] for the plan shape. Returns the
     * committed version (current version when the merge is a no-op).
@@ -167,7 +244,8 @@ object SnapshotMerge {
           SnapshotStore.touchedByLongKey(spark, snap.live, keys, tAttr.name)
         case _ => snap.live.map(_.path)
       }
-    val statsCols = equi.map(_._1.name).toSeq
+    val statsCols = (equi.map(_._1.name).toSeq ++
+      SnapshotStore.statedCols(snap.live)).distinct
 
     // ---- insert-only fast paths --------------------------------------
     if (touched.isEmpty || (matched.isEmpty && notMatchedBySource.isEmpty)) {

@@ -777,6 +777,13 @@ object SnapshotStore {
     statless.map(_.path) ++ touchedRanged
   }
 
+  /** Columns ANY live file carries harvested stats for — row-level
+    * rewrites (DELETE/UPDATE/MERGE) re-harvest these on their staged
+    * files, so a rewrite never silently degrades the pruning the
+    * original writer paid for. */
+  private[graft] def statedCols(live: Seq[AddFile]): Seq[String] =
+    live.flatMap(a => a.stats.keys ++ a.strStats.keys).distinct.sorted
+
   /** Read a specific live-file subset with the table's recorded schema
     * pinned — the touched-file read of [[upsert]]/MERGE. */
   private[graft] def readFiles(spark: SparkSession, table: String,
@@ -843,7 +850,10 @@ object SnapshotStore {
     if (touchedPaths.isEmpty) return snap.version
     val keep = readWithSchema(spark, snap.meta, touchedPaths)
       .filter(!condition.<=>(lit(true)))
-    val adds = stageFiles(keep, table, statsCols).filter(_.rows > 0)
+    // re-harvest the stats the table already tracks (statedCols) unless
+    // the caller pinned a set — a delete must not degrade future pruning
+    val harvest = if (statsCols.nonEmpty) statsCols else statedCols(snap.live)
+    val adds = stageFiles(keep, table, harvest).filter(_.rows > 0)
     commit(spark, table, adds, removes = touchedPaths,
       meta = Map("op" -> "delete"), mustBeLive = touchedPaths)
   }

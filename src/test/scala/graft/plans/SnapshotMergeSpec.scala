@@ -130,6 +130,43 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(out === Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L), (7L, 9L)))
   }
 
+  test("UPDATE: conditional assignment rewrites only the files holding matches") {
+    useCatalog()
+    val t = freshTable("graft-update")
+    SnapshotStore.append((1L to 10L).map(i => (i, i * 10, "x")).toDF("id", "n", "tag")
+      .coalesce(1), t, statsCols = Seq("id"))
+    SnapshotStore.append((11L to 20L).map(i => (i, i * 10, "x")).toDF("id", "n", "tag")
+      .coalesce(1), t, statsCols = Seq("id"))
+    val before = SnapshotStore.state(spark, t).live.map(_.path).toSet
+    spark.sql(s"UPDATE graft.`$t` SET n = n + 1, tag = 'hit' WHERE id IN (3, 7)")
+    val after = SnapshotStore.state(spark, t)
+    // only the first file (ids 1-10) rewrites; the second survives by path
+    assert((before & after.live.map(_.path).toSet).size === 1,
+      "the file with no matching rows must survive by path")
+    // the rewrite re-harvests the stats the table tracked (id)
+    assert(after.live.forall(_.stats.contains("id")),
+      "update must not degrade the table's harvested stats")
+    val rows = SnapshotStore.snapshot(spark, t)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows === (1L to 20L).map(i =>
+      if (i == 3 || i == 7) (i, i * 10 + 1, "hit") else (i, i * 10, "x")))
+    val (v, op, _) = SnapshotStore.history(spark, t).head
+    assert(op === "update" && v === 3L)
+    // no matches: no commit
+    spark.sql(s"UPDATE graft.`$t` SET n = 0 WHERE id > 999")
+    assert(SnapshotStore.latestVersion(spark, t) === 3L)
+  }
+
+  test("UPDATE rejects a non-deterministic condition") {
+    useCatalog()
+    val t = freshTable("graft-update-nd")
+    SnapshotStore.append(Seq((1L, 1L)).toDF("id", "n"), t)
+    val err = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$t` SET n = 0 WHERE rand() < 0.5")
+    }
+    assert(err.getMessage.contains("deterministic"))
+  }
+
   test("MERGE rejects the ANSI cardinality violation") {
     useCatalog()
     val t = freshTable("graft-merge-card")

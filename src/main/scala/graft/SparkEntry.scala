@@ -964,6 +964,84 @@ object SparkEntry {
           col("seq").cast("double").as("num"), col("label"))
       gps.unionByName(tag).orderBy(col("topic"), col("ts"), col("num"))
     }),
+    "q_bag_extract_incremental" -> ((s, d) => {
+      // the NIGHTLY-INGEST contract: half the fleet lands and extracts
+      // (bootstrap); the second half lands and typedExtractIncremental
+      // decodes ONLY the new bags (static bag_file pushdown — the probe
+      // require's the second pass's chunk reads equal a direct scan of
+      // just the new bags), appending one commit while the first wave's
+      // store files survive by path. Final store = the full fleet,
+      // every field predicted by the oracle from events — identical
+      // output contract to q_bag_typed_multi, reached incrementally.
+      graft.plans.GraftExtensions.register(s)
+      val gpsDef = "float64 lat\nfloat64 lng\n"
+      val tagDef = "uint32 seq\nstring label\n"
+      val dir = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-bagincq").toString
+      val store = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-bagincq-store").toString
+      def land(wave: Column): Unit = {
+        val ser = eventsUs(s, d).filter(wave).select(
+          pmod(col("user_id"), lit(32)).as("g"),
+          when(col("event_id") % 2 === 0, "gps").otherwise("tag").as("t"),
+          struct(
+            when(col("event_id") % 2 === 0, "gps").otherwise("tag").as("topic"),
+            col("ts_us").as("ts_us"),
+            when(col("event_id") % 2 === 0,
+              graft.sources.Containers.rosSerialize(
+                struct(col("value").cast("double").as("lat"),
+                  (-col("value")).cast("double").as("lng")),
+                lit(gpsDef)))
+            .otherwise(
+              graft.sources.Containers.rosSerialize(
+                struct(col("event_id").cast("long").as("seq"),
+                  col("event_type").as("label")),
+                lit(tagDef))).as("payload")).as("m"))
+        val bags = ser.groupBy(col("g"), col("t"))
+          .agg(graft.sources.Containers.bagPackTyped(
+            sort_array(collect_list(col("m"))),
+            when(pmod(col("g"), lit(3)) === 0, "none")
+              .when(pmod(col("g"), lit(3)) === 1, "bz2")
+              .otherwise("lz4"),
+            when(col("t") === "gps", gpsDef).otherwise(tagDef),
+            messagesPerChunk = 512).as("bag"))
+          .select(concat(lit("g"), col("g"), lit("_w"),
+            pmod(col("g"), lit(2)), lit("_"), col("t")).as("bag_file"),
+            col("bag"))
+        graft.sources.Containers.writeBags(bags, dir)
+      }
+      // waves split by group parity so BOTH are non-empty at any SF
+      land(pmod(pmod(col("user_id"), lit(32)), lit(2)) === 0)
+      graft.sources.Containers.typedExtractIncremental(
+        s, dir, store, Seq("gps", "tag"))
+      land(pmod(pmod(col("user_id"), lit(32)), lit(2)) === 1)
+      val conf = s.sessionState.newHadoopConf()
+      val waveB = graft.sources.v2.BagScan.listFiles(dir, conf)
+        .map(f => new org.apache.hadoop.fs.Path(f).getName.stripSuffix(".bag"))
+        .filter(_.contains("_w1_")).toSeq
+      graft.sources.v2.BagChunkIO.readCalls.set(0)
+      graft.sources.Containers.typedExtractIncremental(
+        s, dir, store, Seq("gps", "tag"))
+      val incReads = graft.sources.v2.BagChunkIO.readCalls.get()
+      // the incrementality proof: the second extraction's chunk reads
+      // equal a direct full read of JUST the new bags (static pushdown)
+      graft.sources.v2.BagChunkIO.readCalls.set(0)
+      s.read.format("graft.sources.v2.BagDataSource").load(dir)
+        .filter(col("bag_file").isin(waveB: _*))
+        .select("payload").queryExecution.toRdd.count()
+      val directReads = graft.sources.v2.BagChunkIO.readCalls.get()
+      require(incReads == directReads && incReads > 0,
+        s"incremental extraction must decode only the new bags' chunks " +
+          s"($incReads vs $directReads direct)")
+      val gps = graft.sources.Containers.readTypedStore(s, store, "gps")
+        .select(lit("gps").as("topic"), col("ts_us").as("ts"),
+          round(col("lat"), 4).as("num"),
+          lit(null).cast("string").as("label"))
+      val tag = graft.sources.Containers.readTypedStore(s, store, "tag")
+        .select(lit("tag").as("topic"), col("ts_us").as("ts"),
+          col("seq").cast("double").as("num"), col("label"))
+      gps.unionByName(tag).orderBy(col("topic"), col("ts"), col("num"))
+    }),
     "q_bag_frames" -> ((s, d) => {
       // the reference's ACTUAL camera→scene flow, end to end from raw
       // bags (detect_scenes.py:93-117 consumes camera-topic detections;
@@ -2756,6 +2834,16 @@ object SparkEntry {
         |FROM events
         |ORDER BY user_id, seq""".stripMargin,
     "q_bag_typed_multi" ->
+      """SELECT 'gps' AS topic, epoch_us(ts) AS ts,
+        |  round(value, 4) AS num, CAST(NULL AS VARCHAR) AS label
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT 'tag', epoch_us(ts), CAST(event_id AS DOUBLE), event_type
+        |FROM events WHERE event_id % 2 = 1
+        |ORDER BY topic, ts, num""".stripMargin,
+    "q_bag_extract_incremental" ->
+      // same final-state contract as q_bag_typed_multi: the two-wave
+      // incremental path must land the identical store
       """SELECT 'gps' AS topic, epoch_us(ts) AS ts,
         |  round(value, 4) AS num, CAST(NULL AS VARCHAR) AS label
         |FROM events WHERE event_id % 2 = 0

@@ -225,12 +225,25 @@ object Containers {
     val sanitized = topics.map(typedColName)
     require(sanitized.distinct.size == topics.size,
       s"topics collide after column-name sanitization: ${topics.mkString(", ")}")
+    val defOf = strictDefs(spark, bagDir, topics)
+    val clusterCols = ("topic" +: extraPartitionCols :+ "ts_us").map(col)
+    publishExtractStore(decodeTopics(spark, bagDir, topics, defOf),
+      storeDir, clusterCols,
+      statsCols = Seq("topic", "ts_us", "bag_file") ++ extraPartitionCols,
+      meta = Map("graft.extract.topics" -> topics.sorted.mkString(",")))
+  }
+
+  /** One unambiguous message definition per topic across the WHOLE
+    * directory — a drifted IDL fails loudly ([[typedExtractToVersioned]]
+    * is the extractor that embraces drift). */
+  private def strictDefs(spark: SparkSession, bagDir: String,
+                         topics: Seq[String]): Map[String, String] = {
     val defsByTopic: Map[String, Seq[String]] = bagConnections(spark, bagDir)
       .filter(col("topic").isin(topics: _*))
       .select("topic", "message_definition").distinct()
       .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
       .groupMap(_._1)(_._2)
-    val defOf: Map[String, String] = topics.map { t =>
+    topics.map { t =>
       val ds = defsByTopic.getOrElse(t, Nil).filter(_.nonEmpty)
       require(ds.nonEmpty,
         s"no connection with a message_definition for topic '$t' under $bagDir")
@@ -239,17 +252,21 @@ object Containers {
           s"$bagDir — use typedExtractToVersioned for a drifted fleet")
       t -> ds.head
     }.toMap
+  }
+
+  /** ONE chunk-parallel untyped scan with the topic IN-list pushed into
+    * the reader, each row's payload decoded through a codegen'd CASE
+    * into its topic's flattened struct column (`payload` dropped). */
+  private def decodeTopics(spark: SparkSession, bagDir: String,
+                           topics: Seq[String],
+                           defOf: Map[String, String]): DataFrame = {
     val raw = spark.read.format("graft.sources.v2.BagDataSource").load(bagDir)
       .filter(col("topic").isin(topics: _*))
-    val withStructs = topics.foldLeft(raw) { (df, t) =>
+    topics.foldLeft(raw) { (df, t) =>
       df.withColumn(typedColName(t),
         when(col("topic") === t,
           rosDeserialize(col("payload"), lit(defOf(t)))))
-    }
-    val clusterCols = ("topic" +: extraPartitionCols :+ "ts_us").map(col)
-    publishExtractStore(withStructs.drop("payload"), storeDir, clusterCols,
-      statsCols = Seq("topic", "ts_us") ++ extraPartitionCols,
-      meta = Map("graft.extract.topics" -> topics.sorted.mkString(",")))
+    }.drop("payload")
   }
 
   /** Range-cluster width for extraction stores: the session's shuffle
@@ -293,27 +310,10 @@ object Containers {
                                          statsCols: Seq[String],
                                          meta: Map[String, String]): DataFrame = {
     val spark = df.sparkSession
-    val hc = spark.sessionState.newHadoopConf()
-    val root = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = root.getFileSystem(hc)
-    // sweep stages left by CRASHED extractions (cf. BagManifest's tmp
-    // sweep) — age-guarded so a CONCURRENT extraction's live stage is
-    // never deleted from under it (a crashed stage only wastes disk,
-    // so waiting an hour to reclaim it costs nothing)
-    if (fs.exists(root)) {
-      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
-      fs.listStatus(root).iterator
-        .filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith(".extract-stage-") &&
-          s.getModificationTime < cutoff)
-        .foreach(s => fs.delete(s.getPath, true))
-    }
-    val tmp = new org.apache.hadoop.fs.Path(root,
-      s".extract-stage-${java.util.UUID.randomUUID}")
-    df.write.parquet(tmp.toString)
+    val (staged, cleanup) = stageOnce(spark, storeDir, df)
     try {
       val salts = clusterCols.map(_.toString).filter(_.startsWith("__"))
-      val clustered = spark.read.parquet(tmp.toString)
+      val clustered = staged
         .repartitionByRange(extractStorePartitions(spark), clusterCols: _*)
         .drop(salts: _*)
       var attempt = 0
@@ -329,8 +329,147 @@ object Containers {
             () // a racing extraction won this version — republish on top
         }
       }
-    } finally fs.delete(tmp, true)
+    } finally cleanup()
     SnapshotStore.snapshot(spark, storeDir)
+  }
+
+  /** Land `df` ONCE as uncommitted parquet under
+    * `storeDir/.extract-stage-<uuid>` and hand back its re-read — the
+    * materialization barrier that keeps range-exchange SAMPLING off the
+    * expensive source. Sweeps stale stages from crashed extractions
+    * (age-guarded so a concurrent extraction's live stage is never
+    * deleted from under it — a crashed stage only wastes disk, so
+    * waiting an hour to reclaim it costs nothing). Caller runs the
+    * returned cleanup after its commit.
+    */
+  private def stageOnce(spark: SparkSession, storeDir: String,
+                        df: DataFrame): (DataFrame, () => Unit) = {
+    val hc = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(hc)
+    if (fs.exists(root)) {
+      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      fs.listStatus(root).iterator
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(".extract-stage-") &&
+          s.getModificationTime < cutoff)
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".extract-stage-${java.util.UUID.randomUUID}")
+    df.write.parquet(tmp.toString)
+    (spark.read.parquet(tmp.toString), () => { fs.delete(tmp, true); () })
+  }
+
+  /** INCREMENTAL [[typedExtractTo]] — the nightly-ingest contract at
+    * lake scale: decode ONLY bags that are new or changed since the
+    * last extraction (by length + mtime, the [[BagManifest.refresh]]
+    * rule), drop rows of changed/deleted bags, and publish the delta as
+    * ONE transactional commit. O(new bags) decode instead of O(lake):
+    * the changed-bag restriction is a STATIC `bag_file` IN pushdown, so
+    * foreign bags' chunks are never read (spec pins the chunk counter),
+    * and the store files holding replaced bags' rows are found from the
+    * commit log's `bag_file` string stats — everything else survives BY
+    * PATH. The append-only common case (only new bags) removes nothing:
+    * a pure append commit. Crash between the commit and the state swap
+    * re-extracts the same bags next run — idempotent by the
+    * delete-then-reinsert rule, never wrong. Drifted IDLs still fail
+    * loudly (strict contract; [[typedExtractToVersioned]] embraces
+    * drift).
+    *
+    * Extraction state (per-bag path/len/mtime) persists as one small
+    * parquet under `storeDir/_extract_state`, swapped via temp+rename
+    * (cf. [[BagManifest.refresh]]); rows = bags in the lake, the same
+    * scale as the directory listing every scan already pays.
+    */
+  def typedExtractIncremental(spark: SparkSession, bagDir: String,
+                              storeDir: String,
+                              topics: Seq[String]): DataFrame = {
+    require(topics.nonEmpty, "typedExtractIncremental needs at least one topic")
+    val conf = spark.sessionState.newHadoopConf()
+    val live = graft.sources.v2.BagScan.listFileStatuses(bagDir, conf).toSeq
+    require(live.nonEmpty, s"no .bag files under $bagDir")
+    val prior = readExtractState(spark, storeDir, conf)
+    if (SnapshotStore.latestVersion(spark, storeDir) == 0L || prior.isEmpty) {
+      val out = typedExtractTo(spark, bagDir, storeDir, topics)
+      writeExtractState(spark, storeDir, live, conf)
+      return out
+    }
+    val changed = live.filterNot { case (f, l, m) => prior.get(f).contains((l, m)) }
+    val deleted = (prior.keySet -- live.map(_._1)).toSeq
+    if (changed.isEmpty && deleted.isEmpty)
+      return SnapshotStore.snapshot(spark, storeDir)
+    def base(p: String) =
+      new org.apache.hadoop.fs.Path(p).getName.stripSuffix(".bag")
+    val removedNames = (changed.map(_._1).filter(prior.contains) ++ deleted)
+      .map(base).distinct
+    val changedNames = changed.map(c => base(c._1))
+    val defOf = strictDefs(spark, bagDir, topics) // old + new must agree
+    val newRows = decodeTopics(spark, bagDir, topics, defOf)
+      .filter(col("bag_file").isin(changedNames: _*)) // static pushdown
+    val snap = SnapshotStore.state(spark, storeDir)
+    val touched =
+      if (removedNames.isEmpty) Nil
+      else snap.live.filter { a =>
+        a.strStats.get("bag_file") match {
+          case Some((mn, mx)) => removedNames.exists(n =>
+            ZOrderStore.utf8Cmp(n, mn) >= 0 && ZOrderStore.utf8Cmp(n, mx) <= 0)
+          case None => true // no stats: may hold them — keep conservative
+        }
+      }.map(_.path)
+    val (staged, cleanup) = stageOnce(spark, storeDir, newRows)
+    try {
+      val clustered = staged.repartitionByRange(
+        extractStorePartitions(spark), col("topic"), col("ts_us"))
+      val rewrite =
+        if (touched.isEmpty) clustered
+        else SnapshotStore.readFiles(spark, storeDir, touched)
+          .filter(!col("bag_file").isin(removedNames: _*))
+          .unionByName(clustered)
+      SnapshotStore.commitRewrite(spark, storeDir, rewrite,
+        removes = touched, op = "extract",
+        statsCols = Seq("topic", "ts_us", "bag_file"))
+    } finally cleanup()
+    writeExtractState(spark, storeDir, live, conf)
+    SnapshotStore.snapshot(spark, storeDir)
+  }
+
+  private def extractStateDir(storeDir: String): String =
+    s"$storeDir/_extract_state"
+
+  private def readExtractState(spark: SparkSession, storeDir: String,
+                               conf: org.apache.hadoop.conf.Configuration)
+      : Map[String, (Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(extractStateDir(storeDir))
+    if (!p.getFileSystem(conf).exists(p)) Map.empty
+    else spark.read.parquet(p.toString)
+      .select("bag_path", "len", "mtime").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  private def writeExtractState(spark: SparkSession, storeDir: String,
+                                live: Seq[(String, Long, Long)],
+                                conf: org.apache.hadoop.conf.Configuration): Unit = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val p = new org.apache.hadoop.fs.Path(extractStateDir(storeDir))
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(root)) // sweep crashed swaps (cf. BagManifest)
+      fs.listStatus(root).iterator
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("_extract_state_tmp_"))
+        .foreach(st => fs.delete(st.getPath, true))
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${extractStateDir(storeDir)}_tmp_${java.util.UUID.randomUUID}")
+    live.toDF("bag_path", "len", "mtime").coalesce(1).write.parquet(tmp.toString)
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p)) {
+      // a concurrent extraction's swap won — accept it (both states
+      // derive from a live listing; staleness only re-extracts)
+      fs.delete(tmp, true)
+      if (!fs.exists(p)) throw new java.io.IOException(
+        s"extract-state swap failed: could not rename $tmp to $p")
+    }
   }
 
   /** [[typedExtractTo]] for fleets with DRIFTED message definitions:

@@ -214,6 +214,7 @@ class BagScanBuilder(path: String, hconf: SerializableHadoopConf)
 
   private var required: StructType = ContainerDataSource.fullSchema
   private var pushedTopics: Option[Set[String]] = None
+  private var pushedBags: Option[Set[String]] = None
   private var tsBand: Option[(Long, Long)] = None
   private var pushed: Array[Filter] = Array.empty
   private var pushedLimit: Option[Int] = None
@@ -238,6 +239,14 @@ class BagScanBuilder(path: String, hconf: SerializableHadoopConf)
   // planning I/O on every query whose aggregate the index can't answer)
   private lazy val planned: Seq[PlannedBag] = BagScan.readPlans(path, hconf.value)
 
+  // a consumed bag_file filter must restrict the AGGREGATE answer too —
+  // the index-only tally runs over exactly the statically-kept bags
+  private def aggPlans: Seq[PlannedBag] = pushedBags match {
+    case Some(keep) => planned.filter(pb =>
+      keep.contains(new HPath(pb.file).getName.stripSuffix(".bag")))
+    case None => planned
+  }
+
   private def tryAgg(agg: Aggregation): Option[(StructType, Array[Array[Any]])] = {
     aggProbe match {
       case Some((a, r)) if a eq agg => r
@@ -245,7 +254,7 @@ class BagScanBuilder(path: String, hconf: SerializableHadoopConf)
         val r = BagAggPushdown.tryPlan(path, hconf.value, agg, pushedTopics,
           tsBand, typedTopic = None,
           nonNullCols = Set("bag_file", "topic", "ts_us", "payload"),
-          plans = planned)
+          plans = aggPlans)
         aggProbe = Some((agg, r))
         r
     }
@@ -267,17 +276,22 @@ class BagScanBuilder(path: String, hconf: SerializableHadoopConf)
       case EqualTo("topic", _: String) => true
       case In("topic", vs) => vs.forall(_.isInstanceOf[String])
       case IsNotNull("topic") => true // the format never yields null topics
+      // STATIC bag_file pushdown — the file IDENTITY column, so an
+      // equality/IN drops whole bags at PLANNING, exactly (incremental
+      // extraction's only-new-bags decode rides this; the runtime
+      // DPP-style IN-set below is the join-driven twin)
+      case EqualTo("bag_file", _: String) => true
+      case In("bag_file", vs) => vs.forall(_.isInstanceOf[String])
+      case IsNotNull("bag_file") => true // never null by format
       case _ => false
     }
-    pushedTopics = accepted.foldLeft(Option.empty[Set[String]]) { (acc, f) =>
-      f match {
-        case EqualTo(_, v: String) => Some(acc.fold(Set(v))(_ intersect Set(v)))
-        case In(_, vs) =>
-          val ts = vs.map(_.asInstanceOf[String]).toSet
-          Some(acc.fold(ts)(_ intersect ts))
-        case _ => acc
-      }
-    }
+    def fold(col: String): Option[Set[String]] =
+      accepted.collect {
+        case EqualTo(c, v: String) if c == col => Set(v)
+        case In(c, vs) if c == col => vs.map(_.asInstanceOf[String]).toSet
+      }.reduceOption(_ intersect _)
+    pushedTopics = fold("topic")
+    pushedBags = fold("bag_file")
     // ts_us band: prunes CHUNKS at planning; stays residual (chunk
     // granularity is approximate, Spark re-applies the exact predicate)
     val (band, tsFilters) = TsBand.of(residual)
@@ -292,7 +306,7 @@ class BagScanBuilder(path: String, hconf: SerializableHadoopConf)
     case Some((schema, rows)) => BagAggScan(schema, rows, path)
     case None =>
       new BagScan(path, hconf, required, pushedTopics, tsBand, pushedLimit,
-        preplanned = () => planned)
+        preplanned = () => planned, bagFilter = pushedBags)
   }
 }
 
@@ -301,7 +315,8 @@ class BagScan(path: String, hconf: SerializableHadoopConf,
               topicFilter: Option[Set[String]],
               tsBand: Option[(Long, Long)] = None,
               limit: Option[Int] = None,
-              preplanned: () => Seq[PlannedBag] = null)
+              preplanned: () => Seq[PlannedBag] = null,
+              bagFilter: Option[Set[String]] = None)
     extends Scan with Batch with PlanningAudit with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
@@ -359,10 +374,17 @@ class BagScan(path: String, hconf: SerializableHadoopConf,
     }
   }
 
-  private def runtimePlans: Seq[PlannedBag] = runtimeBags match {
+  // static bag_file pushdown applies to EVERYTHING (partitions, stats);
+  // the runtime IN-set narrows partitions further at execution
+  private lazy val staticPlans: Seq[PlannedBag] = bagFilter match {
     case Some(keep) => plans.filter(pb =>
       keep.contains(new HPath(pb.file).getName.stripSuffix(".bag")))
     case None => plans
+  }
+  private def runtimePlans: Seq[PlannedBag] = runtimeBags match {
+    case Some(keep) => staticPlans.filter(pb =>
+      keep.contains(new HPath(pb.file).getName.stripSuffix(".bag")))
+    case None => staticPlans
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -387,7 +409,7 @@ class BagScan(path: String, hconf: SerializableHadoopConf,
     * topic-filtered bag side and broadcast it.
     */
   override def estimateStatistics(): Statistics =
-    BagScanEstimates.of(plans, tsBand, keepTopic)
+    BagScanEstimates.of(staticPlans, tsBand, keepTopic)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new BagReaderFactory(required, mergedTopics, hconf, limit)
@@ -421,6 +443,7 @@ class TypedBagScanBuilder(path: String, topic: String, defn: String,
 
   private var required: StructType = BagDataSource.typedSchema(defn)
   private var tsBand: Option[(Long, Long)] = None
+  private var pushedBags: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
   private var pushedLimit: Option[Int] = None
   private var aggProbe: Option[(Aggregation, Option[(StructType, Array[Array[Any]])])] = None
@@ -435,10 +458,23 @@ class TypedBagScanBuilder(path: String, topic: String, defn: String,
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (band, tsFilters) = TsBand.of(filters)
+    import org.apache.spark.sql.sources.{EqualTo, In, IsNotNull}
+    // static bag_file pushdown is EXACT (file identity); ts filters
+    // stay residual (chunk pruning is approximate — see TsBand)
+    val (bagAccepted, rest) = filters.partition {
+      case EqualTo("bag_file", _: String) => true
+      case In("bag_file", vs) => vs.forall(_.isInstanceOf[String])
+      case IsNotNull("bag_file") => true
+      case _ => false
+    }
+    pushedBags = bagAccepted.collect {
+      case EqualTo(_, v: String) => Set(v)
+      case In(_, vs) => vs.map(_.asInstanceOf[String]).toSet
+    }.reduceOption(_ intersect _)
+    val (band, tsFilters) = TsBand.of(rest)
     tsBand = band
-    pushed = tsFilters
-    filters // all residual: chunk pruning is approximate (see TsBand)
+    pushed = bagAccepted ++ tsFilters
+    rest
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -450,13 +486,19 @@ class TypedBagScanBuilder(path: String, topic: String, defn: String,
   // shared probe/scan planning — see BagScanBuilder.planned
   private lazy val planned: Seq[PlannedBag] = BagScan.readPlans(path, hconf.value)
 
+  private def aggPlans: Seq[PlannedBag] = pushedBags match {
+    case Some(keep) => planned.filter(pb =>
+      keep.contains(new HPath(pb.file).getName.stripSuffix(".bag")))
+    case None => planned
+  }
+
   private def tryAgg(agg: Aggregation): Option[(StructType, Array[Array[Any]])] =
     aggProbe match {
       case Some((a, r)) if a eq agg => r
       case _ =>
         val r = BagAggPushdown.tryPlan(path, hconf.value, agg,
           topicFilter = None, tsBand, typedTopic = Some(topic),
-          nonNullCols = Set("bag_file", "ts_us"), plans = planned)
+          nonNullCols = Set("bag_file", "ts_us"), plans = aggPlans)
         aggProbe = Some((agg, r))
         r
     }
@@ -473,7 +515,7 @@ class TypedBagScanBuilder(path: String, topic: String, defn: String,
     case Some((schema, rows)) => BagAggScan(schema, rows, path)
     case None =>
       new TypedBagScan(path, topic, defn, hconf, required, tsBand, pushedLimit,
-        preplanned = () => planned)
+        preplanned = () => planned, bagFilter = pushedBags)
   }
 }
 
@@ -482,7 +524,8 @@ class TypedBagScan(path: String, topic: String, defn: String,
                    required: StructType,
                    tsBand: Option[(Long, Long)] = None,
                    limit: Option[Int] = None,
-                   preplanned: () => Seq[PlannedBag] = null)
+                   preplanned: () => Seq[PlannedBag] = null,
+                   bagFilter: Option[Set[String]] = None)
     extends Scan with Batch with PlanningAudit with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
@@ -516,11 +559,17 @@ class TypedBagScan(path: String, topic: String, defn: String,
     }
   }
 
+  private lazy val staticPlans: Seq[PlannedBag] = bagFilter match {
+    case Some(keep) => plans.filter(pb =>
+      keep.contains(new HPath(pb.file).getName.stripSuffix(".bag")))
+    case None => plans
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val kept = runtimeBags match {
-      case Some(keep) => plans.filter(pb =>
+      case Some(keep) => staticPlans.filter(pb =>
         keep.contains(new HPath(pb.file).getName.stripSuffix(".bag")))
-      case None => plans
+      case None => staticPlans
     }
     // typed scans are always topic-restricted: a band triggers the IXD
     // refinement (single-topic chunks never qualify, so the common
@@ -534,7 +583,7 @@ class TypedBagScan(path: String, topic: String, defn: String,
   }
 
   override def estimateStatistics(): Statistics =
-    BagScanEstimates.of(plans, tsBand, _ == topic)
+    BagScanEstimates.of(staticPlans, tsBand, _ == topic)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TypedBagReaderFactory(topic, defn, required, hconf, limit)

@@ -399,6 +399,67 @@ class BagDataSourceSpec extends SparkSpec {
       s"per-topic read must skip topic-disjoint files: kept ${kept.size} of $total")
   }
 
+  test("incremental typed extraction: only new/changed bags decode; replaced rows swap in one commit") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.sources.{Containers, SnapshotStore}
+    graft.plans.GraftExtensions.register(spark)
+    val defn = "uint32 a\n"
+    val dir = Files.createTempDirectory("graft-incext").toString
+    def land(name: String, vals: Range, perChunk: Int = 2): Unit = {
+      def p(i: Int): Array[Byte] = {
+        val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(i); bb.array()
+      }
+      Files.write(Paths.get(dir, s"$name.bag"),
+        BagCodec.pack(vals.map(i => ("m", 1000L + i, p(i))),
+          "none", messagesPerChunk = perChunk, typeInfo = Some(("m/M", defn))))
+    }
+    def stored(store: String): Seq[Long] =
+      Containers.readTypedStore(spark, store, "m")
+        .select("a").as[Long].collect().sorted.toSeq
+    land("w1a", 0 until 4)   // 2 chunks
+    land("w1b", 4 until 8)   // 2 chunks
+    val store = Files.createTempDirectory("graft-incext-store").toString
+    // bootstrap: full extraction
+    Containers.typedExtractIncremental(spark, dir, store, Seq("m"))
+    assert(stored(store) === (0L until 8L))
+    val v1 = SnapshotStore.latestVersion(spark, store)
+    val filesV1 = SnapshotStore.state(spark, store).live.map(_.path).toSet
+
+    // NO change: no decode, no commit
+    BagChunkIO.readCalls.set(0)
+    Containers.typedExtractIncremental(spark, dir, store, Seq("m"))
+    assert(BagChunkIO.readCalls.get() === 0, "unchanged lake: zero chunk reads")
+    assert(SnapshotStore.latestVersion(spark, store) === v1)
+
+    // NEW bag: only ITS chunks decode; prior files survive by path
+    land("w2", 8 until 12)   // 2 chunks
+    BagChunkIO.readCalls.set(0)
+    Containers.typedExtractIncremental(spark, dir, store, Seq("m"))
+    assert(BagChunkIO.readCalls.get() === 2,
+      s"only the new bag's 2 chunks decode, read ${BagChunkIO.readCalls.get()}")
+    assert(stored(store) === (0L until 12L))
+    assert(filesV1.subsetOf(SnapshotStore.state(spark, store).live.map(_.path).toSet),
+      "append-only delta: the prior extraction's files survive by path")
+    val (v2, op2, _) = SnapshotStore.history(spark, store).head
+    assert(op2 === "extract")
+
+    // CHANGED bag: its old rows swap for the re-decode in ONE commit
+    land("w1b", 20 until 24)
+    BagChunkIO.readCalls.set(0)
+    Containers.typedExtractIncremental(spark, dir, store, Seq("m"))
+    assert(BagChunkIO.readCalls.get() === 2,
+      s"only the changed bag re-decodes, read ${BagChunkIO.readCalls.get()}")
+    assert(stored(store) === ((0L until 4L) ++ (8L until 12L) ++ (20L until 24L)))
+    assert(SnapshotStore.latestVersion(spark, store) === v2 + 1,
+      "replace lands as ONE commit (no separate delete)")
+
+    // DELETED bag: its rows drop
+    Files.delete(Paths.get(dir, "w2.bag"))
+    Containers.typedExtractIncremental(spark, dir, store, Seq("m"))
+    assert(stored(store) === ((0L until 4L) ++ (20L until 24L)))
+  }
+
   test("typed extraction store is transactional: torn or concurrent extractions never visible") {
     import java.nio.{ByteBuffer, ByteOrder}
     import graft.sources.{Containers, SnapshotStore}
@@ -518,6 +579,53 @@ class BagDataSourceSpec extends SparkSpec {
         .as[Double].collect().toSeq.sorted
       assert(vs === Seq(0.0, 1.0, 2.0, 10.0, 11.0, 12.0))
     } finally q.stop()
+  }
+
+  test("static bag_file pushdown: equality/IN prunes whole bags at planning") {
+    val dir = Files.createTempDirectory("graft-bagstatic").toString
+    mkBag(dir, "s_a", 12, "none", perChunk = 4) // 3 chunks each
+    mkBag(dir, "s_b", 12, "none", perChunk = 4)
+    mkBag(dir, "s_c", 12, "none", perChunk = 4)
+    val df = spark.read.format(fmt).load(dir)
+    // equality: only the named bag's chunks are READ (planning is
+    // O(index) per bag either way; data stays untouched for the rest)
+    BagChunkIO.readCalls.set(0)
+    val rows = df.filter(col("bag_file") === "s_b").collect()
+    assert(rows.length === 12)
+    assert(rows.forall(_.getAs[String]("bag_file") == "s_b"))
+    assert(BagChunkIO.readCalls.get() === 3,
+      s"only s_b's 3 chunks may read, read ${BagChunkIO.readCalls.get()}")
+    // IN-set + aggregate pushdown: the index-only tally must honor the
+    // consumed bag_file filter (zero chunk reads, two bags' counts)
+    BagChunkIO.readCalls.set(0)
+    val byTopic = df.filter(col("bag_file").isin("s_a", "s_c"))
+      .groupBy(col("topic")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(byTopic === Map("camera" -> 8L, "lidar" -> 8L, "gps" -> 8L))
+    assert(BagChunkIO.readCalls.get() === 0,
+      "bag-restricted tally still answers from the index")
+    // typed twin: the typed scan consumes the same static filter
+    val tdir = Files.createTempDirectory("graft-bagstatict").toString
+    val defn = "float64 v\n"
+    def mkTyped(name: String, base: Int): Unit = {
+      import java.nio.{ByteBuffer, ByteOrder}
+      val msgs = (0 until 4).map { i =>
+        val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putDouble(base + i)
+        ("m", 100L + base + i, bb.array())
+      }
+      Files.write(Paths.get(tdir, s"$name.bag"),
+        BagCodec.pack(msgs, "none", messagesPerChunk = 2,
+          typeInfo = Some(("graft_msgs/V", defn))))
+    }
+    mkTyped("t_a", 0); mkTyped("t_b", 10)
+    BagChunkIO.readCalls.set(0)
+    val tv = spark.read.format(fmt).option("typed", "true").option("topic", "m")
+      .load(tdir).filter(col("bag_file") === "t_b")
+      .select("v").as[Double].collect().sorted.toSeq
+    assert(tv === Seq(10.0, 11.0, 12.0, 13.0))
+    assert(BagChunkIO.readCalls.get() === 2,
+      s"typed scan reads only t_b's 2 chunks, read ${BagChunkIO.readCalls.get()}")
   }
 
   test("camera stream: typed bag micro-batches feed the frame decode kernel (q_bag_frames's streaming twin)") {

@@ -1430,6 +1430,41 @@ object SparkEntry {
       s.sql(s"DELETE FROM graft.`$t` WHERE n_chars < 600 AND lang = 'en'")
       graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
     }),
+    "q_snapshot_optimize_sql" -> ((s, d) => {
+      // SQL `CALL` table maintenance (Spark 4 DSv2 stored procedures —
+      // the surface Iceberg ships OPTIMIZE on): four interleaved
+      // appends leave every file's (doc_id, n_chars) box spanning the
+      // domain; CALL graft.optimize(t, 4, 'doc_id,n_chars') runs the
+      // z-ordered metadata-swap rewrite as ONE commit, after which a
+      // corner box prunes files from the log alone (require'd) and the
+      // box read returns exactly the oracle's selection
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapopt").toString + "/docs"
+      val store = graft.sources.SnapshotStore
+      (0 until 4).foreach(i => store.append(
+        docs.filter(col("doc_id") % 4 === i), t,
+        statsCols = Seq("doc_id", "n_chars")))
+      val res = s.sql(s"CALL graft.optimize('$t', 4, 'doc_id,n_chars')")
+        .collect().head
+      require(res.getAs[Long]("version") == 5L &&
+        res.getAs[Int]("files_before") >= 4,
+        s"CALL optimize must commit v5 over >=4 fragments, got $res")
+      // corner box: driver scalars are two bounded aggregates
+      val mm = docs.agg(max(col("doc_id")).as("mi"), max(col("n_chars")).as("mn"))
+        .head()
+      val (hiId, hiN) = (mm.getLong(0) / 4, mm.getLong(1) / 4)
+      val (kept, total) = store.prunedLiveFiles(s, t,
+        Map("doc_id" -> (0L, hiId), "n_chars" -> (0L, hiN)))
+      require(kept.size < total,
+        s"z-ordered CALL optimize must restore box pruning " +
+          s"(${kept.size} of $total)")
+      store.readBox(s, t, Map("doc_id" -> (0L, hiId), "n_chars" -> (0L, hiN)))
+        .orderBy(col("doc_id"))
+    }),
     "q_snapshot_update_sql" -> ((s, d) => {
       // SQL UPDATE end to end — the fourth DML verb as pure SQL text:
       // copy-on-write per-column CASE rewrite over exactly the files
@@ -2921,6 +2956,12 @@ object SparkEntry {
     "q_snapshot_delete" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE NOT (n_chars < 600 AND lang = 'en')
+        |ORDER BY doc_id""".stripMargin,
+    "q_snapshot_optimize_sql" ->
+      """WITH b AS (SELECT max(doc_id) // 4 AS hi_id,
+        |                  max(n_chars) // 4 AS hi_n FROM documents)
+        |SELECT doc_id, lang, n_chars FROM documents, b
+        |WHERE doc_id <= b.hi_id AND n_chars <= b.hi_n
         |ORDER BY doc_id""".stripMargin,
     "q_snapshot_update_sql" ->
       """SELECT doc_id,

@@ -51,8 +51,34 @@ import graft.sources.SnapshotStore
   * `spark.read.table("graft.&#96;/path&#96;")` and
   * `df.writeTo("graft.&#96;/path&#96;").append()` ride the same plumbing.
   */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = "graft"
+
+  /** SQL `CALL` maintenance verbs (Spark 4 DSv2 stored procedures —
+    * the surface Iceberg ships its table maintenance on):
+    * {{{
+    *   CALL graft.optimize('/path/t', 4)                  -- compact to 4 files
+    *   CALL graft.optimize('/path/t', 4, 'x,y')           -- z-ordered rewrite
+    *   CALL graft.vacuum('/path/t', 2)                    -- drop unreferenced files
+    *   CALL graft.restore('/path/t', 3)                   -- roll back as a new commit
+    * }}}
+    * Each returns one summary row; execution is the corresponding
+    * [[SnapshotStore]] metadata-swap operation, so every CALL is one
+    * atomic commit with the usual conflict detection.
+    */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().isEmpty || ident.namespace().sameElements(Array("system")),
+      s"$catalogName procedures live at the catalog root (or `system`): " +
+        s"CALL $catalogName.${ident.name()}(...)")
+    SnapshotProcedures.load(ident.name()).getOrElse(
+      throw new NoSuchTableException(ident)) // closest stock error type
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      SnapshotProcedures.names.map(Identifier.of(Array.empty[String], _)).toArray
+    else Array.empty
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name

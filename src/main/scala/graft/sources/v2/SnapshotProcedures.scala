@@ -1,0 +1,112 @@
+package graft.sources.v2
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.SnapshotStore
+
+/** The [[SnapshotCatalog]] maintenance procedures (SQL `CALL ...`) —
+  * each a thin typed shim over a [[SnapshotStore]] metadata-swap
+  * operation returning one summary row. `isDeterministic = false`
+  * (procedures mutate the table); results surface through a
+  * [[LocalScan]] (driver-built single row, never data-sized).
+  */
+private[v2] object SnapshotProcedures {
+
+  val names: Seq[String] = Seq("optimize", "vacuum", "restore")
+
+  def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
+    case "optimize" => Some(Optimize)
+    case "vacuum" => Some(Vacuum)
+    case "restore" => Some(Restore)
+    case _ => None
+  }
+
+  private def spark = SparkSession.active
+
+  private abstract class Proc(procName: String,
+                              params: Seq[ProcedureParameter],
+                              out: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    protected def run(in: InternalRow): InternalRow
+    override def call(in: InternalRow): JIterator[Scan] = {
+      val row = run(in)
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = out
+      }).iterator()
+    }
+  }
+
+  /** `CALL graft.optimize(table, target_files[, zorder_cols])` —
+    * metadata-swap compaction; a non-empty comma-separated
+    * `zorder_cols` runs the z-ordered rewrite (restores sharp box
+    * pruning, [[SnapshotStore.compactZOrdered]]). */
+  private object Optimize extends Proc("optimize",
+    Seq(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("target_files", IntegerType).build(),
+      ProcedureParameter.in("zorder_cols", StringType).defaultValue("''").build()),
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("files_before", IntegerType, nullable = false),
+      StructField("files_after", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "compact a graft snapshot table (optionally z-ordered) as one commit"
+    override protected def run(in: InternalRow): InternalRow = {
+      val table = in.getUTF8String(0).toString
+      val target = in.getInt(1)
+      val zcols = Option(in.getUTF8String(2)).map(_.toString).getOrElse("")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val before = SnapshotStore.state(spark, table).live.size
+      val v =
+        if (zcols.nonEmpty) SnapshotStore.compactZOrdered(spark, table, target, zcols)
+        else SnapshotStore.compact(spark, table, target)
+      InternalRow(v, before, SnapshotStore.state(spark, table).live.size)
+    }
+  }
+
+  /** `CALL graft.vacuum(table[, retain_versions])` — delete data files
+    * referenced by NO retained version ([[SnapshotStore.vacuum]]'s
+    * version-count retention). */
+  private object Vacuum extends Proc("vacuum",
+    Seq(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("retain_versions", IntegerType).defaultValue("1").build()),
+    StructType(Seq(
+      StructField("deleted_files", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "delete unreferenced data files past the retained version window"
+    override protected def run(in: InternalRow): InternalRow =
+      InternalRow(SnapshotStore.vacuum(spark, in.getUTF8String(0).toString,
+        retainVersions = in.getInt(1), graceMs = 0L))
+  }
+
+  /** `CALL graft.restore(table, version)` — roll back as a NEW commit
+    * (history inspectable, Delta RESTORE semantics). */
+  private object Restore extends Proc("restore",
+    Seq(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", LongType).build()),
+    StructType(Seq(
+      StructField("restored_to", LongType, nullable = false),
+      StructField("new_version", LongType, nullable = false)))) {
+    override def description(): String =
+      "roll the table back to a prior version as a new commit"
+    override protected def run(in: InternalRow): InternalRow = {
+      val target = in.getLong(1)
+      InternalRow(target,
+        SnapshotStore.restore(spark, in.getUTF8String(0).toString, target))
+    }
+  }
+}

@@ -117,6 +117,46 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .as[Long].head === 3L)
   }
 
+  test("CALL procedures: optimize / optimize-zordered / vacuum / restore as SQL") {
+    val t = freshTable("proc")
+    (0 until 6).foreach { i =>
+      SnapshotStore.append(
+        (0 until 64).map(j => (j.toLong, ((j * 37 + i) % 64).toLong)).toDF("x", "y")
+          .coalesce(1), t, statsCols = Seq("x", "y"))
+    }
+    assert(SnapshotStore.state(spark, t).live.size === 6)
+    // OPTIMIZE: metadata-swap compaction, one summary row
+    val opt = spark.sql(s"CALL graft.optimize('$t', 2)").collect().head
+    assert(opt.getAs[Long]("version") === 7L)
+    assert(opt.getAs[Int]("files_before") === 6)
+    assert(opt.getAs[Int]("files_after") <= 2)
+    assert(SnapshotStore.snapshot(spark, t).count() === 6L * 64)
+    // Z-ORDERED optimize: fragmented appends again, then the clustered
+    // rewrite makes a small box prune files
+    (0 until 4).foreach { i =>
+      SnapshotStore.append(
+        (0 until 64).map(j => (j.toLong, ((j * 37 + i) % 64).toLong)).toDF("x", "y")
+          .coalesce(1), t, statsCols = Seq("x", "y"))
+    }
+    spark.sql(s"CALL graft.optimize('$t', 4, 'x,y')")
+    val (kept, total) = SnapshotStore.prunedLiveFiles(spark, t,
+      Map("x" -> (0L, 7L), "y" -> (0L, 7L)))
+    assert(total === 4 && kept.size < total,
+      s"z-ordered CALL optimize must restore box pruning: $kept of $total")
+    // VACUUM: the compacted-away fragments become deletable
+    val deleted = spark.sql(s"CALL graft.vacuum('$t', 1)").collect()
+      .head.getAs[Int]("deleted_files")
+    assert(deleted >= 6, s"pre-compaction fragments must vacuum, got $deleted")
+    // RESTORE is refused the vacuumed past but works for live versions
+    val restored = spark.sql(
+      s"CALL graft.restore('$t', ${SnapshotStore.latestVersion(spark, t)})")
+      .collect().head
+    assert(restored.getAs[Long]("new_version") ===
+      SnapshotStore.latestVersion(spark, t))
+    // unknown procedure: loud
+    intercept[Exception] { spark.sql(s"CALL graft.no_such_proc('$t')") }
+  }
+
   test("writeTo API rides the same catalog plumbing") {
     val t = freshTable("wt")
     SnapshotStore.append(Seq((1L, "a")).toDF("id", "v"), t)

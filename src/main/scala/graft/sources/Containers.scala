@@ -226,11 +226,24 @@ object Containers {
     require(sanitized.distinct.size == topics.size,
       s"topics collide after column-name sanitization: ${topics.mkString(", ")}")
     val defOf = strictDefs(spark, bagDir, topics)
-    val clusterCols = ("topic" +: extraPartitionCols :+ "ts_us").map(col)
-    publishExtractStore(decodeTopics(spark, bagDir, topics, defOf),
-      storeDir, clusterCols,
-      statsCols = Seq("topic", "ts_us", "bag_file") ++ extraPartitionCols,
-      meta = Map("graft.extract.topics" -> topics.sorted.mkString(",")))
+    val statsCols = Seq("topic", "ts_us", "bag_file") ++ extraPartitionCols
+    val meta = Map("graft.extract.topics" -> topics.sorted.mkString(","))
+    val decoded = decodeTopics(spark, bagDir, topics, defOf)
+    indexPlannedPid(spark, bagDir, topics) match {
+      case Some((pid, n)) if extraPartitionCols.isEmpty =>
+        // index-planned direct path: ONE decode pass, ONE shuffle into
+        // the final (topic, ts-band) layout, ONE write — no staging
+        lastExtractIndexPlanned = true
+        overwriteWithRetry(
+          decoded.withColumn("__pid", pid).repartition(n, col("__pid"))
+            .drop("__pid"),
+          storeDir, statsCols, meta)
+        SnapshotStore.snapshot(spark, storeDir)
+      case _ =>
+        lastExtractIndexPlanned = false
+        val clusterCols = ("topic" +: extraPartitionCols :+ "ts_us").map(col)
+        publishExtractStore(decoded, storeDir, clusterCols, statsCols, meta)
+    }
   }
 
   /** One unambiguous message definition per topic across the WHOLE
@@ -276,6 +289,122 @@ object Containers {
   private def extractStorePartitions(spark: SparkSession): Int =
     math.max(2, spark.sessionState.conf.numShufflePartitions)
 
+  // test probe: which clustering path the last typed extraction took
+  @volatile private[graft] var lastExtractIndexPlanned: Boolean = false
+
+  /** INDEX-PLANNED clustering for bag extraction: build the
+    * (topic, ts-band) → output-partition map from chunk-info COUNTS and
+    * WINDOWS — driver-side, O(index), already paid by planning — so the
+    * decode scan shuffles ONCE directly into its final clustered layout:
+    * no staging write, no range-exchange sampling (which would re-decode
+    * every chunk), HALF the write amplification of the stage-then-cluster
+    * fallback. Bands are equal-depth per topic (band count proportional
+    * to the topic's row share), so files stay single-topic with tight
+    * time bands — the same pruning story as the sampled range exchange.
+    *
+    * Placement is EXACT through HASH PREIMAGES: `repartition(n, pid)`
+    * places a row at `pmod(murmur3(pid), n)`, so for each target
+    * partition i we pick the pid VALUE whose hash lands in slot i
+    * (driver-side search over ints — expected n·ln(n) murmur calls) and
+    * the CASE maps each (topic, band) to exactly one partition/file.
+    * Returns None (fallback to [[publishExtractStore]]'s staging) when
+    * any bag lacks chunk counts/windows or carries raw spans.
+    */
+  private def indexPlannedPid(spark: SparkSession, bagDir: String,
+                              topics: Seq[String],
+                              keepBag: String => Boolean = _ => true)
+      : Option[(Column, Int)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val plans = graft.sources.v2.BagScan.readPlans(bagDir, conf)
+      .filter(pb => keepBag(new org.apache.hadoop.fs.Path(pb.file)
+        .getName.stripSuffix(".bag")))
+    if (plans.isEmpty) return None
+    val hist = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+    val complete = plans.forall { pb =>
+      val p = pb.plan
+      p.rawSpans.isEmpty && p.chunkOffsets.forall { off =>
+        (p.chunkTimes.get(off), p.chunkCounts.get(off)) match {
+          case (Some((s, _)), Some(counts)) =>
+            counts.forall { case (conn, n) =>
+              p.conns.get(conn) match {
+                case Some(topic) =>
+                  if (topics.contains(topic) && n > 0)
+                    hist.getOrElseUpdate(topic,
+                      scala.collection.mutable.ArrayBuffer.empty) += ((s, n))
+                  true
+                case None => false
+              }
+            }
+          case _ => false
+        }
+      }
+    }
+    if (!complete) return None
+    val present = topics.filter(hist.contains)
+    if (present.isEmpty) return None
+    val total = math.max(1L, hist.values.flatten.map(_._2).sum)
+    val budget = extractStorePartitions(spark)
+    // band lower bounds per topic: [MinValue, c1, c2, ...] — row j goes
+    // to the band with the greatest bound <= ts
+    val bands: Seq[(String, Long)] = present.flatMap { t =>
+      val chunks = hist(t).sortBy(_._1)
+      val rt = chunks.map(_._2).sum
+      val k = math.max(1, math.round(budget.toDouble * rt / total).toInt)
+      if (k == 1) Seq((t, Long.MinValue))
+      else {
+        val step = rt.toDouble / k
+        val cuts = scala.collection.mutable.ArrayBuffer[Long](Long.MinValue)
+        var cum = 0L
+        var next = step
+        chunks.foreach { case (s, n) =>
+          cum += n
+          while (cum >= next && cuts.size < k) {
+            if (s > cuts.last) cuts += s
+            next += step
+          }
+        }
+        cuts.toSeq.map(lo => (t, lo))
+      }
+    }
+    val n = bands.size
+    val pids = hashPreimages(n)
+    // one CASE per (topic, band), descending bounds so first-match picks
+    // the right band; rows of non-listed topics can't occur (decode is
+    // topic-IN-filtered) but default to slot 0 defensively
+    val expr = bands.zipWithIndex
+      .groupBy(_._1._1).toSeq
+      .foldLeft(Option.empty[Column]) { case (acc, (t, tb)) =>
+        val inner = tb.sortBy(-_._1._2).foldLeft(Option.empty[Column]) {
+          case (iacc, ((_, lo), i)) =>
+            val cond =
+              if (lo == Long.MinValue) lit(true)
+              else col("ts_us") >= lit(lo)
+            Some(iacc.fold(when(cond, lit(pids(i))))(_.when(cond, lit(pids(i)))))
+        }.get
+        Some(acc.fold(when(col("topic") === t, inner))(
+          _.when(col("topic") === t, inner)))
+      }.get.otherwise(lit(pids(0)))
+    Some((expr, n))
+  }
+
+  /** For each slot i in [0, n): an int whose Spark HashPartitioning
+    * placement (`pmod(murmur3(v), n)`) is exactly i. */
+  private def hashPreimages(n: Int): Array[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, Murmur3Hash, Pmod}
+    val out = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var remaining = n
+    var v = 0
+    while (remaining > 0) {
+      val slot = Pmod(new Murmur3Hash(Seq(CLit(v))), CLit(n)).eval(null)
+        .asInstanceOf[Int]
+      if (!found(slot)) { found(slot) = true; out(slot) = v; remaining -= 1 }
+      v += 1
+    }
+    out
+  }
+
   /** Stage → cluster → publish: the transactional tail every extraction
     * store shares.
     *
@@ -316,21 +445,29 @@ object Containers {
       val clustered = staged
         .repartitionByRange(extractStorePartitions(spark), clusterCols: _*)
         .drop(salts: _*)
-      var attempt = 0
-      var committed = false
-      while (!committed) {
-        attempt += 1
-        try {
-          SnapshotStore.overwrite(clustered, storeDir,
-            statsCols = statsCols, meta = meta)
-          committed = true
-        } catch {
-          case _: java.util.ConcurrentModificationException if attempt < 5 =>
-            () // a racing extraction won this version — republish on top
-        }
-      }
+      overwriteWithRetry(clustered, storeDir, statsCols, meta)
     } finally cleanup()
     SnapshotStore.snapshot(spark, storeDir)
+  }
+
+  /** Overwrite, retrying version-conflict races: a racing extraction won
+    * that version — republish on top (both are complete states, last
+    * writer wins: the reference pipeline's idempotent batch publish).
+    */
+  private def overwriteWithRetry(df: DataFrame, storeDir: String,
+                                 statsCols: Seq[String],
+                                 meta: Map[String, String]): Unit = {
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      try {
+        SnapshotStore.overwrite(df, storeDir, statsCols = statsCols, meta = meta)
+        committed = true
+      } catch {
+        case _: java.util.ConcurrentModificationException if attempt < 5 => ()
+      }
+    }
   }
 
   /** Land `df` ONCE as uncommitted parquet under
@@ -417,10 +554,7 @@ object Containers {
           case None => true // no stats: may hold them — keep conservative
         }
       }.map(_.path)
-    val (staged, cleanup) = stageOnce(spark, storeDir, newRows)
-    try {
-      val clustered = staged.repartitionByRange(
-        extractStorePartitions(spark), col("topic"), col("ts_us"))
+    def commitDelta(clustered: DataFrame): Unit = {
       val rewrite =
         if (touched.isEmpty) clustered
         else SnapshotStore.readFiles(spark, storeDir, touched)
@@ -429,7 +563,22 @@ object Containers {
       SnapshotStore.commitRewrite(spark, storeDir, rewrite,
         removes = touched, op = "extract",
         statsCols = Seq("topic", "ts_us", "bag_file"))
-    } finally cleanup()
+      ()
+    }
+    indexPlannedPid(spark, bagDir, topics,
+        keepBag = changedNames.toSet.contains) match {
+      case Some((pid, n)) =>
+        // index-planned delta: bands from the CHANGED bags' indexes only
+        lastExtractIndexPlanned = true
+        commitDelta(newRows.withColumn("__pid", pid)
+          .repartition(n, col("__pid")).drop("__pid"))
+      case None =>
+        lastExtractIndexPlanned = false
+        val (staged, cleanup) = stageOnce(spark, storeDir, newRows)
+        try commitDelta(staged.repartitionByRange(
+          extractStorePartitions(spark), col("topic"), col("ts_us")))
+        finally cleanup()
+    }
     writeExtractState(spark, storeDir, live, conf)
     SnapshotStore.snapshot(spark, storeDir)
   }

@@ -378,6 +378,11 @@ class BagDataSourceSpec extends SparkSpec {
     assert(BagChunkIO.readCalls.get() === 7,
       s"one scan for BOTH topics must read each of the 7 chunks exactly " +
         s"once, read ${BagChunkIO.readCalls.get()} times")
+    // the single pass is the INDEX-PLANNED direct path: bands from
+    // chunk-info counts/windows, exact hash-preimage placement, no
+    // staging write at all
+    assert(Containers.lastExtractIndexPlanned,
+      "indexed bags must take the index-planned clustering path")
 
     val gps = Containers.readTypedStore(spark, store, "gps")
     assert(gps.columns.toSeq === Seq("bag_file", "ts_us", "lat", "lng"))
@@ -438,6 +443,8 @@ class BagDataSourceSpec extends SparkSpec {
     Containers.typedExtractIncremental(spark, dir, store, Seq("m"))
     assert(BagChunkIO.readCalls.get() === 2,
       s"only the new bag's 2 chunks decode, read ${BagChunkIO.readCalls.get()}")
+    assert(Containers.lastExtractIndexPlanned,
+      "the incremental delta takes the index-planned path too")
     assert(stored(store) === (0L until 12L))
     assert(filesV1.subsetOf(SnapshotStore.state(spark, store).live.map(_.path).toSet),
       "append-only delta: the prior extraction's files survive by path")

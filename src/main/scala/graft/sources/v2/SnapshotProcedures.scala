@@ -19,12 +19,13 @@ import graft.sources.SnapshotStore
   */
 private[v2] object SnapshotProcedures {
 
-  val names: Seq[String] = Seq("optimize", "vacuum", "restore")
+  val names: Seq[String] = Seq("optimize", "vacuum", "restore", "extract")
 
   def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
     case "optimize" => Some(Optimize)
     case "vacuum" => Some(Vacuum)
     case "restore" => Some(Restore)
+    case "extract" => Some(Extract)
     case _ => None
   }
 
@@ -90,6 +91,35 @@ private[v2] object SnapshotProcedures {
     override protected def run(in: InternalRow): InternalRow =
       InternalRow(SnapshotStore.vacuum(spark, in.getUTF8String(0).toString,
         retainVersions = in.getInt(1), graceMs = 0L))
+  }
+
+  /** `CALL graft.extract(bag_dir, store_dir, topics_csv)` — the
+    * reference's whole extraction pipeline as ONE SQL statement:
+    * incremental typed extraction (only new/changed bags decode,
+    * [[graft.sources.Containers.typedExtractIncremental]]) publishing
+    * through the transactional store. Re-CALL after every ingest wave;
+    * an unchanged lake is a no-op. */
+  private object Extract extends Proc("extract",
+    Seq(
+      ProcedureParameter.in("bag_dir", StringType).build(),
+      ProcedureParameter.in("store_dir", StringType).build(),
+      ProcedureParameter.in("topics", StringType).build()),
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("op", StringType, nullable = false),
+      StructField("store_rows", LongType, nullable = false)))) {
+    override def description(): String =
+      "incrementally extract bag topics into a transactional typed store"
+    override protected def run(in: InternalRow): InternalRow = {
+      val bagDir = in.getUTF8String(0).toString
+      val storeDir = in.getUTF8String(1).toString
+      val topics = in.getUTF8String(2).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val out = graft.sources.Containers
+        .typedExtractIncremental(spark, bagDir, storeDir, topics)
+      val (v, op, _) = SnapshotStore.history(spark, storeDir).head
+      InternalRow(v, UTF8String.fromString(op), out.count())
+    }
   }
 
   /** `CALL graft.restore(table, version)` — roll back as a NEW commit

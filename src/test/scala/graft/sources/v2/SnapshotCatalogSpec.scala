@@ -157,6 +157,33 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     intercept[Exception] { spark.sql(s"CALL graft.no_such_proc('$t')") }
   }
 
+  test("CALL graft.extract runs the incremental extraction pipeline from SQL") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.file.{Files, Paths}
+    graft.plans.GraftExtensions.register(spark)
+    val defn = "uint32 a\n"
+    val dir = Files.createTempDirectory("graft-callext").toString
+    def land(name: String, vals: Range): Unit = {
+      def p(i: Int): Array[Byte] = {
+        val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(i); bb.array()
+      }
+      Files.write(Paths.get(dir, s"$name.bag"),
+        graft.plans.BagCodec.pack(vals.map(i => ("m", 1000L + i, p(i))),
+          "none", messagesPerChunk = 2, typeInfo = Some(("m/M", defn))))
+    }
+    land("c1", 0 until 4)
+    val store = Files.createTempDirectory("graft-callext-store").toString
+    val r1 = spark.sql(s"CALL graft.extract('$dir', '$store', 'm')").collect().head
+    assert(r1.getAs[Long]("store_rows") === 4L)
+    land("c2", 4 until 8)
+    val r2 = spark.sql(s"CALL graft.extract('$dir', '$store', 'm')").collect().head
+    assert(r2.getAs[String]("op") === "extract" &&
+      r2.getAs[Long]("store_rows") === 8L)
+    assert(graft.sources.Containers.readTypedStore(spark, store, "m")
+      .select("a").as[Long].collect().sorted.toSeq === (0L until 8L))
+  }
+
   test("writeTo API rides the same catalog plumbing") {
     val t = freshTable("wt")
     SnapshotStore.append(Seq((1L, "a")).toDF("id", "v"), t)

@@ -163,6 +163,56 @@ class SnapshotStreamSourceSpec extends SparkSpec {
       (1L, "delete", 2L), (2L, "delete", 2L), (2L, "insert", 2L)))
   }
 
+  test("readChangeFeed drives a downstream MIRROR table through arbitrary rewrites") {
+    val src = fresh("cdfmirror")
+    val dst = fresh("cdfmirror-dst")
+    SnapshotStore.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1),
+      src, statsCols = Seq("id"))
+    // the downstream-sync loop: apply each version's deletes then
+    // inserts, in _commit_version order — sound across upserts,
+    // deletes, AND compactions (which emit nothing)
+    val q = spark.readStream.format(fmt).option("readChangeFeed", "true")
+      .load(src)
+      .writeStream.option("checkpointLocation",
+        src.stripPrefix("file:") + "/_mirror_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark2 = batch.sparkSession
+        import org.apache.spark.sql.functions.col
+        val versions = batch.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).sorted
+        versions.foreach { ver =>
+          val b = batch.filter(col("_commit_version") === ver)
+          val delIds = b.filter(col("_change_type") === "delete")
+            .select("id").collect().map(_.getLong(0)).toSeq
+          if (delIds.nonEmpty && SnapshotStore.latestVersion(spark2, dst) > 0L)
+            SnapshotStore.delete(spark2, dst, col("id").isin(delIds: _*))
+          val ins = b.filter(col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version")
+          if (!ins.isEmpty) SnapshotStore.append(ins, dst, statsCols = Seq("id"))
+        }
+        ()
+      }.start()
+    def mirrorEqualsSource(): Unit = {
+      q.processAllAvailable()
+      val s = SnapshotStore.snapshot(spark, src)
+        .as[(Long, String)].collect().sorted.toSeq
+      val d = SnapshotStore.snapshot(spark, dst)
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(d === s, s"mirror drifted: src=$s dst=$d")
+    }
+    try {
+      mirrorEqualsSource()                                    // initial load
+      SnapshotStore.upsert(Seq((2L, "B"), (3L, "c")).toDF("id", "v"), src,
+        keyCols = Seq("id"))
+      mirrorEqualsSource()                                    // update + insert
+      SnapshotStore.compact(spark, src, targetFiles = 1)
+      q.processAllAvailable()                                 // no-op for the mirror
+      SnapshotStore.delete(spark, src,
+        org.apache.spark.sql.functions.col("id") === 1L)
+      mirrorEqualsSource()                                    // delete
+    } finally q.stop()
+  }
+
   test("readChangeFeed + skipRewrites is refused") {
     val t = fresh("cdfexcl")
     SnapshotStore.append(Seq((1L, "a")).toDF("id", "v"), t)

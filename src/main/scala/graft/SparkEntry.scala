@@ -1440,8 +1440,12 @@ object SparkEntry {
       // box read returns exactly the oracle's selection
       s.conf.set("spark.sql.catalog.graft",
         classOf[graft.sources.v2.SnapshotCatalog].getName)
+      // explicit int64: scaled-up corpora have shipped these as int32,
+      // where parquet footer stats are not harvested into the log and
+      // the box-pruning require below would go blind
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
       val t = "file:" + java.nio.file.Files
         .createTempDirectory("graft-snapopt").toString + "/docs"
       val store = graft.sources.SnapshotStore

@@ -721,9 +721,12 @@ object Containers {
     * answered from the extracted store with zero bag reads.
     */
   def readTypedStore(spark: SparkSession, storeDir: String,
-                     topic: String): DataFrame = {
+                     topic: String, asOf: Option[Long] = None): DataFrame = {
     val c = typedColName(topic)
-    val df = SnapshotStore.readPoints(spark, storeDir, "topic", Seq(topic))
+    // extraction stores are FULL snapshot tables: `asOf` time-travels to
+    // any prior extraction wave (e.g. the store as of the bootstrap,
+    // before an incremental delta landed) — same log-resolved read
+    val df = SnapshotStore.readPoints(spark, storeDir, "topic", Seq(topic), asOf)
     require(df.schema.fieldNames.contains(c),
       s"store $storeDir has no typed column for topic '$topic' " +
         s"(expected $c; present: ${df.schema.fieldNames.mkString(", ")})")

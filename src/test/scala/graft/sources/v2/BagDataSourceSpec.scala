@@ -465,6 +465,12 @@ class BagDataSourceSpec extends SparkSpec {
     Files.delete(Paths.get(dir, "w2.bag"))
     Containers.typedExtractIncremental(spark, dir, store, Seq("m"))
     assert(stored(store) === ((0L until 4L) ++ (20L until 24L)))
+
+    // TIME TRAVEL: the store is a full snapshot table — the bootstrap
+    // version still reads exactly the first extraction's rows
+    assert(Containers.readTypedStore(spark, store, "m", asOf = Some(1L))
+      .select("a").as[Long].collect().sorted.toSeq === (0L until 8L),
+      "version 1 is the bootstrap extraction, unchanged by later waves")
   }
 
   test("typed extraction store is transactional: torn or concurrent extractions never visible") {

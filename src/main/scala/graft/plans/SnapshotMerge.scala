@@ -161,6 +161,7 @@ object SnapshotMerge {
                     assignments: Seq[Assignment],
                     condition: Option[Expression]): Long = {
     import org.apache.spark.sql.functions.col
+    requireTopLevelKeys(assignments, "UPDATE")
     val snap = SnapshotStore.state(spark, path)
     if (snap.live.isEmpty) return snap.version
     val all = SnapshotStore.readFiles(spark, path, snap.live.map(_.path))
@@ -207,17 +208,19 @@ object SnapshotMerge {
               matched: Seq[MergeAction], notMatched: Seq[MergeAction],
               notMatchedBySource: Seq[MergeAction]): Long = {
     matched.foreach {
-      case _: UpdateAction | _: DeleteAction => ()
+      case u: UpdateAction => requireTopLevelKeys(u.assignments, "MERGE")
+      case _: DeleteAction => ()
       case other => throw new UnsupportedOperationException(
         s"graft MERGE: unsupported WHEN MATCHED action: $other")
     }
     notMatched.foreach {
-      case _: InsertAction => ()
+      case i: InsertAction => requireTopLevelKeys(i.assignments, "MERGE")
       case other => throw new UnsupportedOperationException(
         s"graft MERGE: unsupported WHEN NOT MATCHED action: $other")
     }
     notMatchedBySource.foreach {
-      case _: UpdateAction | _: DeleteAction => ()
+      case u: UpdateAction => requireTopLevelKeys(u.assignments, "MERGE")
+      case _: DeleteAction => ()
       case other => throw new UnsupportedOperationException(
         s"graft MERGE: unsupported WHEN NOT MATCHED BY SOURCE action: $other")
     }
@@ -375,6 +378,18 @@ object SnapshotMerge {
       case Assignment(k: AttributeReference, v)
           if k.exprId == orig.exprId || k.name.equalsIgnoreCase(orig.name) => rw(v)
     }
+
+  /** Only TOP-LEVEL column assignment keys are supported — a nested key
+    * (`SET a.b = ...`) would otherwise silently fall through the
+    * by-name alignment and drop the assignment. Fail loudly instead. */
+  private def requireTopLevelKeys(assignments: Seq[Assignment],
+                                  verb: String): Unit =
+    assignments.foreach(_.key match {
+      case _: AttributeReference => ()
+      case other => throw new UnsupportedOperationException(
+        s"graft $verb: only top-level column assignments are supported " +
+          s"(got key $other) — rewrite the struct column whole")
+    })
 
   private def castTo(e: Expression, dt: org.apache.spark.sql.types.DataType,
                      spark: SparkSession): Expression =

@@ -76,8 +76,12 @@ object RewriteSnapshotMerge extends Rule[LogicalPlan] {
       val (path, asOf) = snapshotTarget(m.targetTable).get
       if (asOf.isDefined) throw new UnsupportedOperationException(
         "graft MERGE: cannot merge into a VERSION/TIMESTAMP AS OF read")
-      if (m.withSchemaEvolution) throw new UnsupportedOperationException(
-        "graft MERGE: WITH SCHEMA EVOLUTION is not supported")
+      // WITH SCHEMA EVOLUTION needs no special handling HERE: Spark's
+      // analyzer already applied the source's new columns through the
+      // catalog's ALTER TABLE (a metadata-only schema commit) and
+      // reloaded the target relation, so targetOutput below is the
+      // evolved schema and old files null-fill through the recorded-
+      // schema read
       MergeSnapshotCommand(path, m.sourceTable, unwrap(m.targetTable).output,
         m.mergeCondition, m.matchedActions, m.notMatchedActions,
         m.notMatchedBySourceActions)

@@ -777,6 +777,36 @@ object SnapshotStore {
     statless.map(_.path) ++ touchedRanged
   }
 
+  /** Record a WIDENED table schema as a metadata-only commit (zero
+    * adds/removes) — the commit-log form of `ALTER TABLE ADD COLUMN`:
+    * readers pin the latest recorded schema, so every existing file
+    * null-fills the new columns immediately, exactly like a
+    * `mergeSchema` append's widening but without any data write. Only
+    * widening is legal: existing columns must keep their exact types
+    * (a drift is corruption, not evolution — same rule as appends).
+    */
+  private[graft] def commitSchema(spark: SparkSession, table: String,
+                                  widened: org.apache.spark.sql.types.StructType): Long = {
+    val current = schemaOf(state(spark, table).meta).getOrElse(
+      throw new IllegalStateException(
+        s"$table records no schema (pre-schema-tracking table) — append " +
+          "once with the current layout before altering"))
+    val cur = current.map(f => f.name -> f).toMap
+    widened.foreach { f =>
+      cur.get(f.name).foreach { c =>
+        require(c.dataType == f.dataType,
+          s"alter $table: column ${f.name} is ${c.dataType.simpleString} " +
+            s"but the new schema says ${f.dataType.simpleString} — type " +
+            "changes are not supported")
+      }
+    }
+    require(current.forall(f => widened.fieldNames.contains(f.name)),
+      s"alter $table: dropping columns is not supported")
+    commit(spark, table, adds = Nil, removes = Nil,
+      meta = Map("op" -> "alter_schema", "schema" -> widened.json),
+      mustBeLive = Nil)
+  }
+
   /** Columns ANY live file carries harvested stats for — row-level
     * rewrites (DELETE/UPDATE/MERGE) re-harvest these on their staged
     * files, so a rewrite never silently degrades the pruning the

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate,
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.SnapshotStore
@@ -144,9 +144,40 @@ class SnapshotCatalog extends TableCatalog
     new SnapshotCatalogTable(path, asOf = None, declaredSchema = Some(schema))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName: ALTER TABLE is not supported (schema follows the data)")
+  /** `ALTER TABLE ... ADD COLUMN(S)` — a METADATA-ONLY commit recording
+    * the widened schema; every reader then null-fills the new columns
+    * on old files (the same widening a `mergeSchema` append performs,
+    * without touching data). Only top-level nullable adds without
+    * defaults are supported; anything else (type changes, drops,
+    * renames, positions) is refused loudly — schema follows the data.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (SnapshotStore.latestVersion(spark, path) == 0L)
+      throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"$catalogName: only top-level ADD COLUMN is supported, " +
+            s"got ${a.fieldNames().mkString(".")}")
+        require(a.isNullable,
+          s"$catalogName: added columns must be nullable (old rows null-fill)")
+        require(a.defaultValue() == null,
+          s"$catalogName: DEFAULT values are not supported on added columns")
+        StructField(a.fieldNames().head, a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"$catalogName: unsupported ALTER TABLE change $other — only " +
+          "ADD COLUMN(S) is supported (schema follows the data)")
+    }
+    val current = SnapshotStore.tableSchema(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"$path records no schema — append once before altering"))
+    adds.foreach(f => require(!current.fieldNames.contains(f.name),
+      s"$catalogName: column ${f.name} already exists"))
+    SnapshotStore.commitSchema(spark, path,
+      StructType(current.fields ++ adds))
+    new SnapshotCatalogTable(path, asOf = None, declaredSchema = None)
+  }
 
   /** DROP TABLE deletes the log and data directories — the physical
     * twin of the logical protocol. Returns false when nothing existed.
@@ -230,7 +261,11 @@ private[graft] class SnapshotCatalogTable(path: String, asOf: Option[Long],
   override def capabilities(): util.Set[TableCapability] =
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      // MERGE WITH SCHEMA EVOLUTION: the analyzer widens the table
+      // through alterTable (a metadata-only schema commit) and reloads
+      // the relation before the merge rewrite fires
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   // same wrapper as SnapshotReadTable: SQL-catalog reads get the
   // log-answered aggregates and runtime file pruning too

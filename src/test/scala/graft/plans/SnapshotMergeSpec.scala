@@ -130,6 +130,30 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(out === Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L), (7L, 9L)))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: the source's new column widens the table") {
+    useCatalog()
+    val t = freshTable("graft-merge-evo")
+    SnapshotStore.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "n"), t,
+      statsCols = Seq("id"))
+    Seq((2L, 200L, "fresh"), (3L, 300L, "new")).toDF("id", "n", "extra")
+      .createOrReplaceTempView("mevo_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$t` t USING mevo_src s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val out = SnapshotStore.snapshot(spark, t)
+      .select("id", "n", "extra")
+      .as[(Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 10L, None), (2L, 200L, Some("fresh")),
+      (3L, 300L, Some("new"))),
+      "evolved column: matched/inserted rows carry it, untouched rows null-fill")
+    // history shows the evolution as its own metadata commit before the merge
+    val ops = SnapshotStore.history(spark, t).map(_._2)
+    assert(ops.contains("alter_schema") && ops.head === "merge", s"ops=$ops")
+  }
+
   test("UPDATE: conditional assignment rewrites only the files holding matches") {
     useCatalog()
     val t = freshTable("graft-update")

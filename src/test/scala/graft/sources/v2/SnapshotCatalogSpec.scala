@@ -117,6 +117,36 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .as[Long].head === 3L)
   }
 
+  test("ALTER TABLE ADD COLUMNS: metadata-only widening, old rows null-fill") {
+    val t = freshTable("alter")
+    SnapshotStore.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    val filesBefore = SnapshotStore.state(spark, t).live.map(_.path).toSet
+    spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (score BIGINT, tag STRING)")
+    // metadata-only: ONE new commit, ZERO data movement
+    assert(SnapshotStore.latestVersion(spark, t) === 2L)
+    assert(SnapshotStore.state(spark, t).live.map(_.path).toSet === filesBefore)
+    assert(SnapshotStore.history(spark, t).head._2 === "alter_schema")
+    // old rows read the new columns as null
+    val rows = spark.sql(s"SELECT id, v, score, tag FROM graft.`$t` ORDER BY id")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+    // inserts with the widened layout land normally
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (3, 'c', 30, 'x')")
+    assert(spark.sql(s"SELECT score FROM graft.`$t` WHERE id = 3")
+      .as[Long].head() === 30L)
+    // time travel still sees the era's schema (v1: two columns)
+    assert(spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 1").columns.toSeq
+      === Seq("id", "v"))
+    // duplicates, drops, and type changes are refused
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (id BIGINT)") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` DROP COLUMN tag") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ALTER COLUMN score TYPE INT") }
+  }
+
   test("CALL procedures: optimize / optimize-zordered / vacuum / restore as SQL") {
     val t = freshTable("proc")
     (0 until 6).foreach { i =>

@@ -1430,6 +1430,35 @@ object SparkEntry {
       s.sql(s"DELETE FROM graft.`$t` WHERE n_chars < 600 AND lang = 'en'")
       graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
     }),
+    "q_snapshot_evolve_sql" -> ((s, d) => {
+      // SCHEMA EVOLUTION as pure SQL text: a narrow era (doc_id, lang),
+      // then ALTER TABLE ADD COLUMNS widens the recorded schema as a
+      // METADATA-ONLY commit (zero data movement — require'd on the
+      // live-file set), and an INSERT with the new column lands
+      // normally; the final read null-fills the old era. Time travel
+      // still sees the narrow era (require'd), the oracle predicts the
+      // widened table from documents.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.createOrReplaceTempView("snapshot_evolve_src")
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapevo").toString + "/docs"
+      graft.sources.SnapshotStore.append(
+        docs.filter(col("doc_id") % 10 < 8).select(col("doc_id"), col("lang")),
+        t, statsCols = Seq("doc_id"))
+      val before = graft.sources.SnapshotStore.state(s, t).live.map(_.path).toSet
+      s.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (n_chars BIGINT)")
+      require(graft.sources.SnapshotStore.state(s, t).live.map(_.path).toSet
+        == before, "ALTER ADD COLUMNS must move zero data")
+      s.sql(s"INSERT INTO graft.`$t` SELECT doc_id, lang, n_chars " +
+        "FROM snapshot_evolve_src WHERE doc_id % 10 >= 8")
+      require(s.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 1")
+        .columns.toSeq == Seq("doc_id", "lang"),
+        "time travel must see the narrow era's schema")
+      graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
+    }),
     "q_snapshot_optimize_sql" -> ((s, d) => {
       // SQL `CALL` table maintenance (Spark 4 DSv2 stored procedures —
       // the surface Iceberg ships OPTIMIZE on): four interleaved
@@ -2961,6 +2990,10 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE NOT (n_chars < 600 AND lang = 'en')
         |ORDER BY doc_id""".stripMargin,
+    "q_snapshot_evolve_sql" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 10 >= 8 THEN n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_snapshot_optimize_sql" ->
       """WITH b AS (SELECT max(doc_id) // 4 AS hi_id,
         |                  max(n_chars) // 4 AS hi_n FROM documents)

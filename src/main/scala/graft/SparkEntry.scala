@@ -1430,6 +1430,27 @@ object SparkEntry {
       s.sql(s"DELETE FROM graft.`$t` WHERE n_chars < 600 AND lang = 'en'")
       graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
     }),
+    "q_snapshot_replace_sql" -> ((s, d) => {
+      // INSERT INTO ... REPLACE WHERE — the lakehouse partition-
+      // overwrite idiom as pure SQL text (Delta's replaceWhere): an
+      // idempotent "daily re-load" replaces exactly its own slice
+      // (lang = 'en' docs get re-landed with boosted n_chars) in ONE
+      // commit; untouched files survive by path (delete's touched-file
+      // discovery), kept rows of touched files carry over, and the
+      // oracle re-derives the final table with a CASE projection.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.createOrReplaceTempView("snapshot_replace_src")
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snaprepl").toString + "/docs"
+      graft.sources.SnapshotStore.append(docs, t, statsCols = Seq("doc_id"))
+      s.sql(s"INSERT INTO graft.`$t` REPLACE WHERE lang = 'en' " +
+        "SELECT doc_id, lang, n_chars + 5000 AS n_chars " +
+        "FROM snapshot_replace_src WHERE lang = 'en'")
+      graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
+    }),
     "q_snapshot_evolve_sql" -> ((s, d) => {
       // SCHEMA EVOLUTION as pure SQL text: a narrow era (doc_id, lang),
       // then ALTER TABLE ADD COLUMNS widens the recorded schema as a
@@ -2990,6 +3011,10 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE NOT (n_chars < 600 AND lang = 'en')
         |ORDER BY doc_id""".stripMargin,
+    "q_snapshot_replace_sql" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN lang = 'en' THEN n_chars + 5000 ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_snapshot_evolve_sql" ->
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id % 10 >= 8 THEN n_chars END AS n_chars

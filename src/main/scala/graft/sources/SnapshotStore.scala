@@ -888,6 +888,47 @@ object SnapshotStore {
       meta = Map("op" -> "delete"), mustBeLive = touchedPaths)
   }
 
+  /** REPLACE WHERE: atomically swap the rows matching `condition` for
+    * `data` — the lakehouse partition-overwrite idiom (an idempotent
+    * daily re-load replaces exactly its own slice), Delta's
+    * `replaceWhere` and SQL `INSERT INTO ... REPLACE WHERE`. Same
+    * touched-file shape as [[delete]]: one predicate-pushdown scan finds
+    * the files holding matches, untouched files survive BY PATH, kept
+    * rows of touched files carry over, and ONE commit (`op =
+    * replace_where`, `mustBeLive`-re-validated) lands carried + new rows
+    * together — a reader never sees the slice missing. The new data is
+    * NOT validated against the condition (Delta's default behavior;
+    * callers wanting the constraint filter their input).
+    */
+  def replaceWhere(data: DataFrame, table: String, condition: Column,
+                   statsCols: Seq[String] = Nil): Long = {
+    val spark = data.sparkSession
+    if (latestVersion(spark, table) == 0L)
+      return append(data, table, statsCols)
+    val snap = state(spark, table)
+    val all = readWithSchema(spark, snap.meta, snap.live.map(_.path))
+    val analyzedCond = all.filter(condition).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    require(analyzedCond.forall(_.deterministic),
+      s"replaceWhere condition must be deterministic (it evaluates in two " +
+        s"scans): $condition")
+    val touched = all.filter(condition)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSeq
+      .map(p => new Path(p))
+    val touchedPaths = snap.live.map(_.path)
+      .filter(p => touched.exists(t => t.getName == new Path(p).getName))
+    val kept =
+      if (touchedPaths.isEmpty) None
+      else Some(readWithSchema(spark, snap.meta, touchedPaths)
+        .filter(!condition.<=>(lit(true))))
+    val rewrite = kept.fold(data)(_.unionByName(data))
+    val harvest = if (statsCols.nonEmpty) statsCols else statedCols(snap.live)
+    commitRewrite(spark, table, rewrite,
+      removes = touchedPaths, op = "replace_where", statsCols = harvest)
+  }
+
   /** Row-level change feed: every row added or removed in versions
     * (sinceVersion, target], tagged `_change_type` ('insert'/'delete')
     * and `_commit_version` — sound across ALL ops, closing the gap

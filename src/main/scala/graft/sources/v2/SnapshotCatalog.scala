@@ -262,6 +262,7 @@ private[graft] class SnapshotCatalogTable(path: String, asOf: Option[Long],
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, // INSERT ... REPLACE WHERE
       // MERGE WITH SCHEMA EVOLUTION: the analyzer widens the table
       // through alterTable (a metadata-only schema commit) and reloads
       // the relation before the merge rewrite fires
@@ -278,15 +279,36 @@ private[graft] class SnapshotCatalogTable(path: String, asOf: Option[Long],
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwriteAll = false
+      private var replaceCond: Option[org.apache.spark.sql.Column] = None
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      /** `INSERT INTO ... REPLACE WHERE cond` — Spark hands the
+        * condition as v1 Filters; an untranslatable predicate fails
+        * loudly (exact semantics or nothing, like DELETE). An
+        * always-true condition is a plain overwrite. */
+      override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        if (filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue))
+          overwriteAll = true
+        else replaceCond = Some(filters.map(f =>
+            SnapshotCatalogTable.filterToColumn(f).getOrElse(
+              throw new UnsupportedOperationException(
+                s"graft: cannot translate REPLACE WHERE predicate $f")))
+          .reduce(_ && _))
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              if (overwriteAll || overwrite) SnapshotStore.overwrite(data, path)
-              else SnapshotStore.append(data, path)
+              replaceCond match {
+                case Some(cond) if !overwriteAll =>
+                  SnapshotStore.replaceWhere(data, path, cond)
+                case _ =>
+                  if (overwriteAll || overwrite) SnapshotStore.overwrite(data, path)
+                  else SnapshotStore.append(data, path)
+              }
               ()
             }
           }

@@ -117,6 +117,30 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .as[Long].head === 3L)
   }
 
+  test("INSERT INTO ... REPLACE WHERE swaps exactly the matching slice in one commit") {
+    val t = freshTable("replace")
+    SnapshotStore.append((1L to 5L).map(i => (i, "day1")).toDF("id", "day")
+      .coalesce(1), t, statsCols = Seq("id"))
+    SnapshotStore.append((6L to 9L).map(i => (i, "day2")).toDF("id", "day")
+      .coalesce(1), t, statsCols = Seq("id"))
+    val before = SnapshotStore.state(spark, t).live.map(_.path).toSet
+    // idempotent re-load of day2: replace the slice, leave day1 alone
+    spark.sql(s"INSERT INTO graft.`$t` REPLACE WHERE day = 'day2' " +
+      "SELECT id, 'day2' AS day FROM range(6, 12)")
+    val after = SnapshotStore.state(spark, t)
+    assert((before & after.live.map(_.path).toSet).size === 1,
+      "the day1 file must survive by path")
+    assert(after.live.forall(_.stats.contains("id")),
+      "replace re-harvests the table's tracked stats")
+    val rows = SnapshotStore.snapshot(spark, t)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows === ((1L to 5L).map((_, "day1")) ++ (6L to 11L).map((_, "day2"))))
+    assert(SnapshotStore.history(spark, t).head._2 === "replace_where")
+    // one commit: a reader at any version sees day2 whole or replaced,
+    // never missing
+    assert(SnapshotStore.latestVersion(spark, t) === 3L)
+  }
+
   test("ALTER TABLE ADD COLUMNS: metadata-only widening, old rows null-fill") {
     val t = freshTable("alter")
     SnapshotStore.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)

@@ -521,7 +521,8 @@ object Containers {
     */
   def typedExtractIncremental(spark: SparkSession, bagDir: String,
                               storeDir: String,
-                              topics: Seq[String]): DataFrame = {
+                              topics: Seq[String],
+                              maintain: Option[(Int, Int)] = None): DataFrame = {
     require(topics.nonEmpty, "typedExtractIncremental needs at least one topic")
     val conf = spark.sessionState.newHadoopConf()
     val live = graft.sources.v2.BagScan.listFileStatuses(bagDir, conf).toSeq
@@ -580,6 +581,16 @@ object Containers {
         finally cleanup()
     }
     writeExtractState(spark, storeDir, live, conf)
+    // size-triggered maintenance: nightly deltas append files forever,
+    // so `maintain = Some((maxLiveFiles, targetFiles))` compacts once
+    // the budget is exceeded (stats re-harvested; no-op within budget;
+    // losing an optimistic-maintenance race to a concurrent writer is
+    // the normal outcome — retried next wave)
+    maintain.foreach { case (maxLive, target) =>
+      try SnapshotStore.maintain(spark, storeDir, maxLive, target,
+        statsCols = Seq("topic", "ts_us", "bag_file"))
+      catch { case _: java.util.ConcurrentModificationException => () }
+    }
     SnapshotStore.snapshot(spark, storeDir)
   }
 

@@ -471,6 +471,18 @@ class BagDataSourceSpec extends SparkSpec {
     assert(Containers.readTypedStore(spark, store, "m", asOf = Some(1L))
       .select("a").as[Long].collect().sorted.toSeq === (0L until 8L),
       "version 1 is the bootstrap extraction, unchanged by later waves")
+
+    // MAINTENANCE trigger: many more waves with maintain on — the live
+    // file count stays bounded while contents stay exact
+    (0 until 4).foreach { w =>
+      land(s"wave$w", (100 + w * 4) until (100 + w * 4 + 4))
+      Containers.typedExtractIncremental(spark, dir, store, Seq("m"),
+        maintain = Some((6, 2)))
+    }
+    assert(graft.sources.SnapshotStore.state(spark, store).live.size <= 6,
+      "size-triggered maintenance must bound the delta-file accumulation")
+    assert(stored(store) === ((0L until 4L) ++ (20L until 24L) ++
+      (100L until 116L)))
   }
 
   test("typed extraction store is transactional: torn or concurrent extractions never visible") {

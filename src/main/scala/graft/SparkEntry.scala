@@ -1024,15 +1024,16 @@ object SparkEntry {
         s, dir, store, Seq("gps", "tag"))
       val incReads = graft.sources.v2.BagChunkIO.readCalls.get()
       // the incrementality proof: the second extraction's chunk reads
-      // equal a direct full read of JUST the new bags (static pushdown)
-      graft.sources.v2.BagChunkIO.readCalls.set(0)
-      s.read.format("graft.sources.v2.BagDataSource").load(dir)
-        .filter(col("bag_file").isin(waveB: _*))
-        .select("payload").queryExecution.toRdd.count()
-      val directReads = graft.sources.v2.BagChunkIO.readCalls.get()
-      require(incReads == directReads && incReads > 0,
+      // equal exactly the NEW bags' planned chunk count — derived from
+      // the O(index) plans, zero extra data reads for the probe
+      val waveBSet = waveB.toSet
+      val expectedReads = graft.sources.v2.BagScan.readPlans(dir, conf)
+        .filter(pb => waveBSet.contains(new org.apache.hadoop.fs.Path(pb.file)
+          .getName.stripSuffix(".bag")))
+        .map(_.plan.chunkOffsets.size).sum
+      require(incReads == expectedReads && incReads > 0,
         s"incremental extraction must decode only the new bags' chunks " +
-          s"($incReads vs $directReads direct)")
+          s"($incReads vs $expectedReads planned)")
       val gps = graft.sources.Containers.readTypedStore(s, store, "gps")
         .select(lit("gps").as("topic"), col("ts_us").as("ts"),
           round(col("lat"), 4).as("num"),

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, max, sum}
 import org.apache.spark.sql.types.LongType
 
 import graft.sources.SnapshotStore
@@ -58,10 +58,14 @@ import graft.sources.SnapshotStore
   *     it for the touched files, `mustBeLive`-re-validated — a racing
   *     writer on a touched file fails the merge loudly.
   *
-  * Multiple source rows matching one target row with a matched clause
-  * is the standard MERGE cardinality violation: detected with one
-  * inner-join existence probe on (file, row_index) and rejected, as
-  * Delta and ANSI SQL do. Matched-insert (`WHEN NOT MATCHED BY TARGET`)
+  * Multiple source rows matching one target row: one inner-join probe
+  * on (file, row_index) counts matches per target row on the ON
+  * condition ALONE. More than one copy APPLYING a matched clause is
+  * the ANSI cardinality violation — rejected, as Delta does. Legal
+  * multi-matches (at most one copy applies) are collapsed back to one
+  * row per target row with a window before the delete filter, so the
+  * applied clause wins and non-applying copies never duplicate the
+  * target row. Matched-insert (`WHEN NOT MATCHED BY TARGET`)
   * and schema evolution are not supported; both fail loudly.
   */
 object RewriteSnapshotMerge extends Rule[LogicalPlan] {
@@ -211,6 +215,18 @@ object SnapshotMerge {
               targetOutput: Seq[Attribute], cond: Expression,
               matched: Seq[MergeAction], notMatched: Seq[MergeAction],
               notMatchedBySource: Seq[MergeAction]): Long = {
+    // the source plan evaluates in up to three passes (touched-file
+    // prune, cardinality probe, rewrite join); a non-deterministic
+    // source could prune files inconsistently with the join or classify
+    // rows differently between probe and rewrite — refuse loudly, the
+    // same contract UPDATE/DELETE/replaceWhere enforce on their
+    // conditions. Delta materializes the source instead; staging to a
+    // temp view/table is the documented workaround here.
+    require(source.find(p => p.expressions.exists(!_.deterministic)).isEmpty,
+      "graft MERGE: the source plan must be deterministic — it evaluates " +
+        "in multiple passes (file prune, cardinality probe, rewrite); " +
+        "stage a non-deterministic source (rand(), LIMIT without ORDER, " +
+        "TABLESAMPLE) to a table or cached view first")
     matched.foreach {
       case u: UpdateAction => requireTopLevelKeys(u.assignments, "MERGE")
       case _: DeleteAction => ()
@@ -286,19 +302,37 @@ object SnapshotMerge {
       substitute(e, targetOutput, tgtPlan0.output)
     val cond2 = rw(cond)
 
-    // cardinality: >1 source rows may not modify the same target row
-    if (matched.nonEmpty) {
-      val anyMatched = matched.map(a => rw(a.condition.getOrElse(Literal(true))))
+    // ---- cardinality probe, on the ON condition ALONE ----------------
+    // ONE inner join counts source matches per target row. Two outcomes
+    // matter: >1 copies where a matched clause APPLIES is the ANSI
+    // cardinality violation (rejected, as Delta does); >1 copies where
+    // at most one applies is LEGAL, but the full-outer join below emits
+    // one row per copy — the non-applying copies would each fall to the
+    // Keep branch and write the target row twice. Those rows must
+    // collapse back to one (the dedup window below), so the probe also
+    // reports whether any legal multi-match exists. Probing on
+    // anyMatched alone (the pre-round-12 shape) missed exactly that
+    // duplication — and missed NMBS-only merges entirely.
+    val anyMatched: Expression =
+      if (matched.isEmpty) Literal(false)
+      else matched.map(a => rw(a.condition.getOrElse(Literal(true))))
         .reduce(Or(_, _))
-      val dup = GraftShim.ofRows(spark,
-          Filter(anyMatched, Join(tgtPlan0, srcPlan, Inner, Some(cond2), JoinHint.NONE)))
-        .groupBy(col("__fp"), col("__ri")).count()
-        .filter(col("count") > 1)
-      if (!dup.isEmpty) throw new UnsupportedOperationException(
-        "graft MERGE: multiple source rows matched (and attempted to " +
-          "modify) the same target row — deduplicate the source on the " +
-          "ON keys first (ANSI MERGE cardinality violation)")
-    }
+    val probeJoin = Join(tgtPlan0, srcPlan, Inner, Some(cond2), JoinHint.NONE)
+    val idAttrs = tgtPlan0.output.filter(a => a.name == "__fp" || a.name == "__ri")
+    val modAlias = Alias(If(anyMatched, Literal(1L), Literal(0L)), "__mod")()
+    val probeRow = GraftShim.ofRows(spark,
+        Project(idAttrs :+ modAlias, probeJoin))
+      .groupBy(col("__fp"), col("__ri"))
+      .agg(count(lit(1)).as("__c"), sum(col("__mod")).as("__m"))
+      .filter(col("__c") > 1)
+      .agg(count(lit(1)), max(col("__m")))
+      .head()
+    val multiMatchedRows = probeRow.getLong(0)
+    val maxModifying = if (probeRow.isNullAt(1)) 0L else probeRow.getLong(1)
+    if (maxModifying > 1) throw new UnsupportedOperationException(
+      "graft MERGE: multiple source rows matched (and attempted to " +
+        "modify) the same target row — deduplicate the source on the " +
+        "ON keys first (ANSI MERGE cardinality violation)")
 
     val joined = Join(tgtPlan, srcPlan, FullOuter, Some(cond2), JoinHint.NONE)
     val isT = EqualNullSafe(tMark.toAttribute, Literal(true))
@@ -320,13 +354,38 @@ object SnapshotMerge {
     val withAct = Project(joined.output :+ actAlias, joined)
     val act = actAlias.toAttribute
 
+    // legal multi-matches (probe-verified: at most ONE copy applies a
+    // clause) collapse to a single row per target row BEFORE the delete
+    // filter, so an applied DELETE wins over its non-applying siblings
+    // instead of leaving a Keep copy behind. Ordering `__act` DESC puts
+    // the applied clause (>= 0) ahead of Keep (-1); surviving Keep
+    // copies are byte-identical in every output column (the Keep branch
+    // reads only target attributes), so the tie-break is immaterial.
+    // Source-only rows get a unique partition key — the window never
+    // concentrates a large insert wave onto one reducer. Skipped
+    // entirely (zero extra exchange) when the probe saw no multi-match.
+    val deduped: LogicalPlan =
+      if (multiMatchedRows == 0) withAct
+      else {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{lit, monotonically_increasing_id, row_number, when}
+        GraftShim.ofRows(spark, withAct)
+          .withColumn("__part", when(col("__t") <=> lit(true), lit(0L))
+            .otherwise(monotonically_increasing_id()))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("__fp"), col("__ri"), col("__part"))
+              .orderBy(col("__act").desc)))
+          .filter(col("__rn") === 1)
+          .queryExecution.analyzed
+      }
+
     val deleteIdx =
       matched.zipWithIndex.collect { case (_: DeleteAction, i) => i } ++
       notMatchedBySource.zipWithIndex.collect { case (_: DeleteAction, i) => 100 + i }
     val keep = And(Not(EqualTo(act, Literal(Drop))),
       deleteIdx.foldLeft[Expression](Literal(true)) { (acc, i) =>
         And(acc, Not(EqualTo(act, Literal(i)))) })
-    val filtered = Filter(keep, withAct)
+    val filtered = Filter(keep, deduped)
 
     val tgtByOrig = targetOutput.map(o =>
       o.exprId -> tgtPlan0.output.find(_.name.equalsIgnoreCase(o.name)).getOrElse(

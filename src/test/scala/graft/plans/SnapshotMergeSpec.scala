@@ -206,6 +206,118 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(err.getMessage.contains("multiple source rows matched"))
   }
 
+  test("MERGE: legal multi-match never duplicates the target row") {
+    useCatalog()
+    val t = freshTable("graft-merge-multi")
+    SnapshotStore.append(Seq((1L, 0L), (2L, 0L)).toDF("id", "n"), t,
+      statsCols = Seq("id"))
+    // both source rows match target id=1 on the ON keys, but only ONE
+    // satisfies the matched-clause condition — legal per ANSI, and the
+    // target row must appear exactly once, updated
+    Seq((1L, 10L), (1L, 99L)).toDF("id", "v").createOrReplaceTempView("mm_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` t USING mm_src s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.v < 50 THEN UPDATE SET n = s.v
+         |""".stripMargin)
+    val out = SnapshotStore.snapshot(spark, t)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 10L), (2L, 0L)),
+      "one applying copy updates; the non-applying copy must not " +
+        "resurrect the pre-image as a duplicate row")
+  }
+
+  test("MERGE: multi-match with zero applying clauses keeps the row once") {
+    useCatalog()
+    val t = freshTable("graft-merge-multi0")
+    SnapshotStore.append(Seq((1L, 7L)).toDF("id", "n"), t, statsCols = Seq("id"))
+    Seq((1L, 100L), (1L, 200L)).toDF("id", "v").createOrReplaceTempView("mm0_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` t USING mm0_src s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.v < 50 THEN UPDATE SET n = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, n) VALUES (s.id, s.v)
+         |""".stripMargin)
+    val out = SnapshotStore.snapshot(spark, t)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 7L)),
+      "neither copy applies a clause: the row carries over exactly once, " +
+        "and matched source rows must not fall through to INSERT")
+  }
+
+  test("MERGE: an applied DELETE wins over a non-applying sibling copy") {
+    useCatalog()
+    val t = freshTable("graft-merge-multidel")
+    SnapshotStore.append(Seq((1L, 0L), (2L, 0L)).toDF("id", "n"), t,
+      statsCols = Seq("id"))
+    Seq((1L, 1L), (1L, 99L)).toDF("id", "v").createOrReplaceTempView("mmd_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` t USING mmd_src s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.v < 50 THEN DELETE
+         |""".stripMargin)
+    val out = SnapshotStore.snapshot(spark, t)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((2L, 0L)),
+      "the deleting copy must win — the non-applying copy cannot keep " +
+        "the row alive")
+  }
+
+  test("MERGE: NMBS-only merge with duplicate source keys stays exact") {
+    useCatalog()
+    val t = freshTable("graft-merge-nmbsdup")
+    SnapshotStore.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "st"), t,
+      statsCols = Seq("id"))
+    // id=1 matches TWO source rows; with no matched clause the probe is
+    // not a cardinality violation, but the full-outer join still emits
+    // two copies — pre-round-12 this wrote row 1 twice
+    Seq(1L, 1L).toDF("id").createOrReplaceTempView("nmbsdup_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` t USING nmbsdup_src s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET st = 'stale'
+         |""".stripMargin)
+    val out = SnapshotStore.snapshot(spark, t)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, "a"), (2L, "stale"), (3L, "stale")))
+  }
+
+  test("MERGE: inserts survive the multi-match dedup path") {
+    useCatalog()
+    val t = freshTable("graft-merge-multiins")
+    SnapshotStore.append(Seq((1L, 0L)).toDF("id", "n"), t, statsCols = Seq("id"))
+    // a legal multi-match on id=1 forces the dedup window; the two
+    // unmatched inserts must BOTH land (source-only rows are never
+    // collapsed with each other)
+    Seq((1L, 10L), (1L, 99L), (7L, 70L), (8L, 80L)).toDF("id", "v")
+      .createOrReplaceTempView("mmi_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` t USING mmi_src s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.v < 50 THEN UPDATE SET n = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, n) VALUES (s.id, s.v)
+         |""".stripMargin)
+    val out = SnapshotStore.snapshot(spark, t)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 10L), (7L, 70L), (8L, 80L)))
+  }
+
+  test("MERGE rejects a non-deterministic source") {
+    useCatalog()
+    val t = freshTable("graft-merge-ndsrc")
+    SnapshotStore.append(Seq((1L, 0L)).toDF("id", "n"), t, statsCols = Seq("id"))
+    spark.range(3).selectExpr("id", "rand() AS v")
+      .createOrReplaceTempView("ndsrc")
+    val err = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$t` t USING ndsrc s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET n = 1
+           |""".stripMargin)
+    }
+    assert(err.getMessage.contains("deterministic"), s"got: ${err.getMessage}")
+  }
+
   test("MERGE detects a conflicting commit on a touched file") {
     useCatalog()
     val t = freshTable("graft-merge-conflict")

@@ -1538,6 +1538,31 @@ object SparkEntry {
         s"lang = concat(lang, '-upd') WHERE n_chars < 500 AND doc_id % 3 = 0")
       graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
     }),
+    "q_snapshot_update_nested" -> ((s, d) => {
+      // NESTED-field SQL UPDATE — the reference's per-scene correction
+      // shape (detect_scenes.py:162-171) against the engine's own
+      // flagship layout: typed extraction stores keep one NULLABLE
+      // struct column per topic (Containers.typedExtractTo), so fixing
+      // one leaf must rebuild the struct around its siblings and leave
+      // other topics' NULL structs NULL. The rewrite is UpdateFields
+      // (Column.withField's expression) inside the same copy-on-write
+      // touched-file protocol as flat UPDATE; the oracle re-derives the
+      // flattened final state with CASE over the raw table.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("lang") =!= "de",
+          struct(col("lang").as("lang"), col("n_chars").as("n_chars"))).as("meta"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapnest").toString + "/docs"
+      graft.sources.SnapshotStore.append(docs, t, statsCols = Seq("doc_id"))
+      s.sql(s"UPDATE graft.`$t` SET meta.n_chars = meta.n_chars + 10000 " +
+        s"WHERE doc_id % 3 = 0")
+      graft.sources.SnapshotStore.snapshot(s, t)
+        .select(col("doc_id"), col("meta.lang").as("lang"),
+          col("meta.n_chars").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q_snapshot_merge_sql" -> ((s, d) => {
       // SQL MERGE INTO end to end — the lakehouse bread-and-butter verb
       // issued as PURE SQL text through the catalog (the reference's
@@ -3032,6 +3057,13 @@ object SparkEntry {
         |       THEN lang || '-upd' ELSE lang END AS lang,
         |  CASE WHEN n_chars < 500 AND doc_id % 3 = 0
         |       THEN n_chars + 10000 ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_snapshot_update_nested" ->
+      """SELECT doc_id,
+        |  CASE WHEN lang = 'de' THEN NULL ELSE lang END AS lang,
+        |  CASE WHEN lang = 'de' THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN n_chars + 10000
+        |       ELSE n_chars END AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_snapshot_merge_sql" ->
       """WITH base AS (SELECT doc_id, lang, n_chars FROM documents

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.{col, count, lit, max, sum}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructType}
 
 import graft.sources.SnapshotStore
 
@@ -67,6 +67,13 @@ import graft.sources.SnapshotStore
   * applied clause wins and non-applying copies never duplicate the
   * target row. Matched-insert (`WHEN NOT MATCHED BY TARGET`)
   * and schema evolution are not supported; both fail loudly.
+  *
+  * Assignments may target NESTED struct fields (`SET a.b.c = v`) — the
+  * reference's per-scene correction shape (detect_scenes.py:162-171)
+  * against typed extraction stores, whose schema is one nullable
+  * struct per topic (Containers.scala `typedExtractTo`). The column
+  * rebuilds via [[UpdateFields]] so sibling fields carry over and a
+  * NULL struct stays NULL; overlapping keys in one clause are refused.
   */
 object RewriteSnapshotMerge extends Rule[LogicalPlan] {
 
@@ -169,7 +176,8 @@ object SnapshotMerge {
                     assignments: Seq[Assignment],
                     condition: Option[Expression]): Long = {
     import org.apache.spark.sql.functions.col
-    requireTopLevelKeys(assignments, "UPDATE")
+    requireNoReservedCols(targetOutput, "target", "UPDATE")
+    validateAssignmentKeys(assignments, "UPDATE")
     val snap = SnapshotStore.state(spark, path)
     if (snap.live.isEmpty) return snap.version
     val all = SnapshotStore.readFiles(spark, path, snap.live.map(_.path))
@@ -195,7 +203,7 @@ object SnapshotMerge {
     val byName = tgtPlan.output.map(a => a.name.toLowerCase -> a).toMap
     val outCols: Seq[NamedExpression] = targetOutput.map { orig =>
       val attr = byName(orig.name.toLowerCase)
-      assigned(assignments, orig, rwT) match {
+      assignedValue(assignments, orig, attr, rwT, spark) match {
         case Some(v) =>
           Alias(castTo(CaseWhen(Seq((condT, v)), Some(attr)), orig.dataType, spark),
             orig.name)()
@@ -220,15 +228,24 @@ object SnapshotMerge {
     // source could prune files inconsistently with the join or classify
     // rows differently between probe and rewrite — refuse loudly, the
     // same contract UPDATE/DELETE/replaceWhere enforce on their
-    // conditions. Delta materializes the source instead; staging to a
-    // temp view/table is the documented workaround here.
-    require(source.find(p => p.expressions.exists(!_.deterministic)).isEmpty,
+    // conditions. Checked at BOTH levels: expression determinism
+    // (rand() and friends) and plan shape (TABLESAMPLE, LIMIT without
+    // an underlying ORDER BY — their expressions are all deterministic
+    // literals, yet the rows they pick can differ between passes).
+    // Delta materializes the source instead; staging to a table (or a
+    // collected/parallelized DataFrame) is the documented workaround —
+    // NOT a cached temp view: cache substitution happens at physical
+    // planning, after this guard, so the analyzed plan is unchanged.
+    require(source.find(p =>
+        p.expressions.exists(!_.deterministic) || unsortedLimitOrSample(p)).isEmpty,
       "graft MERGE: the source plan must be deterministic — it evaluates " +
         "in multiple passes (file prune, cardinality probe, rewrite); " +
-        "stage a non-deterministic source (rand(), LIMIT without ORDER, " +
-        "TABLESAMPLE) to a table or cached view first")
+        "stage a non-deterministic source (rand(), LIMIT without ORDER " +
+        "BY, TABLESAMPLE) to a table first")
+    requireNoReservedCols(targetOutput, "target", "MERGE")
+    requireNoReservedCols(source.output, "source", "MERGE")
     matched.foreach {
-      case u: UpdateAction => requireTopLevelKeys(u.assignments, "MERGE")
+      case u: UpdateAction => validateAssignmentKeys(u.assignments, "MERGE")
       case _: DeleteAction => ()
       case other => throw new UnsupportedOperationException(
         s"graft MERGE: unsupported WHEN MATCHED action: $other")
@@ -239,7 +256,7 @@ object SnapshotMerge {
         s"graft MERGE: unsupported WHEN NOT MATCHED action: $other")
     }
     notMatchedBySource.foreach {
-      case u: UpdateAction => requireTopLevelKeys(u.assignments, "MERGE")
+      case u: UpdateAction => validateAssignmentKeys(u.assignments, "MERGE")
       case _: DeleteAction => ()
       case other => throw new UnsupportedOperationException(
         s"graft MERGE: unsupported WHEN NOT MATCHED BY SOURCE action: $other")
@@ -395,9 +412,11 @@ object SnapshotMerge {
       val tgtAttr = tgtByOrig(orig.exprId)
       val branches =
         matched.zipWithIndex.collect { case (u: UpdateAction, i) =>
-          (EqualTo(act, Literal(i)), assigned(u.assignments, orig, rw).getOrElse(tgtAttr)) } ++
+          (EqualTo(act, Literal(i)),
+            assignedValue(u.assignments, orig, tgtAttr, rw, spark).getOrElse(tgtAttr)) } ++
         notMatchedBySource.zipWithIndex.collect { case (u: UpdateAction, i) =>
-          (EqualTo(act, Literal(100 + i)), assigned(u.assignments, orig, rw).getOrElse(tgtAttr)) } ++
+          (EqualTo(act, Literal(100 + i)),
+            assignedValue(u.assignments, orig, tgtAttr, rw, spark).getOrElse(tgtAttr)) } ++
         notMatched.zipWithIndex.collect { case (ins: InsertAction, j) =>
           (EqualTo(act, Literal(200 + j)),
             assigned(ins.assignments, orig, rw).getOrElse(Literal(null, orig.dataType))) }
@@ -434,7 +453,8 @@ object SnapshotMerge {
     SnapshotStore.readFiles(spark, path, touched)
 
   /** The aligned assignment value for target column `orig`, rewritten;
-    * None when the clause leaves the column unassigned. */
+    * None when the clause leaves the column unassigned. Top-level keys
+    * only — the INSERT path, where SQL column lists cannot nest. */
   private def assigned(assignments: Seq[Assignment], orig: Attribute,
                        rw: Expression => Expression): Option[Expression] =
     assignments.collectFirst {
@@ -442,17 +462,156 @@ object SnapshotMerge {
           if k.exprId == orig.exprId || k.name.equalsIgnoreCase(orig.name) => rw(v)
     }
 
-  /** Only TOP-LEVEL column assignment keys are supported — a nested key
-    * (`SET a.b = ...`) would otherwise silently fall through the
-    * by-name alignment and drop the assignment. Fail loudly instead. */
+  /** The full new value for target column `orig` under a clause's
+    * assignments, or None when the clause leaves the column untouched.
+    * A whole-column assignment (`SET a = v`) is the value cast to the
+    * column type. Nested-field assignments (`SET a.b.c = v`) rebuild
+    * the struct around `base` (the column's CURRENT value in the
+    * rewrite plan) with [[UpdateFields]]/[[WithField]] — the expression
+    * `Column.withField` builds, replaced by the optimizer with a plain
+    * struct reconstruction, so sibling fields carry over untouched and
+    * a NULL struct stays NULL (the typed-extraction-store shape: one
+    * nullable struct per topic — rows of other topics are unaffected).
+    * [[validateAssignmentKeys]] has already rejected overlapping paths,
+    * so the per-root grouping here is unambiguous.
+    */
+  private def assignedValue(assignments: Seq[Assignment], orig: Attribute,
+                            base: Expression, rw: Expression => Expression,
+                            spark: SparkSession): Option[Expression] = {
+    val mine: Seq[(Seq[String], Expression)] = assignments.flatMap { asg =>
+      keyPath(asg.key) match {
+        case Some((root, path))
+            if root.exprId == orig.exprId || root.name.equalsIgnoreCase(orig.name) =>
+          Some((path, rw(asg.value)))
+        case _ => None
+      }
+    }
+    if (mine.isEmpty) None
+    else mine.collectFirst { case (Seq(), v) => v } match {
+      case Some(whole) => Some(castTo(whole, orig.dataType, spark))
+      case None => Some(rebuildStruct(base, orig.dataType, mine, spark))
+    }
+  }
+
+  /** Struct reconstruction for nested assignments: group the remaining
+    * paths by head field, recurse per branch, and emit ONE UpdateFields
+    * per level so sibling assignments under the same struct coalesce
+    * into a single rebuild. Field names resolve with the session's
+    * resolver (honoring `spark.sql.caseSensitive`). */
+  private def rebuildStruct(base: Expression, dt: org.apache.spark.sql.types.DataType,
+                            assigns: Seq[(Seq[String], Expression)],
+                            spark: SparkSession): Expression = {
+    val st = dt match {
+      case s: StructType => s
+      case other => throw new UnsupportedOperationException(
+        s"graft: nested assignment into non-struct type $other")
+    }
+    val resolver = spark.sessionState.analyzer.resolver
+    val heads = assigns.map(_._1.head)
+      .foldLeft(Seq.empty[String])((acc, h) =>
+        if (acc.exists(resolver(_, h))) acc else acc :+ h)
+    val ops: Seq[StructFieldsOperation] = heads.map { h =>
+      val idx = st.fields.indexWhere(f => resolver(f.name, h))
+      if (idx < 0) throw new IllegalStateException(
+        s"graft: assignment key field $h missing from struct $st")
+      val field = st.fields(idx)
+      val sub = assigns.filter(a => resolver(a._1.head, h))
+        .map { case (p, v) => (p.tail, v) }
+      val value = sub.collectFirst { case (Seq(), v) => v } match {
+        case Some(leaf) => castTo(leaf, field.dataType, spark)
+        case None => rebuildStruct(
+          GetStructField(base, idx, Some(field.name)), field.dataType, sub, spark)
+      }
+      WithField(field.name, value)
+    }
+    UpdateFields(base, ops)
+  }
+
+  /** Parse an assignment key into (root column, nested field path).
+    * None for shapes that are not pure struct-field chains (array
+    * element / map key assignment — unsupported). */
+  private def keyPath(e: Expression): Option[(AttributeReference, Seq[String])] =
+    e match {
+      case a: AttributeReference => Some((a, Nil))
+      case g: GetStructField =>
+        keyPath(g.child).map { case (a, p) => (a, p :+ g.extractFieldName) }
+      case _ => None
+    }
+
+  /** UPDATE / MERGE-update assignment keys: top-level columns and
+    * nested struct-field paths are both legal, but within one clause no
+    * key may be a prefix of (or equal to) another on the same root
+    * column — `SET a = ..., a.b = ...` (or `a.b` twice) is ambiguous:
+    * which write wins depends on evaluation order. Refuse loudly, as
+    * Delta does. */
+  private def validateAssignmentKeys(assignments: Seq[Assignment],
+                                     verb: String): Unit = {
+    val paths: Seq[Seq[String]] = assignments.map { asg =>
+      keyPath(asg.key) match {
+        case Some((root, path)) => (root.name +: path).map(_.toLowerCase)
+        case None => throw new UnsupportedOperationException(
+          s"graft $verb: unsupported assignment key ${asg.key} — only " +
+            "column and nested struct-field keys are supported")
+      }
+    }
+    for (i <- paths.indices; j <- paths.indices if i != j) {
+      val (a, b) = (paths(i), paths(j))
+      if (a.length <= b.length && b.take(a.length) == a)
+        throw new UnsupportedOperationException(
+          s"graft $verb: conflicting assignments — key " +
+            s"${a.mkString(".")} overlaps ${b.mkString(".")}; assign " +
+            "each field (or its enclosing struct) at most once per clause")
+    }
+  }
+
+  /** Only TOP-LEVEL column assignment keys are supported for INSERT —
+    * SQL insert column lists cannot nest; anything else here is an
+    * aligner artifact worth failing loudly on. */
   private def requireTopLevelKeys(assignments: Seq[Assignment],
                                   verb: String): Unit =
     assignments.foreach(_.key match {
       case _: AttributeReference => ()
       case other => throw new UnsupportedOperationException(
         s"graft $verb: only top-level column assignments are supported " +
-          s"(got key $other) — rewrite the struct column whole")
+          s"in INSERT (got key $other)")
     })
+
+  /** Working columns the rewrite adds to the join ((file,row) identity,
+    * side markers, action code, dedup window keys, probe counters, the
+    * prune key). A user column with one of these names would silently
+    * shadow or duplicate them — `withColumn` REPLACES same-name columns
+    * and the by-name probes would group on the wrong attribute — so
+    * both schemas are validated up front, one check for all seven+. */
+  private val ReservedCols = Set("__fp", "__ri", "__t", "__s", "__act",
+    "__part", "__rn", "__mod", "__k", "__c", "__m")
+
+  private def requireNoReservedCols(attrs: Seq[Attribute], side: String,
+                                    verb: String): Unit = {
+    val bad = attrs.map(_.name).filter(n => ReservedCols.contains(n.toLowerCase))
+    if (bad.nonEmpty) throw new UnsupportedOperationException(
+      s"graft $verb: $side columns ${bad.mkString(", ")} collide with the " +
+        s"rewrite's reserved working columns (${ReservedCols.toSeq.sorted.mkString(", ")}) " +
+        "— rename them first")
+  }
+
+  /** Plan shapes whose row membership is non-deterministic even though
+    * every expression in them is: TABLESAMPLE, and LIMIT with no
+    * ordering underneath (Project/LocalLimit wrappers looked through).
+    */
+  private def unsortedLimitOrSample(p: LogicalPlan): Boolean = {
+    def sortedBelow(c: LogicalPlan): Boolean = c match {
+      case _: Sort => true
+      case l: LocalLimit => sortedBelow(l.child)
+      case pr: Project => sortedBelow(pr.child)
+      case _ => false
+    }
+    p match {
+      case _: Sample => true
+      case g: GlobalLimit => !sortedBelow(g.child)
+      case l: LocalLimit => !sortedBelow(l.child)
+      case _ => false
+    }
+  }
 
   private def castTo(e: Expression, dt: org.apache.spark.sql.types.DataType,
                      spark: SparkSession): Expression =

@@ -302,6 +302,116 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(out === Seq((1L, 10L), (7L, 70L), (8L, 80L)))
   }
 
+  test("UPDATE: nested-field assignment rebuilds the struct, siblings and NULLs survive") {
+    useCatalog()
+    val t = freshTable("graft-upd-nested")
+    // the typed-extraction-store shape: one NULLABLE struct per topic —
+    // rows of other topics carry a NULL struct and must stay NULL
+    val df = spark.sql(
+      """SELECT id,
+        |  CASE WHEN id <= 3 THEN named_struct('lang', concat('l', id), 'n', id * 10)
+        |  END AS meta, 'x' AS tag
+        |FROM range(1, 6) AS r(id)""".stripMargin)
+    SnapshotStore.append(df, t, statsCols = Seq("id"))
+    spark.sql(s"UPDATE graft.`$t` SET meta.n = meta.n + 1000, tag = 'hit' " +
+      s"WHERE id % 2 = 1")
+    val out = SnapshotStore.snapshot(spark, t)
+      .selectExpr("id", "meta.lang", "meta.n", "tag")
+      .as[(Long, Option[String], Option[Long], String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, Some("l1"), Some(1010L), "hit"),  // nested leaf updated, sibling kept
+      (2L, Some("l2"), Some(20L), "x"),      // unmatched row untouched
+      (3L, Some("l3"), Some(1030L), "hit"),
+      (4L, None, None, "x"),
+      (5L, None, None, "hit")))              // matched NULL struct stays NULL
+  }
+
+  test("UPDATE: two-level nested assignment recurses, whole-column+nested overlap refused") {
+    useCatalog()
+    val t = freshTable("graft-upd-nested2")
+    val df = spark.sql(
+      """SELECT id, named_struct(
+        |  'geo', named_struct('lat', CAST(id AS DOUBLE), 'lon', CAST(-id AS DOUBLE)),
+        |  'n', id) AS meta
+        |FROM range(1, 4) AS r(id)""".stripMargin)
+    SnapshotStore.append(df, t, statsCols = Seq("id"))
+    spark.sql(s"UPDATE graft.`$t` SET meta.geo.lat = meta.geo.lat + 90.0 WHERE id = 2")
+    val out = SnapshotStore.snapshot(spark, t)
+      .selectExpr("id", "meta.geo.lat", "meta.geo.lon", "meta.n")
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 1.0, -1.0, 1L), (2L, 92.0, -2.0, 2L), (3L, 3.0, -3.0, 3L)))
+    val err = intercept[UnsupportedOperationException] {
+      spark.sql(s"UPDATE graft.`$t` SET meta = named_struct('geo', meta.geo, 'n', 0L), " +
+        s"meta.n = 1 WHERE id = 1")
+    }
+    assert(err.getMessage.contains("overlaps"), s"got: ${err.getMessage}")
+  }
+
+  test("MERGE: nested-field assignment in WHEN MATCHED, mixed with top-level") {
+    useCatalog()
+    val t = freshTable("graft-merge-nested")
+    val df = spark.sql(
+      """SELECT id, named_struct('lang', concat('l', id), 'n', id * 10) AS meta,
+        |  0L AS seen
+        |FROM range(1, 4) AS r(id)""".stripMargin)
+    SnapshotStore.append(df, t, statsCols = Seq("id"))
+    Seq((2L, 999L), (9L, 900L)).toDF("id", "v").createOrReplaceTempView("mnst_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` t USING mnst_src s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET t.meta.n = s.v, seen = 1
+         |WHEN NOT MATCHED THEN INSERT (id, seen) VALUES (s.id, 2)
+         |""".stripMargin)
+    val out = SnapshotStore.snapshot(spark, t)
+      .selectExpr("id", "meta.lang", "meta.n", "seen")
+      .as[(Long, Option[String], Option[Long], Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, Some("l1"), Some(10L), 0L),
+      (2L, Some("l2"), Some(999L), 1L),   // nested leaf from source, sibling kept
+      (3L, Some("l3"), Some(30L), 0L),
+      (9L, None, None, 2L)))              // insert null-fills the struct whole
+  }
+
+  test("MERGE/UPDATE refuse reserved __-prefixed working columns") {
+    useCatalog()
+    val t = freshTable("graft-merge-resv")
+    SnapshotStore.append(Seq((1L, 0L)).toDF("id", "__fp"), t, statsCols = Seq("id"))
+    val err = intercept[UnsupportedOperationException] {
+      spark.sql(s"UPDATE graft.`$t` SET __fp = 1 WHERE id = 1")
+    }
+    assert(err.getMessage.contains("reserved"), s"got: ${err.getMessage}")
+    val t2 = freshTable("graft-merge-resv2")
+    SnapshotStore.append(Seq((1L, 0L)).toDF("id", "n"), t2, statsCols = Seq("id"))
+    Seq((1L, 0L)).toDF("id", "__part").createOrReplaceTempView("resv_src")
+    val err2 = intercept[UnsupportedOperationException] {
+      spark.sql(
+        s"""MERGE INTO graft.`$t2` t USING resv_src s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET n = 1
+           |""".stripMargin)
+    }
+    assert(err2.getMessage.contains("reserved"), s"got: ${err2.getMessage}")
+  }
+
+  test("MERGE rejects TABLESAMPLE and unordered LIMIT sources, accepts ordered LIMIT") {
+    useCatalog()
+    val t = freshTable("graft-merge-ndshape")
+    SnapshotStore.append(Seq((1L, 0L)).toDF("id", "n"), t, statsCols = Seq("id"))
+    spark.range(10).selectExpr("id", "id AS v").createOrReplaceTempView("shape_src")
+    def merge(src: String): Unit = spark.sql(
+      s"""MERGE INTO graft.`$t` t USING ($src) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET n = s.v
+         |""".stripMargin)
+    // every expression in these plans is deterministic — the SHAPE isn't
+    val e1 = intercept[Exception](merge("SELECT * FROM shape_src TABLESAMPLE (50 PERCENT)"))
+    assert(e1.getMessage.contains("deterministic"), s"got: ${e1.getMessage}")
+    val e2 = intercept[Exception](merge("SELECT * FROM shape_src LIMIT 3"))
+    assert(e2.getMessage.contains("deterministic"), s"got: ${e2.getMessage}")
+    merge("SELECT * FROM shape_src ORDER BY id LIMIT 3") // sorted LIMIT is fine
+    assert(SnapshotStore.snapshot(spark, t).select("n").as[Long].head() === 1L)
+  }
+
   test("MERGE rejects a non-deterministic source") {
     useCatalog()
     val t = freshTable("graft-merge-ndsrc")

@@ -791,16 +791,20 @@ object SnapshotStore {
       throw new IllegalStateException(
         s"$table records no schema (pre-schema-tracking table) — append " +
           "once with the current layout before altering"))
-    val cur = current.map(f => f.name -> f).toMap
+    // name comparison honors spark.sql.caseSensitive (default false):
+    // under case-insensitive analysis a schema holding both `lang` and
+    // `Lang` is ambiguous and breaks every subsequent read/DML, so the
+    // match here must use the same resolver the analyzer does
+    val resolver = spark.sessionState.analyzer.resolver
     widened.foreach { f =>
-      cur.get(f.name).foreach { c =>
+      current.find(c => resolver(c.name, f.name)).foreach { c =>
         require(c.dataType == f.dataType,
           s"alter $table: column ${f.name} is ${c.dataType.simpleString} " +
             s"but the new schema says ${f.dataType.simpleString} — type " +
             "changes are not supported")
       }
     }
-    require(current.forall(f => widened.fieldNames.contains(f.name)),
+    require(current.forall(f => widened.exists(w => resolver(w.name, f.name))),
       s"alter $table: dropping columns is not supported")
     commit(spark, table, adds = Nil, removes = Nil,
       meta = Map("op" -> "alter_schema", "schema" -> widened.json),
@@ -896,13 +900,25 @@ object SnapshotStore {
     * the files holding matches, untouched files survive BY PATH, kept
     * rows of touched files carry over, and ONE commit (`op =
     * replace_where`, `mustBeLive`-re-validated) lands carried + new rows
-    * together — a reader never sees the slice missing. The new data is
-    * NOT validated against the condition (Delta's default behavior;
-    * callers wanting the constraint filter their input).
+    * together — a reader never sees the slice missing. The new data IS
+    * validated against the condition (Delta's default,
+    * `replaceWhere.constraintCheck`): a mis-filtered re-load whose rows
+    * fall OUTSIDE the slice would land them next to the old copies it
+    * did not replace — silent duplicates — so the call fails loudly
+    * instead. The probe stops at the first violation (LIMIT 1); its
+    * price is one extra pass over `data` when clean, same as Delta's
+    * write-time constraint.
     */
   def replaceWhere(data: DataFrame, table: String, condition: Column,
                    statsCols: Seq[String] = Nil): Long = {
     val spark = data.sparkSession
+    // rows where the condition is false OR NULL are outside the slice
+    val violation = data.filter(!condition.<=>(lit(true))).limit(1).collect()
+    require(violation.isEmpty,
+      s"replaceWhere: input rows do not satisfy the replacement condition " +
+        s"($condition) — e.g. ${violation.headOption.getOrElse("")}; a row " +
+        "outside the replaced slice would silently duplicate the rows it " +
+        "failed to replace. Filter the input to the slice first.")
     if (latestVersion(spark, table) == 0L)
       return append(data, table, statsCols)
     val snap = state(spark, table)

@@ -172,8 +172,16 @@ class SnapshotCatalog extends TableCatalog
     val current = SnapshotStore.tableSchema(spark, path).getOrElse(
       throw new IllegalStateException(
         s"$path records no schema — append once before altering"))
-    adds.foreach(f => require(!current.fieldNames.contains(f.name),
+    // duplicate detection honors spark.sql.caseSensitive (default
+    // false) — `ADD COLUMNS (Lang STRING)` on a table with `lang`
+    // would commit a schema that is ambiguous to every later
+    // case-insensitive read/DML; check the adds against each other too
+    val resolver = spark.sessionState.analyzer.resolver
+    adds.foreach(f => require(!current.fields.exists(c => resolver(c.name, f.name)),
       s"$catalogName: column ${f.name} already exists"))
+    adds.zipWithIndex.foreach { case (f, i) =>
+      require(!adds.take(i).exists(p => resolver(p.name, f.name)),
+        s"$catalogName: column ${f.name} added twice in one statement") }
     SnapshotStore.commitSchema(spark, path,
       StructType(current.fields ++ adds))
     new SnapshotCatalogTable(path, asOf = None, declaredSchema = None)

@@ -141,6 +141,47 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(SnapshotStore.latestVersion(spark, t) === 3L)
   }
 
+  test("REPLACE WHERE enforces its constraint: out-of-slice input rows fail loudly") {
+    val t = freshTable("replace-constraint")
+    SnapshotStore.append((1L to 5L).map(i => (i, "day1")).toDF("id", "day"), t,
+      statsCols = Seq("id"))
+    // a mis-filtered re-load: one row claims day1 while replacing day2 —
+    // landing it would duplicate the day1 rows the call did not replace
+    val err = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$t` REPLACE WHERE day = 'day2' " +
+        "SELECT id, CASE WHEN id = 7 THEN 'day1' ELSE 'day2' END AS day " +
+        "FROM range(6, 10)")
+    }
+    assert(err.getMessage.contains("replaceWhere") ||
+      Option(err.getCause).exists(_.getMessage.contains("replaceWhere")),
+      s"got: $err")
+    // nothing committed; NULL-condition rows are outside the slice too
+    assert(SnapshotStore.latestVersion(spark, t) === 1L)
+    val errNull = intercept[Exception] {
+      SnapshotStore.replaceWhere(
+        Seq((6L, null.asInstanceOf[String])).toDF("id", "day"), t,
+        col("day") === "day2")
+    }
+    assert(errNull.getMessage.contains("replaceWhere"), s"got: $errNull")
+    assert(SnapshotStore.latestVersion(spark, t) === 1L)
+  }
+
+  test("ALTER TABLE ADD COLUMNS duplicate check honors case-insensitive analysis") {
+    val t = freshTable("alter-ci")
+    SnapshotStore.append(Seq((1L, "en")).toDF("id", "lang"), t)
+    // `Lang` duplicates `lang` under default case-insensitive analysis —
+    // committing it would make every later read/DML ambiguous
+    val err = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (Lang STRING)") }
+    assert(err.getMessage.contains("already exists"), s"got: ${err.getMessage}")
+    // two same-name adds in one statement are refused too
+    val err2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (x BIGINT, X STRING)") }
+    assert(err2.getMessage.contains("twice") ||
+      err2.getMessage.contains("already exists"), s"got: ${err2.getMessage}")
+    assert(SnapshotStore.latestVersion(spark, t) === 1L, "no schema commit landed")
+  }
+
   test("ALTER TABLE ADD COLUMNS: metadata-only widening, old rows null-fill") {
     val t = freshTable("alter")
     SnapshotStore.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)

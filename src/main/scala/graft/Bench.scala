@@ -52,6 +52,11 @@ object Bench {
         catch { case _: Throwable => true }
       val shared = "shared_build" -> QResult(
         (System.nanoTime() - tS) / 1e9, 0L, sharedFailed)
+      // the shared tables are their own (eager) checkpoints; the scratch
+      // checkpoints their construction registered are dead now — free
+      // them so passes don't accumulate storage blocks (r11-r13's
+      // q_containment phantom: dead cache pressuring execution memory)
+      graft.runtime.Checkpoints.release()
       // SORTED name order: Map hash order reshuffles whenever the query
       // set changes, which moves every query's predecessor — and a
       // query timed right after a heavy neighbor absorbs its async
@@ -71,7 +76,12 @@ object Bench {
         val (rows, failed) =
           try { (fn(spark, sfDir).queryExecution.toRdd.count(), false) }
           catch { case _: Throwable => (-1L, true) }
-        name -> QResult((System.nanoTime() - t0) / 1e9, rows, failed)
+        val res = name -> QResult((System.nanoTime() - t0) / 1e9, rows, failed)
+        // outside the timed region: the query's terminal action has run,
+        // so its operator-internal checkpoint scratch is unreachable —
+        // free it before the next query measures
+        graft.runtime.Checkpoints.release()
+        res
       }.toMap + shared
     }
     pass(_ => true) // warmup: compile all codegen stages, warm JIT + page cache
@@ -442,11 +452,17 @@ object Bench {
           // q_dup_clusters_star times the CC iteration alone).
           val rounds = (1 to 3).map { _ =>
             SparkEntry.clearSharedTables()
+            graft.runtime.Checkpoints.release()
             scalingQs.map { q =>
               val t0 = System.nanoTime()
               val ok = try { SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count(); true }
                 catch { case _: Throwable => false }
-              q -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+              val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+              // free the query's checkpoint scratch (but NOT the shared
+              // pair table, which q_dup_clusters_star still reads — it
+              // lives in the untracked shared cache, cleared above)
+              graft.runtime.Checkpoints.release()
+              q -> sec
             }.toMap
           }
           val times = scalingQs.map { q =>

@@ -1675,6 +1675,11 @@ object SparkEntry {
     * shingle or CC computation at all.
     */
   def clearSharedTables(): Unit = {
+    // dropping the reference alone would LEAK the checkpoint blocks for
+    // the life of the JVM (localCheckpoint truncates lineage; Spark can
+    // never reclaim them itself) — every retire must unpersist
+    (pairTableCache.values ++ clusterTableCache.values)
+      .foreach(graft.runtime.Checkpoints.free(_))
     pairTableCache.clear()
     clusterTableCache.clear()
   }
@@ -2245,11 +2250,12 @@ object SparkEntry {
       // localCheckpoint preserves the term partitioning, neither
       // consumer shuffles again. This is classic two-pass TF-IDF: at
       // 100 TB the tf table is the artifact you persist anyway.
-      val pairs = spread(docs).select(col("doc_id"),
-          explode(TextFunctions.tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .repartition(col("term"))
-        .localCheckpoint()
+      val pairs = graft.runtime.Checkpoints.track(
+        spread(docs).select(col("doc_id"),
+            explode(TextFunctions.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          .repartition(col("term"))
+          .localCheckpoint())
       val dfreq = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val scored = pairs.join(dfreq, "term").crossJoin(broadcast(n))

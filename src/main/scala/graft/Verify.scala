@@ -20,8 +20,16 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.nonEmpty && !only.contains(name)) ()
-      else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      else try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // the result is on disk; operator-internal checkpoint scratch
+        // (dedup signature/posting tables etc.) is unreachable now — free
+        // it so a 150-query dump doesn't accumulate storage blocks. The
+        // shared pair/cluster tables live in SparkEntry's untracked cache
+        // and survive (five consumers read them across queries).
+        graft.runtime.Checkpoints.release()
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

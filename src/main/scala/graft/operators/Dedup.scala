@@ -25,13 +25,21 @@ object Dedup {
     * one lost executor fails the query with no recompute path. Pass a
     * path to persist the signature table to reliable storage instead —
     * it is the table you would keep anyway.
+    *
+    * Checkpoint blocks are registered with [[graft.runtime.Checkpoints]]:
+    * they must outlive this call (the returned lazy frame reads them), so
+    * the HARNESS frees them — `Checkpoints.release()` after the query's
+    * terminal action. Without that release every execution leaks one
+    * table of storage blocks into the block manager for the life of the
+    * JVM (localCheckpoint truncates lineage, so Spark itself can never
+    * drop them).
     */
   def materialize(df: DataFrame, path: Option[String]): DataFrame =
     path match {
       case Some(p) =>
         df.write.mode("overwrite").parquet(p)
         df.sparkSession.read.parquet(p)
-      case None => df.localCheckpoint()
+      case None => graft.runtime.Checkpoints.track(df.localCheckpoint())
     }
 
   /** Test hook: thread names that issued async round-state writes — the
@@ -66,9 +74,13 @@ object Dedup {
     private var lastPath: Option[String] = None
 
     def materialize(df: DataFrame, path: Option[String]): DataFrame = path match {
-      case None => df.localCheckpoint()
+      case None => graft.runtime.Checkpoints.track(df.localCheckpoint())
       case Some(p) =>
-        val ck = df.localCheckpoint()
+        // materialize the NEW frontier first (it consumes the previous
+        // one), then barrier on the previous round's durable write — by
+        // the time this returns, round i-1's checkpoint has no remaining
+        // consumer and the loop may free it (rolling release)
+        val ck = graft.runtime.Checkpoints.track(df.localCheckpoint())
         awaitPending()
         lastPath = Some(p)
         pending = Some(Future {
@@ -89,7 +101,16 @@ object Dedup {
       */
     def finish(fallback: DataFrame): DataFrame = {
       awaitPending()
-      lastPath.map(fallback.sparkSession.read.parquet(_)).getOrElse(fallback)
+      lastPath match {
+        case Some(p) =>
+          // the result re-roots on reliable storage, so the tail round's
+          // checkpoint has no remaining consumer — free it here instead
+          // of leaving it for the harness release
+          val durable = fallback.sparkSession.read.parquet(p)
+          graft.runtime.Checkpoints.free(fallback)
+          durable
+        case None => fallback
+      }
     }
 
     /** Barrier without switching lineage (error paths). */
@@ -483,6 +504,11 @@ object Dedup {
         statePath.map(p => s"$p/labels_$it"))
       if (it % checkEvery == checkEvery - 1 || it == maxIters - 1)
         converged = next.filter(col("__changed")).isEmpty
+      // rolling release: round i's frontier has no consumer left once
+      // round i+1 materialized (and, with a statePath, its durable write
+      // completed inside writer.materialize above) — free it now so the
+      // loop holds at most TWO frontiers of blocks, not one per round
+      graft.runtime.Checkpoints.free(labels)
       labels = next.drop("__changed")
       it += 1
     }
@@ -495,8 +521,12 @@ object Dedup {
     // barrier on the tail write; with a statePath the returned frame
     // roots on the last durable round table (reliable-storage lineage,
     // same as the serial form)
-    writer.finish(labels)
+    val out = writer.finish(labels)
       .select(col("doc").as("doc_id"), col("lab").as("cluster_id"))
+    // every round consumed the edge table; the result's lineage is a
+    // checkpoint (or parquet), so edges' blocks are dead weight now
+    graft.runtime.Checkpoints.free(edges)
+    out
   }
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR
@@ -567,6 +597,9 @@ object Dedup {
       val smallStats = stats(small)
       converged = smallStats == edgeStats && small.exceptAll(edges).isEmpty
       edgeStats = smallStats
+      // rolling release — AFTER the exceptAll confirm above, which is the
+      // last consumer of the previous round's edge set
+      graft.runtime.Checkpoints.free(edges)
       edges = small
       it += 1
     }

@@ -161,9 +161,9 @@ object Similarity {
   def cosinePairsBucketed(embeddings: DataFrame, idCol: String, vecCol: String,
                           bucket: Column, minCosine: Double): DataFrame = {
     graft.plans.GraftExtensions.register(embeddings.sparkSession)
-    val bucketed = embeddings
+    val bucketed = graft.runtime.Checkpoints.track(embeddings
       .select(col(idCol), col(vecCol), bucket.as("__bucket"))
-      .localCheckpoint() // one signature materialization for both branches
+      .localCheckpoint()) // one signature materialization for both branches
       .repartition(col("__bucket"))
     val a = bucketed.select(col(idCol).as("vec_a"), col(vecCol).as("__va"), col("__bucket"))
     val b = bucketed.select(col(idCol).as("vec_b"), col(vecCol).as("__vb"), col("__bucket"))
@@ -217,9 +217,10 @@ object Similarity {
                indexPath: Option[String] = None): (DataFrame, DataFrame) = {
     require(numCentroids > 0, s"numCentroids must be positive, got $numCentroids")
     graft.plans.GraftExtensions.register(embeddings.sparkSession)
-    val e = embeddings.select(col(idCol).as("vec_id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-      .localCheckpoint() // feeds seed scan, assignment, and probe scan
+    val e = graft.runtime.Checkpoints.track(
+      embeddings.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+        .localCheckpoint()) // feeds seed scan, assignment, and probe scan
     // seeds = the actual first numCentroids ids (TakeOrdered — no dense-id
     // assumption; an offset or sparse id space selects the same count)
     val seeds = e.orderBy(col("vec_id")).limit(numCentroids)

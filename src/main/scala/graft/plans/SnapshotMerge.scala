@@ -177,7 +177,7 @@ object SnapshotMerge {
                     condition: Option[Expression]): Long = {
     import org.apache.spark.sql.functions.col
     requireNoReservedCols(targetOutput, "target", "UPDATE")
-    validateAssignmentKeys(assignments, "UPDATE")
+    validateAssignmentKeys(assignments, "UPDATE", spark)
     val snap = SnapshotStore.state(spark, path)
     if (snap.live.isEmpty) return snap.version
     val all = SnapshotStore.readFiles(spark, path, snap.live.map(_.path))
@@ -245,7 +245,7 @@ object SnapshotMerge {
     requireNoReservedCols(targetOutput, "target", "MERGE")
     requireNoReservedCols(source.output, "source", "MERGE")
     matched.foreach {
-      case u: UpdateAction => validateAssignmentKeys(u.assignments, "MERGE")
+      case u: UpdateAction => validateAssignmentKeys(u.assignments, "MERGE", spark)
       case _: DeleteAction => ()
       case other => throw new UnsupportedOperationException(
         s"graft MERGE: unsupported WHEN MATCHED action: $other")
@@ -256,7 +256,7 @@ object SnapshotMerge {
         s"graft MERGE: unsupported WHEN NOT MATCHED action: $other")
     }
     notMatchedBySource.foreach {
-      case u: UpdateAction => validateAssignmentKeys(u.assignments, "MERGE")
+      case u: UpdateAction => validateAssignmentKeys(u.assignments, "MERGE", spark)
       case _: DeleteAction => ()
       case other => throw new UnsupportedOperationException(
         s"graft MERGE: unsupported WHEN NOT MATCHED BY SOURCE action: $other")
@@ -481,7 +481,8 @@ object SnapshotMerge {
     val mine: Seq[(Seq[String], Expression)] = assignments.flatMap { asg =>
       keyPath(asg.key) match {
         case Some((root, path))
-            if root.exprId == orig.exprId || root.name.equalsIgnoreCase(orig.name) =>
+            if root.exprId == orig.exprId ||
+              spark.sessionState.analyzer.resolver(root.name, orig.name) =>
           Some((path, rw(asg.value)))
         case _ => None
       }
@@ -545,10 +546,17 @@ object SnapshotMerge {
     * which write wins depends on evaluation order. Refuse loudly, as
     * Delta does. */
   private def validateAssignmentKeys(assignments: Seq[Assignment],
-                                     verb: String): Unit = {
+                                     verb: String, spark: SparkSession): Unit = {
+    // normalize with the SAME case rule rebuildStruct resolves under
+    // (spark.sql.caseSensitive): unconditional lowercasing would falsely
+    // refuse legal sibling assignments `a.B` / `a.b` on a case-sensitive
+    // session
+    val norm: String => String =
+      if (spark.sessionState.conf.caseSensitiveAnalysis) identity
+      else _.toLowerCase
     val paths: Seq[Seq[String]] = assignments.map { asg =>
       keyPath(asg.key) match {
-        case Some((root, path)) => (root.name +: path).map(_.toLowerCase)
+        case Some((root, path)) => (root.name +: path).map(norm)
         case None => throw new UnsupportedOperationException(
           s"graft $verb: unsupported assignment key ${asg.key} — only " +
             "column and nested struct-field keys are supported")
@@ -598,11 +606,19 @@ object SnapshotMerge {
     * every expression in them is: TABLESAMPLE, and LIMIT with no
     * ordering underneath (Project/LocalLimit wrappers looked through).
     */
-  private def unsortedLimitOrSample(p: LogicalPlan): Boolean = {
+  private[graft] def unsortedLimitOrSample(p: LogicalPlan): Boolean = {
     def sortedBelow(c: LogicalPlan): Boolean = c match {
-      case _: Sort => true
+      // only a GLOBAL sort pins row membership under a limit — SORT BY
+      // (sortWithinPartitions, global=false) orders within partitions
+      // while the limit's pick across partitions stays scheduling-
+      // dependent
+      case s: Sort => s.global
       case l: LocalLimit => sortedBelow(l.child)
       case pr: Project => sortedBelow(pr.child)
+      // a deterministic `(SELECT ... ORDER BY k) LIMIT n` subquery keeps
+      // its Sort under the alias at analysis time — look through it like
+      // Project, or the guard falsely rejects the sorted form
+      case sa: SubqueryAlias => sortedBelow(sa.child)
       case _ => false
     }
     p match {

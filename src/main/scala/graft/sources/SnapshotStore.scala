@@ -912,6 +912,18 @@ object SnapshotStore {
   def replaceWhere(data: DataFrame, table: String, condition: Column,
                    statsCols: Seq[String] = Nil): Long = {
     val spark = data.sparkSession
+    // `data` evaluates in TWO passes (this constraint probe, then the
+    // staged write): a non-deterministic input plan could pass the probe
+    // with one row set and land a different, violating set — the same
+    // multi-pass hazard the MERGE source guard closes, enforced at the
+    // same two levels (expression determinism and plan shape).
+    require(data.queryExecution.analyzed.find(p =>
+        p.expressions.exists(!_.deterministic) ||
+          graft.plans.SnapshotMerge.unsortedLimitOrSample(p)).isEmpty,
+      "replaceWhere: the input plan must be deterministic — it evaluates " +
+        "in two passes (constraint probe, staged write); stage a " +
+        "non-deterministic input (rand(), LIMIT without ORDER BY, " +
+        "TABLESAMPLE) to a table first")
     // rows where the condition is false OR NULL are outside the slice
     val violation = data.filter(!condition.<=>(lit(true))).limit(1).collect()
     require(violation.isEmpty,

@@ -408,8 +408,39 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(e1.getMessage.contains("deterministic"), s"got: ${e1.getMessage}")
     val e2 = intercept[Exception](merge("SELECT * FROM shape_src LIMIT 3"))
     assert(e2.getMessage.contains("deterministic"), s"got: ${e2.getMessage}")
+    // SORT BY is sortWithinPartitions (global=false): partitions are
+    // ordered but WHICH rows the limit picks across partitions is
+    // scheduling-dependent — must be rejected like the bare LIMIT
+    val e3 = intercept[Exception](merge("SELECT * FROM shape_src SORT BY id LIMIT 3"))
+    assert(e3.getMessage.contains("deterministic"), s"got: ${e3.getMessage}")
     merge("SELECT * FROM shape_src ORDER BY id LIMIT 3") // sorted LIMIT is fine
+    // a deterministic ordered SUBQUERY under the limit keeps its Sort
+    // below a SubqueryAlias — the guard must look through the alias
+    merge("SELECT * FROM (SELECT * FROM shape_src ORDER BY id) LIMIT 3")
     assert(SnapshotStore.snapshot(spark, t).select("n").as[Long].head() === 1L)
+  }
+
+  test("UPDATE: sibling assignments differing only in case are legal when case-sensitive") {
+    useCatalog()
+    val t = freshTable("graft-upd-case")
+    SnapshotStore.append(
+      spark.sql("SELECT id, named_struct('lo', CAST(0 AS LONG), 'LO', CAST(0 AS LONG)) AS m FROM range(3)"),
+      t, statsCols = Seq("id"))
+    val prev = spark.conf.get("spark.sql.caseSensitive")
+    try {
+      spark.conf.set("spark.sql.caseSensitive", "true")
+      // distinct fields `m.lo` / `m.LO` — unconditional lowercasing in
+      // the overlap check would falsely refuse this as a conflict
+      spark.sql(s"UPDATE graft.`$t` SET m.lo = 1, m.LO = 2 WHERE id = 1")
+      val row = SnapshotStore.snapshot(spark, t)
+        .selectExpr("m.lo", "m.LO").where("id = 1").head()
+      assert(row.getLong(0) === 1L && row.getLong(1) === 2L)
+      // genuine duplicates still refuse under case sensitivity
+      val err = intercept[UnsupportedOperationException] {
+        spark.sql(s"UPDATE graft.`$t` SET m.lo = 1, m.lo = 2 WHERE id = 1")
+      }
+      assert(err.getMessage.contains("overlaps"), s"got: ${err.getMessage}")
+    } finally spark.conf.set("spark.sql.caseSensitive", prev)
   }
 
   test("MERGE rejects a non-deterministic source") {

@@ -164,6 +164,24 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     assert(errNull.getMessage.contains("replaceWhere"), s"got: $errNull")
     assert(SnapshotStore.latestVersion(spark, t) === 1L)
+    // the constraint probe and the staged write are TWO passes over the
+    // input — a non-deterministic input plan (here: row membership
+    // picked by an unordered LIMIT) could pass the probe with one row
+    // set and land another, so it must be refused up front like the
+    // MERGE source guard does
+    val errNd = intercept[Exception] {
+      SnapshotStore.replaceWhere(
+        (6L to 9L).map(i => (i, "day2")).toDF("id", "day").limit(2), t,
+        col("day") === "day2")
+    }
+    assert(errNd.getMessage.contains("deterministic"), s"got: $errNd")
+    assert(SnapshotStore.latestVersion(spark, t) === 1L)
+    // the deterministic ordered form of the same input commits fine
+    SnapshotStore.replaceWhere(
+      (6L to 9L).map(i => (i, "day2")).toDF("id", "day")
+        .orderBy(col("id")).limit(2), t,
+      col("day") === "day2")
+    assert(SnapshotStore.latestVersion(spark, t) === 2L)
   }
 
   test("ALTER TABLE ADD COLUMNS duplicate check honors case-insensitive analysis") {

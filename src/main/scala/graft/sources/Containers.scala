@@ -585,10 +585,15 @@ object Containers {
     // so `maintain = Some((maxLiveFiles, targetFiles))` compacts once
     // the budget is exceeded (stats re-harvested; no-op within budget;
     // losing an optimistic-maintenance race to a concurrent writer is
-    // the normal outcome — retried next wave)
+    // the normal outcome — retried next wave). The compaction
+    // RE-CLUSTERS on (topic, ts_us) — the store's native range layout —
+    // because a plain coalesce would slowly interleave every file's
+    // time band across delta commits and kill the log-stats pruning
+    // (q_bag_time_prune's contract) the store exists for.
     maintain.foreach { case (maxLive, target) =>
       try SnapshotStore.maintain(spark, storeDir, maxLive, target,
-        statsCols = Seq("topic", "ts_us", "bag_file"))
+        statsCols = Seq("topic", "ts_us", "bag_file"),
+        clusterCols = Seq("topic", "ts_us"))
       catch { case _: java.util.ConcurrentModificationException => () }
     }
     SnapshotStore.snapshot(spark, storeDir)

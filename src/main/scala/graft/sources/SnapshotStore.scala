@@ -318,7 +318,7 @@ object SnapshotStore {
       // resolution ([[versionAt]]) reads these; [[history]] shows them.
       // Monotonicity across skewed committers is repaired at READ time
       // (versionAt), not trusted at write time.
-      val metaNow = meta + ("ts" -> System.currentTimeMillis().toString)
+      val metaNow = meta + ("ts" -> clockMillis().toString)
       metaNow.foreach { case (k, mv) =>
         require(!(k + mv).exists(ch => ch == '\t' || ch == '\n'),
           s"meta entries must be tab/newline-free: $k") }
@@ -549,9 +549,12 @@ object SnapshotStore {
     */
   def maintain(spark: SparkSession, table: String, maxLiveFiles: Int,
                targetFiles: Int, statsCols: Seq[String] = Nil,
-               zorderCols: Seq[String] = Nil): Option[Long] = {
+               zorderCols: Seq[String] = Nil,
+               clusterCols: Seq[String] = Nil): Option[Long] = {
     require(targetFiles > 0 && maxLiveFiles >= targetFiles,
       s"need maxLiveFiles >= targetFiles > 0, got ($maxLiveFiles, $targetFiles)")
+    require(zorderCols.isEmpty || clusterCols.isEmpty,
+      "pass zorderCols OR clusterCols, not both — they are competing layouts")
     if (state(spark, table).live.size <= maxLiveFiles) None
     else if (zorderCols.nonEmpty)
       // z-ordered rewrite: size-triggered maintenance RESTORES sharp
@@ -560,7 +563,35 @@ object SnapshotStore {
       // domain while the z-ordered one re-clusters (stats re-harvested
       // on the zorder columns; same one-commit metadata swap)
       Some(compactZOrdered(spark, table, targetFiles, zorderCols))
+    else if (clusterCols.nonEmpty)
+      Some(compactClustered(spark, table, targetFiles, clusterCols, statsCols))
     else Some(compact(spark, table, targetFiles, statsCols))
+  }
+
+  /** Compaction that RE-CLUSTERS by range on `clusterCols` — for tables
+    * whose native layout is lexicographic (e.g. the typed extraction
+    * stores: range-partitioned on (topic, ts_us), the order their
+    * time-band reads prune on). A plain [[compact]] coalesces
+    * arbitrarily, so after enough delta commits every output file's
+    * [min,max] box spans the whole domain and log-stats pruning dies;
+    * Morton [[compactZOrdered]] doesn't apply when the leading key is a
+    * STRING. Range clustering restores exactly the layout the original
+    * write produced. Stats harvest on `statsCols` (default: the cluster
+    * columns) so pruning sharpens in the same commit.
+    */
+  def compactClustered(spark: SparkSession, table: String, targetFiles: Int,
+                       clusterCols: Seq[String],
+                       statsCols: Seq[String] = Nil): Long = {
+    require(clusterCols.nonEmpty, "compactClustered needs cluster columns")
+    val snap = state(spark, table)
+    val cols = clusterCols.map(col)
+    val df = readWithSchema(spark, snap.meta, snap.live.map(_.path))
+      .repartitionByRange(targetFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+    val harvest = if (statsCols.nonEmpty) statsCols else clusterCols
+    val adds = stageFiles(df, table, harvest)
+    commit(spark, table, adds, removes = snap.live.map(_.path),
+      meta = Map("op" -> "compact"), mustBeLive = snap.live.map(_.path))
   }
 
   /** Read the table at `asOf` (default: latest). */
@@ -1087,20 +1118,30 @@ object SnapshotStore {
     * not an empty read.
     */
   def versionAt(spark: SparkSession, table: String, tsMillis: Long): Long = {
+    val stamped = stampedVersions(spark, table)
+    require(tsMillis >= stamped.head._2,
+      s"TIMESTAMP AS OF $tsMillis predates $table's first commit " +
+        s"(${stamped.head._2}); earliest readable version is ${stamped.head._1}")
+    stamped.takeWhile(_._2 <= tsMillis).last._1
+  }
+
+  /** Every version with its MONOTONIC commit timestamp, ascending — the
+    * shared resolution input for [[versionAt]] and time-based
+    * [[vacuum]] retention (both must agree on what "the table at time
+    * T" means, or vacuum could delete a version time travel resolves).
+    */
+  private def stampedVersions(spark: SparkSession,
+                              table: String): Seq[(Long, Long)] = {
     val asc = history(spark, table).reverse
     require(asc.nonEmpty, s"no commits at $table")
     val fs = logDir(table).getFileSystem(conf(spark))
     var prev = Long.MinValue
-    val stamped = asc.map { case (v, _, meta) =>
+    asc.map { case (v, _, meta) =>
       val raw = meta.get("ts").flatMap(_.toLongOption).getOrElse(
         fs.getFileStatus(commitPath(table, v)).getModificationTime)
       prev = if (prev == Long.MinValue) raw else math.max(raw, prev + 1)
       (v, prev)
     }
-    require(tsMillis >= stamped.head._2,
-      s"TIMESTAMP AS OF $tsMillis predates $table's first commit " +
-        s"(${stamped.head._2}); earliest readable version is ${stamped.head._1}")
-    stamped.takeWhile(_._2 <= tsMillis).last._1
   }
 
   /** Physically delete data files not referenced by any of the last
@@ -1127,31 +1168,82 @@ object SnapshotStore {
     */
   val vacuumGraceMs: Long = 20L * 60 * 1000
 
+  /** Test seam for wall-clock reads (commit `ts` stamping and vacuum
+    * cutoffs) — retention specs simulate clock-skewed committers and a
+    * controlled "now" through it. Production never touches it.
+    */
+  private[graft] var clockMillis: () => Long = () => System.currentTimeMillis()
+
+  /** What one vacuum pass deleted — or, for a dry run, WOULD delete:
+    * data files and their total bytes, plus the retention floor it
+    * resolved (every version >= `floorVersion` stays readable).
+    */
+  case class VacuumReport(files: Int, bytes: Long, floorVersion: Long,
+                          dryRun: Boolean)
+
   def vacuum(spark: SparkSession, table: String, retainVersions: Int = 1,
-             graceMs: Long = vacuumGraceMs): Int = {
+             graceMs: Long = vacuumGraceMs): Int =
+    vacuumReport(spark, table, retainVersions, graceMs = graceMs).files
+
+  /** Full-control vacuum: version-count AND/OR wall-clock retention,
+    * with a dry run that reports reclaimable (files, bytes) without
+    * deleting anything.
+    *
+    * `retainHours` keeps every version needed so that `TIMESTAMP AS OF`
+    * any instant in the last N hours still resolves — the floor is
+    * [[versionAt]](now − N·3600s) itself, computed on the SAME
+    * monotonic-adjusted stamps time travel uses (a commit stamped
+    * at-or-before its predecessor resolves as predecessor + 1 ms), so
+    * clock skew between committers can never make vacuum delete a
+    * version that time travel would still hand out. A cutoff predating
+    * the first commit retains everything. When both policies are given
+    * the LOOSER one wins (union of retained versions) — vacuum must
+    * honor every promise made.
+    */
+  def vacuumReport(spark: SparkSession, table: String,
+                   retainVersions: Int = 1,
+                   retainHours: Option[Double] = None,
+                   graceMs: Long = vacuumGraceMs,
+                   dryRun: Boolean = false): VacuumReport = {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    require(retainHours.forall(_ >= 0), s"retainHours must be >= 0, got $retainHours")
     require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
     val c = conf(spark)
     val data = dataDir(table)
     val fs = data.getFileSystem(c)
-    if (!fs.exists(data)) return 0
-    val retained = versions(spark, table).takeRight(retainVersions)
+    val vs = versions(spark, table)
+    if (!fs.exists(data) || vs.isEmpty)
+      return VacuumReport(0, 0L, vs.lastOption.getOrElse(0L), dryRun)
+    val countFloor = vs.takeRight(retainVersions).head
+    val timeFloor: Option[Long] = retainHours.map { h =>
+      val cutoff = clockMillis() - math.round(h * 3600 * 1000)
+      val stamped = stampedVersions(spark, table)
+      // the version CURRENT at the cutoff anchors the window: every
+      // TIMESTAMP AS OF inside it resolves to that version or later
+      if (cutoff < stamped.head._2) stamped.head._1
+      else stamped.takeWhile(_._2 <= cutoff).last._1
+    }
+    val floor = timeFloor.fold(countFloor)(math.min(countFloor, _))
+    val retained = vs.filter(_ >= floor)
     val live = retained
       .flatMap(v => state(spark, table, Some(v)).live.map(_.path)).toSet
     // normalize through Path so scheme differences can't fake orphans
     val liveNames = live.map(p => new Path(p).getName)
-    val cutoff = System.currentTimeMillis() - graceMs
+    val cutoff = clockMillis() - graceMs
     val victims = fs.listStatus(data).toSeq
       .filter(s => s.isFile && !liveNames.contains(s.getPath.getName) &&
         s.getModificationTime <= cutoff)
-    victims.foreach(s => fs.delete(s.getPath, false))
-    // stranded stage dirs from crashed writers — same grace window: a
-    // LIVE stage dir belongs to a writer that has not moved its files yet
-    fs.listStatus(new Path(table)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-") &&
-        s.getModificationTime <= cutoff)
-      .foreach(s => fs.delete(s.getPath, true))
-    victims.size
+    val bytes = victims.map(_.getLen).sum
+    if (!dryRun) {
+      victims.foreach(s => fs.delete(s.getPath, false))
+      // stranded stage dirs from crashed writers — same grace window: a
+      // LIVE stage dir belongs to a writer that has not moved its files yet
+      fs.listStatus(new Path(table)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-") &&
+          s.getModificationTime <= cutoff)
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+    VacuumReport(victims.size, bytes, floor, dryRun)
   }
 
   /** Replay-safe streaming append sink: each micro-batch commits with

@@ -19,13 +19,15 @@ import graft.sources.SnapshotStore
   */
 private[v2] object SnapshotProcedures {
 
-  val names: Seq[String] = Seq("optimize", "vacuum", "restore", "extract")
+  val names: Seq[String] =
+    Seq("optimize", "vacuum", "restore", "extract", "refresh_manifest")
 
   def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
     case "optimize" => Some(Optimize)
     case "vacuum" => Some(Vacuum)
     case "restore" => Some(Restore)
     case "extract" => Some(Extract)
+    case "refresh_manifest" => Some(RefreshManifest)
     case _ => None
   }
 
@@ -77,20 +79,57 @@ private[v2] object SnapshotProcedures {
     }
   }
 
-  /** `CALL graft.vacuum(table[, retain_versions])` — delete data files
-    * referenced by NO retained version ([[SnapshotStore.vacuum]]'s
-    * version-count retention). */
+  /** `CALL graft.vacuum(table[, retain_versions][, retain_hours][,
+    * dry_run])` — delete data files referenced by NO retained version.
+    * Retention is the LOOSER of the version-count window and the
+    * wall-clock window (`retain_hours` keeps TIMESTAMP AS OF working
+    * over the last N hours; negative = not set). `dry_run => true`
+    * reports reclaimable (files, bytes) and deletes NOTHING — the ops
+    * probe you run before committing to a retention policy. */
   private object Vacuum extends Proc("vacuum",
     Seq(
       ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("retain_versions", IntegerType).defaultValue("1").build()),
+      ProcedureParameter.in("retain_versions", IntegerType).defaultValue("1").build(),
+      ProcedureParameter.in("retain_hours", DoubleType)
+        .defaultValue("CAST(-1.0 AS DOUBLE)").build(),
+      ProcedureParameter.in("dry_run", BooleanType).defaultValue("false").build()),
     StructType(Seq(
-      StructField("deleted_files", IntegerType, nullable = false)))) {
+      StructField("deleted_files", IntegerType, nullable = false),
+      StructField("deleted_bytes", LongType, nullable = false),
+      StructField("floor_version", LongType, nullable = false),
+      StructField("dry_run", BooleanType, nullable = false)))) {
     override def description(): String =
-      "delete unreferenced data files past the retained version window"
-    override protected def run(in: InternalRow): InternalRow =
-      InternalRow(SnapshotStore.vacuum(spark, in.getUTF8String(0).toString,
-        retainVersions = in.getInt(1), graceMs = 0L))
+      "delete (or with dry_run: report) unreferenced data files past the retention window"
+    override protected def run(in: InternalRow): InternalRow = {
+      val hours = in.getDouble(2)
+      val r = SnapshotStore.vacuumReport(spark, in.getUTF8String(0).toString,
+        retainVersions = in.getInt(1),
+        retainHours = if (hours >= 0) Some(hours) else None,
+        graceMs = 0L, dryRun = in.getBoolean(3))
+      InternalRow(r.files, r.bytes, r.floorVersion, r.dryRun)
+    }
+  }
+
+  /** `CALL graft.refresh_manifest(bag_dir)` — incremental bag-manifest
+    * maintenance as SQL ([[graft.sources.BagManifest.refresh]]): only
+    * new/changed bags re-plan, deleted bags drop, an unchanged lake is
+    * a no-op. The one maintenance verb of the bag read path — CALL it
+    * after every ingest wave and fleet-wide plans stop paying the
+    * per-bag index reads ([[BagManifest]]'s planCalls contract). */
+  private object RefreshManifest extends Proc("refresh_manifest",
+    Seq(ProcedureParameter.in("bag_dir", StringType).build()),
+    StructType(Seq(
+      StructField("manifest_dir", StringType, nullable = false),
+      StructField("bags", LongType, nullable = false)))) {
+    override def description(): String =
+      "incrementally refresh the bag-lake manifest (new/changed bags only)"
+    override protected def run(in: InternalRow): InternalRow = {
+      val dir = in.getUTF8String(0).toString
+      val manifest = graft.sources.BagManifest.refresh(spark, dir)
+      val bags = spark.read.parquet(manifest)
+        .select("bag_path").distinct().count()
+      InternalRow(UTF8String.fromString(manifest), bags)
+    }
   }
 
   /** `CALL graft.extract(bag_dir, store_dir, topics_csv)` — the

@@ -128,6 +128,40 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.maintain(spark, t, maxLiveFiles = 4, targetFiles = 2).isEmpty)
   }
 
+  test("maintain(clusterCols): range re-clustering restores time-band pruning on a string-keyed layout") {
+    val t = tempTable("maintainc")
+    // 8 delta waves, each spanning the FULL (topic, ts) domain — the
+    // typed-extraction fragmentation shape: every file's ts box covers
+    // the whole history, so a time-band read prunes nothing. Morton
+    // z-order cannot apply (the leading key is a STRING).
+    (0 until 8).foreach { i =>
+      val rows = (0 until 240).map(j =>
+        (Seq("cam", "gps", "lidar")(j % 3), (j * 8 + i).toLong, i.toLong))
+      SnapshotStore.append(rows.toDF("topic", "ts_us", "w").coalesce(1), t,
+        statsCols = Seq("topic", "ts_us"))
+    }
+    val band = Map("ts_us" -> (0L, 200L)) // ~10% of the 0..1919 span
+    val (keptBefore, totalBefore) = SnapshotStore.prunedLiveFiles(spark, t, band)
+    assert(totalBefore === 8 && keptBefore.size === 8,
+      "fragmented deltas: the time band can prune nothing")
+    val v = SnapshotStore.maintain(spark, t, maxLiveFiles = 7, targetFiles = 4,
+      statsCols = Seq("topic", "ts_us"), clusterCols = Seq("topic", "ts_us"))
+    assert(v.nonEmpty)
+    val (kept, total) = SnapshotStore.prunedLiveFiles(spark, t, band)
+    assert(total === 4, s"rewrite lands targetFiles files, got $total")
+    assert(kept.size < total,
+      s"a 10% time band must skip files after re-clustering, got ${kept.size} of $total")
+    // content preserved exactly
+    assert(SnapshotStore.snapshot(spark, t).count() === 8L * 240)
+    assert(SnapshotStore.snapshot(spark, t)
+      .where(col("ts_us") <= 200L).count() ===
+      (0 until 8).map(i => (0 until 240).count(j => j * 8 + i <= 200)).sum)
+    // competing layouts refuse loudly
+    intercept[IllegalArgumentException] {
+      SnapshotStore.maintain(spark, t, maxLiveFiles = 1, targetFiles = 1,
+        zorderCols = Seq("ts_us", "w"), clusterCols = Seq("topic")) }
+  }
+
   test("maintain(zorderCols): size-triggered maintenance restores sharp box pruning") {
     val t = tempTable("maintainz")
     // 8 fragmented appends, each spanning the FULL (x, y) domain — every
@@ -403,6 +437,57 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(deleted === 1, "only v1's file falls outside the window")
     // v2 and v3 both still read; v1 is gone
     assert(idsOf(SnapshotStore.snapshot(spark, t, asOf = Some(2L))) === Set(2L))
+    assert(idsOf(SnapshotStore.snapshot(spark, t)) === Set(3L))
+    intercept[Exception] {
+      SnapshotStore.snapshot(spark, t, asOf = Some(1L)).collect() }
+  }
+
+  test("time-based vacuum: skew-repaired stamps, looser-wins, dry run deletes nothing") {
+    val t = tempTable("retain-hours")
+    val now = System.currentTimeMillis()
+    val clock0 = SnapshotStore.clockMillis
+    try {
+      // v1 committed "1h ago"; v2 by a committer whose clock runs 3h
+      // SLOW (raw stamp BEFORE v1's) — versionAt repairs it to v1+1ms,
+      // and retention must reason on the SAME repaired stamps: a naive
+      // raw-ts policy would delete v2 while keeping the OLDER v1
+      SnapshotStore.clockMillis = () => now - 3600_000L
+      SnapshotStore.append(Seq(1L).toDF("id"), t)     // v1
+      SnapshotStore.clockMillis = () => now - 3 * 3600_000L
+      SnapshotStore.overwrite(Seq(2L).toDF("id"), t)  // v2, skewed stamp
+      SnapshotStore.clockMillis = () => now - 600_000L
+      SnapshotStore.overwrite(Seq(3L).toDF("id"), t)  // v3, 10 min ago
+    } finally SnapshotStore.clockMillis = clock0
+
+    // 2h window: the cutoff (now-2h) predates the first repaired stamp
+    // (now-1h) → the whole history is inside the window, nothing moves
+    val r2h = SnapshotStore.vacuumReport(spark, t, retainVersions = 1,
+      retainHours = Some(2.0), graceMs = 0L)
+    assert(r2h.files === 0 && r2h.floorVersion === 1L, s"got $r2h")
+    assert(idsOf(SnapshotStore.snapshot(spark, t, asOf = Some(2L))) === Set(2L))
+
+    // 30min window: at instant now-30min the table WAS v2 (v3 landed 10
+    // min ago), so TIMESTAMP AS OF inside the window needs v2 → floor 2,
+    // only v1's file is reclaimable. Dry run reports it, deletes nothing.
+    val dry = SnapshotStore.vacuumReport(spark, t, retainVersions = 1,
+      retainHours = Some(0.5), graceMs = 0L, dryRun = true)
+    assert(dry.files === 1 && dry.bytes > 0L && dry.floorVersion === 2L
+      && dry.dryRun, s"got $dry")
+    assert(idsOf(SnapshotStore.snapshot(spark, t, asOf = Some(1L))) === Set(1L),
+      "dry run must delete nothing")
+
+    // when both policies are set the LOOSER wins: 3 retained versions
+    // override the 30min window — still nothing deletable
+    val loose = SnapshotStore.vacuumReport(spark, t, retainVersions = 3,
+      retainHours = Some(0.5), graceMs = 0L, dryRun = true)
+    assert(loose.files === 0 && loose.floorVersion === 1L, s"got $loose")
+
+    // the real pass deletes exactly what the dry run promised
+    val real = SnapshotStore.vacuumReport(spark, t, retainVersions = 1,
+      retainHours = Some(0.5), graceMs = 0L)
+    assert(real.files === dry.files && real.bytes === dry.bytes, s"got $real")
+    assert(idsOf(SnapshotStore.snapshot(spark, t, asOf = Some(2L))) === Set(2L),
+      "the window's anchor version must stay readable")
     assert(idsOf(SnapshotStore.snapshot(spark, t)) === Set(3L))
     intercept[Exception] {
       SnapshotStore.snapshot(spark, t, asOf = Some(1L)).collect() }

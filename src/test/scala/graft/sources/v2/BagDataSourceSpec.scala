@@ -483,6 +483,14 @@ class BagDataSourceSpec extends SparkSpec {
       "size-triggered maintenance must bound the delta-file accumulation")
     assert(stored(store) === ((0L until 4L) ++ (20L until 24L) ++
       (100L until 116L)))
+    // maintenance re-clusters on (topic, ts_us): a narrow time band must
+    // keep pruning files after the compaction — a plain coalesce would
+    // slowly merge every file's ts box over the whole ingest history
+    val (keptBand, totalBand) = graft.sources.SnapshotStore.prunedLiveFiles(
+      spark, store, Map("ts_us" -> (1000L, 1023L)))
+    assert(totalBand > 1, s"store must hold multiple files, got $totalBand")
+    assert(keptBand.size < totalBand,
+      s"time-band read must skip files post-maintenance: kept ${keptBand.size} of $totalBand")
   }
 
   test("typed extraction store is transactional: torn or concurrent extractions never visible") {

@@ -270,6 +270,57 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     intercept[Exception] { spark.sql(s"CALL graft.no_such_proc('$t')") }
   }
 
+  test("CALL graft.vacuum: dry_run reports (files, bytes) and deletes nothing; retain_hours honored") {
+    val t = freshTable("vacdry")
+    SnapshotStore.append(Seq(1L).toDF("id"), t)     // v1
+    SnapshotStore.overwrite(Seq(2L).toDF("id"), t)  // v2
+    val dry = spark.sql(
+      s"CALL graft.vacuum('$t', dry_run => true)").collect().head
+    assert(dry.getAs[Int]("deleted_files") === 1
+      && dry.getAs[Long]("deleted_bytes") > 0L
+      && dry.getAs[Boolean]("dry_run"), s"got: $dry")
+    // nothing deleted: the pre-overwrite version still reads
+    assert(spark.sql(s"SELECT id FROM graft.`$t` VERSION AS OF 1")
+      .as[Long].head === 1L)
+    // a generous wall-clock window retains everything (both commits are
+    // seconds old) even though retain_versions=1 alone would reclaim v1
+    val held = spark.sql(
+      s"CALL graft.vacuum('$t', retain_hours => 1.0D, dry_run => true)")
+      .collect().head
+    assert(held.getAs[Int]("deleted_files") === 0, s"got: $held")
+    // the real pass reclaims exactly what the dry run reported
+    val real = spark.sql(s"CALL graft.vacuum('$t')").collect().head
+    assert(real.getAs[Int]("deleted_files") === 1
+      && real.getAs[Long]("deleted_bytes") === dry.getAs[Long]("deleted_bytes")
+      && !real.getAs[Boolean]("dry_run"), s"got: $real")
+    intercept[Exception] {
+      spark.sql(s"SELECT id FROM graft.`$t` VERSION AS OF 1").collect() }
+  }
+
+  test("CALL graft.refresh_manifest: a landed wave refreshes, the next fleet plan opens zero bags") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-callrefman").toString
+    def land(name: String, n: Int): Unit = Files.write(
+      Paths.get(dir, s"$name.bag"),
+      graft.plans.BagCodec.pack(
+        (0 until n).map(i => ("cam", 1000000L + i, s"m$i".getBytes("UTF-8"))),
+        "none", messagesPerChunk = 4))
+    land("w1_a", 8)
+    val r1 = spark.sql(s"CALL graft.refresh_manifest('$dir')").collect().head
+    assert(r1.getAs[Long]("bags") === 1L)
+    // a new ingest wave lands; CALL refreshes incrementally
+    land("w2_b", 5)
+    val r2 = spark.sql(s"CALL graft.refresh_manifest('$dir')").collect().head
+    assert(r2.getAs[Long]("bags") === 2L)
+    // the refreshed manifest answers the whole fleet plan: zero bag opens
+    BagScan.resetPlanProbe()
+    val counts = spark.read.format("graft.sources.v2.BagDataSource").load(dir)
+      .groupBy("bag_file").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("w1_a" -> 8L, "w2_b" -> 5L))
+    assert(BagScan.planCalls.get() === 0,
+      "post-CALL, planning must be answered by the manifest alone")
+  }
+
   test("CALL graft.extract runs the incremental extraction pipeline from SQL") {
     import java.nio.{ByteBuffer, ByteOrder}
     import java.nio.file.{Files, Paths}

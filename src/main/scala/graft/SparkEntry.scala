@@ -1479,7 +1479,20 @@ object SparkEntry {
       require(s.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 1")
         .columns.toSeq == Seq("doc_id", "lang"),
         "time travel must see the narrow era's schema")
-      graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
+      // column RETIREMENT era: RENAME via column mapping — metadata-only
+      // (require'd on the live-file set: the physical parquet names
+      // never change, so zero data moves), every pre-rename file reads
+      // under the new logical name, and each era keeps its own names
+      // under time travel
+      val preRename = graft.sources.SnapshotStore.state(s, t)
+      s.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN n_chars TO len")
+      require(graft.sources.SnapshotStore.state(s, t).live.map(_.path).toSet
+        == preRename.live.map(_.path).toSet,
+        "RENAME COLUMN must move zero data (column mapping)")
+      require(s.sql(s"SELECT * FROM graft.`$t` VERSION AS OF ${preRename.version}")
+        .columns.toSeq == Seq("doc_id", "lang", "n_chars"),
+        "time travel must see the pre-rename era's column name")
+      s.sql(s"SELECT doc_id, lang, len FROM graft.`$t` ORDER BY doc_id")
     }),
     "q_snapshot_optimize_sql" -> ((s, d) => {
       // SQL `CALL` table maintenance (Spark 4 DSv2 stored procedures —
@@ -3049,7 +3062,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_snapshot_evolve_sql" ->
       """SELECT doc_id, lang,
-        |  CASE WHEN doc_id % 10 >= 8 THEN n_chars END AS n_chars
+        |  CASE WHEN doc_id % 10 >= 8 THEN n_chars END AS len
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_snapshot_optimize_sql" ->
       """WITH b AS (SELECT max(doc_id) // 4 AS hi_id,

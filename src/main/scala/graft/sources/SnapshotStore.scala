@@ -376,22 +376,34 @@ object SnapshotStore {
     val c = conf(spark)
     val data = dataDir(table)
     val fs = data.getFileSystem(c)
+    // column-mapped table: data files carry PHYSICAL names — rename the
+    // logical frame before writing, harvest stats under the physical
+    // names, and key the AddFile entries back to LOGICAL (the name every
+    // pruning consumer queries by; renames re-key them in-commit)
+    val mapping: Map[String, String] =
+      if (latestVersion(spark, table) == 0L) Map.empty
+      else schemaOf(state(spark, table).meta).map(mappingOf).getOrElse(Map.empty)
+    val physDf = mapping.foldLeft(df) { case (d, (l, p)) => d.withColumnRenamed(l, p) }
+    val physStats = statsCols.map(s => mapping.getOrElse(s, s))
+    val toLogical = mapping.map(_.swap)
+    def logicalKey(k: String): String = toLogical.getOrElse(k, k)
     val tmp = new Path(table, s".stage-${java.util.UUID.randomUUID()}")
-    bloomCols.foldLeft(df.write.mode("overwrite")) { (w, bc) =>
-      w.option(s"parquet.bloom.filter.enabled#$bc", "true")
-    }.parquet(tmp.toString)
+    bloomCols.map(b => mapping.getOrElse(b, b))
+      .foldLeft(physDf.write.mode("overwrite")) { (w, bc) =>
+        w.option(s"parquet.bloom.filter.enabled#$bc", "true")
+      }.parquet(tmp.toString)
     // footer harvest BEFORE the move: rows always; [min,max] for the
     // requested columns — long ranges where the parquet stats are
     // int64, string ranges (capped, Delta-style truncation) where they
     // are Binary/UTF-8. A column yields whichever leg its physical
     // type supports; the other leg is simply absent.
-    val stats = ZOrderStore.fileStats(spark, tmp.toString, statsCols)
+    val stats = ZOrderStore.fileStats(spark, tmp.toString, physStats)
       .map { case (f, perCol) => f -> perCol.collect {
-        case (col, Some(range)) => col -> range }.toMap }.toMap
-    val strStats = ZOrderStore.fileStringStats(spark, tmp.toString, statsCols)
+        case (col, Some(range)) => logicalKey(col) -> range }.toMap }.toMap
+    val strStats = ZOrderStore.fileStringStats(spark, tmp.toString, physStats)
       .map { case (f, perCol) => f -> perCol.collect {
         case (col, Some((lo, hi))) if hi.length <= StrStatLen =>
-          col -> (truncMin(lo), hi)
+          logicalKey(col) -> (truncMin(lo), hi)
       }.toMap }.toMap
     val rows = ZOrderStore.rowGroupStats(spark, tmp.toString, Nil)
       .map { case (f, blocks) => f -> blocks.map(_.rows).sum }.toMap
@@ -425,6 +437,99 @@ object SnapshotStore {
     meta.get("schema").map(s => org.apache.spark.sql.types.DataType.fromJson(s)
       .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  // ------------------------------------------------------- column mapping
+
+  /** Field-metadata key holding a column's PHYSICAL (on-disk parquet)
+    * name when it differs from the logical one — Delta's name-mode
+    * column mapping. Data files always carry physical names; RENAME
+    * only re-labels the logical side and DROP only forgets a mapping,
+    * so both are METADATA-ONLY commits and every old file keeps
+    * reading. Absent metadata (every table until its first rename)
+    * means physical == logical — zero-cost for the common case.
+    */
+  private[graft] val PhysicalKey = "graft.physical"
+
+  private[graft] def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey) else f.name
+
+  private[graft] def hasMapping(s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.exists(f => physicalName(f) != f.name)
+
+  /** logical → physical, only where they differ. */
+  private[graft] def mappingOf(s: org.apache.spark.sql.types.StructType): Map[String, String] =
+    s.fields.iterator.map(f => f.name -> physicalName(f))
+      .filter(p => p._1 != p._2).toMap
+
+  /** The on-disk schema: physical names, mapping metadata stripped. */
+  private[graft] def physicalSchema(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map { f =>
+      f.copy(name = physicalName(f),
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(PhysicalKey).build())
+    })
+
+  /** Read `paths` pinned to a CALLER-FIXED logical schema (the
+    * streaming source's batch contract: column-stable for the stream's
+    * lifetime) through the table's CURRENT column mapping — physical
+    * names are immutable, so one mapping describes every file of every
+    * era. A column renamed after the stream started no longer matches
+    * and null-fills, the same drift behavior as a widened footprint.
+    */
+  private[graft] def readFilesAs(spark: SparkSession, table: String,
+                                 schema: org.apache.spark.sql.types.StructType,
+                                 paths: Seq[String],
+                                 asOf: Option[Long] = None): DataFrame = {
+    val mapping = tableSchema(spark, table, asOf)
+      .map(mappingOf).getOrElse(Map.empty)
+    val phys = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      f.copy(name = mapping.getOrElse(f.name, f.name))))
+    val base =
+      if (paths.isEmpty) spark.read.schema(phys).parquet()
+      else spark.read.schema(phys).parquet(paths: _*)
+    if (mapping.isEmpty) base
+    else {
+      def q(n: String) = s"`${n.replace("`", "``")}`"
+      base.select(schema.fields.toIndexedSeq.map(f =>
+        col(q(mapping.getOrElse(f.name, f.name))).as(f.name)): _*)
+    }
+  }
+
+  /** The user-facing schema: logical names, mapping metadata stripped
+    * (the physical indirection is a storage detail, not result schema).
+    */
+  private[graft] def logicalSchema(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map { f =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove(PhysicalKey).build())
+    })
+
+  /** Physical names no LIVE column uses but some file may still carry
+    * (dropped or superseded) — a new column may never adopt one, or old
+    * files' bytes would resurrect under the new logical name.
+    */
+  private def retiredPhysicals(meta: Map[String, String]): Set[String] =
+    meta.get("schema.retired")
+      .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  /** Assign a NEW column its physical name: the logical name itself
+    * unless that name was ever used physically (case-insensitive — the
+    * parquet reader's default name matching) — then a fresh suffixed
+    * one via the mapping metadata.
+    */
+  private def assignPhysical(f: org.apache.spark.sql.types.StructField,
+                             current: org.apache.spark.sql.types.StructType,
+                             retired: Set[String]): org.apache.spark.sql.types.StructField = {
+    val used = current.fields.map(physicalName).toSet ++ retired
+    if (!used.exists(_.equalsIgnoreCase(f.name))) f
+    else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+      .putString(PhysicalKey,
+        s"${f.name}_r${java.util.UUID.randomUUID().toString.take(8)}")
+      .build())
+  }
+
   /** Validate an incoming append schema against the table's, returning
     * the (possibly widened) table schema to record. Same-name fields
     * must type-match exactly (nullability aside) — a drifted type is a
@@ -437,7 +542,8 @@ object SnapshotStore {
     */
   private def evolveSchema(current: org.apache.spark.sql.types.StructType,
                            incoming: org.apache.spark.sql.types.StructType,
-                           mergeSchema: Boolean, table: String)
+                           mergeSchema: Boolean, table: String,
+                           retired: Set[String])
       : org.apache.spark.sql.types.StructType = {
     val cur = current.map(f => f.name -> f).toMap
     incoming.foreach { f =>
@@ -456,7 +562,8 @@ object SnapshotStore {
           "not in the table schema — pass mergeSchema = true to widen " +
           "(old rows read the new columns as null)")
       org.apache.spark.sql.types.StructType(
-        current.fields ++ extras.map(_.copy(nullable = true)))
+        current.fields ++ extras.map(f =>
+          assignPhysical(f.copy(nullable = true), current, retired)))
     }
   }
 
@@ -478,9 +585,12 @@ object SnapshotStore {
     // recorded, or the later commit silently drops the earlier column
     def recorded: org.apache.spark.sql.types.StructType =
       if (latestVersion(spark, table) == 0L) df.schema
-      else schemaOf(state(spark, table).meta)
-        .map(evolveSchema(_, df.schema, mergeSchema, table))
-        .getOrElse(df.schema) // pre-schema-tracking table: adopt as-is
+      else {
+        val m = state(spark, table).meta
+        schemaOf(m)
+          .map(evolveSchema(_, df.schema, mergeSchema, table, retiredPhysicals(m)))
+          .getOrElse(df.schema) // pre-schema-tracking table: adopt as-is
+      }
     val _ = recorded // fail fast (type drift / missing mergeSchema) before staging
     val adds = stageFiles(df, table, statsCols, bloomCols)
     commit(spark, table, adds, removes = Nil,
@@ -498,9 +608,30 @@ object SnapshotStore {
     val prior =
       if (latestVersion(spark, table) == 0L) Nil
       else state(spark, table).live.map(_.path)
+    // on a column-mapped table the staged files carry the CURRENT
+    // physical names (stageFiles renames through the live mapping), so
+    // the recorded schema must keep those mappings for every column the
+    // new layout shares — adopting df.schema verbatim would sever them
+    // and readers of this very commit would null-fill the mapped columns
+    def recorded: org.apache.spark.sql.types.StructType =
+      if (latestVersion(spark, table) == 0L) df.schema
+      else schemaOf(state(spark, table).meta) match {
+        case Some(c) if hasMapping(c) =>
+          val resolver = spark.sessionState.analyzer.resolver
+          org.apache.spark.sql.types.StructType(df.schema.fields.map { f =>
+            c.find(cf => resolver(cf.name, f.name)) match {
+              case Some(cf) if physicalName(cf) != cf.name =>
+                f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putString(PhysicalKey, physicalName(cf)).build())
+              case _ => f
+            }
+          })
+        case _ => df.schema
+      }
     val adds = stageFiles(df, table, statsCols, bloomCols)
     commit(spark, table, adds, removes = prior,
-      meta = meta + ("op" -> "overwrite") + ("schema" -> df.schema.json),
+      meta = meta + ("op" -> "overwrite") + ("schema" -> recorded.json),
       mustBeLive = prior)
   }
 
@@ -511,11 +642,20 @@ object SnapshotStore {
     * inference.
     */
   private def readWithSchema(spark: SparkSession,
-                             meta: Map[String, String], paths: Seq[String]): DataFrame = {
-    val reader = spark.read
-    schemaOf(meta).foreach(reader.schema)
-    reader.parquet(paths: _*)
-  }
+                             meta: Map[String, String], paths: Seq[String]): DataFrame =
+    schemaOf(meta) match {
+      case Some(s) if hasMapping(s) =>
+        // column-mapped table: files carry PHYSICAL names — read those
+        // and alias back to the logical view. `_metadata` still resolves
+        // through the alias Project (pinned by MetaProbeSpec), filters on
+        // logical names push through the aliases to the scan.
+        def q(n: String) = s"`${n.replace("`", "``")}`"
+        spark.read.schema(physicalSchema(s)).parquet(paths: _*)
+          .select(s.fields.toIndexedSeq.map(f =>
+            col(q(physicalName(f))).as(f.name)): _*)
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
 
   /** Metadata-swap compaction: rewrite the live set into `targetFiles`
     * files and publish ONE commit that removes the fragments and adds
@@ -818,7 +958,8 @@ object SnapshotStore {
     */
   private[graft] def commitSchema(spark: SparkSession, table: String,
                                   widened: org.apache.spark.sql.types.StructType): Long = {
-    val current = schemaOf(state(spark, table).meta).getOrElse(
+    val snap = state(spark, table)
+    val current = schemaOf(snap.meta).getOrElse(
       throw new IllegalStateException(
         s"$table records no schema (pre-schema-tracking table) — append " +
           "once with the current layout before altering"))
@@ -836,10 +977,94 @@ object SnapshotStore {
       }
     }
     require(current.forall(f => widened.exists(w => resolver(w.name, f.name))),
-      s"alter $table: dropping columns is not supported")
+      s"alter $table: dropping columns is not supported here — use dropColumn")
+    // record CURRENT fields as they are (the incoming schema may have
+    // been stripped of mapping metadata by the user-facing surface —
+    // adopting it verbatim would silently sever every rename); NEW
+    // fields get a physical assignment (a retired name never reattaches)
+    val retired = retiredPhysicals(snap.meta)
+    val recorded = org.apache.spark.sql.types.StructType(widened.fields.map { f =>
+      current.find(c => resolver(c.name, f.name))
+        .getOrElse(assignPhysical(f, current, retired))
+    })
     commit(spark, table, adds = Nil, removes = Nil,
-      meta = Map("op" -> "alter_schema", "schema" -> widened.json),
+      meta = Map("op" -> "alter_schema", "schema" -> recorded.json),
       mustBeLive = Nil)
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN from TO to` — METADATA-ONLY: the
+    * physical (on-disk) name stays what it always was, the commit
+    * records the new logical name mapped onto it, and every live file's
+    * harvested stats re-key old→new IN THE SAME COMMIT (a remove+add of
+    * the same paths — pure log metadata) so box pruning and log-answered
+    * aggregates keep working without touching a byte of data. Time
+    * travel sees each era's names: every version resolves its own
+    * recorded schema.
+    */
+  private[graft] def renameColumn(spark: SparkSession, table: String,
+                                  from: String, to: String): Long = {
+    require(to.nonEmpty && !to.exists(ch => "\t\n=;:".contains(ch)),
+      s"rename $table: new name unsafe for the commit log: '$to'")
+    val resolver = spark.sessionState.analyzer.resolver
+    val snap = state(spark, table)
+    val current = schemaOf(snap.meta).getOrElse(
+      throw new IllegalStateException(
+        s"$table records no schema — append once before renaming columns"))
+    val idx = current.fields.indexWhere(f => resolver(f.name, from))
+    require(idx >= 0, s"rename $table: no column $from")
+    require(!current.fields.exists(f => resolver(f.name, to)),
+      s"rename $table: column $to already exists")
+    val f = current.fields(idx)
+    val phys = physicalName(f)
+    val renamed =
+      if (phys == to) // renaming BACK to the physical name: mapping dissolves
+        f.copy(name = to,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).remove(PhysicalKey).build())
+      else
+        f.copy(name = to,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(PhysicalKey, phys).build())
+    val recorded = org.apache.spark.sql.types.StructType(
+      current.fields.updated(idx, renamed))
+    def rekey(k: String): String = if (resolver(k, from)) to else k
+    val rekeyed = snap.live.map(a => a.copy(
+      stats = a.stats.map { case (k, v) => rekey(k) -> v },
+      strStats = a.strStats.map { case (k, v) => rekey(k) -> v }))
+    commit(spark, table, adds = rekeyed, removes = snap.live.map(_.path),
+      meta = Map("op" -> "alter_schema", "schema" -> recorded.json),
+      mustBeLive = snap.live.map(_.path))
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN name` — METADATA-ONLY: the column
+    * leaves the recorded schema (readers simply stop selecting it; the
+    * bytes stay in old files until their next rewrite), its physical
+    * name RETIRES so a later ADD of the same name can never resurrect
+    * the old values, and live stats drop the key in the same commit so
+    * rewrite paths stop harvesting it.
+    */
+  private[graft] def dropColumn(spark: SparkSession, table: String,
+                                name: String): Long = {
+    val resolver = spark.sessionState.analyzer.resolver
+    val snap = state(spark, table)
+    val current = schemaOf(snap.meta).getOrElse(
+      throw new IllegalStateException(
+        s"$table records no schema — append once before dropping columns"))
+    val idx = current.fields.indexWhere(f => resolver(f.name, name))
+    require(idx >= 0, s"drop $table: no column $name")
+    require(current.fields.length > 1, s"drop $table: cannot drop the only column")
+    val dropped = current.fields(idx)
+    val recorded = org.apache.spark.sql.types.StructType(
+      current.fields.patch(idx, Nil, 1))
+    val retired = (retiredPhysicals(snap.meta) + physicalName(dropped))
+      .toSeq.sorted.mkString(",")
+    val rekeyed = snap.live.map(a => a.copy(
+      stats = a.stats.filter { case (k, _) => !resolver(k, name) },
+      strStats = a.strStats.filter { case (k, _) => !resolver(k, name) }))
+    commit(spark, table, adds = rekeyed, removes = snap.live.map(_.path),
+      meta = Map("op" -> "alter_schema", "schema" -> recorded.json,
+        "schema.retired" -> retired),
+      mustBeLive = snap.live.map(_.path))
   }
 
   /** Columns ANY live file carries harvested stats for — row-level

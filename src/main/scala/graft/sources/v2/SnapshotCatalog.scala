@@ -155,6 +155,25 @@ class SnapshotCatalog extends TableCatalog
     val path = tablePath(ident)
     if (SnapshotStore.latestVersion(spark, path) == 0L)
       throw new NoSuchTableException(ident)
+    // RENAME / DROP COLUMN: metadata-only via column mapping (the
+    // physical parquet name never changes, so no file rewrites; see
+    // SnapshotStore.renameColumn/dropColumn). Spark sends these one
+    // statement = one change, so handle them before the ADD batch.
+    changes match {
+      case Seq(r: TableChange.RenameColumn) =>
+        require(r.fieldNames().length == 1,
+          s"$catalogName: only top-level RENAME COLUMN is supported, " +
+            s"got ${r.fieldNames().mkString(".")}")
+        SnapshotStore.renameColumn(spark, path, r.fieldNames().head, r.newName())
+        return new SnapshotCatalogTable(path, asOf = None, declaredSchema = None)
+      case Seq(d: TableChange.DeleteColumn) =>
+        require(d.fieldNames().length == 1,
+          s"$catalogName: only top-level DROP COLUMN is supported, " +
+            s"got ${d.fieldNames().mkString(".")}")
+        SnapshotStore.dropColumn(spark, path, d.fieldNames().head)
+        return new SnapshotCatalogTable(path, asOf = None, declaredSchema = None)
+      case _ => ()
+    }
     val adds = changes.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
@@ -167,7 +186,7 @@ class SnapshotCatalog extends TableCatalog
         StructField(a.fieldNames().head, a.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(
         s"$catalogName: unsupported ALTER TABLE change $other — only " +
-          "ADD COLUMN(S) is supported (schema follows the data)")
+          "ADD/RENAME/DROP COLUMN(S) are supported (schema follows the data)")
     }
     val current = SnapshotStore.tableSchema(spark, path).getOrElse(
       throw new IllegalStateException(
@@ -246,16 +265,22 @@ private[graft] class SnapshotCatalogTable(path: String, asOf: Option[Long],
     ()
   }
 
-  private lazy val resolved: (ParquetTable, Seq[SnapshotStore.AddFile]) = {
+  private lazy val resolved: (ParquetTable, Seq[SnapshotStore.AddFile], Option[StructType]) = {
     val snap = SnapshotStore.state(spark, path, asOf)
     require(snap.live.nonEmpty, s"snapshot $path@v${snap.version} is empty")
+    // column-mapped table: the parquet delegate reads the files'
+    // PHYSICAL names; schema()/newScanBuilder translate (MappedScanBuilder)
+    val recorded = SnapshotStore.tableSchema(spark, path, asOf)
     (ParquetTable(name(), spark,
       new CaseInsensitiveStringMap(util.Collections.emptyMap()),
       snap.live.map(_.path),
-      userSpecifiedSchema = SnapshotStore.tableSchema(spark, path, asOf),
-      fallbackFileFormat = classOf[ParquetFileFormat]), snap.live.toSeq)
+      userSpecifiedSchema = recorded.map(s =>
+        if (SnapshotStore.hasMapping(s)) SnapshotStore.physicalSchema(s) else s),
+      fallbackFileFormat = classOf[ParquetFileFormat]), snap.live.toSeq, recorded)
   }
   private lazy val underlying: ParquetTable = resolved._1
+  private lazy val mapping: Map[String, String] =
+    resolved._3.map(SnapshotStore.mappingOf).getOrElse(Map.empty)
 
   override def name(): String =
     s"graft.`$path`" + asOf.map(v => s" VERSION AS OF $v").getOrElse("")
@@ -264,7 +289,10 @@ private[graft] class SnapshotCatalogTable(path: String, asOf: Option[Long],
     if (SnapshotStore.latestVersion(spark, path) == 0L)
       declaredSchema.getOrElse(throw new IllegalStateException(
         s"snapshot table has no commits yet: $path"))
-    else underlying.schema
+    else resolved._3
+      .map(r => org.apache.spark.sql.graftbridge.GraftShim.asNullable(
+        SnapshotStore.logicalSchema(r)))
+      .getOrElse(underlying.schema)
 
   override def capabilities(): util.Set[TableCapability] =
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
@@ -276,10 +304,14 @@ private[graft] class SnapshotCatalogTable(path: String, asOf: Option[Long],
       // the relation before the merge rewrite fires
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
-  // same wrapper as SnapshotReadTable: SQL-catalog reads get the
-  // log-answered aggregates and runtime file pruning too
+  // same wrappers as SnapshotReadTable: SQL-catalog reads get the
+  // log-answered aggregates and runtime file pruning (or, on a
+  // column-mapped table, the logical↔physical name translation)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     underlying.newScanBuilder(options) match {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+          if mapping.nonEmpty =>
+        new MappedScanBuilder(p, mapping, name())
       case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
           if resolved._2.nonEmpty =>
         new SnapshotScanBuilder(p, resolved._2, underlying.schema, name())

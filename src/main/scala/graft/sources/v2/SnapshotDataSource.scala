@@ -44,13 +44,16 @@ class SnapshotDataSource extends TableProvider
     with org.apache.spark.sql.sources.StreamSourceProvider {
   import SnapshotDataSource._
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolve(options).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (t, _, recorded) = resolveWithLive(options)
+    recorded.map(r => org.apache.spark.sql.graftbridge.GraftShim.asNullable(
+      SnapshotStore.logicalSchema(r))).getOrElse(t.schema)
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val (t, live) = resolveWithLive(new CaseInsensitiveStringMap(properties))
-    new SnapshotReadTable(t, t.name, live)
+    val (t, live, recorded) = resolveWithLive(new CaseInsensitiveStringMap(properties))
+    new SnapshotReadTable(t, t.name, live, recorded)
   }
 
   // ------------------------------------------------- streaming (v1 Source)
@@ -111,11 +114,8 @@ object SnapshotDataSource {
       }
     }
 
-  private def resolve(options: CaseInsensitiveStringMap): ParquetTable =
-    resolveWithLive(options)._1
-
   private def resolveWithLive(options: CaseInsensitiveStringMap)
-      : (ParquetTable, Seq[SnapshotStore.AddFile]) = {
+      : (ParquetTable, Seq[SnapshotStore.AddFile], Option[StructType]) = {
     val spark = SparkSession.active
     val table = Option(options.get("path")).getOrElse(throw new
       IllegalArgumentException("graft-snapshot requires .load(<table path>)"))
@@ -127,12 +127,16 @@ object SnapshotDataSource {
     val snap = SnapshotStore.state(spark, table, asOf)
     require(snap.live.nonEmpty, s"snapshot $table@v${snap.version} is empty")
     // recorded table schema (when present) pins the read: old files
-    // null-fill mergeSchema'd columns instead of per-file inference
+    // null-fill mergeSchema'd columns instead of per-file inference.
+    // A column-mapped table's files carry PHYSICAL names — the parquet
+    // delegate reads those; the facade translates back (MappedScanBuilder)
+    val recorded = SnapshotStore.tableSchema(spark, table, asOf)
     (ParquetTable(s"graft-snapshot($table@v${snap.version})", spark, options,
       snap.live.map(_.path),
-      userSpecifiedSchema = SnapshotStore.tableSchema(spark, table, asOf),
+      userSpecifiedSchema = recorded.map(s =>
+        if (SnapshotStore.hasMapping(s)) SnapshotStore.physicalSchema(s) else s),
       fallbackFileFormat = classOf[ParquetFileFormat]),
-      snap.live.toSeq)
+      snap.live.toSeq, recorded)
   }
 }
 
@@ -142,19 +146,99 @@ object SnapshotDataSource {
   * from the COMMIT LOG'S stats instead of any file read.
   */
 class SnapshotReadTable(underlying: ParquetTable, tblName: String,
-                        live: Seq[SnapshotStore.AddFile] = Nil)
+                        live: Seq[SnapshotStore.AddFile] = Nil,
+                        recorded: Option[StructType] = None)
     extends Table with SupportsRead {
+  private val mapping: Map[String, String] =
+    recorded.map(SnapshotStore.mappingOf).getOrElse(Map.empty)
   override def name(): String = tblName
-  override def schema(): StructType = underlying.schema
+  override def schema(): StructType =
+    recorded.map(r => org.apache.spark.sql.graftbridge.GraftShim.asNullable(
+      SnapshotStore.logicalSchema(r))).getOrElse(underlying.schema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     underlying.newScanBuilder(options) match {
       case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+          if mapping.nonEmpty =>
+        new MappedScanBuilder(p, mapping, tblName)
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
           if live.nonEmpty =>
         new SnapshotScanBuilder(p, live, underlying.schema, tblName)
       case other => other
     }
+}
+
+/** DSv2 read translation for COLUMN-MAPPED snapshot tables: the table
+  * presents LOGICAL names while its parquet delegate reads the files'
+  * PHYSICAL names. Column pruning and pushed filters translate
+  * logical→physical on the way down; the scan's reported schema
+  * translates back on the way up (rows are positional — only the
+  * labels change). The log-answered aggregate and runtime-file-pruning
+  * layers step aside here (they key on stat names; correctness never
+  * depends on them) — a rename costs those two optimizations until the
+  * next compaction rewrites files under current names.
+  */
+class MappedScanBuilder(
+    inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder,
+    toPhys: Map[String, String], tblName: String)
+    extends ScanBuilder
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression => CExpr}
+
+  private val toLogical = toPhys.map(_.swap)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(StructType(requiredSchema.fields.map(f =>
+      f.copy(name = toPhys.getOrElse(f.name, f.name)))))
+
+  override def pushFilters(filters: Seq[CExpr]): Seq[CExpr] = {
+    // translate each predicate's attribute NAMES to physical for the
+    // parquet builder, remembering the original so residuals return in
+    // LOGICAL terms (Spark re-applies them over the relation output)
+    val pairs: Seq[(CExpr, CExpr)] = filters.map { f =>
+      f.transform {
+        case a: AttributeReference if toPhys.contains(a.name) =>
+          a.withName(toPhys(a.name))
+      } -> f
+    }
+    val backMap = pairs.toMap
+    inner.pushFilters(pairs.map(_._1)).map(r => backMap.getOrElse(r, r.transform {
+      case a: AttributeReference if toLogical.contains(a.name) =>
+        a.withName(toLogical(a.name))
+    }))
+  }
+
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+
+  override def build(): Scan = new MappedScan(inner.build(), toLogical, tblName)
+}
+
+/** The mapped scan: delegate everything, re-label [[readSchema]] back
+  * to logical names (Spark matches the scan output to the relation's
+  * attributes BY NAME — physical labels would break resolution).
+  */
+class MappedScan(inner: Scan, toLogical: Map[String, String], tblName: String)
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType =
+    StructType(inner.readSchema().fields.map(f =>
+      f.copy(name = toLogical.getOrElse(f.name, f.name))))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot-mapped($tblName) " + inner.description()
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] =
+    inner.toBatch.planInputPartitions()
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    inner.toBatch.createReaderFactory()
+  override def estimateStatistics(): Statistics = inner match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
 }
 
 /** Log-answered aggregates for snapshot tables, layered OVER Spark's

@@ -118,10 +118,11 @@ class SnapshotStreamSource(spark: SparkSession, table: String,
     }
     // explicit schema: batches stay column-stable even if later appends
     // widened the parquet footprint; zero files still yields a typed
-    // empty file relation (same plan shape, streaming-taggable)
-    val batch =
-      if (files.isEmpty) spark.read.schema(schema).parquet()
-      else spark.read.schema(schema).parquet(files: _*)
+    // empty file relation (same plan shape, streaming-taggable). The
+    // read goes through the table's column mapping (physical names are
+    // immutable, so the current mapping covers every era's files).
+    val batch = SnapshotStore.readFilesAs(spark, table, schema, files,
+      asOf = Some(endV))
     GraftShim.asStreamingRelation(batch)
   }
 

@@ -57,6 +57,16 @@ object GraftShim {
     */
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** `DataType.asNullable` (private[spark]) — the normalization
+    * `FileTable.schema` applies to every file-backed table: all fields,
+    * nested included, become nullable (parquet can always hand back a
+    * null). The snapshot catalog table must present the same shape or
+    * DML casts against its output type reject struct values whose
+    * recorded inner fields were non-nullable at append time.
+    */
+  def asNullable(s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    s.asNullable
 }
 
 /** Spill-capable append-only row buffer for merge-exec windows — a thin

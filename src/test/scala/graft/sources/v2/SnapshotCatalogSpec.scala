@@ -221,11 +221,10 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // time travel still sees the era's schema (v1: two columns)
     assert(spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 1").columns.toSeq
       === Seq("id", "v"))
-    // duplicates, drops, and type changes are refused
+    // duplicates and type changes are refused (RENAME/DROP are now
+    // supported via column mapping — ColumnMappingSpec covers them)
     intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (id BIGINT)") }
-    intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.`$t` DROP COLUMN tag") }
     intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.`$t` ALTER COLUMN score TYPE INT") }
   }

@@ -1576,6 +1576,34 @@ object SparkEntry {
           col("meta.n_chars").as("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "q_snapshot_update_array" -> ((s, d) => {
+      // ARRAY-BROADCAST nested DML — the typed stores' other nested
+      // shape: an array<struct> column (per-frame detections). `SET
+      // dets.val = 0.0` rebuilds EVERY element via transform() (one
+      // per-element UpdateFields — siblings carry over, the whole-array
+      // CASE keeps unmatched rows byte-identical), inside the same
+      // copy-on-write touched-file protocol. Element order is pinned by
+      // sort_array over (event_id, ...) structs (event_id unique), so
+      // the posexploded output is cross-engine deterministic; the
+      // oracle re-derives it from raw events with row_number + CASE.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val dets = eventsUs(s, d)
+        .select(col("user_id"),
+          struct(col("event_id").cast("long").as("event_id"),
+            round(col("value"), 4).as("val")).as("det"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("det"))).as("dets"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snaparr").toString + "/dets"
+      graft.sources.SnapshotStore.append(dets, t, statsCols = Seq("user_id"))
+      s.sql(s"UPDATE graft.`$t` SET dets.val = 0.0 WHERE user_id % 5 = 0")
+      graft.sources.SnapshotStore.snapshot(s, t)
+        .select(col("user_id"), posexplode(col("dets")).as(Seq("pos", "det")))
+        .select(col("user_id"), col("pos").cast("long").as("pos"),
+          col("det.event_id").as("event_id"), col("det.val").as("val"))
+        .orderBy(col("user_id"), col("pos"))
+    }),
     "q_snapshot_merge_sql" -> ((s, d) => {
       // SQL MERGE INTO end to end — the lakehouse bread-and-butter verb
       // issued as PURE SQL text through the catalog (the reference's
@@ -3084,6 +3112,12 @@ object SparkEntry {
         |       WHEN doc_id % 3 = 0 THEN n_chars + 10000
         |       ELSE n_chars END AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_snapshot_update_array" ->
+      """SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS pos,
+        |  event_id,
+        |  CASE WHEN user_id % 5 = 0 THEN 0.0 ELSE round(value, 4) END AS val
+        |FROM events ORDER BY user_id, pos""".stripMargin,
     "q_snapshot_merge_sql" ->
       """WITH base AS (SELECT doc_id, lang, n_chars FROM documents
         |              WHERE doc_id % 10 < 8),

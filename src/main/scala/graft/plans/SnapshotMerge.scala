@@ -478,7 +478,7 @@ object SnapshotMerge {
   private def assignedValue(assignments: Seq[Assignment], orig: Attribute,
                             base: Expression, rw: Expression => Expression,
                             spark: SparkSession): Option[Expression] = {
-    val mine: Seq[(Seq[String], Expression)] = assignments.flatMap { asg =>
+    val mine: Seq[(Seq[PathSeg], Expression)] = assignments.flatMap { asg =>
       keyPath(asg.key) match {
         case Some((root, path))
             if root.exprId == orig.exprId ||
@@ -500,42 +500,108 @@ object SnapshotMerge {
     * into a single rebuild. Field names resolve with the session's
     * resolver (honoring `spark.sql.caseSensitive`). */
   private def rebuildStruct(base: Expression, dt: org.apache.spark.sql.types.DataType,
-                            assigns: Seq[(Seq[String], Expression)],
-                            spark: SparkSession): Expression = {
-    val st = dt match {
-      case s: StructType => s
-      case other => throw new UnsupportedOperationException(
-        s"graft: nested assignment into non-struct type $other")
-    }
-    val resolver = spark.sessionState.analyzer.resolver
-    val heads = assigns.map(_._1.head)
-      .foldLeft(Seq.empty[String])((acc, h) =>
-        if (acc.exists(resolver(_, h))) acc else acc :+ h)
-    val ops: Seq[StructFieldsOperation] = heads.map { h =>
-      val idx = st.fields.indexWhere(f => resolver(f.name, h))
-      if (idx < 0) throw new IllegalStateException(
-        s"graft: assignment key field $h missing from struct $st")
-      val field = st.fields(idx)
-      val sub = assigns.filter(a => resolver(a._1.head, h))
-        .map { case (p, v) => (p.tail, v) }
-      val value = sub.collectFirst { case (Seq(), v) => v } match {
-        case Some(leaf) => castTo(leaf, field.dataType, spark)
-        case None => rebuildStruct(
-          GetStructField(base, idx, Some(field.name)), field.dataType, sub, spark)
+                            assigns: Seq[(Seq[PathSeg], Expression)],
+                            spark: SparkSession): Expression = dt match {
+    // ARRAY-BROADCAST assignment (`SET dets.score = v` where dets is
+    // array<struct>): the resolved key extracted the field across EVERY
+    // element (GetArrayStructFields), so the rebuild maps a per-element
+    // struct reconstruction over the array — `transform(dets, x ->
+    // x with score = v)` — siblings carry over per element, a NULL
+    // array stays NULL (ArrayTransform is null-propagating), and the
+    // assigned value is broadcast to every element (it cannot reference
+    // the element — SQL has no syntax to bind one).
+    case org.apache.spark.sql.types.ArrayType(et: StructType, containsNull) =>
+      assigns.foreach { case (p, _) =>
+        if (!p.headOption.exists(_.overArray))
+          throw new UnsupportedOperationException(
+            s"graft: nested assignment into array type must address an " +
+              s"element field (got path ${p.map(_.name).mkString(".")})")
       }
-      WithField(field.name, value)
-    }
-    UpdateFields(base, ops)
+      val elem = NamedLambdaVariable("__graft_elem", et, containsNull)
+      val idx = NamedLambdaVariable("__graft_idx",
+        org.apache.spark.sql.types.IntegerType, nullable = false)
+      // a SCALAR value broadcasts to every element; an ARRAY value (when
+      // the addressed field is itself non-array) assigns ELEMENT-WISE by
+      // position — which is also the only form MERGE can express, since
+      // Spark's merge resolution coerces the value to the key's
+      // extracted type array<f> (write `array_repeat(v, size(dets))` for
+      // a merge-side broadcast). A short value array null-fills the tail.
+      var positional = false
+      val adjusted = assigns.map { case (p, v) =>
+        val consumed = p.head.copy(overArray = false) +: p.tail
+        (leafType(et, consumed), v.dataType) match {
+          case (lt, _: org.apache.spark.sql.types.ArrayType)
+              if !lt.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+            positional = true
+            (consumed, GetArrayItem(v, idx, failOnError = false))
+          case _ => (consumed, v)
+        }
+      }
+      val inner = rebuildStruct(elem, et, adjusted, spark)
+      ArrayTransform(base,
+        LambdaFunction(inner, if (positional) Seq(elem, idx) else Seq(elem)))
+    case st: StructType =>
+      val resolver = spark.sessionState.analyzer.resolver
+      val heads = assigns.map(_._1.head.name)
+        .foldLeft(Seq.empty[String])((acc, h) =>
+          if (acc.exists(resolver(_, h))) acc else acc :+ h)
+      val ops: Seq[StructFieldsOperation] = heads.map { h =>
+        val idx = st.fields.indexWhere(f => resolver(f.name, h))
+        if (idx < 0) throw new IllegalStateException(
+          s"graft: assignment key field $h missing from struct $st")
+        val field = st.fields(idx)
+        val sub = assigns.filter(a => resolver(a._1.head.name, h))
+          .map { case (p, v) => (p.tail, v) }
+        val value = sub.collectFirst { case (Seq(), v) => v } match {
+          case Some(leaf) => castTo(leaf, field.dataType, spark)
+          case None => rebuildStruct(
+            GetStructField(base, idx, Some(field.name)), field.dataType, sub, spark)
+        }
+        WithField(field.name, value)
+      }
+      UpdateFields(base, ops)
+    case other => throw new UnsupportedOperationException(
+      s"graft: nested assignment into non-struct type $other")
   }
 
+  /** One hop of an assignment-key path: a struct field name, flagged
+    * when the hop was extracted ACROSS an array (`arr.f` on an
+    * array<struct> column — the per-element broadcast form). */
+  private case class PathSeg(name: String, overArray: Boolean)
+
+  /** The type an assignment path terminates at, walking structs and
+    * array elements from `dt` — decides whether an array-typed value
+    * means element-wise assignment or a whole-field write. */
+  private def leafType(dt: org.apache.spark.sql.types.DataType,
+                       path: Seq[PathSeg]): org.apache.spark.sql.types.DataType =
+    path match {
+      case Seq() => dt
+      case h +: t => dt match {
+        case st: StructType =>
+          val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(h.name))
+          if (idx < 0) throw new IllegalStateException(
+            s"graft: assignment key field ${h.name} missing from struct $st")
+          leafType(st.fields(idx).dataType, t)
+        case org.apache.spark.sql.types.ArrayType(et, _) =>
+          leafType(et, h +: t)
+        case other => throw new UnsupportedOperationException(
+          s"graft: nested assignment into non-struct type $other")
+      }
+    }
+
   /** Parse an assignment key into (root column, nested field path).
-    * None for shapes that are not pure struct-field chains (array
-    * element / map key assignment — unsupported). */
-  private def keyPath(e: Expression): Option[(AttributeReference, Seq[String])] =
+    * Struct-field chains and array-element field extractions are legal;
+    * None for anything else (map key / positional element assignment —
+    * SQL cannot express a position in an assignment key anyway). */
+  private def keyPath(e: Expression): Option[(AttributeReference, Seq[PathSeg])] =
     e match {
       case a: AttributeReference => Some((a, Nil))
       case g: GetStructField =>
-        keyPath(g.child).map { case (a, p) => (a, p :+ g.extractFieldName) }
+        keyPath(g.child).map { case (a, p) =>
+          (a, p :+ PathSeg(g.extractFieldName, overArray = false)) }
+      case g: GetArrayStructFields =>
+        keyPath(g.child).map { case (a, p) =>
+          (a, p :+ PathSeg(g.field.name, overArray = true)) }
       case _ => None
     }
 
@@ -556,7 +622,10 @@ object SnapshotMerge {
       else _.toLowerCase
     val paths: Seq[Seq[String]] = assignments.map { asg =>
       keyPath(asg.key) match {
-        case Some((root, path)) => (root.name +: path).map(norm)
+        // overlap is a NAME property — an array-hop segment conflicts
+        // with the same dotted path however it traverses (`dets` vs
+        // `dets.score` is ambiguous whether dets is struct or array)
+        case Some((root, path)) => (root.name +: path.map(_.name)).map(norm)
         case None => throw new UnsupportedOperationException(
           s"graft $verb: unsupported assignment key ${asg.key} — only " +
             "column and nested struct-field keys are supported")

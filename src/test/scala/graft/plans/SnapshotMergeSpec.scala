@@ -443,6 +443,85 @@ class SnapshotMergeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.caseSensitive", prev)
   }
 
+  test("UPDATE: array-broadcast field assignment rebuilds every element; NULL arrays survive") {
+    useCatalog()
+    val t = freshTable("graft-upd-arr")
+    // the typed-store shape: array<struct> detections per row, one row
+    // with a NULL array
+    SnapshotStore.append(
+      spark.sql(
+        """SELECT id,
+          |  CASE WHEN id = 2 THEN CAST(NULL AS ARRAY<STRUCT<cls: STRING, score: DOUBLE>>)
+          |       ELSE array(named_struct('cls', 'car', 'score', CAST(id AS DOUBLE)),
+          |                  named_struct('cls', 'ped', 'score', CAST(id + 10 AS DOUBLE)))
+          |  END AS dets
+          |FROM range(4)""".stripMargin),
+      t, statsCols = Seq("id"))
+    spark.sql(s"UPDATE graft.`$t` SET dets.score = 0.5 WHERE id % 2 = 1")
+    val rows = SnapshotStore.snapshot(spark, t)
+      .selectExpr("id", "transform(dets, d -> d.cls) AS cls",
+        "transform(dets, d -> d.score) AS sc")
+      .orderBy("id").collect()
+    // updated rows: every element's score broadcast to 0.5, cls kept
+    assert(rows(1).getSeq[Double](2) === Seq(0.5, 0.5))
+    assert(rows(3).getSeq[Double](2) === Seq(0.5, 0.5))
+    assert(rows(1).getSeq[String](1) === Seq("car", "ped"))
+    // untouched rows keep their values; the NULL array stays NULL
+    assert(rows(0).getSeq[Double](2) === Seq(0.0, 10.0))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+    // overlap validation extends to element paths: dets vs dets.score
+    val err = intercept[UnsupportedOperationException] {
+      spark.sql(s"UPDATE graft.`$t` SET dets = NULL, dets.score = 1.0 WHERE id = 0")
+    }
+    assert(err.getMessage.contains("overlaps"), s"got: ${err.getMessage}")
+  }
+
+  test("MERGE: array-broadcast assignment in WHEN MATCHED uses the source value per row") {
+    useCatalog()
+    val t = freshTable("graft-merge-arr")
+    SnapshotStore.append(
+      spark.sql(
+        """SELECT id, array(named_struct('cls', 'car', 'score', CAST(id AS DOUBLE)),
+          |                 named_struct('cls', 'ped', 'score', CAST(id + 10 AS DOUBLE))) AS dets
+          |FROM range(3)""".stripMargin),
+      t, statsCols = Seq("id"))
+    spark.range(2).selectExpr("id", "CAST(id * 100 AS DOUBLE) AS s")
+      .createOrReplaceTempView("arr_src")
+    // Spark's merge resolution coerces the value to the key's extracted
+    // type array<double>, so the merge-side broadcast is spelled
+    // array_repeat — assigned element-wise by position
+    spark.sql(
+      s"""MERGE INTO graft.`$t` g USING arr_src s ON g.id = s.id
+         |WHEN MATCHED THEN UPDATE SET dets.score = array_repeat(s.s, size(g.dets))
+         |""".stripMargin)
+    val sc = SnapshotStore.snapshot(spark, t)
+      .selectExpr("id", "transform(dets, d -> d.score) AS sc")
+      .orderBy("id").collect()
+    assert(sc(0).getSeq[Double](1) === Seq(0.0, 0.0))
+    assert(sc(1).getSeq[Double](1) === Seq(100.0, 100.0))
+    assert(sc(2).getSeq[Double](1) === Seq(2.0, 12.0), "unmatched row untouched")
+  }
+
+  test("UPDATE: array-typed value assigns element-wise by position, short arrays null-fill") {
+    useCatalog()
+    val t = freshTable("graft-upd-arrpos")
+    SnapshotStore.append(
+      spark.sql(
+        """SELECT id, array(named_struct('cls', 'car', 'score', 1.0D),
+          |                 named_struct('cls', 'ped', 'score', 2.0D)) AS dets
+          |FROM range(2)""".stripMargin),
+      t, statsCols = Seq("id"))
+    spark.sql(s"UPDATE graft.`$t` SET dets.score = array(9.0D) WHERE id = 1")
+    val sc = SnapshotStore.snapshot(spark, t)
+      .selectExpr("id", "transform(dets, d -> d.score) AS sc")
+      .orderBy("id").collect()
+    assert(sc(0).getSeq[java.lang.Double](1)
+      === Seq[java.lang.Double](1.0, 2.0))
+    assert(sc(1).getSeq[java.lang.Double](1)
+      === Seq[java.lang.Double](9.0, null),
+      "position 0 takes the value, the unmatched tail null-fills")
+  }
+
   test("MERGE rejects a non-deterministic source") {
     useCatalog()
     val t = freshTable("graft-merge-ndsrc")

@@ -41,6 +41,15 @@ object Checkpoints {
 
   private val tracked = ConcurrentHashMap.newKeySet[RDD[_]]()
 
+  // RDD.unpersist on a locally-checkpointed RDD unconditionally warns
+  // that the data cannot be recomputed — which is EXACTLY the intended
+  // semantics of every release below (consumers are done; the blocks
+  // are dead weight). One warning per freed table per query floods the
+  // logs a harness tails, so that single logger drops to ERROR.
+  try org.apache.logging.log4j.core.config.Configurator.setLevel(
+    "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+  catch { case _: Throwable => () } // non-log4j2 deployments: keep the noise
+
   /** The persisted RDDs behind a frame's checkpoint barriers: every
     * [[LogicalRDD]] leaf of the analyzed plan. For a frame returned by
     * `localCheckpoint()` that is exactly its one backing RDD; for a

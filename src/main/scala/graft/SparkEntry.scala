@@ -1636,6 +1636,90 @@ object SparkEntry {
            |""".stripMargin)
       graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
     }),
+    "q_snapshot_constraint" -> ((s, d) => {
+      // CHECK constraints as commit metadata (Delta's ALTER TABLE ADD
+      // CONSTRAINT): add_constraint proves EXISTING rows once (bounded
+      // LIMIT-1 probe — a 100 TB table scans once, at add time), then
+      // every write re-proves its OWN rows inside the same pass that
+      // stages them (one assert_true filter in-plan: no second scan,
+      // no multi-pass hazard on the input). SQL CHECK three-valued
+      // semantics: NULL passes, only FALSE violates. The final state
+      // is oracle-predictable because each refused write provably
+      // landed nothing (version require'd unchanged).
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapcons").toString + "/docs"
+      graft.sources.SnapshotStore.append(
+        docs.filter(col("lang") === "en" && col("doc_id") % 2 === 0), t,
+        statsCols = Seq("doc_id"))
+      s.sql(s"ALTER TABLE graft.`$t` ADD CONSTRAINT en_only CHECK (lang = 'en')")
+      // a constraint the existing rows violate is refused at ADD time
+      require(scala.util.Try(s.sql(
+        s"ALTER TABLE graft.`$t` ADD CONSTRAINT neg CHECK (n_chars < 0)"))
+        .isFailure, "ADD CONSTRAINT over violating rows must be refused")
+      val vBefore = graft.sources.SnapshotStore.latestVersion(s, t)
+      // a violating WRITE fails loudly and lands NOTHING
+      require(scala.util.Try(graft.sources.SnapshotStore.append(
+        docs.filter(col("lang") === "de"), t)).isFailure,
+        "a write violating an active CHECK constraint must fail")
+      require(graft.sources.SnapshotStore.latestVersion(s, t) == vBefore,
+        "a refused write must not commit")
+      // passing writes proceed; NULL on the constrained column PASSES
+      graft.sources.SnapshotStore.append(
+        docs.filter(col("lang") === "en" && col("doc_id") % 2 === 1), t)
+      graft.sources.SnapshotStore.append(
+        docs.filter(col("lang") === "en" && col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 100000000L).as("doc_id"),
+            lit(null).cast("string").as("lang"), col("n_chars")), t)
+      // retire the constraint: the formerly-refused rows now land
+      s.sql(s"ALTER TABLE graft.`$t` DROP CONSTRAINT en_only")
+      graft.sources.SnapshotStore.append(docs.filter(col("lang") === "de"), t)
+      graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
+    }),
+    "q_snapshot_clone" -> ((s, d) => {
+      // SHALLOW CLONE (Delta's CLONE): a NEW independent table whose
+      // first commit references the source snapshot's live files
+      // byte-for-byte — zero data copied or moved (require'd:
+      // identical live path sets), schema/stats/constraints carried.
+      // Both sides then DIVERGE freely: the clone's DELETE rewrites
+      // into the clone's OWN data dir (the source live set is
+      // require'd untouched), and a later source append never appears
+      // in the clone. A `version` argument clones a HISTORICAL
+      // snapshot (time-travel clone). Oracle re-derives all three
+      // tables from documents.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val base = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapclone").toString
+      val src = s"$base/src"; val dst = s"$base/clone"; val hist = s"$base/clone_v1"
+      graft.sources.SnapshotStore.append(
+        docs.filter(col("lang") === "en"), src, statsCols = Seq("doc_id")) // v1
+      graft.sources.SnapshotStore.append(
+        docs.filter(col("lang") === "de"), src)                            // v2
+      s.sql(s"CALL graft.clone('$src', '$dst')")
+      val srcLive = graft.sources.SnapshotStore.state(s, src).live.map(_.path).toSet
+      require(graft.sources.SnapshotStore.state(s, dst).live.map(_.path).toSet
+        == srcLive, "shallow clone must reference the source files verbatim")
+      s.sql(s"CALL graft.clone('$src', '$hist', 1)") // historical: en era only
+      // diverge the clone; the source is provably untouched
+      s.sql(s"DELETE FROM graft.`$dst` WHERE lang = 'en'")
+      require(graft.sources.SnapshotStore.state(s, src).live.map(_.path).toSet
+        == srcLive, "a clone rewrite must never touch the source")
+      // diverge the source; the clone must not see it
+      graft.sources.SnapshotStore.append(
+        docs.filter(col("lang") === "fr"), src)
+      def tagged(table: String, tag: String) =
+        graft.sources.SnapshotStore.snapshot(s, table)
+          .select(lit(tag).as("tbl"), col("doc_id"), col("lang"), col("n_chars"))
+      tagged(dst, "clone").unionAll(tagged(hist, "clone_v1"))
+        .unionAll(tagged(src, "src"))
+        .orderBy(col("tbl"), col("doc_id"))
+    }),
     "q_batch_manifest" -> ((s, d) =>
       Signals.batchManifest(
         eventsUs(s, d).select(col("user_id"), col("ts_us").as("ts"), col("event_type")),
@@ -3132,6 +3216,26 @@ object SparkEntry {
         |SELECT s.doc_id, s.lang, s.n_chars
         |FROM src s LEFT JOIN base b USING (doc_id) WHERE b.doc_id IS NULL
         |ORDER BY doc_id""".stripMargin,
+    "q_snapshot_constraint" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT doc_id + 100000000, CAST(NULL AS VARCHAR), n_chars
+        |  FROM documents WHERE lang = 'en' AND doc_id % 97 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'de'
+        |) ORDER BY doc_id""".stripMargin,
+    "q_snapshot_clone" ->
+      """SELECT tbl, doc_id, lang, n_chars FROM (
+        |  SELECT 'clone' AS tbl, doc_id, lang, n_chars FROM documents
+        |  WHERE lang = 'de'
+        |  UNION ALL
+        |  SELECT 'clone_v1', doc_id, lang, n_chars FROM documents
+        |  WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT 'src', doc_id, lang, n_chars FROM documents
+        |  WHERE lang IN ('en', 'de', 'fr')
+        |) ORDER BY tbl, doc_id""".stripMargin,
     "q_batch_manifest" ->
       """SELECT epoch_us(ts) // 86400000000 AS batch_day,
         |  count(*) AS n_rows,

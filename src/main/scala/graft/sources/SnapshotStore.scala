@@ -376,14 +376,29 @@ object SnapshotStore {
     val c = conf(spark)
     val data = dataDir(table)
     val fs = data.getFileSystem(c)
+    val tableMeta: Map[String, String] =
+      if (latestVersion(spark, table) == 0L) Map.empty
+      else state(spark, table).meta
+    // CHECK constraints ride the write plan itself — one assert_true
+    // filter per active constraint, evaluated on every staged row in
+    // the same pass that writes it (no separate validation scan, no
+    // multi-pass hazard on non-deterministic inputs). SQL CHECK
+    // semantics: NULL passes, only FALSE violates. Every write path
+    // stages through here (append/overwrite/replaceWhere/DML rewrites/
+    // compaction), so no verb can land a violating row.
+    val checked = constraintsOf(tableMeta).foldLeft(df) { case (d, (n, sqlText)) =>
+      import org.apache.spark.sql.functions.{assert_true, coalesce, expr, isnull, lit}
+      d.where(isnull(assert_true(
+        coalesce(expr(sqlText).cast("boolean"), lit(true)),
+        lit(s"graft CHECK constraint $n violated: ($sqlText)"))))
+    }
     // column-mapped table: data files carry PHYSICAL names — rename the
     // logical frame before writing, harvest stats under the physical
     // names, and key the AddFile entries back to LOGICAL (the name every
     // pruning consumer queries by; renames re-key them in-commit)
     val mapping: Map[String, String] =
-      if (latestVersion(spark, table) == 0L) Map.empty
-      else schemaOf(state(spark, table).meta).map(mappingOf).getOrElse(Map.empty)
-    val physDf = mapping.foldLeft(df) { case (d, (l, p)) => d.withColumnRenamed(l, p) }
+      schemaOf(tableMeta).map(mappingOf).getOrElse(Map.empty)
+    val physDf = mapping.foldLeft(checked) { case (d, (l, p)) => d.withColumnRenamed(l, p) }
     val physStats = statsCols.map(s => mapping.getOrElse(s, s))
     val toLogical = mapping.map(_.swap)
     def logicalKey(k: String): String = toLogical.getOrElse(k, k)
@@ -1014,6 +1029,7 @@ object SnapshotStore {
     require(idx >= 0, s"rename $table: no column $from")
     require(!current.fields.exists(f => resolver(f.name, to)),
       s"rename $table: column $to already exists")
+    requireNoConstraintRefs(spark, table, snap.meta, from, "rename")
     val f = current.fields(idx)
     val phys = physicalName(f)
     val renamed =
@@ -1053,6 +1069,7 @@ object SnapshotStore {
     val idx = current.fields.indexWhere(f => resolver(f.name, name))
     require(idx >= 0, s"drop $table: no column $name")
     require(current.fields.length > 1, s"drop $table: cannot drop the only column")
+    requireNoConstraintRefs(spark, table, snap.meta, name, "drop")
     val dropped = current.fields(idx)
     val recorded = org.apache.spark.sql.types.StructType(
       current.fields.patch(idx, Nil, 1))
@@ -1065,6 +1082,130 @@ object SnapshotStore {
       meta = Map("op" -> "alter_schema", "schema" -> recorded.json,
         "schema.retired" -> retired),
       mustBeLive = snap.live.map(_.path))
+  }
+
+  // ------------------------------------------------------ CHECK constraints
+
+  private val ConstraintPrefix = "constraint."
+
+  /** Active CHECK constraints from latest-wins commit meta:
+    * `constraint.<name>` → hex-encoded SQL text (hex dodges the TSV's
+    * tab/newline restriction for arbitrary predicates); a dropped
+    * constraint overwrites its value with `-` (latest-wins meta has no
+    * key removal, only replacement). */
+  private[graft] def constraintsOf(meta: Map[String, String]): Map[String, String] =
+    meta.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) && v != "-" =>
+        k.stripPrefix(ConstraintPrefix) -> hexDec(v)
+    }
+
+  /** Active CHECK constraints on the table: name → SQL text. */
+  def constraints(spark: SparkSession, table: String): Map[String, String] =
+    constraintsOf(state(spark, table).meta)
+
+  /** Top-level column names a constraint's SQL text references —
+    * resolution happens later against whatever schema is current, so
+    * rename/drop must refuse while a constraint still points at the
+    * column (Delta's rule: retire the constraint first). */
+  private def constraintRefs(spark: SparkSession, sql: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head
+    }.toSeq
+
+  /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (sql)` as a metadata
+    * commit. EXISTING rows must already satisfy the predicate — proven
+    * by one bounded distributed probe (LIMIT-1 over violating rows; a
+    * 100 TB table scans once, at add time, never again) — and every
+    * later write re-proves its own rows in-plan ([[stageFiles]]).
+    * SQL CHECK semantics: NULL passes, only FALSE violates. The
+    * predicate must be deterministic and reference only table columns.
+    */
+  def addConstraint(spark: SparkSession, table: String,
+                    name: String, check: String): Long = {
+    require(name.nonEmpty && name.forall(ch =>
+      ch.isLetterOrDigit || ch == '_'),
+      s"constraint name must be [A-Za-z0-9_]+: '$name'")
+    val key = name.toLowerCase // names are case-insensitive, like columns
+    val snap = state(spark, table)
+    require(!constraintsOf(snap.meta).contains(key),
+      s"constraint $key already exists on $table — drop it first")
+    val df = snapshot(spark, table)
+    val cond = org.apache.spark.sql.functions.expr(check)
+    val probe = df.where(org.apache.spark.sql.functions
+      .coalesce(cond.cast("boolean"),
+        org.apache.spark.sql.functions.lit(true)) === false)
+    // analysis of the probe both validates resolution (unknown columns
+    // fail loudly here, not on the next append) and exposes the
+    // resolved predicate for the determinism check
+    val analyzed = probe.queryExecution.analyzed
+    require(analyzed.expressions.forall(_.deterministic),
+      s"constraint $key: predicate must be deterministic: ($check)")
+    require(!analyzed.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])),
+      s"constraint $key: subqueries are not supported in CHECK: ($check)")
+    val bad = probe.limit(1).count()
+    require(bad == 0L,
+      s"cannot add constraint $key to $table: existing rows violate ($check)")
+    commit(spark, table, adds = Nil, removes = Nil,
+      meta = Map("op" -> "add_constraint",
+        ConstraintPrefix + key -> hexEnc(check)),
+      mustBeLive = Nil)
+  }
+
+  /** Retire a CHECK constraint (metadata-only; writes stop enforcing it
+    * from the next commit on). */
+  def dropConstraint(spark: SparkSession, table: String, name: String): Long = {
+    val key = name.toLowerCase
+    require(constraintsOf(state(spark, table).meta).contains(key),
+      s"no constraint $key on $table")
+    commit(spark, table, adds = Nil, removes = Nil,
+      meta = Map("op" -> "drop_constraint", ConstraintPrefix + key -> "-"),
+      mustBeLive = Nil)
+  }
+
+  /** Refuse column retirement while an active constraint references the
+    * column — enforcement resolves the SQL text against the CURRENT
+    * schema, so a rename/drop would turn every subsequent write into an
+    * analysis error (or worse, silently re-bind). */
+  private def requireNoConstraintRefs(spark: SparkSession, table: String,
+                                      meta: Map[String, String],
+                                      column: String, verb: String): Unit = {
+    val resolver = spark.sessionState.analyzer.resolver
+    constraintsOf(meta).foreach { case (n, sql) =>
+      require(!constraintRefs(spark, sql).exists(resolver(_, column)),
+        s"$verb $table: column $column is referenced by CHECK constraint " +
+          s"$n ($sql) — drop the constraint first")
+    }
+  }
+
+  // -------------------------------------------------------- shallow clone
+
+  /** Shallow clone: a NEW independent table whose first commit
+    * references the SOURCE snapshot's live files byte-for-byte — zero
+    * data copied or moved, pure log metadata (Delta's shallow CLONE).
+    * Schema, column mapping, stats, and constraints carry; streaming
+    * sink watermarks do NOT (`sink.*` — the clone is a new sink
+    * target). The clone then diverges freely: its rewrites stage into
+    * its OWN `data/` dir, and its vacuum can never delete source bytes
+    * ([[vacuumReport]] lists only the table's own data dir). The one
+    * shared-fate caveat is Delta's own: vacuum on the SOURCE may delete
+    * files a live clone still references — retain accordingly. A deep
+    * clone is just `overwrite(snapshot(src), dst)` (CTAS), which
+    * re-stages everything.
+    */
+  def shallowClone(spark: SparkSession, source: String, target: String,
+                   asOf: Option[Long] = None): Long = {
+    val snap = state(spark, source, asOf)
+    require(latestVersion(spark, target) == 0L,
+      s"clone target already has commits: $target")
+    val carried = snap.meta.filterNot { case (k, _) =>
+      k == "ts" || k == "op" || k.startsWith("sink.") }
+    commit(spark, target, adds = snap.live, removes = Nil,
+      meta = carried + ("op" -> "clone") +
+        ("clone.source" -> source.replace('\t', ' ').replace('\n', ' ')) +
+        ("clone.source_version" -> snap.version.toString),
+      mustBeLive = Nil)
   }
 
   /** Columns ANY live file carries harvested stats for — row-level

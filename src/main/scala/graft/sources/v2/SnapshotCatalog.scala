@@ -55,6 +55,14 @@ class SnapshotCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = "graft"
 
+  /** ANSI `ALTER TABLE ... ADD/DROP CONSTRAINT` reaches [[alterTable]]
+    * only when the CATALOG declares constraint support (Spark gates the
+    * statement on this, not on the table). */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   /** SQL `CALL` maintenance verbs (Spark 4 DSv2 stored procedures —
     * the surface Iceberg ships its table maintenance on):
     * {{{
@@ -171,6 +179,28 @@ class SnapshotCatalog extends TableCatalog
           s"$catalogName: only top-level DROP COLUMN is supported, " +
             s"got ${d.fieldNames().mkString(".")}")
         SnapshotStore.dropColumn(spark, path, d.fieldNames().head)
+        return new SnapshotCatalogTable(path, asOf = None, declaredSchema = None)
+      // ANSI `ALTER TABLE ... ADD CONSTRAINT name CHECK (...)` (Spark 4
+      // DSv2 constraint API): only CHECK is storable — PK/UNIQUE/FK are
+      // promises a lake table can't enforce on write, so refusing is
+      // honest. SnapshotStore.addConstraint proves existing rows once
+      // and every later write re-proves its own rows in-plan.
+      case Seq(ac: TableChange.AddConstraint) =>
+        ac.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            SnapshotStore.addConstraint(spark, path, c.name(), c.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"$catalogName: only CHECK constraints are supported, got " +
+              other.toDDL())
+        }
+        return new SnapshotCatalogTable(path, asOf = None, declaredSchema = None)
+      case Seq(dc: TableChange.DropConstraint) =>
+        val known = SnapshotStore.constraints(spark, path)
+          .contains(dc.name().toLowerCase(java.util.Locale.ROOT))
+        if (known) SnapshotStore.dropConstraint(spark, path, dc.name())
+        else if (!dc.ifExists())
+          throw new IllegalArgumentException(
+            s"$catalogName: no constraint ${dc.name()} on $path")
         return new SnapshotCatalogTable(path, asOf = None, declaredSchema = None)
       case _ => ()
     }
@@ -293,6 +323,25 @@ private[graft] class SnapshotCatalogTable(path: String, asOf: Option[Long],
       .map(r => org.apache.spark.sql.graftbridge.GraftShim.asNullable(
         SnapshotStore.logicalSchema(r)))
       .getOrElse(underlying.schema)
+
+  /** Active CHECK constraints, reported through the DSv2 surface
+    * (DESCRIBE, and Spark's own constraint-aware planning). Always
+    * VALID + ENFORCED: add-time proves existing rows, write-time
+    * proves every staged row ([[SnapshotStore.addConstraint]]). A
+    * time-travel handle reports none — pinned reads are read-only and
+    * constraints are a write-side contract of the CURRENT version.
+    */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    if (asOf.isDefined || SnapshotStore.latestVersion(spark, path) == 0L) Array.empty
+    else SnapshotStore.constraints(spark, path).toSeq.sortBy(_._1)
+      .map { case (n, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+          .predicateSql(sql)
+          .enforced(true)
+          .validationStatus(org.apache.spark.sql.connector.catalog
+            .constraints.Constraint.ValidationStatus.VALID)
+          .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.toArray
 
   override def capabilities(): util.Set[TableCapability] =
     if (asOf.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)

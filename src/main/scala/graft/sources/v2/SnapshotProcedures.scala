@@ -20,7 +20,8 @@ import graft.sources.SnapshotStore
 private[v2] object SnapshotProcedures {
 
   val names: Seq[String] =
-    Seq("optimize", "vacuum", "restore", "extract", "refresh_manifest")
+    Seq("optimize", "vacuum", "restore", "extract", "refresh_manifest",
+      "add_constraint", "drop_constraint", "clone")
 
   def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
     case "optimize" => Some(Optimize)
@@ -28,6 +29,9 @@ private[v2] object SnapshotProcedures {
     case "restore" => Some(Restore)
     case "extract" => Some(Extract)
     case "refresh_manifest" => Some(RefreshManifest)
+    case "add_constraint" => Some(AddConstraint)
+    case "drop_constraint" => Some(DropConstraint)
+    case "clone" => Some(Clone)
     case _ => None
   }
 
@@ -158,6 +162,72 @@ private[v2] object SnapshotProcedures {
         .typedExtractIncremental(spark, bagDir, storeDir, topics)
       val (v, op, _) = SnapshotStore.history(spark, storeDir).head
       InternalRow(v, UTF8String.fromString(op), out.count())
+    }
+  }
+
+  /** `CALL graft.add_constraint(table, name, check)` — attach a CHECK
+    * constraint ([[SnapshotStore.addConstraint]]): existing rows are
+    * proven once (bounded LIMIT-1 probe), every later write re-proves
+    * its own rows in-plan. */
+  private object AddConstraint extends Proc("add_constraint",
+    Seq(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("check", StringType).build()),
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("constraints", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "add a CHECK constraint to a graft snapshot table (validates existing rows)"
+    override protected def run(in: InternalRow): InternalRow = {
+      val table = in.getUTF8String(0).toString
+      val v = SnapshotStore.addConstraint(spark, table,
+        in.getUTF8String(1).toString, in.getUTF8String(2).toString)
+      InternalRow(v, SnapshotStore.constraints(spark, table).size)
+    }
+  }
+
+  /** `CALL graft.drop_constraint(table, name)` — retire a CHECK
+    * constraint (metadata-only). */
+  private object DropConstraint extends Proc("drop_constraint",
+    Seq(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build()),
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("constraints", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "drop a CHECK constraint from a graft snapshot table"
+    override protected def run(in: InternalRow): InternalRow = {
+      val table = in.getUTF8String(0).toString
+      val v = SnapshotStore.dropConstraint(spark, table,
+        in.getUTF8String(1).toString)
+      InternalRow(v, SnapshotStore.constraints(spark, table).size)
+    }
+  }
+
+  /** `CALL graft.clone(source, target[, version])` — shallow clone: a
+    * new independent table referencing the source snapshot's files
+    * byte-for-byte, zero data copied ([[SnapshotStore.shallowClone]]).
+    * `version` (negative = latest) clones a historical snapshot. */
+  private object Clone extends Proc("clone",
+    Seq(
+      ProcedureParameter.in("source", StringType).build(),
+      ProcedureParameter.in("target", StringType).build(),
+      ProcedureParameter.in("version", LongType).defaultValue("CAST(-1 AS BIGINT)").build()),
+    StructType(Seq(
+      StructField("target_version", LongType, nullable = false),
+      StructField("source_version", LongType, nullable = false),
+      StructField("files", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "shallow-clone a graft snapshot table (metadata-only, zero data copied)"
+    override protected def run(in: InternalRow): InternalRow = {
+      val source = in.getUTF8String(0).toString
+      val target = in.getUTF8String(1).toString
+      val asOf = in.getLong(2) match { case v if v >= 0 => Some(v); case _ => None }
+      val tv = SnapshotStore.shallowClone(spark, source, target, asOf)
+      val snap = SnapshotStore.state(spark, target)
+      InternalRow(tv, snap.meta("clone.source_version").toLong, snap.live.size)
     }
   }
 

@@ -55,13 +55,16 @@ class SnapshotCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = "graft"
 
-  /** ANSI `ALTER TABLE ... ADD/DROP CONSTRAINT` reaches [[alterTable]]
-    * only when the CATALOG declares constraint support (Spark gates the
-    * statement on this, not on the table). */
+  /** ANSI `ALTER TABLE ... ADD/DROP CONSTRAINT` and column DEFAULTs
+    * reach [[alterTable]] only when the CATALOG declares support (Spark
+    * gates the statements on this, not on the table). */
   override def capabilities(): util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** SQL `CALL` maintenance verbs (Spark 4 DSv2 stored procedures —
     * the surface Iceberg ships its table maintenance on):
@@ -147,17 +150,26 @@ class SnapshotCatalog extends TableCatalog
     require(partitions.isEmpty,
       s"$catalogName: PARTITIONED BY is not supported — clustering is a " +
         "maintenance op (SnapshotStore.compactZOrdered), not a DDL property")
+    // the declared schema only lives until the first write records the
+    // data's own layout — a DEFAULT declared here would silently vanish
+    // with it, so refuse loudly and point at the supported path
+    schema.fields.foreach(f => require(!f.metadata.contains(
+      org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .CURRENT_DEFAULT_COLUMN_METADATA_KEY),
+      s"$catalogName: DEFAULT on CREATE TABLE is not supported — add the " +
+        s"column after the first write: ALTER TABLE ... ADD COLUMN " +
+        s"${f.name} ${f.dataType.simpleString} DEFAULT ..."))
     if (SnapshotStore.latestVersion(spark, path) != 0L)
       throw new TableAlreadyExistsException(ident)
     new SnapshotCatalogTable(path, asOf = None, declaredSchema = Some(schema))
   }
 
   /** `ALTER TABLE ... ADD COLUMN(S)` — a METADATA-ONLY commit recording
-    * the widened schema; every reader then null-fills the new columns
-    * on old files (the same widening a `mergeSchema` append performs,
-    * without touching data). Only top-level nullable adds without
-    * defaults are supported; anything else (type changes, drops,
-    * renames, positions) is refused loudly — schema follows the data.
+    * the widened schema; every reader then null-fills (or, with a
+    * DEFAULT, constant-fills) the new columns on old files — the same
+    * widening a `mergeSchema` append performs, without touching data.
+    * Only top-level nullable adds are supported; anything else (type
+    * changes, positions) is refused loudly — schema follows the data.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = tablePath(ident)
@@ -210,10 +222,40 @@ class SnapshotCatalog extends TableCatalog
           s"$catalogName: only top-level ADD COLUMN is supported, " +
             s"got ${a.fieldNames().mkString(".")}")
         require(a.isNullable,
-          s"$catalogName: added columns must be nullable (old rows null-fill)")
-        require(a.defaultValue() == null,
-          s"$catalogName: DEFAULT values are not supported on added columns")
-        StructField(a.fieldNames().head, a.dataType(), nullable = true)
+          s"$catalogName: added columns must be nullable (old rows " +
+            "null-fill, or default-fill with a DEFAULT)")
+        val base = StructField(a.fieldNames().head, a.dataType(), nullable = true)
+        Option(a.defaultValue()) match {
+          case None => base
+          case Some(dv) =>
+            // `ADD COLUMN x T DEFAULT <expr>`: record Spark's OWN
+            // metadata convention — CURRENT_DEFAULT (the SQL text, the
+            // analyzer fills it into INSERTs that omit the column) and
+            // EXISTS_DEFAULT (the folded constant, the parquet readers
+            // hand it back for files written BEFORE the column existed
+            // — same machinery as Spark's file-source tables, zero data
+            // rewritten). Folding up front also validates: a
+            // non-constant default is refused here, not on first read.
+            val sql = Option(dv.getSql).getOrElse(throw new UnsupportedOperationException(
+              s"$catalogName: DEFAULT must be given as SQL text"))
+            import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            val withCur = base.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putString(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+                .build())
+            val folded = ResolveDefaultColumns.analyze(withCur,
+              "ALTER TABLE ADD COLUMNS")
+            require(folded.foldable,
+              s"$catalogName: DEFAULT must be a constant expression: $sql")
+            val lit = org.apache.spark.sql.catalyst.expressions.Literal
+              .create(folded.eval(), a.dataType())
+            withCur.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(withCur.metadata)
+                .putString(ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY,
+                  lit.sql)
+                .build())
+        }
       case other => throw new UnsupportedOperationException(
         s"$catalogName: unsupported ALTER TABLE change $other — only " +
           "ADD/RENAME/DROP COLUMN(S) are supported (schema follows the data)")

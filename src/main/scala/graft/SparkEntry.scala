@@ -1431,6 +1431,82 @@ object SparkEntry {
       s.sql(s"DELETE FROM graft.`$t` WHERE n_chars < 600 AND lang = 'en'")
       graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
     }),
+    "q_snapshot_delete_dv" -> ((s, d) => {
+      // MERGE-ON-READ delete (deletion vectors — Delta's DVs / Iceberg
+      // position deletes): CALL graft.enable_dv flips the table
+      // property, two SQL DELETEs then write positional deletion
+      // vectors and REPOINT the touched files (require'd: the live data
+      // file set is unchanged — zero rewrite bytes, the 100 TB win),
+      // and the final catalog read goes through the RewriteDvReads
+      // analyzer rewrite (plain scan of dv-less files + anti-join of
+      // dv'd files against their log-pointed positions). The second
+      // delete exercises pointer ADVANCE (old positions carried into a
+      // fresh immutable dataset).
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapdv").toString + "/docs"
+      graft.sources.SnapshotStore.append(docs, t, statsCols = Seq("doc_id"))
+      s.sql(s"CALL graft.enable_dv('$t')").collect()
+      val before = graft.sources.SnapshotStore.state(s, t).live.map(_.path).toSet
+      s.sql(s"DELETE FROM graft.`$t` WHERE n_chars < 600 AND lang = 'en'")
+      // second delete via the programmatic API: v1 SupportsDelete cannot
+      // express modulo (same surface limit as plain q_snapshot_delete);
+      // the table property routes it merge-on-read all the same
+      graft.sources.SnapshotStore.delete(s, t, pmod(col("doc_id"), lit(7)) === 0)
+      val after = graft.sources.SnapshotStore.state(s, t).live
+      require(after.map(_.path).toSet == before,
+        "merge-on-read delete must not rewrite or add data files")
+      require(after.exists(_.dv.isDefined), "deletion vectors must be attached")
+      s.sql(s"SELECT doc_id, lang, n_chars FROM graft.`$t` ORDER BY doc_id")
+    }),
+    "q_snapshot_dv_purge" -> ((s, d) => {
+      // REORG/PURGE after merge-on-read deletes: CALL graft.purge_dv
+      // rewrites the dv'd files WITHOUT their deleted rows and drops
+      // every pointer (require'd), so the table returns to the plain
+      // parquet-delegate read path (this query's final scan takes the
+      // log-answered/DFP-capable route again) with identical visible
+      // rows — the oracle predicts them from the delete predicate alone.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapdvp").toString + "/docs"
+      graft.sources.SnapshotStore.append(docs, t, statsCols = Seq("doc_id"))
+      s.sql(s"CALL graft.enable_dv('$t')").collect()
+      s.sql(s"DELETE FROM graft.`$t` WHERE n_chars >= 900 OR lang = 'ja'")
+      val purged = s.sql(s"CALL graft.purge_dv('$t')").head()
+      require(purged.getInt(1) == 0, "purge must drop every dv pointer")
+      require(graft.sources.SnapshotStore.state(s, t).live.forall(_.dv.isEmpty),
+        "no live file may carry a dv after purge")
+      s.sql(s"SELECT doc_id, lang, n_chars FROM graft.`$t` ORDER BY doc_id")
+    }),
+    "q_snapshot_dv_cdf" -> ((s, d) => {
+      // the row-level change feed across MERGE-ON-READ deletes: a
+      // delete_dv commit is a POINTER MOVE, so the feed reconstructs
+      // exactly the position delta as 'delete' rows (never the whole
+      // file, never inserts) — versions are deterministic (1 append,
+      // 2 enable_dv, 3 first delete, 4 second), and the second delete's
+      // rows exclude positions the first already removed, which the
+      // oracle mirrors with NOT(first-predicate).
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapdvc").toString + "/docs"
+      graft.sources.SnapshotStore.append(docs, t, statsCols = Seq("doc_id"))
+      s.sql(s"CALL graft.enable_dv('$t')").collect()
+      s.sql(s"DELETE FROM graft.`$t` WHERE lang = 'de'")
+      graft.sources.SnapshotStore.delete(s, t, pmod(col("doc_id"), lit(5)) === 0)
+      graft.sources.SnapshotStore.changes(s, t, sinceVersion = 2L)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy(col("_commit_version"), col("doc_id"))
+    }),
     "q_snapshot_replace_sql" -> ((s, d) => {
       // INSERT INTO ... REPLACE WHERE — the lakehouse partition-
       // overwrite idiom as pure SQL text (Delta's replaceWhere): an
@@ -3168,6 +3244,22 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE NOT (n_chars < 600 AND lang = 'en')
         |ORDER BY doc_id""".stripMargin,
+    "q_snapshot_delete_dv" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE NOT (n_chars < 600 AND lang = 'en') AND NOT (doc_id % 7 = 0)
+        |ORDER BY doc_id""".stripMargin,
+    "q_snapshot_dv_purge" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE NOT (n_chars >= 900 OR lang = 'ja')
+        |ORDER BY doc_id""".stripMargin,
+    "q_snapshot_dv_cdf" ->
+      """SELECT doc_id, lang, n_chars, 'delete' AS _change_type,
+        |       CAST(3 AS BIGINT) AS _commit_version
+        |FROM documents WHERE lang = 'de'
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'delete', 4
+        |FROM documents WHERE doc_id % 5 = 0 AND NOT (lang = 'de')
+        |ORDER BY _commit_version, doc_id""".stripMargin,
     "q_snapshot_replace_sql" ->
       """SELECT doc_id, lang,
         |  CASE WHEN lang = 'en' THEN n_chars + 5000 ELSE n_chars END AS n_chars

@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // over a SnapshotCatalog table for the copy-on-write merge command
     // before the built-in row-level rewrite would reject the table
     ext.injectResolutionRule(_ => RewriteSnapshotMerge)
+    // analyzer rule: snapshot reads over files carrying deletion vectors
+    // leave the bare parquet delegate for the DV-filtered plan
+    ext.injectResolutionRule(_ => RewriteDvReads)
     ext.injectOptimizerRule(_ => RewriteVectorOps)
     ext.injectOptimizerRule(_ => PruneAsOfJoin)
     ext.injectOptimizerRule(_ => PruneRangeJoin)

@@ -93,7 +93,12 @@ object RewriteSnapshotMerge extends Rule[LogicalPlan] {
       // reloaded the target relation, so targetOutput below is the
       // evolved schema and old files null-fill through the recorded-
       // schema read
-      MergeSnapshotCommand(path, m.sourceTable, unwrap(m.targetTable).output,
+      // the source is captured into a LEAF command (no later analyzer
+      // rule sees inside), so DV-carrying snapshot reads in it must be
+      // rewritten NOW — RewriteSnapshotMerge runs before RewriteDvReads
+      // in the resolution batch and would otherwise swallow them raw
+      MergeSnapshotCommand(path, RewriteDvReads.rewriteReads(m.sourceTable),
+        unwrap(m.targetTable).output,
         m.mergeCondition, m.matchedActions, m.notMatchedActions,
         m.notMatchedBySourceActions)
 
@@ -180,8 +185,11 @@ object SnapshotMerge {
     validateAssignmentKeys(assignments, "UPDATE", spark)
     val snap = SnapshotStore.state(spark, path)
     if (snap.live.isEmpty) return snap.version
-    val all = SnapshotStore.readFiles(spark, path, snap.live.map(_.path))
-    val withFp = all.select(col("*"), col("_metadata.file_path").as("__fp"))
+    // DV-aware tagged read: __file is the FILE NAME (staged names are
+    // uuid-fresh, so names key live entries — same identity delete()
+    // uses) and rows a deletion vector hides never reach the rewrite
+    val all = SnapshotStore.readFilesTagged(spark, snap.meta, snap.live)
+    val withFp = all.withColumnRenamed("__file", "__fp").drop("__pos")
     val plan0 = withFp.queryExecution.analyzed
     def rw(e: Expression): Expression = substitute(e, targetOutput, plan0.output)
     val cond2 = condition.map(rw).getOrElse(Literal(true))
@@ -213,7 +221,9 @@ object SnapshotMerge {
     val rewrite = GraftShim.ofRows(spark, Project(outCols, tgtPlan))
     SnapshotStore.commitRewrite(spark, path, rewrite,
       removes = touchedPaths, op = "update",
-      statsCols = SnapshotStore.statedCols(snap.live))
+      statsCols = SnapshotStore.statedCols(snap.live),
+      expectDv = snap.live.filter(a => touchedPaths.contains(a.path))
+        .map(a => a.path -> a.dv).toMap)
   }
 
   /** See [[RewriteSnapshotMerge]] for the plan shape. Returns the
@@ -300,16 +310,23 @@ object SnapshotMerge {
       val inserts = insertProjection(spark, unmatchedSrc, targetOutput, notMatched)
       if (inserts.isEmpty) return snap.version
       return SnapshotStore.commitRewrite(spark, path, inserts,
-        removes = Nil, op = "merge", statsCols = statsCols)
+        removes = Nil, op = "merge", statsCols = statsCols,
+        // the anti-join read the touched files' CURRENT visible rows; a
+        // racing merge-on-read delete would invalidate that read-set
+        expectDv = snap.live.filter(a => touched.contains(a.path))
+          .map(a => a.path -> a.dv).toMap)
     }
 
     // ---- general path: one full-outer classify-and-rewrite -----------
-    val tgtBase = readTouched(spark, path, touched)
     // row identity (file, row_index) for the cardinality check; markers
-    // tell matched from one-sided rows after the outer join
-    val tgtW = tgtBase.select(col("*"),
-      col("_metadata.file_path").as("__fp"),
-      col("_metadata.row_index").as("__ri"))
+    // tell matched from one-sided rows after the outer join. The tagged
+    // read applies deletion vectors, so MoR-deleted rows neither match
+    // nor carry over.
+    val touchedSet = touched.toSet
+    val touchedFiles = snap.live.filter(a => touchedSet.contains(a.path))
+    val tgtW = SnapshotStore.readFilesTagged(spark, snap.meta, touchedFiles)
+      .withColumnRenamed("__file", "__fp")
+      .withColumnRenamed("__pos", "__ri")
     val tgtPlan0 = tgtW.queryExecution.analyzed
     val tMark = Alias(Literal(true), "__t")()
     val sMark = Alias(Literal(true), "__s")()
@@ -425,7 +442,8 @@ object SnapshotMerge {
     val rewrite = GraftShim.ofRows(spark, Project(outCols, filtered))
 
     SnapshotStore.commitRewrite(spark, path, rewrite,
-      removes = touched, op = "merge", statsCols = statsCols)
+      removes = touched, op = "merge", statsCols = statsCols,
+      expectDv = touchedFiles.map(a => a.path -> a.dv).toMap)
   }
 
   // -------------------------------------------------------------- helpers
@@ -660,7 +678,11 @@ object SnapshotMerge {
     * and the by-name probes would group on the wrong attribute — so
     * both schemas are validated up front, one check for all seven+. */
   private val ReservedCols = Set("__fp", "__ri", "__t", "__s", "__act",
-    "__part", "__rn", "__mod", "__k", "__c", "__m")
+    "__part", "__rn", "__mod", "__k", "__c", "__m",
+    // the DV-aware tagged read's identity columns (SnapshotStore
+    // .readFilesTagged) — renamed to __fp/__ri here, but present on the
+    // frame between read and rename
+    "__file", "__pos")
 
   private def requireNoReservedCols(attrs: Seq[Attribute], side: String,
                                     verb: String): Unit = {

@@ -74,10 +74,24 @@ object SnapshotStore {
     * [[StrStatLen]] chars Delta-style: a truncated MIN is still a valid
     * lower bound (a prefix sorts <= the full string); a MAX that needs
     * truncation is DROPPED, never weakened.
+    *
+    * `dv` is the file's DELETION VECTOR, when one is attached (Delta's
+    * merge-on-read deletes): `(dvDir, deletedRows)` where `dvDir` is a
+    * parquet dataset of `(__file name, __pos row-index)` pairs under the
+    * table's `dv/` directory and `deletedRows` is how many of THIS
+    * file's positions it holds. `rows` stays the PHYSICAL row count —
+    * visible rows = `rows - dv.deletedRows`. Stats stay the physical
+    * file's (conservative: a deleted row may have been the min/max, so
+    * pruning may only keep extra files, never skip live rows — but
+    * index-only min/max answers must decline, see SnapshotScanBuilder).
     */
   final case class AddFile(path: String, rows: Long,
                            stats: Map[String, (Long, Long)],
-                           strStats: Map[String, (String, String)] = Map.empty)
+                           strStats: Map[String, (String, String)] = Map.empty,
+                           dv: Option[(String, Long)] = None) {
+    /** Rows a reader of this file actually sees. */
+    def visibleRows: Long = rows - dv.fold(0L)(_._2)
+  }
 
   /** Stored length cap for string stat values (UTF-16 chars). */
   val StrStatLen = 64
@@ -131,11 +145,18 @@ object SnapshotStore {
       a.strStats.toSeq.sortBy(_._1)
         .map { case (c, (lo, hi)) => s"$c=s:${hexEnc(lo)}:${hexEnc(hi)}" }
     val stats = if (entries.isEmpty) "-" else entries.mkString(";")
-    s"a\t${a.path}\t${a.rows}\t$stats"
+    // deletion vector rides as two EXTRA fields (deleted-row count, then
+    // the dv dataset dir — last, because paths may carry any non-tab
+    // char); a DV-less file keeps the classic 4-field line, so logs
+    // without deletes are byte-identical to the pre-DV format
+    val dvTail = a.dv.fold("") { case (dir, n) => s"\t$n\t$dir" }
+    s"a\t${a.path}\t${a.rows}\t$stats$dvTail"
   }
 
   private def decodeAdd(fields: Array[String]): AddFile = {
-    if (fields(3) == "-") AddFile(fields(1), fields(2).toLong, Map.empty)
+    val dv: Option[(String, Long)] =
+      if (fields.length >= 6) Some((fields(5), fields(4).toLong)) else None
+    if (fields(3) == "-") AddFile(fields(1), fields(2).toLong, Map.empty, Map.empty, dv)
     else {
       val entries = fields(3).split(';').map { s =>
         val Array(c, range) = s.split('=')
@@ -151,7 +172,7 @@ object SnapshotStore {
         val Array(_, lo, hi) = r.split(":", -1)
         c -> (hexDec(lo), hexDec(hi))
       }.toMap
-      AddFile(fields(1), fields(2).toLong, longs, strs)
+      AddFile(fields(1), fields(2).toLong, longs, strs, dv)
     }
   }
 
@@ -293,10 +314,19 @@ object SnapshotStore {
     * wins. (package-visible so the conflict spec can race a stalled
     * writer)
     */
+  /** `expectDv` extends the optimistic read-set to DELETION-VECTOR
+    * pointers: paths whose CURRENT live entry must still carry exactly
+    * the given dv (None = no dv) for the commit to be sound. Every
+    * rewrite computed from a snapshot read must pass its touched files'
+    * dv pointers here — a racing merge-on-read delete changes a file's
+    * visible rows WITHOUT removing it, so `mustBeLive` alone would let
+    * a copy-on-write rewrite resurrect the freshly-deleted rows.
+    */
   private[sources] def commit(spark: SparkSession, table: String,
                      adds: Seq[AddFile], removes: Seq[String],
                      meta: => Map[String, String],
-                     mustBeLive: Seq[String]): Long = {
+                     mustBeLive: Seq[String],
+                     expectDv: Map[String, Option[(String, Long)]] = Map.empty): Long = {
     val c = conf(spark)
     val dir = logDir(table)
     val fs = dir.getFileSystem(c)
@@ -307,12 +337,19 @@ object SnapshotStore {
       attempt += 1
       require(attempt <= 100, s"commit to $table: 100 straight version races")
       val v = latestVersion(spark, table) + 1
-      if (mustBeLive.nonEmpty && v > 1) {
-        val liveNow = state(spark, table).live.map(_.path).toSet
-        val gone = mustBeLive.filterNot(liveNow)
+      if ((mustBeLive.nonEmpty || expectDv.nonEmpty) && v > 1) {
+        val liveNow = state(spark, table).live.map(a => a.path -> a.dv).toMap
+        val gone = mustBeLive.filterNot(liveNow.contains)
         if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"commit to $table: ${gone.size} input file(s) no longer live " +
             s"(another overwrite/compact won): ${gone.take(3).mkString(", ")}")
+        val drifted = expectDv.collect {
+          case (p, expected) if liveNow.contains(p) && liveNow(p) != expected => p
+        }
+        if (drifted.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"commit to $table: ${drifted.size} input file(s) gained a different " +
+            s"deletion vector (a concurrent merge-on-read delete won): " +
+            drifted.take(3).mkString(", "))
       }
       // every commit carries its wall-clock millis — TIMESTAMP AS OF
       // resolution ([[versionAt]]) reads these; [[history]] shows them.
@@ -510,6 +547,35 @@ object SnapshotStore {
     }
   }
 
+  /** [[readFilesAs]] with deletion vectors APPLIED — the streaming
+    * initial-load path: batches must stay column-stable (the pinned
+    * `schema`) AND must not deliver merge-on-read-deleted rows. DV-less
+    * files keep the plain plan; dv'd files anti-join their log-pointed
+    * positions, exactly [[readFilesTagged]]'s shape under the stream's
+    * fixed schema. */
+  private[graft] def readFilesAsDv(spark: SparkSession, table: String,
+                                   schema: org.apache.spark.sql.types.StructType,
+                                   files: Seq[AddFile],
+                                   asOf: Option[Long] = None,
+                                   mark: DataFrame => DataFrame = identity): DataFrame = {
+    // `mark` is applied to the DATA-side reads only (the streaming
+    // source flags them as streaming relations); the dv-position side
+    // stays a STATIC read, so the anti-join plans as a supported
+    // stream-static LeftAnti instead of a (refused) stream-stream one
+    val (dvd, plain) = files.partition(_.dv.isDefined)
+    if (dvd.isEmpty)
+      return mark(readFilesAs(spark, table, schema, plain.map(_.path), asOf))
+    val filtered = mark(readFilesAs(spark, table, schema, dvd.map(_.path), asOf)
+        .select(col("*"),
+          element_at(split(col("_metadata.file_path"), "/"), -1).as("__file"),
+          col("_metadata.row_index").as("__pos")))
+      .join(broadcast(dvPositions(spark, dvd)), Seq("__file", "__pos"), "left_anti")
+      .drop("__file", "__pos")
+    if (plain.isEmpty) filtered
+    else mark(readFilesAs(spark, table, schema, plain.map(_.path), asOf))
+      .unionByName(filtered)
+  }
+
   /** The user-facing schema: logical names, mapping metadata stripped
     * (the physical indirection is a storage detail, not result schema).
     */
@@ -672,6 +738,183 @@ object SnapshotStore {
       case None => spark.read.parquet(paths: _*)
     }
 
+  // ------------------------------------------------------ deletion vectors
+
+  /** Table property enabling MERGE-ON-READ deletes: when "true",
+    * [[delete]] routes through [[deleteMergeOnRead]] — a delete writes a
+    * tiny positional deletion vector instead of rewriting the touched
+    * data files (Delta's deletion vectors / Iceberg's position deletes).
+    * The write cost becomes O(matched rows), not O(touched bytes): at
+    * 100 TB, deleting a user's rows from 1 GB files stops costing a
+    * gigabyte of rewrite per touched file. Reads pay one anti-join
+    * against the (log-known, usually broadcastable) deleted-position
+    * set for DV'd files only; [[purgeDv]] rewrites them clean.
+    */
+  val DvProperty = "graft.dv"
+
+  private def dvRoot(table: String) = new Path(table, "dv")
+
+  def dvEnabled(spark: SparkSession, table: String): Boolean =
+    latestVersion(spark, table) > 0L &&
+      state(spark, table).meta.get(DvProperty).contains("true")
+
+  /** Flip merge-on-read deletes on/off — a metadata-only commit. */
+  def setDvEnabled(spark: SparkSession, table: String, enabled: Boolean): Long = {
+    require(latestVersion(spark, table) > 0L,
+      s"cannot set $DvProperty: table has no commits yet: $table")
+    commit(spark, table, adds = Nil, removes = Nil,
+      meta = Map("op" -> "set_property", DvProperty -> enabled.toString),
+      mustBeLive = Nil)
+  }
+
+  /** Name of a path's file — staged names are uuid-fresh, so the NAME
+    * keys the log entry without URI-scheme normalization games (the
+    * same identity [[changes]] and [[delete]] rely on). */
+  private def nameOf(p: String): String = new Path(p).getName
+
+  /** The ACTIVE deleted-position set for `files` (columns `__file`
+    * name, `__pos` row index) — each file's positions read from exactly
+    * the dv dataset its live entry points at: a file restored to an
+    * older, smaller dv must NOT see positions a later delete added
+    * (dv datasets are immutable; pointers move, content never changes).
+    */
+  private def dvPositions(spark: SparkSession,
+                          files: Seq[AddFile]): DataFrame = {
+    val byDir: Map[String, Seq[String]] = files
+      .collect { case a if a.dv.isDefined => (a.dv.get._1, nameOf(a.path)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byDir.toSeq.sortBy(_._1).map { case (dir, names) =>
+      val dv = spark.read.parquet(dir).select(col("__file"), col("__pos"))
+      if (names.size == 1) dv.filter(col("__file") === names.head)
+      else dv.filter(col("__file").isin(names: _*))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Read `files` with row identity attached and deletion vectors
+    * APPLIED: output = recorded-schema columns + `__file` (file name) +
+    * `__pos` (row index within the file). The central DV-aware read —
+    * [[snapshot]]/[[readFiles]]/DML rewrites all come through here when
+    * any requested file carries a dv. Shape: plain parquet scan for
+    * dv-less files, plus (for dv'd files only) an anti-join against the
+    * log-pointed position set — broadcast when the log-known deleted
+    * cardinality is small (the common case: deletes are tiny relative
+    * to data, that is the point of merge-on-read), shuffled otherwise.
+    */
+  private[graft] def readFilesTagged(spark: SparkSession,
+                                     meta: Map[String, String],
+                                     files: Seq[AddFile]): DataFrame = {
+    def tagged(paths: Seq[String]): DataFrame =
+      readWithSchema(spark, meta, paths).select(col("*"),
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("__file"),
+        col("_metadata.row_index").as("__pos"))
+    val (dvd, plain) = files.partition(_.dv.isDefined)
+    if (dvd.isEmpty) return tagged(files.map(_.path))
+    val deleted = dvPositions(spark, dvd)
+    val totalDeleted = dvd.map(_.dv.get._2).sum
+    val hinted = if (totalDeleted <= 4000000L) broadcast(deleted) else deleted
+    val filtered = tagged(dvd.map(_.path))
+      .join(hinted, Seq("__file", "__pos"), "left_anti")
+    if (plain.isEmpty) filtered
+    else tagged(plain.map(_.path)).unionByName(filtered)
+  }
+
+  /** DV-aware untagged read: the table's visible rows for `files`. The
+    * dv-less fast path is byte-identical to the classic
+    * [[readWithSchema]] plan — zero cost until the first merge-on-read
+    * delete actually lands. */
+  private[graft] def readLive(spark: SparkSession, meta: Map[String, String],
+                              files: Seq[AddFile]): DataFrame =
+    if (files.forall(_.dv.isEmpty)) readWithSchema(spark, meta, files.map(_.path))
+    else readFilesTagged(spark, meta, files).drop("__file", "__pos")
+
+  /** MERGE-ON-READ delete: write the matched rows' (file, position)
+    * pairs as a deletion-vector dataset and REPOINT the touched files at
+    * it in one commit — zero data-file rewrites (`op = delete_dv`,
+    * adds = the same paths re-added with the new dv pointer; replay
+    * replaces live entries by path). A file that already carries a dv
+    * gets the UNION of its old positions and the new matches (dv
+    * datasets are immutable — pointers advance, content never mutates,
+    * so time travel and [[restore]] to any older pointer stay exact).
+    *
+    * Same determinism contract as [[delete]] (the condition evaluates
+    * once here and implicitly again wherever the probe's positions are
+    * trusted), same touched-file discovery (one predicate-pushdown scan
+    * projecting file identity), and the commit carries `expectDv` so a
+    * RACING merge-on-read delete of the same files loses loudly instead
+    * of silently dropping the earlier dv's positions.
+    */
+  def deleteMergeOnRead(spark: SparkSession, table: String,
+                        condition: Column): Long = {
+    val snap = state(spark, table)
+    if (snap.live.isEmpty) return snap.version
+    val all = readFilesTagged(spark, snap.meta, snap.live)
+    val analyzedCond = all.filter(condition).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    require(analyzedCond.forall(_.deterministic),
+      s"delete condition must be deterministic: $condition")
+    // the matched positions, grouped per file — ONE scan with the
+    // predicate pushed down; counts are per-file dv cardinalities
+    val matched = all.filter(condition)
+      .select(col("__file"), col("__pos"))
+    val perFile: Map[String, Long] = matched.groupBy(col("__file"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (perFile.isEmpty) return snap.version
+    val touched = snap.live.filter(a => perFile.contains(nameOf(a.path)))
+    // new dv dataset = fresh matches (+ carried positions of touched
+    // files that already had a dv); `__delta` marks THIS delete's rows
+    // so the change feed can replay exactly what this commit deleted
+    val carriedFiles = touched.filter(_.dv.isDefined)
+    val dels0 = matched.withColumn("__delta", lit(true))
+    val dels =
+      if (carriedFiles.isEmpty) dels0
+      else dels0.unionByName(dvPositions(spark, carriedFiles)
+        .withColumn("__delta", lit(false)))
+    val c = conf(spark)
+    val root = dvRoot(table)
+    val fs = root.getFileSystem(c)
+    fs.mkdirs(root)
+    val dvPath = new Path(root, java.util.UUID.randomUUID().toString).toString
+    // dv datasets are tiny relative to data (positions, not rows) — a
+    // single file keeps the read-side dv scan one-task cheap
+    dels.coalesce(1).write.parquet(dvPath)
+    val adds = touched.map { a =>
+      val name = nameOf(a.path)
+      val total = perFile.getOrElse(name, 0L) + a.dv.fold(0L)(_._2)
+      require(total <= a.rows, s"dv for $name exceeds its row count " +
+        s"($total > ${a.rows}) — duplicated positions?")
+      a.copy(dv = Some((dvPath, total)))
+    }
+    commit(spark, table, adds, removes = Nil,
+      meta = Map("op" -> "delete_dv"),
+      mustBeLive = touched.map(_.path),
+      expectDv = touched.map(a => a.path -> a.dv).toMap)
+  }
+
+  /** REORG-style purge (Delta's `REORG TABLE ... APPLY (PURGE)`):
+    * rewrite files whose deleted fraction is at least `minDeletedRatio`
+    * WITHOUT their dv'd rows, dropping the dv pointers — one commit,
+    * content-preserving (visible rows identical before and after, like
+    * [[compact]]), so the change feed emits nothing for it. The dv
+    * datasets themselves become unreferenced and fall to [[vacuum]].
+    */
+  def purgeDv(spark: SparkSession, table: String,
+              minDeletedRatio: Double = 0.0): Long = {
+    require(minDeletedRatio >= 0.0 && minDeletedRatio <= 1.0,
+      s"minDeletedRatio must be in [0,1]: $minDeletedRatio")
+    val snap = state(spark, table)
+    val victims = snap.live.filter(a =>
+      a.dv.exists(_._2.toDouble / a.rows.max(1L) >= minDeletedRatio))
+    if (victims.isEmpty) return snap.version
+    val rewrite = readLive(spark, snap.meta, victims)
+    val adds = stageFiles(rewrite, table, statedCols(snap.live)).filter(_.rows > 0)
+    commit(spark, table, adds, removes = victims.map(_.path),
+      meta = Map("op" -> "purge_dv"),
+      mustBeLive = victims.map(_.path),
+      expectDv = victims.map(a => a.path -> a.dv).toMap)
+  }
+
   /** Metadata-swap compaction: rewrite the live set into `targetFiles`
     * files and publish ONE commit that removes the fragments and adds
     * the rewrite — readers never see a half-compacted table, and time
@@ -683,11 +926,12 @@ object SnapshotStore {
               statsCols: Seq[String] = Nil): Long = {
     val snap = state(spark, table)
     if (snap.live.size <= targetFiles) return snap.version
-    val df = readWithSchema(spark, snap.meta, snap.live.map(_.path))
+    val df = readLive(spark, snap.meta, snap.live)
       .repartition(targetFiles)
     val adds = stageFiles(df, table, statsCols)
     commit(spark, table, adds, removes = snap.live.map(_.path),
-      meta = Map("op" -> "compact"), mustBeLive = snap.live.map(_.path))
+      meta = Map("op" -> "compact"), mustBeLive = snap.live.map(_.path),
+      expectDv = snap.live.map(a => a.path -> a.dv).toMap)
   }
 
   /** Size-TRIGGERED compaction — the OPTIMIZE policy a streaming
@@ -740,13 +984,14 @@ object SnapshotStore {
     require(clusterCols.nonEmpty, "compactClustered needs cluster columns")
     val snap = state(spark, table)
     val cols = clusterCols.map(col)
-    val df = readWithSchema(spark, snap.meta, snap.live.map(_.path))
+    val df = readLive(spark, snap.meta, snap.live)
       .repartitionByRange(targetFiles, cols: _*)
       .sortWithinPartitions(cols: _*)
     val harvest = if (statsCols.nonEmpty) statsCols else clusterCols
     val adds = stageFiles(df, table, harvest)
     commit(spark, table, adds, removes = snap.live.map(_.path),
-      meta = Map("op" -> "compact"), mustBeLive = snap.live.map(_.path))
+      meta = Map("op" -> "compact"), mustBeLive = snap.live.map(_.path),
+      expectDv = snap.live.map(a => a.path -> a.dv).toMap)
   }
 
   /** Read the table at `asOf` (default: latest). */
@@ -754,7 +999,7 @@ object SnapshotStore {
                asOf: Option[Long] = None): DataFrame = {
     val snap = state(spark, table, asOf)
     require(snap.live.nonEmpty, s"snapshot $table@${snap.version} is empty")
-    readWithSchema(spark, snap.meta, snap.live.map(_.path))
+    readLive(spark, snap.meta, snap.live)
   }
 
   /** Live files whose harvested [min,max] can intersect the box —
@@ -793,9 +1038,11 @@ object SnapshotStore {
               asOf: Option[Long] = None,
               strBox: Map[String, (String, String)] = Map.empty): DataFrame = {
     val (kept, _) = prunedLiveFiles(spark, table, box, asOf, strBox)
+    val snap = state(spark, table, asOf)
+    val keptSet = kept.toSet
     val base =
       if (kept.isEmpty) snapshot(spark, table, asOf).limit(0)
-      else readWithSchema(spark, state(spark, table, asOf).meta, kept)
+      else readLive(spark, snap.meta, snap.live.filter(a => keptSet.contains(a.path)))
     val longFiltered = box.foldLeft(base) { case (df, (c, (lo, hi))) =>
       df.filter(col(c) >= lo && col(c) <= hi)
     }
@@ -840,10 +1087,10 @@ object SnapshotStore {
     }
     val kept = BloomSkip.prunedFrom(conf(spark),
       boxKept.map(a => new Path(a.path)), column, values)
-      .map(_.toString)
+      .map(_.toString).toSet
     val base =
       if (kept.isEmpty) snapshot(spark, table, asOf).limit(0)
-      else readWithSchema(spark, snap.meta, kept)
+      else readLive(spark, snap.meta, boxKept.filter(a => kept.contains(a.path)))
     base.filter(col(column).isin(values: _*))
   }
 
@@ -890,7 +1137,7 @@ object SnapshotStore {
                      asOf: Option[Long] = None): DataFrame = {
     val files = addedSince(spark, table, sinceVersion, asOf)
     if (files.isEmpty) snapshot(spark, table, asOf).limit(0)
-    else readWithSchema(spark, state(spark, table, asOf).meta, files.map(_.path))
+    else readLive(spark, state(spark, table, asOf).meta, files)
   }
 
   /** Copy-on-write upsert (MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
@@ -928,15 +1175,18 @@ object SnapshotStore {
     val pruneCol = keyCols.head
     val touched = touchedByLongKey(spark, snap.live,
       updates.select(col(pruneCol).cast("long").as("__k")), pruneCol)
+    val touchedSet = touched.toSet
+    val touchedFiles = snap.live.filter(a => touchedSet.contains(a.path))
     val rewrite =
       if (touched.isEmpty) updates
-      else readWithSchema(spark, snap.meta, touched)
+      else readLive(spark, snap.meta, touchedFiles)
         .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
         .unionByName(updates)
     val adds = stageFiles(rewrite, table,
       if (statsCols.isEmpty) keyCols else statsCols)
     commit(spark, table, adds, removes = touched,
-      meta = Map("op" -> "upsert"), mustBeLive = touched)
+      meta = Map("op" -> "upsert"), mustBeLive = touched,
+      expectDv = touchedFiles.map(a => a.path -> a.dv).toMap)
   }
 
   /** Live files whose harvested long [min,max] on `pruneCol` can contain
@@ -1216,24 +1466,34 @@ object SnapshotStore {
     live.flatMap(a => a.stats.keys ++ a.strStats.keys).distinct.sorted
 
   /** Read a specific live-file subset with the table's recorded schema
-    * pinned — the touched-file read of [[upsert]]/MERGE. */
+    * pinned — the touched-file read of [[upsert]]/MERGE. DV-aware:
+    * paths that are live with a deletion vector read filtered; paths
+    * outside the live set (none today — every caller passes live
+    * subsets) read plain. */
   private[graft] def readFiles(spark: SparkSession, table: String,
                                paths: Seq[String],
-                               asOf: Option[Long] = None): DataFrame =
-    readWithSchema(spark, state(spark, table, asOf).meta, paths)
+                               asOf: Option[Long] = None): DataFrame = {
+    val snap = state(spark, table, asOf)
+    val byPath = snap.live.map(a => a.path -> a).toMap
+    readLive(spark, snap.meta,
+      paths.map(p => byPath.getOrElse(p, AddFile(p, 0L, Map.empty))))
+  }
 
   /** Stage `rewrite` and publish one commit swapping it for `removes`
     * (re-validated live — a concurrent overwrite/compact of a touched
-    * file fails the commit instead of resurrecting replaced rows).
+    * file fails the commit instead of resurrecting replaced rows; a
+    * concurrent MERGE-ON-READ delete of a touched file fails it too via
+    * `expectDv`, or its freshly-deleted rows would resurrect).
     * Zero-row rewrite files stage nothing. The copy-on-write commit
     * tail [[upsert]], [[delete]], and SQL MERGE share.
     */
   private[graft] def commitRewrite(spark: SparkSession, table: String,
                                    rewrite: DataFrame, removes: Seq[String],
-                                   op: String, statsCols: Seq[String]): Long = {
+                                   op: String, statsCols: Seq[String],
+                                   expectDv: Map[String, Option[(String, Long)]] = Map.empty): Long = {
     val adds = stageFiles(rewrite, table, statsCols).filter(_.rows > 0)
     commit(spark, table, adds, removes,
-      meta = Map("op" -> op), mustBeLive = removes)
+      meta = Map("op" -> op), mustBeLive = removes, expectDv = expectDv)
   }
 
   /** Copy-on-write DELETE: removes the rows where `condition` is TRUE
@@ -1259,7 +1519,11 @@ object SnapshotStore {
              statsCols: Seq[String] = Nil): Long = {
     val snap = state(spark, table)
     if (snap.live.isEmpty) return snap.version
-    val all = readWithSchema(spark, snap.meta, snap.live.map(_.path))
+    // merge-on-read routing: with the table property set, a delete
+    // writes a positional deletion vector instead of rewriting files
+    if (snap.meta.get(DvProperty).contains("true"))
+      return deleteMergeOnRead(spark, table, condition)
+    val all = readFilesTagged(spark, snap.meta, snap.live)
     // the predicate evaluates in TWO scans (touched-file discovery, then
     // the keep-rewrite); a non-deterministic condition (rand(), shuffled
     // input, ...) could match different rows in each — rows silently
@@ -1271,22 +1535,21 @@ object SnapshotStore {
     }
     require(analyzedCond.forall(_.deterministic),
       s"delete condition must be deterministic (it evaluates in two scans): $condition")
-    val touched = all.filter(condition)
-      .select(col("_metadata.file_path")).distinct()
-      .collect().map(_.getString(0)).toSeq
-      // scheme-normalize against the log's paths (file:/ vs file:///)
-      .map(p => new Path(p))
-    val touchedPaths = snap.live.map(_.path)
-      .filter(p => touched.exists(t => t.getName == new Path(p).getName))
+    val touchedNames = all.filter(condition)
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touchedFiles = snap.live.filter(a => touchedNames.contains(nameOf(a.path)))
+    val touchedPaths = touchedFiles.map(_.path)
     if (touchedPaths.isEmpty) return snap.version
-    val keep = readWithSchema(spark, snap.meta, touchedPaths)
+    val keep = readLive(spark, snap.meta, touchedFiles)
       .filter(!condition.<=>(lit(true)))
     // re-harvest the stats the table already tracks (statedCols) unless
     // the caller pinned a set — a delete must not degrade future pruning
     val harvest = if (statsCols.nonEmpty) statsCols else statedCols(snap.live)
     val adds = stageFiles(keep, table, harvest).filter(_.rows > 0)
     commit(spark, table, adds, removes = touchedPaths,
-      meta = Map("op" -> "delete"), mustBeLive = touchedPaths)
+      meta = Map("op" -> "delete"), mustBeLive = touchedPaths,
+      expectDv = touchedFiles.map(a => a.path -> a.dv).toMap)
   }
 
   /** REPLACE WHERE: atomically swap the rows matching `condition` for
@@ -1331,27 +1594,27 @@ object SnapshotStore {
     if (latestVersion(spark, table) == 0L)
       return append(data, table, statsCols)
     val snap = state(spark, table)
-    val all = readWithSchema(spark, snap.meta, snap.live.map(_.path))
+    val all = readFilesTagged(spark, snap.meta, snap.live)
     val analyzedCond = all.filter(condition).queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
     require(analyzedCond.forall(_.deterministic),
       s"replaceWhere condition must be deterministic (it evaluates in two " +
         s"scans): $condition")
-    val touched = all.filter(condition)
-      .select(col("_metadata.file_path")).distinct()
-      .collect().map(_.getString(0)).toSeq
-      .map(p => new Path(p))
-    val touchedPaths = snap.live.map(_.path)
-      .filter(p => touched.exists(t => t.getName == new Path(p).getName))
+    val touchedNames = all.filter(condition)
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touchedFiles = snap.live.filter(a => touchedNames.contains(nameOf(a.path)))
+    val touchedPaths = touchedFiles.map(_.path)
     val kept =
       if (touchedPaths.isEmpty) None
-      else Some(readWithSchema(spark, snap.meta, touchedPaths)
+      else Some(readLive(spark, snap.meta, touchedFiles)
         .filter(!condition.<=>(lit(true))))
     val rewrite = kept.fold(data)(_.unionByName(data))
     val harvest = if (statsCols.nonEmpty) statsCols else statedCols(snap.live)
     commitRewrite(spark, table, rewrite,
-      removes = touchedPaths, op = "replace_where", statsCols = harvest)
+      removes = touchedPaths, op = "replace_where", statsCols = harvest,
+      expectDv = touchedFiles.map(a => a.path -> a.dv).toMap)
   }
 
   /** Row-level change feed: every row added or removed in versions
@@ -1383,40 +1646,108 @@ object SnapshotStore {
     require(commits.nonEmpty, s"snapshot table has no commits: $table")
     val target = asOf.getOrElse(commits.last)
     val strict = strictFooter(spark)
-    val tagged: Seq[(String, String, Long)] =
-      commits.filter(v => v > sinceVersion && v <= target).flatMap { v =>
-        val lines = readCommitLines(fs, commitPath(table, v), strict)
-        val op = lines.collectFirst {
-          case l if l.startsWith("m\top\t") => l.split('\t')(2) }.getOrElse("?")
-        if (op == "compact") Nil // rewrite: no row-level delta
-        else lines.collect {
-          case l if l.startsWith("r\t") => (l.split('\t')(1), "delete", v)
-        } ++ lines.collect {
-          case l if l.startsWith("a\t") =>
-            (decodeAdd(l.split('\t')).path, "insert", v)
+    // deletion vectors make file events positional: a file inserted or
+    // removed while carrying a dv contributes only its VISIBLE rows,
+    // and a commit that merely MOVES a file's dv pointer (delete_dv,
+    // restore) contributes exactly the position DELTA — grown = those
+    // rows deleted, shrunk (a restore rolling a delete back) = those
+    // rows resurrected as inserts. The pointer map walks the commits in
+    // order, seeded from the state at `sinceVersion`.
+    var dvPtr: Map[String, Option[(String, Long)]] =
+      if (sinceVersion <= 0L || !commits.contains(sinceVersion)) Map.empty
+      else state(spark, table, Some(sinceVersion)).live
+        .map(a => nameOf(a.path) -> a.dv).toMap
+    // (path, changeType, version, dvAtEvent) for whole-file events;
+    // (path, version, newDv, oldDv) for pointer moves
+    val fileEvents = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Option[(String, Long)])]
+    val ptrMoves = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Option[(String, Long)], Option[(String, Long)])]
+    commits.filter(v => v > sinceVersion && v <= target).foreach { v =>
+      val lines = readCommitLines(fs, commitPath(table, v), strict)
+      val op = lines.collectFirst {
+        case l if l.startsWith("m\top\t") => l.split('\t')(2) }.getOrElse("?")
+      val removes = lines.collect { case l if l.startsWith("r\t") => l.split('\t')(1) }
+      val adds = lines.collect { case l if l.startsWith("a\t") => decodeAdd(l.split('\t')) }
+      // content-preserving rewrites: no row-level delta, but the pointer
+      // map must still track them (purge drops files and their dvs)
+      if (op == "compact" || op == "purge_dv") {
+        removes.foreach(r => dvPtr -= nameOf(r))
+        adds.foreach(a => dvPtr += nameOf(a.path) -> a.dv)
+      } else {
+        removes.foreach { r =>
+          fileEvents += ((r, "delete", v, dvPtr.getOrElse(nameOf(r), None)))
+          dvPtr -= nameOf(r)
+        }
+        adds.foreach { a =>
+          val name = nameOf(a.path)
+          dvPtr.get(name) match {
+            case None => // fresh file: its VISIBLE rows are inserts
+              fileEvents += ((a.path, "insert", v, a.dv))
+            case Some(old) if old != a.dv => // pointer move on a live file
+              ptrMoves += ((a.path, v, a.dv, old))
+            case Some(_) => () // re-add with identical pointer: no delta
+          }
+          dvPtr += name -> a.dv
         }
       }
-    if (tagged.isEmpty)
-      return snapshot(spark, table, Some(target)).limit(0)
-        .withColumn("_change_type", lit(""))
-        .withColumn("_commit_version", lit(0L))
+    }
+    val emptyFeed = snapshot(spark, table, Some(target)).limit(0)
+      .withColumn("_change_type", lit(""))
+      .withColumn("_commit_version", lit(0L))
+    if (fileEvents.isEmpty && ptrMoves.isEmpty) return emptyFeed
     val present = fs.listStatus(dataDir(table)).toSeq
       .filter(_.isFile).map(_.getPath.getName).toSet
-    val missing = tagged.map(_._1).distinct
-      .filterNot(p => present.contains(new Path(p).getName))
+    val missing = (fileEvents.map(_._1) ++ ptrMoves.map(_._1)).distinct
+      .filterNot(p => present.contains(nameOf(p)))
     if (missing.nonEmpty) throw new IllegalStateException(
       s"changes($sinceVersion): ${missing.size} referenced file(s) no longer " +
         s"exist (vacuumed?): ${missing.take(3).mkString(", ")} — " +
         "time-travel retention is gone; re-read the snapshot instead")
-    val lookup = spark.createDataFrame(tagged.map { case (p, t, v) =>
-      (new Path(p).getName, t, v)
-    }).toDF("__file", "_change_type", "_commit_version")
-    readWithSchema(spark, state(spark, table, Some(target)).meta,
-        tagged.map(_._1).distinct)
-      .withColumn("__file",
-        element_at(split(col("_metadata.file_path"), "/"), -1))
-      .join(broadcast(lookup), "__file")
-      .drop("__file")
+    val meta = state(spark, table, Some(target)).meta
+    def physTagged(paths: Seq[String]): DataFrame =
+      readWithSchema(spark, meta, paths.distinct).select(col("*"),
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("__file"),
+        col("_metadata.row_index").as("__pos"))
+    def posOf(dv: (String, Long), file: String): DataFrame =
+      spark.read.parquet(dv._1)
+        .filter(col("__file") === file).select("__file", "__pos")
+    // ---- whole-file events: ONE scan + broadcast tag join (the classic
+    // shape); dv'd events additionally anti-join their pointer's
+    // positions so only rows visible AT THE EVENT flow
+    val feeds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val (plainEvents, dvdEvents) = fileEvents.partition(_._4.isEmpty)
+    if (plainEvents.nonEmpty) {
+      val lookup = spark.createDataFrame(plainEvents.toSeq.map { case (p, t, v, _) =>
+        (nameOf(p), t, v)
+      }).toDF("__file", "_change_type", "_commit_version")
+      feeds += physTagged(plainEvents.map(_._1).toSeq)
+        .join(broadcast(lookup), "__file")
+        .drop("__file", "__pos")
+    }
+    dvdEvents.foreach { case (p, t, v, dv) =>
+      feeds += physTagged(Seq(p))
+        .join(broadcast(posOf(dv.get, nameOf(p))), Seq("__file", "__pos"), "left_anti")
+        .drop("__file", "__pos")
+        .withColumn("_change_type", lit(t))
+        .withColumn("_commit_version", lit(v))
+    }
+    // ---- pointer moves: grown positions are deletes, shrunk inserts
+    ptrMoves.foreach { case (p, v, newDv, oldDv) =>
+      val name = nameOf(p)
+      def diff(a: Option[(String, Long)], b: Option[(String, Long)]): Option[DataFrame] =
+        a.map(av => b.fold(posOf(av, name))(bv =>
+          posOf(av, name).join(posOf(bv, name), Seq("__file", "__pos"), "left_anti")))
+      def emit(pos: DataFrame, tag: String): DataFrame =
+        physTagged(Seq(p))
+          .join(broadcast(pos), Seq("__file", "__pos"), "left_semi")
+          .drop("__file", "__pos")
+          .withColumn("_change_type", lit(tag))
+          .withColumn("_commit_version", lit(v))
+      diff(newDv, oldDv).foreach(d => feeds += emit(d, "delete"))
+      diff(oldDv, newDv).foreach(d => feeds += emit(d, "insert"))
+    }
+    feeds.reduceOption(_ unionByName _).getOrElse(emptyFeed)
   }
 
   /** [[compact]] that restores z-clustering while it rewrites — the
@@ -1429,14 +1760,15 @@ object SnapshotStore {
   def compactZOrdered(spark: SparkSession, table: String, targetFiles: Int,
                       zorderColumns: Seq[String]): Long = {
     val snap = state(spark, table)
-    val df = readWithSchema(spark, snap.meta, snap.live.map(_.path))
+    val df = readLive(spark, snap.meta, snap.live)
       .withColumn("__z", graft.functions.ZOrder.zorderCols(zorderColumns.map(col)))
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
     val adds = stageFiles(df, table, zorderColumns)
     commit(spark, table, adds, removes = snap.live.map(_.path),
-      meta = Map("op" -> "compact"), mustBeLive = snap.live.map(_.path))
+      meta = Map("op" -> "compact"), mustBeLive = snap.live.map(_.path),
+      expectDv = snap.live.map(a => a.path -> a.dv).toMap)
   }
 
   /** Roll the table back to `version` as a NEW commit (history is never
@@ -1449,7 +1781,11 @@ object SnapshotStore {
     val now = state(spark, table)
     val oldPaths = old.live.map(_.path).toSet
     commit(spark, table,
-      adds = old.live.filterNot(a => now.live.exists(_.path == a.path)),
+      // a file live in BOTH versions but under a different deletion-
+      // vector pointer must re-add too — the rollback of a merge-on-read
+      // delete is exactly that pointer move (replay replaces by path)
+      adds = old.live.filterNot(a =>
+        now.live.exists(n => n.path == a.path && n.dv == a.dv)),
       removes = now.live.map(_.path).filterNot(oldPaths),
       // the restored data has the OLD schema — record it, or readers
       // would null-fill columns the rolled-back commits never had
@@ -1591,17 +1927,36 @@ object SnapshotStore {
     }
     val floor = timeFloor.fold(countFloor)(math.min(countFloor, _))
     val retained = vs.filter(_ >= floor)
-    val live = retained
-      .flatMap(v => state(spark, table, Some(v)).live.map(_.path)).toSet
+    val states = retained.map(v => state(spark, table, Some(v)))
+    val live = states.flatMap(_.live.map(_.path)).toSet
     // normalize through Path so scheme differences can't fake orphans
     val liveNames = live.map(p => new Path(p).getName)
     val cutoff = clockMillis() - graceMs
     val victims = fs.listStatus(data).toSeq
       .filter(s => s.isFile && !liveNames.contains(s.getPath.getName) &&
         s.getModificationTime <= cutoff)
-    val bytes = victims.map(_.getLen).sum
+    // deletion-vector datasets: a dv dir referenced by ANY retained
+    // version's live set must survive; unreferenced ones (superseded
+    // pointers, purged files) reclaim with the same grace window. Only
+    // THIS table's dv/ is scanned — a shallow clone's pointers into the
+    // source table live under the source's dv/, which this vacuum never
+    // lists (same argument that protects cloned data files).
+    val dvReferenced: Set[String] = states
+      .flatMap(_.live.flatMap(_.dv.map(d => nameOf(d._1)))).toSet
+    val root = dvRoot(table)
+    val dvVictims: Seq[(Path, Long, Int)] =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && !dvReferenced.contains(s.getPath.getName) &&
+          s.getModificationTime <= cutoff)
+        .map { s =>
+          val parts = fs.listStatus(s.getPath).toSeq.filter(_.isFile)
+          (s.getPath, parts.map(_.getLen).sum, parts.size)
+        }
+    val bytes = victims.map(_.getLen).sum + dvVictims.map(_._2).sum
     if (!dryRun) {
       victims.foreach(s => fs.delete(s.getPath, false))
+      dvVictims.foreach(d => fs.delete(d._1, true))
       // stranded stage dirs from crashed writers — same grace window: a
       // LIVE stage dir belongs to a writer that has not moved its files yet
       fs.listStatus(new Path(table)).toSeq
@@ -1609,7 +1964,7 @@ object SnapshotStore {
           s.getModificationTime <= cutoff)
         .foreach(s => fs.delete(s.getPath, true))
     }
-    VacuumReport(victims.size, bytes, floor, dryRun)
+    VacuumReport(victims.size + dvVictims.map(_._3).sum, bytes, floor, dryRun)
   }
 
   /** Replay-safe streaming append sink: each micro-batch commits with

@@ -314,6 +314,17 @@ private[graft] class SnapshotCatalogTable(path: String, asOf: Option[Long],
   /** VERSION/TIMESTAMP AS OF pin, if any (MERGE refuses pinned reads). */
   private[graft] def timeTravel: Option[Long] = asOf
 
+  /** Any live file carrying a deletion vector? (see
+    * [[graft.plans.RewriteDvReads]] — such reads leave the bare
+    * parquet-delegate path). Computed from its own state replay, NOT
+    * `resolved`, so it stays callable on tables this handle would
+    * refuse to scan (empty, uncommitted). */
+  private[graft] def hasDv: Boolean =
+    SnapshotStore.latestVersion(spark, path) > 0L &&
+      SnapshotStore.state(spark, path, asOf).live.exists(_.dv.isDefined)
+  private[graft] def resolvedVersion: Long =
+    SnapshotStore.state(spark, path, asOf).version
+
   private def spark = SparkSession.active
 
   /** SQL `DELETE FROM graft.`path` WHERE ...` — Spark hands the
@@ -398,7 +409,12 @@ private[graft] class SnapshotCatalogTable(path: String, asOf: Option[Long],
   // same wrappers as SnapshotReadTable: SQL-catalog reads get the
   // log-answered aggregates and runtime file pruning (or, on a
   // column-mapped table, the logical↔physical name translation)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // refuse EXECUTION rather than lie (see [[DvRefusingScanBuilder]]):
+    // DML verbs build scans they never run; actual reads of a dv'd
+    // table go through the RewriteDvReads analyzer rewrite instead
+    if (resolved._2.exists(_.dv.isDefined))
+      return new DvRefusingScanBuilder(name())
     underlying.newScanBuilder(options) match {
       case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
           if mapping.nonEmpty =>
@@ -408,6 +424,7 @@ private[graft] class SnapshotCatalogTable(path: String, asOf: Option[Long],
         new SnapshotScanBuilder(p, resolved._2, underlying.schema, name())
       case other => other
     }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate

@@ -45,15 +45,17 @@ class SnapshotDataSource extends TableProvider
   import SnapshotDataSource._
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (t, _, recorded) = resolveWithLive(options)
+    val (t, _, recorded, _) = resolveWithLive(options)
     recorded.map(r => org.apache.spark.sql.graftbridge.GraftShim.asNullable(
       SnapshotStore.logicalSchema(r))).getOrElse(t.schema)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val (t, live, recorded) = resolveWithLive(new CaseInsensitiveStringMap(properties))
-    new SnapshotReadTable(t, t.name, live, recorded)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (t, live, recorded, version) = resolveWithLive(opts)
+    new SnapshotReadTable(t, t.name, live, recorded,
+      tablePath = opts.get("path"), resolvedVersion = version)
   }
 
   // ------------------------------------------------- streaming (v1 Source)
@@ -115,7 +117,7 @@ object SnapshotDataSource {
     }
 
   private def resolveWithLive(options: CaseInsensitiveStringMap)
-      : (ParquetTable, Seq[SnapshotStore.AddFile], Option[StructType]) = {
+      : (ParquetTable, Seq[SnapshotStore.AddFile], Option[StructType], Long) = {
     val spark = SparkSession.active
     val table = Option(options.get("path")).getOrElse(throw new
       IllegalArgumentException("graft-snapshot requires .load(<table path>)"))
@@ -136,7 +138,7 @@ object SnapshotDataSource {
       userSpecifiedSchema = recorded.map(s =>
         if (SnapshotStore.hasMapping(s)) SnapshotStore.physicalSchema(s) else s),
       fallbackFileFormat = classOf[ParquetFileFormat]),
-      snap.live.toSeq, recorded)
+      snap.live.toSeq, recorded, snap.version)
   }
 }
 
@@ -147,18 +149,31 @@ object SnapshotDataSource {
   */
 class SnapshotReadTable(underlying: ParquetTable, tblName: String,
                         live: Seq[SnapshotStore.AddFile] = Nil,
-                        recorded: Option[StructType] = None)
+                        recorded: Option[StructType] = None,
+                        private[graft] val tablePath: String = "",
+                        private[graft] val resolvedVersion: Long = -1L)
     extends Table with SupportsRead {
   private val mapping: Map[String, String] =
     recorded.map(SnapshotStore.mappingOf).getOrElse(Map.empty)
+  /** Any live file carrying a deletion vector? Such a read cannot stay a
+    * bare parquet-file-list scan — [[graft.plans.RewriteDvReads]] swaps
+    * the relation for the DV-filtered plan during analysis. */
+  private[graft] def hasDv: Boolean = live.exists(_.dv.isDefined)
   override def name(): String = tblName
   override def schema(): StructType =
     recorded.map(r => org.apache.spark.sql.graftbridge.GraftShim.asNullable(
       SnapshotStore.logicalSchema(r))).getOrElse(underlying.schema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    underlying.newScanBuilder(options) match {
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // refuse EXECUTION rather than lie: without the extensions' rewrite
+    // rule a parquet delegate scan would return merge-on-read-DELETED
+    // rows. The refusal sits at partition planning, not here — DML
+    // verbs (metadata-only DELETE) legitimately build a scan they never
+    // execute, and the analyzer rewrite replaces read relations before
+    // any scan executes.
+    if (hasDv) new DvRefusingScanBuilder(tblName)
+    else underlying.newScanBuilder(options) match {
       case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
           if mapping.nonEmpty =>
         new MappedScanBuilder(p, mapping, tblName)
@@ -167,6 +182,37 @@ class SnapshotReadTable(underlying: ParquetTable, tblName: String,
         new SnapshotScanBuilder(p, live, underlying.schema, tblName)
       case other => other
     }
+  }
+}
+
+/** Scan for a deletion-vector'd table reached WITHOUT the graft
+  * extensions: building is tolerated (DML verbs build scans they never
+  * run), executing throws — a bare parquet delegate would silently
+  * return the deleted rows. With the extensions registered,
+  * [[graft.plans.RewriteDvReads]] replaces such relations during
+  * analysis and this scan is never planned.
+  */
+class DvRefusingScanBuilder(tblName: String) extends ScanBuilder
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with SupportsPushDownRequiredColumns {
+  private var schema: StructType = new StructType()
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    schema = requiredSchema
+  override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = filters
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+  override def build(): Scan = new Scan with Batch {
+    private def refuse: Nothing = throw new IllegalStateException(
+      s"$tblName has files with deletion vectors — reading it requires " +
+        "the graft extensions (GraftExtensions registers the DV read " +
+        "rewrite), or purge first: CALL graft.purge_dv")
+    override def readSchema(): StructType = schema
+    override def toBatch: Batch = this
+    override def description(): String = s"graft-snapshot-dv-refuse($tblName)"
+    override def planInputPartitions(): Array[InputPartition] = refuse
+    override def createReaderFactory(): PartitionReaderFactory = refuse
+  }
 }
 
 /** DSv2 read translation for COLUMN-MAPPED snapshot tables: the table

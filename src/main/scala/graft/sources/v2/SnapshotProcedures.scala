@@ -21,7 +21,7 @@ private[v2] object SnapshotProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "vacuum", "restore", "extract", "refresh_manifest",
-      "add_constraint", "drop_constraint", "clone")
+      "add_constraint", "drop_constraint", "clone", "enable_dv", "purge_dv")
 
   def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
     case "optimize" => Some(Optimize)
@@ -32,6 +32,8 @@ private[v2] object SnapshotProcedures {
     case "add_constraint" => Some(AddConstraint)
     case "drop_constraint" => Some(DropConstraint)
     case "clone" => Some(Clone)
+    case "enable_dv" => Some(EnableDv)
+    case "purge_dv" => Some(PurgeDv)
     case _ => None
   }
 
@@ -228,6 +230,49 @@ private[v2] object SnapshotProcedures {
       val tv = SnapshotStore.shallowClone(spark, source, target, asOf)
       val snap = SnapshotStore.state(spark, target)
       InternalRow(tv, snap.meta("clone.source_version").toLong, snap.live.size)
+    }
+  }
+
+  /** `CALL graft.enable_dv(table[, enabled])` — flip merge-on-read
+    * deletes on (or off): with the property set, `DELETE FROM` writes a
+    * positional deletion vector instead of rewriting the touched files
+    * ([[SnapshotStore.DvProperty]]). Metadata-only commit. */
+  private object EnableDv extends Proc("enable_dv",
+    Seq(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("enabled", BooleanType).defaultValue("true").build()),
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("enabled", BooleanType, nullable = false)))) {
+    override def description(): String =
+      "enable/disable merge-on-read deletes (deletion vectors) on a snapshot table"
+    override protected def run(in: InternalRow): InternalRow = {
+      val enabled = in.getBoolean(1)
+      InternalRow(SnapshotStore.setDvEnabled(spark,
+        in.getUTF8String(0).toString, enabled), enabled)
+    }
+  }
+
+  /** `CALL graft.purge_dv(table[, min_deleted_ratio])` — REORG/PURGE:
+    * rewrite files whose deleted fraction is at least the ratio without
+    * their dv'd rows and drop the pointers; the dv datasets fall to
+    * vacuum ([[SnapshotStore.purgeDv]]). Content-preserving (the change
+    * feed emits nothing). */
+  private object PurgeDv extends Proc("purge_dv",
+    Seq(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("min_deleted_ratio", DoubleType)
+        .defaultValue("CAST(0.0 AS DOUBLE)").build()),
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("files_with_dv", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "rewrite deletion-vector'd files clean (REORG ... APPLY (PURGE))"
+    override protected def run(in: InternalRow): InternalRow = {
+      val table = in.getUTF8String(0).toString
+      val v = SnapshotStore.purgeDv(spark, table, in.getDouble(1))
+      InternalRow(v,
+        SnapshotStore.state(spark, table).live.count(_.dv.isDefined))
     }
   }
 

@@ -109,21 +109,22 @@ class SnapshotStreamSource(spark: SparkSession, table: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = ver(end)
     if (changeFeed) return getChangeBatch(start, endV)
-    val files: Seq[String] = start.map(ver).orElse(startingVersion) match {
+    val files: Seq[SnapshotStore.AddFile] = start.map(ver).orElse(startingVersion) match {
       case Some(since) =>
         SnapshotStore.addedSince(spark, table, since, Some(endV), skipRewrites)
-          .map(_.path)
       case None => // initial load: the whole table as of the first offset
-        SnapshotStore.state(spark, table, Some(endV)).live.map(_.path)
+        SnapshotStore.state(spark, table, Some(endV)).live
     }
     // explicit schema: batches stay column-stable even if later appends
     // widened the parquet footprint; zero files still yields a typed
     // empty file relation (same plan shape, streaming-taggable). The
     // read goes through the table's column mapping (physical names are
-    // immutable, so the current mapping covers every era's files).
-    val batch = SnapshotStore.readFilesAs(spark, table, schema, files,
-      asOf = Some(endV))
-    GraftShim.asStreamingRelation(batch)
+    // immutable, so the current mapping covers every era's files) and
+    // applies deletion vectors (an initial load of a table with
+    // merge-on-read deletes must not deliver the deleted rows;
+    // increments are append files, which never carry one).
+    SnapshotStore.readFilesAsDv(spark, table, schema, files,
+      asOf = Some(endV), mark = GraftShim.asStreamingRelation)
   }
 
   /** Row-level change batch for versions (start, end] — the read-time

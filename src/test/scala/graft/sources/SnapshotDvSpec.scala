@@ -1,0 +1,243 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deletion vectors — merge-on-read deletes (Delta's DVs / Iceberg's
+  * position deletes): with `graft.dv` set, DELETE writes a tiny
+  * positional dataset and repoints the touched files at it in ONE
+  * commit; no data file is rewritten. Reads anti-join the log-pointed
+  * positions (DV-less files keep the plain plan); SQL reads go through
+  * the [[graft.plans.RewriteDvReads]] analyzer rewrite. Pointers are
+  * immutable data + moving references, so time travel, RESTORE, the
+  * change feed, purge (REORG), vacuum, and copy-on-write interop all
+  * stay exact.
+  */
+class SnapshotDvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(tag: String): String =
+    "file:" + java.nio.file.Files
+      .createTempDirectory(s"graft-dv-$tag").toString + "/t"
+
+  private def useCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+
+  private def seed(t: String, n: Long = 20L): Unit = {
+    SnapshotStore.append((1L to n).map(i => (i, i * 10L, s"u${i % 4}"))
+      .toDF("id", "score", "user"), t, statsCols = Seq("id"))
+    SnapshotStore.setDvEnabled(spark, t, enabled = true)
+  }
+
+  private def live(t: String) = SnapshotStore.state(spark, t).live
+
+  test("merge-on-read delete: one commit, zero rewritten files, exact reads everywhere") {
+    useCatalog()
+    val t = freshTable("basic")
+    seed(t)
+    val before = live(t).map(_.path).toSet
+    val v = SnapshotStore.delete(spark, t, col("id") <= 5L) // routes MoR
+    assert(SnapshotStore.history(spark, t).head._2 === "delete_dv")
+    assert(live(t).map(_.path).toSet === before,
+      "merge-on-read delete must not add or remove data files")
+    assert(live(t).exists(_.dv.isDefined), "a dv pointer must be attached")
+    assert(live(t).map(_.visibleRows).sum === 15L)
+    // programmatic read
+    assert(SnapshotStore.snapshot(spark, t).agg(count(lit(1))).head.getLong(0) === 15L)
+    assert(SnapshotStore.snapshot(spark, t).agg(min(col("id"))).head.getLong(0) === 6L)
+    // SQL catalog read (analyzer rewrite) — including an aggregate
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$t`").head.getLong(0) === 15L)
+    assert(spark.sql(s"SELECT sum(score) FROM graft.`$t`").head.getLong(0) ===
+      (6L to 20L).map(_ * 10L).sum)
+    // format read
+    assert(spark.read.format("graft.sources.v2.SnapshotDataSource").load(t)
+      .count() === 15L)
+    // time travel: the pre-delete version still sees every row
+    assert(SnapshotStore.snapshot(spark, t, Some(v - 2)).count() === 20L)
+    assert(spark.read.format("graft.sources.v2.SnapshotDataSource")
+      .option("versionAsOf", v - 2).load(t).count() === 20L)
+  }
+
+  test("deletes accumulate: pointers advance, dv datasets stay immutable") {
+    val t = freshTable("accum")
+    seed(t)
+    SnapshotStore.delete(spark, t, col("id") <= 4L)
+    val ptr1 = live(t).flatMap(_.dv.map(_._1)).distinct
+    SnapshotStore.delete(spark, t, col("id") === 5L) // overlaps the first file
+    val movedPtrs = live(t).flatMap(_.dv.map(_._1)).distinct
+    assert(movedPtrs.exists(!ptr1.contains(_)),
+      "a re-deleted file must point at a NEW dv dataset (old data immutable)")
+    assert(SnapshotStore.snapshot(spark, t).orderBy("id")
+      .select("id").as[Long].collect().toSeq === (6L to 20L))
+    assert(live(t).map(_.visibleRows).sum === 15L)
+    // each historical version reads its own pointer
+    val vs = SnapshotStore.versions(spark, t)
+    assert(SnapshotStore.snapshot(spark, t, Some(vs(vs.size - 2))).count() === 16L)
+  }
+
+  test("restore rolls a merge-on-read delete back; resurrected rows flow as CDF inserts") {
+    val t = freshTable("restore")
+    seed(t)
+    val v0 = SnapshotStore.latestVersion(spark, t) // dv enabled, all 20 visible
+    SnapshotStore.delete(spark, t, col("id") <= 8L)
+    val vDel = SnapshotStore.latestVersion(spark, t)
+    assert(SnapshotStore.snapshot(spark, t).count() === 12L)
+    val vRes = SnapshotStore.restore(spark, t, v0)
+    assert(vRes > vDel)
+    assert(SnapshotStore.snapshot(spark, t).count() === 20L,
+      "restore must roll the dv pointer back")
+    // change feed across the delete and the restore: 8 deletes then 8
+    // resurrection inserts, position-exact
+    val feed = SnapshotStore.changes(spark, t, v0)
+    val dels = feed.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(dels === (1L to 8L), s"dv delete rows must flow as deletes: $dels")
+    assert(ins === (1L to 8L), s"restored rows must flow as inserts: $ins")
+    assert(feed.filter(col("_commit_version") === vDel)
+      .filter(col("_change_type") === "insert").count() === 0L,
+      "a delete_dv commit must not emit inserts")
+  }
+
+  test("change feed: delete_dv emits exactly the deleted rows; purge emits nothing") {
+    val t = freshTable("cdf")
+    seed(t)
+    val v0 = SnapshotStore.latestVersion(spark, t)
+    SnapshotStore.delete(spark, t, col("user") === "u1") // ids 1,5,9,13,17
+    SnapshotStore.delete(spark, t, col("id") === 2L)
+    val feed = SnapshotStore.changes(spark, t, v0)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 5L, 9L, 13L, 17L))
+    assert(feed.filter(col("_change_type") === "insert").count() === 0L)
+    val vBeforePurge = SnapshotStore.latestVersion(spark, t)
+    SnapshotStore.purgeDv(spark, t)
+    assert(SnapshotStore.changes(spark, t, vBeforePurge).count() === 0L,
+      "purge is content-preserving — the feed must emit nothing")
+  }
+
+  test("purge rewrites dv'd files clean; vacuum then reclaims the dv datasets") {
+    val t = freshTable("purge")
+    seed(t)
+    SnapshotStore.delete(spark, t, col("id") % 2L === 0L)
+    assert(live(t).exists(_.dv.isDefined))
+    val visible = SnapshotStore.snapshot(spark, t).orderBy("id")
+      .select("id").as[Long].collect().toSeq
+    SnapshotStore.purgeDv(spark, t)
+    assert(live(t).forall(_.dv.isEmpty), "purge must drop every pointer")
+    assert(SnapshotStore.snapshot(spark, t).orderBy("id")
+      .select("id").as[Long].collect().toSeq === visible,
+      "purge must preserve visible rows exactly")
+    // retention collapsed to the head version: the dv dirs are now
+    // unreferenced and vacuum reclaims them
+    val dvRoot = new java.io.File(new java.net.URI(s"$t/dv"))
+    assert(dvRoot.exists() && dvRoot.listFiles().nonEmpty)
+    val r = SnapshotStore.vacuumReport(spark, t, retainVersions = 1, graceMs = 0L)
+    assert(dvRoot.listFiles() == null || dvRoot.listFiles().isEmpty,
+      s"vacuum must reclaim unreferenced dv datasets (deleted ${r.files})")
+    // and a retained dv survives: new delete, vacuum with retention
+    SnapshotStore.delete(spark, t, col("id") === 3L)
+    SnapshotStore.vacuumReport(spark, t, retainVersions = 1, graceMs = 0L)
+    assert(SnapshotStore.snapshot(spark, t).count() === visible.size - 1L,
+      "vacuum must never reclaim a dv a retained version points at")
+  }
+
+  test("copy-on-write interop: UPDATE/MERGE/compaction apply the dv and never resurrect") {
+    useCatalog()
+    val t = freshTable("cow")
+    seed(t)
+    SnapshotStore.delete(spark, t, col("id") <= 10L)
+    // SQL UPDATE rewrites the touched files — deleted rows must not return
+    spark.sql(s"UPDATE graft.`$t` SET score = score + 1 WHERE id = 15")
+    val after = SnapshotStore.snapshot(spark, t)
+    assert(after.count() === 10L)
+    assert(after.filter(col("id") === 15L).select("score").head.getLong(0) === 151L)
+    assert(after.filter(col("id") <= 10L).count() === 0L,
+      "a copy-on-write rewrite must not resurrect dv-deleted rows")
+    // compaction purifies: pointers drop, visible rows carry
+    SnapshotStore.compact(spark, t, targetFiles = 1)
+    assert(live(t).forall(_.dv.isEmpty))
+    assert(SnapshotStore.snapshot(spark, t).count() === 10L)
+  }
+
+  test("optimistic concurrency: a rewrite computed before a racing dv loses loudly") {
+    val t = freshTable("race")
+    seed(t)
+    val snap = SnapshotStore.state(spark, t)
+    val stale = SnapshotStore.readLive(spark, snap.meta, snap.live)
+    // a merge-on-read delete lands while the rewrite is in flight
+    SnapshotStore.delete(spark, t, col("id") === 7L)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.commitRewrite(spark, t, stale,
+        removes = snap.live.map(_.path), op = "compact",
+        statsCols = Seq("id"),
+        expectDv = snap.live.map(a => a.path -> a.dv).toMap)
+    }
+    assert(ex.getMessage.contains("deletion vector"))
+    // and the mechanism is live in the real verbs: compact now succeeds
+    // because it re-reads state, seeing the dv
+    SnapshotStore.compact(spark, t, targetFiles = 1)
+    assert(SnapshotStore.snapshot(spark, t).count() === 19L)
+  }
+
+  test("SQL surface: CALL enable_dv / purge_dv; clone carries pointers; MoR delete via SQL") {
+    useCatalog()
+    val b = "file:" + java.nio.file.Files
+      .createTempDirectory("graft-dv-sql").toString
+    val t = s"$b/src"
+    SnapshotStore.append((1L to 12L).map(i => (i, i * 10L)).toDF("id", "score"),
+      t, statsCols = Seq("id"))
+    spark.sql(s"CALL graft.enable_dv('$t')").collect()
+    val before = live(t).map(_.path).toSet
+    spark.sql(s"DELETE FROM graft.`$t` WHERE id > 9")
+    assert(live(t).map(_.path).toSet === before, "SQL DELETE must go merge-on-read")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$t`").head.getLong(0) === 9L)
+    // a shallow clone references the source's dv pointers byte-for-byte
+    val c = s"$b/clone"
+    SnapshotStore.shallowClone(spark, t, c)
+    assert(SnapshotStore.snapshot(spark, c).count() === 9L)
+    assert(live(c).exists(_.dv.isDefined))
+    // purge via CALL: pointers gone, rows stable
+    val row = spark.sql(s"CALL graft.purge_dv('$t')").head
+    assert(row.getInt(1) === 0, "no dv'd files may remain after purge")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$t`").head.getLong(0) === 9L)
+    // the clone still reads through ITS pointer (source purge moved
+    // nothing it references — dv datasets are immutable)
+    assert(SnapshotStore.snapshot(spark, c).count() === 9L)
+  }
+
+  test("the three dv oracle queries match their own oracle SQL at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    graft.sources.Tables.documents(spark, sf).createOrReplaceTempView("documents")
+    Seq("q_snapshot_delete_dv", "q_snapshot_dv_purge", "q_snapshot_dv_cdf")
+      .foreach { name =>
+        val got = graft.SparkEntry.queries(name)(spark, sf)
+        val want = spark.sql(graft.SparkEntry.oracleSql(name))
+        assert(got.schema.fieldNames.sorted.toSeq ===
+          want.schema.fieldNames.sorted.toSeq, name)
+        val g = got.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+        val w = want.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+        assert(g.length === w.length, s"$name rows")
+        assert(g.toSeq === w.toSeq, s"$name values")
+      }
+  }
+
+  test("streaming initial load of a dv'd table excludes deleted rows") {
+    val t = freshTable("stream")
+    seed(t, n = 10L)
+    SnapshotStore.delete(spark, t, col("id") <= 3L)
+    val out = "file:" + java.nio.file.Files
+      .createTempDirectory("graft-dv-sink").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-dv-cp").toString
+    val q = spark.readStream.format("graft.sources.v2.SnapshotDataSource")
+      .load(t)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+      === (4L to 10L), "the stream's initial snapshot must apply the dv")
+  }
+}

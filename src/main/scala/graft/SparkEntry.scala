@@ -1712,6 +1712,68 @@ object SparkEntry {
            |""".stripMargin)
       graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
     }),
+    "q_snapshot_update_dv" -> ((s, d) => {
+      // MERGE-ON-READ UPDATE (Delta's DV-backed UPDATE): with graft.dv
+      // set, the matched rows MASK behind a deletion vector and the
+      // updated copies land as one fresh file in the SAME commit —
+      // require'd: every original file stays live (O(matched rows)
+      // written, not O(touched bytes)); the final read applies the
+      // vector. Same assignments as q_snapshot_update_sql's shape, so
+      // the oracle is a CASE projection.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapupdv").toString + "/docs"
+      graft.sources.SnapshotStore.append(docs, t, statsCols = Seq("doc_id"))
+      s.sql(s"CALL graft.enable_dv('$t')").collect()
+      val before = graft.sources.SnapshotStore.state(s, t).live.map(_.path).toSet
+      s.sql(s"UPDATE graft.`$t` SET n_chars = n_chars + 20000, " +
+        s"lang = concat(lang, '-mor') WHERE n_chars >= 400 AND doc_id % 2 = 0")
+      val after = graft.sources.SnapshotStore.state(s, t)
+      require(graft.sources.SnapshotStore.history(s, t).head._2 == "update_dv",
+        "dv-enabled UPDATE must take the merge-on-read path")
+      require(before.subsetOf(after.live.map(_.path).toSet),
+        "merge-on-read update must keep every original file live")
+      graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
+    }),
+    "q_snapshot_merge_dv" -> ((s, d) => {
+      // MERGE-ON-READ MERGE (Delta's DV-backed MERGE): same three-clause
+      // statement as q_snapshot_merge_sql, but with graft.dv set the
+      // modified target rows mask behind a deletion vector while keep
+      // rows STAY IN PLACE (require'd: the original files remain live)
+      // and updates+inserts land as fresh files in one commit. The
+      // oracle's MERGE-equivalent CTE is the same — only the storage
+      // strategy differs, which is exactly the point.
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapmgdv").toString + "/docs"
+      graft.sources.SnapshotStore.append(
+        docs.filter(col("doc_id") % 10 < 8), t, statsCols = Seq("doc_id"))
+      s.sql(s"CALL graft.enable_dv('$t')").collect()
+      val before = graft.sources.SnapshotStore.state(s, t).live.map(_.path).toSet
+      docs.filter(col("doc_id") % 10 >= 6)
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .createOrReplaceTempView("snapshot_merge_dv_src")
+      s.sql(
+        s"""MERGE INTO graft.`$t` t USING snapshot_merge_dv_src s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.n_chars % 2 = 0 THEN UPDATE SET n_chars = s.n_chars
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+           |  VALUES (s.doc_id, s.lang, s.n_chars)
+           |""".stripMargin)
+      require(graft.sources.SnapshotStore.history(s, t).head._2 == "merge_dv",
+        "dv-enabled MERGE must take the merge-on-read path")
+      require(before.subsetOf(
+        graft.sources.SnapshotStore.state(s, t).live.map(_.path).toSet),
+        "merge-on-read merge must keep every original file live")
+      graft.sources.SnapshotStore.snapshot(s, t).orderBy(col("doc_id"))
+    }),
     "q_snapshot_constraint" -> ((s, d) => {
       // CHECK constraints as commit metadata (Delta's ALTER TABLE ADD
       // CONSTRAINT): add_constraint proves EXISTING rows once (bounded
@@ -3295,6 +3357,27 @@ object SparkEntry {
         |  CASE WHEN user_id % 5 = 0 THEN 0.0 ELSE round(value, 4) END AS val
         |FROM events ORDER BY user_id, pos""".stripMargin,
     "q_snapshot_merge_sql" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents
+        |              WHERE doc_id % 10 < 8),
+        |     src AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars
+        |             FROM documents WHERE doc_id % 10 >= 6)
+        |SELECT b.doc_id, b.lang, s.n_chars
+        |FROM base b JOIN src s USING (doc_id) WHERE s.n_chars % 2 = 0
+        |UNION ALL
+        |SELECT b.doc_id, b.lang, b.n_chars
+        |FROM base b LEFT JOIN src s USING (doc_id) WHERE s.doc_id IS NULL
+        |UNION ALL
+        |SELECT s.doc_id, s.lang, s.n_chars
+        |FROM src s LEFT JOIN base b USING (doc_id) WHERE b.doc_id IS NULL
+        |ORDER BY doc_id""".stripMargin,
+    "q_snapshot_update_dv" ->
+      """SELECT doc_id,
+        |  CASE WHEN n_chars >= 400 AND doc_id % 2 = 0
+        |       THEN lang || '-mor' ELSE lang END AS lang,
+        |  CASE WHEN n_chars >= 400 AND doc_id % 2 = 0
+        |       THEN n_chars + 20000 ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_snapshot_merge_dv" ->
       """WITH base AS (SELECT doc_id, lang, n_chars FROM documents
         |              WHERE doc_id % 10 < 8),
         |     src AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars

@@ -189,7 +189,8 @@ object SnapshotMerge {
     // uuid-fresh, so names key live entries — same identity delete()
     // uses) and rows a deletion vector hides never reach the rewrite
     val all = SnapshotStore.readFilesTagged(spark, snap.meta, snap.live)
-    val withFp = all.withColumnRenamed("__file", "__fp").drop("__pos")
+    val withFp = all.withColumnRenamed("__file", "__fp")
+      .withColumnRenamed("__pos", "__ri")
     val plan0 = withFp.queryExecution.analyzed
     def rw(e: Expression): Expression = substitute(e, targetOutput, plan0.output)
     val cond2 = condition.map(rw).getOrElse(Literal(true))
@@ -197,6 +198,32 @@ object SnapshotMerge {
       s"update condition must be deterministic (it evaluates in two scans): $condition")
     require(assignments.map(_.value).forall(a => rw(a).deterministic),
       "update assignments must be deterministic (they evaluate per touched file)")
+
+    // ---- merge-on-read UPDATE: with the dv property set, mask the
+    // matched positions behind a deletion vector and append the updated
+    // rows — ONE commit, O(matched rows) written instead of a rewrite
+    // of every touched file (Delta's DV-backed UPDATE)
+    if (snap.meta.get(SnapshotStore.DvProperty).contains("true")) {
+      val matchedPlan = Filter(cond2, plan0)
+      val idOut: Seq[NamedExpression] = Seq(
+        Alias(plan0.output.find(_.name == "__fp").get, "__file")(),
+        Alias(plan0.output.find(_.name == "__ri").get, "__pos")())
+      val masked = GraftShim.ofRows(spark, Project(idOut, matchedPlan))
+      val byNameM = plan0.output.map(a => a.name.toLowerCase -> a).toMap
+      val updatedCols: Seq[NamedExpression] = targetOutput.map { orig =>
+        val attr = byNameM(orig.name.toLowerCase)
+        assignedValue(assignments, orig, attr, rw, spark) match {
+          case Some(v) => Alias(castTo(v, orig.dataType, spark), orig.name)()
+          case None => Alias(attr, orig.name)()
+        }
+      }
+      val updated = GraftShim.ofRows(spark, Project(updatedCols, matchedPlan))
+      val staged = SnapshotStore.stageRewrite(updated, path,
+        SnapshotStore.statedCols(snap.live))
+      return SnapshotStore.commitDvRepoint(spark, path, snap, masked,
+        extraAdds = staged, op = "update_dv")
+    }
+
     val touched = GraftShim.ofRows(spark,
         Project(plan0.output.filter(_.name == "__fp"), Filter(cond2, plan0)))
       .distinct().collect().map(_.getString(0))
@@ -439,6 +466,31 @@ object SnapshotMerge {
             assigned(ins.assignments, orig, rw).getOrElse(Literal(null, orig.dataType))) }
       Alias(castTo(CaseWhen(branches, Some(tgtAttr)), orig.dataType, spark), orig.name)()
     }
+    // ---- merge-on-read MERGE: with the dv property set, target rows an
+    // UPDATE/DELETE clause applied (act in [0,199]) mask behind a
+    // deletion vector; replacement rows (updates) and inserts land as
+    // fresh files in the SAME commit. Keep rows stay IN PLACE — the
+    // whole win: a merge touching 1% of a file's rows writes 1%, not
+    // the file (Delta's DV-backed MERGE). The classify/dedup plan is
+    // identical to the copy-on-write path; only the commit tail differs.
+    if (snap.meta.get(SnapshotStore.DvProperty).contains("true")) {
+      val dedupOut = deduped.output
+      def attrOf(n: String) = dedupOut.find(_.name == n).get
+      val modified = Filter(And(
+        GreaterThanOrEqual(act, Literal(0)), LessThan(act, Literal(200))), deduped)
+      val masked = GraftShim.ofRows(spark, Project(Seq(
+        Alias(attrOf("__fp"), "__file")(),
+        Alias(attrOf("__ri"), "__pos")()), modified))
+      val applies = And(GreaterThanOrEqual(act, Literal(0)),
+        deleteIdx.foldLeft[Expression](Literal(true)) { (acc, i) =>
+          And(acc, Not(EqualTo(act, Literal(i)))) })
+      val newRows = GraftShim.ofRows(spark,
+        Project(outCols, Filter(applies, deduped)))
+      val staged = SnapshotStore.stageRewrite(newRows, path, statsCols)
+      return SnapshotStore.commitDvRepoint(spark, path, snap, masked,
+        extraAdds = staged, op = "merge_dv")
+    }
+
     val rewrite = GraftShim.ofRows(spark, Project(outCols, filtered))
 
     SnapshotStore.commitRewrite(spark, path, rewrite,

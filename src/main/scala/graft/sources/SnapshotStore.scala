@@ -853,41 +853,58 @@ object SnapshotStore {
     }
     require(analyzedCond.forall(_.deterministic),
       s"delete condition must be deterministic: $condition")
-    // the matched positions, grouped per file — ONE scan with the
-    // predicate pushed down; counts are per-file dv cardinalities
-    val matched = all.filter(condition)
-      .select(col("__file"), col("__pos"))
-    val perFile: Map[String, Long] = matched.groupBy(col("__file"))
+    commitDvRepoint(spark, table, snap,
+      all.filter(condition).select(col("__file"), col("__pos")),
+      extraAdds = Nil, op = "delete_dv")
+  }
+
+  /** The merge-on-read commit tail: mask `masked` positions (columns
+    * `__file`, `__pos`) behind a fresh deletion-vector dataset, repoint
+    * the owning files at it, and land `extraAdds` (the replacement rows
+    * of a MoR UPDATE/MERGE; empty for a pure delete) in the SAME
+    * commit. Carried positions of already-dv'd files union in;
+    * `__delta` marks THIS commit's positions so the change feed can
+    * replay exactly what it masked. Returns the current version when
+    * nothing matched and nothing is added.
+    */
+  private[graft] def commitDvRepoint(spark: SparkSession, table: String,
+                                     snap: Snapshot, masked: DataFrame,
+                                     extraAdds: Seq[AddFile],
+                                     op: String): Long = {
+    val perFile: Map[String, Long] = masked.groupBy(col("__file"))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (perFile.isEmpty) return snap.version
+    if (perFile.isEmpty && extraAdds.isEmpty) return snap.version
     val touched = snap.live.filter(a => perFile.contains(nameOf(a.path)))
-    // new dv dataset = fresh matches (+ carried positions of touched
-    // files that already had a dv); `__delta` marks THIS delete's rows
-    // so the change feed can replay exactly what this commit deleted
-    val carriedFiles = touched.filter(_.dv.isDefined)
-    val dels0 = matched.withColumn("__delta", lit(true))
-    val dels =
-      if (carriedFiles.isEmpty) dels0
-      else dels0.unionByName(dvPositions(spark, carriedFiles)
-        .withColumn("__delta", lit(false)))
-    val c = conf(spark)
-    val root = dvRoot(table)
-    val fs = root.getFileSystem(c)
-    fs.mkdirs(root)
-    val dvPath = new Path(root, java.util.UUID.randomUUID().toString).toString
-    // dv datasets are tiny relative to data (positions, not rows) — a
-    // single file keeps the read-side dv scan one-task cheap
-    dels.coalesce(1).write.parquet(dvPath)
-    val adds = touched.map { a =>
-      val name = nameOf(a.path)
-      val total = perFile.getOrElse(name, 0L) + a.dv.fold(0L)(_._2)
-      require(total <= a.rows, s"dv for $name exceeds its row count " +
-        s"($total > ${a.rows}) — duplicated positions?")
-      a.copy(dv = Some((dvPath, total)))
-    }
-    commit(spark, table, adds, removes = Nil,
-      meta = Map("op" -> "delete_dv"),
+    // new dv dataset = fresh positions (+ carried positions of touched
+    // files that already had a dv — datasets are immutable, pointers move)
+    val repointed: Seq[AddFile] =
+      if (touched.isEmpty) Nil
+      else {
+        val carriedFiles = touched.filter(_.dv.isDefined)
+        val dels0 = masked.withColumn("__delta", lit(true))
+        val dels =
+          if (carriedFiles.isEmpty) dels0
+          else dels0.unionByName(dvPositions(spark, carriedFiles)
+            .withColumn("__delta", lit(false)))
+        val c = conf(spark)
+        val root = dvRoot(table)
+        val fs = root.getFileSystem(c)
+        fs.mkdirs(root)
+        val dvPath = new Path(root, java.util.UUID.randomUUID().toString).toString
+        // dv datasets are tiny relative to data (positions, not rows) — a
+        // single file keeps the read-side dv scan one-task cheap
+        dels.coalesce(1).write.parquet(dvPath)
+        touched.map { a =>
+          val name = nameOf(a.path)
+          val total = perFile.getOrElse(name, 0L) + a.dv.fold(0L)(_._2)
+          require(total <= a.rows, s"dv for $name exceeds its row count " +
+            s"($total > ${a.rows}) — duplicated positions?")
+          a.copy(dv = Some((dvPath, total)))
+        }
+      }
+    commit(spark, table, repointed ++ extraAdds, removes = Nil,
+      meta = Map("op" -> op),
       mustBeLive = touched.map(_.path),
       expectDv = touched.map(a => a.path -> a.dv).toMap)
   }
@@ -1495,6 +1512,13 @@ object SnapshotStore {
     commit(spark, table, adds, removes,
       meta = Map("op" -> op), mustBeLive = removes, expectDv = expectDv)
   }
+
+  /** Stage `df` without committing — the replacement-row half of a
+    * merge-on-read UPDATE/MERGE ([[commitDvRepoint]] lands these next
+    * to the repointed files in one commit). Zero-row files drop. */
+  private[graft] def stageRewrite(df: DataFrame, table: String,
+                                  statsCols: Seq[String]): Seq[AddFile] =
+    stageFiles(df, table, statsCols).filter(_.rows > 0)
 
   /** Copy-on-write DELETE: removes the rows where `condition` is TRUE
     * (NULL keeps the row — SQL DELETE semantics), returns the committed

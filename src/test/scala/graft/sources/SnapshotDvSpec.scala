@@ -149,8 +149,12 @@ class SnapshotDvSpec extends SparkSpec {
     val t = freshTable("cow")
     seed(t)
     SnapshotStore.delete(spark, t, col("id") <= 10L)
-    // SQL UPDATE rewrites the touched files — deleted rows must not return
+    // flip MoR OFF so the UPDATE takes the copy-on-write path OVER the
+    // dv'd files — the rewrite must apply the vector, not resurrect
+    SnapshotStore.setDvEnabled(spark, t, enabled = false)
     spark.sql(s"UPDATE graft.`$t` SET score = score + 1 WHERE id = 15")
+    assert(SnapshotStore.history(spark, t).head._2 === "update",
+      "with the property off the UPDATE must be copy-on-write")
     val after = SnapshotStore.snapshot(spark, t)
     assert(after.count() === 10L)
     assert(after.filter(col("id") === 15L).select("score").head.getLong(0) === 151L)
@@ -206,6 +210,65 @@ class SnapshotDvSpec extends SparkSpec {
     // the clone still reads through ITS pointer (source purge moved
     // nothing it references — dv datasets are immutable)
     assert(SnapshotStore.snapshot(spark, c).count() === 9L)
+  }
+
+  test("merge-on-read UPDATE: matched rows mask + re-land; files untouched") {
+    useCatalog()
+    val t = freshTable("morupd")
+    seed(t)
+    val before = live(t).map(_.path).toSet
+    spark.sql(s"UPDATE graft.`$t` SET score = score + 1000 WHERE id <= 3")
+    assert(SnapshotStore.history(spark, t).head._2 === "update_dv")
+    assert(before.subsetOf(live(t).map(_.path).toSet),
+      "merge-on-read update must keep every original file live")
+    assert(live(t).map(_.path).toSet.size === before.size + 1,
+      "the updated rows land as ONE fresh file")
+    val snap = SnapshotStore.snapshot(spark, t)
+    assert(snap.count() === 20L, "row count must be stable across MoR update")
+    assert(snap.filter(col("id") <= 3L).orderBy("id")
+      .select("score").as[Long].collect().toSeq === Seq(1010L, 1020L, 1030L))
+    assert(snap.filter(col("id") === 4L).select("score").head.getLong(0) === 40L)
+    // CDF: the update flows as position-delta deletes + fresh-file inserts
+    val v = SnapshotStore.latestVersion(spark, t)
+    val feed = SnapshotStore.changes(spark, t, v - 1)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(feed.filter(col("_change_type") === "insert")
+      .select("score").as[Long].collect().sorted.toSeq === Seq(1010L, 1020L, 1030L))
+  }
+
+  test("merge-on-read MERGE: keep rows stay in place, updates mask, inserts land") {
+    useCatalog()
+    val t = freshTable("mormerge")
+    seed(t) // ids 1..20
+    val before = live(t).map(_.path).toSet
+    Seq((2L, 222L), (19L, 999L), (42L, 4242L))
+      .toDF("id", "newscore").createOrReplaceTempView("mor_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` tgt USING mor_src s ON tgt.id = s.id
+         |WHEN MATCHED AND s.id < 10 THEN UPDATE SET score = s.newscore
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (id, score, user)
+         |  VALUES (s.id, s.newscore, 'new')""".stripMargin)
+    assert(SnapshotStore.history(spark, t).head._2 === "merge_dv")
+    assert(before.subsetOf(live(t).map(_.path).toSet),
+      "merge-on-read merge must keep every original file live")
+    val snap = SnapshotStore.snapshot(spark, t)
+    assert(snap.count() === 20L) // 20 - delete(19) + insert(42)
+    assert(snap.filter(col("id") === 2L).select("score").head.getLong(0) === 222L)
+    assert(snap.filter(col("id") === 19L).count() === 0L, "MATCHED DELETE must mask")
+    assert(snap.filter(col("id") === 42L).select("user").head.getString(0) === "new")
+    assert(snap.filter(col("id") === 5L).select("score").head.getLong(0) === 50L,
+      "keep rows must carry byte-identical")
+    // a second MoR merge accumulates onto the same files (pointer advance)
+    Seq((3L, 333L)).toDF("id", "newscore").createOrReplaceTempView("mor_src2")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` tgt USING mor_src2 s ON tgt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET score = s.newscore""".stripMargin)
+    val snap2 = SnapshotStore.snapshot(spark, t)
+    assert(snap2.count() === 20L)
+    assert(snap2.filter(col("id") === 3L).select("score").head.getLong(0) === 333L)
+    assert(snap2.filter(col("id") === 2L).select("score").head.getLong(0) === 222L)
   }
 
   test("the three dv oracle queries match their own oracle SQL at sf0.001") {

@@ -1387,6 +1387,26 @@ object SparkEntry {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
     }),
+    "q_snapshot_agg_nulls" -> ((s, d) => {
+      // the null-count stats leg (Delta's nullCount, the third of the
+      // triple): lang is NULLed for every doc_id % 3 = 0 row before the
+      // append, the commit log records each file's exact per-column
+      // null count, and count(lang) — a NON-NULL count — answers from
+      // the log as Σ(rows − nulls) with zero parquet reads
+      // (IndexAggScan; the plan is pinned in SnapshotNullStatsSpec).
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) =!= 0, col("lang")).as("lang"),
+          col("n_chars"))
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-snapnull").toString + "/docs"
+      graft.sources.SnapshotStore.append(docs, t,
+        statsCols = Seq("doc_id", "lang", "n_chars"))
+      s.read.format("graft.sources.v2.SnapshotDataSource").load(t)
+        .agg(count(lit(1)).as("n"), count(col("lang")).as("n_lang"),
+          count(col("n_chars")).as("n_chars_nn"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
     "q_snapshot_sql" -> ((s, d) => {
       // the catalog-qualified SQL surface end to end — ONLY SQL text
       // touches the table after creation: CTAS bootstraps the commit
@@ -3250,6 +3270,12 @@ object SparkEntry {
     "q_snapshot_agg" ->
       """SELECT count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents""".stripMargin,
+    "q_snapshot_agg_nulls" ->
+      """SELECT count(*) AS n,
+        |  count(CASE WHEN doc_id % 3 <> 0 THEN lang END) AS n_lang,
+        |  count(n_chars) AS n_chars_nn,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents""".stripMargin,
     "q_bag_info" ->
       """SELECT count(*) AS n, min(epoch_us(ts)) AS min_ts,

@@ -88,7 +88,8 @@ object SnapshotStore {
   final case class AddFile(path: String, rows: Long,
                            stats: Map[String, (Long, Long)],
                            strStats: Map[String, (String, String)] = Map.empty,
-                           dv: Option[(String, Long)] = None) {
+                           dv: Option[(String, Long)] = None,
+                           nulls: Map[String, Long] = Map.empty) {
     /** Rows a reader of this file actually sees. */
     def visibleRows: Long = rows - dv.fold(0L)(_._2)
   }
@@ -133,6 +134,7 @@ object SnapshotStore {
   // collide with the format's separators); entry shapes:
   //   c=lo:hi          long range
   //   c=s:HEXLO:HEXHI  string range (UTF-8 hex)
+  //   c=u:count        null count (type-agnostic — Delta's nullCount)
   private def hexEnc(v: String): String =
     v.getBytes("UTF-8").map("%02x".format(_)).mkString
   private def hexDec(h: String): String =
@@ -143,7 +145,9 @@ object SnapshotStore {
       a.stats.toSeq.sortBy(_._1)
         .map { case (c, (lo, hi)) => s"$c=$lo:$hi" } ++
       a.strStats.toSeq.sortBy(_._1)
-        .map { case (c, (lo, hi)) => s"$c=s:${hexEnc(lo)}:${hexEnc(hi)}" }
+        .map { case (c, (lo, hi)) => s"$c=s:${hexEnc(lo)}:${hexEnc(hi)}" } ++
+      a.nulls.toSeq.sortBy(_._1)
+        .map { case (c, n) => s"$c=u:$n" }
     val stats = if (entries.isEmpty) "-" else entries.mkString(";")
     // deletion vector rides as two EXTRA fields (deleted-row count, then
     // the dv dataset dir — last, because paths may carry any non-tab
@@ -162,9 +166,10 @@ object SnapshotStore {
         val Array(c, range) = s.split('=')
         c -> range
       }
-      val longs = entries.collect { case (c, r) if !r.startsWith("s:") =>
-        val Array(lo, hi) = r.split(':')
-        c -> (lo.toLong, hi.toLong)
+      val longs = entries.collect {
+        case (c, r) if !r.startsWith("s:") && !r.startsWith("u:") =>
+          val Array(lo, hi) = r.split(':')
+          c -> (lo.toLong, hi.toLong)
       }.toMap
       val strs = entries.collect { case (c, r) if r.startsWith("s:") =>
         // limit -1 preserves trailing empties: an empty-string max
@@ -172,7 +177,10 @@ object SnapshotStore {
         val Array(_, lo, hi) = r.split(":", -1)
         c -> (hexDec(lo), hexDec(hi))
       }.toMap
-      AddFile(fields(1), fields(2).toLong, longs, strs, dv)
+      val nulls = entries.collect { case (c, r) if r.startsWith("u:") =>
+        c -> r.stripPrefix("u:").toLong
+      }.toMap
+      AddFile(fields(1), fields(2).toLong, longs, strs, dv, nulls)
     }
   }
 
@@ -457,6 +465,12 @@ object SnapshotStore {
         case (col, Some((lo, hi))) if hi.length <= StrStatLen =>
           logicalKey(col) -> (truncMin(lo), hi)
       }.toMap }.toMap
+    // the third stats leg (Delta's nullCount): type-agnostic, so it also
+    // lands for columns whose min/max legs are absent — index-only
+    // count(col) and all-null-file pruning feed on it
+    val nullStats = ZOrderStore.fileNullCounts(spark, tmp.toString, physStats)
+      .map { case (f, perCol) => f -> perCol.collect {
+        case (col, Some(n)) => logicalKey(col) -> n }.toMap }.toMap
     val rows = ZOrderStore.rowGroupStats(spark, tmp.toString, Nil)
       .map { case (f, blocks) => f -> blocks.map(_.rows).sum }.toMap
     fs.mkdirs(data)
@@ -469,7 +483,8 @@ object SnapshotStore {
           throw new IllegalStateException(s"stage: rename ${s.getPath} -> $dst failed")
         AddFile(dst.toString, rows(s.getPath.toString),
           stats.getOrElse(s.getPath.toString, Map.empty),
-          strStats.getOrElse(s.getPath.toString, Map.empty))
+          strStats.getOrElse(s.getPath.toString, Map.empty),
+          nulls = nullStats.getOrElse(s.getPath.toString, Map.empty))
       }
     fs.delete(tmp, true)
     moved
@@ -966,12 +981,25 @@ object SnapshotStore {
   def maintain(spark: SparkSession, table: String, maxLiveFiles: Int,
                targetFiles: Int, statsCols: Seq[String] = Nil,
                zorderCols: Seq[String] = Nil,
-               clusterCols: Seq[String] = Nil): Option[Long] = {
+               clusterCols: Seq[String] = Nil,
+               purgeDvAbove: Option[Double] = None): Option[Long] = {
     require(targetFiles > 0 && maxLiveFiles >= targetFiles,
       s"need maxLiveFiles >= targetFiles > 0, got ($maxLiveFiles, $targetFiles)")
     require(zorderCols.isEmpty || clusterCols.isEmpty,
       "pass zorderCols OR clusterCols, not both — they are competing layouts")
-    if (state(spark, table).live.size <= maxLiveFiles) None
+    // DV debt first: files whose deleted fraction crossed the threshold
+    // rewrite clean (their dv read-side anti-join cost and dead bytes
+    // amortize away) — the same trigger-not-schedule shape as the
+    // file-count check below, so one maintenance call after each ingest
+    // batch keeps BOTH forms of table debt bounded. Runs even when the
+    // file count is within budget (dv debt is invisible to it).
+    val purged: Option[Long] = purgeDvAbove.flatMap { ratio =>
+      val snap = state(spark, table)
+      if (snap.live.exists(a => a.dv.exists(_._2.toDouble / a.rows.max(1L) >= ratio)))
+        Some(purgeDv(spark, table, ratio))
+      else None
+    }
+    if (state(spark, table).live.size <= maxLiveFiles) purged
     else if (zorderCols.nonEmpty)
       // z-ordered rewrite: size-triggered maintenance RESTORES sharp
       // box pruning too — fragmented appends interleave key ranges, so
@@ -1042,6 +1070,13 @@ object SnapshotStore {
         // too, so mn <= hi stays conservative.
         a.strStats.get(c).forall { case (mn, mx) =>
           ZOrderStore.utf8Cmp(mx, lo) >= 0 && ZOrderStore.utf8Cmp(mn, hi) <= 0 }
+      } && (box.keySet ++ strBox.keySet).forall { c =>
+        // null-count leg: a file that is ALL NULL for a box column has
+        // no min/max stats (so the range legs can't skip it) yet no row
+        // can satisfy a range predicate — Delta prunes on nullCount ==
+        // rowCount the same way. Physical row count is right even under
+        // a deletion vector (nulls are physical counts too).
+        !a.nulls.get(c).contains(a.rows)
       } => a.path
     }
     (kept.sorted, snap.live.size)
@@ -1091,7 +1126,10 @@ object SnapshotStore {
     require(values.nonEmpty, "readPoints needs at least one probe value")
     val snap = state(spark, table, asOf)
     val boxKept = snap.live.filter { a =>
-      values.exists {
+      // all-null files can match no equality probe (same nullCount leg
+      // as prunedLiveFiles — their min/max stats are absent, so only
+      // the null count can prove absence)
+      !a.nulls.get(column).contains(a.rows) && values.exists {
         case x: Long =>
           a.stats.get(column).forall { case (mn, mx) => x >= mn && x <= mx }
         case x: Int =>
@@ -1313,7 +1351,8 @@ object SnapshotStore {
     def rekey(k: String): String = if (resolver(k, from)) to else k
     val rekeyed = snap.live.map(a => a.copy(
       stats = a.stats.map { case (k, v) => rekey(k) -> v },
-      strStats = a.strStats.map { case (k, v) => rekey(k) -> v }))
+      strStats = a.strStats.map { case (k, v) => rekey(k) -> v },
+      nulls = a.nulls.map { case (k, v) => rekey(k) -> v }))
     commit(spark, table, adds = rekeyed, removes = snap.live.map(_.path),
       meta = Map("op" -> "alter_schema", "schema" -> recorded.json),
       mustBeLive = snap.live.map(_.path))
@@ -1344,7 +1383,8 @@ object SnapshotStore {
       .toSeq.sorted.mkString(",")
     val rekeyed = snap.live.map(a => a.copy(
       stats = a.stats.filter { case (k, _) => !resolver(k, name) },
-      strStats = a.strStats.filter { case (k, _) => !resolver(k, name) }))
+      strStats = a.strStats.filter { case (k, _) => !resolver(k, name) },
+      nulls = a.nulls.filter { case (k, _) => !resolver(k, name) }))
     commit(spark, table, adds = rekeyed, removes = snap.live.map(_.path),
       meta = Map("op" -> "alter_schema", "schema" -> recorded.json,
         "schema.retired" -> retired),
@@ -1480,7 +1520,8 @@ object SnapshotStore {
     * files, so a rewrite never silently degrades the pruning the
     * original writer paid for. */
   private[graft] def statedCols(live: Seq[AddFile]): Seq[String] =
-    live.flatMap(a => a.stats.keys ++ a.strStats.keys).distinct.sorted
+    live.flatMap(a => a.stats.keys ++ a.strStats.keys ++ a.nulls.keys)
+      .distinct.sorted
 
   /** Read a specific live-file subset with the table's recorded schema
     * pinned — the touched-file read of [[upsert]]/MERGE. DV-aware:
@@ -1664,7 +1705,12 @@ object SnapshotStore {
     * descriptive error up front instead of a mid-scan surprise.
     */
   def changes(spark: SparkSession, table: String, sinceVersion: Long,
-              asOf: Option[Long] = None): DataFrame = {
+              asOf: Option[Long] = None,
+              mark: DataFrame => DataFrame = identity): DataFrame = {
+    // `mark` is applied to the DATA-side physical reads only (the CDF
+    // streaming source flags them as streaming relations); tag lookups
+    // and dv-position reads stay STATIC so the joins plan as supported
+    // stream-static shapes (same contract as readFilesAsDv)
     val fs = logDir(table).getFileSystem(conf(spark))
     val (commits, _) = listLog(fs, table)
     require(commits.nonEmpty, s"snapshot table has no commits: $table")
@@ -1716,7 +1762,11 @@ object SnapshotStore {
         }
       }
     }
-    val emptyFeed = snapshot(spark, table, Some(target)).limit(0)
+    val meta = state(spark, table, Some(target)).meta
+    def baseSchema: org.apache.spark.sql.types.StructType =
+      schemaOf(meta).map(logicalSchema)
+        .getOrElse(snapshot(spark, table, Some(target)).schema)
+    def emptyFeed = mark(readFilesAs(spark, table, baseSchema, Nil, Some(target)))
       .withColumn("_change_type", lit(""))
       .withColumn("_commit_version", lit(0L))
     if (fileEvents.isEmpty && ptrMoves.isEmpty) return emptyFeed
@@ -1728,11 +1778,10 @@ object SnapshotStore {
       s"changes($sinceVersion): ${missing.size} referenced file(s) no longer " +
         s"exist (vacuumed?): ${missing.take(3).mkString(", ")} — " +
         "time-travel retention is gone; re-read the snapshot instead")
-    val meta = state(spark, table, Some(target)).meta
     def physTagged(paths: Seq[String]): DataFrame =
-      readWithSchema(spark, meta, paths.distinct).select(col("*"),
+      mark(readWithSchema(spark, meta, paths.distinct).select(col("*"),
         element_at(split(col("_metadata.file_path"), "/"), -1).as("__file"),
-        col("_metadata.row_index").as("__pos"))
+        col("_metadata.row_index").as("__pos")))
     def posOf(dv: (String, Long), file: String): DataFrame =
       spark.read.parquet(dv._1)
         .filter(col("__file") === file).select("__file", "__pos")

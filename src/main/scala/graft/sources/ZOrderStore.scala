@@ -137,6 +137,44 @@ object ZOrderStore {
       (f, perCol)
     }
 
+  /** Per-file NULL COUNTS — the third leg of the footer harvest (rows +
+    * [min,max] + nulls is Delta's stats triple). A column maps to None
+    * when any row group's footer lacks a set null count (ancient
+    * writers) — consumers must treat None as unknown, never as zero.
+    * Works for every column TYPE (null counts are type-agnostic), so
+    * this also covers columns whose min/max legs are absent.
+    */
+  def fileNullCounts(spark: SparkSession, path: String, columns: Seq[String])
+      : Seq[(String, Map[String, Option[Long]])] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    val files = fs.listStatus(new Path(path)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    files.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val perCol = columns.map { column =>
+          val counts = blocks.map { block =>
+            block.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .map(_.getStatistics)
+              .filter(st => st != null && st.isNumNullsSet)
+              .map(_.getNumNulls)
+          }
+          val merged =
+            if (counts.isEmpty || counts.exists(_.isEmpty)) None
+            else Some(counts.flatten.sum)
+          column -> merged
+        }.toMap
+        (p.toString, perCol)
+      } finally reader.close()
+    }
+  }
+
   /** Per-file [min,max] of STRING (parquet Binary/UTF-8) columns — the
     * string leg of [[fileStats]]. A column maps to None when any row
     * group lacks usable binary stats.

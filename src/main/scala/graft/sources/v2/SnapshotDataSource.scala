@@ -345,11 +345,21 @@ class SnapshotScanBuilder(
     live.forall(_.stats.contains(c))
   }
 
+  /** A column (any type) every live file carries an exact NULL COUNT
+    * for — count(col) answers from the log as Σ(rows − nulls). */
+  private def nullsCol(e: VExpr): Option[String] = colName(e).filter { c =>
+    tableSchema.fields.exists(_.name == c) &&
+    live.forall(_.nulls.contains(c))
+  }
+
   private def tryLog(agg: Aggregation): Option[(StructType, Array[Array[Any]])] = {
     if (sawFilter || agg.groupByExpressions.nonEmpty) return None
     val vals = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
         Some(("count", java.lang.Long.valueOf(live.map(_.rows).sum)))
+      case c: Count if !c.isDistinct => nullsCol(c.column).map(col =>
+        (s"count_$col", java.lang.Long.valueOf(
+          live.map(a => a.rows - a.nulls(col)).sum)))
       case m: Min => statsCol(m.column).map(c =>
         (s"min_$c", java.lang.Long.valueOf(live.map(_.stats(c)._1).min)))
       case m: Max => statsCol(m.column).map(c =>

@@ -136,18 +136,30 @@ class SnapshotStreamSource(spark: SparkSession, table: String,
     */
   private def getChangeBatch(start: Option[Offset], endV: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.StructType
+    // streaming relations are marked INSIDE the reads (data side only):
+    // a deletion-vector'd table's feed contains anti/semi-joins against
+    // the static dv-position datasets, and marking those too would plan
+    // an unsupported stream-stream join (same contract as getBatch)
+    val streamMark: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      GraftShim.asStreamingRelation
     val df = start.map(ver).orElse(startingVersion) match {
       case Some(since) if since >= endV => // defensive: empty range
-        SnapshotStore.changes(spark, table, endV, Some(endV)).limit(0)
+        SnapshotStore.changes(spark, table, endV, Some(endV), mark = streamMark)
+          .limit(0)
       case Some(since) =>
-        SnapshotStore.changes(spark, table, since, Some(endV))
+        SnapshotStore.changes(spark, table, since, Some(endV), mark = streamMark)
       case None => // initial load: the snapshot itself, as inserts
-        SnapshotStore.snapshot(spark, table, Some(endV))
+        //  (dv-aware: merge-on-read-deleted rows must not arrive)
+        val dataSchema = StructType(schema.fields.filterNot(f =>
+          f.name == "_change_type" || f.name == "_commit_version"))
+        SnapshotStore.readFilesAsDv(spark, table, dataSchema,
+            SnapshotStore.state(spark, table, Some(endV)).live,
+            asOf = Some(endV), mark = streamMark)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(endV))
     }
-    GraftShim.asStreamingRelation(
-      df.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+    df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
   override def stop(): Unit = ()

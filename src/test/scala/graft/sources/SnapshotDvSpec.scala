@@ -25,8 +25,9 @@ class SnapshotDvSpec extends SparkSpec {
       classOf[graft.sources.v2.SnapshotCatalog].getName)
 
   private def seed(t: String, n: Long = 20L): Unit = {
+    // one file: per-file dv ratios in these specs assume a single file
     SnapshotStore.append((1L to n).map(i => (i, i * 10L, s"u${i % 4}"))
-      .toDF("id", "score", "user"), t, statsCols = Seq("id"))
+      .toDF("id", "score", "user").coalesce(1), t, statsCols = Seq("id"))
     SnapshotStore.setDvEnabled(spark, t, enabled = true)
   }
 
@@ -285,6 +286,56 @@ class SnapshotDvSpec extends SparkSpec {
         assert(g.length === w.length, s"$name rows")
         assert(g.toSeq === w.toSeq, s"$name values")
       }
+  }
+
+  test("maintain purges dv debt past the ratio, even within the file budget") {
+    val t = freshTable("maint")
+    seed(t)
+    SnapshotStore.delete(spark, t, col("id") <= 12L) // 60% of one file masked
+    assert(live(t).exists(_.dv.isDefined))
+    // below the ratio: no purge, no compaction (file count within budget)
+    assert(SnapshotStore.maintain(spark, t, maxLiveFiles = 100, targetFiles = 1,
+      purgeDvAbove = Some(0.9)).isEmpty)
+    assert(live(t).exists(_.dv.isDefined))
+    // past the ratio: purge commits even though the file count is fine
+    val v = SnapshotStore.maintain(spark, t, maxLiveFiles = 100, targetFiles = 1,
+      purgeDvAbove = Some(0.5))
+    assert(v.isDefined)
+    assert(SnapshotStore.history(spark, t).head._2 === "purge_dv")
+    assert(live(t).forall(_.dv.isEmpty))
+    assert(SnapshotStore.snapshot(spark, t).count() === 8L)
+  }
+
+  test("CDF stream mirrors merge-on-read deletes into a downstream table") {
+    val t = freshTable("cdfstream")
+    seed(t, n = 8L)
+    SnapshotStore.delete(spark, t, col("id") <= 2L)
+    val out = "file:" + java.nio.file.Files
+      .createTempDirectory("graft-dvcdf-sink").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-dvcdf-cp").toString
+    val q = spark.readStream.format("graft.sources.v2.SnapshotDataSource")
+      .option("readChangeFeed", "true")
+      .load(t)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+    // initial snapshot arrives as inserts of the VISIBLE rows only
+    assert(got.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq === (3L to 8L))
+    // a later MoR delete flows as position-delta deletes on restart
+    SnapshotStore.delete(spark, t, col("id") === 5L)
+    val q2 = spark.readStream.format("graft.sources.v2.SnapshotDataSource")
+      .option("readChangeFeed", "true")
+      .load(t)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val dels = spark.read.parquet(out).filter(col("_change_type") === "delete")
+    assert(dels.select("id").as[Long].collect().toSeq === Seq(5L),
+      "the second batch must carry exactly the masked position as a delete")
   }
 
   test("streaming initial load of a dv'd table excludes deleted rows") {

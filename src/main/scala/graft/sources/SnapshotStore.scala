@@ -1728,11 +1728,11 @@ object SnapshotStore {
       else state(spark, table, Some(sinceVersion)).live
         .map(a => nameOf(a.path) -> a.dv).toMap
     // (path, changeType, version, dvAtEvent) for whole-file events;
-    // (path, version, newDv, oldDv) for pointer moves
+    // (path, version, newDv, oldDv, op) for pointer moves
     val fileEvents = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Long, Option[(String, Long)])]
     val ptrMoves = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Long, Option[(String, Long)], Option[(String, Long)])]
+      .empty[(String, Long, Option[(String, Long)], Option[(String, Long)], String)]
     commits.filter(v => v > sinceVersion && v <= target).foreach { v =>
       val lines = readCommitLines(fs, commitPath(table, v), strict)
       val op = lines.collectFirst {
@@ -1755,7 +1755,7 @@ object SnapshotStore {
             case None => // fresh file: its VISIBLE rows are inserts
               fileEvents += ((a.path, "insert", v, a.dv))
             case Some(old) if old != a.dv => // pointer move on a live file
-              ptrMoves += ((a.path, v, a.dv, old))
+              ptrMoves += ((a.path, v, a.dv, old, op))
             case Some(_) => () // re-add with identical pointer: no delta
           }
           dvPtr += name -> a.dv
@@ -1787,7 +1787,9 @@ object SnapshotStore {
         .filter(col("__file") === file).select("__file", "__pos")
     // ---- whole-file events: ONE scan + broadcast tag join (the classic
     // shape); dv'd events additionally anti-join their pointer's
-    // positions so only rows visible AT THE EVENT flow
+    // positions so only rows visible AT THE EVENT flow — batched per
+    // (version, type, dv dir) so a commit touching ten thousand dv'd
+    // files contributes ONE join, not ten thousand
     val feeds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val (plainEvents, dvdEvents) = fileEvents.partition(_._4.isEmpty)
     if (plainEvents.nonEmpty) {
@@ -1798,15 +1800,38 @@ object SnapshotStore {
         .join(broadcast(lookup), "__file")
         .drop("__file", "__pos")
     }
-    dvdEvents.foreach { case (p, t, v, dv) =>
-      feeds += physTagged(Seq(p))
-        .join(broadcast(posOf(dv.get, nameOf(p))), Seq("__file", "__pos"), "left_anti")
+    dvdEvents.groupBy(e => (e._3, e._2, e._4.get._1)).foreach {
+      case ((v, t, dvDir), group) =>
+        val names = group.map(e => nameOf(e._1)).toSeq
+        val pos = spark.read.parquet(dvDir)
+          .filter(col("__file").isin(names: _*)).select("__file", "__pos")
+        feeds += physTagged(group.map(_._1).toSeq)
+          .join(broadcast(pos), Seq("__file", "__pos"), "left_anti")
+          .drop("__file", "__pos")
+          .withColumn("_change_type", lit(t))
+          .withColumn("_commit_version", lit(v))
+    }
+    // ---- pointer moves: grown positions are deletes, shrunk inserts.
+    // Moves from the merge-on-read verbs are GROW-ONLY into one fresh
+    // dataset per commit whose `__delta` rows are exactly the commit's
+    // new positions (commitDvRepoint writes them that way), so every
+    // such commit batches to ONE semi-join regardless of how many files
+    // it touched. Only RESTORE moves pointers arbitrarily — those take
+    // the generic two-sided position diff, per (version, dir pair).
+    val MoROps = Set("delete_dv", "update_dv", "merge_dv")
+    val (morMoves, genericMoves) = ptrMoves.partition(m => MoROps.contains(m._5))
+    morMoves.groupBy(m => (m._2, m._3.get._1)).foreach { case ((v, dvDir), group) =>
+      val names = group.map(m => nameOf(m._1)).toSeq
+      val pos = spark.read.parquet(dvDir)
+        .filter(col("__delta") && col("__file").isin(names: _*))
+        .select("__file", "__pos")
+      feeds += physTagged(group.map(_._1).toSeq)
+        .join(broadcast(pos), Seq("__file", "__pos"), "left_semi")
         .drop("__file", "__pos")
-        .withColumn("_change_type", lit(t))
+        .withColumn("_change_type", lit("delete"))
         .withColumn("_commit_version", lit(v))
     }
-    // ---- pointer moves: grown positions are deletes, shrunk inserts
-    ptrMoves.foreach { case (p, v, newDv, oldDv) =>
+    genericMoves.foreach { case (p, v, newDv, oldDv, _) =>
       val name = nameOf(p)
       def diff(a: Option[(String, Long)], b: Option[(String, Long)]): Option[DataFrame] =
         a.map(av => b.fold(posOf(av, name))(bv =>

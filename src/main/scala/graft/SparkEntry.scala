@@ -2175,6 +2175,11 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
         queryId = 0L, k = 10, bucketBits = 4)),
+    "q_ann_sq" -> ((s, d) =>
+      // scalar-quantized ANN: int8-code candidate rank (4× smaller scan
+      // at 100 TB), exact cosine re-rank of the 40 finalists
+      Similarity.sqTopK(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
+        queryId = 0L, k = 10, candidates = 40)),
     "q_kmeans" -> ((s, d) =>
       Similarity.kmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 4, iters = 2)
@@ -3888,6 +3893,20 @@ object SparkEntry {
          |SELECT vec_id, round(${cosSql("v", "qv")}, 6) AS cos
          |FROM e, q WHERE vec_id != 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_sq" ->
+      s"""WITH e AS ($embDoubleSql),
+         |sc AS (SELECT vec_id, v,
+         |         127.0 / list_max(list_transform(v, x -> abs(x))) AS s FROM e),
+         |qz AS (SELECT vec_id, v, s,
+         |         list_transform(v, x -> floor(x * s)) AS q FROM sc),
+         |qq AS (SELECT v AS qv, s AS qs, q AS qqv FROM qz WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT vec_id, v, qv,
+         |    round(list_dot_product(q, qqv) / (s * qs), 6) AS qdot
+         |  FROM qz, qq WHERE vec_id != 0
+         |  ORDER BY qdot DESC, vec_id LIMIT 40)
+         |SELECT vec_id, qdot, round(${cosSql("v", "qv")}, 6) AS cos
+         |FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH e AS ($embDoubleSql),
          |q AS (SELECT v AS qv, bucket AS qb FROM e WHERE vec_id = 0)

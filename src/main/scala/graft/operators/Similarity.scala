@@ -168,6 +168,64 @@ object Similarity {
       .limit(k)
   }
 
+  /** ENCODE phase of the persisted scalar-quantization index: the int8
+    * CODE TABLE (vec_id, codes array<byte>, scale) — the artifact a
+    * vector store keeps next to (or instead of) the float column. Codes
+    * are true bytes (|code| <= 127 by the 127/max|x| scale), so the
+    * persisted table is ~4× smaller than float32 and the candidate scan
+    * reads it INSTEAD of the embeddings. Pass `indexPath` to write to
+    * reliable storage and read back (encode once, probe per query —
+    * the `ivfTrain`/`sigPath` persistence shape).
+    */
+  def sqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
+               indexPath: Option[String] = None): DataFrame = {
+    import graft.functions.Let
+    val codes = embeddings.select(col(idCol).as("vec_id"),
+      Let.bind(lit(127.0) / array_max(transform(col(vecCol),
+          e => abs(e.cast("double"))))) { s =>
+        struct(
+          transform(col(vecCol),
+            e => floor(e.cast("double") * s).cast("byte")).as("q"),
+          s.as("s"))
+      }.as("__sq"))
+      .select(col("vec_id"), col("__sq.q").as("q"), col("__sq.s").as("s"))
+    Dedup.materialize(codes, indexPath.map(p => s"$p/sq_codes"))
+  }
+
+  /** PROBE phase: candidates ranked by the int8 dot over the CODE TABLE
+    * alone (the embeddings are untouched until the finalists), then the
+    * `candidates` finalists' full vectors join back — broadcast, they
+    * are a top-N list — for the exact cosine re-rank. Same ranks and
+    * rounding as [[sqTopK]], so the two forms answer identically; this
+    * one reads 4× fewer candidate bytes and amortizes encoding across
+    * queries.
+    */
+  def sqProbe(codes: DataFrame, embeddings: DataFrame,
+              idCol: String, vecCol: String,
+              queryId: Long, k: Int, candidates: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(embeddings.sparkSession)
+    val query = codes.filter(col("vec_id") === queryId)
+      .select(col("q").as("__qq"), col("s").as("__qs"))
+    val qvec = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    val cand = codes.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        round(aggregate(zip_with(col("q"), col("__qq"),
+            (a, b) => a.cast("long") * b.cast("long")),
+          lit(0L), (acc, e) => acc + e).cast("double") /
+          (col("s") * col("__qs")), 6).as("qdot"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+      .limit(candidates)
+    val finalists = cand.select(col("vec_id").as("__cand_id"), col("qdot"))
+    embeddings.join(broadcast(finalists), col(idCol) === col("__cand_id"))
+      .crossJoin(broadcast(qvec))
+      .select(col("__cand_id").as("vec_id"), col("qdot"),
+        round(cosineNative(col(vecCol), col("__qvec")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Int8-style vector quantization stats: per-vector scale
     * (127 / max|x|) and quantized-value summary. The quantized value is
     * floor(x · scale) — floor, not round, for engine-portable semantics.

@@ -54,6 +54,22 @@ class SimilaritySpec extends SparkSpec {
     assert(cosines === cosines.sorted.reverse)
   }
 
+  test("sqEncode/sqProbe: persisted byte codes answer identically to sqTopK") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("graft-sqidx-spec").toString
+    Similarity.sqEncode(emb, "vec_id", "embedding", Some(idx))
+    val codes = spark.read.parquet(s"$idx/sq_codes")
+    // the persisted artifact really is byte codes (the 4x claim)
+    assert(codes.schema("q").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    val probed = Similarity.sqProbe(codes, emb, "vec_id", "embedding", 0L, 10, 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val inline = Similarity.sqTopK(emb, "vec_id", "embedding", 0L, 10, 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(probed === inline, "index probe must equal the inline form")
+  }
+
   test("bruteForceTopK ranks by cosine desc, excludes the query") {
     val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 3)
       .collect().map(_.getAs[Long]("vec_id")).toSeq

@@ -288,6 +288,41 @@ class SnapshotDvSpec extends SparkSpec {
       }
   }
 
+  test("read positions: INSERT query side, IN-subquery, and MERGE source see the dv") {
+    useCatalog()
+    val b = "file:" + java.nio.file.Files
+      .createTempDirectory("graft-dv-pos").toString
+    val src = s"$b/src"
+    seed(src, n = 10L)
+    SnapshotStore.delete(spark, src, col("id") <= 4L) // visible: 5..10
+    // INSERT INTO ... SELECT FROM the dv'd table: the WRITE command's
+    // query side must read dv-filtered (V2WriteCommand.withNewQuery leg)
+    val dst = s"$b/dst"
+    SnapshotStore.append(Seq((0L, 0L, "seedrow")).toDF("id", "score", "user"),
+      dst, statsCols = Seq("id"))
+    spark.sql(s"INSERT INTO graft.`$dst` SELECT * FROM graft.`$src`")
+    assert(SnapshotStore.snapshot(spark, dst).count() === 7L,
+      "insert-select must not copy dv-deleted rows")
+    // IN (SELECT ...) over the dv'd table (SubqueryExpression leg)
+    val n = spark.sql(
+      s"SELECT count(*) FROM graft.`$dst` WHERE id IN (SELECT id FROM graft.`$src`)")
+      .head.getLong(0)
+    assert(n === 6L, "the IN-subquery must see only visible rows")
+    // MERGE with the dv'd table as SOURCE (RewriteSnapshotMerge captures
+    // the source into a leaf command before RewriteDvReads runs — the
+    // explicit rewriteReads call in that rule is what this pins)
+    val tgt = s"$b/tgt"
+    SnapshotStore.append((1L to 10L).map(i => (i, 0L)).toDF("id", "hits"),
+      tgt, statsCols = Seq("id"))
+    spark.sql(
+      s"""MERGE INTO graft.`$tgt` t USING graft.`$src` s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET hits = 1""".stripMargin)
+    val hit = SnapshotStore.snapshot(spark, tgt)
+      .filter(col("hits") === 1L).select("id").as[Long].collect().sorted.toSeq
+    assert(hit === (5L to 10L),
+      s"the merge source must be dv-filtered (deleted ids must not match): $hit")
+  }
+
   test("maintain purges dv debt past the ratio, even within the file budget") {
     val t = freshTable("maint")
     seed(t)

@@ -825,8 +825,12 @@ object SnapshotStore {
     val (dvd, plain) = files.partition(_.dv.isDefined)
     if (dvd.isEmpty) return tagged(files.map(_.path))
     val deleted = dvPositions(spark, dvd)
+    // broadcast only while the deleted-position set is genuinely small:
+    // rows are (file-name string, long) — fat relative to a bitmap — so
+    // the cap is rows, not bytes (~1M ≈ tens of MB built); past it the
+    // anti-join shuffles, which is still O(deleted), never O(table)
     val totalDeleted = dvd.map(_.dv.get._2).sum
-    val hinted = if (totalDeleted <= 4000000L) broadcast(deleted) else deleted
+    val hinted = if (totalDeleted <= 1000000L) broadcast(deleted) else deleted
     val filtered = tagged(dvd.map(_.path))
       .join(hinted, Seq("__file", "__pos"), "left_anti")
     if (plain.isEmpty) filtered
@@ -907,9 +911,15 @@ object SnapshotStore {
         val fs = root.getFileSystem(c)
         fs.mkdirs(root)
         val dvPath = new Path(root, java.util.UUID.randomUUID().toString).toString
-        // dv datasets are tiny relative to data (positions, not rows) — a
-        // single file keeps the read-side dv scan one-task cheap
-        dels.coalesce(1).write.parquet(dvPath)
+        // dv datasets are tiny relative to data (positions, not rows):
+        // one file for the common case keeps the read-side dv scan
+        // one-task cheap, but a mass delete masking hundreds of millions
+        // of positions must not funnel through a single write task —
+        // scale the file count with the position count (~8M rows/file)
+        val totalPositions = perFile.values.sum +
+          touched.flatMap(_.dv.map(_._2)).sum
+        val dvFiles = math.max(1L, math.min(64L, totalPositions / 8000000L)).toInt
+        dels.coalesce(dvFiles).write.parquet(dvPath)
         touched.map { a =>
           val name = nameOf(a.path)
           val total = perFile.getOrElse(name, 0L) + a.dv.fold(0L)(_._2)

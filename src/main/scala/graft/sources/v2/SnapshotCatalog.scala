@@ -318,11 +318,13 @@ private[graft] class SnapshotCatalogTable(path: String, asOf: Option[Long],
     * [[graft.plans.RewriteDvReads]] — such reads leave the bare
     * parquet-delegate path). Computed from its own state replay, NOT
     * `resolved`, so it stays callable on tables this handle would
-    * refuse to scan (empty, uncommitted). */
-  private[graft] def hasDv: Boolean =
+    * refuse to scan (empty, uncommitted). Lazy: the analyzer's
+    * resolution batch runs to fixpoint and may consult this handle
+    * several times — one log replay per handle, not per iteration. */
+  private[graft] lazy val hasDv: Boolean =
     SnapshotStore.latestVersion(spark, path) > 0L &&
       SnapshotStore.state(spark, path, asOf).live.exists(_.dv.isDefined)
-  private[graft] def resolvedVersion: Long =
+  private[graft] lazy val resolvedVersion: Long =
     SnapshotStore.state(spark, path, asOf).version
 
   private def spark = SparkSession.active

@@ -288,6 +288,34 @@ class SnapshotDvSpec extends SparkSpec {
       }
   }
 
+  test("dv composes with column mapping and schema evolution") {
+    useCatalog()
+    val t = freshTable("mapping")
+    seed(t)
+    // rename BEFORE the delete: files carry the old physical name, the
+    // dv masks positions regardless of labels
+    SnapshotStore.renameColumn(spark, t, "score", "points")
+    SnapshotStore.delete(spark, t, col("points") <= 30L) // ids 1..3
+    assert(SnapshotStore.snapshot(spark, t).orderBy("id")
+      .select("points").as[Long].collect().headOption === Some(40L))
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$t`").head.getLong(0) === 17L,
+      "the DV rewrite must read through the column mapping")
+    // widen AFTER the delete: old files null-fill the new column, the
+    // dv still masks
+    spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (note STRING)")
+    val out = spark.sql(
+      s"SELECT count(*) AS n, count(note) AS notes FROM graft.`$t`").head
+    assert(out.getLong(0) === 17L && out.getLong(1) === 0L)
+    // and a post-evolution MoR delete keyed on the RENAMED column
+    SnapshotStore.delete(spark, t, col("points") > 190L) // ids 20
+    assert(SnapshotStore.snapshot(spark, t).count() === 16L)
+    // purge under mapping: rewrite stays mapping-safe (stageFiles
+    // renames through the live mapping)
+    SnapshotStore.purgeDv(spark, t)
+    assert(SnapshotStore.snapshot(spark, t).orderBy("id")
+      .select("points").as[Long].collect().toSeq === (4L to 19L).map(_ * 10L))
+  }
+
   test("read positions: INSERT query side, IN-subquery, and MERGE source see the dv") {
     useCatalog()
     val b = "file:" + java.nio.file.Files

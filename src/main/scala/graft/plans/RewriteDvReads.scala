@@ -1,8 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, DeleteFromTable, LocalRelation, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -51,6 +53,20 @@ object RewriteDvReads extends Rule[LogicalPlan] {
         m.copy(sourceTable = rewriteReads(m.sourceTable))
       case u: UpdateTable => u
       case d: DeleteFromTable => d
+      // unfiltered global count(*) straight over a dv'd relation: the
+      // LOG already knows the answer (Σ visibleRows = rows − dv
+      // cardinality per live file) — the dv twin of the dv-less path's
+      // IndexAggScan, which this rewrite would otherwise forfeit by
+      // replacing the relation before aggregate pushdown sees it.
+      // count(col) stays a scan: dv positions carry no nullness.
+      case agg @ Aggregate(Nil, exprs, child, _)
+          if agg.resolved && exprs.forall(isCountStar) &&
+            bareRelation(child).exists(dvTarget(_).isDefined) =>
+        val (path, version) = dvTarget(bareRelation(child).get).get
+        val n = SnapshotStore.state(SparkSession.active, path, Some(version))
+          .live.map(_.visibleRows).sum
+        LocalRelation(agg.output.map(_.toAttribute),
+          Seq(InternalRow.fromSeq(exprs.map(_ => n))))
       case r: DataSourceV2Relation =>
         dvTarget(r).fold(r: LogicalPlan) { case (path, version) =>
           replaced(r, path, version)
@@ -68,6 +84,32 @@ object RewriteDvReads extends Rule[LogicalPlan] {
   // transformExpressions on the returned node must not descend into
   // children (they are already rewritten) — QueryPlan.transformExpressions
   // operates on the node's own expressions only, which is exactly that.
+
+  /** `count(*)`-shaped aggregate expression: a (possibly aliased)
+    * non-distinct, non-filtered Count over literals. */
+  private def isCountStar(e: NamedExpression): Boolean = {
+    def countExpr(x: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = x match {
+      case AggregateExpression(Count(children), Complete, false, None, _) =>
+        children.forall(_.isInstanceOf[Literal])
+      case _ => false
+    }
+    e match {
+      case Alias(c, _) => countExpr(c)
+      case other => countExpr(other)
+    }
+  }
+
+  /** The relation under pure pass-through wrappers (subquery aliases,
+    * attribute-only projects) — the shapes between `FROM t` and the
+    * aggregate that cannot change the row count. */
+  private def bareRelation(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
+    case r: DataSourceV2Relation => Some(r)
+    case SubqueryAlias(_, child) => bareRelation(child)
+    case Project(projectList, child)
+        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      bareRelation(child)
+    case _ => None
+  }
 
   /** (table path, resolved version) when the relation reads a snapshot
     * table whose live set carries any deletion vector. */

@@ -288,6 +288,57 @@ class SnapshotDvSpec extends SparkSpec {
       }
   }
 
+  test("count(*) on a dv'd table answers from the log — no file scan") {
+    useCatalog()
+    val t = freshTable("cnt")
+    seed(t)
+    SnapshotStore.delete(spark, t, col("id") <= 5L)
+    val df = spark.sql(s"SELECT count(*) AS n FROM graft.`$t`")
+    assert(df.head.getLong(0) === 15L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"),
+      s"dv count(*) must collapse to the log answer:\n$plan")
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"dv count(*) must not plan a file scan:\n$plan")
+    // count(col) stays a (correct) scan — dv positions carry no nullness
+    assert(spark.sql(s"SELECT count(user) FROM graft.`$t`").head.getLong(0) === 15L)
+  }
+
+  test("write amplification: MoR delete writes a small fraction of CoW's bytes") {
+    // same corpus, same delete, two strategies — the merge-on-read
+    // write is the dv dataset alone (positions), the copy-on-write one
+    // re-lands every kept byte of the touched files
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val b = "file:" + java.nio.file.Files
+      .createTempDirectory("graft-dv-amp").toString
+    def dirBytes(d: String): Long = {
+      val f = new java.io.File(new java.net.URI(d))
+      if (!f.exists()) 0L
+      else f.listFiles().filter(_.isFile).map(_.length()).sum
+    }
+    val cow = s"$b/cow"; val mor = s"$b/mor"
+    SnapshotStore.append(docs.coalesce(2), cow, statsCols = Seq("doc_id"))
+    SnapshotStore.append(docs.coalesce(2), mor, statsCols = Seq("doc_id"))
+    SnapshotStore.setDvEnabled(spark, mor, enabled = true)
+    val cowBefore = dirBytes(s"$cow/data")
+    SnapshotStore.delete(spark, cow, col("doc_id") % 50L === 0L) // ~2% of rows
+    val cowWritten = dirBytes(s"$cow/data") - cowBefore + 0L // rewrite not yet vacuumed
+    val morBefore = dirBytes(s"$mor/data")
+    SnapshotStore.delete(spark, mor, col("doc_id") % 50L === 0L)
+    val morDataWritten = dirBytes(s"$mor/data") - morBefore
+    val morDvWritten = dirBytes(s"$mor/dv/" +
+      new java.io.File(new java.net.URI(s"$mor/dv")).listFiles().head.getName)
+    assert(morDataWritten === 0L, "merge-on-read must write no data files")
+    assert(cowWritten > 0L, "copy-on-write must stage rewrites")
+    assert(morDvWritten * 10 < cowWritten,
+      s"the dv write ($morDvWritten B) must be a small fraction of the " +
+        s"CoW rewrite ($cowWritten B)")
+    // and the two strategies agree on the result
+    assert(SnapshotStore.snapshot(spark, cow).count() ===
+      SnapshotStore.snapshot(spark, mor).count())
+  }
+
   test("dv composes with column mapping and schema evolution") {
     useCatalog()
     val t = freshTable("mapping")

@@ -787,6 +787,20 @@ object SnapshotStore {
     * same identity [[changes]] and [[delete]] rely on). */
   private def nameOf(p: String): String = new Path(p).getName
 
+  /** Restrict a frame carrying a `__file` column to the given file
+    * names: a literal IN for small sets, a broadcast semi-join past
+    * [[FileSetInlineCap]] — ten thousand live files must not inline ten
+    * thousand literals into the plan. */
+  private val FileSetInlineCap = 1000
+  private def whereFileIn(df: DataFrame, names: Seq[String]): DataFrame =
+    if (names.size == 1) df.filter(col("__file") === names.head)
+    else if (names.size <= FileSetInlineCap)
+      df.filter(col("__file").isin(names: _*))
+    else df.join(
+      broadcast(df.sparkSession.createDataFrame(
+        names.map(Tuple1(_))).toDF("__file")),
+      Seq("__file"), "left_semi")
+
   /** The ACTIVE deleted-position set for `files` (columns `__file`
     * name, `__pos` row index) — each file's positions read from exactly
     * the dv dataset its live entry points at: a file restored to an
@@ -799,9 +813,8 @@ object SnapshotStore {
       .collect { case a if a.dv.isDefined => (a.dv.get._1, nameOf(a.path)) }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     byDir.toSeq.sortBy(_._1).map { case (dir, names) =>
-      val dv = spark.read.parquet(dir).select(col("__file"), col("__pos"))
-      if (names.size == 1) dv.filter(col("__file") === names.head)
-      else dv.filter(col("__file").isin(names: _*))
+      whereFileIn(spark.read.parquet(dir)
+        .select(col("__file"), col("__pos")), names)
     }.reduce(_ unionByName _)
   }
 
@@ -1813,8 +1826,8 @@ object SnapshotStore {
     dvdEvents.groupBy(e => (e._3, e._2, e._4.get._1)).foreach {
       case ((v, t, dvDir), group) =>
         val names = group.map(e => nameOf(e._1)).toSeq
-        val pos = spark.read.parquet(dvDir)
-          .filter(col("__file").isin(names: _*)).select("__file", "__pos")
+        val pos = whereFileIn(spark.read.parquet(dvDir)
+          .select(col("__file"), col("__pos")), names)
         feeds += physTagged(group.map(_._1).toSeq)
           .join(broadcast(pos), Seq("__file", "__pos"), "left_anti")
           .drop("__file", "__pos")
@@ -1832,9 +1845,8 @@ object SnapshotStore {
     val (morMoves, genericMoves) = ptrMoves.partition(m => MoROps.contains(m._5))
     morMoves.groupBy(m => (m._2, m._3.get._1)).foreach { case ((v, dvDir), group) =>
       val names = group.map(m => nameOf(m._1)).toSeq
-      val pos = spark.read.parquet(dvDir)
-        .filter(col("__delta") && col("__file").isin(names: _*))
-        .select("__file", "__pos")
+      val pos = whereFileIn(spark.read.parquet(dvDir)
+        .filter(col("__delta")).select("__file", "__pos"), names)
       feeds += physTagged(group.map(_._1).toSeq)
         .join(broadcast(pos), Seq("__file", "__pos"), "left_semi")
         .drop("__file", "__pos")

@@ -828,24 +828,41 @@ object SnapshotStore {
     * cardinality is small (the common case: deletes are tiny relative
     * to data, that is the point of merge-on-read), shuffled otherwise.
     */
+  /** Attach row identity to a schema-pinned file read: `__file` (file
+    * name — staged names are uuid-fresh) and `__pos` (row index). THE
+    * tagging projection — every tagged consumer (readFilesTagged,
+    * readFilesAsDv, the change feed) shares it, so the identity
+    * derivation can never diverge between read paths. */
+  private def tagRows(df: DataFrame): DataFrame = {
+    val clash = df.columns.filter(c => c == "__file" || c == "__pos")
+    require(clash.isEmpty,
+      s"table columns ${clash.mkString(", ")} collide with the row-identity " +
+        "working columns of deletion-vector reads and row-level DML — " +
+        "rename them (ALTER TABLE ... RENAME COLUMN)")
+    df.select(col("*"),
+      element_at(split(col("_metadata.file_path"), "/"), -1).as("__file"),
+      col("_metadata.row_index").as("__pos"))
+  }
+
+  /** Broadcast-hint a deleted-position frame only while the LOG-known
+    * cardinality is genuinely small: rows are (file-name string, long)
+    * — fat relative to a bitmap — so the cap is rows, not bytes (~1M ≈
+    * tens of MB built); past it the join shuffles, which is still
+    * O(deleted), never O(table). */
+  private def hintPositions(df: DataFrame, knownRows: Long): DataFrame =
+    if (knownRows <= 1000000L) broadcast(df) else df
+
   private[graft] def readFilesTagged(spark: SparkSession,
                                      meta: Map[String, String],
                                      files: Seq[AddFile]): DataFrame = {
     def tagged(paths: Seq[String]): DataFrame =
-      readWithSchema(spark, meta, paths).select(col("*"),
-        element_at(split(col("_metadata.file_path"), "/"), -1).as("__file"),
-        col("_metadata.row_index").as("__pos"))
+      tagRows(readWithSchema(spark, meta, paths))
     val (dvd, plain) = files.partition(_.dv.isDefined)
     if (dvd.isEmpty) return tagged(files.map(_.path))
-    val deleted = dvPositions(spark, dvd)
-    // broadcast only while the deleted-position set is genuinely small:
-    // rows are (file-name string, long) — fat relative to a bitmap — so
-    // the cap is rows, not bytes (~1M ≈ tens of MB built); past it the
-    // anti-join shuffles, which is still O(deleted), never O(table)
-    val totalDeleted = dvd.map(_.dv.get._2).sum
-    val hinted = if (totalDeleted <= 1000000L) broadcast(deleted) else deleted
+    val deleted = hintPositions(dvPositions(spark, dvd),
+      dvd.map(_.dv.get._2).sum)
     val filtered = tagged(dvd.map(_.path))
-      .join(hinted, Seq("__file", "__pos"), "left_anti")
+      .join(deleted, Seq("__file", "__pos"), "left_anti")
     if (plain.isEmpty) filtered
     else tagged(plain.map(_.path)).unionByName(filtered)
   }

@@ -1043,6 +1043,70 @@ object SparkEntry {
           col("seq").cast("double").as("num"), col("label"))
       gps.unionByName(tag).orderBy(col("topic"), col("ts"), col("num"))
     }),
+    "q_bag_scene_pipeline" -> ((s, d) => {
+      // THE reference end-to-end chain in ONE oracle-keyed plan
+      // (main.py:77 process_file → synchronize_topics.py:200
+      // synchronize_topics → detect_scenes.py:229 main): raw .bag
+      // bytes → one-pass typed extraction of BOTH sensor topics →
+      // per-drive 6h-grid synchronize with forward fill → zero-crossing
+      // scene boundaries → scene metadata. Every stage has its own
+      // green key (q_bag_typed_multi / q_synchronize /
+      // q_scene_pipeline); THIS key proves the composition a reference
+      // user actually runs, bag bytes to scene table. The people-count
+      // signal rides the even events ((event_id/2) % 3 — integer
+      // arithmetic both engines reproduce exactly), speed the odd
+      // (events.value), so the oracle re-derives the whole chain
+      // without touching the bags.
+      graft.plans.GraftExtensions.register(s)
+      val npDef = "uint32 user\nuint32 np\n"
+      val spdDef = "uint32 user\nfloat64 v\n"
+      val dir = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-bagscene").toString
+      val store = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-bagscene-store").toString
+      val ser = eventsUs(s, d).select(
+        pmod(col("user_id"), lit(32)).as("g"),
+        when(col("event_id") % 2 === 0, "np").otherwise("spd").as("t"),
+        struct(
+          when(col("event_id") % 2 === 0, "np").otherwise("spd").as("topic"),
+          col("ts_us").as("ts_us"),
+          when(col("event_id") % 2 === 0,
+            graft.sources.Containers.rosSerialize(
+              struct(col("user_id").cast("long").as("user"),
+                pmod((col("event_id") / 2).cast("long"), lit(3)).as("np")),
+              lit(npDef)))
+          .otherwise(
+            graft.sources.Containers.rosSerialize(
+              struct(col("user_id").cast("long").as("user"),
+                col("value").cast("double").as("v")),
+              lit(spdDef))).as("payload")).as("m"))
+      val bags = ser.groupBy(col("g"), col("t"))
+        .agg(graft.sources.Containers.bagPackTyped(
+          sort_array(collect_list(col("m"))),
+          when(pmod(col("g"), lit(3)) === 0, "none")
+            .when(pmod(col("g"), lit(3)) === 1, "bz2")
+            .otherwise("lz4"),
+          when(col("t") === "np", npDef).otherwise(spdDef),
+          messagesPerChunk = 512).as("bag"))
+        .select(concat(lit("g"), col("g"), lit("_"), col("t")).as("bag_file"),
+          col("bag"))
+      graft.sources.Containers.writeBags(bags, dir)
+      graft.sources.Containers.typedExtractTo(s, dir, store, Seq("np", "spd"))
+      val np = graft.sources.Containers.readTypedStore(s, store, "np")
+        .select(col("user").as("user_id"), col("ts_us").as("ts"),
+          lit("np").as("topic"), col("np").cast("double").as("value"))
+      val spd = graft.sources.Containers.readTypedStore(s, store, "spd")
+        .select(col("user").as("user_id"), col("ts_us").as("ts"),
+          lit("spd").as("topic"), col("v").as("value"))
+      val sync = Signals.synchronize(np.unionByName(spd),
+        groupCols = Seq("user_id"), timeCol = "ts", topicCol = "topic",
+        valueCol = "value", topics = Seq("np", "spd"), stepUs = SixHoursUs)
+      val b = Scenes.boundaries(sync, groupCols = Seq("user_id"),
+        timeCol = "ts", orderTiebreak = Nil, activity = col("np"))
+      Scenes.metadata(b, groupCols = Seq("user_id"), timeCol = "ts",
+        sceneName = "PersonInLane", topicsAnalyzed = Seq("np", "spd"))
+        .orderBy(col("user_id"), col("start_time"))
+    }),
     "q_bag_frames" -> ((s, d) => {
       // the reference's ACTUAL camera→scene flow, end to end from raw
       // bags (detect_scenes.py:93-117 consumes camera-topic detections;
@@ -3274,6 +3338,61 @@ object SparkEntry {
         |SELECT 'tag', epoch_us(ts), CAST(event_id AS DOUBLE), event_type
         |FROM events WHERE event_id % 2 = 1
         |ORDER BY topic, ts, num""".stripMargin,
+    "q_bag_scene_pipeline" ->
+      // the full reference chain replayed from events (the bag content
+      // is a pure function of the events table; the extraction
+      // roundtrip itself is pinned by q_bag_typed_multi): pivot + grid
+      // + ffill = synchronize_topics.py, zero-crossing + lead = detect_scenes.py
+      """WITH sig AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |    CASE WHEN event_id % 2 = 0 THEN 'np' ELSE 'spd' END AS topic,
+        |    CASE WHEN event_id % 2 = 0 THEN CAST((event_id // 2) % 3 AS DOUBLE)
+        |         ELSE value END AS value
+        |  FROM events),
+        |piv AS (SELECT user_id, t,
+        |    max(CASE WHEN topic = 'np' THEN value END) AS np,
+        |    max(CASE WHEN topic = 'spd' THEN value END) AS spd,
+        |    0 AS src
+        |  FROM sig GROUP BY user_id, t),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series((mn // 21600000000) * 21600000000, mx,
+        |                           21600000000)) AS t
+        |  FROM (SELECT user_id, min(t) AS mn, max(t) AS mx
+        |        FROM sig GROUP BY user_id) ex),
+        |gridn AS (SELECT user_id, t, CAST(NULL AS DOUBLE) AS np,
+        |    CAST(NULL AS DOUBLE) AS spd, 1 AS src FROM grid),
+        |u AS (SELECT * FROM piv UNION ALL SELECT * FROM gridn),
+        |filled AS (SELECT user_id, t, src,
+        |    last_value(np IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY t, src
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS np,
+        |    last_value(spd IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY t, src
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spd
+        |  FROM u),
+        |synced AS (SELECT user_id, t AS ts, np, spd FROM filled WHERE src = 1),
+        |st AS (
+        |  SELECT user_id, ts, n, scene_state FROM (
+        |    SELECT user_id, ts, n,
+        |      CASE WHEN n > 0 AND nlag = 0 THEN 'start'
+        |           WHEN n = 0 AND nlag > 0 THEN 'end' END AS scene_state
+        |    FROM (
+        |      SELECT user_id, ts, CAST(np AS BIGINT) AS n,
+        |        lag(CAST(np AS BIGINT))
+        |          OVER (PARTITION BY user_id ORDER BY ts) AS nlag
+        |      FROM synced) w
+        |    WHERE n IS NOT NULL AND nlag IS NOT NULL) x
+        |  WHERE scene_state IS NOT NULL)
+        |SELECT user_id, start_time, end_time, activity AS activity_at_start,
+        |  user_id || '_PersonInLane_' || start_time AS scene_id,
+        |  end_time - start_time AS scene_length,
+        |  'np,spd' AS topics_analyzed
+        |FROM (
+        |  SELECT user_id, ts AS start_time, n AS activity, scene_state,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS end_time
+        |  FROM st) m
+        |WHERE scene_state = 'start'
+        |ORDER BY user_id, start_time""".stripMargin,
     "q_bag_time_prune" ->
       """WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
         |           FROM events)

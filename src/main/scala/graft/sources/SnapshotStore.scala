@@ -282,11 +282,26 @@ object SnapshotStore {
   def state(spark: SparkSession, table: String,
             asOf: Option[Long] = None): Snapshot = {
     val fs = logDir(table).getFileSystem(conf(spark))
-    val (commits, checkpoints) = listLog(fs, table)
+    val (commits, _) = listLog(fs, table)
     require(commits.nonEmpty, s"snapshot table has no commits: $table")
     val target = asOf.getOrElse(commits.last)
     require(commits.contains(target),
       s"version $target does not exist in $table (have ${commits.mkString(",")})")
+    stateUpTo(spark, table, target)
+  }
+
+  /** [[state]] with a relaxed horizon: replay every commit `<= upTo`
+    * without demanding that `upTo` itself is a listed commit file — the
+    * seed for [[changes]], whose `sinceVersion` is a consumer-recorded
+    * high-water mark that can fall on a commit the log cleanup has
+    * since folded into a checkpoint. Replay semantics are unchanged
+    * (apply commits <= horizon); only the exact-match guard is waived.
+    */
+  private def stateUpTo(spark: SparkSession, table: String,
+                        target: Long): Snapshot = {
+    val fs = logDir(table).getFileSystem(conf(spark))
+    val (commits, checkpoints) = listLog(fs, table)
+    require(commits.nonEmpty, s"snapshot table has no commits: $table")
     val cp = checkpoints.filter(_ <= target).lastOption
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     var meta = Map.empty[String, String]
@@ -303,6 +318,7 @@ object SnapshotStore {
     val strict = strictFooter(spark)
     commits.filter(v => v > cp.getOrElse(0L) && v <= target)
       .foreach(v => apply(readCommitLines(fs, commitPath(table, v), strict)))
+    protocolCheck(table, meta)
     Snapshot(target, live.values.toSeq, meta)
   }
 
@@ -504,6 +520,69 @@ object SnapshotStore {
     meta.get("schema").map(s => org.apache.spark.sql.types.DataType.fromJson(s)
       .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  // ---------------------------------------------------- protocol versioning
+
+  /** Log protocol: Delta's minReaderVersion + readerFeatures shape
+    * (PROTOCOL.md "Table Features"). A commit that makes old readers
+    * return WRONG results (not merely miss an optimization) stamps the
+    * feature into latest-wins meta in the SAME commit; every replay
+    * ([[stateUpTo]] — the funnel under [[state]], so every read path:
+    * programmatic, DSv2, catalog SQL, streaming, CDF seed) refuses a
+    * table demanding a feature this build does not implement BEFORE any
+    * planning. This replaces code-path-dependent guards (the dv guard
+    * used to fire only at scan execution via RewriteDvReads absence)
+    * with a durable, forward-compatible gate: a feature shipped next
+    * year fails THIS build loudly at `state()`, automatically.
+    *
+    * Feature-less tables are protocol version 1 (implicit) and replay
+    * everywhere, unchanged. Time travel to a version BEFORE a feature
+    * landed replays only meta `<= asOf`, so old snapshots of an
+    * upgraded table stay readable by old readers — same as Delta.
+    */
+  private[graft] val SupportedReaderVersion = 2
+
+  /** Reader features THIS build implements. `deletionVectors`: visible
+    * rows = physical rows minus log-pointed position sets (a dv-blind
+    * reader would resurrect deleted rows). `columnMapping`: files carry
+    * physical names, the recorded schema maps them to logical names (a
+    * mapping-blind reader would null-fill every renamed column). */
+  private[graft] val SupportedReaderFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping")
+
+  private[graft] val MinReaderKey = "graft.minReaderVersion"
+  private[graft] val ReaderFeaturesKey = "graft.readerFeatures"
+
+  private def featuresOf(meta: Map[String, String]): Set[String] =
+    meta.get(ReaderFeaturesKey).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+
+  /** The meta entries a feature-introducing commit must carry: the
+    * UNION of already-recorded features plus `feature` (latest-wins
+    * meta replaces, so each stamp re-asserts the full set), and the
+    * version floor. Idempotent — re-stamping an existing feature
+    * rewrites the same value. */
+  private[graft] def featureMeta(current: Map[String, String],
+                                 feature: String): Map[String, String] =
+    Map(ReaderFeaturesKey ->
+      (featuresOf(current) + feature).toSeq.sorted.mkString(","),
+      MinReaderKey -> SupportedReaderVersion.toString)
+
+  /** Refuse-before-planning: called on every log replay. */
+  private def protocolCheck(table: String, meta: Map[String, String]): Unit = {
+    meta.get(MinReaderKey).foreach { v =>
+      val need = scala.util.Try(v.toInt).getOrElse(Int.MaxValue)
+      require(need <= SupportedReaderVersion,
+        s"$table requires log protocol reader version $need; this build " +
+          s"supports <= $SupportedReaderVersion — upgrade the library to " +
+          "read this table")
+    }
+    val unknown = featuresOf(meta) -- SupportedReaderFeatures
+    require(unknown.isEmpty,
+      s"$table requires reader features ${unknown.toSeq.sorted.mkString(", ")} " +
+        "that this build does not implement — reading would return wrong " +
+        "results; upgrade the library")
+  }
+
   // ------------------------------------------------------- column mapping
 
   /** Field-metadata key holding a column's PHYSICAL (on-disk parquet)
@@ -584,7 +663,8 @@ object SnapshotStore {
         .select(col("*"),
           element_at(split(col("_metadata.file_path"), "/"), -1).as("__file"),
           col("_metadata.row_index").as("__pos")))
-      .join(broadcast(dvPositions(spark, dvd)), Seq("__file", "__pos"), "left_anti")
+      .join(hintPositions(dvPositions(spark, dvd), dvd.map(_.dv.get._2).sum),
+        Seq("__file", "__pos"), "left_anti")
       .drop("__file", "__pos")
     if (plain.isEmpty) filtered
     else mark(readFilesAs(spark, table, schema, plain.map(_.path), asOf))
@@ -958,8 +1038,12 @@ object SnapshotStore {
           a.copy(dv = Some((dvPath, total)))
         }
       }
+    // a dv-blind reader would resurrect the masked rows — stamp the
+    // reader feature in the SAME commit that introduces the pointers
     commit(spark, table, repointed ++ extraAdds, removes = Nil,
-      meta = Map("op" -> op),
+      meta = Map("op" -> op) ++
+        (if (repointed.nonEmpty) featureMeta(snap.meta, "deletionVectors")
+         else Map.empty),
       mustBeLive = touched.map(_.path),
       expectDv = touched.map(a => a.path -> a.dv).toMap)
   }
@@ -1098,8 +1182,20 @@ object SnapshotStore {
                       strBox: Map[String, (String, String)] = Map.empty)
       : (Seq[String], Int) = {
     val snap = state(spark, table, asOf)
-    val kept = snap.live.collect {
-      case a if box.forall { case (c, (lo, hi)) =>
+    (pruneLive(snap, box, strBox).map(_.path).sorted, snap.live.size)
+  }
+
+  /** The box-pruning core over an already-resolved [[Snapshot]] —
+    * shared by [[prunedLiveFiles]] and [[readBox]] so the file list and
+    * the files actually read come from ONE log replay (a concurrent
+    * compact landing between two replays would otherwise drop the kept
+    * files from the second replay's live set and silently truncate the
+    * result).
+    */
+  private def pruneLive(snap: Snapshot, box: Map[String, (Long, Long)],
+                        strBox: Map[String, (String, String)]): Seq[AddFile] = {
+    snap.live.filter {
+      a => box.forall { case (c, (lo, hi)) =>
         a.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
       } && strBox.forall { case (c, (lo, hi)) =>
         // intersect in UTF-8 BYTE order (ZOrderStore.utf8Cmp) — the
@@ -1117,9 +1213,8 @@ object SnapshotStore {
         // rowCount the same way. Physical row count is right even under
         // a deletion vector (nulls are physical counts too).
         !a.nulls.get(c).contains(a.rows)
-      } => a.path
+      }
     }
-    (kept.sorted, snap.live.size)
   }
 
   /** [[ZOrderStore.readBox]] against the log's stats: scan only the
@@ -1129,12 +1224,15 @@ object SnapshotStore {
               box: Map[String, (Long, Long)],
               asOf: Option[Long] = None,
               strBox: Map[String, (String, String)] = Map.empty): DataFrame = {
-    val (kept, _) = prunedLiveFiles(spark, table, box, asOf, strBox)
+    // ONE log replay: the pruned file list and the files read both come
+    // from this snapshot — replaying twice would race a concurrent
+    // compact (kept paths from replay 1 missing from replay 2's live
+    // set → silently partial result).
     val snap = state(spark, table, asOf)
-    val keptSet = kept.toSet
+    val kept = pruneLive(snap, box, strBox)
     val base =
-      if (kept.isEmpty) snapshot(spark, table, asOf).limit(0)
-      else readLive(spark, snap.meta, snap.live.filter(a => keptSet.contains(a.path)))
+      if (kept.isEmpty) readLive(spark, snap.meta, snap.live).limit(0)
+      else readLive(spark, snap.meta, kept)
     val longFiltered = box.foldLeft(base) { case (df, (c, (lo, hi))) =>
       df.filter(col(c) >= lo && col(c) <= hi)
     }
@@ -1393,8 +1491,15 @@ object SnapshotStore {
       stats = a.stats.map { case (k, v) => rekey(k) -> v },
       strStats = a.strStats.map { case (k, v) => rekey(k) -> v },
       nulls = a.nulls.map { case (k, v) => rekey(k) -> v }))
+    // a mapping-blind reader would null-fill the renamed column (files
+    // keep physical names) — stamp the reader feature with the rename.
+    // A rename that DISSOLVES the last mapping doesn't need it, but
+    // features are monotone (Delta's too): un-stamping would require
+    // proving no older live file still depends on it.
     commit(spark, table, adds = rekeyed, removes = snap.live.map(_.path),
-      meta = Map("op" -> "alter_schema", "schema" -> recorded.json),
+      meta = Map("op" -> "alter_schema", "schema" -> recorded.json) ++
+        (if (hasMapping(recorded)) featureMeta(snap.meta, "columnMapping")
+         else Map.empty),
       mustBeLive = snap.live.map(_.path))
   }
 
@@ -1763,9 +1868,15 @@ object SnapshotStore {
     // rows deleted, shrunk (a restore rolling a delete back) = those
     // rows resurrected as inserts. The pointer map walks the commits in
     // order, seeded from the state at `sinceVersion`.
+    // Seed for ANY sinceVersion > 0, listed or not — replay applies
+    // commits <= v, so an exact-match guard is unnecessary, and an
+    // EMPTY seed for an in-between sinceVersion would misclassify a
+    // later pointer move on an already-dv'd file as a fresh-file
+    // insert (emitting its whole visible contents instead of the
+    // position delta).
     var dvPtr: Map[String, Option[(String, Long)]] =
-      if (sinceVersion <= 0L || !commits.contains(sinceVersion)) Map.empty
-      else state(spark, table, Some(sinceVersion)).live
+      if (sinceVersion <= 0L) Map.empty
+      else stateUpTo(spark, table, sinceVersion).live
         .map(a => nameOf(a.path) -> a.dv).toMap
     // (path, changeType, version, dvAtEvent) for whole-file events;
     // (path, version, newDv, oldDv, op) for pointer moves

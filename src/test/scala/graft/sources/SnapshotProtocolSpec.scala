@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Commit-log protocol versioning (Delta's minReaderVersion +
+  * readerFeatures): a commit whose effects would make a feature-blind
+  * reader return WRONG rows (deletion vectors, column mapping) stamps
+  * the reader feature into latest-wins meta in the SAME commit, and
+  * every log replay ([[SnapshotStore.state]] — the funnel under every
+  * read path) refuses a table demanding an unimplemented feature
+  * BEFORE planning anything. Replaces the code-path-dependent guard
+  * (dv used to refuse only at scan execution when RewriteDvReads was
+  * absent) with a durable gate that also covers every FUTURE feature.
+  */
+class SnapshotProtocolSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(tag: String): String =
+    "file:" + java.nio.file.Files
+      .createTempDirectory(s"graft-proto-$tag").toString + "/t"
+
+  private def seed(t: String): Unit =
+    SnapshotStore.append((1L to 20L).map(i => (i, i * 10L, s"u${i % 4}"))
+      .toDF("id", "score", "user").coalesce(1), t, statsCols = Seq("id"))
+
+  test("feature-less tables carry no protocol meta and replay unchanged") {
+    val t = freshTable("plain")
+    seed(t)
+    val meta = SnapshotStore.state(spark, t).meta
+    assert(!meta.contains(SnapshotStore.MinReaderKey))
+    assert(!meta.contains(SnapshotStore.ReaderFeaturesKey))
+    assert(SnapshotStore.snapshot(spark, t).count() === 20L)
+  }
+
+  test("merge-on-read delete stamps deletionVectors in the same commit") {
+    val t = freshTable("dv")
+    seed(t)
+    SnapshotStore.setDvEnabled(spark, t, enabled = true)
+    val v0 = SnapshotStore.latestVersion(spark, t)
+    SnapshotStore.delete(spark, t, col("id") <= 5L)
+    val meta = SnapshotStore.state(spark, t).meta
+    assert(meta(SnapshotStore.ReaderFeaturesKey) === "deletionVectors")
+    assert(meta(SnapshotStore.MinReaderKey) ===
+      SnapshotStore.SupportedReaderVersion.toString)
+    // the stamp rides THE dv commit, not a separate one
+    assert(SnapshotStore.latestVersion(spark, t) === v0 + 1)
+    // this build implements the feature: reads stay green
+    assert(SnapshotStore.snapshot(spark, t).count() === 15L)
+    // features are monotone: a later plain append must not erase them
+    SnapshotStore.append(Seq((21L, 210L, "u1")).toDF("id", "score", "user"), t)
+    assert(SnapshotStore.state(spark, t).meta(SnapshotStore.ReaderFeaturesKey)
+      === "deletionVectors")
+  }
+
+  test("rename stamps columnMapping; stamps UNION with existing features") {
+    val t = freshTable("map")
+    seed(t)
+    SnapshotStore.setDvEnabled(spark, t, enabled = true)
+    SnapshotStore.delete(spark, t, col("id") <= 5L)
+    SnapshotStore.renameColumn(spark, t, "score", "points")
+    val meta = SnapshotStore.state(spark, t).meta
+    assert(meta(SnapshotStore.ReaderFeaturesKey) ===
+      "columnMapping,deletionVectors", "sorted union, latest-wins safe")
+    assert(SnapshotStore.snapshot(spark, t).columns.contains("points"))
+  }
+
+  test("unknown reader feature refuses at state(), not at scan") {
+    val t = freshTable("future")
+    seed(t)
+    val v = SnapshotStore.latestVersion(spark, t)
+    // forge what a future writer would publish: a feature this build
+    // has never heard of, alongside one it has
+    SnapshotStore.commit(spark, t, adds = Nil, removes = Nil,
+      meta = Map("op" -> "future_op",
+        SnapshotStore.ReaderFeaturesKey -> "deletionVectors,vectorIndexMirror"),
+      mustBeLive = Nil)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.state(spark, t)
+    }
+    assert(e.getMessage.contains("vectorIndexMirror"))
+    assert(!e.getMessage.contains("deletionVectors,"),
+      "only the UNIMPLEMENTED features belong in the refusal")
+    // every read path shares the replay funnel
+    intercept[IllegalArgumentException] { SnapshotStore.snapshot(spark, t) }
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    val sqlErr = intercept[Throwable] {
+      spark.sql(s"SELECT count(*) FROM graft.`$t`").collect()
+    }
+    assert(sqlErr.getMessage.contains("vectorIndexMirror") ||
+      Option(sqlErr.getCause).exists(_.getMessage.contains("vectorIndexMirror")))
+    // time travel BEFORE the feature commit replays only meta <= asOf:
+    // old snapshots of an upgraded table stay readable
+    assert(SnapshotStore.snapshot(spark, t, Some(v)).count() === 20L)
+  }
+
+  test("future minReaderVersion refuses loudly") {
+    val t = freshTable("ver")
+    seed(t)
+    SnapshotStore.commit(spark, t, adds = Nil, removes = Nil,
+      meta = Map("op" -> "future_op", SnapshotStore.MinReaderKey -> "99"),
+      mustBeLive = Nil)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.state(spark, t)
+    }
+    assert(e.getMessage.contains("99") &&
+      e.getMessage.contains(SnapshotStore.SupportedReaderVersion.toString))
+  }
+}

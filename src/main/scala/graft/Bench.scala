@@ -328,6 +328,15 @@ object Bench {
       s"""{"bags":64,"direct":$direct,"manifest":$viaManifest}"""
     }
     val manifestOp = manifestRawSafe()
+    // ---- operator-level DV: merge-on-read read-side cost at adversarial
+    // delete cardinality (30% of rows masked across EVERY file in one
+    // commit — past the 1M-row broadcast cap, so the anti-join shuffles;
+    // the worst shape the read path supports). `ratio` = dv-scan /
+    // purged-scan: the overhead the bitmap-encoding decision rests on.
+    val dvOp =
+      try tools.DvProbe.measure(spark, sfDir, rep = 8, files = 64, pct = 30)
+      catch { case _: Throwable =>
+        """{"rows":-1,"deleted":-1,"files":-1,"scan_dv":-1,"scan_purged":-1,"ratio":-1}""" }
     // ---- streaming throughput: rows/sec through stateful pipelines ----
     // MemoryStream-fed micro-batches (4 × 50k rows) through three state
     // shapes: watermarked windowed agg (builtin state), as-of
@@ -544,7 +553,7 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
     val scaleStepFull = scaleStep.map(s => s""","scale_step":$s""").getOrElse("")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"queries":$qsFull,"stddev_sec":$stddevJson,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"smb_operator_level":$smbOp,"skew_operator_level":$skewOp,"manifest_operator_level":$manifestOp,"streaming":$streamingOp$scalingFull$scaleStepFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed passes (pass 2 re-times EVERY query so each has >= 2 samples; passes 3+ re-time only queries whose first sample was under ${retimeCeiling}s), per-query LOWER median of successful samples (ambient-load noise is one-sided additive), sample stddev in stddev_sec; shared_build carries the shared dedup pair+cluster table build so its consumers are build-free; scaling points are the lower median of 3 rounds; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"queries":$qsFull,"stddev_sec":$stddevJson,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"smb_operator_level":$smbOp,"skew_operator_level":$skewOp,"manifest_operator_level":$manifestOp,"dv_operator_level":$dvOp,"streaming":$streamingOp$scalingFull$scaleStepFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed passes (pass 2 re-times EVERY query so each has >= 2 samples; passes 3+ re-time only queries whose first sample was under ${retimeCeiling}s), per-query LOWER median of successful samples (ambient-load noise is one-sided additive), sample stddev in stddev_sec; shared_build carries the shared dedup pair+cluster table build so its consumers are build-free; scaling points are the lower median of 3 rounds; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
     val fw = new java.io.OutputStreamWriter(
       new java.io.FileOutputStream("BENCH_full.json"),
       java.nio.charset.StandardCharsets.UTF_8)

@@ -653,19 +653,21 @@ object SnapshotStore {
                                    asOf: Option[Long] = None,
                                    mark: DataFrame => DataFrame = identity): DataFrame = {
     // `mark` is applied to the DATA-side reads only (the streaming
-    // source flags them as streaming relations); the dv-position side
-    // stays a STATIC read, so the anti-join plans as a supported
-    // stream-static LeftAnti instead of a (refused) stream-stream one
+    // source flags them as streaming relations). The bitmap mask is a
+    // map-side filter — trivially stream-safe; the over-cap fallback's
+    // dv-position side stays a STATIC read, so that anti-join plans as
+    // a supported stream-static LeftAnti instead of a (refused)
+    // stream-stream one.
     val (dvd, plain) = files.partition(_.dv.isDefined)
     if (dvd.isEmpty)
       return mark(readFilesAs(spark, table, schema, plain.map(_.path), asOf))
-    val filtered = mark(readFilesAs(spark, table, schema, dvd.map(_.path), asOf)
+    def taggedAs(paths: Seq[String]): DataFrame =
+      mark(readFilesAs(spark, table, schema, paths, asOf)
         .select(col("*"),
           element_at(split(col("_metadata.file_path"), "/"), -1).as("__file"),
-          col("_metadata.row_index").as("__pos")))
-      .join(hintPositions(dvPositions(spark, dvd), dvd.map(_.dv.get._2).sum),
-        Seq("__file", "__pos"), "left_anti")
-      .drop("__file", "__pos")
+          col("_metadata.row_index").as("__pos"),
+          col("_metadata.file_path").as("__path")))
+    val filtered = maskDv(spark, dvd, taggedAs).drop("__file", "__pos", "__path")
     if (plain.isEmpty) filtered
     else mark(readFilesAs(spark, table, schema, plain.map(_.path), asOf))
       .unionByName(filtered)
@@ -914,14 +916,19 @@ object SnapshotStore {
     * readFilesAsDv, the change feed) shares it, so the identity
     * derivation can never diverge between read paths. */
   private def tagRows(df: DataFrame): DataFrame = {
-    val clash = df.columns.filter(c => c == "__file" || c == "__pos")
+    val clash = df.columns.filter(c => c == "__file" || c == "__pos" || c == "__path")
     require(clash.isEmpty,
       s"table columns ${clash.mkString(", ")} collide with the row-identity " +
         "working columns of deletion-vector reads and row-level DML — " +
         "rename them (ALTER TABLE ... RENAME COLUMN)")
+    // __path (the raw metadata path, no per-row work) feeds the dv
+    // bitmap mask; __file (name = a per-row SPLIT) feeds DML identity.
+    // Untagged reads drop __file unused, so Catalyst prunes the split
+    // out of the masked scan entirely.
     df.select(col("*"),
       element_at(split(col("_metadata.file_path"), "/"), -1).as("__file"),
-      col("_metadata.row_index").as("__pos"))
+      col("_metadata.row_index").as("__pos"),
+      col("_metadata.file_path").as("__path"))
   }
 
   /** Broadcast-hint a deleted-position frame only while the LOG-known
@@ -932,19 +939,126 @@ object SnapshotStore {
   private def hintPositions(df: DataFrame, knownRows: Long): DataFrame =
     if (knownRows <= 1000000L) broadcast(df) else df
 
+  /** Serialized-bitmap budget for [[dvBitmapBroadcast]]: past it the dv
+    * read falls back to the positional anti-join instead of risking the
+    * driver on a pathological delete set. Roaring compresses run-shaped
+    * deletes to ~bytes and random ones to ≤2 bytes/position, so 256 MiB
+    * covers ~10⁸+ random deleted positions — far beyond where
+    * [[maintain]]'s purgeDvAbove should have rewritten the files clean.
+    * Session-overridable (tests pin the fallback path with a tiny cap).
+    */
+  private val DvBitmapMaxBytes = 256L << 20
+
+  // dv datasets are IMMUTABLE (pointers move, content never mutates), so
+  // their read-side bitmaps cache for the session: first read of a dv
+  // version pays one O(deleted-rows) build job, every later read (and
+  // every retry/pass) reuses the broadcast. Bounded LRU — entries from
+  // stopped sessions age out; None records an over-cap dataset so the
+  // fallback doesn't rebuild per read.
+  private val dvBitmapCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String,
+        Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]]]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]]]])
+          : Boolean = size > 8
+    })
+
+  /** Per-file Roaring64 position bitmaps of dv dataset `dir`, built
+    * DISTRIBUTEDLY (one hash exchange of the O(deleted) position rows,
+    * bitmaps assembled and serialized inside partitions — only
+    * compressed bytes reach the driver) and broadcast once. None when
+    * the serialized total exceeds the cap. This is Delta's DV encoding
+    * applied at READ time: the durable format stays plain (file, pos)
+    * parquet — vacuum, CDF, and time travel keep their transparent
+    * row-level view — while scans get the compressed form.
+    */
+  private[graft] def dvBitmapBroadcast(spark: SparkSession, dir: String)
+      : Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]]] = {
+    val key = spark.sparkContext.applicationId + "\u0000" + dir
+    val hit = dvBitmapCache.get(key)
+    if (hit != null) return hit
+    val maxBytes = spark.conf.getOption("graft.dv.bitmapMaxBytes")
+      .map(_.toLong).getOrElse(DvBitmapMaxBytes)
+    val built: Array[(String, Array[Byte])] = spark.read.parquet(dir)
+      .select(col("__file"), col("__pos"))
+      .repartition(col("__file")) // each file's positions in ONE partition
+      .rdd.mapPartitions { it =>
+        val m = new java.util.HashMap[String, org.roaringbitmap.longlong.Roaring64Bitmap]()
+        it.foreach { r =>
+          var b = m.get(r.getString(0))
+          if (b == null) {
+            b = new org.roaringbitmap.longlong.Roaring64Bitmap()
+            m.put(r.getString(0), b)
+          }
+          b.addLong(r.getLong(1))
+        }
+        import scala.jdk.CollectionConverters._
+        m.asScala.iterator.map { case (f, b) =>
+          b.runOptimize()
+          val out = new java.io.ByteArrayOutputStream()
+          b.serialize(new java.io.DataOutputStream(out))
+          (f, out.toByteArray)
+        }
+      }.collect()
+    val result =
+      if (built.iterator.map(_._2.length.toLong).sum > maxBytes) None
+      else Some(spark.sparkContext.broadcast(built.toMap))
+    dvBitmapCache.put(key, result)
+    result
+  }
+
+  /** The dv'd half of a tagged read — shared by [[readFilesTagged]] and
+    * [[readFilesAsDv]] (each supplies its own tagging/stream-marking
+    * scan builder). Per dv dataset: a MAP-SIDE bitmap mask
+    * ([[graft.plans.DvMasked]] over the dataset's broadcast — zero
+    * exchange, the scan stays a scan), falling back to the positional
+    * anti-join when the dataset's bitmaps exceed the broadcast cap.
+    * Grouping by dataset keeps each broadcast scoped to the files that
+    * point at it; pointer semantics guarantee the dataset carries every
+    * pointed file's positions (REQUIRE-checked — an absent name would
+    * silently resurrect rows).
+    */
+  private def maskDv(spark: SparkSession, dvd: Seq[AddFile],
+                     tagged: Seq[String] => DataFrame): DataFrame = {
+    dvd.groupBy(_.dv.get._1).toSeq.sortBy(_._1).map { case (dir, fs) =>
+      dvBitmapBroadcast(spark, dir) match {
+        case Some(bc) =>
+          val missing = fs.map(a => nameOf(a.path)).filterNot(bc.value.contains)
+          require(missing.isEmpty, s"dv dataset $dir lacks positions for " +
+            s"pointed files: ${missing.take(3).mkString(", ")}")
+          // keyed on the RAW __path, not the derived __file: the name
+          // split costs a regex + array per row, while the mask
+          // extracts the name once per file change — and an untagged
+          // read that drops __file lets Catalyst prune the split out of
+          // the scan entirely
+          tagged(fs.map(_.path)).filter(
+            !org.apache.spark.sql.graftbridge.GraftShim.column(
+              graft.plans.DvMasked(
+                org.apache.spark.sql.graftbridge.GraftShim.expression(col("__path")),
+                org.apache.spark.sql.graftbridge.GraftShim.expression(col("__pos")),
+                bc)))
+        case None =>
+          tagged(fs.map(_.path)).join(
+            hintPositions(dvPositions(spark, fs), fs.map(_.dv.get._2).sum),
+            Seq("__file", "__pos"), "left_anti")
+      }
+    }.reduce(_ unionByName _)
+  }
+
   private[graft] def readFilesTagged(spark: SparkSession,
                                      meta: Map[String, String],
                                      files: Seq[AddFile]): DataFrame = {
     def tagged(paths: Seq[String]): DataFrame =
       tagRows(readWithSchema(spark, meta, paths))
     val (dvd, plain) = files.partition(_.dv.isDefined)
-    if (dvd.isEmpty) return tagged(files.map(_.path))
-    val deleted = hintPositions(dvPositions(spark, dvd),
-      dvd.map(_.dv.get._2).sum)
-    val filtered = tagged(dvd.map(_.path))
-      .join(deleted, Seq("__file", "__pos"), "left_anti")
-    if (plain.isEmpty) filtered
-    else tagged(plain.map(_.path)).unionByName(filtered)
+    if (dvd.isEmpty) return tagged(files.map(_.path)).drop("__path")
+    val filtered = maskDv(spark, dvd, tagged)
+    val all =
+      if (plain.isEmpty) filtered
+      else tagged(plain.map(_.path)).unionByName(filtered)
+    all.drop("__path")
   }
 
   /** DV-aware untagged read: the table's visible rows for `files`. The

@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.sources.{SnapshotStore, Tables}
+
+/** Deletion-vector read-path cost at ADVERSARIAL delete cardinality —
+  * the measurement the bitmap-encoding decision rests on (Delta
+  * serializes RoaringBitmaps; graft's dv datasets are plain (file, pos)
+  * parquet rows, simpler and vacuum/CDF-transparent, but the read-side
+  * anti-join carries O(deleted rows) where a bitmap carries
+  * O(compressed runs)).
+  *
+  * Builds a snapshot table of `rep` × events rows across `files` files,
+  * merge-on-read-deletes `pct`% of rows in ONE commit (positions spread
+  * over EVERY file — the worst case: no file drops entirely, every scan
+  * task pays the anti-join), then times the same aggregate scan
+  *   A. through the dv anti-join (`scan_dv`),
+  *   B. after `purgeDv` rewrote the files clean (`scan_purged`),
+  * fresh-execution median of 5, the Bench operator-level methodology.
+  * `ratio` = A/B: the pure read-side overhead of carrying the delete as
+  * positions instead of rewritten files.
+  *
+  * Usage: runMain graft.tools.DvProbe [sfDir] [rep] [files] [pct]
+  */
+object DvProbe {
+  def measure(spark: SparkSession, sfDir: String, rep: Int, files: Int,
+              pct: Int): String = {
+    val t = "file:" + java.nio.file.Files
+      .createTempDirectory("graft-dvprobe").toString + "/t"
+    val base = Tables.eventsUs(spark, sfDir)
+      .crossJoin(spark.range(rep.toLong).select(col("id").as("rep")))
+      .select((col("event_id") * rep + col("rep")).as("id"),
+        col("user_id"), col("ts_us"), col("event_type"), col("value"))
+    SnapshotStore.append(base.repartition(files), t, statsCols = Seq("id"))
+    SnapshotStore.setDvEnabled(spark, t, enabled = true)
+    val rows = SnapshotStore.state(spark, t).live.map(_.rows).sum
+    // id is uniform mod 100 and hash-distributed across files: the dv
+    // masks pct% of EVERY file
+    SnapshotStore.delete(spark, t, pmod(col("id"), lit(100)) < pct)
+    val deleted = SnapshotStore.state(spark, t).live.flatMap(_.dv.map(_._2)).sum
+    def scan(): DataFrame = SnapshotStore.snapshot(spark, t)
+      .groupBy(col("event_type"))
+      .agg(sum(col("value")).as("sv"), count(lit(1)).as("n"))
+    def median5(build: () => DataFrame): Double = {
+      build().queryExecution.toRdd.count() // warm
+      val runs = (1 to 5).map { _ =>
+        val df = build()
+        val t0 = System.nanoTime()
+        df.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      runs(runs.size / 2)
+    }
+    val scanDv = median5(scan)
+    SnapshotStore.purgeDv(spark, t)
+    val scanPurged = median5(scan)
+    val ratio = if (scanPurged > 0) scanDv / scanPurged else -1.0
+    f"""{"rows":$rows,"deleted":$deleted,"files":$files,"scan_dv":$scanDv%.3f,"scan_purged":$scanPurged%.3f,"ratio":$ratio%.2f}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val rep = args.lift(1).map(_.toInt).getOrElse(8)
+    val files = args.lift(2).map(_.toInt).getOrElse(64)
+    val pct = args.lift(3).map(_.toInt).getOrElse(30)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus, "graft-dvprobe")
+    spark.sparkContext.setLogLevel("WARN")
+    println("[dvprobe] " + measure(spark, sfDir, rep, files, pct))
+    spark.stop()
+  }
+}

@@ -2245,17 +2245,21 @@ object SparkEntry {
       Similarity.sqTopK(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
         queryId = 0L, k = 10, candidates = 40)),
     "q_ann_sq_indexed" -> ((s, d) => {
-      // the PERSISTED form: encode the int8 code table once to disk
-      // (array<byte> — the 4× smaller artifact), reread it, and probe —
-      // the candidate scan touches ONLY the code table; the embeddings
-      // join back for the finalists alone. Answers identically to
-      // q_ann_sq (same oracle).
-      val idx = java.nio.file.Files
+      // the PERSISTED, COMMIT-MAINTAINED form: embeddings land in a
+      // snapshot table, the int8 code table builds as its SIDECAR
+      // (VectorIndex.sqRefresh — index meta records the exact source
+      // version it encodes, so later DML can never stale it silently),
+      // and the probe's candidate scan touches ONLY the 4×-smaller code
+      // table; the embeddings join back for the finalists alone.
+      // Answers identically to q_ann_sq (same oracle); index-vs-DML
+      // semantics are pinned by VectorIndexSpec.
+      val dir = java.nio.file.Files
         .createTempDirectory("graft-sqidx").toString
-      val emb = spread(Tables.embeddings(s, d))
-      Similarity.sqEncode(emb, "vec_id", "embedding", Some(idx))
-      val codes = s.read.parquet(s"$idx/sq_codes")
-      Similarity.sqProbe(codes, emb, "vec_id", "embedding",
+      val (tbl, idx) = (s"file:$dir/emb", s"file:$dir/sq")
+      graft.sources.SnapshotStore.append(spread(Tables.embeddings(s, d)),
+        tbl, statsCols = Seq("vec_id"))
+      VectorIndex.sqRefresh(s, tbl, "vec_id", "embedding", idx)
+      VectorIndex.sqProbeIndexed(s, tbl, "vec_id", "embedding", idx,
         queryId = 0L, k = 10, candidates = 40)
     }),
     "q_kmeans" -> ((s, d) =>

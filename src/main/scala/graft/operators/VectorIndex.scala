@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotStore
+
+/** COMMIT-MAINTAINED vector-index sidecars: the scalar-quantization
+  * code table ([[Similarity.sqEncode]]) as a [[SnapshotStore]] table
+  * whose meta records exactly which SOURCE version it encodes — so a
+  * DML on the embeddings table can never silently stale the index
+  * (the r14 gap: the standalone code table answered pre-DML neighbors
+  * forever). Probes check the stamp against the live source version
+  * and either refresh or refuse loudly; refresh rides the source's own
+  * change feed:
+  *
+  *  - source unchanged → probe straight off the codes (zero write);
+  *  - pure APPENDS since the stamp (the dominant ingest shape) →
+  *    encode only the [[SnapshotStore.changes]] insert rows and append
+  *    them — O(delta), one commit, stamp updated atomically in it;
+  *  - any delete/update/overwrite (including merge-on-read deletes:
+  *    the change feed emits their position deltas as row deletes) →
+  *    full re-encode in ONE overwrite commit. Re-encoding is a single
+  *    map-side pass over the corpus (no join, embarrassingly
+  *    parallel); a surgical id-set anti-delete would pay a comparable
+  *    shuffle AND leave the index fragmented, so the rebuild is the
+  *    honest scale shape for the rare-DML case.
+  *
+  * The stamp travels INSIDE the data commit (append/overwrite `meta`),
+  * so a crash can never persist codes without their version — the
+  * index is either consistent or behind, never wrong.
+  */
+object VectorIndex {
+  val SourceKey = "index.source"
+  val SourceVersionKey = "index.sourceVersion"
+
+  /** Build or refresh the SQ code sidecar of snapshot table `table`.
+    * Returns the index version that encodes the CURRENT source version
+    * (no-op when already fresh).
+    */
+  def sqRefresh(spark: SparkSession, table: String, idCol: String,
+                vecCol: String, index: String): Long = {
+    val srcV = SnapshotStore.latestVersion(spark, table)
+    val recorded: Option[Long] =
+      if (SnapshotStore.latestVersion(spark, index) == 0L) None
+      else SnapshotStore.state(spark, index).meta.get(SourceVersionKey).map(_.toLong)
+    if (recorded.contains(srcV)) return SnapshotStore.latestVersion(spark, index)
+    val stamp = Map(SourceKey -> table, SourceVersionKey -> srcV.toString)
+    def codes(df: DataFrame): DataFrame =
+      Similarity.sqEncode(df.select(col(idCol), col(vecCol)), idCol, vecCol)
+    def rebuild(): Long = SnapshotStore.overwrite(
+      codes(SnapshotStore.snapshot(spark, table, Some(srcV))), index,
+      statsCols = Seq("vec_id"), meta = stamp)
+    recorded match {
+      case None => rebuild()
+      case Some(v) =>
+        val delta =
+          try SnapshotStore.changes(spark, table, v, asOf = Some(srcV))
+          catch { case scala.util.control.NonFatal(_) =>
+            return rebuild() } // vacuumed history: the feed is gone
+        val types = delta.select(col("_change_type")).distinct()
+          .collect().map(_.getString(0)).toSet
+        if (types.subsetOf(Set("insert")))
+          SnapshotStore.append(
+            codes(delta.filter(col("_change_type") === "insert")), index,
+            statsCols = Seq("vec_id"), meta = stamp)
+        else rebuild()
+    }
+  }
+
+  /** Probe the SQ sidecar: identical ranks/rounding to
+    * [[Similarity.sqTopK]] over the source's CURRENT rows. A stale
+    * index refreshes first (`autoRefresh`, default) or refuses loudly —
+    * it never answers from pre-DML codes.
+    */
+  def sqProbeIndexed(spark: SparkSession, table: String, idCol: String,
+                     vecCol: String, index: String, queryId: Long, k: Int,
+                     candidates: Int, autoRefresh: Boolean = true): DataFrame = {
+    val srcV = SnapshotStore.latestVersion(spark, table)
+    val fresh = SnapshotStore.latestVersion(spark, index) > 0L &&
+      SnapshotStore.state(spark, index).meta.get(SourceVersionKey)
+        .map(_.toLong).contains(srcV)
+    if (!fresh) {
+      if (!autoRefresh) throw new IllegalStateException(
+        s"SQ index $index is stale for $table@$srcV — a DML or append " +
+          "landed after the last encode; run VectorIndex.sqRefresh (or " +
+          "probe with autoRefresh = true)")
+      sqRefresh(spark, table, idCol, vecCol, index)
+    }
+    Similarity.sqProbe(SnapshotStore.snapshot(spark, index),
+      SnapshotStore.snapshot(spark, table), idCol, vecCol,
+      queryId, k, candidates)
+  }
+}

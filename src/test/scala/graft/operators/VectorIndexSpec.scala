@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.SnapshotStore
+import org.apache.spark.sql.functions._
+
+/** The commit-maintained SQ sidecar: index meta stamps the exact source
+  * version it encodes; probes refresh-or-refuse on staleness, pure
+  * appends refresh O(delta) through the change feed, DML triggers a
+  * one-commit re-encode — the index is consistent or behind, never
+  * silently wrong (the r14 gap this closes).
+  */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(tag: String): (String, String) = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-vidx-$tag").toString
+    (s"file:$d/emb", s"file:$d/sq")
+  }
+
+  /** n deterministic float vectors; id 0 is the query. */
+  private def vecs(ids: Seq[Long]) = ids.map { i =>
+    (i, Array.tabulate(8)(j => (math.sin(i * 17 + j).toFloat)))
+  }.toDF("vec_id", "embedding")
+
+  test("probe == sqTopK on the same rows; fresh probes never rewrite") {
+    val (tbl, idx) = fresh("base")
+    SnapshotStore.append(vecs(0L to 50L), tbl, statsCols = Seq("vec_id"))
+    VectorIndex.sqRefresh(spark, tbl, "vec_id", "embedding", idx)
+    val viaIndex = VectorIndex.sqProbeIndexed(spark, tbl, "vec_id", "embedding",
+      idx, queryId = 0L, k = 5, candidates = 20).collect().toSeq
+    val direct = Similarity.sqTopK(vecs(0L to 50L), "vec_id", "embedding",
+      queryId = 0L, k = 5, candidates = 20).collect().toSeq
+    assert(viaIndex === direct)
+    val v = SnapshotStore.latestVersion(spark, idx)
+    VectorIndex.sqProbeIndexed(spark, tbl, "vec_id", "embedding",
+      idx, queryId = 0L, k = 5, candidates = 20).collect()
+    assert(SnapshotStore.latestVersion(spark, idx) === v,
+      "a fresh probe must not commit anything")
+  }
+
+  test("pure appends refresh O(delta): index APPENDS, new vectors rank") {
+    val (tbl, idx) = fresh("append")
+    SnapshotStore.append(vecs(0L to 30L), tbl, statsCols = Seq("vec_id"))
+    VectorIndex.sqRefresh(spark, tbl, "vec_id", "embedding", idx)
+    // land a vector IDENTICAL to the query: must become the top hit
+    SnapshotStore.append(
+      Seq((999L, Array.tabulate(8)(j => math.sin(j).toFloat)))
+        .toDF("vec_id", "embedding"), tbl)
+    val top = VectorIndex.sqProbeIndexed(spark, tbl, "vec_id", "embedding",
+      idx, queryId = 0L, k = 3, candidates = 20).collect()
+    assert(top.head.getLong(0) === 999L, s"got ${top.toSeq}")
+    // the refresh was INCREMENTAL: an append commit, not a rebuild
+    assert(SnapshotStore.history(spark, idx).head._2 === "append")
+    // and the delta commit carried the new stamp atomically
+    assert(SnapshotStore.state(spark, idx).meta(VectorIndex.SourceVersionKey)
+      === SnapshotStore.latestVersion(spark, tbl).toString)
+  }
+
+  test("DML on the source re-encodes; stale probe refuses when autoRefresh=false") {
+    val (tbl, idx) = fresh("dml")
+    SnapshotStore.append(vecs(0L to 30L).repartition(2), tbl,
+      statsCols = Seq("vec_id"))
+    SnapshotStore.setDvEnabled(spark, tbl, enabled = true)
+    VectorIndex.sqRefresh(spark, tbl, "vec_id", "embedding", idx)
+    val before = VectorIndex.sqProbeIndexed(spark, tbl, "vec_id", "embedding",
+      idx, queryId = 0L, k = 5, candidates = 20).collect().map(_.getLong(0))
+    val victim = before.head
+    // merge-on-read delete of the current top neighbor
+    SnapshotStore.delete(spark, tbl, col("vec_id") === victim)
+    val stale = intercept[IllegalStateException] {
+      VectorIndex.sqProbeIndexed(spark, tbl, "vec_id", "embedding",
+        idx, queryId = 0L, k = 5, candidates = 20, autoRefresh = false)
+    }
+    assert(stale.getMessage.contains("stale"))
+    val after = VectorIndex.sqProbeIndexed(spark, tbl, "vec_id", "embedding",
+      idx, queryId = 0L, k = 5, candidates = 20).collect().map(_.getLong(0))
+    assert(!after.contains(victim), "deleted vector must leave the neighbors")
+    // a delete is not append-shaped: the refresh was a full re-encode
+    assert(SnapshotStore.history(spark, idx).head._2 === "overwrite")
+    // and equals a from-scratch answer on the post-DML table
+    val scratch = Similarity.sqTopK(SnapshotStore.snapshot(spark, tbl),
+      "vec_id", "embedding", queryId = 0L, k = 5, candidates = 20)
+      .collect().map(_.getLong(0))
+    assert(after.toSeq === scratch.toSeq)
+  }
+}

@@ -209,9 +209,8 @@ object SnapshotMerge {
         Alias(plan0.output.find(_.name == "__fp").get, "__file")(),
         Alias(plan0.output.find(_.name == "__ri").get, "__pos")())
       val masked = GraftShim.ofRows(spark, Project(idOut, matchedPlan))
-      val byNameM = plan0.output.map(a => a.name.toLowerCase -> a).toMap
       val updatedCols: Seq[NamedExpression] = targetOutput.map { orig =>
-        val attr = byNameM(orig.name.toLowerCase)
+        val attr = pairAttr(plan0.output, orig).get
         assignedValue(assignments, orig, attr, rw, spark) match {
           case Some(v) => Alias(castTo(v, orig.dataType, spark), orig.name)()
           case None => Alias(attr, orig.name)()
@@ -235,9 +234,8 @@ object SnapshotMerge {
     val tgtPlan = tgt.queryExecution.analyzed
     def rwT(e: Expression): Expression = substitute(e, targetOutput, tgtPlan.output)
     val condT = condition.map(rwT).getOrElse(Literal(true))
-    val byName = tgtPlan.output.map(a => a.name.toLowerCase -> a).toMap
     val outCols: Seq[NamedExpression] = targetOutput.map { orig =>
-      val attr = byName(orig.name.toLowerCase)
+      val attr = pairAttr(tgtPlan.output, orig).get
       assignedValue(assignments, orig, attr, rwT, spark) match {
         case Some(v) =>
           Alias(castTo(CaseWhen(Seq((condT, v)), Some(attr)), orig.dataType, spark),
@@ -463,7 +461,7 @@ object SnapshotMerge {
             assignedValue(u.assignments, orig, tgtAttr, rw, spark).getOrElse(tgtAttr)) } ++
         notMatched.zipWithIndex.collect { case (ins: InsertAction, j) =>
           (EqualTo(act, Literal(200 + j)),
-            assigned(ins.assignments, orig, rw).getOrElse(Literal(null, orig.dataType))) }
+            assigned(ins.assignments, orig, rw, spark).getOrElse(Literal(null, orig.dataType))) }
       Alias(castTo(CaseWhen(branches, Some(tgtAttr)), orig.dataType, spark), orig.name)()
     }
     // ---- merge-on-read MERGE: with the dv property set, target rows an
@@ -512,11 +510,21 @@ object SnapshotMerge {
     */
   private def substitute(e: Expression, origTarget: Seq[Attribute],
                          fresh: Seq[Attribute]): Expression = {
-    val byName = fresh.map(a => a.name.toLowerCase -> a).toMap
     val sub: Map[ExprId, Attribute] = origTarget.flatMap(o =>
-      byName.get(o.name.toLowerCase).map(o.exprId -> _)).toMap
+      pairAttr(fresh, o).map(o.exprId -> _)).toMap
     e.transform { case a: AttributeReference => sub.getOrElse(a.exprId, a) }
   }
+
+  /** Pair a target column with the same column of a FRESH read of the
+    * same table: exact name first, case-insensitive as fallback. Both
+    * attribute sets come from one recorded schema, so the exact match
+    * always exists in practice — the fallback only covers legacy plans;
+    * a single lowercase map would COLLIDE two columns differing only in
+    * case under `spark.sql.caseSensitive=true` (both origs silently
+    * rebinding to one fresh attribute). */
+  private def pairAttr(fresh: Seq[Attribute], orig: Attribute): Option[Attribute] =
+    fresh.find(_.name == orig.name)
+      .orElse(fresh.find(_.name.equalsIgnoreCase(orig.name)))
 
   private def readTouched(spark: SparkSession, path: String,
                           touched: Seq[String]): DataFrame =
@@ -526,10 +534,15 @@ object SnapshotMerge {
     * None when the clause leaves the column unassigned. Top-level keys
     * only — the INSERT path, where SQL column lists cannot nest. */
   private def assigned(assignments: Seq[Assignment], orig: Attribute,
-                       rw: Expression => Expression): Option[Expression] =
+                       rw: Expression => Expression,
+                       spark: SparkSession): Option[Expression] =
     assignments.collectFirst {
       case Assignment(k: AttributeReference, v)
-          if k.exprId == orig.exprId || k.name.equalsIgnoreCase(orig.name) => rw(v)
+          if k.exprId == orig.exprId ||
+            // session case rule, like assignedValue: equalsIgnoreCase
+            // would mis-route an INSERT value onto a sibling column
+            // differing only in case under caseSensitive=true
+            spark.sessionState.analyzer.resolver(k.name, orig.name) => rw(v)
     }
 
   /** The full new value for target column `orig` under a clause's
@@ -793,7 +806,7 @@ object SnapshotMerge {
     val outCols: Seq[NamedExpression] = targetOutput.map { orig =>
       val branches = notMatched.zipWithIndex.collect { case (ins: InsertAction, j) =>
         (EqualTo(act, Literal(200 + j)),
-          assigned(ins.assignments, orig, identity).getOrElse(Literal(null, orig.dataType)))
+          assigned(ins.assignments, orig, identity, spark).getOrElse(Literal(null, orig.dataType)))
       }
       Alias(castTo(CaseWhen(branches, Some(Literal(null, orig.dataType))), orig.dataType, spark),
         orig.name)()

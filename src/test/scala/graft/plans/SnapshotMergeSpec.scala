@@ -443,6 +443,27 @@ class SnapshotMergeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.caseSensitive", prev)
   }
 
+  test("UPDATE: top-level columns differing only in case pair and assign correctly when case-sensitive") {
+    useCatalog()
+    val t = freshTable("graft-upd-colcase")
+    val prev = spark.conf.get("spark.sql.caseSensitive")
+    try {
+      spark.conf.set("spark.sql.caseSensitive", "true")
+      SnapshotStore.append(
+        spark.sql("SELECT id, CAST(0 AS LONG) AS v, CAST(100 AS LONG) AS V FROM range(3)"),
+        t, statsCols = Seq("id"))
+      // a lowercase output map would collide v/V: both origs rebind to
+      // ONE fresh attribute and the un-assigned twin silently takes the
+      // other column's value
+      spark.sql(s"UPDATE graft.`$t` SET v = 7 WHERE id = 1")
+      val rows = SnapshotStore.snapshot(spark, t)
+        .selectExpr("id", "v", "V").orderBy("id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+        Seq((0L, 0L, 100L), (1L, 7L, 100L), (2L, 0L, 100L)),
+        "only lowercase v at id=1 changes; uppercase V never moves")
+    } finally spark.conf.set("spark.sql.caseSensitive", prev)
+  }
+
   test("UPDATE: array-broadcast field assignment rebuilds every element; NULL arrays survive") {
     useCatalog()
     val t = freshTable("graft-upd-arr")

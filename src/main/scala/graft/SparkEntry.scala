@@ -1348,6 +1348,31 @@ object SparkEntry {
       graft.sources.SnapshotStore.readPoints(s, t, "doc_id", probes)
         .orderBy(col("doc_id"))
     }),
+    "q_variant_extract" -> ((s, d) => {
+      // Spark 4 VARIANT for the reference's JSON payload column
+      // (events.props — the same string q_topic_extract regexes):
+      // parse ONCE at write, land as a native variant column in a
+      // SNAPSHOT table alongside a manually-SHREDDED hot path
+      // (props_k, stats-harvested — this build's parquet writer has no
+      // automatic shredding conf, so the hot path shreds explicitly,
+      // which is also the form whose log-stats pruning SnapshotVariantSpec
+      // pins), then typed-extract with variant_get — no per-read JSON
+      // re-tokenization, binary-encoded payload fidelity preserved.
+      val t = "file:" + java.nio.file.Files
+        .createTempDirectory("graft-variant").toString + "/ev"
+      graft.sources.SnapshotStore.append(
+        spread(Tables.events(s, d)).select(col("event_id"), col("event_type"),
+          parse_json(col("props")).as("v"),
+          get_json_object(col("props"), "$.k").cast("long").as("props_k")),
+        t, statsCols = Seq("props_k"))
+      graft.sources.SnapshotStore.snapshot(s, t)
+        .select(col("event_type"),
+          variant_get(col("v"), "$.k", "long").as("k"))
+        .filter(col("k") >= 50L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
+    }),
     "q_snapshot_strbox" -> ((s, d) => {
       // string-stat pruning: docs land in per-lang file groups (one
       // append per lang → disjoint lexicographic [min,max] per file),
@@ -3440,6 +3465,13 @@ object SparkEntry {
     "q_snapshot_point" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (5, 17, 250, 333) ORDER BY doc_id""".stripMargin,
+    "q_variant_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q_snapshot_strbox" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang >= 'de' AND lang <= 'fr' ORDER BY doc_id""".stripMargin,

@@ -2228,6 +2228,23 @@ object SparkEntry {
     "q_ann_ivf_trained" -> ((s, d) =>
       Similarity.ivfTrainedTopK(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
         queryId = 0L, k = 10, numCentroids = 8, probes = 2)),
+    "q_ann_ivf_indexed" -> ((s, d) => {
+      // the PERSISTED, COMMIT-MAINTAINED IVF: centroids + cid-clustered
+      // inverted lists as snapshot-table sidecars stamped with the
+      // source version (VectorIndex.ivfRefresh); probes refresh-or-
+      // refuse on staleness, pure appends assign to the trained
+      // centroids O(delta). Answers identically to q_ann_ivf_trained
+      // (same oracle); index-vs-DML semantics pinned by VectorIndexSpec.
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivfidx").toString
+      val (tbl, idx) = (s"file:$dir/emb", s"file:$dir/ivf")
+      graft.sources.SnapshotStore.append(spread(Tables.embeddings(s, d)),
+        tbl, statsCols = Seq("vec_id"))
+      VectorIndex.ivfRefresh(s, tbl, "vec_id", "embedding", idx,
+        numCentroids = 8)
+      VectorIndex.ivfProbeIndexed(s, tbl, "vec_id", "embedding", idx,
+        queryId = 0L, k = 10, probes = 2, numCentroids = 8)
+    }),
     "q_hybrid_search" -> ((s, d) =>
       // metadata-gated vector search: English docs only, bloom-pruned
       // embedding scan, exact top-k over the survivors
@@ -3975,6 +3992,34 @@ object SparkEntry {
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "q_ann_ivf_trained" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+         |asg0 AS (
+         |  SELECT vec_id, first(cid ORDER BY cos DESC, cid) AS cid FROM (
+         |    SELECT e.vec_id, s.cid, round(${cosSql("e.v", "s.cv")}, 6) AS cos
+         |    FROM e CROSS JOIN seeds s) x
+         |  GROUP BY vec_id),
+         |dims AS (SELECT a.cid, unnest(e.v) AS val, unnest(range(1, len(e.v) + 1)) AS pos
+         |         FROM asg0 a JOIN e USING (vec_id)),
+         |cent AS (
+         |  SELECT cid, list(round(cval, 6) ORDER BY pos) AS cv FROM (
+         |    SELECT cid, pos, avg(val) AS cval FROM dims GROUP BY cid, pos) g
+         |  GROUP BY cid),
+         |asg AS (
+         |  SELECT vec_id, first(cid ORDER BY cos DESC, cid) AS cid FROM (
+         |    SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS cos
+         |    FROM e CROSS JOIN cent c) x
+         |  GROUP BY vec_id),
+         |qp AS (
+         |  SELECT c.cid, q.v AS qv
+         |  FROM (SELECT v FROM e WHERE vec_id = 0) q CROSS JOIN cent c
+         |  ORDER BY round(${cosSql("q.v", "c.cv")}, 6) DESC, c.cid LIMIT 2)
+         |SELECT e.vec_id, round(${cosSql("e.v", "qp.qv")}, 6) AS cos
+         |FROM asg JOIN e USING (vec_id) JOIN qp ON asg.cid = qp.cid
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivf_indexed" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),
          |seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),

@@ -68,6 +68,92 @@ object VectorIndex {
     }
   }
 
+  /** Build or refresh the TRAINED-IVF sidecar pair of snapshot table
+    * `table`: `<index>/centroids` (k × dim, broadcast-sized) and
+    * `<index>/assignments` (the inverted lists, clustered on `cid` so a
+    * probe's lists file-prune). The freshness stamp lives on the
+    * ASSIGNMENTS table — written LAST, so a crash between the two
+    * overwrites leaves the pair stale-stamped (refreshed next probe),
+    * never stamped-but-torn. Incremental semantics follow real IVF
+    * systems: pure APPENDS assign the new vectors to the EXISTING
+    * trained centroids map-side and append their inverted-list rows —
+    * O(delta), no retrain (centroid drift is the recall trade every IVF
+    * ingest makes; retrain by calling with `force = true` on a
+    * schedule); any delete/update triggers a full retrain.
+    */
+  def ivfRefresh(spark: SparkSession, table: String, idCol: String,
+                 vecCol: String, index: String, numCentroids: Int,
+                 force: Boolean = false): Long = {
+    val srcV = SnapshotStore.latestVersion(spark, table)
+    val (cenT, asgT) = (s"$index/centroids", s"$index/assignments")
+    val recorded: Option[Long] =
+      if (SnapshotStore.latestVersion(spark, asgT) == 0L) None
+      else SnapshotStore.state(spark, asgT).meta.get(SourceVersionKey).map(_.toLong)
+    if (!force && recorded.contains(srcV))
+      return SnapshotStore.latestVersion(spark, asgT)
+    val stamp = Map(SourceKey -> table, SourceVersionKey -> srcV.toString)
+    def retrain(): Long = {
+      val (c, a) = Similarity.ivfTrain(
+        SnapshotStore.snapshot(spark, table, Some(srcV))
+          .select(col(idCol), col(vecCol)), idCol, vecCol, numCentroids)
+      SnapshotStore.overwrite(c, cenT)
+      SnapshotStore.overwrite(a.repartitionByRange(col("cid"))
+          .sortWithinPartitions(col("cid")), asgT,
+        statsCols = Seq("cid"), meta = stamp)
+    }
+    recorded match {
+      case _ if force => retrain()
+      case None => retrain()
+      case Some(v) =>
+        val delta =
+          try SnapshotStore.changes(spark, table, v, asOf = Some(srcV))
+          catch { case scala.util.control.NonFatal(_) => return retrain() }
+        val types = delta.select(col("_change_type")).distinct()
+          .collect().map(_.getString(0)).toSet
+        if (!types.subsetOf(Set("insert"))) retrain()
+        else {
+          // map-side assignment of the delta to the TRAINED centroids —
+          // ivfTrain's exact argmax (rounded cosine, min-cid tiebreak)
+          val cen = SnapshotStore.snapshot(spark, cenT)
+          val e = delta.filter(col("_change_type") === "insert")
+            .select(col(idCol).as("vec_id"),
+              transform(col(vecCol), x => x.cast("double")).as("v"))
+          val asg = e.crossJoin(broadcast(cen))
+            .select(col("vec_id"),
+              struct(round(Similarity.cosine(col("v"), col("cv")), 6).as("cos"),
+                (-col("cid")).as("ncid")).as("sc"),
+              col("cid"))
+            .groupBy(col("vec_id")).agg(max_by(col("cid"), col("sc")).as("cid"))
+            .join(e, "vec_id")
+          SnapshotStore.append(asg, asgT, statsCols = Seq("cid"), meta = stamp)
+        }
+    }
+  }
+
+  /** Probe the IVF sidecar: identical ranks/rounding to
+    * [[Similarity.ivfTrainedTopK]] when fresh; refresh-or-refuse on
+    * staleness, same contract as [[sqProbeIndexed]].
+    */
+  def ivfProbeIndexed(spark: SparkSession, table: String, idCol: String,
+                      vecCol: String, index: String, queryId: Long, k: Int,
+                      probes: Int, numCentroids: Int,
+                      autoRefresh: Boolean = true): DataFrame = {
+    val srcV = SnapshotStore.latestVersion(spark, table)
+    val asgT = s"$index/assignments"
+    val fresh = SnapshotStore.latestVersion(spark, asgT) > 0L &&
+      SnapshotStore.state(spark, asgT).meta.get(SourceVersionKey)
+        .map(_.toLong).contains(srcV)
+    if (!fresh) {
+      if (!autoRefresh) throw new IllegalStateException(
+        s"IVF index $index is stale for $table@$srcV — a DML or append " +
+          "landed after the last refresh; run VectorIndex.ivfRefresh (or " +
+          "probe with autoRefresh = true)")
+      ivfRefresh(spark, table, idCol, vecCol, index, numCentroids)
+    }
+    Similarity.ivfProbe(SnapshotStore.snapshot(spark, s"$index/centroids"),
+      SnapshotStore.snapshot(spark, asgT), queryId, k, probes)
+  }
+
   /** Probe the SQ sidecar: identical ranks/rounding to
     * [[Similarity.sqTopK]] over the source's CURRENT rows. A stale
     * index refreshes first (`autoRefresh`, default) or refuses loudly —

@@ -361,6 +361,14 @@ object SnapshotStore {
       attempt += 1
       require(attempt <= 100, s"commit to $table: 100 straight version races")
       val v = latestVersion(spark, table) + 1
+      // writer-protocol gate: a table demanding writer features this
+      // build lacks must refuse COMMITS (it stays readable — the reader
+      // gate lives in the replay). Checked on the first attempt always
+      // and re-checked wherever an attempt replays anyway; meta features
+      // are monotone, so a racing feature-introducing commit is caught
+      // by the loser's next replaying attempt or its next commit.
+      if (v > 1 && (attempt == 1 || mustBeLive.nonEmpty || expectDv.nonEmpty))
+        protocolCheckWrite(table, state(spark, table).meta)
       if ((mustBeLive.nonEmpty || expectDv.nonEmpty) && v > 1) {
         val liveNow = state(spark, table).live.map(a => a.path -> a.dv).toMap
         val gone = mustBeLive.filterNot(liveNow.contains)
@@ -552,20 +560,63 @@ object SnapshotStore {
   private[graft] val MinReaderKey = "graft.minReaderVersion"
   private[graft] val ReaderFeaturesKey = "graft.readerFeatures"
 
-  private def featuresOf(meta: Map[String, String]): Set[String] =
-    meta.get(ReaderFeaturesKey).toSeq
+  /** WRITER protocol (Delta's minWriterVersion + writerFeatures): a
+    * feature an oblivious WRITER would corrupt — even though reads stay
+    * exact — gates commits instead of replays. `checkConstraints`: a
+    * writer that doesn't evaluate CHECK predicates lands violating
+    * rows. Reader features double as writer features (an oblivious
+    * rewrite of a dv'd/mapped table would resurrect rows / sever
+    * mappings), per Delta's convention. A table demanding an unknown
+    * WRITER feature stays fully READABLE — only commits refuse.
+    */
+  private[graft] val SupportedWriterVersion = 2
+  private[graft] val SupportedWriterFeatures: Set[String] =
+    Set("checkConstraints") ++ SupportedReaderFeatures
+  private[graft] val MinWriterKey = "graft.minWriterVersion"
+  private[graft] val WriterFeaturesKey = "graft.writerFeatures"
+
+  private def featuresOf(meta: Map[String, String],
+                         key: String = ReaderFeaturesKey): Set[String] =
+    meta.get(key).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
 
   /** The meta entries a feature-introducing commit must carry: the
     * UNION of already-recorded features plus `feature` (latest-wins
     * meta replaces, so each stamp re-asserts the full set), and the
     * version floor. Idempotent — re-stamping an existing feature
-    * rewrites the same value. */
+    * rewrites the same value. Reader stamps imply the writer stamp
+    * (readerFeatures ⊆ writerFeatures, Delta's rule). */
   private[graft] def featureMeta(current: Map[String, String],
                                  feature: String): Map[String, String] =
     Map(ReaderFeaturesKey ->
       (featuresOf(current) + feature).toSeq.sorted.mkString(","),
-      MinReaderKey -> SupportedReaderVersion.toString)
+      MinReaderKey -> SupportedReaderVersion.toString) ++
+      writerFeatureMeta(current, feature)
+
+  /** Writer-only stamp ([[featureMeta]] for features readers can
+    * ignore, e.g. CHECK constraints). */
+  private[graft] def writerFeatureMeta(current: Map[String, String],
+                                       feature: String): Map[String, String] =
+    Map(WriterFeaturesKey ->
+      (featuresOf(current, WriterFeaturesKey) + feature).toSeq.sorted.mkString(","),
+      MinWriterKey -> SupportedWriterVersion.toString)
+
+  /** Refuse-before-publishing: called on the commit path. Unknown
+    * WRITER features leave the table readable — only writes refuse. */
+  private def protocolCheckWrite(table: String, meta: Map[String, String]): Unit = {
+    meta.get(MinWriterKey).foreach { v =>
+      val need = scala.util.Try(v.toInt).getOrElse(Int.MaxValue)
+      require(need <= SupportedWriterVersion,
+        s"$table requires log protocol writer version $need; this build " +
+          s"supports <= $SupportedWriterVersion — the table stays readable; " +
+          "upgrade the library to write it")
+    }
+    val unknown = featuresOf(meta, WriterFeaturesKey) -- SupportedWriterFeatures
+    require(unknown.isEmpty,
+      s"$table requires writer features ${unknown.toSeq.sorted.mkString(", ")} " +
+        "that this build does not implement — writing could corrupt the " +
+        "table's invariants; it stays readable, upgrade the library to write")
+  }
 
   /** Refuse-before-planning: called on every log replay. */
   private def protocolCheck(table: String, meta: Map[String, String]): Unit = {
@@ -1713,9 +1764,13 @@ object SnapshotStore {
     val bad = probe.limit(1).count()
     require(bad == 0L,
       s"cannot add constraint $key to $table: existing rows violate ($check)")
+    // an oblivious writer would land rows this predicate forbids —
+    // stamp the WRITER feature in the same commit (reads are unaffected,
+    // so no reader stamp: old readers keep reading constrained tables)
     commit(spark, table, adds = Nil, removes = Nil,
       meta = Map("op" -> "add_constraint",
-        ConstraintPrefix + key -> hexEnc(check)),
+        ConstraintPrefix + key -> hexEnc(check)) ++
+        writerFeatureMeta(snap.meta, "checkConstraints"),
       mustBeLive = Nil)
   }
 

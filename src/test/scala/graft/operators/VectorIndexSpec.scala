@@ -57,6 +57,46 @@ class VectorIndexSpec extends SparkSpec {
       === SnapshotStore.latestVersion(spark, tbl).toString)
   }
 
+  test("IVF sidecar: probe == ivfTrainedTopK when fresh; appends assign O(delta); DML retrains") {
+    val (tbl, idx) = fresh("ivf")
+    SnapshotStore.append(vecs(0L to 40L).repartition(2), tbl,
+      statsCols = Seq("vec_id"))
+    SnapshotStore.setDvEnabled(spark, tbl, enabled = true)
+    VectorIndex.ivfRefresh(spark, tbl, "vec_id", "embedding", idx,
+      numCentroids = 4)
+    val viaIndex = VectorIndex.ivfProbeIndexed(spark, tbl, "vec_id",
+      "embedding", idx, queryId = 0L, k = 5, probes = 2, numCentroids = 4)
+      .collect().toSeq
+    val direct = Similarity.ivfTrainedTopK(vecs(0L to 40L), "vec_id",
+      "embedding", queryId = 0L, k = 5, numCentroids = 4, probes = 2)
+      .collect().toSeq
+    assert(viaIndex === direct)
+    // pure append: the identical-to-query vector assigns to the query's
+    // own nearest centroid map-side (no retrain) and must rank first
+    SnapshotStore.append(
+      Seq((999L, Array.tabulate(8)(j => math.sin(j).toFloat)))
+        .toDF("vec_id", "embedding"), tbl)
+    val top = VectorIndex.ivfProbeIndexed(spark, tbl, "vec_id", "embedding",
+      idx, queryId = 0L, k = 3, probes = 2, numCentroids = 4).collect()
+    assert(top.head.getLong(0) === 999L, s"got ${top.toSeq}")
+    assert(SnapshotStore.history(spark, s"$idx/assignments").head._2 === "append",
+      "a pure-append delta must not retrain")
+    // merge-on-read delete -> stale stamp -> refusal without autoRefresh,
+    // full retrain with it, equal to a from-scratch train on current rows
+    SnapshotStore.delete(spark, tbl, col("vec_id") === 999L)
+    intercept[IllegalStateException] {
+      VectorIndex.ivfProbeIndexed(spark, tbl, "vec_id", "embedding", idx,
+        queryId = 0L, k = 5, probes = 2, numCentroids = 4, autoRefresh = false)
+    }
+    val after = VectorIndex.ivfProbeIndexed(spark, tbl, "vec_id", "embedding",
+      idx, queryId = 0L, k = 5, probes = 2, numCentroids = 4).collect().toSeq
+    assert(SnapshotStore.history(spark, s"$idx/assignments").head._2 === "overwrite")
+    val scratch = Similarity.ivfTrainedTopK(SnapshotStore.snapshot(spark, tbl),
+      "vec_id", "embedding", queryId = 0L, k = 5, numCentroids = 4, probes = 2)
+      .collect().toSeq
+    assert(after === scratch)
+  }
+
   test("DML on the source re-encodes; stale probe refuses when autoRefresh=false") {
     val (tbl, idx) = fresh("dml")
     SnapshotStore.append(vecs(0L to 30L).repartition(2), tbl,

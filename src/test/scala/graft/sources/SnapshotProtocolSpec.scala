@@ -95,6 +95,57 @@ class SnapshotProtocolSpec extends SparkSpec {
     assert(SnapshotStore.snapshot(spark, t, Some(v)).count() === 20L)
   }
 
+  test("CHECK constraints stamp a WRITER feature only — readers unaffected") {
+    val t = freshTable("wf")
+    seed(t)
+    SnapshotStore.addConstraint(spark, t, "pos_score", "score > 0")
+    val meta = SnapshotStore.state(spark, t).meta
+    assert(meta(SnapshotStore.WriterFeaturesKey) === "checkConstraints")
+    assert(meta(SnapshotStore.MinWriterKey) ===
+      SnapshotStore.SupportedWriterVersion.toString)
+    assert(!meta.contains(SnapshotStore.ReaderFeaturesKey),
+      "constraints don't change read semantics — old readers keep reading")
+    // this build implements it: writes keep flowing (and keep enforcing)
+    SnapshotStore.append(Seq((21L, 210L, "u1")).toDF("id", "score", "user"), t)
+    assert(SnapshotStore.snapshot(spark, t).count() === 21L)
+  }
+
+  test("unknown WRITER feature: table stays readable, commits refuse") {
+    val t = freshTable("wfuture")
+    seed(t)
+    SnapshotStore.commit(spark, t, adds = Nil, removes = Nil,
+      meta = Map("op" -> "future_op",
+        SnapshotStore.WriterFeaturesKey -> "checkConstraints,rowTracking"),
+      mustBeLive = Nil)
+    // reads: fully functional (the whole point of the reader/writer split)
+    assert(SnapshotStore.snapshot(spark, t).count() === 20L)
+    // writes: refused loudly, nothing lands
+    val v = SnapshotStore.latestVersion(spark, t)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.append(Seq((21L, 210L, "u1")).toDF("id", "score", "user"), t)
+    }
+    assert(e.getMessage.contains("rowTracking"))
+    assert(SnapshotStore.latestVersion(spark, t) === v)
+    // a DML (replaying commit path) refuses too
+    intercept[IllegalArgumentException] {
+      SnapshotStore.delete(spark, t, col("id") <= 5L)
+    }
+    assert(SnapshotStore.snapshot(spark, t).count() === 20L)
+  }
+
+  test("future minWriterVersion: readable, unwritable") {
+    val t = freshTable("wver")
+    seed(t)
+    SnapshotStore.commit(spark, t, adds = Nil, removes = Nil,
+      meta = Map("op" -> "future_op", SnapshotStore.MinWriterKey -> "99"),
+      mustBeLive = Nil)
+    assert(SnapshotStore.snapshot(spark, t).count() === 20L)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.append(Seq((21L, 210L, "u1")).toDF("id", "score", "user"), t)
+    }
+    assert(e.getMessage.contains("99"))
+  }
+
   test("future minReaderVersion refuses loudly") {
     val t = freshTable("ver")
     seed(t)

@@ -33,8 +33,8 @@ class CatalogLintSpec extends SparkSpec {
   //    already recognizes provably-one-row aggregates; a filtered scan
   //    is not provable)
   private val broadcastPointLookups = Set(
-    "q_ann_bruteforce", "q_ann_ivf_trained", "q_hybrid_search", "q_hybrid_rrf",
-    "q_ann_sq", "q_ann_sq_indexed")
+    "q_ann_bruteforce", "q_ann_ivf_trained", "q_ann_ivf_indexed",
+    "q_hybrid_search", "q_hybrid_rrf", "q_ann_sq", "q_ann_sq_indexed")
 
   test("all catalog queries lint clean of scale errors (documented exceptions only)") {
     val sf = "/root/testdata/sf0.001"

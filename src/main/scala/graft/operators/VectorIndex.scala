@@ -29,22 +29,46 @@ import graft.sources.SnapshotStore
   * The stamp travels INSIDE the data commit (append/overwrite `meta`),
   * so a crash can never persist codes without their version — the
   * index is either consistent or behind, never wrong.
+  *
+  * The IVF sidecar is a PAIR of tables (centroids + inverted lists),
+  * so its consistency story is stronger: every assignments commit
+  * stamps the exact CENTROIDS VERSION it was assigned against
+  * ([[CentroidsVersionKey]]), and the probe reads centroids `asOf`
+  * that stamped version off ONE pinned assignments snapshot. A crash
+  * between the two overwrites of a retrain (new centroids landed,
+  * assignments not yet) — or a concurrent force-retrain landing
+  * between a probe's two reads — can therefore never mix generations:
+  * the pinned assignments snapshot names its own centroids, and that
+  * pair is immutable.
   */
 object VectorIndex {
   val SourceKey = "index.source"
   val SourceVersionKey = "index.sourceVersion"
 
+  /** The exact `<index>/centroids` version an assignments commit was
+    * assigned against — probes read centroids asOf this, never latest.
+    */
+  val CentroidsVersionKey = "index.centroidsVersion"
+
+  /** Source row count at the last full TRAIN (not refresh): the drift
+    * denominator. Carried forward unchanged by incremental appends, so
+    * `liveRows/trainedRows - 1` is the appended-since-train fraction.
+    */
+  val TrainedRowsKey = "index.trainedRows"
+
   /** Build or refresh the SQ code sidecar of snapshot table `table`.
     * Returns the index version that encodes the CURRENT source version
-    * (no-op when already fresh).
+    * (no-op when already fresh, unless `force`).
     */
   def sqRefresh(spark: SparkSession, table: String, idCol: String,
-                vecCol: String, index: String): Long = {
+                vecCol: String, index: String,
+                force: Boolean = false): Long = {
     val srcV = SnapshotStore.latestVersion(spark, table)
     val recorded: Option[Long] =
       if (SnapshotStore.latestVersion(spark, index) == 0L) None
       else SnapshotStore.state(spark, index).meta.get(SourceVersionKey).map(_.toLong)
-    if (recorded.contains(srcV)) return SnapshotStore.latestVersion(spark, index)
+    if (!force && recorded.contains(srcV))
+      return SnapshotStore.latestVersion(spark, index)
     val stamp = Map(SourceKey -> table, SourceVersionKey -> srcV.toString)
     def codes(df: DataFrame): DataFrame =
       Similarity.sqEncode(df.select(col(idCol), col(vecCol)), idCol, vecCol)
@@ -52,6 +76,7 @@ object VectorIndex {
       codes(SnapshotStore.snapshot(spark, table, Some(srcV))), index,
       statsCols = Seq("vec_id"), meta = stamp)
     recorded match {
+      case _ if force => rebuild()
       case None => rebuild()
       case Some(v) =>
         val delta =
@@ -68,53 +93,78 @@ object VectorIndex {
     }
   }
 
+  /** Visible source rows at `version`, straight off commit-log file
+    * stats (zero data scanned) — the drift numerator/denominator.
+    */
+  private def liveRows(spark: SparkSession, table: String, version: Long): Long =
+    SnapshotStore.state(spark, table, Some(version)).live.map(_.visibleRows).sum
+
   /** Build or refresh the TRAINED-IVF sidecar pair of snapshot table
     * `table`: `<index>/centroids` (k × dim, broadcast-sized) and
     * `<index>/assignments` (the inverted lists, clustered on `cid` so a
     * probe's lists file-prune). The freshness stamp lives on the
-    * ASSIGNMENTS table — written LAST, so a crash between the two
-    * overwrites leaves the pair stale-stamped (refreshed next probe),
-    * never stamped-but-torn. Incremental semantics follow real IVF
-    * systems: pure APPENDS assign the new vectors to the EXISTING
-    * trained centroids map-side and append their inverted-list rows —
-    * O(delta), no retrain (centroid drift is the recall trade every IVF
-    * ingest makes; retrain by calling with `force = true` on a
-    * schedule); any delete/update triggers a full retrain.
+    * ASSIGNMENTS table and names BOTH the source version it indexes and
+    * the centroids version it was assigned against — written LAST, so a
+    * crash between the two overwrites leaves the pair stale-stamped but
+    * still internally consistent (old assignments keep naming the old
+    * centroids; a torn new-centroids/old-assignments read is
+    * unreachable). Incremental semantics follow real IVF systems: pure
+    * APPENDS assign the new vectors to the EXISTING trained centroids
+    * map-side and append their inverted-list rows — O(delta),
+    * cid-sorted so the delta files keep the clustered layout's pruning
+    * — UNTIL the appended-since-train fraction exceeds
+    * `driftRetrainFraction` of the trained corpus, at which point the
+    * refresh retrains (the recall-drift bound every IVF ingest policy
+    * needs; `force = true` retrains unconditionally); any
+    * delete/update triggers a full retrain.
     */
   def ivfRefresh(spark: SparkSession, table: String, idCol: String,
                  vecCol: String, index: String, numCentroids: Int,
-                 force: Boolean = false): Long = {
+                 force: Boolean = false,
+                 driftRetrainFraction: Double = 0.5): Long = {
     val srcV = SnapshotStore.latestVersion(spark, table)
     val (cenT, asgT) = (s"$index/centroids", s"$index/assignments")
-    val recorded: Option[Long] =
+    val pinned: Option[SnapshotStore.Snapshot] =
       if (SnapshotStore.latestVersion(spark, asgT) == 0L) None
-      else SnapshotStore.state(spark, asgT).meta.get(SourceVersionKey).map(_.toLong)
-    if (!force && recorded.contains(srcV))
-      return SnapshotStore.latestVersion(spark, asgT)
+      else Some(SnapshotStore.state(spark, asgT))
+    val recorded = pinned.flatMap(_.meta.get(SourceVersionKey)).map(_.toLong)
+    if (!force && recorded.contains(srcV)) return pinned.get.version
     val stamp = Map(SourceKey -> table, SourceVersionKey -> srcV.toString)
     def retrain(): Long = {
+      val srcRows = liveRows(spark, table, srcV)
       val (c, a) = Similarity.ivfTrain(
         SnapshotStore.snapshot(spark, table, Some(srcV))
           .select(col(idCol), col(vecCol)), idCol, vecCol, numCentroids)
-      SnapshotStore.overwrite(c, cenT)
+      val cv = SnapshotStore.overwrite(c, cenT)
       SnapshotStore.overwrite(a.repartitionByRange(col("cid"))
           .sortWithinPartitions(col("cid")), asgT,
-        statsCols = Seq("cid"), meta = stamp)
+        statsCols = Seq("cid"),
+        meta = stamp + (CentroidsVersionKey -> cv.toString)
+          + (TrainedRowsKey -> srcRows.toString))
     }
-    recorded match {
+    (recorded, pinned) match {
       case _ if force => retrain()
-      case None => retrain()
-      case Some(v) =>
+      case (None, _) | (_, None) => retrain()
+      case (Some(v), Some(st)) =>
         val delta =
           try SnapshotStore.changes(spark, table, v, asOf = Some(srcV))
           catch { case scala.util.control.NonFatal(_) => return retrain() }
         val types = delta.select(col("_change_type")).distinct()
           .collect().map(_.getString(0)).toSet
-        if (!types.subsetOf(Set("insert"))) retrain()
+        // pre-versioned stamps (no centroids pin / trained count) can't
+        // prove pair consistency or drift — upgrade them via retrain
+        val cvRec = st.meta.get(CentroidsVersionKey).map(_.toLong)
+        val trained = st.meta.get(TrainedRowsKey).map(_.toLong).filter(_ > 0)
+        val drifted = trained.exists { t =>
+          (liveRows(spark, table, srcV) - t).toDouble / t > driftRetrainFraction
+        }
+        if (!types.subsetOf(Set("insert")) || cvRec.isEmpty ||
+            trained.isEmpty || drifted) retrain()
         else {
           // map-side assignment of the delta to the TRAINED centroids —
-          // ivfTrain's exact argmax (rounded cosine, min-cid tiebreak)
-          val cen = SnapshotStore.snapshot(spark, cenT)
+          // ivfTrain's exact argmax (rounded cosine, min-cid tiebreak) —
+          // read asOf the stamped version, immune to a concurrent retrain
+          val cen = SnapshotStore.snapshot(spark, cenT, cvRec)
           val e = delta.filter(col("_change_type") === "insert")
             .select(col(idCol).as("vec_id"),
               transform(col(vecCol), x => x.cast("double")).as("v"))
@@ -125,33 +175,49 @@ object VectorIndex {
               col("cid"))
             .groupBy(col("vec_id")).agg(max_by(col("cid"), col("sc")).as("cid"))
             .join(e, "vec_id")
-          SnapshotStore.append(asg, asgT, statsCols = Seq("cid"), meta = stamp)
+          // cid-sort the delta too (O(delta)): each append file keeps a
+          // narrow cid min/max, so probe-side file-pruning on the cid
+          // statsCols holds as appends accumulate instead of eroding
+          SnapshotStore.append(asg.repartitionByRange(col("cid"))
+              .sortWithinPartitions(col("cid")), asgT,
+            statsCols = Seq("cid"),
+            meta = stamp + (CentroidsVersionKey -> cvRec.get.toString)
+              + (TrainedRowsKey -> trained.get.toString))
         }
     }
   }
 
   /** Probe the IVF sidecar: identical ranks/rounding to
     * [[Similarity.ivfTrainedTopK]] when fresh; refresh-or-refuse on
-    * staleness, same contract as [[sqProbeIndexed]].
+    * staleness, same contract as [[sqProbeIndexed]]. Reads ONE pinned
+    * assignments snapshot and the centroids version STAMPED in it — a
+    * concurrent force-retrain (or a crash that landed centroids but not
+    * assignments) can never make the probe mix index generations.
     */
   def ivfProbeIndexed(spark: SparkSession, table: String, idCol: String,
                       vecCol: String, index: String, queryId: Long, k: Int,
                       probes: Int, numCentroids: Int,
                       autoRefresh: Boolean = true): DataFrame = {
     val srcV = SnapshotStore.latestVersion(spark, table)
-    val asgT = s"$index/assignments"
-    val fresh = SnapshotStore.latestVersion(spark, asgT) > 0L &&
-      SnapshotStore.state(spark, asgT).meta.get(SourceVersionKey)
-        .map(_.toLong).contains(srcV)
-    if (!fresh) {
-      if (!autoRefresh) throw new IllegalStateException(
-        s"IVF index $index is stale for $table@$srcV — a DML or append " +
-          "landed after the last refresh; run VectorIndex.ivfRefresh (or " +
-          "probe with autoRefresh = true)")
-      ivfRefresh(spark, table, idCol, vecCol, index, numCentroids)
+    val (cenT, asgT) = (s"$index/centroids", s"$index/assignments")
+    def pinned(): Option[SnapshotStore.Snapshot] =
+      if (SnapshotStore.latestVersion(spark, asgT) == 0L) None
+      else Some(SnapshotStore.state(spark, asgT))
+    val st0 = pinned()
+    val st = st0 match {
+      case Some(s) if s.meta.get(SourceVersionKey).map(_.toLong).contains(srcV) => s
+      case _ =>
+        if (!autoRefresh) throw new IllegalStateException(
+          s"IVF index $index is stale for $table@$srcV — a DML or append " +
+            "landed after the last refresh; run VectorIndex.ivfRefresh (or " +
+            "probe with autoRefresh = true)")
+        ivfRefresh(spark, table, idCol, vecCol, index, numCentroids)
+        SnapshotStore.state(spark, asgT)
     }
-    Similarity.ivfProbe(SnapshotStore.snapshot(spark, s"$index/centroids"),
-      SnapshotStore.snapshot(spark, asgT), queryId, k, probes)
+    val cen = SnapshotStore.snapshot(spark, cenT,
+      st.meta.get(CentroidsVersionKey).map(_.toLong)) // pre-versioned stamp → latest
+    Similarity.ivfProbe(cen,
+      SnapshotStore.snapshot(spark, asgT, Some(st.version)), queryId, k, probes)
   }
 
   /** Probe the SQ sidecar: identical ranks/rounding to

@@ -21,7 +21,8 @@ private[v2] object SnapshotProcedures {
 
   val names: Seq[String] =
     Seq("optimize", "vacuum", "restore", "extract", "refresh_manifest",
-      "add_constraint", "drop_constraint", "clone", "enable_dv", "purge_dv")
+      "add_constraint", "drop_constraint", "clone", "enable_dv", "purge_dv",
+      "refresh_index")
 
   def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
     case "optimize" => Some(Optimize)
@@ -34,6 +35,7 @@ private[v2] object SnapshotProcedures {
     case "clone" => Some(Clone)
     case "enable_dv" => Some(EnableDv)
     case "purge_dv" => Some(PurgeDv)
+    case "refresh_index" => Some(RefreshIndex)
     case _ => None
   }
 
@@ -273,6 +275,61 @@ private[v2] object SnapshotProcedures {
       val v = SnapshotStore.purgeDv(spark, table, in.getDouble(1))
       InternalRow(v,
         SnapshotStore.state(spark, table).live.count(_.dv.isDefined))
+    }
+  }
+
+  /** `CALL graft.refresh_index(table, id_col, vec_col, index[, kind][,
+    * num_centroids][, force][, drift_retrain_fraction])` — the vector
+    * sidecar maintenance verb ([[graft.operators.VectorIndex]]): bring
+    * the `sq` code table or `ivf` centroids+inverted-lists pair of
+    * `table` up to the source's current version. Fresh index → noop
+    * (zero writes); pure appends since the stamp → O(delta) `append`
+    * (IVF additionally retrains once appended-since-train exceeds
+    * `drift_retrain_fraction` of the trained corpus); DML / `force` →
+    * full `retrain`. The returned `action` names which path ran. */
+  private object RefreshIndex extends Proc("refresh_index",
+    Seq(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("id_col", StringType).build(),
+      ProcedureParameter.in("vec_col", StringType).build(),
+      ProcedureParameter.in("index", StringType).build(),
+      ProcedureParameter.in("kind", StringType).defaultValue("'sq'").build(),
+      ProcedureParameter.in("num_centroids", IntegerType).defaultValue("8").build(),
+      ProcedureParameter.in("force", BooleanType).defaultValue("false").build(),
+      ProcedureParameter.in("drift_retrain_fraction", DoubleType)
+        .defaultValue("CAST(0.5 AS DOUBLE)").build()),
+    StructType(Seq(
+      StructField("index_version", LongType, nullable = false),
+      StructField("source_version", LongType, nullable = false),
+      StructField("action", StringType, nullable = false)))) {
+    override def description(): String =
+      "refresh a commit-maintained vector-index sidecar (sq codes or trained ivf)"
+    override protected def run(in: InternalRow): InternalRow = {
+      import graft.operators.VectorIndex
+      val table = in.getUTF8String(0).toString
+      val idCol = in.getUTF8String(1).toString
+      val vecCol = in.getUTF8String(2).toString
+      val index = in.getUTF8String(3).toString
+      val kind = in.getUTF8String(4).toString.toLowerCase
+      require(kind == "sq" || kind == "ivf",
+        s"refresh_index kind must be 'sq' or 'ivf', got '$kind'")
+      val force = in.getBoolean(6)
+      val stamped = if (kind == "ivf") s"$index/assignments" else index
+      val before = SnapshotStore.latestVersion(spark, stamped)
+      val v =
+        if (kind == "sq")
+          VectorIndex.sqRefresh(spark, table, idCol, vecCol, index, force)
+        else VectorIndex.ivfRefresh(spark, table, idCol, vecCol, index,
+          numCentroids = in.getInt(5), force = force,
+          driftRetrainFraction = in.getDouble(7))
+      val action =
+        if (v == before) "noop"
+        else SnapshotStore.history(spark, stamped).head._2 match {
+          case "append" => "append"
+          case _ => "retrain"
+        }
+      InternalRow(v, SnapshotStore.latestVersion(spark, table),
+        UTF8String.fromString(action))
     }
   }
 

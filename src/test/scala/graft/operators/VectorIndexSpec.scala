@@ -97,6 +97,83 @@ class VectorIndexSpec extends SparkSpec {
     assert(after === scratch)
   }
 
+  test("IVF pair can never be read torn: probe + delta-assign pin the STAMPED centroids version") {
+    val (tbl, idx) = fresh("torn")
+    SnapshotStore.append(vecs(0L to 40L).repartition(2), tbl,
+      statsCols = Seq("vec_id"))
+    VectorIndex.ivfRefresh(spark, tbl, "vec_id", "embedding", idx,
+      numCentroids = 4)
+    val before = VectorIndex.ivfProbeIndexed(spark, tbl, "vec_id", "embedding",
+      idx, queryId = 0L, k = 5, probes = 2, numCentroids = 4).collect().toSeq
+    // simulate a force-retrain crash between the two overwrites: the NEW
+    // (here: garbage — negated) centroids landed, assignments did not
+    val cenT = s"$idx/centroids"
+    SnapshotStore.overwrite(
+      SnapshotStore.snapshot(spark, cenT)
+        .withColumn("cv", transform(col("cv"), x => -x)), cenT)
+    val stamped = SnapshotStore.state(spark, s"$idx/assignments")
+      .meta(VectorIndex.CentroidsVersionKey).toLong
+    assert(stamped < SnapshotStore.latestVersion(spark, cenT),
+      "the crash left a newer centroids version than the stamp names")
+    // the probe reads centroids asOf the stamp — answer unchanged
+    val after = VectorIndex.ivfProbeIndexed(spark, tbl, "vec_id", "embedding",
+      idx, queryId = 0L, k = 5, probes = 2, numCentroids = 4).collect().toSeq
+    assert(after === before, "probe mixed index generations")
+    // and an O(delta) refresh assigns against the STAMPED centroids too:
+    // the identical-to-query vector still lands in the query's cell
+    SnapshotStore.append(
+      Seq((999L, Array.tabulate(8)(j => math.sin(j).toFloat)))
+        .toDF("vec_id", "embedding"), tbl)
+    val top = VectorIndex.ivfProbeIndexed(spark, tbl, "vec_id", "embedding",
+      idx, queryId = 0L, k = 3, probes = 2, numCentroids = 4).collect()
+    assert(top.head.getLong(0) === 999L, s"got ${top.toSeq}")
+    assert(SnapshotStore.history(spark, s"$idx/assignments").head._2 === "append")
+  }
+
+  test("IVF drift policy: appends under the fraction assign O(delta), past it retrain; delta files stay cid-clustered") {
+    val (tbl, idx) = fresh("drift")
+    val asgT = s"$idx/assignments"
+    SnapshotStore.append(vecs(0L to 19L).repartition(2), tbl,
+      statsCols = Seq("vec_id"))
+    VectorIndex.ivfRefresh(spark, tbl, "vec_id", "embedding", idx,
+      numCentroids = 4)
+    assert(SnapshotStore.state(spark, asgT)
+      .meta(VectorIndex.TrainedRowsKey) === "20")
+    val liveBefore = SnapshotStore.state(spark, asgT).live.map(_.path).toSet
+    // +5 rows = 25% of the trained 20: below the 0.5 default → append
+    SnapshotStore.append(vecs(100L to 104L), tbl)
+    VectorIndex.ivfRefresh(spark, tbl, "vec_id", "embedding", idx,
+      numCentroids = 4)
+    assert(SnapshotStore.history(spark, asgT).head._2 === "append")
+    assert(SnapshotStore.state(spark, asgT)
+      .meta(VectorIndex.TrainedRowsKey) === "20",
+      "an O(delta) append must carry the trained count forward unchanged")
+    // the delta files are cid-clustered: pairwise-disjoint cid ranges
+    val deltaFiles = SnapshotStore.state(spark, asgT).live
+      .filterNot(f => liveBefore(f.path))
+    val ranges = deltaFiles.flatMap(_.stats.get("cid")).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"delta files overlap on cid: $ranges")
+      case _ =>
+    }
+    // +10 more = 15/20 = 75% appended since train: past 0.5 → retrain
+    SnapshotStore.append(vecs(200L to 209L), tbl)
+    VectorIndex.ivfRefresh(spark, tbl, "vec_id", "embedding", idx,
+      numCentroids = 4)
+    assert(SnapshotStore.history(spark, asgT).head._2 === "overwrite",
+      "past the drift fraction the refresh must retrain")
+    assert(SnapshotStore.state(spark, asgT)
+      .meta(VectorIndex.TrainedRowsKey) === "35")
+    // and the retrained probe equals a from-scratch train on current rows
+    val via = VectorIndex.ivfProbeIndexed(spark, tbl, "vec_id", "embedding",
+      idx, queryId = 0L, k = 5, probes = 2, numCentroids = 4).collect().toSeq
+    val scratch = Similarity.ivfTrainedTopK(SnapshotStore.snapshot(spark, tbl),
+      "vec_id", "embedding", queryId = 0L, k = 5, numCentroids = 4, probes = 2)
+      .collect().toSeq
+    assert(via === scratch)
+  }
+
   test("DML on the source re-encodes; stale probe refuses when autoRefresh=false") {
     val (tbl, idx) = fresh("dml")
     SnapshotStore.append(vecs(0L to 30L).repartition(2), tbl,

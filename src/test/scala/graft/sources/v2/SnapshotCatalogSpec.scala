@@ -296,6 +296,58 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       spark.sql(s"SELECT id FROM graft.`$t` VERSION AS OF 1").collect() }
   }
 
+  test("CALL graft.refresh_index: noop when fresh, append on pure inserts, retrain on DML/force/drift") {
+    import graft.operators.VectorIndex
+    val t = freshTable("vidx")
+    val idx = s"$t-ivf"
+    def vecs(ids: Seq[Long]) = ids.map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 17 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    SnapshotStore.append(vecs(0L to 19L), t, statsCols = Seq("vec_id"))
+    // first CALL trains the pair
+    val r1 = spark.sql(s"CALL graft.refresh_index('$t', 'vec_id', " +
+      s"'embedding', '$idx', kind => 'ivf', num_centroids => 4)").collect().head
+    assert(r1.getAs[String]("action") === "retrain")
+    assert(r1.getAs[Long]("source_version") ===
+      SnapshotStore.latestVersion(spark, t))
+    // fresh → noop, zero writes
+    val r2 = spark.sql(s"CALL graft.refresh_index('$t', 'vec_id', " +
+      s"'embedding', '$idx', kind => 'ivf', num_centroids => 4)").collect().head
+    assert(r2.getAs[String]("action") === "noop")
+    assert(r2.getAs[Long]("index_version") === r1.getAs[Long]("index_version"))
+    // a small append → O(delta) append
+    SnapshotStore.append(vecs(100L to 102L), t)
+    val r3 = spark.sql(s"CALL graft.refresh_index('$t', 'vec_id', " +
+      s"'embedding', '$idx', kind => 'ivf', num_centroids => 4)").collect().head
+    assert(r3.getAs[String]("action") === "append")
+    // past the drift fraction → retrain (here: any growth, fraction 0)
+    SnapshotStore.append(vecs(200L to 202L), t)
+    val r4 = spark.sql(s"CALL graft.refresh_index('$t', 'vec_id', " +
+      s"'embedding', '$idx', kind => 'ivf', num_centroids => 4, " +
+      "drift_retrain_fraction => CAST(0.0 AS DOUBLE))").collect().head
+    assert(r4.getAs[String]("action") === "retrain")
+    // force on an unchanged source → retrain
+    val r5 = spark.sql(s"CALL graft.refresh_index('$t', 'vec_id', " +
+      s"'embedding', '$idx', kind => 'ivf', num_centroids => 4, " +
+      "force => true)").collect().head
+    assert(r5.getAs[String]("action") === "retrain")
+    // the SQ kind follows the same verbs on its single code table
+    val sq = s"$t-sq"
+    val s1 = spark.sql(s"CALL graft.refresh_index('$t', 'vec_id', " +
+      s"'embedding', '$sq')").collect().head
+    assert(s1.getAs[String]("action") === "retrain")
+    SnapshotStore.append(vecs(300L to 301L), t)
+    val s2 = spark.sql(s"CALL graft.refresh_index('$t', 'vec_id', " +
+      s"'embedding', '$sq')").collect().head
+    assert(s2.getAs[String]("action") === "append")
+    assert(SnapshotStore.state(spark, sq).meta(VectorIndex.SourceVersionKey)
+      === SnapshotStore.latestVersion(spark, t).toString)
+    // bad kind: loud
+    intercept[Exception] {
+      spark.sql(s"CALL graft.refresh_index('$t', 'vec_id', 'embedding', " +
+        s"'$sq', kind => 'pq')").collect() }
+  }
+
   test("CALL graft.refresh_manifest: a landed wave refreshes, the next fleet plan opens zero bags") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-callrefman").toString

@@ -357,18 +357,22 @@ object SnapshotStore {
     fs.mkdirs(dir)
     val store = LogStore.resolve(spark)
     var attempt = 0
+    var checkedAtV = -1L
     while (true) {
       attempt += 1
       require(attempt <= 100, s"commit to $table: 100 straight version races")
       val v = latestVersion(spark, table) + 1
       // writer-protocol gate: a table demanding writer features this
       // build lacks must refuse COMMITS (it stays readable — the reader
-      // gate lives in the replay). Checked on the first attempt always
-      // and re-checked wherever an attempt replays anyway; meta features
-      // are monotone, so a racing feature-introducing commit is caught
-      // by the loser's next replaying attempt or its next commit.
-      if (v > 1 && (attempt == 1 || mustBeLive.nonEmpty || expectDv.nonEmpty))
+      // gate lives in the replay). Re-checked on every attempt whose
+      // TARGET VERSION advanced since the last check — a plain append
+      // that loses its race to a feature-introducing commit must see
+      // that feature on the retry, not slide past it (guarded commits
+      // replay state anyway, so they re-check unconditionally).
+      if (v > 1 && (mustBeLive.nonEmpty || expectDv.nonEmpty || v != checkedAtV)) {
         protocolCheckWrite(table, state(spark, table).meta)
+        checkedAtV = v
+      }
       if ((mustBeLive.nonEmpty || expectDv.nonEmpty) && v > 1) {
         val liveNow = state(spark, table).live.map(a => a.path -> a.dv).toMap
         val gone = mustBeLive.filterNot(liveNow.contains)
@@ -1003,9 +1007,14 @@ object SnapshotStore {
   // dv datasets are IMMUTABLE (pointers move, content never mutates), so
   // their read-side bitmaps cache for the session: first read of a dv
   // version pays one O(deleted-rows) build job, every later read (and
-  // every retry/pass) reuses the broadcast. Bounded LRU — entries from
-  // stopped sessions age out; None records an over-cap dataset so the
-  // fallback doesn't rebuild per read.
+  // every retry/pass) reuses the broadcast. Bounded LRU — an evicted
+  // entry's broadcast unpersists (non-blocking: executors drop their
+  // up-to-256MiB copies now instead of at driver GC; a still-running
+  // plan holding the handle re-fetches lazily, so unpersist — never
+  // destroy — is the safe verb). None records an over-cap dataset so
+  // the fallback doesn't rebuild per read; the EFFECTIVE cap is part of
+  // the key, so raising graft.dv.bitmapMaxBytes mid-session re-attempts
+  // the bitmap path instead of replaying a stale over-cap verdict.
   private val dvBitmapCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String,
         Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]]]](
@@ -1013,7 +1022,14 @@ object SnapshotStore {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String,
             Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]]]])
-          : Boolean = size > 8
+          : Boolean = {
+        val evict = size > 8
+        if (evict) e.getValue.foreach { b =>
+          try b.unpersist(blocking = false)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        evict
+      }
     })
 
   /** Per-file Roaring64 position bitmaps of dv dataset `dir`, built
@@ -1027,11 +1043,12 @@ object SnapshotStore {
     */
   private[graft] def dvBitmapBroadcast(spark: SparkSession, dir: String)
       : Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]]] = {
-    val key = spark.sparkContext.applicationId + "\u0000" + dir
-    val hit = dvBitmapCache.get(key)
-    if (hit != null) return hit
     val maxBytes = spark.conf.getOption("graft.dv.bitmapMaxBytes")
       .map(_.toLong).getOrElse(DvBitmapMaxBytes)
+    val key = spark.sparkContext.applicationId + "\u0000" + dir +
+      "\u0000" + maxBytes
+    val hit = dvBitmapCache.get(key)
+    if (hit != null) return hit
     val built: Array[(String, Array[Byte])] = spark.read.parquet(dir)
       .select(col("__file"), col("__pos"))
       .repartition(col("__file")) // each file's positions in ONE partition

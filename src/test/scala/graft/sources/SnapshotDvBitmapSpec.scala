@@ -77,6 +77,24 @@ class SnapshotDvBitmapSpec extends SparkSpec {
     } finally spark.conf.unset("graft.dv.bitmapMaxBytes")
   }
 
+  test("raising the bitmap cap mid-session re-attempts the bitmap path (no stale over-cap verdict)") {
+    val t = freshTable("recap")
+    seed(t)
+    SnapshotStore.delete(spark, t, col("id") <= 100L)
+    val dir = SnapshotStore.state(spark, t).live
+      .flatMap(_.dv.map(_._1)).distinct match { case Seq(d) => d }
+    spark.conf.set("graft.dv.bitmapMaxBytes", "1")
+    try {
+      assert(SnapshotStore.dvBitmapBroadcast(spark, dir).isEmpty,
+        "a 1-byte cap must refuse the bitmap")
+      // the over-cap verdict is keyed by the EFFECTIVE cap: raising it
+      // must rebuild and broadcast, not replay the cached None
+      spark.conf.set("graft.dv.bitmapMaxBytes", (256L << 20).toString)
+      assert(SnapshotStore.dvBitmapBroadcast(spark, dir).isDefined,
+        "a raised cap must re-attempt the bitmap path for the same dataset")
+    } finally spark.conf.unset("graft.dv.bitmapMaxBytes")
+  }
+
   test("SQL catalog and DSv2 reads go through the mask; time travel exact") {
     val t = freshTable("sql")
     seed(t)

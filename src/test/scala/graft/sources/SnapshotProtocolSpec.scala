@@ -158,4 +158,62 @@ class SnapshotProtocolSpec extends SparkSpec {
     assert(e.getMessage.contains("99") &&
       e.getMessage.contains(SnapshotStore.SupportedReaderVersion.toString))
   }
+
+  test("a plain append losing its race to a feature-introducing commit re-checks the gate on retry") {
+    val t = freshTable("wrace")
+    seed(t)
+    val prev = spark.conf.getOption(LogStore.ConfKey)
+    spark.conf.set(LogStore.ConfKey, classOf[FeatureRaceLogStore].getName)
+    try {
+      FeatureRaceLogStore.armFor.set(t)
+      // the append's FIRST attempt passes the gate (no features yet),
+      // then loses its putIfAbsent to the injected rowTracking commit;
+      // the retry's target version advanced → the gate must re-run and
+      // refuse, not let an oblivious writer slide past the new feature
+      val e = intercept[IllegalArgumentException] {
+        SnapshotStore.append(Seq((21L, 210L, "u1"))
+          .toDF("id", "score", "user"), t)
+      }
+      assert(e.getMessage.contains("rowTracking"), e.getMessage)
+      assert(SnapshotStore.state(spark, t).meta("op") === "feature_race",
+        "only the injected feature commit may land")
+      assert(SnapshotStore.snapshot(spark, t).count() === 20L)
+    } finally {
+      FeatureRaceLogStore.armFor.set(null)
+      prev match {
+        case Some(p) => spark.conf.set(LogStore.ConfKey, p)
+        case None => spark.conf.unset(LogStore.ConfKey)
+      }
+    }
+  }
+}
+
+/** Test double for the retry-gate race: the FIRST putIfAbsent against
+  * the armed table first lands a real feature-introducing commit at
+  * that very version (through the normal commit path, so it carries a
+  * valid footer), then lets the caller's publish lose — forcing the
+  * deterministic interleaving the gate's retry re-check exists for.
+  */
+class FeatureRaceLogStore extends RenameLogStore {
+  override def putIfAbsent(conf: org.apache.hadoop.conf.Configuration,
+                           dir: org.apache.hadoop.fs.Path,
+                           target: org.apache.hadoop.fs.Path,
+                           payload: Array[Byte]): Boolean = {
+    val armed = FeatureRaceLogStore.armFor.get()
+    if (armed != null && dir.toString.contains(armed.stripPrefix("file:")) &&
+        FeatureRaceLogStore.armFor.compareAndSet(armed, null)) {
+      SnapshotStore.commit(
+        org.apache.spark.sql.SparkSession.active, armed, adds = Nil,
+        removes = Nil,
+        meta = Map("op" -> "feature_race",
+          SnapshotStore.WriterFeaturesKey -> "rowTracking"),
+        mustBeLive = Nil)
+    }
+    super.putIfAbsent(conf, dir, target, payload)
+  }
+}
+
+object FeatureRaceLogStore {
+  /** Table path to inject against; nulled after the one injection. */
+  val armFor = new java.util.concurrent.atomic.AtomicReference[String](null)
 }

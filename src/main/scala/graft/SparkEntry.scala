@@ -2272,8 +2272,14 @@ object SparkEntry {
         shingleN = 3, minContainment = 0.6, dfCap = 10)
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_dedup_embedding" -> ((s, d) =>
-      Similarity.cosinePairs(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
-        bucketBits = 4, minCosine = 0.35)
+      // CORPUS-SCALED bucket width (ceil(log2(n/256)) hyperplane bits):
+      // per-bucket occupancy pinned ~256 at ANY corpus size, so the
+      // within-bucket candidate volume stays LINEAR (n·target/2) where
+      // fixed bits grow it quadratically (EmbedPairsProbe: 100.6× cand
+      // pairs for 10× rows at fixed 4 bits vs 7.3× scaled); the oracle
+      // derives the same bits from its own count(*)
+      Similarity.cosinePairsScaled(spread(Tables.embeddings(s, d)), "vec_id",
+        "embedding", minCosine = 0.35, targetBucketRows = 256)
         .orderBy(col("vec_a"), col("vec_b"))),
     "q_ann_bruteforce" -> ((s, d) =>
       Similarity.bruteForceTopK(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
@@ -4093,12 +4099,33 @@ object SparkEntry {
          |  JOIN sizes sb ON i.doc_b = sb.doc_id) t
          |WHERE greatest(c_ab, c_ba) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // replays the corpus-scaled derivation: bits from count(*), the
+    // md5-parity ±1 hyperplanes of Similarity.hyperplane, sign buckets,
+    // then the same within-bucket join — fully dynamic in SQL
     "q_dedup_embedding" ->
-      s"""WITH e AS ($embDoubleSql)
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |prm AS (SELECT greatest(1, CAST(ceil(log2(count(*) / 256.0)) AS INT)) AS bits,
+         |               max(len(v)) AS dim FROM e),
+         |planes AS (
+         |  SELECT j.j AS j,
+         |    list(CASE WHEN substr(md5('hp|' || j.j || '|' || d.d), 1, 1)
+         |              IN ('0','1','2','3','4','5','6','7')
+         |         THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS w
+         |  FROM (SELECT unnest(range((SELECT bits FROM prm))) AS j) j,
+         |       (SELECT unnest(range((SELECT dim FROM prm))) AS d) d
+         |  GROUP BY j.j),
+         |sig AS (
+         |  SELECT e.vec_id,
+         |    CAST(sum(CASE WHEN list_dot_product(e.v, p.w) > 0
+         |             THEN CAST(power(2, p.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e, planes p GROUP BY e.vec_id),
+         |sv AS (SELECT s.vec_id, s.bucket, e.v FROM sig s JOIN e USING (vec_id))
          |SELECT vec_a, vec_b, cos FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    round(${cosSql("a.v", "b.v")}, 6) AS cos
-         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
+         |  FROM sv a JOIN sv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
          |WHERE cos >= 0.35
          |ORDER BY vec_a, vec_b""".stripMargin,
     "q_ann_bruteforce" ->

@@ -277,11 +277,55 @@ object Similarity {
       .filter(col("cos") >= minCosine)
   }
 
-  /** Sign-bucket variant (kept as the default surface). */
+  /** Sign-bucket variant at EXPLICIT bits — callers who pin bucketBits
+    * by hand own the scale consequence: with B = 2^bits buckets fixed,
+    * the within-bucket candidate volume is ~n²/2B and grows QUADRATICALLY
+    * with the corpus. [[cosinePairsScaled]] is the bounded default.
+    */
   def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
                   bucketBits: Int, minCosine: Double): DataFrame =
     cosinePairsBucketed(embeddings, idCol, vecCol,
       signBucket(col(vecCol), bucketBits), minCosine)
+
+  /** Corpus-scaled bucket width: the smallest `bits` with expected
+    * occupancy n/2^bits ≤ targetBucketRows — i.e. ceil(log2(n/target)),
+    * floored at 1. With occupancy pinned, the within-bucket candidate
+    * volume is ~n·target/2: LINEAR in the corpus, the SemDeDup-shaped
+    * policy (cluster count scales with corpus size) that a fixed bucket
+    * count lacks. Deterministic and cross-engine reproducible — the
+    * oracle derives the same bits from its own count(*).
+    */
+  def scaledBucketBits(n: Long, targetBucketRows: Long): Int = {
+    require(targetBucketRows > 0,
+      s"targetBucketRows must be positive, got $targetBucketRows")
+    math.max(1, math.ceil(
+      math.log(n.toDouble / targetBucketRows) / math.log(2.0)).toInt)
+  }
+
+  /** Embedding near-duplicate pairs with the bucket count DERIVED from
+    * the corpus (the bounded default — [[scaledBucketBits]]): random
+    * hyperplane sign buckets ([[hyperplaneBucket]] — balanced under
+    * per-dimension bias, and not capped at `dim` planes the way axis
+    * sign buckets are, so bits keep scaling at 100× corpus) at
+    * ceil(log2(n/targetBucketRows)) bits. Soundness is unconditional
+    * (every emitted pair really has cos ≥ minCosine); recall is the LSH
+    * trade — a pair at angle θ shares all planes with probability
+    * (1−θ/π)^bits, so true near-dups (θ→0) survive ANY bits while the
+    * far pairs that dominate the candidate volume are pruned — and the
+    * spec pins planted-dup equivalence across bucket widths.
+    */
+  def cosinePairsScaled(embeddings: DataFrame, idCol: String, vecCol: String,
+                        minCosine: Double,
+                        targetBucketRows: Long = 256): DataFrame = {
+    val firstDim = embeddings.select(size(col(vecCol)).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0))
+    if (firstDim.isEmpty) // empty corpus: no pairs, any bucketing
+      return cosinePairsBucketed(embeddings, idCol, vecCol, lit(0L), minCosine)
+    val n = embeddings.count()
+    val bits = scaledBucketBits(n, targetBucketRows)
+    cosinePairsBucketed(embeddings, idCol, vecCol,
+      hyperplaneBucket(col(vecCol), bits, firstDim.get), minCosine)
+  }
 
   /** IVF with TRAINED centroids + multi-probe: one deterministic Lloyd
     * iteration (seeds = the first `numCentroids` ids, assignment by

@@ -123,6 +123,75 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L))) // 0-1 identical and same bucket
   }
 
+  test("scaledBucketBits pins per-bucket occupancy: bits grow with the corpus, candidate volume stays linear") {
+    // the derivation: smallest bits with n/2^bits <= target, floored at 1
+    assert(Similarity.scaledBucketBits(100, 256) === 1)   // tiny corpus
+    assert(Similarity.scaledBucketBits(256, 256) === 1)
+    assert(Similarity.scaledBucketBits(257, 256) === 1)
+    assert(Similarity.scaledBucketBits(513, 256) === 2)
+    assert(Similarity.scaledBucketBits(2000, 256) === 3)
+    assert(Similarity.scaledBucketBits(20000, 256) === 7)
+    assert(Similarity.scaledBucketBits(2000000, 256) === 13)
+    // 100 TB shape: 10^11 vectors still derive a usable plane count
+    assert(Similarity.scaledBucketBits(100000000000L, 256) === 29)
+    // invariant: expected occupancy n/2^bits <= target (within the
+    // integral-bits rounding), and one fewer bit would exceed it
+    for (n <- Seq(1000L, 12345L, 999999L, 12345678L)) {
+      val b = Similarity.scaledBucketBits(n, 256)
+      assert(n.toDouble / (1L << b) <= 256.0, s"n=$n bits=$b overshoots")
+      if (b > 1) assert(n.toDouble / (1L << (b - 1)) > 256.0,
+        s"n=$n bits=$b is wider than needed")
+    }
+  }
+
+  test("cosinePairsScaled: sound at any width, planted dups found across widths, volume bounded") {
+    graft.plans.GraftExtensions.register(spark)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // plant two exact duplicates of existing vectors under fresh ids
+    val planted = emb.filter(col("vec_id").isin(3L, 7L))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(planted).localCheckpoint()
+    val exact = corpus.as("x").join(corpus.as("y"),
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(Similarity.cosine(col("x.embedding"), col("y.embedding")), 6).as("cos"))
+      .filter(col("cos") >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    def at(bits: Int): Set[(Long, Long, Double)] =
+      Similarity.cosinePairsBucketed(corpus, "vec_id", "embedding",
+        Similarity.hyperplaneBucket(col("embedding"), bits, dim), 0.5)
+        .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)].collect().toSet
+    val scaled = Similarity.cosinePairsScaled(corpus, "vec_id", "embedding",
+      minCosine = 0.5, targetBucketRows = 256)
+      .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)].collect().toSet
+    // SOUNDNESS at every width: emitted pairs are a subset of the exact
+    // all-pairs set — bucketing trades recall, never correctness
+    for ((s, tag) <- Seq((at(2), "2"), (at(6), "6"), (at(10), "10"), (scaled, "scaled")))
+      assert(s.subsetOf(exact), s"bits=$tag emitted a non-pair")
+    // PLANTED-DUP EQUIVALENCE across widths: an exact duplicate agrees
+    // with its twin on EVERY sign plane, so the pair class the operator
+    // exists for survives any bits — 2, 6, 10, and the derived width
+    // all find both planted pairs
+    for ((s, tag) <- Seq((at(2), "2"), (at(6), "6"), (at(10), "10"), (scaled, "scaled"))) {
+      assert(s.exists { case (a, b, _) => a == 3L && b == 100003L },
+        s"bits=$tag lost planted dup 3")
+      assert(s.exists { case (a, b, _) => a == 7L && b == 100007L },
+        s"bits=$tag lost planted dup 7")
+    }
+    // VOLUME BOUND: the derived width keeps every bucket near the target
+    // (the property that makes the candidate volume ~n·target/2, linear)
+    val n = corpus.count()
+    val bits = Similarity.scaledBucketBits(n, 256)
+    val occ = corpus.select(Similarity.hyperplaneBucket(
+        col("embedding"), bits, dim).as("bk"))
+      .groupBy(col("bk")).count()
+      .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+      .head.getLong(0)
+    assert(occ <= n * 256, s"candidate volume $occ exceeds n*target=${n * 256}")
+  }
+
   test("persisted IVF index: train once to disk, probe reads it back identically") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -2314,6 +2314,14 @@ object SparkEntry {
       Similarity.kmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 4, iters = 2)
         .orderBy(col("vec_id"))),
+    "q_kmeans_pp" -> ((s, d) =>
+      // k-means++-style DETERMINISTIC seeding (farthest-first traversal,
+      // Gonzalez '85): seed spread guaranteed regardless of id order;
+      // each seeding round is ONE map-side struct-min aggregate — the
+      // oracle replays the seed chain + Lloyd rounds as CTEs
+      Similarity.kmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 4, iters = 2, seeding = "farthest")
+        .orderBy(col("vec_id"))),
     "q_semdedup" -> ((s, d) =>
       // SemDeDup: cluster (k-means), then near-dup removal bounded to
       // within-cluster pairs — Σ|cluster|² candidates, never corpus²
@@ -3759,14 +3767,47 @@ object SparkEntry {
   /** The WITH-clause of the k-means oracle, through the final
     * assignment relation `a<iters>` (vec_id, cid, cos, v) — shared by
     * q_kmeans and the SemDeDup oracle's within-cluster pair stage. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int): String =
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+       |         v AS cv
+       |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT $k)),
+       |""".stripMargin + lloydCtes(iters)
+
+  /** Farthest-first (k-means++-style, de-randomized) seeding CTEs +
+    * the same Lloyd rounds — mirrors `Similarity.farthestFirstSeeds`:
+    * seed 0 = the minimum-id vector; seed j = the row minimizing
+    * (rounded nearest-seed cosine, vec_id) over the j chosen seeds.
+    */
+  private def kmeansPpCtes(k: Int, iters: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS (SELECT vec_id,
-              |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-              |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-              |         v AS cv
-              |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT $k)),
-              |""".stripMargin
+    sb ++= """WITH e AS (SELECT vec_id,
+             |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |sd0 AS (SELECT v AS sv FROM e ORDER BY vec_id LIMIT 1),
+             |""".stripMargin
+    for (j <- 1 until k) {
+      val froms = (0 until j).map(i => s"sd$i").mkString(", ")
+      val near = (0 until j).map(i => s"round(${cosSql("e.v", s"sd$i.sv")}, 6)") match {
+        case Seq(one) => one
+        case many => many.mkString("greatest(", ", ", ")")
+      }
+      sb ++= s"""sd$j AS (SELECT v AS sv FROM (
+                |  SELECT e.vec_id, e.v, $near AS c FROM e, $froms)
+                |  ORDER BY c, vec_id LIMIT 1),
+                |""".stripMargin
+    }
+    sb ++= (0 until k)
+      .map(j => s"SELECT $j AS cid, sv AS cv FROM sd$j")
+      .mkString("c0 AS (", " UNION ALL ", "),\n")
+    sb.toString + lloydCtes(iters)
+  }
+
+  /** The shared Lloyd rounds, assuming relations `e` and `c0` exist —
+    * through the final assignment relation `a<iters>`.
+    */
+  private def lloydCtes(iters: Int): String = {
+    val sb = new StringBuilder
     for (i <- 0 to iters) {
       sb ++= s"""t$i AS (SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS cos, e.v
                 |       FROM e CROSS JOIN c$i c),
@@ -3789,6 +3830,12 @@ object SparkEntry {
 
   private def kmeansSql(k: Int, iters: Int): String =
     kmeansCtes(k, iters) +
+      s"""
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, cos
+         |FROM a$iters ORDER BY vec_id""".stripMargin
+
+  private def kmeansPpSql(k: Int, iters: Int): String =
+    kmeansPpCtes(k, iters) +
       s"""
          |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, cos
          |FROM a$iters ORDER BY vec_id""".stripMargin
@@ -4170,6 +4217,7 @@ object SparkEntry {
          |FROM e, q WHERE vec_id != 0 AND bucket = qb
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q_kmeans" -> kmeansSql(k = 4, iters = 2),
+    "q_kmeans_pp" -> kmeansPpSql(k = 4, iters = 2),
     "q_semdedup" ->
       (kmeansCtes(k = 8, iters = 1) +
         s""",

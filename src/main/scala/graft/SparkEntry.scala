@@ -2419,17 +2419,33 @@ object SparkEntry {
           md5(col("text").substr(col("start") + 1, lit(120))).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
     "q_boilerplate" -> ((s, d) => {
-      // CCNet line-df boilerplate removal: the corpus text is single-line,
-      // so site chrome is synthesized deterministically around it — a
-      // banner in every doc, a footer shared by each doc_id%5 class, a
-      // license line in every doc; df >= 50 removes banner/footers/license
-      // at sf0.01+ while each doc's own text line stays
-      val docs = spread(Tables.documents(s, d)).select(col("doc_id"),
-        concat_ws("\n",
-          lit("COOKIE NOTICE accept our cookies"),
-          col("text"),
+      // CCNet line-df boilerplate removal over MULTI-LINE ground truth:
+      // the corpus text is single-line, so each doc derives a real page
+      // deterministically — its own text split into 80-char body lines,
+      // site chrome INTERLEAVED (banner, nav per doc_id%3 class, an ad
+      // between body lines, footer per %5 class, license), one empty
+      // structural line (exempt by contract), and a near-threshold
+      // promo line per %250 class as the negative control (df stays
+      // under 50 at the gate SF — must survive). df >= 50 removes
+      // exactly the chrome; every body line is unique per doc and stays
+      val nChunks = greatest(
+        ceil(length(col("text")) / lit(80.0)).cast("int"), lit(1))
+      val lines = concat(
+        array(lit("COOKIE NOTICE accept our cookies"),
+          concat(lit("nav-"), pmod(col("doc_id"), lit(3)),
+            lit(" home products about")),
+          substring(col("text"), 1, 80),
+          lit("ADVERTISEMENT buy now")),
+        when(nChunks > 1,
+          transform(sequence(lit(1), nChunks - 1),
+            i => col("text").substr(i * lit(80) + lit(1), lit(80))))
+          .otherwise(array().cast("array<string>")),
+        array(lit(""),
+          concat(lit("promo-"), pmod(col("doc_id"), lit(250))),
           concat(lit("footer-"), pmod(col("doc_id"), lit(5))),
-          lit("ALL RIGHTS RESERVED")).as("text"))
+          lit("ALL RIGHTS RESERVED")))
+      val docs = spread(Tables.documents(s, d)).select(col("doc_id"),
+        array_join(lines, "\n").as("text"))
       Corpus.removeBoilerplate(docs, "doc_id", "text", minDocFreq = 50L)
         .orderBy(col("doc_id"))
     }),
@@ -4644,14 +4660,24 @@ object SparkEntry {
         |      FROM documents) t
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_boilerplate" ->
-      """WITH d AS (SELECT doc_id,
-        |       'COOKIE NOTICE accept our cookies' || chr(10) || text ||
-        |       chr(10) || 'footer-' || (doc_id % 5) || chr(10) ||
-        |       'ALL RIGHTS RESERVED' AS text
+      """WITH base AS (SELECT doc_id, text,
+        |       greatest(CAST(ceil(length(text) / 80.0) AS INT), 1) AS nc
         |     FROM documents),
+        |  d AS (SELECT doc_id,
+        |       ['COOKIE NOTICE accept our cookies',
+        |        'nav-' || (doc_id % 3) || ' home products about',
+        |        substr(text, 1, 80),
+        |        'ADVERTISEMENT buy now'] ||
+        |       CASE WHEN nc > 1
+        |            THEN list_transform(range(1, nc), i -> substr(text, i * 80 + 1, 80))
+        |            ELSE CAST([] AS VARCHAR[]) END ||
+        |       ['', 'promo-' || (doc_id % 250),
+        |        'footer-' || (doc_id % 5),
+        |        'ALL RIGHTS RESERVED'] AS lns
+        |     FROM base),
         |  n AS (SELECT doc_id,
-        |       unnest(string_split(text, chr(10))) AS line,
-        |       unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+        |       unnest(lns) AS line,
+        |       unnest(generate_series(1, len(lns))) AS pos
         |     FROM d),
         |  t AS (SELECT doc_id, pos, line, trim(line) AS norm FROM n),
         |  b AS (SELECT norm FROM t WHERE norm <> ''

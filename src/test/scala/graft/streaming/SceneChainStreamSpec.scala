@@ -102,4 +102,89 @@ class SceneChainStreamSpec extends SparkSpec {
       "streaming chain must land exactly the batch chain's scene table")
     assert(streamed.map(_.getLong(0)).distinct.sorted === Seq(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("scene table CDF drives a downstream MIRROR through upserts and compaction") {
+    // the reference's DynamoDB-reader story closed end-to-end in
+    // streaming: bags -> scene snapshot (keyed upsert) -> change feed ->
+    // an exact downstream mirror, riding through replayed-wave upserts
+    // (delete+insert pairs) and compaction (emits nothing)
+    val dir = Files.createTempDirectory("graft-scenemirror").toString
+    val scenes = "file:" + Files
+      .createTempDirectory("graft-scenemirror-t").toString + "/scenes"
+    val mirror = "file:" + Files
+      .createTempDirectory("graft-scenemirror-m").toString + "/mirror"
+    val ckptChain = Files.createTempDirectory("graft-scenemirror-ck1").toString
+    val ckptMirror = Files.createTempDirectory("graft-scenemirror-ck2").toString
+    writeBag(dir, "wave1", Seq(1, 2))
+    val chain = spark.readStream.format(fmt)
+      .option("typed", "true").option("topic", "np").load(dir)
+      .select(col("user"), col("ts_us"), col("np"))
+      .writeStream.option("checkpointLocation", ckptChain)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          SnapshotStore.upsert(scenesOf(batch), scenes,
+            keyCols = Seq("user_id", "start_time"))
+        ()
+      }.start()
+    chain.processAllAvailable()
+    // mirror loop: per _commit_version, apply deletes (composite scene
+    // key) then inserts — the proven CDF sync shape over the SCENE table
+    val sync = spark.readStream
+      .format(classOf[graft.sources.v2.SnapshotDataSource].getName)
+      .option("readChangeFeed", "true").load(scenes)
+      .writeStream.option("checkpointLocation", ckptMirror)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark2 = batch.sparkSession
+        val versions = batch.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).sorted
+        versions.foreach { ver =>
+          val b = batch.filter(col("_commit_version") === ver)
+          val delKeys = b.filter(col("_change_type") === "delete")
+            .select("user_id", "start_time").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSeq
+          if (delKeys.nonEmpty && SnapshotStore.latestVersion(spark2, mirror) > 0L)
+            SnapshotStore.delete(spark2, mirror,
+              delKeys.map { case (u, st) =>
+                col("user_id") === u && col("start_time") === st
+              }.reduce(_ || _))
+          val ins = b.filter(col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version")
+          if (!ins.isEmpty)
+            SnapshotStore.append(ins, mirror,
+              statsCols = Seq("user_id", "start_time"))
+        }
+        ()
+      }.start()
+    def mirrorEqualsScenes(): Unit = {
+      sync.processAllAvailable()
+      val cols = Seq("user_id", "start_time", "end_time",
+        "activity_at_start", "scene_id", "scene_length", "topics_analyzed")
+      val s = SnapshotStore.snapshot(spark, scenes)
+        .select(cols.head, cols.tail: _*)
+        .orderBy("user_id", "start_time").collect().toSeq
+      val m = SnapshotStore.snapshot(spark, mirror)
+        .select(cols.head, cols.tail: _*)
+        .orderBy("user_id", "start_time").collect().toSeq
+      assert(s.nonEmpty && m === s, s"mirror drifted: scenes=$s mirror=$m")
+    }
+    try {
+      mirrorEqualsScenes() // initial load
+      // wave2 REPLAYS user 1 (same keys -> upsert delete+insert pairs)
+      // and adds user 3 — the mirror must apply both, in version order
+      writeBag(dir, "wave2", Seq(1, 3))
+      chain.processAllAvailable()
+      mirrorEqualsScenes()
+      // compaction is content-preserving: the feed emits nothing and
+      // the mirror must not drift
+      SnapshotStore.compact(spark, scenes, targetFiles = 1)
+      mirrorEqualsScenes()
+      // one more wave AFTER compaction still flows through
+      writeBag(dir, "wave3", Seq(4))
+      chain.processAllAvailable()
+      mirrorEqualsScenes()
+      assert(SnapshotStore.snapshot(spark, mirror)
+        .select("user_id").distinct().as[Long].collect().sorted
+        === Array(1L, 2L, 3L, 4L))
+    } finally { chain.stop(); sync.stop() }
+  }
 }

@@ -431,7 +431,7 @@ object Bench {
     // build and q_dup_clusters_star times the CC iteration alone — each
     // curve measures its operator's marginal work.
     val scalingQs = Seq("q_dedup_minhash", "q_ngram_jaccard", "q_dup_clusters_star",
-      "q_containment")
+      "q_containment", "q_simhash_pairs")
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1,10")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq.sorted
     val scaling: Option[(String, String)] =

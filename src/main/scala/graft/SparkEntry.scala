@@ -2257,8 +2257,13 @@ object SparkEntry {
       Dedup.simHash(spread(Tables.documents(s, d)), "doc_id", "text")
         .orderBy(col("doc_id"))),
     "q_simhash_pairs" -> ((s, d) =>
-      Dedup.simHashPairs(spread(Tables.documents(s, d)), "doc_id", "text",
-        bucketBits = 8, maxHamming = 24)
+      // CORPUS-SCALED bucket width (same bound as q_dedup_embedding):
+      // simhash-prefix buckets at ceil(log2(n/256)) bits — candidate
+      // volume stays ~n·128 at any corpus where fixed 8 bits grew it
+      // quadratically (the 5.53× r15 step); oracle derives the same
+      // bits from count(*)
+      Dedup.simHashPairsScaled(spread(Tables.documents(s, d)), "doc_id",
+        "text", maxHamming = 24, targetBucketRows = 256)
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(spread(Tables.documents(s, d)), "doc_id", "text",
@@ -2327,6 +2332,14 @@ object SparkEntry {
       // within-cluster pairs — Σ|cluster|² candidates, never corpus²
       Similarity.semDedup(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
         k = 8, iters = 1, minCosine = 0.35)
+        .orderBy(col("vec_id"))),
+    "q_semdedup_scaled" -> ((s, d) =>
+      // the paper's "grow k with the corpus" as the default: k =
+      // ceil(n/256) table-resident ivfTrain clusters — within-cluster
+      // pair volume ~n·128 LINEAR where fixed k grows it n²/2k; oracle
+      // derives the same k from count(*) (dynamic LIMIT)
+      Similarity.semDedupScaled(spread(Tables.embeddings(s, d)), "vec_id",
+        "embedding", minCosine = 0.35, targetClusterRows = 256)
         .orderBy(col("vec_id"))),
     "q_centroids" -> ((s, d) =>
       // per-label centroid exploded to scalars for the oracle compare
@@ -4120,7 +4133,10 @@ object SparkEntry {
       (simhashSql + "\nORDER BY doc_id"),
     "q_simhash_pairs" ->
       s"""WITH sh AS ($simhashSql),
-         |bkt AS (SELECT doc_id, simhash, simhash >> 52 AS bucket FROM sh)
+         |prm AS (SELECT least(48, greatest(1,
+         |          CAST(ceil(log2(count(*) / 256.0)) AS INT))) AS bits FROM sh),
+         |bkt AS (SELECT doc_id, simhash,
+         |          simhash >> (60 - (SELECT bits FROM prm)) AS bucket FROM sh)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -4243,6 +4259,38 @@ object SparkEntry {
            |SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cluster_id,
            |  m.vec_id NOT IN (SELECT vec_id FROM dup) AS keep
            |FROM a1 m ORDER BY m.vec_id""".stripMargin),
+    // replays ivfTrain with k DERIVED from count(*) (dynamic LIMIT),
+    // then the within-cluster pair + keep-lowest stage; cluster ids are
+    // the seed vector ids (ivfTrain's convention)
+    "q_semdedup_scaled" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |prm AS (SELECT greatest(1, CAST(ceil(count(*) / 256.0) AS INT)) AS k FROM e),
+         |seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
+         |          LIMIT (SELECT k FROM prm)),
+         |asg0 AS (
+         |  SELECT vec_id, first(cid ORDER BY cos DESC, cid) AS cid FROM (
+         |    SELECT e.vec_id, s.cid, round(${cosSql("e.v", "s.cv")}, 6) AS cos
+         |    FROM e CROSS JOIN seeds s) x
+         |  GROUP BY vec_id),
+         |dims AS (SELECT a.cid, unnest(e.v) AS val, unnest(range(1, len(e.v) + 1)) AS pos
+         |         FROM asg0 a JOIN e USING (vec_id)),
+         |cent AS (
+         |  SELECT cid, list(round(cval, 6) ORDER BY pos) AS cv FROM (
+         |    SELECT cid, pos, avg(val) AS cval FROM dims GROUP BY cid, pos) g
+         |  GROUP BY cid),
+         |asg AS (
+         |  SELECT vec_id, first(cid ORDER BY cos DESC, cid) AS cid FROM (
+         |    SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS cos
+         |    FROM e CROSS JOIN cent c) x
+         |  GROUP BY vec_id),
+         |av AS (SELECT a.vec_id, a.cid, e.v FROM asg a JOIN e USING (vec_id)),
+         |dup AS (SELECT DISTINCT b.vec_id
+         |        FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |        WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.35)
+         |SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cluster_id,
+         |  m.vec_id NOT IN (SELECT vec_id FROM dup) AS keep
+         |FROM av m ORDER BY m.vec_id""".stripMargin,
     "q_centroids" ->
       // parallel unnests zip positionally in DuckDB; accumulation is
       // double on both sides, rounded 6dp against summation-order drift

@@ -658,6 +658,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** [[simHashPairs]] with the bucket width DERIVED from the corpus
+    * (the bounded default — [[Similarity.scaledBucketBits]]): bits =
+    * ceil(log2(n/targetBucketRows)), so expected bucket occupancy stays
+    * ~target at any corpus size and the within-bucket candidate volume
+    * is ~n·target/2, LINEAR — a fixed width grows it n²/2B (the same
+    * quadratic the r16 EmbedPairsProbe measured on the embedding twin:
+    * 100.6× candidates for 10× rows). Buckets are simhash PREFIXES, so
+    * widening only splits buckets: exact dups (identical simhash) share
+    * every width, and a pair lost at width b is lost at every wider b —
+    * the recall trade is monotone and spec-pinned. Capped at 48 bits
+    * (the 60-bit simhash must keep low bits out of the bucket).
+    */
+  def simHashPairsScaled(docs: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int = 8, targetBucketRows: Long = 256,
+                         sigPath: Option[String] = None): DataFrame = {
+    val n = docs.count()
+    val bits = math.min(48,
+      Similarity.scaledBucketBits(n, targetBucketRows))
+    simHashPairs(docs, idCol, textCol, bits, maxHamming, sigPath)
+  }
+
   /** Per-doc ascending-sorted array of distinct 60-bit shingle hashes —
     * the set-similarity signature, computed entirely MAP-SIDE (tokenize →
     * shingle → md5-60bit → sort, one projection; no explode, no shuffle).

@@ -420,6 +420,45 @@ object Similarity {
     * codegen'd cosine filter. Returns (vec_id, cluster_id, keep) —
     * curation joins `keep` back to the documents table.
     */
+  /** [[semDedup]] with the CLUSTER COUNT derived from the corpus — the
+    * "grow k with the corpus" the paper's tractability argument assumes,
+    * made a default instead of a caller obligation: k = ceil(n/target),
+    * so expected cluster occupancy stays ~target at any corpus size and
+    * the within-cluster pair volume stays ~n·target/2 (LINEAR; a fixed
+    * k grows it n²/2k — the same physics [[cosinePairsScaled]] bounds
+    * for LSH buckets). Clustering rides [[ivfTrain]]'s TABLE-RESIDENT
+    * centroids (one deterministic Lloyd iteration, seeds = first k ids):
+    * no k-sized driver collect and no k plan literals, so the plan shape
+    * is k-agnostic — the assignment broadcast holds to ~10⁷ centroids
+    * (k·dim doubles); past that, grow `targetClusterRows` so k stays
+    * broadcastable (the paper itself caps cluster count, not size).
+    * Cluster ids are the SEED VECTOR ids (ivfTrain's convention), not
+    * dense ranks. Same keep-lowest rule as [[semDedup]].
+    */
+  def semDedupScaled(embeddings: DataFrame, idCol: String, vecCol: String,
+                     minCosine: Double,
+                     targetClusterRows: Long = 256): DataFrame = {
+    require(targetClusterRows > 0,
+      s"targetClusterRows must be positive, got $targetClusterRows")
+    val n = embeddings.count()
+    val k = math.max(1L, math.ceil(n.toDouble / targetClusterRows))
+      .min(Int.MaxValue.toLong).toInt
+    val (_, asg) = ivfTrain(embeddings, idCol, vecCol, k)
+    // v came in float, trained as double: the float round-trip is exact,
+    // so the fused float cosine kernel scores identically to the source
+    val m = asg.select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
+      transform(col("v"), x => x.cast("float")).as("v"))
+    val dup = m.as("a").join(m.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(round(cosineNative(col("a.v"), col("b.v")), 6) >= minCosine)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    m.select(col("vec_id"), col("cluster_id"))
+      .join(dup.withColumn("__dup", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(!col("__dup"), lit(true)).as("keep"))
+  }
+
   def semDedup(embeddings: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int, minCosine: Double): DataFrame = {
     val m = kmeansAssignWithVec(embeddings, idCol, vecCol, k, iters)

@@ -27,7 +27,7 @@ import graft.sources.{SnapshotStore, Tables}
   */
 object DvProbe {
   def measure(spark: SparkSession, sfDir: String, rep: Int, files: Int,
-              pct: Int): String = {
+              pct: Int, passes: Int = 5): String = {
     val t = "file:" + java.nio.file.Files
       .createTempDirectory("graft-dvprobe").toString + "/t"
     val base = Tables.eventsUs(spark, sfDir)
@@ -44,21 +44,32 @@ object DvProbe {
     def scan(): DataFrame = SnapshotStore.snapshot(spark, t)
       .groupBy(col("event_type"))
       .agg(sum(col("value")).as("sv"), count(lit(1)).as("n"))
-    def median5(build: () => DataFrame): Double = {
+    // median + sample stddev over `passes` fresh executions: the r15
+    // sweep's 1.30–2.17 swing at the same 30% point was sub-second
+    // medians under ambient load — more passes + a larger base table
+    // (rep) separate the mask cost from the 1/(1−frac) floor cleanly
+    def timed(build: () => DataFrame): (Double, Double) = {
       build().queryExecution.toRdd.count() // warm
-      val runs = (1 to 5).map { _ =>
+      val runs = (1 to passes).map { _ =>
         val df = build()
         val t0 = System.nanoTime()
         df.queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      runs(runs.size / 2)
+      val med = runs(runs.size / 2)
+      val mean = runs.sum / runs.size
+      val sd = math.sqrt(
+        runs.map(x => (x - mean) * (x - mean)).sum / math.max(1, runs.size - 1))
+      (med, sd)
     }
-    val scanDv = median5(scan)
+    val (scanDv, sdDv) = timed(scan)
     SnapshotStore.purgeDv(spark, t)
-    val scanPurged = median5(scan)
+    val (scanPurged, sdPurged) = timed(scan)
     val ratio = if (scanPurged > 0) scanDv / scanPurged else -1.0
-    f"""{"rows":$rows,"deleted":$deleted,"files":$files,"scan_dv":$scanDv%.3f,"scan_purged":$scanPurged%.3f,"ratio":$ratio%.2f}"""
+    f"""{"rows":$rows,"deleted":$deleted,"files":$files,"pct":$pct,""" +
+      f""""passes":$passes,"scan_dv":$scanDv%.3f,"sd_dv":$sdDv%.3f,""" +
+      f""""scan_purged":$scanPurged%.3f,"sd_purged":$sdPurged%.3f,""" +
+      f""""ratio":$ratio%.2f,"floor":${1.0 / (1.0 - pct / 100.0)}%.2f}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -66,10 +77,11 @@ object DvProbe {
     val rep = args.lift(1).map(_.toInt).getOrElse(8)
     val files = args.lift(2).map(_.toInt).getOrElse(64)
     val pct = args.lift(3).map(_.toInt).getOrElse(30)
+    val passes = args.lift(4).map(_.toInt).getOrElse(5)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-dvprobe")
     spark.sparkContext.setLogLevel("WARN")
-    println("[dvprobe] " + measure(spark, sfDir, rep, files, pct))
+    println("[dvprobe] " + measure(spark, sfDir, rep, files, pct, passes))
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -50,6 +51,39 @@ class DedupSpec extends SparkSpec {
     val hammingNear = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
     val hammingFar = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
     assert(hammingNear < hammingFar)
+  }
+
+  test("simHashPairsScaled: monotone prefix recall, exact dups at every width, derived width bounded") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus0 = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    // plant an exact duplicate of doc 3 under a fresh id
+    val corpus = corpus0.unionByName(
+      corpus0.filter(col("doc_id") === 3L)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+      .localCheckpoint()
+    def at(bits: Int): Set[(Long, Long)] =
+      Dedup.simHashPairs(corpus, "doc_id", "text", bucketBits = bits,
+        maxHamming = 24)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val scaled = Dedup.simHashPairsScaled(corpus, "doc_id", "text",
+      maxHamming = 24, targetBucketRows = 256)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val (w2, w8, w16) = (at(2), at(8), at(16))
+    // buckets are simhash PREFIXES: widening only splits buckets, so
+    // recall is monotone in width (every wider answer nests)
+    assert(w16.subsetOf(w8) && w8.subsetOf(w2),
+      s"prefix recall must be monotone: |w2|=${w2.size} |w8|=${w8.size} |w16|=${w16.size}")
+    // the pair class the operator exists for — identical simhash —
+    // shares every prefix width, including the derived one
+    for ((s, tag) <- Seq((w2, "2"), (w8, "8"), (w16, "16"), (scaled, "scaled")))
+      assert(s.contains((3L, 900003L)), s"bits=$tag lost the exact dup")
+    // the derived width == the explicit simHashPairs at that width
+    // (delegation, pinned so the scaled surface can't drift), and it is
+    // the scaledBucketBits derivation
+    val bits = math.min(48,
+      graft.operators.Similarity.scaledBucketBits(corpus.count(), 256))
+    assert(scaled === at(bits))
   }
 
   test("ngramJaccard finds near-dups through the inverted index only") {

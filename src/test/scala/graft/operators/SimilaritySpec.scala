@@ -272,6 +272,39 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length === 12 && out.count(_._3) === 2)
   }
 
+  test("semDedupScaled: derived k bounds cluster occupancy; keep-lowest holds; ids are seed ids") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    // plant an exact duplicate of vec 3 under a HIGHER id: same cluster
+    // (identical vector -> identical argmax), keep-lowest must drop it
+    val corpus = emb.unionByName(
+      emb.filter(col("vec_id") === 3L)
+        .select((col("vec_id") + 700000L).as("vec_id"), col("embedding")))
+      .localCheckpoint()
+    val n = corpus.count()
+    val out = Similarity.semDedupScaled(corpus, "vec_id", "embedding",
+      minCosine = 0.9, targetClusterRows = 64)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length === n)
+    val planted = rows.find(_._1 == 700003L).get
+    val original = rows.find(_._1 == 3L).get
+    assert(planted._2 === original._2, "identical vectors must share a cluster")
+    assert(!planted._3 && original._3,
+      "keep-lowest: the planted higher-id twin drops, the original keeps")
+    // derived k: cluster count tracks ceil(n/target) minus empty seeds;
+    // occupancy stays bounded near target (the linearity invariant)
+    val k = math.ceil(n.toDouble / 64).toInt
+    val occ = rows.groupBy(_._2).map(_._2.length)
+    assert(occ.size <= k, s"more clusters (${occ.size}) than seeds ($k)")
+    assert(occ.max <= 8 * 64,
+      s"a cluster at ${occ.max} rows defeats the occupancy bound")
+    // cluster ids are SEED VECTOR ids (ivfTrain convention): every id
+    // labels an actual corpus vector
+    val ids = rows.map(_._1).toSet
+    assert(rows.map(_._2).toSet.subsetOf(ids))
+  }
+
   test("kmeansAssign: zero iterations assigns against the seed vectors; empty clusters drop") {
     import org.apache.spark.sql.functions._
     // all vectors identical to vector 0 → every row lands in cluster 0

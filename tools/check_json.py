@@ -3,16 +3,24 @@
 the shape of the driver's CORRECTNESS_r{N}.json, for recording
 off-cycle correctness runs (e.g. the sf1 scale-step spot check).
 
-Usage: python3 tools/check_json.py <sfDir> <outDir> <jsonOut> [query ...]
+Usage: python3 tools/check_json.py [--rel] <sfDir> <outDir> <jsonOut> [query ...]
+
+--rel forwards check.py's relative-tolerance float compare (use for
+large-SF runs where 1e10-scale double sums differ in the 14th digit
+by summation order across engines).
 """
 import sys, json, re, subprocess, os
 
 def main():
-    sf_dir, out_dir, json_out = sys.argv[1], sys.argv[2], sys.argv[3]
-    queries = sys.argv[4:]
+    args = sys.argv[1:]
+    rel = ["--rel"] if "--rel" in args else []
+    if rel:
+        args.remove("--rel")
+    sf_dir, out_dir, json_out = args[0], args[1], args[2]
+    queries = args[3:]
     proc = subprocess.run(
-        [sys.executable, os.path.join(os.path.dirname(__file__), "check.py"),
-         sf_dir, out_dir] + queries,
+        [sys.executable, os.path.join(os.path.dirname(__file__), "check.py")]
+        + rel + [sf_dir, out_dir] + queries,
         capture_output=True, text=True)
     sys.stdout.write(proc.stdout)
     sys.stderr.write(proc.stderr)
@@ -26,7 +34,7 @@ def main():
         if m:
             results[m.group(1)] = {"pass": False, "detail": line.strip()}
     with open(json_out, "w") as f:
-        json.dump({"sf_dir": sf_dir, "results": results,
+        json.dump({"sf_dir": sf_dir, "rel": bool(rel), "results": results,
                    "pass": sum(1 for r in results.values() if r["pass"]),
                    "fail": sum(1 for r in results.values() if not r["pass"])},
                   f, indent=2, sort_keys=True)

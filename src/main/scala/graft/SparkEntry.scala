@@ -2228,6 +2228,16 @@ object SparkEntry {
     "q_ann_ivf_trained" -> ((s, d) =>
       Similarity.ivfTrainedTopK(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
         queryId = 0L, k = 10, numCentroids = 8, probes = 2)),
+    "q_ann_ivf_scaled" -> ((s, d) => {
+      // IVF at the standard √n centroid count (Similarity.scaledCentroids):
+      // probe cost ~k + probes·n/k stays O(√n) at any corpus where the
+      // fixed-k form leaves the inverted-list leg O(n); oracle derives
+      // the same k from count(*)
+      val e = spread(Tables.embeddings(s, d))
+      Similarity.ivfTrainedTopK(e, "vec_id", "embedding", queryId = 0L,
+        k = 10, numCentroids = Similarity.scaledCentroids(e.count()),
+        probes = 2)
+    }),
     "q_ann_ivf_indexed" -> ((s, d) => {
       // the PERSISTED, COMMIT-MAINTAINED IVF: centroids + cid-clustered
       // inverted lists as snapshot-table sidecars stamped with the
@@ -4073,6 +4083,37 @@ object SparkEntry {
         |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    // the √n-centroid form: identical replay with k from count(*)
+    "q_ann_ivf_scaled" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |prm AS (SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM e),
+         |seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
+         |          LIMIT (SELECT k FROM prm)),
+         |asg0 AS (
+         |  SELECT vec_id, first(cid ORDER BY cos DESC, cid) AS cid FROM (
+         |    SELECT e.vec_id, s.cid, round(${cosSql("e.v", "s.cv")}, 6) AS cos
+         |    FROM e CROSS JOIN seeds s) x
+         |  GROUP BY vec_id),
+         |dims AS (SELECT a.cid, unnest(e.v) AS val, unnest(range(1, len(e.v) + 1)) AS pos
+         |         FROM asg0 a JOIN e USING (vec_id)),
+         |cent AS (
+         |  SELECT cid, list(round(cval, 6) ORDER BY pos) AS cv FROM (
+         |    SELECT cid, pos, avg(val) AS cval FROM dims GROUP BY cid, pos) g
+         |  GROUP BY cid),
+         |asg AS (
+         |  SELECT vec_id, first(cid ORDER BY cos DESC, cid) AS cid FROM (
+         |    SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS cos
+         |    FROM e CROSS JOIN cent c) x
+         |  GROUP BY vec_id),
+         |qp AS (
+         |  SELECT c.cid, q.v AS qv
+         |  FROM (SELECT v FROM e WHERE vec_id = 0) q CROSS JOIN cent c
+         |  ORDER BY round(${cosSql("q.v", "c.cv")}, 6) DESC, c.cid LIMIT 2)
+         |SELECT e.vec_id, round(${cosSql("e.v", "qp.qv")}, 6) AS cos
+         |FROM asg JOIN e USING (vec_id) JOIN qp ON asg.cid = qp.cid
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
     "q_ann_ivf_trained" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),

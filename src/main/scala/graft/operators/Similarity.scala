@@ -302,6 +302,16 @@ object Similarity {
       math.log(n.toDouble / targetBucketRows) / math.log(2.0)).toInt)
   }
 
+  /** Corpus-scaled IVF centroid count: k = ceil(√n), the standard IVF
+    * sizing — a probe touches ~k centroids + probes·n/k list rows, and
+    * that sum is minimized at k ≈ √(n·probes); √n keeps both legs
+    * O(√n) at ANY corpus where a fixed k leaves the list leg O(n).
+    * Deterministic and oracle-reproducible from count(*).
+    */
+  def scaledCentroids(n: Long): Int =
+    math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      .min(Int.MaxValue.toLong).toInt
+
   /** Embedding near-duplicate pairs with the bucket count DERIVED from
     * the corpus (the bounded default — [[scaledBucketBits]]): random
     * hyperplane sign buckets ([[hyperplaneBucket]] — balanced under

@@ -96,14 +96,24 @@ object ZOrder {
       s"zorderCols supports 2 or 3 columns, got ${other.length}")
   }
 
-  /** The 3-D spread chain as ANSI SQL text (twin of [[spreadSql]]). */
+  /** The 3-D spread chain as ANSI SQL text (twin of [[spread3]]).
+    * Each step PRE-masks the shift operand with `mask >> shift` instead
+    * of post-masking the OR — bit-identical (the post-mask discards
+    * exactly the bits the pre-mask withholds) but every intermediate
+    * stays under 2⁶³: the naive `s1 << 16` reaches bit 68 whenever the
+    * input has bits ≥ 16 set, which Java wraps silently and ANSI
+    * engines (DuckDB) reject as signed-bigint overflow — the sf1 gate
+    * caught exactly that (inputs ≥ 65536 first appear past sf0.01).
+    */
   def spread3Sql(e: String): String = {
     val s0 = s"(($e) & 2097151)"
-    val s1 = s"((($s0 | ($s0 << 32)) & 8725724278095871))"
-    val s2 = s"((($s1 | ($s1 << 16)) & 8725728556220671))"
-    val s3 = s"((($s2 | ($s2 << 8)) & 1157144660301377551))"
-    val s4 = s"((($s3 | ($s3 << 4)) & 1207822528635744451))"
-    s"((($s4 | ($s4 << 2)) & 1317624576693539401))"
+    def step(s: String, mask: Long, preMask: Long, shift: Int): String =
+      s"((($s & $mask) | (($s & $preMask) << $shift)))"
+    val s1 = step(s0, 8725724278095871L, 2031616L, 32)
+    val s2 = step(s1, 8725728556220671L, 133144051456L, 16)
+    val s3 = step(s2, 1157144660301377551L, 4520096329302256L, 8)
+    val s4 = step(s3, 1207822528635744451L, 75488908039734028L, 4)
+    step(s4, 1317624576693539401L, 329406144173384850L, 2)
   }
 
   /** SQL-text twin of [[zorder3_64]]. */

@@ -129,7 +129,7 @@ class SceneChainStreamSpec extends SparkSpec {
     chain.processAllAvailable()
     // mirror loop: per _commit_version, apply deletes (composite scene
     // key) then inserts — the proven CDF sync shape over the SCENE table
-    val sync = spark.readStream
+    def startSync() = spark.readStream
       .format(classOf[graft.sources.v2.SnapshotDataSource].getName)
       .option("readChangeFeed", "true").load(scenes)
       .writeStream.option("checkpointLocation", ckptMirror)
@@ -155,6 +155,7 @@ class SceneChainStreamSpec extends SparkSpec {
         }
         ()
       }.start()
+    var sync = startSync()
     def mirrorEqualsScenes(): Unit = {
       sync.processAllAvailable()
       val cols = Seq("user_id", "start_time", "end_time",
@@ -182,9 +183,18 @@ class SceneChainStreamSpec extends SparkSpec {
       writeBag(dir, "wave3", Seq(4))
       chain.processAllAvailable()
       mirrorEqualsScenes()
+      // RESTART leg: kill the mirror stream, land a wave that BOTH
+      // replays user 4 (upsert delete+insert on existing keys) and adds
+      // user 5 while the mirror is down, then resume from the same
+      // checkpoint — exactly the missed versions apply, nothing replays
+      sync.stop()
+      writeBag(dir, "wave4", Seq(4, 5))
+      chain.processAllAvailable()
+      sync = startSync()
+      mirrorEqualsScenes()
       assert(SnapshotStore.snapshot(spark, mirror)
         .select("user_id").distinct().as[Long].collect().sorted
-        === Array(1L, 2L, 3L, 4L))
+        === Array(1L, 2L, 3L, 4L, 5L))
     } finally { chain.stop(); sync.stop() }
   }
 }

@@ -445,7 +445,13 @@ object Bench {
           base
             .select(col("*"), explode(expr(s"sequence(0, ${sc - 1})")).as("rep"))
             .select(
-              (col("doc_id") + col("rep") * lit(100000000L)).as("doc_id"),
+              // shift must clear EVERY real id: sf1 corpora already carry
+              // ScaleUp's 1e8 replica shift, so a 1e8 shift here COLLIDES
+              // ids across replicas — two different docs under one
+              // doc_id, which multiplies the signature join-back and
+              // read as phantom superlinearity (the r15/r16 sf1-run
+              // ngram/containment xlin inflation; root-caused r16)
+              (col("doc_id") + col("rep") * lit(1000000000000L)).as("doc_id"),
               when(col("rep") === 0, col("text")).otherwise(expr(
                 "array_join(transform(split(text, ' '), w -> concat(w, 'x', rep)), ' ')"))
                 .as("text"),

@@ -798,11 +798,19 @@ object Dedup {
       case "df" =>
         val ex = sigs.select(col(idCol), explode(col("hs")).as("h"))
         val dft = ex.groupBy(col("h")).agg(count(lit(1)).as("sdf"))
-        ex.join(dft, "h")
+        // BOTH joins pin sort-merge: every relation here is corpus-sized
+        // (the exploded shingle table, the distinct-shingle df table, and
+        // the collect_list output whose ~100-struct arrays make its
+        // row-count estimate wildly under-read its bytes) — at 500k docs
+        // AQE's broadcast pick on the array-aggregated side OOM'd the
+        // driver (JaccardScaleProbe r16); a broadcast would also never
+        // survive 100 TB, so the hint states the true shape
+        ex.join(dft.hint("merge"), "h")
           .groupBy(col(idCol))
           .agg(sort_array(collect_list(struct(col("sdf"), col("h")))).as("o"))
           .select(col(idCol), transform(col("o"), x => x.getField("h")).as("hs_ord"))
-          .join(sigs.select(col(idCol), col("n_sh"), col("prefix_len")), idCol)
+          .join(sigs.select(col(idCol), col("n_sh"), col("prefix_len"))
+            .hint("merge"), idCol)
     }
     val prefix0 = prefixSource
       .select(col(idCol), col("n_sh"),

@@ -3797,6 +3797,15 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** ceil(log2(q)) for an integer expression q >= 1, in EXACT integer
+    * arithmetic (binary digit count of q-1) — mirrors
+    * `Similarity.ceilLog2` so impl and oracle derive identical bucket
+    * widths even where n/target is an exact power of two (float
+    * ln-ratio overshoots there).
+    */
+  private def clog2Sql(q: String): String =
+    s"(CASE WHEN $q <= 1 THEN 0 ELSE length(bin($q - 1)) END)"
+
   /** The k-means oracle: the same rank-seeded Lloyd rounds as
     * [[graft.operators.Similarity.kmeansAssign]], one CTE pair per
     * round. Every cross-engine seam is pinned the same way — scores
@@ -4174,8 +4183,8 @@ object SparkEntry {
       (simhashSql + "\nORDER BY doc_id"),
     "q_simhash_pairs" ->
       s"""WITH sh AS ($simhashSql),
-         |prm AS (SELECT least(48, greatest(1,
-         |          CAST(ceil(log2(count(*) / 256.0)) AS INT))) AS bits FROM sh),
+         |prm AS (SELECT least(48, greatest(1, ${clog2Sql("q")})) AS bits
+         |        FROM (SELECT (count(*) + 255) // 256 AS q FROM sh)),
          |bkt AS (SELECT doc_id, simhash,
          |          simhash >> (60 - (SELECT bits FROM prm)) AS bucket FROM sh)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -4226,8 +4235,8 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
-         |prm AS (SELECT greatest(1, CAST(ceil(log2(count(*) / 256.0)) AS INT)) AS bits,
-         |               max(len(v)) AS dim FROM e),
+         |prm AS (SELECT greatest(1, ${clog2Sql("q")}) AS bits, dim FROM
+         |        (SELECT (count(*) + 255) // 256 AS q, max(len(v)) AS dim FROM e)),
          |planes AS (
          |  SELECT j.j AS j,
          |    list(CASE WHEN substr(md5('hp|' || j.j || '|' || d.d), 1, 1)
@@ -4238,7 +4247,7 @@ object SparkEntry {
          |  GROUP BY j.j),
          |sig AS (
          |  SELECT e.vec_id,
-         |    CAST(sum(CASE WHEN list_dot_product(e.v, p.w) > 0
+         |    CAST(sum(CASE WHEN round(list_dot_product(e.v, p.w), 6) > 0
          |             THEN CAST(power(2, p.j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
          |  FROM e, planes p GROUP BY e.vec_id),
          |sv AS (SELECT s.vec_id, s.bucket, e.v FROM sig s JOIN e USING (vec_id))

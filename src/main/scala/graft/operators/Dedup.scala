@@ -638,15 +638,16 @@ object Dedup {
     * distance ≤ maxHamming (native bit_count(xor)). The bucket prefix is
     * the LSH band — at scale the join shuffles only (bucket) groups.
     */
-  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   bucketBits: Int = 16, maxHamming: Int = 8,
-                   sigPath: Option[String] = None): DataFrame = {
-    // materialize the (id, simhash, bucket) table once: both join branches
-    // read it, and the barrier keeps the md5 tree out of the join stage
-    // (see ngramJaccardPairs)
+  /** The pair stage over an already-built `(idCol, simhash)` relation —
+    * shared by the fixed-width and corpus-scaled forms so the scaled
+    * derivation can count the MATERIALIZED signatures instead of
+    * re-evaluating the corpus lineage.
+    */
+  private def simHashPairsFrom(sh0: DataFrame, idCol: String,
+                               bucketBits: Int, maxHamming: Int,
+                               sigPath: Option[String]): DataFrame = {
     val sh = materialize(
-      simHash(docs, idCol, textCol)
-        .withColumn("bucket", shiftright(col("simhash"), 60 - bucketBits)),
+      sh0.withColumn("bucket", shiftright(col("simhash"), 60 - bucketBits)),
       sigPath)
       .repartition(col("bucket"))
     val a = sh.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"), col("bucket"))
@@ -657,6 +658,15 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bucketBits: Int = 16, maxHamming: Int = 8,
+                   sigPath: Option[String] = None): DataFrame =
+    // materialize the (id, simhash, bucket) table once: both join branches
+    // read it, and the barrier keeps the md5 tree out of the join stage
+    // (see ngramJaccardPairs)
+    simHashPairsFrom(simHash(docs, idCol, textCol), idCol, bucketBits,
+      maxHamming, sigPath)
 
   /** [[simHashPairs]] with the bucket width DERIVED from the corpus
     * (the bounded default — [[Similarity.scaledBucketBits]]): bits =
@@ -673,10 +683,14 @@ object Dedup {
   def simHashPairsScaled(docs: DataFrame, idCol: String, textCol: String,
                          maxHamming: Int = 8, targetBucketRows: Long = 256,
                          sigPath: Option[String] = None): DataFrame = {
-    val n = docs.count()
+    // materialize the (id, simhash) signatures FIRST (two longs per row)
+    // and count THOSE — the width derivation never re-evaluates the
+    // corpus lineage (a second full md5 pass at scale)
+    val sh0 = materialize(simHash(docs, idCol, textCol), None)
+    val n = sh0.count()
     val bits = math.min(48,
       Similarity.scaledBucketBits(n, targetBucketRows))
-    simHashPairs(docs, idCol, textCol, bits, maxHamming, sigPath)
+    simHashPairsFrom(sh0, idCol, bits, maxHamming, sigPath)
   }
 
   /** Per-doc ascending-sorted array of distinct 60-bit shingle hashes —

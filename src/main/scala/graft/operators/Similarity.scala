@@ -61,10 +61,28 @@ object Similarity {
     }.toArray
   }
 
-  /** Sign-random-projection bucket: bit j set iff vec · plane_j > 0. */
+  /** Sign-random-projection bucket: bit j set iff vec · plane_j > 0.
+    * The projection is rounded to 6dp BEFORE the sign test (the same
+    * convention as every other cross-engine compare in this library):
+    * a near-zero projection must not flip a bucket on summation-order /
+    * FMA noise between engines.
+    */
   def hyperplaneBucket(vec: Column, bits: Int, dim: Int): Column =
     (0 until bits).map { j =>
-      when(call_function("vec_dot", vec, typedLit(hyperplane(j, dim))) > 0d,
+      when(round(call_function("vec_dot", vec, typedLit(hyperplane(j, dim))), 6) > 0d,
+        lit(1L << j)).otherwise(0L)
+    }.reduce((a: Column, b: Column) => a + b)
+
+  /** [[hyperplaneBucket]] over an `array<double>` column (the trained
+    * CENTROID vectors — true doubles, so the float-array fast path
+    * would lose the exact values the oracle computes on). Same planes,
+    * same rounded sign test; the dot is the portable left-to-right
+    * double fold.
+    */
+  def hyperplaneBucketD(vec: Column, bits: Int, dim: Int): Column =
+    if (bits == 0) lit(0L)
+    else (0 until bits).map { j =>
+      when(round(dot(vec, typedLit(hyperplane(j, dim).map(_.toDouble))), 6) > 0d,
         lit(1L << j)).otherwise(0L)
     }.reduce((a: Column, b: Column) => a + b)
 
@@ -298,9 +316,17 @@ object Similarity {
   def scaledBucketBits(n: Long, targetBucketRows: Long): Int = {
     require(targetBucketRows > 0,
       s"targetBucketRows must be positive, got $targetBucketRows")
-    math.max(1, math.ceil(
-      math.log(n.toDouble / targetBucketRows) / math.log(2.0)).toInt)
+    // ceil(log2(n/t)) with EXACT integer arithmetic: for integer 2^b,
+    // 2^b >= n/t iff 2^b >= ceil(n/t), so ceil(log2(n/t)) ==
+    // ceil(log2(ceildiv(n,t))) — no float-log boundary drift at corpora
+    // where n/t is an exact power of two (ln-ratio read bits m+1 there;
+    // the SQL oracles mirror the same closed form via length(bin(q-1)))
+    math.max(1, ceilLog2((n + targetBucketRows - 1) / targetBucketRows))
   }
+
+  /** ceil(log2(m)) for m >= 1, exact (64 - nlz(m-1)); 0 for m <= 1. */
+  private[graft] def ceilLog2(m: Long): Int =
+    if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
 
   /** Corpus-scaled IVF centroid count: k = ceil(√n), the standard IVF
     * sizing — a probe touches ~k centroids + probes·n/k list rows, and
@@ -327,14 +353,20 @@ object Similarity {
   def cosinePairsScaled(embeddings: DataFrame, idCol: String, vecCol: String,
                         minCosine: Double,
                         targetBucketRows: Long = 256): DataFrame = {
-    val firstDim = embeddings.select(size(col(vecCol)).as("d")).limit(1)
-      .collect().headOption.map(_.getInt(0))
-    if (firstDim.isEmpty) // empty corpus: no pairs, any bucketing
-      return cosinePairsBucketed(embeddings, idCol, vecCol, lit(0L), minCosine)
-    val n = embeddings.count()
+    // materialize the (id, vec) projection FIRST and derive (n, dim) in
+    // ONE agg over the checkpoint — the derivation never re-evaluates
+    // the input's full lineage (at 100 TB that second pass is a whole
+    // corpus scan), and dim = max length matches the oracle's
+    // max(len(v)) instead of an arbitrary first row
+    val cp = graft.runtime.Checkpoints.track(
+      embeddings.select(col(idCol), col(vecCol)).localCheckpoint())
+    val st = cp.agg(count(lit(1)).as("n"), max(size(col(vecCol))).as("d")).head
+    val n = st.getLong(0)
+    if (n == 0) // empty corpus: no pairs, any bucketing
+      return cosinePairsBucketed(cp, idCol, vecCol, lit(0L), minCosine)
     val bits = scaledBucketBits(n, targetBucketRows)
-    cosinePairsBucketed(embeddings, idCol, vecCol,
-      hyperplaneBucket(col(vecCol), bits, firstDim.get), minCosine)
+    cosinePairsBucketed(cp, idCol, vecCol,
+      hyperplaneBucket(col(vecCol), bits, st.getInt(1)), minCosine)
   }
 
   /** IVF with TRAINED centroids + multi-probe: one deterministic Lloyd

@@ -69,7 +69,7 @@ object DvProbe {
     f"""{"rows":$rows,"deleted":$deleted,"files":$files,"pct":$pct,""" +
       f""""passes":$passes,"scan_dv":$scanDv%.3f,"sd_dv":$sdDv%.3f,""" +
       f""""scan_purged":$scanPurged%.3f,"sd_purged":$sdPurged%.3f,""" +
-      f""""ratio":$ratio%.2f,"floor":${1.0 / (1.0 - pct / 100.0)}%.2f}"""
+      f""""ratio":$ratio%.2f,"floor":${if (pct >= 100) -1.0 else 1.0 / (1.0 - pct / 100.0)}%.2f}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -134,6 +134,15 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.scaledBucketBits(2000000, 256) === 13)
     // 100 TB shape: 10^11 vectors still derive a usable plane count
     assert(Similarity.scaledBucketBits(100000000000L, 256) === 29)
+    // EXACT power-of-two corpora (the r16 ADVICE boundary): n/target =
+    // 2^m must derive m bits, not m+1 — float ln-ratio overshot here,
+    // diverging from the SQL oracle's ceil(log2); integer arithmetic
+    // on both sides closes the seam
+    assert(Similarity.scaledBucketBits(256L << 29, 256) === 29)
+    assert(Similarity.scaledBucketBits(256L << 31, 256) === 31)
+    assert(Similarity.scaledBucketBits(256L << 39, 256) === 39)
+    assert(Similarity.scaledBucketBits(256L << 47, 256) === 47)
+    assert(Similarity.scaledBucketBits((256L << 31) + 1, 256) === 32)
     // invariant: expected occupancy n/2^bits <= target (within the
     // integral-bits rounding), and one fewer bit would exceed it
     for (n <- Seq(1000L, 12345L, 999999L, 12345678L)) {

@@ -2229,14 +2229,16 @@ object SparkEntry {
       Similarity.ivfTrainedTopK(spread(Tables.embeddings(s, d)), "vec_id", "embedding",
         queryId = 0L, k = 10, numCentroids = 8, probes = 2)),
     "q_ann_ivf_scaled" -> ((s, d) => {
-      // IVF at the standard √n centroid count (Similarity.scaledCentroids):
-      // probe cost ~k + probes·n/k stays O(√n) at any corpus where the
-      // fixed-k form leaves the inverted-list leg O(n); oracle derives
-      // the same k from count(*)
-      val e = spread(Tables.embeddings(s, d))
-      Similarity.ivfTrainedTopK(e, "vec_id", "embedding", queryId = 0L,
-        k = 10, numCentroids = Similarity.scaledCentroids(e.count()),
-        probes = 2)
+      // IVF at the standard √n centroid count (Similarity.scaledCentroids)
+      // through the SCALE-SAFE trainer: hash-sampled training (the k=√n
+      // direct train leg was n^1.5 — the r16 weak) + two-level ANN
+      // assignment; probe cost ~k + probes·n/k stays O(√n). The oracle
+      // re-derives the whole chain (fate sample, seeds, planes,
+      // longest-prefix assignment) from its own count(*).
+      val (cent, asg) = Similarity.ivfTrainScaled(
+        spread(Tables.embeddings(s, d)), "vec_id", "embedding",
+        n => Similarity.scaledCentroids(n))
+      Similarity.ivfProbe(cent, asg, queryId = 0L, k = 10, probes = 2)
     }),
     "q_ann_ivf_indexed" -> ((s, d) => {
       // the PERSISTED, COMMIT-MAINTAINED IVF: centroids + cid-clustered
@@ -3806,6 +3808,85 @@ object SparkEntry {
   private def clog2Sql(q: String): String =
     s"(CASE WHEN $q <= 1 THEN 0 ELSE length(bin($q - 1)) END)"
 
+  /** One hyperplane-signature relation at a derived bit width — the
+    * oracle half of `Similarity.hyperplaneBucket` (md5-parity ±1
+    * planes, projection rounded 6dp before the sign test). LEFT JOIN so
+    * bits = 0 still yields sig 0 for every row (the brute-force
+    * degenerate) instead of an empty relation.
+    */
+  private def sigCteSql(name: String, rel: String, idc: String, vc: String,
+                        bitsSel: String): String =
+    s"""$name AS (
+       |  SELECT r.$idc, r.$vc, x.sig FROM $rel r JOIN (
+       |    SELECT $idc, CAST(coalesce(sum(CASE WHEN round(list_dot_product($vc, p.w), 6) > 0
+       |        THEN CAST(power(2, p.j) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS sig
+       |    FROM $rel LEFT JOIN planes p ON p.j < $bitsSel
+       |    GROUP BY $idc) x ON r.$idc = x.$idc)""".stripMargin
+
+  /** The two-level (ANN) assignment CTEs — `Similarity.annAssign`'s
+    * longest-occupied-prefix match, declaratively: each row's candidate
+    * centroids are those sharing its longest occupied signature prefix
+    * (L = bits .. 0; L = 0 matches everything, so assignment is total
+    * and the bits = 0 degenerate is the full brute-force argmax), then
+    * the exact rounded-cosine argmax with min-cid tie-break.
+    */
+  private def annAssignCtesSql(tag: String, rrel: String, crel: String,
+                               bitsSel: String, out: String): String =
+    s"""cpre$tag AS (SELECT DISTINCT lv.L, (c.sig >> ($bitsSel - lv.L)) AS pre
+       |  FROM $crel c, (SELECT unnest(range($bitsSel + 1)) AS L) lv),
+       |rl$tag AS (SELECT r.vec_id, max(p.L) AS ls FROM $rrel r JOIN cpre$tag p
+       |  ON (r.sig >> ($bitsSel - p.L)) = p.pre GROUP BY r.vec_id),
+       |$out AS (SELECT vec_id, first(cid ORDER BY cos DESC, cid) AS cid FROM (
+       |    SELECT r.vec_id, c.cid, round(${cosSql("r.v", "c.cv")}, 6) AS cos
+       |    FROM $rrel r JOIN rl$tag ON r.vec_id = rl$tag.vec_id
+       |    JOIN $crel c ON (c.sig >> ($bitsSel - rl$tag.ls)) = (r.sig >> ($bitsSel - rl$tag.ls))) x
+       |  GROUP BY vec_id)""".stripMargin
+
+  /** Full replay of `Similarity.ivfTrainScaled` (WITH-clause through
+    * relations `e` (vec_id, v), `cent` (cid, cv) and `asg` (vec_id,
+    * cid)): k from count(*) via `kExpr(n)`, md5-ppm hash-fate seeds and
+    * train sample (exact integer thresholds), integer ceil-log2 bucket
+    * widths, one sampled Lloyd pass, two-level assignment of sample →
+    * seeds and corpus → trained centroids. Every derivation is dynamic
+    * — the same SQL holds at any corpus size.
+    */
+  private def ivfScaledCtes(kExpr: String): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |prm0 AS (SELECT count(*) AS n, max(len(v)) AS dim, min(vec_id) AS mid FROM e),
+       |prm1 AS (SELECT n, dim, mid, greatest(1, $kExpr) AS k FROM prm0),
+       |prm2 AS (SELECT *, least(1000000, (k * 1000000 + n - 1) // n) AS seed_ppm,
+       |                least(1000000, (8 * k * 1000000 + n - 1) // n) AS train_ppm FROM prm1),
+       |fate AS (SELECT vec_id, v,
+       |           ('0x' || substr(md5('ivfs|' || vec_id), 1, 15))::BIGINT % 1000000 AS f
+       |         FROM e),
+       |seeds AS (SELECT vec_id AS cid, v AS cv FROM fate
+       |          WHERE f < (SELECT seed_ppm FROM prm2) OR vec_id = (SELECT mid FROM prm2)),
+       |samp AS (SELECT vec_id, v FROM fate
+       |         WHERE f < (SELECT train_ppm FROM prm2) OR vec_id = (SELECT mid FROM prm2)),
+       |prm AS (SELECT prm2.*, x.ks, ${clog2Sql("((x.ks + 15) // 16)")} AS bits0
+       |        FROM prm2, (SELECT count(*) AS ks FROM seeds) x),
+       |planes AS (
+       |  SELECT j.j AS j, list(CASE WHEN substr(md5('hp|' || j.j || '|' || d.d), 1, 1)
+       |        IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS w
+       |  FROM (SELECT unnest(range(48)) AS j) j,
+       |       (SELECT unnest(range((SELECT dim FROM prm0))) AS d) d
+       |  GROUP BY j.j),
+       |${sigCteSql("ssig", "seeds", "cid", "cv", "(SELECT bits0 FROM prm)")},
+       |${sigCteSql("rsig", "samp", "vec_id", "v", "(SELECT bits0 FROM prm)")},
+       |${annAssignCtesSql("0", "rsig", "ssig", "(SELECT bits0 FROM prm)", "asg0")},
+       |dims AS (SELECT a.cid, unnest(s.v) AS val, unnest(range(1, len(s.v) + 1)) AS pos
+       |         FROM asg0 a JOIN samp s USING (vec_id)),
+       |cent AS (
+       |  SELECT cid, list(round(cval, 6) ORDER BY pos) AS cv FROM (
+       |    SELECT cid, pos, avg(val) AS cval FROM dims GROUP BY cid, pos) g
+       |  GROUP BY cid),
+       |prmc AS (SELECT x.kc, ${clog2Sql("((x.kc + 15) // 16)")} AS bits1
+       |         FROM (SELECT count(*) AS kc FROM cent) x),
+       |${sigCteSql("csig", "cent", "cid", "cv", "(SELECT bits1 FROM prmc)")},
+       |${sigCteSql("esig", "e", "vec_id", "v", "(SELECT bits1 FROM prmc)")},
+       |${annAssignCtesSql("1", "esig", "csig", "(SELECT bits1 FROM prmc)", "asg")}""".stripMargin
+
   /** The k-means oracle: the same rank-seeded Lloyd rounds as
     * [[graft.operators.Similarity.kmeansAssign]], one CTE pair per
     * round. Every cross-engine seam is pinned the same way — scores
@@ -4092,37 +4173,20 @@ object SparkEntry {
         |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
-    // the √n-centroid form: identical replay with k from count(*)
+    // the √n-centroid form through the SCALE-SAFE trainer: identical
+    // replay of the hash-fate sample, sampled Lloyd pass, and two-level
+    // assignment, all derived from count(*)
     "q_ann_ivf_scaled" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |           FROM embeddings),
-         |prm AS (SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS INT)) AS k FROM e),
-         |seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
-         |          LIMIT (SELECT k FROM prm)),
-         |asg0 AS (
-         |  SELECT vec_id, first(cid ORDER BY cos DESC, cid) AS cid FROM (
-         |    SELECT e.vec_id, s.cid, round(${cosSql("e.v", "s.cv")}, 6) AS cos
-         |    FROM e CROSS JOIN seeds s) x
-         |  GROUP BY vec_id),
-         |dims AS (SELECT a.cid, unnest(e.v) AS val, unnest(range(1, len(e.v) + 1)) AS pos
-         |         FROM asg0 a JOIN e USING (vec_id)),
-         |cent AS (
-         |  SELECT cid, list(round(cval, 6) ORDER BY pos) AS cv FROM (
-         |    SELECT cid, pos, avg(val) AS cval FROM dims GROUP BY cid, pos) g
-         |  GROUP BY cid),
-         |asg AS (
-         |  SELECT vec_id, first(cid ORDER BY cos DESC, cid) AS cid FROM (
-         |    SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS cos
-         |    FROM e CROSS JOIN cent c) x
-         |  GROUP BY vec_id),
-         |qp AS (
-         |  SELECT c.cid, q.v AS qv
-         |  FROM (SELECT v FROM e WHERE vec_id = 0) q CROSS JOIN cent c
-         |  ORDER BY round(${cosSql("q.v", "c.cv")}, 6) DESC, c.cid LIMIT 2)
-         |SELECT e.vec_id, round(${cosSql("e.v", "qp.qv")}, 6) AS cos
-         |FROM asg JOIN e USING (vec_id) JOIN qp ON asg.cid = qp.cid
-         |WHERE e.vec_id <> 0
-         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+      (ivfScaledCtes("CAST(ceil(sqrt(n)) AS BIGINT)") +
+        s""",
+           |qp AS (
+           |  SELECT c.cid, q.v AS qv
+           |  FROM (SELECT v FROM e WHERE vec_id = 0) q CROSS JOIN cent c
+           |  ORDER BY round(${cosSql("q.v", "c.cv")}, 6) DESC, c.cid LIMIT 2)
+           |SELECT e.vec_id, round(${cosSql("e.v", "qp.qv")}, 6) AS cos
+           |FROM asg JOIN e USING (vec_id) JOIN qp ON asg.cid = qp.cid
+           |WHERE e.vec_id <> 0
+           |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin),
     "q_ann_ivf_trained" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),
@@ -4309,38 +4373,19 @@ object SparkEntry {
            |SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cluster_id,
            |  m.vec_id NOT IN (SELECT vec_id FROM dup) AS keep
            |FROM a1 m ORDER BY m.vec_id""".stripMargin),
-    // replays ivfTrain with k DERIVED from count(*) (dynamic LIMIT),
-    // then the within-cluster pair + keep-lowest stage; cluster ids are
-    // the seed vector ids (ivfTrain's convention)
+    // replays ivfTrainScaled with k DERIVED from count(*): hash-fate
+    // sampled training + two-level assignment, then the within-cluster
+    // pair + keep-lowest stage; cluster ids are the seed vector ids
     "q_semdedup_scaled" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |           FROM embeddings),
-         |prm AS (SELECT greatest(1, CAST(ceil(count(*) / 256.0) AS INT)) AS k FROM e),
-         |seeds AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id
-         |          LIMIT (SELECT k FROM prm)),
-         |asg0 AS (
-         |  SELECT vec_id, first(cid ORDER BY cos DESC, cid) AS cid FROM (
-         |    SELECT e.vec_id, s.cid, round(${cosSql("e.v", "s.cv")}, 6) AS cos
-         |    FROM e CROSS JOIN seeds s) x
-         |  GROUP BY vec_id),
-         |dims AS (SELECT a.cid, unnest(e.v) AS val, unnest(range(1, len(e.v) + 1)) AS pos
-         |         FROM asg0 a JOIN e USING (vec_id)),
-         |cent AS (
-         |  SELECT cid, list(round(cval, 6) ORDER BY pos) AS cv FROM (
-         |    SELECT cid, pos, avg(val) AS cval FROM dims GROUP BY cid, pos) g
-         |  GROUP BY cid),
-         |asg AS (
-         |  SELECT vec_id, first(cid ORDER BY cos DESC, cid) AS cid FROM (
-         |    SELECT e.vec_id, c.cid, round(${cosSql("e.v", "c.cv")}, 6) AS cos
-         |    FROM e CROSS JOIN cent c) x
-         |  GROUP BY vec_id),
-         |av AS (SELECT a.vec_id, a.cid, e.v FROM asg a JOIN e USING (vec_id)),
-         |dup AS (SELECT DISTINCT b.vec_id
-         |        FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         |        WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.35)
-         |SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cluster_id,
-         |  m.vec_id NOT IN (SELECT vec_id FROM dup) AS keep
-         |FROM av m ORDER BY m.vec_id""".stripMargin,
+      (ivfScaledCtes("(n + 255) // 256") +
+        s""",
+           |av AS (SELECT a.vec_id, a.cid, e.v FROM asg a JOIN e USING (vec_id)),
+           |dup AS (SELECT DISTINCT b.vec_id
+           |        FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |        WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.35)
+           |SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cluster_id,
+           |  m.vec_id NOT IN (SELECT vec_id FROM dup) AS keep
+           |FROM av m ORDER BY m.vec_id""".stripMargin),
     "q_centroids" ->
       // parallel unnests zip positionally in DuckDB; accumulation is
       // double on both sides, rounded 6dp against summation-order drift

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
@@ -783,30 +783,61 @@ object Streaming {
   /** Streaming EMBEDDING near-dedup against a durable LSH-bucketed
     * vector index — [[incrementalDedupSink]]'s semantic twin with
     * cosine instead of MinHash, and the streaming form of
-    * `Similarity.cosinePairs`' bucket-bounded screen: each
+    * `Similarity.cosinePairsScaled`'s bucket-bounded screen: each
     * micro-batch's vectors are compared ONLY to indexed (and in-batch)
-    * vectors in their [[graft.operators.Similarity.signBucket]] — never
-    * index × batch. A vector is a duplicate when any indexed vector, or
-    * any lower-id batch-mate, in its bucket matches at >= `minCosine`
-    * (keep-lowest, the batch operators' rule); novel vectors append to
-    * `indexPath/vectors`, verdicts land append-only in
-    * `indexPath/verdicts` and double as the replay skip (an id with a
-    * verdict never re-screens — restart-safe like the MinHash sink).
-    * Bucket misses are the SAME accepted LSH trade the batch screen
-    * makes: widen `bucketBits` down or switch the bucketer for recall.
-    * State is the index itself — no in-memory streaming state, so the
-    * index survives restarts and serves batch probes too.
+    * vectors in their LSH bucket — never index × batch. A vector is a
+    * duplicate when any indexed vector, or any lower-id batch-mate, in
+    * its bucket matches at >= `minCosine` (keep-lowest, the batch
+    * operators' rule); novel vectors append to `indexPath/vectors`,
+    * verdicts land append-only in `indexPath/verdicts` and double as
+    * the replay skip (an id with a verdict never re-screens —
+    * restart-safe like the MinHash sink). State is the index itself —
+    * no in-memory streaming state, so the index survives restarts and
+    * serves batch probes too.
+    *
+    * BUCKET WIDTH IS CORPUS-SCALED by default (`bucketBits = None`):
+    * each batch derives bits = [[graft.operators.Similarity.scaledBucketBits]]
+    * over (index rows + fresh batch rows), exactly the batch screen's
+    * policy — a FIXED width over a self-growing index makes the
+    * per-batch screen cost grow linearly with everything accepted so
+    * far (quadratic cumulative). When the derived width changes (a
+    * doubling boundary — O(log n) times over the index's whole life)
+    * the index is RE-BUCKETED in place: buckets are a pure function of
+    * the stored vector ([[graft.operators.Similarity.hyperplaneBucket]]
+    * at the new width), so the re-bucket is an index rewrite, not a
+    * semantics change — exact duplicates agree on every plane at ANY
+    * width, so a twin of a vector indexed under a narrower width is
+    * still caught after the rewrite. The width/dim the index is
+    * currently written at persists in `indexPath/_bucketing`; the
+    * rewrite parks the new copy in `vectors.rebucket_tmp` before the
+    * swap and the next batch completes a half-finished swap, so no
+    * crash point loses the index. Pass `bucketBits = Some(b)` to pin a
+    * fixed [[graft.operators.Similarity.signBucket]] width instead
+    * (the pre-r17 shape; misses are the same accepted LSH trade the
+    * batch screen makes). A store must stay on the policy it was
+    * created with — the two bucketers' values are incompatible.
     */
   def embeddingDedupSink(vecs: DataFrame, idCol: String, vecCol: String,
-                         indexPath: String, bucketBits: Int = 8,
-                         minCosine: Double = 0.9)
+                         indexPath: String, bucketBits: Option[Int] = None,
+                         minCosine: Double = 0.9,
+                         targetBucketRows: Long = 256)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(targetBucketRows > 0,
+      s"targetBucketRows must be positive, got $targetBucketRows")
     val spark = vecs.sparkSession
     graft.plans.GraftExtensions.register(spark)
     vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-      import graft.operators.Similarity.{cosineNative, signBucket}
+      import graft.operators.Similarity.{cosineNative, signBucket, hyperplaneBucket, scaledBucketBits}
       val vecsDir = s"$indexPath/vectors"
       val verdictsDir = s"$indexPath/verdicts"
+      val markerPath = s"$indexPath/_bucketing"
+      val rebucketTmp = s"$vecsDir.rebucket_tmp"
+      // finish a half-done re-bucket swap: the tmp dir is complete
+      // BEFORE the live dir is deleted (below), so live-missing +
+      // tmp-present can only mean a crash between that delete and the
+      // rename — the tmp IS the index
+      if (!StateFs.exists(spark, vecsDir) && StateFs.exists(spark, rebucketTmp))
+        StateFs.rename(spark, rebucketTmp, vecsDir)
       // one row per id WITHIN the batch too: an at-least-once source can
       // repeat an id inside a single micro-batch, where the verdict
       // anti-join can't see it (verdicts not yet written) and the
@@ -821,11 +852,47 @@ object Streaming {
             Seq(idCol), "left_anti")
         else once
       if (!fresh.isEmpty) {
-        val fb = fresh.select(col(idCol),
-            col(vecCol).cast("array<float>").as("__v"),
-            signBucket(col(vecCol), bucketBits).as("__bucket"))
-          .localCheckpoint() // one materialization: screen + index append
+        // one materialization: width derivation + screen + index append
+        // all read this checkpoint (never the input lineage); the bucket
+        // column is recomputed per read — bits·dim fused multiply-adds
+        // over a batch, cheaper than a second materialization
+        val fb0 = fresh.select(col(idCol),
+            col(vecCol).cast("array<float>").as("__v"))
+          .localCheckpoint()
         val haveIndex = StateFs.exists(spark, vecsDir)
+        val bucketOf: Column => Column = bucketBits match {
+          case Some(b) => v => signBucket(v, b)
+          case None =>
+            val st = fb0.agg(count(lit(1)).as("n"),
+              max(size(col("__v"))).as("d")).head
+            val batchDim = st.getInt(1)
+            val marker = StateFs.readString(spark, markerPath).map { s =>
+              val Array(b, d) = s.split('|'); (b.toInt, d.toInt)
+            }
+            val dim = marker.map(_._2).getOrElse(batchDim)
+            require(batchDim == dim,
+              s"index at $indexPath was bucketed for dim=$dim vectors; batch has dim=$batchDim")
+            val indexN =
+              if (haveIndex) spark.read.parquet(vecsDir).count() else 0L
+            val bits = scaledBucketBits(indexN + st.getLong(0), targetBucketRows)
+            if (haveIndex && !marker.map(_._1).contains(bits)) {
+              // RE-BUCKET: rewrite every stored bucket at the new width
+              // from the vector itself (pure function — idempotent, so a
+              // stale marker after a crash just repeats the rewrite).
+              // Tmp copy lands COMPLETE before the live dir goes away;
+              // the recovery rename above closes the delete→rename gap.
+              spark.read.parquet(vecsDir)
+                .select(col(idCol), col("__v"),
+                  hyperplaneBucket(col("__v"), bits, dim).as("__bucket"))
+                .write.mode("overwrite").parquet(rebucketTmp)
+              StateFs.delete(spark, vecsDir)
+              StateFs.rename(spark, rebucketTmp, vecsDir)
+            }
+            StateFs.writeString(spark, markerPath, s"$bits|$dim")
+            v => hyperplaneBucket(v, bits, dim)
+        }
+        val fb = fb0.select(col(idCol), col("__v"),
+          bucketOf(col("__v")).as("__bucket"))
         val dupVsIndex =
           if (haveIndex)
             // exclude an index row with the PROBE'S OWN id: after a

@@ -475,7 +475,7 @@ class StreamingSpec extends SparkSpec
     val mem = MemoryStream[(Long, Seq[Float])]
     val q = Streaming.embeddingDedupSink(
       mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
-      tmp, bucketBits = 2, minCosine = 0.95)
+      tmp, bucketBits = Some(2), minCosine = 0.95)
       .start()
     try {
       // batch 1: two orthogonal directions (sign buckets 1 and 2) —
@@ -522,7 +522,7 @@ class StreamingSpec extends SparkSpec
     val mem = MemoryStream[(Long, Seq[Float])]
     val q = Streaming.embeddingDedupSink(
       mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
-      tmp, bucketBits = 2, minCosine = 0.95)
+      tmp, bucketBits = Some(2), minCosine = 0.95)
       .start()
     try {
       // the replayed id 1 plus a genuine near-dup with a higher id
@@ -534,6 +534,125 @@ class StreamingSpec extends SparkSpec
         s"the replayed vector must not match ITSELF in the index: $verdicts")
       assert(spark.read.parquet(s"$tmp/vectors").count() == 1L,
         "the idempotent append must not duplicate the already-indexed vector")
+    } finally q.stop()
+  }
+
+  /** Deterministic well-spread test vector: multiplicative-hash
+    * components in [-1, 1) — far apart pairwise, so nothing matches a
+    * high cosine threshold except a planted exact twin.
+    */
+  private def embVec(id: Long, dim: Int = 16): Seq[Float] =
+    (0 until dim).map { d =>
+      // splitmix-style finalizer: no structural collisions between ids
+      // (a plain multiplicative hash mod m aliases id and id + m)
+      var x = id * 6364136223846793005L + d * 1442695040888963407L
+      x ^= (x >>> 33); x *= -7046029254386353131L; x ^= (x >>> 29)
+      ((math.floorMod(x, 1000L)) / 500.0f) - 1f
+    }
+
+  test("embeddingDedupSink corpus-scales its width: screen cost stays flat as the index grows 10x") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+    import graft.operators.Similarity.hyperplaneBucket
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-embscaled").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.embeddingDedupSink(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      tmp, minCosine = 0.999, targetBucketRows = 4)
+      .start()
+    def marker(): (Int, Int) = {
+      val src = scala.io.Source.fromFile(
+        new java.io.File(new java.net.URI(s"$tmp/_bucketing")))
+      try { val Array(b, d) = src.mkString.trim.split('|'); (b.toInt, d.toInt) }
+      finally src.close()
+    }
+    // candidates per probe row at a GIVEN width: the per-batch screen
+    // cost is exactly this bucket-join volume
+    def candidatesPerRow(probeIds: Seq[Long], bits: Int): Double = {
+      val probe = probeIds.map(i => (i, embVec(i))).toDF("vec_id", "embedding")
+        .select(hyperplaneBucket(col("embedding").cast("array<float>"), bits, 16)
+          .as("__bucket"))
+      // index side re-signed at the SAME width (the stored __bucket is
+      // at the marker width — a cross-width join would be meaningless)
+      probe.join(spark.read.parquet(s"$tmp/vectors")
+          .select(hyperplaneBucket(col("__v"), bits, 16).as("__bucket")),
+        Seq("__bucket"))
+        .count().toDouble / probeIds.size
+    }
+    val probeIds = (9001L to 9020L) // never fed — a stable yardstick
+    try {
+      mem.addData((1L to 40L).map(i => (i, embVec(i))): _*)
+      q.processAllAvailable()
+      val (bits1, dim1) = marker()
+      assert(dim1 == 16)
+      assert(bits1 == 4, s"40 rows / target 4 => ceil(log2(10)) = 4 bits, got $bits1")
+      val costSmall = candidatesPerRow(probeIds, bits1)
+      // 10x growth
+      mem.addData((1001L to 1400L).map(i => (i, embVec(i))): _*)
+      q.processAllAvailable()
+      val (bits2, _) = marker()
+      assert(bits2 == 7, s"~440 rows / target 4 => ceil(log2(110)) = 7 bits, got $bits2")
+      // the WHOLE index was re-bucketed at the new width — every stored
+      // bucket equals the pure function of its vector
+      val mismatched = spark.read.parquet(s"$tmp/vectors")
+        .filter(col("__bucket") =!=
+          hyperplaneBucket(col("__v"), bits2, 16)).count()
+      assert(mismatched == 0L, s"$mismatched stale buckets survived the re-bucket")
+      val costGrown = candidatesPerRow(probeIds, bits2)
+      // flat screen cost: occupancy pinned at ~target while the index
+      // grew 10x; at the OLD width the same probe would pay ~10x
+      val costStale = candidatesPerRow(probeIds, bits1)
+      assert(costGrown <= math.max(4.0, 4.0 * costSmall),
+        s"scaled screen cost grew: $costSmall -> $costGrown per row")
+      assert(costStale > 3.0 * costGrown,
+        s"the re-bucket must be load-bearing: stale-width cost $costStale vs scaled $costGrown")
+    } finally q.stop()
+  }
+
+  test("embeddingDedupSink verdicts equal the batch keep-lowest screen across a re-bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+    import graft.operators.Similarity.cosineNative
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-embequiv").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.embeddingDedupSink(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      tmp, minCosine = 0.999, targetBucketRows = 4)
+      .start()
+    try {
+      // wave 1 indexes id 10 at a NARROW width; wave 2 forces a
+      // re-bucket; wave 3 plants an exact twin of id 10 — an exact dup
+      // agrees on every plane at any width, so the twin must be caught
+      // even though its exemplar was indexed under the old bucketing
+      mem.addData((1L to 16L).map(i => (i, embVec(i))): _*)
+      q.processAllAvailable()
+      mem.addData((2001L to 2160L).map(i => (i, embVec(i))): _*)
+      q.processAllAvailable()
+      mem.addData((8010L, embVec(10L)), (8011L, embVec(2042L)), (8012L, embVec(8012L)))
+      q.processAllAvailable()
+      val sinkVerdicts = spark.read.parquet(s"$tmp/verdicts")
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+      assert(sinkVerdicts(8010L) == false && sinkVerdicts(8011L) == false,
+        s"exact twins of pre-re-bucket exemplars must be caught: $sinkVerdicts")
+      assert(sinkVerdicts(8012L) == true)
+      // batch-screen equivalence over the SAME corpus: keep-lowest with
+      // exact cosine (the corpus' only >=0.999 pairs are exact twins,
+      // which every LSH width catches — so sink == batch exactly)
+      val corpus = ((1L to 16L) ++ (2001L to 2160L) ++ Seq(8010L, 8011L, 8012L))
+        .map(i => (i, if (i == 8010L) embVec(10L)
+                      else if (i == 8011L) embVec(2042L) else embVec(i)))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
+      val dupIds = corpus.as("a").join(corpus.as("b"),
+          col("a.vec_id") < col("b.vec_id") &&
+            round(cosineNative(col("a.v"), col("b.v")), 6) >= 0.999)
+        .select(col("b.vec_id")).as[Long].collect().toSet
+      val batchVerdicts = corpus.select(col("vec_id")).as[Long].collect()
+        .map(i => i -> !dupIds.contains(i)).toMap
+      assert(sinkVerdicts == batchVerdicts,
+        s"sink and batch screens disagree on ${
+          (sinkVerdicts.toSet diff batchVerdicts.toSet) ++
+            (batchVerdicts.toSet diff sinkVerdicts.toSet)}")
     } finally q.stop()
   }
 

@@ -671,13 +671,17 @@ object Similarity {
         coalesce(!col("__dup"), lit(true)).as("keep"))
   }
 
-  /** Lloyd's k-means over an embedding column, Spark-shaped for scale:
+  /** Lloyd's k-means over an embedding column, Spark-shaped for scale —
+    * and TABLE-RESIDENT end to end: the driver never holds a centroid.
     *
-    *  - ASSIGNMENT is map-side only: the k centroids are plan literals
-    *    (collected driver-side, k·dim doubles — the same bounded move as
-    *    [[ivfTrain]]), and each row picks its cluster with a codegen'd
-    *    `greatest` over k native-cosine struct candidates. Zero shuffle,
-    *    no n×k row blowup.
+    *  - The k centroids live in a k-row DataFrame. For each round it is
+    *    folded into ONE array-of-structs row and broadcast, so
+    *    ASSIGNMENT stays map-side: each corpus row takes a codegen'd
+    *    `array_max` over the k native-cosine candidates. Zero corpus
+    *    shuffle, no n×k row blowup, and — unlike the literal-centroid
+    *    form this replaced — no k·dim driver collect per Lloyd round
+    *    (the whole training is one lazy plan; at 1000 executors the
+    *    driver only schedules, it never sees vector data).
     *  - UPDATE is the native `vec_mean` aggregate: map-side partial
     *    buffers mean the one exchange per iteration carries k·dim
     *    doubles, independent of corpus size.
@@ -686,9 +690,10 @@ object Similarity {
     * rank seeding (centroid j = the j-th smallest id's vector, no RNG),
     * scores rounded to 6dp before the argmax (ties break to the lowest
     * cluster id), and updated centroids rounded to 6dp then snapped to
-    * float32 so both engines feed bit-identical literals into the next
+    * float32 so both engines feed bit-identical values into the next
     * round. A cluster that loses all members simply drops out (both
-    * engines aggregate over present groups only).
+    * engines aggregate over present groups only). The spec pins
+    * row-for-row equality with the literal-centroid form.
     *
     * Returns (vec_id, cluster_id, cos) under the centroids after `iters`
     * update rounds.
@@ -707,10 +712,66 @@ object Similarity {
   private[operators] def kmeansAssignWithVec(
       embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, seeding: String = "rank"): DataFrame = {
+    val spark = embeddings.sparkSession
+    requireKmeansArgs(k, iters, seeding)
+    graft.plans.GraftExtensions.register(spark)
+    val v = embeddings.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<float>").as("v"))
+    // seeds as a k-row TABLE (cluster_id = id rank, ivf-style tables all
+    // the way down). Farthest-first is inherently sequential — its k
+    // one-VECTOR collects stay (bounded driver state, k rows not k
+    // rounds × k·dim); the Lloyd loop below never collects anything.
+    val seeds: DataFrame =
+      if (seeding == "farthest") {
+        import spark.implicits._
+        farthestFirstSeeds(v, k).map { case (i, a) => (i, a.toSeq) }
+          .toDF("cluster_id", "cv")
+          .select(col("cluster_id"), col("cv").cast("array<float>").as("cv"))
+      } else {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+        v.orderBy(col("vec_id")).limit(k) // the window ranks only k rows
+          .select((row_number().over(w) - 1).as("cluster_id"), col("v").as("cv"))
+      }
+    // fold the centroid table to ONE broadcastable row; assignment is a
+    // per-row array_max over the k (cos, -cid) candidates — map-side,
+    // identical ordering semantics to `greatest` over struct literals
+    def assign(cents: DataFrame): DataFrame = {
+      val one = cents
+        .agg(sort_array(collect_list(struct(col("cluster_id"), col("cv")))).as("__cs"))
+      v.crossJoin(broadcast(one))
+        .select(col("vec_id"), col("v"),
+          array_max(transform(col("__cs"), c =>
+            struct(round(cosineNative(col("v"), c.getField("cv")), 6).as("cos"),
+              (-c.getField("cluster_id")).as("ncid")))).as("__b"))
+        .select(col("vec_id"), col("v"),
+          (-col("__b.ncid")).as("cluster_id"), col("__b.cos").as("cos"))
+    }
+    val trained = (0 until iters).foldLeft(seeds) { (cents, _) =>
+      assign(cents).groupBy(col("cluster_id"))
+        .agg(call_function("vec_mean", col("v")).as("m"))
+        .select(col("cluster_id"),
+          transform(col("m"), x => round(x, 6).cast("float")).as("cv"))
+    }
+    assign(trained).select(col("vec_id"), col("v"),
+      col("cluster_id").cast("long").as("cluster_id"), col("cos"))
+  }
+
+  private def requireKmeansArgs(k: Int, iters: Int, seeding: String): Unit = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be non-negative, got $iters")
     require(seeding == "rank" || seeding == "farthest",
       s"seeding must be 'rank' or 'farthest', got '$seeding'")
+  }
+
+  /** The pre-r17 literal-centroid Lloyd loop — one k·dim driver collect
+    * per round, centroids re-entering as plan literals. Kept ONLY as the
+    * equality witness for [[kmeansAssignWithVec]]'s table-resident form
+    * (the spec pins row-for-row agreement); no production path calls it.
+    */
+  private[operators] def kmeansAssignLiteral(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, seeding: String = "rank"): DataFrame = {
+    requireKmeansArgs(k, iters, seeding)
     graft.plans.GraftExtensions.register(embeddings.sparkSession)
     val v = embeddings.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<float>").as("v"))

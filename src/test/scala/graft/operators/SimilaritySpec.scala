@@ -442,4 +442,39 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.kmeansAssign(df, "vec_id", "embedding", 3, 1, "farthest").collect().toSeq
     assert(a == b)
   }
+
+  test("table-resident k-means equals the literal-centroid Lloyd loop, and trains in-plan") {
+    import org.apache.spark.sql.functions._
+    // irregular vectors (no symmetry to hide a tie-break bug): three
+    // loose direction groups plus stragglers, adversarial id order
+    val rows = (0 until 60).map { i =>
+      val g = (i * 7 + 3) % 3
+      val base = g match {
+        case 0 => Array(5f + 0.3f * (i % 5), 1f, 0.2f * (i % 3))
+        case 1 => Array(0.4f * (i % 4), 6f - 0.2f * (i % 7), 1f)
+        case _ => Array(1f, 0.1f * (i % 6), 4f + 0.5f * (i % 2))
+      }
+      (i.toLong, base)
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    for (seeding <- Seq("rank", "farthest"); iters <- Seq(0, 1, 3)) {
+      val table = Similarity.kmeansAssign(df, "vec_id", "embedding",
+          k = 4, iters = iters, seeding = seeding)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+      val literal = Similarity.kmeansAssignLiteral(df, "vec_id", "embedding",
+          k = 4, iters = iters, seeding = seeding)
+        .select(col("vec_id"), col("cluster_id"), col("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+      assert(table == literal,
+        s"seeding=$seeding iters=$iters: table-resident and literal Lloyd diverge")
+    }
+    // the Lloyd rounds live IN the plan (vec_mean per round), not in
+    // driver-collected literals — the literal form's final plan carries
+    // zero vec_mean because training already happened on the driver
+    def vecMeans(dfOut: org.apache.spark.sql.DataFrame): Int =
+      "vec_mean".r.findAllIn(dfOut.queryExecution.optimizedPlan.toString).length
+    assert(vecMeans(Similarity.kmeansAssign(df, "vec_id", "embedding", 4, 3)) >= 3,
+      "table-resident training must keep its update rounds in the plan")
+    assert(vecMeans(Similarity.kmeansAssignLiteral(df, "vec_id", "embedding", 4, 3)) == 0)
+  }
 }

@@ -2257,6 +2257,24 @@ object SparkEntry {
       VectorIndex.ivfProbeIndexed(s, tbl, "vec_id", "embedding", idx,
         queryId = 0L, k = 10, probes = 2, numCentroids = 8)
     }),
+    "q_ann_ivf_scaled_indexed" -> ((s, d) => {
+      // the commit-maintained IVF at the CORPUS-DERIVED k = ceil(√n):
+      // retrain rides ivfTrainScaled (hash-sampled training, two-level
+      // assignment) and delta appends assign two-level against the
+      // stamped centroids — the persisted twin of q_ann_ivf_scaled,
+      // same dynamic oracle derivation
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivfsidx").toString
+      val (tbl, idx) = (s"file:$dir/emb", s"file:$dir/ivf")
+      graft.sources.SnapshotStore.append(spread(Tables.embeddings(s, d)),
+        tbl, statsCols = Seq("vec_id"))
+      val kOf = Some((n: Long) => Similarity.scaledCentroids(n).toLong)
+      VectorIndex.ivfRefresh(s, tbl, "vec_id", "embedding", idx,
+        numCentroids = 0 /* unused with kOf */, kOf = kOf)
+      VectorIndex.ivfProbeIndexed(s, tbl, "vec_id", "embedding", idx,
+        queryId = 0L, k = 10, probes = 2,
+        numCentroids = 0 /* unused with kOf */, kOf = kOf)
+    }),
     "q_hybrid_search" -> ((s, d) =>
       // metadata-gated vector search: English docs only, bloom-pruned
       // embedding scan, exact top-k over the survivors
@@ -4177,6 +4195,19 @@ object SparkEntry {
     // replay of the hash-fate sample, sampled Lloyd pass, and two-level
     // assignment, all derived from count(*)
     "q_ann_ivf_scaled" ->
+      (ivfScaledCtes("CAST(ceil(sqrt(n)) AS BIGINT)") +
+        s""",
+           |qp AS (
+           |  SELECT c.cid, q.v AS qv
+           |  FROM (SELECT v FROM e WHERE vec_id = 0) q CROSS JOIN cent c
+           |  ORDER BY round(${cosSql("q.v", "c.cv")}, 6) DESC, c.cid LIMIT 2)
+           |SELECT e.vec_id, round(${cosSql("e.v", "qp.qv")}, 6) AS cos
+           |FROM asg JOIN e USING (vec_id) JOIN qp ON asg.cid = qp.cid
+           |WHERE e.vec_id <> 0
+           |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin),
+    // the commit-maintained scaled IVF trains with the IDENTICAL
+    // ivfTrainScaled derivation, so the oracle is q_ann_ivf_scaled's
+    "q_ann_ivf_scaled_indexed" ->
       (ivfScaledCtes("CAST(ceil(sqrt(n)) AS BIGINT)") +
         s""",
            |qp AS (

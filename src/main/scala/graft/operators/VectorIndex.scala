@@ -121,7 +121,8 @@ object VectorIndex {
   def ivfRefresh(spark: SparkSession, table: String, idCol: String,
                  vecCol: String, index: String, numCentroids: Int,
                  force: Boolean = false,
-                 driftRetrainFraction: Double = 0.5): Long = {
+                 driftRetrainFraction: Double = 0.5,
+                 kOf: Option[Long => Long] = None): Long = {
     val srcV = SnapshotStore.latestVersion(spark, table)
     val (cenT, asgT) = (s"$index/centroids", s"$index/assignments")
     val pinned: Option[SnapshotStore.Snapshot] =
@@ -132,9 +133,17 @@ object VectorIndex {
     val stamp = Map(SourceKey -> table, SourceVersionKey -> srcV.toString)
     def retrain(): Long = {
       val srcRows = liveRows(spark, table, srcV)
-      val (c, a) = Similarity.ivfTrain(
-        SnapshotStore.snapshot(spark, table, Some(srcV))
-          .select(col(idCol), col(vecCol)), idCol, vecCol, numCentroids)
+      val src = SnapshotStore.snapshot(spark, table, Some(srcV))
+        .select(col(idCol), col(vecCol))
+      // corpus-derived k (kOf) rides the SCALE-SAFE trainer: hash-fate
+      // sampled training + two-level ANN assignment — the direct
+      // trainer at k = f(n) is the n²/256 / n^1.5 shape the r16 verdict
+      // named; a fixed explicit k keeps ivfTrain's exact one-pass Lloyd
+      // (the oracle-pinned q_ann_ivf_indexed/_trained behavior).
+      val (c, a) = kOf match {
+        case Some(f) => Similarity.ivfTrainScaled(src, idCol, vecCol, f)
+        case None => Similarity.ivfTrain(src, idCol, vecCol, numCentroids)
+      }
       val cv = SnapshotStore.overwrite(c, cenT)
       SnapshotStore.overwrite(a.repartitionByRange(col("cid"))
           .sortWithinPartitions(col("cid")), asgT,
@@ -165,16 +174,35 @@ object VectorIndex {
           // ivfTrain's exact argmax (rounded cosine, min-cid tiebreak) —
           // read asOf the stamped version, immune to a concurrent retrain
           val cen = SnapshotStore.snapshot(spark, cenT, cvRec)
-          val e = delta.filter(col("_change_type") === "insert")
-            .select(col(idCol).as("vec_id"),
+          val ins = delta.filter(col("_change_type") === "insert")
+          val e = ins.select(col(idCol).as("vec_id"),
               transform(col(vecCol), x => x.cast("double")).as("v"))
-          val asg = e.crossJoin(broadcast(cen))
-            .select(col("vec_id"),
-              struct(round(Similarity.cosine(col("v"), col("cv")), 6).as("cos"),
-                (-col("cid")).as("ncid")).as("sc"),
-              col("cid"))
-            .groupBy(col("vec_id")).agg(max_by(col("cid"), col("sc")).as("cid"))
-            .join(e, "vec_id")
+          val asg = (kOf match {
+            case Some(_) =>
+              // scaled index: the delta assigns TWO-LEVEL against the
+              // stamped centroids (annAssign — same bits derivation as
+              // the trainer, so a twin of an indexed vector lands in
+              // its exemplar's list); a broadcast argmax over k = f(n)
+              // centroids would re-introduce the delta·k scoring
+              val st = cen.agg(count(lit(1)).as("k"),
+                max(size(col("cv"))).as("d")).head
+              val (kCents, dim) = (st.getLong(0), st.getInt(1))
+              val bits = Similarity.annBits(kCents, 16)
+              val rows = ins.select(col(idCol).as("vec_id"),
+                transform(col(vecCol), x => x.cast("double")).as("v"),
+                Similarity.hyperplaneBucket(
+                  col(vecCol).cast("array<float>"), bits, dim).as("__rsig"))
+              val csig = cen.select(col("cid"), col("cv"),
+                Similarity.hyperplaneBucketD(col("cv"), bits, dim).as("__csig"))
+              Similarity.annAssign(rows, csig, bits)
+            case None =>
+              e.crossJoin(broadcast(cen))
+                .select(col("vec_id"),
+                  struct(round(Similarity.cosine(col("v"), col("cv")), 6).as("cos"),
+                    (-col("cid")).as("ncid")).as("sc"),
+                  col("cid"))
+                .groupBy(col("vec_id")).agg(max_by(col("cid"), col("sc")).as("cid"))
+          }).join(e, "vec_id")
           // cid-sort the delta too (O(delta)): each append file keeps a
           // narrow cid min/max, so probe-side file-pruning on the cid
           // statsCols holds as appends accumulate instead of eroding
@@ -197,7 +225,8 @@ object VectorIndex {
   def ivfProbeIndexed(spark: SparkSession, table: String, idCol: String,
                       vecCol: String, index: String, queryId: Long, k: Int,
                       probes: Int, numCentroids: Int,
-                      autoRefresh: Boolean = true): DataFrame = {
+                      autoRefresh: Boolean = true,
+                      kOf: Option[Long => Long] = None): DataFrame = {
     val srcV = SnapshotStore.latestVersion(spark, table)
     val (cenT, asgT) = (s"$index/centroids", s"$index/assignments")
     def pinned(): Option[SnapshotStore.Snapshot] =
@@ -211,7 +240,7 @@ object VectorIndex {
           s"IVF index $index is stale for $table@$srcV — a DML or append " +
             "landed after the last refresh; run VectorIndex.ivfRefresh (or " +
             "probe with autoRefresh = true)")
-        ivfRefresh(spark, table, idCol, vecCol, index, numCentroids)
+        ivfRefresh(spark, table, idCol, vecCol, index, numCentroids, kOf = kOf)
         SnapshotStore.state(spark, asgT)
     }
     val cen = SnapshotStore.snapshot(spark, cenT,

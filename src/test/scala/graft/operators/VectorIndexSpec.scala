@@ -174,6 +174,43 @@ class VectorIndexSpec extends SparkSpec {
     assert(via === scratch)
   }
 
+  test("scaled IVF sidecar: probe == direct ivfTrainScaled; appends assign two-level O(delta)") {
+    val (tbl, idx) = fresh("ivfscaled")
+    val kOf = Some((n: Long) => Similarity.scaledCentroids(n).toLong)
+    SnapshotStore.append(vecs(0L to 60L).repartition(2), tbl,
+      statsCols = Seq("vec_id"))
+    VectorIndex.ivfRefresh(spark, tbl, "vec_id", "embedding", idx,
+      numCentroids = 0, kOf = kOf)
+    val viaIndex = VectorIndex.ivfProbeIndexed(spark, tbl, "vec_id",
+      "embedding", idx, queryId = 0L, k = 5, probes = 2, numCentroids = 0,
+      kOf = kOf).collect().toSeq
+    val (cent, asg) = Similarity.ivfTrainScaled(vecs(0L to 60L), "vec_id",
+      "embedding", n => Similarity.scaledCentroids(n).toLong)
+    val direct = Similarity.ivfProbe(cent, asg, queryId = 0L, k = 5, probes = 2)
+      .collect().toSeq
+    assert(viaIndex === direct,
+      "the persisted scaled index must answer exactly like the inline scaled trainer")
+    // pure append under the drift fraction: two-level delta assignment —
+    // an exact twin of the query vector lands in the query's own cell
+    // (same signature => same candidate centroids => same argmax), so it
+    // must rank first without a retrain
+    SnapshotStore.append(
+      Seq((999L, Array.tabulate(8)(j => math.sin(j).toFloat)))
+        .toDF("vec_id", "embedding"), tbl)
+    val top = VectorIndex.ivfProbeIndexed(spark, tbl, "vec_id", "embedding",
+      idx, queryId = 0L, k = 3, probes = 2, numCentroids = 0, kOf = kOf)
+      .collect()
+    assert(top.head.getLong(0) === 999L, s"got ${top.toSeq}")
+    assert(SnapshotStore.history(spark, s"$idx/assignments").head._2 === "append",
+      "a pure-append delta must not retrain the scaled index")
+    // twin co-assignment, explicitly: 999 carries the cid of vec 0
+    val cids = SnapshotStore.snapshot(spark, s"$idx/assignments")
+      .filter(col("vec_id").isin(0L, 999L))
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    assert(cids(999L) === cids(0L), s"twin split across cells: $cids")
+  }
+
   test("DML on the source re-encodes; stale probe refuses when autoRefresh=false") {
     val (tbl, idx) = fresh("dml")
     SnapshotStore.append(vecs(0L to 30L).repartition(2), tbl,

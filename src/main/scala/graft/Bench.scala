@@ -452,8 +452,15 @@ object Bench {
               // read as phantom superlinearity (the r15/r16 sf1-run
               // ngram/containment xlin inflation; root-caused r16)
               (col("doc_id") + col("rep") * lit(1000000000000L)).as("doc_id"),
+              // '~' separator, NOT ScaleUp's 'x': an sf1 corpus already
+              // carries 'x'+digit suffixes, so replica r's w -> w+"x"+r
+              // here would EQUAL ScaleUp-replica-r's native words — exact
+              // duplicate texts across replicas (the r16 sf1b containment
+              // xlin 2.63 / pair superlinearity was THIS, not operator
+              // cost). '~' never appears in the base alphabet (a-w,y) or
+              // in ScaleUp output, so the bijection composes safely.
               when(col("rep") === 0, col("text")).otherwise(expr(
-                "array_join(transform(split(text, ' '), w -> concat(w, 'x', rep)), ' ')"))
+                "array_join(transform(split(text, ' '), w -> concat(w, '~', rep)), ' ')"))
                 .as("text"),
               col("lang"), col("source"))
             .withColumn("n_chars", length(col("text")))

@@ -930,6 +930,31 @@ object Dedup {
                        shingleN: Int = 3, minContainment: Double = 0.8,
                        dfCap: Int = 10,
                        sigPath: Option[String] = None): DataFrame = {
+    val (sigs, _, candidates) = containmentCandidates(
+      docs, idCol, textCol, shingleN, minContainment, dfCap, sigPath)
+    val sets = sigs.select(col(idCol), col("hs"), col("n_sh"))
+    candidates
+      .join(sets.select(col(idCol).as("doc_a"), col("hs").as("hs_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("hs").as("hs_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        call_function("sorted_intersect_count", col("hs_a"), col("hs_b")).as("n_inter"),
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"))
+      .withColumn("c_ab", round(col("n_inter") / col("n_a"), 6))
+      .withColumn("c_ba", round(col("n_inter") / col("n_b"), 6))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= minContainment)
+  }
+
+  /** The staged internals of [[containmentPairs]] — (signatures,
+    * rare-postings, candidate pairs) — exposed so the scale probe can
+    * time and count each phase separately (the ngramJaccardCandidates
+    * pattern). The candidate set is invariant to how it is phased, so
+    * no production path needs this.
+    */
+  private[graft] def containmentCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, minContainment: Double, dfCap: Int,
+      sigPath: Option[String]): (DataFrame, DataFrame, DataFrame) = {
     require(dfCap >= 2, s"dfCap must be >= 2 to pair anything, got $dfCap")
     graft.plans.GraftExtensions.register(docs.sparkSession)
     // prefix_len is jaccard-specific; signatures here are (id, hs, n_sh)
@@ -951,16 +976,6 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    val sets = sigs.select(col(idCol), col("hs"), col("n_sh"))
-    candidates
-      .join(sets.select(col(idCol).as("doc_a"), col("hs").as("hs_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sets.select(col(idCol).as("doc_b"), col("hs").as("hs_b"), col("n_sh").as("n_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        call_function("sorted_intersect_count", col("hs_a"), col("hs_b")).as("n_inter"),
-        col("n_a").cast("long").as("n_a"),
-        col("n_b").cast("long").as("n_b"))
-      .withColumn("c_ab", round(col("n_inter") / col("n_a"), 6))
-      .withColumn("c_ba", round(col("n_inter") / col("n_b"), 6))
-      .filter(greatest(col("c_ab"), col("c_ba")) >= minContainment)
+    (sigs, exRare, candidates)
   }
 }

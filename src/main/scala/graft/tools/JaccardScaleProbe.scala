@@ -44,8 +44,12 @@ object JaccardScaleProbe {
             // 1e12 shift: sf1 ids already carry ScaleUp's 1e8 shift — a
             // 1e8 shift here collides ids (two docs under one doc_id)
             (col("doc_id") + col("rep") * lit(1000000000000L)).as("doc_id"),
+            // '~' separator: an 'x'+rep suffix COLLIDES with ScaleUp's
+            // own bijection when the input is an sf1 corpus (replica r
+            // of ScaleUp-rep-0 text == ScaleUp-rep-r text → exact dup
+            // documents, superlinear phantom pairs)
             when(col("rep") === 0, col("text")).otherwise(expr(
-              "array_join(transform(split(text, ' '), w -> concat(w, 'x', rep)), ' ')"))
+              "array_join(transform(split(text, ' '), w -> concat(w, '~', rep)), ' ')"))
               .as("text"))
       val n = docs.count()
       val (sigs, cand) = Dedup.ngramJaccardCandidates(

@@ -702,8 +702,8 @@ object Dedup {
     * oracle's string semantics; at 2M distinct shingles the birthday bound
     * is ~1e-6.)
     */
-  private def hashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                             shingleN: Int, minJaccard: Double): DataFrame =
+  private[graft] def hashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                                    shingleN: Int, minJaccard: Double): DataFrame =
     // fused kernel ([[graft.plans.SortedShingleHashes]]): shingle → md5 →
     // sort → dedupe in one pass — the HOF formulation
     // (sort_array(transform(shingles, hash60))) evaluates INTERPRETED and

@@ -937,6 +937,139 @@ object Streaming {
     }
   }
 
+  /** Streaming CONTAINMENT dedup against a durable shingle-postings
+    * index — the streaming twin of
+    * [[graft.operators.Dedup.containmentPairs]]'s rare-shingle blocker,
+    * completing the sink family (MinHash bands / cosine LSH /
+    * containment postings). Each micro-batch screens BATCH-VS-INDEX
+    * only: the batch's shingle hashes probe the accepted docs' postings
+    * (never index × index); a shared shingle whose document frequency
+    * over index + batch lies in [2, `dfCap`] makes a candidate pair
+    * (the batch blocker's rarity rule, evaluated on the corpus seen so
+    * far — running df only grows, so the sink screens at least the
+    * candidates the batch blocker would), and candidates verify with
+    * the EXACT sorted-intersect containment, so every flag is sound. A
+    * doc is a duplicate when contained in (or containing) any ACCEPTED
+    * doc at >= `minContainment`, or any lower-id batch-mate
+    * (keep-lowest). Novel docs append their signatures AND postings;
+    * verdicts land append-only and double as the replay skip —
+    * restart-safe like the other sinks, with the same crash story:
+    * index appends land BEFORE the verdict (an unverdicted id
+    * re-screens; the anti-joins make replayed appends idempotent and
+    * the df count excludes the batch's own ids from the index side, so
+    * a half-indexed doc never double-counts or matches itself).
+    *
+    * Scale shape: the index-side work per batch is postings ∩ batch
+    * shingles (semi-join on `h` — hash-partition the postings store and
+    * the probe prunes) plus one id-projection scan for append
+    * idempotence; nothing compares index docs to each other, so
+    * per-batch cost tracks batch size × shingle df, not index².
+    */
+  def containmentDedupSink(docs: DataFrame, idCol: String, textCol: String,
+                           indexPath: String, shingleN: Int = 3,
+                           minContainment: Double = 0.8, dfCap: Int = 10)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(dfCap >= 2, s"dfCap must be >= 2 to pair anything, got $dfCap")
+    val spark = docs.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      val sigsDir = s"$indexPath/sigs"
+      val postDir = s"$indexPath/postings"
+      val verdictsDir = s"$indexPath/verdicts"
+      val once = batch.toDF().dropDuplicates(idCol)
+      val fresh =
+        if (StateFs.exists(spark, verdictsDir))
+          once.join(
+            spark.read.parquet(verdictsDir).select(col(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+        else once
+      if (!fresh.isEmpty) {
+        // (id, hs, n_sh): the SAME sorted-shingle-hash signatures the
+        // batch operator verifies with (prefix_len unused here)
+        val fb = graft.operators.Dedup
+          .hashSignatures(fresh, idCol, textCol, shingleN, minContainment)
+          .select(col(idCol), col("hs"), col("n_sh"))
+          .localCheckpoint()
+        val bpost = fb.select(col(idCol), explode(col("hs")).as("h"))
+          .localCheckpoint()
+        val haveIndex = StateFs.exists(spark, sigsDir)
+        // index postings matched to the batch's shingles, minus the
+        // batch's own ids (a crash-replayed half-indexed doc must not
+        // double-count its shingles' df or pair with itself)
+        val iMatched = (
+          if (haveIndex)
+            spark.read.parquet(postDir)
+              .join(bpost.select(col("h")).distinct(), Seq("h"), "left_semi")
+              .join(fb.select(col(idCol)), Seq(idCol), "left_anti")
+          else bpost.limit(0))
+          .select(col("h"), col(idCol).as("__iid"))
+          .localCheckpoint()
+        // running document frequency per batch shingle = batch + index
+        val rare = bpost.groupBy(col("h")).agg(count(lit(1)).as("__dfb"))
+          .join(iMatched.groupBy(col("h")).agg(count(lit(1)).as("__dfi")),
+            Seq("h"), "left")
+          .select(col("h"), (col("__dfb") + coalesce(col("__dfi"), lit(0L))).as("__df"))
+          .filter(col("__df") >= 2 && col("__df") <= dfCap)
+          .select(col("h"))
+        val bp = bpost.join(rare, Seq("h"), "left_semi")
+        val candI = bp.join(iMatched, Seq("h"))
+          .select(col("__iid").as("doc_a"), col(idCol).as("doc_b"))
+          .distinct()
+        val candB = bp.select(col("h"), col(idCol).as("doc_a"))
+          .join(bp.select(col("h"), col(idCol).as("doc_b")), Seq("h"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .distinct()
+        // doc_a resolves from the index OR the batch (an in-batch pair's
+        // keeper is a batch doc); doc_b is always a batch doc
+        val aSets = (
+          if (haveIndex)
+            spark.read.parquet(sigsDir)
+              .join(fb.select(col(idCol)), Seq(idCol), "left_anti")
+              .unionByName(fb)
+          else fb)
+          .select(col(idCol).as("doc_a"), col("hs").as("hs_a"),
+            col("n_sh").cast("long").as("n_a"))
+        val dups = candI.union(candB)
+          .join(aSets, Seq("doc_a"))
+          .join(fb.select(col(idCol).as("doc_b"), col("hs").as("hs_b"),
+            col("n_sh").cast("long").as("n_b")), Seq("doc_b"))
+          .select(col("doc_b"),
+            call_function("sorted_intersect_count", col("hs_a"), col("hs_b"))
+              .as("n_inter"),
+            col("n_a"), col("n_b"))
+          .filter(greatest(round(col("n_inter") / col("n_a"), 6),
+            round(col("n_inter") / col("n_b"), 6)) >= minContainment)
+          .select(col("doc_b").as(idCol)).distinct()
+          .withColumn("__dup", lit(true))
+        val verdicts = fb.select(col(idCol))
+          .join(dups, Seq(idCol), "left_outer")
+          .select(col(idCol), coalesce(!col("__dup"), lit(true)).as("keep"))
+          .localCheckpoint()
+        val accepted = fb.join(verdicts.filter(col("keep")).select(col(idCol)),
+          Seq(idCol), "left_semi")
+        // SIGS first (future verification needs them), POSTINGS second
+        // (candidates come from postings, so a sig without postings is
+        // invisible, never wrong), VERDICTS last (the replay skip) — a
+        // crash anywhere re-screens, never loses an accepted doc
+        (if (haveIndex)
+           accepted.join(spark.read.parquet(sigsDir).select(col(idCol)),
+             Seq(idCol), "left_anti")
+         else accepted)
+          .write.mode("append").parquet(sigsDir)
+        val acceptedPost = accepted.select(col(idCol), explode(col("hs")).as("h"))
+        (if (StateFs.exists(spark, postDir))
+           acceptedPost.join(
+             spark.read.parquet(postDir).select(col(idCol)).distinct(),
+             Seq(idCol), "left_anti")
+         else acceptedPost)
+          .write.mode("append").parquet(postDir)
+        verdicts.write.mode("append").parquet(verdictsDir)
+      }
+      ()
+    }
+  }
+
   /** Read the current snapshot of an [[upsertSink]] store. */
   def readUpsertStore(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val cur = StateFs.readString(spark, s"$path/_current").getOrElse(

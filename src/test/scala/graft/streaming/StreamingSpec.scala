@@ -656,6 +656,92 @@ class StreamingSpec extends SparkSpec
     } finally q.stop()
   }
 
+  /** Distinct per-doc vocabulary — docs share shingles ONLY where the
+    * test plants a quote. */
+  private def contDoc(i: Long, words: Int = 10): String =
+    (0 until words).map(j => s"w${i}a$j").mkString(" ")
+  private def contQuote(of: Long, id: Long): String =
+    s"w${id}pre1 w${id}pre2 ${contDoc(of)} w${id}suf1 w${id}suf2"
+
+  test("containmentDedupSink verdicts equal the batch containment screen; replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-contsink").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.containmentDedupSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tmp)
+      .start()
+    // (id, text): 1..6 distinct; 21 quotes 20 IN-BATCH; 30 is SHORT and
+    // arrives after the long doc 6 that already quotes it (either
+    // containment direction must flag the later doc); 103 quotes 1
+    // across batches
+    val corpus = Seq[(Long, String)](
+      1L -> contDoc(1), 2L -> contDoc(2), 3L -> contDoc(3),
+      4L -> contDoc(4), 5L -> contDoc(5), 6L -> contQuote(30, 6),
+      20L -> contDoc(20), 21L -> contQuote(20, 21),
+      30L -> contDoc(30),
+      103L -> contQuote(1, 103))
+    try {
+      mem.addData(corpus.take(6): _*); q.processAllAvailable()
+      mem.addData(corpus.slice(6, 9): _*); q.processAllAvailable()
+      mem.addData(corpus.drop(9): _*); q.processAllAvailable()
+      val sinkVerdicts = spark.read.parquet(s"$tmp/verdicts")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+      // batch screen over the SAME corpus: keep-lowest from the pair set
+      val batchDups = graft.operators.Dedup.containmentPairs(
+          corpus.toDF("doc_id", "text"), "doc_id", "text")
+        .select(col("doc_b")).as[Long].collect().toSet
+      val batchVerdicts = corpus.map(_._1).map(i => i -> !batchDups.contains(i)).toMap
+      assert(sinkVerdicts == batchVerdicts,
+        s"sink and batch containment screens disagree: $sinkVerdicts vs $batchVerdicts")
+      assert(!sinkVerdicts(21L) && !sinkVerdicts(30L) && !sinkVerdicts(103L),
+        "every planted quote pair's later doc must drop")
+      // replay: an already-verdicted id never re-screens or re-verdicts
+      mem.addData(1L -> contDoc(1), 103L -> contQuote(1, 103))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$tmp/verdicts").count() === corpus.size.toLong,
+        "replay must not add verdicts")
+      // index holds sigs+postings for exactly the accepted docs, once each
+      val sigIds = spark.read.parquet(s"$tmp/sigs")
+        .groupBy(col("doc_id")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sigIds.keySet == sinkVerdicts.filter(_._2).keySet)
+      assert(sigIds.values.forall(_ == 1L), s"duplicate sig rows: $sigIds")
+    } finally q.stop()
+  }
+
+  test("containmentDedupSink crash window: indexed-but-unverdicted doc re-screens cleanly") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-contcrash").toString
+    // simulate a crash BETWEEN the postings append and the verdict:
+    // doc 1's sigs AND postings landed, its verdict did not
+    val planted = graft.operators.Dedup.hashSignatures(
+        Seq(1L -> contDoc(1)).toDF("doc_id", "text"), "doc_id", "text", 3, 0.8)
+      .select(col("doc_id"), col("hs"), col("n_sh"))
+    planted.write.parquet(s"$tmp/sigs")
+    planted.select(col("doc_id"), explode(col("hs")).as("h"))
+      .write.parquet(s"$tmp/postings")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.containmentDedupSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tmp)
+      .start()
+    try {
+      // the replayed doc 1 plus a genuine quote of it with a higher id
+      mem.addData(1L -> contDoc(1), 9L -> contQuote(1, 9))
+      q.processAllAvailable()
+      val verdicts = spark.read.parquet(s"$tmp/verdicts")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+      assert(verdicts == Map(1L -> true, 9L -> false),
+        s"the replayed doc must not match ITSELF through its own postings: $verdicts")
+      // 9 dropped, so the index still holds exactly doc 1 — ONCE (the
+      // replayed append is idempotent)
+      assert(spark.read.parquet(s"$tmp/sigs").count() === 1L,
+        "the idempotent append must not duplicate the already-indexed signatures")
+      assert(spark.read.parquet(s"$tmp/postings").select(col("doc_id")).distinct().count() === 1L)
+    } finally q.stop()
+  }
+
   test("incrementalDedupSink compacts its stores without changing verdicts") {
     implicit val sqlCtx = spark.sqlContext
     // twin sinks over the IDENTICAL batch sequence: one compacting

@@ -15,6 +15,9 @@ import org.apache.spark.sql.execution.window.WindowExec
   *
   *  - `single-partition-window` (error): a window with no PARTITION BY
   *    moves every row to one task — the classic silent scale killer.
+  *    Exempt when the window's input is bounded by a plan-constant
+  *    LIMIT (or ≤1-row aggregate): one task over k rows is the seed-rank
+  *    / top-N-re-rank shape, not a corpus funnel.
   *  - `cartesian` (error): CartesianProduct / BroadcastNestedLoopJoin —
   *    usually a missing join condition.
   *  - `scala-udf` (warn): opaque to codegen AND to pushdown/pruning.
@@ -68,6 +71,34 @@ object PlanLint extends AdaptiveSparkPlanHelper {
     case _ => false
   }
 
+  /** True when the subtree's row count is bounded by a plan-constant
+    * LIMIT (or a ≤1-row aggregate): a partition-less window above it
+    * runs its one task over a constant number of rows — the k-row seed
+    * rank, a top-N re-rank — not the corpus, so it is not the
+    * single-task scale killer the window rule hunts.
+    */
+  private def limitBounded(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+    case _: org.apache.spark.sql.execution.LocalLimitExec => true
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      a.groupingExpressions.isEmpty
+    case s: org.apache.spark.sql.execution.SortExec => limitBounded(s.child)
+    case e: ShuffleExchangeExec => limitBounded(e.child)
+    case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+      limitBounded(e.child)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      limitBounded(r.child)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      limitBounded(q.plan)
+    case w: org.apache.spark.sql.execution.WholeStageCodegenExec => limitBounded(w.child)
+    case i: org.apache.spark.sql.execution.InputAdapter => limitBounded(i.child)
+    case c: org.apache.spark.sql.execution.ColumnarToRowExec => limitBounded(c.child)
+    case pr: org.apache.spark.sql.execution.ProjectExec => limitBounded(pr.child)
+    case f: FilterExec => limitBounded(f.child)
+    case _ => false
+  }
+
   /** Skip the row-format adapters between an operator and its scan. */
   private def unwrap(p: SparkPlan): SparkPlan = p match {
     case c: org.apache.spark.sql.execution.ColumnarToRowExec => unwrap(c.child)
@@ -80,7 +111,7 @@ object PlanLint extends AdaptiveSparkPlanHelper {
     val findings = Seq.newBuilder[Finding]
 
     nodes.foreach {
-      case w: WindowExec if w.partitionSpec.isEmpty =>
+      case w: WindowExec if w.partitionSpec.isEmpty && !limitBounded(w.child) =>
         findings += Finding("error", "single-partition-window",
           s"window [${w.windowExpression.map(_.sql).mkString(", ")}] has no PARTITION BY — " +
             "all rows move to ONE task")

@@ -34,7 +34,7 @@ class CatalogLintSpec extends SparkSpec {
   //    is not provable)
   private val broadcastPointLookups = Set(
     "q_ann_bruteforce", "q_ann_ivf_trained", "q_ann_ivf_indexed",
-    "q_ann_ivf_scaled",
+    "q_ann_ivf_scaled", "q_ann_ivf_scaled_indexed",
     "q_hybrid_search", "q_hybrid_rrf", "q_ann_sq", "q_ann_sq_indexed")
 
   test("all catalog queries lint clean of scale errors (documented exceptions only)") {

@@ -17,6 +17,17 @@ class PlanLintSpec extends SparkSpec {
     assert(fs.exists(f => f.severity == "error" && f.kind == "single-partition-window"), fs)
   }
 
+  test("a partition-less window over a plan-constant LIMIT is bounded, not an error") {
+    // the k-row seed-rank shape (kmeansAssign's rank seeding): the one
+    // task ranks k rows, not the corpus
+    val df = spark.range(1000L).select($"id", ($"id" % 7).as("v"))
+      .orderBy($"id").limit(4)
+      .withColumn("rn", row_number().over(Window.orderBy($"id")))
+    df.collect()
+    val fs = PlanLint.lint(df)
+    assert(!fs.exists(_.kind == "single-partition-window"), fs)
+  }
+
   test("flags cartesian joins and Scala UDFs") {
     val udfInc = udf((x: Long) => x + 1)
     val a = Seq(1L, 2L).toDF("x")

@@ -286,7 +286,10 @@ private[v2] object SnapshotProcedures {
     * (zero writes); pure appends since the stamp → O(delta) `append`
     * (IVF additionally retrains once appended-since-train exceeds
     * `drift_retrain_fraction` of the trained corpus); DML / `force` →
-    * full `retrain`. The returned `action` names which path ran. */
+    * full `retrain`. The returned `action` names which path ran.
+    * `kind = 'ivf_scaled'` derives k = ceil(√n) from the corpus and
+    * rides the scale-safe trainer (sampled training + two-level
+    * assignment; `num_centroids` is ignored). */
   private object RefreshIndex extends Proc("refresh_index",
     Seq(
       ProcedureParameter.in("table", StringType).build(),
@@ -311,17 +314,22 @@ private[v2] object SnapshotProcedures {
       val vecCol = in.getUTF8String(2).toString
       val index = in.getUTF8String(3).toString
       val kind = in.getUTF8String(4).toString.toLowerCase
-      require(kind == "sq" || kind == "ivf",
-        s"refresh_index kind must be 'sq' or 'ivf', got '$kind'")
+      require(kind == "sq" || kind == "ivf" || kind == "ivf_scaled",
+        s"refresh_index kind must be 'sq', 'ivf' or 'ivf_scaled', got '$kind'")
       val force = in.getBoolean(6)
-      val stamped = if (kind == "ivf") s"$index/assignments" else index
+      val stamped = if (kind == "sq") index else s"$index/assignments"
       val before = SnapshotStore.latestVersion(spark, stamped)
       val v =
         if (kind == "sq")
           VectorIndex.sqRefresh(spark, table, idCol, vecCol, index, force)
         else VectorIndex.ivfRefresh(spark, table, idCol, vecCol, index,
           numCentroids = in.getInt(5), force = force,
-          driftRetrainFraction = in.getDouble(7))
+          driftRetrainFraction = in.getDouble(7),
+          // 'ivf_scaled': k derives from the corpus (√n, num_centroids
+          // ignored) through the scale-safe trainer + two-level assign
+          kOf = if (kind == "ivf_scaled")
+            Some((n: Long) => graft.operators.Similarity.scaledCentroids(n).toLong)
+          else None)
       val action =
         if (v == before) "noop"
         else SnapshotStore.history(spark, stamped).head._2 match {

@@ -342,6 +342,16 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(s2.getAs[String]("action") === "append")
     assert(SnapshotStore.state(spark, sq).meta(VectorIndex.SourceVersionKey)
       === SnapshotStore.latestVersion(spark, t).toString)
+    // the corpus-scaled kind: k = ceil(sqrt(n)) via the scale-safe
+    // trainer; same verbs (retrain, then O(delta) append)
+    val sc = s"$t-ivfscaled"
+    val c1 = spark.sql(s"CALL graft.refresh_index('$t', 'vec_id', " +
+      s"'embedding', '$sc', kind => 'ivf_scaled')").collect().head
+    assert(c1.getAs[String]("action") === "retrain")
+    SnapshotStore.append(vecs(400L to 401L), t)
+    val c2 = spark.sql(s"CALL graft.refresh_index('$t', 'vec_id', " +
+      s"'embedding', '$sc', kind => 'ivf_scaled')").collect().head
+    assert(c2.getAs[String]("action") === "append")
     // bad kind: loud
     intercept[Exception] {
       spark.sql(s"CALL graft.refresh_index('$t', 'vec_id', 'embedding', " +

@@ -967,7 +967,8 @@ object Streaming {
     */
   def containmentDedupSink(docs: DataFrame, idCol: String, textCol: String,
                            indexPath: String, shingleN: Int = 3,
-                           minContainment: Double = 0.8, dfCap: Int = 10)
+                           minContainment: Double = 0.8, dfCap: Int = 10,
+                           compactAfterFiles: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(dfCap >= 2, s"dfCap must be >= 2 to pair anything, got $dfCap")
     val spark = docs.sparkSession
@@ -1065,6 +1066,20 @@ object Streaming {
          else acceptedPost)
           .write.mode("append").parquet(postDir)
         verdicts.write.mode("append").parquet(verdictsDir)
+      }
+      // per-batch appends accumulate small files; past the trigger each
+      // store rewrites to ~compactAfterFiles/8 files (pure rewrite — all
+      // three stores are append-only, so no tombstone bookkeeping; same
+      // single-writer assumption as the sink's serial foreachBatch)
+      Seq(sigsDir, postDir, verdictsDir).foreach { dir =>
+        if (StateFs.dataFileCount(spark, dir) > compactAfterFiles) {
+          val tmp = s"$dir.compact_tmp"
+          spark.read.parquet(dir).localCheckpoint()
+            .repartition(math.max(1, compactAfterFiles / 8))
+            .write.mode("overwrite").parquet(tmp)
+          StateFs.delete(spark, dir)
+          StateFs.rename(spark, tmp, dir)
+        }
       }
       ()
     }

@@ -710,6 +710,45 @@ class StreamingSpec extends SparkSpec
     } finally q.stop()
   }
 
+  test("containmentDedupSink compacts its stores without changing verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+    val dirA = "file:" + java.nio.file.Files.createTempDirectory("graft-contcompact").toString
+    val dirB = "file:" + java.nio.file.Files.createTempDirectory("graft-contnocompact").toString
+    val memA = MemoryStream[(Long, String)]
+    val memB = MemoryStream[(Long, String)]
+    val qA = Streaming.containmentDedupSink(memA.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dirA, compactAfterFiles = 2).start()
+    val qB = Streaming.containmentDedupSink(memB.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dirB, compactAfterFiles = 1000000).start()
+    def feed(batch: (Long, String)*): Unit = {
+      memA.addData(batch); qA.processAllAvailable()
+      memB.addData(batch); qB.processAllAvailable()
+    }
+    try {
+      // several small batches so the aggressive sink compacts repeatedly,
+      // with quote pairs spanning compactions (the rewritten index must
+      // still catch them)
+      feed(1L -> contDoc(1), 2L -> contDoc(2))
+      feed(3L -> contDoc(3), 4L -> contDoc(4))
+      feed(5L -> contDoc(5), 6L -> contDoc(6))
+      feed(50L -> contQuote(2, 50), 51L -> contDoc(51))
+      feed(60L -> contQuote(5, 60), 61L -> contDoc(61))
+      def verdicts(dir: String) = spark.read.parquet(s"$dir/verdicts")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+      assert(verdicts(dirA) == verdicts(dirB),
+        s"compaction changed verdicts: ${verdicts(dirA)} vs ${verdicts(dirB)}")
+      assert(!verdicts(dirA)(50L) && !verdicts(dirA)(60L),
+        "quote pairs spanning compactions must still be caught")
+      def files(dir: String, sub: String): Int = new java.io.File(
+        new java.net.URI(s"$dir/$sub")).listFiles()
+        .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(files(dirA, "postings") < files(dirB, "postings"),
+        "the compacting sink must hold fewer postings files")
+      assert(files(dirA, "verdicts") < files(dirB, "verdicts"))
+    } finally { qA.stop(); qB.stop() }
+  }
+
   test("containmentDedupSink crash window: indexed-but-unverdicted doc re-screens cleanly") {
     implicit val sqlCtx = spark.sqlContext
     graft.plans.GraftExtensions.register(spark)

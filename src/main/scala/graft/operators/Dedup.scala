@@ -766,9 +766,10 @@ object Dedup {
     val (sigs, cand) = ngramJaccardCandidates(
       docs, idCol, textCol, shingleN, minJaccard, sigPath, shingleOrder, lengthBinned)
     val sets = sigs.select(col(idCol), col("hs"), col("n_sh"))
+    val hint = verifySideHint(sigs)
     cand
-      .join(sets.select(col(idCol).as("doc_a"), col("hs").as("hs_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sets.select(col(idCol).as("doc_b"), col("hs").as("hs_b"), col("n_sh").as("n_b")), "doc_b")
+      .join(hint(sets.select(col(idCol).as("doc_a"), col("hs").as("hs_a"), col("n_sh").as("n_a"))), "doc_a")
+      .join(hint(sets.select(col(idCol).as("doc_b"), col("hs").as("hs_b"), col("n_sh").as("n_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         call_function("sorted_intersect_count", col("hs_a"), col("hs_b")).as("n_inter"),
         col("n_a").cast("long").as("n_a"),
@@ -933,9 +934,10 @@ object Dedup {
     val (sigs, _, candidates) = containmentCandidates(
       docs, idCol, textCol, shingleN, minContainment, dfCap, sigPath)
     val sets = sigs.select(col(idCol), col("hs"), col("n_sh"))
+    val hint = verifySideHint(sigs)
     candidates
-      .join(sets.select(col(idCol).as("doc_a"), col("hs").as("hs_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sets.select(col(idCol).as("doc_b"), col("hs").as("hs_b"), col("n_sh").as("n_b")), "doc_b")
+      .join(hint(sets.select(col(idCol).as("doc_a"), col("hs").as("hs_a"), col("n_sh").as("n_a"))), "doc_a")
+      .join(hint(sets.select(col(idCol).as("doc_b"), col("hs").as("hs_b"), col("n_sh").as("n_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         call_function("sorted_intersect_count", col("hs_a"), col("hs_b")).as("n_inter"),
         col("n_a").cast("long").as("n_a"),
@@ -943,6 +945,50 @@ object Dedup {
       .withColumn("c_ab", round(col("n_inter") / col("n_a"), 6))
       .withColumn("c_ba", round(col("n_inter") / col("n_b"), 6))
       .filter(greatest(col("c_ab"), col("c_ba")) >= minContainment)
+  }
+
+  /** Join hint for the VERIFY side (the (id, hs, n_sh) signature table
+    * joined back to candidate pairs), decided from MEASURED bytes of the
+    * materialized signature checkpoint — 8 B per stored hash plus row
+    * overhead — against the session's autoBroadcastJoinThreshold.
+    *
+    * Why not leave it to the planner: a checkpointed lineage's STATIC
+    * size estimate under-reads array bytes (row-count heuristics), so
+    * the same verify join broadcast-built a 500 k-row × ~1 KB-array
+    * HashedRelation through the driver at one corpus source and
+    * sort-merged at another — measured r17: 11 s vs 91 s on the
+    * IDENTICAL corpus (byte-identical candidates and pairs), a 25×
+    * strategy cliff between the bench's scale points, and the broadcast
+    * leg is the same driver-OOM class the r16 df-order fix pinned
+    * (Dedup `hint("merge")` at the collect_list join). Measuring the
+    * checkpoint makes the choice deterministic and scale-honest, in
+    * three measured tiers:
+    *
+    *  - bytes ≤ autoBroadcastJoinThreshold → BROADCAST (zero-shuffle
+    *    verify for genuinely small signature tables);
+    *  - bytes / shuffle partitions ≤ 256 MiB → SHUFFLE_HASH with the
+    *    signature table as the build side: the candidate-pair stream
+    *    (which after the first join carries an hs array PER PAIR —
+    *    candidates × ~KB, the dominant bytes) is never SORTED, only
+    *    shuffled. Sort-merge sorts that intermediate and spills it to
+    *    disk past memory (measured r17: 122 s vs the same verify at
+    *    well under half that hashed); the build side per partition is
+    *    measured-bytes/partitions — bounded, skew-free (uniform doc
+    *    ids), so the SHJ build can't blow a task.
+    *  - else → SORT_MERGE (the no-assumptions shape: at 100 TB the
+    *    per-partition hash build itself would be GBs).
+    */
+  private def verifySideHint(sigs: DataFrame): DataFrame => DataFrame = {
+    val conf = sigs.sparkSession.sessionState.conf
+    val thr = conf.autoBroadcastJoinThreshold
+    val st = sigs.agg(count(lit(1)).as("n"), sum(size(col("hs"))).as("sh")).head
+    val bytes =
+      if (st.isNullAt(1)) 0L
+      else st.getLong(1) * 8L + st.getLong(0) * 16L
+    if (thr > 0 && bytes <= thr) broadcast(_)
+    else if (bytes / math.max(1, conf.numShufflePartitions) <= (256L << 20))
+      _.hint("shuffle_hash")
+    else _.hint("merge")
   }
 
   /** The staged internals of [[containmentPairs]] — (signatures,

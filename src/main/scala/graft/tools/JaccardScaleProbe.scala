@@ -60,17 +60,30 @@ object JaccardScaleProbe {
       val collisions = Dedup.lastCollisionStage.get()
       val (nColl, collSec) = time(collisions.queryExecution.toRdd.count())
       val (nCand, candSec) = time(cand.queryExecution.toRdd.count())
-      val (nPairs, fullSec) = time(
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 3,
-          minJaccard = 0.5, shingleOrder = shingleOrder,
-          lengthBinned = lengthBinned).queryExecution.toRdd.count())
+      val fullDf = Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 3,
+        minJaccard = 0.5, shingleOrder = shingleOrder,
+        lengthBinned = lengthBinned)
+      val (nPairs, fullSec) = time(fullDf.queryExecution.toRdd.count())
+      // the EXECUTED join strategies (post-AQE): the verify legs' choice
+      // between broadcast (fast, driver-bounded — the r16 OOM hazard
+      // class for array-heavy sides AQE under-estimates) and sort-merge
+      // (the 100 TB shape) is THE cost cliff between corpora sources
+      val plan = fullDf.queryExecution.executedPlan.toString
+      def n2(s: String) = s.r.findAllMatchIn(plan).length
+      if (sys.env.contains("SPARK_GRAFT_PROBE_PLAN"))
+        println(plan.linesIterator
+          .filter(l => l.contains("Join") || l.contains("Exchange") ||
+            l.contains("Scan") || l.contains("Broadcast"))
+          .mkString("[jacscale-plan]\n", "\n", ""))
       graft.runtime.Checkpoints.release()
       println(f"""[jacscale] {"docs":$n,"scale":$sc,""" +
         f""""order":"$shingleOrder","binned":$lengthBinned,""" +
         f""""sig_sec":$sigSec%.2f,""" +
         f""""collisions":$nColl,"collision_sec":$collSec%.2f,""" +
         f""""candidates":$nCand,"cand_sec":$candSec%.2f,""" +
-        f""""pairs":$nPairs,"full_sec":$fullSec%.2f}""")
+        f""""pairs":$nPairs,"full_sec":$fullSec%.2f,""" +
+        f""""smj":${n2("SortMergeJoin")},"bhj":${n2("BroadcastHashJoin")},""" +
+        f""""shj":${n2("ShuffledHashJoin")}}""")
     }
   }
 

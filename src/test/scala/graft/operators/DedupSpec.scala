@@ -302,6 +302,47 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/corpus_sigs").count() == corpus.count())
   }
 
+  test("verify-side strategy derives from MEASURED signature bytes; results invariant") {
+    // a corpus with real pairs so the verify legs execute
+    val corpus = (1L to 60L).map { i =>
+      val base = (0 until 12).map(j => s"w${i}a$j").mkString(" ")
+      (i, if (i % 10 == 0) (0 until 12).map(j => s"w${i - 1}a$j").mkString(" ") else base)
+    }.toDF("doc_id", "text")
+    def run(): (Seq[String], Int, Int) = {
+      val df = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5)
+      val rows = df.collect().map(_.toString).sorted.toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      (rows,
+        "BroadcastHashJoin".r.findAllMatchIn(plan).length,
+        "ShuffledHashJoin".r.findAllMatchIn(plan).length)
+    }
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thrKey)
+    try {
+      // measured bytes (a few KB) under the default threshold: the two
+      // verify joins broadcast (zero-shuffle verify for a small corpus)
+      val (small, bhjSmall, _) = run()
+      assert(bhjSmall >= 2, s"small signature table should broadcast-verify ($bhjSmall bhj)")
+      // threshold below the measured bytes: the hint flips the verify
+      // joins to the SHUFFLED-HASH tier (per-partition build bounded by
+      // the measured bytes — the candidate stream is shuffled but never
+      // SORTED) and nothing changes in the result (strategy is physical
+      // only). This is the guard against the planner's static
+      // under-estimate of array bytes: the decision came from the
+      // MEASURED checkpoint, not the plan.
+      spark.conf.set(thrKey, "1")
+      val (hashed, bhjHashed, shjHashed) = run()
+      assert(bhjHashed == 0 && shjHashed >= 2,
+        s"sub-threshold run must shuffle-hash the verify ($bhjHashed bhj / $shjHashed shj)")
+      assert(hashed == small, "join strategy changed the verified pairs")
+      // disabled broadcasts (-1): same hashed path
+      spark.conf.set(thrKey, "-1")
+      val (disabled, bhjDis, _) = run()
+      assert(bhjDis == 0 && disabled == small)
+    } finally spark.conf.set(thrKey, saved)
+  }
+
   test("containmentPairs finds a quoted subset that Jaccard dedup misses") {
     // doc 2 is a verbatim quote of a small piece of doc 1: containment of
     // 2-in-1 is 1.0, Jaccard is tiny (|S_2| / |S_1|)

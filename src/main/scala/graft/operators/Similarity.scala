@@ -622,12 +622,12 @@ object Similarity {
     * so expected cluster occupancy stays ~target at any corpus size and
     * the within-cluster pair volume stays ~n·target/2 (LINEAR; a fixed
     * k grows it n²/2k — the same physics [[cosinePairsScaled]] bounds
-    * for LSH buckets). Clustering rides [[ivfTrain]]'s TABLE-RESIDENT
-    * centroids (one deterministic Lloyd iteration, seeds = first k ids):
-    * no k-sized driver collect and no k plan literals, so the plan shape
-    * is k-agnostic — the assignment broadcast holds to ~10⁷ centroids
-    * (k·dim doubles); past that, grow `targetClusterRows` so k stays
-    * broadcastable (the paper itself caps cluster count, not size).
+    * for LSH buckets). Clustering rides [[ivfTrainScaled]]'s
+    * TABLE-RESIDENT centroids (sampled training, seeds = first k ids):
+    * no k-sized driver collect and no k plan literals, and assignment
+    * is the TWO-LEVEL [[annAssign]] probe — each row scores ~target
+    * candidate centroids from its LSH bucket, never all k — so neither
+    * leg grows superlinearly with the corpus at any k.
     * Cluster ids are the SEED VECTOR ids (ivfTrain's convention), not
     * dense ranks. Same keep-lowest rule as [[semDedup]].
     */

@@ -29,13 +29,27 @@ import graft.sources.SnapshotStore
   */
 object DriftRecallProbe {
 
+  /** Smallest power of 10 strictly greater than `n` — the wave stride,
+    * derived from the corpus so consecutive waves (each holding up to
+    * nBase rows built from base ids < stride) can NEVER overlap each
+    * other or the base id range; a fixed 1e6 stride collided past ~1M
+    * embeddings, silently planting duplicate ids in the snapshot table
+    * and corrupting the recall denominator.
+    */
+  private def waveStride(maxBaseId: Long): Long = {
+    var s = 10000000L
+    while (s <= maxBaseId) s *= 10
+    s
+  }
+
   /** Wave w of out-of-distribution vectors: reverse the dims and flip
     * signs on a wave-keyed parity — in-norm but in directions the base
-    * corpus does not populate. Ids shift far past the base range.
+    * corpus does not populate. Ids shift past the base range in
+    * disjoint per-wave bands of width `stride`.
     */
-  private def oodWave(base: DataFrame, w: Int, rows: Int): DataFrame =
+  private def oodWave(base: DataFrame, w: Int, rows: Int, stride: Long): DataFrame =
     base.orderBy(col("vec_id")).limit(rows)
-      .select((col("vec_id") + lit(10000000L) + lit(w) * 1000000L).as("vec_id"),
+      .select((col("vec_id") + lit((w + 1) * stride)).as("vec_id"),
         expr(s"transform(reverse(embedding), (x, i) -> " +
           s"CASE WHEN (i + $w) % 2 = 0 THEN x ELSE -x END)").as("embedding"))
 
@@ -60,6 +74,8 @@ object DriftRecallProbe {
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).localCheckpoint()
     val nBase = base.count()
+    val stride = waveStride(
+      base.agg(max(col("vec_id"))).head.getLong(0).max(nBase))
     val numCentroids = math.ceil(math.sqrt(nBase.toDouble)).toInt
     val dir = java.nio.file.Files.createTempDirectory("graft-driftrecall").toString
     val tbl = s"file:$dir/emb"
@@ -75,7 +91,7 @@ object DriftRecallProbe {
       val target = math.round(nBase * f)
       val waveRows = (target - appended).toInt
       if (waveRows > 0) {
-        SnapshotStore.append(oodWave(base, w, waveRows), tbl)
+        SnapshotStore.append(oodWave(base, w, waveRows, stride), tbl)
         appended = target
       }
       // delta index: never retrain; retrain index: always retrain
@@ -85,7 +101,7 @@ object DriftRecallProbe {
         numCentroids, force = true)
       val deltaAction = SnapshotStore.history(spark, s"$idxD/assignments").head._2
       val oodQs = SnapshotStore.snapshot(spark, tbl)
-        .filter(col("vec_id") >= 10000000L)
+        .filter(col("vec_id") >= stride)
         .orderBy(col("vec_id")).limit(5).collect().map(_.getLong(0)).toSeq
       val qs = baseQs ++ oodQs
       val rd = recallAtK(spark, tbl, idxD, qs, k, probes, numCentroids)

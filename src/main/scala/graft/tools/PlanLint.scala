@@ -55,9 +55,26 @@ object PlanLint extends AdaptiveSparkPlanHelper {
     * filters, limits ≤ 1, and exchange/codegen wrappers preserve the
     * bound. Anything unrecognized counts as many-rowed.
     */
+  /** A no-grouping aggregate bounds rows GLOBALLY only in Final /
+    * Complete mode — a Partial one emits one row per PARTITION, so
+    * treating it as ≤1-row would wrongly exempt a window (or bless a
+    * broadcast) fed O(partitions) rows. Function-less aggregates carry
+    * no mode; there the required AllTuples child distribution is what
+    * separates the global (single-partition) stage from the partial.
+    */
+  private def globallyBoundedAgg(
+      a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
+    a.groupingExpressions.isEmpty && (
+      if (a.aggregateExpressions.nonEmpty)
+        a.aggregateExpressions.forall(ae => ae.mode == Final || ae.mode == Complete)
+      else a.requiredChildDistribution
+        .contains(org.apache.spark.sql.catalyst.plans.physical.AllTuples))
+  }
+
   private def maxOneRow(p: SparkPlan): Boolean = p match {
     case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
-      a.groupingExpressions.isEmpty
+      globallyBoundedAgg(a)
     case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => maxOneRow(e.child)
     case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => maxOneRow(r.child)
     case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => maxOneRow(q.plan)
@@ -78,11 +95,15 @@ object PlanLint extends AdaptiveSparkPlanHelper {
     * single-task scale killer the window rule hunts.
     */
   private def limitBounded(p: SparkPlan): Boolean = p match {
+    // GLOBAL bounds only: a bare LocalLimit caps rows per PARTITION, so
+    // O(partitions · k) could still funnel into the one window task —
+    // the global operator above it (GlobalLimit / TakeOrdered) is what
+    // makes the bound plan-constant. Same mode rule for aggregates:
+    // a Partial no-grouping agg is one row per partition, not one row.
     case _: org.apache.spark.sql.execution.GlobalLimitExec => true
-    case _: org.apache.spark.sql.execution.LocalLimitExec => true
     case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
     case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
-      a.groupingExpressions.isEmpty
+      globallyBoundedAgg(a)
     case s: org.apache.spark.sql.execution.SortExec => limitBounded(s.child)
     case e: ShuffleExchangeExec => limitBounded(e.child)
     case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>

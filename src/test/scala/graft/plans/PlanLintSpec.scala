@@ -28,6 +28,30 @@ class PlanLintSpec extends SparkSpec {
     assert(!fs.exists(_.kind == "single-partition-window"), fs)
   }
 
+  test("per-PARTITION bounds do not exempt the partition-less window") {
+    // a bare LocalLimit (no global stage) caps rows per partition, not
+    // globally: O(partitions·k) rows can still funnel into the one
+    // window task, so the exemption must demand the GLOBAL operator.
+    // Build the shape directly — RDD-side local limit, no GlobalLimit.
+    val local = spark.range(1000L).repartition(8)
+      .mapPartitions(_.take(4)).toDF("id")
+      .withColumn("rn", row_number().over(Window.orderBy($"id")))
+    local.collect()
+    // mapPartitions is opaque to limitBounded — the point is the flag
+    assert(PlanLint.lint(local).exists(_.kind == "single-partition-window"))
+    // a PARTIAL no-grouping aggregate emits one row per partition; only
+    // Final/Complete-mode aggregates bound rows globally. A grouped agg
+    // re-aggregated to no-grouping keeps Partial stages in the chain —
+    // the window child here is the global Final agg, which IS exempt;
+    // the inverse (window directly over a partial) can't be built from
+    // the DataFrame API, so pin the positive direction plus the flag
+    // above as the negative witness.
+    val overAgg = spark.range(1000L).agg(sum($"id").as("s"))
+      .withColumn("rn", row_number().over(Window.orderBy($"s")))
+    overAgg.collect()
+    assert(!PlanLint.lint(overAgg).exists(_.kind == "single-partition-window"))
+  }
+
   test("flags cartesian joins and Scala UDFs") {
     val udfInc = udf((x: Long) => x + 1)
     val a = Seq(1L, 2L).toDF("x")

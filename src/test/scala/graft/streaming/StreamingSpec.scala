@@ -912,6 +912,70 @@ class StreamingSpec extends SparkSpec
     } finally q.stop()
   }
 
+  /** Reproduce the EXACT on-disk state of a process that died inside a
+    * compaction swap — the complete new copy parked at
+    * `<dir>.compact_tmp`, the live dir already deleted — so the next
+    * batch must rename the tmp in instead of reading "no index yet".
+    */
+  private def simulateSwapCrash(dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(p), s"crash simulation needs a live store at $dir")
+    assert(fs.rename(p, new org.apache.hadoop.fs.Path(s"$dir.compact_tmp")),
+      s"could not stage the crash state for $dir")
+  }
+
+  test("incrementalDedupSink survives a crash INSIDE the compaction swap: index not lost") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-incswapcrash").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.incrementalDedupSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tmp)
+      .start()
+    try {
+      mem.addData((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different content about spark engines and shuffles"))
+      q.processAllAvailable()
+      // die between delete(bands) and rename(tmp, bands) — and again in
+      // a verdicts compaction: the replay skip must survive too
+      simulateSwapCrash(s"$tmp/bands")
+      simulateSwapCrash(s"$tmp/verdicts")
+      // a dup of an accepted doc plus a replay of an already-verdicted
+      // id: with the index silently lost, 10 would be ACCEPTED and 1
+      // would re-verdict — the exact contract violation
+      mem.addData((10L, "the quick brown fox jumps over the lazy dog"),
+        (1L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      val verdicts = spark.read.parquet(s"$tmp/verdicts")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+      assert(verdicts == Map(1L -> true, 2L -> true, 10L -> false),
+        s"the recovered index must still screen (and not re-verdict): $verdicts")
+    } finally q.stop()
+  }
+
+  test("containmentDedupSink survives a crash INSIDE the compaction swap: index not lost") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-contswapcrash").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.containmentDedupSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tmp)
+      .start()
+    try {
+      mem.addData(1L -> contDoc(1), 2L -> contDoc(2))
+      q.processAllAvailable()
+      Seq("sigs", "postings", "verdicts").foreach(s => simulateSwapCrash(s"$tmp/$s"))
+      // a quote of an accepted doc: with sigs/postings lost it would be
+      // accepted; with verdicts lost the replayed id 1 would re-verdict
+      mem.addData(9L -> contQuote(1, 9), 1L -> contDoc(1))
+      q.processAllAvailable()
+      val verdicts = spark.read.parquet(s"$tmp/verdicts")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+      assert(verdicts == Map(1L -> true, 2L -> true, 9L -> false),
+        s"the recovered index must still screen (and not re-verdict): $verdicts")
+    } finally q.stop()
+  }
+
   test("funnelStream advances per-user chains across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventRow]

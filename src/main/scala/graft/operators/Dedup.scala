@@ -978,7 +978,7 @@ object Dedup {
     *  - else → SORT_MERGE (the no-assumptions shape: at 100 TB the
     *    per-partition hash build itself would be GBs).
     */
-  private def verifySideHint(sigs: DataFrame): DataFrame => DataFrame = {
+  private[graft] def verifySideHint(sigs: DataFrame): DataFrame => DataFrame = {
     val conf = sigs.sparkSession.sessionState.conf
     val thr = conf.autoBroadcastJoinThreshold
     val st = sigs.agg(count(lit(1)).as("n"), sum(size(col("hs"))).as("sh")).head

@@ -339,6 +339,23 @@ object Similarity {
     math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
       .min(Int.MaxValue.toLong).toInt
 
+  /** Probe-count default DERIVED from the centroid count — the recall
+    * lever gets the same corpus-scaled treatment as every other knob
+    * (bits, centroids, cluster rows): probes = ceil(√k), floored at 2.
+    * With the √n-centroid convention this scans ~n^(-1/4) of the corpus
+    * per query — a vanishing fraction as the corpus grows — while
+    * ProbesRecallProbe's measured curve (see ROADMAP r18) shows
+    * recall@10 climbing from ~0.6 at the old fixed probes = 2 to ≥0.9
+    * at √k on both measured corpus sizes. Callers pinning `probes`
+    * explicitly (every oracle query) are unaffected.
+    */
+  def scaledProbes(numCentroids: Long): Int = {
+    require(numCentroids > 0, s"numCentroids must be positive: $numCentroids")
+    math.max(2L, math.ceil(math.sqrt(numCentroids.toDouble)).toLong)
+      .min(numCentroids) // a tiny index probes everything (exact)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
   /** Embedding near-duplicate pairs with the bucket count DERIVED from
     * the corpus (the bounded default — [[scaledBucketBits]]): random
     * hyperplane sign buckets ([[hyperplaneBucket]] — balanced under
@@ -768,7 +785,7 @@ object Similarity {
     * equality witness for [[kmeansAssignWithVec]]'s table-resident form
     * (the spec pins row-for-row agreement); no production path calls it.
     */
-  private[operators] def kmeansAssignLiteral(
+  private[graft] def kmeansAssignLiteral(
       embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, seeding: String = "rank"): DataFrame = {
     requireKmeansArgs(k, iters, seeding)

@@ -1261,12 +1261,13 @@ object SnapshotStore {
     * `targetFiles` live files.
     */
   def compact(spark: SparkSession, table: String, targetFiles: Int,
-              statsCols: Seq[String] = Nil): Long = {
+              statsCols: Seq[String] = Nil,
+              bloomCols: Seq[String] = Nil): Long = {
     val snap = state(spark, table)
     if (snap.live.size <= targetFiles) return snap.version
     val df = readLive(spark, snap.meta, snap.live)
       .repartition(targetFiles)
-    val adds = stageFiles(df, table, statsCols)
+    val adds = stageFiles(df, table, statsCols, bloomCols)
     commit(spark, table, adds, removes = snap.live.map(_.path),
       meta = Map("op" -> "compact"), mustBeLive = snap.live.map(_.path),
       expectDv = snap.live.map(a => a.path -> a.dv).toMap)
@@ -1288,7 +1289,8 @@ object SnapshotStore {
                targetFiles: Int, statsCols: Seq[String] = Nil,
                zorderCols: Seq[String] = Nil,
                clusterCols: Seq[String] = Nil,
-               purgeDvAbove: Option[Double] = None): Option[Long] = {
+               purgeDvAbove: Option[Double] = None,
+               bloomCols: Seq[String] = Nil): Option[Long] = {
     require(targetFiles > 0 && maxLiveFiles >= targetFiles,
       s"need maxLiveFiles >= targetFiles > 0, got ($maxLiveFiles, $targetFiles)")
     require(zorderCols.isEmpty || clusterCols.isEmpty,
@@ -1314,8 +1316,9 @@ object SnapshotStore {
       // on the zorder columns; same one-commit metadata swap)
       Some(compactZOrdered(spark, table, targetFiles, zorderCols))
     else if (clusterCols.nonEmpty)
-      Some(compactClustered(spark, table, targetFiles, clusterCols, statsCols))
-    else Some(compact(spark, table, targetFiles, statsCols))
+      Some(compactClustered(spark, table, targetFiles, clusterCols, statsCols,
+        bloomCols))
+    else Some(compact(spark, table, targetFiles, statsCols, bloomCols))
   }
 
   /** Compaction that RE-CLUSTERS by range on `clusterCols` — for tables
@@ -1331,7 +1334,8 @@ object SnapshotStore {
     */
   def compactClustered(spark: SparkSession, table: String, targetFiles: Int,
                        clusterCols: Seq[String],
-                       statsCols: Seq[String] = Nil): Long = {
+                       statsCols: Seq[String] = Nil,
+                       bloomCols: Seq[String] = Nil): Long = {
     require(clusterCols.nonEmpty, "compactClustered needs cluster columns")
     val snap = state(spark, table)
     val cols = clusterCols.map(col)
@@ -1339,7 +1343,7 @@ object SnapshotStore {
       .repartitionByRange(targetFiles, cols: _*)
       .sortWithinPartitions(cols: _*)
     val harvest = if (statsCols.nonEmpty) statsCols else clusterCols
-    val adds = stageFiles(df, table, harvest)
+    val adds = stageFiles(df, table, harvest, bloomCols)
     commit(spark, table, adds, removes = snap.live.map(_.path),
       meta = Map("op" -> "compact"), mustBeLive = snap.live.map(_.path),
       expectDv = snap.live.map(a => a.path -> a.dv).toMap)
@@ -1351,6 +1355,81 @@ object SnapshotStore {
     val snap = state(spark, table, asOf)
     require(snap.live.nonEmpty, s"snapshot $table@${snap.version} is empty")
     readLive(spark, snap.meta, snap.live)
+  }
+
+  /** Total visible rows of the live snapshot, answered from the LOG
+    * alone (AddFile row counts minus deletion-vector cardinalities) —
+    * zero data reads. The free replacement for a full-scan `count()`
+    * wherever snapshot semantics suffice (a streaming sink deriving a
+    * corpus-scaled knob from its index size pays O(commits-since-
+    * checkpoint) log lines here instead of re-reading the index every
+    * batch).
+    */
+  def rowCount(spark: SparkSession, table: String,
+               asOf: Option[Long] = None): Long =
+    state(spark, table, asOf).live.map(_.visibleRows).sum
+
+  /** The point-set pruning core: live files whose [min,max] long box
+    * provably contains NO probe value drop on the log stats alone
+    * (driver-side binary search per file — O(files · log probes), zero
+    * data reads); when the probe set is small enough that per-file
+    * footer reads pay off, survivors refine through parquet blooms /
+    * complete dictionaries ([[BloomSkip.prunedFrom]]).
+    */
+  private def pointsKeptFiles(spark: SparkSession, snap: Snapshot,
+                              column: String, sorted: Array[Long],
+                              bloomMaxValues: Int): Seq[AddFile] = {
+    def boxHit(mn: Long, mx: Long): Boolean = {
+      val i = java.util.Arrays.binarySearch(sorted, mn)
+      val from = if (i >= 0) i else -(i + 1)
+      from < sorted.length && sorted(from) <= mx
+    }
+    val boxKept = snap.live.filter { a =>
+      !a.nulls.get(column).contains(a.rows) &&
+        a.stats.get(column).forall { case (mn, mx) => boxHit(mn, mx) }
+    }
+    if (sorted.length > bloomMaxValues) boxKept
+    else {
+      val kept = BloomSkip.prunedFrom(conf(spark),
+          boxKept.map(a => new Path(a.path)), column, sorted.toSeq)
+        .map(_.toString).toSet
+      boxKept.filter(a => kept.contains(a.path))
+    }
+  }
+
+  /** Superset scan for a LARGE long-typed probe set — the streaming
+    * dedup sinks' shape (thousands of batch keys probing a grown
+    * index): files prune via [[pointsKeptFiles]], but the kept rows
+    * return UNFILTERED — a superset of the matching rows for the
+    * caller's own exact join ([[readPoints]]'s `isin` re-filter over
+    * 100k literals would be the wrong plan; a join is the right one,
+    * and the caller already has the probe side as a DataFrame). I/O is
+    * what pruning leaves: on a layout clustered by `column`
+    * ([[maintain]] with `clusterCols`), that is ~|probes ∩ file boxes|
+    * files, not the table.
+    */
+  def scanPoints(spark: SparkSession, table: String, column: String,
+                 values: Seq[Long], bloomMaxValues: Int = 1024): DataFrame = {
+    require(values.nonEmpty, "scanPoints needs at least one probe value")
+    val snap = state(spark, table)
+    require(snap.live.nonEmpty, s"scanPoints: $table@${snap.version} is empty")
+    val kept = pointsKeptFiles(spark, snap, column,
+      values.distinct.sorted.toArray, bloomMaxValues)
+    if (kept.isEmpty) readLive(spark, snap.meta, snap.live).limit(0)
+    else readLive(spark, snap.meta, kept)
+  }
+
+  /** (kept, totalLive) under [[scanPoints]]'s pruning — the
+    * introspection hook the per-batch-I/O-boundedness specs pin (files
+    * a probe reads must track the probe's bucket count, not the index
+    * size).
+    */
+  def scanPointsPrunedFiles(spark: SparkSession, table: String,
+                            column: String, values: Seq[Long],
+                            bloomMaxValues: Int = 1024): (Int, Int) = {
+    val snap = state(spark, table)
+    (pointsKeptFiles(spark, snap, column,
+      values.distinct.sorted.toArray, bloomMaxValues).size, snap.live.size)
   }
 
   /** Live files whose harvested [min,max] can intersect the box —

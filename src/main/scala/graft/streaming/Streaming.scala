@@ -13,25 +13,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, 
   */
 object Streaming {
 
-  /** Durable-state I/O for the sinks, through the Hadoop FileSystem API:
-    * the marker and index paths live WHEREVER the snapshot data lives
-    * (HDFS, S3A, file:) — `java.nio`/`java.io` would silently resolve
-    * against the driver's local disk on a cluster and the sinks' replay
-    * safety would evaporate. The marker commit is write-temp + atomic
-    * rename (FileContext.rename OVERWRITE — atomic on HDFS; on S3A the
-    * rename is copy+delete but the marker is a single small object, so a
-    * reader sees either the old or the new content, never a torn write).
+  /** Durable MARKER I/O for [[upsertSink]]/[[smbSink]], through the
+    * Hadoop FileSystem API: marker paths live WHEREVER the snapshot
+    * data lives (HDFS, S3A, file:) — `java.nio`/`java.io` would
+    * silently resolve against the driver's local disk on a cluster and
+    * the sinks' replay safety would evaporate. The marker commit is
+    * write-temp + atomic rename (FileContext.rename OVERWRITE — atomic
+    * on HDFS; on S3A the rename is copy+delete but the marker is a
+    * single small object, so a reader sees either the old or the new
+    * content, never a torn write). The DEDUP sinks no longer route
+    * through here — their state lives in [[graft.sources.SnapshotStore]]
+    * tables whose commit log subsumes every marker.
     */
   private object StateFs {
     import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 
     private def conf(spark: org.apache.spark.sql.SparkSession) =
       spark.sessionState.newHadoopConf()
-
-    def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
-      val p = new Path(path)
-      p.getFileSystem(conf(spark)).exists(p)
-    }
 
     /** Read a small text file fully; None if absent. */
     def readString(spark: org.apache.spark.sql.SparkSession, path: String): Option[String] = {
@@ -65,31 +63,6 @@ object Streaming {
       fc.rename(tmp, p, Options.Rename.OVERWRITE)
     }
 
-    /** Recursive delete (idempotent). */
-    def delete(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-      val p = new Path(path)
-      p.getFileSystem(conf(spark)).delete(p, true)
-      ()
-    }
-
-    /** Directory swap: rename `src` over `dst` (REPLACE semantics). */
-    def rename(spark: org.apache.spark.sql.SparkSession, src: String, dst: String): Unit = {
-      val c = conf(spark)
-      val s = new Path(src)
-      FileContext.getFileContext(s.toUri, c)
-        .rename(s, new Path(dst), Options.Rename.OVERWRITE)
-    }
-
-    /** Number of data files directly under a parquet dataset dir (the
-      * compaction trigger — excludes _SUCCESS and other markers).
-      */
-    def dataFileCount(spark: org.apache.spark.sql.SparkSession, dir: String): Int = {
-      val p = new Path(dir)
-      val fs = p.getFileSystem(conf(spark))
-      if (!fs.exists(p)) 0
-      else fs.listStatus(p).count(st =>
-        st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-    }
   }
 
   case class EventRow(user_id: Long, ts_us: Long, event_type: String, value: Double)
@@ -666,20 +639,41 @@ object Streaming {
     * suppressed. Batch-INTERNAL duplicates follow the incrementalDedup
     * contract (screened against the corpus only, not each other).
     *
-    * COMPACTION: both stores append one parquet file set per micro-batch
-    * — thousands of batches would mean thousands of small files, the
-    * classic streaming-lakehouse failure. When a store's data-file count
-    * exceeds `compactAfterFiles`, it is rewritten in place (write to a
-    * sibling tmp dir, directory rename swap — safe under the sink's
-    * serial foreachBatch, the store's only writer). Band compaction also
-    * applies the bucket cap: rows of oversized buckets are DROPPED and
-    * their (band, sig) recorded in `indexPath/capped` as tombstones that
-    * screening excludes permanently. Because the store is append-only, a
-    * bucket's size only grows — once over the cap it can never come back
-    * under it — so tombstoning preserves verdicts EXACTLY: every later
-    * batch gets the same verdict it would have gotten against the
-    * never-compacted store, while the dead bucket rows (boilerplate
-    * text, by construction) stop occupying the index.
+    * STATE IS SNAPSHOT TABLES ([[graft.sources.SnapshotStore]]): bands,
+    * verdicts and the `capped` tombstones live as transactional tables,
+    * so per-batch reads PRUNE instead of scanning the index — the
+    * screen reads only band files whose bucket-hash range intersects
+    * the batch's buckets (`__bs = xxhash64(band, sig)`, the stored
+    * point-skip key; sound because pruning keeps EVERY file a probed
+    * bucket touches, so probed buckets join complete and their cap
+    * sizes count exact), and the replay-skip / append-idempotence
+    * anti-joins point-skip on the batch's ids (log boxes + parquet
+    * blooms).
+    *
+    * COMPACTION: both stores append one file set per micro-batch —
+    * thousands of batches would mean thousands of small files, the
+    * classic streaming-lakehouse failure. Past `compactAfterFiles` live
+    * files the stores rewrite through atomic snapshot commits (metadata
+    * swap — no delete→rename window to die inside of). Band compaction
+    * also applies the bucket cap: rows of oversized buckets are DROPPED
+    * and their (band, sig) recorded in `indexPath/capped` as tombstones
+    * that screening excludes permanently. Because the store is
+    * append-only, a bucket's size only grows — once over the cap it can
+    * never come back under it — so tombstoning preserves verdicts
+    * EXACTLY: every later batch gets the same verdict it would have
+    * gotten against the never-compacted store, while the dead bucket
+    * rows (boilerplate text, by construction) stop occupying the index.
+    * The tombstones commit BEFORE the rows they cover vanish; a crash
+    * between the two commits only defers the row drop to the next
+    * trigger.
+    *
+    * Commit order per batch: BANDS first, verdicts second (the other
+    * sinks' rule — a crash between the two leaves the id un-verdicted
+    * and it re-screens; the pre-r18 verdict-first order silently
+    * dropped the accepted doc from the index forever, because the
+    * replay skip suppressed the re-screen that would have re-indexed
+    * it). The index side of the screen excludes the batch's own ids, so
+    * a crash-replayed half-indexed doc never matches itself.
     */
   def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
                            indexPath: String,
@@ -689,76 +683,108 @@ object Streaming {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(compactAfterFiles > 0, s"compactAfterFiles must be positive: $compactAfterFiles")
     val spark = docs.sparkSession
+    import graft.sources.SnapshotStore
+    val bandsTbl = s"$indexPath/bands"
+    val verdictsTbl = s"$indexPath/verdicts"
+    val cappedTbl = s"$indexPath/capped"
     docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-      val bandsDir = s"$indexPath/bands"
-      val verdictsDir = s"$indexPath/verdicts"
-      val cappedDir = s"$indexPath/capped"
-      val haveIndex = StateFs.exists(spark, bandsDir)
+      val haveIndex = SnapshotStore.latestVersion(spark, bandsTbl) > 0L
       // one row per id WITHIN the batch too: an at-least-once source can
       // repeat an id inside one micro-batch, where the verdict anti-join
       // can't see it yet — without this, the repeated id's band rows
       // append twice. Mirrors the replay skip's per-id rule.
-      val once = batch.toDF().dropDuplicates(idCol)
-      val fresh =
-        if (StateFs.exists(spark, verdictsDir))
-          once.join(
-            spark.read.parquet(verdictsDir).select(col(idCol)).distinct(),
-            Seq(idCol), "left_anti")
-        else once
-      if (!fresh.isEmpty) {
-        // the band table feeds both the screen and the index append —
-        // one materialization, like every signature table in Dedup
-        val fb = graft.operators.Dedup.bandedSignatures(
-          fresh, idCol, textCol, numHashes, shingleN, rowsPerBand).localCheckpoint()
-        val verdicts =
-          if (haveIndex) {
-            val raw = spark.read.parquet(bandsDir)
-            // tombstoned buckets stay excluded even after their rows
-            // were compacted away
-            val index =
-              if (StateFs.exists(spark, cappedDir))
-                raw.join(spark.read.parquet(cappedDir), Seq("band", "sig"), "left_anti")
-              else raw
-            graft.operators.Dedup.screen(
-              fb, graft.operators.Dedup.capBuckets(index, maxBucketSize, true), idCol)
-          } else
-            fb.select(col(idCol)).distinct()
-              .withColumn("n_corpus_dups", lit(0L))
-              .withColumn("nearest_dup", lit(null).cast("long"))
-              .withColumn("keep", lit(true))
-        val v = verdicts.localCheckpoint() // read twice: store + accept filter
-        v.write.mode("append").parquet(verdictsDir)
-        fb.join(v.filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
-          .write.mode("append").parquet(bandsDir)
-        maybeCompactIndex(spark, indexPath, maxBucketSize, compactAfterFiles)
+      val once = batch.toDF().dropDuplicates(idCol).localCheckpoint()
+      val batchIds = once.select(col(idCol).cast("long"))
+        .collect().map(_.getLong(0)).toSeq
+      if (batchIds.nonEmpty) {
+        val fresh =
+          if (SnapshotStore.latestVersion(spark, verdictsTbl) > 0L)
+            once.join(SnapshotStore.scanPoints(spark, verdictsTbl, idCol, batchIds)
+              .select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+          else once
+        if (!fresh.isEmpty) {
+          // the band table feeds both the screen and the index append —
+          // one materialization, like every signature table in Dedup;
+          // __bs is the STORED bucket-hash the point-skip prunes on
+          val fb = graft.operators.Dedup.bandedSignatures(
+              fresh, idCol, textCol, numHashes, shingleN, rowsPerBand)
+            .withColumn("__bs", xxhash64(col("band"), col("sig")))
+            .localCheckpoint()
+          val verdicts =
+            if (haveIndex) {
+              // the screen reads ONLY band files whose __bs range can
+              // intersect the batch's buckets; every row of a probed
+              // bucket lives in a kept file (box/bloom stages keep any
+              // file containing a probe), so the join and the cap
+              // counts below are exact on what matters
+              val probeBs = fb.select(col("__bs")).distinct()
+                .collect().map(_.getLong(0)).toSeq
+              val raw = SnapshotStore.scanPoints(spark, bandsTbl, "__bs", probeBs)
+                // a crash-replayed half-indexed doc must not match itself
+                .join(fb.select(col(idCol)), Seq(idCol), "left_anti")
+              // tombstoned buckets stay excluded even after their rows
+              // were compacted away
+              val index =
+                if (SnapshotStore.latestVersion(spark, cappedTbl) > 0L)
+                  raw.join(SnapshotStore.snapshot(spark, cappedTbl),
+                    Seq("band", "sig"), "left_anti")
+                else raw
+              graft.operators.Dedup.screen(
+                fb, graft.operators.Dedup.capBuckets(index, maxBucketSize, true), idCol)
+            } else
+              fb.select(col(idCol)).distinct()
+                .withColumn("n_corpus_dups", lit(0L))
+                .withColumn("nearest_dup", lit(null).cast("long"))
+                .withColumn("keep", lit(true))
+          val v = verdicts.localCheckpoint() // read twice: store + accept filter
+          // BANDS first, verdicts second — see the scaladoc's crash
+          // contract; the idempotence anti-join point-skips to the
+          // batch's own ids
+          val acceptedBands = fb.join(
+            v.filter(col("keep")).select(col(idCol)), Seq(idCol), "left_semi")
+          val acceptedNew =
+            if (haveIndex)
+              acceptedBands.join(
+                SnapshotStore.scanPoints(spark, bandsTbl, idCol, batchIds)
+                  .select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+            else acceptedBands
+          if (!acceptedNew.isEmpty)
+            SnapshotStore.append(acceptedNew, bandsTbl,
+              statsCols = Seq("__bs", idCol), bloomCols = Seq(idCol, "__bs"))
+          SnapshotStore.append(v, verdictsTbl,
+            statsCols = Seq(idCol), bloomCols = Seq(idCol))
+          maybeCompactIndex(spark, indexPath, idCol, maxBucketSize, compactAfterFiles)
+          ()
+        }
       }
       ()
     }
   }
 
-  /** Size-triggered compaction for the [[incrementalDedupSink]] stores —
-    * see the sink's scaladoc for the tombstone semantics. Single-writer
-    * only (the sink's serial foreachBatch).
+  /** Size-triggered maintenance for the [[incrementalDedupSink]] stores
+    * — see the sink's scaladoc for the tombstone semantics. Band
+    * compaction is custom (the cap tombstoning is a semantic rewrite,
+    * not a file merge): tombstones commit first, then one clustered
+    * overwrite drops their rows and restores sharp `__bs` pruning;
+    * verdicts ride [[graft.sources.SnapshotStore.maintain]]. Every
+    * rewrite is an atomic snapshot commit. Single-writer only (the
+    * sink's serial foreachBatch).
     */
   private def maybeCompactIndex(spark: org.apache.spark.sql.SparkSession,
-                                indexPath: String, maxBucketSize: Int,
+                                indexPath: String, idCol: String,
+                                maxBucketSize: Int,
                                 compactAfterFiles: Int): Unit = {
-    val bandsDir = s"$indexPath/bands"
-    val verdictsDir = s"$indexPath/verdicts"
-    val cappedDir = s"$indexPath/capped"
+    import graft.sources.SnapshotStore
+    val bandsTbl = s"$indexPath/bands"
+    val verdictsTbl = s"$indexPath/verdicts"
+    val cappedTbl = s"$indexPath/capped"
     val targetFiles = math.max(1, compactAfterFiles / 8)
 
-    def swapIn(df: DataFrame, dir: String): Unit = {
-      val tmp = s"$dir.compact_tmp"
-      df.repartition(targetFiles).write.mode("overwrite").parquet(tmp)
-      StateFs.delete(spark, dir)
-      StateFs.rename(spark, tmp, dir)
-    }
-
-    if (StateFs.dataFileCount(spark, bandsDir) > compactAfterFiles) {
-      val bands = spark.read.parquet(bandsDir)
+    if (SnapshotStore.state(spark, bandsTbl).live.size > compactAfterFiles) {
+      val bands = SnapshotStore.snapshot(spark, bandsTbl)
       val prevCapped =
-        if (StateFs.exists(spark, cappedDir)) spark.read.parquet(cappedDir)
+        if (SnapshotStore.latestVersion(spark, cappedTbl) > 0L)
+          SnapshotStore.snapshot(spark, cappedTbl)
         else bands.select(col("band"), col("sig")).limit(0)
       // append-only ⇒ sizes only grow ⇒ the oversized set only grows:
       // union new oversized buckets into the tombstones, then drop every
@@ -772,12 +798,22 @@ object Streaming {
         .localCheckpoint()
       val compacted = bands
         .join(allCapped, Seq("band", "sig"), "left_anti")
-        .localCheckpoint() // materialize BEFORE the dir it reads is replaced
-      swapIn(allCapped, cappedDir)
-      swapIn(compacted, bandsDir)
+        .repartitionByRange(targetFiles, col("__bs"))
+        .sortWithinPartitions(col("__bs"))
+        .localCheckpoint() // materialize BEFORE the snapshot it reads moves on
+      // tombstones FIRST: a crash between the two commits leaves the
+      // dead rows in place but already excluded by the screen's
+      // anti-join — the reverse order could drop rows whose bucket was
+      // never recorded oversized, splitting a bucket's count
+      if (!allCapped.isEmpty)
+        SnapshotStore.overwrite(allCapped, cappedTbl)
+      SnapshotStore.overwrite(compacted, bandsTbl,
+        statsCols = Seq("__bs", idCol), bloomCols = Seq(idCol, "__bs"))
+      ()
     }
-    if (StateFs.dataFileCount(spark, verdictsDir) > compactAfterFiles)
-      swapIn(spark.read.parquet(verdictsDir).localCheckpoint(), verdictsDir)
+    SnapshotStore.maintain(spark, verdictsTbl, compactAfterFiles, targetFiles,
+      statsCols = Seq(idCol), clusterCols = Seq(idCol), bloomCols = Seq(idCol))
+    ()
   }
 
   /** Streaming EMBEDDING near-dedup against a durable LSH-bucketed
@@ -809,129 +845,193 @@ object Streaming {
     * width, so a twin of a vector indexed under a narrower width is
     * still caught after the rewrite. The width/dim the index is
     * currently written at persists in `indexPath/_bucketing`; the
-    * rewrite parks the new copy in `vectors.rebucket_tmp` before the
-    * swap and the next batch completes a half-finished swap, so no
-    * crash point loses the index. Pass `bucketBits = Some(b)` to pin a
-    * fixed [[graft.operators.Similarity.signBucket]] width instead
-    * (the pre-r17 shape; misses are the same accepted LSH trade the
-    * batch screen makes). A store must stay on the policy it was
-    * created with — the two bucketers' values are incompatible.
+    * rewrite is one atomic `overwrite` commit. Pass `bucketBits =
+    * Some(b)` to pin a fixed [[graft.operators.Similarity.signBucket]]
+    * width instead (misses are the same accepted LSH trade the batch
+    * screen makes). A store must stay on the policy it was created
+    * with — the two bucketers' values are incompatible; the policy is
+    * RECORDED in the table's commit meta and a mismatched reopen fails
+    * fast instead of silently matching nothing.
+    *
+    * STATE IS SNAPSHOT TABLES, not raw parquet dirs: vectors and
+    * verdicts are [[graft.sources.SnapshotStore]] tables, which buys
+    * the sink the lakehouse layer it was hand-rolling —
+    *
+    *  - per-batch reads PRUNE instead of scanning the index: the
+    *    replay skip and append-idempotence probes point-skip on the
+    *    batch's ids (log-stats boxes + parquet blooms), and the screen
+    *    reads only files whose `__bucket` range intersects the batch's
+    *    buckets ([[graft.sources.SnapshotStore.scanPoints]]) — bounded
+    *    by the BATCH, not the corpus, once maintenance clusters the
+    *    layout;
+    *  - the corpus-scaled width derives from COMMIT-LOG row counts
+    *    ([[graft.sources.SnapshotStore.rowCount]], zero data reads)
+    *    instead of a per-batch full `count()`;
+    *  - the re-bucket and the bucketing policy land in ONE atomic
+    *    commit (`overwrite` + meta), so no crash point can leave the
+    *    marker and the stored widths disagreeing — the r17 marker-file
+    *    design had a window on both sides of its dir swap;
+    *  - compaction is [[graft.sources.SnapshotStore.maintain]]'s
+    *    metadata swap — small files re-cluster by `__bucket` with no
+    *    delete→rename window to die inside of.
     */
   def embeddingDedupSink(vecs: DataFrame, idCol: String, vecCol: String,
                          indexPath: String, bucketBits: Option[Int] = None,
                          minCosine: Double = 0.9,
-                         targetBucketRows: Long = 256)
+                         targetBucketRows: Long = 256,
+                         maxLiveFiles: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(targetBucketRows > 0,
       s"targetBucketRows must be positive, got $targetBucketRows")
+    require(maxLiveFiles > 0, s"maxLiveFiles must be positive, got $maxLiveFiles")
     val spark = vecs.sparkSession
     graft.plans.GraftExtensions.register(spark)
+    import graft.sources.SnapshotStore
+    val vecsTbl = s"$indexPath/vectors"
+    val verdictsTbl = s"$indexPath/verdicts"
+    val policyKey = "sink.bucketing"
     vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
       import graft.operators.Similarity.{cosineNative, signBucket, hyperplaneBucket, scaledBucketBits}
-      val vecsDir = s"$indexPath/vectors"
-      val verdictsDir = s"$indexPath/verdicts"
-      val markerPath = s"$indexPath/_bucketing"
-      val rebucketTmp = s"$vecsDir.rebucket_tmp"
-      // finish a half-done re-bucket swap: the tmp dir is complete
-      // BEFORE the live dir is deleted (below), so live-missing +
-      // tmp-present can only mean a crash between that delete and the
-      // rename — the tmp IS the index
-      if (!StateFs.exists(spark, vecsDir) && StateFs.exists(spark, rebucketTmp))
-        StateFs.rename(spark, rebucketTmp, vecsDir)
+      val haveIndex = SnapshotStore.latestVersion(spark, vecsTbl) > 0L
       // one row per id WITHIN the batch too: an at-least-once source can
       // repeat an id inside a single micro-batch, where the verdict
       // anti-join can't see it (verdicts not yet written) and the
       // a.id < b.id pair screen excludes equal ids — both copies would
       // index and verdict. dropDuplicates mirrors the replay skip's
       // per-id rule.
-      val once = batch.toDF().dropDuplicates(idCol)
-      val fresh =
-        if (StateFs.exists(spark, verdictsDir))
-          once.join(
-            spark.read.parquet(verdictsDir).select(col(idCol)).distinct(),
-            Seq(idCol), "left_anti")
-        else once
-      if (!fresh.isEmpty) {
-        // one materialization: width derivation + screen + index append
-        // all read this checkpoint (never the input lineage); the bucket
-        // column is recomputed per read — bits·dim fused multiply-adds
-        // over a batch, cheaper than a second materialization
-        val fb0 = fresh.select(col(idCol),
-            col(vecCol).cast("array<float>").as("__v"))
-          .localCheckpoint()
-        val haveIndex = StateFs.exists(spark, vecsDir)
-        val bucketOf: Column => Column = bucketBits match {
-          case Some(b) => v => signBucket(v, b)
-          case None =>
-            val st = fb0.agg(count(lit(1)).as("n"),
-              max(size(col("__v"))).as("d")).head
-            val batchDim = st.getInt(1)
-            val marker = StateFs.readString(spark, markerPath).map { s =>
-              val Array(b, d) = s.split('|'); (b.toInt, d.toInt)
-            }
-            val dim = marker.map(_._2).getOrElse(batchDim)
-            require(batchDim == dim,
-              s"index at $indexPath was bucketed for dim=$dim vectors; batch has dim=$batchDim")
-            val indexN =
-              if (haveIndex) spark.read.parquet(vecsDir).count() else 0L
-            val bits = scaledBucketBits(indexN + st.getLong(0), targetBucketRows)
-            if (haveIndex && !marker.map(_._1).contains(bits)) {
-              // RE-BUCKET: rewrite every stored bucket at the new width
-              // from the vector itself (pure function — idempotent, so a
-              // stale marker after a crash just repeats the rewrite).
-              // Tmp copy lands COMPLETE before the live dir goes away;
-              // the recovery rename above closes the delete→rename gap.
-              spark.read.parquet(vecsDir)
-                .select(col(idCol), col("__v"),
-                  hyperplaneBucket(col("__v"), bits, dim).as("__bucket"))
-                .write.mode("overwrite").parquet(rebucketTmp)
-              StateFs.delete(spark, vecsDir)
-              StateFs.rename(spark, rebucketTmp, vecsDir)
-            }
-            StateFs.writeString(spark, markerPath, s"$bits|$dim")
-            v => hyperplaneBucket(v, bits, dim)
+      val once = batch.toDF().dropDuplicates(idCol).localCheckpoint()
+      // the batch's ids drive every point-skip probe below (replay
+      // skip, append idempotence) — batch-bounded driver state, the
+      // price of reading matching index files instead of the index
+      val batchIds = once.select(col(idCol).cast("long"))
+        .collect().map(_.getLong(0)).toSeq
+      if (batchIds.nonEmpty) {
+        val fresh =
+          if (SnapshotStore.latestVersion(spark, verdictsTbl) > 0L)
+            once.join(SnapshotStore.scanPoints(spark, verdictsTbl, idCol, batchIds)
+              .select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+          else once
+        if (!fresh.isEmpty) {
+          // one materialization: width derivation + screen + index append
+          // all read this checkpoint (never the input lineage); the bucket
+          // column is recomputed per read — bits·dim fused multiply-adds
+          // over a batch, cheaper than a second materialization
+          val fb0 = fresh.select(col(idCol),
+              col(vecCol).cast("array<float>").as("__v"))
+            .localCheckpoint()
+          val recorded: Option[String] =
+            if (haveIndex) SnapshotStore.state(spark, vecsTbl).meta.get(policyKey)
+            else None
+          // the policy the index is CURRENTLY written at — every commit
+          // (first append, re-bucket overwrite) carries it atomically
+          // with the data, so it can never lie about the stored widths
+          val (policy, bucketOf): (String, Column => Column) = bucketBits match {
+            case Some(b) =>
+              val want = s"fixed|$b"
+              recorded.filter(_ != want).foreach { r =>
+                throw new IllegalArgumentException(
+                  s"index at $vecsTbl is bucketed '$r'; reopening with " +
+                    s"'$want' would probe against incompatible stored buckets")
+              }
+              (want, v => signBucket(v, b))
+            case None =>
+              recorded.filter(_.startsWith("fixed|")).foreach { r =>
+                throw new IllegalArgumentException(
+                  s"index at $vecsTbl is pinned '$r'; reopening corpus-scaled " +
+                    "would probe against incompatible stored buckets")
+              }
+              val st = fb0.agg(count(lit(1)).as("n"),
+                max(size(col("__v"))).as("d")).head
+              val batchDim = st.getInt(1)
+              val rec = recorded.map { s =>
+                val Array(_, b, d) = s.split('|'); (b.toInt, d.toInt)
+              }
+              val dim = rec.map(_._2).getOrElse(batchDim)
+              require(batchDim == dim,
+                s"index at $indexPath was bucketed for dim=$dim vectors; batch has dim=$batchDim")
+              val indexN = if (haveIndex) SnapshotStore.rowCount(spark, vecsTbl) else 0L
+              val bits = scaledBucketBits(indexN + st.getLong(0), targetBucketRows)
+              if (haveIndex && !rec.map(_._1).contains(bits)) {
+                // RE-BUCKET: rewrite every stored bucket at the new width
+                // from the vector itself (pure function) — ONE overwrite
+                // commit carrying the new policy meta, so the data and
+                // the recorded width change together or not at all
+                SnapshotStore.overwrite(
+                  SnapshotStore.snapshot(spark, vecsTbl)
+                    .select(col(idCol), col("__v"),
+                      hyperplaneBucket(col("__v"), bits, dim).as("__bucket")),
+                  vecsTbl, statsCols = Seq("__bucket", idCol),
+                  meta = Map(policyKey -> s"scaled|$bits|$dim"),
+                  bloomCols = Seq(idCol))
+              }
+              (s"scaled|$bits|$dim", v => hyperplaneBucket(v, bits, dim))
+          }
+          val fb = fb0.select(col(idCol), col("__v"),
+            bucketOf(col("__v")).as("__bucket"))
+          val dupVsIndex =
+            if (haveIndex) {
+              // the screen reads ONLY index files whose __bucket range
+              // can intersect the batch's buckets — the probe set is
+              // batch-bounded; after maintenance clusters by __bucket,
+              // so is the index I/O
+              val probeBuckets = fb0
+                .select(bucketOf(col("__v")).as("__b")).distinct()
+                .collect().map(_.getLong(0)).toSeq
+              // exclude an index row with the PROBE'S OWN id: after a
+              // crash between the index and verdict appends (below), the
+              // replayed vector would otherwise match itself at cos = 1
+              // and be verdicted a duplicate of itself
+              fb.join(SnapshotStore.scanPoints(spark, vecsTbl, "__bucket", probeBuckets)
+                  .select(col(idCol).as("__iid"), col("__bucket"),
+                    col("__v").as("__iv")), Seq("__bucket"))
+                .filter(col("__iid") =!= col(idCol))
+                .filter(round(cosineNative(col("__v"), col("__iv")), 6) >= minCosine)
+                .select(col(idCol))
+            } else fb.select(col(idCol)).limit(0)
+          val dupInBatch = fb.as("a").join(fb.as("b"),
+              col("a.__bucket") === col("b.__bucket") &&
+                col(s"a.$idCol") < col(s"b.$idCol"))
+            .filter(round(cosineNative(col("a.__v"), col("b.__v")), 6) >= minCosine)
+            .select(col(s"b.$idCol").as(idCol))
+          val dups = dupVsIndex.union(dupInBatch).distinct()
+            .withColumn("__dup", lit(true))
+          val verdicts = fb.select(col(idCol))
+            .join(dups, Seq(idCol), "left_outer")
+            .select(col(idCol), coalesce(!col("__dup"), lit(true)).as("keep"))
+            .localCheckpoint() // read twice: index append + store
+          // INDEX FIRST, verdicts second: the verdict store is the replay
+          // skip, so a crash between the two commits must leave the id
+          // UN-verdicted (it re-screens next run — wasted work, never a
+          // lost index entry; the reverse order would skip the replay and
+          // silently drop the vector from the index forever). The anti-
+          // join on the index's own ids (point-skipped to the batch's)
+          // makes the replayed append idempotent.
+          val accepted = fb.join(verdicts.filter(col("keep")).select(col(idCol)),
+            Seq(idCol), "left_semi")
+          val acceptedNew =
+            if (haveIndex)
+              accepted.join(
+                SnapshotStore.scanPoints(spark, vecsTbl, idCol, batchIds)
+                  .select(col(idCol)), Seq(idCol), "left_anti")
+            else accepted
+          if (!acceptedNew.isEmpty)
+            SnapshotStore.append(acceptedNew, vecsTbl,
+              statsCols = Seq("__bucket", idCol),
+              meta = Map(policyKey -> policy), bloomCols = Seq(idCol))
+          SnapshotStore.append(verdicts, verdictsTbl,
+            statsCols = Seq(idCol), bloomCols = Seq(idCol))
+          // size-triggered maintenance: metadata-swap compaction that
+          // re-CLUSTERS vectors by __bucket (the screen's pruning key)
+          // and verdicts by id (the replay skip's) — no crash window,
+          // and the point-skip stays sharp as batches accumulate
+          SnapshotStore.maintain(spark, vecsTbl, maxLiveFiles,
+            math.max(1, maxLiveFiles / 8), statsCols = Seq("__bucket", idCol),
+            clusterCols = Seq("__bucket"), bloomCols = Seq(idCol))
+          SnapshotStore.maintain(spark, verdictsTbl, maxLiveFiles,
+            math.max(1, maxLiveFiles / 8), statsCols = Seq(idCol),
+            clusterCols = Seq(idCol), bloomCols = Seq(idCol))
+          ()
         }
-        val fb = fb0.select(col(idCol), col("__v"),
-          bucketOf(col("__v")).as("__bucket"))
-        val dupVsIndex =
-          if (haveIndex)
-            // exclude an index row with the PROBE'S OWN id: after a
-            // crash between the index and verdict appends (below), the
-            // replayed vector would otherwise match itself at cos = 1
-            // and be verdicted a duplicate of itself
-            fb.join(spark.read.parquet(vecsDir)
-                .select(col(idCol).as("__iid"), col("__bucket"),
-                  col("__v").as("__iv")), Seq("__bucket"))
-              .filter(col("__iid") =!= col(idCol))
-              .filter(round(cosineNative(col("__v"), col("__iv")), 6) >= minCosine)
-              .select(col(idCol))
-          else fb.select(col(idCol)).limit(0)
-        val dupInBatch = fb.as("a").join(fb.as("b"),
-            col("a.__bucket") === col("b.__bucket") &&
-              col(s"a.$idCol") < col(s"b.$idCol"))
-          .filter(round(cosineNative(col("a.__v"), col("b.__v")), 6) >= minCosine)
-          .select(col(s"b.$idCol").as(idCol))
-        val dups = dupVsIndex.union(dupInBatch).distinct()
-          .withColumn("__dup", lit(true))
-        val verdicts = fb.select(col(idCol))
-          .join(dups, Seq(idCol), "left_outer")
-          .select(col(idCol), coalesce(!col("__dup"), lit(true)).as("keep"))
-          .localCheckpoint() // read twice: index append + store
-        // INDEX FIRST, verdicts second: the verdict store is the replay
-        // skip, so a crash between the two appends must leave the id
-        // UN-verdicted (it re-screens next run — wasted work, never a
-        // lost index entry; the reverse order would skip the replay and
-        // silently drop the vector from the index forever). The anti-
-        // join on the index's own ids makes the replayed append
-        // idempotent.
-        val accepted = fb.join(verdicts.filter(col("keep")).select(col(idCol)),
-          Seq(idCol), "left_semi")
-        (if (haveIndex)
-           accepted.join(spark.read.parquet(vecsDir).select(col(idCol)),
-             Seq(idCol), "left_anti")
-         else accepted)
-          .write.mode("append").parquet(vecsDir)
-        verdicts.write.mode("append").parquet(verdictsDir)
       }
       ()
     }
@@ -959,11 +1059,30 @@ object Streaming {
     * the df count excludes the batch's own ids from the index side, so
     * a half-indexed doc never double-counts or matches itself).
     *
-    * Scale shape: the index-side work per batch is postings ∩ batch
-    * shingles (semi-join on `h` — hash-partition the postings store and
-    * the probe prunes) plus one id-projection scan for append
-    * idempotence; nothing compares index docs to each other, so
-    * per-batch cost tracks batch size × shingle df, not index².
+    * Scale shape — STATE IS SNAPSHOT TABLES
+    * ([[graft.sources.SnapshotStore]]), so the per-batch index I/O is
+    * PRUNED, not a full-store scan:
+    *
+    *  - the postings probe reads only files whose `h` range intersects
+    *    the batch's shingle set ([[graft.sources.SnapshotStore.scanPoints]]
+    *    — sharp once maintenance clusters the store by `h`), with the
+    *    exact semi-join re-applied on what pruning leaves;
+    *  - the keeper join-back point-skips the sigs store to the
+    *    CANDIDATE doc ids (log boxes + parquet blooms on id) instead of
+    *    reading every accepted signature, and the verify join picks its
+    *    strategy from the MEASURED bytes of that bounded side
+    *    ([[graft.operators.Dedup]]'s verifySideHint — the same
+    *    static-estimate cliff and AQE array-bytes OOM class the batch
+    *    operators closed in r17 was reachable from this join);
+    *  - the replay skip and append-idempotence anti-joins point-skip on
+    *    the batch's ids;
+    *  - compaction is [[graft.sources.SnapshotStore.maintain]]'s
+    *    metadata swap (postings re-cluster by `h`, sigs/verdicts by id)
+    *    — no delete→rename window to die inside of.
+    *
+    * Nothing compares index docs to each other, so per-batch COMPARE
+    * cost tracks batch size × shingle df, and per-batch READ cost
+    * tracks the batch's probe footprint — not the index.
     */
   def containmentDedupSink(docs: DataFrame, idCol: String, textCol: String,
                            indexPath: String, shingleN: Int = 3,
@@ -971,114 +1090,155 @@ object Streaming {
                            compactAfterFiles: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(dfCap >= 2, s"dfCap must be >= 2 to pair anything, got $dfCap")
+    require(compactAfterFiles > 0,
+      s"compactAfterFiles must be positive: $compactAfterFiles")
     val spark = docs.sparkSession
     graft.plans.GraftExtensions.register(spark)
+    import graft.sources.SnapshotStore
+    val sigsTbl = s"$indexPath/sigs"
+    val postTbl = s"$indexPath/postings"
+    val verdictsTbl = s"$indexPath/verdicts"
+    // past this many distinct shingles the driver stops collecting the
+    // probe set and the postings read degrades to the full snapshot
+    // (still one projection) — 1M longs is ~8 MB of driver state
+    val maxProbeShingles = 1 << 20
     docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-      val sigsDir = s"$indexPath/sigs"
-      val postDir = s"$indexPath/postings"
-      val verdictsDir = s"$indexPath/verdicts"
-      val once = batch.toDF().dropDuplicates(idCol)
-      val fresh =
-        if (StateFs.exists(spark, verdictsDir))
-          once.join(
-            spark.read.parquet(verdictsDir).select(col(idCol)).distinct(),
-            Seq(idCol), "left_anti")
-        else once
-      if (!fresh.isEmpty) {
-        // (id, hs, n_sh): the SAME sorted-shingle-hash signatures the
-        // batch operator verifies with (prefix_len unused here)
-        val fb = graft.operators.Dedup
-          .hashSignatures(fresh, idCol, textCol, shingleN, minContainment)
-          .select(col(idCol), col("hs"), col("n_sh"))
-          .localCheckpoint()
-        val bpost = fb.select(col(idCol), explode(col("hs")).as("h"))
-          .localCheckpoint()
-        val haveIndex = StateFs.exists(spark, sigsDir)
-        // index postings matched to the batch's shingles, minus the
-        // batch's own ids (a crash-replayed half-indexed doc must not
-        // double-count its shingles' df or pair with itself)
-        val iMatched = (
-          if (haveIndex)
-            spark.read.parquet(postDir)
-              .join(bpost.select(col("h")).distinct(), Seq("h"), "left_semi")
-              .join(fb.select(col(idCol)), Seq(idCol), "left_anti")
-          else bpost.limit(0))
-          .select(col("h"), col(idCol).as("__iid"))
-          .localCheckpoint()
-        // running document frequency per batch shingle = batch + index
-        val rare = bpost.groupBy(col("h")).agg(count(lit(1)).as("__dfb"))
-          .join(iMatched.groupBy(col("h")).agg(count(lit(1)).as("__dfi")),
-            Seq("h"), "left")
-          .select(col("h"), (col("__dfb") + coalesce(col("__dfi"), lit(0L))).as("__df"))
-          .filter(col("__df") >= 2 && col("__df") <= dfCap)
-          .select(col("h"))
-        val bp = bpost.join(rare, Seq("h"), "left_semi")
-        val candI = bp.join(iMatched, Seq("h"))
-          .select(col("__iid").as("doc_a"), col(idCol).as("doc_b"))
-          .distinct()
-        val candB = bp.select(col("h"), col(idCol).as("doc_a"))
-          .join(bp.select(col("h"), col(idCol).as("doc_b")), Seq("h"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"))
-          .distinct()
-        // doc_a resolves from the index OR the batch (an in-batch pair's
-        // keeper is a batch doc); doc_b is always a batch doc
-        val aSets = (
-          if (haveIndex)
-            spark.read.parquet(sigsDir)
-              .join(fb.select(col(idCol)), Seq(idCol), "left_anti")
-              .unionByName(fb)
-          else fb)
-          .select(col(idCol).as("doc_a"), col("hs").as("hs_a"),
-            col("n_sh").cast("long").as("n_a"))
-        val dups = candI.union(candB)
-          .join(aSets, Seq("doc_a"))
-          .join(fb.select(col(idCol).as("doc_b"), col("hs").as("hs_b"),
-            col("n_sh").cast("long").as("n_b")), Seq("doc_b"))
-          .select(col("doc_b"),
-            call_function("sorted_intersect_count", col("hs_a"), col("hs_b"))
-              .as("n_inter"),
-            col("n_a"), col("n_b"))
-          .filter(greatest(round(col("n_inter") / col("n_a"), 6),
-            round(col("n_inter") / col("n_b"), 6)) >= minContainment)
-          .select(col("doc_b").as(idCol)).distinct()
-          .withColumn("__dup", lit(true))
-        val verdicts = fb.select(col(idCol))
-          .join(dups, Seq(idCol), "left_outer")
-          .select(col(idCol), coalesce(!col("__dup"), lit(true)).as("keep"))
-          .localCheckpoint()
-        val accepted = fb.join(verdicts.filter(col("keep")).select(col(idCol)),
-          Seq(idCol), "left_semi")
-        // SIGS first (future verification needs them), POSTINGS second
-        // (candidates come from postings, so a sig without postings is
-        // invisible, never wrong), VERDICTS last (the replay skip) — a
-        // crash anywhere re-screens, never loses an accepted doc
-        (if (haveIndex)
-           accepted.join(spark.read.parquet(sigsDir).select(col(idCol)),
-             Seq(idCol), "left_anti")
-         else accepted)
-          .write.mode("append").parquet(sigsDir)
-        val acceptedPost = accepted.select(col(idCol), explode(col("hs")).as("h"))
-        (if (StateFs.exists(spark, postDir))
-           acceptedPost.join(
-             spark.read.parquet(postDir).select(col(idCol)).distinct(),
-             Seq(idCol), "left_anti")
-         else acceptedPost)
-          .write.mode("append").parquet(postDir)
-        verdicts.write.mode("append").parquet(verdictsDir)
-      }
-      // per-batch appends accumulate small files; past the trigger each
-      // store rewrites to ~compactAfterFiles/8 files (pure rewrite — all
-      // three stores are append-only, so no tombstone bookkeeping; same
-      // single-writer assumption as the sink's serial foreachBatch)
-      Seq(sigsDir, postDir, verdictsDir).foreach { dir =>
-        if (StateFs.dataFileCount(spark, dir) > compactAfterFiles) {
-          val tmp = s"$dir.compact_tmp"
-          spark.read.parquet(dir).localCheckpoint()
-            .repartition(math.max(1, compactAfterFiles / 8))
-            .write.mode("overwrite").parquet(tmp)
-          StateFs.delete(spark, dir)
-          StateFs.rename(spark, tmp, dir)
+      val once = batch.toDF().dropDuplicates(idCol).localCheckpoint()
+      val batchIds = once.select(col(idCol).cast("long"))
+        .collect().map(_.getLong(0)).toSeq
+      if (batchIds.nonEmpty) {
+        val fresh =
+          if (SnapshotStore.latestVersion(spark, verdictsTbl) > 0L)
+            once.join(SnapshotStore.scanPoints(spark, verdictsTbl, idCol, batchIds)
+              .select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+          else once
+        if (!fresh.isEmpty) {
+          // (id, hs, n_sh): the SAME sorted-shingle-hash signatures the
+          // batch operator verifies with (prefix_len unused here)
+          val fb = graft.operators.Dedup
+            .hashSignatures(fresh, idCol, textCol, shingleN, minContainment)
+            .select(col(idCol), col("hs"), col("n_sh"))
+            .localCheckpoint()
+          val bpost = fb.select(col(idCol), explode(col("hs")).as("h"))
+            .localCheckpoint()
+          val haveSigs = SnapshotStore.latestVersion(spark, sigsTbl) > 0L
+          // postings may trail sigs by one crash (sigs commit first,
+          // below) — gate the probe on the POSTINGS table itself
+          val havePost = SnapshotStore.latestVersion(spark, postTbl) > 0L
+          // index postings matched to the batch's shingles — file-pruned
+          // to the batch's probe set when it is driver-collectable,
+          // exact semi-join re-applied either way — minus the batch's
+          // own ids (a crash-replayed half-indexed doc must not
+          // double-count its shingles' df or pair with itself)
+          val iMatched = (
+            if (havePost) {
+              val probeHs = bpost.select(col("h")).distinct()
+                .limit(maxProbeShingles + 1).collect().map(_.getLong(0))
+              val base =
+                if (probeHs.length > maxProbeShingles)
+                  SnapshotStore.snapshot(spark, postTbl)
+                else SnapshotStore.scanPoints(spark, postTbl, "h", probeHs.toSeq)
+              base.join(bpost.select(col("h")).distinct(), Seq("h"), "left_semi")
+                .join(fb.select(col(idCol)), Seq(idCol), "left_anti")
+            } else bpost.limit(0))
+            .select(col("h"), col(idCol).as("__iid"))
+            .localCheckpoint()
+          // running document frequency per batch shingle = batch + index
+          val rare = bpost.groupBy(col("h")).agg(count(lit(1)).as("__dfb"))
+            .join(iMatched.groupBy(col("h")).agg(count(lit(1)).as("__dfi")),
+              Seq("h"), "left")
+            .select(col("h"), (col("__dfb") + coalesce(col("__dfi"), lit(0L))).as("__df"))
+            .filter(col("__df") >= 2 && col("__df") <= dfCap)
+            .select(col("h"))
+          val bp = bpost.join(rare, Seq("h"), "left_semi")
+          val candI = bp.join(iMatched, Seq("h"))
+            .select(col("__iid").as("doc_a"), col(idCol).as("doc_b"))
+            .distinct()
+            .localCheckpoint() // read twice: the verify join + the keeper probe
+          val candB = bp.select(col("h"), col(idCol).as("doc_a"))
+            .join(bp.select(col("h"), col(idCol).as("doc_b")), Seq("h"))
+            .filter(col("doc_a") < col("doc_b"))
+            .select(col("doc_a"), col("doc_b"))
+            .distinct()
+          // doc_a resolves from the index OR the batch (an in-batch
+          // pair's keeper is a batch doc); the INDEX side point-skips to
+          // the candidate keepers — candidate count is bounded by the
+          // batch's rare postings × dfCap, so the collect is
+          // batch-shaped, and the sigs read is blooms-deep, not a scan
+          val keeperIds = candI.select(col("doc_a")).distinct()
+            .collect().map(_.getLong(0)).toSeq
+          val aSigs = (
+            if (haveSigs && keeperIds.nonEmpty)
+              SnapshotStore.scanPoints(spark, sigsTbl, idCol, keeperIds)
+                .join(fb.select(col(idCol)), Seq(idCol), "left_anti")
+                .unionByName(fb)
+            else fb)
+            .localCheckpoint() // measured twice: bytes + the join build
+          // verify-join strategy from MEASURED signature bytes — the
+          // static-estimate broadcast cliff (and its AQE driver-OOM
+          // class) is the same one Dedup.verifySideHint closed for the
+          // batch operators
+          val hint = graft.operators.Dedup.verifySideHint(aSigs)
+          val aSets = hint(aSigs.select(col(idCol).as("doc_a"),
+            col("hs").as("hs_a"), col("n_sh").cast("long").as("n_a")))
+          val dups = candI.union(candB)
+            .join(aSets, Seq("doc_a"))
+            .join(fb.select(col(idCol).as("doc_b"), col("hs").as("hs_b"),
+              col("n_sh").cast("long").as("n_b")), Seq("doc_b"))
+            .select(col("doc_b"),
+              call_function("sorted_intersect_count", col("hs_a"), col("hs_b"))
+                .as("n_inter"),
+              col("n_a"), col("n_b"))
+            .filter(greatest(round(col("n_inter") / col("n_a"), 6),
+              round(col("n_inter") / col("n_b"), 6)) >= minContainment)
+            .select(col("doc_b").as(idCol)).distinct()
+            .withColumn("__dup", lit(true))
+          val verdicts = fb.select(col(idCol))
+            .join(dups, Seq(idCol), "left_outer")
+            .select(col(idCol), coalesce(!col("__dup"), lit(true)).as("keep"))
+            .localCheckpoint()
+          val accepted = fb.join(verdicts.filter(col("keep")).select(col(idCol)),
+            Seq(idCol), "left_semi")
+          // SIGS first (future verification needs them), POSTINGS second
+          // (candidates come from postings, so a sig without postings is
+          // invisible, never wrong), VERDICTS last (the replay skip) — a
+          // crash anywhere re-screens, never loses an accepted doc; the
+          // idempotence anti-joins point-skip to the batch's own ids
+          val acceptedSigs =
+            if (haveSigs)
+              accepted.join(SnapshotStore.scanPoints(spark, sigsTbl, idCol, batchIds)
+                .select(col(idCol)), Seq(idCol), "left_anti")
+            else accepted
+          if (!acceptedSigs.isEmpty)
+            SnapshotStore.append(acceptedSigs, sigsTbl,
+              statsCols = Seq(idCol), bloomCols = Seq(idCol))
+          val acceptedPost = accepted.select(col(idCol), explode(col("hs")).as("h"))
+          val acceptedPostNew =
+            if (havePost)
+              acceptedPost.join(
+                SnapshotStore.scanPoints(spark, postTbl, idCol, batchIds)
+                  .select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+            else acceptedPost
+          if (!acceptedPostNew.isEmpty)
+            SnapshotStore.append(acceptedPostNew, postTbl,
+              statsCols = Seq("h", idCol), bloomCols = Seq(idCol, "h"))
+          SnapshotStore.append(verdicts, verdictsTbl,
+            statsCols = Seq(idCol), bloomCols = Seq(idCol))
+          // metadata-swap maintenance: postings re-cluster by `h` (the
+          // probe's pruning key), sigs and verdicts by id (the bloom
+          // point-skips') — per-batch appends stop accumulating small
+          // files and the pruning stays sharp as the index grows
+          val target = math.max(1, compactAfterFiles / 8)
+          SnapshotStore.maintain(spark, sigsTbl, compactAfterFiles, target,
+            statsCols = Seq(idCol), clusterCols = Seq(idCol),
+            bloomCols = Seq(idCol))
+          SnapshotStore.maintain(spark, postTbl, compactAfterFiles, target,
+            statsCols = Seq("h", idCol), clusterCols = Seq("h"),
+            bloomCols = Seq(idCol, "h"))
+          SnapshotStore.maintain(spark, verdictsTbl, compactAfterFiles, target,
+            statsCols = Seq(idCol), clusterCols = Seq(idCol),
+            bloomCols = Seq(idCol))
+          ()
         }
       }
       ()

@@ -123,6 +123,27 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L))) // 0-1 identical and same bucket
   }
 
+  test("scaledProbes derives the IVF probe count from the centroid count (recall-calibrated)") {
+    // probes = ceil(sqrt k), floored at 2, capped at k (a tiny index
+    // probes everything — exact). The sqrt-k point is where the
+    // ProbesRecallProbe curve crosses ~0.9 recall@10 on both measured
+    // corpus sizes (ROADMAP r18); with sqrt-n centroids the per-query
+    // candidate fraction probes/k ~ n^(-1/4) still VANISHES at scale.
+    assert(Similarity.scaledProbes(1) === 1)
+    assert(Similarity.scaledProbes(2) === 2)
+    assert(Similarity.scaledProbes(4) === 2)
+    assert(Similarity.scaledProbes(16) === 4)
+    assert(Similarity.scaledProbes(78) === 9)     // sf0.1 embeddings' k
+    assert(Similarity.scaledProbes(10000) === 100)
+    // 100 TB shape: 10^9 vectors -> ~31623 centroids -> 178 probes,
+    // scanning ~0.56% of the corpus per query
+    assert(Similarity.scaledProbes(31623) === 178)
+    for (k <- Seq(1L, 3L, 10L, 500L, 123456L)) {
+      val p = Similarity.scaledProbes(k)
+      assert(p >= 1 && p <= k, s"k=$k probes=$p out of range")
+    }
+  }
+
   test("scaledBucketBits pins per-bucket occupancy: bits grow with the corpus, candidate volume stays linear") {
     // the derivation: smallest bits with n/2^bits <= target, floored at 1
     assert(Similarity.scaledBucketBits(100, 256) === 1)   // tiny corpus

@@ -456,16 +456,61 @@ class StreamingSpec extends SparkSpec
       // replay of an already-indexed doc id: appends nothing
       mem.addData((1L, "the quick brown fox jumps over the lazy dog"))
       q.processAllAvailable()
-      val verdicts = spark.read.parquet(s"$tmp/verdicts")
+      import graft.sources.SnapshotStore
+      val verdicts = SnapshotStore.snapshot(spark, s"$tmp/verdicts")
         .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
       assert(verdicts == Map(1L -> true, 2L -> true, 10L -> false, 11L -> true, 20L -> false),
         s"got $verdicts")
       // index holds bands for exactly the accepted docs, once each
-      val indexed = spark.read.parquet(s"$tmp/bands")
+      val indexed = SnapshotStore.snapshot(spark, s"$tmp/bands")
         .select("doc_id").distinct().as[Long].collect().toSet
       assert(indexed == Set(1L, 2L, 11L))
-      val verdictCount = spark.read.parquet(s"$tmp/verdicts").count()
+      val verdictCount = SnapshotStore.rowCount(spark, s"$tmp/verdicts")
       assert(verdictCount == 5L, s"replay must not re-screen: $verdictCount verdicts")
+    } finally q.stop()
+  }
+
+  test("incrementalDedupSink crash window: indexed-but-unverdicted doc re-screens cleanly") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SnapshotStore
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-inccrash").toString
+    // simulate a crash BETWEEN the bands commit and the verdict commit
+    // (the sink's order — the pre-r18 verdict-first order turned this
+    // crash into a silently lost index entry): doc 1's bands landed,
+    // its verdict did not
+    val doc1 = "the quick brown fox jumps over the lazy dog"
+    SnapshotStore.append(
+      graft.operators.Dedup.bandedSignatures(
+          Seq(1L -> doc1).toDF("doc_id", "text"), "doc_id", "text", 8, 3, 2)
+        .withColumn("__bs", xxhash64(col("band"), col("sig"))),
+      s"$tmp/bands", statsCols = Seq("__bs", "doc_id"),
+      bloomCols = Seq("doc_id", "__bs"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.incrementalDedupSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tmp)
+      .start()
+    try {
+      // the replayed doc re-screens as if the crashed batch never ran:
+      // the index side excludes the batch's own ids, so 1 cannot match
+      // itself — it re-verdicts keep and its bands stay deduplicated
+      mem.addData((1L, doc1))
+      q.processAllAvailable()
+      // a LATER batch's dup of doc 1 must still be caught — the
+      // recovered index entry is live corpus
+      mem.addData((9L, doc1))
+      q.processAllAvailable()
+      val verdicts = SnapshotStore.snapshot(spark, s"$tmp/verdicts")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+      assert(verdicts == Map(1L -> true, 9L -> false),
+        s"the replayed doc must not match ITSELF through its own bands: $verdicts")
+      // 9 dropped, so the index still holds exactly doc 1's bands —
+      // once each (the replayed append is idempotent)
+      val perDoc = SnapshotStore.snapshot(spark, s"$tmp/bands")
+        .groupBy(col("doc_id"), col("band")).count()
+        .collect().map(_.getLong(2)).toSet
+      assert(SnapshotStore.snapshot(spark, s"$tmp/bands")
+        .select(col("doc_id")).distinct().as[Long].collect().toSet == Set(1L))
+      assert(perDoc == Set(1L), s"duplicate band rows after replay: $perDoc")
     } finally q.stop()
   }
 
@@ -492,33 +537,41 @@ class StreamingSpec extends SparkSpec
       // replay of an indexed id: never re-screens
       mem.addData((1L, Seq(1f, 0f, 0f)))
       q.processAllAvailable()
-      val verdicts = spark.read.parquet(s"$tmp/verdicts")
+      import graft.sources.SnapshotStore
+      val verdicts = SnapshotStore.snapshot(spark, s"$tmp/verdicts")
         .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
       assert(verdicts == Map(1L -> true, 2L -> true, 3L -> false,
         10L -> false, 11L -> true), s"got $verdicts")
-      assert(spark.read.parquet(s"$tmp/verdicts").count() == 5L,
+      assert(SnapshotStore.snapshot(spark, s"$tmp/verdicts").count() == 5L,
         "replay must not re-screen")
-      val indexed = spark.read.parquet(s"$tmp/vectors")
+      val indexed = SnapshotStore.snapshot(spark, s"$tmp/vectors")
         .select("vec_id").as[Long].collect().toSet
       assert(indexed == Set(1L, 2L, 11L), s"index holds the accepted vectors: $indexed")
-      // the index is an ordinary vector table: a batch probe rides it
-      val probe = spark.read.parquet(s"$tmp/vectors")
+      // the index is an ordinary SNAPSHOT vector table: a batch probe
+      // rides it (time travel, point-skip and maintenance included)
+      val probe = SnapshotStore.snapshot(spark, s"$tmp/vectors")
         .select(col("vec_id"), col("__v"))
       assert(probe.count() == 3L)
+      // the log answers the index size with zero data reads
+      assert(SnapshotStore.rowCount(spark, s"$tmp/vectors") == 3L)
     } finally q.stop()
   }
 
   test("embeddingDedupSink crash window: an indexed-but-unverdicted id re-screens cleanly") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-embcrash").toString
-    // simulate a crash BETWEEN the index append and the verdict append:
-    // the vector landed in the index, its verdict did not
+    // simulate a crash BETWEEN the index commit and the verdict commit:
+    // the vector landed in the index (with its policy meta, which every
+    // index commit carries atomically), its verdict did not
     import graft.operators.Similarity.signBucket
-    Seq((1L, Seq(1f, 0f, 0f)))
-      .toDF("vec_id", "embedding")
-      .select(col("vec_id"), col("embedding").cast("array<float>").as("__v"),
-        signBucket(col("embedding"), 2).as("__bucket"))
-      .write.parquet(s"$tmp/vectors")
+    import graft.sources.SnapshotStore
+    SnapshotStore.append(
+      Seq((1L, Seq(1f, 0f, 0f)))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("__v"),
+          signBucket(col("embedding"), 2).as("__bucket")),
+      s"$tmp/vectors", statsCols = Seq("__bucket", "vec_id"),
+      meta = Map("sink.bucketing" -> "fixed|2"), bloomCols = Seq("vec_id"))
     val mem = MemoryStream[(Long, Seq[Float])]
     val q = Streaming.embeddingDedupSink(
       mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
@@ -528,13 +581,51 @@ class StreamingSpec extends SparkSpec
       // the replayed id 1 plus a genuine near-dup with a higher id
       mem.addData((1L, Seq(1f, 0f, 0f)), (5L, Seq(0.999f, 0f, 0.01f)))
       q.processAllAvailable()
-      val verdicts = spark.read.parquet(s"$tmp/verdicts")
+      val verdicts = SnapshotStore.snapshot(spark, s"$tmp/verdicts")
         .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
       assert(verdicts == Map(1L -> true, 5L -> false),
         s"the replayed vector must not match ITSELF in the index: $verdicts")
-      assert(spark.read.parquet(s"$tmp/vectors").count() == 1L,
+      assert(SnapshotStore.snapshot(spark, s"$tmp/vectors").count() == 1L,
         "the idempotent append must not duplicate the already-indexed vector")
     } finally q.stop()
+  }
+
+  test("embeddingDedupSink fails fast on a bucketing-policy mismatch instead of matching nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SnapshotStore
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-embpolicy").toString
+    // a store created FIXED at 2 bits...
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.embeddingDedupSink(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      tmp, bucketBits = Some(2), minCosine = 0.95).start()
+    try {
+      mem.addData((1L, Seq(1f, 0f, 0f)))
+      q.processAllAvailable()
+      assert(SnapshotStore.state(spark, s"$tmp/vectors")
+        .meta("sink.bucketing") == "fixed|2")
+    } finally q.stop()
+    // ...reopened corpus-scaled (or at a different fixed width) must
+    // REFUSE: signBucket and hyperplaneBucket values are incompatible,
+    // so the screen would silently match nothing and accept every dup
+    def reopenFails(bits: Option[Int]): Unit = {
+      val mem2 = MemoryStream[(Long, Seq[Float])]
+      val q2 = Streaming.embeddingDedupSink(
+        mem2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        tmp, bucketBits = bits, minCosine = 0.95).start()
+      try {
+        mem2.addData((9L, Seq(1f, 0f, 0f)))
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q2.processAllAvailable()
+        }
+        def causes(t: Throwable): Seq[Throwable] =
+          if (t == null) Nil else t +: causes(t.getCause)
+        assert(causes(ex).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+          c.getMessage.contains("incompatible")), s"got $ex")
+      } finally q2.stop()
+    }
+    reopenFails(None)
+    reopenFails(Some(3))
   }
 
   /** Deterministic well-spread test vector: multiplicative-hash
@@ -555,16 +646,20 @@ class StreamingSpec extends SparkSpec
     graft.plans.GraftExtensions.register(spark)
     import graft.operators.Similarity.hyperplaneBucket
     val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-embscaled").toString
+    import graft.sources.SnapshotStore
     val mem = MemoryStream[(Long, Seq[Float])]
     val q = Streaming.embeddingDedupSink(
       mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
       tmp, minCosine = 0.999, targetBucketRows = 4)
       .start()
+    // the policy rides the vectors table's commit meta — atomic with
+    // the data it describes (the pre-r18 marker FILE could disagree
+    // with the stored widths after a crash on either side of the swap)
     def marker(): (Int, Int) = {
-      val src = scala.io.Source.fromFile(
-        new java.io.File(new java.net.URI(s"$tmp/_bucketing")))
-      try { val Array(b, d) = src.mkString.trim.split('|'); (b.toInt, d.toInt) }
-      finally src.close()
+      val Array(p, b, d) = SnapshotStore.state(spark, s"$tmp/vectors")
+        .meta("sink.bucketing").split('|')
+      assert(p == "scaled")
+      (b.toInt, d.toInt)
     }
     // candidates per probe row at a GIVEN width: the per-batch screen
     // cost is exactly this bucket-join volume
@@ -574,7 +669,7 @@ class StreamingSpec extends SparkSpec
           .as("__bucket"))
       // index side re-signed at the SAME width (the stored __bucket is
       // at the marker width — a cross-width join would be meaningless)
-      probe.join(spark.read.parquet(s"$tmp/vectors")
+      probe.join(SnapshotStore.snapshot(spark, s"$tmp/vectors")
           .select(hyperplaneBucket(col("__v"), bits, 16).as("__bucket")),
         Seq("__bucket"))
         .count().toDouble / probeIds.size
@@ -594,7 +689,7 @@ class StreamingSpec extends SparkSpec
       assert(bits2 == 7, s"~440 rows / target 4 => ceil(log2(110)) = 7 bits, got $bits2")
       // the WHOLE index was re-bucketed at the new width — every stored
       // bucket equals the pure function of its vector
-      val mismatched = spark.read.parquet(s"$tmp/vectors")
+      val mismatched = SnapshotStore.snapshot(spark, s"$tmp/vectors")
         .filter(col("__bucket") =!=
           hyperplaneBucket(col("__v"), bits2, 16)).count()
       assert(mismatched == 0L, s"$mismatched stale buckets survived the re-bucket")
@@ -607,6 +702,49 @@ class StreamingSpec extends SparkSpec
       assert(costStale > 3.0 * costGrown,
         s"the re-bucket must be load-bearing: stale-width cost $costStale vs scaled $costGrown")
     } finally q.stop()
+  }
+
+  test("embeddingDedupSink per-batch index I/O prunes: files read track the probe, not the index") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+    import graft.sources.SnapshotStore
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-embio").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    // aggressive maintenance so the sink itself exercises the clustered
+    // metadata-swap compaction while the index grows 10x
+    val q = Streaming.embeddingDedupSink(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      tmp, minCosine = 0.999, targetBucketRows = 4, maxLiveFiles = 8)
+      .start()
+    try {
+      (0 until 10).foreach { b =>
+        mem.addData(((b * 50 + 1) to (b * 50 + 40))
+          .map(i => (i.toLong, embVec(i.toLong))): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val tbl = s"$tmp/vectors"
+    assert(SnapshotStore.rowCount(spark, tbl) == 400L)
+    // deterministic final layout for the assertion (the sink's own
+    // maintenance is trigger-based, so the instant of the last compact
+    // varies): cluster to 8 files by the screen's pruning key
+    SnapshotStore.compactClustered(spark, tbl, 8, Seq("__bucket"),
+      Seq("__bucket", "vec_id"), Seq("vec_id"))
+    // the screen's probe: ONE bucket must read a bounded slice of the
+    // clustered files, not the 400-row index
+    val someBucket = SnapshotStore.snapshot(spark, tbl)
+      .select(col("__bucket")).head.getLong(0)
+    val (kept, total) = SnapshotStore.scanPointsPrunedFiles(
+      spark, tbl, "__bucket", Seq(someBucket))
+    assert(total == 8 && kept <= 2,
+      s"bucket probe read $kept of $total files — pruning is not load-bearing")
+    // the replay-skip / idempotence probes point-skip on id: boxes are
+    // blind on a bucket-clustered layout, the parquet BLOOM pins the
+    // probe to its file(s)
+    val (keptId, totalId) = SnapshotStore.scanPointsPrunedFiles(
+      spark, tbl, "vec_id", Seq(1L))
+    assert(totalId == 8 && keptId <= 3,
+      s"id probe read $keptId of $totalId files — bloom skip is not load-bearing")
   }
 
   test("embeddingDedupSink verdicts equal the batch keep-lowest screen across a re-bucket") {
@@ -630,7 +768,7 @@ class StreamingSpec extends SparkSpec
       q.processAllAvailable()
       mem.addData((8010L, embVec(10L)), (8011L, embVec(2042L)), (8012L, embVec(8012L)))
       q.processAllAvailable()
-      val sinkVerdicts = spark.read.parquet(s"$tmp/verdicts")
+      val sinkVerdicts = graft.sources.SnapshotStore.snapshot(spark, s"$tmp/verdicts")
         .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
       assert(sinkVerdicts(8010L) == false && sinkVerdicts(8011L) == false,
         s"exact twins of pre-re-bucket exemplars must be caught: $sinkVerdicts")
@@ -685,7 +823,8 @@ class StreamingSpec extends SparkSpec
       mem.addData(corpus.take(6): _*); q.processAllAvailable()
       mem.addData(corpus.slice(6, 9): _*); q.processAllAvailable()
       mem.addData(corpus.drop(9): _*); q.processAllAvailable()
-      val sinkVerdicts = spark.read.parquet(s"$tmp/verdicts")
+      import graft.sources.SnapshotStore
+      val sinkVerdicts = SnapshotStore.snapshot(spark, s"$tmp/verdicts")
         .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
       // batch screen over the SAME corpus: keep-lowest from the pair set
       val batchDups = graft.operators.Dedup.containmentPairs(
@@ -699,10 +838,10 @@ class StreamingSpec extends SparkSpec
       // replay: an already-verdicted id never re-screens or re-verdicts
       mem.addData(1L -> contDoc(1), 103L -> contQuote(1, 103))
       q.processAllAvailable()
-      assert(spark.read.parquet(s"$tmp/verdicts").count() === corpus.size.toLong,
+      assert(SnapshotStore.rowCount(spark, s"$tmp/verdicts") === corpus.size.toLong,
         "replay must not add verdicts")
       // index holds sigs+postings for exactly the accepted docs, once each
-      val sigIds = spark.read.parquet(s"$tmp/sigs")
+      val sigIds = SnapshotStore.snapshot(spark, s"$tmp/sigs")
         .groupBy(col("doc_id")).count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(sigIds.keySet == sinkVerdicts.filter(_._2).keySet)
@@ -734,18 +873,21 @@ class StreamingSpec extends SparkSpec
       feed(5L -> contDoc(5), 6L -> contDoc(6))
       feed(50L -> contQuote(2, 50), 51L -> contDoc(51))
       feed(60L -> contQuote(5, 60), 61L -> contDoc(61))
-      def verdicts(dir: String) = spark.read.parquet(s"$dir/verdicts")
+      import graft.sources.SnapshotStore
+      def verdicts(dir: String) = SnapshotStore.snapshot(spark, s"$dir/verdicts")
         .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
       assert(verdicts(dirA) == verdicts(dirB),
         s"compaction changed verdicts: ${verdicts(dirA)} vs ${verdicts(dirB)}")
       assert(!verdicts(dirA)(50L) && !verdicts(dirA)(60L),
         "quote pairs spanning compactions must still be caught")
-      def files(dir: String, sub: String): Int = new java.io.File(
-        new java.net.URI(s"$dir/$sub")).listFiles()
-        .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      assert(files(dirA, "postings") < files(dirB, "postings"),
-        "the compacting sink must hold fewer postings files")
-      assert(files(dirA, "verdicts") < files(dirB, "verdicts"))
+      // maintenance is a metadata swap on the commit log: the
+      // aggressive sink's LIVE file set stays bounded while the
+      // never-compacted twin accumulates one file set per batch
+      def live(dir: String, sub: String): Int =
+        SnapshotStore.state(spark, s"$dir/$sub").live.size
+      assert(live(dirA, "postings") < live(dirB, "postings"),
+        "the compacting sink must hold fewer live postings files")
+      assert(live(dirA, "verdicts") < live(dirB, "verdicts"))
     } finally { qA.stop(); qB.stop() }
   }
 
@@ -753,14 +895,18 @@ class StreamingSpec extends SparkSpec
     implicit val sqlCtx = spark.sqlContext
     graft.plans.GraftExtensions.register(spark)
     val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-contcrash").toString
-    // simulate a crash BETWEEN the postings append and the verdict:
+    // simulate a crash BETWEEN the postings commit and the verdict:
     // doc 1's sigs AND postings landed, its verdict did not
+    import graft.sources.SnapshotStore
     val planted = graft.operators.Dedup.hashSignatures(
         Seq(1L -> contDoc(1)).toDF("doc_id", "text"), "doc_id", "text", 3, 0.8)
       .select(col("doc_id"), col("hs"), col("n_sh"))
-    planted.write.parquet(s"$tmp/sigs")
-    planted.select(col("doc_id"), explode(col("hs")).as("h"))
-      .write.parquet(s"$tmp/postings")
+    SnapshotStore.append(planted, s"$tmp/sigs",
+      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    SnapshotStore.append(
+      planted.select(col("doc_id"), explode(col("hs")).as("h")),
+      s"$tmp/postings", statsCols = Seq("h", "doc_id"),
+      bloomCols = Seq("doc_id", "h"))
     val mem = MemoryStream[(Long, String)]
     val q = Streaming.containmentDedupSink(
       mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tmp)
@@ -769,15 +915,50 @@ class StreamingSpec extends SparkSpec
       // the replayed doc 1 plus a genuine quote of it with a higher id
       mem.addData(1L -> contDoc(1), 9L -> contQuote(1, 9))
       q.processAllAvailable()
-      val verdicts = spark.read.parquet(s"$tmp/verdicts")
+      val verdicts = SnapshotStore.snapshot(spark, s"$tmp/verdicts")
         .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
       assert(verdicts == Map(1L -> true, 9L -> false),
         s"the replayed doc must not match ITSELF through its own postings: $verdicts")
       // 9 dropped, so the index still holds exactly doc 1 — ONCE (the
       // replayed append is idempotent)
-      assert(spark.read.parquet(s"$tmp/sigs").count() === 1L,
+      assert(SnapshotStore.rowCount(spark, s"$tmp/sigs") === 1L,
         "the idempotent append must not duplicate the already-indexed signatures")
-      assert(spark.read.parquet(s"$tmp/postings").select(col("doc_id")).distinct().count() === 1L)
+      assert(SnapshotStore.snapshot(spark, s"$tmp/postings")
+        .select(col("doc_id")).distinct().count() === 1L)
+    } finally q.stop()
+  }
+
+  test("containmentDedupSink also survives sigs landing WITHOUT postings (first-batch crash)") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+    import graft.sources.SnapshotStore
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-contcrash2").toString
+    // the commit order is sigs -> postings -> verdicts; a FIRST-batch
+    // crash between the first two leaves a sigs table and NO postings
+    // table at all — the probe must gate on the postings table itself,
+    // not infer it from sigs (the raw-dir sink would have thrown on the
+    // missing postings path here)
+    val planted = graft.operators.Dedup.hashSignatures(
+        Seq(1L -> contDoc(1)).toDF("doc_id", "text"), "doc_id", "text", 3, 0.8)
+      .select(col("doc_id"), col("hs"), col("n_sh"))
+    SnapshotStore.append(planted, s"$tmp/sigs",
+      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.containmentDedupSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tmp)
+      .start()
+    try {
+      mem.addData(1L -> contDoc(1), 9L -> contQuote(1, 9))
+      q.processAllAvailable()
+      val verdicts = SnapshotStore.snapshot(spark, s"$tmp/verdicts")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+      // doc 1 re-screens (no postings => no candidates => kept, its
+      // half-landed sigs not duplicated); 9's quote of 1 IS caught —
+      // the replayed batch re-posted doc 1's shingles
+      assert(verdicts == Map(1L -> true, 9L -> false), s"got $verdicts")
+      assert(SnapshotStore.rowCount(spark, s"$tmp/sigs") === 1L)
+      assert(SnapshotStore.snapshot(spark, s"$tmp/postings")
+        .select(col("doc_id")).distinct().count() === 1L)
     } finally q.stop()
   }
 
@@ -813,7 +994,8 @@ class StreamingSpec extends SparkSpec
       feed((100L, boiler),
         (101L, "a second entirely distinct document about shuffle hash joins"),
         (102L, "zebra quokka parquet columns vectorize wonderfully under tungsten"))
-      def verdicts(dir: String) = spark.read.parquet(s"$dir/verdicts")
+      import graft.sources.SnapshotStore
+      def verdicts(dir: String) = SnapshotStore.snapshot(spark, s"$dir/verdicts")
         .collect().map(r => r.getAs[Long]("doc_id") ->
           (r.getAs[Long]("n_corpus_dups"), r.getAs[Boolean]("keep"))).toMap
       val vA = verdicts(dirA)
@@ -822,16 +1004,14 @@ class StreamingSpec extends SparkSpec
       // probe semantics: tombstoned-bucket doc sees NO dups (cap
       // semantics, same as read-time capping), real dup rejected
       assert(vA(100L) == (0L, true) && vA(101L)._2 == false && vA(102L) == (0L, true))
-      // the compacted store holds fewer files and recorded tombstones
-      def files(dir: String, sub: String) = {
-        val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.listStatus(p).count(st => st.isFile && !st.getPath.getName.startsWith("_"))
-      }
-      assert(files(dirA, "bands") < files(dirB, "bands"),
-        s"bands not compacted: ${files(dirA, "bands")} vs ${files(dirB, "bands")}")
-      assert(files(dirA, "verdicts") < files(dirB, "verdicts"))
-      assert(spark.read.parquet(s"$dirA/capped").count() > 0,
+      // the compacted store holds fewer LIVE files (maintenance is a
+      // metadata swap on the commit log) and recorded tombstones
+      def live(dir: String, sub: String): Int =
+        SnapshotStore.state(spark, s"$dir/$sub").live.size
+      assert(live(dirA, "bands") < live(dirB, "bands"),
+        s"bands not compacted: ${live(dirA, "bands")} vs ${live(dirB, "bands")}")
+      assert(live(dirA, "verdicts") < live(dirB, "verdicts"))
+      assert(SnapshotStore.rowCount(spark, s"$dirA/capped") > 0,
         "oversized boilerplate bucket must be tombstoned at compaction")
     } finally { qA.stop(); qB.stop() }
   }
@@ -909,70 +1089,6 @@ class StreamingSpec extends SparkSpec
         .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
       assert(rows.keySet == Set(1L, 3L), s"got $rows")
       assert(rows(1L) == 1.0 && rows(3L) > 0 && rows(3L) < 1.0)
-    } finally q.stop()
-  }
-
-  /** Reproduce the EXACT on-disk state of a process that died inside a
-    * compaction swap — the complete new copy parked at
-    * `<dir>.compact_tmp`, the live dir already deleted — so the next
-    * batch must rename the tmp in instead of reading "no index yet".
-    */
-  private def simulateSwapCrash(dir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    assert(fs.exists(p), s"crash simulation needs a live store at $dir")
-    assert(fs.rename(p, new org.apache.hadoop.fs.Path(s"$dir.compact_tmp")),
-      s"could not stage the crash state for $dir")
-  }
-
-  test("incrementalDedupSink survives a crash INSIDE the compaction swap: index not lost") {
-    implicit val sqlCtx = spark.sqlContext
-    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-incswapcrash").toString
-    val mem = MemoryStream[(Long, String)]
-    val q = Streaming.incrementalDedupSink(
-      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tmp)
-      .start()
-    try {
-      mem.addData((1L, "the quick brown fox jumps over the lazy dog"),
-        (2L, "completely different content about spark engines and shuffles"))
-      q.processAllAvailable()
-      // die between delete(bands) and rename(tmp, bands) — and again in
-      // a verdicts compaction: the replay skip must survive too
-      simulateSwapCrash(s"$tmp/bands")
-      simulateSwapCrash(s"$tmp/verdicts")
-      // a dup of an accepted doc plus a replay of an already-verdicted
-      // id: with the index silently lost, 10 would be ACCEPTED and 1
-      // would re-verdict — the exact contract violation
-      mem.addData((10L, "the quick brown fox jumps over the lazy dog"),
-        (1L, "the quick brown fox jumps over the lazy dog"))
-      q.processAllAvailable()
-      val verdicts = spark.read.parquet(s"$tmp/verdicts")
-        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
-      assert(verdicts == Map(1L -> true, 2L -> true, 10L -> false),
-        s"the recovered index must still screen (and not re-verdict): $verdicts")
-    } finally q.stop()
-  }
-
-  test("containmentDedupSink survives a crash INSIDE the compaction swap: index not lost") {
-    implicit val sqlCtx = spark.sqlContext
-    graft.plans.GraftExtensions.register(spark)
-    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-contswapcrash").toString
-    val mem = MemoryStream[(Long, String)]
-    val q = Streaming.containmentDedupSink(
-      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tmp)
-      .start()
-    try {
-      mem.addData(1L -> contDoc(1), 2L -> contDoc(2))
-      q.processAllAvailable()
-      Seq("sigs", "postings", "verdicts").foreach(s => simulateSwapCrash(s"$tmp/$s"))
-      // a quote of an accepted doc: with sigs/postings lost it would be
-      // accepted; with verdicts lost the replayed id 1 would re-verdict
-      mem.addData(9L -> contQuote(1, 9), 1L -> contDoc(1))
-      q.processAllAvailable()
-      val verdicts = spark.read.parquet(s"$tmp/verdicts")
-        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
-      assert(verdicts == Map(1L -> true, 2L -> true, 9L -> false),
-        s"the recovered index must still screen (and not re-verdict): $verdicts")
     } finally q.stop()
   }
 

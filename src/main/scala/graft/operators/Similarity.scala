@@ -341,13 +341,18 @@ object Similarity {
 
   /** Probe-count default DERIVED from the centroid count — the recall
     * lever gets the same corpus-scaled treatment as every other knob
-    * (bits, centroids, cluster rows): probes = ceil(√k), floored at 2.
-    * With the √n-centroid convention this scans ~n^(-1/4) of the corpus
-    * per query — a vanishing fraction as the corpus grows — while
-    * ProbesRecallProbe's measured curve (see ROADMAP r18) shows
-    * recall@10 climbing from ~0.6 at the old fixed probes = 2 to ≥0.9
-    * at √k on both measured corpus sizes. Callers pinning `probes`
-    * explicitly (every oracle query) are unaffected.
+    * (bits, centroids, cluster rows): probes = ceil(√k), floored at 2,
+    * capped at k. With the √n-centroid convention this scans ~n^(-1/4)
+    * of the corpus per query — a vanishing fraction as the corpus
+    * grows. ProbesRecallProbe's measured curves (ROADMAP r18) bracket
+    * what that buys: on NEAR-UNIFORM synthetic vectors — IVF's worst
+    * case, true neighbors scatter across clusters — √k lifts recall@10
+    * from the old fixed probes = 2's 0.53–0.54 to ~0.7, and 0.9 needs
+    * ~k/3 (a scan fraction no default should pay); on a
+    * replica-CLUSTERED corpus (the shape real embedding corpora lean
+    * toward) recall is 1.0 already at probes = 2. `probes` stays the
+    * explicit per-call recall lever; callers pinning it (every oracle
+    * query) are unaffected.
     */
   def scaledProbes(numCentroids: Long): Int = {
     require(numCentroids > 0, s"numCentroids must be positive: $numCentroids")
@@ -675,9 +680,29 @@ object Similarity {
 
   def semDedup(embeddings: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int, minCosine: Double): DataFrame = {
+    // materialize the assignment ONCE (it feeds the pair screen twice
+    // plus the verdict join-back), then pick the screen's join strategy
+    // from MEASURED bytes — the verifySideHint discipline. Why not
+    // leave it to the planner: the table-resident Lloyd's
+    // crossJoin(broadcast(one-row)) inflates the static size estimate
+    // MULTIPLICATIVELY, so the r17 rewrite silently flipped this
+    // self-join from broadcast-hash (map-side, full-core pair loop) to
+    // sort-merge on k distinct keys — parallelism capped at k tasks,
+    // measured 2x the whole query at the sf1 scale point
+    // (LloydFormProbe r18: identical histograms and dup counts, pure
+    // execution gap). Measured bytes can't be fooled by plan shape:
+    // small corpora broadcast, and at 100 TB this never broadcasts —
+    // there AQE's skew-join splitting restores reduce-side parallelism.
     val m = kmeansAssignWithVec(embeddings, idCol, vecCol, k, iters)
       .select(col("vec_id"), col("cluster_id"), col("v"))
-    val dup = m.as("a").join(m.as("b"),
+      .localCheckpoint()
+    val st = m.agg(count(lit(1)).as("n"), max(size(col("v"))).as("d")).head
+    val bytes =
+      if (st.isNullAt(1)) 0L
+      else st.getLong(0) * (st.getInt(1).toLong * 4L + 32L)
+    val thr = embeddings.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val bSide = if (thr > 0 && bytes <= thr) broadcast(m) else m
+    val dup = m.as("a").join(bSide.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
           col("a.vec_id") < col("b.vec_id"))
       .filter(round(cosineNative(col("a.v"), col("b.v")), 6) >= minCosine)
@@ -726,7 +751,7 @@ object Similarity {
     * assignment is map-side; a join-back would re-shuffle the corpus
     * for data the plan already carries).
     */
-  private[operators] def kmeansAssignWithVec(
+  private[graft] def kmeansAssignWithVec(
       embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, seeding: String = "rank"): DataFrame = {
     val spark = embeddings.sparkSession

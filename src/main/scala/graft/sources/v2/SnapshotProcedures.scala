@@ -36,6 +36,7 @@ private[v2] object SnapshotProcedures {
     case "enable_dv" => Some(EnableDv)
     case "purge_dv" => Some(PurgeDv)
     case "refresh_index" => Some(RefreshIndex)
+    case "dedup_sink_maintain" => Some(DedupSinkMaintain)
     case _ => None
   }
 
@@ -338,6 +339,59 @@ private[v2] object SnapshotProcedures {
         }
       InternalRow(v, SnapshotStore.latestVersion(spark, table),
         UTF8String.fromString(action))
+    }
+  }
+
+  /** `CALL graft.dedup_sink_maintain(index_path, id_col[, target_files])`
+    * — the SQL maintenance verb for the streaming dedup sinks' state
+    * (MinHash bands / embedding vectors / containment postings +
+    * verdicts): every store table present under `index_path` compacts
+    * to `target_files` CLUSTERED BY ITS PRUNING KEY (bands by the
+    * `__bs` bucket hash, vectors by `__bucket`, postings by `h`,
+    * sigs/verdicts by the id), stats and blooms re-harvested, each an
+    * atomic snapshot commit — so the sinks' per-batch point-skips stay
+    * sharp without waiting for the in-sink trigger. The batch world's
+    * `optimize` for the sink family; unconditional like it.
+    */
+  private object DedupSinkMaintain extends Proc("dedup_sink_maintain",
+    Seq(
+      ProcedureParameter.in("index_path", StringType).build(),
+      ProcedureParameter.in("id_col", StringType).build(),
+      ProcedureParameter.in("target_files", IntegerType).defaultValue("8").build()),
+    StructType(Seq(
+      StructField("stores", StringType, nullable = false),
+      StructField("files_before", IntegerType, nullable = false),
+      StructField("files_after", IntegerType, nullable = false)))) {
+    override def description(): String =
+      "compact a streaming dedup sink's store tables, clustered by their pruning keys"
+    override protected def run(in: InternalRow): InternalRow = {
+      val path = in.getUTF8String(0).toString
+      val idCol = in.getUTF8String(1).toString
+      val target = in.getInt(2)
+      // store -> (clusterCols, statsCols, bloomCols): the exact layouts
+      // the sinks' own maintenance uses (Streaming.scala)
+      val layouts: Seq[(String, (Seq[String], Seq[String], Seq[String]))] = Seq(
+        "bands" -> ((Seq("__bs"), Seq("__bs", idCol), Seq(idCol, "__bs"))),
+        "vectors" -> ((Seq("__bucket"), Seq("__bucket", idCol), Seq(idCol))),
+        "sigs" -> ((Seq(idCol), Seq(idCol), Seq(idCol))),
+        "postings" -> ((Seq("h"), Seq("h", idCol), Seq(idCol, "h"))),
+        "verdicts" -> ((Seq(idCol), Seq(idCol), Seq(idCol))),
+        "capped" -> ((Seq("band", "sig"), Nil, Nil)))
+      val present = layouts.filter { case (s, _) =>
+        SnapshotStore.latestVersion(spark, s"$path/$s") > 0L }
+      require(present.nonEmpty,
+        s"no dedup-sink store tables under $path (expected some of " +
+          layouts.map(_._1).mkString(", ") + ")")
+      var before = 0
+      var after = 0
+      present.foreach { case (s, (cc, sc, bc)) =>
+        val t = s"$path/$s"
+        before += SnapshotStore.state(spark, t).live.size
+        SnapshotStore.compactClustered(spark, t, target, cc, sc, bc)
+        after += SnapshotStore.state(spark, t).live.size
+      }
+      InternalRow(UTF8String.fromString(present.map(_._1).mkString(",")),
+        before, after)
     }
   }
 

@@ -48,10 +48,18 @@ object LloydFormProbe {
     val spark = GraftSession.local(cpus, "graft-lloydform")
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
-    val emb = Tables.embeddings(spark, sfDir).localCheckpoint()
+    // q_semdedup's exact input shape: corpus spread to all cores (the
+    // SparkEntry `spread`), NOT pre-checkpointed — the bench pays the
+    // read + repartition inside the timed region too
+    val emb = Tables.embeddings(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
     val n = emb.count()
+    // Bench's consumption: toRdd.count() forces every row of the full
+    // plan — an agg consume would let Catalyst ELIMINATE the keep-flag
+    // outer join (distinct right side, no referenced columns) and with
+    // it the entire within-cluster pair screen being measured
     def consume(df: org.apache.spark.sql.DataFrame): Unit = {
-      df.agg(count(lit(1)), sum(col("cluster_id"))).head; ()
+      df.queryExecution.toRdd.count(); ()
     }
     val sec = form match {
       case "resident" => lowerMedian(() =>
@@ -60,9 +68,65 @@ object LloydFormProbe {
         consume(Similarity.kmeansAssignLiteral(emb, "vec_id", "embedding", k, iters)))
       case "semdedup" => lowerMedian(() =>
         consume(Similarity.semDedup(emb, "vec_id", "embedding", k, iters,
-          minCosine = 0.35)))
+          minCosine = 0.35).orderBy(col("vec_id"))))
+      case "semdedup_literal" => lowerMedian { () =>
+        // semDedup's exact body over the LITERAL assignment — the full
+        // pre-r17 q_semdedup, so the A/B covers the whole query
+        val m = Similarity.kmeansAssignLiteral(emb, "vec_id", "embedding", k, iters)
+          .select(col("vec_id"), col("cluster_id"), col("v"))
+        val dup = m.as("a").join(m.as("b"),
+            col("a.cluster_id") === col("b.cluster_id") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .filter(round(Similarity.cosineNative(col("a.v"), col("b.v")), 6) >= 0.35)
+          .select(col("b.vec_id").as("vec_id")).distinct()
+        consume(m.select(col("vec_id"), col("cluster_id"))
+          .join(dup.withColumn("__dup", lit(true)), Seq("vec_id"), "left_outer")
+          .select(col("vec_id"), col("cluster_id"),
+            coalesce(!col("__dup"), lit(true)).as("keep"))
+          .orderBy(col("vec_id")))
+      }
+      case "semdedup_ckpt" => lowerMedian { () =>
+        // candidate fix: materialize the assignment ONCE — m feeds the
+        // self-join twice AND the keep join-back, so the lazy plan
+        // re-executes the whole Lloyd-train + assign lineage 3x
+        val m = Similarity.kmeansAssignWithVec(emb, "vec_id", "embedding", k, iters)
+          .select(col("vec_id"), col("cluster_id"), col("v"))
+          .localCheckpoint()
+        val dup = m.as("a").join(m.as("b"),
+            col("a.cluster_id") === col("b.cluster_id") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .filter(round(Similarity.cosineNative(col("a.v"), col("b.v")), 6) >= 0.35)
+          .select(col("b.vec_id").as("vec_id")).distinct()
+        consume(m.select(col("vec_id"), col("cluster_id"))
+          .join(dup.withColumn("__dup", lit(true)), Seq("vec_id"), "left_outer")
+          .select(col("vec_id"), col("cluster_id"),
+            coalesce(!col("__dup"), lit(true)).as("keep"))
+          .orderBy(col("vec_id")))
+      }
+      case "diag" =>
+        // data-vs-execution discriminator: if the two forms assign the
+        // same clusters, their pair volumes match and the gap is pure
+        // execution; a histogram divergence means the DATA differs
+        def hist(m: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+          m.groupBy(col("cluster_id")).count()
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val mr = Similarity.kmeansAssignWithVec(emb, "vec_id", "embedding", k, iters)
+          .select(col("vec_id"), col("cluster_id"), col("v")).localCheckpoint()
+        val ml = Similarity.kmeansAssignLiteral(emb, "vec_id", "embedding", k, iters)
+          .select(col("vec_id"), col("cluster_id"), col("v")).localCheckpoint()
+        println(s"[lloydform-diag] resident hist: ${hist(mr).toSeq.sorted}")
+        println(s"[lloydform-diag] literal  hist: ${hist(ml).toSeq.sorted}")
+        def dupCount(m: org.apache.spark.sql.DataFrame): Long =
+          m.as("a").join(m.as("b"),
+              col("a.cluster_id") === col("b.cluster_id") &&
+                col("a.vec_id") < col("b.vec_id"))
+            .filter(round(Similarity.cosineNative(col("a.v"), col("b.v")), 6) >= 0.35)
+            .select(col("b.vec_id")).distinct().count()
+        println(s"[lloydform-diag] resident dups: ${dupCount(mr)}  " +
+          s"literal dups: ${dupCount(ml)}")
+        0.0
       case other => throw new IllegalArgumentException(
-        s"form must be resident|literal|semdedup, got '$other'")
+        s"form must be resident|literal|semdedup|semdedup_literal, got '$other'")
     }
     println(f"""[lloydform] {"form":"$form","sf_dir":"$sfDir","rows":$n,""" +
       f""""k":$k,"iters":$iters,"sec":$sec%.3f}""")

@@ -125,10 +125,11 @@ class SimilaritySpec extends SparkSpec {
 
   test("scaledProbes derives the IVF probe count from the centroid count (recall-calibrated)") {
     // probes = ceil(sqrt k), floored at 2, capped at k (a tiny index
-    // probes everything — exact). The sqrt-k point is where the
-    // ProbesRecallProbe curve crosses ~0.9 recall@10 on both measured
-    // corpus sizes (ROADMAP r18); with sqrt-n centroids the per-query
-    // candidate fraction probes/k ~ n^(-1/4) still VANISHES at scale.
+    // probes everything — exact). Calibration (ProbesRecallProbe,
+    // ROADMAP r18): sqrt-k lifts worst-case (near-uniform vectors)
+    // recall@10 from fixed-2's ~0.53 to ~0.7 and is exact on clustered
+    // corpora, while the per-query candidate fraction probes/k ~
+    // n^(-1/4) still VANISHES at scale.
     assert(Similarity.scaledProbes(1) === 1)
     assert(Similarity.scaledProbes(2) === 2)
     assert(Similarity.scaledProbes(4) === 2)

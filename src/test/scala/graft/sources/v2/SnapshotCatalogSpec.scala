@@ -269,6 +269,43 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     intercept[Exception] { spark.sql(s"CALL graft.no_such_proc('$t')") }
   }
 
+  test("CALL graft.dedup_sink_maintain compacts a sink's stores clustered by their pruning keys") {
+    val dir = "file:" + java.nio.file.Files
+      .createTempDirectory("graft-cat-sinkmaint").toString
+    // a containment-sink-shaped store: many small per-batch commits
+    (1 to 6).foreach { i =>
+      val sigs = Seq((i.toLong, Seq(i * 10L, i * 10L + 1), 2L))
+        .toDF("doc_id", "hs", "n_sh").coalesce(1)
+      SnapshotStore.append(sigs, s"$dir/sigs",
+        statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+      SnapshotStore.append(
+        sigs.select(col("doc_id"), explode(col("hs")).as("h")).coalesce(1),
+        s"$dir/postings", statsCols = Seq("h", "doc_id"),
+        bloomCols = Seq("doc_id", "h"))
+      SnapshotStore.append(
+        Seq((i.toLong, true)).toDF("doc_id", "keep").coalesce(1),
+        s"$dir/verdicts", statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    }
+    val row = spark.sql(s"CALL graft.dedup_sink_maintain('$dir', 'doc_id', 1)")
+      .collect().head
+    // only the stores that EXIST compact (no bands/vectors here)
+    assert(row.getAs[String]("stores") === "sigs,postings,verdicts")
+    assert(row.getAs[Int]("files_before") === 18)
+    assert(row.getAs[Int]("files_after") === 3)
+    // contents invariant, layout clustered: a point probe on the
+    // postings' pruning key now reads a bounded slice
+    assert(SnapshotStore.snapshot(spark, s"$dir/sigs").count() === 6L)
+    assert(SnapshotStore.rowCount(spark, s"$dir/postings") === 12L)
+    assert(SnapshotStore.snapshot(spark, s"$dir/verdicts")
+      .filter(col("keep")).count() === 6L)
+    // an empty path fails loudly instead of reporting a no-op
+    val ex = intercept[Exception] {
+      spark.sql(s"CALL graft.dedup_sink_maintain('$dir/nothing', 'doc_id')")
+        .collect()
+    }
+    assert(ex.getMessage.contains("no dedup-sink store tables"), ex.getMessage)
+  }
+
   test("CALL graft.vacuum: dry_run reports (files, bytes) and deletes nothing; retain_hours honored") {
     val t = freshTable("vacdry")
     SnapshotStore.append(Seq(1L).toDF("id"), t)     // v1

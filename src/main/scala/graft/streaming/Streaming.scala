@@ -761,6 +761,30 @@ object Streaming {
     }
   }
 
+  /** Size-triggered maintenance + DISK-BOUNDING vacuum for one sink
+    * store. Compaction on a snapshot table RETAINS the replaced files
+    * for time travel, so a streaming sink compacting forever would
+    * grow DISK without bound where the old raw-dir rewrite deleted in
+    * place — after a maintenance commit actually lands, vacuum drops
+    * every file no retained version references. `retainVersions = 2`
+    * (current + one back) gives a concurrent batch reader of the index
+    * one version of slack; the default 20-minute modification-time
+    * grace additionally protects in-flight work, bounding steady-state
+    * disk to live + one version + ~20 minutes of churn. Vacuum's
+    * data-dir listing cost is paid only when a compaction happened.
+    */
+  private def maintainStore(spark: org.apache.spark.sql.SparkSession,
+                            table: String, maxLiveFiles: Int,
+                            statsCols: Seq[String], clusterCols: Seq[String],
+                            bloomCols: Seq[String]): Unit =
+    graft.sources.SnapshotStore.maintain(spark, table, maxLiveFiles,
+      math.max(1, maxLiveFiles / 8), statsCols = statsCols,
+      clusterCols = clusterCols, bloomCols = bloomCols)
+      .foreach { _ =>
+        graft.sources.SnapshotStore.vacuum(spark, table, retainVersions = 2)
+        ()
+      }
+
   /** Size-triggered maintenance for the [[incrementalDedupSink]] stores
     * — see the sink's scaladoc for the tombstone semantics. Band
     * compaction is custom (the cap tombstoning is a semantic rewrite,
@@ -809,11 +833,15 @@ object Streaming {
         SnapshotStore.overwrite(allCapped, cappedTbl)
       SnapshotStore.overwrite(compacted, bandsTbl,
         statsCols = Seq("__bs", idCol), bloomCols = Seq(idCol, "__bs"))
+      // the overwrite superseded every prior band file: vacuum bounds
+      // disk (see maintainStore — same retention/grace reasoning)
+      SnapshotStore.vacuum(spark, bandsTbl, retainVersions = 2)
+      if (SnapshotStore.latestVersion(spark, cappedTbl) > 0L)
+        SnapshotStore.vacuum(spark, cappedTbl, retainVersions = 2)
       ()
     }
-    SnapshotStore.maintain(spark, verdictsTbl, compactAfterFiles, targetFiles,
+    maintainStore(spark, verdictsTbl, compactAfterFiles,
       statsCols = Seq(idCol), clusterCols = Seq(idCol), bloomCols = Seq(idCol))
-    ()
   }
 
   /** Streaming EMBEDDING near-dedup against a durable LSH-bucketed
@@ -1023,12 +1051,13 @@ object Streaming {
           // size-triggered maintenance: metadata-swap compaction that
           // re-CLUSTERS vectors by __bucket (the screen's pruning key)
           // and verdicts by id (the replay skip's) — no crash window,
-          // and the point-skip stays sharp as batches accumulate
-          SnapshotStore.maintain(spark, vecsTbl, maxLiveFiles,
-            math.max(1, maxLiveFiles / 8), statsCols = Seq("__bucket", idCol),
+          // the point-skip stays sharp as batches accumulate, and the
+          // post-compaction vacuum bounds DISK (see maintainStore)
+          maintainStore(spark, vecsTbl, maxLiveFiles,
+            statsCols = Seq("__bucket", idCol),
             clusterCols = Seq("__bucket"), bloomCols = Seq(idCol))
-          SnapshotStore.maintain(spark, verdictsTbl, maxLiveFiles,
-            math.max(1, maxLiveFiles / 8), statsCols = Seq(idCol),
+          maintainStore(spark, verdictsTbl, maxLiveFiles,
+            statsCols = Seq(idCol),
             clusterCols = Seq(idCol), bloomCols = Seq(idCol))
           ()
         }
@@ -1227,15 +1256,15 @@ object Streaming {
           // metadata-swap maintenance: postings re-cluster by `h` (the
           // probe's pruning key), sigs and verdicts by id (the bloom
           // point-skips') — per-batch appends stop accumulating small
-          // files and the pruning stays sharp as the index grows
-          val target = math.max(1, compactAfterFiles / 8)
-          SnapshotStore.maintain(spark, sigsTbl, compactAfterFiles, target,
+          // files, the pruning stays sharp as the index grows, and the
+          // post-compaction vacuum bounds DISK (see maintainStore)
+          maintainStore(spark, sigsTbl, compactAfterFiles,
             statsCols = Seq(idCol), clusterCols = Seq(idCol),
             bloomCols = Seq(idCol))
-          SnapshotStore.maintain(spark, postTbl, compactAfterFiles, target,
+          maintainStore(spark, postTbl, compactAfterFiles,
             statsCols = Seq("h", idCol), clusterCols = Seq("h"),
             bloomCols = Seq(idCol, "h"))
-          SnapshotStore.maintain(spark, verdictsTbl, compactAfterFiles, target,
+          maintainStore(spark, verdictsTbl, compactAfterFiles,
             statsCols = Seq(idCol), clusterCols = Seq(idCol),
             bloomCols = Seq(idCol))
           ()

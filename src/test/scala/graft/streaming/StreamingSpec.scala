@@ -747,6 +747,57 @@ class StreamingSpec extends SparkSpec
       s"id probe read $keptId of $totalId files — bloom skip is not load-bearing")
   }
 
+  test("embeddingDedupSink maintenance VACUUMS superseded files: disk stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+    import graft.sources.SnapshotStore
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-embvac").toString
+    def diskFiles(sub: String): Int = {
+      val d = new java.io.File(new java.net.URI(s"$tmp/$sub/data"))
+      if (!d.exists()) 0
+      else d.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.embeddingDedupSink(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      tmp, minCosine = 0.999, targetBucketRows = 4, maxLiveFiles = 4)
+      .start()
+    val realClock = SnapshotStore.clockMillis
+    try {
+      (0 until 8).foreach { b =>
+        mem.addData(((b * 50 + 1) to (b * 50 + 40))
+          .map(i => (i.toLong, embVec(i.toLong))): _*)
+        q.processAllAvailable()
+      }
+      // snapshot compaction RETAINS superseded files (time travel) and
+      // the vacuum grace protects anything younger than ~20 minutes,
+      // so at this point the churn of every compaction/re-bucket is
+      // still on disk...
+      val before = diskFiles("vectors")
+      assert(before > 8, s"expected retained churn on disk, got $before files")
+      // ...advance the protocol's clock past the grace and land more
+      // maintenance cycles: their vacuums must reclaim the stale churn
+      // (retainVersions = 2 keeps current + one back), or a long-lived
+      // streaming sink grows disk without bound
+      SnapshotStore.clockMillis = () => System.currentTimeMillis() + 21L * 60 * 1000
+      (8 until 16).foreach { b =>
+        mem.addData(((b * 50 + 1) to (b * 50 + 40))
+          .map(i => (i.toLong, embVec(i.toLong))): _*)
+        q.processAllAvailable()
+      }
+      val after = diskFiles("vectors")
+      assert(after < before,
+        s"maintenance vacuum must bound disk: $before files -> $after")
+      // the live snapshot is untouched by the reclamation
+      assert(SnapshotStore.rowCount(spark, s"$tmp/vectors") === 640L)
+      assert(SnapshotStore.snapshot(spark, s"$tmp/vectors")
+        .select(col("vec_id")).distinct().count() === 640L)
+    } finally {
+      SnapshotStore.clockMillis = realClock
+      q.stop()
+    }
+  }
+
   test("embeddingDedupSink verdicts equal the batch keep-lowest screen across a re-bucket") {
     implicit val sqlCtx = spark.sqlContext
     graft.plans.GraftExtensions.register(spark)

@@ -688,7 +688,12 @@ object Streaming {
     val verdictsTbl = s"$indexPath/verdicts"
     val cappedTbl = s"$indexPath/capped"
     docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-      val haveIndex = SnapshotStore.latestVersion(spark, bandsTbl) > 0L
+      // rowCount > 0, not just version > 0: the cap-tombstone compaction
+      // can legitimately EMPTY the bands table (every bucket oversized —
+      // an all-boilerplate corpus), and an empty store screens like no
+      // store; reading it would throw instead
+      val haveIndex = SnapshotStore.latestVersion(spark, bandsTbl) > 0L &&
+        SnapshotStore.rowCount(spark, bandsTbl) > 0L
       // one row per id WITHIN the batch too: an at-least-once source can
       // repeat an id inside one micro-batch, where the verdict anti-join
       // can't see it yet — without this, the repeated id's band rows

@@ -514,6 +514,54 @@ class StreamingSpec extends SparkSpec
     } finally q.stop()
   }
 
+  test("incrementalDedupSink survives its band store being EMPTIED by tombstone compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SnapshotStore
+    // an all-boilerplate corpus: every bucket goes oversized, so the
+    // cap-tombstone compaction drops EVERY row — the bands table is
+    // legitimately empty. The next batch must screen like "no index"
+    // (exactly the never-compacted twin, whose rows are all
+    // tombstone-excluded at screen time), not throw on the empty store.
+    val dirA = "file:" + java.nio.file.Files.createTempDirectory("graft-emptyband").toString
+    val dirB = "file:" + java.nio.file.Files.createTempDirectory("graft-emptyband-b").toString
+    val memA = MemoryStream[(Long, String)]
+    val memB = MemoryStream[(Long, String)]
+    val qA = Streaming.incrementalDedupSink(memA.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dirA, maxBucketSize = 2, compactAfterFiles = 1).start()
+    val qB = Streaming.incrementalDedupSink(memB.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dirB, maxBucketSize = 2, compactAfterFiles = 1000000).start()
+    def feed(batch: (Long, String)*): Unit = {
+      memA.addData(batch); qA.processAllAvailable()
+      memB.addData(batch); qB.processAllAvailable()
+    }
+    val boiler = "the same boilerplate footer text appears on every single page"
+    try {
+      // 4 batch-internal dups: all accepted, their shared bucket (size
+      // 4 > 2) tombstones at compaction; keep feeding boilerplate (its
+      // (band, sig) set stays tombstoned forever) until the size
+      // trigger has fired with NOTHING left to keep — bands EMPTIES
+      feed((1L, boiler), (2L, boiler), (3L, boiler), (4L, boiler))
+      var waves = 0
+      while (SnapshotStore.rowCount(spark, s"$dirA/bands") > 0 && waves < 6) {
+        val base = 100L + waves * 10
+        feed((base, boiler), (base + 1, boiler))
+        waves += 1
+      }
+      assert(SnapshotStore.rowCount(spark, s"$dirA/bands") === 0L,
+        "premise: the tombstone compaction must have emptied the bands store")
+      // next batches run against the emptied store: more boilerplate
+      // (accepted — its bucket is capped/gone on BOTH sinks) and a
+      // novel doc (accepted, re-seeds the index)
+      feed((11L, boiler), (12L, "an entirely novel document about columnar codecs"))
+      feed((21L, "an entirely novel document about columnar codecs"))
+      def verdicts(dir: String) = SnapshotStore.snapshot(spark, s"$dir/verdicts")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+      assert(verdicts(dirA) == verdicts(dirB),
+        s"emptied-store screen diverged: ${verdicts(dirA)} vs ${verdicts(dirB)}")
+      assert(!verdicts(dirA)(21L), "the re-seeded index must still catch real dups")
+    } finally { qA.stop(); qB.stop() }
+  }
+
   test("embeddingDedupSink screens arriving vectors against the grown index, bucket-bounded") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-embsink").toString

@@ -948,6 +948,48 @@ class StreamingSpec extends SparkSpec
     } finally q.stop()
   }
 
+  test("containmentDedupSink postings I/O prunes: files read track the batch's shingles, not the index") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+    import graft.sources.SnapshotStore
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-contio").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.containmentDedupSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tmp,
+      compactAfterFiles = 8)
+      .start()
+    try {
+      (0 until 8).foreach { b =>
+        mem.addData(((b * 50 + 1) to (b * 50 + 20))
+          .map(i => i.toLong -> contDoc(i.toLong)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val tbl = s"$tmp/postings"
+    // deterministic final layout (the sink's trigger fires at its own
+    // cadence): cluster to 8 files by `h` — the probe's pruning key
+    SnapshotStore.compactClustered(spark, tbl, 8, Seq("h"),
+      Seq("h", "doc_id"), Seq("doc_id", "h"))
+    // ONE batch-shaped probe (a single doc's shingle hashes) must read
+    // a bounded slice of the clustered postings, not the whole index
+    val oneDoc = graft.operators.Dedup.hashSignatures(
+        Seq(3L -> contDoc(3L)).toDF("doc_id", "text"), "doc_id", "text", 3, 0.8)
+      .select(explode(col("hs")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val (kept, total) = SnapshotStore.scanPointsPrunedFiles(
+      spark, tbl, "h", oneDoc)
+    assert(total === 8 && kept < total,
+      s"shingle probe read $kept of $total postings files — pruning is not load-bearing")
+    // the idempotence anti-join's id probe: a stored doc's postings
+    // legitimately scatter across the h-clustered files, but a NEVER-
+    // INDEXED id (the common case — every new doc) must bloom to ~zero
+    // files instead of scanning the store
+    val (keptId, totalId) = SnapshotStore.scanPointsPrunedFiles(
+      spark, tbl, "doc_id", Seq(999999L))
+    assert(totalId === 8 && keptId <= 2,
+      s"absent-id probe read $keptId of $totalId files — bloom skip is not load-bearing")
+  }
+
   test("containmentDedupSink compacts its stores without changing verdicts") {
     implicit val sqlCtx = spark.sqlContext
     graft.plans.GraftExtensions.register(spark)

@@ -13,6 +13,50 @@ class SnapshotStoreSpec extends SparkSpec {
   private def idsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.select("id").collect().map(_.getLong(0)).toSet
 
+  test("rowCount answers from the log; scanPoints box+bloom point-skips a long probe set") {
+    val t = tempTable("points")
+    // three ranged appends: disjoint [0,99], [100,199], [200,299] id
+    // boxes, blooms on id — the layout the pruning legs bite on
+    (0 until 3).foreach { i =>
+      SnapshotStore.append(
+        ((i * 100L) until (i * 100L + 100)).toDF("id")
+          .withColumn("v", col("id") * 2).coalesce(1),
+        t, statsCols = Seq("id"), bloomCols = Seq("id"))
+    }
+    assert(SnapshotStore.rowCount(spark, t) === 300L)
+    // box stage: probes inside ONE file's range read one file
+    val (kept1, total1) = SnapshotStore.scanPointsPrunedFiles(
+      spark, t, "id", Seq(105L, 150L))
+    assert(total1 === 3 && kept1 === 1, s"$kept1 of $total1")
+    // the superset contract: kept rows are UNFILTERED (the whole kept
+    // file), matching rows all present — the caller joins exactly
+    val rows = SnapshotStore.scanPoints(spark, t, "id", Seq(105L, 150L))
+    assert(rows.count() === 100L)
+    assert(rows.filter(col("id").isin(105L, 150L)).count() === 2L)
+    // bloom stage: a value inside every box but present in NO file
+    // (blooms prove absence where boxes cannot — here boxes DO prune
+    // since ranges are disjoint, so probe a range-interior gap after
+    // an overlapping append defeats boxes)
+    SnapshotStore.append(
+      Seq(0L, 299L).toDF("id").withColumn("v", col("id") * 2).coalesce(1),
+      t, statsCols = Seq("id"), bloomCols = Seq("id"))
+    // file 4 spans [0,299]: the box stage keeps it for ANY probe; a
+    // never-written id is rejected by every file's bloom except via
+    // false positive
+    val (keptAbsent, totalAbsent) = SnapshotStore.scanPointsPrunedFiles(
+      spark, t, "id", Seq(1000L))
+    assert(totalAbsent === 4 && keptAbsent === 0,
+      s"absent probe kept $keptAbsent of $totalAbsent")
+    // past bloomMaxValues the refinement is skipped: box-only pruning
+    // still drops every file whose range contains no probe (only 250
+    // of the 2000 probes lands in any box: file [200,299] + the
+    // [0,299]-spanning append survive, files [0,99] and [100,199] drop)
+    val manyProbes = (0L until 2000L).map(_ * 1000L + 250L)
+    val (keptMany, _) = SnapshotStore.scanPointsPrunedFiles(
+      spark, t, "id", manyProbes, bloomMaxValues = 1024)
+    assert(keptMany === 2, s"box-only stage kept $keptMany")
+  }
+
   test("append commits atomic versions; time travel reads each one") {
     val t = tempTable("append")
     val v1 = SnapshotStore.append(Seq(1L, 2L).toDF("id"), t)

@@ -480,27 +480,26 @@ object SnapshotStore {
       .foldLeft(physDf.write.mode("overwrite")) { (w, bc) =>
         w.option(s"parquet.bloom.filter.enabled#$bc", "true")
       }.parquet(tmp.toString)
-    // footer harvest BEFORE the move: rows always; [min,max] for the
-    // requested columns — long ranges where the parquet stats are
-    // int64, string ranges (capped, Delta-style truncation) where they
-    // are Binary/UTF-8. A column yields whichever leg its physical
-    // type supports; the other leg is simply absent.
-    val stats = ZOrderStore.fileStats(spark, tmp.toString, physStats)
-      .map { case (f, perCol) => f -> perCol.collect {
-        case (col, Some(range)) => logicalKey(col) -> range }.toMap }.toMap
-    val strStats = ZOrderStore.fileStringStats(spark, tmp.toString, physStats)
-      .map { case (f, perCol) => f -> perCol.collect {
-        case (col, Some((lo, hi))) if hi.length <= StrStatLen =>
-          logicalKey(col) -> (truncMin(lo), hi)
-      }.toMap }.toMap
-    // the third stats leg (Delta's nullCount): type-agnostic, so it also
-    // lands for columns whose min/max legs are absent — index-only
-    // count(col) and all-null-file pruning feed on it
-    val nullStats = ZOrderStore.fileNullCounts(spark, tmp.toString, physStats)
-      .map { case (f, perCol) => f -> perCol.collect {
-        case (col, Some(n)) => logicalKey(col) -> n }.toMap }.toMap
-    val rows = ZOrderStore.rowGroupStats(spark, tmp.toString, Nil)
-      .map { case (f, blocks) => f -> blocks.map(_.rows).sum }.toMap
+    // footer harvest BEFORE the move, ONE footer open per staged file
+    // ([[ZOrderStore.fileFooterStats]] — the four single-leg harvests
+    // each re-parsed every footer, 4N parses per commit): rows always;
+    // [min,max] for the requested columns — long ranges where the
+    // parquet stats are int64, string ranges (capped, Delta-style
+    // truncation) where they are Binary/UTF-8; null counts (Delta's
+    // third leg — type-agnostic, so it also lands for columns whose
+    // min/max legs are absent; index-only count(col) and all-null-file
+    // pruning feed on it). A column yields whichever range leg its
+    // physical type supports; the other is simply absent.
+    val harvested = ZOrderStore.fileFooterStats(spark, tmp.toString, physStats)
+    val stats = harvested.map { case (f, s) => f -> s.longs.collect {
+      case (col, Some(range)) => logicalKey(col) -> range }.toMap }.toMap
+    val strStats = harvested.map { case (f, s) => f -> s.strings.collect {
+      case (col, Some((lo, hi))) if hi.length <= StrStatLen =>
+        logicalKey(col) -> (truncMin(lo), hi)
+    }.toMap }.toMap
+    val nullStats = harvested.map { case (f, s) => f -> s.nulls.collect {
+      case (col, Some(n)) => logicalKey(col) -> n }.toMap }.toMap
+    val rows = harvested.map { case (f, s) => f -> s.rows }.toMap
     fs.mkdirs(data)
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val moved = fs.listStatus(tmp).toSeq

@@ -1406,16 +1406,24 @@ object SnapshotStore {
     * what pruning leaves: on a layout clustered by `column`
     * ([[maintain]] with `clusterCols`), that is ~|probes ∩ file boxes|
     * files, not the table.
+    *
+    * An EMPTY probe set returns an empty frame (no row can match zero
+    * probes) — a streaming micro-batch whose docs yield no probe keys
+    * (e.g. every text shorter than the shingle width) must not poison
+    * the stream: the failure would precede the verdict commit, so the
+    * batch would replay and fail forever.
     */
   def scanPoints(spark: SparkSession, table: String, column: String,
                  values: Seq[Long], bloomMaxValues: Int = 1024): DataFrame = {
-    require(values.nonEmpty, "scanPoints needs at least one probe value")
     val snap = state(spark, table)
     require(snap.live.nonEmpty, s"scanPoints: $table@${snap.version} is empty")
-    val kept = pointsKeptFiles(spark, snap, column,
-      values.distinct.sorted.toArray, bloomMaxValues)
-    if (kept.isEmpty) readLive(spark, snap.meta, snap.live).limit(0)
-    else readLive(spark, snap.meta, kept)
+    if (values.isEmpty) readLive(spark, snap.meta, snap.live).limit(0)
+    else {
+      val kept = pointsKeptFiles(spark, snap, column,
+        values.distinct.sorted.toArray, bloomMaxValues)
+      if (kept.isEmpty) readLive(spark, snap.meta, snap.live).limit(0)
+      else readLive(spark, snap.meta, kept)
+    }
   }
 
   /** (kept, totalLive) under [[scanPoints]]'s pruning — the
@@ -1427,7 +1435,8 @@ object SnapshotStore {
                             column: String, values: Seq[Long],
                             bloomMaxValues: Int = 1024): (Int, Int) = {
     val snap = state(spark, table)
-    (pointsKeptFiles(spark, snap, column,
+    if (values.isEmpty) (0, snap.live.size)
+    else (pointsKeptFiles(spark, snap, column,
       values.distinct.sorted.toArray, bloomMaxValues).size, snap.live.size)
   }
 

@@ -351,7 +351,17 @@ private[v2] object SnapshotProcedures {
     * sigs/verdicts by the id), stats and blooms re-harvested, each an
     * atomic snapshot commit — so the sinks' per-batch point-skips stay
     * sharp without waiting for the in-sink trigger. The batch world's
-    * `optimize` for the sink family; unconditional like it.
+    * `optimize` for the sink family. Stores already at or under
+    * `target_files` live files (including tombstone-emptied ones) are
+    * SKIPPED — their layout is as good as a rewrite would leave it,
+    * and the no-op commit would only churn versions.
+    *
+    * SINGLE-WRITER: do NOT run this concurrently with the sink's own
+    * `foreachBatch` — both sides commit optimistically against the
+    * same store logs, so a race makes one of them fail loudly
+    * mid-batch (`mustBeLive` conflict; never a corruption). Stop the
+    * stream, or rely on the sinks' built-in size-triggered
+    * maintenance instead.
     */
   private object DedupSinkMaintain extends Proc("dedup_sink_maintain",
     Seq(
@@ -384,13 +394,21 @@ private[v2] object SnapshotProcedures {
           layouts.map(_._1).mkString(", ") + ")")
       var before = 0
       var after = 0
+      val touched = scala.collection.mutable.ArrayBuffer.empty[String]
       present.foreach { case (s, (cc, sc, bc)) =>
         val t = s"$path/$s"
-        before += SnapshotStore.state(spark, t).live.size
-        SnapshotStore.compactClustered(spark, t, target, cc, sc, bc)
-        after += SnapshotStore.state(spark, t).live.size
+        val live = SnapshotStore.state(spark, t).live.size
+        before += live
+        // early-out: a store already at/under target (or emptied by the
+        // cap tombstones) gains nothing from a rewrite — skipping also
+        // avoids compactClustered throwing on an empty snapshot
+        if (live > target) {
+          SnapshotStore.compactClustered(spark, t, target, cc, sc, bc)
+          touched += s
+          after += SnapshotStore.state(spark, t).live.size
+        } else after += live
       }
-      InternalRow(UTF8String.fromString(present.map(_._1).mkString(",")),
+      InternalRow(UTF8String.fromString(touched.mkString(",")),
         before, after)
     }
   }

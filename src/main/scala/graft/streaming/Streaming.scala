@@ -623,6 +623,50 @@ object Streaming {
     }
   }
 
+  /** The dedup sinks key every point-skip probe (replay skip, append
+    * idempotence, screen pruning) on long-hashed ids — a non-integral
+    * id column would fail deep inside a batch (getLong on a decoded
+    * row) instead of at construction. Fail fast with the contract.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+      s"dedup sinks point-skip on an integral id column; '$idCol' is " +
+        s"${dt.simpleString} — cast or map ids to long before the sink")
+  }
+
+  /** Bounded driver collect of a probe column: up to `cap` DISTINCT
+    * longs, or None past the cap — the signal to degrade the
+    * point-skip read to the full snapshot. Every probe the sinks
+    * collect is batch-scoped, never corpus-scoped, but a pathological
+    * micro-batch (10M docs × ~9 bands ≈ 720 MB of longs) must bound
+    * the DRIVER whatever it does to the cluster; 1M longs ≈ 8 MB is
+    * the family default ([[containmentDedupSink]]'s original cap).
+    * Null probes drop (a null key matches nothing in the exact joins
+    * the callers re-apply).
+    */
+  private def boundedProbes(df: DataFrame, c: String, cap: Int): Option[Seq[Long]] = {
+    val arr = df.select(col(c).cast("long").as("__p"))
+      .filter(col("__p").isNotNull).distinct()
+      .limit(cap + 1).collect().map(_.getLong(0))
+    if (arr.length > cap) None else Some(arr.toSeq)
+  }
+
+  /** [[graft.sources.SnapshotStore.scanPoints]] with the cap+fallback
+    * discipline: a collectable probe set point-skips (empty set reads
+    * nothing); an over-cap set (None) falls back to the FULL snapshot
+    * — one projection, still exact, because every caller re-applies
+    * its own join on what pruning returns.
+    */
+  private def scanPointsBounded(spark: org.apache.spark.sql.SparkSession,
+                                table: String, column: String,
+                                probes: Option[Seq[Long]]): DataFrame =
+    probes match {
+      case Some(vs) => graft.sources.SnapshotStore.scanPoints(spark, table, column, vs)
+      case None     => graft.sources.SnapshotStore.snapshot(spark, table)
+    }
+
   /** Streaming INGESTION DEDUP: the [[graft.operators.Dedup.incrementalDedup]]
     * contract as a self-growing store — each micro-batch of documents
     * screens against the persisted corpus band index, the verdicts
@@ -674,14 +718,34 @@ object Streaming {
     * replay skip suppressed the re-screen that would have re-indexed
     * it). The index side of the screen excludes the batch's own ids, so
     * a crash-replayed half-indexed doc never matches itself.
+    *
+    * CONTRACT: `idCol` must be integral (every point-skip probe hashes
+    * long ids) — validated at construction. Per-batch DRIVER state is
+    * capped: each probe collect (batch ids, band buckets) stops at
+    * `maxProbeKeys` distinct longs and past the cap the point-skip
+    * read degrades to the full snapshot — identical verdicts, the
+    * index files just stop pruning for that batch. `retainVersions`
+    * bounds how many superseded store versions maintenance vacuum
+    * keeps (default 2 = current + one of slack for a concurrent
+    * reader; raise it to time-travel over sink state while
+    * debugging). Verdicts are an ordinary snapshot table — read them
+    * with [[graft.sources.SnapshotStore.snapshot]] at
+    * `indexPath/verdicts`, through SQL via `graft_sink_verdicts`, or
+    * follow them live by pointing a [[graft.sources.v2.SnapshotStreamSource]]
+    * `readStream` at the same path.
     */
   def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
                            indexPath: String,
                            numHashes: Int = 8, shingleN: Int = 3,
                            rowsPerBand: Int = 2, maxBucketSize: Int = 64,
-                           compactAfterFiles: Int = 64)
+                           compactAfterFiles: Int = 64,
+                           maxProbeKeys: Int = 1 << 20,
+                           retainVersions: Int = 2)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(compactAfterFiles > 0, s"compactAfterFiles must be positive: $compactAfterFiles")
+    require(maxProbeKeys > 0, s"maxProbeKeys must be positive: $maxProbeKeys")
+    require(retainVersions >= 1, s"retainVersions must be >= 1: $retainVersions")
+    requireIntegralId(docs, idCol)
     val spark = docs.sparkSession
     import graft.sources.SnapshotStore
     val bandsTbl = s"$indexPath/bands"
@@ -699,12 +763,13 @@ object Streaming {
       // can't see it yet — without this, the repeated id's band rows
       // append twice. Mirrors the replay skip's per-id rule.
       val once = batch.toDF().dropDuplicates(idCol).localCheckpoint()
-      val batchIds = once.select(col(idCol).cast("long"))
-        .collect().map(_.getLong(0)).toSeq
-      if (batchIds.nonEmpty) {
+      // the batch's ids drive the point-skip probes below — bounded
+      // driver state (None past the cap → full-snapshot fallback)
+      val batchIds = boundedProbes(once, idCol, maxProbeKeys)
+      if (!once.isEmpty) {
         val fresh =
           if (SnapshotStore.latestVersion(spark, verdictsTbl) > 0L)
-            once.join(SnapshotStore.scanPoints(spark, verdictsTbl, idCol, batchIds)
+            once.join(scanPointsBounded(spark, verdictsTbl, idCol, batchIds)
               .select(col(idCol)).distinct(), Seq(idCol), "left_anti")
           else once
         if (!fresh.isEmpty) {
@@ -721,10 +786,11 @@ object Streaming {
               // intersect the batch's buckets; every row of a probed
               // bucket lives in a kept file (box/bloom stages keep any
               // file containing a probe), so the join and the cap
-              // counts below are exact on what matters
-              val probeBs = fb.select(col("__bs")).distinct()
-                .collect().map(_.getLong(0)).toSeq
-              val raw = SnapshotStore.scanPoints(spark, bandsTbl, "__bs", probeBs)
+              // counts below are exact on what matters. Bounded like
+              // every sink collect; an all-short-text batch (zero band
+              // rows) probes nothing and reads nothing.
+              val probeBs = boundedProbes(fb, "__bs", maxProbeKeys)
+              val raw = scanPointsBounded(spark, bandsTbl, "__bs", probeBs)
                 // a crash-replayed half-indexed doc must not match itself
                 .join(fb.select(col(idCol)), Seq(idCol), "left_anti")
               // tombstoned buckets stay excluded even after their rows
@@ -750,7 +816,7 @@ object Streaming {
           val acceptedNew =
             if (haveIndex)
               acceptedBands.join(
-                SnapshotStore.scanPoints(spark, bandsTbl, idCol, batchIds)
+                scanPointsBounded(spark, bandsTbl, idCol, batchIds)
                   .select(col(idCol)).distinct(), Seq(idCol), "left_anti")
             else acceptedBands
           if (!acceptedNew.isEmpty)
@@ -758,7 +824,8 @@ object Streaming {
               statsCols = Seq("__bs", idCol), bloomCols = Seq(idCol, "__bs"))
           SnapshotStore.append(v, verdictsTbl,
             statsCols = Seq(idCol), bloomCols = Seq(idCol))
-          maybeCompactIndex(spark, indexPath, idCol, maxBucketSize, compactAfterFiles)
+          maybeCompactIndex(spark, indexPath, idCol, maxBucketSize,
+            compactAfterFiles, retainVersions)
           ()
         }
       }
@@ -781,12 +848,13 @@ object Streaming {
   private def maintainStore(spark: org.apache.spark.sql.SparkSession,
                             table: String, maxLiveFiles: Int,
                             statsCols: Seq[String], clusterCols: Seq[String],
-                            bloomCols: Seq[String]): Unit =
+                            bloomCols: Seq[String],
+                            retainVersions: Int = 2): Unit =
     graft.sources.SnapshotStore.maintain(spark, table, maxLiveFiles,
       math.max(1, maxLiveFiles / 8), statsCols = statsCols,
       clusterCols = clusterCols, bloomCols = bloomCols)
       .foreach { _ =>
-        graft.sources.SnapshotStore.vacuum(spark, table, retainVersions = 2)
+        graft.sources.SnapshotStore.vacuum(spark, table, retainVersions = retainVersions)
         ()
       }
 
@@ -802,7 +870,8 @@ object Streaming {
   private def maybeCompactIndex(spark: org.apache.spark.sql.SparkSession,
                                 indexPath: String, idCol: String,
                                 maxBucketSize: Int,
-                                compactAfterFiles: Int): Unit = {
+                                compactAfterFiles: Int,
+                                retainVersions: Int = 2): Unit = {
     import graft.sources.SnapshotStore
     val bandsTbl = s"$indexPath/bands"
     val verdictsTbl = s"$indexPath/verdicts"
@@ -840,13 +909,14 @@ object Streaming {
         statsCols = Seq("__bs", idCol), bloomCols = Seq(idCol, "__bs"))
       // the overwrite superseded every prior band file: vacuum bounds
       // disk (see maintainStore — same retention/grace reasoning)
-      SnapshotStore.vacuum(spark, bandsTbl, retainVersions = 2)
+      SnapshotStore.vacuum(spark, bandsTbl, retainVersions = retainVersions)
       if (SnapshotStore.latestVersion(spark, cappedTbl) > 0L)
-        SnapshotStore.vacuum(spark, cappedTbl, retainVersions = 2)
+        SnapshotStore.vacuum(spark, cappedTbl, retainVersions = retainVersions)
       ()
     }
     maintainStore(spark, verdictsTbl, compactAfterFiles,
-      statsCols = Seq(idCol), clusterCols = Seq(idCol), bloomCols = Seq(idCol))
+      statsCols = Seq(idCol), clusterCols = Seq(idCol), bloomCols = Seq(idCol),
+      retainVersions = retainVersions)
   }
 
   /** Streaming EMBEDDING near-dedup against a durable LSH-bucketed
@@ -907,16 +977,33 @@ object Streaming {
     *  - compaction is [[graft.sources.SnapshotStore.maintain]]'s
     *    metadata swap — small files re-cluster by `__bucket` with no
     *    delete→rename window to die inside of.
+    *
+    * CONTRACT: `idCol` must be integral (the point-skip probes hash
+    * long ids) — validated at construction. Per-batch DRIVER state is
+    * capped at `maxProbeKeys` distinct longs per probe collect (ids,
+    * buckets); past the cap the point-skip read degrades to the full
+    * snapshot — identical verdicts, no pruning for that batch.
+    * `retainVersions` bounds maintenance vacuum's retained versions
+    * (default 2; raise it to time-travel over sink state). Verdicts
+    * are an ordinary snapshot table at `indexPath/verdicts` —
+    * `graft_sink_verdicts` in SQL, or a
+    * [[graft.sources.v2.SnapshotStreamSource]] `readStream` to follow
+    * them live.
     */
   def embeddingDedupSink(vecs: DataFrame, idCol: String, vecCol: String,
                          indexPath: String, bucketBits: Option[Int] = None,
                          minCosine: Double = 0.9,
                          targetBucketRows: Long = 256,
-                         maxLiveFiles: Int = 64)
+                         maxLiveFiles: Int = 64,
+                         maxProbeKeys: Int = 1 << 20,
+                         retainVersions: Int = 2)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(targetBucketRows > 0,
       s"targetBucketRows must be positive, got $targetBucketRows")
     require(maxLiveFiles > 0, s"maxLiveFiles must be positive, got $maxLiveFiles")
+    require(maxProbeKeys > 0, s"maxProbeKeys must be positive: $maxProbeKeys")
+    require(retainVersions >= 1, s"retainVersions must be >= 1: $retainVersions")
+    requireIntegralId(vecs, idCol)
     val spark = vecs.sparkSession
     graft.plans.GraftExtensions.register(spark)
     import graft.sources.SnapshotStore
@@ -934,14 +1021,14 @@ object Streaming {
       // per-id rule.
       val once = batch.toDF().dropDuplicates(idCol).localCheckpoint()
       // the batch's ids drive every point-skip probe below (replay
-      // skip, append idempotence) — batch-bounded driver state, the
-      // price of reading matching index files instead of the index
-      val batchIds = once.select(col(idCol).cast("long"))
-        .collect().map(_.getLong(0)).toSeq
-      if (batchIds.nonEmpty) {
+      // skip, append idempotence) — bounded driver state (None past
+      // the cap → full-snapshot fallback), the price of reading
+      // matching index files instead of the index
+      val batchIds = boundedProbes(once, idCol, maxProbeKeys)
+      if (!once.isEmpty) {
         val fresh =
           if (SnapshotStore.latestVersion(spark, verdictsTbl) > 0L)
-            once.join(SnapshotStore.scanPoints(spark, verdictsTbl, idCol, batchIds)
+            once.join(scanPointsBounded(spark, verdictsTbl, idCol, batchIds)
               .select(col(idCol)).distinct(), Seq(idCol), "left_anti")
           else once
         if (!fresh.isEmpty) {
@@ -983,7 +1070,20 @@ object Streaming {
               require(batchDim == dim,
                 s"index at $indexPath was bucketed for dim=$dim vectors; batch has dim=$batchDim")
               val indexN = if (haveIndex) SnapshotStore.rowCount(spark, vecsTbl) else 0L
-              val bits = scaledBucketBits(indexN + st.getLong(0), targetBucketRows)
+              // a crash between the index append and the verdict append
+              // replays the batch with its rows ALREADY in rowCount —
+              // adding the batch size again would double-count them and
+              // could derive different bits than recorded, triggering a
+              // spurious full re-bucket. Subtract the batch ids already
+              // indexed (point-skipped: zero files on the normal path).
+              val replayed =
+                if (haveIndex)
+                  scanPointsBounded(spark, vecsTbl, idCol, batchIds)
+                    .join(fb0.select(col(idCol)), Seq(idCol), "left_semi")
+                    .count()
+                else 0L
+              val bits = scaledBucketBits(
+                indexN + st.getLong(0) - replayed, targetBucketRows)
               if (haveIndex && !rec.map(_._1).contains(bits)) {
                 // RE-BUCKET: rewrite every stored bucket at the new width
                 // from the vector itself (pure function) — ONE overwrite
@@ -1005,16 +1105,16 @@ object Streaming {
             if (haveIndex) {
               // the screen reads ONLY index files whose __bucket range
               // can intersect the batch's buckets — the probe set is
-              // batch-bounded; after maintenance clusters by __bucket,
+              // batch-bounded AND capped (full-snapshot fallback past
+              // maxProbeKeys); after maintenance clusters by __bucket,
               // so is the index I/O
-              val probeBuckets = fb0
-                .select(bucketOf(col("__v")).as("__b")).distinct()
-                .collect().map(_.getLong(0)).toSeq
+              val probeBuckets = boundedProbes(
+                fb0.select(bucketOf(col("__v")).as("__b")), "__b", maxProbeKeys)
               // exclude an index row with the PROBE'S OWN id: after a
               // crash between the index and verdict appends (below), the
               // replayed vector would otherwise match itself at cos = 1
               // and be verdicted a duplicate of itself
-              fb.join(SnapshotStore.scanPoints(spark, vecsTbl, "__bucket", probeBuckets)
+              fb.join(scanPointsBounded(spark, vecsTbl, "__bucket", probeBuckets)
                   .select(col(idCol).as("__iid"), col("__bucket"),
                     col("__v").as("__iv")), Seq("__bucket"))
                 .filter(col("__iid") =!= col(idCol))
@@ -1044,7 +1144,7 @@ object Streaming {
           val acceptedNew =
             if (haveIndex)
               accepted.join(
-                SnapshotStore.scanPoints(spark, vecsTbl, idCol, batchIds)
+                scanPointsBounded(spark, vecsTbl, idCol, batchIds)
                   .select(col(idCol)), Seq(idCol), "left_anti")
             else accepted
           if (!acceptedNew.isEmpty)
@@ -1060,10 +1160,12 @@ object Streaming {
           // post-compaction vacuum bounds DISK (see maintainStore)
           maintainStore(spark, vecsTbl, maxLiveFiles,
             statsCols = Seq("__bucket", idCol),
-            clusterCols = Seq("__bucket"), bloomCols = Seq(idCol))
+            clusterCols = Seq("__bucket"), bloomCols = Seq(idCol),
+            retainVersions = retainVersions)
           maintainStore(spark, verdictsTbl, maxLiveFiles,
             statsCols = Seq(idCol),
-            clusterCols = Seq(idCol), bloomCols = Seq(idCol))
+            clusterCols = Seq(idCol), bloomCols = Seq(idCol),
+            retainVersions = retainVersions)
           ()
         }
       }
@@ -1117,33 +1219,49 @@ object Streaming {
     * Nothing compares index docs to each other, so per-batch COMPARE
     * cost tracks batch size × shingle df, and per-batch READ cost
     * tracks the batch's probe footprint — not the index.
+    *
+    * CONTRACT: `idCol` must be integral (the point-skip probes hash
+    * long ids) — validated at construction. Per-batch DRIVER state is
+    * capped at `maxProbeKeys` distinct longs per probe collect (ids,
+    * shingle hashes, candidate keepers); past the cap the point-skip
+    * read degrades to the full snapshot — identical verdicts, no
+    * pruning for that batch. A batch whose docs yield ZERO shingles
+    * (all texts shorter than `shingleN` tokens) probes nothing, reads
+    * nothing, and verdicts every doc keep=true — it must never wedge
+    * the stream (the failure would precede the verdict commit, so the
+    * poison batch would replay forever). `retainVersions` bounds
+    * maintenance vacuum's retained versions (default 2; raise to
+    * time-travel over sink state). Verdicts are an ordinary snapshot
+    * table at `indexPath/verdicts` — `graft_sink_verdicts` in SQL, or
+    * a [[graft.sources.v2.SnapshotStreamSource]] `readStream` follows
+    * them live.
     */
   def containmentDedupSink(docs: DataFrame, idCol: String, textCol: String,
                            indexPath: String, shingleN: Int = 3,
                            minContainment: Double = 0.8, dfCap: Int = 10,
-                           compactAfterFiles: Int = 64)
+                           compactAfterFiles: Int = 64,
+                           maxProbeKeys: Int = 1 << 20,
+                           retainVersions: Int = 2)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(dfCap >= 2, s"dfCap must be >= 2 to pair anything, got $dfCap")
     require(compactAfterFiles > 0,
       s"compactAfterFiles must be positive: $compactAfterFiles")
+    require(maxProbeKeys > 0, s"maxProbeKeys must be positive: $maxProbeKeys")
+    require(retainVersions >= 1, s"retainVersions must be >= 1: $retainVersions")
+    requireIntegralId(docs, idCol)
     val spark = docs.sparkSession
     graft.plans.GraftExtensions.register(spark)
     import graft.sources.SnapshotStore
     val sigsTbl = s"$indexPath/sigs"
     val postTbl = s"$indexPath/postings"
     val verdictsTbl = s"$indexPath/verdicts"
-    // past this many distinct shingles the driver stops collecting the
-    // probe set and the postings read degrades to the full snapshot
-    // (still one projection) — 1M longs is ~8 MB of driver state
-    val maxProbeShingles = 1 << 20
     docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
       val once = batch.toDF().dropDuplicates(idCol).localCheckpoint()
-      val batchIds = once.select(col(idCol).cast("long"))
-        .collect().map(_.getLong(0)).toSeq
-      if (batchIds.nonEmpty) {
+      val batchIds = boundedProbes(once, idCol, maxProbeKeys)
+      if (!once.isEmpty) {
         val fresh =
           if (SnapshotStore.latestVersion(spark, verdictsTbl) > 0L)
-            once.join(SnapshotStore.scanPoints(spark, verdictsTbl, idCol, batchIds)
+            once.join(scanPointsBounded(spark, verdictsTbl, idCol, batchIds)
               .select(col(idCol)).distinct(), Seq(idCol), "left_anti")
           else once
         if (!fresh.isEmpty) {
@@ -1160,19 +1278,17 @@ object Streaming {
           // below) — gate the probe on the POSTINGS table itself
           val havePost = SnapshotStore.latestVersion(spark, postTbl) > 0L
           // index postings matched to the batch's shingles — file-pruned
-          // to the batch's probe set when it is driver-collectable,
-          // exact semi-join re-applied either way — minus the batch's
-          // own ids (a crash-replayed half-indexed doc must not
-          // double-count its shingles' df or pair with itself)
+          // to the batch's probe set when it is driver-collectable
+          // (bounded; full snapshot past the cap, nothing read for an
+          // all-short-text batch with zero shingles), exact semi-join
+          // re-applied either way — minus the batch's own ids (a
+          // crash-replayed half-indexed doc must not double-count its
+          // shingles' df or pair with itself)
           val iMatched = (
             if (havePost) {
-              val probeHs = bpost.select(col("h")).distinct()
-                .limit(maxProbeShingles + 1).collect().map(_.getLong(0))
-              val base =
-                if (probeHs.length > maxProbeShingles)
-                  SnapshotStore.snapshot(spark, postTbl)
-                else SnapshotStore.scanPoints(spark, postTbl, "h", probeHs.toSeq)
-              base.join(bpost.select(col("h")).distinct(), Seq("h"), "left_semi")
+              val probeHs = boundedProbes(bpost, "h", maxProbeKeys)
+              scanPointsBounded(spark, postTbl, "h", probeHs)
+                .join(bpost.select(col("h")).distinct(), Seq("h"), "left_semi")
                 .join(fb.select(col(idCol)), Seq(idCol), "left_anti")
             } else bpost.limit(0))
             .select(col("h"), col(idCol).as("__iid"))
@@ -1198,12 +1314,13 @@ object Streaming {
           // pair's keeper is a batch doc); the INDEX side point-skips to
           // the candidate keepers — candidate count is bounded by the
           // batch's rare postings × dfCap, so the collect is
-          // batch-shaped, and the sigs read is blooms-deep, not a scan
-          val keeperIds = candI.select(col("doc_a")).distinct()
-            .collect().map(_.getLong(0)).toSeq
+          // batch-shaped (and capped like every sink collect), and the
+          // sigs read is blooms-deep, not a scan; zero candidates read
+          // zero files
+          val keeperIds = boundedProbes(candI, "doc_a", maxProbeKeys)
           val aSigs = (
-            if (haveSigs && keeperIds.nonEmpty)
-              SnapshotStore.scanPoints(spark, sigsTbl, idCol, keeperIds)
+            if (haveSigs)
+              scanPointsBounded(spark, sigsTbl, idCol, keeperIds)
                 .join(fb.select(col(idCol)), Seq(idCol), "left_anti")
                 .unionByName(fb)
             else fb)
@@ -1240,7 +1357,7 @@ object Streaming {
           // idempotence anti-joins point-skip to the batch's own ids
           val acceptedSigs =
             if (haveSigs)
-              accepted.join(SnapshotStore.scanPoints(spark, sigsTbl, idCol, batchIds)
+              accepted.join(scanPointsBounded(spark, sigsTbl, idCol, batchIds)
                 .select(col(idCol)), Seq(idCol), "left_anti")
             else accepted
           if (!acceptedSigs.isEmpty)
@@ -1250,7 +1367,7 @@ object Streaming {
           val acceptedPostNew =
             if (havePost)
               acceptedPost.join(
-                SnapshotStore.scanPoints(spark, postTbl, idCol, batchIds)
+                scanPointsBounded(spark, postTbl, idCol, batchIds)
                   .select(col(idCol)).distinct(), Seq(idCol), "left_anti")
             else acceptedPost
           if (!acceptedPostNew.isEmpty)
@@ -1265,13 +1382,13 @@ object Streaming {
           // post-compaction vacuum bounds DISK (see maintainStore)
           maintainStore(spark, sigsTbl, compactAfterFiles,
             statsCols = Seq(idCol), clusterCols = Seq(idCol),
-            bloomCols = Seq(idCol))
+            bloomCols = Seq(idCol), retainVersions = retainVersions)
           maintainStore(spark, postTbl, compactAfterFiles,
             statsCols = Seq("h", idCol), clusterCols = Seq("h"),
-            bloomCols = Seq(idCol, "h"))
+            bloomCols = Seq(idCol, "h"), retainVersions = retainVersions)
           maintainStore(spark, verdictsTbl, compactAfterFiles,
             statsCols = Seq(idCol), clusterCols = Seq(idCol),
-            bloomCols = Seq(idCol))
+            bloomCols = Seq(idCol), retainVersions = retainVersions)
           ()
         }
       }

@@ -298,6 +298,15 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(SnapshotStore.rowCount(spark, s"$dir/postings") === 12L)
     assert(SnapshotStore.snapshot(spark, s"$dir/verdicts")
       .filter(col("keep")).count() === 6L)
+    // EARLY-OUT: a second CALL finds every store already at/under the
+    // target and rewrites nothing — no version churn, empty `stores`
+    val vAfter = SnapshotStore.latestVersion(spark, s"$dir/sigs")
+    val again = spark.sql(s"CALL graft.dedup_sink_maintain('$dir', 'doc_id', 1)")
+      .collect().head
+    assert(again.getAs[String]("stores") === "")
+    assert(again.getAs[Int]("files_before") === 3)
+    assert(again.getAs[Int]("files_after") === 3)
+    assert(SnapshotStore.latestVersion(spark, s"$dir/sigs") === vAfter)
     // an empty path fails loudly instead of reporting a no-op
     val ex = intercept[Exception] {
       spark.sql(s"CALL graft.dedup_sink_maintain('$dir/nothing', 'doc_id')")

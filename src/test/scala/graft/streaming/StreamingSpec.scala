@@ -1264,4 +1264,228 @@ class StreamingSpec extends SparkSpec
         (4L, 1, 10L), (4L, 2, 10L)))
     } finally q.stop()
   }
+
+  test("containmentDedupSink survives a zero-shingle micro-batch (poison-batch regression)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SnapshotStore
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-poison").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.containmentDedupSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tmp, shingleN = 3)
+      .start()
+    try {
+      // batch 1 seeds the index (texts long enough to shingle)
+      mem.addData((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "one two three four five six seven eight nine"))
+      q.processAllAvailable()
+      // batch 2: EVERY doc yields ZERO shingles (null text — a doc
+      // shorter than shingleN tokens still hashes as one whole-text
+      // shingle, null tokens explode to nothing), so the batch has zero
+      // probe keys. Pre-fix this threw inside scanPoints BEFORE the
+      // verdict commit, so the batch replayed and failed forever (a
+      // poison batch permanently wedging the stream). It must verdict
+      // keep=true for both docs and leave the stream alive.
+      mem.addData((10L, null.asInstanceOf[String]), (11L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      // batch 3: the stream still screens — a containment dup of doc 1
+      mem.addData((20L, "alpha beta gamma delta epsilon zeta eta theta"))
+      q.processAllAvailable()
+      val verdicts = SnapshotStore.snapshot(spark, s"$tmp/verdicts")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+      assert(verdicts == Map(1L -> true, 2L -> true, 10L -> true,
+        11L -> true, 20L -> false), s"got $verdicts")
+      // the shingle-less docs appended sigs (replay-skippable) but no
+      // postings rows (nothing to probe)
+      assert(SnapshotStore.snapshot(spark, s"$tmp/sigs")
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 10L, 11L))
+      assert(SnapshotStore.snapshot(spark, s"$tmp/postings")
+        .select("doc_id").distinct().as[Long].collect().toSet == Set(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("dedup sinks past maxProbeKeys degrade to the full-snapshot fallback with identical verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SnapshotStore
+    // the SAME feed through a default-cap sink and a cap-of-1 sink
+    // (every probe collect — batch ids, band buckets / shingle hashes /
+    // candidate keepers — overflows and falls back to the full-snapshot
+    // read): verdicts and index contents must be identical, because the
+    // fallback only loses pruning, never rows
+    val docsWaves = Seq(
+      Seq(1L -> "the quick brown fox jumps over the lazy dog tonight",
+        2L -> "completely different content about spark engines and shuffles"),
+      Seq(10L -> "the quick brown fox jumps over the lazy dog tonight",
+        11L -> "entirely novel text with no overlap whatsoever here at all"),
+      Seq(20L -> "entirely novel text with no overlap whatsoever here at all"))
+    def runMinhash(dir: String, cap: Int): Map[Long, Boolean] = {
+      val mem = MemoryStream[(Long, String)]
+      val q = Streaming.incrementalDedupSink(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", dir, maxProbeKeys = cap).start()
+      try {
+        docsWaves.foreach { w => mem.addData(w: _*); q.processAllAvailable() }
+      } finally q.stop()
+      SnapshotStore.snapshot(spark, s"$dir/verdicts")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    }
+    def runContainment(dir: String, cap: Int): Map[Long, Boolean] = {
+      val mem = MemoryStream[(Long, String)]
+      val q = Streaming.containmentDedupSink(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", dir, maxProbeKeys = cap).start()
+      try {
+        docsWaves.foreach { w => mem.addData(w: _*); q.processAllAvailable() }
+      } finally q.stop()
+      SnapshotStore.snapshot(spark, s"$dir/verdicts")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    }
+    def dir(tag: String) = "file:" +
+      java.nio.file.Files.createTempDirectory(s"graft-cap-$tag").toString
+    val mhDefault = runMinhash(dir("mh-d"), 1 << 20)
+    val mhCapped = runMinhash(dir("mh-1"), 1)
+    assert(mhDefault == mhCapped,
+      s"minhash fallback diverged: $mhDefault vs $mhCapped")
+    assert(!mhDefault(10L) && mhDefault(11L) && !mhDefault(20L))
+    val ctDefault = runContainment(dir("ct-d"), 1 << 20)
+    val ctCapped = runContainment(dir("ct-1"), 1)
+    assert(ctDefault == ctCapped,
+      s"containment fallback diverged: $ctDefault vs $ctCapped")
+    assert(!ctDefault(10L) && ctDefault(11L) && !ctDefault(20L))
+    // embedding sink, same discipline (ids + bucket probes overflow)
+    def runEmb(d: String, cap: Int): Map[Long, Boolean] = {
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = Streaming.embeddingDedupSink(mem.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", d, bucketBits = Some(2), minCosine = 0.95,
+        maxProbeKeys = cap).start()
+      try {
+        mem.addData((1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f)))
+        q.processAllAvailable()
+        mem.addData((10L, Seq(0.999f, 0f, 0.01f)), (11L, Seq(1f, 1f, 1f)))
+        q.processAllAvailable()
+      } finally q.stop()
+      SnapshotStore.snapshot(spark, s"$d/verdicts")
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+    }
+    val embDefault = runEmb(dir("em-d"), 1 << 20)
+    val embCapped = runEmb(dir("em-1"), 1)
+    assert(embDefault == embCapped,
+      s"embedding fallback diverged: $embDefault vs $embCapped")
+    assert(!embDefault(10L) && embDefault(11L))
+  }
+
+  test("dedup sinks reject a non-integral id column at construction, not mid-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val textMem = MemoryStream[(String, String)]
+    val textDf = textMem.toDF().toDF("doc_id", "text")
+    val vecMem = MemoryStream[(String, Seq[Float])]
+    val vecDf = vecMem.toDF().toDF("vec_id", "embedding")
+    def dir(tag: String) = "file:" +
+      java.nio.file.Files.createTempDirectory(s"graft-idtype-$tag").toString
+    val e1 = intercept[IllegalArgumentException] {
+      Streaming.incrementalDedupSink(textDf, "doc_id", "text", dir("inc"))
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      Streaming.containmentDedupSink(textDf, "doc_id", "text", dir("ct"))
+    }
+    val e3 = intercept[IllegalArgumentException] {
+      Streaming.embeddingDedupSink(vecDf, "vec_id", "embedding", dir("em"))
+    }
+    Seq(e1, e2, e3).foreach { e =>
+      assert(e.getMessage.contains("integral"), e.getMessage)
+    }
+  }
+
+  test("embeddingDedupSink crash replay derives the recorded width — no spurious re-bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SnapshotStore
+    import graft.operators.Similarity.{hyperplaneBucket, scaledBucketBits}
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-embwidth").toString
+    // simulate the crash window on a CORPUS-SCALED store: 4 vectors
+    // committed to the index (with the width their count derives), their
+    // verdicts NOT committed. On replay the whole batch re-screens; the
+    // corpus is still 4 vectors, so the derived width must equal the
+    // recorded one — counting the replayed rows twice (index rowCount +
+    // batch size) would derive scaledBucketBits(8) != scaledBucketBits(4)
+    // and trigger a full-index re-bucket rewrite.
+    val dim = 3
+    val bits = scaledBucketBits(4L, 1L)
+    assert(bits != scaledBucketBits(8L, 1L),
+      "premise: double-counting must change the derived width")
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(0f, 0f, 1f)), (4L, Seq(1f, 1f, 0f)))
+    SnapshotStore.append(
+      vecs.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("__v"))
+        .withColumn("__bucket", hyperplaneBucket(col("__v"), bits, dim)),
+      s"$tmp/vectors", statsCols = Seq("__bucket", "vec_id"),
+      meta = Map("sink.bucketing" -> s"scaled|$bits|$dim"),
+      bloomCols = Seq("vec_id"))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.embeddingDedupSink(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      tmp, bucketBits = None, targetBucketRows = 1, minCosine = 0.95)
+      .start()
+    try {
+      mem.addData(vecs: _*)
+      q.processAllAvailable()
+      // no overwrite commit = no re-bucket happened on the replay path
+      val ops = SnapshotStore.history(spark, s"$tmp/vectors").map(_._2)
+      assert(!ops.contains("overwrite"),
+        s"replay must not trigger a re-bucket rewrite: $ops")
+      assert(SnapshotStore.state(spark, s"$tmp/vectors")
+        .meta("sink.bucketing") == s"scaled|$bits|$dim")
+      val verdicts = SnapshotStore.snapshot(spark, s"$tmp/verdicts")
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+      assert(verdicts == Map(1L -> true, 2L -> true, 3L -> true, 4L -> true),
+        s"replayed vectors must not match themselves: $verdicts")
+      assert(SnapshotStore.rowCount(spark, s"$tmp/vectors") == 4L,
+        "idempotent replay must not duplicate index rows")
+    } finally q.stop()
+  }
+
+  test("dedup sink retainVersions: default vacuums to 2, override keeps deeper time travel") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SnapshotStore
+    // drive enough single-doc batches through TWO embedding sinks that
+    // maintenance (maxLiveFiles = 1) compacts + vacuums repeatedly,
+    // with the protocol clock advanced past the vacuum grace so the
+    // vacuums actually reclaim: the default keeps ~2 versions of
+    // physical files, the override keeps the deeper history readable
+    def run(d: String, retain: Option[Int]): Unit = {
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val sink = retain match {
+        case Some(r) => Streaming.embeddingDedupSink(
+          mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", d,
+          bucketBits = Some(2), maxLiveFiles = 1, retainVersions = r)
+        case None => Streaming.embeddingDedupSink(
+          mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", d,
+          bucketBits = Some(2), maxLiveFiles = 1)
+      }
+      val q = sink.start()
+      try {
+        (0 until 5).foreach { i =>
+          mem.addData((100L + i, Seq(1f + i, 2f, 3f)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    def dataFiles(d: String): Int = {
+      val p = new java.io.File(new java.net.URI(s"$d/verdicts/data"))
+      Option(p.listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    }
+    val dirDef = "file:" + java.nio.file.Files.createTempDirectory("graft-ret-def").toString
+    val dirKeep = "file:" + java.nio.file.Files.createTempDirectory("graft-ret-keep").toString
+    val realClock = SnapshotStore.clockMillis
+    try {
+      SnapshotStore.clockMillis = () => System.currentTimeMillis() + 21L * 60 * 1000
+      run(dirDef, None)
+      run(dirKeep, Some(100))
+    } finally SnapshotStore.clockMillis = realClock
+    // same commit history shape, but the override retains MORE physical
+    // files (vacuum with retainVersions=100 deletes nothing here)
+    assert(dataFiles(dirKeep) > dataFiles(dirDef),
+      s"override must retain more files: keep=${dataFiles(dirKeep)} def=${dataFiles(dirDef)}")
+    // and the deepest old version is still READABLE under the override
+    val vKeep = SnapshotStore.history(spark, s"$dirKeep/verdicts").map(_._1).min
+    assert(SnapshotStore.snapshot(spark, s"$dirKeep/verdicts", Some(vKeep)).count() >= 1L)
+  }
 }

@@ -539,6 +539,58 @@ object Bench {
           "\"" + f.getName.stripSuffix(".json").stripPrefix("BENCH_") + "\":" + m.group(1)
         }
       }.mkString("{", ",", "}")
+    // SELF-ATTRIBUTING round-over-round verdict: the common-set
+    // per-query median ratio vs the latest committed local bench of the
+    // SAME sf (BENCH_local_r{N}[_sf1].json — the only artifacts that
+    // carry full-precision per-query maps). ~1.0 = flat. A LOCAL run
+    // reads this as the frozen-pair verdict; a DRIVER run's ratio folds
+    // in the driver-vs-local machine delta (~0.87 when flat), so a
+    // driver headline above the prior round no longer reads as a
+    // regression without this field to dismiss it. Env
+    // GRAFT_PREV_BENCH overrides the file choice.
+    val vsPrev: Option[(String, Double, Int)] = {
+      val wantSf1 = new java.io.File(sfDir).getName == "sf1"
+      val pat = if (wantSf1) """BENCH_local_r(\d+)_sf1\.json""".r
+                else """BENCH_local_r(\d+)\.json""".r
+      val candidate = sys.env.get("GRAFT_PREV_BENCH").map(new java.io.File(_))
+        .filter(_.exists())
+        .orElse {
+          Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+            .flatMap(f => f.getName match {
+              case pat(n) => Some((n.toInt, f))
+              case _ => None
+            }).sortBy(_._1).lastOption.map(_._2)
+        }
+      candidate.flatMap { f =>
+        try {
+          val src = scala.io.Source.fromFile(f)
+          val txt = try src.mkString finally src.close()
+          val block = txt.indexOf("\"queries\"")
+          if (block < 0) None
+          else {
+            val qtxt = txt.substring(block, txt.indexOf('}', block) + 1)
+            val kv = """"([\w#]+)":\s*(-?[0-9.]+)""".r
+            val prev = kv.findAllMatchIn(qtxt)
+              .map(m => m.group(1) -> m.group(2).toDouble)
+              .filter(_._2 > 0).toMap
+            val ratios = results.toSeq.collect {
+              case (k, r) if !r.failed && r.sec > 0 && prev.contains(k) =>
+                r.sec / prev(k)
+            }.sorted
+            if (ratios.isEmpty) None
+            else {
+              val med =
+                if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+                else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+              Some((f.getName, med, ratios.size))
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+    val vsPrevJson = vsPrev.map { case (f, m, n) =>
+      s""","vs_prev_median":${f"$m%.3f"},"vs_prev_file":"$f","vs_prev_common":$n"""
+    }.getOrElse("")
     // full diagnostics: rows/s, history, per-query full precision — written
     // to a repo file (committed per round as BENCH_local_r{N}) and logged
     // EARLY so the tail-window snapshot is spent on the compact line below
@@ -566,7 +618,7 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
     val scaleStepFull = scaleStep.map(s => s""","scale_step":$s""").getOrElse("")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"queries":$qsFull,"stddev_sec":$stddevJson,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"smb_operator_level":$smbOp,"skew_operator_level":$skewOp,"manifest_operator_level":$manifestOp,"dv_operator_level":$dvOp,"streaming":$streamingOp$scalingFull$scaleStepFull,"history":$history,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed passes (pass 2 re-times EVERY query so each has >= 2 samples; passes 3+ re-time only queries whose first sample was under ${retimeCeiling}s), per-query LOWER median of successful samples (ambient-load noise is one-sided additive), sample stddev in stddev_sec; shared_build carries the shared dedup pair+cluster table build so its consumers are build-free; scaling points are the lower median of 3 rounds; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"queries":$qsFull,"stddev_sec":$stddevJson,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"smb_operator_level":$smbOp,"skew_operator_level":$skewOp,"manifest_operator_level":$manifestOp,"dv_operator_level":$dvOp,"streaming":$streamingOp$scalingFull$scaleStepFull,"history":$history$vsPrevJson,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed passes (pass 2 re-times EVERY query so each has >= 2 samples; passes 3+ re-time only queries whose first sample was under ${retimeCeiling}s), per-query LOWER median of successful samples (ambient-load noise is one-sided additive), sample stddev in stddev_sec; shared_build carries the shared dedup pair+cluster table build so its consumers are build-free; scaling points are the lower median of 3 rounds; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear; vs_prev_median = common-set per-query median ratio vs vs_prev_file (the latest committed same-sf local bench): ~1.0 flat on the same machine, a DRIVER run folds in its ~0.87 machine delta — read it before calling a headline a regression"}"""
     val fw = new java.io.OutputStreamWriter(
       new java.io.FileOutputStream("BENCH_full.json"),
       java.nio.charset.StandardCharsets.UTF_8)
@@ -589,7 +641,7 @@ object Bench {
       val sc = scalingPart.map(s => s""","scaling":$s""").getOrElse("")
       // sf as basename: the full path is in BENCH_full.json, and every
       // character here buys snapshot-window margin
-      s"""{"metric":"total","value":${short(total)},"unit":"sec","n_passes":$nPasses,"qkeys":"q_ prefix stripped","queries":$qsStripped,"failed":[${failedNames.mkString(",")}]$asof$sc$scaleStepFull,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","n_passes":$nPasses,"qkeys":"q_ prefix stripped","queries":$qsStripped,"failed":[${failedNames.mkString(",")}]$asof$sc$scaleStepFull$vsPrevJson,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     // scale-curve compact forms: full (sec arrays + xlin), xlin-only
     val scalingXlin = scaling.map { s =>
@@ -607,7 +659,7 @@ object Bench {
     val minimal = {
       val head = failedNames.take(8)
       val more = failedNames.size - head.size
-      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries_run":${ok.size},"queries_failed":${failedNames.size},"failed_head":[${head.mkString(",")}]${if (more > 0) s""","failed_more":$more""" else ""}$scaleStepFull,"sf":"${new java.io.File(sfDir).getName}","detail":"BENCH_full.json"}"""
+      s"""{"metric":"total","value":${short(total)},"unit":"sec","queries_run":${ok.size},"queries_failed":${failedNames.size},"failed_head":[${head.mkString(",")}]${if (more > 0) s""","failed_more":$more""" else ""}$scaleStepFull$vsPrevJson,"sf":"${new java.io.File(sfDir).getName}","detail":"BENCH_full.json"}"""
     }
     val compact = Seq(
         compactLine(true, scaling.map(_._2)),

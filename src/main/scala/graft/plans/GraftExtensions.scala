@@ -360,6 +360,36 @@ object GraftExtensions {
           .toDF("path", "rows", "long_stats", "str_stats")
           .queryExecution.analyzed
       }),
+    // the streaming dedup sinks' verdict log as SQL:
+    // SELECT * FROM graft_sink_verdicts('/sink/path') → (id, keep, …)
+    // — closes the loop on the sink family's read surface (the batch
+    // world has a table function per store; the sinks' decisions were
+    // Scala-only). Verdicts are an ordinary SnapshotStore table at
+    // `<path>/verdicts`, so this is the DSv2 snapshot read (pushdown,
+    // pruning, optional version time travel) — and a `readStream` on
+    // graft.sources.v2.SnapshotStreamSource over the same path follows
+    // verdicts live.
+    (new FunctionIdentifier("graft_sink_verdicts"),
+      new ExpressionInfo(classOf[graft.sources.v2.SnapshotDataSource].getName,
+        "graft_sink_verdicts"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_sink_verdicts"
+        require(args.length == 1 || args.length == 2,
+          s"usage: $fn(sink_path[, version])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val table = s"${strArg(fn, args, 0, "sink_path")}/verdicts"
+        require(graft.sources.SnapshotStore.latestVersion(spark, table) > 0L,
+          s"$fn: no verdicts table at $table (not a dedup-sink path, or " +
+            "no batch has committed yet)")
+        val reader = spark.read
+          .format(classOf[graft.sources.v2.SnapshotDataSource].getName)
+        val withV =
+          if (args.length == 2)
+            reader.option(graft.sources.v2.SnapshotDataSource.VersionAsOf,
+              longArg(fn, args, 1, "version"))
+          else reader
+        withV.load(table).queryExecution.analyzed
+      }),
     (new FunctionIdentifier("asof_join"),
       new ExpressionInfo(classOf[AsOfJoinNode].getName, "asof_join"),
       (args: Seq[Expression]) => {

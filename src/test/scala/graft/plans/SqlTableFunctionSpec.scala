@@ -172,4 +172,40 @@ class SqlTableFunctionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .collect()(0).getInt(0)
     assert(mh == 1) // "a b" has one 2-shingle
   }
+
+  test("graft_sink_verdicts: a dedup sink's decisions from pure SQL text") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-tvf-sink").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streaming.incrementalDedupSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tmp).start()
+    try {
+      mem.addData((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different content about spark engines"))
+      q.processAllAvailable()
+      mem.addData((9L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the verdict log, no Scala: same rows as the store read
+    val rows = spark.sql(
+      s"SELECT doc_id, keep FROM graft_sink_verdicts('$tmp') ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toSeq
+    assert(rows == Seq(1L -> true, 2L -> true, 9L -> false), s"got $rows")
+    // version time travel reaches the first batch's verdicts only
+    val v1 = spark.sql(
+      s"SELECT doc_id FROM graft_sink_verdicts('$tmp', 1) ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(v1 == Seq(1L, 2L), s"got $v1")
+    // predicate pushdown rides the DSv2 snapshot read (keep filter +
+    // projection reach the scan; sanity: result correct)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_sink_verdicts('$tmp') WHERE keep")
+      .head.getLong(0) == 2L)
+    // a non-sink path fails loudly, not an empty frame
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_sink_verdicts('$tmp/bands')").collect()
+    }
+    assert(ex.getMessage.contains("no verdicts table"), ex.getMessage)
+  }
 }

@@ -652,6 +652,19 @@ object Similarity {
     * leg grows superlinearly with the corpus at any k.
     * Cluster ids are the SEED VECTOR ids (ivfTrain's convention), not
     * dense ranks. Same keep-lowest rule as [[semDedup]].
+    *
+    * The pair screen below is deliberately PLANNER-CHOSEN, unlike
+    * [[semDedup]]'s measured-bytes pick: r19's A/B (LloydFormProbe
+    * `scaled` vs `scaled_measured`, fresh JVMs, sf1) measured the
+    * shipped form at 8.07 s vs 10.86 s for an explicit
+    * checkpoint+measure rewrite — the extra materialization costs more
+    * than it saves. [[semDedup]]'s k-fixed parallelism cliff (screen
+    * flipping to a sort-merge on k=8 keys) is structurally unreachable
+    * here: k = ceil(n/256) GROWS with the corpus, so even a sort-merge
+    * screen has ~n/256 join keys to parallelize over, and the
+    * assignment feeding the screen is already a checkpoint (AQE
+    * re-plans its exchanges from measured sizes; the multiplicative
+    * one-row-crossJoin estimate sits below the barrier).
     */
   def semDedupScaled(embeddings: DataFrame, idCol: String, vecCol: String,
                      minCosine: Double,

@@ -830,6 +830,63 @@ object SnapshotStore {
       mustBeLive = Nil)
   }
 
+  /** One table's slice of an [[appendMany]] batch. */
+  case class AppendPart(df: DataFrame, table: String,
+                        statsCols: Seq[String] = Nil,
+                        meta: Map[String, String] = Map.empty,
+                        mergeSchema: Boolean = false,
+                        bloomCols: Seq[String] = Nil)
+
+  /** COALESCED multi-table append: stage every part CONCURRENTLY (the
+    * staging write + footer harvest is each append's fixed-latency leg
+    * — a multi-store streaming sink paying it serially pays
+    * ~150 ms × stores per micro-batch), then publish the logs
+    * SEQUENTIALLY in the given order. Ordered publishes preserve every
+    * cross-table crash contract exactly as serial appends would (a
+    * sink's bands-before-verdicts invariant holds because verdicts
+    * only become VISIBLE after bands' log line lands; staged files are
+    * invisible until their commit and reclaim as ordinary stage
+    * orphans if the process dies first). Per-part schema derivation
+    * and conflict retries match [[append]] attempt-for-attempt.
+    * Returns the committed version per part, in order.
+    */
+  def appendMany(spark: SparkSession, parts: Seq[AppendPart]): Seq[Long] = {
+    require(parts.nonEmpty, "appendMany needs at least one part")
+    require(parts.map(_.table).distinct.size == parts.size,
+      s"appendMany parts must target distinct tables: ${parts.map(_.table)}")
+    // fail fast per part (type drift / missing mergeSchema) BEFORE any
+    // staging I/O — same front-door check as append
+    def recordedOf(p: AppendPart): org.apache.spark.sql.types.StructType =
+      if (latestVersion(spark, p.table) == 0L) p.df.schema
+      else {
+        val m = state(spark, p.table).meta
+        schemaOf(m)
+          .map(evolveSchema(_, p.df.schema, p.mergeSchema, p.table, retiredPhysicals(m)))
+          .getOrElse(p.df.schema)
+      }
+    parts.foreach(p => { val _ = recordedOf(p) })
+    val staged: Seq[Seq[AddFile]] =
+      if (parts.size == 1) Seq(stageFiles(parts.head.df, parts.head.table,
+        parts.head.statsCols, parts.head.bloomCols))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(parts.size, 4))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val fs = parts.map(p => scala.concurrent.Future(
+            stageFiles(p.df, p.table, p.statsCols, p.bloomCols)))
+          fs.map(f => scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf))
+        } finally pool.shutdown()
+      }
+    parts.zip(staged).map { case (p, adds) =>
+      commit(spark, p.table, adds, removes = Nil,
+        meta = p.meta + ("op" -> "append") + ("schema" -> recordedOf(p).json),
+        mustBeLive = Nil)
+    }
+  }
+
   /** Replace the table's contents atomically (readers of older versions
     * are unaffected — their files are immutable until [[vacuum]]).
     */

@@ -75,6 +75,44 @@ object CommitCostProbe {
         f""""append_ms":$appendMs%.1f,""" +
         f""""overhead_ms":${appendMs - writeMs}%.1f}""")
     }
+    // MULTI-STORE SINK SHAPE (the r18 verdict's coalescing follow-up):
+    // a containment-sink batch commits 3 stores (sigs/postings/
+    // verdicts). Compare the serial 3-append wall time against
+    // appendMany's concurrent-staging + ordered-publish form, per
+    // batch, lower median over `reps` batches on warm tables.
+    {
+      val reps = 7
+      def batchFrames(spark: SparkSession, salt: Int): Seq[DataFrame] =
+        (0 until 3).map(s => frame(spark, 2000, salt * 3 + s)
+          .coalesce(1).localCheckpoint())
+      def run(variant: String): Double = {
+        val root = s"file:$scratchRoot/sink_$variant"
+        val tbls = (0 until 3).map(s => s"$root/store$s")
+        // warm: seed each table (first-commit costs differ)
+        batchFrames(spark, 999).zip(tbls).foreach { case (df, t) =>
+          SnapshotStore.append(df, t, statsCols = Seq("id"),
+            bloomCols = Seq("id")) }
+        val times = (0 until reps).map { b =>
+          val dfs = batchFrames(spark, b)
+          ms {
+            if (variant == "seq")
+              dfs.zip(tbls).foreach { case (df, t) =>
+                SnapshotStore.append(df, t, statsCols = Seq("id"),
+                  bloomCols = Seq("id")) }
+            else
+              SnapshotStore.appendMany(spark, dfs.zip(tbls).map { case (df, t) =>
+                SnapshotStore.AppendPart(df, t, statsCols = Seq("id"),
+                  bloomCols = Seq("id")) })
+          }
+        }.sorted
+        times((times.size - 1) / 2)
+      }
+      val seqMs = run("seq")
+      val manyMs = run("many")
+      println(f"""[commitcost-sink] {"stores":3,"rows_per_store":2000,""" +
+        f""""reps":$reps,"seq_ms":$seqMs%.1f,"appendmany_ms":$manyMs%.1f,""" +
+        f""""speedup":${seqMs / manyMs}%.2f}""")
+    }
     spark.stop()
   }
 }

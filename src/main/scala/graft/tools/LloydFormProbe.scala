@@ -125,8 +125,41 @@ object LloydFormProbe {
         println(s"[lloydform-diag] resident dups: ${dupCount(mr)}  " +
           s"literal dups: ${dupCount(ml)}")
         0.0
+      case "scaled" => lowerMedian(() =>
+        // the SHIPPED semDedupScaled (q_semdedup_scaled's exact body) —
+        // pair-screen build side left to the planner
+        consume(Similarity.semDedupScaled(emb, "vec_id", "embedding",
+          minCosine = 0.35, targetClusterRows = 256)
+          .orderBy(col("vec_id"))))
+      case "scaled_measured" => lowerMedian { () =>
+        // candidate fix: semDedupScaled's body with the pair screen's
+        // build side picked from MEASURED bytes (semDedup's r18
+        // discipline) — if the planner-chosen form hides the same
+        // static-estimate cliff, this form dodges it
+        val (_, asg) = Similarity.ivfTrainScaled(emb, "vec_id", "embedding",
+          n => (n + 255L) / 256L)
+        val m = asg.select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
+            transform(col("v"), x => x.cast("float")).as("v"))
+          .localCheckpoint()
+        val st = m.agg(count(lit(1)).as("n"), max(size(col("v"))).as("d")).head
+        val bytes =
+          if (st.isNullAt(1)) 0L
+          else st.getLong(0) * (st.getInt(1).toLong * 4L + 32L)
+        val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+        val bSide = if (thr > 0 && bytes <= thr) broadcast(m) else m
+        val dup = m.as("a").join(bSide.as("b"),
+            col("a.cluster_id") === col("b.cluster_id") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .filter(round(Similarity.cosineNative(col("a.v"), col("b.v")), 6) >= 0.35)
+          .select(col("b.vec_id").as("vec_id")).distinct()
+        consume(m.select(col("vec_id"), col("cluster_id"))
+          .join(dup.withColumn("__dup", lit(true)), Seq("vec_id"), "left_outer")
+          .select(col("vec_id"), col("cluster_id"),
+            coalesce(!col("__dup"), lit(true)).as("keep"))
+          .orderBy(col("vec_id")))
+      }
       case other => throw new IllegalArgumentException(
-        s"form must be resident|literal|semdedup|semdedup_literal, got '$other'")
+        s"form must be resident|literal|semdedup|semdedup_literal|scaled|scaled_measured, got '$other'")
     }
     println(f"""[lloydform] {"form":"$form","sf_dir":"$sfDir","rows":$n,""" +
       f""""k":$k,"iters":$iters,"sec":$sec%.3f}""")

@@ -19,8 +19,35 @@ import graft.sources.SnapshotStore
   * exact brute-force top-k at each probe count.
   *
   * Usage: runMain graft.tools.ProbesRecallProbe [sfDir] [probesCsv] [k]
+  *
+  * `sfDir` may be `planted:<n>:<clusters>:<dim>[:<jitter>]` instead of a path:
+  * a deterministic PLANTED-CLUSTER corpus (cluster centers at hashed
+  * uniform coordinates, members jittered ±jitter (default 0.08) around their center) —
+  * the middle point between the two shipped calibration corpora
+  * (near-uniform sf0.1, IVF's worst case, and the replica-clustered
+  * sf1 scale-up, its best case): true neighbors mostly share a
+  * planted cluster but jitter makes boundary flips real.
   */
 object ProbesRecallProbe {
+
+  /** Deterministic planted-cluster corpus: no RNG, every value a hash
+    * of (row, dim) — reruns identical anywhere.
+    */
+  private def plantedCorpus(spark: SparkSession, n: Int, clusters: Int,
+                            dim: Int, jitter: Double): org.apache.spark.sql.DataFrame = {
+    def h(a: Long, b: Long): Double = {
+      var x = a * 0x9E3779B97F4A7C15L + (b + 1) * 0xC2B2AE3D27D4EB4FL
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+      ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0 // [-1, 1)
+    }
+    val centers = Array.tabulate(clusters, dim)((j, d) => h(j.toLong, d.toLong))
+    import spark.implicits._
+    (0 until n).map { i =>
+      val j = i % clusters
+      (i.toLong, Array.tabulate(dim)(d =>
+        (centers(j)(d) + jitter * h(1000000L + i, d)).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
 
   private def recallAtK(spark: SparkSession, tbl: String, idx: String,
                         queryIds: Seq[Long], k: Int, probes: Int,
@@ -46,7 +73,11 @@ object ProbesRecallProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-probesrecall")
     spark.sparkContext.setLogLevel("WARN")
-    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = (if (sfDir.startsWith("planted:")) {
+      val parts = sfDir.split(':')
+      plantedCorpus(spark, parts(1).toInt, parts(2).toInt, parts(3).toInt,
+        parts.lift(4).map(_.toDouble).getOrElse(0.08))
+    } else spark.read.parquet(s"$sfDir/embeddings.parquet"))
       .select(col("vec_id"), col("embedding")).localCheckpoint()
     val n = base.count()
     val numCentroids = Similarity.scaledCentroids(n)

@@ -339,6 +339,7 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_._2).toSet.subsetOf(ids))
   }
 
+
   test("annAssign: two-level == brute-force argmax when every row's bucket holds its centroid; orphans fall back to the longest occupied prefix") {
     import org.apache.spark.sql.functions._
     // hand-built signatures isolate the join logic from the plane math:

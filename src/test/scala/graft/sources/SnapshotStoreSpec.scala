@@ -57,6 +57,47 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(keptMany === 2, s"box-only stage kept $keptMany")
   }
 
+  test("appendMany stages concurrently, publishes in order, matches serial appends") {
+    val ta = tempTable("many-a")
+    val tb = tempTable("many-b")
+    // seed both (appendMany must respect existing schemas/stats)
+    SnapshotStore.append(Seq(1L).toDF("id").withColumn("v", col("id")).coalesce(1),
+      ta, statsCols = Seq("id"), bloomCols = Seq("id"))
+    SnapshotStore.append(Seq(10L).toDF("id").withColumn("k", lit(true)).coalesce(1),
+      tb, statsCols = Seq("id"), bloomCols = Seq("id"))
+    val vs = SnapshotStore.appendMany(spark, Seq(
+      SnapshotStore.AppendPart(
+        Seq(2L, 3L).toDF("id").withColumn("v", col("id")).coalesce(1),
+        ta, statsCols = Seq("id"), bloomCols = Seq("id")),
+      SnapshotStore.AppendPart(
+        Seq(20L).toDF("id").withColumn("k", lit(false)).coalesce(1),
+        tb, statsCols = Seq("id"), bloomCols = Seq("id"),
+        meta = Map("who" -> "spec"))))
+    assert(vs === Seq(2L, 2L))
+    assert(idsOf(SnapshotStore.snapshot(spark, ta)) === Set(1L, 2L, 3L))
+    assert(idsOf(SnapshotStore.snapshot(spark, tb)) === Set(10L, 20L))
+    // per-part meta and op recorded like a plain append
+    val (_, op, meta) = SnapshotStore.history(spark, tb).head
+    assert(op === "append" && meta("who") === "spec")
+    // the point-skip stats/blooms harvest like a plain append's
+    val (kept, total) = SnapshotStore.scanPointsPrunedFiles(spark, ta, "id", Seq(2L))
+    assert(total === 2 && kept === 1, s"$kept of $total")
+    // duplicate targets are rejected up front (their publishes would race)
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotStore.appendMany(spark, Seq(
+        SnapshotStore.AppendPart(Seq(4L).toDF("id").withColumn("v", col("id")), ta),
+        SnapshotStore.AppendPart(Seq(5L).toDF("id").withColumn("v", col("id")), ta)))
+    }
+    assert(ex.getMessage.contains("distinct tables"))
+    // schema drift fails fast BEFORE staging, same as append
+    intercept[Exception] {
+      SnapshotStore.appendMany(spark, Seq(
+        SnapshotStore.AppendPart(
+          Seq(("x", 1L)).toDF("id", "v"), ta))) // id typed string: drift
+    }
+    assert(SnapshotStore.latestVersion(spark, ta) === 2L, "failed appendMany must not commit")
+  }
+
   test("append commits atomic versions; time travel reads each one") {
     val t = tempTable("append")
     val v1 = SnapshotStore.append(Seq(1L, 2L).toDF("id"), t)

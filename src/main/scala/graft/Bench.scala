@@ -533,7 +533,7 @@ object Bench {
       .filter(f => f.getName.matches("BENCH_\\w+\\.json"))
       .sortBy(_.getName)
       .flatMap { f =>
-        val txt = scala.io.Source.fromFile(f)
+        val txt = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
         val s = try txt.mkString finally txt.close()
         totalRe.findFirstMatchIn(s).map { m =>
           "\"" + f.getName.stripSuffix(".json").stripPrefix("BENCH_") + "\":" + m.group(1)
@@ -563,7 +563,7 @@ object Bench {
         }
       candidate.flatMap { f =>
         try {
-          val src = scala.io.Source.fromFile(f)
+          val src = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
           val txt = try src.mkString finally src.close()
           val block = txt.indexOf("\"queries\"")
           if (block < 0) None
@@ -605,7 +605,7 @@ object Bench {
       val f = new java.io.File("BENCH_scale_step.json")
       if (!f.exists()) None
       else try {
-        val src = scala.io.Source.fromFile(f)
+        val src = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
         val txt = try src.mkString finally src.close()
         def num(k: String) =
           (s""""$k":\\s*([0-9.]+)""").r.findFirstMatchIn(txt).map(_.group(1))
@@ -618,7 +618,7 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
     val scaleStepFull = scaleStep.map(s => s""","scale_step":$s""").getOrElse("")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"queries":$qsFull,"stddev_sec":$stddevJson,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"smb_operator_level":$smbOp,"skew_operator_level":$skewOp,"manifest_operator_level":$manifestOp,"dv_operator_level":$dvOp,"streaming":$streamingOp$scalingFull$scaleStepFull,"history":$history$vsPrevJson,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed passes (pass 2 re-times EVERY query so each has >= 2 samples; passes 3+ re-time only queries whose first sample was under ${retimeCeiling}s), per-query LOWER median of successful samples (ambient-load noise is one-sided additive), sample stddev in stddev_sec; shared_build carries the shared dedup pair+cluster table build so its consumers are build-free; scaling points are the lower median of 3 rounds; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear; vs_prev_median = common-set per-query median ratio vs vs_prev_file (the latest committed same-sf local bench): ~1.0 flat on the same machine, a DRIVER run folds in its ~0.87 machine delta — read it before calling a headline a regression"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_passes":$nPasses,"queries":$qsFull,"stddev_sec":$stddevJson,"rows_per_sec":$rps,"failed":[${failedNames.mkString(",")}],"asof_operator_level":$asofOp,"topk_operator_level":$topkOp,"smb_operator_level":$smbOp,"skew_operator_level":$skewOp,"manifest_operator_level":$manifestOp,"dv_operator_level":$dvOp,"streaming":$streamingOp$scalingFull$scaleStepFull,"history":$history$vsPrevJson,"sf":"$sfDir","methodology":"steady-state: 1 warmup pass + $nPasses timed passes (pass 2 re-times EVERY query so each has >= 2 samples; passes 3+ re-time only queries whose first sample was under ${retimeCeiling}s), per-query LOWER median of successful samples (ambient-load noise is one-sided additive), sample stddev in stddev_sec; shared_build carries the shared dedup pair+cluster table build so its consumers are build-free; scaling points are the lower median of 3 rounds; full-plan evaluation via toRdd (count() alone lets Catalyst skip unprojected map-side work); failed queries carry -1 and add nothing to total; asof_operator_level compares the as-of formulations without the terminal sort the oracle queries require; scaling replicates the documents corpus with per-replica token bijection (disjoint cross-replica shingles, duplicate structure preserved per unit) and reports time vs rows; xlin 1.0 = linear; vs_prev_median = common-set per-query median ratio vs vs_prev_file (the latest committed same-sf local bench): ~1.0 flat on the same machine, a DRIVER run folds in its ~0.87 machine delta - read it before calling a headline a regression"}"""
     val fw = new java.io.OutputStreamWriter(
       new java.io.FileOutputStream("BENCH_full.json"),
       java.nio.charset.StandardCharsets.UTF_8)

@@ -26,6 +26,7 @@ import graft.sources.SnapshotStore
   * widens is where the default belongs.
   *
   * Usage: runMain graft.tools.DriftRecallProbe [sfDir] [fractionsCsv] [k] [probes]
+  * (`sfDir` also accepts ProbesRecallProbe's `planted:` corpus syntax)
   */
 object DriftRecallProbe {
 
@@ -71,8 +72,10 @@ object DriftRecallProbe {
 
   def measure(spark: SparkSession, sfDir: String, fractions: Seq[Double],
               k: Int, probes: Int): Unit = {
-    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    // `planted:<n>:<clusters>:<dim>[:<jitter>]` builds the deterministic
+    // planted-cluster corpus (ProbesRecallProbe's generator) — the
+    // retrain policy bracketed on the same three shapes as scaledProbes
+    val base = ProbesRecallProbe.loadCorpus(spark, sfDir).localCheckpoint()
     val nBase = base.count()
     val stride = waveStride(
       base.agg(max(col("vec_id"))).head.getLong(0).max(nBase))

@@ -31,9 +31,11 @@ import graft.sources.SnapshotStore
 object ProbesRecallProbe {
 
   /** Deterministic planted-cluster corpus: no RNG, every value a hash
-    * of (row, dim) — reruns identical anywhere.
+    * of (row, dim) — reruns identical anywhere. Shared with
+    * [[DriftRecallProbe]] so both calibrations bracket on the same
+    * three corpus shapes.
     */
-  private def plantedCorpus(spark: SparkSession, n: Int, clusters: Int,
+  private[tools] def plantedCorpus(spark: SparkSession, n: Int, clusters: Int,
                             dim: Int, jitter: Double): org.apache.spark.sql.DataFrame = {
     def h(a: Long, b: Long): Double = {
       var x = a * 0x9E3779B97F4A7C15L + (b + 1) * 0xC2B2AE3D27D4EB4FL
@@ -48,6 +50,16 @@ object ProbesRecallProbe {
         (centers(j)(d) + jitter * h(1000000L + i, d)).toFloat).toSeq)
     }.toDF("vec_id", "embedding")
   }
+
+  /** `<path>` or `planted:<n>:<clusters>:<dim>[:<jitter>]`. */
+  private[tools] def loadCorpus(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.DataFrame =
+    (if (sfDir.startsWith("planted:")) {
+      val parts = sfDir.split(':')
+      plantedCorpus(spark, parts(1).toInt, parts(2).toInt, parts(3).toInt,
+        parts.lift(4).map(_.toDouble).getOrElse(0.08))
+    } else spark.read.parquet(s"$sfDir/embeddings.parquet"))
+      .select(col("vec_id"), col("embedding"))
 
   private def recallAtK(spark: SparkSession, tbl: String, idx: String,
                         queryIds: Seq[Long], k: Int, probes: Int,
@@ -73,11 +85,7 @@ object ProbesRecallProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-probesrecall")
     spark.sparkContext.setLogLevel("WARN")
-    val base = (if (sfDir.startsWith("planted:")) {
-      val parts = sfDir.split(':')
-      plantedCorpus(spark, parts(1).toInt, parts(2).toInt, parts(3).toInt,
-        parts.lift(4).map(_.toDouble).getOrElse(0.08))
-    } else spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    val base = loadCorpus(spark, sfDir)
       .select(col("vec_id"), col("embedding")).localCheckpoint()
     val n = base.count()
     val numCentroids = Similarity.scaledCentroids(n)

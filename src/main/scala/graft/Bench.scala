@@ -549,7 +549,10 @@ object Bench {
     // regression without this field to dismiss it. Env
     // GRAFT_PREV_BENCH overrides the file choice.
     val vsPrev: Option[(String, Double, Int)] = {
-      val wantSf1 = new java.io.File(sfDir).getName == "sf1"
+      // sf1 corpora are ScaleUp outputs with varying dir names
+      // (/tmp/graft_sf1, sf1, ...) — match on the "sf1" token, which no
+      // shipped sf dir name ("sf0.001"/"sf0.01"/"sf0.1") contains
+      val wantSf1 = new java.io.File(sfDir).getName.contains("sf1")
       val pat = if (wantSf1) """BENCH_local_r(\d+)_sf1\.json""".r
                 else """BENCH_local_r(\d+)\.json""".r
       val candidate = sys.env.get("GRAFT_PREV_BENCH").map(new java.io.File(_))

@@ -1442,6 +1442,51 @@ class StreamingSpec extends SparkSpec
     } finally q.stop()
   }
 
+  test("a readStream over a sink's verdict store follows decisions live (the documented recipe)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SnapshotStore
+    val tmp = "file:" + java.nio.file.Files.createTempDirectory("graft-tailverd").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tailverd-ck").toString
+    val mem = MemoryStream[(Long, String)]
+    val sink = Streaming.incrementalDedupSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tmp).start()
+    var tail: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      // wave 1 creates the verdict store; the tail starts after it
+      // exists (production: point the readStream at <sink>/verdicts
+      // once the first batch has committed)
+      mem.addData((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different content about spark engines"))
+      sink.processAllAvailable()
+      // skipRewrites: the sink's size-triggered maintenance compacts the
+      // verdict store eventually; a live follower must ride through the
+      // metadata swap instead of failing on the rewrite commit
+      tail = spark.readStream
+        .format(classOf[graft.sources.v2.SnapshotDataSource].getName)
+        .option("skipRewrites", "true")
+        .load(s"$tmp/verdicts")
+        .writeStream.format("memory").queryName("verdict_tail")
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      tail.processAllAvailable()
+      // wave 2: a dup (rejected) and a novel doc — the follower sees
+      // exactly the new verdicts, no re-delivery of wave 1
+      mem.addData((9L, "the quick brown fox jumps over the lazy dog"),
+        (10L, "entirely novel text with no overlap whatsoever"))
+      sink.processAllAvailable()
+      tail.processAllAvailable()
+      val tailed = spark.table("verdict_tail")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+      val stored = SnapshotStore.snapshot(spark, s"$tmp/verdicts")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+      assert(tailed == stored, s"tail diverged: $tailed vs $stored")
+      assert(tailed == Map(1L -> true, 2L -> true, 9L -> false, 10L -> true))
+      assert(spark.table("verdict_tail").count() == 4L, "no re-delivery")
+    } finally {
+      if (tail != null) tail.stop()
+      sink.stop()
+    }
+  }
+
   test("dedup sink retainVersions: default vacuums to 2, override keeps deeper time travel") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.SnapshotStore

@@ -549,11 +549,19 @@ object Bench {
     // regression without this field to dismiss it. Env
     // GRAFT_PREV_BENCH overrides the file choice.
     val vsPrev: Option[(String, Double, Int)] = {
-      // sf1 corpora are ScaleUp outputs with varying dir names
-      // (/tmp/graft_sf1, sf1, ...) — match on the "sf1" token, which no
-      // shipped sf dir name ("sf0.001"/"sf0.01"/"sf0.1") contains
-      val wantSf1 = new java.io.File(sfDir).getName.contains("sf1")
-      val pat = if (wantSf1) """BENCH_local_r(\d+)_sf1\.json""".r
+      // sf TAG: "sf1" for any ScaleUp output (/tmp/graft_sf1, sf1, ... —
+      // the token no shipped dir name "sf0.001"/"sf0.01"/"sf0.1"
+      // contains), else the dir basename. The prev file must carry the
+      // SAME tag in its recorded "sf" field — per-query times compared
+      // across scale factors would report the corpus-size delta as a
+      // round-over-round verdict (query names are identical at every
+      // sf, so nothing else would catch it).
+      def sfTag(dir: String): String = {
+        val b = new java.io.File(dir).getName
+        if (b.contains("sf1")) "sf1" else b
+      }
+      val wantTag = sfTag(sfDir)
+      val pat = if (wantTag == "sf1") """BENCH_local_r(\d+)_sf1\.json""".r
                 else """BENCH_local_r(\d+)\.json""".r
       val candidate = sys.env.get("GRAFT_PREV_BENCH").map(new java.io.File(_))
         .filter(_.exists())
@@ -568,8 +576,10 @@ object Bench {
         try {
           val src = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
           val txt = try src.mkString finally src.close()
+          val prevSf = """"sf":\s*"([^"]*)"""".r
+            .findFirstMatchIn(txt).map(m => sfTag(m.group(1)))
           val block = txt.indexOf("\"queries\"")
-          if (block < 0) None
+          if (block < 0 || !prevSf.contains(wantTag)) None
           else {
             val qtxt = txt.substring(block, txt.indexOf('}', block) + 1)
             val kv = """"([\w#]+)":\s*(-?[0-9.]+)""".r

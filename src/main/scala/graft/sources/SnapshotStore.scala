@@ -809,26 +809,9 @@ object SnapshotStore {
   def append(df: DataFrame, table: String, statsCols: Seq[String] = Nil,
              meta: Map[String, String] = Map.empty,
              mergeSchema: Boolean = false,
-             bloomCols: Seq[String] = Nil): Long = {
-    val spark = df.sparkSession
-    // derive the schema to record against the CURRENT table meta — and
-    // re-derive on every commit attempt (by-name `meta`): two racing
-    // widening appends must each fold in the schema the other just
-    // recorded, or the later commit silently drops the earlier column
-    def recorded: org.apache.spark.sql.types.StructType =
-      if (latestVersion(spark, table) == 0L) df.schema
-      else {
-        val m = state(spark, table).meta
-        schemaOf(m)
-          .map(evolveSchema(_, df.schema, mergeSchema, table, retiredPhysicals(m)))
-          .getOrElse(df.schema) // pre-schema-tracking table: adopt as-is
-      }
-    val _ = recorded // fail fast (type drift / missing mergeSchema) before staging
-    val adds = stageFiles(df, table, statsCols, bloomCols)
-    commit(spark, table, adds, removes = Nil,
-      meta = meta + ("op" -> "append") + ("schema" -> recorded.json),
-      mustBeLive = Nil)
-  }
+             bloomCols: Seq[String] = Nil): Long =
+    appendMany(df.sparkSession, Seq(AppendPart(
+      df, table, statsCols, meta, mergeSchema, bloomCols))).head
 
   /** One table's slice of an [[appendMany]] batch. */
   case class AppendPart(df: DataFrame, table: String,
@@ -854,8 +837,12 @@ object SnapshotStore {
     require(parts.nonEmpty, "appendMany needs at least one part")
     require(parts.map(_.table).distinct.size == parts.size,
       s"appendMany parts must target distinct tables: ${parts.map(_.table)}")
-    // fail fast per part (type drift / missing mergeSchema) BEFORE any
-    // staging I/O — same front-door check as append
+    // the schema to record derives against the CURRENT table meta — and
+    // re-derives on every commit attempt (by-name `meta` below): two
+    // racing widening appends must each fold in the schema the other
+    // just recorded, or the later commit silently drops the earlier
+    // column. Evaluated once per part up front too, so type drift /
+    // missing mergeSchema fails BEFORE any staging I/O.
     def recordedOf(p: AppendPart): org.apache.spark.sql.types.StructType =
       if (latestVersion(spark, p.table) == 0L) p.df.schema
       else {
@@ -1473,9 +1460,19 @@ object SnapshotStore {
   def scanPoints(spark: SparkSession, table: String, column: String,
                  values: Seq[Long], bloomMaxValues: Int = 1024): DataFrame = {
     val snap = state(spark, table)
-    require(snap.live.nonEmpty, s"scanPoints: $table@${snap.version} is empty")
-    if (values.isEmpty) readLive(spark, snap.meta, snap.live).limit(0)
-    else {
+    if (values.isEmpty) {
+      // honor the empty-probe contract even on a LIVE-EMPTY table (a
+      // tombstone-emptied sink store is a real state): the recorded
+      // schema builds the empty frame where there is no file to read
+      if (snap.live.nonEmpty) readLive(spark, snap.meta, snap.live).limit(0)
+      else schemaOf(snap.meta) match {
+        case Some(sch) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+        case None => throw new IllegalArgumentException(
+          s"scanPoints: $table@${snap.version} is empty and records no schema")
+      }
+    } else {
+      require(snap.live.nonEmpty, s"scanPoints: $table@${snap.version} is empty")
       val kept = pointsKeptFiles(spark, snap, column,
         values.distinct.sorted.toArray, bloomMaxValues)
       if (kept.isEmpty) readLive(spark, snap.meta, snap.live).limit(0)

@@ -353,8 +353,12 @@ private[v2] object SnapshotProcedures {
     * sharp without waiting for the in-sink trigger. The batch world's
     * `optimize` for the sink family. Stores already at or under
     * `target_files` live files (including tombstone-emptied ones) are
-    * SKIPPED — their layout is as good as a rewrite would leave it,
-    * and the no-op commit would only churn versions.
+    * SKIPPED — point-skip reads are bounded by the file count anyway,
+    * and the no-op commit would only churn versions. The skip is
+    * COUNT-based, not layout-based: a store whose few files overlap on
+    * the pruning key still re-clusters by passing a lower
+    * `target_files` (sink-written stores always carry their stats +
+    * blooms, so only externally-seeded files can lack them).
     *
     * SINGLE-WRITER: do NOT run this concurrently with the sink's own
     * `foreachBatch` — both sides commit optimistically against the

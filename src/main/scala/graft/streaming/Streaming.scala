@@ -644,12 +644,20 @@ object Streaming {
     * the DRIVER whatever it does to the cluster; 1M longs ≈ 8 MB is
     * the family default ([[containmentDedupSink]]'s original cap).
     * Null probes drop (a null key matches nothing in the exact joins
-    * the callers re-apply).
+    * the callers re-apply). Pass `distinctDone = true` when the input
+    * is already unique on `c` (the post-dropDuplicates batch frame) —
+    * the dedup exchange would be a per-batch shuffle bought for
+    * nothing.
     */
-  private def boundedProbes(df: DataFrame, c: String, cap: Int): Option[Seq[Long]] = {
-    val arr = df.select(col(c).cast("long").as("__p"))
-      .filter(col("__p").isNotNull).distinct()
-      .limit(cap + 1).collect().map(_.getLong(0))
+  private def boundedProbes(df: DataFrame, c: String, cap: Int,
+                            distinctDone: Boolean = false): Option[Seq[Long]] = {
+    // cap+1 must not wrap: maxProbeKeys = Int.MaxValue is the sane way
+    // to say "cap off", and a negative limit() would poison the stream
+    val lim = if (cap >= Int.MaxValue) Int.MaxValue else cap + 1
+    val base = df.select(col(c).cast("long").as("__p"))
+      .filter(col("__p").isNotNull)
+    val arr = (if (distinctDone) base else base.distinct())
+      .limit(lim).collect().map(_.getLong(0))
     if (arr.length > cap) None else Some(arr.toSeq)
   }
 
@@ -765,8 +773,12 @@ object Streaming {
       val once = batch.toDF().dropDuplicates(idCol).localCheckpoint()
       // the batch's ids drive the point-skip probes below — bounded
       // driver state (None past the cap → full-snapshot fallback)
-      val batchIds = boundedProbes(once, idCol, maxProbeKeys)
-      if (!once.isEmpty) {
+      val batchIds = boundedProbes(once, idCol, maxProbeKeys, distinctDone = true)
+      // ONE job answers both "any rows?" and the probe set: Some(empty)
+      // means an empty batch (or all-null ids — outside the integral-id
+      // contract; null verdicts could never be replay-skipped) -> skip;
+      // None (over cap) is a full batch that proceeds on the fallback
+      if (batchIds.forall(_.nonEmpty)) {
         val fresh =
           if (SnapshotStore.latestVersion(spark, verdictsTbl) > 0L)
             once.join(scanPointsBounded(spark, verdictsTbl, idCol, batchIds)
@@ -1030,8 +1042,12 @@ object Streaming {
       // skip, append idempotence) — bounded driver state (None past
       // the cap → full-snapshot fallback), the price of reading
       // matching index files instead of the index
-      val batchIds = boundedProbes(once, idCol, maxProbeKeys)
-      if (!once.isEmpty) {
+      val batchIds = boundedProbes(once, idCol, maxProbeKeys, distinctDone = true)
+      // ONE job answers both "any rows?" and the probe set: Some(empty)
+      // means an empty batch (or all-null ids — outside the integral-id
+      // contract; null verdicts could never be replay-skipped) -> skip;
+      // None (over cap) is a full batch that proceeds on the fallback
+      if (batchIds.forall(_.nonEmpty)) {
         val fresh =
           if (SnapshotStore.latestVersion(spark, verdictsTbl) > 0L)
             once.join(scanPointsBounded(spark, verdictsTbl, idCol, batchIds)
@@ -1267,8 +1283,12 @@ object Streaming {
     val verdictsTbl = s"$indexPath/verdicts"
     docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
       val once = batch.toDF().dropDuplicates(idCol).localCheckpoint()
-      val batchIds = boundedProbes(once, idCol, maxProbeKeys)
-      if (!once.isEmpty) {
+      val batchIds = boundedProbes(once, idCol, maxProbeKeys, distinctDone = true)
+      // ONE job answers both "any rows?" and the probe set: Some(empty)
+      // means an empty batch (or all-null ids — outside the integral-id
+      // contract; null verdicts could never be replay-skipped) -> skip;
+      // None (over cap) is a full batch that proceeds on the fallback
+      if (batchIds.forall(_.nonEmpty)) {
         val fresh =
           if (SnapshotStore.latestVersion(spark, verdictsTbl) > 0L)
             once.join(scanPointsBounded(spark, verdictsTbl, idCol, batchIds)

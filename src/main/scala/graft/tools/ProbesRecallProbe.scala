@@ -31,24 +31,24 @@ import graft.sources.SnapshotStore
 object ProbesRecallProbe {
 
   /** Deterministic planted-cluster corpus: no RNG, every value a hash
-    * of (row, dim) — reruns identical anywhere. Shared with
+    * of (cluster-or-row, dim) — reruns identical anywhere. Shared with
     * [[DriftRecallProbe]] so both calibrations bracket on the same
-    * three corpus shapes.
+    * three corpus shapes. GENERATED DISTRIBUTED (spark.range + hash
+    * expressions; a cluster's center recomputes per row as a pure
+    * function of `vec_id % clusters`) — a driver-local Seq would
+    * serialize n·dim boxed floats into the plan and OOM the driver at
+    * the very scales a calibration corpus exists to probe.
     */
   private[tools] def plantedCorpus(spark: SparkSession, n: Int, clusters: Int,
                             dim: Int, jitter: Double): org.apache.spark.sql.DataFrame = {
-    def h(a: Long, b: Long): Double = {
-      var x = a * 0x9E3779B97F4A7C15L + (b + 1) * 0xC2B2AE3D27D4EB4FL
-      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
-      ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0 // [-1, 1)
-    }
-    val centers = Array.tabulate(clusters, dim)((j, d) => h(j.toLong, d.toLong))
-    import spark.implicits._
-    (0 until n).map { i =>
-      val j = i % clusters
-      (i.toLong, Array.tabulate(dim)(d =>
-        (centers(j)(d) + jitter * h(1000000L + i, d)).toFloat).toSeq)
-    }.toDF("vec_id", "embedding")
+    // uniform [-1, 1) from xxhash64 of the tagged key columns
+    def u(parts: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+      pmod(xxhash64(parts: _*), lit(1L << 53)).cast("double") /
+        lit((1L << 53).toDouble) * lit(2.0) - lit(1.0)
+    spark.range(n.toLong).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        (u(lit("c"), pmod(col("id"), lit(clusters.toLong)), d) +
+          lit(jitter) * u(lit("r"), col("id"), d)).cast("float")).as("embedding"))
   }
 
   /** `<path>` or `planted:<n>:<clusters>:<dim>[:<jitter>]`. */

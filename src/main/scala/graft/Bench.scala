@@ -556,22 +556,35 @@ object Bench {
       // across scale factors would report the corpus-size delta as a
       // round-over-round verdict (query names are identical at every
       // sf, so nothing else would catch it).
+      // ANCHORED token match, not substring: "sf10"/"sf12"/"my_sf1x"
+      // would substring-match "sf1" and pair per-query times across
+      // scale factors — the exact confusion this tag exists to block.
       def sfTag(dir: String): String = {
         val b = new java.io.File(dir).getName
-        if (b.contains("sf1")) "sf1" else b
+        if (b == "sf1" || b.endsWith("_sf1")) "sf1" else b
       }
       val wantTag = sfTag(sfDir)
       val pat = if (wantTag == "sf1") """BENCH_local_r(\d+)_sf1\.json""".r
                 else """BENCH_local_r(\d+)\.json""".r
-      val candidate = sys.env.get("GRAFT_PREV_BENCH").map(new java.io.File(_))
-        .filter(_.exists())
-        .orElse {
+      // An EXPLICIT operator-chosen baseline must never be silently
+      // replaced: if GRAFT_PREV_BENCH is set but missing, warn and
+      // emit no vs_prev rather than auto-selecting a different file.
+      val candidate = sys.env.get("GRAFT_PREV_BENCH") match {
+        case Some(p) =>
+          val f = new java.io.File(p)
+          if (f.exists()) Some(f)
+          else {
+            System.err.println(
+              s"[bench] GRAFT_PREV_BENCH=$p does not exist; vs_prev omitted (no auto-fallback)")
+            None
+          }
+        case None =>
           Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
             .flatMap(f => f.getName match {
               case pat(n) => Some((n.toInt, f))
               case _ => None
             }).sortBy(_._1).lastOption.map(_._2)
-        }
+      }
       candidate.flatMap { f =>
         try {
           val src = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
@@ -579,7 +592,12 @@ object Bench {
           val prevSf = """"sf":\s*"([^"]*)"""".r
             .findFirstMatchIn(txt).map(m => sfTag(m.group(1)))
           val block = txt.indexOf("\"queries\"")
-          if (block < 0 || !prevSf.contains(wantTag)) None
+          if (block < 0 || !prevSf.contains(wantTag)) {
+            if (sys.env.contains("GRAFT_PREV_BENCH"))
+              System.err.println(s"[bench] GRAFT_PREV_BENCH=${f.getName} carries sf tag " +
+                s"'${prevSf.getOrElse("?")}' != wanted '$wantTag'; vs_prev omitted (no auto-fallback)")
+            None
+          }
           else {
             val qtxt = txt.substring(block, txt.indexOf('}', block) + 1)
             val kv = """"([\w#]+)":\s*(-?[0-9.]+)""".r

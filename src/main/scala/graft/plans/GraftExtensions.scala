@@ -368,7 +368,11 @@ object GraftExtensions {
     // `<path>/verdicts`, so this is the DSv2 snapshot read (pushdown,
     // pruning, optional version time travel) — and a `readStream` on
     // graft.sources.v2.SnapshotStreamSource over the same path follows
-    // verdicts live.
+    // verdicts live. A live follower that STALLS past the sink's
+    // vacuum retention window fails descriptively with the recovery
+    // recipe (fresh checkpoint, startingVersion=latest) instead of a
+    // mid-scan FileNotFound — see SnapshotStreamSource's FAILURE MODE
+    // scaladoc.
     (new FunctionIdentifier("graft_sink_verdicts"),
       new ExpressionInfo(classOf[graft.sources.v2.SnapshotDataSource].getName,
         "graft_sink_verdicts"),

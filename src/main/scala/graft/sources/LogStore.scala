@@ -132,6 +132,42 @@ class AtomicCreateLogStore extends LogStore {
   }
 }
 
+/** TRUE MULTI-PROCESS atomic create for `file:` paths —
+  * `java.io.File#createNewFile` is POSIX `open(O_CREAT|O_EXCL)`, an
+  * OS-level atomic claim across PROCESSES, where [[RenameLogStore]] /
+  * [[AtomicCreateLogStore]] only serialize within one JVM (Hadoop's
+  * RawLocalFileSystem exists-checks are check-then-act). This is the
+  * leg that makes multiple DRIVER processes committing to one table on
+  * a shared POSIX filesystem sound — the regime `local[*]` test
+  * suites structurally cannot reach and a `local-cluster` deployment
+  * with several writer apps actually lives in.
+  *
+  * Visibility: create-then-write, so a concurrently-listed commit may
+  * be torn — `visibleImpliesComplete = false` routes replay through
+  * the CRC-footer strictness, same as [[AtomicCreateLogStore]].
+  * CAVEAT: O_EXCL is atomic on local/POSIX mounts; on NFSv2 it is
+  * famously not — this store is for genuinely-local shared disks.
+  */
+class ProcessAtomicCreateLogStore extends LogStore {
+  override def visibleImpliesComplete: Boolean = false // create-then-write
+
+  override def putIfAbsent(conf: Configuration, dir: Path, target: Path,
+                           payload: Array[Byte]): Boolean = {
+    val uri = target.toUri
+    require(uri.getScheme == null || uri.getScheme == "file",
+      s"${getClass.getSimpleName} is the local-filesystem leg; got scheme " +
+        s"'${uri.getScheme}' — use a coordinated store for remote filesystems")
+    val f = new java.io.File(uri.getPath)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    if (!f.createNewFile()) false // O_EXCL lost: the version is taken
+    else {
+      val out = new java.io.FileOutputStream(f)
+      try out.write(payload) finally out.close()
+      true
+    }
+  }
+}
+
 /** The S3-class leg: a store for filesystems with NO atomic primitive
   * at all — not rename, not create-no-overwrite. Correctness comes
   * entirely from an external coordination service that arbitrates

@@ -2538,8 +2538,41 @@ object SnapshotStore {
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-") &&
           s.getModificationTime <= cutoff)
         .foreach(s => fs.delete(s.getPath, true))
+      // record the retention FLOOR so incremental readers can fail
+      // DESCRIPTIVELY: a streaming follower stalled below the floor may
+      // reference vacuumed files — the stream source pre-checks its
+      // range against this marker ([[vacuumFloor]]) and names the
+      // recovery recipe instead of dying mid-scan on FileNotFound.
+      // Best-effort overwrite (floors only advance; a torn/lost marker
+      // only costs the descriptive pre-check, never correctness).
+      try {
+        val out = fs.create(new Path(logDir(table), "_vacuum_floor"), true)
+        try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     VacuumReport(victims.size + dvVictims.map(_._3).sum, bytes, floor, dryRun)
+  }
+
+  /** The last vacuum's retention floor, if one was recorded: data files
+    * of versions BELOW it are retained only while some version at or
+    * above the floor still references them — an incremental reader
+    * whose range dips below the floor must verify its files survive
+    * (the stream source does) before trusting a file-level catch-up.
+    */
+  def vacuumFloor(spark: SparkSession, table: String): Option[Long] = {
+    val p = new Path(logDir(table), "_vacuum_floor")
+    val fs = p.getFileSystem(conf(spark))
+    if (!fs.exists(p)) None
+    else
+      try {
+        val in = fs.open(p)
+        val txt = try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          if (n <= 0) "" else new String(buf, 0, n, "UTF-8").trim
+        } finally in.close()
+        txt.toLongOption
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Replay-safe streaming append sink: each micro-batch commits with

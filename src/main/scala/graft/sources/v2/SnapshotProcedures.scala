@@ -22,7 +22,7 @@ private[v2] object SnapshotProcedures {
   val names: Seq[String] =
     Seq("optimize", "vacuum", "restore", "extract", "refresh_manifest",
       "add_constraint", "drop_constraint", "clone", "enable_dv", "purge_dv",
-      "refresh_index")
+      "refresh_index", "dedup_sink_maintain", "export_symlink_manifest")
 
   def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
     case "optimize" => Some(Optimize)
@@ -37,6 +37,7 @@ private[v2] object SnapshotProcedures {
     case "purge_dv" => Some(PurgeDv)
     case "refresh_index" => Some(RefreshIndex)
     case "dedup_sink_maintain" => Some(DedupSinkMaintain)
+    case "export_symlink_manifest" => Some(ExportSymlinkManifest)
     case _ => None
   }
 
@@ -360,20 +361,30 @@ private[v2] object SnapshotProcedures {
     * `target_files` (sink-written stores always carry their stats +
     * blooms, so only externally-seeded files can lack them).
     *
-    * SINGLE-WRITER: do NOT run this concurrently with the sink's own
-    * `foreachBatch` — both sides commit optimistically against the
-    * same store logs, so a race makes one of them fail loudly
-    * mid-batch (`mustBeLive` conflict; never a corruption). Stop the
-    * stream, or rely on the sinks' built-in size-triggered
-    * maintenance instead.
+    * CONCURRENCY: the procedure takes the path's WRITER LEASE
+    * ([[graft.sources.SinkLease]]) before staging anything — the same
+    * lease every sink batch holds for its duration — so a call that
+    * races a committing sink batch is REFUSED immediately with the
+    * holder's identity, and a sink batch that starts while the
+    * procedure runs is refused the same way (Spark's stream restart
+    * policy retries it after the pass). No side ever dies mid-batch
+    * on a commit conflict; the optimistic `mustBeLive` check remains
+    * the backstop only for a lease stolen past its TTL from a
+    * still-live holder.
     */
   private object DedupSinkMaintain extends Proc("dedup_sink_maintain",
     Seq(
       ProcedureParameter.in("index_path", StringType).build(),
       ProcedureParameter.in("id_col", StringType).build(),
       ProcedureParameter.in("target_files", IntegerType).defaultValue("8").build()),
+    // `stores` = every store table PRESENT under the path (stable
+    // meaning since the proc shipped); `rewritten`/`skipped` split it
+    // by whether the early-out fired — an all-skipped run is a
+    // successful no-op, not "no stores found" (that case throws).
     StructType(Seq(
       StructField("stores", StringType, nullable = false),
+      StructField("rewritten", StringType, nullable = false),
+      StructField("skipped", StringType, nullable = false),
       StructField("files_before", IntegerType, nullable = false),
       StructField("files_after", IntegerType, nullable = false)))) {
     override def description(): String =
@@ -396,24 +407,93 @@ private[v2] object SnapshotProcedures {
       require(present.nonEmpty,
         s"no dedup-sink store tables under $path (expected some of " +
           layouts.map(_._1).mkString(", ") + ")")
-      var before = 0
-      var after = 0
-      val touched = scala.collection.mutable.ArrayBuffer.empty[String]
-      present.foreach { case (s, (cc, sc, bc)) =>
-        val t = s"$path/$s"
-        val live = SnapshotStore.state(spark, t).live.size
-        before += live
-        // early-out: a store already at/under target (or emptied by the
-        // cap tombstones) gains nothing from a rewrite — skipping also
-        // avoids compactClustered throwing on an empty snapshot
-        if (live > target) {
-          SnapshotStore.compactClustered(spark, t, target, cc, sc, bc)
-          touched += s
-          after += SnapshotStore.state(spark, t).live.size
-        } else after += live
+      // writer lease for the whole pass: a live sink batch holds the
+      // same lease, so the race is decided HERE — before any staging
+      graft.sources.SinkLease.withLease(spark, path, "maintenance") {
+        var before = 0
+        var after = 0
+        val touched = scala.collection.mutable.ArrayBuffer.empty[String]
+        present.foreach { case (s, (cc, sc, bc)) =>
+          val t = s"$path/$s"
+          val live = SnapshotStore.state(spark, t).live.size
+          before += live
+          // early-out: a store already at/under target (or emptied by the
+          // cap tombstones) gains nothing from a rewrite — skipping also
+          // avoids compactClustered throwing on an empty snapshot
+          if (live > target) {
+            SnapshotStore.compactClustered(spark, t, target, cc, sc, bc)
+            touched += s
+            after += SnapshotStore.state(spark, t).live.size
+          } else after += live
+        }
+        val presentNames = present.map(_._1)
+        InternalRow(UTF8String.fromString(presentNames.mkString(",")),
+          UTF8String.fromString(touched.mkString(",")),
+          UTF8String.fromString(presentNames.filterNot(touched.contains).mkString(",")),
+          before, after)
       }
-      InternalRow(UTF8String.fromString(touched.mkString(",")),
-        before, after)
+    }
+  }
+
+  /** `CALL graft.export_symlink_manifest(table[, version])` — write the
+    * standard symlink-manifest layout
+    * (`<table>/_symlink_format_manifest/manifest`, one absolute
+    * data-file URI per line: the format Delta's `GENERATE
+    * symlink_format_manifest` emits and Presto/Trino/Athena/Hive read
+    * through `SymlinkTextInputFormat`), so a graft snapshot table is
+    * consumable by engines with no graft on the classpath — the interop
+    * story the reference got for free by parking tables where every AWS
+    * service could read them. The manifest PINS one version (default 0
+    * = latest): later commits don't move it until the next CALL, so
+    * external readers get snapshot isolation at manifest granularity;
+    * re-CALL after each publish (or from the maintenance cadence) to
+    * advance it. Vacuum retention must cover the pinned version
+    * (`retainVersions` / `retain_hours`) or external readers lose
+    * files under the manifest. Published via write-temp-then-rename so readers never
+    * list a torn manifest. REFUSED while any live file carries a
+    * deletion vector — merge-on-read deletes are invisible to a plain
+    * parquet reader; `CALL graft.purge_dv` first.
+    */
+  private object ExportSymlinkManifest extends Proc("export_symlink_manifest",
+    Seq(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", LongType).defaultValue("0").build()),
+    StructType(Seq(
+      StructField("manifest", StringType, nullable = false),
+      StructField("files", IntegerType, nullable = false),
+      StructField("version", LongType, nullable = false)))) {
+    override def description(): String =
+      "write the symlink-format manifest external engines read for this table"
+    override protected def run(in: InternalRow): InternalRow = {
+      import org.apache.hadoop.fs.Path
+      val table = in.getUTF8String(0).toString
+      val reqV = in.getLong(1)
+      val snap = SnapshotStore.state(spark, table,
+        if (reqV > 0) Some(reqV) else None)
+      require(snap.live.nonEmpty,
+        s"export_symlink_manifest: $table@${snap.version} is empty")
+      val dvd = snap.live.filter(_.dv.nonEmpty)
+      require(dvd.isEmpty,
+        s"export_symlink_manifest: ${dvd.size} live file(s) of $table carry " +
+          "deletion vectors — external plain-parquet readers would see " +
+          "deleted rows; CALL graft.purge_dv first")
+      val conf = spark.sessionState.newHadoopConf()
+      val dir = new Path(table, "_symlink_format_manifest")
+      val fs = dir.getFileSystem(conf)
+      fs.mkdirs(dir)
+      val uris = snap.live.map(a =>
+        fs.makeQualified(new Path(a.path)).toUri.toString)
+      val tmp = new Path(dir, s".manifest-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write((uris.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      val target = new Path(dir, "manifest")
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target))
+        throw new IllegalStateException(
+          s"export_symlink_manifest: rename to $target failed")
+      InternalRow(UTF8String.fromString(target.toString),
+        uris.size, snap.version)
     }
   }
 

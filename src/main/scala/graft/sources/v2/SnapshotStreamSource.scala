@@ -63,6 +63,16 @@ private[v2] case class SnapshotSourceOffset(version: Long) extends Offset {
   * catches up in bounded micro-batches instead of one giant batch, the
   * scale lever Delta spells `maxFilesPerTrigger`; versions are the
   * natural unit here because each commit is one writer batch).
+  *
+  * FAILURE MODE — stalled past the retention window: a follower that
+  * stops processing while the table's maintenance keeps compacting and
+  * vacuuming (e.g. the dedup sinks at `retainVersions=2`) can resume
+  * with a catch-up range whose below-floor append files were vacuumed.
+  * The source detects this BEFORE scanning (see [[SnapshotStore.vacuumFloor]])
+  * and fails with the recovery recipe: restart with a fresh checkpoint
+  * (`startingVersion=latest` to tail only new commits, or no
+  * `startingVersion` to reload the whole current snapshot), or widen
+  * the window by raising the maintenance side's `retainVersions`.
   */
 class SnapshotStreamSource(spark: SparkSession, table: String,
                            override val schema: StructType,
@@ -108,6 +118,10 @@ class SnapshotStreamSource(spark: SparkSession, table: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = ver(end)
+    start.map(ver).orElse(startingVersion) match {
+      case Some(since) => requireRangeNotVacuumed(since, endV)
+      case None => requireSnapshotNotVacuumed(endV)
+    }
     if (changeFeed) return getChangeBatch(start, endV)
     val files: Seq[SnapshotStore.AddFile] = start.map(ver).orElse(startingVersion) match {
       case Some(since) =>
@@ -160,6 +174,53 @@ class SnapshotStreamSource(spark: SparkSession, table: String,
           .withColumn("_commit_version", lit(endV))
     }
     df.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
+  /** A follower that stalled longer than the maintenance retention
+    * window fails DESCRIPTIVELY, not with a mid-scan FileNotFound: when
+    * the catch-up range dips below the recorded vacuum floor
+    * ([[SnapshotStore.vacuumFloor]]), the append files of the
+    * below-floor versions are verified to still exist BEFORE any scan.
+    * Cost: zero FS calls for a healthy follower (range at/above the
+    * floor, or no vacuum ever ran); one exists() per suspect file once
+    * for a stalled one. Files at/above the floor are always retained
+    * (their version's own state is within the retention set), so only
+    * the below-floor slice is checked.
+    */
+  private def requireRangeNotVacuumed(since: Long, endV: Long): Unit =
+    SnapshotStore.vacuumFloor(spark, table)
+      .filter(floor => since + 1 < floor).foreach { floor =>
+        val suspect = SnapshotStore.addedSince(spark, table, since,
+          Some(math.min(endV, floor - 1)), skipRewrites = true)
+        failIfMissing(suspect, s"catch-up range ($since, $endV]", floor)
+      }
+
+  /** Restart recovery re-issues `getBatch(None, lastCommitted)` — an
+    * initial load pinned at an OLD version, the same stalled-follower
+    * shape through the other branch.
+    */
+  private def requireSnapshotNotVacuumed(endV: Long): Unit =
+    SnapshotStore.vacuumFloor(spark, table)
+      .filter(floor => endV < floor).foreach { floor =>
+        failIfMissing(SnapshotStore.state(spark, table, Some(endV)).live,
+          s"snapshot at version $endV", floor)
+      }
+
+  private def failIfMissing(files: Seq[SnapshotStore.AddFile],
+                            what: String, floor: Long): Unit = {
+    val c = spark.sessionState.newHadoopConf()
+    val missing = files
+      .map(a => new org.apache.hadoop.fs.Path(a.path))
+      .filterNot(p => p.getFileSystem(c).exists(p))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot stream on $table: $what references ${missing.size} " +
+          s"file(s) vacuumed past the retention floor (v$floor) — this " +
+          "follower stalled longer than the maintenance retention window. " +
+          "Recover with a FRESH checkpoint: startingVersion=latest tails " +
+          "only new commits, omitting startingVersion reloads the whole " +
+          "current snapshot; raise the maintenance side's retainVersions " +
+          "to widen the window")
   }
 
   override def stop(): Unit = ()

@@ -636,6 +636,23 @@ object Streaming {
         s"${dt.simpleString} — cast or map ids to long before the sink")
   }
 
+  /** Null ids are outside the integral-id contract and cannot be
+    * handled consistently: a null-id verdict never matches the
+    * replay-skip / append-idempotence anti-joins (null joins nothing),
+    * so a crash replay would duplicate its band/sig rows — and
+    * silently dropping the rows would discard documents without a
+    * verdict. Fail the batch loudly instead, the [[requireIntegralId]]
+    * discipline enforced per batch (nullness is data, not schema).
+    * One limit-1 job on the already-checkpointed batch frame.
+    */
+  private def requireNoNullIds(once: DataFrame, idCol: String): Unit =
+    if (!once.filter(col(idCol).isNull).isEmpty)
+      throw new IllegalArgumentException(
+        s"dedup sink batch contains null '$idCol' rows — the sinks " +
+          "point-skip on non-null integral ids (a null-id verdict can " +
+          "never be replay-skipped, so a crash replay would duplicate " +
+          "its rows); filter or assign ids upstream of the sink")
+
   /** Bounded driver collect of a probe column: up to `cap` DISTINCT
     * longs, or None past the cap — the signal to degrade the
     * point-skip read to the full snapshot. Every probe the sinks
@@ -760,6 +777,11 @@ object Streaming {
     val verdictsTbl = s"$indexPath/verdicts"
     val cappedTbl = s"$indexPath/capped"
     docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      // WRITER LEASE: acquired before any staging, released at batch
+      // end — a concurrent `CALL graft.dedup_sink_maintain` (or second
+      // sink on the same path) is refused deterministically up front
+      // instead of one side dying mid-batch on a commit conflict
+      graft.sources.SinkLease.withLease(spark, indexPath, "sink") {
       // rowCount > 0, not just version > 0: the cap-tombstone compaction
       // can legitimately EMPTY the bands table (every bucket oversized —
       // an all-boilerplate corpus), and an empty store screens like no
@@ -771,13 +793,13 @@ object Streaming {
       // can't see it yet — without this, the repeated id's band rows
       // append twice. Mirrors the replay skip's per-id rule.
       val once = batch.toDF().dropDuplicates(idCol).localCheckpoint()
+      requireNoNullIds(once, idCol)
       // the batch's ids drive the point-skip probes below — bounded
       // driver state (None past the cap → full-snapshot fallback)
       val batchIds = boundedProbes(once, idCol, maxProbeKeys, distinctDone = true)
       // ONE job answers both "any rows?" and the probe set: Some(empty)
-      // means an empty batch (or all-null ids — outside the integral-id
-      // contract; null verdicts could never be replay-skipped) -> skip;
-      // None (over cap) is a full batch that proceeds on the fallback
+      // means an empty batch (null ids threw above) -> skip; None
+      // (over cap) is a full batch that proceeds on the fallback
       if (batchIds.forall(_.nonEmpty)) {
         val fresh =
           if (SnapshotStore.latestVersion(spark, verdictsTbl) > 0L)
@@ -848,6 +870,8 @@ object Streaming {
         }
       }
       ()
+      } // lease released
+      ()
     }
   }
 
@@ -882,8 +906,9 @@ object Streaming {
     * not a file merge): tombstones commit first, then one clustered
     * overwrite drops their rows and restores sharp `__bs` pruning;
     * verdicts ride [[graft.sources.SnapshotStore.maintain]]. Every
-    * rewrite is an atomic snapshot commit. Single-writer only (the
-    * sink's serial foreachBatch).
+    * rewrite is an atomic snapshot commit. Runs under the batch's
+    * writer lease ([[graft.sources.SinkLease]] — acquired at batch
+    * start), so a concurrent `dedup_sink_maintain` can never interleave.
     */
   private def maybeCompactIndex(spark: org.apache.spark.sql.SparkSession,
                                 indexPath: String, idCol: String,
@@ -1030,6 +1055,9 @@ object Streaming {
     val policyKey = "sink.bucketing"
     vecs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
       import graft.operators.Similarity.{cosineNative, signBucket, hyperplaneBucket, scaledBucketBits}
+      // writer lease: see incrementalDedupSink — refuse concurrent
+      // maintenance BEFORE staging, release at batch end
+      graft.sources.SinkLease.withLease(spark, indexPath, "sink") {
       val haveIndex = SnapshotStore.latestVersion(spark, vecsTbl) > 0L
       // one row per id WITHIN the batch too: an at-least-once source can
       // repeat an id inside a single micro-batch, where the verdict
@@ -1038,15 +1066,15 @@ object Streaming {
       // index and verdict. dropDuplicates mirrors the replay skip's
       // per-id rule.
       val once = batch.toDF().dropDuplicates(idCol).localCheckpoint()
+      requireNoNullIds(once, idCol)
       // the batch's ids drive every point-skip probe below (replay
       // skip, append idempotence) — bounded driver state (None past
       // the cap → full-snapshot fallback), the price of reading
       // matching index files instead of the index
       val batchIds = boundedProbes(once, idCol, maxProbeKeys, distinctDone = true)
       // ONE job answers both "any rows?" and the probe set: Some(empty)
-      // means an empty batch (or all-null ids — outside the integral-id
-      // contract; null verdicts could never be replay-skipped) -> skip;
-      // None (over cap) is a full batch that proceeds on the fallback
+      // means an empty batch (null ids threw above) -> skip; None
+      // (over cap) is a full batch that proceeds on the fallback
       if (batchIds.forall(_.nonEmpty)) {
         val fresh =
           if (SnapshotStore.latestVersion(spark, verdictsTbl) > 0L)
@@ -1196,6 +1224,8 @@ object Streaming {
         }
       }
       ()
+      } // lease released
+      ()
     }
   }
 
@@ -1282,12 +1312,15 @@ object Streaming {
     val postTbl = s"$indexPath/postings"
     val verdictsTbl = s"$indexPath/verdicts"
     docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      // writer lease: see incrementalDedupSink — refuse concurrent
+      // maintenance BEFORE staging, release at batch end
+      graft.sources.SinkLease.withLease(spark, indexPath, "sink") {
       val once = batch.toDF().dropDuplicates(idCol).localCheckpoint()
+      requireNoNullIds(once, idCol)
       val batchIds = boundedProbes(once, idCol, maxProbeKeys, distinctDone = true)
       // ONE job answers both "any rows?" and the probe set: Some(empty)
-      // means an empty batch (or all-null ids — outside the integral-id
-      // contract; null verdicts could never be replay-skipped) -> skip;
-      // None (over cap) is a full batch that proceeds on the fallback
+      // means an empty batch (null ids threw above) -> skip; None
+      // (over cap) is a full batch that proceeds on the fallback
       if (batchIds.forall(_.nonEmpty)) {
         val fresh =
           if (SnapshotStore.latestVersion(spark, verdictsTbl) > 0L)
@@ -1429,6 +1462,8 @@ object Streaming {
           ()
         }
       }
+      ()
+      } // lease released
       ()
     }
   }

@@ -13,14 +13,19 @@ import graft.GraftSession
   * store actually exists for (chunk-parallel decode with field
   * pruning). This main times the phases separately at the given SF dir:
   *
-  * {{{ runMain graft.tools.BagScanProbe /root/testdata/sf0.1 3 }}}
+  * {{{ runMain graft.tools.BagScanProbe /root/testdata/sf0.1 3 [mix|none|bz2|lz4] }}}
   *
   * prints one line per pass: build+write seconds, read seconds, rows.
+  * The third arg A/Bs the chunk compression: `mix` is the historical
+  * mod-3 none/bz2/lz4 fixture; a single codec isolates its cost (the
+  * r19 verdict's question — how much of the 6.1× scale step is bz2's
+  * bytes-linear encode+decode).
   */
 object BagScanProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val passes = args.lift(1).map(_.toInt).getOrElse(3)
+    val codecMode = args.lift(2).getOrElse("mix")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]")
@@ -44,12 +49,16 @@ object BagScanProbe {
               col("value").cast("double").as("x"),
               col("event_type").as("label")),
             lit(msgDef)).as("payload")).as("m"))
+      val codec =
+        if (codecMode == "mix")
+          when(pmod(col("g"), lit(3)) === 0, "none")
+            .when(pmod(col("g"), lit(3)) === 1, "bz2")
+            .otherwise("lz4")
+        else lit(codecMode)
       val bags = ser.groupBy(col("g"))
         .agg(graft.sources.Containers.bagPackTyped(
           sort_array(collect_list(col("m"))),
-          when(pmod(col("g"), lit(3)) === 0, "none")
-            .when(pmod(col("g"), lit(3)) === 1, "bz2")
-            .otherwise("lz4"),
+          codec,
           lit(msgDef), messagesPerChunk = 512).as("bag"))
         .select(concat(lit("g"), col("g")).as("bag_file"), col("bag"))
       val t0 = System.nanoTime()

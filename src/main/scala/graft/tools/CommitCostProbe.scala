@@ -81,37 +81,95 @@ object CommitCostProbe {
     // appendMany's concurrent-staging + ordered-publish form, per
     // batch, lower median over `reps` batches on warm tables.
     {
-      val reps = 7
+      val reps = 8
       def batchFrames(spark: SparkSession, salt: Int): Seq[DataFrame] =
         (0 until 3).map(s => frame(spark, 2000, salt * 3 + s)
           .coalesce(1).localCheckpoint())
-      def run(variant: String): Double = {
-        val root = s"file:$scratchRoot/sink_$variant"
-        val tbls = (0 until 3).map(s => s"$root/store$s")
-        // warm: seed each table (first-commit costs differ)
+      def sinkTables(variant: String): Seq[String] =
+        (0 until 3).map(s => s"file:$scratchRoot/sink_$variant/store$s")
+      val seqTbls = sinkTables("seq")
+      val manyTbls = sinkTables("many")
+      // warm BOTH variants' tables up front (first-commit costs differ)
+      Seq(seqTbls, manyTbls).foreach(tbls =>
         batchFrames(spark, 999).zip(tbls).foreach { case (df, t) =>
           SnapshotStore.append(df, t, statsCols = Seq("id"),
-            bloomCols = Seq("id")) }
-        val times = (0 until reps).map { b =>
-          val dfs = batchFrames(spark, b)
-          ms {
-            if (variant == "seq")
-              dfs.zip(tbls).foreach { case (df, t) =>
-                SnapshotStore.append(df, t, statsCols = Seq("id"),
-                  bloomCols = Seq("id")) }
-            else
-              SnapshotStore.appendMany(spark, dfs.zip(tbls).map { case (df, t) =>
-                SnapshotStore.AppendPart(df, t, statsCols = Seq("id"),
-                  bloomCols = Seq("id")) })
+            bloomCols = Seq("id")) })
+      def oneRep(variant: String, salt: Int): Double = {
+        val tbls = if (variant == "seq") seqTbls else manyTbls
+        val dfs = batchFrames(spark, salt)
+        ms {
+          if (variant == "seq")
+            dfs.zip(tbls).foreach { case (df, t) =>
+              SnapshotStore.append(df, t, statsCols = Seq("id"),
+                bloomCols = Seq("id")) }
+          else
+            SnapshotStore.appendMany(spark, dfs.zip(tbls).map { case (df, t) =>
+              SnapshotStore.AppendPart(df, t, statsCols = Seq("id"),
+                bloomCols = Seq("id")) })
+        }
+      }
+      // ALTERNATE the variant order per rep: a fixed seq-then-many
+      // order systematically credits JIT/page-cache warm-up to the
+      // second variant; alternation cancels the bias in the medians.
+      val (seqTimes, manyTimes) =
+        (0 until reps).foldLeft((Vector.empty[Double], Vector.empty[Double])) {
+          case ((sq, mn), b) =>
+            if (b % 2 == 0) {
+              val s = oneRep("seq", b * 2); val m = oneRep("many", b * 2 + 1)
+              (sq :+ s, mn :+ m)
+            } else {
+              val m = oneRep("many", b * 2); val s = oneRep("seq", b * 2 + 1)
+              (sq :+ s, mn :+ m)
+            }
+        }
+      def lowerMed(ts: Vector[Double]): Double = {
+        val s = ts.sorted; s((s.size - 1) / 2)
+      }
+      val seqMs = lowerMed(seqTimes)
+      val manyMs = lowerMed(manyTimes)
+      println(f"""[commitcost-sink] {"stores":3,"rows_per_store":2000,""" +
+        f""""reps":$reps,"order":"alternating","seq_ms":$seqMs%.1f,""" +
+        f""""appendmany_ms":$manyMs%.1f,"speedup":${seqMs / manyMs}%.2f}""")
+    }
+    // MAINTENANCE SHAPE (r19 verdict item 4): dedup_sink_maintain
+    // compacts 3 fragmented stores one compactClustered at a time.
+    // Before building an "overwriteMany", attribute the wall time:
+    // data_ms (the clustered rewrite of the same frame to scratch —
+    // the floor ANY compaction pays) vs commit overhead (stage + stats
+    // + bloom harvest + publish). Coalescing can only overlap the
+    // OVERHEAD; if data_ms dominates, the serial loop is already right.
+    {
+      val frag = 24 // files per store pre-compaction (past any trigger)
+      val reps = 3
+      val perStore = (0 until 3).map { s =>
+        val times = (0 until reps).map { rep =>
+          val tbl = s"file:$scratchRoot/maint_s${s}_r$rep/store"
+          (0 until frag).foreach(i =>
+            SnapshotStore.append(frame(spark, 500, s * 1000 + rep * 100 + i)
+              .coalesce(1), tbl, statsCols = Seq("id"), bloomCols = Seq("id")))
+          val dataMs = ms {
+            SnapshotStore.snapshot(spark, tbl)
+              .repartitionByRange(8, col("id"))
+              .sortWithinPartitions(col("id"))
+              .write.mode("overwrite")
+              .parquet(s"$scratchRoot/maint_raw_s${s}_r$rep")
           }
-        }.sorted
+          val compactMs = ms {
+            SnapshotStore.compactClustered(spark, tbl, 8, Seq("id"),
+              statsCols = Seq("id"), bloomCols = Seq("id"))
+            ()
+          }
+          (dataMs, compactMs)
+        }.sortBy(_._2)
         times((times.size - 1) / 2)
       }
-      val seqMs = run("seq")
-      val manyMs = run("many")
-      println(f"""[commitcost-sink] {"stores":3,"rows_per_store":2000,""" +
-        f""""reps":$reps,"seq_ms":$seqMs%.1f,"appendmany_ms":$manyMs%.1f,""" +
-        f""""speedup":${seqMs / manyMs}%.2f}""")
+      val data = perStore.map(_._1).sum
+      val compact = perStore.map(_._2).sum
+      val overhead = compact - data
+      println(f"""[commitcost-maint] {"stores":3,"files_per_store":$frag,""" +
+        f""""reps":$reps,"data_ms":$data%.1f,"compact_ms":$compact%.1f,""" +
+        f""""overhead_ms":$overhead%.1f,""" +
+        f""""overhead_frac":${overhead / compact}%.2f}""")
     }
     spark.stop()
   }

@@ -288,8 +288,11 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     val row = spark.sql(s"CALL graft.dedup_sink_maintain('$dir', 'doc_id', 1)")
       .collect().head
-    // only the stores that EXIST compact (no bands/vectors here)
+    // only the stores that EXIST compact (no bands/vectors here);
+    // `stores` is the PRESENT set, `rewritten`/`skipped` split it
     assert(row.getAs[String]("stores") === "sigs,postings,verdicts")
+    assert(row.getAs[String]("rewritten") === "sigs,postings,verdicts")
+    assert(row.getAs[String]("skipped") === "")
     assert(row.getAs[Int]("files_before") === 18)
     assert(row.getAs[Int]("files_after") === 3)
     // contents invariant, layout clustered: a point probe on the
@@ -299,11 +302,15 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(SnapshotStore.snapshot(spark, s"$dir/verdicts")
       .filter(col("keep")).count() === 6L)
     // EARLY-OUT: a second CALL finds every store already at/under the
-    // target and rewrites nothing — no version churn, empty `stores`
+    // target and rewrites nothing — no version churn; `stores` still
+    // reports the present set (an all-skipped run is a successful
+    // no-op, distinguishable from "no stores found" which throws)
     val vAfter = SnapshotStore.latestVersion(spark, s"$dir/sigs")
     val again = spark.sql(s"CALL graft.dedup_sink_maintain('$dir', 'doc_id', 1)")
       .collect().head
-    assert(again.getAs[String]("stores") === "")
+    assert(again.getAs[String]("stores") === "sigs,postings,verdicts")
+    assert(again.getAs[String]("rewritten") === "")
+    assert(again.getAs[String]("skipped") === "sigs,postings,verdicts")
     assert(again.getAs[Int]("files_before") === 3)
     assert(again.getAs[Int]("files_after") === 3)
     assert(SnapshotStore.latestVersion(spark, s"$dir/sigs") === vAfter)
@@ -453,6 +460,49 @@ class SnapshotCatalogSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       r2.getAs[Long]("store_rows") === 8L)
     assert(graft.sources.Containers.readTypedStore(spark, store, "m")
       .select("a").as[Long].collect().sorted.toSeq === (0L until 8L))
+  }
+
+  test("CALL graft.export_symlink_manifest: external engines read the pinned snapshot; DV refusal; purge unblocks") {
+    val t = freshTable("symlink")
+    SnapshotStore.append((1L to 6L).map(i => (i, i * 10L)).toDF("id", "score")
+      .coalesce(2), t, statsCols = Seq("id"))          // v1
+    SnapshotStore.append(Seq((7L, 70L)).toDF("id", "score").coalesce(1),
+      t, statsCols = Seq("id"))                        // v2
+    val row = spark.sql(s"CALL graft.export_symlink_manifest('$t')")
+      .collect().head
+    assert(row.getAs[Long]("version") === 2L)
+    assert(row.getAs[Int]("files") === SnapshotStore.state(spark, t).live.size)
+    // the manifest IS the external contract: absolute URIs, one per
+    // line, and a graft-less parquet read over them equals the snapshot
+    val uris = spark.read.textFile(row.getAs[String]("manifest")).collect().toSeq
+    assert(uris.size === row.getAs[Int]("files"))
+    assert(uris.forall(_.startsWith("file:")), uris.mkString(","))
+    val external = spark.read.parquet(uris: _*)
+    assert(external.count() === 7L)
+    assert(external.selectExpr("sum(score)").as[Long].head ===
+      SnapshotStore.snapshot(spark, t).selectExpr("sum(score)").as[Long].head)
+    // PINNED: a later commit doesn't move the manifest until re-CALL
+    SnapshotStore.append(Seq((8L, 80L)).toDF("id", "score").coalesce(1), t)
+    assert(spark.read.parquet(uris: _*).count() === 7L)
+    val again = spark.sql(s"CALL graft.export_symlink_manifest('$t')")
+      .collect().head
+    assert(again.getAs[Long]("version") === 3L)
+    val uris2 = spark.read.textFile(again.getAs[String]("manifest")).collect().toSeq
+    assert(spark.read.parquet(uris2: _*).count() === 8L)
+    // merge-on-read deletes are invisible to plain parquet: REFUSED
+    spark.sql(s"CALL graft.enable_dv('$t')").collect()
+    spark.sql(s"DELETE FROM graft.`$t` WHERE id > 6")
+    val ex = intercept[Exception] {
+      spark.sql(s"CALL graft.export_symlink_manifest('$t')").collect()
+    }
+    assert(ex.getMessage.contains("deletion vectors"), ex.getMessage)
+    // purge_dv materializes the deletes; export works again and the
+    // external read sees exactly the post-delete rows
+    spark.sql(s"CALL graft.purge_dv('$t')").collect()
+    val fixed = spark.sql(s"CALL graft.export_symlink_manifest('$t')")
+      .collect().head
+    val uris3 = spark.read.textFile(fixed.getAs[String]("manifest")).collect().toSeq
+    assert(spark.read.parquet(uris3: _*).count() === 6L)
   }
 
   test("writeTo API rides the same catalog plumbing") {

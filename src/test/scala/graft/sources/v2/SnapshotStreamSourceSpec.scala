@@ -63,6 +63,52 @@ class SnapshotStreamSourceSpec extends SparkSpec {
       === Seq(1L, 2L))
   }
 
+  test("a follower stalled past the vacuum window fails descriptively and recovers via startingVersion=latest") {
+    val t = fresh("stall")
+    val ckpt = t.stripPrefix("file:") + "/_ckpt"
+    val out = t.stripPrefix("file:") + "/_out"
+    def run() = {
+      val q = spark.readStream.format(fmt)
+        .option("skipRewrites", "true").load(t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    SnapshotStore.append(Seq((1L, "a")).toDF("id", "v").coalesce(1), t)
+    run() // follower processed v1, then STALLS
+    // maintenance keeps going: more appends, a compaction, a vacuum
+    // that drops the pre-compaction append files past the floor
+    (2 to 4).foreach(i =>
+      SnapshotStore.append(Seq((i.toLong, "x")).toDF("id", "v").coalesce(1), t))
+    SnapshotStore.compact(spark, t, targetFiles = 1)
+    SnapshotStore.vacuum(spark, t, retainVersions = 1, graceMs = 0L)
+    assert(SnapshotStore.vacuumFloor(spark, t).exists(_ > 2L))
+    // the stalled follower resumes: its range references vacuumed
+    // files — DESCRIPTIVE refusal naming the recovery recipe, before
+    // any scan (not a mid-task FileNotFoundException)
+    val ex = intercept[StreamingQueryException] { run() }
+    def causes(th: Throwable): Seq[Throwable] =
+      if (th == null) Nil else th +: causes(th.getCause)
+    val msg = causes(ex).flatMap(c => Option(c.getMessage)).mkString(" | ")
+    assert(msg.contains("vacuumed past the retention floor"), msg)
+    assert(msg.contains("startingVersion=latest"), msg)
+    // the documented recipe works: a FRESH checkpoint tailing from
+    // latest delivers post-recovery appends
+    val ckpt2 = t.stripPrefix("file:") + "/_ckpt2"
+    val q2 = spark.readStream.format(fmt)
+      .option("skipRewrites", "true").option("startingVersion", "latest")
+      .load(t)
+      .writeStream.format("memory").queryName("stall_recovered")
+      .option("checkpointLocation", ckpt2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      SnapshotStore.append(Seq((9L, "new")).toDF("id", "v").coalesce(1), t)
+      q2.processAllAvailable()
+      assert(spark.table("stall_recovered").select("id").as[Long]
+        .collect().toSet === Set(9L))
+    } finally q2.stop()
+  }
+
   test("a rewrite commit fails the stream by default") {
     val t = fresh("rewrite")
     SnapshotStore.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)

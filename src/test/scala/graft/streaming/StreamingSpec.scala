@@ -1393,6 +1393,54 @@ class StreamingSpec extends SparkSpec
     }
   }
 
+  test("dedup sinks fail a null-id batch loudly instead of silently skipping or passing it") {
+    implicit val sqlCtx = spark.sqlContext
+    // Pre-fix, null ids were handled INCONSISTENTLY and silently: an
+    // all-null batch was skipped entirely (docs got no verdicts, no
+    // error), while a mixed batch let null-id docs through — their
+    // verdict rows carried a null id that no replay-skip anti-join can
+    // ever match, so a crash replay duplicated their band/sig rows.
+    // Both shapes must now fail the batch with the integral-id
+    // contract message, family-wide.
+    def dir(tag: String) = "file:" +
+      java.nio.file.Files.createTempDirectory(s"graft-nullid-$tag").toString
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    def expectNullIdFailure(q: org.apache.spark.sql.streaming.StreamingQuery,
+                            idCol: String)(feed: => Unit): Unit =
+      try {
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          feed; q.processAllAvailable()
+        }
+        assert(causes(ex).exists(t => t.getMessage != null &&
+          t.getMessage.contains(s"null '$idCol'")),
+          causes(ex).map(_.getMessage).mkString(" | "))
+      } finally q.stop()
+    // minhash sink, MIXED batch (one good id, one null)
+    val mh = MemoryStream[(Option[Long], String)]
+    expectNullIdFailure(
+      Streaming.incrementalDedupSink(mh.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", dir("mh")).start(), "doc_id") {
+      mh.addData((Some(1L), "alpha beta gamma delta epsilon zeta"),
+        (None, "null id text that must not slip through"))
+    }
+    // containment sink, ALL-null batch (pre-fix: silent skip)
+    val ct = MemoryStream[(Option[Long], String)]
+    expectNullIdFailure(
+      Streaming.containmentDedupSink(ct.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", dir("ct")).start(), "doc_id") {
+      ct.addData((None, "one two three four five six seven"),
+        (None, "eight nine ten eleven twelve thirteen"))
+    }
+    // embedding sink, mixed batch
+    val em = MemoryStream[(Option[Long], Seq[Float])]
+    expectNullIdFailure(
+      Streaming.embeddingDedupSink(em.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dir("em"), bucketBits = Some(2)).start(), "vec_id") {
+      em.addData((Some(1L), Seq(1f, 0f, 0f)), (None, Seq(0f, 1f, 0f)))
+    }
+  }
+
   test("embeddingDedupSink crash replay derives the recorded width — no spurious re-bucket") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.SnapshotStore

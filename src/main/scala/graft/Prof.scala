@@ -15,11 +15,14 @@ object Prof {
       // warm
       SparkEntry.clearSharedTables()
       SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
+      graft.runtime.Checkpoints.release()
       val ts = (1 to 3).map { _ =>
         SparkEntry.clearSharedTables()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.runtime.Checkpoints.release()
+        sec
       }
       println(f"[prof] $n%-24s median=${ts.sorted.apply(1)}%.3f  runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
